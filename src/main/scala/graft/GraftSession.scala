@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Session factory: one place that wires the graft engine into Spark —
+  * custom function registry + optimizer rules via SparkSessionExtensions,
+  * and scale-appropriate defaults (AQE on, shuffle partitions sized for
+  * the local core count rather than the 200 default).
+  *
+  * On a real cluster the same extensions class is passed via
+  * `spark.sql.extensions=graft.GraftExtensions`; nothing here is
+  * local-mode-specific except the master URL.
+  */
+object GraftSession {
+
+  /** Apply engine config to an arbitrary builder (used by Verify/Bench). */
+  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.sql.cbo.enabled", "true")
+    .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions)
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = configure(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Idempotent per-session function registration for sessions not built
+    * through [[local]] (e.g. an existing session in tests). */
+  def install(spark: SparkSession): SparkSession = {
+    graft.functions.FunctionRegistry.registerAll(spark)
+    spark
+  }
+}
+
+/** Injected engine surface (reference FE: BuiltinScalarFunctions.java
+  * registry + Nereids rewrite rules — here re-expressed as Catalyst
+  * extensions). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    graft.functions.FunctionRegistry.registerExtensions(e)
+  }
+}
