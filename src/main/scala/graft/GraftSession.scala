@@ -20,6 +20,9 @@ object GraftSession {
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
     .config("spark.sql.parquet.filterPushdown", "true")
+    // events.parquet stores ts as TIMESTAMP(NANOS); Spark has no nanos
+    // timestamp — read as long and convert in Tables.load.
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.sql.cbo.enabled", "true")
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

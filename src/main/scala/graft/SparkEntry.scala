@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (graft.queries.TpchQueries.queries, graft.queries.TpchQueries.oracle)
+      (graft.queries.TpchQueries.queries, graft.queries.TpchQueries.oracle),
+      (graft.queries.OperatorQueries.queries, graft.queries.OperatorQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Fixture-table access (TESTDATA.md / FIXTURES.md).
   *
@@ -13,8 +15,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) on disk, surfaced as nanos-long via
+    // spark.sql.legacy.parquet.nanosAsLong; normalize to a micros
+    // timestamp so queries (and the DuckDB oracle's CAST(ts AS
+    // TIMESTAMP)) see identical values.
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if name == "events" && f.name == "ts" && f.dataType == LongType =>
+        d.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      case (d, _) => d
+    }
+  }
 
   /** Register every fixture as a temp view (for spark.sql use). */
   def registerAll(spark: SparkSession, dir: String): Unit =
