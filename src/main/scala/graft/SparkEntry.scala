@@ -12,7 +12,9 @@ object SparkEntry {
   private def families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (graft.queries.TpchQueries.queries, graft.queries.TpchQueries.oracle),
-      (graft.queries.OperatorQueries.queries, graft.queries.OperatorQueries.oracle)
+      (graft.queries.OperatorQueries.queries, graft.queries.OperatorQueries.oracle),
+      (graft.queries.AggQueries.queries, graft.queries.AggQueries.oracle),
+      (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,290 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Aggregation battery (SURVEY.md §2.5; reference:
+  * be/src/exec/operator/aggregation_sink_operator.h:135,
+  * repeat_operator.h:60 GROUPING SETS expansion,
+  * be/src/exprs/aggregate/ function library,
+  * fe BuiltinAggregateFunctions.java registrations).
+  *
+  * Cross-engine float policy: statistics that end in DOUBLE are
+  * rounded (6 dp for bounded values, 4 dp for large magnitudes) on
+  * BOTH sides — engines use different moment-accumulation orders, so
+  * raw doubles differ in the last ulps. Spark kurtosis == DuckDB
+  * kurtosis_pop; Spark skewness is population skew, which DuckDB
+  * lacks, so its oracle is an explicit two-pass moment formula.
+  */
+object AggQueries {
+
+  /** deterministic ~1/7 sample keeping stats n modest at any SF. */
+  private def sample(df: DataFrame): DataFrame =
+    df.filter(pmod(col("l_orderkey"), lit(7)) === 0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_stats" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_samp"),
+          round(stddev_pop(col("l_quantity")), 6).as("sd_pop"),
+          round(var_samp(col("l_quantity")), 6).as("v_samp"),
+          round(var_pop(col("l_quantity")), 6).as("v_pop"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_corr_covar" -> ((s, dir) => {
+      sample(t(s, dir, "lineitem"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("c"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cv_samp"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("cv_pop"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    "agg_skew_kurt" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(skewness(col("l_quantity")), 6).as("skew"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    "agg_regr" -> ((s, dir) => {
+      sample(t(s, dir, "lineitem"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"),
+          round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 6).as("ax"),
+          round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("ay"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // GROUPING SETS + grouping_id (reference: repeat_operator.h:60,
+    // nereids LogicalRepeat.java:51).
+    "agg_grouping_sets" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_rf,
+               grouping_id(l_returnflag, l_linestatus) AS gid,
+               count(*) AS n, ${oMoneySum("l_extendedprice")} AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus""")
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dbl(sum(money(col("l_extendedprice")))).as("sum_price"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          (dbl(sum(money(col("o_totalprice")))) / count(lit(1))).as("avg_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // multiple DISTINCT aggregates in one pass (reference:
+    // nereids SplitMultiDistinctStrategy.java).
+    "agg_multi_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("nd_part"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          sum_distinct(col("l_quantity").cast("int")).as("sum_d_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // collect_list/collect_set with deterministic ordering.
+    "agg_collect" -> ((s, dir) => {
+      t(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(
+          array_sort(collect_set(col("p_type"))).as("types"),
+          size(collect_list(col("p_partkey"))).as("n_parts"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // group_concat with ORDER BY (reference:
+    // aggregate_function_group_concat.*; Doris group_concat(x ORDER BY x)).
+    "agg_group_concat" -> ((s, dir) => {
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy(col("n_regionkey"))
+    }),
+
+    // exact percentile / median (reference: aggregate_function_percentile*).
+    "agg_percentile" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag,
+               percentile(CAST(l_quantity AS INT), 0.5) AS p50,
+               percentile(CAST(l_quantity AS INT), array(0.25, 0.75)) AS pq,
+               median(CAST(l_quantity AS INT)) AS med
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    }),
+
+    "agg_min_max_by" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("dearest"),
+          dbl(max(money(col("o_totalprice")))).as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "agg_bool_bit" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          bool_and(col("c_acctbal") > -1000).as("all_above"),
+          bool_or(col("c_acctbal") > 9900).as("any_rich"),
+          bit_and(col("c_nationkey")).as("b_and"),
+          bit_or(col("c_nationkey")).as("b_or"),
+          bit_xor(col("c_custkey")).as("b_xor"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // FILTER-ed aggregates + count_if + avg_weighted (reference:
+    // aggregate_function_avg_weighted.*).
+    "agg_filtered_weighted" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(s"""
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+               count_if(l_tax = 0) AS n_notax,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS w_avg_price
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")
+    }),
+
+    // approximate sketches — engine-specific values, rows-only check
+    // (reference: aggregate_function_approx_count_distinct.*, percentile_approx).
+    "agg_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("acd"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_stats" -> """
+      SELECT l_returnflag, round(stddev_samp(l_quantity),6) AS sd_samp,
+             round(stddev_pop(l_quantity),6) AS sd_pop,
+             round(var_samp(l_quantity),6) AS v_samp,
+             round(var_pop(l_quantity),6) AS v_pop, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_corr_covar" -> """
+      SELECT l_linestatus, round(corr(l_quantity, l_extendedprice),6) AS c,
+             round(covar_samp(l_quantity, l_extendedprice),4) AS cv_samp,
+             round(covar_pop(l_quantity, l_extendedprice),4) AS cv_pop
+      FROM lineitem WHERE l_orderkey % 7 = 0
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "agg_skew_kurt" -> """
+      WITH m AS (SELECT l_returnflag AS k, avg(l_quantity) AS mu
+                 FROM lineitem GROUP BY 1)
+      SELECT l_returnflag,
+             round(avg(pow(l_quantity - mu, 3)) / pow(avg(pow(l_quantity - mu, 2)), 1.5), 6) AS skew,
+             round(kurtosis_pop(l_quantity), 6) AS kurt
+      FROM lineitem JOIN m ON l_returnflag = k
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_regr" -> """
+      SELECT l_linestatus,
+             round(regr_slope(l_extendedprice, l_quantity),4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity),4) AS icept,
+             round(regr_r2(l_extendedprice, l_quantity),6) AS r2,
+             regr_count(l_extendedprice, l_quantity) AS n,
+             round(regr_avgx(l_extendedprice, l_quantity),6) AS ax,
+             round(regr_avgy(l_extendedprice, l_quantity),4) AS ay
+      FROM lineitem WHERE l_orderkey % 7 = 0
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "agg_grouping_sets" -> s"""
+      SELECT l_returnflag, l_linestatus,
+             grouping(l_returnflag) AS g_rf,
+             grouping_id(l_returnflag, l_linestatus) AS gid,
+             count(*) AS n, ${oMoneySum("l_extendedprice")} AS sum_price
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY gid, l_returnflag, l_linestatus""",
+
+    "agg_rollup" -> s"""
+      SELECT l_returnflag, l_linestatus, count(*) AS n,
+             ${oMoneySum("l_extendedprice")} AS sum_price
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+
+    "agg_cube" -> """
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+
+    "agg_multi_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+             count(DISTINCT l_suppkey) AS nd_supp,
+             sum(DISTINCT CAST(l_quantity AS INT)) AS sum_d_qty, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_collect" -> """
+      SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types,
+             count(p_partkey) AS n_parts
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    "agg_group_concat" -> """
+      SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+
+    "agg_percentile" -> """
+      SELECT l_returnflag,
+             quantile_cont(CAST(l_quantity AS INT), 0.5) AS p50,
+             quantile_cont(CAST(l_quantity AS INT), [0.25, 0.75]) AS pq,
+             median(CAST(l_quantity AS INT)) AS med
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "agg_min_max_by" -> """
+      SELECT o_orderpriority, min_by(o_orderkey, o_totalprice) AS cheapest,
+             max_by(o_orderkey, o_totalprice) AS dearest,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "agg_bool_bit" -> """
+      SELECT c_mktsegment, bool_and(c_acctbal > -1000) AS all_above,
+             bool_or(c_acctbal > 9900) AS any_rich,
+             bit_and(c_nationkey) AS b_and, bit_or(c_nationkey) AS b_or,
+             bit_xor(c_custkey) AS b_xor
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "agg_filtered_weighted" -> """
+      SELECT l_linestatus,
+             count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+             count_if(l_tax = 0) AS n_notax,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
+                  / SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS w_avg_price
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
+    // agg_approx: intentionally no oracle (engine-specific sketch values)
+  )
+}
