@@ -14,7 +14,9 @@ object SparkEntry {
       (graft.queries.TpchQueries.queries, graft.queries.TpchQueries.oracle),
       (graft.queries.OperatorQueries.queries, graft.queries.OperatorQueries.oracle),
       (graft.queries.AggQueries.queries, graft.queries.AggQueries.oracle),
-      (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracle)
+      (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracle),
+      (graft.queries.GeneratorQueries.queries, graft.queries.GeneratorQueries.oracle),
+      (graft.queries.ScalarQueries.queries, graft.queries.ScalarQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
