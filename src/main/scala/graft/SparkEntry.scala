@@ -16,7 +16,8 @@ object SparkEntry {
       (graft.queries.AggQueries.queries, graft.queries.AggQueries.oracle),
       (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracle),
       (graft.queries.GeneratorQueries.queries, graft.queries.GeneratorQueries.oracle),
-      (graft.queries.ScalarQueries.queries, graft.queries.ScalarQueries.oracle)
+      (graft.queries.ScalarQueries.queries, graft.queries.ScalarQueries.oracle),
+      (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Behavior-analytics aggregate family (SURVEY.md §2.5 "key
+  * differentiator set"; reference: be/src/exprs/aggregate/
+  * aggregate_function_{window_funnel,retention,sequence_match,topn}.*).
+  *
+  * Event inputs arrive as (ts_micros, cond-bitmask) pairs; state is the
+  * per-group event list (same O(events-per-group) state Doris keeps),
+  * mergeable across partitions, so the aggs shuffle like any hash agg.
+  */
+object BehaviorAggs {
+
+  case class Ev(ts: Long, mask: Int)
+  case class EvBuf(events: Seq[Ev])
+  case class ItemCnt(item: String, cnt: Long)
+
+  /** window_funnel(window, ts, c1..cn): longest chain c1→c2→…→ck with
+    * strictly increasing ts, all within `window` micros of the chain's
+    * first event. Greedy earliest-extension per start (optimal for
+    * subsequence-with-deadline). */
+  class WindowFunnelAgg(windowMicros: Long, nConds: Int)
+      extends Aggregator[Ev, EvBuf, Int] {
+    def zero: EvBuf = EvBuf(Nil)
+    def reduce(b: EvBuf, e: Ev): EvBuf =
+      if (e.mask == 0) b else EvBuf(e +: b.events)
+    def merge(a: EvBuf, b: EvBuf): EvBuf = EvBuf(a.events ++ b.events)
+    def finish(b: EvBuf): Int = {
+      val evs = b.events.sortBy(e => (e.ts, e.mask)).toArray
+      var best = 0
+      var i = 0
+      while (i < evs.length) {
+        if ((evs(i).mask & 1) != 0) {
+          var level = 1
+          var lastTs = evs(i).ts
+          val deadline = evs(i).ts + windowMicros
+          var j = i + 1
+          while (j < evs.length && level < nConds && evs(j).ts <= deadline) {
+            if (evs(j).ts > lastTs && (evs(j).mask & (1 << level)) != 0) {
+              level += 1; lastTs = evs(j).ts
+            }
+            j += 1
+          }
+          if (level > best) best = level
+          if (best == nConds) return best
+        }
+        i += 1
+      }
+      best
+    }
+    def bufferEncoder: Encoder[EvBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Int] = Encoders.scalaInt
+  }
+
+  /** retention(c1..cn): r(0)=seen(c1); r(i)=seen(c1)&&seen(c_{i+1}). */
+  class RetentionAgg(nConds: Int) extends Aggregator[Int, Int, Seq[Boolean]] {
+    def zero: Int = 0
+    def reduce(b: Int, mask: Int): Int = b | mask
+    def merge(a: Int, b: Int): Int = a | b
+    def finish(b: Int): Seq[Boolean] = {
+      val first = (b & 1) != 0
+      (0 until nConds).map(i => if (i == 0) first else first && ((b & (1 << i)) != 0))
+    }
+    def bufferEncoder: Encoder[Int] = Encoders.scalaInt
+    def outputEncoder: Encoder[Seq[Boolean]] = ExpressionEncoder()
+  }
+
+  /** sequence_match / sequence_count for chain patterns
+    * "(?1)(?2)…(?n)": subsequence with strictly increasing ts;
+    * count = non-overlapping greedy matches. */
+  class SequenceAgg(nConds: Int, returnCount: Boolean)
+      extends Aggregator[Ev, EvBuf, Long] {
+    def zero: EvBuf = EvBuf(Nil)
+    def reduce(b: EvBuf, e: Ev): EvBuf =
+      if (e.mask == 0) b else EvBuf(e +: b.events)
+    def merge(a: EvBuf, b: EvBuf): EvBuf = EvBuf(a.events ++ b.events)
+    def finish(b: EvBuf): Long = {
+      val evs = b.events.sortBy(e => (e.ts, e.mask)).toArray
+      var matches = 0L
+      var level = 0
+      var lastTs = Long.MinValue
+      var i = 0
+      while (i < evs.length) {
+        val e = evs(i)
+        if (e.ts > lastTs && (e.mask & (1 << level)) != 0) {
+          level += 1; lastTs = e.ts
+          if (level == nConds) {
+            matches += 1
+            if (!returnCount) return 1L
+            level = 0
+          }
+        }
+        i += 1
+      }
+      if (returnCount) matches else 0L
+    }
+    def bufferEncoder: Encoder[EvBuf] = ExpressionEncoder()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** topn(item, k): heavy hitters, space-saving style with a capped
+    * state (cap >> k bounds memory at any group cardinality; exact when
+    * distinct items per group <= cap). Deterministic ties: count desc,
+    * then item asc. */
+  class TopNAgg(k: Int, cap: Int) extends Aggregator[String, Map[String, Long], Seq[ItemCnt]] {
+    def zero: Map[String, Long] = Map.empty
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= cap) m
+      else m.toSeq.sortBy { case (it, c) => (-c, it) }.take(cap).toMap
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] =
+      if (v == null) b else trim(b.updated(v, b.getOrElse(v, 0L) + 1L))
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      trim(b.foldLeft(a) { case (m, (it, c)) => m.updated(it, m.getOrElse(it, 0L) + c) })
+    def finish(b: Map[String, Long]): Seq[ItemCnt] =
+      b.toSeq.sortBy { case (it, c) => (-c, it) }.take(k).map { case (it, c) => ItemCnt(it, c) }
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[ItemCnt]] = ExpressionEncoder()
+  }
+
+  /** product agg (reference: aggregate_function_product.*). */
+  class ProductAgg extends Aggregator[Double, Double, Double] {
+    def zero: Double = 1.0
+    def reduce(b: Double, v: Double): Double = b * v
+    def merge(a: Double, b: Double): Double = a * b
+    def finish(b: Double): Double = b
+    def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val evEnc: Encoder[Ev] = ExpressionEncoder()
+    // 3-cond variants bound to the common funnel shapes; windows in micros.
+    spark.udf.register("window_funnel_3d",
+      udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3), evEnc))
+    spark.udf.register("window_funnel_1h",
+      udaf(new WindowFunnelAgg(3600L * 1000000, 3), evEnc))
+    spark.udf.register("retention3", udaf(new RetentionAgg(3), Encoders.scalaInt))
+    spark.udf.register("sequence_match2", udaf(new SequenceAgg(2, false), evEnc))
+    spark.udf.register("sequence_count2", udaf(new SequenceAgg(2, true), evEnc))
+    spark.udf.register("topn5", udaf(new TopNAgg(5, 4096), Encoders.STRING))
+    spark.udf.register("product_agg", udaf(new ProductAgg, Encoders.scalaDouble))
+  }
+}

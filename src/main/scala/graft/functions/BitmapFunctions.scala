@@ -1,0 +1,112 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+/** Doris BITMAP type + function family re-expressed over Spark
+  * (reference: be/src/core/data_type/data_type_bitmap.h, scalar fns
+  * be/src/exprs/function/function_bitmap.cpp, aggregates
+  * be/src/exprs/aggregate/aggregate_function_bitmap*.cpp).
+  *
+  * Representation: portable Roaring64NavigableMap bytes in a BINARY
+  * column. Bitmaps are built distributedly (each partition unions its
+  * own ids; merge is bitmap-or), so bitmap_agg over 10^11 ids shards
+  * exactly like Doris's BITMAP_UNION agg-table columns.
+  */
+object Bitmaps {
+
+  def ser(bm: Roaring64NavigableMap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new ByteArrayOutputStream()
+    bm.serialize(new DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  def deser(b: Array[Byte]): Roaring64NavigableMap = {
+    val bm = new Roaring64NavigableMap()
+    if (b != null && b.nonEmpty)
+      bm.deserialize(new DataInputStream(new ByteArrayInputStream(b)))
+    bm
+  }
+
+  private def binop(a: Array[Byte], b: Array[Byte])(
+      f: (Roaring64NavigableMap, Roaring64NavigableMap) => Unit): Array[Byte] = {
+    val x = deser(a); f(x, deser(b)); ser(x)
+  }
+
+  /** bitmap_agg: longs -> bitmap (Doris BITMAP_UNION over to_bitmap). */
+  class BitmapAgg extends Aggregator[Long, Roaring64NavigableMap, Array[Byte]] {
+    def zero: Roaring64NavigableMap = new Roaring64NavigableMap()
+    def reduce(b: Roaring64NavigableMap, v: Long): Roaring64NavigableMap = { b.addLong(v); b }
+    def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = { a.or(b); a }
+    def finish(b: Roaring64NavigableMap): Array[Byte] = ser(b)
+    def bufferEncoder: Encoder[Roaring64NavigableMap] =
+      Encoders.javaSerialization[Roaring64NavigableMap]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** bitmap_union: merge pre-built bitmap partials. */
+  class BitmapUnionAgg extends Aggregator[Array[Byte], Roaring64NavigableMap, Array[Byte]] {
+    def zero: Roaring64NavigableMap = new Roaring64NavigableMap()
+    def reduce(b: Roaring64NavigableMap, v: Array[Byte]): Roaring64NavigableMap = { b.or(deser(v)); b }
+    def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = { a.or(b); a }
+    def finish(b: Roaring64NavigableMap): Array[Byte] = ser(b)
+    def bufferEncoder: Encoder[Roaring64NavigableMap] =
+      Encoders.javaSerialization[Roaring64NavigableMap]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** bitmap_intersect over bitmap partials (Doris BITMAP_INTERSECT). */
+  class BitmapIntersectAgg extends Aggregator[Array[Byte], Option[Roaring64NavigableMap], Array[Byte]] {
+    def zero: Option[Roaring64NavigableMap] = None
+    def reduce(b: Option[Roaring64NavigableMap], v: Array[Byte]): Option[Roaring64NavigableMap] =
+      b match { case None => Some(deser(v)); case Some(x) => x.and(deser(v)); Some(x) }
+    def merge(a: Option[Roaring64NavigableMap], b: Option[Roaring64NavigableMap]): Option[Roaring64NavigableMap] =
+      (a, b) match {
+        case (None, x) => x
+        case (x, None) => x
+        case (Some(x), Some(y)) => x.and(y); Some(x)
+      }
+    def finish(b: Option[Roaring64NavigableMap]): Array[Byte] =
+      ser(b.getOrElse(new Roaring64NavigableMap()))
+    def bufferEncoder: Encoder[Option[Roaring64NavigableMap]] =
+      Encoders.javaSerialization[Option[Roaring64NavigableMap]]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("bitmap_agg", udaf(new BitmapAgg, Encoders.scalaLong))
+    u.register("bitmap_union", udaf(new BitmapUnionAgg, Encoders.BINARY))
+    u.register("bitmap_intersect_agg", udaf(new BitmapIntersectAgg, Encoders.BINARY))
+    u.register("to_bitmap", (v: Long) => { val b = new Roaring64NavigableMap(); b.addLong(v); ser(b) })
+    u.register("bitmap_count", (b: Array[Byte]) => deser(b).getLongCardinality)
+    u.register("bitmap_contains", (b: Array[Byte], v: Long) => deser(b).contains(v))
+    u.register("bitmap_to_array", (b: Array[Byte]) => deser(b).toArray.sorted)
+    u.register("bitmap_min", (b: Array[Byte]) => { val x = deser(b); if (x.isEmpty) null else java.lang.Long.valueOf(x.first()) })
+    u.register("bitmap_max", (b: Array[Byte]) => { val x = deser(b); if (x.isEmpty) null else java.lang.Long.valueOf(x.last()) })
+    u.register("bitmap_and", (a: Array[Byte], b: Array[Byte]) => binop(a, b)(_ and _))
+    u.register("bitmap_or", (a: Array[Byte], b: Array[Byte]) => binop(a, b)(_ or _))
+    u.register("bitmap_xor", (a: Array[Byte], b: Array[Byte]) => binop(a, b)(_ xor _))
+    u.register("bitmap_andnot", (a: Array[Byte], b: Array[Byte]) => binop(a, b)(_ andNot _))
+    u.register("bitmap_and_count", (a: Array[Byte], b: Array[Byte]) => deser(binop(a, b)(_ and _)).getLongCardinality)
+    u.register("bitmap_or_count", (a: Array[Byte], b: Array[Byte]) => deser(binop(a, b)(_ or _)).getLongCardinality)
+    u.register("bitmap_has_any", (a: Array[Byte], b: Array[Byte]) => {
+      val x = deser(a); x.and(deser(b)); !x.isEmpty
+    })
+    u.register("bitmap_subset_limit", (b: Array[Byte], start: Long, limit: Long) => {
+      val out = new Roaring64NavigableMap()
+      val it = deser(b).iterator()
+      var taken = 0L
+      while (it.hasNext && taken < limit) {
+        val v = it.next()
+        if (v >= start) { out.addLong(v); taken += 1 }
+      }
+      ser(out)
+    })
+  }
+}

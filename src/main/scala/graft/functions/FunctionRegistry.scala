@@ -6,12 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Central registry of graft's custom functions (reference FE:
   * fe/fe-core/.../catalog/BuiltinScalarFunctions.java:601+ and
-  * BuiltinAggregateFunctions.java — re-expressed as native Catalyst
-  * expressions injected through SparkSessionExtensions).
+  * BuiltinAggregateFunctions.java — re-expressed as Catalyst
+  * extensions + session-registered UDAFs/SQL UDFs).
   */
 object FunctionRegistry {
 
-  /** name -> builder. Populated as function families land. */
+  /** Expression-backed functions injected via extensions. */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq.empty
 
   def registerExtensions(e: SparkSessionExtensions): Unit =
@@ -22,10 +22,15 @@ object FunctionRegistry {
         builder))
     }
 
-  /** Same registrations applied to a live session (tests / REPL). */
-  def registerAll(spark: SparkSession): Unit =
+  /** Session-scoped registrations (UDAFs + SQL UDFs need a live
+    * session). Idempotent. */
+  def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
         name, builder, "graft")
     }
+    Bitmaps.register(spark)
+    BehaviorAggs.register(spark)
+    VectorFunctions.register(spark)
+  }
 }
