@@ -17,7 +17,8 @@ object SparkEntry {
       (graft.queries.WindowQueries.queries, graft.queries.WindowQueries.oracle),
       (graft.queries.GeneratorQueries.queries, graft.queries.GeneratorQueries.oracle),
       (graft.queries.ScalarQueries.queries, graft.queries.ScalarQueries.oracle),
-      (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracle)
+      (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracle),
+      (graft.queries.MlQueries.queries, graft.queries.MlQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines (SURVEY.md §7.3
+  * step 8; north-star ops beyond the reference's own operator set).
+  *
+  * All stages are native-HOF expression pipelines — no UDFs — so they
+  * whole-stage-codegen and scale by partitioning:
+  *  - shingling/minhash is per-row (embarrassingly parallel);
+  *  - LSH banding shuffles once on (band, signature) — the classic
+  *    band-bucket join; candidate pairs then get an exact-jaccard
+  *    verify so the output is exact (LSH only prunes the pair space).
+  * At 100 TB: band-bucket sizes are bounded (64-bit signatures make
+  * hot buckets = true near-dup clusters), AQE handles residual skew.
+  */
+object Dedup {
+
+  /** distinct word n-gram shingles of a words array. */
+  def shingles(words: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(words, i + k)): _*))
+    when(size(words) >= n, array_distinct(grams))
+      .otherwise(array_distinct(array(concat_ws(" ", words))))
+  }
+
+  /** 64 minhash signatures: min over shingles of a seeded xxhash64. */
+  def minhash(sh: Column, nHashes: Int = 64): Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+
+  /** band signatures: nBands structs of (band, sig-of-r-minhashes). */
+  def bandSignatures(mh: Column, nBands: Int = 16, r: Int = 4): Column =
+    transform(sequence(lit(0), lit(nBands - 1)),
+      b => struct(b.as("band"),
+        xxhash64(slice(mh, b * r + 1, lit(r)).cast("string")).as("sig")))
+
+  /** Full MinHash-LSH near-dup pairs with exact-jaccard verification.
+    * Returns (id_a, id_b, jaccard) for pairs with jaccard >= threshold
+    * that collide in at least one band (P(miss) < 1e-7 at j >= 0.85
+    * with 16 bands x 4 rows). */
+  def minhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .withColumn("sh", shingles(col("ws"), n))
+    val banded = base
+      .select(col("id"), explode(bandSignatures(minhash(col("sh")))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val sets = base.select(col("id"), col("sh"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over the word multiset (expression-only; dynamic
+    * bit shifts require the SQL form of shiftleft/shiftright). */
+  def simhash(wordsCol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(aggregate($wordsCol, CAST(0 AS BIGINT), (a, w) ->
+                     a + IF((shiftright(xxhash64(w), CAST(i AS INT)) & 1) = 1, 1, -1)) > 0,
+                   shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT)))""")
+
+  /** SimHash near-dup pairs with hamming distance <= maxDist, using
+    * 4x16-bit band blocking (pigeonhole: dist <= 3 implies >= 1 equal
+    * band), then exact popcount verify. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 3): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .withColumn("sh", simhash("ws"))
+    val banded = hashed.select(col("id"), col("sh"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> struct(b AS band,
+               shiftrightunsigned(sh, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS key))""")).as("b"))
+      .select(col("id"), col("sh"), col("b.band"), col("b.key"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, MultimodalOps, TextOps, VectorSearch}
+import Q._
+
+/** Training-data-pipeline operator battery: dedup (exact / minhash-LSH
+  * / simhash), similarity search, text analysis, multimodal plumbing.
+  * Oracles are exact where the operator is exact (LSH pipelines verify
+  * candidates with exact jaccard/cosine, so their OUTPUT is exact on
+  * data whose duplicate clusters sit far above the threshold — this
+  * fixture's planted dups are j >= 0.85 vs threshold 0.5).
+  */
+object MlQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ml_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("text")).as("n_uniq"),
+          countDistinct(md5(col("text"))).as("n_uniq_h"))
+        .orderBy(col("lang"))
+    }),
+
+    "ml_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // simhash: no cross-engine oracle (seeded xxhash64); rows-only.
+    "ml_dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "ml_ngram_jaccard" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 2).as("sh"))
+      val a = base.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+      val b = base.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      a.crossJoin(b).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter), 6).as("j"))
+        .filter(col("j") >= 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "ml_embed_neardup" -> ((s, dir) => {
+      VectorSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "ml_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.topK(emb, emb.filter(col("vec_id") < 5), 10)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    // approximate ANN via hyperplane LSH — rows-only (bucket hashes are
+    // engine-seeded); recall is asserted in ScalaTest instead.
+    "ml_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), 64, 10)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
+    "ml_text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextOps.wsTokenCount(col("text")).as("n_ws"),
+          TextOps.subwordCount(col("text")).as("n_sub"),
+          TextOps.qualityScore(col("text")).as("q"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ml_lang_id" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("pred"))
+        .groupBy(col("lang"), col("pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred"))
+    }),
+
+    "ml_multimodal_meta" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("blob", MultimodalOps.makeBlob(lit("IMG0"), col("text")))
+        .withColumn("meta", MultimodalOps.decodeMeta(col("blob")))
+        .select(col("doc_id"),
+          col("meta.format").as("fmt"), col("meta.width").as("w"),
+          col("meta.height").as("h"), col("meta.n_bytes").as("nb"),
+          MultimodalOps.frameOffsets(col("blob"), 4).as("offs"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val shingleSql =
+    """list_distinct(CASE WHEN len(ws) >= 3
+         THEN list_transform(generate_series(1, len(ws) - 2),
+                i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+         ELSE [array_to_string(ws, ' ')] END)"""
+
+  def oracle: Map[String, String] = Map(
+    "ml_dedup_exact" -> """
+      SELECT lang, count(*) AS n, count(DISTINCT text) AS n_uniq,
+             count(DISTINCT md5(text)) AS n_uniq_h
+      FROM documents GROUP BY lang ORDER BY lang""",
+
+    "ml_dedup_minhash" -> s"""
+      WITH s AS (SELECT doc_id, $shingleSql AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) w)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+      ORDER BY id_a, id_b""",
+
+    "ml_ngram_jaccard" -> """
+      WITH s AS (SELECT doc_id,
+                   list_distinct(CASE WHEN len(ws) >= 2
+                     THEN list_transform(generate_series(1, len(ws) - 1),
+                            i -> concat(ws[i], ' ', ws[i+1]))
+                     ELSE [array_to_string(ws, ' ')] END) AS sh
+                 FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE doc_id < 60) w)
+      SELECT id_a, id_b, j FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                     (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS j
+        FROM s a JOIN s b ON a.doc_id < b.doc_id) x
+      WHERE j >= 0.2 ORDER BY id_a, id_b""",
+
+    "ml_embed_neardup" -> """
+      SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) x
+      WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+
+    "ml_ann_topk" -> """
+      SELECT q_id, rn, vec_id, sim FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+               round(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS sim,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 round(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) DESC,
+                 c.vec_id) AS rn
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5) x
+      WHERE rn <= 10 ORDER BY q_id, rn""",
+
+    "ml_text_stats" -> """
+      SELECT doc_id, len(string_split(text, ' ')) AS n_ws,
+        len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]')) AS n_sub,
+        round(least(1.0, len(string_split(text, ' ')) / 50.0) * 0.4
+          + (len(list_distinct(string_split(text, ' ')))::DOUBLE / len(string_split(text, ' '))) * 0.3
+          + least(1.0, (list_sum(list_transform(string_split(text, ' '), w -> length(w)))::DOUBLE
+                        / len(string_split(text, ' '))) / 8.0) * 0.3, 6) AS q,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' '),
+            w -> CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT))),
+          (acc, h) -> (acc * 1000003 + h) % 1000000000000) AS fp
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "ml_lang_id" -> """
+      WITH p AS (
+        SELECT lang,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0 THEN 'en'
+               WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+               WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+               WHEN s_es > 0 THEN 'es'
+               ELSE 'und' END AS pred
+        FROM (
+          SELECT lang, text,
+            len(list_filter(string_split(lower(text), ' '),
+              w -> list_contains(['the','a','of','and','to','in','is'], w))) AS s_en,
+            len(list_filter(string_split(lower(text), ' '),
+              w -> list_contains(['der','die','das','und','ist','ein'], w))) AS s_de,
+            len(list_filter(string_split(lower(text), ' '),
+              w -> list_contains(['le','la','les','et','est','un'], w))) AS s_fr,
+            len(list_filter(string_split(lower(text), ' '),
+              w -> list_contains(['el','los','las','y','es','una'], w))) AS s_es
+          FROM documents) x)
+      SELECT lang, pred, count(*) AS n FROM p
+      GROUP BY lang, pred ORDER BY lang, pred""",
+
+    "ml_multimodal_meta" -> """
+      SELECT doc_id, 'IMG0' AS fmt,
+        CAST((octet_length(CAST(concat('IMG0', text) AS BLOB)) * 7) % 1920 + 1 AS INT) AS w,
+        CAST((octet_length(CAST(concat('IMG0', text) AS BLOB)) * 13) % 1080 + 1 AS INT) AS h,
+        octet_length(CAST(concat('IMG0', text) AS BLOB)) AS nb,
+        list_transform(generate_series(0, 3),
+          i -> i * (octet_length(CAST(concat('IMG0', text) AS BLOB)) // 4)) AS offs
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
+    // ml_dedup_simhash, ml_ann_lsh: rows-only (engine-seeded hashes)
+  )
+}
