@@ -23,7 +23,9 @@ object Tables {
     // TIMESTAMP)) see identical values.
     df.schema.fields.foldLeft(df) {
       case (d, f) if name == "events" && f.name == "ts" && f.dataType == LongType =>
-        d.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+        // integer div — a double division would round in the 53-bit
+        // mantissa at ~1.7e18 ns and shift timestamps by ±1 us.
+        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case (d, _) => d
     }
   }
