@@ -19,7 +19,8 @@ object SparkEntry {
       (graft.queries.ScalarQueries.queries, graft.queries.ScalarQueries.oracle),
       (graft.queries.FunctionQueries.queries, graft.queries.FunctionQueries.oracle),
       (graft.queries.MlQueries.queries, graft.queries.MlQueries.oracle),
-      (graft.queries.ModelQueries.queries, graft.queries.ModelQueries.oracle)
+      (graft.queries.ModelQueries.queries, graft.queries.ModelQueries.oracle),
+      (graft.streaming.StreamQueries.queries, graft.streaming.StreamQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

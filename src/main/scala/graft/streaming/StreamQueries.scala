@@ -1,0 +1,171 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured-Streaming battery (SURVEY.md §2.11; reference:
+  * fe/fe-core/.../job/extensions/insert/streaming/StreamingInsertJob.java:112
+  * offset-driven micro-batch loop; table streams
+  * catalog/stream/OlapTableStream.java).
+  *
+  * Each query runs a real streaming pipeline (file source ->
+  * transforms -> sink) to completion under Trigger.AvailableNow, then
+  * returns the materialized result so the DuckDB batch oracle can
+  * check it — the same "stream == batch over same data" law the
+  * reference's table-stream tests assert. Event-time windowing
+  * (tumbling/sliding/session) is a capability superset: the reference
+  * has no event-time window operators (SURVEY.md §2.11).
+  */
+object StreamQueries {
+
+  /** raw file-source stream of events (ts arrives as nanos-long per
+    * the session's nanosAsLong; converted exactly like Tables.load). */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    // the file source requires a directory — stage a symlink dir.
+    val src = Paths.get(dir, "events.parquet").toAbsolutePath
+    val stage = Paths.get("target", "stream",
+      "src_" + src.toString.replaceAll("[^a-zA-Z0-9]", "_"))
+    Files.createDirectories(stage)
+    val link = stage.resolve("events.parquet")
+    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    val path = stage.toString
+    val raw = s.read.parquet(path).schema
+    s.readStream.schema(raw).parquet(path)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def fresh(name: String): (String, String) = {
+    val ckpt = s"target/stream/ckpt_$name"
+    val out = s"target/stream/out_$name"
+    Seq(ckpt, out).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      }
+    }
+    (ckpt, out)
+  }
+
+  /** run to completion into an in-memory sink, return its contents. */
+  private def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val (ckpt, _) = fresh(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling event-time window aggregation.
+    "stream_tumbling" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      runToMemory(agg, "stream_tumbling", OutputMode.Complete())
+        .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sv"))
+        .orderBy(col("ws"), col("event_type"))
+    }),
+
+    // sliding window (2h length, 1h slide).
+    "stream_sliding" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "stream_sliding", OutputMode.Complete())
+        .select(col("window.start").as("ws"), col("n"))
+        .orderBy(col("ws"))
+    }),
+
+    // session windows: 30-minute inactivity gap per user.
+    "stream_session" -> ((s, dir) => {
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "365 days")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "stream_session", OutputMode.Complete())
+        .select(col("user_id"), col("session_window.start").as("ss"),
+          col("session_window.end").as("se"), col("n"))
+        .orderBy(col("user_id"), col("ss"))
+    }),
+
+    // streaming insert job: offset-checkpointed foreachBatch ingestion
+    // into a parquet table (the StreamingInsertJob.java:272 loop).
+    "stream_insert_job" -> ((s, dir) => {
+      val (ckpt, out) = fresh("insert_job")
+      val q = eventsStream(s, dir).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.withColumn("batch_id", lit(id))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"))
+        .orderBy(col("event_type"))
+    }),
+
+    // arbitrary stateful processing: per-user running aggregate via
+    // mapGroupsWithState (KeyValueGroupedDataset custom state).
+    "stream_stateful" -> ((s, dir) => {
+      import s.implicits._
+      val typed = eventsStream(s, dir)
+        .select(col("user_id").as("u"), col("value").as("v"))
+        .as[(Long, Double)]
+      val counted = typed.groupByKey(_._1)
+        .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          GroupStateTimeout.NoTimeout()) {
+          case (u, rows, state: GroupState[(Long, Double)]) =>
+            val (n0, mx0) = state.getOption.getOrElse((0L, Double.MinValue))
+            var n = n0; var mx = mx0
+            rows.foreach { r => n += 1; if (r._2 > mx) mx = r._2 }
+            state.update((n, mx))
+            (u, n, mx)
+        }.toDF("user_id", "n", "max_v")
+      runToMemory(counted, "stream_stateful", OutputMode.Update())
+        .orderBy(col("user_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" -> """
+      SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+             round(sum(value), 4) AS sv
+      FROM events GROUP BY ws, event_type ORDER BY ws, event_type""",
+
+    "stream_sliding" -> """
+      SELECT ws, count(*) AS n FROM (
+        SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                       date_trunc('hour', ts)]) AS ws
+        FROM events) x
+      GROUP BY ws ORDER BY ws""",
+
+    "stream_session" -> """
+      WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sid AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM g)
+      SELECT user_id, min(ts) AS ss, max(ts) + INTERVAL 30 MINUTE AS se,
+             count(*) AS n
+      FROM sid GROUP BY user_id, sid ORDER BY user_id, ss""",
+
+    "stream_insert_job" -> """
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_stateful" -> """
+      SELECT user_id, count(*) AS n, max(value) AS max_v
+      FROM events GROUP BY user_id ORDER BY user_id"""
+  )
+}
