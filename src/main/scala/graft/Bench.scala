@@ -31,8 +31,11 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
-    val results = names.map { n => timeOnce(n); n -> timeOnce(n) }
+    // reference methodology: N runs, best reported
+    // (tools/tpch-tools/bin/run-tpch-queries.sh runs 3x)
+    val results = names.map { n => n -> (0 until iters).map(_ => timeOnce(n)).min }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

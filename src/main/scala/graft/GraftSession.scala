@@ -13,8 +13,16 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   */
 object GraftSession {
 
-  /** Apply engine config to an arbitrary builder (used by Verify/Bench). */
-  def configure(b: SparkSession.Builder): SparkSession.Builder = b
+  /** Apply engine config to an arbitrary builder (used by Verify/Bench).
+    * SPARK_GRAFT_CONF can append/override settings, e.g.
+    * "spark.sql.shuffle.partitions=8;spark.x=y" (experiment hook). */
+  def configure(b0: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2)).collect {
+        case Array(k, v) => (k.trim, v.trim)
+      }.foldLeft(base(b0)) { case (bb, (k, v)) => bb.config(k, v) }
+
+  private def base(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
