@@ -62,5 +62,7 @@ object GraftSession {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     graft.functions.FunctionRegistry.registerExtensions(e)
+    // transparent MV rewrite (reference: nereids/rules/exploration/mv/)
+    e.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
   }
 }

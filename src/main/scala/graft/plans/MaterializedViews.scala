@@ -1,0 +1,212 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, sum}
+
+/** Materialized views with transparent rewrite (reference: Doris sync
+  * rollup + async MTMV; rewrite rules under
+  * fe/fe-core/.../nereids/rules/exploration/mv/
+  * MaterializedViewAggregateRule.java etc., refresh
+  * mtmv/MTMVPartitionUtil.java — re-expressed as one conservative
+  * Catalyst optimizer rule, SURVEY.md §4.4.3).
+  *
+  * An MV is a parquet materialization of
+  *   SELECT groupCols, sum/min/max(aggCols), count(*) FROM base GROUP BY groupCols
+  * The rewrite matches Aggregate [over optional Filter] over the base
+  * table's file scan and redirects to the MV scan when:
+  *   - query group keys are a subset of MV group keys,
+  *   - every aggregate is derivable from MV columns
+  *     (SUM->SUM partials, COUNT->SUM of counts, MIN/MAX->MIN/MAX,
+  *      AVG -> SUM(sums)/SUM(counts)),
+  *   - any filter references only MV group keys (kept above the MV scan).
+  * Output attribute ids are preserved via aliases, so parents are
+  * untouched — the standard contract of a plan-substitution rule.
+  */
+object MaterializedViews {
+
+  case class MvDef(name: String, basePath: String, groupCols: Seq[String],
+                   sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
+                   mvPath: String)
+
+  /** base-path -> registered MVs (global so injected rules see it). */
+  private val registry = new TrieMap[String, Vector[MvDef]]()
+
+  def sumAlias(c: String) = s"__sum_$c"
+  def minAlias(c: String) = s"__min_$c"
+  def maxAlias(c: String) = s"__max_$c"
+  val cntAlias = "__cnt"
+
+  /** Materialize + register an MV over a base parquet table. */
+  def create(spark: SparkSession, name: String, baseDir: String, table: String,
+             groupCols: Seq[String], sumCols: Seq[String] = Nil,
+             minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+             mvRoot: String = "target/mv"): MvDef = {
+    val basePath = normalize(s"$baseDir/$table.parquet")
+    val mvPath = s"$mvRoot/$name"
+    val base = spark.read.parquet(basePath)
+    val aggs = sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++
+      minCols.map(c => min(col(c)).as(minAlias(c))) ++
+      maxCols.map(c => max(col(c)).as(maxAlias(c))) :+
+      count(lit(1)).as(cntAlias)
+    base.groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val d = MvDef(name, basePath, groupCols, sumCols, minCols, maxCols, mvPath)
+    registry.updateWith(basePath) {
+      case Some(v) => Some(v.filterNot(_.name == name) :+ d)
+      case None => Some(Vector(d))
+    }
+    d
+  }
+
+  /** full refresh (the MTMV refresh job, non-partition-incremental). */
+  def refresh(spark: SparkSession, name: String): Unit =
+    registry.values.flatten.find(_.name == name).foreach { d =>
+      val table = d.basePath.split('/').last.stripSuffix(".parquet")
+      create(spark, d.name, d.basePath.stripSuffix(s"/$table.parquet"), table,
+        d.groupCols, d.sumCols, d.minCols, d.maxCols,
+        d.mvPath.stripSuffix(s"/${d.name}"))
+    }
+
+  def drop(name: String): Unit =
+    registry.keys.foreach(k => registry.updateWith(k)(_.map(_.filterNot(_.name == name))))
+
+  def forPath(p: String): Seq[MvDef] = registry.getOrElse(normalize(p), Vector.empty)
+
+  private def normalize(p: String): String =
+    new java.io.File(p).getAbsolutePath
+
+  /** root path of a parquet LogicalRelation, if it is one. */
+  def relationPath(plan: LogicalPlan): Option[String] = plan match {
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location.rootPaths.headOption.map(p => normalize(p.toUri.getPath))
+    case _ => None
+  }
+}
+
+/** The transparent-rewrite optimizer rule (injected via
+  * SparkSessionExtensions.injectOptimizerRule). */
+class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  import MaterializedViews._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+      tryRewrite(agg, groupExprs, aggExprs, child).getOrElse(agg)
+  }
+
+  private def tryRewrite(agg: Aggregate, groupExprs: Seq[Expression],
+                         aggExprs: Seq[NamedExpression],
+                         child: LogicalPlan): Option[LogicalPlan] = {
+    // strip SubqueryAlias / trivial-Project / Filter layers down to the
+    // relation, collecting filter conditions (plan shape varies by
+    // optimizer phase: Project(Filter(Rel)), Filter(Project(Rel)), …)
+    @annotation.tailrec
+    def unwrap(p: LogicalPlan, conds: Seq[Expression]): (Seq[Expression], LogicalPlan) =
+      p match {
+        case SubqueryAlias(_, c) => unwrap(c, conds)
+        case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          unwrap(c, conds)
+        case Filter(cond, c) => unwrap(c, conds :+ cond)
+        case other => (conds, other)
+      }
+    val (conds, rel) = unwrap(child, Nil)
+    val filterOpt = conds.reduceOption(And)
+    for {
+      path <- relationPath(rel)
+      mv <- forPath(path).find(m => matches(m, groupExprs, aggExprs, filterOpt))
+    } yield rewrite(mv, agg, groupExprs, aggExprs, filterOpt)
+  }
+
+  private def colName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case _ => None
+  }
+
+  private def matches(mv: MvDef, groupExprs: Seq[Expression],
+                      aggExprs: Seq[NamedExpression], filterOpt: Option[Expression]): Boolean = {
+    val groupOk = groupExprs.forall(g => colName(g).exists(mv.groupCols.contains))
+    val filterOk = filterOpt.forall(_.references.forall(r => mv.groupCols.contains(r.name)))
+    // every aggregate leaf must be derivable, and every column referenced
+    // OUTSIDE an aggregate must be a group key of the MV.
+    val aggsOk = aggExprs.forall { ne =>
+      val aggs = ne.collect { case ae: AggregateExpression => ae }
+      val outside = ne.transform { case _: AggregateExpression => Literal(0L) }
+      aggs.forall(derivable(mv, _)) &&
+        outside.references.forall(r => mv.groupCols.contains(r.name))
+    }
+    groupOk && filterOk && aggsOk
+  }
+
+  private def derivable(mv: MvDef, ae: AggregateExpression): Boolean =
+    !ae.isDistinct && (ae.aggregateFunction match {
+      case Sum(e, _) => colName(e).exists(mv.sumCols.contains)
+      case Min(e) => colName(e).exists(mv.minCols.contains)
+      case Max(e) => colName(e).exists(mv.maxCols.contains)
+      case Count(Seq(Literal(_, _))) => true
+      case Average(e, _) =>
+        colName(e).exists(c => mv.sumCols.contains(c))
+      case _ => false
+    })
+
+  private def rewrite(mv: MvDef, agg: Aggregate, groupExprs: Seq[Expression],
+                      aggExprs: Seq[NamedExpression],
+                      filterOpt: Option[Expression]): LogicalPlan = {
+    val mvPlan = spark.read.parquet(mv.mvPath).queryExecution.analyzed
+    val byName = mvPlan.output.map(a => a.name -> a).toMap
+
+    def mvCol(n: String): Attribute = byName(n)
+
+    // derive one AggregateExpression from the MV partials
+    def derive(ae: AggregateExpression): Expression = ae.aggregateFunction match {
+      case Sum(e, _) =>
+        val s = ae.copy(aggregateFunction = Sum(mvCol(sumAlias(colName(e).get))))
+        // preserve the original result type (sum-of-sums widens decimals)
+        if (s.dataType == ae.dataType) s else Cast(s, ae.dataType)
+      case Min(e) => ae.copy(aggregateFunction = Min(mvCol(minAlias(colName(e).get))))
+      case Max(e) => ae.copy(aggregateFunction = Max(mvCol(maxAlias(colName(e).get))))
+      case Count(Seq(Literal(_, _))) =>
+        ae.copy(aggregateFunction = Sum(mvCol(cntAlias)))
+      case Average(e, _) =>
+        val c = colName(e).get
+        val sums = ae.copy(aggregateFunction = Sum(mvCol(sumAlias(c))))
+        val cnts = ae.copy(aggregateFunction = Sum(mvCol(cntAlias)),
+          resultId = NamedExpression.newExprId)
+        Cast(Divide(Cast(sums, org.apache.spark.sql.types.DoubleType),
+          Cast(cnts, org.apache.spark.sql.types.DoubleType)), ae.dataType)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    // rewrite an arbitrary expression tree over aggs + group cols —
+    // manual recursion so we never descend into a replacement (the
+    // derived Sum is itself an AggregateExpression).
+    def rewriteExpr(e: Expression): Expression = e match {
+      case ae: AggregateExpression => derive(ae)
+      case a: AttributeReference => mvCol(a.name)
+      case other => other.mapChildren(rewriteExpr)
+    }
+    // re-aggregation over the MV partials, preserving output exprIds
+    val newAggExprs: Seq[NamedExpression] = aggExprs.map {
+      case a: AttributeReference =>
+        Alias(mvCol(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(child, name) =>
+        Alias(rewriteExpr(child), name)(exprId = al.exprId)
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
+    val newGroup = groupExprs.map(g => mvCol(colName(g).get))
+    val newChild = filterOpt match {
+      case Some(cond) =>
+        val rewritten = cond.transform {
+          case a: AttributeReference => mvCol(a.name)
+        }
+        Filter(rewritten, mvPlan)
+      case None => mvPlan
+    }
+    Aggregate(newGroup, newAggExprs, newChild)
+  }
+}
