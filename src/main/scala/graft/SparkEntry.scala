@@ -21,7 +21,8 @@ object SparkEntry {
       (graft.queries.MlQueries.queries, graft.queries.MlQueries.oracle),
       (graft.queries.ModelQueries.queries, graft.queries.ModelQueries.oracle),
       (graft.streaming.StreamQueries.queries, graft.streaming.StreamQueries.oracle),
-      (graft.queries.MvQueries.queries, graft.queries.MvQueries.oracle)
+      (graft.queries.MvQueries.queries, graft.queries.MvQueries.oracle),
+      (graft.queries.MiscQueries.queries, graft.queries.MiscQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -32,5 +32,7 @@ object FunctionRegistry {
     Bitmaps.register(spark)
     BehaviorAggs.register(spark)
     VectorFunctions.register(spark)
+    MiscFunctions.register(spark)
+    AiFunctions.register(spark)
   }
 }

