@@ -22,7 +22,8 @@ object SparkEntry {
       (graft.queries.ModelQueries.queries, graft.queries.ModelQueries.oracle),
       (graft.streaming.StreamQueries.queries, graft.streaming.StreamQueries.oracle),
       (graft.queries.MvQueries.queries, graft.queries.MvQueries.oracle),
-      (graft.queries.MiscQueries.queries, graft.queries.MiscQueries.oracle)
+      (graft.queries.MiscQueries.queries, graft.queries.MiscQueries.oracle),
+      (graft.queries.StateQueries.queries, graft.queries.StateQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

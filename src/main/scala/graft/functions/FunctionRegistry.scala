@@ -34,5 +34,6 @@ object FunctionRegistry {
     VectorFunctions.register(spark)
     MiscFunctions.register(spark)
     AiFunctions.register(spark)
+    MoreAggs.register(spark)
   }
 }

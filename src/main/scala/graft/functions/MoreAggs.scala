@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Histogram / EMA / count_by_enum aggregates + HLL aliases
+  * (reference: be/src/exprs/aggregate/aggregate_function_
+  * {linear_histogram,ema,count_by_enum}.*, hll_union_agg.*).
+  */
+object MoreAggs {
+
+  case class HistBucket(lower: Double, upper: Double, cnt: Long)
+  case class TsVal(ts: Long, v: Double)
+
+  /** linear_histogram(value, width): equal-width buckets
+    * [k*width, (k+1)*width); mergeable map state. */
+  class LinearHistogramAgg(width: Double)
+      extends Aggregator[Double, Map[Long, Long], Seq[HistBucket]] {
+    def zero: Map[Long, Long] = Map.empty
+    def reduce(b: Map[Long, Long], v: Double): Map[Long, Long] = {
+      val k = math.floor(v / width).toLong
+      b.updated(k, b.getOrElse(k, 0L) + 1)
+    }
+    def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+    def finish(b: Map[Long, Long]): Seq[HistBucket] =
+      b.toSeq.sortBy(_._1).map { case (k, c) => HistBucket(k * width, (k + 1) * width, c) }
+    def bufferEncoder: Encoder[Map[Long, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[HistBucket]] = ExpressionEncoder()
+  }
+
+  /** ema(ts, value) with fixed smoothing alpha: time-ordered fold
+    * v_i = alpha*x_i + (1-alpha)*v_{i-1}, seeded with the first value
+    * (the reference's ema over an ordered window). */
+  class EmaAgg(alpha: Double) extends Aggregator[TsVal, Seq[TsVal], Double] {
+    def zero: Seq[TsVal] = Nil
+    def reduce(b: Seq[TsVal], v: TsVal): Seq[TsVal] = v +: b
+    def merge(a: Seq[TsVal], b: Seq[TsVal]): Seq[TsVal] = a ++ b
+    def finish(b: Seq[TsVal]): Double = {
+      val sorted = b.sortBy(_.ts).map(_.v)
+      if (sorted.isEmpty) Double.NaN
+      else sorted.tail.foldLeft(sorted.head)((acc, x) => alpha * x + (1 - alpha) * acc)
+    }
+    def bufferEncoder: Encoder[Seq[TsVal]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  /** count_by_enum: per-group value histogram, key-sorted. */
+  class CountByEnumAgg extends Aggregator[String, Map[String, Long], Seq[BehaviorAggs.ItemCnt]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], v: String): Map[String, Long] = {
+      val k = if (v == null) "__null__" else v
+      b.updated(k, b.getOrElse(k, 0L) + 1)
+    }
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k, c)) => m.updated(k, m.getOrElse(k, 0L) + c) }
+    def finish(b: Map[String, Long]): Seq[BehaviorAggs.ItemCnt] =
+      b.toSeq.sortBy(_._1).map { case (k, c) => BehaviorAggs.ItemCnt(k, c) }
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[BehaviorAggs.ItemCnt]] = ExpressionEncoder()
+  }
+
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("linear_histogram_100",
+      udaf(new LinearHistogramAgg(100.0), Encoders.scalaDouble))
+    spark.udf.register("ema3", udaf(new EmaAgg(0.3), ExpressionEncoder[TsVal]()))
+    spark.udf.register("count_by_enum", udaf(new CountByEnumAgg, Encoders.STRING))
+    // Doris-named HLL surface over Spark's datasketches built-ins
+    try {
+      spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality(s BINARY)
+                   RETURNS BIGINT RETURN hll_sketch_estimate(s)""")
+    } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => () }
+  }
+}
