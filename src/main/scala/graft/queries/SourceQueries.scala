@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Source/sink battery (SURVEY.md §2.1/§2.2; reference:
+  * FileScanOperatorX file_scan_operator.h:98 with parquet/orc/csv/json
+  * readers under be/src/format/; ResultFileSinkOperatorX
+  * result_file_sink_operator.h:52 = INTO OUTFILE;
+  * DataGenSourceOperatorX datagen_operator.h:51 = numbers() TVF;
+  * SchemaScanOperatorX schema_scan_operator.h:57 = information_schema).
+  *
+  * Each format query round-trips a fixture through target/ in that
+  * format and aggregates the re-read — the oracle aggregates the
+  * original parquet, so a failed write OR read desyncs the hash.
+  */
+object SourceQueries {
+
+  private def roundTrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    val out = s"target/sources/nation_$fmt"
+    val n = t(s, dir, "nation")
+    val w = n.write.mode("overwrite").format(fmt)
+    (if (fmt == "csv") w.option("header", "true") else w).save(out)
+    val r = s.read.format(fmt)
+    (fmt match {
+      case "csv" => r.option("header", "true").schema(n.schema)
+      case "json" => r.schema(n.schema)
+      case _ => r
+    }).load(out)
+  }
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("sk"),
+        min(col("n_name")).as("mn"))
+      .orderBy(col("n_regionkey"))
+
+  private val oracleAgg = """
+      SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS sk,
+             min(n_name) AS mn
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "csv"))),
+    "src_json_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "json"))),
+    "src_orc_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "orc"))),
+
+    // INTO OUTFILE: write a query result, read it back.
+    "src_outfile" -> ((s, dir) => {
+      val out = "target/sources/outfile_topcust"
+      t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // numbers() TVF -> spark.range (datagen source).
+    "src_numbers" -> ((s, dir) => {
+      s.range(1, 10001)
+        .select((col("id") % 7).as("bucket"), col("id"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+        .orderBy(col("bucket"))
+    }),
+
+    // information_schema scan -> spark.catalog (fixture views).
+    "src_schema_scan" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      import s.implicits._
+      s.catalog.listTables().select(col("name"))
+        .filter(col("name").isin(graft.Tables.names: _*))
+        .orderBy(col("name"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "src_csv_roundtrip" -> oracleAgg,
+    "src_json_roundtrip" -> oracleAgg,
+    "src_orc_roundtrip" -> oracleAgg,
+    "src_outfile" -> """
+      SELECT c_nationkey, count(*) AS n FROM customer
+      WHERE c_acctbal > 9000 GROUP BY c_nationkey ORDER BY c_nationkey""",
+    "src_numbers" -> """
+      SELECT id % 7 AS bucket, count(*) AS n, sum(id) AS s
+      FROM (SELECT unnest(generate_series(1, 10000)) AS id) t
+      GROUP BY bucket ORDER BY bucket""",
+    "src_schema_scan" -> """
+      SELECT name FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
+        ('part'),('orders'),('lineitem'),('events'),('documents'),('embeddings')) v(name)
+      ORDER BY name"""
+  )
+}
