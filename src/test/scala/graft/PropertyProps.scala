@@ -1,0 +1,125 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import graft.functions.{BehaviorAggs, Bitmaps}
+import graft.functions.BehaviorAggs.{Ev, EvBuf}
+
+/** Algebraic-law property tests for the custom aggregate state
+  * machinery (SURVEY.md §5: "ScalaCheck property tests for custom
+  * expressions — an improvement over the reference"). These exercise
+  * the Aggregator classes as pure functions: zero/reduce/merge/finish
+  * must be partition-invariant or distributed results are wrong.
+  */
+object BitmapProps extends Properties("Bitmaps") {
+  private val ids = Gen.listOf(Gen.chooseNum(0L, 10000L))
+
+  private def bm(xs: Seq[Long]) = {
+    val b = new org.roaringbitmap.longlong.Roaring64NavigableMap()
+    xs.foreach(b.addLong); Bitmaps.ser(b)
+  }
+
+  property("serde roundtrip") = forAll(ids) { xs =>
+    Bitmaps.deser(bm(xs)).toArray.toSeq.sorted == xs.distinct.sorted
+  }
+
+  property("or = set union") = forAll(ids, ids) { (a, b) =>
+    val x = Bitmaps.deser(bm(a)); x.or(Bitmaps.deser(bm(b)))
+    x.toArray.toSeq.sorted == (a ++ b).distinct.sorted
+  }
+
+  property("and = set intersect") = forAll(ids, ids) { (a, b) =>
+    val x = Bitmaps.deser(bm(a)); x.and(Bitmaps.deser(bm(b)))
+    x.toArray.toSeq.sorted == a.distinct.filter(b.contains).sorted
+  }
+
+  property("andNot = set difference") = forAll(ids, ids) { (a, b) =>
+    val x = Bitmaps.deser(bm(a)); x.andNot(Bitmaps.deser(bm(b)))
+    x.toArray.toSeq.sorted == a.distinct.filterNot(b.contains).sorted
+  }
+}
+
+object FunnelProps extends Properties("WindowFunnel") {
+  private val agg = new BehaviorAggs.WindowFunnelAgg(100L, 3)
+  private val ev = for {
+    ts <- Gen.chooseNum(0L, 300L)
+    mask <- Gen.chooseNum(0, 7)
+  } yield Ev(ts, mask)
+  private val evs = Gen.listOf(ev)
+  private val evsSmall = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, ev))
+
+  private def runPartitioned(events: Seq[Ev], parts: Int): Int = {
+    val buckets = events.zipWithIndex.groupBy(_._2 % parts)
+      .values.map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+    agg.finish(buckets.foldLeft(agg.zero)(agg.merge))
+  }
+
+  /** brute-force reference: max k with an EXISTS chain. */
+  private def reference(events: Seq[Ev]): Int = {
+    val sorted = events.filter(_.mask != 0).sortBy(e => (e.ts, e.mask))
+    def chains(level: Int, lastTs: Long, deadline: Long, rest: List[Ev]): Int =
+      rest match {
+        case Nil => level
+        case _ if level == 3 => 3
+        case e :: tail =>
+          val take = if (e.ts > lastTs && e.ts <= deadline &&
+            (e.mask & (1 << level)) != 0) chains(level + 1, e.ts, deadline, tail) else 0
+          math.max(take, chains(level, lastTs, deadline, tail))
+      }
+    val starts = sorted.filter(e => (e.mask & 1) != 0)
+    (0 +: starts.map(s =>
+      chains(1, s.ts, s.ts + 100L, sorted.dropWhile(_ != s).drop(1).toList))).max
+  }
+
+  property("partition-invariant") = forAll(evs, Gen.chooseNum(1, 5)) { (events, parts) =>
+    runPartitioned(events, parts) == runPartitioned(events, 1)
+  }
+
+  property("greedy matches exhaustive search") = forAll(evsSmall) { events =>
+    runPartitioned(events, 1) == reference(events)
+  }
+}
+
+object SequenceProps extends Properties("SequenceAgg") {
+  private val matchAgg = new BehaviorAggs.SequenceAgg(2, false)
+  private val countAgg = new BehaviorAggs.SequenceAgg(2, true)
+  private val evs = Gen.listOf(for {
+    ts <- Gen.chooseNum(0L, 100L)
+    mask <- Gen.oneOf(1, 2)
+  } yield Ev(ts, mask))
+
+  property("match = exists A-then-B") = forAll(evs) { events =>
+    // distinct ts so ordering ties can't differ from the reference
+    val uniq = events.groupBy(_.ts).map(_._2.head).toSeq
+    val got = matchAgg.finish(uniq.foldLeft(matchAgg.zero)(matchAgg.reduce)) == 1L
+    val want = uniq.exists(a => (a.mask & 1) != 0 &&
+      uniq.exists(b => (b.mask & 2) != 0 && b.ts > a.ts))
+    got == want
+  }
+
+  property("count partition-invariant") = forAll(evs, Gen.chooseNum(1, 4)) { (events, parts) =>
+    val one = countAgg.finish(events.foldLeft(countAgg.zero)(countAgg.reduce))
+    val buckets = events.zipWithIndex.groupBy(_._2 % parts)
+      .values.map(_.map(_._1).foldLeft(countAgg.zero)(countAgg.reduce))
+    one == countAgg.finish(buckets.foldLeft(countAgg.zero)(countAgg.merge))
+  }
+}
+
+object TopNProps extends Properties("TopNAgg") {
+  private val agg = new BehaviorAggs.TopNAgg(3, 1000)
+  private val items = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
+
+  property("exact under cap, deterministic ties") = forAll(items) { xs =>
+    val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+    val want = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (it, c) => (-c, it) }.take(3)
+      .map { case (it, c) => BehaviorAggs.ItemCnt(it, c) }
+    got == want
+  }
+
+  property("merge order irrelevant") = forAll(items, items) { (a, b) =>
+    val ba = a.foldLeft(agg.zero)(agg.reduce)
+    val bb = b.foldLeft(agg.zero)(agg.reduce)
+    agg.finish(agg.merge(ba, bb)) == agg.finish(agg.merge(bb, ba))
+  }
+}
