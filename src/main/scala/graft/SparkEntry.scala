@@ -24,7 +24,8 @@ object SparkEntry {
       (graft.queries.MvQueries.queries, graft.queries.MvQueries.oracle),
       (graft.queries.MiscQueries.queries, graft.queries.MiscQueries.oracle),
       (graft.queries.StateQueries.queries, graft.queries.StateQueries.oracle),
-      (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracle)
+      (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracle),
+      (graft.queries.ExtrasQueries.queries, graft.queries.ExtrasQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Coverage extras: VARIANT (Spark 4 semi-structured type — reference:
+  * be/src/core/column/column_variant.h:76, function_variant_element.cpp),
+  * json_tuple lateral, CTE reuse (MultiCastDataStreamer analog), query
+  * cache (CacheSource analog -> df.persist), partitioned-write
+  * pruning (RANGE partitions analog), and UNIQUE-model delete sign
+  * (MoW delete bitmap analog: __DORIS_DELETE_SIGN__).
+  */
+object ExtrasQueries {
+
+  private val mkJson =
+    """concat('{"k":', CAST(pmod(event_id, 50) AS STRING),
+              ',"tags":["t', CAST(pmod(event_id, 3) AS STRING), '","x"]',
+              ',"nest":{"v":', CAST(user_id AS STRING), '}}')"""
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // VARIANT: parse once, extract typed subcolumns by path.
+    "extra_variant" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(s"""
+        WITH j AS (SELECT event_id, $mkJson AS doc FROM events WHERE event_id < 500)
+        SELECT event_id,
+               CAST(variant_get(parse_json(doc), '$$.k') AS BIGINT) AS k,
+               CAST(variant_get(parse_json(doc), '$$.tags[0]') AS STRING) AS t0,
+               CAST(variant_get(parse_json(doc), '$$.nest.v') AS BIGINT) AS v
+        FROM j ORDER BY event_id""")
+    }),
+
+    "extra_json_tuple" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT t.k2, count(*) AS n, sum(CAST(t.k2 AS BIGINT)) AS sk
+        FROM events
+        LATERAL VIEW json_tuple(props, 'k') t AS k2
+        GROUP BY t.k2 ORDER BY CAST(t.k2 AS BIGINT)""")
+    }),
+
+    // CTE consumed twice (reference: multi_cast_data_streamer.h:57).
+    "extra_cte_reuse" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH seg AS (SELECT c_nationkey, count(*) AS n,
+                            CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+                     FROM customer GROUP BY c_nationkey)
+        SELECT a.c_nationkey, a.n, a.bal,
+               round(a.bal / b.tot_bal, 9) AS share
+        FROM seg a CROSS JOIN (SELECT sum(bal) AS tot_bal, sum(n) AS tot_n FROM seg) b
+        ORDER BY a.c_nationkey"""
+      )
+    }),
+
+    // query-cache analog: persist a base, serve two shapes from it.
+    "extra_cache" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= "1995-01-01")
+        .select(col("l_returnflag"), col("l_linestatus"), money(col("l_extendedprice")).as("p"))
+        .persist()
+      val byFlag = base.groupBy(col("l_returnflag"))
+        .agg(dbl(sum(col("p"))).as("v"), count(lit(1)).as("n"))
+        .withColumn("dim", lit("flag")).withColumnRenamed("l_returnflag", "key")
+      val byStatus = base.groupBy(col("l_linestatus"))
+        .agg(dbl(sum(col("p"))).as("v"), count(lit(1)).as("n"))
+        .withColumn("dim", lit("status")).withColumnRenamed("l_linestatus", "key")
+      byFlag.unionByName(byStatus).orderBy(col("dim"), col("key"))
+    }),
+
+    // hive-style partitioned write + partition-pruned read
+    // (reference: RangePartitionInfo.java:45 partition pruning).
+    "extra_partition_prune" -> ((s, dir) => {
+      val out = "target/sources/orders_by_status"
+      t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out).filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dbl(sum(money(col("o_totalprice")))).as("tot"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // UNIQUE keys + delete sign: highest-seq version wins, then
+    // deleted keys drop out (merge-on-write delete-bitmap semantics).
+    "extra_unique_delete" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH loads AS (
+          SELECT o_orderkey, o_orderstatus, 1 AS seq, 0 AS del FROM orders
+          UNION ALL
+          SELECT o_orderkey, 'U', 2, 0 FROM orders WHERE o_orderkey % 5 = 0
+          UNION ALL
+          SELECT o_orderkey, NULL, 3, 1 FROM orders WHERE o_orderkey % 20 = 0),
+        v AS (SELECT * FROM (
+          SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+          FROM loads) x WHERE rn = 1 AND del = 0)
+        SELECT o_orderstatus, count(*) AS n FROM v
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "extra_variant" -> """
+      WITH j AS (SELECT event_id,
+        concat('{"k":', CAST(event_id % 50 AS VARCHAR),
+               ',"tags":["t', CAST(event_id % 3 AS VARCHAR), '","x"]',
+               ',"nest":{"v":', CAST(user_id AS VARCHAR), '}}') AS doc
+        FROM events WHERE event_id < 500)
+      SELECT event_id,
+             CAST(json_extract_string(doc, '$.k') AS BIGINT) AS k,
+             json_extract_string(doc, '$.tags[0]') AS t0,
+             CAST(json_extract_string(doc, '$.nest.v') AS BIGINT) AS v
+      FROM j ORDER BY event_id""",
+
+    "extra_json_tuple" -> """
+      SELECT k2, count(*) AS n, sum(CAST(k2 AS BIGINT)) AS sk FROM (
+        SELECT json_extract_string(props, '$.k') AS k2 FROM events) t
+      GROUP BY k2 ORDER BY CAST(k2 AS BIGINT)""",
+
+    "extra_cte_reuse" -> """
+      WITH seg AS (SELECT c_nationkey, count(*) AS n,
+                          CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+                   FROM customer GROUP BY c_nationkey)
+      SELECT a.c_nationkey, a.n, a.bal, round(a.bal / b.tot_bal, 9) AS share
+      FROM seg a CROSS JOIN (SELECT sum(bal) AS tot_bal, sum(n) AS tot_n FROM seg) b
+      ORDER BY a.c_nationkey""",
+
+    "extra_cache" -> """
+      SELECT key, v, n, dim FROM (
+        SELECT l_returnflag AS key,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS v,
+               count(*) AS n, 'flag' AS dim
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' GROUP BY 1
+        UNION ALL
+        SELECT l_linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),
+               count(*), 'status'
+        FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01' GROUP BY 1) u
+      ORDER BY dim, key""",
+
+    "extra_partition_prune" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
+      FROM orders WHERE o_orderstatus = 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "extra_unique_delete" -> """
+      WITH loads AS (
+        SELECT o_orderkey, o_orderstatus, 1 AS seq, 0 AS del FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'U', 2, 0 FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, 3, 1 FROM orders WHERE o_orderkey % 20 = 0),
+      v AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn
+        FROM loads) x WHERE rn = 1 AND del = 0)
+      SELECT o_orderstatus, count(*) AS n FROM v
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  )
+}
