@@ -15,8 +15,19 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+  /** Memoized per (session, path): reuses the resolved DataFrame so the
+    * parquet FileIndex + footer schema are read once per session — the
+    * catalog-metadata caching a metastore would provide (Doris FE keeps
+    * tablet metadata resident the same way). */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => load0(s, p, name) })
+
+  private def load0(spark: SparkSession, path: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path)
     // events.ts is TIMESTAMP(NANOS) on disk, surfaced as nanos-long via
     // spark.sql.legacy.parquet.nanosAsLong; normalize to a micros
     // timestamp so queries (and the DuckDB oracle's CAST(ts AS
