@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions (reference: regression-test/suites/shape_check/
+  * EXPLAIN-vs-golden tests — here as targeted predicates on the
+  * physical plan, which is less brittle than full golden plans). */
+class PlanShapeSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("partition top-n plans WindowGroupLimit (Doris PartitionTopN)") {
+    assert(plan("win_partition_topn").contains("WindowGroupLimit"))
+  }
+
+  test("partitioned write is pruned at read (partition filters)") {
+    val p = plan("extra_partition_prune")
+    assert(p.contains("PartitionFilters") && p.contains("o_orderstatus"),
+      s"no partition pruning:\n$p")
+  }
+
+  test("star joins broadcast, never sort-merge, on q5") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ:\n$p")
+  }
+
+  test("selective filter is pushed to the parquet scan on q6") {
+    val p = plan("q6_forecast_revenue")
+    assert(p.contains("PushedFilters: [IsNotNull"), s"no pushdown:\n$p")
+  }
+
+  test("explode plans a Generate operator") {
+    assert(plan("gen_explode_split").contains("Generate"))
+  }
+
+  test("null-aware anti join planned for NOT IN") {
+    val p = plan("join_null_aware_anti")
+    assert(p.contains("BroadcastHashJoin LeftAnti BuildRight, ((") ||
+      p.contains("NULL_AWARE") || p.contains("LeftAnti"), s"no anti join:\n$p")
+  }
+}
