@@ -36,6 +36,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("gen_explode_split").contains("Generate"))
   }
 
+  test("colocate bucket join: sort-merge with no join-side shuffle") {
+    // force the non-broadcast path so bucketing must carry the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("bucket_colocate_join")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      // only the post-join groupBy may hash-shuffle; bucketed sides must not
+      val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(hashExchanges <= 1, s"join sides shuffled ($hashExchanges):\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+  }
+
   test("null-aware anti join planned for NOT IN") {
     val p = plan("join_null_aware_anti")
     assert(p.contains("BroadcastHashJoin LeftAnti BuildRight, ((") ||
