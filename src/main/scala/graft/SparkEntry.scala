@@ -26,7 +26,8 @@ object SparkEntry {
       (graft.queries.StateQueries.queries, graft.queries.StateQueries.oracle),
       (graft.queries.SourceQueries.queries, graft.queries.SourceQueries.oracle),
       (graft.queries.ExtrasQueries.queries, graft.queries.ExtrasQueries.oracle),
-      (graft.queries.BucketQueries.queries, graft.queries.BucketQueries.oracle)
+      (graft.queries.BucketQueries.queries, graft.queries.BucketQueries.oracle),
+      (graft.queries.DsQueries.queries, graft.queries.DsQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
