@@ -28,7 +28,8 @@ object SparkEntry {
       (graft.queries.ExtrasQueries.queries, graft.queries.ExtrasQueries.oracle),
       (graft.queries.BucketQueries.queries, graft.queries.BucketQueries.oracle),
       (graft.queries.DsQueries.queries, graft.queries.DsQueries.oracle),
-      (graft.queries.Extras2Queries.queries, graft.queries.Extras2Queries.oracle)
+      (graft.queries.Extras2Queries.queries, graft.queries.Extras2Queries.oracle),
+      (graft.queries.Extras3Queries.queries, graft.queries.Extras3Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
