@@ -30,7 +30,8 @@ object SparkEntry {
       (graft.queries.DsQueries.queries, graft.queries.DsQueries.oracle),
       (graft.queries.Extras2Queries.queries, graft.queries.Extras2Queries.oracle),
       (graft.queries.Extras3Queries.queries, graft.queries.Extras3Queries.oracle),
-      (graft.queries.DateJsonQueries.queries, graft.queries.DateJsonQueries.oracle)
+      (graft.queries.DateJsonQueries.queries, graft.queries.DateJsonQueries.oracle),
+      (graft.queries.SafeMathQueries.queries, graft.queries.SafeMathQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -141,6 +141,8 @@ object BehaviorAggs {
     spark.udf.register("retention3", udaf(new RetentionAgg(3), Encoders.scalaInt))
     spark.udf.register("sequence_match2", udaf(new SequenceAgg(2, false), evEnc))
     spark.udf.register("sequence_count2", udaf(new SequenceAgg(2, true), evEnc))
+    spark.udf.register("sequence_match3", udaf(new SequenceAgg(3, false), evEnc))
+    spark.udf.register("sequence_count3", udaf(new SequenceAgg(3, true), evEnc))
     spark.udf.register("topn5", udaf(new TopNAgg(5, 4096), Encoders.STRING))
     spark.udf.register("product_agg", udaf(new ProductAgg, Encoders.scalaDouble))
   }

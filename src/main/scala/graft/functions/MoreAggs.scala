@@ -62,7 +62,31 @@ object MoreAggs {
     def outputEncoder: Encoder[Seq[BehaviorAggs.ItemCnt]] = ExpressionEncoder()
   }
 
+  case class KeyedStr(s: String, sortKey: Long)
+
+  /** group_concat(x ORDER BY k SEPARATOR sep[, DISTINCT]) as a true
+    * mergeable UDAF (reference: aggregate_function_group_concat.* with
+    * the sort combinator). */
+  class GroupConcatOrdAgg(sep: String, distinct: Boolean)
+      extends Aggregator[KeyedStr, Seq[KeyedStr], String] {
+    def zero: Seq[KeyedStr] = Nil
+    def reduce(b: Seq[KeyedStr], v: KeyedStr): Seq[KeyedStr] =
+      if (v.s == null) b else v +: b
+    def merge(a: Seq[KeyedStr], b: Seq[KeyedStr]): Seq[KeyedStr] = a ++ b
+    def finish(b: Seq[KeyedStr]): String = {
+      val sorted = b.sortBy(e => (e.sortKey, e.s))
+      val vals = sorted.map(_.s)
+      (if (distinct) vals.distinct else vals).mkString(sep)
+    }
+    def bufferEncoder: Encoder[Seq[KeyedStr]] = ExpressionEncoder()
+    def outputEncoder: Encoder[String] = Encoders.STRING
+  }
+
   def register(spark: SparkSession): Unit = {
+    spark.udf.register("group_concat_ord",
+      udaf(new GroupConcatOrdAgg(",", distinct = false), ExpressionEncoder[KeyedStr]()))
+    spark.udf.register("group_concat_distinct_ord",
+      udaf(new GroupConcatOrdAgg(",", distinct = true), ExpressionEncoder[KeyedStr]()))
     spark.udf.register("linear_histogram_100",
       udaf(new LinearHistogramAgg(100.0), Encoders.scalaDouble))
     spark.udf.register("ema3", udaf(new EmaAgg(0.3), ExpressionEncoder[TsVal]()))
