@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TableModels {
 
-  /** UNIQUE-keys view: latest version per key by sequence column. */
-  def uniqueView(df: DataFrame, keys: Seq[String], seqCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+  /** UNIQUE-keys view: latest version per key by sequence column.
+    * `tiebreak` columns make the pick deterministic when the physical
+    * key is not unique within one load (cover every projected column
+    * and residual ties are between identical rows). */
+  def uniqueView(df: DataFrame, keys: Seq[String], seqCol: String,
+                 tiebreak: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc +: tiebreak.map(col(_).asc): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
