@@ -33,7 +33,9 @@ object MaterializedViews {
 
   case class MvDef(name: String, basePath: String, groupCols: Seq[String],
                    sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
-                   mvPath: String)
+                   mvPath: String, filterSql: Option[String] = None,
+                   filterCanonical: Option[String] = None,
+                   filterRefs: Set[String] = Set.empty)
 
   /** base-path -> registered MVs (global so injected rules see it). */
   private val registry = new TrieMap[String, Vector[MvDef]]()
@@ -47,10 +49,20 @@ object MaterializedViews {
   def create(spark: SparkSession, name: String, baseDir: String, table: String,
              groupCols: Seq[String], sumCols: Seq[String] = Nil,
              minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
-             mvRoot: String = "target/mv"): MvDef = {
+             mvRoot: String = "target/mv", filterSql: Option[String] = None): MvDef = {
     val basePath = normalize(s"$baseDir/$table.parquet")
     val mvPath = s"$mvRoot/$name"
-    val base = spark.read.parquet(basePath)
+    val raw = spark.read.parquet(basePath)
+    val base = filterSql.fold(raw)(raw.filter)
+    // canonical text of the analyzed filter — the rewrite consumes a
+    // query conjunct only when its .sql matches this exactly
+    // (conservative filter matching per SURVEY.md §7.4)
+    val canonical = filterSql.flatMap { _ =>
+      base.queryExecution.analyzed.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+          (c.sql, c.references.map(_.name).toSet)
+      }
+    }
     val aggs = sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++
       minCols.map(c => min(col(c)).as(minAlias(c))) ++
       maxCols.map(c => max(col(c)).as(maxAlias(c))) :+
@@ -58,7 +70,8 @@ object MaterializedViews {
     base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
-    val d = MvDef(name, basePath, groupCols, sumCols, minCols, maxCols, mvPath)
+    val d = MvDef(name, basePath, groupCols, sumCols, minCols, maxCols, mvPath,
+      filterSql, canonical.map(_._1), canonical.map(_._2).getOrElse(Set.empty))
     registry.updateWith(basePath) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None => Some(Vector(d))
@@ -72,7 +85,7 @@ object MaterializedViews {
       val table = d.basePath.split('/').last.stripSuffix(".parquet")
       create(spark, d.name, d.basePath.stripSuffix(s"/$table.parquet"), table,
         d.groupCols, d.sumCols, d.minCols, d.maxCols,
-        d.mvPath.stripSuffix(s"/${d.name}"))
+        d.mvPath.stripSuffix(s"/${d.name}"), d.filterSql)
     }
 
   def drop(name: String): Unit =
@@ -116,13 +129,38 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case Filter(cond, c) => unwrap(c, conds :+ cond)
         case other => (conds, other)
       }
-    val (conds, rel) = unwrap(child, Nil)
-    val filterOpt = conds.reduceOption(And)
+    val (conds0, rel) = unwrap(child, Nil)
+    val conjuncts = conds0.flatMap(splitConjuncts)
     for {
       path <- relationPath(rel)
-      mv <- forPath(path).find(m => matches(m, groupExprs, aggExprs, filterOpt))
-    } yield rewrite(mv, agg, groupExprs, aggExprs, filterOpt)
+      (mv, residual) <- forPath(path).flatMap { m =>
+        consumeFilter(m, conjuncts).map(r => (m, r))
+      }.find { case (m, residual) =>
+        matches(m, groupExprs, aggExprs, residual.reduceOption(And))
+      }
+    } yield rewrite(mv, agg, groupExprs, aggExprs, residual.reduceOption(And))
   }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** For a filtered MV: consume the query conjunct whose canonical SQL
+    * equals the MV's stored filter, and drop IsNotNull conjuncts the
+    * consumed filter implies. Returns the residual conjuncts, or None
+    * when the MV's filter is absent from the query. */
+  private def consumeFilter(mv: MvDef, conjuncts: Seq[Expression]): Option[Seq[Expression]] =
+    mv.filterCanonical match {
+      case None => Some(conjuncts)
+      case Some(fc) =>
+        val idx = conjuncts.indexWhere(_.sql == fc)
+        if (idx < 0) None
+        else Some(conjuncts.patch(idx, Nil, 1).filterNot {
+          case IsNotNull(a: AttributeReference) => mv.filterRefs.contains(a.name)
+          case _ => false
+        })
+    }
 
   private def colName(e: Expression): Option[String] = e match {
     case a: AttributeReference => Some(a.name)

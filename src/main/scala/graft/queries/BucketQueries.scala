@@ -46,12 +46,15 @@ object BucketQueries {
     // bucketing (no exchange before the agg).
     "bucket_local_agg" -> ((s, dir) => {
       ensureBuckets(s, dir)
+      // per-order totals stay DECIMAL through both levels; one double
+      // division at the end — order-independent, no rounding boundary.
       s.table("b_lineitem")
         .groupBy(col("l_orderkey"))
         .agg(count(lit(1)).as("n_lines"),
-          dbl(sum(money(col("l_extendedprice")))).as("tot"))
+          sum(money(col("l_extendedprice"))).as("tot_dec"))
         .groupBy(col("n_lines"))
-        .agg(count(lit(1)).as("n_orders"), round(avg(col("tot")), 4).as("avg_tot"))
+        .agg(count(lit(1)).as("n_orders"),
+          (dbl(sum(col("tot_dec"))) / count(lit(1))).as("avg_tot"))
         .orderBy(col("n_lines"))
     })
   )
@@ -67,9 +70,10 @@ object BucketQueries {
     "bucket_local_agg" -> """
       WITH per_order AS (
         SELECT l_orderkey, count(*) AS n_lines,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS tot
+               SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS tot_dec
         FROM lineitem GROUP BY l_orderkey)
-      SELECT n_lines, count(*) AS n_orders, round(avg(tot), 4) AS avg_tot
+      SELECT n_lines, count(*) AS n_orders,
+             CAST(SUM(tot_dec) AS DOUBLE) / count(*) AS avg_tot
       FROM per_order GROUP BY n_lines ORDER BY n_lines"""
   )
 }

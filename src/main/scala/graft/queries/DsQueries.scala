@@ -50,8 +50,8 @@ object DsQueries {
     "ds_scalar_subquery" -> """
       SELECT c_mktsegment, count(*) AS n_above
       FROM customer c
-      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_mktsegment = c.c_mktsegment)
+      WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+                         FROM customer WHERE c_mktsegment = c.c_mktsegment)
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "ds_case_pivot" -> """

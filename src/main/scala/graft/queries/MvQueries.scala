@@ -33,6 +33,19 @@ object MvQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // filtered MV: the query's filter textually matches the MV's
+    // definition filter and is consumed by the rewrite.
+    "mv_rewrite_filtered" -> ((s, dir) => {
+      MaterializedViews.create(s, "mv_li_flag_a", dir, "lineitem",
+        groupCols = Seq("l_suppkey"), sumCols = Seq("l_quantity"),
+        filterSql = Some("l_returnflag = 'A'"))
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "A")
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("sq"), count(lit(1)).as("n"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // ineligible (distinct agg): must stay on the base table.
     "mv_rewrite_miss" -> ((s, dir) => {
       ensureMv(s, dir)
@@ -50,6 +63,11 @@ object MvQueries {
              round(avg(l_quantity), 4) AS aq
       FROM lineitem WHERE l_linestatus = 'F'
       GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "mv_rewrite_filtered" -> """
+      SELECT l_suppkey, round(sum(l_quantity), 2) AS sq, count(*) AS n
+      FROM lineitem WHERE l_returnflag = 'A'
+      GROUP BY l_suppkey ORDER BY l_suppkey""",
 
     "mv_rewrite_miss" -> """
       SELECT l_returnflag, count(DISTINCT l_suppkey) AS nd, count(*) AS n

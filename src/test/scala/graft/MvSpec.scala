@@ -20,6 +20,12 @@ class MvSpec extends AnyFunSuite {
     assert(!p.contains("lineitem.parquet"), s"base table still scanned:\n$p")
   }
 
+  test("filtered MV consumed when query filter matches definition") {
+    val p = planOf("mv_rewrite_filtered")
+    assert(p.contains("mv_li_flag_a"), s"filtered MV not used:\n$p")
+    assert(!p.contains("lineitem.parquet"), s"base table still scanned:\n$p")
+  }
+
   test("ineligible aggregate stays on the base table") {
     val p = planOf("mv_rewrite_miss")
     assert(!p.contains("mv_lineitem_rf_ls"), s"MV wrongly used:\n$p")
