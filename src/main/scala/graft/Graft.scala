@@ -44,8 +44,10 @@ object Graft {
   // ---- materialized views + transparent rewrite ----
   def createMv(spark: SparkSession, name: String, baseDir: String, table: String,
                groupCols: Seq[String], sumCols: Seq[String] = Nil,
-               minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil): Unit =
-    MaterializedViews.create(spark, name, baseDir, table, groupCols, sumCols, minCols, maxCols)
+               minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+               filterSql: Option[String] = None): Unit =
+    MaterializedViews.create(spark, name, baseDir, table, groupCols, sumCols,
+      minCols, maxCols, filterSql = filterSql)
   def refreshMv(spark: SparkSession, name: String): Unit =
     MaterializedViews.refresh(spark, name)
   def dropMv(name: String): Unit = MaterializedViews.drop(name)

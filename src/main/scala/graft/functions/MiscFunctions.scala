@@ -55,7 +55,21 @@ object MiscFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION match_phrase(s STRING, q STRING)
        RETURNS BOOLEAN RETURN
        instr(concat(' ', array_join(filter(split(lower(s), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' '),
-             concat(' ', array_join(filter(split(lower(q), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' ')) > 0"""
+             concat(' ', array_join(filter(split(lower(q), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' ')) > 0""",
+    // ---- Doris-named string/date aliases (BuiltinScalarFunctions.java) ----
+    """CREATE OR REPLACE TEMPORARY FUNCTION strleft(s STRING, n INT)
+       RETURNS STRING RETURN left(s, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION strright(s STRING, n INT)
+       RETURNS STRING RETURN right(s, n)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION append_trailing_char_if_absent(s STRING, c STRING)
+       RETURNS STRING RETURN IF(endswith(s, c), s, concat(s, c))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION null_or_empty(s STRING)
+       RETURNS BOOLEAN RETURN s IS NULL OR s = ''""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION not_null_or_empty(s STRING)
+       RETURNS BOOLEAN RETURN s IS NOT NULL AND s <> ''""",
+    // dayname/monthname are Spark 4 built-ins already (Doris names match)
+    """CREATE OR REPLACE TEMPORARY FUNCTION money_format(v DOUBLE)
+       RETURNS STRING RETURN format_number(v, 2)"""
   )
 
   def register(spark: SparkSession): Unit =

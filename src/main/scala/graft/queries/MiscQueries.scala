@@ -70,6 +70,20 @@ object MiscQueries {
         FROM customer GROUP BY 1 ORDER BY 1""")
     }),
 
+    // Doris-named alias surface (strleft/strright/append_trailing/
+    // null_or_empty/dayname/monthname/money_format).
+    "misc_doris_aliases" -> sql("""
+      SELECT n_nationkey,
+             strleft(n_name, 3) AS l3,
+             strright(n_name, 3) AS r3,
+             append_trailing_char_if_absent(n_name, 'A') AS app,
+             null_or_empty(nullif(n_name, 'CHINA')) AS noe,
+             not_null_or_empty(nullif(n_name, 'CHINA')) AS nnoe,
+             dayname(DATE '2026-08-12') AS dn,   -- Spark builtin: 'Wed'
+             monthname(DATE '2026-08-12') AS mn, -- Spark builtin: 'Aug'
+             length(money_format(CAST(n_nationkey AS DOUBLE) * 1234.567)) > 0 AS mf_ok
+      FROM nation ORDER BY n_nationkey"""),
+
     "misc_ai" -> sql("""
       SELECT doc_id,
              ai_sentiment(text) AS sent,
@@ -143,6 +157,18 @@ object MiscQueries {
       SELECT n_name AS nation, count(*) AS n, count(DISTINCT c_custkey) AS nd
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY 1 ORDER BY 1""",
+
+    "misc_doris_aliases" -> """
+      SELECT n_nationkey,
+             n_name[1:3] AS l3,
+             n_name[-3:] AS r3,
+             CASE WHEN ends_with(n_name, 'A') THEN n_name ELSE concat(n_name, 'A') END AS app,
+             nullif(n_name, 'CHINA') IS NULL OR nullif(n_name, 'CHINA') = '' AS noe,
+             nullif(n_name, 'CHINA') IS NOT NULL AND nullif(n_name, 'CHINA') <> '' AS nnoe,
+             dayname(DATE '2026-08-12')[1:3] AS dn,
+             monthname(DATE '2026-08-12')[1:3] AS mn,
+             true AS mf_ok
+      FROM nation ORDER BY n_nationkey""",
 
     "misc_ai" -> """
       SELECT doc_id,
