@@ -35,7 +35,12 @@ object Bench {
     val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
     // reference methodology: N runs, best reported
     // (tools/tpch-tools/bin/run-tpch-queries.sh runs 3x)
-    val results = names.map { n => n -> (0 until iters).map(_ => timeOnce(n)).min }
+    // best of the SUCCESSFUL runs; -1 only when every iteration failed
+    // (an explicit error marker, never mixed into a valid min)
+    val results = names.map { n =>
+      val ok = (0 until iters).map(_ => timeOnce(n)).filter(_ >= 0)
+      n -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

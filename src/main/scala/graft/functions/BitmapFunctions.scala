@@ -86,7 +86,10 @@ object Bitmaps {
     u.register("to_bitmap", (v: Long) => { val b = new Roaring64NavigableMap(); b.addLong(v); ser(b) })
     u.register("bitmap_count", (b: Array[Byte]) => deser(b).getLongCardinality)
     u.register("bitmap_contains", (b: Array[Byte], v: Long) => deser(b).contains(v))
-    u.register("bitmap_to_array", (b: Array[Byte]) => deser(b).toArray.sorted)
+    // iterator order is already ascending-unsigned (Roaring64NavigableMap
+    // iterates unsigned), matching the reference's BITMAP ordering and
+    // bitmap_min/bitmap_max; .sorted would impose signed order instead
+    u.register("bitmap_to_array", (b: Array[Byte]) => deser(b).toArray)
     u.register("bitmap_min", (b: Array[Byte]) => { val x = deser(b); if (x.isEmpty) null else java.lang.Long.valueOf(x.first()) })
     u.register("bitmap_max", (b: Array[Byte]) => { val x = deser(b); if (x.isEmpty) null else java.lang.Long.valueOf(x.last()) })
     u.register("bitmap_and", (a: Array[Byte], b: Array[Byte]) => binop(a, b)(_ and _))

@@ -72,7 +72,12 @@ object MiscFunctions {
        RETURNS STRING RETURN format_number(v, 2)"""
   )
 
-  def register(spark: SparkSession): Unit =
-    try sqlUdfs.foreach(spark.sql(_))
-    catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => () }
+  // per-statement guard: one bad definition must not silently skip the
+  // rest of the surface, and the failure is logged, not swallowed
+  def register(spark: SparkSession): Unit = sqlUdfs.foreach { stmt =>
+    try spark.sql(stmt)
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      System.err.println(s"[graft] UDF registration failed: ${e.getMessage.linesIterator.next()}")
+    }
+  }
 }

@@ -95,6 +95,8 @@ object MoreAggs {
     try {
       spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality(s BINARY)
                    RETURNS BIGINT RETURN hll_sketch_estimate(s)""")
-    } catch { case _: org.apache.spark.sql.catalyst.parser.ParseException => () }
+    } catch { case e: org.apache.spark.sql.AnalysisException =>
+      System.err.println(s"[graft] UDF registration failed: ${e.getMessage.linesIterator.next()}")
+    }
   }
 }

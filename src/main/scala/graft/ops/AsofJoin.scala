@@ -24,24 +24,29 @@ object AsofJoin {
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
                    payload: Seq[String], inner: Boolean): DataFrame = {
-    // side 0 = right (sorts before left at equal ts => <= semantics)
+    // The whole right payload rides in ONE struct (with an always-true
+    // match marker), so a single last(ignoreNulls) carries an entire
+    // right row — never a stitch of columns from different right rows
+    // when some payload values are NULL, and an all-NULL payload still
+    // counts as a match via the marker.
+    // side 0 = right (sorts before left at equal ts => <= semantics);
+    // the struct itself is the tiebreaker among right rows with equal
+    // (keys, ts), making the picked row deterministic.
     val r = right.select(
-      (keys.map(col) :+ col(rightTime).as("__ts")) ++
-        payload.map(c => col(c).as(s"__p_$c")): _*)
+      (keys.map(col) :+ col(rightTime).as("__ts")) :+
+        struct(lit(true).as("__m") +: payload.map(c => col(c).as(c)): _*).as("__pay"): _*)
       .withColumn("__side", lit(0))
     val l = left
       .withColumn("__ts", col(leftTime))
       .withColumn("__side", lit(1))
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts"), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = l.unionByName(r, allowMissingColumns = true)
-      .select(col("*") +:
-        payload.map(c => last(col(s"__p_$c"), ignoreNulls = true).over(w).as(s"r_$c")): _*)
+      .select(col("*"), last(col("__pay"), ignoreNulls = true).over(w).as("__r"))
       .filter(col("__side") === 1)
-    val out = matched.select(
-      left.columns.map(col) ++ payload.map(c => col(s"r_$c")): _*)
-    if (inner) out.filter(payload.map(c => col(s"r_$c").isNotNull).reduce(_ || _))
-    else out
+    val kept = if (inner) matched.filter(col("__r").isNotNull) else matched
+    kept.select(
+      left.columns.map(col) ++ payload.map(c => col("__r").getField(c).as(s"r_$c")): _*)
   }
 }

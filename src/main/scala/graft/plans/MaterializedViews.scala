@@ -43,6 +43,9 @@ object MaterializedViews {
   def sumAlias(c: String) = s"__sum_$c"
   def minAlias(c: String) = s"__min_$c"
   def maxAlias(c: String) = s"__max_$c"
+  /** per-column non-null count — the correct AVG denominator (AVG
+    * ignores NULLs; count(1) does not) and the COUNT(col) partial. */
+  def cntnAlias(c: String) = s"__cntn_$c"
   val cntAlias = "__cnt"
 
   /** Materialize + register an MV over a base parquet table. */
@@ -64,6 +67,7 @@ object MaterializedViews {
       }
     }
     val aggs = sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++
+      sumCols.map(c => count(col(c)).as(cntnAlias(c))) ++
       minCols.map(c => min(col(c)).as(minAlias(c))) ++
       maxCols.map(c => max(col(c)).as(maxAlias(c))) :+
       count(lit(1)).as(cntAlias)
@@ -188,6 +192,7 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Min(e) => colName(e).exists(mv.minCols.contains)
       case Max(e) => colName(e).exists(mv.maxCols.contains)
       case Count(Seq(Literal(_, _))) => true
+      case Count(Seq(e)) => colName(e).exists(mv.sumCols.contains)
       case Average(e, _) =>
         colName(e).exists(c => mv.sumCols.contains(c))
       case _ => false
@@ -210,11 +215,19 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Min(e) => ae.copy(aggregateFunction = Min(mvCol(minAlias(colName(e).get))))
       case Max(e) => ae.copy(aggregateFunction = Max(mvCol(maxAlias(colName(e).get))))
       case Count(Seq(Literal(_, _))) =>
-        ae.copy(aggregateFunction = Sum(mvCol(cntAlias)))
+        // COUNT over an empty/fully-filtered input is 0, but SUM of no
+        // partials is NULL — coalesce restores COUNT semantics.
+        Coalesce(Seq(ae.copy(aggregateFunction = Sum(mvCol(cntAlias))), Literal(0L)))
+      case Count(Seq(e)) =>
+        Coalesce(Seq(
+          ae.copy(aggregateFunction = Sum(mvCol(cntnAlias(colName(e).get)))),
+          Literal(0L)))
       case Average(e, _) =>
         val c = colName(e).get
         val sums = ae.copy(aggregateFunction = Sum(mvCol(sumAlias(c))))
-        val cnts = ae.copy(aggregateFunction = Sum(mvCol(cntAlias)),
+        // denominator = per-column non-null count, not count(1): AVG
+        // ignores NULLs (reference rollup stores non-null counts too).
+        val cnts = ae.copy(aggregateFunction = Sum(mvCol(cntnAlias(c))),
           resultId = NamedExpression.newExprId)
         Cast(Divide(Cast(sums, org.apache.spark.sql.types.DoubleType),
           Cast(cnts, org.apache.spark.sql.types.DoubleType)), ae.dataType)

@@ -110,12 +110,14 @@ object AggQueries {
         .orderBy(col("l_returnflag"))
     }),
 
-    // collect_list/collect_set with deterministic ordering.
+    // collect_list/collect_set with deterministic ordering. The array is
+    // serialized to one string column: the driver's pandas compare cannot
+    // sort rows containing list cells.
     "agg_collect" -> ((s, dir) => {
       t(s, dir, "part")
         .groupBy(col("p_brand"))
         .agg(
-          array_sort(collect_set(col("p_type"))).as("types"),
+          array_join(array_sort(collect_set(col("p_type"))), "|").as("types"),
           size(collect_list(col("p_partkey"))).as("n_parts"))
         .orderBy(col("p_brand"))
     }),
@@ -135,7 +137,8 @@ object AggQueries {
       s.sql("""
         SELECT l_returnflag,
                percentile(CAST(l_quantity AS INT), 0.5) AS p50,
-               percentile(CAST(l_quantity AS INT), array(0.25, 0.75)) AS pq,
+               percentile(CAST(l_quantity AS INT), 0.25) AS p25,
+               percentile(CAST(l_quantity AS INT), 0.75) AS p75,
                median(CAST(l_quantity AS INT)) AS med
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
@@ -246,12 +249,12 @@ object AggQueries {
     "agg_multi_distinct" -> """
       SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
              count(DISTINCT l_suppkey) AS nd_supp,
-             sum(DISTINCT CAST(l_quantity AS INT)) AS sum_d_qty, count(*) AS n
+             CAST(sum(DISTINCT CAST(l_quantity AS INT)) AS BIGINT) AS sum_d_qty, count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_collect" -> """
-      SELECT p_brand, list_sort(list(DISTINCT p_type)) AS types,
-             count(p_partkey) AS n_parts
+      SELECT p_brand, array_to_string(list_sort(list(DISTINCT p_type)), '|') AS types,
+             CAST(count(p_partkey) AS INT) AS n_parts
       FROM part GROUP BY p_brand ORDER BY p_brand""",
 
     "agg_group_concat" -> """
@@ -261,7 +264,8 @@ object AggQueries {
     "agg_percentile" -> """
       SELECT l_returnflag,
              quantile_cont(CAST(l_quantity AS INT), 0.5) AS p50,
-             quantile_cont(CAST(l_quantity AS INT), [0.25, 0.75]) AS pq,
+             quantile_cont(CAST(l_quantity AS INT), 0.25) AS p25,
+             quantile_cont(CAST(l_quantity AS INT), 0.75) AS p75,
              median(CAST(l_quantity AS INT)) AS med
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
@@ -281,7 +285,7 @@ object AggQueries {
     "agg_filtered_weighted" -> """
       SELECT l_linestatus,
              count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
-             count_if(l_tax = 0) AS n_notax,
+             CAST(count_if(l_tax = 0) AS BIGINT) AS n_notax,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
                   / SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS w_avg_price
       FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""

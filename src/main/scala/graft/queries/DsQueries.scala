@@ -56,10 +56,10 @@ object DsQueries {
 
     "ds_case_pivot" -> """
       SELECT l_returnflag,
-             count_if(month(l_shipdate) <= 3) AS q1_cnt,
-             count_if(month(l_shipdate) BETWEEN 4 AND 6) AS q2_cnt,
-             count_if(month(l_shipdate) BETWEEN 7 AND 9) AS q3_cnt,
-             count_if(month(l_shipdate) >= 10) AS q4_cnt,
+             CAST(count_if(month(l_shipdate) <= 3) AS BIGINT) AS q1_cnt,
+             CAST(count_if(month(l_shipdate) BETWEEN 4 AND 6) AS BIGINT) AS q2_cnt,
+             CAST(count_if(month(l_shipdate) BETWEEN 7 AND 9) AS BIGINT) AS q3_cnt,
+             CAST(count_if(month(l_shipdate) >= 10) AS BIGINT) AS q4_cnt,
              CAST(SUM(CASE WHEN month(l_shipdate) <= 6
                   THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS h1_sales
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",

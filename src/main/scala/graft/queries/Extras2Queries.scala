@@ -26,12 +26,18 @@ object Extras2Queries {
           FROM lineitem),
         pos AS (SELECT l_returnflag, idx, v FROM arrs
                 LATERAL VIEW posexplode(a) p AS idx, v),
-        agg AS (SELECT l_returnflag, idx, sum(v) AS s, count(*) AS c
+        agg AS (SELECT l_returnflag, idx, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
                 FROM pos GROUP BY l_returnflag, idx)
         SELECT l_returnflag,
-               transform(array_sort(collect_list(struct(idx, s))), x -> x.s) AS sum_foreach,
-               transform(array_sort(collect_list(struct(idx, s, c))),
-                         x -> round(CAST(x.s AS DOUBLE) / x.c, 6)) AS avg_foreach
+               max(CASE WHEN idx = 0 THEN s END) AS sum_qty,
+               max(CASE WHEN idx = 1 THEN s END) AS sum_ln,
+               max(CASE WHEN idx = 2 THEN s END) AS sum_pk,
+               round(CAST(max(CASE WHEN idx = 0 THEN s END) AS DOUBLE)
+                     / max(CASE WHEN idx = 0 THEN c END), 6) AS avg_qty,
+               round(CAST(max(CASE WHEN idx = 1 THEN s END) AS DOUBLE)
+                     / max(CASE WHEN idx = 1 THEN c END), 6) AS avg_ln,
+               round(CAST(max(CASE WHEN idx = 2 THEN s END) AS DOUBLE)
+                     / max(CASE WHEN idx = 2 THEN c END), 6) AS avg_pk
         FROM agg GROUP BY l_returnflag ORDER BY l_returnflag""")
     }),
 
@@ -79,18 +85,25 @@ object Extras2Queries {
                          CAST(l_partkey % 10 AS BIGINT)]) AS v,
                  generate_subscripts([1, 2, 3], 1) AS idx
           FROM lineitem) u),
-      agg AS (SELECT l_returnflag, idx, sum(v) AS s, count(*) AS c
+      agg AS (SELECT l_returnflag, idx, CAST(sum(v) AS BIGINT) AS s, count(*) AS c
               FROM pos GROUP BY l_returnflag, idx)
       SELECT l_returnflag,
-             list(s ORDER BY idx) AS sum_foreach,
-             list(round(s::DOUBLE / c, 6) ORDER BY idx) AS avg_foreach
+             max(CASE WHEN idx = 0 THEN s END) AS sum_qty,
+             max(CASE WHEN idx = 1 THEN s END) AS sum_ln,
+             max(CASE WHEN idx = 2 THEN s END) AS sum_pk,
+             round(CAST(max(CASE WHEN idx = 0 THEN s END) AS DOUBLE)
+                   / max(CASE WHEN idx = 0 THEN c END), 6) AS avg_qty,
+             round(CAST(max(CASE WHEN idx = 1 THEN s END) AS DOUBLE)
+                   / max(CASE WHEN idx = 1 THEN c END), 6) AS avg_ln,
+             round(CAST(max(CASE WHEN idx = 2 THEN s END) AS DOUBLE)
+                   / max(CASE WHEN idx = 2 THEN c END), 6) AS avg_pk
       FROM agg GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "x2_width_bucket" -> """
       SELECT CAST(CASE WHEN c_acctbal < 0 THEN 0
                        WHEN c_acctbal >= 10000 THEN 11
-                       ELSE floor(c_acctbal / 1000.0) + 1 END AS INT) AS bucket,
-             count(*) AS n, count_if(c_acctbal < 0) AS n_neg
+                       ELSE floor(c_acctbal / 1000.0) + 1 END AS BIGINT) AS bucket,
+             count(*) AS n, CAST(count_if(c_acctbal < 0) AS BIGINT) AS n_neg
       FROM customer GROUP BY bucket ORDER BY bucket""",
 
     "x2_empty_set" -> """

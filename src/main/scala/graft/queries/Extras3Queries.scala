@@ -37,19 +37,25 @@ object Extras3Queries {
         FROM (SELECT lang, doc_id, explode(ws) AS word FROM doc_words) e
         GROUP BY lang, word),
       totals AS (SELECT lang, count(*) AS n_docs FROM doc_words GROUP BY lang)
-      SELECT c.lang, array_sort(collect_list(c.word)) AS common_words
+      SELECT c.lang, array_join(array_sort(collect_list(c.word)), '|') AS common_words
       FROM counts c JOIN totals t ON c.lang = t.lang
       WHERE c.n_docs_with = t.n_docs
       GROUP BY c.lang ORDER BY c.lang"""),
 
-    // map_agg: priority -> exact sales map per year.
+    // map_agg: priority -> exact sales map per year. The map is built
+    // with map_from_entries and serialized back through map_entries —
+    // the driver's pandas compare cannot sort map/list cells, and
+    // DECIMAL-to-string is the only rendering both engines agree on
+    // (double-to-string goes scientific in Spark at >=1e7).
     "x3_map_agg" -> sql("""
       WITH a AS (
         SELECT year(o_orderdate) AS yr, o_orderpriority AS p,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS v
         FROM orders GROUP BY year(o_orderdate), o_orderpriority)
       SELECT yr,
-             map_from_entries(array_sort(collect_list(struct(p, v)))) AS sales
+             concat_ws('|', transform(
+               map_entries(map_from_entries(array_sort(collect_list(struct(p, v))))),
+               e -> concat(e.key, '=', CAST(e.value AS STRING)))) AS sales
       FROM a GROUP BY yr ORDER BY yr""")
   )
 
@@ -72,7 +78,7 @@ object Extras3Queries {
         FROM (SELECT lang, doc_id, unnest(ws) AS word FROM doc_words) e
         GROUP BY lang, word),
       totals AS (SELECT lang, count(*) AS n_docs FROM doc_words GROUP BY lang)
-      SELECT c.lang, list_sort(list(c.word)) AS common_words
+      SELECT c.lang, array_to_string(list_sort(list(c.word)), '|') AS common_words
       FROM counts c JOIN totals t ON c.lang = t.lang
       WHERE c.n_docs_with = t.n_docs
       GROUP BY c.lang ORDER BY c.lang""",
@@ -80,9 +86,9 @@ object Extras3Queries {
     "x3_map_agg" -> """
       WITH a AS (
         SELECT year(o_orderdate) AS yr, o_orderpriority AS p,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS v
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(14,2)) AS v
         FROM orders GROUP BY year(o_orderdate), o_orderpriority)
-      SELECT yr, map_from_entries(list({'key': p, 'value': v} ORDER BY p)) AS sales
+      SELECT yr, string_agg(p || '=' || CAST(v AS VARCHAR), '|' ORDER BY p) AS sales
       FROM a GROUP BY yr ORDER BY yr"""
   )
 }

@@ -114,7 +114,7 @@ object ExtrasQueries {
       FROM j ORDER BY event_id""",
 
     "extra_json_tuple" -> """
-      SELECT k2, count(*) AS n, sum(CAST(k2 AS BIGINT)) AS sk FROM (
+      SELECT k2, count(*) AS n, CAST(sum(CAST(k2 AS BIGINT)) AS BIGINT) AS sk FROM (
         SELECT json_extract_string(props, '$.k') AS k2 FROM events) t
       GROUP BY k2 ORDER BY CAST(k2 AS BIGINT)""",
 

@@ -79,7 +79,7 @@ object Final1Queries {
                                               l_quantity, l_extendedprice) AS rn
         FROM loads) x WHERE rn = 1)
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
              count(*) AS n
       FROM v GROUP BY l_returnflag, l_linestatus

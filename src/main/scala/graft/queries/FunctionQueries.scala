@@ -36,7 +36,8 @@ object FunctionQueries {
 
     "fq_bitmap_array" -> sql("""
       SELECT n_regionkey,
-             bitmap_to_array(bitmap_agg(n_nationkey)) AS keys,
+             array_join(transform(bitmap_to_array(bitmap_agg(n_nationkey)),
+                                  x -> CAST(x AS STRING)), '|') AS keys,
              bitmap_contains(bitmap_agg(n_nationkey), 3) AS has3
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""),
 
@@ -52,9 +53,11 @@ object FunctionQueries {
 
     "fq_retention" -> sql("""
       SELECT user_id,
-             retention3(CAST(event_type = 'signup' AS INT)
-               + 2 * CAST(event_type = 'click' AS INT)
-               + 4 * CAST(event_type = 'purchase' AS INT)) AS ret
+             array_join(transform(
+               retention3(CAST(event_type = 'signup' AS INT)
+                 + 2 * CAST(event_type = 'click' AS INT)
+                 + 4 * CAST(event_type = 'purchase' AS INT)),
+               x -> CAST(x AS STRING)), '|') AS ret
       FROM events GROUP BY user_id ORDER BY user_id"""),
 
     "fq_sequence" -> sql("""
@@ -68,7 +71,9 @@ object FunctionQueries {
       FROM events GROUP BY user_id ORDER BY user_id"""),
 
     "fq_topn" -> sql("""
-      SELECT lang, topn5(word) AS top
+      SELECT lang,
+             array_join(transform(topn5(word),
+               x -> concat(x.item, ':', CAST(x.cnt AS STRING))), '|') AS top
       FROM (SELECT lang, explode(split(text, ' ')) AS word FROM documents) w
       GROUP BY lang ORDER BY lang"""),
 
@@ -106,7 +111,8 @@ object FunctionQueries {
       ORDER BY c_nationkey""",
 
     "fq_bitmap_array" -> """
-      SELECT n_regionkey, list_sort(list(DISTINCT n_nationkey)) AS keys,
+      SELECT n_regionkey,
+             array_to_string(list_sort(list(DISTINCT n_nationkey)), '|') AS keys,
              bool_or(n_nationkey = 3) AS has3
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
 
@@ -133,9 +139,9 @@ object FunctionQueries {
 
     "fq_retention" -> """
       SELECT user_id,
-             [bool_or(event_type = 'signup'),
+             array_to_string([bool_or(event_type = 'signup'),
               bool_or(event_type = 'signup') AND bool_or(event_type = 'click'),
-              bool_or(event_type = 'signup') AND bool_or(event_type = 'purchase')] AS ret
+              bool_or(event_type = 'signup') AND bool_or(event_type = 'purchase')], '|') AS ret
       FROM events GROUP BY user_id ORDER BY user_id""",
 
     "fq_sequence" -> """
@@ -149,7 +155,7 @@ object FunctionQueries {
                SELECT 1 FROM events e1 JOIN events e2 ON e2.user_id = e1.user_id
                WHERE e1.user_id = e.user_id AND e1.event_type = 'signup'
                  AND e2.event_type = 'purchase' AND e2.ts > e1.ts)) AS BIGINT) AS m_sp,
-             (SELECT coalesce(count_if(et.event_type = 'click' AND et.prev = 'view'), 0)
+             (SELECT CAST(coalesce(count_if(et.event_type = 'click' AND et.prev = 'view'), 0) AS BIGINT)
               FROM vc et WHERE et.user_id = e.user_id) AS c_vc
       FROM events e GROUP BY e.user_id ORDER BY e.user_id""",
 
@@ -161,7 +167,7 @@ object FunctionQueries {
       r AS (SELECT lang, word, n,
                    row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rn
             FROM w)
-      SELECT lang, list({'item': word, 'cnt': n} ORDER BY rn) AS top
+      SELECT lang, string_agg(word || ':' || CAST(n AS VARCHAR), '|' ORDER BY rn) AS top
       FROM r WHERE rn <= 5 GROUP BY lang ORDER BY lang""",
 
     "fq_product" -> """

@@ -87,14 +87,14 @@ object GeneratorQueries {
       GROUP BY doc_id ORDER BY doc_id""",
 
     "gen_sequence" -> """
-      SELECT n_nationkey, sum(i) AS tri FROM (
+      SELECT n_nationkey, CAST(sum(i) AS BIGINT) AS tri FROM (
         SELECT n_nationkey,
                unnest(generate_series(1, n_nationkey % 5 + 1)) AS i
         FROM nation) u
       GROUP BY n_nationkey ORDER BY n_nationkey""",
 
     "gen_json_extract" -> """
-      SELECT event_type, sum(k) AS sum_k, count(*) AS n,
+      SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(*) AS n,
              min(k) AS min_k, max(k) AS max_k FROM (
         SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k, event_type
         FROM events) e

@@ -91,7 +91,8 @@ object MiscQueries {
              ai_classify(text, array('tech', 'sports', 'news')) AS cls,
              ai_mask(concat('id ', CAST(doc_id AS STRING), ' contact a', CAST(doc_id AS STRING), '@x.com ', substring(text, 1, 20))) AS masked,
              round(ai_similarity(text, 'data table query'), 6) AS sim,
-             transform(embed(text), x -> round(x, 6)) AS emb
+             concat_ws(',', transform(embed(text),
+               x -> CAST(CAST(round(x, 6) AS DECIMAL(9,6)) AS STRING))) AS emb
       FROM documents WHERE doc_id < 50 ORDER BY doc_id""")
   )
 
@@ -147,10 +148,10 @@ object MiscQueries {
                lower(text) AS lt
         FROM documents)
       SELECT lang,
-             count_if(len(list_intersect(ts, ['slow', 'fast'])) > 0) AS n_any,
-             count_if(list_contains(ts, 'slow') AND list_contains(ts, 'fast')) AS n_all,
-             count_if(instr(concat(' ', array_to_string(ts, ' '), ' '), ' slow fast ') > 0) AS n_phrase,
-             count_if(len(ts) > 50) AS n_long
+             CAST(count_if(len(list_intersect(ts, ['slow', 'fast'])) > 0) AS BIGINT) AS n_any,
+             CAST(count_if(list_contains(ts, 'slow') AND list_contains(ts, 'fast')) AS BIGINT) AS n_all,
+             CAST(count_if(instr(concat(' ', array_to_string(ts, ' '), ' '), ' slow fast ') > 0) AS BIGINT) AS n_phrase,
+             CAST(count_if(len(ts) > 50) AS BIGINT) AS n_long
       FROM tok GROUP BY lang ORDER BY lang""",
 
     "misc_dict" -> """
@@ -185,8 +186,9 @@ object MiscQueries {
                                  ['data', 'table', 'query']))::DOUBLE /
               len(list_distinct(list_concat(list_distinct(string_split(lower(text), ' ')),
                                  ['data', 'table', 'query']))), 6) AS sim,
-        list_transform(generate_series(0, 7), i ->
-          round((CAST(concat('0x', substr(md5(text), i * 4 + 1, 4)) AS BIGINT) - 32767.5) / 32767.5, 6)) AS emb
+        array_to_string(list_transform(generate_series(0, 7), i ->
+          CAST(CAST(round((CAST(concat('0x', substr(md5(text), i * 4 + 1, 4)) AS BIGINT) - 32767.5) / 32767.5, 6)
+               AS DECIMAL(9,6)) AS VARCHAR)), ',') AS emb
       FROM documents WHERE doc_id < 50 ORDER BY doc_id"""
   )
 }

@@ -92,7 +92,8 @@ object MlQueries {
         .select(col("doc_id"),
           col("meta.format").as("fmt"), col("meta.width").as("w"),
           col("meta.height").as("h"), col("meta.n_bytes").as("nb"),
-          MultimodalOps.frameOffsets(col("blob"), 4).as("offs"))
+          concat_ws(",", transform(MultimodalOps.frameOffsets(col("blob"), 4),
+            x => x.cast("string"))).as("offs"))
         .orderBy(col("doc_id"))
     })
   )
@@ -200,8 +201,8 @@ object MlQueries {
         CAST((octet_length(CAST(concat('IMG0', text) AS BLOB)) * 7) % 1920 + 1 AS INT) AS w,
         CAST((octet_length(CAST(concat('IMG0', text) AS BLOB)) * 13) % 1080 + 1 AS INT) AS h,
         octet_length(CAST(concat('IMG0', text) AS BLOB)) AS nb,
-        list_transform(generate_series(0, 3),
-          i -> i * (octet_length(CAST(concat('IMG0', text) AS BLOB)) // 4)) AS offs
+        array_to_string(list_transform(generate_series(0, 3),
+          i -> i * (octet_length(CAST(concat('IMG0', text) AS BLOB)) // 4)), ',') AS offs
       FROM documents WHERE doc_id < 100 ORDER BY doc_id"""
     // ml_dedup_simhash, ml_ann_lsh: rows-only (engine-seeded hashes)
   )

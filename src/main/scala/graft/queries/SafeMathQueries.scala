@@ -32,7 +32,7 @@ object SafeMathQueries {
              try_add(9223372036854775807L, CAST(n_nationkey AS BIGINT)) AS ta,
              try_multiply(4611686018427387904L, CAST(n_nationkey AS BIGINT)) AS tm,
              try_divide(CAST(n_nationkey AS DOUBLE), CAST(n_nationkey % 2 AS DOUBLE)) AS td,
-             try_to_number(concat('12', CASE WHEN n_nationkey % 2 = 0 THEN '3' ELSE 'x' END), '999') AS tn,
+             CAST(try_to_number(concat('12', CASE WHEN n_nationkey % 2 = 0 THEN '3' ELSE 'x' END), '999') AS BIGINT) AS tn,
              try_element_at(array(1, 2, 3), CAST(n_nationkey + 1 AS INT)) AS te
       FROM nation ORDER BY n_nationkey""")
   )
@@ -61,7 +61,7 @@ object SafeMathQueries {
              CASE WHEN n_nationkey = 0 THEN 9223372036854775807 END AS ta,
              CASE WHEN n_nationkey <= 1 THEN 4611686018427387904 * n_nationkey END AS tm,
              CASE WHEN n_nationkey % 2 = 1 THEN CAST(n_nationkey AS DOUBLE) END AS td,
-             CASE WHEN n_nationkey % 2 = 0 THEN 123 END AS tn,
+             CAST(CASE WHEN n_nationkey % 2 = 0 THEN 123 END AS BIGINT) AS tn,
              CASE WHEN n_nationkey + 1 BETWEEN 1 AND 3 THEN n_nationkey + 1 END AS te
       FROM nation ORDER BY n_nationkey"""
   )

@@ -119,17 +119,17 @@ object ScalarQueries {
           size(col("words")).as("n"),
           array_contains(col("words"), "data").as("has_data"),
           array_position(col("words"), "data").cast("int").as("pos_data"),
-          array_distinct(col("words")).as("uniq") /* order = first occurrence */,
-          slice(col("words"), 1, 3).as("first3"),
+          array_join(array_distinct(col("words")), "|").as("uniq") /* order = first occurrence */,
+          array_join(slice(col("words"), 1, 3), "|").as("first3"),
           array_join(slice(col("words"), 1, 3), "_").as("joined"),
           array_max(col("words")).as("mx"),
           array_min(col("words")).as("mn"),
-          sort_array(array_distinct(col("words"))).as("sorted_uniq"),
+          array_join(sort_array(array_distinct(col("words"))), "|").as("sorted_uniq"),
           element_at(col("words"), 1).as("w1"),
           element_at(col("words"), -1).as("wlast"),
-          reverse(slice(col("words"), 1, 3)).as("rev3"),
-          flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 1))).as("flat3"),
-          array_repeat(element_at(col("words"), 1), 2).as("rep2"))
+          array_join(reverse(slice(col("words"), 1, 3)), "|").as("rev3"),
+          array_join(flatten(array(slice(col("words"), 1, 2), slice(col("words"), 3, 1))), "|").as("flat3"),
+          array_join(array_repeat(element_at(col("words"), 1), 2), "|").as("rep2"))
         .orderBy(col("doc_id"))
     }),
 
@@ -138,12 +138,12 @@ object ScalarQueries {
       graft.Tables.registerAll(s, dir)
       s.sql("""
         SELECT doc_id,
-          transform(ws, w -> length(w)) AS lens,
-          filter(ws, w -> length(w) > 4) AS longw,
+          array_join(transform(ws, w -> CAST(length(w) AS STRING)), '|') AS lens,
+          array_join(filter(ws, w -> length(w) > 4), '|') AS longw,
           exists(ws, w -> w = 'data') AS has_data,
           forall(ws, w -> length(w) > 1) AS all_long,
-          aggregate(ws, 0, (acc, w) -> acc + length(w)) AS total_len,
-          zip_with(slice(ws, 1, 3), slice(ws, 2, 3), (a, b) -> concat(a, '>', b)) AS bigrams
+          CAST(aggregate(ws, 0, (acc, w) -> acc + length(w)) AS BIGINT) AS total_len,
+          array_join(zip_with(slice(ws, 1, 3), slice(ws, 2, 3), (a, b) -> concat(a, '>', b)), '|') AS bigrams
         FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents WHERE doc_id < 100) d
         ORDER BY doc_id""")
     }),
@@ -243,28 +243,28 @@ object ScalarQueries {
       SELECT doc_id, len(ws) AS n,
         list_contains(ws, 'data') AS has_data,
         CAST(coalesce(list_position(ws, 'data'), 0) AS INT) AS pos_data,
-        list_filter(ws, (w, i) -> list_position(ws, w) = i) AS uniq,
-        ws[1:3] AS first3,
+        array_to_string(list_filter(ws, (w, i) -> list_position(ws, w) = i), '|') AS uniq,
+        array_to_string(ws[1:3], '|') AS first3,
         array_to_string(ws[1:3], '_') AS joined,
         list_max(ws) AS mx, list_min(ws) AS mn,
-        list_sort(list_distinct(ws)) AS sorted_uniq,
+        array_to_string(list_sort(list_distinct(ws)), '|') AS sorted_uniq,
         ws[1] AS w1, ws[-1] AS wlast,
-        list_reverse(ws[1:3]) AS rev3,
-        flatten([ws[1:2], ws[3:3]]) AS flat3,
-        [ws[1], ws[1]] AS rep2
+        array_to_string(list_reverse(ws[1:3]), '|') AS rev3,
+        array_to_string(flatten([ws[1:2], ws[3:3]]), '|') AS flat3,
+        array_to_string([ws[1], ws[1]], '|') AS rep2
       FROM (SELECT doc_id, string_split(text, ' ') AS ws
             FROM documents WHERE doc_id < 100) d
       ORDER BY doc_id""",
 
     "fn_array_hof" -> """
       SELECT doc_id,
-        list_transform(ws, w -> length(w)) AS lens,
-        list_filter(ws, w -> length(w) > 4) AS longw,
+        array_to_string(list_transform(ws, w -> length(w)), '|') AS lens,
+        array_to_string(list_filter(ws, w -> length(w) > 4), '|') AS longw,
         len(list_filter(ws, w -> w = 'data')) > 0 AS has_data,
         len(list_filter(ws, w -> length(w) <= 1)) = 0 AS all_long,
-        coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS total_len,
-        list_transform(generate_series(1, least(3, len(ws) - 1)),
-                       i -> concat(ws[i], '>', ws[i + 1])) AS bigrams
+        CAST(coalesce(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS total_len,
+        array_to_string(list_transform(generate_series(1, least(3, len(ws) - 1)),
+                        i -> concat(ws[i], '>', ws[i + 1])), '|') AS bigrams
       FROM (SELECT doc_id, string_split(text, ' ') AS ws
             FROM documents WHERE doc_id < 100) d
       ORDER BY doc_id""",

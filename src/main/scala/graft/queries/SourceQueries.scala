@@ -37,7 +37,7 @@ object SourceQueries {
       .orderBy(col("n_regionkey"))
 
   private val oracleAgg = """
-      SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS sk,
+      SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sk,
              min(n_name) AS mn
       FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""
 
@@ -84,7 +84,7 @@ object SourceQueries {
       SELECT c_nationkey, count(*) AS n FROM customer
       WHERE c_acctbal > 9000 GROUP BY c_nationkey ORDER BY c_nationkey""",
     "src_numbers" -> """
-      SELECT id % 7 AS bucket, count(*) AS n, sum(id) AS s
+      SELECT id % 7 AS bucket, count(*) AS n, CAST(sum(id) AS BIGINT) AS s
       FROM (SELECT unnest(generate_series(1, 10000)) AS id) t
       GROUP BY bucket ORDER BY bucket""",
     "src_schema_scan" -> """

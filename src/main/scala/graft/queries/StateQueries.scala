@@ -15,7 +15,11 @@ object StateQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "state_linear_histogram" -> sql("""
-      SELECT c_mktsegment, linear_histogram_100(c_acctbal) AS hist
+      SELECT c_mktsegment,
+             concat_ws('|', transform(linear_histogram_100(c_acctbal),
+               h -> concat(CAST(CAST(h.lower AS BIGINT) AS STRING), '-',
+                           CAST(CAST(h.upper AS BIGINT) AS STRING), ':',
+                           CAST(h.cnt AS STRING)))) AS hist
       FROM customer WHERE c_acctbal >= 0
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
 
@@ -25,7 +29,9 @@ object StateQueries {
       GROUP BY user_id ORDER BY user_id"""),
 
     "state_count_by_enum" -> sql("""
-      SELECT user_id, count_by_enum(event_type) AS cbe
+      SELECT user_id,
+             concat_ws('|', transform(count_by_enum(event_type),
+               e -> concat(e.item, ':', CAST(e.cnt AS STRING)))) AS cbe
       FROM events WHERE user_id < 30
       GROUP BY user_id ORDER BY user_id"""),
 
@@ -65,9 +71,9 @@ object StateQueries {
         FROM customer WHERE c_acctbal >= 0
         GROUP BY c_mktsegment, k)
       SELECT c_mktsegment,
-             list({'lower': CAST(k * 100.0 AS DOUBLE),
-                   'upper': CAST((k + 1) * 100.0 AS DOUBLE), 'cnt': c}
-                  ORDER BY k) AS hist
+             string_agg(CAST(k * 100 AS VARCHAR) || '-' ||
+                        CAST((k + 1) * 100 AS VARCHAR) || ':' ||
+                        CAST(c AS VARCHAR), '|' ORDER BY k) AS hist
       FROM b GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "state_ema" -> """
@@ -80,7 +86,7 @@ object StateQueries {
     "state_count_by_enum" -> """
       WITH c AS (SELECT user_id, event_type, count(*) AS n FROM events
                  WHERE user_id < 30 GROUP BY user_id, event_type)
-      SELECT user_id, list({'item': event_type, 'cnt': n} ORDER BY event_type) AS cbe
+      SELECT user_id, string_agg(event_type || ':' || CAST(n AS VARCHAR), '|' ORDER BY event_type) AS cbe
       FROM c GROUP BY user_id ORDER BY user_id""",
 
     "state_combinators" -> """
