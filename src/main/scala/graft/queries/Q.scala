@@ -27,6 +27,39 @@ object Q {
 
   def dbl(c: Column): Column = c.cast(DoubleType)
 
+  // ---- integer-cents hot path ----------------------------------------
+  // Summing DECIMAL(12,2) widens the sum buffer to DECIMAL(22,2), which
+  // exceeds Spark's compact-long threshold (18 digits) and falls back to
+  // per-row java BigDecimal — ~3-5x slower than a codegen long sum. The
+  // reference stores DECIMAL as int64/int128 and aggregates integers
+  // (be/src/types: decimal as underlying ints); we do the same: exact
+  // integer cents in a LONG, one double conversion at the very end.
+  // Exactness bound: |sum| must stay < 2^63. Worst-case lineitem money
+  // value ~1.1e7 cents -> safe to ~8e11 rows (>100 TB of lineitem);
+  // the 1e-4-dollar (x100) and 1e-6-dollar (x10000) products below are
+  // safe to ~9e10 and ~9e9 rows respectively — beyond that, switch the
+  // affected aggregate back to the decimal path.
+  // The fixtures store money as DOUBLE with 2dp values: v*100 rounds to
+  // the exact cent (values << 2^53), matching CAST(v AS DECIMAL(12,2)).
+
+  /** exact integer cents of a 2dp money value. */
+  def cents(c: Column): Column = round(c * 100).cast(LongType)
+  /** exact integer percent points of a 2dp rate (0.07 -> 7). */
+  def pct(c: Column): Column = round(c * 100).cast(LongType)
+  /** cents of ep*(1-disc): 1e-4-dollar units. */
+  def revCents4(ep: Column, disc: Column): Column =
+    cents(ep) * (lit(100L) - pct(disc))
+  /** render an integer-unit sum as the same DOUBLE the decimal path
+    * yields: one exact long->double conversion, one IEEE division —
+    * bit-identical to DuckDB's CAST(DECIMAL-sum AS DOUBLE). */
+  def unitsToDbl(sumCol: Column, unitsPerDollar: Double): Column =
+    dbl(sumCol) / lit(unitsPerDollar)
+  /** drop-in for dbl(sum(money(c))). */
+  def moneySumDbl(c: Column): Column = unitsToDbl(sum(cents(c)), 100.0)
+  /** drop-in for dbl(sum(rev(ep, disc))). */
+  def revSumDbl(ep: Column, disc: Column): Column =
+    unitsToDbl(sum(revCents4(ep, disc)), 1e4)
+
   // DuckDB-side oracle fragments (same exact-decimal scheme)
   val oRev =
     "SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))"

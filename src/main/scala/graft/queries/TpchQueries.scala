@@ -20,11 +20,13 @@ object TpchQueries {
       l.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          dbl(sum(money(col("l_extendedprice")))).as("sum_base_price"),
-          dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("sum_disc_price"),
-          dbl(sum(rev(col("l_extendedprice"), col("l_discount")) * (one + rate(col("l_tax"))))).as("sum_charge"),
+          moneySumDbl(col("l_extendedprice")).as("sum_base_price"),
+          revSumDbl(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+          // ep*(1-d)*(1+t) in exact 1e-6-dollar integer units
+          unitsToDbl(sum(revCents4(col("l_extendedprice"), col("l_discount"))
+            * (lit(100L) + pct(col("l_tax")))), 1e6).as("sum_charge"),
           (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
-          (dbl(sum(money(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (moneySumDbl(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
           (dbl(sum(rate(col("l_discount")))) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -38,7 +40,7 @@ object TpchQueries {
       c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     }),
@@ -67,7 +69,7 @@ object TpchQueries {
         .filter(col("r_name") === "ASIA" &&
           col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
         .groupBy(col("n_name"))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -76,7 +78,8 @@ object TpchQueries {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
           col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
-        .agg(dbl(sum(money(col("l_extendedprice")) * rate(col("l_discount")))).as("revenue"))
+        .agg(unitsToDbl(sum(cents(col("l_extendedprice")) * pct(col("l_discount"))), 1e4)
+          .as("revenue"))
     }),
 
     // Q7: self-join of nation via two roles (supp/cust), year extraction.
@@ -94,7 +97,7 @@ object TpchQueries {
                 (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") <= "1997-12-31")
         .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 
@@ -115,9 +118,9 @@ object TpchQueries {
         .join(r, col("cn_region") === col("r_regionkey"))
         .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") <= "1997-12-31")
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg((dbl(sum(when(col("supp_nation") === "NATION_3",
-            rev(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0).cast("decimal(12,2)")))) /
-          dbl(sum(rev(col("l_extendedprice"), col("l_discount"))))).as("mkt_share"))
+        .agg((unitsToDbl(sum(when(col("supp_nation") === "NATION_3",
+            revCents4(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0L))), 1e4) /
+          revSumDbl(col("l_extendedprice"), col("l_discount"))).as("mkt_share"))
         .orderBy(col("o_year"))
     }),
 
@@ -131,7 +134,7 @@ object TpchQueries {
         .join(o, col("o_orderkey") === col("l_orderkey"))
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("sum_profit"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
 
@@ -146,7 +149,7 @@ object TpchQueries {
         .join(l, col("l_orderkey") === col("o_orderkey"))
         .join(n, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -183,9 +186,9 @@ object TpchQueries {
         .filter(col("l_shipdate") >= "1996-09-01" && col("l_shipdate") < "1996-10-01")
       val p = t(s, dir, "part")
       l.join(p, col("l_partkey") === col("p_partkey"))
-        .agg((lit(100.0) * dbl(sum(when(col("p_type") === "PROMO",
-            rev(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0).cast("decimal(12,2)")))) /
-          dbl(sum(rev(col("l_extendedprice"), col("l_discount"))))).as("promo_revenue"))
+        .agg((lit(100.0) * unitsToDbl(sum(when(col("p_type") === "PROMO",
+            revCents4(col("l_extendedprice"), col("l_discount"))).otherwise(lit(0L))), 1e4) /
+          revSumDbl(col("l_extendedprice"), col("l_discount"))).as("promo_revenue"))
     }),
 
     // Q15: scalar subquery on an aggregated derived table (top supplier).
@@ -193,7 +196,7 @@ object TpchQueries {
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
       val revenue = l.groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("total_revenue"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("total_revenue"))
       val maxRev = revenue.agg(max(col("total_revenue")).as("m"))
       val su = t(s, dir, "supplier")
       su.join(revenue, col("s_suppkey") === col("supplier_no"))
@@ -225,7 +228,7 @@ object TpchQueries {
       l.join(p, col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("pk"))
         .filter(col("l_quantity") < col("half_avg"))
-        .agg((dbl(sum(money(col("l_extendedprice")))) / 7.0).as("avg_yearly"))
+        .agg((moneySumDbl(col("l_extendedprice")) / 7.0).as("avg_yearly"))
     }),
 
     // Q18: IN subquery over grouped-having (large orders).
@@ -251,7 +254,7 @@ object TpchQueries {
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) && col("l_quantity").between(1, 11)) ||
           (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) && col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#3") && col("p_size").between(1, 35) && col("l_quantity").between(20, 30))
-        .agg(dbl(sum(rev(col("l_extendedprice"), col("l_discount")))).as("revenue"))
+        .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("revenue"))
     }),
 
     // Q20 (adapted): semi-join chain — suppliers that shipped PROMO parts heavily.
@@ -293,12 +296,12 @@ object TpchQueries {
     "q22_global_sales" -> ((s, dir) => {
       val c = t(s, dir, "customer").withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)))
       val avgBal = t(s, dir, "customer").filter(col("c_acctbal") > 0)
-        .agg((dbl(sum(money(col("c_acctbal")))) / count(lit(1))).as("ab"))
+        .agg((moneySumDbl(col("c_acctbal")) / count(lit(1))).as("ab"))
       val o = t(s, dir, "orders").filter(col("o_orderdate") >= "1999-01-01").select(col("o_custkey"))
       c.join(avgBal).filter(col("c_acctbal") > col("ab"))
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
-        .agg(count(lit(1)).as("numcust"), dbl(sum(money(col("c_acctbal")))).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), moneySumDbl(col("c_acctbal")).as("totacctbal"))
         .orderBy(col("cntrycode"))
     })
   )
