@@ -33,7 +33,8 @@ object SparkEntry {
       (graft.queries.DateJsonQueries.queries, graft.queries.DateJsonQueries.oracle),
       (graft.queries.SafeMathQueries.queries, graft.queries.SafeMathQueries.oracle),
       (graft.queries.Final1Queries.queries, graft.queries.Final1Queries.oracle),
-      (graft.queries.SubqueryQueries.queries, graft.queries.SubqueryQueries.oracle)
+      (graft.queries.SubqueryQueries.queries, graft.queries.SubqueryQueries.oracle),
+      (graft.queries.Round2Queries.queries, graft.queries.Round2Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

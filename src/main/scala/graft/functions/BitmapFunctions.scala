@@ -111,5 +111,46 @@ object Bitmaps {
       }
       ser(out)
     })
+    // string codec + slicing surface (reference: bitmap_from_string /
+    // bitmap_to_string / sub_bitmap / bitmap_subset_in_range in
+    // be/src/exprs/function/function_bitmap.cpp)
+    u.register("bitmap_from_string", (s: String) => {
+      val out = new Roaring64NavigableMap()
+      if (s != null && s.nonEmpty)
+        s.split(",").foreach(p => out.addLong(p.trim.toLong))
+      ser(out)
+    })
+    u.register("bitmap_to_string", (b: Array[Byte]) => {
+      val sb = new StringBuilder
+      val it = deser(b).iterator()
+      while (it.hasNext) { if (sb.nonEmpty) sb.append(','); sb.append(it.next()) }
+      sb.toString
+    })
+    u.register("sub_bitmap", (b: Array[Byte], offset: Long, len: Long) => {
+      // offset = element rank (ascending unsigned), len = element count
+      val out = new Roaring64NavigableMap()
+      val it = deser(b).iterator()
+      var i = 0L
+      while (it.hasNext && i < offset + len) {
+        val v = it.next()
+        if (i >= offset) out.addLong(v)
+        i += 1
+      }
+      ser(out)
+    })
+    u.register("bitmap_subset_in_range", (b: Array[Byte], lo: Long, hi: Long) => {
+      val out = new Roaring64NavigableMap()
+      val it = deser(b).iterator()
+      while (it.hasNext) { val v = it.next(); if (v >= lo && v < hi) out.addLong(v) }
+      ser(out)
+    })
+    u.register("bitmap_remove", (b: Array[Byte], v: Long) => {
+      val m = deser(b); m.removeLong(v); ser(m)
+    })
+    u.register("bitmap_has_all", (a: Array[Byte], b: Array[Byte]) => {
+      val x = deser(b); x.andNot(deser(a)); x.isEmpty
+    })
+    u.register("bitmap_xor_count", (a: Array[Byte], b: Array[Byte]) =>
+      deser(binop(a, b)(_ xor _)).getLongCardinality)
   }
 }

@@ -69,7 +69,28 @@ object MiscFunctions {
        RETURNS BOOLEAN RETURN s IS NOT NULL AND s <> ''""",
     // dayname/monthname are Spark 4 built-ins already (Doris names match)
     """CREATE OR REPLACE TEMPORARY FUNCTION money_format(v DOUBLE)
-       RETURNS STRING RETURN format_number(v, 2)"""
+       RETURNS STRING RETURN format_number(v, 2)""",
+    // ---- Doris datetime floor/ceil family (function_datetime_floor_ceil
+    // .cpp). Floor = date_trunc; ceil = exact integer ceil-division on
+    // epoch micros (x div with negation: truncation toward zero on a
+    // negated positive == ceiling — no double rounding at 1e18 us).
+    """CREATE OR REPLACE TEMPORARY FUNCTION hour_floor(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN date_trunc('hour', t)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_floor(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN date_trunc('day', t)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION minute_floor(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN date_trunc('minute', t)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION month_floor(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN date_trunc('month', t)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION hour_ceil(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN
+       timestamp_micros(-((-unix_micros(t)) div 3600000000) * 3600000000)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION day_ceil(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN
+       timestamp_micros(-((-unix_micros(t)) div 86400000000) * 86400000000)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION minute_ceil(t TIMESTAMP)
+       RETURNS TIMESTAMP RETURN
+       timestamp_micros(-((-unix_micros(t)) div 60000000) * 60000000)"""
   )
 
   // per-statement guard: one bad definition must not silently skip the

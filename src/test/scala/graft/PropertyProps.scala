@@ -37,6 +37,17 @@ object BitmapProps extends Properties("Bitmaps") {
     val x = Bitmaps.deser(bm(a)); x.andNot(Bitmaps.deser(bm(b)))
     x.toArray.toSeq.sorted == a.distinct.filterNot(b.contains).sorted
   }
+
+  // ids above Long.MaxValue (negative as signed) must still come out in
+  // ascending UNSIGNED order — reference BITMAP treats ids as uint64
+  private val idsU = Gen.listOf(Gen.oneOf(
+    Gen.chooseNum(0L, 10000L),
+    Gen.chooseNum(Long.MinValue, Long.MinValue + 10000L)))
+  property("toArray ascending unsigned") = forAll(idsU) { xs =>
+    val arr = Bitmaps.deser(bm(xs)).toArray.toSeq
+    arr == xs.distinct.sorted(Ordering.fromLessThan[Long](
+      java.lang.Long.compareUnsigned(_, _) < 0))
+  }
 }
 
 object FunnelProps extends Properties("WindowFunnel") {
