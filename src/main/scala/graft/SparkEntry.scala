@@ -34,7 +34,8 @@ object SparkEntry {
       (graft.queries.SafeMathQueries.queries, graft.queries.SafeMathQueries.oracle),
       (graft.queries.Final1Queries.queries, graft.queries.Final1Queries.oracle),
       (graft.queries.SubqueryQueries.queries, graft.queries.SubqueryQueries.oracle),
-      (graft.queries.Round2Queries.queries, graft.queries.Round2Queries.oracle)
+      (graft.queries.Round2Queries.queries, graft.queries.Round2Queries.oracle),
+      (graft.queries.Round2bQueries.queries, graft.queries.Round2bQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

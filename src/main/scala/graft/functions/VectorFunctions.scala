@@ -67,6 +67,12 @@ object VectorFunctions {
       """1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
              / (sqrt(aggregate(transform(a, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))
               * sqrt(aggregate(transform(b, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""")
+    // similarity form — NOT 1-cosine_distance (that round-trips through
+    // two IEEE subtractions and can differ in the last ulp)
+    create("cosine_sim",
+      """aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+             / (sqrt(aggregate(transform(a, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v))
+              * sqrt(aggregate(transform(b, x -> x * x), CAST(0 AS DOUBLE), (acc, v) -> acc + v)))""")
     } catch {
       case _: org.apache.spark.sql.catalyst.parser.ParseException => fallback()
     }

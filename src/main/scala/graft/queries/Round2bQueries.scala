@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-2 second sweep: wider scalar-function parity batteries
+  * (reference: be/src/exprs/function/function_string.cpp,
+  * function_math.cpp, function_datetime.cpp;
+  * fe BuiltinScalarFunctions.java), IVF-style ANN (two-level
+  * centroid-probe search — the faiss_ann_index.h IVF analog, fully
+  * deterministic so the oracle is exact), brute-force SimHash with an
+  * md5-derived bit hash (cross-engine exact, complementing the banded
+  * xxhash scale path), and a salting pattern for skewed joins
+  * (reference: Doris handles skew via bucket splitting; the Spark
+  * idiom is key salting — result must equal the unsalted join).
+  */
+object Round2bQueries {
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fn_string2" -> sql("""
+      SELECT n_nationkey,
+             substring_index(n_name, 'A', 1) AS si1,
+             substring_index(concat(n_name, '-', n_name), '-', 1) AS si2,
+             elt(CAST(n_nationkey % 3 + 1 AS INT), 'x', 'y', 'z') AS e1,
+             repeat(substring(n_name, 1, 2), 3) AS rep,
+             lpad(n_name, 12, '*') AS lp,
+             rpad(n_name, 12, '#') AS rp,
+             translate(n_name, 'AEI', 'aei') AS tr,
+             overlay(n_name PLACING 'XX' FROM 2 FOR 2) AS ov,
+             ascii(n_name) AS asc,
+             char(CAST(65 + n_nationkey % 26 AS BIGINT)) AS ch,
+             bin(CAST(n_nationkey AS BIGINT)) AS bn,
+             hex(CAST(n_nationkey AS BIGINT)) AS hx,
+             initcap(lower(n_name)) AS ic,
+             reverse(n_name) AS rv,
+             concat_ws('/', n_name, CAST(n_nationkey AS STRING)) AS cw
+      FROM nation ORDER BY n_nationkey"""),
+
+    "fn_date2" -> sql("""
+      SELECT o_orderkey,
+             quarter(o_orderdate) AS q,
+             weekofyear(o_orderdate) AS wy,
+             dayofyear(o_orderdate) AS dy,
+             dayofweek(o_orderdate) AS dw,
+             CAST(last_day(o_orderdate) AS DATE) AS ld,
+             make_date(2026, CAST(month(o_orderdate) AS INT), 1) AS md,
+             datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS dd,
+             date_format(o_orderdate, 'yyyy-MM-dd HH:mm') AS fmt
+      FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""),
+
+    "fn_math2" -> sql("""
+      SELECT n_nationkey,
+             round(cbrt(CAST(n_nationkey AS DOUBLE)), 6) AS cb,
+             round(degrees(CAST(n_nationkey AS DOUBLE) / 10), 6) AS dg,
+             round(radians(CAST(n_nationkey AS DOUBLE) * 10), 6) AS rd,
+             sign(CAST(n_nationkey AS DOUBLE) - 12) AS sg,
+             round(pi(), 6) AS p,
+             round(exp(CAST(n_nationkey AS DOUBLE) / 10), 6) AS ex,
+             round(log10(CAST(n_nationkey + 1 AS DOUBLE)), 6) AS l10,
+             round(log2(CAST(n_nationkey + 1 AS DOUBLE)), 6) AS l2,
+             round(atan2(CAST(n_nationkey AS DOUBLE), 7.0), 6) AS at2,
+             round(sinh(CAST(n_nationkey AS DOUBLE) / 10), 6) AS sh,
+             round(tanh(CAST(n_nationkey AS DOUBLE) / 10), 6) AS th,
+             factorial(CAST(n_nationkey % 10 AS INT)) AS fc,
+             shiftleft(CAST(n_nationkey AS BIGINT), 3) AS sl,
+             shiftright(CAST(n_nationkey AS BIGINT), 1) AS sr,
+             greatest(n_nationkey, n_regionkey * 7) AS gr,
+             least(n_nationkey, n_regionkey * 7) AS ls,
+             floor(CAST(n_nationkey AS DOUBLE) * 1.37 * 100) / 100 AS tr2
+      FROM nation ORDER BY n_nationkey"""),
+
+    // IVF ANN: 8 centroid cells (vectors 0..7), assign corpus by best
+    // cosine, probe the query's 2 best cells, exact top-5 inside.
+    "ml_ann_ivf" -> sql("""
+      WITH cent AS (
+        SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+      assign AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   round(cosine_sim(transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                    transform(c.cemb, x -> CAST(x AS DOUBLE))), 6) DESC,
+                   c.cid) AS rn
+          FROM embeddings e CROSS JOIN cent c) a WHERE rn = 1),
+      qcells AS (
+        SELECT q_id, cid FROM (
+          SELECT q.vec_id AS q_id, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   round(cosine_sim(transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                    transform(c.cemb, x -> CAST(x AS DOUBLE))), 6) DESC,
+                   c.cid) AS rn
+          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id >= 100 AND q.vec_id < 103) b
+        WHERE rn <= 2)
+      SELECT q_id, rn, vec_id, sim FROM (
+        SELECT qc.q_id, a.vec_id,
+               round(cosine_sim(transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
+               row_number() OVER (PARTITION BY qc.q_id ORDER BY
+                 round(cosine_sim(transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                  transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
+                 a.vec_id) AS rn
+        FROM qcells qc
+        JOIN assign a ON a.cid = qc.cid
+        JOIN embeddings q ON q.vec_id = qc.q_id
+        WHERE a.vec_id <> qc.q_id) t
+      WHERE rn <= 5 ORDER BY q_id, rn"""),
+
+    // brute-force SimHash with md5-derived 60-bit word hashes —
+    // cross-engine exact (the banded xxhash variant stays the scale path).
+    "ml_simhash_exact" -> sql("""
+      WITH sh AS (
+        SELECT doc_id,
+               aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) ->
+                 acc + IF(aggregate(split(text, ' '), CAST(0 AS BIGINT), (a, w) ->
+                            a + IF((shiftright(CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT),
+                                               CAST(i AS INT)) & 1) = 1, 1, -1)) > 0,
+                          shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT))) AS sh
+        FROM documents WHERE doc_id < 150)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(a.sh ^ b.sh) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(a.sh ^ b.sh) <= 16
+      ORDER BY id_a, id_b"""),
+
+    // salting for skewed keys: explode the hot side into SALT subkeys,
+    // replicate the dim side across salts, join, aggregate — result
+    // must equal the unsalted join (which is the oracle).
+    "bucket_salted_skew_join" -> ((s, dir) => {
+      val salts = 8
+      val l = t(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_linenumber") + col("l_partkey"), lit(salts)))
+      val o = t(s, dir, "orders")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySumDbl(col("l_extendedprice")).as("rev"))
+        .orderBy(col("o_orderpriority"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string2" -> """
+      SELECT n_nationkey,
+             split_part(n_name, 'A', 1) AS si1,
+             split_part(concat(n_name, '-', n_name), '-', 1) AS si2,
+             ['x', 'y', 'z'][CAST(n_nationkey % 3 + 1 AS INT)] AS e1,
+             repeat(substring(n_name, 1, 2), 3) AS rep,
+             lpad(n_name, 12, '*') AS lp,
+             rpad(n_name, 12, '#') AS rp,
+             translate(n_name, 'AEI', 'aei') AS tr,
+             concat(substring(n_name, 1, 1), 'XX', substring(n_name, 4)) AS ov,
+             ascii(substring(n_name, 1, 1)) AS asc,
+             chr(CAST(65 + n_nationkey % 26 AS INT)) AS ch,
+             bin(CAST(n_nationkey AS BIGINT)) AS bn,
+             upper(to_hex(CAST(n_nationkey AS BIGINT))) AS hx,
+             concat(upper(substring(lower(n_name), 1, 1)), substring(lower(n_name), 2)) AS ic,
+             reverse(n_name) AS rv,
+             concat(n_name, '/', CAST(n_nationkey AS VARCHAR)) AS cw
+      FROM nation ORDER BY n_nationkey""",
+
+    "fn_date2" -> """
+      SELECT o_orderkey,
+             quarter(o_orderdate) AS q,
+             weekofyear(o_orderdate) AS wy,
+             dayofyear(o_orderdate) AS dy,
+             dayofweek(o_orderdate) + 1 AS dw,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS ld,
+             make_date(2026, CAST(month(o_orderdate) AS INT), 1) AS md,
+             datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd,
+             strftime(o_orderdate, '%Y-%m-%d %H:%M') AS fmt
+      FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""",
+
+    "fn_math2" -> """
+      SELECT n_nationkey,
+             round(cbrt(CAST(n_nationkey AS DOUBLE)), 6) AS cb,
+             round(degrees(CAST(n_nationkey AS DOUBLE) / 10), 6) AS dg,
+             round(radians(CAST(n_nationkey AS DOUBLE) * 10), 6) AS rd,
+             CAST(sign(CAST(n_nationkey AS DOUBLE) - 12) AS DOUBLE) AS sg,
+             round(pi(), 6) AS p,
+             round(exp(CAST(n_nationkey AS DOUBLE) / 10), 6) AS ex,
+             round(log10(CAST(n_nationkey + 1 AS DOUBLE)), 6) AS l10,
+             round(log2(CAST(n_nationkey + 1 AS DOUBLE)), 6) AS l2,
+             round(atan2(CAST(n_nationkey AS DOUBLE), 7.0), 6) AS at2,
+             round((exp(CAST(n_nationkey AS DOUBLE) / 10) - exp(-CAST(n_nationkey AS DOUBLE) / 10)) / 2, 6) AS sh,
+             round((exp(CAST(n_nationkey AS DOUBLE) / 5) - 1) / (exp(CAST(n_nationkey AS DOUBLE) / 5) + 1), 6) AS th,
+             CAST(factorial(n_nationkey % 10) AS BIGINT) AS fc,
+             CAST(n_nationkey AS BIGINT) << 3 AS sl,
+             CAST(n_nationkey AS BIGINT) >> 1 AS sr,
+             greatest(n_nationkey, n_regionkey * 7) AS gr,
+             least(n_nationkey, n_regionkey * 7) AS ls,
+             floor(CAST(n_nationkey AS DOUBLE) * 1.37 * 100) / 100 AS tr2
+      FROM nation ORDER BY n_nationkey""",
+
+    "ml_ann_ivf" -> """
+      WITH cos AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+        FROM embeddings a CROSS JOIN embeddings b),
+      assign AS (
+        SELECT ia AS vec_id, ib AS cid FROM (
+          SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+          FROM cos WHERE ib < 8) a WHERE rn = 1),
+      qcells AS (
+        SELECT ia AS q_id, ib AS cid FROM (
+          SELECT ia, ib, row_number() OVER (PARTITION BY ia ORDER BY sim DESC, ib) AS rn
+          FROM cos WHERE ib < 8 AND ia >= 100 AND ia < 103) b WHERE rn <= 2)
+      SELECT q_id, rn, vec_id, sim FROM (
+        SELECT qc.q_id, a.vec_id, c.sim,
+               row_number() OVER (PARTITION BY qc.q_id ORDER BY c.sim DESC, a.vec_id) AS rn
+        FROM qcells qc
+        JOIN assign a ON a.cid = qc.cid
+        JOIN cos c ON c.ia = qc.q_id AND c.ib = a.vec_id
+        WHERE a.vec_id <> qc.q_id) t
+      WHERE rn <= 5 ORDER BY q_id, rn""",
+
+    "ml_simhash_exact" -> """
+      WITH h AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(wd), 1, 15)) AS BIGINT) AS wh
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+              FROM documents WHERE doc_id < 150) w),
+      bits AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN (wh >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) g
+        GROUP BY doc_id, i),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             bit_count(xor(a.sh, b.sh)) AS hamming
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sh, b.sh)) <= 16
+      ORDER BY id_a, id_b""",
+
+    "bucket_salted_skew_join" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+  )
+}

@@ -129,6 +129,20 @@ object StreamQueries {
         }.toDF("user_id", "n", "max_v")
       runToMemory(counted, "stream_stateful", OutputMode.Update())
         .orderBy(col("user_id"))
+    }),
+
+    // streaming dedup — the training-pipeline "exactly-once corpus"
+    // primitive: stateful dropDuplicates on the dedup key, then a batch
+    // rollup of the deduped stream. Counting DISTINCT user_id per type
+    // makes the result independent of which duplicate won.
+    "stream_dedup" -> ((s, dir) => {
+      val deduped = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(deduped, "stream_dedup", OutputMode.Append())
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -166,6 +180,10 @@ object StreamQueries {
 
     "stream_stateful" -> """
       SELECT user_id, count(*) AS n, max(value) AS max_v
-      FROM events GROUP BY user_id ORDER BY user_id"""
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "stream_dedup" -> """
+      SELECT event_type, count(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""
   )
 }
