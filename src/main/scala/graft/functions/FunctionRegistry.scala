@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus, Sum}
 
 /** Central registry of graft's custom functions (reference FE:
   * fe/fe-core/.../catalog/BuiltinScalarFunctions.java:601+ and
@@ -11,8 +12,29 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object FunctionRegistry {
 
-  /** Expression-backed functions injected via extensions. */
-  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq.empty
+  /** Expression-backed functions injected via extensions — native
+    * Catalyst builders (no UDF layer), so they plan and codegen exactly
+    * like builtins. Doris names from BuiltinAggregateFunctions.java:
+    * ndv/approx_distinct (HLL++), multi_distinct_count/sum (the
+    * SplitMultiDistinct path is Catalyst's RewriteDistinctAggregates),
+    * murmur_hash3_32 (spec-compliant murmur3, seed 0 like the
+    * reference's default; Spark's hash() tail-mixing differs). */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ndv" -> ((args: Seq[Expression]) =>
+      new HyperLogLogPlusPlus(args.head).toAggregateExpression()),
+    "approx_distinct" -> ((args: Seq[Expression]) =>
+      new HyperLogLogPlusPlus(args.head).toAggregateExpression()),
+    "multi_distinct_count" -> ((args: Seq[Expression]) =>
+      Count(args).toAggregateExpression(isDistinct = true)),
+    "multi_distinct_sum" -> ((args: Seq[Expression]) =>
+      Sum(args.head).toAggregateExpression(isDistinct = true)),
+    "murmur_hash3_32" -> ((args: Seq[Expression]) => args match {
+      case Seq(s) => MurmurHash3_32(s, Literal(0))
+      case Seq(s, seed) => MurmurHash3_32(s, seed)
+      case _ => throw new IllegalArgumentException(
+        "murmur_hash3_32(str[, seed])")
+    })
+  )
 
   def registerExtensions(e: SparkSessionExtensions): Unit =
     builders.foreach { case (name, builder) =>
@@ -27,7 +49,7 @@ object FunctionRegistry {
   def registerAll(spark: SparkSession): Unit = {
     builders.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "graft")
+        name, builder, "internal")
     }
     Bitmaps.register(spark)
     BehaviorAggs.register(spark)

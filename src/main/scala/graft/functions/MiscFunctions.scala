@@ -90,7 +90,9 @@ object MiscFunctions {
        timestamp_micros(-((-unix_micros(t)) div 86400000000) * 86400000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION minute_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(-((-unix_micros(t)) div 60000000) * 60000000)"""
+       timestamp_micros(-((-unix_micros(t)) div 60000000) * 60000000)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION strcmp(a STRING, b STRING)
+       RETURNS INT RETURN CASE WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END"""
   )
 
   // per-statement guard: one bad definition must not silently skip the

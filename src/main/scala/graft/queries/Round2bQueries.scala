@@ -126,6 +126,25 @@ object Round2bQueries {
       WHERE bit_count(a.sh ^ b.sh) <= 16
       ORDER BY id_a, id_b"""),
 
+    // native-builder alias surface: ndv (HLL++, exact here because 25
+    // values over 16k registers land collision-free — deterministic
+    // either way), multi_distinct_count/sum, strcmp.
+    "misc_doris_aliases2" -> sql("""
+      SELECT c_mktsegment,
+             ndv(pmod(c_nationkey, 5)) AS nd_bucket,
+             multi_distinct_count(c_nationkey) AS mdc,
+             CAST(multi_distinct_sum(CAST(c_nationkey AS INT)) AS BIGINT) AS mds,
+             strcmp(min(c_name), max(c_name)) AS sc
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"""),
+
+    // spec-compliant murmur3 via the native codegen Expression —
+    // rows-only (no DuckDB murmur3); correctness is property-tested
+    // against an independent implementation.
+    "misc_hash_murmur" -> sql("""
+      SELECT n_nationkey, murmur_hash3_32(n_name) AS h0,
+             murmur_hash3_32(n_name, 104729) AS hs
+      FROM nation ORDER BY n_nationkey"""),
+
     // salting for skewed keys: explode the hot side into SALT subkeys,
     // replicate the dim side across salts, join, aggregate — result
     // must equal the unsalted join (which is the oracle).
@@ -238,6 +257,16 @@ object Round2bQueries {
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sh, b.sh)) <= 16
       ORDER BY id_a, id_b""",
+
+    "misc_doris_aliases2" -> """
+      SELECT c_mktsegment,
+             count(DISTINCT c_nationkey % 5) AS nd_bucket,
+             count(DISTINCT c_nationkey) AS mdc,
+             CAST(sum(DISTINCT CAST(c_nationkey AS INT)) AS BIGINT) AS mds,
+             CASE WHEN min(c_name) < max(c_name) THEN -1
+                  WHEN min(c_name) = max(c_name) THEN 0 ELSE 1 END AS sc
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    // misc_hash_murmur: intentionally no oracle (engine-side hash)
 
     "bucket_salted_skew_join" -> """
       SELECT o_orderpriority, count(*) AS n,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.{forAll, propBoolean}
-import graft.functions.{BehaviorAggs, Bitmaps}
+import graft.functions.{BehaviorAggs, Bitmaps, Murmur3}
 import graft.functions.BehaviorAggs.{Ev, EvBuf}
 
 /** Algebraic-law property tests for the custom aggregate state
@@ -48,6 +48,26 @@ object BitmapProps extends Properties("Bitmaps") {
     arr == xs.distinct.sorted(Ordering.fromLessThan[Long](
       java.lang.Long.compareUnsigned(_, _) < 0))
   }
+}
+
+/** Two independent implementations of murmur3_x86_32 must agree:
+  * graft.functions.Murmur3 (reference-style block/tail/fmix) vs
+  * scala.util.hashing.MurmurHash3.bytesHash. Agreement across random
+  * byte strings + seeds pins both to the public spec — which Spark's
+  * builtin hash() deliberately is NOT (nonstandard tail mixing). */
+object Murmur3Props extends Properties("Murmur3") {
+  property("matches scala-lib bytesHash") =
+    forAll(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)), Gen.chooseNum(Int.MinValue, Int.MaxValue)) {
+      (bytes, seed) =>
+        val arr = bytes.toArray
+        Murmur3.hash32(arr, seed) == scala.util.hashing.MurmurHash3.bytesHash(arr, seed)
+    }
+
+  property("utf8 path consistent with byte path") =
+    forAll(Gen.alphaNumStr, Gen.chooseNum(0, 1000)) { (s, seed) =>
+      Murmur3.hash32(org.apache.spark.unsafe.types.UTF8String.fromString(s), seed) ==
+        Murmur3.hash32(s.getBytes("UTF-8"), seed)
+    }
 }
 
 object FunnelProps extends Properties("WindowFunnel") {
