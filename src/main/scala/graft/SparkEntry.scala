@@ -35,7 +35,8 @@ object SparkEntry {
       (graft.queries.Final1Queries.queries, graft.queries.Final1Queries.oracle),
       (graft.queries.SubqueryQueries.queries, graft.queries.SubqueryQueries.oracle),
       (graft.queries.Round2Queries.queries, graft.queries.Round2Queries.oracle),
-      (graft.queries.Round2bQueries.queries, graft.queries.Round2bQueries.oracle)
+      (graft.queries.Round2bQueries.queries, graft.queries.Round2bQueries.oracle),
+      (graft.queries.Round2cQueries.queries, graft.queries.Round2cQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

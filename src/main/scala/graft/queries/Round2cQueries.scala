@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-2 third sweep:
+  *  - gaps-and-islands (consecutive-day activity streaks) — the window
+  *    idiom behind Doris's retention/continuous-activity analyses.
+  *  - inverted-index posting lists materialized as bitmaps: word ->
+  *    bitmap(doc_id), boolean search = bitmap algebra (reference:
+  *    inverted index + bitmap intersection in segment_iterator; here
+  *    the posting table IS the index, queries are bitmap_and/or).
+  *  - parquet schema evolution via mergeSchema (reference: schema
+  *    change / light schema change — ALTER TABLE ADD COLUMN reads old
+  *    tablets with NULL-filled new columns).
+  */
+object Round2cQueries {
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_gaps_islands" -> sql("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      isl AS (
+        SELECT user_id, d,
+               date_sub(d, CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)) AS anchor
+        FROM days),
+      streaks AS (
+        SELECT user_id, anchor, count(*) AS len FROM isl
+        GROUP BY user_id, anchor)
+      SELECT user_id, count(*) AS n_streaks, max(len) AS longest,
+             CAST(sum(len) AS BIGINT) AS n_days
+      FROM streaks GROUP BY user_id ORDER BY user_id"""),
+
+    "search_inverted_postings" -> sql("""
+      WITH post AS (
+        SELECT word, bitmap_agg(doc_id) AS bm FROM (
+          -- tokenize() inlined: SQL UDFs cannot sit under Generate
+          SELECT doc_id, explode(filter(split(lower(text), '[^a-z0-9]+'),
+                                        t -> length(t) > 0)) AS word
+          FROM documents) x
+        GROUP BY word)
+      SELECT bitmap_count(bitmap_and(a.bm, b.bm)) AS n_and,
+             bitmap_count(bitmap_or(a.bm, b.bm)) AS n_or,
+             bitmap_count(bitmap_andnot(a.bm, b.bm)) AS n_slow_only,
+             bitmap_to_string(sub_bitmap(bitmap_and(a.bm, b.bm), 0, 10)) AS first10
+      FROM post a CROSS JOIN post b
+      WHERE a.word = 'slow' AND b.word = 'fast'"""),
+
+    "src_schema_evolution" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val v1 = "target/sources/evo_v1"
+      val v2 = "target/sources/evo_v2"
+      // v1: original narrow schema; v2: adds a derived column (the
+      // light-schema-change ADD COLUMN analog)
+      n.filter(col("n_nationkey") < 10)
+        .select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(v1)
+      n.filter(col("n_nationkey") >= 10)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite").parquet(v2)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy(coalesce(col("n_regionkey"), lit(-1)).as("rk"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("mn"))
+        .orderBy(col("rk"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ds_gaps_islands" -> """
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      isl AS (
+        SELECT user_id, d,
+               d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT) AS anchor
+        FROM days),
+      streaks AS (
+        SELECT user_id, anchor, count(*) AS len FROM isl
+        GROUP BY user_id, anchor)
+      SELECT user_id, count(*) AS n_streaks, max(len) AS longest,
+             CAST(sum(len) AS BIGINT) AS n_days
+      FROM streaks GROUP BY user_id ORDER BY user_id""",
+
+    "search_inverted_postings" -> """
+      WITH tok AS (
+        SELECT doc_id,
+               list_distinct(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> length(t) > 0)) AS ts
+        FROM documents),
+      s AS (SELECT doc_id FROM tok WHERE list_contains(ts, 'slow')),
+      f AS (SELECT doc_id FROM tok WHERE list_contains(ts, 'fast'))
+      SELECT (SELECT count(*) FROM s WHERE doc_id IN (SELECT doc_id FROM f)) AS n_and,
+             (SELECT count(DISTINCT doc_id) FROM (SELECT doc_id FROM s UNION SELECT doc_id FROM f) u) AS n_or,
+             (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
+             (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
+              WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "src_schema_evolution" -> """
+      SELECT coalesce(n_regionkey, -1) AS rk, count(*) AS n, min(n_name) AS mn
+      FROM (SELECT n_nationkey, n_name, NULL AS n_regionkey FROM nation WHERE n_nationkey < 10
+            UNION ALL
+            SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey >= 10) u
+      GROUP BY rk ORDER BY rk"""
+  )
+}
