@@ -273,18 +273,38 @@ object TpchQueries {
     }),
 
     // Q21 (adapted): exists + not-exists (anti) correlated on same table.
+    // The EXISTS (other supplier) / NOT EXISTS (other supplier shipped
+    // later) pair is computed as per-orderkey WINDOW aggregates over ONE
+    // pass of lineitem — a single shuffle on l_orderkey — instead of two
+    // lineitem self-joins (which at sf0.1 broadcast-build the fact table
+    // twice, and at 100 TB would be two extra fact-fact shuffles):
+    //   another supplier exists      <=> min(suppkey) != max(suppkey)
+    //   other supplier shipped later <=> (an achiever of max(shipdate)
+    //     differs from this row's supplier and m1 > sd) or (this row's
+    //     supplier is the sole achiever and max-shipdate-of-others > sd)
     "q21_waiting_supplier" -> ((s, dir) => {
-      val l1 = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey")
       val o = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      val l2 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l2_ok"), col("l_suppkey").as("l2_sk"))
-      val l3 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l3_ok"), col("l_suppkey").as("l3_sk"), col("l_shipdate").as("l3_sd"))
       val su = t(s, dir, "supplier")
-      l1.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(l2, col("l2_ok") === col("l_orderkey") && col("l2_sk") =!= col("l_suppkey"), "left_semi")
-        .join(l3, col("l3_ok") === col("l_orderkey") && col("l3_sk") =!= col("l_suppkey") &&
-          col("l3_sd") > col("l_shipdate"), "left_anti")
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .withColumn("minsk", min(col("l_suppkey")).over(w))
+        .withColumn("maxsk", max(col("l_suppkey")).over(w))
+        .withColumn("m1", max(col("l_shipdate")).over(w))
+      val ach = l
+        .withColumn("achMin", min(when(col("l_shipdate") === col("m1"), col("l_suppkey"))).over(w))
+        .withColumn("achMax", max(when(col("l_shipdate") === col("m1"), col("l_suppkey"))).over(w))
+      val scored = ach
+        .withColumn("m2ex",
+          max(when(col("l_suppkey") =!= col("achMax"), col("l_shipdate"))).over(w))
+      val waiting = scored
+        .filter(col("minsk") =!= col("maxsk"))
+        .withColumn("laterOther",
+          when(col("achMin") =!= col("achMax") || col("achMax") =!= col("l_suppkey"),
+            col("m1") > col("l_shipdate"))
+            .otherwise(coalesce(col("m2ex") > col("l_shipdate"), lit(false))))
+        .filter(!col("laterOther"))
+      waiting.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(su, col("s_suppkey") === col("l_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
