@@ -50,6 +50,24 @@ object Round2cQueries {
       FROM post a CROSS JOIN post b
       WHERE a.word = 'slow' AND b.word = 'fast'"""),
 
+    // dynamic partition overwrite: second load replaces ONLY the
+    // partitions it contains (reference: INSERT OVERWRITE partition /
+    // auto-partition overwrite semantics).
+    "src_partition_overwrite" -> ((s, dir) => {
+      val out = "target/sources/part_overwrite"
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val o = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+      o.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") * 2)
+        .write.partitionBy("o_orderpriority").mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), moneySumDbl(col("o_totalprice")).as("tot"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     "src_schema_evolution" -> ((s, dir) => {
       val n = t(s, dir, "nation")
       val v1 = "target/sources/evo_v1"
@@ -97,6 +115,13 @@ object Round2cQueries {
              (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
              (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
               WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "src_partition_overwrite" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(SUM(CAST(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN o_totalprice * 2 ELSE o_totalprice END
+                      AS DECIMAL(12,2))) AS DOUBLE) AS tot
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "src_schema_evolution" -> """
       SELECT coalesce(n_regionkey, -1) AS rk, count(*) AS n, min(n_name) AS mn

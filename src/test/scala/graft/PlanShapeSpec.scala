@@ -48,6 +48,29 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
   }
 
+  test("count/min/max aggregate pushes down to the parquet footer") {
+    // zonemap-style scan-level aggregation (reference: SegmentIterator
+    // min-max index) — Spark's parquet aggregate pushdown, which needs
+    // the V2 parquet source (scoped to this test)
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val df = spark.read.parquet(s"$sf/orders.parquet")
+        .agg(count(lit(1)), min(col("o_orderkey")), max(col("o_orderkey")))
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation: [COUNT(*)") ||
+        p.contains("PushedAggregation: [MIN"), s"no aggregate pushdown:\n$p")
+    } finally spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+  }
+
+  test("q21 plans a single windowed lineitem pass, no fact self-join") {
+    val p = plan("q21_waiting_supplier")
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"fact self-joins should be gone:\n$p")
+  }
+
   test("null-aware anti join planned for NOT IN") {
     val p = plan("join_null_aware_anti")
     assert(p.contains("BroadcastHashJoin LeftAnti BuildRight, ((") ||
