@@ -22,8 +22,23 @@ object BehaviorAggs {
   /** window_funnel(window, ts, c1..cn): longest chain c1→c2→…→ck with
     * strictly increasing ts, all within `window` micros of the chain's
     * first event. Greedy earliest-extension per start (optimal for
-    * subsequence-with-deadline). */
-  class WindowFunnelAgg(windowMicros: Long, nConds: Int)
+    * subsequence-with-deadline).
+    *
+    * Modes (reference: aggregate_function_window_funnel.h WindowFunnelMode,
+    * mirroring ClickHouse):
+    *  - Default: advance on the next matching level, later events may
+    *    interleave.
+    *  - Dedup: a repeat of an ALREADY-PASSED level breaks this chain
+    *    attempt.
+    *  - Fixed: any chain-event whose level is not the expected next one
+    *    breaks the attempt (exact contiguous order).
+    *  - Increase: equivalent to Default here — the base algorithm
+    *    already requires strictly increasing ts.
+    */
+  object FunnelMode extends Enumeration { val Default, Dedup, Fixed, Increase = Value }
+
+  class WindowFunnelAgg(windowMicros: Long, nConds: Int,
+                        mode: FunnelMode.Value = FunnelMode.Default)
       extends Aggregator[Ev, EvBuf, Int] {
     def zero: EvBuf = EvBuf(Nil)
     def reduce(b: EvBuf, e: Ev): EvBuf =
@@ -39,9 +54,22 @@ object BehaviorAggs {
           var lastTs = evs(i).ts
           val deadline = evs(i).ts + windowMicros
           var j = i + 1
-          while (j < evs.length && level < nConds && evs(j).ts <= deadline) {
-            if (evs(j).ts > lastTs && (evs(j).mask & (1 << level)) != 0) {
-              level += 1; lastTs = evs(j).ts
+          var broken = false
+          while (j < evs.length && !broken && level < nConds && evs(j).ts <= deadline) {
+            val m = evs(j).mask
+            // only strictly-later events participate: equal-ts events are
+            // concurrent, and breaking on them would invert the
+            // fixed <= dedup <= default strictness hierarchy
+            if (evs(j).ts > lastTs) {
+              if ((m & (1 << level)) != 0) {
+                level += 1; lastTs = evs(j).ts
+              } else if (mode == FunnelMode.Dedup && (m & ((1 << level) - 1)) != 0) {
+                // a passed level repeats -> this attempt is dead
+                broken = true
+              } else if (mode == FunnelMode.Fixed && m != 0) {
+                // chain event out of expected order -> attempt is dead
+                broken = true
+              }
             }
             j += 1
           }
@@ -138,6 +166,10 @@ object BehaviorAggs {
       udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3), evEnc))
     spark.udf.register("window_funnel_1h",
       udaf(new WindowFunnelAgg(3600L * 1000000, 3), evEnc))
+    spark.udf.register("window_funnel_3d_dedup",
+      udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3, FunnelMode.Dedup), evEnc))
+    spark.udf.register("window_funnel_3d_fixed",
+      udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3, FunnelMode.Fixed), evEnc))
     spark.udf.register("retention3", udaf(new RetentionAgg(3), Encoders.scalaInt))
     spark.udf.register("sequence_match2", udaf(new SequenceAgg(2, false), evEnc))
     spark.udf.register("sequence_count2", udaf(new SequenceAgg(2, true), evEnc))

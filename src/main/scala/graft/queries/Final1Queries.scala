@@ -49,6 +49,27 @@ object Final1Queries {
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
+    // funnel MODES (default vs dedup vs fixed) side by side — rows-only
+    // (mode semantics are operational; laws + break vectors are
+    // property-tested in FunnelModeProps).
+    "f1_funnel_modes" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT lvl_default, lvl_dedup, lvl_fixed, count(*) AS n_users FROM (
+          SELECT user_id,
+                 window_funnel_3d(unix_micros(ts), m) AS lvl_default,
+                 window_funnel_3d_dedup(unix_micros(ts), m) AS lvl_dedup,
+                 window_funnel_3d_fixed(unix_micros(ts), m) AS lvl_fixed
+          FROM (SELECT user_id, ts,
+                       CAST(event_type = 'view' AS INT)
+                       + 2 * CAST(event_type = 'click' AS INT)
+                       + 4 * CAST(event_type = 'purchase' AS INT) AS m
+                FROM events) e
+          GROUP BY user_id) u
+        GROUP BY lvl_default, lvl_dedup, lvl_fixed
+        ORDER BY lvl_default, lvl_dedup, lvl_fixed""")
+    }),
+
     // same funnel, 1-hour window: stricter deadline, lower levels.
     "f1_funnel_1h" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)

@@ -50,6 +50,57 @@ object BitmapProps extends Properties("Bitmaps") {
   }
 }
 
+/** Funnel-mode laws: Fixed never exceeds Dedup never exceeds Default
+  * (each mode's break condition is a superset of the previous); all
+  * modes agree on clean one-event-per-level inputs; all modes are
+  * partition-invariant; plus concrete break-semantics vectors. */
+object FunnelModeProps extends Properties("FunnelModes") {
+  import BehaviorAggs.FunnelMode
+  private def run(evs: Seq[Ev], mode: FunnelMode.Value, window: Long = 1000L): Int = {
+    val agg = new BehaviorAggs.WindowFunnelAgg(window, 3, mode)
+    agg.finish(evs.foldLeft(agg.zero)(agg.reduce))
+  }
+  private val evGen = for {
+    ts <- Gen.chooseNum(0L, 50L)
+    mask <- Gen.chooseNum(0, 7)
+  } yield Ev(ts, mask)
+  private val evsGen = Gen.listOf(evGen)
+
+  property("fixed <= dedup <= default") = forAll(evsGen) { evs =>
+    val d = run(evs, FunnelMode.Default)
+    val dd = run(evs, FunnelMode.Dedup)
+    val f = run(evs, FunnelMode.Fixed)
+    f <= dd && dd <= d
+  }
+
+  property("modes agree on clean ordered chains") =
+    forAll(Gen.chooseNum(1, 3)) { k =>
+      val evs = (0 until k).map(i => Ev(i.toLong, 1 << i))
+      FunnelMode.values.toSeq.forall(m => run(evs, m) == k)
+    }
+
+  property("partition-invariant in every mode") =
+    forAll(evsGen, Gen.chooseNum(1, 4)) { (evs, parts) =>
+      FunnelMode.values.toSeq.forall { m =>
+        val agg = new BehaviorAggs.WindowFunnelAgg(1000L, 3, m)
+        val merged = evs.grouped(math.max(1, evs.size / parts + 1))
+          .map(_.foldLeft(agg.zero)(agg.reduce))
+          .foldLeft(agg.zero)(agg.merge)
+        agg.finish(merged) == run(evs, m)
+      }
+    }
+
+  property("dedup breaks on passed-level repeat") = Prop {
+    val evs = Seq(Ev(0, 1), Ev(1, 2), Ev(2, 1), Ev(3, 4))
+    run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Dedup) == 2
+  }
+
+  property("fixed breaks on out-of-order chain event") = Prop {
+    val evs = Seq(Ev(0, 1), Ev(1, 4), Ev(2, 2), Ev(3, 4))
+    run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Fixed) == 1
+  }
+}
+
 /** Two independent implementations of murmur3_x86_32 must agree:
   * graft.functions.Murmur3 (reference-style block/tail/fmix) vs
   * scala.util.hashing.MurmurHash3.bytesHash. Agreement across random
