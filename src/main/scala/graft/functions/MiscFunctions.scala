@@ -92,7 +92,14 @@ object MiscFunctions {
        RETURNS TIMESTAMP RETURN
        timestamp_micros(-((-unix_micros(t)) div 60000000) * 60000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION strcmp(a STRING, b STRING)
-       RETURNS INT RETURN CASE WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END"""
+       RETURNS INT RETURN CASE WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
+    // Doris/MySQL %-style date_format (function_datetime.cpp date_format;
+    // covers the numeric specifiers — month/day names are locale traps)
+    """CREATE OR REPLACE TEMPORARY FUNCTION date_format_mysql(t TIMESTAMP, f STRING)
+       RETURNS STRING RETURN date_format(t,
+         replace(replace(replace(replace(replace(replace(replace(f,
+           '%Y', 'yyyy'), '%y', 'yy'), '%m', 'MM'), '%d', 'dd'),
+           '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))"""
   )
 
   // per-statement guard: one bad definition must not silently skip the

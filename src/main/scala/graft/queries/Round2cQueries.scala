@@ -50,6 +50,17 @@ object Round2cQueries {
       FROM post a CROSS JOIN post b
       WHERE a.word = 'slow' AND b.word = 'fast'"""),
 
+    "fn_string3" -> sql("""
+      SELECT n_nationkey,
+             find_in_set(n_name, concat('X,', n_name, ',Y')) AS fis,
+             concat('[', space(CAST(n_nationkey % 3 AS INT)), ']') AS sp,
+             char_length(n_name) AS cl,
+             CAST(aes_decrypt(aes_encrypt(n_name, '0123456789abcdef'),
+                              '0123456789abcdef') AS STRING) AS aes_rt,
+             date_format_mysql(TIMESTAMP '2026-08-12 09:05:03', '%Y-%m-%d %H:%i:%s') AS dfm,
+             date_format_mysql(DATE '2026-02-01', '%d/%m/%y') AS dfm2
+      FROM nation ORDER BY n_nationkey"""),
+
     // dynamic partition overwrite: second load replaces ONLY the
     // partitions it contains (reference: INSERT OVERWRITE partition /
     // auto-partition overwrite semantics).
@@ -115,6 +126,16 @@ object Round2cQueries {
              (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
              (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
               WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "fn_string3" -> """
+      SELECT n_nationkey,
+             CAST(coalesce(list_position(string_split(concat('X,', n_name, ',Y'), ','), n_name), 0) AS INT) AS fis,
+             concat('[', repeat(' ', CAST(n_nationkey % 3 AS INT)), ']') AS sp,
+             length(n_name) AS cl,
+             n_name AS aes_rt,
+             strftime(TIMESTAMP '2026-08-12 09:05:03', '%Y-%m-%d %H:%M:%S') AS dfm,
+             strftime(DATE '2026-02-01', '%d/%m/%y') AS dfm2
+      FROM nation ORDER BY n_nationkey""",
 
     "src_partition_overwrite" -> """
       SELECT o_orderpriority, count(*) AS n,
