@@ -72,6 +72,9 @@ object Graft {
     VectorSearch.topK(corpus, queries, k)
   def annTopKLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame =
     VectorSearch.topKLsh(corpus, queries, dim, k)
+  def annTopKIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+                 nprobe: Int, k: Int): DataFrame =
+    VectorSearch.topKIvf(corpus, queries, centroids, nprobe, k)
   def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame =
     VectorSearch.nearDupPairs(corpus, threshold)
   def langId(text: Column): Column = TextOps.langId(text)

@@ -61,6 +61,37 @@ object VectorSearch {
     df.withColumn("bucket", sig)
   }
 
+  /** IVF-style two-level search: assign every corpus vector to its best
+    * centroid cell (one broadcast of the centroid set + one corpus
+    * pass), then probe each query's `nprobe` best cells and rank
+    * exactly inside them. At scale: centroids are small (broadcast),
+    * the assignment is a map-side pass, and probing touches
+    * ~nprobe/|cells| of the corpus — the faiss IVF contract. */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+              nprobe: Int, k: Int): DataFrame = {
+    val cent = broadcast(centroids
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    def sim(a: Column, b: Column): Column =
+      round(VectorFunctions.cosineSimilarity(dvec(a), dvec(b)), 6)
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+    val assign = corpus.crossJoin(cent)
+      .withColumn("csim", sim(col("embedding"), col("cemb")))
+      .withColumn("crn", row_number().over(wAssign)).filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
+    val qcells = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .crossJoin(cent)
+      .withColumn("csim", sim(col("q_emb"), col("cemb")))
+      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("cid"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+    qcells.join(assign, "cid")
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), sim(col("q_emb"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
+  }
+
   /** Approximate top-k: probe only the query's LSH bucket. */
   def topKLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
     val bc = lshBuckets(corpus, dim)

@@ -75,39 +75,17 @@ object Round2bQueries {
 
     // IVF ANN: 8 centroid cells (vectors 0..7), assign corpus by best
     // cosine, probe the query's 2 best cells, exact top-5 inside.
-    "ml_ann_ivf" -> sql("""
-      WITH cent AS (
-        SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
-      assign AS (
-        SELECT vec_id, embedding, cid FROM (
-          SELECT e.vec_id, e.embedding, c.cid,
-                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                   round(cosine_sim(transform(e.embedding, x -> CAST(x AS DOUBLE)),
-                                    transform(c.cemb, x -> CAST(x AS DOUBLE))), 6) DESC,
-                   c.cid) AS rn
-          FROM embeddings e CROSS JOIN cent c) a WHERE rn = 1),
-      qcells AS (
-        SELECT q_id, cid FROM (
-          SELECT q.vec_id AS q_id, c.cid,
-                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
-                   round(cosine_sim(transform(q.embedding, x -> CAST(x AS DOUBLE)),
-                                    transform(c.cemb, x -> CAST(x AS DOUBLE))), 6) DESC,
-                   c.cid) AS rn
-          FROM embeddings q CROSS JOIN cent c WHERE q.vec_id >= 100 AND q.vec_id < 103) b
-        WHERE rn <= 2)
-      SELECT q_id, rn, vec_id, sim FROM (
-        SELECT qc.q_id, a.vec_id,
-               round(cosine_sim(transform(q.embedding, x -> CAST(x AS DOUBLE)),
-                                transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) AS sim,
-               row_number() OVER (PARTITION BY qc.q_id ORDER BY
-                 round(cosine_sim(transform(q.embedding, x -> CAST(x AS DOUBLE)),
-                                  transform(a.embedding, x -> CAST(x AS DOUBLE))), 6) DESC,
-                 a.vec_id) AS rn
-        FROM qcells qc
-        JOIN assign a ON a.cid = qc.cid
-        JOIN embeddings q ON q.vec_id = qc.q_id
-        WHERE a.vec_id <> qc.q_id) t
-      WHERE rn <= 5 ORDER BY q_id, rn"""),
+    "ml_ann_ivf" -> ((s, dir) => {
+      // via the library operator (Graft.annTopKIvf); the DuckDB oracle
+      // replicates the centroid-assign + nprobe-probe + exact-rank plan
+      val emb = t(s, dir, "embeddings")
+      graft.ops.VectorSearch.topKIvf(
+          emb,
+          emb.filter(col("vec_id") >= 100 && col("vec_id") < 103),
+          emb.filter(col("vec_id") < 8),
+          nprobe = 2, k = 5)
+        .orderBy(col("q_id"), col("rn"))
+    }),
 
     // brute-force SimHash with md5-derived 60-bit word hashes —
     // cross-engine exact (the banded xxhash variant stays the scale path).
