@@ -50,6 +50,47 @@ object Round2cQueries {
       FROM post a CROSS JOIN post b
       WHERE a.word = 'slow' AND b.word = 'fast'"""),
 
+    // running COUNT(DISTINCT) over an ordered window — unsupported
+    // directly in Spark (and Doris plans it via a special rewrite);
+    // expressed exactly via first-seen-month + cumulative sum.
+    "ds_distinct_window" -> sql("""
+      WITH first_seen AS (
+        SELECT o_orderpriority, o_custkey,
+               min(month(o_orderdate)) AS first_m
+        FROM orders WHERE year(o_orderdate) = 1996
+        GROUP BY o_orderpriority, o_custkey),
+      per_month AS (
+        SELECT o_orderpriority, first_m AS m, count(*) AS n_new
+        FROM first_seen GROUP BY o_orderpriority, first_m)
+      SELECT o_orderpriority, m,
+             sum(n_new) OVER (PARTITION BY o_orderpriority ORDER BY m
+                              ROWS UNBOUNDED PRECEDING) AS cum_distinct_cust
+      FROM per_month ORDER BY o_orderpriority, m"""),
+
+    // PERMISSIVE csv load with corrupt-record accounting (reference:
+    // strict_mode / max_filter_ratio on stream load — bad rows are
+    // counted, good rows land).
+    "src_csv_malformed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val out = "target/sources/malformed.csv"
+      // two unambiguously-bad rows: a malformed numeric field and a row
+      // with a missing column
+      val rows = Seq("1,alpha,10.5", "2,beta,xx", "3,gamma,7.25",
+        "4,delta", "5,epsilon,2.5")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target/sources"))
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        rows.mkString("\n").getBytes("UTF-8"))
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType),
+        StructField("v", DoubleType), StructField("_corrupt_record", StringType)))
+      val df = s.read.schema(schema).option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record").csv(out)
+      df.agg(
+          count(when(col("_corrupt_record").isNotNull, 1)).as("n_bad"),
+          count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+          dbl(sum(when(col("_corrupt_record").isNull, col("v")))).as("sum_ok"))
+    }),
+
     "fn_string3" -> sql("""
       SELECT n_nationkey,
              find_in_set(n_name, concat('X,', n_name, ',Y')) AS fis,
@@ -126,6 +167,26 @@ object Round2cQueries {
              (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
              (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
               WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "ds_distinct_window" -> """
+      WITH first_seen AS (
+        SELECT o_orderpriority, o_custkey,
+               min(month(o_orderdate)) AS first_m
+        FROM orders WHERE year(o_orderdate) = 1996
+        GROUP BY o_orderpriority, o_custkey),
+      per_month AS (
+        SELECT o_orderpriority, first_m AS m, count(*) AS n_new
+        FROM first_seen GROUP BY o_orderpriority, first_m)
+      SELECT o_orderpriority, m,
+             CAST(sum(n_new) OVER (PARTITION BY o_orderpriority ORDER BY m
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_distinct_cust
+      FROM per_month ORDER BY o_orderpriority, m""",
+
+    // PERMISSIVE contract: a malformed typed field poisons the row
+    // (corrupt-record), a missing trailing column null-fills and keeps it
+    "src_csv_malformed" -> """
+      SELECT CAST(1 AS BIGINT) AS n_bad, CAST(4 AS BIGINT) AS n_good,
+             CAST(10.5 + 7.25 + 2.5 AS DOUBLE) AS sum_ok""",
 
     "fn_string3" -> """
       SELECT n_nationkey,
