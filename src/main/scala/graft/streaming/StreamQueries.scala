@@ -131,6 +131,28 @@ object StreamQueries {
         .orderBy(col("user_id"))
     }),
 
+    // stream-stream interval join: clicks attributed to any prior view
+    // by the same user within 1 hour — watermarked state on both sides
+    // (the reference has no stream-stream joins; capability superset).
+    "stream_join" -> ((s, dir) => {
+      val views = eventsStream(s, dir)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+      val joined = views.join(clicks,
+        col("v_user") === col("c_user") &&
+          col("c_ts") > col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 1 HOUR"))
+      runToMemory(joined, "stream_join", OutputMode.Append())
+        .groupBy(col("v_user").as("user_id"))
+        .agg(count(lit(1)).as("n_attr"))
+        .orderBy(col("user_id"))
+    }),
+
     // streaming dedup — the training-pipeline "exactly-once corpus"
     // primitive: stateful dropDuplicates on the dedup key, then a batch
     // rollup of the deduped stream. Counting DISTINCT user_id per type
@@ -184,6 +206,14 @@ object StreamQueries {
 
     "stream_dedup" -> """
       SELECT event_type, count(DISTINCT user_id) AS n_users
-      FROM events GROUP BY event_type ORDER BY event_type"""
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_join" -> """
+      SELECT v.user_id, count(*) AS n_attr
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        ON c.user_id = v.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      GROUP BY v.user_id ORDER BY v.user_id"""
   )
 }

@@ -71,6 +71,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fact self-joins should be gone:\n$p")
   }
 
+  test("join strategy hints are honored (shuffle_hash vs broadcast)") {
+    // Doris join hints [shuffle]/[broadcast] -> Spark hint() surface
+    import org.apache.spark.sql.functions._
+    val c = Tables.load(spark, sf, "customer")
+    val o = Tables.load(spark, sf, "orders")
+    val sh = c.join(o.hint("shuffle_hash"), col("c_custkey") === col("o_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(sh.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored:\n$sh")
+    val bc = c.join(o.hint("broadcast"), col("c_custkey") === col("o_custkey"))
+      .queryExecution.executedPlan.toString
+    assert(bc.contains("BroadcastHashJoin"), s"broadcast hint ignored:\n$bc")
+  }
+
   test("null-aware anti join planned for NOT IN") {
     val p = plan("join_null_aware_anti")
     assert(p.contains("BroadcastHashJoin LeftAnti BuildRight, ((") ||
