@@ -100,14 +100,24 @@ object BehaviorAggs {
   /** sequence_match / sequence_count for chain patterns
     * "(?1)(?2)…(?n)": subsequence with strictly increasing ts;
     * count = non-overlapping greedy matches. */
-  class SequenceAgg(nConds: Int, returnCount: Boolean)
+  /** maxGapMicros (the ClickHouse/Doris "(?t<=N)" time guard): every
+    * consecutive matched pair must be 0 < dt <= N apart; 0 = unbounded
+    * (only supported for match, not count). Exact via a latest-achiever
+    * DP: for "exists chain", keeping only the LATEST timestamp reaching
+    * each level is sufficient — any earlier achiever that admits a
+    * transition admits it from the latest one too (dt only shrinks),
+    * and strict increase holds because levels update per-timestamp
+    * batch (equal-ts events never chain). */
+  class SequenceAgg(nConds: Int, returnCount: Boolean, maxGapMicros: Long = 0L)
       extends Aggregator[Ev, EvBuf, Long] {
+    require(!(returnCount && maxGapMicros > 0L), "gap guard is match-only")
     def zero: EvBuf = EvBuf(Nil)
     def reduce(b: EvBuf, e: Ev): EvBuf =
       if (e.mask == 0) b else EvBuf(e +: b.events)
     def merge(a: EvBuf, b: EvBuf): EvBuf = EvBuf(a.events ++ b.events)
     def finish(b: EvBuf): Long = {
       val evs = b.events.sortBy(e => (e.ts, e.mask)).toArray
+      if (!returnCount && maxGapMicros > 0L) return finishMatchGap(evs)
       var matches = 0L
       var level = 0
       var lastTs = Long.MinValue
@@ -125,6 +135,35 @@ object BehaviorAggs {
         i += 1
       }
       if (returnCount) matches else 0L
+    }
+    private def finishMatchGap(evs: Array[Ev]): Long = {
+      val lat = Array.fill(nConds + 1)(Long.MinValue)
+      var i = 0
+      while (i < evs.length) {
+        val ts = evs(i).ts
+        var j = i
+        while (j < evs.length && evs(j).ts == ts) j += 1
+        val upd = Array.fill(nConds + 1)(Long.MinValue)
+        var k = i
+        while (k < j) {
+          val m = evs(k).mask
+          var lv = 1
+          while (lv <= nConds) {
+            if ((m & (1 << (lv - 1))) != 0) {
+              val ok = lv == 1 ||
+                (lat(lv - 1) != Long.MinValue && ts - lat(lv - 1) <= maxGapMicros)
+              if (ok) upd(lv) = ts
+            }
+            lv += 1
+          }
+          k += 1
+        }
+        var lv = 1
+        while (lv <= nConds) { if (upd(lv) > lat(lv)) lat(lv) = upd(lv); lv += 1 }
+        if (lat(nConds) != Long.MinValue) return 1L
+        i = j
+      }
+      0L
     }
     def bufferEncoder: Encoder[EvBuf] = ExpressionEncoder()
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
@@ -175,6 +214,10 @@ object BehaviorAggs {
     spark.udf.register("sequence_count2", udaf(new SequenceAgg(2, true), evEnc))
     spark.udf.register("sequence_match3", udaf(new SequenceAgg(3, false), evEnc))
     spark.udf.register("sequence_count3", udaf(new SequenceAgg(3, true), evEnc))
+    spark.udf.register("sequence_match2_1h",
+      udaf(new SequenceAgg(2, false, 3600L * 1000000), evEnc))
+    spark.udf.register("sequence_match3_1h",
+      udaf(new SequenceAgg(3, false, 3600L * 1000000), evEnc))
     spark.udf.register("topn5", udaf(new TopNAgg(5, 4096), Encoders.STRING))
     spark.udf.register("product_agg", udaf(new ProductAgg, Encoders.scalaDouble))
   }

@@ -91,6 +91,18 @@ object Round2cQueries {
           dbl(sum(when(col("_corrupt_record").isNull, col("v")))).as("sum_ok"))
     }),
 
+    // wide-decimal exactness at the 38-digit boundary (reference:
+    // DECIMAL256 — we cap at Spark's DECIMAL(38), documented divergence;
+    // rendering via decimal-to-string keeps both engines full-scale)
+    "fn_decimal38" -> sql("""
+      SELECT l_linestatus,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+                           * CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,4)) AS STRING) AS big_sum,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS STRING) AS wide_sum,
+             CAST(max(CAST(l_extendedprice AS DECIMAL(20,10)) * CAST(100000000 AS DECIMAL(9,0)))
+                  AS STRING) AS scaled_max
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""),
+
     "fn_string3" -> sql("""
       SELECT n_nationkey,
              find_in_set(n_name, concat('X,', n_name, ',Y')) AS fis,
@@ -187,6 +199,15 @@ object Round2cQueries {
     "src_csv_malformed" -> """
       SELECT CAST(1 AS BIGINT) AS n_bad, CAST(4 AS BIGINT) AS n_good,
              CAST(10.5 + 7.25 + 2.5 AS DOUBLE) AS sum_ok""",
+
+    "fn_decimal38" -> """
+      SELECT l_linestatus,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))
+                           * CAST(l_quantity AS DECIMAL(10,2))) AS DECIMAL(38,4)) AS VARCHAR) AS big_sum,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DECIMAL(38,10)) AS VARCHAR) AS wide_sum,
+             CAST(max(CAST(l_extendedprice AS DECIMAL(20,10)) * CAST(100000000 AS DECIMAL(9,0)))
+                  AS VARCHAR) AS scaled_max
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
 
     "fn_string3" -> """
       SELECT n_nationkey,

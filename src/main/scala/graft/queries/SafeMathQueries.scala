@@ -27,6 +27,19 @@ object SafeMathQueries {
                + 4 * CAST(event_type = 'purchase' AS INT)) AS m3
       FROM events GROUP BY user_id ORDER BY user_id"""),
 
+    // sequence_match with a 1-hour max-gap guard between consecutive
+    // matched events (the "(?t<=N)" pattern guard).
+    "sm_sequence_gap" -> sql("""
+      SELECT user_id,
+             sequence_match2_1h(unix_micros(ts),
+               CAST(event_type = 'signup' AS INT)
+               + 2 * CAST(event_type = 'purchase' AS INT)) AS m2g,
+             sequence_match3_1h(unix_micros(ts),
+               CAST(event_type = 'view' AS INT)
+               + 2 * CAST(event_type = 'click' AS INT)
+               + 4 * CAST(event_type = 'purchase' AS INT)) AS m3g
+      FROM events GROUP BY user_id ORDER BY user_id"""),
+
     "sm_try_math" -> sql("""
       SELECT n_nationkey,
              try_add(9223372036854775807L, CAST(n_nationkey AS BIGINT)) AS ta,
@@ -54,6 +67,24 @@ object SafeMathQueries {
                  AND e1.event_type = 'signup' AND e2.event_type = 'view'
                  AND e3.event_type = 'purchase'
                  AND e2.ts > e1.ts AND e3.ts > e2.ts)) AS BIGINT) AS m3
+      FROM events e GROUP BY e.user_id ORDER BY e.user_id""",
+
+    "sm_sequence_gap" -> """
+      SELECT e.user_id,
+             CAST(bool_or(EXISTS (
+               SELECT 1 FROM events s JOIN events p ON p.user_id = s.user_id
+               WHERE s.user_id = e.user_id
+                 AND s.event_type = 'signup' AND p.event_type = 'purchase'
+                 AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR)) AS BIGINT) AS m2g,
+             CAST(bool_or(EXISTS (
+               SELECT 1 FROM events v
+               JOIN events c ON c.user_id = v.user_id
+               JOIN events p ON p.user_id = v.user_id
+               WHERE v.user_id = e.user_id
+                 AND v.event_type = 'view' AND c.event_type = 'click'
+                 AND p.event_type = 'purchase'
+                 AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+                 AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)) AS BIGINT) AS m3g
       FROM events e GROUP BY e.user_id ORDER BY e.user_id""",
 
     "sm_try_math" -> """

@@ -50,6 +50,43 @@ object BitmapProps extends Properties("Bitmaps") {
   }
 }
 
+/** Gap-guarded sequence match vs exhaustive subsequence search: the
+  * latest-achiever DP must agree with brute force (exists indices with
+  * strictly increasing ts and every consecutive gap in (0, N]). */
+object SequenceGapProps extends Properties("SequenceGap") {
+  private val evGen = for {
+    ts <- Gen.chooseNum(0L, 40L)
+    mask <- Gen.chooseNum(0, 7)
+  } yield Ev(ts, mask)
+
+  private def brute(evs: Seq[Ev], n: Int, gap: Long): Boolean = {
+    val sorted = evs.sortBy(_.ts)
+    def go(level: Int, lastTs: Long): Boolean =
+      level == n || sorted.exists { e =>
+        (e.mask & (1 << level)) != 0 && e.ts > lastTs &&
+          (level == 0 || e.ts - lastTs <= gap) && go(level + 1, e.ts)
+      }
+    go(0, Long.MinValue)
+  }
+
+  property("DP == brute force") =
+    forAll(Gen.listOfN(10, evGen), Gen.chooseNum(1L, 15L), Gen.chooseNum(2, 3)) {
+      (evs, gap, n) =>
+        val agg = new BehaviorAggs.SequenceAgg(n, false, gap)
+        val got = agg.finish(evs.foldLeft(agg.zero)(agg.reduce))
+        got == (if (brute(evs, n, gap)) 1L else 0L)
+    }
+
+  property("partition-invariant") =
+    forAll(Gen.listOfN(12, evGen), Gen.chooseNum(1, 4)) { (evs, parts) =>
+      val agg = new BehaviorAggs.SequenceAgg(2, false, 10L)
+      val merged = evs.grouped(math.max(1, evs.size / parts + 1))
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      agg.finish(merged) == agg.finish(evs.foldLeft(agg.zero)(agg.reduce))
+    }
+}
+
 /** Funnel-mode laws: Fixed never exceeds Dedup never exceeds Default
   * (each mode's break condition is a superset of the previous); all
   * modes agree on clean one-event-per-level inputs; all modes are
