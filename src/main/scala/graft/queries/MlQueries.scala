@@ -85,6 +85,22 @@ object MlQueries {
         .orderBy(col("lang"), col("pred"))
     }),
 
+    // resize metadata + the mapPartitions batch-decode path (one codec
+    // instance per partition) — results must agree with the expression
+    // stub, which the oracle replicates.
+    "ml_multimodal_resize" -> ((s, dir) => {
+      val blobs = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("blob", MultimodalOps.makeBlob(lit("IMG0"), col("text")))
+      val decoded = MultimodalOps.decodeBatch(blobs, "doc_id", "blob")
+      val resized = blobs.select(col("doc_id"),
+        MultimodalOps.resizeMeta(col("blob"), 640, 480).as("r"))
+      decoded.join(resized, "doc_id")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("r.width").as("rw"), col("r.height").as("rh"),
+          col("r.n_bytes").as("rbytes"))
+        .orderBy(col("doc_id"))
+    }),
+
     "ml_multimodal_meta" -> ((s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 100)
         .withColumn("blob", MultimodalOps.makeBlob(lit("IMG0"), col("text")))
@@ -195,6 +211,23 @@ object MlQueries {
           FROM documents) x)
       SELECT lang, pred, count(*) AS n FROM p
       GROUP BY lang, pred ORDER BY lang, pred""",
+
+    "ml_multimodal_resize" -> """
+      WITH d AS (
+        SELECT doc_id, 'IMG0' AS format,
+               CAST((octet_length(CAST(concat('IMG0', text) AS BLOB)) * 7) % 1920 + 1 AS INT) AS width,
+               CAST((octet_length(CAST(concat('IMG0', text) AS BLOB)) * 13) % 1080 + 1 AS INT) AS height
+        FROM documents WHERE doc_id < 100)
+      SELECT doc_id, format, width, height,
+             CAST(CASE WHEN width * 480 >= height * 640 THEN 640
+                       ELSE (width * 480) // height END AS INT) AS rw,
+             CAST(CASE WHEN width * 480 >= height * 640 THEN (height * 640) // width
+                       ELSE 480 END AS INT) AS rh,
+             CAST(CAST(CASE WHEN width * 480 >= height * 640 THEN 640
+                            ELSE (width * 480) // height END AS BIGINT)
+                  * CAST(CASE WHEN width * 480 >= height * 640 THEN (height * 640) // width
+                              ELSE 480 END AS BIGINT) * 3 AS BIGINT) AS rbytes
+      FROM d ORDER BY doc_id""",
 
     "ml_multimodal_meta" -> """
       SELECT doc_id, 'IMG0' AS fmt,
