@@ -33,7 +33,20 @@ object FunctionRegistry {
       case Seq(s, seed) => MurmurHash3_32(s, seed)
       case _ => throw new IllegalArgumentException(
         "murmur_hash3_32(str[, seed])")
-    })
+    }),
+    // Doris-named higher-order functions (function_array_map.cpp etc.) —
+    // lambdas can't ride SQL UDFs, so these alias the native HOF
+    // expressions directly
+    "array_map" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayTransform(args.head, args(1))),
+    "array_filter" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayFilter(args.head, args(1))),
+    "array_exists" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayExists(args.head, args(1)))
+    // NOTE: composite shapes over a lambda (e.g. array_first_index)
+    // cannot be builder-aliased — the analyzer requires the resolved
+    // function's ROOT to be a HigherOrderFunction; compose them from
+    // these aliases at the query level instead.
   )
 
   def registerExtensions(e: SparkSessionExtensions): Unit =

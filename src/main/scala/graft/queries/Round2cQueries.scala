@@ -50,6 +50,20 @@ object Round2cQueries {
       FROM post a CROSS JOIN post b
       WHERE a.word = 'slow' AND b.word = 'fast'"""),
 
+    // Doris-named HOFs via native Catalyst builders (lambdas can't ride
+    // SQL UDFs): array_map / array_filter / array_exists /
+    // array_first_index.
+    "fn_array_doris" -> sql("""
+      WITH d AS (SELECT doc_id, split(text, ' ') AS ws
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+             concat_ws('|', array_map(slice(ws, 1, 5), w -> CAST(length(w) AS STRING))) AS lens5,
+             array_join(array_filter(slice(ws, 1, 8), w -> length(w) > 3), '|') AS long8,
+             array_exists(ws, w -> w = 'data') AS has_data,
+             coalesce(array_position(ws,
+               try_element_at(array_filter(ws, w -> length(w) > 4), 1)), 0) AS fidx
+      FROM d ORDER BY doc_id"""),
+
     // running COUNT(DISTINCT) over an ordered window — unsupported
     // directly in Spark (and Doris plans it via a special rewrite);
     // expressed exactly via first-seen-month + cumulative sum.
@@ -179,6 +193,16 @@ object Round2cQueries {
              (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
              (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
               WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "fn_array_doris" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
+                 FROM documents WHERE doc_id < 100)
+      SELECT doc_id,
+             array_to_string(list_transform(ws[1:5], w -> CAST(length(w) AS VARCHAR)), '|') AS lens5,
+             array_to_string(list_filter(ws[1:8], w -> length(w) > 3), '|') AS long8,
+             len(list_filter(ws, w -> w = 'data')) > 0 AS has_data,
+             CAST(coalesce(list_position(ws, list_filter(ws, w -> length(w) > 4)[1]), 0) AS BIGINT) AS fidx
+      FROM d ORDER BY doc_id""",
 
     "ds_distinct_window" -> """
       WITH first_seen AS (
