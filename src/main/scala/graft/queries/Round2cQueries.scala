@@ -50,6 +50,19 @@ object Round2cQueries {
       FROM post a CROSS JOIN post b
       WHERE a.word = 'slow' AND b.word = 'fast'"""),
 
+    "fn_string4" -> sql("""
+      SELECT n_nationkey,
+             locate('A', n_name) AS loc,
+             instr(n_name, 'N') AS ins,
+             startswith(n_name, 'NATION') AS sw,
+             endswith(n_name, '1') AS ew,
+             split_part(n_name, '_', 1) AS sp1,
+             split_part(concat(n_name, '_', CAST(n_nationkey AS STRING)), '_', -1) AS spneg,
+             btrim(n_name, 'AN') AS bt,
+             url_decode(url_encode(concat(n_name, ' &', CAST(n_nationkey AS STRING)))) AS url_rt,
+             left(n_name, 4) AS l4, right(n_name, 4) AS r4
+      FROM nation ORDER BY n_nationkey"""),
+
     // Doris-named HOFs via native Catalyst builders (lambdas can't ride
     // SQL UDFs): array_map / array_filter / array_exists /
     // array_first_index.
@@ -193,6 +206,19 @@ object Round2cQueries {
              (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
              (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
               WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "fn_string4" -> """
+      SELECT n_nationkey,
+             CAST(strpos(n_name, 'A') AS INT) AS loc,
+             CAST(strpos(n_name, 'N') AS INT) AS ins,
+             starts_with(n_name, 'NATION') AS sw,
+             ends_with(n_name, '1') AS ew,
+             split_part(n_name, '_', 1) AS sp1,
+             list_extract(string_split(concat(n_name, '_', CAST(n_nationkey AS VARCHAR)), '_'), -1) AS spneg,
+             trim(n_name, 'AN') AS bt,
+             concat(n_name, ' &', CAST(n_nationkey AS VARCHAR)) AS url_rt,
+             n_name[1:4] AS l4, n_name[-4:] AS r4
+      FROM nation ORDER BY n_nationkey""",
 
     "fn_array_doris" -> """
       WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws
