@@ -45,14 +45,25 @@ object SparkEntry {
     graft.queries.TpchQueries.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** One entry per implemented operator from SURVEY.md §2. A duplicate
+    * key across families would silently shadow a query under Map ++, so
+    * uniqueness is asserted — losing a declared capability without
+    * noticing is worse than failing fast. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = families.flatMap(_._1.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate query keys across families: ${dups.mkString(", ")}")
     families.map(_._1).reduce(_ ++ _)
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = {
+    val all = families.flatMap(_._2.keys)
+    val dups = all.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty, s"duplicate oracle keys across families: ${dups.mkString(", ")}")
     families.map(_._2).reduce(_ ++ _)
+  }
 
   /** Headline subset for Bench (kept fast but representative). */
   def benchQueries: Seq[String] = Seq(

@@ -29,4 +29,26 @@ class GraftFacadeSpec extends AnyFunSuite {
 
     assert(docs.select(Graft.qualityScore(col("text"))).count() > 0)
   }
+
+  test("facade: IVF search, batch decode, named datetime/HOF functions") {
+    Graft.install(spark)
+    Graft.registerTables(spark, sf)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ivf = Graft.annTopKIvf(emb, emb.filter(col("vec_id") < 2),
+      emb.filter(col("vec_id") < 8), nprobe = 2, k = 3)
+    assert(ivf.columns.sameElements(Array("q_id", "rn", "vec_id", "sim")))
+    assert(ivf.groupBy("q_id").count().collect().forall(_.getLong(1) <= 3))
+
+    val docs = Tables.load(spark, sf, "documents").limit(5)
+      .withColumn("blob", graft.ops.MultimodalOps.makeBlob(lit("IMG0"), col("text")))
+    val dec = graft.ops.MultimodalOps.decodeBatch(docs, "doc_id", "blob")
+    assert(dec.columns.sameElements(Array("doc_id", "format", "width", "height", "n_bytes")))
+    assert(dec.count() == 5)
+
+    assert(spark.sql(
+      "SELECT unix_micros(hour_ceil(TIMESTAMP '2026-08-12 09:05:03')) AS hc").head().getLong(0)
+      % 3600000000L == 0L)
+    assert(spark.sql(
+      "SELECT array_exists(array(1, 2, 3), x -> x = 2) AS e").head().getBoolean(0))
+  }
 }
