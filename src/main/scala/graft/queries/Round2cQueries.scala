@@ -50,6 +50,36 @@ object Round2cQueries {
       FROM post a CROSS JOIN post b
       WHERE a.word = 'slow' AND b.word = 'fast'"""),
 
+    // any_value over constant-per-group input (deterministic) + mode
+    // over a distribution with a unique maximum (TPC-H linenumber 1 is
+    // strictly most frequent) — both verified exact.
+    "agg_any_mode" -> sql("""
+      SELECT l_returnflag,
+             any_value(upper(l_returnflag)) AS av,
+             mode(l_linenumber) AS md,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
+    // Doris array-aggregate scalar family (function_array_aggregation
+    // .cpp): array_sum/avg/min/max/product/cum_sum over an array column.
+    "fn_array_aggs" -> sql("""
+      WITH d AS (
+        SELECT n_nationkey,
+               transform(sequence(1, CAST(n_nationkey % 5 + 2 AS INT)),
+                         i -> CAST(i * (n_nationkey + 1) AS BIGINT)) AS a
+        FROM nation)
+      SELECT n_nationkey,
+             aggregate(a, CAST(0 AS BIGINT), (s, x) -> s + x) AS arr_sum,
+             round(CAST(aggregate(a, CAST(0 AS BIGINT), (s, x) -> s + x) AS DOUBLE)
+                   / size(a), 6) AS arr_avg,
+             array_min(a) AS arr_min,
+             array_max(a) AS arr_max,
+             aggregate(a, CAST(1 AS BIGINT), (s, x) -> s * x) AS arr_product,
+             concat_ws('|', transform(sequence(1, size(a)),
+               i -> CAST(aggregate(slice(a, 1, i), CAST(0 AS BIGINT), (s, x) -> s + x) AS STRING)))
+               AS arr_cum_sum
+      FROM d ORDER BY n_nationkey"""),
+
     "fn_string4" -> sql("""
       SELECT n_nationkey,
              locate('A', n_name) AS loc,
@@ -206,6 +236,27 @@ object Round2cQueries {
              (SELECT count(*) FROM s WHERE doc_id NOT IN (SELECT doc_id FROM f)) AS n_slow_only,
              (SELECT array_to_string(list_sort(list(doc_id))[1:10], ',') FROM s
               WHERE doc_id IN (SELECT doc_id FROM f)) AS first10""",
+
+    "agg_any_mode" -> """
+      SELECT l_returnflag, upper(l_returnflag) AS av,
+             CAST(mode(l_linenumber) AS BIGINT) AS md, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "fn_array_aggs" -> """
+      WITH d AS (
+        SELECT n_nationkey,
+               list_transform(generate_series(1, CAST(n_nationkey % 5 + 2 AS INT)),
+                              i -> CAST(i * (n_nationkey + 1) AS BIGINT)) AS a
+        FROM nation)
+      SELECT n_nationkey,
+             CAST(list_sum(a) AS BIGINT) AS arr_sum,
+             round(CAST(list_sum(a) AS DOUBLE) / len(a), 6) AS arr_avg,
+             list_min(a) AS arr_min,
+             list_max(a) AS arr_max,
+             CAST(list_reduce(list_prepend(CAST(1 AS BIGINT), a), (s, x) -> s * x) AS BIGINT) AS arr_product,
+             array_to_string(list_transform(generate_series(1, len(a)),
+               i -> CAST(list_sum(a[1:i]) AS BIGINT)), '|') AS arr_cum_sum
+      FROM d ORDER BY n_nationkey""",
 
     "fn_string4" -> """
       SELECT n_nationkey,
