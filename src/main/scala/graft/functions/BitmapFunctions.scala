@@ -114,11 +114,21 @@ object Bitmaps {
     // string codec + slicing surface (reference: bitmap_from_string /
     // bitmap_to_string / sub_bitmap / bitmap_subset_in_range in
     // be/src/exprs/function/function_bitmap.cpp)
+    // unparseable tokens yield NULL (not an exception), matching the
+    // reference's parse-failure contract
     u.register("bitmap_from_string", (s: String) => {
-      val out = new Roaring64NavigableMap()
-      if (s != null && s.nonEmpty)
-        s.split(",").foreach(p => out.addLong(p.trim.toLong))
-      ser(out)
+      if (s == null) null
+      else {
+        val out = new Roaring64NavigableMap()
+        var ok = true
+        if (s.nonEmpty) s.split(",").foreach { p =>
+          p.trim.toLongOption match {
+            case Some(v) => out.addLong(v)
+            case None => ok = false
+          }
+        }
+        if (ok) ser(out) else null
+      }
     })
     u.register("bitmap_to_string", (b: Array[Byte]) => {
       val sb = new StringBuilder
@@ -126,17 +136,26 @@ object Bitmaps {
       while (it.hasNext) { if (sb.nonEmpty) sb.append(','); sb.append(it.next()) }
       sb.toString
     })
+    // offset = element rank (ascending unsigned); negative offsets count
+    // from the end; NULL when limit<=0, |offset| exceeds cardinality, or
+    // the slice selects nothing (BitmapValue::offset_limit's contract)
     u.register("sub_bitmap", (b: Array[Byte], offset: Long, len: Long) => {
-      // offset = element rank (ascending unsigned), len = element count
-      val out = new Roaring64NavigableMap()
-      val it = deser(b).iterator()
-      var i = 0L
-      while (it.hasNext && i < offset + len) {
-        val v = it.next()
-        if (i >= offset) out.addLong(v)
-        i += 1
+      val m = deser(b)
+      val card = m.getLongCardinality
+      if (len <= 0 || math.abs(offset) > card) null
+      else {
+        val start = if (offset < 0) card + offset else offset
+        val out = new Roaring64NavigableMap()
+        val it = m.iterator()
+        var i = 0L
+        var taken = 0L
+        while (it.hasNext && taken < len) {
+          val v = it.next()
+          if (i >= start) { out.addLong(v); taken += 1 }
+          i += 1
+        }
+        if (taken == 0L) null else ser(out)
       }
-      ser(out)
     })
     u.register("bitmap_subset_in_range", (b: Array[Byte], lo: Long, hi: Long) => {
       val out = new Roaring64NavigableMap()

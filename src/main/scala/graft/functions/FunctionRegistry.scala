@@ -17,8 +17,15 @@ object FunctionRegistry {
     * like builtins. Doris names from BuiltinAggregateFunctions.java:
     * ndv/approx_distinct (HLL++), multi_distinct_count/sum (the
     * SplitMultiDistinct path is Catalyst's RewriteDistinctAggregates),
-    * murmur_hash3_32 (spec-compliant murmur3, seed 0 like the
-    * reference's default; Spark's hash() tail-mixing differs). */
+    * murmur_hash3_32 (spec-compliant murmur3; variadic STRING args,
+    * seeded with HashUtil::MURMUR3_32_SEED = 104729 and chained —
+    * hash of arg N is seeded with the hash of args 1..N-1 — per
+    * function_hash.cpp first_apply/combine_apply; zero args yield the
+    * int32 truncation of the reference's emtpy_value constant.
+    * Verified against the reference's published output vectors
+    * (regression-test/data/nereids_function_p0/scalar_function/M.out).
+    * Spark's builtin hash() tail-mixing differs, hence the custom
+    * Expression). */
   def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ndv" -> ((args: Seq[Expression]) =>
       new HyperLogLogPlusPlus(args.head).toAggregateExpression()),
@@ -28,12 +35,11 @@ object FunctionRegistry {
       Count(args).toAggregateExpression(isDistinct = true)),
     "multi_distinct_sum" -> ((args: Seq[Expression]) =>
       Sum(args.head).toAggregateExpression(isDistinct = true)),
-    "murmur_hash3_32" -> ((args: Seq[Expression]) => args match {
-      case Seq(s) => MurmurHash3_32(s, Literal(0))
-      case Seq(s, seed) => MurmurHash3_32(s, seed)
-      case _ => throw new IllegalArgumentException(
-        "murmur_hash3_32(str[, seed])")
-    }),
+    "murmur_hash3_32" -> ((args: Seq[Expression]) =>
+      if (args.isEmpty) Literal(0xe28dbde7fe22e41cL.toInt)
+      else args.foldLeft[Expression](Literal(104729)) {
+        (seed, s) => MurmurHash3_32(s, seed)
+      }),
     // Doris-named higher-order functions (function_array_map.cpp etc.) —
     // lambdas can't ride SQL UDFs, so these alias the native HOF
     // expressions directly

@@ -72,8 +72,9 @@ object MiscFunctions {
        RETURNS STRING RETURN format_number(v, 2)""",
     // ---- Doris datetime floor/ceil family (function_datetime_floor_ceil
     // .cpp). Floor = date_trunc; ceil = exact integer ceil-division on
-    // epoch micros (x div with negation: truncation toward zero on a
-    // negated positive == ceiling — no double rounding at 1e18 us).
+    // epoch micros via (x + D - 1) div D (exact for the positive micros
+    // in scope; Spark's div truncates toward zero, so the negate trick
+    // would yield floor, not ceiling).
     """CREATE OR REPLACE TEMPORARY FUNCTION hour_floor(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN date_trunc('hour', t)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION day_floor(t TIMESTAMP)
@@ -84,15 +85,16 @@ object MiscFunctions {
        RETURNS TIMESTAMP RETURN date_trunc('month', t)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION hour_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(-((-unix_micros(t)) div 3600000000) * 3600000000)""",
+       timestamp_micros(((unix_micros(t) + 3599999999) div 3600000000) * 3600000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION day_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(-((-unix_micros(t)) div 86400000000) * 86400000000)""",
+       timestamp_micros(((unix_micros(t) + 86399999999) div 86400000000) * 86400000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION minute_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(-((-unix_micros(t)) div 60000000) * 60000000)""",
+       timestamp_micros(((unix_micros(t) + 59999999) div 60000000) * 60000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION strcmp(a STRING, b STRING)
-       RETURNS INT RETURN CASE WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
+       RETURNS INT RETURN CASE WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS INT)
+                               WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
     // Doris/MySQL %-style date_format (function_datetime.cpp date_format;
     // covers the numeric specifiers — month/day names are locale traps)
     """CREATE OR REPLACE TEMPORARY FUNCTION date_format_mysql(t TIMESTAMP, f STRING)

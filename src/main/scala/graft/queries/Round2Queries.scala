@@ -199,9 +199,9 @@ object Round2Queries {
              epoch_us(date_trunc('hour', ts)) AS hf,
              epoch_us(date_trunc('day', ts)) AS df,
              epoch_us(date_trunc('minute', ts)) AS mf,
-             -((-epoch_us(ts)) // 3600000000) * 3600000000 AS hc,
-             -((-epoch_us(ts)) // 86400000000) * 86400000000 AS dc,
-             -((-epoch_us(ts)) // 60000000) * 60000000 AS mc
+             ((epoch_us(ts) + 3599999999) // 3600000000) * 3600000000 AS hc,
+             ((epoch_us(ts) + 86399999999) // 86400000000) * 86400000000 AS dc,
+             ((epoch_us(ts) + 59999999) // 60000000) * 60000000 AS mc
       FROM events WHERE event_id < 300 ORDER BY event_id""",
 
     "ml_fingerprint" -> """

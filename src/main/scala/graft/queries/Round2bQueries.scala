@@ -117,10 +117,12 @@ object Round2bQueries {
 
     // spec-compliant murmur3 via the native codegen Expression —
     // rows-only (no DuckDB murmur3); correctness is property-tested
-    // against an independent implementation.
+    // against an independent implementation AND pinned to the
+    // reference's published 1-arg output vectors. Multi-arg chains
+    // strings (hash of arg N seeded by hash of args 1..N-1).
     "misc_hash_murmur" -> sql("""
       SELECT n_nationkey, murmur_hash3_32(n_name) AS h0,
-             murmur_hash3_32(n_name, 104729) AS hs
+             murmur_hash3_32(n_name, upper(n_name)) AS hs
       FROM nation ORDER BY n_nationkey"""),
 
     // salting for skewed keys: explode the hot side into SALT subkeys,

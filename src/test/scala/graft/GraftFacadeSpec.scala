@@ -45,10 +45,44 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(dec.columns.sameElements(Array("doc_id", "format", "width", "height", "n_bytes")))
     assert(dec.count() == 5)
 
+    // ceil of an unaligned instant moves UP to the next boundary (not
+    // date_trunc), and an aligned instant is a fixed point
     assert(spark.sql(
-      "SELECT unix_micros(hour_ceil(TIMESTAMP '2026-08-12 09:05:03')) AS hc").head().getLong(0)
-      % 3600000000L == 0L)
+      """SELECT hour_ceil(TIMESTAMP '2026-08-12 09:05:03') = TIMESTAMP '2026-08-12 10:00:00'
+           AND minute_ceil(TIMESTAMP '2026-08-12 09:05:03') = TIMESTAMP '2026-08-12 09:06:00'
+           AND day_ceil(TIMESTAMP '2026-08-12 09:05:03') = TIMESTAMP '2026-08-13 00:00:00'
+           AND hour_ceil(TIMESTAMP '2026-08-12 09:00:00') = TIMESTAMP '2026-08-12 09:00:00'
+           AS ok""").head().getBoolean(0))
+    // strcmp: NULL propagates (MySQL/Doris), not ELSE-1
+    assert(spark.sql("SELECT strcmp('a', CAST(NULL AS STRING)) AS s").head().isNullAt(0))
     assert(spark.sql(
       "SELECT array_exists(array(1, 2, 3), x -> x = 2) AS e").head().getBoolean(0))
+  }
+
+  test("facade: reference edge semantics — sub_bitmap, bitmap_from_string, murmur seed") {
+    Graft.install(spark)
+    // sub_bitmap: negative offset counts from the end; out-of-range and
+    // non-positive limits are NULL (BitmapValue::offset_limit contract)
+    val bm = spark.sql("""
+      SELECT bitmap_to_string(sub_bitmap(bitmap_from_string('0,1,2,3,4'), -2, 3)) AS tail2,
+             sub_bitmap(bitmap_from_string('0,1,2'), 5, 1) AS oor,
+             sub_bitmap(bitmap_from_string('0,1,2'), 0, 0) AS zlim,
+             sub_bitmap(bitmap_from_string('0,1,2'), -4, 2) AS negoor,
+             bitmap_from_string('1,x,3') AS badtok,
+             bitmap_count(bitmap_from_string('')) AS emptyn
+      """).head()
+    assert(bm.getString(0) == "3,4")
+    assert(bm.isNullAt(1) && bm.isNullAt(2) && bm.isNullAt(3) && bm.isNullAt(4))
+    assert(bm.getLong(5) == 0L)
+    // murmur_hash3_32: 1-arg form matches the reference's published
+    // vector for 'string1' (seed 104729); 2-arg chains strings
+    val mm = spark.sql("""
+      SELECT murmur_hash3_32('string1') AS h1,
+             murmur_hash3_32('ab', 'c') AS chained
+      """).head()
+    assert(mm.getInt(0) == 1105201137)
+    assert(mm.getInt(1) == graft.functions.Murmur3.hash32(
+      "c".getBytes("UTF-8"),
+      graft.functions.Murmur3.hash32("ab".getBytes("UTF-8"), 104729)))
   }
 }

@@ -156,6 +156,19 @@ object Murmur3Props extends Properties("Murmur3") {
       Murmur3.hash32(org.apache.spark.unsafe.types.UTF8String.fromString(s), seed) ==
         Murmur3.hash32(s.getBytes("UTF-8"), seed)
     }
+
+  // Pinned to the reference's published murmur_hash3_32 outputs
+  // (regression-test/data/nereids_function_p0/scalar_function/M.out,
+  // 1-arg form = seed HashUtil::MURMUR3_32_SEED 104729): the fn_test
+  // rows kvchrs1 in ('varchar11'..'varchar13'), kstr in ('string1'..).
+  property("matches Doris published output vectors (seed 104729)") = Prop {
+    val doris = 104729
+    Seq(
+      "varchar11" -> 1382328699, "varchar12" -> -216074155,
+      "varchar13" -> -1704245912, "string1" -> 1105201137,
+      "string2" -> 466065876, "string3" -> -1328370272
+    ).forall { case (s, h) => Murmur3.hash32(s.getBytes("UTF-8"), doris) == h }
+  }
 }
 
 object FunnelProps extends Properties("WindowFunnel") {
