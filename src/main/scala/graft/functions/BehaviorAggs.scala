@@ -24,16 +24,18 @@ object BehaviorAggs {
     * first event. Greedy earliest-extension per start (optimal for
     * subsequence-with-deadline).
     *
-    * Modes (reference: aggregate_function_window_funnel.h WindowFunnelMode,
-    * mirroring ClickHouse):
-    *  - Default: advance on the next matching level, later events may
-    *    interleave.
-    *  - Dedup: a repeat of an ALREADY-PASSED level breaks this chain
-    *    attempt.
+    * Modes (reference: aggregate_function_window_funnel.cpp
+    * _get_default/_get_increase/_get_deduplication/_get_fixed):
+    *  - Default: advance on the next matching level from any LATER event
+    *    (equal timestamps allowed — the reference requires only a
+    *    different row + the window).
+    *  - Increase: like Default but each advance needs a strictly GREATER
+    *    timestamp than the previous chain event (the reference's extra
+    *    `last_ts < evt.timestamp` check).
+    *  - Dedup: a repeat of an ALREADY-PASSED level in the gap breaks
+    *    this chain attempt.
     *  - Fixed: any chain-event whose level is not the expected next one
     *    breaks the attempt (exact contiguous order).
-    *  - Increase: equivalent to Default here — the base algorithm
-    *    already requires strictly increasing ts.
     */
   object FunnelMode extends Enumeration { val Default, Dedup, Fixed, Increase = Value }
 
@@ -57,19 +59,18 @@ object BehaviorAggs {
           var broken = false
           while (j < evs.length && !broken && level < nConds && evs(j).ts <= deadline) {
             val m = evs(j).mask
-            // only strictly-later events participate: equal-ts events are
-            // concurrent, and breaking on them would invert the
-            // fixed <= dedup <= default strictness hierarchy
-            if (evs(j).ts > lastTs) {
-              if ((m & (1 << level)) != 0) {
-                level += 1; lastTs = evs(j).ts
-              } else if (mode == FunnelMode.Dedup && (m & ((1 << level) - 1)) != 0) {
-                // a passed level repeats -> this attempt is dead
-                broken = true
-              } else if (mode == FunnelMode.Fixed && m != 0) {
-                // chain event out of expected order -> attempt is dead
-                broken = true
-              }
+            // Increase demands a strictly greater ts per advance; the
+            // other modes only need a different event (reference checks
+            // a different ROW, not a later timestamp)
+            val tsOk = mode != FunnelMode.Increase || evs(j).ts > lastTs
+            if (tsOk && (m & (1 << level)) != 0) {
+              level += 1; lastTs = evs(j).ts
+            } else if (mode == FunnelMode.Dedup && (m & ((1 << level) - 1)) != 0) {
+              // a passed level repeats -> this attempt is dead
+              broken = true
+            } else if (mode == FunnelMode.Fixed && m != 0) {
+              // chain event out of expected order -> attempt is dead
+              broken = true
             }
             j += 1
           }
@@ -209,6 +210,8 @@ object BehaviorAggs {
       udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3, FunnelMode.Dedup), evEnc))
     spark.udf.register("window_funnel_3d_fixed",
       udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3, FunnelMode.Fixed), evEnc))
+    spark.udf.register("window_funnel_3d_increase",
+      udaf(new WindowFunnelAgg(3L * 24 * 3600 * 1000000, 3, FunnelMode.Increase), evEnc))
     spark.udf.register("retention3", udaf(new RetentionAgg(3), Encoders.scalaInt))
     spark.udf.register("sequence_match2", udaf(new SequenceAgg(2, false), evEnc))
     spark.udf.register("sequence_count2", udaf(new SequenceAgg(2, true), evEnc))

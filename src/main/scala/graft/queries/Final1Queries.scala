@@ -55,9 +55,10 @@ object Final1Queries {
     "f1_funnel_modes" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       s.sql("""
-        SELECT lvl_default, lvl_dedup, lvl_fixed, count(*) AS n_users FROM (
+        SELECT lvl_default, lvl_increase, lvl_dedup, lvl_fixed, count(*) AS n_users FROM (
           SELECT user_id,
                  window_funnel_3d(unix_micros(ts), m) AS lvl_default,
+                 window_funnel_3d_increase(unix_micros(ts), m) AS lvl_increase,
                  window_funnel_3d_dedup(unix_micros(ts), m) AS lvl_dedup,
                  window_funnel_3d_fixed(unix_micros(ts), m) AS lvl_fixed
           FROM (SELECT user_id, ts,
@@ -66,8 +67,8 @@ object Final1Queries {
                        + 4 * CAST(event_type = 'purchase' AS INT) AS m
                 FROM events) e
           GROUP BY user_id) u
-        GROUP BY lvl_default, lvl_dedup, lvl_fixed
-        ORDER BY lvl_default, lvl_dedup, lvl_fixed""")
+        GROUP BY lvl_default, lvl_increase, lvl_dedup, lvl_fixed
+        ORDER BY lvl_default, lvl_increase, lvl_dedup, lvl_fixed""")
     }),
 
     // same funnel, 1-hour window: stricter deadline, lower levels.

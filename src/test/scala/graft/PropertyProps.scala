@@ -132,6 +132,23 @@ object FunnelModeProps extends Properties("FunnelModes") {
     run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Dedup) == 2
   }
 
+  property("increase <= default") = forAll(evsGen) { evs =>
+    run(evs, FunnelMode.Increase) <= run(evs, FunnelMode.Default)
+  }
+
+  // equal-ts chain: Default follows the reference (different row within
+  // the window suffices), Increase demands strictly greater timestamps
+  property("increase rejects equal-ts advance, default allows it") = Prop {
+    val evs = Seq(Ev(0, 1), Ev(0, 2), Ev(1, 4))
+    run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Increase) == 1
+  }
+
+  property("increase == default on strictly increasing streams") =
+    forAll(evsGen) { raw =>
+      val evs = raw.zipWithIndex.map { case (e, i) => Ev(i.toLong, e.mask) }
+      run(evs, FunnelMode.Increase) == run(evs, FunnelMode.Default)
+    }
+
   property("fixed breaks on out-of-order chain event") = Prop {
     val evs = Seq(Ev(0, 1), Ev(1, 4), Ev(2, 2), Ev(3, 4))
     run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Fixed) == 1
@@ -186,7 +203,9 @@ object FunnelProps extends Properties("WindowFunnel") {
     agg.finish(buckets.foldLeft(agg.zero)(agg.merge))
   }
 
-  /** brute-force reference: max k with an EXISTS chain. */
+  /** brute-force reference: max k with an EXISTS chain. Default-mode
+    * semantics: any DIFFERENT later-position event advances (equal
+    * timestamps allowed, per the reference's different-row check). */
   private def reference(events: Seq[Ev]): Int = {
     val sorted = events.filter(_.mask != 0).sortBy(e => (e.ts, e.mask))
     def chains(level: Int, lastTs: Long, deadline: Long, rest: List[Ev]): Int =
@@ -194,7 +213,7 @@ object FunnelProps extends Properties("WindowFunnel") {
         case Nil => level
         case _ if level == 3 => 3
         case e :: tail =>
-          val take = if (e.ts > lastTs && e.ts <= deadline &&
+          val take = if (e.ts <= deadline &&
             (e.mask & (1 << level)) != 0) chains(level + 1, e.ts, deadline, tail) else 0
           math.max(take, chains(level, lastTs, deadline, tail))
       }
