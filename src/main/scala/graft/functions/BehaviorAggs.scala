@@ -189,6 +189,27 @@ object BehaviorAggs {
     def outputEncoder: Encoder[Seq[ItemCnt]] = ExpressionEncoder()
   }
 
+  /** topn_weighted(item, weight, k): top items by SUM of weight
+    * (reference: aggregate_function_topn.h TopNWeighted variant) —
+    * same capped space-saving state as TopNAgg, exact when distinct
+    * items per group <= cap. Ties: weight desc, then item asc. */
+  class TopNWeightedAgg(k: Int, cap: Int)
+      extends Aggregator[ItemCnt, Map[String, Long], Seq[ItemCnt]] {
+    def zero: Map[String, Long] = Map.empty
+    private def trim(m: Map[String, Long]): Map[String, Long] =
+      if (m.size <= cap) m
+      else m.toSeq.sortBy { case (it, c) => (-c, it) }.take(cap).toMap
+    def reduce(b: Map[String, Long], v: ItemCnt): Map[String, Long] =
+      if (v == null || v.item == null) b
+      else trim(b.updated(v.item, b.getOrElse(v.item, 0L) + v.cnt))
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      trim(b.foldLeft(a) { case (m, (it, c)) => m.updated(it, m.getOrElse(it, 0L) + c) })
+    def finish(b: Map[String, Long]): Seq[ItemCnt] =
+      b.toSeq.sortBy { case (it, c) => (-c, it) }.take(k).map { case (it, c) => ItemCnt(it, c) }
+    def bufferEncoder: Encoder[Map[String, Long]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[ItemCnt]] = ExpressionEncoder()
+  }
+
   /** product agg (reference: aggregate_function_product.*). */
   class ProductAgg extends Aggregator[Double, Double, Double] {
     def zero: Double = 1.0
@@ -222,6 +243,8 @@ object BehaviorAggs {
     spark.udf.register("sequence_match3_1h",
       udaf(new SequenceAgg(3, false, 3600L * 1000000), evEnc))
     spark.udf.register("topn5", udaf(new TopNAgg(5, 4096), Encoders.STRING))
+    spark.udf.register("topn_weighted5",
+      udaf(new TopNWeightedAgg(5, 4096), ExpressionEncoder[ItemCnt]()))
     spark.udf.register("product_agg", udaf(new ProductAgg, Encoders.scalaDouble))
   }
 }

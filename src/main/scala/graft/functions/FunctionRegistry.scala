@@ -74,6 +74,7 @@ object FunctionRegistry {
     BehaviorAggs.register(spark)
     VectorFunctions.register(spark)
     MiscFunctions.register(spark)
+    JsonFunctions.register(spark)
     AiFunctions.register(spark)
     MoreAggs.register(spark)
   }

@@ -92,6 +92,28 @@ object MiscFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION minute_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
        timestamp_micros(((unix_micros(t) + 59999999) div 60000000) * 60000000)""",
+    // ---- MySQL/Doris day-number + time-of-day + tz family
+    // (date_time_transforms.h: to_days/from_days, sec_to_time/
+    // time_to_sec, makedate, convert_tz). Day 719528 = 1970-01-01 in
+    // MySQL's day-number epoch (day 1 = 0000-01-01).
+    """CREATE OR REPLACE TEMPORARY FUNCTION to_days(d DATE)
+       RETURNS BIGINT RETURN CAST(datediff(d, DATE '1970-01-01') AS BIGINT) + 719528""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION from_days(n BIGINT)
+       RETURNS DATE RETURN date_add(DATE '1970-01-01', CAST(n - 719528 AS INT))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION sec_to_time(s BIGINT)
+       RETURNS STRING RETURN
+       concat(lpad(CAST(s div 3600 AS STRING), 2, '0'), ':',
+              lpad(CAST((s % 3600) div 60 AS STRING), 2, '0'), ':',
+              lpad(CAST(s % 60 AS STRING), 2, '0'))""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION time_to_sec(t STRING)
+       RETURNS BIGINT RETURN
+       CAST(split_part(t, ':', 1) AS BIGINT) * 3600
+       + CAST(split_part(t, ':', 2) AS BIGINT) * 60
+       + CAST(split_part(t, ':', 3) AS BIGINT)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION makedate(y INT, doy INT)
+       RETURNS DATE RETURN date_add(make_date(y, 1, 1), doy - 1)""",
+    """CREATE OR REPLACE TEMPORARY FUNCTION convert_tz(t TIMESTAMP, f STRING, tz STRING)
+       RETURNS TIMESTAMP RETURN from_utc_timestamp(to_utc_timestamp(t, f), tz)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION strcmp(a STRING, b STRING)
        RETURNS INT RETURN CASE WHEN a IS NULL OR b IS NULL THEN CAST(NULL AS INT)
                                WHEN a < b THEN -1 WHEN a = b THEN 0 ELSE 1 END""",
