@@ -56,18 +56,24 @@ object TpchQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
-    // Q5: 6-way join with cycle-closing predicate (c_nationkey = s_nationkey).
+    // Q5: 6-way join with cycle-closing predicate (c_nationkey =
+    // s_nationkey). Join order is scale-driven: the date filter prunes
+    // orders ~7x at the scan, orders⋈lineitem (the two fact tables)
+    // goes first so the biggest reduction happens before customer —
+    // which broadcasts at test SF but must shuffle at 100 TB — enters;
+    // supplier/nation/region stay broadcast-side.
     "q5_local_supplier" -> ((s, dir) => {
-      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
       val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
       val n = t(s, dir, "nation"); val r = t(s, dir, "region")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(su, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("c_custkey") === col("o_custkey") && col("c_nationkey") === col("s_nationkey"))
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .join(r, col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA" &&
-          col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+        .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
