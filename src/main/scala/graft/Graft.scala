@@ -77,6 +77,8 @@ object Graft {
     VectorSearch.topKIvf(corpus, queries, centroids, nprobe, k)
   def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame =
     VectorSearch.nearDupPairs(corpus, threshold)
+  def dedupComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    Dedup.connectedComponents(pairs, aCol, bCol)
   def langId(text: Column): Column = TextOps.langId(text)
   def qualityScore(text: Column): Column = TextOps.qualityScore(text)
   def fingerprint(text: Column): Column = TextOps.fingerprint(text)

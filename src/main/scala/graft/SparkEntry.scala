@@ -37,7 +37,8 @@ object SparkEntry {
       (graft.queries.Round2Queries.queries, graft.queries.Round2Queries.oracle),
       (graft.queries.Round2bQueries.queries, graft.queries.Round2bQueries.oracle),
       (graft.queries.Round2cQueries.queries, graft.queries.Round2cQueries.oracle),
-      (graft.queries.Round3Queries.queries, graft.queries.Round3Queries.oracle)
+      (graft.queries.Round3Queries.queries, graft.queries.Round3Queries.oracle),
+      (graft.queries.Round3bQueries.queries, graft.queries.Round3bQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

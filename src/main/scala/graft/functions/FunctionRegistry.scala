@@ -75,6 +75,7 @@ object FunctionRegistry {
     VectorFunctions.register(spark)
     MiscFunctions.register(spark)
     JsonFunctions.register(spark)
+    CodecFunctions.register(spark)
     AiFunctions.register(spark)
     MoreAggs.register(spark)
   }

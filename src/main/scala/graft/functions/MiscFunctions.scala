@@ -92,6 +92,14 @@ object MiscFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION minute_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
        timestamp_micros(((unix_micros(t) + 59999999) div 60000000) * 60000000)""",
+    // per-char mismatch count for equal-length strings, NULL otherwise
+    // (reference: function_hamming_distance.cpp)
+    """CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a STRING, b STRING)
+       RETURNS INT RETURN
+       CASE WHEN length(a) <> length(b) THEN CAST(NULL AS INT)
+            ELSE aggregate(zip_with(split(a, ''), split(b, ''),
+                                    (x, y) -> IF(x = y, 0, 1)),
+                           0, (acc, v) -> acc + v) END""",
     // ---- MySQL/Doris day-number + time-of-day + tz family
     // (date_time_transforms.h: to_days/from_days, sec_to_time/
     // time_to_sec, makedate, convert_tz). Day 719528 = 1970-01-01 in

@@ -96,4 +96,40 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Connected components over an undirected duplicate-pair edge list:
+    * iterative min-label propagation, the standard O(graph-diameter)-
+    * round formulation (each round = one shuffle-join + min-agg), so a
+    * 100 TB pair set shards like any hash join; near-dup graphs have
+    * tiny diameters (clusters are quasi-cliques), so rounds stay
+    * single-digit. Returns (id, lab) with lab = min member id of the
+    * component — the canonical representative used to pick one
+    * surviving document per duplicate cluster. */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 50): DataFrame = {
+    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .localCheckpoint(eager = true)
+    var changed = 1L
+    var i = 0
+    while (i < maxIter && changed > 0) {
+      val nbr = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
+      val next = labels.alias("l")
+        .join(nbr.alias("n"), col("l.id") === col("n.src"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"))
+        .localCheckpoint(eager = true)
+      changed = next.alias("a")
+        .join(labels.alias("b"), col("a.id") === col("b.id"))
+        .filter(col("a.lab") =!= col("b.lab")).count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
 }

@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q._
+
+/** Round-3 second sweep — training-pipeline composition ops + remaining
+  * string/codec scalar families:
+  *  - duplicate-cluster resolution: near-dup pair graph -> connected
+  *    components -> one canonical survivor per cluster (the step after
+  *    every pairwise dedup in a real pipeline);
+  *  - deterministic hash-based train/test split (md5 is engine-stable,
+  *    so the split is reproducible anywhere);
+  *  - embedding post-processing: L2 norm + int8 max-abs quantization;
+  *  - hamming_distance / multi_search_all_positions
+  *    (function_hamming_distance.cpp, functions_multi_string_position
+  *    .cpp);
+  *  - compress/uncompress roundtrip (function_compress.cpp).
+  */
+object Round3bQueries {
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // near-dup graph from two overlapping 3-word fingerprint windows
+    // (chains across windows make components genuinely transitive),
+    // resolved by iterative min-label propagation (ops.Dedup).
+    "ml_dedup_components" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val f = s.sql("""
+        SELECT doc_id,
+               md5(concat_ws(' ', slice(split(text, ' '), 1, 3))) AS k1,
+               md5(concat_ws(' ', slice(split(text, ' '), 3, 3))) AS k2
+        FROM documents WHERE size(split(text, ' ')) >= 5""")
+      f.createOrReplaceTempView("fp_r3")
+      val pairs = s.sql("""
+        SELECT a.doc_id AS ida, b.doc_id AS idb
+        FROM fp_r3 a JOIN fp_r3 b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM fp_r3 a JOIN fp_r3 b ON a.k2 = b.k2 AND a.doc_id < b.doc_id""")
+      graft.ops.Dedup.connectedComponents(pairs, "ida", "idb")
+        .groupBy(col("lab"))
+        .agg(count(lit(1)).as("sz"), max(col("id")).as("mx"))
+        .orderBy(col("lab"))
+    }),
+
+    "ml_train_test_split" -> sql("""
+      SELECT lang, split, count(*) AS n, min(doc_id) AS mn FROM (
+        SELECT lang, doc_id,
+               CASE WHEN pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6),
+                                        16, 10) AS BIGINT), 100) < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents) x
+      GROUP BY lang, split ORDER BY lang, split"""),
+
+    // L2 norm (sequential fold, same order both engines) + int8
+    // max-abs quantization of the first 4 dims; floor() keeps the
+    // rounding rule identical cross-engine
+    "ml_embed_quantize" -> sql("""
+      WITH e AS (
+        SELECT vec_id, embedding,
+               array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings WHERE vec_id < 100)
+      SELECT vec_id,
+             round(sqrt(aggregate(embedding, CAST(0 AS DOUBLE),
+                                  (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS l2,
+             concat_ws(',', transform(slice(embedding, 1, 4),
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT) AS STRING))) AS q4
+      FROM e ORDER BY vec_id"""),
+
+    "fn_strdist" -> sql("""
+      SELECT n_nationkey,
+             hamming_distance(n_name, reverse(n_name)) AS hd_rev,
+             hamming_distance(n_name, n_name) AS hd_self,
+             hamming_distance(n_name, concat(n_name, 'X')) AS hd_null,
+             concat_ws(',', transform(array('A', 'N', 'ZZZ', '_'),
+               p -> CAST(locate(p, n_name) AS STRING))) AS multi_pos
+      FROM nation ORDER BY n_nationkey"""),
+
+    "fn_compress" -> sql("""
+      SELECT doc_id,
+             uncompress(compress(text)) = text AS rt_ok,
+             length(compress(repeat(text, 8))) < length(repeat(text, 8)) AS shrinks,
+             md5(uncompress(compress(text))) AS rt_md5
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ml_dedup_components" -> """
+      WITH RECURSIVE k AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      f AS (SELECT doc_id,
+                   md5(array_to_string(ws[1:3], ' ')) AS k1,
+                   md5(array_to_string(ws[3:5], ' ')) AS k2
+            FROM k WHERE len(ws) >= 5),
+      e AS (SELECT a.doc_id AS s, b.doc_id AS t
+            FROM f a JOIN f b ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM f a JOIN f b ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      reach(src, dst) AS (
+        SELECT id, id FROM (SELECT DISTINCT s AS id FROM e) n
+        UNION
+        SELECT r.src, e.t FROM reach r JOIN e ON r.dst = e.s),
+      lab AS (SELECT src AS id, min(dst) AS lab FROM reach GROUP BY src)
+      SELECT lab, count(*) AS sz, max(id) AS mx
+      FROM lab GROUP BY lab ORDER BY lab""",
+
+    "ml_train_test_split" -> """
+      SELECT lang, split, count(*) AS n, min(doc_id) AS mn FROM (
+        SELECT lang, doc_id,
+               CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                         AS BIGINT) % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents) x
+      GROUP BY lang, split ORDER BY lang, split""",
+
+    "ml_embed_quantize" -> """
+      WITH e AS (
+        SELECT vec_id, embedding,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings WHERE vec_id < 100)
+      SELECT vec_id,
+             round(sqrt(list_sum(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+             array_to_string(list_transform(embedding[1:4],
+               x -> CAST(CAST(floor(CAST(x AS DOUBLE) / maxabs * 127) AS BIGINT) AS VARCHAR)), ',') AS q4
+      FROM e ORDER BY vec_id""",
+
+    "fn_strdist" -> """
+      SELECT n_nationkey,
+             CAST(hamming(n_name, reverse(n_name)) AS INT) AS hd_rev,
+             CAST(0 AS INT) AS hd_self,
+             CAST(NULL AS INT) AS hd_null,
+             array_to_string(list_transform(['A', 'N', 'ZZZ', '_'],
+               p -> CAST(strpos(n_name, p) AS VARCHAR)), ',') AS multi_pos
+      FROM nation ORDER BY n_nationkey""",
+
+    "fn_compress" -> """
+      SELECT doc_id, true AS rt_ok, true AS shrinks, md5(text) AS rt_md5
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+  )
+}

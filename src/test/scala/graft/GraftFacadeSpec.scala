@@ -85,4 +85,14 @@ class GraftFacadeSpec extends AnyFunSuite {
       "c".getBytes("UTF-8"),
       graft.functions.Murmur3.hash32("ab".getBytes("UTF-8"), 104729)))
   }
+
+  test("facade: connected components resolve duplicate clusters transitively") {
+    import spark.implicits._
+    // path 1-2-3 plus isolated pair 10-11: min-label must flow across
+    // the chain (transitivity), not just within direct pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("ida", "idb")
+    val cc = Graft.dedupComponents(pairs, "ida", "idb")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
 }
