@@ -165,6 +165,47 @@ object StreamQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy(col("event_type"))
+    }),
+
+    // late-data drop under an event-time watermark — deterministic
+    // three-batch replay (mtime-ordered files + maxFilesPerTrigger=1):
+    // batch 1 = early evens, batch 2 = remaining evens. The watermark
+    // advances to max(even ts) - 1h when batch 2 commits, and closed
+    // windows are evicted + emitted at the END of batch 2. Batch 3 =
+    // all odds: rows whose hour window was already evicted are DROPPED
+    // (their window would otherwise re-emit); rows in still-open
+    // windows merge. The oracle replays the same watermark arithmetic
+    // in SQL. (Capability superset: the reference has no late-data
+    // semantics at all — SURVEY.md §2.11.)
+    "stream_late_drop" -> ((s, dir) => {
+      val ev = graft.Tables.load(s, dir, "events")
+        .select(col("event_id"), col("ts"))
+      val stage = Paths.get("target", "stream", "late_src")
+      val f = stage.toFile
+      if (f.exists()) { import scala.reflect.io.Directory; new Directory(f).deleteRecursively() }
+      Files.createDirectories(stage)
+      def writeOne(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Paths.get("target", "stream", "late_tmp_" + name)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+        val dest = stage.resolve(name + ".parquet")
+        Files.copy(part, dest)
+        dest.toFile.setLastModified(mtime)
+      }
+      val t0 = System.currentTimeMillis() - 120000
+      val even = ev.filter(col("event_id") % 2 === 0)
+      writeOne(even.filter(col("ts") < "2024-01-20"), "b1", t0)
+      writeOne(even.filter(col("ts") >= "2024-01-20"), "b2", t0 + 30000)
+      writeOne(ev.filter(col("event_id") % 2 === 1), "b3", t0 + 60000)
+      val schema = s.read.parquet(stage.toString).schema
+      val agg = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage.toString)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+      runToMemory(agg, "stream_late_drop", OutputMode.Append())
+        .select(col("window.start").cast("string").as("ws"), col("n"))
+        .orderBy(col("ws"))
     })
   )
 
@@ -214,6 +255,26 @@ object StreamQueries {
       JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
         ON c.user_id = v.user_id
        AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
-      GROUP BY v.user_id ORDER BY v.user_id"""
+      GROUP BY v.user_id ORDER BY v.user_id""",
+
+    // replays the three-batch watermark timeline in SQL. Windows closed
+    // by the end of batch 2 were evicted with the watermark operative
+    // DURING batch 2 (= max batch-1 event time - 1h); batch-3 rows for
+    // those windows are dropped, the rest merge. Append mode then emits
+    // every window the final watermark (max event time - 1h) passed.
+    "stream_late_drop" -> """
+      WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      wme AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e
+              WHERE event_id % 2 = 0 AND ts < TIMESTAMP '2024-01-20'),
+      wmf AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM e),
+      kept AS (
+        SELECT ts FROM e WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT e.ts FROM e, wme WHERE event_id % 2 = 1
+          AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wme.wm),
+      w AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+            FROM kept GROUP BY 1)
+      SELECT CAST(ws AS VARCHAR) AS ws, n FROM w, wmf
+      WHERE ws + INTERVAL 1 HOUR <= wmf.wm ORDER BY ws"""
   )
 }
