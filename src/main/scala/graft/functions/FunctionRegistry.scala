@@ -76,6 +76,7 @@ object FunctionRegistry {
     MiscFunctions.register(spark)
     JsonFunctions.register(spark)
     CodecFunctions.register(spark)
+    HllFunctions.register(spark)
     AiFunctions.register(spark)
     MoreAggs.register(spark)
   }

@@ -37,7 +37,7 @@ object MlQueries {
     }),
 
     "ml_ngram_jaccard" -> ((s, dir) => {
-      val base = t(s, dir, "documents").filter(col("doc_id") < 60)
+      val base = t(s, dir, "documents").filter(col("doc_id") < 500)
         .select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 2).as("sh"))
       val a = base.select(col("doc_id").as("id_a"), col("sh").as("sa"))
       val b = base.select(col("doc_id").as("id_b"), col("sh").as("sb"))
@@ -144,7 +144,7 @@ object MlQueries {
                             i -> concat(ws[i], ' ', ws[i+1]))
                      ELSE [array_to_string(ws, ' ')] END) AS sh
                  FROM (SELECT doc_id, string_split(text, ' ') AS ws
-                       FROM documents WHERE doc_id < 60) w)
+                       FROM documents WHERE doc_id < 500) w)
       SELECT id_a, id_b, j FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                round(len(list_intersect(a.sh, b.sh))::DOUBLE /

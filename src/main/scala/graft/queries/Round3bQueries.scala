@@ -84,7 +84,22 @@ object Round3bQueries {
              uncompress(compress(text)) = text AS rt_ok,
              length(compress(repeat(text, 8))) < length(repeat(text, 8)) AS shrinks,
              md5(uncompress(compress(text))) AS rt_md5
-      FROM documents WHERE doc_id < 200 ORDER BY doc_id""")
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""),
+
+    // bit scalar family (plus MySQL field()): bit_count /
+    // shiftleft/shiftright / and-or-xor-not over BIGINT keys
+    "fn_bitops" -> sql("""
+      SELECT n_nationkey,
+             CAST(bit_count(n_nationkey) AS INT) AS bc,
+             shiftleft(n_nationkey, 3) AS shl,
+             shiftright(n_nationkey * 1000, 2) AS shr,
+             CAST(n_nationkey & 12 AS BIGINT) AS band,
+             CAST(n_nationkey | 5 AS BIGINT) AS bor,
+             CAST(n_nationkey ^ 9 AS BIGINT) AS bxor,
+             CAST(~n_nationkey AS BIGINT) AS bnot,
+             CAST(coalesce(array_position(
+               array('NATION_3', 'NATION_7', 'NATION_11'), n_name), 0) AS BIGINT) AS fld
+      FROM nation ORDER BY n_nationkey""")
   )
 
   def oracle: Map[String, String] = Map(
@@ -140,6 +155,19 @@ object Round3bQueries {
 
     "fn_compress" -> """
       SELECT doc_id, true AS rt_ok, true AS shrinks, md5(text) AS rt_md5
-      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "fn_bitops" -> """
+      SELECT n_nationkey,
+             CAST(bit_count(n_nationkey) AS INT) AS bc,
+             n_nationkey << 3 AS shl,
+             (n_nationkey * 1000) >> 2 AS shr,
+             CAST(n_nationkey & 12 AS BIGINT) AS band,
+             CAST(n_nationkey | 5 AS BIGINT) AS bor,
+             CAST(xor(n_nationkey, 9) AS BIGINT) AS bxor,
+             CAST(~n_nationkey AS BIGINT) AS bnot,
+             CAST(coalesce(list_position(
+               ['NATION_3', 'NATION_7', 'NATION_11'], n_name), 0) AS BIGINT) AS fld
+      FROM nation ORDER BY n_nationkey"""
   )
 }

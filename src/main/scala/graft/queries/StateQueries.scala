@@ -61,7 +61,20 @@ object StateQueries {
         FROM customer GROUP BY c_nationkey, pmod(c_nationkey, 5))
       SELECT region_bucket,
              hll_cardinality(hll_union_agg(hs)) AS nd
-      FROM nation_sketch GROUP BY region_bucket ORDER BY region_bucket""")
+      FROM nation_sketch GROUP BY region_bucket ORDER BY region_bucket"""),
+
+    // scalar HLL constructors (hll_hash/hll_empty, Doris function_hll
+    // .cpp) feeding the native union/cardinality path — per-row
+    // sketches merge exactly like Doris HLL columns under HLL_UNION;
+    // sparse-mode sketches are exact at these cardinalities.
+    "state_hll_scalar" -> sql("""
+      WITH r AS (SELECT pmod(c_nationkey, 5) AS bucket,
+                        hll_hash(CAST(c_custkey AS STRING)) AS h
+                 FROM customer)
+      SELECT bucket,
+             hll_cardinality(hll_union_agg(h)) AS nd,
+             hll_cardinality(hll_union(hll_union_agg(h), hll_empty())) AS nd_u
+      FROM r GROUP BY bucket ORDER BY bucket""")
   )
 
   def oracle: Map[String, String] = Map(
@@ -98,6 +111,12 @@ object StateQueries {
 
     "state_hll" -> """
       SELECT c_nationkey % 5 AS region_bucket, count(DISTINCT c_custkey) AS nd
-      FROM customer GROUP BY region_bucket ORDER BY region_bucket"""
+      FROM customer GROUP BY region_bucket ORDER BY region_bucket""",
+
+    "state_hll_scalar" -> """
+      SELECT c_nationkey % 5 AS bucket,
+             count(DISTINCT c_custkey) AS nd,
+             count(DISTINCT c_custkey) AS nd_u
+      FROM customer GROUP BY bucket ORDER BY bucket"""
   )
 }
