@@ -99,7 +99,16 @@ object Round3bQueries {
              CAST(~n_nationkey AS BIGINT) AS bnot,
              CAST(coalesce(array_position(
                array('NATION_3', 'NATION_7', 'NATION_11'), n_name), 0) AS BIGINT) AS fld
-      FROM nation ORDER BY n_nationkey""")
+      FROM nation ORDER BY n_nationkey"""),
+
+    // percentile over an array of fractions (Doris percentile_array) —
+    // canonicalized to a string (array outputs crash the driver's sort)
+    "agg_percentile_array" -> sql("""
+      SELECT l_returnflag,
+             concat_ws('|', transform(
+               percentile(CAST(l_quantity AS INT), array(0.1, 0.5, 0.9)),
+               x -> CAST(round(x, 6) AS STRING))) AS ps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
   def oracle: Map[String, String] = Map(
@@ -168,6 +177,13 @@ object Round3bQueries {
              CAST(~n_nationkey AS BIGINT) AS bnot,
              CAST(coalesce(list_position(
                ['NATION_3', 'NATION_7', 'NATION_11'], n_name), 0) AS BIGINT) AS fld
-      FROM nation ORDER BY n_nationkey"""
+      FROM nation ORDER BY n_nationkey""",
+
+    "agg_percentile_array" -> """
+      SELECT l_returnflag,
+             array_to_string(list_transform(
+               quantile_cont(CAST(l_quantity AS INT), [0.1, 0.5, 0.9]),
+               x -> CAST(round(x, 6) AS VARCHAR)), '|') AS ps
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
   )
 }
