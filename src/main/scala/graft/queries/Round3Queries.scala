@@ -50,6 +50,16 @@ object Round3Queries {
       SELECT rk, explode(bitmap_to_array(bm)) AS nk
       FROM b ORDER BY rk, nk"""),
 
+    "gen_explode_json_object" -> sql("""
+      WITH j AS (
+        SELECT event_id,
+               concat('{"a":', CAST(event_id % 5 AS STRING),
+                      ',"b":', CAST(event_id % 3 AS STRING), '}') AS doc
+        FROM events WHERE event_id < 200)
+      SELECT event_id, k, v
+      FROM j LATERAL VIEW explode(from_json(doc, 'MAP<STRING,BIGINT>')) t AS k, v
+      ORDER BY event_id, k"""),
+
     "fn_json_mutate" -> sql("""
       SELECT event_id,
              get_json_object(json_set(props, '$.k', '9'), '$.k') AS set_k,
@@ -125,6 +135,15 @@ object Round3Queries {
     "gen_explode_bitmap" -> """
       SELECT CAST(n_regionkey AS BIGINT) AS rk, n_nationkey AS nk
       FROM nation ORDER BY rk, nk""",
+
+    "gen_explode_json_object" -> """
+      SELECT event_id, k, v FROM (
+        SELECT event_id, 'a' AS k, event_id % 5 AS v
+        FROM events WHERE event_id < 200
+        UNION ALL
+        SELECT event_id, 'b', event_id % 3
+        FROM events WHERE event_id < 200) u
+      ORDER BY event_id, k""",
 
     "fn_json_mutate" -> """
       SELECT event_id,
