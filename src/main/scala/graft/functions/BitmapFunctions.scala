@@ -130,11 +130,29 @@ object Bitmaps {
         if (ok) ser(out) else null
       }
     })
+    // unsigned rendering, matching the reference's uint64 bitmap values
     u.register("bitmap_to_string", (b: Array[Byte]) => {
       val sb = new StringBuilder
       val it = deser(b).iterator()
-      while (it.hasNext) { if (sb.nonEmpty) sb.append(','); sb.append(it.next()) }
+      while (it.hasNext) {
+        if (sb.nonEmpty) sb.append(',')
+        sb.append(java.lang.Long.toUnsignedString(it.next()))
+      }
       sb.toString
+    })
+    // bitmap_hash / bitmap_hash64 (function_bitmap.cpp BitmapHash):
+    // single-member bitmap of the unsigned murmur hash of the string —
+    // 32-bit form seeded MURMUR3_32_SEED, 64-bit form x64_64 seed 0
+    u.register("bitmap_hash", (s: String) => {
+      val out = new Roaring64NavigableMap()
+      if (s != null)
+        out.addLong(Integer.toUnsignedLong(Murmur3.hash32(s.getBytes("UTF-8"), 104729)))
+      ser(out)
+    })
+    u.register("bitmap_hash64", (s: String) => {
+      val out = new Roaring64NavigableMap()
+      if (s != null) out.addLong(Murmur3.hash64(s.getBytes("UTF-8"), 0L))
+      ser(out)
     })
     // offset = element rank (ascending unsigned); negative offsets count
     // from the end; NULL when limit<=0, |offset| exceeds cardinality, or

@@ -40,6 +40,12 @@ object FunctionRegistry {
       else args.foldLeft[Expression](Literal(104729)) {
         (seed, s) => MurmurHash3_32(s, seed)
       }),
+    // x64_64 variant: seed 0 (insert_many_defaults), same chaining
+    "murmur_hash3_64" -> ((args: Seq[Expression]) =>
+      if (args.isEmpty) Literal(0xe28dbde7fe22e41cL)
+      else args.foldLeft[Expression](Literal(0L)) {
+        (seed, s) => MurmurHash3_64(s, seed)
+      }),
     // Doris-named higher-order functions (function_array_map.cpp etc.) —
     // lambdas can't ride SQL UDFs, so these alias the native HOF
     // expressions directly

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Standard MurmurHash3 x86_32 (public algorithm, Austin Appleby).
@@ -54,6 +54,44 @@ object Murmur3 {
   }
 
   def hash32(s: UTF8String, seed: Int): Int = hash32(s.getBytes, seed)
+
+  /** The reference's murmur_hash3_x64_64: a single-lane 64-bit variant
+    * (8-byte blocks through the x64_128 k1 mixer, rotl27/5x+0x52dce729
+    * accumulation, fmix64 finalize — util/hash/murmur_hash3.cpp
+    * murmur_hash3_x64_64). NOT the x64_128 h1 lane; verified against
+    * the reference's published output vectors. */
+  def hash64(data: Array[Byte], seed: Long): Long = {
+    val c1 = 0x87c37b91114253d5L
+    val c2 = 0x4cf5ad432745937fL
+    var h1 = seed
+    val nBlocks = data.length / 8
+    var i = 0
+    while (i < nBlocks) {
+      val base = i * 8
+      var k1 = 0L
+      var b = 0
+      while (b < 8) { k1 |= (data(base + b) & 0xffL) << (b * 8); b += 1 }
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2
+      h1 ^= k1; h1 = java.lang.Long.rotateLeft(h1, 27); h1 = h1 * 5 + 0x52dce729L
+      i += 1
+    }
+    val tailLen = data.length & 7
+    if (tailLen > 0) {
+      val tail = nBlocks * 8
+      var k1 = 0L
+      var b = tailLen - 1
+      while (b >= 0) { k1 |= (data(tail + b) & 0xffL) << (b * 8); b -= 1 }
+      k1 *= c1; k1 = java.lang.Long.rotateLeft(k1, 31); k1 *= c2
+      h1 ^= k1
+    }
+    h1 ^= data.length.toLong
+    h1 ^= h1 >>> 33; h1 *= 0xff51afd7ed558ccdL
+    h1 ^= h1 >>> 33; h1 *= 0xc4ceb9fe1a85ec53L
+    h1 ^= h1 >>> 33
+    h1
+  }
+
+  def hash64(s: UTF8String, seed: Long): Long = hash64(s.getBytes, seed)
 }
 
 /** murmur_hash3_32(str, seed) as a native Catalyst expression with
@@ -78,5 +116,29 @@ case class MurmurHash3_32(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MurmurHash3_32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** murmur_hash3_64(str, seed) — reference x64_64 variant, seed 0
+  * default, chained for multi-arg like the 32-bit form. */
+case class MurmurHash3_64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"murmur_hash3_64 expects (STRING, BIGINT), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(str: Any, seed: Any): Any =
+    Murmur3.hash64(str.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, sd) => s"graft.functions.Murmur3.hash64($s, $sd)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MurmurHash3_64 =
     copy(left = newLeft, right = newRight)
 }

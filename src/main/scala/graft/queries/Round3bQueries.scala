@@ -101,6 +101,18 @@ object Round3bQueries {
                array('NATION_3', 'NATION_7', 'NATION_11'), n_name), 0) AS BIGINT) AS fld
       FROM nation ORDER BY n_nationkey"""),
 
+    // engine-side hashes pinned to the reference's PUBLISHED output
+    // vectors (regression-test/.../scalar_function/M.out fn_test rows)
+    // — the oracle is the literal expected table, so the driver's
+    // hash-compare checks our murmur32/murmur64/bitmap_hash bit-for-bit
+    // against Doris
+    "fn_hash_pinned" -> sql("""
+      SELECT s, murmur_hash3_32(s) AS h32, murmur_hash3_64(s) AS h64,
+             bitmap_to_string(bitmap_hash(s)) AS bh32,
+             bitmap_to_string(bitmap_hash64(s)) AS bh64
+      FROM VALUES ('varchar11'), ('varchar12'), ('varchar13'), ('string1') AS t(s)
+      ORDER BY s"""),
+
     // percentile over an array of fractions (Doris percentile_array) —
     // canonicalized to a string (array outputs crash the driver's sort)
     "agg_percentile_array" -> sql("""
@@ -178,6 +190,19 @@ object Round3bQueries {
              CAST(coalesce(list_position(
                ['NATION_3', 'NATION_7', 'NATION_11'], n_name), 0) AS BIGINT) AS fld
       FROM nation ORDER BY n_nationkey""",
+
+    "fn_hash_pinned" -> """
+      SELECT * FROM (VALUES
+        ('string1',   1105201137,  CAST(-7629742527255288609 AS BIGINT),
+         '1105201137', '10817001546454263007'),
+        ('varchar11', 1382328699,  CAST(8683832286507167489 AS BIGINT),
+         '1382328699', '8683832286507167489'),
+        ('varchar12', -216074155,  CAST(8582507899476528269 AS BIGINT),
+         '4078893141', '8582507899476528269'),
+        ('varchar13', -1704245912, CAST(3951582574031518507 AS BIGINT),
+         '2590721384', '3951582574031518507'))
+        t(s, h32, h64, bh32, bh64)
+      ORDER BY s""",
 
     "agg_percentile_array" -> """
       SELECT l_returnflag,

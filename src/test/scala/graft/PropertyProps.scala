@@ -186,6 +186,15 @@ object Murmur3Props extends Properties("Murmur3") {
       "string2" -> 466065876, "string3" -> -1328370272
     ).forall { case (s, h) => Murmur3.hash32(s.getBytes("UTF-8"), doris) == h }
   }
+
+  // murmur_hash3_64 = the reference's single-lane x64_64 variant
+  // (seed 0), pinned to the same published M.out vectors
+  property("matches Doris murmur_hash3_64 output vectors (seed 0)") = Prop {
+    Seq(
+      "varchar11" -> 8683832286507167489L, "varchar12" -> 8582507899476528269L,
+      "varchar13" -> 3951582574031518507L, "string1" -> -7629742527255288609L
+    ).forall { case (s, h) => Murmur3.hash64(s.getBytes("UTF-8"), 0L) == h }
+  }
 }
 
 object FunnelProps extends Properties("WindowFunnel") {
