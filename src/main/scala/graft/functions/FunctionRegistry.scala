@@ -46,6 +46,12 @@ object FunctionRegistry {
       else args.foldLeft[Expression](Literal(0L)) {
         (seed, s) => MurmurHash3_64(s, seed)
       }),
+    // standard XXH32, seed 0, chained (xxhash_64 = XXH3, not replicated)
+    "xxhash_32" -> ((args: Seq[Expression]) =>
+      if (args.isEmpty) Literal(0xe28dbde7fe22e41cL.toInt)
+      else args.foldLeft[Expression](Literal(0)) {
+        (seed, s) => XxHash32Expr(s, seed)
+      }),
     // Doris-named higher-order functions (function_array_map.cpp etc.) —
     // lambdas can't ride SQL UDFs, so these alias the native HOF
     // expressions directly

@@ -92,6 +92,47 @@ object Murmur3 {
   }
 
   def hash64(s: UTF8String, seed: Long): Long = hash64(s.getBytes, seed)
+
+  /** Standard XXH32 (public xxHash spec; the reference's xxhash_32 —
+    * function_hash.cpp XxHashImpl, seed 0, verified against the
+    * reference's test_hash_function.out vectors). The reference's
+    * xxhash_64 aliases XXH3_64 (a different, secret-array-based
+    * algorithm) and is intentionally not replicated. */
+  def xxhash32(data: Array[Byte], seed: Int): Int = {
+    val P1 = 0x9e3779b1; val P2 = 0x85ebca77; val P3 = 0xc2b2ae3d
+    val P4 = 0x27d4eb2f; val P5 = 0x165667b1
+    val n = data.length
+    var i = 0
+    def get32(o: Int): Int =
+      (data(o) & 0xff) | ((data(o + 1) & 0xff) << 8) |
+        ((data(o + 2) & 0xff) << 16) | ((data(o + 3) & 0xff) << 24)
+    var h = 0
+    if (n >= 16) {
+      var v1 = seed + P1 + P2; var v2 = seed + P2; var v3 = seed; var v4 = seed - P1
+      while (i + 16 <= n) {
+        v1 = Integer.rotateLeft(v1 + get32(i) * P2, 13) * P1
+        v2 = Integer.rotateLeft(v2 + get32(i + 4) * P2, 13) * P1
+        v3 = Integer.rotateLeft(v3 + get32(i + 8) * P2, 13) * P1
+        v4 = Integer.rotateLeft(v4 + get32(i + 12) * P2, 13) * P1
+        i += 16
+      }
+      h = Integer.rotateLeft(v1, 1) + Integer.rotateLeft(v2, 7) +
+        Integer.rotateLeft(v3, 12) + Integer.rotateLeft(v4, 18)
+    } else h = seed + P5
+    h += n
+    while (i + 4 <= n) {
+      h = Integer.rotateLeft(h + get32(i) * P3, 17) * P4
+      i += 4
+    }
+    while (i < n) {
+      h = Integer.rotateLeft(h + (data(i) & 0xff) * P5, 11) * P1
+      i += 1
+    }
+    h ^= h >>> 15; h *= P2; h ^= h >>> 13; h *= P3; h ^= h >>> 16
+    h
+  }
+
+  def xxhash32(s: UTF8String, seed: Int): Int = xxhash32(s.getBytes, seed)
 }
 
 /** murmur_hash3_32(str, seed) as a native Catalyst expression with
@@ -116,6 +157,30 @@ case class MurmurHash3_32(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MurmurHash3_32 =
+    copy(left = newLeft, right = newRight)
+}
+
+/** xxhash_32(str, seed) — standard XXH32, seed 0 default, chained for
+  * multi-arg like the murmur forms. */
+case class XxHash32Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"xxhash_32 expects (STRING, INT), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(str: Any, seed: Any): Any =
+    Murmur3.xxhash32(str.asInstanceOf[UTF8String], seed.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, sd) => s"graft.functions.Murmur3.xxhash32($s, $sd)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): XxHash32Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -113,6 +113,16 @@ object Round3bQueries {
       FROM VALUES ('varchar11'), ('varchar12'), ('varchar13'), ('string1') AS t(s)
       ORDER BY s"""),
 
+    // variadic chaining + xxhash_32, pinned to the reference's
+    // test_hash_function.out ("hello"/"world" vectors)
+    "fn_hash_chained" -> sql("""
+      SELECT murmur_hash3_32('hello') AS m32,
+             murmur_hash3_32('hello', 'world') AS m32c,
+             murmur_hash3_64('hello') AS m64,
+             murmur_hash3_64('hello', 'world') AS m64c,
+             xxhash_32('hello') AS x32,
+             xxhash_32('hello', 'world') AS x32c"""),
+
     // percentile over an array of fractions (Doris percentile_array) —
     // canonicalized to a string (array outputs crash the driver's sort)
     "agg_percentile_array" -> sql("""
@@ -203,6 +213,12 @@ object Round3bQueries {
          '2590721384', '3951582574031518507'))
         t(s, h32, h64, bh32, bh64)
       ORDER BY s""",
+
+    "fn_hash_chained" -> """
+      SELECT CAST(1321743225 AS INT) AS m32, CAST(984713481 AS INT) AS m32c,
+             CAST(-3215607508166160593 AS BIGINT) AS m64,
+             CAST(3583109472027628045 AS BIGINT) AS m64c,
+             CAST(-83855367 AS INT) AS x32, CAST(-920844969 AS INT) AS x32c""",
 
     "agg_percentile_array" -> """
       SELECT l_returnflag,

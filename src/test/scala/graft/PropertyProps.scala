@@ -195,6 +195,23 @@ object Murmur3Props extends Properties("Murmur3") {
       "varchar13" -> 3951582574031518507L, "string1" -> -7629742527255288609L
     ).forall { case (s, h) => Murmur3.hash64(s.getBytes("UTF-8"), 0L) == h }
   }
+
+  // xxhash_32 = standard XXH32 (seed 0 + chained), pinned to the
+  // reference's test_hash_function.out
+  property("matches Doris xxhash_32 output vectors") = Prop {
+    val h = Murmur3.xxhash32("hello".getBytes("UTF-8"), 0)
+    h == -83855367 &&
+      Murmur3.xxhash32("world".getBytes("UTF-8"), h) == -920844969
+  }
+
+  property("murmur chaining matches reference hello/world vectors") = Prop {
+    val h32 = Murmur3.hash32("hello".getBytes("UTF-8"), 104729)
+    val h64 = Murmur3.hash64("hello".getBytes("UTF-8"), 0L)
+    h32 == 1321743225 &&
+      Murmur3.hash32("world".getBytes("UTF-8"), h32) == 984713481 &&
+      h64 == -3215607508166160593L &&
+      Murmur3.hash64("world".getBytes("UTF-8"), h64) == 3583109472027628045L
+  }
 }
 
 object FunnelProps extends Properties("WindowFunnel") {
