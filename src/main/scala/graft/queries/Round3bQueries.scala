@@ -123,6 +123,29 @@ object Round3bQueries {
              xxhash_32('hello') AS x32,
              xxhash_32('hello', 'world') AS x32c"""),
 
+    // soundex (function_soundex.cpp) — classic published vectors as the
+    // literal oracle (DuckDB has no soundex)
+    "fn_soundex" -> sql("""
+      SELECT s, soundex(s) AS sx
+      FROM VALUES ('SMITH'), ('SMYTH'), ('ROBERT'), ('RUPERT'),
+                  ('GAUSS'), ('HILBERT'), ('LLOYD'), ('PFISTER') AS t(s)
+      ORDER BY s"""),
+
+    // equi-height histogram (aggregate_function_histogram.*): ntile
+    // splits each group into equal-count buckets; emit per-bucket
+    // [lo, hi, n] — ntile's floor-based sizing is identical cross-engine
+    "state_histogram_eqh" -> sql("""
+      WITH b AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS bk
+        FROM customer)
+      SELECT c_mktsegment, bk,
+             CAST(min(c_acctbal) AS DOUBLE) AS lo,
+             CAST(max(c_acctbal) AS DOUBLE) AS hi,
+             count(*) AS n
+      FROM b GROUP BY c_mktsegment, bk
+      ORDER BY c_mktsegment, bk"""),
+
     // percentile over an array of fractions (Doris percentile_array) —
     // canonicalized to a string (array outputs crash the driver's sort)
     "agg_percentile_array" -> sql("""
@@ -219,6 +242,25 @@ object Round3bQueries {
              CAST(-3215607508166160593 AS BIGINT) AS m64,
              CAST(3583109472027628045 AS BIGINT) AS m64c,
              CAST(-83855367 AS INT) AS x32, CAST(-920844969 AS INT) AS x32c""",
+
+    "fn_soundex" -> """
+      SELECT * FROM (VALUES
+        ('GAUSS', 'G200'), ('HILBERT', 'H416'), ('LLOYD', 'L300'),
+        ('PFISTER', 'P236'), ('ROBERT', 'R163'), ('RUPERT', 'R163'),
+        ('SMITH', 'S530'), ('SMYTH', 'S530')) t(s, sx)
+      ORDER BY s""",
+
+    "state_histogram_eqh" -> """
+      WITH b AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS bk
+        FROM customer)
+      SELECT c_mktsegment, CAST(bk AS INT) AS bk,
+             CAST(min(c_acctbal) AS DOUBLE) AS lo,
+             CAST(max(c_acctbal) AS DOUBLE) AS hi,
+             count(*) AS n
+      FROM b GROUP BY c_mktsegment, bk
+      ORDER BY c_mktsegment, bk""",
 
     "agg_percentile_array" -> """
       SELECT l_returnflag,
