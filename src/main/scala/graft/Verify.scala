@@ -18,6 +18,8 @@ object Verify {
     // SPARK_GRAFT_ONLY=q1,q2 limits the run (local iteration; the driver
     // always runs the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    var nOk = 0
+    var failed = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -25,11 +27,17 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        nOk += 1
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        failed ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // one grep-able line — a rows-only query that crashes has no oracle
+    // entry, so this is its only aggregate signal
+    System.err.println(s"[verify] SUMMARY ok=$nOk failed=${failed.size}" +
+      (if (failed.nonEmpty) s" (${failed.mkString(",")})" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
