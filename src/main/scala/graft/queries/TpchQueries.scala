@@ -132,12 +132,16 @@ object TpchQueries {
 
     // Q9: profit by nation and year (no partsupp in fixture; revenue-only).
     "q9_product_profit" -> ((s, dir) => {
+      // lineitem⋈orders first: that's the pair the reference colocates
+      // (tpch DDL colocate_with) — on a bucketed layout it joins with
+      // no shuffle at all; the partkey shuffle happens once after, and
+      // supplier/nation ride broadcasts
       val p = t(s, dir, "part").filter(col("p_name").like("%a%"))
       val l = t(s, dir, "lineitem"); val su = t(s, dir, "supplier")
       val o = t(s, dir, "orders"); val n = t(s, dir, "nation")
-      p.join(l, col("p_partkey") === col("l_partkey"))
+      l.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(p, col("p_partkey") === col("l_partkey"))
         .join(su, col("l_suppkey") === col("s_suppkey"))
-        .join(o, col("o_orderkey") === col("l_orderkey"))
         .join(n, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(revSumDbl(col("l_extendedprice"), col("l_discount")).as("sum_profit"))
