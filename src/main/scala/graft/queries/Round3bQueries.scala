@@ -123,6 +123,36 @@ object Round3bQueries {
              xxhash_32('hello') AS x32,
              xxhash_32('hello', 'world') AS x32c"""),
 
+    // remaining Doris array surface (function_array_enumerate[_uniq]
+    // .cpp, array_insert/prepend/append/compact/repeat) — canonical
+    // string outputs, DuckDB list emulations as the oracle
+    "fn_array2" -> sql("""
+      WITH d AS (SELECT n_nationkey,
+                        array(CAST(n_nationkey % 3 AS BIGINT),
+                              CAST(n_nationkey % 2 AS BIGINT),
+                              CAST(n_nationkey % 3 AS BIGINT)) AS a
+                 FROM nation)
+      SELECT n_nationkey,
+             concat_ws(',', transform(sequence(1, size(a)),
+               i -> CAST(i AS STRING))) AS enum,
+             concat_ws(',', transform(sequence(1, size(a)),
+               i -> CAST(size(filter(slice(a, 1, i), y -> y = element_at(a, i)))
+                         AS STRING))) AS enum_uniq,
+             concat_ws(',', array_insert(a, 2, CAST(99 AS BIGINT))) AS ins,
+             concat_ws(',', array_prepend(a, CAST(-1 AS BIGINT))) AS pre,
+             concat_ws(',', array_append(a, CAST(7 AS BIGINT))) AS app,
+             concat_ws(',', array_compact(array(element_at(a, 1), NULL,
+                                                element_at(a, 2)))) AS cmpct,
+             concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
+      FROM d ORDER BY n_nationkey"""),
+
+    // crc32 (function_string_misc.cpp) — standard CRC-32; pinned
+    // literals because DuckDB has no crc32
+    "fn_crc32" -> sql("""
+      SELECT s, crc32(CAST(s AS BINARY)) AS c
+      FROM VALUES ('hello'), ('world'), ('apache doris'), ('') AS t(s)
+      ORDER BY s"""),
+
     // soundex (function_soundex.cpp) — classic published vectors as the
     // literal oracle (DuckDB has no soundex)
     "fn_soundex" -> sql("""
@@ -242,6 +272,36 @@ object Round3bQueries {
              CAST(-3215607508166160593 AS BIGINT) AS m64,
              CAST(3583109472027628045 AS BIGINT) AS m64c,
              CAST(-83855367 AS INT) AS x32, CAST(-920844969 AS INT) AS x32c""",
+
+    "fn_array2" -> """
+      WITH d AS (SELECT n_nationkey,
+                        [CAST(n_nationkey % 3 AS BIGINT),
+                         CAST(n_nationkey % 2 AS BIGINT),
+                         CAST(n_nationkey % 3 AS BIGINT)] AS a
+                 FROM nation)
+      SELECT n_nationkey,
+             array_to_string(list_transform(generate_series(1, len(a)),
+               i -> CAST(i AS VARCHAR)), ',') AS enum,
+             array_to_string(list_transform(generate_series(1, len(a)),
+               i -> CAST(len(list_filter(a[1:i], y -> y = a[i])) AS VARCHAR)), ',') AS enum_uniq,
+             array_to_string(list_concat(a[1:1],
+               list_prepend(CAST(99 AS BIGINT), a[2:])), ',') AS ins,
+             array_to_string(list_prepend(CAST(-1 AS BIGINT), a), ',') AS pre,
+             array_to_string(list_append(a, CAST(7 AS BIGINT)), ',') AS app,
+             array_to_string(list_filter([a[1], NULL, a[2]],
+               x -> x IS NOT NULL), ',') AS cmpct,
+             array_to_string([CAST(n_nationkey AS VARCHAR),
+                              CAST(n_nationkey AS VARCHAR),
+                              CAST(n_nationkey AS VARCHAR)], ',') AS rep
+      FROM d ORDER BY n_nationkey""",
+
+    "fn_crc32" -> """
+      SELECT * FROM (VALUES
+        ('', CAST(0 AS BIGINT)),
+        ('apache doris', CAST(2505490720 AS BIGINT)),
+        ('hello', CAST(907060870 AS BIGINT)),
+        ('world', CAST(980881731 AS BIGINT))) t(s, c)
+      ORDER BY s""",
 
     "fn_soundex" -> """
       SELECT * FROM (VALUES
