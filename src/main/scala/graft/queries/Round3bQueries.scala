@@ -146,6 +146,28 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // map HOF family (function_map.cpp + Doris map lambda surface):
+    // map_contains_key, entries, map_filter, transform_keys/values —
+    // canonicalized to sorted entry strings; the oracle recomputes the
+    // expected entries from the source columns directly
+    "fn_map2" -> sql("""
+      WITH d AS (SELECT n_nationkey,
+                        map('a', CAST(n_nationkey AS BIGINT),
+                            'b', CAST(n_regionkey AS BIGINT)) AS m
+                 FROM nation)
+      SELECT n_nationkey,
+             map_contains_key(m, 'a') AS has_a,
+             map_contains_key(m, 'z') AS has_z,
+             concat_ws('|', transform(array_sort(map_keys(m)),
+               k -> concat(k, '=', CAST(element_at(m, k) AS STRING)))) AS entries,
+             concat_ws('|', array_sort(map_keys(
+               map_filter(m, (k, v) -> v % 2 = 0)))) AS even_keys,
+             concat_ws('|', transform(array_sort(map_keys(m)),
+               k -> concat(upper(k), '=',
+                           CAST(element_at(m, k) * 10 AS STRING)))) AS upper_x10,
+             size(map_concat(m, map('c', CAST(1 AS BIGINT)))) AS n_concat
+      FROM d ORDER BY n_nationkey"""),
+
     // crc32 (function_string_misc.cpp) — standard CRC-32; pinned
     // literals because DuckDB has no crc32
     "fn_crc32" -> sql("""
@@ -294,6 +316,19 @@ object Round3bQueries {
                               CAST(n_nationkey AS VARCHAR),
                               CAST(n_nationkey AS VARCHAR)], ',') AS rep
       FROM d ORDER BY n_nationkey""",
+
+    "fn_map2" -> """
+      SELECT n_nationkey,
+             true AS has_a, false AS has_z,
+             concat('a=', CAST(n_nationkey AS VARCHAR), '|b=',
+                    CAST(n_regionkey AS VARCHAR)) AS entries,
+             concat_ws('|',
+               CASE WHEN n_nationkey % 2 = 0 THEN 'a' END,
+               CASE WHEN n_regionkey % 2 = 0 THEN 'b' END) AS even_keys,
+             concat('A=', CAST(n_nationkey * 10 AS VARCHAR), '|B=',
+                    CAST(n_regionkey * 10 AS VARCHAR)) AS upper_x10,
+             3 AS n_concat
+      FROM nation ORDER BY n_nationkey""",
 
     "fn_crc32" -> """
       SELECT * FROM (VALUES
