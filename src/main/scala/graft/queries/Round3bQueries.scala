@@ -146,6 +146,14 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // SQL dialect conveniences the reference's analyzer also offers:
+    // star-except projection and GROUP BY ALL inference
+    "ds_dialect_sugar" -> sql("""
+      SELECT * EXCEPT (mn) FROM (
+        SELECT n_regionkey, count(*) AS n, min(n_name) AS mn
+        FROM nation GROUP BY ALL) x
+      ORDER BY n_regionkey"""),
+
     // map HOF family (function_map.cpp + Doris map lambda surface):
     // map_contains_key, entries, map_filter, transform_keys/values —
     // canonicalized to sorted entry strings; the oracle recomputes the
@@ -316,6 +324,10 @@ object Round3bQueries {
                               CAST(n_nationkey AS VARCHAR),
                               CAST(n_nationkey AS VARCHAR)], ',') AS rep
       FROM d ORDER BY n_nationkey""",
+
+    "ds_dialect_sugar" -> """
+      SELECT n_regionkey, count(*) AS n
+      FROM nation GROUP BY ALL ORDER BY n_regionkey""",
 
     "fn_map2" -> """
       SELECT n_nationkey,
