@@ -46,6 +46,49 @@ object Round3bQueries {
         .orderBy(col("lab"))
     }),
 
+    // the full training-corpus pipeline in one verified flow:
+    // length filter -> exact dedup (min id per md5) -> near-dup pair
+    // graph -> connected components -> one canonical survivor per
+    // cluster -> deterministic split -> per-split token accounting.
+    // Every stage shards (hash-group / shuffle-join / O(diameter)
+    // label rounds); the oracle replays the identical pipeline with a
+    // recursive closure for the component labels.
+    "ml_pipeline_e2e" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("""
+        WITH c AS (SELECT doc_id, lang, text FROM documents
+                   WHERE size(split(text, ' ')) >= 5),
+        keep AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY md5(text))
+        SELECT c.doc_id, c.lang, c.text FROM c JOIN keep USING (doc_id)""")
+        .createOrReplaceTempView("surv_e2e")
+      s.sql("""
+        SELECT doc_id,
+               md5(concat_ws(' ', slice(split(text, ' '), 1, 3))) AS k1,
+               md5(concat_ws(' ', slice(split(text, ' '), 3, 3))) AS k2
+        FROM surv_e2e""").createOrReplaceTempView("fp_e2e")
+      val pairs = s.sql("""
+        SELECT a.doc_id AS ida, b.doc_id AS idb
+        FROM fp_e2e a JOIN fp_e2e b ON a.k1 = b.k1 AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM fp_e2e a JOIN fp_e2e b ON a.k2 = b.k2 AND a.doc_id < b.doc_id""")
+      graft.ops.Dedup.connectedComponents(pairs, "ida", "idb")
+        .createOrReplaceTempView("cc_e2e")
+      s.sql("""
+        WITH reps AS (
+          SELECT s.doc_id, s.lang, s.text FROM surv_e2e s
+          LEFT JOIN cc_e2e c ON s.doc_id = c.id
+          WHERE c.id IS NULL OR c.lab = s.doc_id),
+        sp AS (SELECT doc_id, lang, size(split(text, ' ')) AS toks,
+                      CASE WHEN pmod(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6),
+                                               16, 10) AS BIGINT), 100) < 80
+                           THEN 'train' ELSE 'test' END AS split
+               FROM reps)
+        SELECT lang, split, count(*) AS n, CAST(sum(toks) AS BIGINT) AS total_toks,
+               min(doc_id) AS mn, max(doc_id) AS mx
+        FROM sp GROUP BY lang, split ORDER BY lang, split""")
+    }),
+
     "ml_train_test_split" -> sql("""
       SELECT lang, split, count(*) AS n, min(doc_id) AS mn FROM (
         SELECT lang, doc_id,
@@ -236,6 +279,40 @@ object Round3bQueries {
       lab AS (SELECT src AS id, min(dst) AS lab FROM reach GROUP BY src)
       SELECT lab, count(*) AS sz, max(id) AS mx
       FROM lab GROUP BY lab ORDER BY lab""",
+
+    "ml_pipeline_e2e" -> """
+      WITH RECURSIVE c AS (
+        SELECT doc_id, lang, text FROM documents
+        WHERE len(string_split(text, ' ')) >= 5),
+      keep AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY md5(text)),
+      surv AS (SELECT c.doc_id, c.lang, c.text
+               FROM c JOIN keep ON c.doc_id = keep.doc_id),
+      f AS (SELECT doc_id,
+                   md5(array_to_string(string_split(text, ' ')[1:3], ' ')) AS k1,
+                   md5(array_to_string(string_split(text, ' ')[3:5], ' ')) AS k2
+            FROM surv),
+      e AS (SELECT a.doc_id AS s, b.doc_id AS t
+            FROM f a JOIN f b ON a.k1 = b.k1 AND a.doc_id <> b.doc_id
+            UNION
+            SELECT a.doc_id, b.doc_id
+            FROM f a JOIN f b ON a.k2 = b.k2 AND a.doc_id <> b.doc_id),
+      reach(src, dst) AS (
+        SELECT id, id FROM (SELECT DISTINCT s AS id FROM e) n
+        UNION
+        SELECT r.src, e.t FROM reach r JOIN e ON r.dst = e.s),
+      lab AS (SELECT src AS id, min(dst) AS lab FROM reach GROUP BY src),
+      reps AS (
+        SELECT s.doc_id, s.lang, s.text FROM surv s
+        LEFT JOIN lab c ON s.doc_id = c.id
+        WHERE c.id IS NULL OR c.lab = s.doc_id),
+      sp AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS toks,
+                    CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))
+                              AS BIGINT) % 100 < 80
+                         THEN 'train' ELSE 'test' END AS split
+             FROM reps)
+      SELECT lang, split, count(*) AS n, CAST(sum(toks) AS BIGINT) AS total_toks,
+             min(doc_id) AS mn, max(doc_id) AS mx
+      FROM sp GROUP BY lang, split ORDER BY lang, split""",
 
     "ml_train_test_split" -> """
       SELECT lang, split, count(*) AS n, min(doc_id) AS mn FROM (
