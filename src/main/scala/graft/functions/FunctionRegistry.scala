@@ -89,6 +89,7 @@ object FunctionRegistry {
     JsonFunctions.register(spark)
     CodecFunctions.register(spark)
     HllFunctions.register(spark)
+    AliasFunctions.register(spark)
     AiFunctions.register(spark)
     MoreAggs.register(spark)
   }

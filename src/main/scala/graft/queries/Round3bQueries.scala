@@ -189,6 +189,62 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // Doris-named alias layer (AliasFunctions) — date/time arithmetic,
+    // remaining ceil/floor units, extracts, string/numeric conveniences
+    "fn_alias_date" -> sql("""
+      SELECT event_id,
+             unix_micros(days_add(ts, 3)) AS da,
+             unix_micros(hours_sub(ts, 5)) AS hs,
+             minutes_diff(ts, timestamp_micros(0)) AS mdif,
+             unix_micros(months_add(ts, 2)) AS ma,
+             unix_micros(week_ceil(ts)) AS wc,
+             unix_micros(month_ceil(ts)) AS mc2,
+             unix_micros(year_floor(ts)) AS yf,
+             unix_micros(second_ceil(ts)) AS sc,
+             microsecond(ts) AS us,
+             CAST(week(CAST(ts AS DATE)) AS BIGINT) AS wk,
+             CAST(to_monday(CAST(ts AS DATE)) AS STRING) AS mon,
+             to_seconds(CAST(ts AS DATE)) AS tsec,
+             unix_micros(str_to_date('2026-08-12 09:05:03', '%Y-%m-%d %H:%i:%s')) AS std,
+             timediff(ts, days_sub(ts, 1)) AS td
+      FROM events WHERE event_id < 300 ORDER BY event_id"""),
+
+    "fn_alias_misc" -> sql("""
+      SELECT n_nationkey,
+             starts_with(n_name, 'NATION') AS sw, ends_with(n_name, '1') AS ew,
+             from_base64(to_base64(n_name)) AS b64rt,
+             md5sum(n_name) AS m5,
+             round_bankers(CAST(n_nationkey AS DOUBLE) + 0.5, 0) AS rb,
+             truncate(CAST(n_nationkey AS DOUBLE) * 1.117, 1) AS tr,
+             xor(n_nationkey, 5) AS xr,
+             sub_replace(n_name, 'ZZ', 2, 3) AS srep,
+             count_substrings(concat(n_name, '_', n_name), 'N') AS cs,
+             concat_ws(',', split_by_string(concat('a.b.', CAST(n_nationkey AS STRING)), '.')) AS sbs,
+             map_size(map('a', CAST(1 AS BIGINT))) AS ms,
+             map_contains_value(map('a', CAST(n_nationkey AS BIGINT)),
+                                CAST(n_nationkey AS BIGINT)) AS mcv,
+             concat_ws(',', array_concat(array(CAST(1 AS BIGINT)),
+                                         array(CAST(n_nationkey AS BIGINT)))) AS ac,
+             concat_ws(',', array_range(0, CAST(n_nationkey % 4 AS INT))) AS ar,
+             concat_ws(',', array_popback(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                                                CAST(n_nationkey AS BIGINT)))) AS pb,
+             concat_ws(',', array_popfront(array(CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+                                                 CAST(n_nationkey AS BIGINT)))) AS pf,
+             concat_ws(',', array_with_constant(3, CAST(n_nationkey % 2 AS BIGINT))) AS awc,
+             countequal(array(CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+                              CAST(n_nationkey % 2 AS BIGINT)), CAST(1 AS BIGINT)) AS ce,
+             array_sum(array(CAST(n_nationkey AS BIGINT), CAST(2 AS BIGINT))) AS asum,
+             round(array_avg(array(CAST(n_nationkey AS BIGINT), CAST(3 AS BIGINT))), 6) AS aavg,
+             array_product(array(CAST(n_nationkey % 5 + 1 AS BIGINT), CAST(2 AS BIGINT))) AS aprod,
+             concat_ws(',', array_cum_sum(array(CAST(1 AS BIGINT), CAST(n_nationkey AS BIGINT),
+                                                CAST(2 AS BIGINT)))) AS acs,
+             concat_ws(',', array_difference(array(CAST(5 AS BIGINT), CAST(n_nationkey AS BIGINT),
+                                                   CAST(2 AS BIGINT)))) AS adiff,
+             concat_ws(',', array_enumerate(array(CAST(7 AS BIGINT), CAST(8 AS BIGINT)))) AS aen,
+             bitmap_count(bitmap_from_base64(bitmap_to_base64(bitmap_from_string('1,2,3')))) AS bmrt,
+             bitmap_and_not_count(bitmap_from_string('1,2,3'), bitmap_from_string('2')) AS banc
+      FROM nation ORDER BY n_nationkey"""),
+
     // SQL dialect conveniences the reference's analyzer also offers:
     // star-except projection and GROUP BY ALL inference
     "ds_dialect_sugar" -> sql("""
@@ -405,6 +461,61 @@ object Round3bQueries {
     "ds_dialect_sugar" -> """
       SELECT n_regionkey, count(*) AS n
       FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+
+    "fn_alias_date" -> """
+      SELECT event_id,
+             epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 3 DAY) AS da,
+             epoch_us(CAST(ts AS TIMESTAMP) - INTERVAL 5 HOUR) AS hs,
+             epoch_us(ts) // 60000000 AS mdif,
+             epoch_us(CAST(ts AS TIMESTAMP) + INTERVAL 2 MONTH) AS ma,
+             epoch_us(CASE WHEN date_trunc('week', CAST(ts AS TIMESTAMP)) = CAST(ts AS TIMESTAMP)
+                           THEN CAST(ts AS TIMESTAMP)
+                           ELSE date_trunc('week', CAST(ts AS TIMESTAMP)) + INTERVAL 7 DAY END) AS wc,
+             epoch_us(CASE WHEN date_trunc('month', CAST(ts AS TIMESTAMP)) = CAST(ts AS TIMESTAMP)
+                           THEN CAST(ts AS TIMESTAMP)
+                           ELSE date_trunc('month', CAST(ts AS TIMESTAMP)) + INTERVAL 1 MONTH END) AS mc2,
+             epoch_us(date_trunc('year', CAST(ts AS TIMESTAMP))) AS yf,
+             ((epoch_us(ts) + 999999) // 1000000) * 1000000 AS sc,
+             epoch_us(ts) % 1000000 AS us,
+             CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS wk,
+             CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS mon,
+             (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528) * 86400 AS tsec,
+             epoch_us(TIMESTAMP '2026-08-12 09:05:03') AS std,
+             '24:00:00' AS td
+      FROM events WHERE event_id < 300 ORDER BY event_id""",
+
+    "fn_alias_misc" -> """
+      SELECT n_nationkey,
+             starts_with(n_name, 'NATION') AS sw, ends_with(n_name, '1') AS ew,
+             n_name AS b64rt,
+             md5(n_name) AS m5,
+             CASE WHEN n_nationkey % 2 = 0 THEN CAST(n_nationkey AS DOUBLE)
+                  ELSE CAST(n_nationkey + 1 AS DOUBLE) END AS rb,
+             trunc(CAST(n_nationkey AS DOUBLE) * 1.117 * 10) / 10 AS tr,
+             CAST(xor(n_nationkey, 5) AS BIGINT) AS xr,
+             concat(n_name[1:2], 'ZZ', n_name[6:]) AS srep,
+             CAST((length(concat(n_name, '_', n_name))
+                   - length(replace(concat(n_name, '_', n_name), 'N', ''))) AS INT) AS cs,
+             concat('a,b,', CAST(n_nationkey AS VARCHAR)) AS sbs,
+             1 AS ms, true AS mcv,
+             concat('1,', CAST(n_nationkey AS VARCHAR)) AS ac,
+             coalesce(array_to_string(list_transform(range(0, CAST(n_nationkey % 4 AS INT)),
+                                            x -> CAST(x AS VARCHAR)), ','), '') AS ar,
+             '1,2' AS pb,
+             concat('2,', CAST(n_nationkey AS VARCHAR)) AS pf,
+             concat_ws(',', CAST(n_nationkey % 2 AS VARCHAR), CAST(n_nationkey % 2 AS VARCHAR),
+                       CAST(n_nationkey % 2 AS VARCHAR)) AS awc,
+             CAST(2 + CASE WHEN n_nationkey % 2 = 1 THEN 1 ELSE 0 END AS BIGINT) AS ce,
+             n_nationkey + 2 AS asum,
+             round((n_nationkey + 3) / 2.0, 6) AS aavg,
+             (n_nationkey % 5 + 1) * 2 AS aprod,
+             concat('1,', CAST(1 + n_nationkey AS VARCHAR), ',',
+                    CAST(3 + n_nationkey AS VARCHAR)) AS acs,
+             concat('0,', CAST(n_nationkey - 5 AS VARCHAR), ',',
+                    CAST(2 - n_nationkey AS VARCHAR)) AS adiff,
+             '1,2' AS aen,
+             CAST(3 AS BIGINT) AS bmrt, CAST(2 AS BIGINT) AS banc
+      FROM nation ORDER BY n_nationkey""",
 
     "fn_map2" -> """
       SELECT n_nationkey,
