@@ -73,5 +73,61 @@ object JsonFunctions {
       if (n.isContainerNode) java.lang.Long.valueOf(n.size().toLong)
       else java.lang.Long.valueOf(1L)
     }.orNull)
+    // json_quote: wrap a raw string as a JSON string literal (escapes);
+    // json_unquote: parse a JSON string literal back (non-strings and
+    // unparseable input pass through, MySQL-compatible)
+    u.register("json_quote", (s: String) =>
+      if (s == null) null else mapper.writeValueAsString(mapper.getNodeFactory.textNode(s)))
+    u.register("json_unquote", (s: String) =>
+      if (s == null) null
+      else parse(s) match {
+        case Some(n) if n.isTextual => n.asText()
+        case _ => s
+      })
+    // json_contains(doc, candidate): MySQL containment — objects contain
+    // a candidate object when every candidate key/value is contained;
+    // arrays contain scalars/objects that match any element; scalars
+    // must be equal
+    def contains(target: JsonNode, cand: JsonNode): Boolean = {
+      if (target.isObject && cand.isObject) {
+        val it = cand.fields()
+        var ok = true
+        while (ok && it.hasNext) {
+          val e = it.next()
+          ok = target.has(e.getKey) && contains(target.get(e.getKey), e.getValue)
+        }
+        ok
+      } else if (target.isArray) {
+        if (cand.isArray) {
+          val it = cand.elements()
+          var ok = true
+          while (ok && it.hasNext) {
+            val c = it.next()
+            var found = false
+            val te = target.elements()
+            while (!found && te.hasNext) found = contains(te.next(), c)
+            ok = found
+          }
+          ok
+        } else {
+          var found = false
+          val te = target.elements()
+          while (!found && te.hasNext) found = contains(te.next(), cand)
+          found
+        }
+      } else target == cand
+    }
+    u.register("json_contains", (d: String, c: String) =>
+      (parse(d), parse(c)) match {
+        case (Some(t), Some(cn)) => java.lang.Boolean.valueOf(contains(t, cn))
+        case _ => null
+      })
+    u.register("json_exists_path", (d: String, p: String) =>
+      parse(d).map { n =>
+        java.lang.Boolean.valueOf(
+          if (p != null && p.startsWith("$.") && p.length > 2 && !p.drop(2).contains('.'))
+            n.isObject && n.has(p.drop(2))
+          else false)
+      }.orNull)
   }
 }

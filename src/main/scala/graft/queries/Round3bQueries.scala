@@ -189,6 +189,22 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // json_quote/unquote roundtrip + MySQL containment + path existence
+    // over the events props documents
+    "fn_json2" -> sql("""
+      SELECT event_id,
+             json_unquote(json_quote(concat('a"b\\', CAST(event_id AS STRING)))) AS quote_rt,
+             json_quote('x') AS q,
+             json_contains(props, props) AS self_c,
+             json_contains(props, concat('{"k":', get_json_object(props, '$.k'), '}')) AS kv_c,
+             json_contains(props, '{"zzz":1}') AS miss_c,
+             json_contains('[1,2,3]', '2') AS arr_c,
+             json_contains('[1,2,3]', '[1,3]') AS arr2_c,
+             json_contains('[1,2,3]', '9') AS arr_miss,
+             json_exists_path(props, '$.k') AS has_k,
+             json_exists_path(props, '$.zzz') AS has_z
+      FROM events WHERE event_id < 300 ORDER BY event_id"""),
+
     // Doris-named alias layer (AliasFunctions) — date/time arithmetic,
     // remaining ceil/floor units, extracts, string/numeric conveniences
     "fn_alias_date" -> sql("""
@@ -461,6 +477,15 @@ object Round3bQueries {
     "ds_dialect_sugar" -> """
       SELECT n_regionkey, count(*) AS n
       FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+
+    "fn_json2" -> """
+      SELECT event_id,
+             concat('a"b\', CAST(event_id AS VARCHAR)) AS quote_rt,
+             '"x"' AS q,
+             true AS self_c, true AS kv_c, false AS miss_c,
+             true AS arr_c, true AS arr2_c, false AS arr_miss,
+             true AS has_k, false AS has_z
+      FROM events WHERE event_id < 300 ORDER BY event_id""",
 
     "fn_alias_date" -> """
       SELECT event_id,
