@@ -62,7 +62,9 @@ object AliasFunctions {
     "second_ceil(t TIMESTAMP) RETURNS TIMESTAMP RETURN timestamp_micros(((unix_micros(t) + 999999) div 1000000) * 1000000)",
     // ---- extracts / conversions
     "microsecond(t TIMESTAMP) RETURNS BIGINT RETURN pmod(unix_micros(t), 1000000) % 1000000",
-    "week(d DATE) RETURNS INT RETURN weekofyear(d)",
+    // MySQL mode-0 week (Doris default): Sunday-start, week 0 = days
+    // before the year's first Sunday — NOT ISO weekofyear
+    "week(d DATE) RETURNS INT RETURN CAST((dayofyear(d) - 1 + dayofweek(make_date(year(d), 1, 1)) - 1) div 7 AS INT)",
     "to_monday(d DATE) RETURNS DATE RETURN CAST(date_trunc('week', d) AS DATE)",
     "to_seconds(d DATE) RETURNS BIGINT RETURN (CAST(datediff(d, DATE '1970-01-01') AS BIGINT) + 719528) * 86400",
     "str_to_date(s STRING, f STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, replace(replace(replace(replace(replace(replace(replace(f, '%Y', 'yyyy'), '%y', 'yy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",

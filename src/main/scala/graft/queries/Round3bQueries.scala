@@ -502,7 +502,9 @@ object Round3bQueries {
              epoch_us(date_trunc('year', CAST(ts AS TIMESTAMP))) AS yf,
              ((epoch_us(ts) + 999999) // 1000000) * 1000000 AS sc,
              epoch_us(ts) % 1000000 AS us,
-             CAST(weekofyear(CAST(ts AS DATE)) AS BIGINT) AS wk,
+             CAST((dayofyear(CAST(ts AS DATE)) - 1
+                   + dayofweek(CAST(concat(CAST(year(CAST(ts AS DATE)) AS VARCHAR), '-01-01') AS DATE)))
+                  // 7 AS BIGINT) AS wk,
              CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS mon,
              (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528) * 86400 AS tsec,
              epoch_us(TIMESTAMP '2026-08-12 09:05:03') AS std,
