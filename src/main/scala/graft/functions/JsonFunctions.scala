@@ -58,15 +58,25 @@ object JsonFunctions {
     u.register("json_replace", (d: String, p: String, v: String) => mutate(d, p, v, 2))
     u.register("json_valid", (d: String) =>
       if (d == null) null else java.lang.Boolean.valueOf(parse(d).isDefined))
-    // Doris json_type names: OBJECT/ARRAY/STRING/INT/DOUBLE/BOOL/NULL
-    u.register("json_type", (d: String) => parse(d).map { n =>
-      if (n.isObject) "OBJECT"
-      else if (n.isArray) "ARRAY"
-      else if (n.isTextual) "STRING"
-      else if (n.isIntegralNumber) "INT"
-      else if (n.isNumber) "DOUBLE"
-      else if (n.isBoolean) "BOOL"
-      else "NULL"
+    // json_type(doc, path): reference arity + its lowercase typeName
+    // table (jsonb_document.h:738 — int32-fitting integers are "int",
+    // int64 "bigint", wider "largeint"); path = '$' or top-level '$.k'
+    u.register("json_type", (d: String, p: String) => parse(d).flatMap { root =>
+      val node =
+        if (p == "$") Option(root)
+        else key(p).flatMap(k => if (root.isObject && root.has(k)) Some(root.get(k)) else None)
+      node.map { n =>
+        if (n.isObject) "object"
+        else if (n.isArray) "array"
+        else if (n.isTextual) "string"
+        else if (n.isIntegralNumber) {
+          if (n.canConvertToInt) "int"
+          else if (n.canConvertToLong) "bigint"
+          else "largeint"
+        } else if (n.isNumber) "double"
+        else if (n.isBoolean) "bool"
+        else "null"
+      }
     }.orNull)
     // number of object keys / array elements; 1 for scalars (MySQL/Doris)
     u.register("json_length", (d: String) => parse(d).map { n =>

@@ -70,8 +70,9 @@ object Round3Queries {
              get_json_object(json_replace(props, '$.x', '7'), '$.x') AS rep_x,
              json_valid(props) AS jv,
              json_valid(concat('{', props)) AS jv_bad,
-             json_type(props) AS jt, json_type('[1,2]') AS jt_arr,
-             json_type('"s"') AS jt_str, json_type('3.5') AS jt_dbl,
+             json_type(props, '$') AS jt, json_type('[1,2]', '$') AS jt_arr,
+             json_type('"s"', '$') AS jt_str, json_type('3.5', '$') AS jt_dbl,
+             json_type(props, '$.k') AS jt_int,
              json_length(props) AS jl, json_length('[1,2,3]') AS jl_arr
       FROM events WHERE event_id < 300 ORDER BY event_id"""),
 
@@ -151,7 +152,8 @@ object Round3Queries {
              json_extract_string(props, '$.k') AS ins_k,
              '7' AS ins_x, '9' AS rep_k, CAST(NULL AS VARCHAR) AS rep_x,
              true AS jv, false AS jv_bad,
-             'OBJECT' AS jt, 'ARRAY' AS jt_arr, 'STRING' AS jt_str, 'DOUBLE' AS jt_dbl,
+             'object' AS jt, 'array' AS jt_arr, 'string' AS jt_str, 'double' AS jt_dbl,
+             'int' AS jt_int,
              CAST(1 AS BIGINT) AS jl, CAST(3 AS BIGINT) AS jl_arr
       FROM events WHERE event_id < 300 ORDER BY event_id""",
 
