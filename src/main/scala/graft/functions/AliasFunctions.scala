@@ -97,6 +97,44 @@ object AliasFunctions {
     "array_cum_sum(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN transform(sequence(1, size(a)), i -> aggregate(slice(a, 1, i), CAST(0 AS BIGINT), (s, x) -> s + x))",
     "array_difference(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN transform(sequence(1, size(a)), i -> IF(i = 1, CAST(0 AS BIGINT), element_at(a, i) - element_at(a, i - 1)))",
     "array_enumerate(a ARRAY<BIGINT>) RETURNS ARRAY<INT> RETURN IF(size(a) = 0, array(), sequence(1, size(a)))",
+    // ---- double-typed math aliases (math.cpp d*/f* forms return DOUBLE)
+    "dexp(x DOUBLE) RETURNS DOUBLE RETURN exp(x)",
+    "dlog10(x DOUBLE) RETURNS DOUBLE RETURN log10(x)",
+    "dsqrt(x DOUBLE) RETURNS DOUBLE RETURN sqrt(x)",
+    "dpow(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN power(x, y)",
+    "fpow(x DOUBLE, y DOUBLE) RETURNS DOUBLE RETURN power(x, y)",
+    "fmod(a DOUBLE, b DOUBLE) RETURNS DOUBLE RETURN a % b",
+    "dceil(x DOUBLE) RETURNS DOUBLE RETURN CAST(ceil(x) AS DOUBLE)",
+    "dfloor(x DOUBLE) RETURNS DOUBLE RETURN CAST(floor(x) AS DOUBLE)",
+    "dround(x DOUBLE) RETURNS DOUBLE RETURN round(x)",
+    // Excel-style EVEN: round away from zero to the next even integer
+    "even(x DOUBLE) RETURNS BIGINT RETURN CAST(sign(x) AS BIGINT) * 2 * CAST(ceil(abs(x) / 2) AS BIGINT)",
+    "signbit(x DOUBLE) RETURNS BOOLEAN RETURN x < 0",
+    "isinf(x DOUBLE) RETURNS BOOLEAN RETURN abs(x) = CAST('Infinity' AS DOUBLE)",
+    // ---- YYYYMM period arithmetic (period_add/period_diff)
+    "period_add(p INT, n INT) RETURNS INT RETURN ((p div 100) * 12 + (p % 100) - 1 + n) div 12 * 100 + pmod((p div 100) * 12 + (p % 100) - 1 + n, 12) + 1",
+    "period_diff(a INT, b INT) RETURNS INT RETURN ((a div 100) * 12 + a % 100) - ((b div 100) * 12 + b % 100)",
+    // ---- char-set trims (ltrim_in/rtrim_in/trim_in)
+    "ltrim_in(s STRING, cs STRING) RETURNS STRING RETURN trim(LEADING cs FROM s)",
+    "rtrim_in(s STRING, cs STRING) RETURNS STRING RETURN trim(TRAILING cs FROM s)",
+    "trim_in(s STRING, cs STRING) RETURNS STRING RETURN trim(BOTH cs FROM s)",
+    // ---- regexp conveniences
+    "regexp_extract_all_array(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN regexp_extract_all(s, r, 0)",
+    "regexp_extract_or_null(s STRING, r STRING) RETURNS STRING RETURN nullif(regexp_extract(s, r, 1), '')",
+    // ---- masking (function_string_mask.cpp: lower->x, upper->X, digit->n)
+    "mask_first_n(s STRING, n INT) RETURNS STRING RETURN concat(regexp_replace(regexp_replace(regexp_replace(substring(s, 1, n), '[a-z]', 'x'), '[A-Z]', 'X'), '[0-9]', 'n'), substring(s, n + 1))",
+    "mask_last_n(s STRING, n INT) RETURNS STRING RETURN concat(substring(s, 1, length(s) - n), regexp_replace(regexp_replace(regexp_replace(substring(s, length(s) - n + 1), '[a-z]', 'x'), '[A-Z]', 'X'), '[0-9]', 'n'))",
+    "digital_masking(d BIGINT) RETURNS STRING RETURN concat(left(CAST(d AS STRING), 3), '****', right(CAST(d AS STRING), 4))",
+    // ---- epoch conversions (from_second/millisecond/microsecond,
+    // second/millisecond/microsecond_timestamp, iso8601)
+    "from_second(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_seconds(n)",
+    "from_millisecond(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_millis(n)",
+    "from_microsecond(n BIGINT) RETURNS TIMESTAMP RETURN timestamp_micros(n)",
+    "second_timestamp(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) div 1000000",
+    "millisecond_timestamp(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t) div 1000",
+    "microsecond_timestamp(t TIMESTAMP) RETURNS BIGINT RETURN unix_micros(t)",
+    "to_iso8601(t TIMESTAMP) RETURNS STRING RETURN date_format(t, 'yyyy-MM-dd''T''HH:mm:ss.SSSSSS')",
+    "from_iso8601_date(s STRING) RETURNS DATE RETURN CAST(s AS DATE)",
     // ---- bitmap aliases (over the binary representation)
     "bitmap_and_not(a BINARY, b BINARY) RETURNS BINARY RETURN bitmap_andnot(a, b)",
     "bitmap_and_not_count(a BINARY, b BINARY) RETURNS BIGINT RETURN bitmap_count(bitmap_andnot(a, b))",
@@ -118,5 +156,14 @@ object AliasFunctions {
     // round rides a JVM UDF instead of a SQL body
     spark.udf.register("round_bankers", (x: Double, d: Int) =>
       BigDecimal(x).setScale(d, scala.math.BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+    // first-occurrence-only regexp replace (regexp_replace_one)
+    spark.udf.register("regexp_replace_one", (s: String, r: String, repl: String) =>
+      if (s == null || r == null || repl == null) null else s.replaceFirst(r, repl))
+    // gcd/lcm need iteration — JVM UDFs over BigInt
+    spark.udf.register("gcd", (a: Long, b: Long) =>
+      BigInt(a).gcd(BigInt(b)).toLong)
+    spark.udf.register("lcm", (a: Long, b: Long) =>
+      if (a == 0L || b == 0L) 0L
+      else (BigInt(a) / BigInt(a).gcd(BigInt(b)) * BigInt(b)).abs.toLong)
   }
 }

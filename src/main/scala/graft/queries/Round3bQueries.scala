@@ -189,6 +189,43 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // second alias pack: double math, period arithmetic, char-set
+    // trims, regexp conveniences, masking, epoch/iso conversions
+    "fn_alias_math" -> sql("""
+      SELECT n_nationkey,
+             round(dexp(CAST(n_nationkey % 5 AS DOUBLE) / 10), 6) AS de,
+             round(dlog10(CAST(n_nationkey + 1 AS DOUBLE)), 6) AS dl,
+             dsqrt(CAST(n_nationkey * n_nationkey AS DOUBLE)) AS dsq,
+             dpow(2.0, CAST(n_nationkey % 10 AS DOUBLE)) AS dp,
+             round(fmod(CAST(n_nationkey AS DOUBLE) + 0.75, 3.0), 6) AS fm,
+             dceil(CAST(n_nationkey AS DOUBLE) / 4) AS dc,
+             dfloor(CAST(n_nationkey AS DOUBLE) / 4) AS df,
+             even(CAST(n_nationkey AS DOUBLE) / 2) AS ev,
+             signbit(CAST(n_nationkey AS DOUBLE) - 12) AS sb,
+             isinf(CAST(n_nationkey AS DOUBLE)) AS inf0,
+             period_add(202401, CAST(n_nationkey AS INT) - 12) AS pa,
+             period_diff(202403, 202300 + CAST(n_nationkey % 12 + 1 AS INT)) AS pd,
+             gcd(n_nationkey + 4, 6) AS g, lcm(n_nationkey % 5 + 1, 4) AS l
+      FROM nation ORDER BY n_nationkey"""),
+
+    "fn_alias_str2" -> sql("""
+      SELECT n_nationkey,
+             ltrim_in(concat('xyx', n_name, 'yx'), 'xy') AS lt,
+             rtrim_in(concat('xyx', n_name, 'yx'), 'xy') AS rt,
+             trim_in(concat('xyx', n_name, 'yx'), 'xy') AS bt,
+             concat_ws(',', regexp_extract_all_array(concat(n_name, '_', n_name), '[0-9]+')) AS rea,
+             regexp_extract_or_null(n_name, 'NATION_([0-9]+)') AS reo,
+             regexp_extract_or_null(n_name, 'ZZZ([0-9]+)') AS reo_null,
+             regexp_replace_one(concat(n_name, '_', n_name), 'N', 'M') AS rro,
+             mask_first_n(concat(n_name, 'a9'), 3) AS mf,
+             mask_last_n(concat(n_name, 'a9'), 3) AS ml,
+             digital_masking(1380013800 + n_nationkey) AS dm,
+             CAST(from_second(1000000 + n_nationkey) AS STRING) AS fs,
+             millisecond_timestamp(from_millisecond(123456789 + n_nationkey)) AS mst,
+             to_iso8601(TIMESTAMP '2026-08-12 09:05:03.000001') AS iso,
+             CAST(from_iso8601_date('2026-08-12') AS STRING) AS isod
+      FROM nation ORDER BY n_nationkey"""),
+
     // json_quote/unquote roundtrip + MySQL containment + path existence
     // over the events props documents
     "fn_json2" -> sql("""
@@ -477,6 +514,52 @@ object Round3bQueries {
     "ds_dialect_sugar" -> """
       SELECT n_regionkey, count(*) AS n
       FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+
+    "fn_alias_math" -> """
+      SELECT n_nationkey,
+             round(exp(CAST(n_nationkey % 5 AS DOUBLE) / 10), 6) AS de,
+             round(log10(CAST(n_nationkey + 1 AS DOUBLE)), 6) AS dl,
+             sqrt(CAST(n_nationkey * n_nationkey AS DOUBLE)) AS dsq,
+             power(2.0, CAST(n_nationkey % 10 AS DOUBLE)) AS dp,
+             round((CAST(n_nationkey AS DOUBLE) + 0.75) % 3.0, 6) AS fm,
+             CAST(ceil(CAST(n_nationkey AS DOUBLE) / 4) AS DOUBLE) AS dc,
+             CAST(floor(CAST(n_nationkey AS DOUBLE) / 4) AS DOUBLE) AS df,
+             CAST(CASE WHEN n_nationkey = 0 THEN 0
+                       ELSE 2 * ceil(CAST(n_nationkey AS DOUBLE) / 4) END AS BIGINT) AS ev,
+             n_nationkey - 12 < 0 AS sb,
+             false AS inf0,
+             CAST((24276 + n_nationkey) // 12 * 100 + (24276 + n_nationkey) % 12 + 1 AS INT) AS pa,
+             CAST(14 - n_nationkey % 12 AS INT) AS pd,
+             CAST(gcd(n_nationkey + 4, 6) AS BIGINT) AS g,
+             CAST(lcm(n_nationkey % 5 + 1, 4) AS BIGINT) AS l
+      FROM nation ORDER BY n_nationkey""",
+
+    "fn_alias_str2" -> """
+      WITH d AS (SELECT n_nationkey, n_name,
+                        concat('xyx', n_name, 'yx') AS wrapped,
+                        concat(n_name, 'a9') AS suffixed,
+                        concat(n_name, '_', n_name) AS doubled
+                 FROM nation)
+      SELECT n_nationkey,
+             ltrim(wrapped, 'xy') AS lt,
+             rtrim(wrapped, 'xy') AS rt,
+             trim(wrapped, 'xy') AS bt,
+             array_to_string(regexp_extract_all(doubled, '[0-9]+'), ',') AS rea,
+             CAST(n_nationkey AS VARCHAR) AS reo,
+             CAST(NULL AS VARCHAR) AS reo_null,
+             regexp_replace(doubled, 'N', 'M') AS rro,
+             concat('XXX', substr(suffixed, 4)) AS mf,
+             concat(substr(suffixed, 1, length(suffixed) - 3),
+                    regexp_replace(regexp_replace(regexp_replace(
+                      right(suffixed, 3), '[a-z]', 'x', 'g'), '[A-Z]', 'X', 'g'),
+                      '[0-9]', 'n', 'g')) AS ml,
+             concat('138', '****',
+                    right(CAST(1380013800 + n_nationkey AS VARCHAR), 4)) AS dm,
+             CAST(CAST(to_timestamp(1000000 + n_nationkey) AS TIMESTAMP) AS VARCHAR) AS fs,
+             123456789 + n_nationkey AS mst,
+             '2026-08-12T09:05:03.000001' AS iso,
+             '2026-08-12' AS isod
+      FROM d ORDER BY n_nationkey""",
 
     "fn_json2" -> """
       SELECT event_id,
