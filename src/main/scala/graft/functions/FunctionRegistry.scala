@@ -90,6 +90,7 @@ object FunctionRegistry {
     CodecFunctions.register(spark)
     HllFunctions.register(spark)
     AliasFunctions.register(spark)
+    Ipv6Functions.register(spark)
     AiFunctions.register(spark)
     MoreAggs.register(spark)
   }

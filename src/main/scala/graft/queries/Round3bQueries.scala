@@ -189,6 +189,19 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // IPv6 family pinned to inet_pton-derived vectors (DuckDB's INET
+    // extension is unavailable offline, so the oracle is literal)
+    "misc_ipv6" -> sql("""
+      SELECT s,
+             upper(hex(ipv6_string_to_num(s))) AS num_hex,
+             is_ipv6_string(s) AS ok6,
+             ipv6_num_to_string(ipv6_string_to_num(s)) AS canon,
+             upper(hex(cut_ipv6(ipv6_string_to_num(s), 8, 2))) AS cut_hex,
+             upper(hex(ipv4_to_ipv6('192.168.1.1'))) AS v4map,
+             is_ipv6_string('not an ip') AS bad
+      FROM VALUES ('::1'), ('2001:db8::8a2e:370:7334'), ('fe80::1') AS t(s)
+      ORDER BY s"""),
+
     // second alias pack: double math, period arithmetic, char-set
     // trims, regexp conveniences, masking, epoch/iso conversions
     "fn_alias_math" -> sql("""
@@ -514,6 +527,20 @@ object Round3bQueries {
     "ds_dialect_sugar" -> """
       SELECT n_regionkey, count(*) AS n
       FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+
+    "misc_ipv6" -> """
+      SELECT * FROM (VALUES
+        ('2001:db8::8a2e:370:7334', '20010DB80000000000008A2E03707334', true,
+         '2001:db8::8a2e:370:7334', '20010DB8000000000000000000000000',
+         '00000000000000000000FFFFC0A80101', false),
+        ('::1', '00000000000000000000000000000001', true,
+         '::1', '00000000000000000000000000000000',
+         '00000000000000000000FFFFC0A80101', false),
+        ('fe80::1', 'FE800000000000000000000000000001', true,
+         'fe80::1', 'FE800000000000000000000000000000',
+         '00000000000000000000FFFFC0A80101', false))
+        t(s, num_hex, ok6, canon, cut_hex, v4map, bad)
+      ORDER BY s""",
 
     "fn_alias_math" -> """
       SELECT n_nationkey,
