@@ -82,6 +82,49 @@ object MoreAggs {
     def outputEncoder: Encoder[String] = Encoders.STRING
   }
 
+  /** to_quantile_state (reference: quantile_state column type +
+    * aggregate_function_quantile_state) — the mergeable exact state is
+    * the sorted value multiset serialized as big-endian doubles; the
+    * reference's QUANTILE_UNION + QUANTILE_PERCENT read the same way.
+    * Exact (the reference's TDigest is approximate — we keep exactness
+    * and document the stronger guarantee); state size is bounded by the
+    * per-group value count, sharded like any agg state. */
+  class QuantileStateAgg extends Aggregator[Double, Seq[Double], Array[Byte]] {
+    def zero: Seq[Double] = Nil
+    def reduce(b: Seq[Double], v: Double): Seq[Double] = v +: b
+    def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] = a ++ b
+    def finish(b: Seq[Double]): Array[Byte] = {
+      val sorted = b.sorted.toArray
+      val bb = java.nio.ByteBuffer.allocate(sorted.length * 8)
+      sorted.foreach(bb.putDouble)
+      bb.array()
+    }
+    def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** QUANTILE_UNION over serialized states (merge = sorted merge). */
+  class QuantileUnionAgg extends Aggregator[Array[Byte], Seq[Double], Array[Byte]] {
+    private def decode(b: Array[Byte]): Seq[Double] = {
+      if (b == null) Nil
+      else {
+        val bb = java.nio.ByteBuffer.wrap(b)
+        Seq.fill(b.length / 8)(bb.getDouble)
+      }
+    }
+    def zero: Seq[Double] = Nil
+    def reduce(b: Seq[Double], v: Array[Byte]): Seq[Double] = b ++ decode(v)
+    def merge(a: Seq[Double], b: Seq[Double]): Seq[Double] = a ++ b
+    def finish(b: Seq[Double]): Array[Byte] = {
+      val sorted = b.sorted.toArray
+      val bb = java.nio.ByteBuffer.allocate(sorted.length * 8)
+      sorted.foreach(bb.putDouble)
+      bb.array()
+    }
+    def bufferEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.udf.register("group_concat_ord",
       udaf(new GroupConcatOrdAgg(",", distinct = false), ExpressionEncoder[KeyedStr]()))
@@ -91,6 +134,23 @@ object MoreAggs {
       udaf(new LinearHistogramAgg(100.0), Encoders.scalaDouble))
     spark.udf.register("ema3", udaf(new EmaAgg(0.3), ExpressionEncoder[TsVal]()))
     spark.udf.register("count_by_enum", udaf(new CountByEnumAgg, Encoders.STRING))
+    spark.udf.register("to_quantile_state",
+      udaf(new QuantileStateAgg, Encoders.scalaDouble))
+    spark.udf.register("quantile_union",
+      udaf(new QuantileUnionAgg, Encoders.BINARY))
+    // quantile_percent(state, p): exact linear-interpolated percentile
+    // from a serialized state (scalar, like the reference's)
+    spark.udf.register("quantile_percent", (b: Array[Byte], p: Double) => {
+      if (b == null || b.length < 8) null
+      else {
+        val bb = java.nio.ByteBuffer.wrap(b)
+        val vs = Array.fill(b.length / 8)(bb.getDouble)
+        val rank = p * (vs.length - 1)
+        val lo = rank.toInt
+        val hi = math.min(lo + 1, vs.length - 1)
+        java.lang.Double.valueOf(vs(lo) + (rank - lo) * (vs(hi) - vs(lo)))
+      }
+    })
     // Doris-named HLL surface over Spark's datasketches built-ins
     try {
       spark.sql("""CREATE OR REPLACE TEMPORARY FUNCTION hll_cardinality(s BINARY)

@@ -189,6 +189,20 @@ object Round3bQueries {
              concat_ws(',', array_repeat(CAST(n_nationkey AS STRING), 3)) AS rep
       FROM d ORDER BY n_nationkey"""),
 
+    // named quantile_state surface: per-shard to_quantile_state ->
+    // quantile_union merge -> quantile_percent finalize, the reference's
+    // QUANTILE_STATE column lifecycle (exact where Doris's TDigest is
+    // approximate); oracle = DuckDB quantile_cont over the raw values
+    "state_quantile2" -> sql("""
+      WITH shard AS (
+        SELECT l_returnflag, pmod(l_orderkey, 8) AS sh,
+               to_quantile_state(CAST(l_quantity AS DOUBLE)) AS qs
+        FROM lineitem GROUP BY l_returnflag, pmod(l_orderkey, 8))
+      SELECT l_returnflag,
+             round(quantile_percent(quantile_union(qs), CAST(0.5 AS DOUBLE)), 6) AS p50,
+             round(quantile_percent(quantile_union(qs), CAST(0.9 AS DOUBLE)), 6) AS p90
+      FROM shard GROUP BY l_returnflag ORDER BY l_returnflag"""),
+
     // IPv6 family pinned to inet_pton-derived vectors (DuckDB's INET
     // extension is unavailable offline, so the oracle is literal)
     "misc_ipv6" -> sql("""
@@ -527,6 +541,12 @@ object Round3bQueries {
     "ds_dialect_sugar" -> """
       SELECT n_regionkey, count(*) AS n
       FROM nation GROUP BY ALL ORDER BY n_regionkey""",
+
+    "state_quantile2" -> """
+      SELECT l_returnflag,
+             round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+             round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "misc_ipv6" -> """
       SELECT * FROM (VALUES
