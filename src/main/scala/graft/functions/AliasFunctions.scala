@@ -59,12 +59,18 @@ object AliasFunctions {
     "year_floor(t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('year', t)",
     "year_ceil(t TIMESTAMP) RETURNS TIMESTAMP RETURN IF(date_trunc('year', t) = t, t, timestampadd(YEAR, 1, date_trunc('year', t)))",
     "second_floor(t TIMESTAMP) RETURNS TIMESTAMP RETURN date_trunc('second', t)",
-    "second_ceil(t TIMESTAMP) RETURNS TIMESTAMP RETURN timestamp_micros(((unix_micros(t) + 999999) div 1000000) * 1000000)",
+    // sign-safe ceiling (ADVICE r03): x div D truncates toward zero, so
+    // add 1 only when a positive remainder was truncated — correct for
+    // pre-1970 instants too, unlike (x + D - 1) div D
+    "second_ceil(t TIMESTAMP) RETURNS TIMESTAMP RETURN timestamp_micros((unix_micros(t) div 1000000 + IF(unix_micros(t) % 1000000 > 0, 1, 0)) * 1000000)",
     // ---- extracts / conversions
     "microsecond(t TIMESTAMP) RETURNS BIGINT RETURN pmod(unix_micros(t), 1000000) % 1000000",
-    // MySQL mode-0 week (Doris default): Sunday-start, week 0 = days
-    // before the year's first Sunday — NOT ISO weekofyear
-    "week(d DATE) RETURNS INT RETURN CAST((dayofyear(d) - 1 + dayofweek(make_date(year(d), 1, 1)) - 1) div 7 AS INT)",
+    // MySQL mode-0 week (Doris default, = C strftime %U): Sunday-start,
+    // week 0 = days before the year's first Sunday. When Jan 1 IS a
+    // Sunday (dayofweek = 1; 2017, 2023, ...) there is no week 0 and
+    // Jan 1-7 are week 1 (reference calc_week prev-year branch,
+    // time_lut.cpp:49-91; ADVICE r03 fix)
+    "week(d DATE) RETURNS INT RETURN CAST(IF(dayofweek(make_date(year(d), 1, 1)) = 1, (dayofyear(d) - 1) div 7 + 1, (dayofyear(d) - 1 + dayofweek(make_date(year(d), 1, 1)) - 1) div 7) AS INT)",
     "to_monday(d DATE) RETURNS DATE RETURN CAST(date_trunc('week', d) AS DATE)",
     "to_seconds(d DATE) RETURNS BIGINT RETURN (CAST(datediff(d, DATE '1970-01-01') AS BIGINT) + 719528) * 86400",
     "str_to_date(s STRING, f STRING) RETURNS TIMESTAMP RETURN to_timestamp(s, replace(replace(replace(replace(replace(replace(replace(f, '%Y', 'yyyy'), '%y', 'yy'), '%m', 'MM'), '%d', 'dd'), '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",

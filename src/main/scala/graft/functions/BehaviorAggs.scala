@@ -29,13 +29,19 @@ object BehaviorAggs {
     *  - Default: advance on the next matching level from any LATER event
     *    (equal timestamps allowed — the reference requires only a
     *    different row + the window).
-    *  - Increase: like Default but each advance needs a strictly GREATER
-    *    timestamp than the previous chain event (the reference's extra
-    *    `last_ts < evt.timestamp` check).
+    *  - Increase: like Default but the FIRST in-window occurrence of the
+    *    next level must carry a strictly GREATER timestamp than the
+    *    previous chain event; otherwise the attempt dies there (the
+    *    reference's `if (!is_matched) break` after find_one —
+    *    aggregate_function_window_funnel.h:200-211 — never rescans for a
+    *    later same-level event).
     *  - Dedup: a repeat of an ALREADY-PASSED level in the gap breaks
     *    this chain attempt.
-    *  - Fixed: any chain-event whose level is not the expected next one
-    *    breaks the attempt (exact contiguous order).
+    *  - Fixed: the next level must sit on the IMMEDIATELY following row
+    *    (aggregate_function_window_funnel.h:189-198 — match_row advances
+    *    by exactly 1 per level); ANY interposed row, including one with
+    *    no event flags at all, breaks the attempt, so Fixed-mode buffers
+    *    keep zero-mask rows like the reference's unconditional add().
     */
   object FunnelMode extends Enumeration { val Default, Dedup, Fixed, Increase = Value }
 
@@ -43,8 +49,11 @@ object BehaviorAggs {
                         mode: FunnelMode.Value = FunnelMode.Default)
       extends Aggregator[Ev, EvBuf, Int] {
     def zero: EvBuf = EvBuf(Nil)
+    // Fixed needs every row (un-flagged rows break its chains); the
+    // other modes never look at zero-mask rows, so dropping them is a
+    // pure state reduction
     def reduce(b: EvBuf, e: Ev): EvBuf =
-      if (e.mask == 0) b else EvBuf(e +: b.events)
+      if (e.mask == 0 && mode != FunnelMode.Fixed) b else EvBuf(e +: b.events)
     def merge(a: EvBuf, b: EvBuf): EvBuf = EvBuf(a.events ++ b.events)
     def finish(b: EvBuf): Int = {
       val evs = b.events.sortBy(e => (e.ts, e.mask)).toArray
@@ -57,22 +66,30 @@ object BehaviorAggs {
           val deadline = evs(i).ts + windowMicros
           var j = i + 1
           var broken = false
-          while (j < evs.length && !broken && level < nConds && evs(j).ts <= deadline) {
-            val m = evs(j).mask
-            // Increase demands a strictly greater ts per advance; the
-            // other modes only need a different event (reference checks
-            // a different ROW, not a later timestamp)
-            val tsOk = mode != FunnelMode.Increase || evs(j).ts > lastTs
-            if (tsOk && (m & (1 << level)) != 0) {
-              level += 1; lastTs = evs(j).ts
-            } else if (mode == FunnelMode.Dedup && (m & ((1 << level) - 1)) != 0) {
-              // a passed level repeats -> this attempt is dead
-              broken = true
-            } else if (mode == FunnelMode.Fixed && m != 0) {
-              // chain event out of expected order -> attempt is dead
-              broken = true
+          if (mode == FunnelMode.Fixed) {
+            // exact contiguous rows: level k+1 on row i+k, in-window
+            while (!broken && level < nConds && j < evs.length) {
+              if ((evs(j).mask & (1 << level)) != 0 && evs(j).ts <= deadline) {
+                level += 1; j += 1
+              } else broken = true
             }
-            j += 1
+          } else {
+            while (j < evs.length && !broken && level < nConds && evs(j).ts <= deadline) {
+              val m = evs(j).mask
+              val nextBit = (m & (1 << level)) != 0
+              if (nextBit && (mode != FunnelMode.Increase || evs(j).ts > lastTs)) {
+                level += 1; lastTs = evs(j).ts
+              } else if (nextBit && mode == FunnelMode.Increase) {
+                // first occurrence of the next level is not strictly
+                // later -> the whole attempt dies (reference breaks,
+                // it does not rescan)
+                broken = true
+              } else if (mode == FunnelMode.Dedup && (m & ((1 << level) - 1)) != 0) {
+                // a passed level repeats -> this attempt is dead
+                broken = true
+              }
+              j += 1
+            }
           }
           if (level > best) best = level
           if (best == nConds) return best

@@ -36,19 +36,31 @@ object JsonFunctions {
       Some(path.drop(2))
     else None
 
-  /** mode: 0=set (always), 1=insert (only absent), 2=replace (only present). */
+  /** mode: 0=set (always), 1=insert (only absent), 2=replace (only present).
+    *
+    * MySQL no-op contract (ADVICE r03): a valid document whose root is
+    * not an object, or a path this flat-`$.key` implementation does not
+    * resolve (nested, array subscript), returns the document UNCHANGED —
+    * NULL only for NULL/unparseable documents. Root path `$` follows
+    * MySQL: set/replace substitute the whole document, insert no-ops. */
   private def mutate(doc: String, path: String, value: String, mode: Int): String =
-    (parse(doc), key(path)) match {
-      case (Some(obj: ObjectNode), Some(k)) =>
-        val present = obj.has(k)
-        val write = mode match {
-          case 0 => true
-          case 1 => !present
-          case _ => present
+    parse(doc) match {
+      case None => null
+      case Some(_) if path == "$" =>
+        if (mode == 1) doc else mapper.writeValueAsString(parseValue(value))
+      case Some(root) =>
+        (root, key(path)) match {
+          case (obj: ObjectNode, Some(k)) =>
+            val present = obj.has(k)
+            val write = mode match {
+              case 0 => true
+              case 1 => !present
+              case _ => present
+            }
+            if (write) obj.set[JsonNode](k, parseValue(value))
+            mapper.writeValueAsString(obj)
+          case _ => doc
         }
-        if (write) obj.set[JsonNode](k, parseValue(value))
-        mapper.writeValueAsString(obj)
-      case _ => null
     }
 
   def register(spark: SparkSession): Unit = {

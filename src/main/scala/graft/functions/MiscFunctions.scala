@@ -71,10 +71,10 @@ object MiscFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION money_format(v DOUBLE)
        RETURNS STRING RETURN format_number(v, 2)""",
     // ---- Doris datetime floor/ceil family (function_datetime_floor_ceil
-    // .cpp). Floor = date_trunc; ceil = exact integer ceil-division on
-    // epoch micros via (x + D - 1) div D (exact for the positive micros
-    // in scope; Spark's div truncates toward zero, so the negate trick
-    // would yield floor, not ceiling).
+    // .cpp). Floor = date_trunc; ceil = sign-safe integer ceil-division
+    // on epoch micros: x div D truncates toward zero, so add 1 only when
+    // a positive remainder was truncated — exact for negative (pre-1970)
+    // micros too, where (x + D - 1) div D over-shoots (ADVICE r03 fix).
     """CREATE OR REPLACE TEMPORARY FUNCTION hour_floor(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN date_trunc('hour', t)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION day_floor(t TIMESTAMP)
@@ -85,13 +85,16 @@ object MiscFunctions {
        RETURNS TIMESTAMP RETURN date_trunc('month', t)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION hour_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(((unix_micros(t) + 3599999999) div 3600000000) * 3600000000)""",
+       timestamp_micros((unix_micros(t) div 3600000000
+                         + IF(unix_micros(t) % 3600000000 > 0, 1, 0)) * 3600000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION day_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(((unix_micros(t) + 86399999999) div 86400000000) * 86400000000)""",
+       timestamp_micros((unix_micros(t) div 86400000000
+                         + IF(unix_micros(t) % 86400000000 > 0, 1, 0)) * 86400000000)""",
     """CREATE OR REPLACE TEMPORARY FUNCTION minute_ceil(t TIMESTAMP)
        RETURNS TIMESTAMP RETURN
-       timestamp_micros(((unix_micros(t) + 59999999) div 60000000) * 60000000)""",
+       timestamp_micros((unix_micros(t) div 60000000
+                         + IF(unix_micros(t) % 60000000 > 0, 1, 0)) * 60000000)""",
     // per-char mismatch count for equal-length strings, NULL otherwise
     // (reference: function_hamming_distance.cpp)
     """CREATE OR REPLACE TEMPORARY FUNCTION hamming_distance(a STRING, b STRING)

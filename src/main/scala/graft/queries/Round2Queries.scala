@@ -107,7 +107,11 @@ object Round2Queries {
              unix_micros(minute_floor(ts)) AS mf,
              unix_micros(hour_ceil(ts)) AS hc,
              unix_micros(day_ceil(ts)) AS dc,
-             unix_micros(minute_ceil(ts)) AS mc
+             unix_micros(minute_ceil(ts)) AS mc,
+             unix_micros(hour_ceil(TIMESTAMP '1969-12-31 23:30:00')) AS hc_neg,
+             unix_micros(hour_ceil(TIMESTAMP '1969-12-31 23:00:00')) AS hc_neg_aligned,
+             unix_micros(minute_ceil(TIMESTAMP '1969-12-31 23:30:30')) AS mc_neg,
+             unix_micros(day_ceil(TIMESTAMP '1969-12-30 12:00:00')) AS dc_neg
       FROM events WHERE event_id < 300 ORDER BY event_id"""),
 
     "ml_fingerprint" -> sql("""
@@ -201,7 +205,11 @@ object Round2Queries {
              epoch_us(date_trunc('minute', ts)) AS mf,
              ((epoch_us(ts) + 3599999999) // 3600000000) * 3600000000 AS hc,
              ((epoch_us(ts) + 86399999999) // 86400000000) * 86400000000 AS dc,
-             ((epoch_us(ts) + 59999999) // 60000000) * 60000000 AS mc
+             ((epoch_us(ts) + 59999999) // 60000000) * 60000000 AS mc,
+             CAST(0 AS BIGINT) AS hc_neg,
+             CAST(-3600000000 AS BIGINT) AS hc_neg_aligned,
+             CAST(-1740000000 AS BIGINT) AS mc_neg,
+             CAST(-86400000000 AS BIGINT) AS dc_neg
       FROM events WHERE event_id < 300 ORDER BY event_id""",
 
     "ml_fingerprint" -> """

@@ -68,6 +68,10 @@ object Round3Queries {
              get_json_object(json_insert(props, '$.x', '7'), '$.x') AS ins_x,
              get_json_object(json_replace(props, '$.k', '9'), '$.k') AS rep_k,
              get_json_object(json_replace(props, '$.x', '7'), '$.x') AS rep_x,
+             json_set('[1,2]', '$.k', '9') AS set_arr,
+             json_replace(props, '$.a.b', '9') AS rep_nested,
+             json_set(props, '$', '42') AS set_root,
+             json_insert(props, '$', '42') AS ins_root,
              json_valid(props) AS jv,
              json_valid(concat('{', props)) AS jv_bad,
              json_type(props, '$') AS jt, json_type('[1,2]', '$') AS jt_arr,
@@ -151,6 +155,10 @@ object Round3Queries {
              '9' AS set_k, '7' AS set_x,
              json_extract_string(props, '$.k') AS ins_k,
              '7' AS ins_x, '9' AS rep_k, CAST(NULL AS VARCHAR) AS rep_x,
+             '[1,2]' AS set_arr,
+             props AS rep_nested,
+             '42' AS set_root,
+             props AS ins_root,
              true AS jv, false AS jv_bad,
              'object' AS jt, 'array' AS jt_arr, 'string' AS jt_str, 'double' AS jt_dbl,
              'int' AS jt_int,

@@ -283,6 +283,7 @@ object Round3bQueries {
              unix_micros(second_ceil(ts)) AS sc,
              microsecond(ts) AS us,
              CAST(week(CAST(ts AS DATE)) AS BIGINT) AS wk,
+             CAST(week(date_sub(CAST(ts AS DATE), 366)) AS BIGINT) AS wk23,
              CAST(to_monday(CAST(ts AS DATE)) AS STRING) AS mon,
              to_seconds(CAST(ts AS DATE)) AS tsec,
              unix_micros(str_to_date('2026-08-12 09:05:03', '%Y-%m-%d %H:%i:%s')) AS std,
@@ -632,9 +633,8 @@ object Round3bQueries {
              epoch_us(date_trunc('year', CAST(ts AS TIMESTAMP))) AS yf,
              ((epoch_us(ts) + 999999) // 1000000) * 1000000 AS sc,
              epoch_us(ts) % 1000000 AS us,
-             CAST((dayofyear(CAST(ts AS DATE)) - 1
-                   + dayofweek(CAST(concat(CAST(year(CAST(ts AS DATE)) AS VARCHAR), '-01-01') AS DATE)))
-                  // 7 AS BIGINT) AS wk,
+             CAST(strftime(CAST(ts AS DATE), '%U') AS BIGINT) AS wk,
+             CAST(strftime(CAST(ts AS DATE) - 366, '%U') AS BIGINT) AS wk23,
              CAST(CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS VARCHAR) AS mon,
              (date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528) * 86400 AS tsec,
              epoch_us(TIMESTAMP '2026-08-12 09:05:03') AS std,

@@ -59,6 +59,47 @@ class GraftFacadeSpec extends AnyFunSuite {
       "SELECT array_exists(array(1, 2, 3), x -> x = 2) AS e").head().getBoolean(0))
   }
 
+  test("facade: week() pins MySQL mode-0 vectors incl. Sunday-start years") {
+    Graft.install(spark)
+    // Pinned MySQL WEEK(d, 0) outputs (independent of the SQL-UDF
+    // arithmetic; ADVICE r03 — 2017/2023 start on Sunday, so there is
+    // no week 0 and Jan 1-7 are week 1)
+    val vec = Seq(
+      "2023-01-01" -> 1, "2023-01-07" -> 1, "2023-01-08" -> 2,
+      "2023-12-31" -> 53, "2017-01-01" -> 1, "2017-01-02" -> 1,
+      "2024-01-01" -> 0, "2024-01-06" -> 0, "2024-01-07" -> 1,
+      "2024-12-31" -> 52, "2020-05-15" -> 19, "2022-01-01" -> 0,
+      "2022-01-02" -> 1
+    )
+    vec.foreach { case (d, w) =>
+      assert(spark.sql(s"SELECT week(DATE '$d') AS w").head().getInt(0) == w,
+        s"week($d)")
+    }
+    // sign-safe ceil: pre-1970 instants ceil UP toward zero
+    assert(spark.sql(
+      """SELECT hour_ceil(TIMESTAMP '1969-12-31 23:30:00') = TIMESTAMP '1970-01-01 00:00:00'
+           AND minute_ceil(TIMESTAMP '1969-12-31 23:30:30') = TIMESTAMP '1969-12-31 23:31:00'
+           AND day_ceil(TIMESTAMP '1969-12-30 12:00:00') = TIMESTAMP '1969-12-31 00:00:00'
+           AND second_ceil(TIMESTAMP '1969-12-31 23:30:30.5') = TIMESTAMP '1969-12-31 23:30:31'
+           AND hour_ceil(TIMESTAMP '1969-12-31 23:00:00') = TIMESTAMP '1969-12-31 23:00:00'
+           AS ok""").head().getBoolean(0))
+    // json mutation no-op contract (MySQL): valid non-object roots and
+    // nested paths return the document unchanged; '$' root follows
+    // set/replace-substitute, insert-noop
+    val jm = spark.sql("""
+      SELECT json_set('[1,2]', '$.k', '9') AS a,
+             json_replace('{"k":1}', '$.a.b', '9') AS b,
+             json_set('{"k":1}', '$', '42') AS c,
+             json_insert('{"k":1}', '$', '42') AS d,
+             json_set('not json', '$.k', '9') AS e
+      """).head()
+    assert(jm.getString(0) == "[1,2]")
+    assert(jm.getString(1) == """{"k":1}""")
+    assert(jm.getString(2) == "42")
+    assert(jm.getString(3) == """{"k":1}""")
+    assert(jm.isNullAt(4))
+  }
+
   test("facade: reference edge semantics — sub_bitmap, bitmap_from_string, murmur seed") {
     Graft.install(spark)
     // sub_bitmap: negative offset counts from the end; out-of-range and

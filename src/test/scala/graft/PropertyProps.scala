@@ -153,6 +153,104 @@ object FunnelModeProps extends Properties("FunnelModes") {
     val evs = Seq(Ev(0, 1), Ev(1, 4), Ev(2, 2), Ev(3, 4))
     run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Fixed) == 1
   }
+
+  // ADVICE r03: the reference breaks the whole attempt when the FIRST
+  // in-window occurrence of the next level is not strictly later — a
+  // later same-level event must NOT rescue the chain
+  property("increase dies on first equal-ts occurrence (no rescan)") = Prop {
+    val evs = Seq(Ev(0, 1), Ev(0, 2), Ev(1, 2), Ev(2, 4))
+    run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Increase) == 1
+  }
+
+  // ADVICE r03: FIXED demands the next level on the IMMEDIATELY
+  // following row — an interposed un-flagged row breaks the attempt
+  property("fixed breaks on interposed zero-mask row") = Prop {
+    val evs = Seq(Ev(0, 1), Ev(1, 0), Ev(2, 2), Ev(3, 4))
+    run(evs, FunnelMode.Default) == 3 && run(evs, FunnelMode.Fixed) == 1
+  }
+
+  property("fixed matches exactly contiguous chains") = Prop {
+    val evs = Seq(Ev(0, 1), Ev(1, 2), Ev(2, 4))
+    run(evs, FunnelMode.Fixed) == 3
+  }
+
+  /** Independent mirror of the reference algorithm
+    * (aggregate_function_window_funnel.h:163-258 _match_event_list /
+    * _get_internal): rows sorted by ts, every input row stored, each
+    * attempt starts at the next first-level row; non-FIXED levels
+    * advance via first-occurrence search with break-on-mismatch,
+    * FIXED consumes strictly adjacent rows, INCREASE requires the
+    * found row to be strictly later than the previous match, DEDUP
+    * breaks when any passed level reappears between matches. */
+  private def refFunnel(events: Seq[Ev], window: Long, n: Int,
+                        mode: FunnelMode.Value): Int = {
+    val rows = events.sortBy(e => (e.ts, e.mask)).toArray
+    def findOne(bit: Int, from: Int): Int = {
+      var i = from
+      while (i < rows.length && (rows(i).mask & (1 << bit)) == 0) i += 1
+      i
+    }
+    var best = 0
+    var start = 0
+    while (start < rows.length && best < n) {
+      val first = findOne(0, start)
+      start = first + 1
+      if (first < rows.length) {
+        var prevTs = rows(first).ts
+        val end = rows(first).ts + window
+        var matched = 1
+        var lastMatchRow = first
+        var matchRow = first + 1
+        var col = 1
+        var broken = false
+        while (col < n && matchRow < rows.length && !broken) {
+          if (mode == FunnelMode.Fixed) {
+            if ((rows(matchRow).mask & (1 << col)) != 0 && rows(matchRow).ts <= end) matched += 1
+            else broken = true
+          } else {
+            val mr = findOne(col, matchRow)
+            if (mr >= rows.length) broken = true
+            else {
+              var isMatched = rows(mr).ts <= end
+              if (isMatched && mode == FunnelMode.Increase) isMatched = rows(mr).ts > prevTs
+              if (!isMatched) broken = true
+              else {
+                if (mode == FunnelMode.Increase) prevTs = rows(mr).ts
+                var dup = false
+                if (mode == FunnelMode.Dedup) {
+                  var g = lastMatchRow + 1
+                  while (!dup && g < mr) {
+                    if ((rows(g).mask & ((1 << col) - 1)) != 0) dup = true
+                    g += 1
+                  }
+                  lastMatchRow = mr
+                }
+                if (dup) broken = true
+                else { matched += 1; matchRow = mr }
+              }
+            }
+          }
+          if (!broken) { col += 1; matchRow += 1 }
+        }
+        if (matched > best) best = matched
+      }
+    }
+    best
+  }
+
+  property("all modes agree with the reference-mirror algorithm") =
+    forAll(evsGen) { evs =>
+      FunnelMode.values.toSeq.forall { m =>
+        run(evs, m) == refFunnel(evs, 1000L, 3, m)
+      }
+    }
+
+  property("mirror agreement holds under tight windows too") =
+    forAll(evsGen, Gen.chooseNum(1L, 20L)) { (evs, w) =>
+      FunnelMode.values.toSeq.forall { m =>
+        run(evs, m, w) == refFunnel(evs, w, 3, m)
+      }
+    }
 }
 
 /** Two independent implementations of murmur3_x86_32 must agree:
