@@ -38,7 +38,13 @@ object SparkEntry {
       (graft.queries.Round2bQueries.queries, graft.queries.Round2bQueries.oracle),
       (graft.queries.Round2cQueries.queries, graft.queries.Round2cQueries.oracle),
       (graft.queries.Round3Queries.queries, graft.queries.Round3Queries.oracle),
-      (graft.queries.Round3bQueries.queries, graft.queries.Round3bQueries.oracle)
+      (graft.queries.Round3bQueries.queries, graft.queries.Round3bQueries.oracle),
+      (graft.queries.Round4Queries.queries, graft.queries.Round4Queries.oracle),
+      (graft.queries.Round4bQueries.queries, graft.queries.Round4bQueries.oracle),
+      (graft.queries.Round4cQueries.queries, graft.queries.Round4cQueries.oracle),
+      (graft.queries.Round4dQueries.queries, graft.queries.Round4dQueries.oracle),
+      (graft.queries.Round4eQueries.queries, graft.queries.Round4eQueries.oracle),
+      (graft.queries.Round4fQueries.queries, graft.queries.Round4fQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Round-4 alias pack: the URL family (be/src/exprs/function/url/,
+  * ClickHouse-derived domain heuristics), the remaining MySQL string
+  * conveniences, and date/time tail names. Every body is a native
+  * expression tree (SQL UDFs inline into codegen).
+  */
+object AliasFunctions2 {
+
+  private def defs: Seq[String] = Seq(
+    // ---- URL family. domain() accepts bare hosts too (the reference
+    // falls back to treating schemeless input as host[:port]/path).
+    "protocol(u STRING) RETURNS STRING RETURN parse_url(u, 'PROTOCOL')",
+    "domain(u STRING) RETURNS STRING RETURN coalesce(parse_url(u, 'HOST'), regexp_extract(u, '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1))",
+    "domain_without_www(u STRING) RETURNS STRING RETURN regexp_replace(domain(u), '^www\\\\.', '')",
+    "top_level_domain(u STRING) RETURNS STRING RETURN CASE WHEN domain(u) IS NULL OR NOT contains(domain(u), '.') THEN '' ELSE element_at(split(domain(u), '\\\\.'), -1) END",
+    // ClickHouse heuristic: if the second-level label is a generic
+    // registrar label (com/net/org/co/gov/edu/mil/biz), the significant
+    // subdomain is one level deeper
+    "first_significant_subdomain(u STRING) RETURNS STRING RETURN CASE WHEN domain(u) IS NULL OR size(split(domain(u), '\\\\.')) < 2 THEN '' WHEN size(split(domain(u), '\\\\.')) >= 3 AND element_at(split(domain(u), '\\\\.'), -2) IN ('com','net','org','co','gov','edu','mil','biz') THEN element_at(split(domain(u), '\\\\.'), -3) ELSE element_at(split(domain(u), '\\\\.'), -2) END",
+    "cut_to_first_significant_subdomain(u STRING) RETURNS STRING RETURN CASE WHEN first_significant_subdomain(u) = '' THEN '' WHEN size(split(domain(u), '\\\\.')) >= 3 AND element_at(split(domain(u), '\\\\.'), -2) IN ('com','net','org','co','gov','edu','mil','biz') THEN concat_ws('.', slice(split(domain(u), '\\\\.'), size(split(domain(u), '\\\\.')) - 2, 3)) ELSE concat_ws('.', slice(split(domain(u), '\\\\.'), size(split(domain(u), '\\\\.')) - 1, 2)) END",
+    "extract_url_parameter(u STRING, name STRING) RETURNS STRING RETURN parse_url(u, 'QUERY', name)",
+    // ---- MySQL string conveniences
+    "strleft(s STRING, n INT) RETURNS STRING RETURN left(s, n)",
+    "strright(s STRING, n INT) RETURNS STRING RETURN right(s, n)",
+    "mid(s STRING, p INT, l INT) RETURNS STRING RETURN substring(s, p, l)",
+    "append_trailing_char_if_absent(s STRING, c STRING) RETURNS STRING RETURN IF(endswith(s, c), s, concat(s, c))",
+    "money_format(x DOUBLE) RETURNS STRING RETURN format_number(x, 2)",
+    "format_round(x DOUBLE, d INT) RETURNS STRING RETURN format_number(x, d)",
+    "null_or_empty(s STRING) RETURNS BOOLEAN RETURN s IS NULL OR s = ''",
+    "not_null_or_empty(s STRING) RETURNS BOOLEAN RETURN NOT (s IS NULL OR s = '')",
+    "export_set(bits BIGINT, onv STRING, offv STRING, sep STRING, nbits INT) RETURNS STRING RETURN concat_ws(sep, transform(sequence(0, nbits - 1), i -> IF((bits >> i) & 1 = 1, onv, offv)))",
+    "split_by_regexp(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
+    "regexp_split_to_array(s STRING, r STRING) RETURNS ARRAY<STRING> RETURN split(s, r)",
+    "sub_binary(b BINARY, p INT, l INT) RETURNS BINARY RETURN CAST(substring(CAST(b AS STRING), p, l) AS BINARY)",
+    "from_binary(b BINARY) RETURNS STRING RETURN CAST(b AS STRING)",
+    "to_base64_binary(b BINARY) RETURNS STRING RETURN base64(b)",
+    "from_base64_binary(s STRING) RETURNS BINARY RETURN unbase64(s)",
+    "from_hex(s STRING) RETURNS BINARY RETURN unhex(s)",
+    "to_hex(b BINARY) RETURNS STRING RETURN upper(hex(b))",
+    "unhex_null(s STRING) RETURNS BINARY RETURN unhex(s)",
+    // ---- uuid
+    "is_uuid(s STRING) RETURNS BOOLEAN RETURN s IS NOT NULL AND s rlike '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'",
+    // ---- date/time tail
+    "dow(d DATE) RETURNS INT RETURN dayofweek(d)",
+    "doy(d DATE) RETURNS INT RETURN dayofyear(d)",
+    "century(d DATE) RETURNS INT RETURN CAST(ceil(year(d) / 100.0) AS INT)",
+    "previous_day(d DATE, dname STRING) RETURNS DATE RETURN date_sub(d, CAST(pmod(dayofweek(d) - array_position(array('SUNDAY','MONDAY','TUESDAY','WEDNESDAY','THURSDAY','FRIDAY','SATURDAY'), upper(dname)) + 6, 7) + 1 AS INT))",
+    "yearweek(d DATE) RETURNS INT RETURN year(d) * 100 + CAST(week(d) AS INT)",
+    // ISO week-year: year of the Thursday in d's ISO week (Mon=1..Sun=7
+    // weekday via dayofweek arithmetic — Spark 3 dropped pattern 'u')
+    "year_of_week(d DATE) RETURNS INT RETURN year(date_add(d, 4 - (pmod(dayofweek(d) + 5, 7) + 1)))",
+    "yow(d DATE) RETURNS INT RETURN year(date_add(d, 4 - (pmod(dayofweek(d) + 5, 7) + 1)))",
+    "hour_from_unixtime(n BIGINT) RETURNS INT RETURN hour(timestamp_seconds(n))",
+    "minute_from_unixtime(n BIGINT) RETURNS INT RETURN minute(timestamp_seconds(n))",
+    "second_from_unixtime(n BIGINT) RETURNS INT RETURN second(timestamp_seconds(n))",
+    "microsecond_from_unixtime(n BIGINT) RETURNS INT RETURN 0",
+    "maketime(h INT, m INT, s INT) RETURNS STRING RETURN concat(lpad(CAST(h AS STRING), 2, '0'), ':', lpad(CAST(m AS STRING), 2, '0'), ':', lpad(CAST(s AS STRING), 2, '0'))",
+    "time_format(t TIMESTAMP, f STRING) RETURNS STRING RETURN date_format(t, replace(replace(replace(f, '%H', 'HH'), '%i', 'mm'), '%s', 'ss'))",
+    "add_time(t TIMESTAMP, tm STRING) RETURNS TIMESTAMP RETURN t + make_interval(0, 0, 0, 0, CAST(split(tm, ':')[0] AS INT), CAST(split(tm, ':')[1] AS INT), CAST(split(tm, ':')[2] AS DOUBLE))",
+    "sub_time(t TIMESTAMP, tm STRING) RETURNS TIMESTAMP RETURN t - make_interval(0, 0, 0, 0, CAST(split(tm, ':')[0] AS INT), CAST(split(tm, ':')[1] AS INT), CAST(split(tm, ':')[2] AS DOUBLE))",
+    "adddate(d DATE, n INT) RETURNS DATE RETURN date_add(d, n)",
+    "subdate(d DATE, n INT) RETURNS DATE RETURN date_sub(d, n)",
+    "year_month(d DATE) RETURNS INT RETURN year(d) * 100 + month(d)",
+    "datev2(s STRING) RETURNS DATE RETURN CAST(s AS DATE)",
+    "to_datev2(s STRING) RETURNS DATE RETURN CAST(s AS DATE)",
+    "utc_date(dummy INT) RETURNS DATE RETURN current_date()",
+    "utc_timestamp(dummy INT) RETURNS TIMESTAMP RETURN now()",
+    // ---- vector scalar tail (function_array_distance.cpp aliases)
+    "cosine_similarity(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN 1.0 - cosine_distance(a, b)",
+    "inner_product_approximate(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN inner_product(a, b)",
+    "l2_distance_approximate(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN l2_distance(a, b)",
+    // ---- misc session/no-op surface
+    "connection_id(dummy INT) RETURNS INT RETURN 0",
+    "database(dummy INT) RETURNS STRING RETURN current_database()",
+    "last_query_id(dummy INT) RETURNS STRING RETURN ''",
+    "ignore(x BIGINT) RETURNS BOOLEAN RETURN false",
+    "non_nullable(x BIGINT) RETURNS BIGINT RETURN x",
+    "nullable(x BIGINT) RETURNS BIGINT RETURN x",
+    "crc32_internal(s STRING) RETURNS BIGINT RETURN crc32(CAST(s AS BINARY))",
+    "bit_test(x BIGINT, pos INT) RETURNS TINYINT RETURN CAST((x >> pos) & 1 AS TINYINT)",
+    "bit_test_all(x BIGINT, p1 INT, p2 INT) RETURNS TINYINT RETURN CAST(IF(((x >> p1) & 1) = 1 AND ((x >> p2) & 1) = 1, 1, 0) AS TINYINT)",
+    "bit_shift_left(x BIGINT, n INT) RETURNS BIGINT RETURN x << n",
+    "bit_shift_right(x BIGINT, n INT) RETURNS BIGINT RETURN x >> n",
+    // ---- array/map tail (fixed canonical element types, like the
+    // round-3 alias layer)
+    "array_contains_all(a ARRAY<BIGINT>, b ARRAY<BIGINT>) RETURNS BOOLEAN RETURN size(array_except(b, a)) = 0",
+    "array_reverse_sort(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT> RETURN reverse(array_sort(a))",
+    "map_contains_entry(m MAP<STRING,BIGINT>, k STRING, v BIGINT) RETURNS BOOLEAN RETURN element_at(m, k) IS NOT NULL AND element_at(m, k) = v",
+    "array_cross_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array(element_at(a, 2) * element_at(b, 3) - element_at(a, 3) * element_at(b, 2), element_at(a, 3) * element_at(b, 1) - element_at(a, 1) * element_at(b, 3), element_at(a, 1) * element_at(b, 2) - element_at(a, 2) * element_at(b, 1))",
+    "cross_product(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN array_cross_product(a, b)",
+    // ClickHouse-style multi-pattern regexp match over the tokenized
+    // search surface
+    "multi_match_any(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN RETURN exists(pats, p -> s rlike p)",
+    "multi_match(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN RETURN exists(pats, p -> s rlike p)"
+  )
+
+  def register(spark: SparkSession): Unit =
+    defs.foreach { d =>
+      try spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $d")
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[graft] alias2 registration failed: ${e.getMessage.linesIterator.next()}")
+      }
+    }
+}

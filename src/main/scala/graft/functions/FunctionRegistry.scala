@@ -60,11 +60,98 @@ object FunctionRegistry {
     "array_filter" -> ((args: Seq[Expression]) =>
       org.apache.spark.sql.catalyst.expressions.ArrayFilter(args.head, args(1))),
     "array_exists" -> ((args: Seq[Expression]) =>
-      org.apache.spark.sql.catalyst.expressions.ArrayExists(args.head, args(1)))
+      org.apache.spark.sql.catalyst.expressions.ArrayExists(args.head, args(1))),
     // NOTE: composite shapes over a lambda (e.g. array_first_index)
     // cannot be builder-aliased — the analyzer requires the resolved
     // function's ROOT to be a HigherOrderFunction; compose them from
     // these aliases at the query level instead.
+    // ---- remaining Doris aggregate names (BuiltinAggregateFunctions
+    // .java): sum0 = SUM with 0 instead of NULL on empty input;
+    // corr_welford shares corr's closed form (the Welford recurrence is
+    // an implementation detail, not a semantic); group_uniq_array =
+    // sorted distinct collect; booland/boolor _agg spellings.
+    "sum0" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        Sum(args.head).toAggregateExpression(), Literal(0L)))),
+    "multi_distinct_sum0" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        Sum(args.head).toAggregateExpression(isDistinct = true), Literal(0L)))),
+    "corr_welford" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Corr(args.head, args(1))
+        .toAggregateExpression()),
+    "group_uniq_array" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.SortArray(
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet(args.head)
+          .toAggregateExpression(),
+        Literal(true))),
+    "booland_agg" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BoolAnd(args.head)
+        .toAggregateExpression()),
+    "boolor_agg" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BoolOr(args.head)
+        .toAggregateExpression()),
+    // ---- JSON construction (function_to_json.cpp json_array /
+    // json_object / json_array_ignore_null): variadic, so they ride
+    // builders over to_json; arguments coerce to CreateArray/CreateMap's
+    // common type (the Doris mixed-type case coerces to string — noted
+    // in COVERAGE.md)
+    "json_array" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args))),
+    "json_array_ignore_null" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        org.apache.spark.sql.catalyst.expressions.ArrayCompact(
+          org.apache.spark.sql.catalyst.expressions.CreateArray(args)))),
+    "jsonb_array" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        org.apache.spark.sql.catalyst.expressions.CreateArray(args))),
+    "json_object" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        org.apache.spark.sql.catalyst.expressions.CreateMap(args))),
+    "jsonb_object" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        org.apache.spark.sql.catalyst.expressions.CreateMap(args))),
+    // ---- variadic MySQL conveniences (printf-style format, field,
+    // make_set) — expression trees, codegen'd
+    "format" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.FormatString(args: _*)),
+    "field" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+        org.apache.spark.sql.catalyst.expressions.ArrayPosition(
+          org.apache.spark.sql.catalyst.expressions.CreateArray(args.tail),
+          args.head),
+        Literal(0L)))),
+    "make_set" -> ((args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions._
+      val bits = args.head
+      val picked = args.tail.zipWithIndex.map { case (e, i) =>
+        If(EqualTo(BitwiseAnd(ShiftRight(bits, Literal(i)), Literal(1L)), Literal(1L)),
+          e, Literal(null, org.apache.spark.sql.types.StringType))
+      }
+      ConcatWs(Literal(",") +: picked)
+    }),
+    // ---- array tail (function_array_*.cpp): native-expression aliases.
+    // array_match_all/any take the lambda FIRST (Doris argument order);
+    // the HOF root makes lambda binding legal in a builder.
+    "array_zip" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.ArraysZip(args)),
+    "array_flatten" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.Flatten(args.head)),
+    "array_shuffle" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.Shuffle(args.head)),
+    "array_match_all" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayForAll(args(1), args.head)),
+    "array_match_any" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayExists(args(1), args.head)),
+    // struct_element(struct, 'name') — name-based extraction (the
+    // reference also allows 1-based ordinals; ordinal form documented
+    // unsupported: unresolved builders cannot see the struct arity)
+    "struct_element" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue(args.head, args(1))),
+    // hll_raw_agg = union of HLL sketches (Doris alias of hll_union)
+    "hll_raw_agg" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg(args.head)
+        .toAggregateExpression())
   )
 
   def registerExtensions(e: SparkSessionExtensions): Unit =
@@ -93,5 +180,10 @@ object FunctionRegistry {
     Ipv6Functions.register(spark)
     AiFunctions.register(spark)
     MoreAggs.register(spark)
+    MapAggs.register(spark)
+    MiscFunctions2.register(spark)
+    GeoFunctions.register(spark)
+    SmCrypto.register(spark)
+    AliasFunctions2.register(spark)  // after AliasFunctions: bodies use week()/domain()
   }
 }

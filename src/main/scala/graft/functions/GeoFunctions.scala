@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Geo function subset (reference: be/src/exprs/function/geo/
+  * functions_geo.cpp over Google S2 — st_point/st_x/st_y/st_astext/
+  * WKT parsers/st_contains/st_distance_sphere/st_angle_sphere/st_angle/
+  * st_azimuth/st_length/st_area_*). Geometry representation: canonical
+  * WKT strings (POINT/LINESTRING/POLYGON + the reference's CIRCLE
+  * extension). Sphere math matches S2Earth: great-circle angles on the
+  * unit sphere scaled by R = 6371.01 km (geo_types.cpp:624-675).
+  * Spherical polygon area via Girard/l'Huilier excess — the same model
+  * S2 integrates exactly; small-polygon agreement is to ~1e-9 relative.
+  * Row-local scalar UDFs: no state, shards perfectly.
+  */
+object GeoFunctions extends Serializable {
+
+  private val R = 6371010.0 // S2Earth radius in meters (6371.01 km)
+
+  // ------------------------------------------------------------- parsing
+
+  private def fmt(d: Double): String =
+    if (d == math.floor(d) && math.abs(d) < 1e15) d.toLong.toString else d.toString
+
+  /** parse "x y" pairs from a WKT coordinate list */
+  private def coords(s: String): Array[(Double, Double)] =
+    s.split(",").map { p =>
+      val xy = p.trim.split("\\s+")
+      (xy(0).toDouble, xy(1).toDouble)
+    }
+
+  sealed private trait Geom
+  private case class GPoint(x: Double, y: Double) extends Geom
+  private case class GLine(pts: Array[(Double, Double)]) extends Geom
+  private case class GPoly(ring: Array[(Double, Double)]) extends Geom
+  private case class GCircle(x: Double, y: Double, r: Double) extends Geom
+
+  private def parse(wkt: String): Option[Geom] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    val u = s.toUpperCase
+    try {
+      if (u.startsWith("POINT")) {
+        val inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+        val c = coords(inner)
+        if (c.length == 1) Some(GPoint(c(0)._1, c(0)._2)) else None
+      } else if (u.startsWith("LINESTRING")) {
+        val inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+        val c = coords(inner)
+        if (c.length >= 2) Some(GLine(c)) else None
+      } else if (u.startsWith("POLYGON")) {
+        val outer = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')')).trim
+        // outer ring only (reference subset); strip its parens
+        val inner = outer.substring(outer.indexOf('(') + 1,
+          if (outer.indexOf(')') >= 0) outer.indexOf(')') else outer.length)
+        val c = coords(inner)
+        if (c.length >= 4 && c.head == c.last) Some(GPoly(c)) else None
+      } else if (u.startsWith("CIRCLE")) {
+        // CIRCLE ((x y), r)
+        val inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')')).trim
+        val ptPart = inner.substring(inner.indexOf('(') + 1, inner.indexOf(')'))
+        val rPart = inner.substring(inner.indexOf(')') + 1).dropWhile(c => c == ',' || c == ' ')
+        val c = coords(ptPart)
+        Some(GCircle(c(0)._1, c(0)._2, rPart.trim.toDouble))
+      } else None
+    } catch { case _: Exception => None }
+  }
+
+  private def asText(g: Geom): String = g match {
+    case GPoint(x, y) => s"POINT (${fmt(x)} ${fmt(y)})"
+    case GLine(pts)   => s"LINESTRING (${pts.map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString(", ")})"
+    case GPoly(ring)  => s"POLYGON ((${ring.map(p => s"${fmt(p._1)} ${fmt(p._2)}").mkString(", ")}))"
+    case GCircle(x, y, r) => s"CIRCLE ((${fmt(x)} ${fmt(y)}), ${fmt(r)})"
+  }
+
+  // --------------------------------------------------------- sphere math
+
+  /** central angle (radians) between two lng/lat (degrees) points —
+    * haversine, the stable form of the S2 unit-vector angle */
+  private def centralAngle(lng1: Double, lat1: Double, lng2: Double, lat2: Double): Double = {
+    val f1 = math.toRadians(lat1); val f2 = math.toRadians(lat2)
+    val dl = math.toRadians(lng2 - lng1)
+    val a = math.pow(math.sin((f2 - f1) / 2), 2) +
+      math.cos(f1) * math.cos(f2) * math.pow(math.sin(dl / 2), 2)
+    2 * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  /** initial bearing (radians, clockwise from north) p1 -> p2 */
+  private def bearing(lng1: Double, lat1: Double, lng2: Double, lat2: Double): Double = {
+    val f1 = math.toRadians(lat1); val f2 = math.toRadians(lat2)
+    val dl = math.toRadians(lng2 - lng1)
+    val y = math.sin(dl) * math.cos(f2)
+    val x = math.cos(f1) * math.sin(f2) - math.sin(f1) * math.cos(f2) * math.cos(dl)
+    math.atan2(y, x)
+  }
+
+  /** spherical polygon area on the unit sphere (l'Huilier excess). */
+  private def sphericalArea(ring: Array[(Double, Double)]): Double = {
+    // sum of spherical triangle excesses from the first vertex
+    var total = 0.0
+    val (x0, y0) = ring(0)
+    for (i <- 1 until ring.length - 2) {
+      val (x1, y1) = ring(i); val (x2, y2) = ring(i + 1)
+      val a = centralAngle(x0, y0, x1, y1)
+      val b = centralAngle(x1, y1, x2, y2)
+      val c = centralAngle(x2, y2, x0, y0)
+      val s = (a + b + c) / 2
+      val t = math.sqrt(math.max(0, math.tan(s / 2) * math.tan((s - a) / 2) *
+        math.tan((s - b) / 2) * math.tan((s - c) / 2)))
+      // signed: use planar cross product sign for orientation
+      val sign = math.signum((x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0))
+      total += sign * 4 * math.atan(t)
+    }
+    math.abs(total)
+  }
+
+  /** planar ray casting (adequate for small polygons; the reference's
+    * S2 polygons are geodesic — divergence only near edges) */
+  private def pointInRing(x: Double, y: Double, ring: Array[(Double, Double)]): Boolean = {
+    var in = false
+    var j = ring.length - 2 // ring is closed: last == first
+    for (i <- 0 until ring.length - 1) {
+      val (xi, yi) = ring(i); val (xj, yj) = ring(j)
+      if ((yi > y) != (yj > y) && x < (xj - xi) * (y - yi) / (yj - yi) + xi) in = !in
+      j = i
+    }
+    in
+  }
+
+  def register(spark: SparkSession): Unit = {
+    val u = spark.udf
+    u.register("st_point", (x: Double, y: Double) => asText(GPoint(x, y)))
+    u.register("st_x", (w: String) =>
+      parse(w).collect { case GPoint(x, _) => java.lang.Double.valueOf(x) }.orNull)
+    u.register("st_y", (w: String) =>
+      parse(w).collect { case GPoint(_, y) => java.lang.Double.valueOf(y) }.orNull)
+    def canon(w: String): String = parse(w).map(asText).orNull
+    u.register("st_astext", canon _)
+    u.register("st_aswkt", canon _)
+    u.register("st_geometryfromtext", canon _)
+    u.register("st_geomfromtext", canon _)
+    def lineOnly(w: String): String =
+      parse(w).collect { case g: GLine => asText(g) }.orNull
+    u.register("st_linefromtext", lineOnly _)
+    u.register("st_linestringfromtext", lineOnly _)
+    def polyOnly(w: String): String =
+      parse(w).collect { case g: GPoly => asText(g) }.orNull
+    u.register("st_polygon", polyOnly _)
+    u.register("st_polyfromtext", polyOnly _)
+    u.register("st_polygonfromtext", polyOnly _)
+    u.register("st_circle", (x: Double, y: Double, r: Double) => asText(GCircle(x, y, r)))
+    u.register("st_geometrytype", (w: String) => parse(w).map {
+      case _: GPoint => "ST_Point"
+      case _: GLine => "ST_LineString"
+      case _: GPoly => "ST_Polygon"
+      case _: GCircle => "ST_Circle"
+    }.orNull)
+    u.register("st_numpoints", (w: String) => parse(w).map {
+      case _: GPoint => java.lang.Integer.valueOf(1)
+      case GLine(p) => java.lang.Integer.valueOf(p.length)
+      case GPoly(r) => java.lang.Integer.valueOf(r.length)
+      case _: GCircle => java.lang.Integer.valueOf(1)
+    }.orNull)
+    u.register("st_npoints", (w: String) => parse(w).map {
+      case _: GPoint => java.lang.Integer.valueOf(1)
+      case GLine(p) => java.lang.Integer.valueOf(p.length)
+      case GPoly(r) => java.lang.Integer.valueOf(r.length)
+      case _: GCircle => java.lang.Integer.valueOf(1)
+    }.orNull)
+    u.register("st_distance_sphere", (lng1: Double, lat1: Double, lng2: Double, lat2: Double) =>
+      R * centralAngle(lng1, lat1, lng2, lat2))
+    u.register("st_angle_sphere", (lng1: Double, lat1: Double, lng2: Double, lat2: Double) =>
+      math.toDegrees(centralAngle(lng1, lat1, lng2, lat2)))
+    // st_angle(p1, p2, p3): angle at p2 from p1 to p3, clockwise,
+    // radians in [0, 2pi) (geo_types.cpp:673-675)
+    u.register("st_angle", (p1: String, p2: String, p3: String) =>
+      (parse(p1), parse(p2), parse(p3)) match {
+        case (Some(GPoint(x1, y1)), Some(GPoint(x2, y2)), Some(GPoint(x3, y3))) =>
+          val a = bearing(x2, y2, x3, y3)
+          val b = bearing(x2, y2, x1, y1)
+          val d = a - b
+          java.lang.Double.valueOf(if (d < 0) d + 2 * math.Pi else d)
+        case _ => null
+      })
+    // st_azimuth(p1, p2): initial bearing p1 -> p2, radians in [0, 2pi)
+    u.register("st_azimuth", (p1: String, p2: String) =>
+      (parse(p1), parse(p2)) match {
+        case (Some(GPoint(x1, y1)), Some(GPoint(x2, y2))) =>
+          val b = bearing(x1, y1, x2, y2)
+          java.lang.Double.valueOf(if (b < 0) b + 2 * math.Pi else b)
+        case _ => null
+      })
+    u.register("st_length", (w: String) => parse(w).collect {
+      case GLine(pts) =>
+        java.lang.Double.valueOf(
+          pts.sliding(2).map { case Array((x1, y1), (x2, y2)) =>
+            R * centralAngle(x1, y1, x2, y2)
+          }.sum)
+    }.orNull)
+    u.register("st_area_square_meters", (w: String) => parse(w).collect {
+      case GPoly(ring) => java.lang.Double.valueOf(R * R * sphericalArea(ring))
+      case GCircle(_, _, r) =>
+        // spherical cap: 2*pi*R^2*(1-cos(r/R))
+        java.lang.Double.valueOf(2 * math.Pi * R * R * (1 - math.cos(r / R)))
+    }.orNull)
+    u.register("st_area_square_km", (w: String) => parse(w).collect {
+      case GPoly(ring) => java.lang.Double.valueOf(R * R * sphericalArea(ring) / 1e6)
+      case GCircle(_, _, r) =>
+        java.lang.Double.valueOf(2 * math.Pi * R * R * (1 - math.cos(r / R)) / 1e6)
+    }.orNull)
+    u.register("st_contains", (shape: String, pt: String) =>
+      (parse(shape), parse(pt)) match {
+        case (Some(GPoly(ring)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(pointInRing(x, y, ring))
+        case (Some(GCircle(cx, cy, r)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(R * centralAngle(cx, cy, x, y) <= r)
+        case (Some(GPoint(ax, ay)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(ax == x && ay == y)
+        case _ => null
+      })
+    u.register("st_disjoint", (shape: String, pt: String) =>
+      (parse(shape), parse(pt)) match {
+        case (Some(GPoly(ring)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(!pointInRing(x, y, ring))
+        case (Some(GCircle(cx, cy, r)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(R * centralAngle(cx, cy, x, y) > r)
+        case _ => null
+      })
+    u.register("st_intersects", (shape: String, pt: String) =>
+      (parse(shape), parse(pt)) match {
+        case (Some(GPoly(ring)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(pointInRing(x, y, ring))
+        case (Some(GCircle(cx, cy, r)), Some(GPoint(x, y))) =>
+          java.lang.Boolean.valueOf(R * centralAngle(cx, cy, x, y) <= r)
+        case _ => null
+      })
+  }
+}

@@ -4,16 +4,19 @@ import java.net.{Inet4Address, Inet6Address, InetAddress}
 
 import org.apache.spark.sql.SparkSession
 
-/** IPv6 function family (reference: be/src/exprs/function/function_ip
-  * .cpp — ipv6_string_to_num / ipv6_num_to_string / is_ipv6_string /
-  * ipv4_to_ipv6 / cut_ipv6). The numeric form is the 16-byte
-  * big-endian BINARY, like the reference's IPV6 columns.
+/** IP function family (reference: be/src/exprs/function/function_ip
+  * .cpp — the ClickHouse-derived surface: ipv4/6 num<->string, inet
+  * aliases, to_ipv4/to_ipv6 with _or_null/_or_default error modes,
+  * is_ipv4_compat/mapped, cidr-to-range, is_ip_address_in_range,
+  * cut_ipv6). The IPv6 numeric form is the 16-byte big-endian BINARY;
+  * the IPV4/IPV6 column types surface as their canonical strings
+  * (documented type policy).
   *
   * Literal-looking input only (regex-gated before InetAddress so no
   * hostname resolution can ever trigger); unparseable input -> NULL,
   * matching the reference's *_or_null contract.
   */
-object Ipv6Functions {
+object Ipv6Functions extends Serializable {
 
   private val ipv6ish = "^[0-9a-fA-F:.]+$".r
 
@@ -86,5 +89,162 @@ object Ipv6Functions {
         while (i < 16) { out(i) = 0; i += 1 }
         out
       })
+    // ---- IPv4 numeric family + MySQL inet aliases
+    u.register("inet_aton", parse4Num _)
+    u.register("ipv4_string_to_num_or_null", parse4Num _)
+    u.register("ipv4_string_to_num_or_default", (s: String) =>
+      java.lang.Long.valueOf(Option(parse4Num(s)).map(_.longValue).getOrElse(0L)))
+    u.register("inet_ntoa", format4 _)
+    // inet6_aton accepts both families (ClickHouse IPv6StringToNum:
+    // dotted-quads map to ::ffff:a.b.c.d)
+    def aton6(s: String): Array[Byte] =
+      if (s == null) null
+      else if (!s.contains(':') && s.contains('.'))
+        Option(parse4Num(s)).map(n => mapped4(n.longValue)).orNull
+      else parse6(s).orNull
+    u.register("inet6_aton", aton6 _)
+    u.register("inet6_ntoa", (b: Array[Byte]) => format6(b).orNull)
+    u.register("ipv6_string_to_num_or_default", (s: String) =>
+      Option(aton6(s)).getOrElse(new Array[Byte](16)))
+    // ---- is_ipv4/is_ipv6 + to_* error modes (IPV4/IPV6 types surface
+    // as canonical strings)
+    def okay4(s: String): Boolean = parse4Num(s) != null
+    def okay6(s: String): Boolean = s != null && parse6(s).isDefined
+    u.register("is_ipv4", (s: String) =>
+      if (s == null) null else java.lang.Boolean.valueOf(okay4(s)))
+    u.register("is_ipv4_string", (s: String) =>
+      if (s == null) null else java.lang.Boolean.valueOf(okay4(s)))
+    u.register("is_ipv6", (s: String) =>
+      if (s == null) null else java.lang.Boolean.valueOf(okay6(s)))
+    u.register("to_ipv4", (s: String) =>
+      if (okay4(s)) format4(parse4Num(s).longValue)
+      else throw new IllegalArgumentException(s"invalid ipv4: $s"))
+    u.register("to_ipv4_or_null", (s: String) =>
+      if (okay4(s)) format4(parse4Num(s).longValue) else null)
+    u.register("to_ipv4_or_default", (s: String) =>
+      if (okay4(s)) format4(parse4Num(s).longValue) else "0.0.0.0")
+    u.register("to_ipv6", (s: String) =>
+      parse6(s).flatMap(format6).getOrElse(
+        throw new IllegalArgumentException(s"invalid ipv6: $s")))
+    u.register("to_ipv6_or_null", (s: String) =>
+      parse6(s).flatMap(format6).orNull)
+    u.register("to_ipv6_or_default", (s: String) =>
+      parse6(s).flatMap(format6).getOrElse("::"))
+    // ---- MySQL binary-16 predicates
+    u.register("is_ipv4_compat", (b: Array[Byte]) =>
+      if (b == null || b.length != 16) null
+      else {
+        val last4 = ((b(12) & 0xffL) << 24) | ((b(13) & 0xffL) << 16) |
+          ((b(14) & 0xffL) << 8) | (b(15) & 0xffL)
+        java.lang.Boolean.valueOf(
+          b.take(12).forall(_ == 0) && last4 != 0L && last4 != 1L)
+      })
+    u.register("is_ipv4_mapped", (b: Array[Byte]) =>
+      if (b == null || b.length != 16) null
+      else java.lang.Boolean.valueOf(
+        b.take(10).forall(_ == 0) && b(10) == -1.toByte && b(11) == -1.toByte))
+    // ---- CIDR ranges (struct(min, max) of canonical strings)
+    u.register("ipv4_cidr_to_range", (cidr: String) => {
+      val r = range4(cidr)
+      if (r == null) null else (format4(r._1), format4(r._2))
+    })
+    u.register("ipv6_cidr_to_range", (cidr: String) => {
+      val r = range6(cidr)
+      if (r == null) null
+      else (format6(r._1).orNull, format6(r._2).orNull)
+    })
+    // works for both families (ClickHouse isIPAddressInRange)
+    u.register("is_ip_address_in_range", (addr: String, cidr: String) => {
+      if (addr == null || cidr == null) null
+      else if (cidr.contains('.')) {
+        val r = range4(cidr)
+        val n = parse4Num(addr)
+        if (r == null || n == null) java.lang.Boolean.FALSE
+        else java.lang.Boolean.valueOf(n >= r._1 && n <= r._2)
+      } else {
+        val r = range6(cidr)
+        val b = parse6(addr).orNull
+        if (r == null || b == null) java.lang.Boolean.FALSE
+        else java.lang.Boolean.valueOf(
+          cmp16(b, r._1) >= 0 && cmp16(b, r._2) <= 0)
+      }
+    })
+    // big-endian uint128 decimal string -> 16-byte binary
+    u.register("ipv6_from_uint128_string_or_null", (s: String) =>
+      if (s == null) null
+      else try {
+        val v = new java.math.BigInteger(s.trim)
+        if (v.signum() < 0 || v.bitLength() > 128) null
+        else {
+          val raw = v.toByteArray  // may carry a sign byte / be short
+          val out = new Array[Byte](16)
+          val src = raw.dropWhile(_ == 0)
+          System.arraycopy(src, 0, out, 16 - src.length, src.length)
+          out
+        }
+      } catch { case _: Exception => null })
+  }
+
+  // ---------------------------------------------------------- ipv4 utils
+
+  private def parse4Num(s: String): java.lang.Long =
+    if (s == null) null
+    else {
+      val parts = s.split("\\.", -1)
+      if (parts.length != 4 || parts.exists(p => p.isEmpty || p.length > 3 ||
+          p.exists(!_.isDigit) || p.toInt > 255)) null
+      else java.lang.Long.valueOf(
+        parts.foldLeft(0L)((acc, p) => (acc << 8) | p.toInt))
+    }
+
+  private def format4(n: Long): String =
+    s"${(n >> 24) & 255}.${(n >> 16) & 255}.${(n >> 8) & 255}.${n & 255}"
+
+  private def mapped4(n: Long): Array[Byte] = {
+    val b = new Array[Byte](16)
+    b(10) = -1; b(11) = -1
+    b(12) = ((n >> 24) & 255).toByte; b(13) = ((n >> 16) & 255).toByte
+    b(14) = ((n >> 8) & 255).toByte; b(15) = (n & 255).toByte
+    b
+  }
+
+  private def range4(cidr: String): (Long, Long) =
+    if (cidr == null) null
+    else cidr.split("/", -1) match {
+      case Array(ip, len) if len.nonEmpty && len.forall(_.isDigit) && len.toInt <= 32 =>
+        Option(parse4Num(ip)).map { n =>
+          val mask = if (len.toInt == 0) 0L else (0xffffffffL << (32 - len.toInt)) & 0xffffffffL
+          (n & mask, (n & mask) | (~mask & 0xffffffffL))
+        }.orNull
+      case _ => null
+    }
+
+  private def range6(cidr: String): (Array[Byte], Array[Byte]) =
+    if (cidr == null) null
+    else cidr.split("/", -1) match {
+      case Array(ip, len) if len.nonEmpty && len.forall(_.isDigit) && len.toInt <= 128 =>
+        parse6(ip).map { b =>
+          val lo = b.clone(); val hi = b.clone()
+          val l = len.toInt
+          var bit = l
+          while (bit < 128) {
+            val byteIx = bit / 8; val mask = (0x80 >> (bit % 8)).toByte
+            lo(byteIx) = (lo(byteIx) & ~mask).toByte
+            hi(byteIx) = (hi(byteIx) | mask).toByte
+            bit += 1
+          }
+          (lo, hi)
+        }.orNull
+      case _ => null
+    }
+
+  private def cmp16(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    while (i < 16) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    0
   }
 }
