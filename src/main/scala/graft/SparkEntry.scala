@@ -44,7 +44,8 @@ object SparkEntry {
       (graft.queries.Round4cQueries.queries, graft.queries.Round4cQueries.oracle),
       (graft.queries.Round4dQueries.queries, graft.queries.Round4dQueries.oracle),
       (graft.queries.Round4eQueries.queries, graft.queries.Round4eQueries.oracle),
-      (graft.queries.Round4fQueries.queries, graft.queries.Round4fQueries.oracle)
+      (graft.queries.Round4fQueries.queries, graft.queries.Round4fQueries.oracle),
+      (graft.queries.Round4gQueries.queries, graft.queries.Round4gQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

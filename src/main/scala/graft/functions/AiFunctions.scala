@@ -52,7 +52,21 @@ object AiFunctions {
     """CREATE OR REPLACE TEMPORARY FUNCTION embed(s STRING)
        RETURNS ARRAY<DOUBLE> RETURN
        transform(sequence(0, 7), i ->
-         (CAST(conv(substring(md5(s), i * 4 + 1, 4), 16, 10) AS DOUBLE) - 32767.5) / 32767.5)"""
+         (CAST(conv(substring(md5(s), i * 4 + 1, 4), 16, 10) AS DOUBLE) - 32767.5) / 32767.5)""",
+    // pattern-guided extraction: words containing the target substring
+    """CREATE OR REPLACE TEMPORARY FUNCTION ai_extract(s STRING, what STRING)
+       RETURNS STRING RETURN
+       array_join(filter(split(s, ' '), w -> contains(lower(w), lower(what))), ' ')""",
+    // hash-routed boolean quality filter
+    """CREATE OR REPLACE TEMPORARY FUNCTION ai_filter(s STRING)
+       RETURNS BOOLEAN RETURN
+       CAST(conv(substring(md5(s), 1, 4), 16, 10) AS INT) % 2 = 0""",
+    // whitespace-normalizing "grammar fix" (idempotent, deterministic)
+    """CREATE OR REPLACE TEMPORARY FUNCTION ai_fixgrammar(s STRING)
+       RETURNS STRING RETURN regexp_replace(trim(s), ' +', ' ')""",
+    // prompt-echo generation stub
+    """CREATE OR REPLACE TEMPORARY FUNCTION ai_generate(s STRING)
+       RETURNS STRING RETURN concat(s, ' [generated]')"""
   )
 
   def register(spark: SparkSession): Unit =

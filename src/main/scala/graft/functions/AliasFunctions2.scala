@@ -94,7 +94,53 @@ object AliasFunctions2 {
     // ClickHouse-style multi-pattern regexp match over the tokenized
     // search surface
     "multi_match_any(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN RETURN exists(pats, p -> s rlike p)",
-    "multi_match(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN RETURN exists(pats, p -> s rlike p)"
+    "multi_match(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN RETURN exists(pats, p -> s rlike p)",
+    // ---- straggler names (round-4 final sweep)
+    "dlog1(x DOUBLE) RETURNS DOUBLE RETURN ln(x)",
+    // MySQL EXTRACT combo units as functions: DDHH / DDHHMM / DDHHMMSS /
+    // DDHHMMSS.uuuuuu-as-integer etc.
+    "day_hour(t TIMESTAMP) RETURNS BIGINT RETURN CAST(day(t) AS BIGINT) * 100 + hour(t)",
+    "day_minute(t TIMESTAMP) RETURNS BIGINT RETURN CAST(day(t) AS BIGINT) * 10000 + hour(t) * 100 + minute(t)",
+    "day_second(t TIMESTAMP) RETURNS BIGINT RETURN CAST(day(t) AS BIGINT) * 1000000 + hour(t) * 10000 + minute(t) * 100 + second(t)",
+    "day_microsecond(t TIMESTAMP) RETURNS BIGINT RETURN (CAST(day(t) AS BIGINT) * 1000000 + hour(t) * 10000 + minute(t) * 100 + second(t)) * 1000000 + pmod(unix_micros(t), 1000000)",
+    "hour_minute(t TIMESTAMP) RETURNS BIGINT RETURN hour(t) * 100 + minute(t)",
+    "hour_second(t TIMESTAMP) RETURNS BIGINT RETURN hour(t) * 10000 + minute(t) * 100 + second(t)",
+    "hour_microsecond(t TIMESTAMP) RETURNS BIGINT RETURN (CAST(hour(t) AS BIGINT) * 10000 + minute(t) * 100 + second(t)) * 1000000 + pmod(unix_micros(t), 1000000)",
+    "minute_second(t TIMESTAMP) RETURNS BIGINT RETURN minute(t) * 100 + second(t)",
+    "minute_microsecond(t TIMESTAMP) RETURNS BIGINT RETURN (CAST(minute(t) AS BIGINT) * 100 + second(t)) * 1000000 + pmod(unix_micros(t), 1000000)",
+    "second_microsecond(t TIMESTAMP) RETURNS BIGINT RETURN CAST(second(t) AS BIGINT) * 1000000 + pmod(unix_micros(t), 1000000)",
+    // now-based session time surface (nondeterministic; not oracle-gated)
+    "curtime() RETURNS STRING RETURN date_format(now(), 'HH:mm:ss')",
+    "localtime() RETURNS TIMESTAMP RETURN now()",
+    "utc_time() RETURNS STRING RETURN date_format(now(), 'HH:mm:ss')",
+    "schema() RETURNS STRING RETURN current_database()",
+    // MySQL GET_FORMAT lookup table (DATE/TIME/DATETIME x USA/JIS/ISO/EUR/INTERNAL)
+    "get_format(what STRING, loc STRING) RETURNS STRING RETURN CASE upper(what) WHEN 'DATE' THEN CASE upper(loc) WHEN 'USA' THEN '%m.%d.%Y' WHEN 'JIS' THEN '%Y-%m-%d' WHEN 'ISO' THEN '%Y-%m-%d' WHEN 'EUR' THEN '%d.%m.%Y' WHEN 'INTERNAL' THEN '%Y%m%d' END WHEN 'TIME' THEN CASE upper(loc) WHEN 'USA' THEN '%h:%i:%s %p' WHEN 'JIS' THEN '%H:%i:%s' WHEN 'ISO' THEN '%H:%i:%s' WHEN 'EUR' THEN '%H.%i.%s' WHEN 'INTERNAL' THEN '%H%i%s' END WHEN 'DATETIME' THEN CASE upper(loc) WHEN 'USA' THEN '%Y-%m-%d %H.%i.%s' WHEN 'JIS' THEN '%Y-%m-%d %H:%i:%s' WHEN 'ISO' THEN '%Y-%m-%d %H:%i:%s' WHEN 'EUR' THEN '%Y-%m-%d %H.%i.%s' WHEN 'INTERNAL' THEN '%Y%m%d%H%i%s' END END",
+    "array_enumerate_uniq(a ARRAY<BIGINT>) RETURNS ARRAY<INT> RETURN transform(sequence(1, size(a)), i -> size(filter(slice(a, 1, i), y -> y = element_at(a, i))))",
+    // planar point distance (the spherical form is st_distance_sphere)
+    "st_distance(p1 STRING, p2 STRING) RETURNS DOUBLE RETURN sqrt(power(st_x(p1) - st_x(p2), 2) + power(st_y(p1) - st_y(p2), 2))",
+    // Spark maps are dedup-by-construction; identity under the
+    // canonical MAP<STRING,BIGINT> signature
+    "deduplicate_map(m MAP<STRING,BIGINT>) RETURNS MAP<STRING,BIGINT> RETURN m",
+    "variant_type(s STRING) RETURNS STRING RETURN json_type(s, '$')",
+    // hash of the key-sorted canonical form (the reference hashes its
+    // jsonb binary — different basis, same determinism contract)
+    "json_hash(s STRING) RETURNS BIGINT RETURN xxhash64(sort_json_object_keys(s))",
+    "jsonb_hash(s STRING) RETURNS BIGINT RETURN xxhash64(sort_json_object_keys(s))",
+    // array_apply(arr, op, val): comparison-filter by operator NAME
+    // (function_array_apply.cpp — not a lambda function)
+    "array_apply(a ARRAY<BIGINT>, op STRING, v BIGINT) RETURNS ARRAY<BIGINT> RETURN CASE op WHEN '=' THEN filter(a, x -> x = v) WHEN '!=' THEN filter(a, x -> x != v) WHEN '<' THEN filter(a, x -> x < v) WHEN '<=' THEN filter(a, x -> x <= v) WHEN '>' THEN filter(a, x -> x > v) WHEN '>=' THEN filter(a, x -> x >= v) END",
+    // graph-SQL acceptor placeholder (FE scalar G.java — parser hook,
+    // no scalar semantics)
+    "g(s STRING) RETURNS BOOLEAN RETURN false",
+    // dictionary lookup under the broadcast-map representation
+    // (dictionary.h; the dict OBJECT here is the map column itself —
+    // documented deviation from the catalog-named dictionaries)
+    "dict_get(m MAP<STRING,STRING>, k STRING) RETURNS STRING RETURN element_at(m, k)",
+    "dict_get_many(m MAP<STRING,STRING>, ks ARRAY<STRING>) RETURNS ARRAY<STRING> RETURN transform(ks, k -> element_at(m, k))",
+    // range auto-partition naming: p + unit-truncated yyyyMMddHHmmss
+    // (function_string_misc.cpp:253-300; list form via the JVM UDF)
+    "auto_partition_name_range(unit STRING, t TIMESTAMP) RETURNS STRING RETURN concat('p', date_format(date_trunc(upper(unit), t), 'yyyyMMddHHmmss'))"
   )
 
   def register(spark: SparkSession): Unit =

@@ -151,7 +151,20 @@ object FunctionRegistry {
     // hll_raw_agg = union of HLL sketches (Doris alias of hll_union)
     "hll_raw_agg" -> ((args: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg(args.head)
-        .toAggregateExpression())
+        .toAggregateExpression()),
+    "jsonb_array_ignore_null" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.StructsToJson(
+        org.apache.spark.sql.catalyst.expressions.ArrayCompact(
+          org.apache.spark.sql.catalyst.expressions.CreateArray(args)))),
+    // NOTE: lambda-first composites (array_count/first/last/
+    // first_index/last_index/sortby/split) cannot be builder-aliased —
+    // the analyzer accepts a lambda argument only when the registered
+    // function's ROOT expression is itself a HigherOrderFunction
+    // (verified: Size(ArrayFilter(...)) is rejected with
+    // INVALID_LAMBDA_FUNCTION_CALL). array_match_all/any qualify; the
+    // rest compose from native HOFs at the query level (documented).
+    "array_match_any2" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.ArrayExists(args(1), args.head))
   )
 
   def registerExtensions(e: SparkSessionExtensions): Unit =

@@ -234,5 +234,35 @@ object GeoFunctions extends Serializable {
           java.lang.Boolean.valueOf(R * centralAngle(cx, cy, x, y) <= r)
         case _ => null
       })
+    // ---- WKB codec (little-endian; POINT=1, LINESTRING=2)
+    u.register("st_asbinary", (w: String) => parse(w).collect {
+      case GPoint(x, y) =>
+        val bb = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+        bb.array()
+      case GLine(pts) =>
+        val bb = java.nio.ByteBuffer.allocate(9 + 16 * pts.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(2); bb.putInt(pts.length)
+        pts.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+        bb.array()
+    }.orNull)
+    def fromWkb(b: Array[Byte]): String = {
+      if (b == null || b.length < 5) return null
+      try {
+        val order = if (b(0) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+                    else java.nio.ByteOrder.BIG_ENDIAN
+        val bb = java.nio.ByteBuffer.wrap(b, 1, b.length - 1).order(order)
+        bb.getInt match {
+          case 1 => asText(GPoint(bb.getDouble, bb.getDouble))
+          case 2 =>
+            val n = bb.getInt
+            asText(GLine(Array.fill(n)((bb.getDouble, bb.getDouble))))
+          case _ => null
+        }
+      } catch { case _: Exception => null }
+    }
+    u.register("st_geometryfromwkb", fromWkb _)
+    u.register("st_geomfromwkb", fromWkb _)
   }
 }

@@ -418,5 +418,26 @@ object JsonFunctions extends Serializable {
         tokenize(p).exists(toks => walk(root, toks).nonEmpty))).orNull
     u.register("json_exists_path", existsPath _)
     u.register("jsonb_exists_path", existsPath _)
+    // json_keys(doc): JSON array of the root object's keys (insertion
+    // order, MySQL-compatible); non-objects -> NULL
+    def keysOf(d: String): String = parse(d).collect {
+      case n if n.isObject =>
+        val arr = mapper.createArrayNode()
+        n.fieldNames().forEachRemaining(k => arr.add(mapper.getNodeFactory.textNode(k)))
+        mapper.writeValueAsString(arr)
+    }.orNull
+    u.register("json_keys", keysOf _)
+    u.register("jsonb_keys", keysOf _)
+    // strip_null_value: drop null-valued keys of the root object
+    u.register("strip_null_value", (d: String) => parse(d).map { n =>
+      if (!n.isObject) mapper.writeValueAsString(n)
+      else {
+        val out = mapper.createObjectNode()
+        n.fields().forEachRemaining { e =>
+          if (!e.getValue.isNull) out.set[JsonNode](e.getKey, e.getValue)
+        }
+        mapper.writeValueAsString(out)
+      }
+    }.orNull)
   }
 }

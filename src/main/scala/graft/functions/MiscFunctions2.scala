@@ -56,6 +56,17 @@ object MiscFunctions2 extends Serializable {
     java.lang.Long.valueOf(math.floor(v * mult).toLong)
   }
 
+  /** MurmurHash3 x64_128 lanes (the reference's murmur_hash3_128 /
+    * murmur_hash3_64_v2 surface — hash_util.hpp:226-235,
+    * function_hash.cpp:49-78). Delegates to commons-codec's canonical
+    * hash128x64 (same algorithm the reference vendors). */
+  def murmur3x64128(data: Array[Byte], seed1: Long, seed2: Long): (Long, Long) = {
+    require(seed1 == seed2, "x64_128 init uses one seed for both lanes")
+    val out = org.apache.commons.codec.digest.MurmurHash3.hash128x64(
+      data, 0, data.length, seed1.toInt)
+    (out(0), out(1))
+  }
+
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
     u.register("ngram_search", (t: String, p: String, n: Int) => ngramSearch(t, p, n))
@@ -182,6 +193,108 @@ object MiscFunctions2 extends Serializable {
         bm.addLong(v)
         Bitmaps.ser(bm)
       })
+    // lane views of x64_128 (chaining uses the running lanes as seeds,
+    // matching the reference's update path); 128-bit forms surface as
+    // the int128 decimal string = (h2 << 64) | h1 (LARGEINT policy:
+    // beyond-38-digit values cannot ride DECIMAL(38,0), so the string
+    // IS the canonical form here — documented)
+    u.register("murmur_hash3_64_v2", (s: String) =>
+      if (s == null) null
+      else java.lang.Long.valueOf(murmur3x64128(s.getBytes("UTF-8"), 0L, 0L)._1))
+    u.register("murmur_hash3_u64_v2",
+      new org.apache.spark.sql.api.java.UDF1[String, java.math.BigDecimal] {
+        override def call(s: String): java.math.BigDecimal =
+          if (s == null) null
+          else new java.math.BigDecimal(
+            new java.math.BigInteger(java.lang.Long.toUnsignedString(
+              murmur3x64128(s.getBytes("UTF-8"), 0L, 0L)._1)))
+      },
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    def pack128(s: String): String =
+      if (s == null) null
+      else {
+        val (h1, h2) = murmur3x64128(s.getBytes("UTF-8"), 0L, 0L)
+        val unsigned = new java.math.BigInteger(java.lang.Long.toUnsignedString(h2))
+          .shiftLeft(64)
+          .or(new java.math.BigInteger(java.lang.Long.toUnsignedString(h1)))
+        // signed int128 (LARGEINT) view, as its decimal string
+        val signed =
+          if (unsigned.testBit(127)) unsigned.subtract(java.math.BigInteger.ONE.shiftLeft(128))
+          else unsigned
+        signed.toString
+      }
+    u.register("murmur_hash3_128", pack128 _)
+    u.register("murmur_hash3_u128", (s: String) =>
+      if (s == null) null
+      else {
+        val (h1, h2) = murmur3x64128(s.getBytes("UTF-8"), 0L, 0L)
+        new java.math.BigInteger(java.lang.Long.toUnsignedString(h2))
+          .shiftLeft(64)
+          .or(new java.math.BigInteger(java.lang.Long.toUnsignedString(h1)))
+          .toString
+      })
+    // multi_search_all_positions(haystack, needles): 1-based positions,
+    // 0 when absent (functions_multi_string_position.cpp)
+    u.register("multi_search_all_positions", (s: String, pats: Seq[String]) =>
+      if (s == null || pats == null) null
+      else pats.map(p => if (p == null) 0L else (s.indexOf(p) + 1).toLong))
+    u.register("random_bytes", (n: Int) => {
+      val b = new Array[Byte](math.max(0, n))
+      scala.util.Random.nextBytes(b)
+      b
+    })
+    u.register("uuid_numeric",
+      new org.apache.spark.sql.api.java.UDF0[java.math.BigDecimal] {
+        override def call(): java.math.BigDecimal =
+          new java.math.BigDecimal(new java.math.BigInteger(126,
+            java.util.concurrent.ThreadLocalRandom.current().asInstanceOf[java.util.Random]))
+      },
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    // bounded sleep (the reference blocks for N seconds; capped here so
+    // a stray call can never stall an executor)
+    u.register("sleep", (secs: Double) => {
+      Thread.sleep(math.min(100L, math.max(0L, (secs * 1000).toLong)))
+      true
+    })
+    // auto_partition_name (function_string_misc.cpp:96-300): range ->
+    // 'p' + unit-truncated yyyyMMddHHmmss; list -> 'p' + unicode-escaped
+    // values ('_' prefix for a leading '-', non-alnum chars as {:02x}
+    // code points)
+    def escapeListVal(s: String): String = {
+      val sb = new StringBuilder
+      if (s.nonEmpty && s.charAt(0) == '-') sb.append('_')
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        if (Character.isLetterOrDigit(cp) && cp < 128) sb.append(s.charAt(i))
+        else sb.append(f"$cp%02x")
+        i += Character.charCount(cp)
+      }
+      sb.toString
+    }
+    u.register("auto_partition_name", (typ: String, a: String, b: String) => {
+      if (typ == null) null
+      else if (typ.startsWith("list"))
+        "p" + escapeListVal(Option(a).getOrElse("")) +
+          Option(b).map(escapeListVal).getOrElse("")
+      else if (typ.startsWith("range")) {
+        if (a == null || b == null ||
+          !b.matches("^\\d{4}-\\d{2}-\\d{2}( \\d{2}:\\d{2}:\\d{2})?$")) null
+        else {
+          val parts = Array(b.substring(0, 4), b.substring(5, 7), b.substring(8, 10)) ++
+            (if (b.length > 10) Array(b.substring(11, 13), b.substring(14, 16), b.substring(17, 19))
+             else Array("00", "00", "00"))
+          val keep = a match {
+            case "year" => 1; case "month" => 2; case "day" => 3
+            case "hour" => 4; case "minute" => 5; case _ => 6
+          }
+          val norm = parts.zipWithIndex.map { case (p, i) =>
+            if (i < keep) p else if (i == 1 || i == 2) "01" else "00"
+          }
+          "p" + norm.mkString
+        }
+      } else null
+    })
     u.register("quantile_state_empty", () => Array.emptyByteArray)
     u.register("quantile_state_to_base64", (b: Array[Byte]) =>
       if (b == null) null else java.util.Base64.getEncoder.encodeToString(b))
