@@ -32,7 +32,13 @@ object Bench {
     }
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val names = SparkEntry.benchQueries.filter(SparkEntry.queries.contains)
+    // SPARK_GRAFT_BENCH_SET=ml benchmarks the training-pipeline ops
+    // instead of the TPC-H headline set (driver default unchanged)
+    val names = (sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "tpch") match {
+      case "ml" => Seq("ml_dedup_minhash", "ml_pipeline_e2e", "ml_ann_ivf",
+        "ml_dedup_components", "ds_bm25", "ml_text_stats")
+      case _ => SparkEntry.benchQueries
+    }).filter(SparkEntry.queries.contains)
     // reference methodology: N runs, best reported
     // (tools/tpch-tools/bin/run-tpch-queries.sh runs 3x)
     // best of the SUCCESSFUL runs; -1 only when every iteration failed

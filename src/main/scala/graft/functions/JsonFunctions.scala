@@ -95,7 +95,7 @@ object JsonFunctions extends Serializable {
 
   /** Resolve a path to a single result node: wildcard paths collect
     * matches into an array (None when no match). */
-  private def resolve(doc: String, path: String): Option[JsonNode] =
+  private[graft] def resolve(doc: String, path: String): Option[JsonNode] =
     (parse(doc), tokenize(path)) match {
       case (Some(root), Some(toks)) =>
         val hits = walk(root, toks)
@@ -120,7 +120,7 @@ object JsonFunctions extends Serializable {
     * NULL/unparseable documents. Root path `$` follows MySQL:
     * set/replace substitute the whole document, insert no-ops. Array
     * index beyond the end appends (set/insert). */
-  private def mutate(doc: String, path: String, value: String, mode: Int): String =
+  private[graft] def mutate(doc: String, path: String, value: String, mode: Int): String =
     parse(doc) match {
       case None => null
       case Some(root) =>
@@ -159,7 +159,7 @@ object JsonFunctions extends Serializable {
         }
     }
 
-  private def remove(doc: String, path: String): String =
+  private[graft] def remove(doc: String, path: String): String =
     parse(doc) match {
       case None => null
       case Some(root) =>
@@ -186,7 +186,7 @@ object JsonFunctions extends Serializable {
 
   // ----------------------------------------------------------- transforms
 
-  private def sortKeys(n: JsonNode): JsonNode =
+  private[graft] def sortKeys(n: JsonNode): JsonNode =
     if (n.isObject) {
       val out = mapper.createObjectNode()
       val names = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -26,10 +26,22 @@ object Dedup {
       .otherwise(array_distinct(array(concat_ws(" ", words))))
   }
 
-  /** 64 minhash signatures: min over shingles of a seeded xxhash64. */
-  def minhash(sh: Column, nHashes: Int = 64): Column =
+  /** 64 minhash signatures over PRE-HASHED shingles (one string hash
+    * per shingle; each lane is a cheap long re-hash — the standard
+    * one-hash-plus-mixing minhash family). Callers must alias the
+    * hashed-shingle array to its own column first: an inline
+    * expression would be copied into all 64 lane lambdas and the
+    * string hashing would run 64x (the round-4 ml_dedup_minhash
+    * profile showed exactly that blowup). */
+  def minhashOfHashes(hashedSh: Column, nHashes: Int = 64): Column =
     transform(sequence(lit(0), lit(nHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(concat(s, lit("#"), i.cast("string"))))))
+      i => array_min(transform(hashedSh, x => xxhash64(x, i))))
+
+  /** 64 minhash signatures: min over shingles of a seeded xxhash64.
+    * Prefer aliasing transform(sh, xxhash64) + [[minhashOfHashes]] in
+    * pipelines (see above). */
+  def minhash(sh: Column, nHashes: Int = 64): Column =
+    minhashOfHashes(transform(sh, s => xxhash64(s)), nHashes)
 
   /** band signatures: nBands structs of (band, sig-of-r-minhashes). */
   def bandSignatures(mh: Column, nBands: Int = 16, r: Int = 4): Column =
@@ -46,16 +58,36 @@ object Dedup {
     val base = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .withColumn("sh", shingles(col("ws"), n))
-    val banded = base
-      .select(col("id"), explode(bandSignatures(minhash(col("sh")))).as("b"))
+    // Each stage lands in its OWN projection: hsh (one string hash per
+    // shingle), mh (64 cheap long re-hashes), band structs. Inlining
+    // these would copy the upstream expression into every consuming
+    // lambda (16 bands x 64 lanes) — the difference is minutes vs
+    // sub-second at sf0.1.
+    // localCheckpoint discipline (profiled at sf0.1: 142s -> ~5s):
+    //  1. after hsh — a single-reference alias gets INLINED by
+    //     CollapseProject into all 64 lane lambdas, re-running the
+    //     string hashing 64x; checkpointing turns hsh into data.
+    //     (mh needs no checkpoint: 16 band references block collapse.)
+    //  2. after banded — it feeds BOTH sides of the candidate
+    //     self-join (the MultiCastDataStreamer pattern, SURVEY §2.1).
+    //  3. sets feeds both verify joins.
+    // Checkpoint sizes are N rows of hashes/shingles — O(input), cut
+    // lineage, no driver collection.
+    val hashed = base
+      .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
+      .localCheckpoint()
+    val banded = hashed
+      .withColumn("mh", minhashOfHashes(col("hsh")))
+      .select(col("id"), explode(bandSignatures(col("mh"))).as("b"))
       .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .localCheckpoint()
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sets = base.select(col("id"), col("sh"))
+    val sets = hashed.select(col("id"), col("sh")) // already materialized above
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
@@ -66,8 +98,18 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** 64-bit SimHash over the word multiset (expression-only; dynamic
-    * bit shifts require the SQL form of shiftleft/shiftright). */
+  /** 64-bit SimHash over PRE-HASHED words (dynamic bit shifts require
+    * the SQL shiftleft/shiftright forms). Callers hash words to longs
+    * once in their own column — the naive per-bit form re-runs the
+    * string hash 64x per word (same CollapseProject/lambda-inlining
+    * trap as minhash, see minhashPairs). */
+  def simhashOfHashes(hashedCol: String): Column = expr(
+    s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
+          acc + IF(aggregate($hashedCol, CAST(0 AS BIGINT), (a, h) ->
+                     a + IF((shiftright(h, CAST(i AS INT)) & 1) = 1, 1, -1)) > 0,
+                   shiftleft(CAST(1 AS BIGINT), CAST(i AS INT)), CAST(0 AS BIGINT)))""")
+
+  /** 64-bit SimHash over the word multiset. */
   def simhash(wordsCol: String): Column = expr(
     s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) ->
           acc + IF(aggregate($wordsCol, CAST(0 AS BIGINT), (a, w) ->
@@ -79,14 +121,19 @@ object Dedup {
     * band), then exact popcount verify. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 3): DataFrame = {
+    // word hashes once (checkpointed: single-reference aliases get
+    // inlined into the 64 per-bit lambdas otherwise), sign-sum on longs
     val hashed = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-      .withColumn("sh", simhash("ws"))
+      .withColumn("hw", transform(col("ws"), w => xxhash64(w)))
+      .localCheckpoint()
+      .withColumn("sh", simhashOfHashes("hw"))
     val banded = hashed.select(col("id"), col("sh"),
         explode(expr(
           """transform(sequence(0, 3), b -> struct(b AS band,
                shiftrightunsigned(sh, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS key))""")).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
+      .localCheckpoint() // feeds both sides of the candidate self-join
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -65,6 +65,45 @@ object MapAggProps extends Properties("MapAggs") {
     }
 }
 
+/** Path-walker laws: mutation and extraction must agree, removal must
+  * erase, key-sorting must be idempotent and value-preserving. */
+object JsonWalkerProps extends Properties("JsonWalker") {
+  import graft.functions.JsonFunctions
+
+  private val key = Gen.oneOf("a", "b", "c", "deep")
+  private val scalarJson = Gen.oneOf("1", "2.5", "\"s\"", "true", "null", "[1,2]")
+  private val doc: Gen[String] = for {
+    ks <- Gen.nonEmptyListOf(Gen.zip(key, scalarJson))
+  } yield ks.distinctBy(_._1)
+    .map { case (k, v) => "\"" + k + "\":" + v }
+    .mkString("{", ",", "}")
+
+  property("set then extract returns the value") = forAll(doc, key, scalarJson) { (d, k, v) =>
+    val set = JsonFunctions.mutate(d, "$." + k, v, 0)
+    JsonFunctions.resolve(set, "$." + k).map(_.toString).contains(v.replace(" ", ""))
+  }
+
+  property("insert never overwrites") = forAll(doc, key, scalarJson) { (d, k, v) =>
+    val before = JsonFunctions.resolve(d, "$." + k).map(_.toString)
+    val ins = JsonFunctions.mutate(d, "$." + k, v, 1)
+    val after = JsonFunctions.resolve(ins, "$." + k).map(_.toString)
+    if (before.isDefined) after == before else after.contains(v.replace(" ", ""))
+  }
+
+  property("remove erases the path") = forAll(doc, key) { (d, k) =>
+    JsonFunctions.resolve(JsonFunctions.remove(d, "$." + k), "$." + k).isEmpty
+  }
+
+  property("sortKeys is idempotent and value-preserving") = forAll(doc, key) { (d, k) =>
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val once = m.writeValueAsString(JsonFunctions.sortKeys(m.readTree(d)))
+    val twice = m.writeValueAsString(JsonFunctions.sortKeys(m.readTree(once)))
+    once == twice &&
+      JsonFunctions.resolve(once, "$." + k).map(_.toString) ==
+        JsonFunctions.resolve(d, "$." + k).map(_.toString)
+  }
+}
+
 object SmCryptoProps extends Properties("SmCrypto") {
 
   private val text = Gen.listOf(Gen.alphaNumChar).map(_.mkString)
