@@ -45,7 +45,8 @@ object SparkEntry {
       (graft.queries.Round4dQueries.queries, graft.queries.Round4dQueries.oracle),
       (graft.queries.Round4eQueries.queries, graft.queries.Round4eQueries.oracle),
       (graft.queries.Round4fQueries.queries, graft.queries.Round4fQueries.oracle),
-      (graft.queries.Round4gQueries.queries, graft.queries.Round4gQueries.oracle)
+      (graft.queries.Round4gQueries.queries, graft.queries.Round4gQueries.oracle),
+      (graft.queries.Round4hQueries.queries, graft.queries.Round4hQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

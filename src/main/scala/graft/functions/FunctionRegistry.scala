@@ -164,7 +164,88 @@ object FunctionRegistry {
     // INVALID_LAMBDA_FUNCTION_CALL). array_match_all/any qualify; the
     // rest compose from native HOFs at the query level (documented).
     "array_match_any2" -> ((args: Seq[Expression]) =>
-      org.apache.spark.sql.catalyst.expressions.ArrayExists(args(1), args.head))
+      org.apache.spark.sql.catalyst.expressions.ArrayExists(args(1), args.head)),
+    // ---- exact-name aggregate tail (BuiltinAggregateFunctions.java):
+    // scalar-expressible forms ride native Catalyst aggregates
+    "avg_weighted" -> ((args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions._
+      val d = org.apache.spark.sql.types.DoubleType
+      Divide(
+        Sum(Multiply(Cast(args.head, d), Cast(args(1), d))).toAggregateExpression(),
+        Sum(Cast(args(1), d)).toAggregateExpression())
+    }),
+    "covar" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CovPopulation(args.head, args(1))
+        .toAggregateExpression()),
+    "variance_pop" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.VariancePop(args.head)
+        .toAggregateExpression()),
+    "variance_samp" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.VarianceSamp(args.head)
+        .toAggregateExpression()),
+    "skew" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(args.head)
+        .toAggregateExpression()),
+    "skew_pop" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Skewness(args.head)
+        .toAggregateExpression()),
+    "kurt" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(args.head)
+        .toAggregateExpression()),
+    "kurt_pop" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.Kurtosis(args.head)
+        .toAggregateExpression()),
+    // standard error of the mean: stddev_samp / sqrt(n)
+    "sem" -> ((args: Seq[Expression]) => {
+      import org.apache.spark.sql.catalyst.expressions._
+      Divide(
+        aggregate.StddevSamp(args.head).toAggregateExpression(),
+        Sqrt(Cast(aggregate.Count(Seq(args.head)).toAggregateExpression(),
+          org.apache.spark.sql.types.DoubleType)))
+    }),
+    "group_bit_and" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BitAndAgg(args.head)
+        .toAggregateExpression()),
+    "group_bit_or" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BitOrAgg(args.head)
+        .toAggregateExpression()),
+    "group_bit_xor" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.BitXorAgg(args.head)
+        .toAggregateExpression()),
+    "group_array" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(args.head)
+        .toAggregateExpression()),
+    // map_agg(k, v) = map_from_entries(collect_list(struct(k, v)))
+    "map_agg" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.MapFromEntries(
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(
+          org.apache.spark.sql.catalyst.expressions.CreateStruct(args))
+          .toAggregateExpression())),
+    "map_agg_v1" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.MapFromEntries(
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(
+          org.apache.spark.sql.catalyst.expressions.CreateStruct(args))
+          .toAggregateExpression())),
+    "map_agg_v2" -> ((args: Seq[Expression]) =>
+      org.apache.spark.sql.catalyst.expressions.MapFromEntries(
+        org.apache.spark.sql.catalyst.expressions.aggregate.CollectList(
+          org.apache.spark.sql.catalyst.expressions.CreateStruct(args))
+          .toAggregateExpression())),
+    "percentile_array" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(args.head, args(1))
+        .toAggregateExpression()),
+    // reservoir form is sampling-based in the reference; exact here
+    // (stronger guarantee, documented)
+    "percentile_reservoir" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.Percentile(args.head, args(1))
+        .toAggregateExpression()),
+    "datasketches_hll_union_agg" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.HllUnionAgg(args.head)
+        .toAggregateExpression()),
+    "ds_hll_estimate" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(args.head)),
+    "datasketches_hll_estimate" -> ((args: Seq[Expression]) =>
+      new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(args.head))
   )
 
   def registerExtensions(e: SparkSessionExtensions): Unit =
@@ -194,6 +275,7 @@ object FunctionRegistry {
     AiFunctions.register(spark)
     MoreAggs.register(spark)
     MapAggs.register(spark)
+    ParamAggs.register(spark)
     MiscFunctions2.register(spark)
     GeoFunctions.register(spark)
     SmCrypto.register(spark)
