@@ -89,4 +89,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin LeftAnti BuildRight, ((") ||
       p.contains("NULL_AWARE") || p.contains("LeftAnti"), s"no anti join:\n$p")
   }
+
+  test("BM25 broadcasts the tiny df/avgdl sides, never sort-merges") {
+    // the TF table is the only big side; doc-frequency and corpus
+    // stats must reach it as broadcasts (the scale path for scoring)
+    val p = plan("ds_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast joins in BM25:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected SMJ in BM25:\n$p")
+  }
+
+  test("minhash LSH candidate join keys on (band, sig)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.ops.Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5)
+      .queryExecution.executedPlan.toString
+    // band-bucket equality drives the self-join (no cartesian pair blowup)
+    assert(p.contains("band") && p.contains("sig"), s"no band-bucket join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH path:\n$p")
+  }
+
+  test("arrow roundtrip preserves schema") {
+    val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
+    val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
+    val back = graft.ops.ArrowResult.deserialize(spark, schemaJson, batches)
+    assert(back.schema == res.schema)
+    assert(back.collect().toSeq == res.collect().toSeq)
+  }
 }
