@@ -46,7 +46,8 @@ object SparkEntry {
       (graft.queries.Round4eQueries.queries, graft.queries.Round4eQueries.oracle),
       (graft.queries.Round4fQueries.queries, graft.queries.Round4fQueries.oracle),
       (graft.queries.Round4gQueries.queries, graft.queries.Round4gQueries.oracle),
-      (graft.queries.Round4hQueries.queries, graft.queries.Round4hQueries.oracle)
+      (graft.queries.Round4hQueries.queries, graft.queries.Round4hQueries.oracle),
+      (graft.queries.Round4iQueries.queries, graft.queries.Round4iQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
