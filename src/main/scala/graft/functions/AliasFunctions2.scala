@@ -48,7 +48,10 @@ object AliasFunctions2 {
     "doy(d DATE) RETURNS INT RETURN dayofyear(d)",
     "century(d DATE) RETURNS INT RETURN CAST(ceil(year(d) / 100.0) AS INT)",
     "previous_day(d DATE, dname STRING) RETURNS DATE RETURN date_sub(d, CAST(pmod(dayofweek(d) - array_position(array('SUNDAY','MONDAY','TUESDAY','WEDNESDAY','THURSDAY','FRIDAY','SATURDAY'), upper(dname)) + 6, 7) + 1 AS INT))",
-    "yearweek(d DATE) RETURNS INT RETURN year(d) * 100 + CAST(week(d) AS INT)",
+    // MySQL mode-0 rollover: days before the year's first Sunday are
+    // week 0 and belong to the PREVIOUS year's week 52/53
+    // (yearweek('2022-01-01') = 202152)
+    "yearweek(d DATE) RETURNS INT RETURN CASE WHEN CAST(week(d) AS INT) = 0 THEN (year(d) - 1) * 100 + CAST(week(make_date(year(d) - 1, 12, 31)) AS INT) ELSE year(d) * 100 + CAST(week(d) AS INT) END",
     // ISO week-year: year of the Thursday in d's ISO week (Mon=1..Sun=7
     // weekday via dayofweek arithmetic — Spark 3 dropped pattern 'u')
     "year_of_week(d DATE) RETURNS INT RETURN year(date_add(d, 4 - (pmod(dayofweek(d) + 5, 7) + 1)))",
@@ -109,7 +112,10 @@ object AliasFunctions2 {
     "minute_second(t TIMESTAMP) RETURNS BIGINT RETURN minute(t) * 100 + second(t)",
     "minute_microsecond(t TIMESTAMP) RETURNS BIGINT RETURN (CAST(minute(t) AS BIGINT) * 100 + second(t)) * 1000000 + pmod(unix_micros(t), 1000000)",
     "second_microsecond(t TIMESTAMP) RETURNS BIGINT RETURN CAST(second(t) AS BIGINT) * 1000000 + pmod(unix_micros(t), 1000000)",
-    // now-based session time surface (nondeterministic; not oracle-gated)
+    // now-based session time surface. Spark's now()/current_timestamp
+    // is frozen per-query at analysis time — exactly MySQL's
+    // per-statement NOW() contract — so these inline safely even
+    // though they are not row-fresh (not oracle-gated)
     "curtime() RETURNS STRING RETURN date_format(now(), 'HH:mm:ss')",
     "localtime() RETURNS TIMESTAMP RETURN now()",
     "utc_time() RETURNS STRING RETURN date_format(now(), 'HH:mm:ss')",
@@ -143,11 +149,19 @@ object AliasFunctions2 {
     "auto_partition_name_range(unit STRING, t TIMESTAMP) RETURNS STRING RETURN concat('p', date_format(date_trunc(upper(unit), t), 'yyyyMMddHHmmss'))"
   )
 
-  def register(spark: SparkSession): Unit =
-    defs.foreach { d =>
-      try spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $d")
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        System.err.println(s"[graft] alias2 registration failed: ${e.getMessage.linesIterator.next()}")
+  // fail-fast: a broken definition must not silently shrink the
+  // declared-capability surface; collect every failure so one bad body
+  // never aborts the registrations after it, then throw with the names
+  def register(spark: SparkSession): Unit = {
+    val failed = defs.flatMap { d =>
+      try { spark.sql(s"CREATE OR REPLACE TEMPORARY FUNCTION $d"); None }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[graft] alias2 registration failed: " +
+            s"${d.takeWhile(_ != '(')}: ${e.getMessage.linesIterator.next()}")
+          Some(d.takeWhile(_ != '('))
       }
     }
+    require(failed.isEmpty, s"alias2 registrations failed: ${failed.mkString(", ")}")
+  }
 }

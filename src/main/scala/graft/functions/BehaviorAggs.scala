@@ -119,23 +119,24 @@ object BehaviorAggs {
     * "(?1)(?2)…(?n)": subsequence with strictly increasing ts;
     * count = non-overlapping greedy matches. */
   /** maxGapMicros (the ClickHouse/Doris "(?t<=N)" time guard): every
-    * consecutive matched pair must be 0 < dt <= N apart; 0 = unbounded
-    * (only supported for match, not count). Exact via a latest-achiever
-    * DP: for "exists chain", keeping only the LATEST timestamp reaching
-    * each level is sufficient — any earlier achiever that admits a
-    * transition admits it from the latest one too (dt only shrinks),
-    * and strict increase holds because levels update per-timestamp
-    * batch (equal-ts events never chain). */
+    * consecutive matched pair must be 0 < dt <= N apart; 0 = unbounded.
+    * Exact via a latest-achiever DP: for "exists chain", keeping only
+    * the LATEST timestamp reaching each level is sufficient — any
+    * earlier achiever that admits a transition admits it from the
+    * latest one too (dt only shrinks), and strict increase holds
+    * because levels update per-timestamp batch (equal-ts events never
+    * chain). For COUNT the same DP runs greedily non-overlapping:
+    * each completion increments and resets the level state, so later
+    * matches only use later events (earliest-completion greedy). */
   class SequenceAgg(nConds: Int, returnCount: Boolean, maxGapMicros: Long = 0L)
       extends Aggregator[Ev, EvBuf, Long] {
-    require(!(returnCount && maxGapMicros > 0L), "gap guard is match-only")
     def zero: EvBuf = EvBuf(Nil)
     def reduce(b: EvBuf, e: Ev): EvBuf =
       if (e.mask == 0) b else EvBuf(e +: b.events)
     def merge(a: EvBuf, b: EvBuf): EvBuf = EvBuf(a.events ++ b.events)
     def finish(b: EvBuf): Long = {
       val evs = b.events.sortBy(e => (e.ts, e.mask)).toArray
-      if (!returnCount && maxGapMicros > 0L) return finishMatchGap(evs)
+      if (maxGapMicros > 0L) return finishGap(evs)
       var matches = 0L
       var level = 0
       var lastTs = Long.MinValue
@@ -154,8 +155,9 @@ object BehaviorAggs {
       }
       if (returnCount) matches else 0L
     }
-    private def finishMatchGap(evs: Array[Ev]): Long = {
+    private def finishGap(evs: Array[Ev]): Long = {
       val lat = Array.fill(nConds + 1)(Long.MinValue)
+      var matches = 0L
       var i = 0
       while (i < evs.length) {
         val ts = evs(i).ts
@@ -178,10 +180,16 @@ object BehaviorAggs {
         }
         var lv = 1
         while (lv <= nConds) { if (upd(lv) > lat(lv)) lat(lv) = upd(lv); lv += 1 }
-        if (lat(nConds) != Long.MinValue) return 1L
+        if (lat(nConds) != Long.MinValue) {
+          if (!returnCount) return 1L
+          matches += 1
+          // non-overlapping: a completed match consumes its events, so
+          // later matches must rebuild every level from later batches
+          java.util.Arrays.fill(lat, Long.MinValue)
+        }
         i = j
       }
-      0L
+      if (returnCount) matches else 0L
     }
     def bufferEncoder: Encoder[EvBuf] = ExpressionEncoder()
     def outputEncoder: Encoder[Long] = Encoders.scalaLong

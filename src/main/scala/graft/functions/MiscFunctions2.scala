@@ -238,18 +238,23 @@ object MiscFunctions2 extends Serializable {
     u.register("multi_search_all_positions", (s: String, pats: Seq[String]) =>
       if (s == null || pats == null) null
       else pats.map(p => if (p == null) 0L else (s.indexOf(p) + 1).toLong))
-    u.register("random_bytes", (n: Int) => {
-      val b = new Array[Byte](math.max(0, n))
-      scala.util.Random.nextBytes(b)
-      b
-    })
+    // fresh-per-row randomness: nondeterministic, like Spark's own
+    // rand()/uuid(), so subexpression elimination / filter pushdown /
+    // retry re-execution never collapse or reorder calls
+    u.register("random_bytes",
+      org.apache.spark.sql.functions.udf((n: Int) => {
+        val b = new Array[Byte](math.max(0, n))
+        java.util.concurrent.ThreadLocalRandom.current().nextBytes(b)
+        b
+      }).asNondeterministic())
     u.register("uuid_numeric",
-      new org.apache.spark.sql.api.java.UDF0[java.math.BigDecimal] {
-        override def call(): java.math.BigDecimal =
-          new java.math.BigDecimal(new java.math.BigInteger(126,
-            java.util.concurrent.ThreadLocalRandom.current().asInstanceOf[java.util.Random]))
-      },
-      org.apache.spark.sql.types.DecimalType(38, 0))
+      org.apache.spark.sql.functions.udf(
+        new org.apache.spark.sql.api.java.UDF0[java.math.BigDecimal] {
+          override def call(): java.math.BigDecimal =
+            new java.math.BigDecimal(new java.math.BigInteger(126,
+              java.util.concurrent.ThreadLocalRandom.current().asInstanceOf[java.util.Random]))
+        },
+        org.apache.spark.sql.types.DecimalType(38, 0)).asNondeterministic())
     // bounded sleep (the reference blocks for N seconds; capped here so
     // a stray call can never stall an executor)
     u.register("sleep", (secs: Double) => {

@@ -22,6 +22,27 @@ object ParamAggs {
 
   import BehaviorAggs.{Ev, EvBuf, FunnelMode}
 
+  /** JSON string-escape for topn keys (quote, backslash, control chars). */
+  def jsonKey(s: String): String = {
+    val sb = new StringBuilder("\"")
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '"'            => sb.append("\\\"")
+        case '\\'           => sb.append("\\\\")
+        case '\b'           => sb.append("\\b")
+        case '\f'           => sb.append("\\f")
+        case '\n'           => sb.append("\\n")
+        case '\r'           => sb.append("\\r")
+        case '\t'           => sb.append("\\t")
+        case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+        case c              => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"').toString
+  }
+
   case class FunnelRow(win: Long, mode: String, ts: java.time.Instant,
                        e1: Boolean, e2: Boolean, e3: Boolean)
   case class FunnelBuf(win: Long, mode: String, events: Seq[Ev])
@@ -90,7 +111,7 @@ object ParamAggs {
       require(n == (1 to n.length), s"only chain patterns (?1)(?2)... supported: $pat")
       val gap = "\\(\\?t<=([0-9]+)\\)".r.findFirstMatchIn(pat)
         .map(_.group(1).toLong * 1000000L).getOrElse(0L)
-      new BehaviorAggs.SequenceAgg(n.length, returnCount, if (returnCount) 0L else gap)
+      new BehaviorAggs.SequenceAgg(n.length, returnCount, gap)
         .finish(EvBuf(b.events))
     }
     def bufferEncoder: Encoder[SeqBuf] = ExpressionEncoder()
@@ -112,7 +133,7 @@ object ParamAggs {
         math.max(a._2, b._2))
     def finish(b: (Map[String, Long], Int)): String =
       b._1.toSeq.sortBy { case (item, cnt) => (-cnt, item) }.take(b._2)
-        .map { case (item, cnt) => "\"" + item + "\":" + cnt }
+        .map { case (item, cnt) => ParamAggs.jsonKey(item) + ":" + cnt }
         .mkString("{", ",", "}")
     def bufferEncoder: Encoder[(Map[String, Long], Int)] = ExpressionEncoder()
     def outputEncoder: Encoder[String] = Encoders.STRING

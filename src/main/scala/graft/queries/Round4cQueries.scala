@@ -271,8 +271,11 @@ object Round4cQueries {
              CAST(ceil(year(CAST(ts AS DATE)) / 100.0) AS INT) AS cen,
              CAST(CAST(ts AS DATE)
                   - CAST((dayofweek(CAST(ts AS DATE)) + 5) % 7 + 1 AS INTEGER) AS VARCHAR) AS prevmon,
-             CAST(year(CAST(ts AS DATE)) * 100
-                  + CAST(strftime(CAST(ts AS DATE), '%U') AS INT) AS INT) AS yw,
+             CAST(CASE WHEN CAST(strftime(CAST(ts AS DATE), '%U') AS INT) = 0
+                  THEN (year(CAST(ts AS DATE)) - 1) * 100
+                       + CAST(strftime(make_date(year(CAST(ts AS DATE)) - 1, 12, 31), '%U') AS INT)
+                  ELSE year(CAST(ts AS DATE)) * 100
+                       + CAST(strftime(CAST(ts AS DATE), '%U') AS INT) END AS INT) AS yw,
              CAST(isoyear(CAST(ts AS DATE)) AS INT) AS yow_,
              CAST(isoyear(CAST(ts AS DATE)) AS INT) AS yow2,
              CAST(5 AS INT) AS hfu,

@@ -380,6 +380,84 @@ object SequenceProps extends Properties("SequenceAgg") {
   }
 }
 
+/** Gap-guarded sequence COUNT (the round-4 ADVICE defect: the (?t<=N)
+  * guard was silently dropped when counting). Laws: a gap wider than
+  * the whole event range equals the unbounded greedy count; count>0
+  * iff match; monotone in gap; partition-invariant; plus concrete
+  * guard vectors at aggregator and named (ParamAggs) level. */
+object SequenceCountGapProps extends Properties("SequenceCountGap") {
+  private val evGen = for {
+    ts <- Gen.chooseNum(0L, 40L)
+    mask <- Gen.chooseNum(0, 3)
+  } yield Ev(ts, mask)
+
+  private def count(evs: Seq[Ev], n: Int, gap: Long): Long = {
+    val agg = new BehaviorAggs.SequenceAgg(n, true, gap)
+    agg.finish(evs.foldLeft(agg.zero)(agg.reduce))
+  }
+
+  property("huge gap == unbounded count") =
+    forAll(Gen.listOfN(12, evGen), Gen.chooseNum(2, 3)) { (evs, n) =>
+      count(evs, n, 1000L) == count(evs, n, 0L)
+    }
+
+  property("count>0 iff match") =
+    forAll(Gen.listOfN(10, evGen), Gen.chooseNum(1L, 15L), Gen.chooseNum(2, 3)) {
+      (evs, gap, n) =>
+        val m = new BehaviorAggs.SequenceAgg(n, false, gap)
+        (count(evs, n, gap) > 0) ==
+          (m.finish(evs.foldLeft(m.zero)(m.reduce)) == 1L)
+    }
+
+  property("monotone in gap") =
+    forAll(Gen.listOfN(10, evGen), Gen.chooseNum(1L, 10L), Gen.chooseNum(2L, 20L)) {
+      (evs, g1, g2) =>
+        count(evs, 2, math.min(g1, g2)) <= count(evs, 2, math.max(g1, g2))
+    }
+
+  property("partition-invariant") =
+    forAll(Gen.listOfN(12, evGen), Gen.chooseNum(1, 4)) { (evs, parts) =>
+      val agg = new BehaviorAggs.SequenceAgg(2, true, 7L)
+      val buckets = evs.zipWithIndex.groupBy(_._2 % parts)
+        .values.map(_.map(_._1).foldLeft(agg.zero)(agg.reduce))
+      agg.finish(buckets.foldLeft(agg.zero)(agg.merge)) ==
+        agg.finish(evs.foldLeft(agg.zero)(agg.reduce))
+    }
+
+  property("guard vectors") = {
+    val far = Seq(Ev(0, 1), Ev(100, 2))
+    val near = Seq(Ev(0, 1), Ev(5, 2), Ev(10, 1), Ev(15, 2))
+    count(far, 2, 10) == 0L && count(far, 2, 100) == 1L &&
+      count(near, 2, 5) == 2L && count(near, 2, 4) == 0L
+  }
+
+  property("named sequence_count honors (?t<=N)") = {
+    import graft.functions.ParamAggs
+    val agg = new ParamAggs.SequenceNamed(true)
+    def run(rows: Seq[ParamAggs.SeqRow]): Long =
+      agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    val pat = "(?1)(?2)(?t<=5)"
+    val sec = 1000000L
+    val ok = Seq(ParamAggs.SeqRow(pat, 0L, true, false, false),
+      ParamAggs.SeqRow(pat, 3L * sec, false, true, false))
+    val bad = Seq(ParamAggs.SeqRow(pat, 0L, true, false, false),
+      ParamAggs.SeqRow(pat, 30L * sec, false, true, false))
+    run(ok) == 1L && run(bad) == 0L
+  }
+}
+
+/** topn JSON keys must escape quotes/backslashes/control chars. */
+object TopNJsonProps extends Properties("TopNJson") {
+  import graft.functions.ParamAggs
+  property("escape vectors") = {
+    ParamAggs.jsonKey("plain") == "\"plain\"" &&
+      ParamAggs.jsonKey("a\"b") == "\"a\\\"b\"" &&
+      ParamAggs.jsonKey("a\\b") == "\"a\\\\b\"" &&
+      ParamAggs.jsonKey("a\nb\tc") == "\"a\\nb\\tc\"" &&
+      ParamAggs.jsonKey("\u0001") == "\"\\u0001\""
+  }
+}
+
 object TopNProps extends Properties("TopNAgg") {
   private val agg = new BehaviorAggs.TopNAgg(3, 1000)
   private val items = Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f"))
