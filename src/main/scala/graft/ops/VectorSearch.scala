@@ -58,6 +58,84 @@ object VectorSearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** splitmix64-style deterministic plane component in [-1, 1]: the
+    * hyperplane matrix is fixed at plan-build time (no RNG state), so
+    * every run — and every executor — sees identical planes. */
+  private def planeComponent(p: Int, j: Int): Double = {
+    var z = ((p.toLong << 32) | (j.toLong & 0xffffffffL)) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (Math.floorMod(z, 2001L) - 1000L) / 1000.0
+  }
+
+  /** Banded hyperplane-LSH near-duplicate pair enumeration — the scale
+    * path for [[nearDupPairs]] (which stays the brute-force correctness
+    * baseline). Identical shape to [[Dedup.minhashPairs]]: sign-bit
+    * signature over nPlanes deterministic hyperplanes, banded into
+    * nBands groups of r = nPlanes/nBands bits, candidate pairs from an
+    * equi self-join on (band, band-signature) — never all pairs — then
+    * EXACT cosine verify inside buckets, so precision is exact and the
+    * output is a subset of the brute-force pair set by construction.
+    *
+    * Recall envelope (deterministic planes, so fixed per dataset): a
+    * pair at angle θ agrees per plane with p = 1 - θ/π; P(miss) =
+    * (1 - p^r)^nBands. At the near-dup regime this targets (sim >=
+    * 0.95, r=8, 16 bands) P(miss) < 1e-6; at sim 0.9 it is ~4e-3. At
+    * LOW thresholds (<~0.7, θ > 45°) no sign-LSH banding retains
+    * recall — that regime is not near-dup detection and belongs to the
+    * brute path. AnnSpec asserts row-set equality with brute force on
+    * the fixture's planted duplicates.
+    *
+    * 100 TB shape: one corpus pass computes signatures (literal plane
+    * matrix, codegen multiply-adds — no per-row hashing), one shuffle
+    * on (band, sig) whose buckets hold only sign-identical vectors,
+    * verify joins shuffle on id. Candidate volume on uncorrelated
+    * pairs is ~nBands/2^r of all pairs (1/16 at the defaults), and the
+    * near-threshold survivors are exactly what the verify must score.
+    * Reference ANN analog: be/src/storage/index/ann/faiss_ann_index.h.
+    */
+  def nearDupPairsLsh(corpus: DataFrame, threshold: Double,
+                      nPlanes: Int = 128, nBands: Int = 16): DataFrame = {
+    require(nPlanes % nBands == 0, "nPlanes must divide into nBands")
+    val r = nPlanes / nBands
+    // per-vector casts + norms once (same localCheckpoint discipline as
+    // nearDupPairs/minhashPairs: single-reference aliases would be
+    // inlined into every consuming lambda otherwise)
+    val prepared = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .localCheckpoint()
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    val planes = typedLit((0 until nPlanes).map(p =>
+      (0 until dim).map(j => planeComponent(p, j))))
+    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
+      when(aggregate(zip_with(col("v"), element_at(planes, p + 1),
+        (x, h) => x * h), lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    val banded = prepared
+      .withColumn("bits", bits)
+      .select(col("id"), explode(transform(sequence(lit(0), lit(nBands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(slice(col("bits"), b * r + 1, lit(r)).cast("string")).as("sig")))).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .localCheckpoint() // feeds both sides of the candidate self-join
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+                        lit(0.0), (acc, x) => acc + x)
+          / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** Random-hyperplane LSH bucketing: nPlanes pseudo-random (seeded,
     * deterministic) hyperplanes; bucket = sign-bit signature. Probing
     * joins on bucket equality — approximate, corpus scanned once. */

@@ -24,6 +24,20 @@ class AnnSpec extends AnyFunSuite {
     }
   }
 
+  test("banded-LSH near-dup pairs == brute force on the planted corpus") {
+    import graft.ops.VectorSearch
+    import graft.queries.MlQueries
+    val corpus = MlQueries.plantedDupCorpus(
+      spark.read.parquet(s"$sf/embeddings.parquet"))
+    val brute = VectorSearch.nearDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorSearch.nearDupPairsLsh(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "planted corpus produced no near-dup pairs")
+    assert(lsh == brute,
+      s"row sets differ: lsh-only=${(lsh -- brute).take(5)} brute-only=${(brute -- lsh).take(5)}")
+  }
+
   test("simhash pairs have symmetric-difference consistency") {
     val pairs = SparkEntry.queries("ml_dedup_simhash")(spark, sf).collect()
     pairs.foreach { r =>

@@ -108,6 +108,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in LSH path:\n$p")
   }
 
+  test("embedding near-dup LSH pair join keys on (band, sig), no cartesian") {
+    val p = SparkEntry.queries("ml_embed_neardup_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("band") && p.contains("sig"), s"no band-bucket join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in LSH path:\n$p")
+  }
+
+  test("ml_ngram_jaccard routes through banded LSH, no cartesian") {
+    val p = SparkEntry.queries("ml_ngram_jaccard")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian in ngram-jaccard:\n$p")
+    assert(p.contains("band") && p.contains("sig"), s"no band-bucket join:\n$p")
+  }
+
   test("arrow roundtrip preserves schema") {
     val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
