@@ -47,7 +47,8 @@ object SparkEntry {
       (graft.queries.Round4fQueries.queries, graft.queries.Round4fQueries.oracle),
       (graft.queries.Round4gQueries.queries, graft.queries.Round4gQueries.oracle),
       (graft.queries.Round4hQueries.queries, graft.queries.Round4hQueries.oracle),
-      (graft.queries.Round4iQueries.queries, graft.queries.Round4iQueries.oracle)
+      (graft.queries.Round4iQueries.queries, graft.queries.Round4iQueries.oracle),
+      (graft.queries.Round5aQueries.queries, graft.queries.Round5aQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -245,7 +245,12 @@ object FunctionRegistry {
     "ds_hll_estimate" -> ((args: Seq[Expression]) =>
       new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(args.head)),
     "datasketches_hll_estimate" -> ((args: Seq[Expression]) =>
-      new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(args.head))
+      new org.apache.spark.sql.catalyst.expressions.HllSketchEstimate(args.head)),
+    // search('<dsl>') — the inverted-index DSL entry point
+    // (function_search.h:46, SearchDslParser.java): the literal parses
+    // at analysis time and rewrites to match_*/tokenize predicates over
+    // the referenced columns, the RewriteSearchToSlots analog
+    "search" -> ((args: Seq[Expression]) => graft.ops.SearchDsl.builder(args))
   )
 
   def registerExtensions(e: SparkSessionExtensions): Unit =

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.SearchDsl
+
+/** Round-5 first sweep: the search() DSL entry point + score()
+  * (reference: function_search.h:46, SearchDslParser.java,
+  * function_score.cpp — the documented way users query the inverted
+  * index; here the DSL rewrites to match_* / tokenize predicates at
+  * analysis time and score() is the BM25 pipeline).
+  */
+object Round5aQueries {
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // every clause type of the DSL grammar (SearchParser.g4) through
+    // the SQL search() surface, each counted so one query pins all
+    // twelve shapes: TERM, PREFIX, WILDCARD, REGEXP, PHRASE, RANGE,
+    // IN, ANY, ALL, EXACT, boolean composition + field grouping, and
+    // implicit adjacency (default operator OR)
+    "search_dsl" -> sql("""
+      SELECT count_if(search('text:slow')) AS n_term,
+             count_if(search('text:slo*')) AS n_prefix,
+             count_if(search('text:*as?')) AS n_wild,
+             count_if(search('text:/f[ao]st/')) AS n_regex,
+             count_if(search('text:"slow fast"')) AS n_phrase,
+             count_if(search('n_chars:[300 TO 400]')) AS n_range,
+             count_if(search('n_chars:{300 TO 400}')) AS n_range_ex,
+             count_if(search('lang:IN(en de)')) AS n_in,
+             count_if(search('text:ANY(slow fast)')) AS n_any,
+             count_if(search('text:ALL(slow fast)')) AS n_all,
+             count_if(search('lang:EXACT(en)')) AS n_exact,
+             count_if(search('text:(slow OR fast) AND NOT lang:EXACT(zh)')) AS n_bool,
+             count_if(search('text:slow text:fast')) AS n_adj
+      FROM documents"""),
+
+    // the scoring path: score() = BM25 (k1=1.2, b=0.75, Lucene idf)
+    // over the search terms, top-15
+    "search_score" -> ((s, dir) => {
+      SearchDsl.score(Q.t(s, dir, "documents"), "doc_id", "text",
+          "slow merge window")
+        .select(col("id").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    })
+  )
+
+  private val toksSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> length(t) > 0)"
+
+  def oracle: Map[String, String] = Map(
+    "search_dsl" -> s"""
+      WITH d AS (SELECT *, $toksSql AS ts FROM documents)
+      SELECT count(*) FILTER (list_contains(ts, 'slow')) AS n_term,
+             count(*) FILTER (len(list_filter(ts, t -> starts_with(t, 'slo'))) > 0) AS n_prefix,
+             count(*) FILTER (len(list_filter(ts, t -> t LIKE '%as_')) > 0) AS n_wild,
+             count(*) FILTER (len(list_filter(ts, t -> regexp_matches(t, 'f[ao]st'))) > 0) AS n_regex,
+             count(*) FILTER (position(' slow fast ' IN ' ' || array_to_string(ts, ' ') || ' ') > 0) AS n_phrase,
+             count(*) FILTER (CAST(n_chars AS DOUBLE) >= 300 AND CAST(n_chars AS DOUBLE) <= 400) AS n_range,
+             count(*) FILTER (CAST(n_chars AS DOUBLE) > 300 AND CAST(n_chars AS DOUBLE) < 400) AS n_range_ex,
+             count(*) FILTER (list_has_any(
+               list_filter(string_split_regex(lower(lang), '[^a-z0-9]+'), t -> length(t) > 0),
+               ['en', 'de'])) AS n_in,
+             count(*) FILTER (list_has_any(ts, ['slow', 'fast'])) AS n_any,
+             count(*) FILTER (list_contains(ts, 'slow') AND list_contains(ts, 'fast')) AS n_all,
+             count(*) FILTER (lang = 'en') AS n_exact,
+             count(*) FILTER ((list_contains(ts, 'slow') OR list_contains(ts, 'fast'))
+                              AND NOT lang = 'zh') AS n_bool,
+             count(*) FILTER (list_contains(ts, 'slow') OR list_contains(ts, 'fast')) AS n_adj
+      FROM d""",
+
+    "search_score" -> """
+      WITH toks AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS tok
+              FROM documents) z
+        WHERE tok != ''),
+      dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, avg(len) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             WHERE tok IN ('slow', 'merge', 'window') GROUP BY doc_id, tok),
+      df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tf GROUP BY tok),
+      scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.len / s.avgdl))) AS score
+        FROM tf JOIN df ON tf.tok = df.tok
+                JOIN dl ON tf.doc_id = dl.doc_id
+                CROSS JOIN stats s
+        GROUP BY tf.doc_id)
+      SELECT doc_id, round(score, 6) AS score
+      FROM scored ORDER BY score DESC, doc_id LIMIT 15"""
+  )
+}
