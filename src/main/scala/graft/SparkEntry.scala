@@ -48,7 +48,8 @@ object SparkEntry {
       (graft.queries.Round4gQueries.queries, graft.queries.Round4gQueries.oracle),
       (graft.queries.Round4hQueries.queries, graft.queries.Round4hQueries.oracle),
       (graft.queries.Round4iQueries.queries, graft.queries.Round4iQueries.oracle),
-      (graft.queries.Round5aQueries.queries, graft.queries.Round5aQueries.oracle)
+      (graft.queries.Round5aQueries.queries, graft.queries.Round5aQueries.oracle),
+      (graft.queries.Round5bQueries.queries, graft.queries.Round5bQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -46,7 +46,8 @@ object FunctionRegistry {
       else args.foldLeft[Expression](Literal(0L)) {
         (seed, s) => MurmurHash3_64(s, seed)
       }),
-    // standard XXH32, seed 0, chained (xxhash_64 = XXH3, not replicated)
+    // standard XXH32, seed 0, chained (xxhash_64 = XXH3 lives in
+    // XxHash3.scala, registered as a session UDF)
     "xxhash_32" -> ((args: Seq[Expression]) =>
       if (args.isEmpty) Literal(0xe28dbde7fe22e41cL.toInt)
       else args.foldLeft[Expression](Literal(0)) {
@@ -62,9 +63,10 @@ object FunctionRegistry {
     "array_exists" -> ((args: Seq[Expression]) =>
       org.apache.spark.sql.catalyst.expressions.ArrayExists(args.head, args(1))),
     // NOTE: composite shapes over a lambda (e.g. array_first_index)
-    // cannot be builder-aliased — the analyzer requires the resolved
-    // function's ROOT to be a HigherOrderFunction; compose them from
-    // these aliases at the query level instead.
+    // cannot be builder-aliased via wrapper roots — the analyzer
+    // requires the resolved function's ROOT to be a
+    // HigherOrderFunction; LambdaArrays compiles them into single
+    // ArrayAggregate/ArraySort roots instead.
     // ---- remaining Doris aggregate names (BuiltinAggregateFunctions
     // .java): sum0 = SUM with 0 instead of NULL on empty input;
     // corr_welford shares corr's closed form (the Welford recurrence is
@@ -251,7 +253,11 @@ object FunctionRegistry {
     // at analysis time and rewrites to match_*/tokenize predicates over
     // the referenced columns, the RewriteSearchToSlots analog
     "search" -> ((args: Seq[Expression]) => graft.ops.SearchDsl.builder(args))
-  )
+  ) ++
+    // Doris lambda-first array composites compiled to single
+    // ArrayAggregate/ArraySort roots (the HOF-root constraint above no
+    // longer blocks them — see LambdaArrays)
+    LambdaArrays.builders
 
   def registerExtensions(e: SparkSessionExtensions): Unit =
     builders.foreach { case (name, builder) =>

@@ -301,6 +301,153 @@ object ParamAggs {
     def outputEncoder: Encoder[Long] = Encoders.scalaLong
   }
 
+  /** orthogonal_bitmap_intersect(bitmap, filterCol, v1, v2) — the
+    * bitmap-valued sibling of [[IntersectCountNamed]] (canonical
+    * two-value form): serialized AND of the per-value unions
+    * (aggregate_function_orthogonal_bitmap.h BitmapIntersect). */
+  class OrthogonalBitmapIntersectNamed
+      extends Aggregator[ICRow, (Array[Byte], Array[Byte], Boolean, Boolean), Array[Byte]] {
+    private val inner = new IntersectCountNamed
+    def zero: (Array[Byte], Array[Byte], Boolean, Boolean) = inner.zero
+    def reduce(s: (Array[Byte], Array[Byte], Boolean, Boolean), r: ICRow): (Array[Byte], Array[Byte], Boolean, Boolean) =
+      inner.reduce(s, r)
+    def merge(a: (Array[Byte], Array[Byte], Boolean, Boolean), b: (Array[Byte], Array[Byte], Boolean, Boolean)): (Array[Byte], Array[Byte], Boolean, Boolean) =
+      inner.merge(a, b)
+    def finish(s: (Array[Byte], Array[Byte], Boolean, Boolean)): Array[Byte] =
+      if (!s._3 || !s._4) Bitmaps.ser(new Roaring64NavigableMap())
+      else {
+        val x = Bitmaps.deser(s._1); x.and(Bitmaps.deser(s._2)); Bitmaps.ser(x)
+      }
+    def bufferEncoder: Encoder[(Array[Byte], Array[Byte], Boolean, Boolean)] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  case class ExprRow(bm: Array[Byte], c: String, expr: String)
+
+  /** orthogonal_bitmap_expr_calculate(_count)(bitmap, filterCol, expr):
+    * boolean algebra over per-tag bitmap unions
+    * (util/bitmap_expr_calculation.h): '&' and, '|' or, '-' andNot,
+    * '^' xor — ALL EQUAL precedence, left-associative, parentheses,
+    * backslash-escaped tag characters, exactly the reference's
+    * shunting-yard. State accumulates only tags named in the
+    * expression, so group state is bounded by the expression. */
+  object BitmapExpr {
+    sealed trait Tok
+    case class Key(s: String) extends Tok
+    case class Op(c: Char) extends Tok
+    case object LP extends Tok
+    case object RP extends Tok
+
+    def tokenize(expr: String): Seq[Tok] = {
+      val out = Seq.newBuilder[Tok]
+      val key = new StringBuilder
+      var i = 0
+      def flush(): Unit = if (key.nonEmpty) { out += Key(key.toString); key.clear() }
+      while (i < expr.length) {
+        val c = expr.charAt(i)
+        c match {
+          case '\\' if i + 1 < expr.length => key.append(expr.charAt(i + 1)); i += 1
+          case '&' | '|' | '^' | '-' => flush(); out += Op(c)
+          case '(' => flush(); out += LP
+          case ')' => flush(); out += RP
+          case ' ' | '\t' => flush()
+          case c2 => key.append(c2)
+        }
+        i += 1
+      }
+      flush()
+      out.result()
+    }
+
+    // memoized: reduce() consults the key set once per input ROW
+    private val keysCache =
+      new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    def keys(expr: String): Set[String] =
+      keysCache.computeIfAbsent(expr,
+        e => tokenize(e).collect { case Key(s) => s }.toSet)
+
+    /** reverse-polish per the reference: equal precedence, left-assoc */
+    def rpn(expr: String): Seq[Tok] = {
+      val out = Seq.newBuilder[Tok]
+      var ops = List.empty[Tok]
+      tokenize(expr).foreach {
+        case k: Key => out += k
+        case LP => ops ::= LP
+        case RP =>
+          while (ops.nonEmpty && ops.head != LP) { out += ops.head; ops = ops.tail }
+          if (ops.nonEmpty) ops = ops.tail
+        case o: Op =>
+          while (ops.nonEmpty && ops.head != LP) { out += ops.head; ops = ops.tail }
+          ops ::= o
+      }
+      ops.foreach(o => if (o != LP) out += o)
+      out.result()
+    }
+
+    def eval(expr: String, bitmaps: Map[String, Roaring64NavigableMap]): Roaring64NavigableMap = {
+      def get(k: String) = bitmaps.getOrElse(k, new Roaring64NavigableMap())
+      var st = List.empty[Roaring64NavigableMap]
+      rpn(expr).foreach {
+        case Key(k) => st ::= get(k)
+        case Op(c) if st.size >= 2 =>
+          val right = st.head; val left = st.tail.head
+          st = st.drop(2)
+          val r = new Roaring64NavigableMap()
+          r.or(left)
+          c match {
+            case '&' => r.and(right)
+            case '|' => r.or(right)
+            case '-' => r.andNot(right)
+            case '^' => r.xor(right)
+          }
+          st ::= r
+        case _ => ()
+      }
+      st.headOption.getOrElse(new Roaring64NavigableMap())
+    }
+  }
+
+  class BitmapExprCalcNamed
+      extends Aggregator[ExprRow, (Map[String, Array[Byte]], String), Array[Byte]] {
+    def zero: (Map[String, Array[Byte]], String) = (Map.empty, null)
+    private def orInto(m: Map[String, Array[Byte]], k: String, v: Array[Byte]): Map[String, Array[Byte]] =
+      m.get(k) match {
+        case Some(prev) =>
+          val x = Bitmaps.deser(prev); x.or(Bitmaps.deser(v)); m.updated(k, Bitmaps.ser(x))
+        case None => m.updated(k, v)
+      }
+    def reduce(s: (Map[String, Array[Byte]], String), r: ExprRow): (Map[String, Array[Byte]], String) = {
+      val e = if (s._2 != null) s._2 else r.expr
+      if (r.c != null && BitmapExpr.keys(e).contains(r.c)) (orInto(s._1, r.c, r.bm), e)
+      else (s._1, e)
+    }
+    def merge(a: (Map[String, Array[Byte]], String), b: (Map[String, Array[Byte]], String)): (Map[String, Array[Byte]], String) =
+      (b._1.foldLeft(a._1) { case (m, (k, v)) => orInto(m, k, v) },
+        if (a._2 != null) a._2 else b._2)
+    def finish(s: (Map[String, Array[Byte]], String)): Array[Byte] =
+      Bitmaps.ser(
+        if (s._2 == null || s._1.isEmpty) new Roaring64NavigableMap()
+        else BitmapExpr.eval(s._2, s._1.map { case (k, v) => k -> Bitmaps.deser(v) }))
+    def bufferEncoder: Encoder[(Map[String, Array[Byte]], String)] = ExpressionEncoder()
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  class BitmapExprCalcCountNamed
+      extends Aggregator[ExprRow, (Map[String, Array[Byte]], String), Long] {
+    private val inner = new BitmapExprCalcNamed
+    def zero: (Map[String, Array[Byte]], String) = inner.zero
+    def reduce(s: (Map[String, Array[Byte]], String), r: ExprRow): (Map[String, Array[Byte]], String) =
+      inner.reduce(s, r)
+    def merge(a: (Map[String, Array[Byte]], String), b: (Map[String, Array[Byte]], String)): (Map[String, Array[Byte]], String) =
+      inner.merge(a, b)
+    def finish(s: (Map[String, Array[Byte]], String)): Long =
+      if (s._2 == null || s._1.isEmpty) 0L
+      else BitmapExpr.eval(s._2, s._1.map { case (k, v) => k -> Bitmaps.deser(v) })
+        .getLongCardinality
+    def bufferEncoder: Encoder[(Map[String, Array[Byte]], String)] = ExpressionEncoder()
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   case class SSep(s: String, sep: String)
 
   /** group_concat(col, sep) — sorted canonicalization (the reference
@@ -359,6 +506,14 @@ object ParamAggs {
     u.register("orthogonal_bitmap_union_count", udaf(new BitmapUnionCountNamed, Encoders.BINARY))
     u.register("bitmap_intersect", udaf(new Bitmaps.BitmapIntersectAgg, Encoders.BINARY))
     u.register("intersect_count", udaf(new IntersectCountNamed, ExpressionEncoder[ICRow]()))
+    u.register("orthogonal_bitmap_intersect_count",
+      udaf(new IntersectCountNamed, ExpressionEncoder[ICRow]()))
+    u.register("orthogonal_bitmap_intersect",
+      udaf(new OrthogonalBitmapIntersectNamed, ExpressionEncoder[ICRow]()))
+    u.register("orthogonal_bitmap_expr_calculate",
+      udaf(new BitmapExprCalcNamed, ExpressionEncoder[ExprRow]()))
+    u.register("orthogonal_bitmap_expr_calculate_count",
+      udaf(new BitmapExprCalcCountNamed, ExpressionEncoder[ExprRow]()))
     u.register("group_concat", udaf(new GroupConcatNamed, ExpressionEncoder[SSep]()))
     u.register("ai_agg", udaf(new AiAggStub, ExpressionEncoder[SPrompt]()))
   }

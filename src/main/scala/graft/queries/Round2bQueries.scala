@@ -122,7 +122,11 @@ object Round2bQueries {
     // strings (hash of arg N seeded by hash of args 1..N-1).
     "misc_hash_murmur" -> sql("""
       SELECT n_nationkey, murmur_hash3_32(n_name) AS h0,
-             murmur_hash3_32(n_name, upper(n_name)) AS hs
+             murmur_hash3_32(n_name, upper(n_name)) AS hs,
+             murmur_hash3_64(n_name) AS h64,
+             CAST(murmur_hash3_128(n_name) AS STRING) AS h128,
+             xxhash_64(n_name) AS x3,
+             xxhash_32(n_name) AS x32
       FROM nation ORDER BY n_nationkey"""),
 
     // salting for skewed keys: explode the hot side into SALT subkeys,

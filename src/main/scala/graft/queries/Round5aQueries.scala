@@ -37,6 +37,44 @@ object Round5aQueries {
              count_if(search('text:slow text:fast')) AS n_adj
       FROM documents"""),
 
+    // all 8 Doris lambda-first array composites under their own names
+    // (LambdaArrays builders — single ArrayAggregate/ArraySort roots);
+    // split results rendered as strings so DuckDB can replicate them
+    // with window-numbered groups
+    "fn_array_lambda_names" -> sql("""
+      WITH d AS (
+        SELECT n_nationkey,
+               transform(sequence(1, CAST(n_nationkey % 5 + 2 AS INT)),
+                         i -> CAST((i * (n_nationkey + 3)) % 7 AS BIGINT)) AS a
+        FROM nation)
+      SELECT n_nationkey,
+             array_count(x -> x % 2 = 0, a) AS cnt,
+             array_first(x -> x > 2, a) AS fst,
+             array_last(x -> x > 2, a) AS lst,
+             array_first_index(x -> x > 2, a) AS fidx,
+             array_last_index(x -> x > 2, a) AS lidx,
+             concat_ws(',', transform(array_sortby(x -> -x, a),
+                                      v -> CAST(v AS STRING))) AS srt,
+             concat_ws('|', transform(array_split(x -> x % 3 = 0, a),
+               g -> concat_ws(',', transform(g, v -> CAST(v AS STRING))))) AS spl,
+             concat_ws('|', transform(array_reverse_split(x -> x % 3 = 0, a),
+               g -> concat_ws(',', transform(g, v -> CAST(v AS STRING))))) AS rspl
+      FROM d ORDER BY n_nationkey"""),
+
+    // the four remaining orthogonal_bitmap_* names under their own
+    // spellings (aggregate_function_orthogonal_bitmap.cpp:59-61 +
+    // util/bitmap_expr_calculation.h): intersect / intersect_count on
+    // the canonical two-value form, expr_calculate(_count) with the
+    // reference's equal-precedence left-assoc '&|^-' algebra
+    "agg_named_orthogonal" -> sql("""
+      WITH b AS (SELECT o_orderstatus AS f, to_bitmap(o_custkey) AS bm FROM orders)
+      SELECT orthogonal_bitmap_intersect_count(bm, f, 'O', 'F') AS ic,
+             bitmap_count(orthogonal_bitmap_intersect(bm, f, 'O', 'F')) AS ib_c,
+             orthogonal_bitmap_expr_calculate_count(bm, f, '(O|P)&F') AS ec1,
+             orthogonal_bitmap_expr_calculate_count(bm, f, '(O^P)-F') AS ec2,
+             bitmap_count(orthogonal_bitmap_expr_calculate(bm, f, 'O&P&F')) AS ec3
+      FROM b"""),
+
     // the scoring path: score() = BM25 (k1=1.2, b=0.75, Lucene idf)
     // over the search terms, top-15
     "search_score" -> ((s, dir) => {
@@ -71,6 +109,61 @@ object Round5aQueries {
                               AND NOT lang = 'zh') AS n_bool,
              count(*) FILTER (list_contains(ts, 'slow') OR list_contains(ts, 'fast')) AS n_adj
       FROM d""",
+
+    "fn_array_lambda_names" -> """
+      WITH d AS (
+        SELECT n_nationkey,
+               list_transform(generate_series(1, CAST(n_nationkey % 5 + 2 AS INT)),
+                              i -> CAST((i * (n_nationkey + 3)) % 7 AS BIGINT)) AS a
+        FROM nation),
+      idx AS (
+        SELECT n_nationkey,
+               list_filter(list_transform(generate_series(1, len(a)),
+                           i -> CASE WHEN a[i] > 2 THEN i ELSE NULL END),
+                           v -> v IS NOT NULL) AS hits
+        FROM d),
+      elems AS (
+        SELECT d.n_nationkey, i, a[i] AS x,
+               sum(CASE WHEN a[i] % 3 = 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY d.n_nationkey ORDER BY i) AS g_incl
+        FROM d, unnest(generate_series(1, len(a))) AS t(i)),
+      e2 AS (SELECT *, g_incl - (CASE WHEN x % 3 = 0 THEN 1 ELSE 0 END) AS g_excl FROM elems),
+      spl AS (SELECT n_nationkey, string_agg(s, '|' ORDER BY g) AS spl FROM (
+                SELECT n_nationkey, g_incl AS g,
+                       string_agg(CAST(x AS VARCHAR), ',' ORDER BY i) AS s
+                FROM e2 GROUP BY n_nationkey, g_incl) z GROUP BY n_nationkey),
+      rspl AS (SELECT n_nationkey, string_agg(s, '|' ORDER BY g) AS rspl FROM (
+                SELECT n_nationkey, g_excl AS g,
+                       string_agg(CAST(x AS VARCHAR), ',' ORDER BY i) AS s
+                FROM e2 GROUP BY n_nationkey, g_excl) z GROUP BY n_nationkey)
+      SELECT d.n_nationkey,
+             CAST(len(list_filter(a, x -> x % 2 = 0)) AS BIGINT) AS cnt,
+             list_filter(a, x -> x > 2)[1] AS fst,
+             list_filter(a, x -> x > 2)[-1] AS lst,
+             CAST(coalesce(list_min(idx.hits), 0) AS BIGINT) AS fidx,
+             CAST(coalesce(list_max(idx.hits), 0) AS BIGINT) AS lidx,
+             array_to_string(list_reverse(list_sort(a)), ',') AS srt,
+             spl.spl, rspl.rspl
+      FROM d JOIN idx USING (n_nationkey) JOIN spl USING (n_nationkey)
+             JOIN rspl USING (n_nationkey)
+      ORDER BY n_nationkey""",
+
+    "agg_named_orthogonal" -> """
+      WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
+           n AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'),
+           r AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F')
+      SELECT (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM r) x) AS ic,
+             (SELECT count(*) FROM (SELECT k FROM a INTERSECT SELECT k FROM r) x) AS ib_c,
+             (SELECT count(*) FROM (
+                SELECT k FROM (SELECT k FROM a UNION SELECT k FROM n) u
+                INTERSECT SELECT k FROM r) x) AS ec1,
+             (SELECT count(*) FROM (
+                SELECT k FROM (
+                  SELECT k FROM (SELECT k FROM a UNION SELECT k FROM n) u
+                  EXCEPT SELECT k FROM (SELECT k FROM a INTERSECT SELECT k FROM n) i) sym
+                EXCEPT SELECT k FROM r) x) AS ec2,
+             (SELECT count(*) FROM (
+                SELECT k FROM a INTERSECT SELECT k FROM n INTERSECT SELECT k FROM r) x) AS ec3""",
 
     "search_score" -> """
       WITH toks AS (

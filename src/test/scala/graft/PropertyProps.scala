@@ -446,6 +446,44 @@ object SequenceCountGapProps extends Properties("SequenceCountGap") {
   }
 }
 
+/** XXH3-64 pinned vectors. The empty-input value is the PUBLISHED
+  * xxHash vector (validates the 0-to-16 path and the canonical secret);
+  * "abc" matches the commonly-cited reference output; the length-swept
+  * pins (every mixing-path boundary: 1/3/4/8/9/16/17/64/128/129/240/
+  * 241/1024/1025/4096 over a deterministic byte pattern) are
+  * self-derived regression pins — the sandbox has no vetted second
+  * XXH3 implementation (documented in COVERAGE.md). */
+object XxHash3Props extends Properties("XxHash3") {
+  import graft.functions.XxHash3
+
+  property("published empty vector") =
+    XxHash3.hash(Array.emptyByteArray) == 0x2D06800538D394C2L
+
+  property("abc reference vector") =
+    XxHash3.hashString("abc") == 0x78AF5F94892F3950L
+
+  property("length-sweep regression pins") = {
+    val pins = Map(
+      1 -> 0x13E608BC156DEFEDL, 3 -> 0xA9088DDA485B481CL,
+      4 -> 0x6D9253B16C8B1ED3L, 8 -> 0x60539DB630471163L,
+      9 -> 0xFEFF668361D723A8L, 16 -> 0xB8C859B0F030B585L,
+      17 -> 0x714A04408E79B80FL, 64 -> 0x287EB1FA9E4BE2C1L,
+      128 -> 0x67425A03650261BFL, 129 -> 0xC664BF3311C6ABC4L,
+      240 -> 0x64556DC6B462A6CFL, 241 -> 0x8BEADD3A8874FE17L,
+      1024 -> 0x9B81661C641C72B1L, 1025 -> 0x806C2072ED713576L,
+      4096 -> 0xD7428746842BE37EL)
+    pins.forall { case (n, want) =>
+      XxHash3.hash(Array.tabulate[Byte](n)(i => (i * 7 + 3).toByte)) == want
+    }
+  }
+
+  property("seed changes <=240 outputs") =
+    forAll(Gen.chooseNum(1, 240), Gen.chooseNum(1L, Long.MaxValue)) { (n, seed) =>
+      val b = Array.tabulate[Byte](n)(i => (i * 13 + 1).toByte)
+      XxHash3.hash(b, seed) != XxHash3.hash(b, 0L)
+    }
+}
+
 /** topn JSON keys must escape quotes/backslashes/control chars. */
 object TopNJsonProps extends Properties("TopNJson") {
   import graft.functions.ParamAggs
