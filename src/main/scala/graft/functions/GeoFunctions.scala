@@ -127,6 +127,162 @@ object GeoFunctions extends Serializable {
     in
   }
 
+  // --------------------------------------------- multi-geometry splitting
+
+  /** split top-level comma-separated items, respecting paren depth */
+  private def splitTop(s: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var depth = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur.append('(')
+      case ')' => depth -= 1; cur.append(')')
+      case ',' if depth == 0 => out += cur.toString.trim; cur.clear()
+      case c => cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) out += cur.toString.trim
+    out.result()
+  }
+
+  /** components of a (multi-)geometry as canonical WKT; simple
+    * geometries are their own single component (functions_geo.cpp
+    * StNumGeometries / FunctionStGeometries). */
+  private def components(wkt: String): Option[Seq[String]] = {
+    if (wkt == null) return None
+    val s = wkt.trim
+    val u = s.toUpperCase
+    def inner = s.substring(s.indexOf('(') + 1, s.lastIndexOf(')'))
+    try {
+      if (u.startsWith("MULTIPOINT")) {
+        // MULTIPOINT (1 2, 3 4) or MULTIPOINT ((1 2), (3 4))
+        val parts = splitTop(inner).map(_.stripPrefix("(").stripSuffix(")").trim)
+        val pts = parts.map(p => parse(s"POINT ($p)"))
+        if (pts.forall(_.isDefined)) Some(pts.toIndexedSeq.map(g => asText(g.get))) else None
+      } else if (u.startsWith("MULTILINESTRING")) {
+        val parts = splitTop(inner).map(p => parse(s"LINESTRING $p"))
+        if (parts.forall(_.isDefined)) Some(parts.toIndexedSeq.map(g => asText(g.get))) else None
+      } else if (u.startsWith("MULTIPOLYGON")) {
+        val parts = splitTop(inner).map(p => parse(s"POLYGON $p"))
+        if (parts.forall(_.isDefined)) Some(parts.toIndexedSeq.map(g => asText(g.get))) else None
+      } else if (u.startsWith("GEOMETRYCOLLECTION")) {
+        val parts = splitTop(inner).map(p => parse(p))
+        if (parts.forall(_.isDefined)) Some(parts.toIndexedSeq.map(g => asText(g.get))) else None
+      } else parse(s).map(g => Seq(asText(g)))
+    } catch { case _: Exception => None }
+  }
+
+  // ------------------------------------------------------ planar touches
+
+  private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                     cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  private def onSeg(px: Double, py: Double, ax: Double, ay: Double,
+                    bx: Double, by: Double): Boolean =
+    orient(ax, ay, bx, by, px, py) == 0 &&
+      px >= math.min(ax, bx) && px <= math.max(ax, bx) &&
+      py >= math.min(ay, by) && py <= math.max(ay, by)
+
+  /** strictly interior crossing of two segments (shared interiors) */
+  private def properCross(a1: (Double, Double), a2: (Double, Double),
+                          b1: (Double, Double), b2: (Double, Double)): Boolean = {
+    val d1 = orient(b1._1, b1._2, b2._1, b2._2, a1._1, a1._2)
+    val d2 = orient(b1._1, b1._2, b2._1, b2._2, a2._1, a2._2)
+    val d3 = orient(a1._1, a1._2, a2._1, a2._2, b1._1, b1._2)
+    val d4 = orient(a1._1, a1._2, a2._1, a2._2, b2._1, b2._2)
+    d1 * d2 < 0 && d3 * d4 < 0
+  }
+
+  /** any intersection (incl. endpoint touch / collinear overlap) */
+  private def segsIntersect(a1: (Double, Double), a2: (Double, Double),
+                            b1: (Double, Double), b2: (Double, Double)): Boolean =
+    properCross(a1, a2, b1, b2) ||
+      onSeg(b1._1, b1._2, a1._1, a1._2, a2._1, a2._2) ||
+      onSeg(b2._1, b2._2, a1._1, a1._2, a2._1, a2._2) ||
+      onSeg(a1._1, a1._2, b1._1, b1._2, b2._1, b2._2) ||
+      onSeg(a2._1, a2._2, b1._1, b1._2, b2._1, b2._2)
+
+  private def onRing(x: Double, y: Double, ring: Array[(Double, Double)]): Boolean =
+    (0 until ring.length - 1).exists(i =>
+      onSeg(x, y, ring(i)._1, ring(i)._2, ring(i + 1)._1, ring(i + 1)._2))
+
+  /** OGC/DE-9IM touches over the planar subset (functions_geo.cpp
+    * StTouchesFunc analog): geometries meet but their interiors do not.
+    *  - point/point: never (point interiors are the points)
+    *  - point/line: point must be a line ENDPOINT (the line boundary)
+    *  - point/polygon: point must lie ON the ring
+    *  - line/line: some intersection, and no intersection point interior
+    *    to BOTH lines (proper crossings and interior collinear overlaps
+    *    disqualify)
+    *  - polygon/polygon: boundaries meet, no vertex strictly inside the
+    *    other, no proper edge crossing (simple-polygon subset)
+    * Returns null for unsupported pairs (circle), like the reference's
+    * null map on parse failure. */
+  private def touches(a: Geom, b: Geom): java.lang.Boolean = (a, b) match {
+    case (GPoint(_, _), GPoint(_, _)) => java.lang.Boolean.FALSE
+    case (p: GPoint, l: GLine) => touchesPointLine(p, l)
+    case (l: GLine, p: GPoint) => touchesPointLine(p, l)
+    case (p: GPoint, g: GPoly) => touchesPointPoly(p, g)
+    case (g: GPoly, p: GPoint) => touchesPointPoly(p, g)
+    case (GLine(as), GLine(bs)) =>
+      var anyMeet = false
+      var interiorMeet = false
+      for (i <- 0 until as.length - 1; j <- 0 until bs.length - 1) {
+        if (properCross(as(i), as(i + 1), bs(j), bs(j + 1))) interiorMeet = true
+        else if (segsIntersect(as(i), as(i + 1), bs(j), bs(j + 1))) {
+          anyMeet = true
+          // endpoint-on-segment touches: interior to both iff the meeting
+          // point is interior to both polylines
+          val cands = Seq(as(i), as(i + 1), bs(j), bs(j + 1))
+          cands.foreach { p =>
+            val onA = onLine(p, as)
+            val onB = onLine(p, bs)
+            if (onA && onB && lineInterior(p, as) && lineInterior(p, bs)) interiorMeet = true
+          }
+          // collinear overlap of positive length => interiors share
+          if (collinearOverlap(as(i), as(i + 1), bs(j), bs(j + 1))) interiorMeet = true
+        }
+      }
+      java.lang.Boolean.valueOf(anyMeet && !interiorMeet)
+    case (GPoly(ra), GPoly(rb)) =>
+      val vertexInside =
+        ra.dropRight(1).exists { case (x, y) => pointInRing(x, y, rb) && !onRing(x, y, rb) } ||
+        rb.dropRight(1).exists { case (x, y) => pointInRing(x, y, ra) && !onRing(x, y, ra) }
+      val properEdgeCross = (0 until ra.length - 1).exists(i =>
+        (0 until rb.length - 1).exists(j => properCross(ra(i), ra(i + 1), rb(j), rb(j + 1))))
+      val boundaryMeet = (0 until ra.length - 1).exists(i =>
+        (0 until rb.length - 1).exists(j => segsIntersect(ra(i), ra(i + 1), rb(j), rb(j + 1))))
+      java.lang.Boolean.valueOf(boundaryMeet && !vertexInside && !properEdgeCross)
+    case _ => null
+  }
+
+  private def onLine(p: (Double, Double), pts: Array[(Double, Double)]): Boolean =
+    (0 until pts.length - 1).exists(i =>
+      onSeg(p._1, p._2, pts(i)._1, pts(i)._2, pts(i + 1)._1, pts(i + 1)._2))
+
+  /** point is on the line and is NOT one of its two boundary endpoints */
+  private def lineInterior(p: (Double, Double), pts: Array[(Double, Double)]): Boolean =
+    onLine(p, pts) && p != pts.head && p != pts.last
+
+  private def collinearOverlap(a1: (Double, Double), a2: (Double, Double),
+                               b1: (Double, Double), b2: (Double, Double)): Boolean = {
+    val collinear = orient(a1._1, a1._2, a2._1, a2._2, b1._1, b1._2) == 0 &&
+      orient(a1._1, a1._2, a2._1, a2._2, b2._1, b2._2) == 0
+    if (!collinear) return false
+    // 1-D overlap test on the dominant axis
+    val useX = math.abs(a2._1 - a1._1) >= math.abs(a2._2 - a1._2)
+    def key(p: (Double, Double)) = if (useX) p._1 else p._2
+    val (alo, ahi) = (math.min(key(a1), key(a2)), math.max(key(a1), key(a2)))
+    val (blo, bhi) = (math.min(key(b1), key(b2)), math.max(key(b1), key(b2)))
+    math.min(ahi, bhi) - math.max(alo, blo) > 0
+  }
+
+  private def touchesPointLine(p: GPoint, l: GLine): java.lang.Boolean =
+    java.lang.Boolean.valueOf((p.x, p.y) == l.pts.head || (p.x, p.y) == l.pts.last)
+
+  private def touchesPointPoly(p: GPoint, g: GPoly): java.lang.Boolean =
+    java.lang.Boolean.valueOf(onRing(p.x, p.y, g.ring))
+
   def register(spark: SparkSession): Unit = {
     val u = spark.udf
     u.register("st_point", (x: Double, y: Double) => asText(GPoint(x, y)))
@@ -234,7 +390,17 @@ object GeoFunctions extends Serializable {
           java.lang.Boolean.valueOf(R * centralAngle(cx, cy, x, y) <= r)
         case _ => null
       })
-    // ---- WKB codec (little-endian; POINT=1, LINESTRING=2)
+    // ---- multi-geometry surface (functions_geo.cpp:923-1000)
+    u.register("st_numgeometries", (w: String) =>
+      components(w).map(c => java.lang.Long.valueOf(c.length.toLong)).orNull)
+    u.register("st_geometries", (w: String) => components(w).orNull)
+    // ---- touches (functions_geo.cpp:557, planar subset — see touches())
+    u.register("st_touches", (a: String, b: String) =>
+      (parse(a), parse(b)) match {
+        case (Some(ga), Some(gb)) => touches(ga, gb)
+        case _ => null
+      })
+    // ---- WKB codec (little-endian; POINT=1, LINESTRING=2, POLYGON=3)
     u.register("st_asbinary", (w: String) => parse(w).collect {
       case GPoint(x, y) =>
         val bb = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -245,6 +411,13 @@ object GeoFunctions extends Serializable {
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
         bb.put(1.toByte); bb.putInt(2); bb.putInt(pts.length)
         pts.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
+        bb.array()
+      case GPoly(ring) =>
+        // one outer ring (the engine's polygon subset)
+        val bb = java.nio.ByteBuffer.allocate(13 + 16 * ring.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put(1.toByte); bb.putInt(3); bb.putInt(1); bb.putInt(ring.length)
+        ring.foreach { case (x, y) => bb.putDouble(x); bb.putDouble(y) }
         bb.array()
     }.orNull)
     def fromWkb(b: Array[Byte]): String = {
@@ -258,6 +431,11 @@ object GeoFunctions extends Serializable {
           case 2 =>
             val n = bb.getInt
             asText(GLine(Array.fill(n)((bb.getDouble, bb.getDouble))))
+          case 3 =>
+            val nRings = bb.getInt
+            if (nRings < 1) return null
+            val n = bb.getInt
+            asText(GPoly(Array.fill(n)((bb.getDouble, bb.getDouble))))
           case _ => null
         }
       } catch { case _: Exception => null }

@@ -75,6 +75,33 @@ object Round5aQueries {
              bitmap_count(orthogonal_bitmap_expr_calculate(bm, f, 'O&P&F')) AS ec3
       FROM b"""),
 
+    // geo tail (functions_geo.cpp:557/923/959 + geo_tobinary.cpp):
+    // st_touches (planar DE-9IM subset), st_numgeometries /
+    // st_geometries over MULTI*/GEOMETRYCOLLECTION, polygon WKB io.
+    // Literal oracle (DuckDB spatial unavailable offline).
+    "geo_multi" -> sql("""
+      SELECT st_touches('POINT(0 0)', 'LINESTRING(0 0, 1 1)') AS t_pt_end,
+             st_touches('POINT(0.5 0.5)', 'LINESTRING(0 0, 1 1)') AS t_pt_mid,
+             st_touches('POINT(1 0)', 'POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))') AS t_pt_ring,
+             st_touches('POINT(1 1)', 'POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))') AS t_pt_in,
+             st_touches('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))',
+                        'POLYGON((1 0, 2 0, 2 1, 1 1, 1 0))') AS t_shared_edge,
+             st_touches('POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))',
+                        'POLYGON((1 1, 3 1, 3 3, 1 3, 1 1))') AS t_overlap,
+             st_touches('LINESTRING(0 0, 1 1)', 'LINESTRING(1 1, 2 0)') AS t_ln_end,
+             st_touches('LINESTRING(0 0, 2 2)', 'LINESTRING(0 2, 2 0)') AS t_ln_cross,
+             st_touches('LINESTRING(0 0, 2 0)', 'LINESTRING(1 0, 1 1)') AS t_ln_tee,
+             st_touches('LINESTRING(0 0, 2 0)', 'LINESTRING(1 0, 3 0)') AS t_ln_overlap,
+             st_touches('LINESTRING(0 0, 1 0)', 'LINESTRING(1 0, 2 0)') AS t_ln_chain,
+             st_numgeometries('MULTIPOINT (1 2, 3 4)') AS ng_mp,
+             st_numgeometries('MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((2 2, 3 2, 3 3, 2 2)))') AS ng_mpoly,
+             st_numgeometries('GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))') AS ng_gc,
+             st_numgeometries('POINT (5 6)') AS ng_simple,
+             concat_ws('|', st_geometries('MULTIPOINT ((1 2), (3 4))')) AS g_mp,
+             concat_ws('|', st_geometries('GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))')) AS g_gc,
+             st_geomfromwkb(st_asbinary('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))')) AS wkb_poly,
+             upper(hex(st_asbinary('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))'))) AS wkb_poly_hex"""),
+
     // the scoring path: score() = BM25 (k1=1.2, b=0.75, Lucene idf)
     // over the search terms, top-15
     "search_score" -> ((s, dir) => {
@@ -147,6 +174,18 @@ object Round5aQueries {
       FROM d JOIN idx USING (n_nationkey) JOIN spl USING (n_nationkey)
              JOIN rspl USING (n_nationkey)
       ORDER BY n_nationkey""",
+
+    "geo_multi" -> """
+      SELECT true AS t_pt_end, false AS t_pt_mid, true AS t_pt_ring,
+             false AS t_pt_in, true AS t_shared_edge, false AS t_overlap,
+             true AS t_ln_end, false AS t_ln_cross, true AS t_ln_tee,
+             false AS t_ln_overlap, true AS t_ln_chain,
+             CAST(2 AS BIGINT) AS ng_mp, CAST(2 AS BIGINT) AS ng_mpoly,
+             CAST(2 AS BIGINT) AS ng_gc, CAST(1 AS BIGINT) AS ng_simple,
+             'POINT (1 2)|POINT (3 4)' AS g_mp,
+             'POINT (1 2)|LINESTRING (0 0, 1 1)' AS g_gc,
+             'POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))' AS wkb_poly,
+             '0103000000010000000500000000000000000000000000000000000000000000000000F03F0000000000000000000000000000F03F000000000000F03F0000000000000000000000000000F03F00000000000000000000000000000000' AS wkb_poly_hex""",
 
     "agg_named_orthogonal" -> """
       WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'),
