@@ -53,6 +53,19 @@ object FunctionRegistry {
       else args.foldLeft[Expression](Literal(0)) {
         (seed, s) => XxHash32Expr(s, seed)
       }),
+    // xxhash_64 = XXH3-64 (function_hash.cpp uses xxh3.h), seed 0,
+    // hash of arg N seeded with the hash of args 1..N-1 like murmur;
+    // 0x2D06800538D394C2 is the published empty-input vector
+    "xxhash_64" -> ((args: Seq[Expression]) =>
+      if (args.isEmpty) Literal(0x2D06800538D394C2L)
+      else args.foldLeft[Expression](Literal(0L)) {
+        (seed, s) => XxHash3Expr(s, seed)
+      }),
+    "xxhash3_64" -> ((args: Seq[Expression]) =>
+      if (args.isEmpty) Literal(0x2D06800538D394C2L)
+      else args.foldLeft[Expression](Literal(0L)) {
+        (seed, s) => XxHash3Expr(s, seed)
+      }),
     // Doris-named higher-order functions (function_array_map.cpp etc.) —
     // lambdas can't ride SQL UDFs, so these alias the native HOF
     // expressions directly

@@ -433,7 +433,11 @@ object GeoFunctions extends Serializable {
             asText(GLine(Array.fill(n)((bb.getDouble, bb.getDouble))))
           case 3 =>
             val nRings = bb.getInt
-            if (nRings < 1) return null
+            // The engine's polygon model is single-ring; decoding only the
+            // outer ring of a holed polygon would silently change its area,
+            // so unsupported multi-ring input follows the reference's
+            // null-on-unparseable contract instead.
+            if (nRings != 1) return null
             val n = bb.getInt
             asText(GPoly(Array.fill(n)((bb.getDouble, bb.getDouble))))
           case _ => null

@@ -233,15 +233,9 @@ object MiscFunctions2 extends Serializable {
           .or(new java.math.BigInteger(java.lang.Long.toUnsignedString(h1)))
           .toString
       })
-    // xxhash_64 = XXH3-64 (function_hash.cpp uses xxh3.h); chained
-    // variadic form follows the murmur registrations: hash of arg N is
-    // seeded with the hash of args 1..N-1 (seeded <=240 paths)
-    u.register("xxhash_64", (s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(XxHash3.hashString(s)))
-    u.register("xxhash3_64", (s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(XxHash3.hashString(s)))
+    // xxhash_64 / xxhash3_64 live in FunctionRegistry as chained
+    // variadic builders over XxHash3Expr (hash of arg N seeded with
+    // the hash of args 1..N-1, mirroring the murmur forms)
     // multi_search_all_positions(haystack, needles): 1-based positions,
     // 0 when absent (functions_multi_string_position.cpp)
     u.register("multi_search_all_positions", (s: String, pats: Seq[String]) =>

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, NullType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Standard MurmurHash3 x86_32 (public algorithm, Austin Appleby).
@@ -181,6 +181,31 @@ case class XxHash32Expr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): XxHash32Expr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** xxhash_64(str, seed) — XXH3-64 (function_hash.cpp uses xxh3.h),
+  * seed 0 default, chained for multi-arg like the murmur forms. */
+case class XxHash3Expr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType == StringType || left.dataType == NullType) &&
+        right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"xxhash_64 expects (STRING, BIGINT), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(str: Any, seed: Any): Any =
+    XxHash3.hashSeeded(str.asInstanceOf[UTF8String], seed.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, sd) => s"graft.functions.XxHash3.hashSeeded($s, $sd)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): XxHash3Expr =
     copy(left = newLeft, right = newRight)
 }
 

@@ -6,11 +6,13 @@ package graft.functions
   * the 192-byte canonical secret, and the 8-lane striped accumulator
   * for long inputs. Scalar only (no SIMD) — bit-identical by spec.
   *
-  * Verification status (documented in COVERAGE.md): the published
-  * empty-input vector 0x2D06800538D394C2 is pinned in
-  * `XxHash3Props`; longer-length vectors are SELF-derived regression
-  * pins (the sandbox has no vetted second implementation to
-  * cross-check — lz4-java ships only classic XXH32/64).
+  * Verification status: pinned in `XxHash3Props` to the xxHash repo's
+  * PUBLISHED sanity vectors (xsum_sanity_check.c XSUM_XXH3_testdata —
+  * lengths 0/1/6/12/24/48/80/195/403/512/2048 over the documented
+  * prime-generator buffer, at seed 0 AND seed PRIME64), which covers
+  * every mixing path including the seeded >240 custom-secret long
+  * path. The earlier self-derived boundary pins are kept as extra
+  * regression coverage.
   */
 object XxHash3 {
 
@@ -150,30 +152,49 @@ object XxHash3 {
     xxh3Avalanche(acc)
   }
 
-  private def accumulate512(acc: Array[Long], in: Array[Byte], inOff: Int, secOff: Int): Unit = {
+  private def accumulate512(acc: Array[Long], in: Array[Byte], inOff: Int,
+                            sec: Array[Byte], secOff: Int): Unit = {
     var i = 0
     while (i < 8) {
       val dataVal = read64(in, inOff + 8 * i)
-      val dataKey = dataVal ^ read64(kSecret, secOff + 8 * i)
+      val dataKey = dataVal ^ read64(sec, secOff + 8 * i)
       acc(i ^ 1) += dataVal
       acc(i) += mult32to64(dataKey, dataKey >>> 32)
       i += 1
     }
   }
 
-  private def scramble(acc: Array[Long], secOff: Int): Unit = {
+  private def scramble(acc: Array[Long], sec: Array[Byte], secOff: Int): Unit = {
     var i = 0
     while (i < 8) {
       var a = acc(i)
       a ^= a >>> 47
-      a ^= read64(kSecret, secOff + 8 * i)
+      a ^= read64(sec, secOff + 8 * i)
       a *= P32_1
       acc(i) = a
       i += 1
     }
   }
 
-  private def hashLong(in: Array[Byte]): Long = {
+  private def write64(b: Array[Byte], off: Int, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { b(off + i) = ((v >>> (8 * i)) & 0xff).toByte; i += 1 }
+  }
+
+  /** XXH3_initCustomSecret: per 16-byte chunk, low word += seed and
+    * high word -= seed (little-endian), over the canonical secret. */
+  private def deriveSecret(seed: Long): Array[Byte] = {
+    val out = new Array[Byte](192)
+    var i = 0
+    while (i < 12) {
+      write64(out, 16 * i, read64(kSecret, 16 * i) + seed)
+      write64(out, 16 * i + 8, read64(kSecret, 16 * i + 8) - seed)
+      i += 1
+    }
+    out
+  }
+
+  private def hashLong(in: Array[Byte], sec: Array[Byte]): Long = {
     val len = in.length
     val acc = Array(P32_3, P64_1, P64_2, P64_3, P64_4, P32_2, P64_5, P32_1)
     val nbStripesPerBlock = (192 - 64) / 8 // 16
@@ -183,45 +204,47 @@ object XxHash3 {
     while (n < nbBlocks) {
       var s = 0
       while (s < nbStripesPerBlock) {
-        accumulate512(acc, in, n * blockLen + s * 64, s * 8)
+        accumulate512(acc, in, n * blockLen + s * 64, sec, s * 8)
         s += 1
       }
-      scramble(acc, 192 - 64)
+      scramble(acc, sec, 192 - 64)
       n += 1
     }
     val nbStripes = ((len - 1) - blockLen * nbBlocks) / 64
     var s = 0
     while (s < nbStripes) {
-      accumulate512(acc, in, nbBlocks * blockLen + s * 64, s * 8)
+      accumulate512(acc, in, nbBlocks * blockLen + s * 64, sec, s * 8)
       s += 1
     }
-    accumulate512(acc, in, len - 64, 192 - 64 - 7) // SECRET_LASTACC_START = 7
+    accumulate512(acc, in, len - 64, sec, 192 - 64 - 7) // SECRET_LASTACC_START = 7
     // merge (SECRET_MERGEACCS_START = 11)
     var result = len.toLong * P64_1
     var i = 0
     while (i < 4) {
       result += mul128fold64(
-        acc(2 * i) ^ read64(kSecret, 11 + 16 * i),
-        acc(2 * i + 1) ^ read64(kSecret, 11 + 16 * i + 8))
+        acc(2 * i) ^ read64(sec, 11 + 16 * i),
+        acc(2 * i + 1) ^ read64(sec, 11 + 16 * i + 8))
       i += 1
     }
     xxh3Avalanche(result)
   }
 
-  /** XXH3_64bits with the default secret. Seeded variants use the
-    * seed-mixed paths for <=240 only (like the reference's usage; the
-    * long path with custom seed derives a secret — out of scope,
-    * callers pass seed 0 there). */
+  /** XXH3_64bits / XXH3_64bits_withSeed: short inputs use the
+    * seed-mixed paths over the canonical secret; the >240 long path
+    * with a nonzero seed runs over the derived custom secret
+    * (XXH3_initCustomSecret), exactly as the spec prescribes. */
   def hash(in: Array[Byte], seed: Long = 0L): Long = {
     val len = in.length
     if (len <= 16) len0to16(in, seed)
     else if (len <= 128) len17to128(in, seed)
     else if (len <= 240) len129to240(in, seed)
-    else {
-      require(seed == 0L, "seeded long-path (custom secret) not supported")
-      hashLong(in)
-    }
+    else if (seed == 0L) hashLong(in, kSecret)
+    else hashLong(in, deriveSecret(seed))
   }
 
   def hashString(s: String): Long = hash(s.getBytes("UTF-8"))
+
+  /** entry point for the chained xxhash_64 Catalyst expression. */
+  def hashSeeded(s: org.apache.spark.unsafe.types.UTF8String, seed: Long): Long =
+    hash(s.getBytes, seed)
 }

@@ -125,6 +125,19 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(mm.getInt(1) == graft.functions.Murmur3.hash32(
       "c".getBytes("UTF-8"),
       graft.functions.Murmur3.hash32("ab".getBytes("UTF-8"), 104729)))
+    // xxhash_64: 1-arg = XXH3-64 seed 0; 2-arg chains (hash of arg N
+    // seeded with the hash of args 1..N-1), mirroring the murmur forms
+    val xx = spark.sql("""
+      SELECT xxhash_64('hello') AS h1,
+             xxhash_64('hello', 'world') AS chained,
+             xxhash3_64('hello') AS alias1,
+             xxhash_64('hello', NULL) AS nullprop
+      """).head()
+    assert(xx.getLong(0) == graft.functions.XxHash3.hashString("hello"))
+    assert(xx.getLong(1) == graft.functions.XxHash3.hash(
+      "world".getBytes("UTF-8"), graft.functions.XxHash3.hashString("hello")))
+    assert(xx.getLong(2) == xx.getLong(0))
+    assert(xx.isNullAt(3))
   }
 
   test("facade: connected components resolve duplicate clusters transitively") {

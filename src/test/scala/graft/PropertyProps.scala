@@ -451,8 +451,8 @@ object SequenceCountGapProps extends Properties("SequenceCountGap") {
   * "abc" matches the commonly-cited reference output; the length-swept
   * pins (every mixing-path boundary: 1/3/4/8/9/16/17/64/128/129/240/
   * 241/1024/1025/4096 over a deterministic byte pattern) are
-  * self-derived regression pins — the sandbox has no vetted second
-  * XXH3 implementation (documented in COVERAGE.md). */
+  * self-derived regression pins, superseded as *verification* by the
+  * published xsum_sanity_check vectors pinned below. */
 object XxHash3Props extends Properties("XxHash3") {
   import graft.functions.XxHash3
 
@@ -482,6 +482,58 @@ object XxHash3Props extends Properties("XxHash3") {
       val b = Array.tabulate[Byte](n)(i => (i * 13 + 1).toByte)
       XxHash3.hash(b, seed) != XxHash3.hash(b, 0L)
     }
+
+  // ---- PUBLISHED sanity vectors (xxHash repo, tests/sanity_check /
+  // cli/xsum_sanity_check.c): the test buffer is generated by the
+  // documented prime generator (byteGen starts at PRIME32 = 2654435761,
+  // each byte is its top 8 bits, then byteGen *= PRIME64 =
+  // 11400714785074694797), and XSUM_XXH3_testdata lists the expected
+  // XXH3_64bits outputs per (len, seed). These externally pin every
+  // mixing path INCLUDING the seeded >240 custom-secret long path.
+  private val SANITY_PRIME64 = 0x9E3779B185EBCA8DL // 11400714785074694797
+  private def sanityBuffer(len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var gen = 2654435761L // PRIME32
+    var i = 0
+    while (i < len) { out(i) = (gen >>> 56).toByte; gen *= SANITY_PRIME64; i += 1 }
+    out
+  }
+
+  property("published sanity vectors, seed 0") = {
+    val pins = Seq(
+      0 -> 0x2D06800538D394C2L,   // empty
+      1 -> 0xC44BDFF4074EECDBL,   // 1-3 path
+      6 -> 0x27B56A84CD2D7325L,   // 4-8 path
+      12 -> 0xA713DAF0DFBB77E7L,  // 9-16 path
+      24 -> 0xA3FE70BF9D3510EBL,  // 17-128 path
+      48 -> 0x397DA259ECBA1F11L,  // 17-128 path
+      80 -> 0xBCDEFBBB2C47C90AL,  // 17-128 path
+      195 -> 0xCD94217EE362EC3AL, // 129-240 path
+      403 -> 0xCDEB804D65C6DEA4L, // long path, 1 stripe-block
+      512 -> 0x617E49599013CB6BL, // long path, exact multiple
+      2048 -> 0xDD59E2C3A5F038E0L // long path, 2 blocks
+    )
+    pins.forall { case (n, want) => XxHash3.hash(sanityBuffer(n)) == want }
+  }
+
+  property("published sanity vectors, seed PRIME64") = {
+    val pins = Seq(
+      0 -> 0xA8A6B918B2F0364AL,
+      1 -> 0x032BE332DD766EF8L,
+      6 -> 0x84589C116AB59AB9L,
+      12 -> 0xE7303E1B2336DE0EL,
+      24 -> 0x850E80FC35BDD690L,
+      48 -> 0xADC2CBAA44ACC616L,
+      80 -> 0xC6DD0CB699532E73L,
+      195 -> 0xBA68003D370CB3D9L,
+      403 -> 0x6259F6ECFD6443FDL,  // seeded long path: derived secret
+      512 -> 0x3CE457DE14C27708L,
+      2048 -> 0x66F81670669ABABCL
+    )
+    pins.forall { case (n, want) =>
+      XxHash3.hash(sanityBuffer(n), SANITY_PRIME64) == want
+    }
+  }
 }
 
 /** topn JSON keys must escape quotes/backslashes/control chars. */

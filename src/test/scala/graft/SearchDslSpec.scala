@@ -67,6 +67,20 @@ class SearchDslSpec extends AnyFunSuite {
     assert(esc.contains("'o\\'brien'"))
   }
 
+  test("numeric RANGE bounds are re-formatted and quoted, never raw-spliced") {
+    val n = SearchDsl.toSql(parse("n_chars:[10 TO 20}"))
+    assert(n.contains("CAST('10.0' AS DOUBLE)") && n.contains("CAST('20.0' AS DOUBLE)"))
+    assert(n.contains(">=") && n.contains("<"))
+    // java toDouble accepts 'Infinity' — it must come out quoted, not
+    // as a bare token Spark would resolve as a column reference
+    val inf = SearchDsl.toSql(parse("n_chars:[Infinity TO *]"))
+    assert(inf.contains("CAST('Infinity' AS DOUBLE)"))
+    assert(!inf.matches(".*[^']Infinity.*"))
+    // non-numeric ranges stay lexicographic string comparisons
+    val s = SearchDsl.toSql(parse("name:[alpha TO beta]"))
+    assert(s.contains("`name` >= 'alpha'") && s.contains("`name` <= 'beta'"))
+  }
+
   test("search() column filters like the hand-built predicate") {
     import TestSpark._
     import org.apache.spark.sql.functions._
