@@ -64,5 +64,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     graft.functions.FunctionRegistry.registerExtensions(e)
     // transparent MV rewrite (reference: nereids/rules/exploration/mv/)
     e.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
+    // score() -> per-row BM25 with scalar-subquery corpus stats
+    // (reference: function_score.cpp + the FE's virtual-slot binding)
+    e.injectOptimizerRule(s => new graft.plans.ScoreRewriteRule(s))
   }
 }

@@ -49,7 +49,8 @@ object SparkEntry {
       (graft.queries.Round4hQueries.queries, graft.queries.Round4hQueries.oracle),
       (graft.queries.Round4iQueries.queries, graft.queries.Round4iQueries.oracle),
       (graft.queries.Round5aQueries.queries, graft.queries.Round5aQueries.oracle),
-      (graft.queries.Round5bQueries.queries, graft.queries.Round5bQueries.oracle)
+      (graft.queries.Round5bQueries.queries, graft.queries.Round5bQueries.oracle),
+      (graft.queries.Round6Queries.queries, graft.queries.Round6Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -84,6 +84,12 @@ object Bitmaps {
     u.register("bitmap_union", udaf(new BitmapUnionAgg, Encoders.BINARY))
     u.register("bitmap_intersect_agg", udaf(new BitmapIntersectAgg, Encoders.BINARY))
     u.register("to_bitmap", (v: Long) => { val b = new Roaring64NavigableMap(); b.addLong(v); ser(b) })
+    // INTENTIONAL override of Spark 4's builtin bitmap_count (which
+    // counts bits of a fixed 4KB bitmap blob): Doris bitmap_count is
+    // the cardinality of a roaring bitmap. Drop first so the override
+    // is silent and deliberate rather than a replace-WARN.
+    spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bitmap_count"))
     u.register("bitmap_count", (b: Array[Byte]) => deser(b).getLongCardinality)
     u.register("bitmap_contains", (b: Array[Byte], v: Long) => deser(b).contains(v))
     // iterator order is already ascending-unsigned (Roaring64NavigableMap

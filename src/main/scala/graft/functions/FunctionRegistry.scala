@@ -265,7 +265,16 @@ object FunctionRegistry {
     // (function_search.h:46, SearchDslParser.java): the literal parses
     // at analysis time and rewrites to match_*/tokenize predicates over
     // the referenced columns, the RewriteSearchToSlots analog
-    "search" -> ((args: Seq[Expression]) => graft.ops.SearchDsl.builder(args))
+    "search" -> ((args: Seq[Expression]) => graft.ops.SearchDsl.builder(args)),
+    // score() — the BM25 relevance of the row under the search()
+    // predicate in the same query block (function_score.cpp): resolves
+    // to a placeholder that ScoreRewriteRule expands
+    "score" -> ((args: Seq[Expression]) => {
+      require(args.isEmpty,
+        "score() takes no arguments - it is the relevance of the row under " +
+          "the search('<dsl>') predicate in the same query block")
+      graft.plans.ScoreRewrite.ScoreCall()
+    })
   ) ++
     // Doris lambda-first array composites compiled to single
     // ArrayAggregate/ArraySort roots (the HOF-root constraint above no
@@ -280,12 +289,30 @@ object FunctionRegistry {
         builder))
     }
 
+  /** sessions already registered — re-running every `u.register` on the
+    * same session silently REPLACES each function (Spark logs a WARN per
+    * name), which defeats the fail-fast double-registration guard. Weak
+    * keys so dropped sessions don't leak. */
+  private val installed: java.util.Set[SparkSession] =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+
   /** Session-scoped registrations (UDAFs + SQL UDFs need a live
-    * session). Idempotent. */
+    * session). Idempotent: a session is registered exactly once, so a
+    * genuine duplicate registration surfaces as a WARN instead of
+    * drowning in re-install noise. */
   def registerAll(spark: SparkSession): Unit = {
+    if (!installed.add(spark)) return
+    val names = builders.map(_._1)
+    val dup = names.diff(names.distinct).distinct
+    require(dup.isEmpty, s"duplicate builder registrations: ${dup.mkString(", ")}")
     builders.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "internal")
+      // sessions built with GraftExtensions already carry the builders
+      // (injectFunction) — re-registering would WARN-and-replace each
+      if (!spark.sessionState.functionRegistry.functionExists(FunctionIdentifier(name)))
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "internal")
     }
     Bitmaps.register(spark)
     BehaviorAggs.register(spark)

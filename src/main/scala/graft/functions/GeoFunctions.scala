@@ -400,7 +400,14 @@ object GeoFunctions extends Serializable {
         case (Some(ga), Some(gb)) => touches(ga, gb)
         case _ => null
       })
-    // ---- WKB codec (little-endian; POINT=1, LINESTRING=2, POLYGON=3)
+    // ---- WKB codec (little-endian; POINT=1, LINESTRING=2, POLYGON=3).
+    // INTENTIONAL override of Spark 4.1's st_asbinary/st_geomfromwkb
+    // builtins (GEOMETRY-typed): this engine's geometry model is WKT
+    // strings, matching the reference's st_* string surface. Drop the
+    // builtins first so the override is silent and deliberate.
+    Seq("st_asbinary", "st_geomfromwkb").foreach(n =>
+      spark.sessionState.functionRegistry.dropFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(n)))
     u.register("st_asbinary", (w: String) => parse(w).collect {
       case GPoint(x, y) =>
         val bb = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -27,10 +27,8 @@ object MiscFunctions {
               CAST(shiftright(n, 16) & 255 AS STRING), '.',
               CAST(shiftright(n, 8) & 255 AS STRING), '.',
               CAST(n & 255 AS STRING))""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION is_ipv4_string(s STRING)
-       RETURNS BOOLEAN RETURN
-       s RLIKE '^([0-9]{1,3}\\.){3}[0-9]{1,3}$' AND
-       forall(split(s, '\\.'), p -> CAST(p AS INT) <= 255)""",
+    // is_ipv4_string lives in Ipv6Functions (the authoritative
+    // inet_pton-based parser pack)
     """CREATE OR REPLACE TEMPORARY FUNCTION ipv4_cidr_contains(cidr STRING, ip STRING)
        RETURNS BOOLEAN RETURN
        shiftright(aggregate(transform(split(split_part(cidr, '/', 1), '\\.'),
@@ -56,20 +54,10 @@ object MiscFunctions {
        RETURNS BOOLEAN RETURN
        instr(concat(' ', array_join(filter(split(lower(s), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' '),
              concat(' ', array_join(filter(split(lower(q), '[^a-z0-9]+'), t -> length(t) > 0), ' '), ' ')) > 0""",
-    // ---- Doris-named string/date aliases (BuiltinScalarFunctions.java) ----
-    """CREATE OR REPLACE TEMPORARY FUNCTION strleft(s STRING, n INT)
-       RETURNS STRING RETURN left(s, n)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION strright(s STRING, n INT)
-       RETURNS STRING RETURN right(s, n)""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION append_trailing_char_if_absent(s STRING, c STRING)
-       RETURNS STRING RETURN IF(endswith(s, c), s, concat(s, c))""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION null_or_empty(s STRING)
-       RETURNS BOOLEAN RETURN s IS NULL OR s = ''""",
-    """CREATE OR REPLACE TEMPORARY FUNCTION not_null_or_empty(s STRING)
-       RETURNS BOOLEAN RETURN s IS NOT NULL AND s <> ''""",
-    // dayname/monthname are Spark 4 built-ins already (Doris names match)
-    """CREATE OR REPLACE TEMPORARY FUNCTION money_format(v DOUBLE)
-       RETURNS STRING RETURN format_number(v, 2)""",
+    // ---- Doris-named string/date aliases: strleft/strright/
+    // append_trailing_char_if_absent/null_or_empty/not_null_or_empty/
+    // money_format live in AliasFunctions2 (single registration site);
+    // dayname/monthname are Spark 4 built-ins already (names match)
     // ---- Doris datetime floor/ceil family (function_datetime_floor_ceil
     // .cpp). Floor = date_trunc; ceil = sign-safe integer ceil-division
     // on epoch micros: x div D truncates toward zero, so add 1 only when

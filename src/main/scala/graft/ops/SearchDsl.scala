@@ -245,8 +245,15 @@ object SearchDsl {
     case Not(x)        => s"(NOT ${toSql(x)})"
   }
 
-  /** DataFrame-API entry point: search("text:rock AND lang:EXACT(en)"). */
-  def search(dsl: String): Column = expr(toSql(parse(dsl)))
+  /** DataFrame-API entry point: search("text:rock AND lang:EXACT(en)").
+    * The compiled predicate is tagged with the DSL so a score() in the
+    * same query can recover the terms (ScoreRewriteRule strips the
+    * transparent tag before physical planning either way). */
+  def search(dsl: String): Column = {
+    parse(dsl) // fail fast on syntax errors at call site
+    expr(s"search(${sLit(dsl)})") // resolves through the registered
+    // builder, so the predicate carries the score()-enabling tag
+  }
 
   /** Catalyst FunctionBuilder for SQL `search('<dsl>')` — the DSL must
     * be a string literal (the FE has the same constraint: the plan is
@@ -260,7 +267,8 @@ object SearchDsl {
       case other => throw new IllegalArgumentException(
         s"search() requires a literal DSL string, got $other")
     }
-    CatalystSqlParser.parseExpression(toSql(parse(dsl)))
+    graft.plans.ScoreRewrite.SearchTag(dsl,
+      CatalystSqlParser.parseExpression(toSql(parse(dsl))))
   }
 
   /** `score()` — the reference's BM25 relevance surface

@@ -81,6 +81,31 @@ class SearchDslSpec extends AnyFunSuite {
     assert(s.contains("`name` >= 'alpha'") && s.contains("`name` <= 'beta'"))
   }
 
+  test("score() SQL name: BM25 under the search predicate; helpful error without one") {
+    import TestSpark._
+    GraftSession.install(spark)
+    graft.Tables.registerAll(spark, sf)
+    val top = spark.sql("""
+      SELECT doc_id, round(score(), 6) AS relevance
+      FROM documents
+      WHERE search('text:slow text:merge')
+      ORDER BY relevance DESC, doc_id LIMIT 5""").collect()
+    assert(top.nonEmpty)
+    assert(top.forall(_.getDouble(1) > 0.0))
+    // descending by relevance
+    assert(top.map(_.getDouble(1)).sliding(2).forall(p => p.head >= p.last))
+    // no ScoreCall/SearchTag survives to the executed plan
+    val plan = spark.sql("""
+      SELECT score() AS s FROM documents
+      WHERE search('text:slow')""").queryExecution.executedPlan
+    assert(!plan.toString.contains("score()"))
+    // score() without a search() predicate errors helpfully
+    val e = intercept[Exception] {
+      spark.sql("SELECT score() FROM documents").collect()
+    }
+    assert(e.getMessage.contains("search"))
+  }
+
   test("search() column filters like the hand-built predicate") {
     import TestSpark._
     import org.apache.spark.sql.functions._
