@@ -50,7 +50,9 @@ object SparkEntry {
       (graft.queries.Round4iQueries.queries, graft.queries.Round4iQueries.oracle),
       (graft.queries.Round5aQueries.queries, graft.queries.Round5aQueries.oracle),
       (graft.queries.Round5bQueries.queries, graft.queries.Round5bQueries.oracle),
-      (graft.queries.Round6Queries.queries, graft.queries.Round6Queries.oracle)
+      (graft.queries.Round6Queries.queries, graft.queries.Round6Queries.oracle),
+      (graft.queries.Round6dsQueries.queries, graft.queries.Round6dsQueries.oracle),
+      (graft.queries.Round6ds2Queries.queries, graft.queries.Round6ds2Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
