@@ -76,7 +76,9 @@ object Graft {
                  nprobe: Int, k: Int): DataFrame =
     VectorSearch.topKIvf(corpus, queries, centroids, nprobe, k)
   def cosineNearDups(corpus: DataFrame, threshold: Double): DataFrame =
-    VectorSearch.nearDupPairs(corpus, threshold)
+    VectorSearch.nearDupPairsIvf(corpus, threshold)
+  def cosineNearDupsBrute(corpus: DataFrame, threshold: Double): DataFrame =
+    VectorSearch.nearDupPairsBrute(corpus, threshold)
   def dedupComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
     Dedup.connectedComponents(pairs, aCol, bCol)
   def langId(text: Column): Column = TextOps.langId(text)

@@ -36,8 +36,18 @@ object VectorSearch {
   }
 
   /** Exact near-duplicate pairs by cosine similarity >= threshold.
-    * Brute force (the correctness baseline; LSH below is the scale path). */
-  def nearDupPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    * BRUTE FORCE — O(N^2) pairs — and therefore guarded: it refuses
+    * corpora above `maxRows` with a loud error naming the scale paths
+    * ([[nearDupPairsLsh]] for the near-dup regime, [[nearDupPairsIvf]]
+    * for low thresholds). The fixture-level correctness baseline, not
+    * a declared operator. */
+  def nearDupPairsBrute(corpus: DataFrame, threshold: Double,
+                        maxRows: Long = 100000): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"nearDupPairsBrute enumerates O(N^2) pairs and corpus has $n rows " +
+        s"(cap $maxRows). Use nearDupPairsLsh (threshold >= ~0.8) or " +
+        "nearDupPairsIvf (lower thresholds) — both cell/bucket-bounded.")
     // Precompute per-vector double casts + norms ONCE (checkpointed so
     // the pair join reads data, not expressions): the naive per-pair
     // cosine recomputes both norms and casts for every one of the
@@ -58,6 +68,58 @@ object VectorSearch {
       .filter(col("sim") >= threshold)
   }
 
+  /** IVF-cell-bounded near-duplicate pair enumeration — the scale path
+    * for LOW thresholds, where sign-LSH banding cannot retain recall
+    * (the round-5 honest hole, now closed). Every vector is assigned to
+    * its `nprobe` nearest of `nCells` centroid cells (multi-probe
+    * assignment); candidate pairs are vectors sharing a cell; exact
+    * cosine verifies inside cells, so precision is exact and the output
+    * is a subset of the brute pair set by construction.
+    *
+    * Centroids are the first `nCells` corpus vectors by id —
+    * deterministic, no RNG state, same contract as the LSH planes. At
+    * fixture scale the parameters are deliberately generous
+    * (nprobe/nCells close to 1) so recall is exhaustive and the
+    * oracle-exact gate is meaningful; at 100 TB the same shape runs
+    * with nCells ~ 2^16 and nprobe ~ 32, touching ~nprobe^2/nCells of
+    * all pairs. Scale anatomy: centroids broadcast (tiny), one corpus
+    * pass assigns cells (broadcast join + per-vector top-nprobe), one
+    * shuffle on cell bounds the pair join, verify joins shuffle on id.
+    * Reference ANN analog: be/src/storage/index/ann/faiss_ann_index.h
+    * (IVF coarse quantizer). */
+  def nearDupPairsIvf(corpus: DataFrame, threshold: Double,
+                      nCells: Int = 8, nprobe: Int = 4): DataFrame = {
+    val prepared = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .localCheckpoint()
+    val cent = broadcast(prepared
+      .orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
+    val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    val assign = prepared.crossJoin(cent)
+      .withColumn("csim",
+        aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("cn")))
+      .withColumn("crn", row_number().over(wAssign)).filter(col("crn") <= nprobe)
+      .select(col("id"), col("cid"))
+      .localCheckpoint() // feeds both sides of the candidate self-join
+    val cand = assign.as("x")
+      .join(assign.as("y"),
+        col("x.cid") === col("y.cid") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    cand
+      .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+                        lit(0.0), (acc, x) => acc + x)
+          / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+
   /** splitmix64-style deterministic plane component in [-1, 1]: the
     * hyperplane matrix is fixed at plan-build time (no RNG state), so
     * every run — and every executor — sees identical planes. */
@@ -70,7 +132,7 @@ object VectorSearch {
   }
 
   /** Banded hyperplane-LSH near-duplicate pair enumeration — the scale
-    * path for [[nearDupPairs]] (which stays the brute-force correctness
+    * path for [[nearDupPairsBrute]] (which stays the brute-force correctness
     * baseline). Identical shape to [[Dedup.minhashPairs]]: sign-bit
     * signature over nPlanes deterministic hyperplanes, banded into
     * nBands groups of r = nPlanes/nBands bits, candidate pairs from an
@@ -100,7 +162,7 @@ object VectorSearch {
     require(nPlanes % nBands == 0, "nPlanes must divide into nBands")
     val r = nPlanes / nBands
     // per-vector casts + norms once (same localCheckpoint discipline as
-    // nearDupPairs/minhashPairs: single-reference aliases would be
+    // nearDupPairsBrute/minhashPairs: single-reference aliases would be
     // inlined into every consuming lambda otherwise)
     val prepared = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))

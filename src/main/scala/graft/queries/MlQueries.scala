@@ -49,12 +49,21 @@ object MlQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // brute-force pair scoring — the correctness baseline, and the only
-    // honest path at LOW thresholds (0.4 cosine = 66°; no sign-LSH
-    // banding retains recall there). The near-dup-regime scale path is
-    // ml_embed_neardup_lsh below.
+    // the DEFAULT-named near-dup operator is the scale-safe path
+    // (round-5 verdict items 4/10): IVF-cell-bounded pair enumeration —
+    // multi-probe cell assignment bounds the candidate join, exact
+    // cosine verifies inside cells. The oracle is DuckDB brute force,
+    // so correctness-green == full recall at this threshold/fixture.
+    // No cartesian anywhere (plan-asserted in PlanShapeSpec).
     "ml_embed_neardup" -> ((s, dir) => {
-      VectorSearch.nearDupPairs(t(s, dir, "embeddings"), 0.4)
+      VectorSearch.nearDupPairsIvf(t(s, dir, "embeddings"), 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the O(N^2) baseline, explicitly named and row-cap guarded —
+    // fixture-only; declared so users see the honest brute option
+    "ml_embed_neardup_brute" -> ((s, dir) => {
+      VectorSearch.nearDupPairsBrute(t(s, dir, "embeddings"), 0.4)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -182,6 +191,17 @@ object MlQueries {
       WHERE j >= 0.2 ORDER BY id_a, id_b""",
 
     "ml_embed_neardup" -> """
+      SELECT id_a, id_b, sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+                 / (sqrt(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+                  * sqrt(list_inner_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 6) AS sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) x
+      WHERE sim >= 0.4 ORDER BY id_a, id_b""",
+
+    // identical brute-force oracle: the IVF default and the brute
+    // baseline must both reproduce the exact pair set
+    "ml_embed_neardup_brute" -> """
       SELECT id_a, id_b, sim FROM (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                round(list_inner_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))

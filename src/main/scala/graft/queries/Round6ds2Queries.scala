@@ -62,12 +62,12 @@ object Round6ds2Queries {
         SELECT l_suppkey,
                CAST(SUM(revenue_dec) AS DOUBLE) / count(*) AS ave
         FROM sb GROUP BY l_suppkey)
-      SELECT s_name, p_name, CAST(sb.revenue_dec AS DOUBLE) AS revenue, sc.ave
+      SELECT s_name, p_partkey, p_name, CAST(sb.revenue_dec AS DOUBLE) AS revenue, sc.ave
       FROM sb JOIN sc ON sb.l_suppkey = sc.l_suppkey
            JOIN supplier ON s_suppkey = sb.l_suppkey
            JOIN part ON p_partkey = sb.l_partkey
       WHERE CAST(sb.revenue_dec AS DOUBLE) <= 0.5 * sc.ave
-      ORDER BY s_name, p_name
+      ORDER BY s_name, p_partkey
       LIMIT 100""",
 
     // q77/q80/q93: per-brand gross sales, returned amount (the R-flag

@@ -178,7 +178,7 @@ object Round6dsQueries {
         ON cs1.item_sk = cs2.item_sk AND cs1.supp_nation = cs2.supp_nation
       WHERE cs1.syear = 1996 AND cs2.syear = 1997 AND cs2.cnt <= cs1.cnt
       ORDER BY cs1.product_name, cs1.item_sk, cs1.cust_nation, cs1.supp_nation,
-               cs2.cnt, cs1.s1, cs2.s1
+               cs1.cnt, cs2.cnt, cs1.s1, cs2.s1, cs1.s2, cs2.s2
       LIMIT 100""",
 
     // q88: eight independent hour-band counts with a disjunctive

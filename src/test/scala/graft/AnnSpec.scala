@@ -29,13 +29,35 @@ class AnnSpec extends AnyFunSuite {
     import graft.queries.MlQueries
     val corpus = MlQueries.plantedDupCorpus(
       spark.read.parquet(s"$sf/embeddings.parquet"))
-    val brute = VectorSearch.nearDupPairs(corpus, 0.9).collect()
+    val brute = VectorSearch.nearDupPairsBrute(corpus, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val lsh = VectorSearch.nearDupPairsLsh(corpus, 0.9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(brute.nonEmpty, "planted corpus produced no near-dup pairs")
     assert(lsh == brute,
       s"row sets differ: lsh-only=${(lsh -- brute).take(5)} brute-only=${(brute -- lsh).take(5)}")
+  }
+
+  test("IVF-cell-bounded near-dup pairs == brute force at the low threshold") {
+    import graft.ops.VectorSearch
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val brute = VectorSearch.nearDupPairsBrute(corpus, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ivf = VectorSearch.nearDupPairsIvf(corpus, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "fixture produced no low-threshold pairs")
+    assert(ivf == brute,
+      s"row sets differ: ivf-only=${(ivf -- brute).take(5)} brute-only=${(brute -- ivf).take(5)}")
+  }
+
+  test("brute near-dup path refuses an over-cap corpus loudly") {
+    import graft.ops.VectorSearch
+    val corpus = spark.read.parquet(s"$sf/embeddings.parquet")
+    val e = intercept[IllegalArgumentException] {
+      VectorSearch.nearDupPairsBrute(corpus, 0.4, maxRows = 10)
+    }
+    assert(e.getMessage.contains("O(N^2)"))
+    assert(e.getMessage.contains("nearDupPairsIvf"))
   }
 
   test("simhash pairs have symmetric-difference consistency") {

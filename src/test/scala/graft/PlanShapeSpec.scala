@@ -116,6 +116,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"all-pairs join in LSH path:\n$p")
   }
 
+  test("ml_embed_neardup (IVF default) joins within cells, no cartesian") {
+    val p = SparkEntry.queries("ml_embed_neardup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // cell-id equality drives the candidate self-join; the only
+    // broadcast-NLJ is the tiny centroid assignment side (by design)
+    assert(p.contains("cid"), s"no cell-bounded join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF pair path:\n$p")
+  }
+
   test("ml_ngram_jaccard routes through banded LSH, no cartesian") {
     val p = SparkEntry.queries("ml_ngram_jaccard")(spark, sf)
       .queryExecution.executedPlan.toString
