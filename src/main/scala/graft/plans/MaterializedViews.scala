@@ -97,6 +97,100 @@ object MaterializedViews {
 
   def forPath(p: String): Seq[MvDef] = registry.getOrElse(normalize(p), Vector.empty)
 
+  // ---- partition-incremental refresh (reference:
+  // fe/fe-core/.../mtmv/MTMVPartitionUtil.java — MV partitions follow
+  // the base table's partitions; a refresh snapshots per-partition
+  // source versions and rebuilds only partitions whose version moved).
+
+  case class PartMvDef(name: String, basePath: String, partCol: String,
+                       groupCols: Seq[String], sumCols: Seq[String],
+                       mvPath: String, versions: Map[String, String])
+
+  private val partRegistry = new TrieMap[String, PartMvDef]()
+
+  /** Per-partition source version: partition value -> fingerprint of
+    * its file listing (name + length + mtime; parquet part files carry
+    * fresh job UUIDs per write, so any rewrite moves the version). The
+    * analog of the reference's MTMVVersionSnapshot. */
+  def partitionVersions(spark: SparkSession, basePath: String,
+                        partCol: String): Map[String, String] = {
+    val path = new org.apache.hadoop.fs.Path(basePath)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      .map { st =>
+        val value = st.getPath.getName.substring(partCol.length + 1)
+        val files = fs.listStatus(st.getPath).toSeq
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted.mkString("|")
+        value -> java.util.UUID.nameUUIDFromBytes(files.getBytes("UTF-8")).toString
+      }.toMap
+  }
+
+  /** Materialize a PARTITIONED MV over a partitioned base dir and
+    * snapshot the per-partition versions. */
+  def createPartitioned(spark: SparkSession, name: String, basePath: String,
+                        partCol: String, groupCols: Seq[String],
+                        sumCols: Seq[String],
+                        mvRoot: String = "target/mv"): PartMvDef = {
+    val mvPath = s"$mvRoot/$name"
+    val aggs = sumCols.map(c => sum(col(c)).as(sumAlias(c))) :+ count(lit(1)).as(cntAlias)
+    spark.read.parquet(basePath)
+      .groupBy((partCol +: groupCols).map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(mvPath)
+    val d = PartMvDef(name, basePath, partCol, groupCols, sumCols, mvPath,
+      partitionVersions(spark, basePath, partCol))
+    partRegistry.put(name, d)
+    d
+  }
+
+  /** Refresh ONLY the partitions whose source version moved (new,
+    * changed, or dropped); unchanged MV partition files are not
+    * rewritten (MvSpec asserts their paths+mtimes survive). Returns
+    * the stale partition values that were refreshed. */
+  def refreshPartitioned(spark: SparkSession, name: String): Seq[String] = {
+    val d = partRegistry(name)
+    val cur = partitionVersions(spark, d.basePath, d.partCol)
+    val stale = (cur.keySet ++ d.versions.keySet).toSeq.sorted
+      .filter(v => cur.get(v) != d.versions.get(v))
+    if (stale.nonEmpty) {
+      val live = stale.filter(cur.contains)
+      if (live.nonEmpty) {
+        val aggs = d.sumCols.map(c => sum(col(c)).as(sumAlias(c))) :+
+          count(lit(1)).as(cntAlias)
+        // dynamic partition overwrite: only the written (= stale)
+        // partitions are replaced, everything else is left on disk
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = spark.conf.getOption(key)
+        spark.conf.set(key, "dynamic")
+        try {
+          spark.read.parquet(d.basePath)
+            .filter(col(d.partCol).cast("string").isin(live: _*))
+            .groupBy((d.partCol +: d.groupCols).map(col): _*)
+            .agg(aggs.head, aggs.tail: _*)
+            .write.mode("overwrite").partitionBy(d.partCol).parquet(d.mvPath)
+        } finally prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+      }
+      // dropped source partitions: dynamic overwrite writes no rows for
+      // them, so their MV dirs are removed explicitly
+      val mvRoot = new org.apache.hadoop.fs.Path(d.mvPath)
+      val fs = mvRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      stale.filterNot(cur.contains).foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"${d.mvPath}/${d.partCol}=$v"), true)
+      }
+    }
+    partRegistry.put(name, d.copy(versions = cur))
+    stale
+  }
+
+  def readPartitioned(spark: SparkSession, name: String): DataFrame =
+    spark.read.parquet(partRegistry(name).mvPath)
+
   private def normalize(p: String): String =
     new java.io.File(p).getAbsolutePath
 

@@ -46,6 +46,41 @@ object MvQueries {
         .orderBy(col("l_suppkey"))
     }),
 
+    // partition-incremental refresh (MTMVPartitionUtil analog): build a
+    // year-partitioned base, materialize a partitioned MV, simulate a
+    // late-arriving update to ONE year (1996 prices double), refresh —
+    // only the stale partition rebuilds (file-level assert in MvSpec) —
+    // and read the MV back; the oracle recomputes the same final state
+    // from lineitem directly.
+    "mv_partition_refresh" -> ((s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val baseDir = "target/mvp_base"
+      val li = t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("yr"), col("l_suppkey"),
+          col("l_extendedprice").cast(DecimalType(16, 2)).as("ext"))
+      li.write.mode("overwrite").partitionBy("yr").parquet(baseDir)
+      MaterializedViews.createPartitioned(s, "mv_part_supp", baseDir, "yr",
+        groupCols = Seq("l_suppkey"), sumCols = Seq("ext"))
+      // the update: overwrite just the 1996 base partition
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "dynamic")
+      try li.filter(col("yr") === 1996)
+        .withColumn("ext", (col("ext") * 2).cast(DecimalType(16, 2)))
+        .write.mode("overwrite").partitionBy("yr").parquet(baseDir)
+      finally prev match {
+        case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key)
+      }
+      val refreshed = MaterializedViews.refreshPartitioned(s, "mv_part_supp")
+      require(refreshed == Seq("1996"),
+        s"expected exactly the 1996 partition stale, got $refreshed")
+      MaterializedViews.readPartitioned(s, "mv_part_supp")
+        .select(col("yr").cast("int").as("yr"), col("l_suppkey"),
+          col(MaterializedViews.sumAlias("ext")).cast("double").as("total"),
+          col(MaterializedViews.cntAlias).as("n"))
+        .orderBy(col("yr"), col("l_suppkey"))
+    }),
+
     // ineligible (distinct agg): must stay on the base table.
     "mv_rewrite_miss" -> ((s, dir) => {
       ensureMv(s, dir)
@@ -71,6 +106,16 @@ object MvQueries {
 
     "mv_rewrite_miss" -> """
       SELECT l_returnflag, count(DISTINCT l_suppkey) AS nd, count(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "mv_partition_refresh" -> """
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, l_suppkey,
+             CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+                           THEN CAST(CAST(l_extendedprice AS DECIMAL(16,2)) * 2 AS DECIMAL(16,2))
+                           ELSE CAST(l_extendedprice AS DECIMAL(16,2)) END) AS DOUBLE) AS total,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY year(l_shipdate), l_suppkey
+      ORDER BY yr, l_suppkey"""
   )
 }
