@@ -110,6 +110,32 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // routine load (RoutineLoadJob analog): a 3-consumer group drains
+    // the 4-way-partitioned events source in capped batches, committing
+    // per-partition offset ranges to a log table after every append.
+    // The offset-log invariants (contiguous ranges, stable consumer
+    // assignment, full coverage) are asserted in-line; the oracle
+    // checks the loaded table content — exactly the source — by
+    // aggregate.
+    "stream_routine_load" -> ((s, dir) => {
+      val (_, out) = fresh("routine_load")
+      val (_, logDir) = fresh("routine_load_log")
+      val src = graft.Tables.load(s, dir, "events")
+      val log = RoutineLoad.run(s, src, "event_id",
+        nPartitions = 4, nConsumers = 3, maxBatchRows = 1000,
+        outDir = out, logDir = logDir)
+      val maxByPart = src
+        .groupBy(pmod(col("event_id"), lit(4)).cast("int").as("p"))
+        .agg(max(col("event_id")).as("m")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      RoutineLoad.assertLogConsistent(log, src.count(), maxByPart)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("nd"),
+          min(col("event_id")).as("mn"), max(col("event_id")).as("mx"))
+        .orderBy(col("event_type"))
+    }),
+
     // arbitrary stateful processing: per-user running aggregate via
     // mapGroupsWithState (KeyValueGroupedDataset custom state).
     "stream_stateful" -> ((s, dir) => {
@@ -239,6 +265,11 @@ object StreamQueries {
 
     "stream_insert_job" -> """
       SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_routine_load" -> """
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
+             min(event_id) AS mn, max(event_id) AS mx
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "stream_stateful" -> """

@@ -140,6 +140,33 @@ class GraftFacadeSpec extends AnyFunSuite {
     assert(xx.isNullAt(3))
   }
 
+  test("routine load: capped batches, contiguous offsets, resume is a no-op") {
+    import graft.streaming.RoutineLoad
+    import org.apache.spark.sql.functions._
+    val out = "target/stream/out_routine_spec"
+    val logDir = "target/stream/log_routine_spec"
+    Seq(out, logDir).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) new scala.reflect.io.Directory(f).deleteRecursively()
+    }
+    val src = Tables.load(spark, sf, "events")
+    val n = src.count()
+    val log = RoutineLoad.run(spark, src, "event_id",
+      nPartitions = 4, nConsumers = 3, maxBatchRows = 100, out, logDir)
+    // batch caps respected and everything loaded exactly once
+    assert(log.forall(_.rows <= 100))
+    assert(log.map(_.rows).sum == n)
+    assert(spark.read.parquet(out).select(countDistinct(col("event_id")))
+      .head().getLong(0) == n)
+    // multiple batches actually happened (the cap bites at this sf)
+    assert(log.map(_.batch).distinct.size > 1)
+    // resume against the persisted log: nothing new to consume
+    val again = RoutineLoad.run(spark, src, "event_id",
+      nPartitions = 4, nConsumers = 3, maxBatchRows = 100, out, logDir)
+    assert(again.isEmpty, s"resume re-consumed: $again")
+    assert(spark.read.parquet(out).count() == n)
+  }
+
   test("facade: connected components resolve duplicate clusters transitively") {
     import spark.implicits._
     // path 1-2-3 plus isolated pair 10-11: min-label must flow across
