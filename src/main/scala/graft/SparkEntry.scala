@@ -82,9 +82,16 @@ object SparkEntry {
     families.map(_._2).reduce(_ ++ _)
   }
 
-  /** Headline subset for Bench (kept fast but representative). */
+  /** Headline subset for Bench. TPC-H core plus the ml/ds paths the
+    * round-5 verdict asked to put under the bench lens: the two LSH
+    * dedup pipelines (so a banding/plan regression shows up as wall
+    * time, not just a plan assert) and three TPC-DS heavies covering
+    * union+rollup legs, the wide resale multi-join, and the
+    * year-over-year CTE chain. */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
-    "q18_large_orders", "q21_waiting_supplier")
+    "q18_large_orders", "q21_waiting_supplier",
+    "ml_dedup_minhash", "ml_embed_neardup_lsh",
+    "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth")
 }

@@ -179,12 +179,19 @@ object TpchQueries {
     }),
 
     // Q13: left outer join + double aggregation (distribution of counts).
+    // Orders are aggregated per custkey BEFORE the join (map-side combine
+    // shrinks the fact side to ≤|customer| rows), so the join moves one
+    // row per customer instead of one per order — at 100 TB that is the
+    // difference between shuffling the orders fact and shuffling a
+    // pre-reduced key list. count(o_orderkey) ≡ count(*) per group
+    // (orderkey is non-null) and COALESCE(...,0) restores the
+    // no-orders customers the left join would have counted.
     "q13_customer_distribution" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
-      val perCust = c.join(o, col("c_custkey") === col("o_custkey"), "left")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+      val ordCounts = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+      val perCust = c.join(ordCounts, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n_ord"), lit(0L)).as("c_count"))
       perCust.groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
