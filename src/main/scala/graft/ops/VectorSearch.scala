@@ -169,7 +169,9 @@ object VectorSearch {
       .withColumn("nrm", sqrt(aggregate(
         transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
       .localCheckpoint()
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    // dim probe reads the already-materialized checkpoint, not the
+    // source (a second parquet scan per call at 100 TB otherwise)
+    val dim = prepared.select(size(col("v"))).head().getInt(0)
     val planes = typedLit((0 until nPlanes).map(p =>
       (0 until dim).map(j => planeComponent(p, j))))
     val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
