@@ -132,6 +132,40 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("band") && p.contains("sig"), s"no band-bucket join:\n$p")
   }
 
+  test("q13 pre-aggregates orders below the join (round-6 rewrite)") {
+    // the orders fact must be reduced to per-custkey counts BEFORE the
+    // customer join — the physical plan shows a HashAggregate on the
+    // orders side feeding the join, not a join feeding the aggregate
+    val qe = SparkEntry.queries("q13_customer_distribution")(spark, sf).queryExecution
+    val joins = qe.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.nonEmpty, "expected a join in q13")
+    val aggBelowJoin = joins.exists(_.children.exists(side =>
+      side.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined))
+    assert(aggBelowJoin, s"orders not pre-aggregated below the join:\n${qe.optimizedPlan}")
+  }
+
+  test("heavy TPC-DS shapes carry no cartesian product") {
+    // the wide multi-join (q64), the union+rollup channel report (q5),
+    // the year-over-year CTE chain (q74 family), the cross-supplier
+    // EXISTS (q94) and the inventory-undercut week join (q72) must all
+    // plan keyed joins — a cartesian here is a rewrite bug that only
+    // hurts at scale
+    for (q <- Seq("ds_wide_resale", "ds_channel_rollup_net", "ds_two_channel_growth",
+                  "ds_cross_warehouse_orders", "ds_promo_inventory_week")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+
+  test("TPC-H q2 tail: correlated min resolves without cartesian") {
+    val p = plan("q2_min_cost_supplier")
+    assert(!p.contains("CartesianProduct"), s"cartesian in q2:\n$p")
+  }
+
   test("arrow roundtrip preserves schema") {
     val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
