@@ -57,7 +57,8 @@ object SparkEntry {
       (graft.queries.Round6ds4Queries.queries, graft.queries.Round6ds4Queries.oracle),
       (graft.queries.Round6ds5Queries.queries, graft.queries.Round6ds5Queries.oracle),
       (graft.queries.Round6ds6Queries.queries, graft.queries.Round6ds6Queries.oracle),
-      (graft.queries.TpchTailQueries.queries, graft.queries.TpchTailQueries.oracle)
+      (graft.queries.TpchTailQueries.queries, graft.queries.TpchTailQueries.oracle),
+      (graft.queries.SsbQueries.queries, graft.queries.SsbQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
