@@ -58,7 +58,8 @@ object SparkEntry {
       (graft.queries.Round6ds5Queries.queries, graft.queries.Round6ds5Queries.oracle),
       (graft.queries.Round6ds6Queries.queries, graft.queries.Round6ds6Queries.oracle),
       (graft.queries.TpchTailQueries.queries, graft.queries.TpchTailQueries.oracle),
-      (graft.queries.SsbQueries.queries, graft.queries.SsbQueries.oracle)
+      (graft.queries.SsbQueries.queries, graft.queries.SsbQueries.oracle),
+      (graft.queries.ClickBenchQueries.queries, graft.queries.ClickBenchQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -90,13 +91,15 @@ object SparkEntry {
   /** Headline subset for Bench. TPC-H core plus the ml/ds paths the
     * round-5 verdict asked to put under the bench lens: the two LSH
     * dedup pipelines (so a banding/plan regression shows up as wall
-    * time, not just a plan assert) and three TPC-DS heavies covering
+    * time, not just a plan assert), three TPC-DS heavies covering
     * union+rollup legs, the wide resale multi-join, and the
-    * year-over-year CTE chain. */
+    * year-over-year CTE chain, and two ClickBench heavies (the 90-sum
+    * codegen-width scan and the full-cardinality two-key group-by). */
   def benchQueries: Seq[String] = Seq(
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
     "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
     "q18_large_orders", "q21_waiting_supplier",
     "ml_dedup_minhash", "ml_embed_neardup_lsh",
-    "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth")
+    "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth",
+    "cb_q29", "cb_q32")
 }

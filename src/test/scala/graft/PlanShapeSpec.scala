@@ -166,6 +166,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in q2:\n$p")
   }
 
+  test("clickbench group-topn plans TakeOrderedAndProject, one shuffle") {
+    // Q33 (top URLs): the ORDER BY c DESC LIMIT 10 above the group-by
+    // must plan as a top-k (per-partition heap + merge), never a global
+    // sort — the difference between O(k) and O(n log n) driver memory
+    // at 100 TB.
+    val p = plan("cb_q33")
+    assert(p.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$p")
+    assert(!p.contains("Sort "), s"unexpected global sort:\n$p")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected exactly one group-by shuffle:\n$p")
+  }
+
+  test("clickbench 90-sum scan is one codegen pass, one exchange") {
+    // Q29: ninety SUM columns over one scan — all sums must fold into a
+    // single partial-agg + single-partition exchange + final-agg, with
+    // the arithmetic inside whole-stage codegen (no per-sum passes).
+    val df = SparkEntry.queries("cb_q29")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected a single exchange:\n$p")
+    df.collect() // finalize AQE so codegen spans are visible
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // "*(n) HashAggregate" is the whole-stage-codegen marker in the
+    // simple plan string — both agg phases must carry it
+    assert("\\*\\(\\d+\\) HashAggregate".r.findAllIn(finalPlan).size == 2,
+      s"sums fell out of codegen:\n$finalPlan")
+  }
+
   test("arrow roundtrip preserves schema") {
     val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
