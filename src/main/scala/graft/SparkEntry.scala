@@ -59,7 +59,8 @@ object SparkEntry {
       (graft.queries.Round6ds6Queries.queries, graft.queries.Round6ds6Queries.oracle),
       (graft.queries.TpchTailQueries.queries, graft.queries.TpchTailQueries.oracle),
       (graft.queries.SsbQueries.queries, graft.queries.SsbQueries.oracle),
-      (graft.queries.ClickBenchQueries.queries, graft.queries.ClickBenchQueries.oracle)
+      (graft.queries.ClickBenchQueries.queries, graft.queries.ClickBenchQueries.oracle),
+      (graft.queries.RealDataQueries.queries, graft.queries.RealDataQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
