@@ -2,7 +2,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc overhead probe: separates fixed job overhead from per-query
-  * compute so perf work targets the real bottleneck. */
+  * compute so perf work targets the real bottleneck. Currently aimed at
+  * the LSH dedup pipelines (the two heaviest bench entries). */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = "/root/testdata/sf0.1"
@@ -13,7 +14,7 @@ object PerfProbe {
     Tables.names.foreach { n => Tables.load(spark, sfDir, n).persist().count() }
 
     def best(name: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
-      val t = (1 to 5).map { _ =>
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         mk.write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -22,14 +23,32 @@ object PerfProbe {
     }
 
     import org.apache.spark.sql.functions._
-    val l = Tables.load(spark, sfDir, "lineitem")
-    best("range_sum")(spark.range(600000).selectExpr("sum(id) s"))
-    best("count_only")(l.groupBy().count())
-    best("sum_double")(l.agg(sum(col("l_quantity"))))
-    best("sum_decimal")(l.agg(sum(col("l_extendedprice").cast("decimal(12,2)"))))
-    best("groupby_sum_decimal")(l.groupBy("l_returnflag", "l_linestatus")
-      .agg(sum(col("l_extendedprice").cast("decimal(12,2)"))))
-    best("q1_full")(SparkEntry.queries("q1_pricing_summary")(spark, sfDir))
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = graft.queries.MlQueries.plantedDupCorpus(emb)
+
+    // stage anatomy of nearDupPairsLsh (re-derived; no checkpoints here
+    // so each probe shows cumulative lazy compute)
+    val prepared = corpus.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+    best("lsh_1_prepare")(prepared)
+    best("lsh_2_sigs")(prepared
+      .select(col("id"), posexplode(expr("graft_band_sigs(v, 128, 16)")))
+      .toDF("id", "band", "sig"))
+    val banded = prepared
+      .select(col("id"), posexplode(expr("graft_band_sigs(v, 128, 16)")))
+      .toDF("id", "band", "sig").localCheckpoint()
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    best("lsh_3_cand")(cand)
+    println(s"[probe] lsh candidate pairs: ${cand.count()}")
+    best("lsh_full")(ops.VectorSearch.nearDupPairsLsh(corpus, 0.9))
+    best("minhash_full")(
+      SparkEntry.queries("ml_dedup_minhash")(spark, sfDir))
     best("q21_full")(SparkEntry.queries("q21_waiting_supplier")(spark, sfDir))
     spark.stop()
   }

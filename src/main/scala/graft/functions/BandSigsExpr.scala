@@ -1,0 +1,208 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Banded sign-LSH signature kernel for the embedding near-dup path
+  * (ops/VectorSearch.nearDupPairsLsh).
+  *
+  * Semantics: project the vector onto nPlanes deterministic
+  * hyperplanes (the splitmix64-derived matrix shared with
+  * VectorSearch — identical on every executor with no RNG state),
+  * take the sign bit of each projection, and pack each band's r =
+  * nPlanes/nBands consecutive bits into one long. Two vectors share a
+  * band signature iff their sign-bit slices are identical — the exact
+  * bucket key of the banded self-join.
+  *
+  * Why an Expression and not the HOF composition it replaces: Catalyst
+  * higher-order functions evaluate their lambda per element through
+  * the interpreter, so the signature pass cost nPlanes × dim lambda
+  * steps per row plus a per-band slice→string→xxhash64 detour. This
+  * kernel is one virtual call per row into a primitive double loop
+  * (plane matrix cached per (nPlanes, dim)), inside whole-stage
+  * codegen. Same (band, sig) partitioning, ~40× less per-row work.
+  *
+  * Reference ANN analog: be/src/storage/index/ann/faiss_ann_index.h
+  * (coarse quantization kernels are native loops there too).
+  */
+object BandSigs {
+
+  /** splitmix64-style plane component in [-1, 1] — MUST stay
+    * bit-identical to VectorSearch.planeComponent (AnnSpec pins the
+    * two against each other). */
+  def planeComponent(p: Int, j: Int): Double = {
+    var z = ((p.toLong << 32) | (j.toLong & 0xffffffffL)) + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (Math.floorMod(z, 2001L) - 1000L) / 1000.0
+  }
+
+  private val planeCache = new TrieMap[(Int, Int), Array[Array[Double]]]()
+
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate((nPlanes, dim),
+      Array.tabulate(nPlanes, dim)(planeComponent))
+
+  /** Inner-product kernel (called from generated code). Left-to-right
+    * summation — bit-identical to aggregate(zip_with(a, b, *), 0, +)
+    * on equal-length inputs (all call sites are same-dim by schema;
+    * on a mismatch the shorter length wins, where the HOF spelling
+    * would null out). */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val aa = a.toDoubleArray()
+    val bb = b.toDoubleArray()
+    val n = math.min(aa.length, bb.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += aa(i) * bb(i); i += 1 }
+    acc
+  }
+
+  /** MinHash band-signature kernel (called from generated code) for
+    * Dedup.minhashPairs: nBands*r minhash lanes over the pre-hashed
+    * shingle array, each band's r lane-minima folded into one long.
+    *
+    * Lane values replicate Spark's `xxhash64(x, i)` BIT-EXACTLY
+    * (seed 42, then hashLong(x), then hashInt(i) — catalyst XXH64),
+    * so the candidate recall of the interpreted spelling is preserved
+    * verbatim. The band key folds the r minima with the same XXH64
+    * chain instead of hashing the slice's string rendering — band
+    * equality is still exactly "all r minima equal" (modulo hash
+    * collisions, which only ADD candidates that exact-jaccard verify
+    * then filters). */
+  def minhashBands(hsh: ArrayData, nBands: Int, r: Int): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val xs = hsh.toLongArray()
+    val n = nBands * r
+    val mins = Array.fill(n)(Long.MaxValue)
+    var s = 0
+    while (s < xs.length) {
+      val base = XXH64.hashLong(xs(s), 42L)
+      var i = 0
+      while (i < n) {
+        val v = XXH64.hashInt(i, base)
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 42L
+      var k = 0
+      while (k < r) { h = XXH64.hashLong(mins(b * r + k), h); k += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The per-row kernel (called from generated code). */
+  def sigs(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData = {
+    val vv = v.toDoubleArray()
+    val pl = planes(nPlanes, vv.length)
+    val r = nPlanes / nBands
+    val out = new Array[Long](nBands)
+    var p = 0
+    while (p < nPlanes) {
+      val row = pl(p)
+      var dot = 0.0
+      var j = 0
+      while (j < vv.length) { dot += vv(j) * row(j); j += 1 }
+      if (dot > 0) out(p / r) |= 1L << (p % r)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) -> DOUBLE — the inner
+  * product as one codegen kernel call (primitive loop) instead of the
+  * interpreted aggregate(zip_with(...)) cascade. Shared by the LSH /
+  * IVF verify stages and the norm pass (norm = sqrt(graft_dot(v, v))).
+  * Summation order is left-to-right exactly like the HOF spelling it
+  * replaces, so results are bit-identical. */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BandSigs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BandSigs.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_minhash_bands(hsh ARRAY<BIGINT>, nBands, r) -> ARRAY<BIGINT>
+  * of length nBands (see BandSigs.minhashBands). */
+case class MinhashBands(child: Expression, nBands: Int, r: Int)
+    extends UnaryExpression {
+
+  require(nBands > 0 && r > 0, "nBands and r must be positive")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash_bands expects ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    BandSigs.minhashBands(v.asInstanceOf[ArrayData], nBands, r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BandSigs.minhashBands($c, $nBands, $r)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBands =
+    copy(child = newChild)
+}
+
+/** graft_band_sigs(vec ARRAY<DOUBLE>, nPlanes, nBands) -> ARRAY<BIGINT>
+  * of length nBands. */
+case class BandSignatures(child: Expression, nPlanes: Int, nBands: Int)
+    extends UnaryExpression {
+
+  require(nPlanes > 0 && nBands > 0 && nPlanes % nBands == 0,
+    s"nPlanes ($nPlanes) must divide into nBands ($nBands)")
+  require(nPlanes / nBands <= 63, "band width must fit a long")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_band_sigs expects ARRAY<DOUBLE>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    BandSigs.sigs(v.asInstanceOf[ArrayData], nPlanes, nBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BandSigs.sigs($c, $nPlanes, $nBands)")
+
+  override protected def withNewChildInternal(newChild: Expression): BandSignatures =
+    copy(child = newChild)
+}

@@ -66,6 +66,25 @@ object FunctionRegistry {
       else args.foldLeft[Expression](Literal(0L)) {
         (seed, s) => XxHash3Expr(s, seed)
       }),
+    // internal LSH kernels (ops/VectorSearch banded near-dup): codegen
+    // band-signature + inner-product expressions — see BandSigsExpr.scala
+    "graft_band_sigs" -> ((args: Seq[Expression]) => args match {
+      case Seq(v, Literal(p: Int, _), Literal(b: Int, _)) =>
+        BandSignatures(v, p, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_band_sigs(vec ARRAY<DOUBLE>, nPlanes INT literal, nBands INT literal)")
+    }),
+    "graft_dot" -> ((args: Seq[Expression]) => args match {
+      case Seq(a, b) => DotProduct(a, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)")
+    }),
+    "graft_minhash_bands" -> ((args: Seq[Expression]) => args match {
+      case Seq(h, Literal(b: Int, _), Literal(r: Int, _)) =>
+        MinhashBands(h, b, r)
+      case _ => throw new IllegalArgumentException(
+        "graft_minhash_bands(hsh ARRAY<BIGINT>, nBands INT literal, r INT literal)")
+    }),
     // Doris-named higher-order functions (function_array_map.cpp etc.) —
     // lambdas can't ride SQL UDFs, so these alias the native HOF
     // expressions directly

@@ -76,10 +76,13 @@ object Dedup {
     val hashed = base
       .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
       .localCheckpoint()
+    // band signatures via the codegen kernel (BandSigsExpr.scala): one
+    // primitive loop per row replacing the 64 interpreted lane lambdas
+    // + the slice→string→xxhash64 band detour. Lane minima replicate
+    // xxhash64(x, i) bit-exactly, so candidate recall is unchanged.
     val banded = hashed
-      .withColumn("mh", minhashOfHashes(col("hsh")))
-      .select(col("id"), explode(bandSignatures(col("mh"))).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
+      .toDF("id", "band", "sig")
       .localCheckpoint()
     val cand = banded.as("x")
       .join(banded.as("y"),

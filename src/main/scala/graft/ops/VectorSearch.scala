@@ -55,16 +55,13 @@ object VectorSearch {
     // identical arithmetic sequence, so results stay bit-for-bit.
     val prepared = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
     val a = prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
     val b = prepared.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")), 6).as("sim"))
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
@@ -91,8 +88,7 @@ object VectorSearch {
                       nCells: Int = 8, nprobe: Int = 4): DataFrame = {
     val prepared = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
     val cent = broadcast(prepared
       .orderBy(col("id")).limit(nCells)
@@ -100,8 +96,7 @@ object VectorSearch {
     val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
     val assign = prepared.crossJoin(cent)
       .withColumn("csim",
-        aggregate(zip_with(col("v"), col("cv"), (x, y) => x * y),
-          lit(0.0), (acc, x) => acc + x) / (col("nrm") * col("cn")))
+        expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
       .withColumn("crn", row_number().over(wAssign)).filter(col("crn") <= nprobe)
       .select(col("id"), col("cid"))
       .localCheckpoint() // feeds both sides of the candidate self-join
@@ -114,22 +109,18 @@ object VectorSearch {
       .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")), 6).as("sim"))
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
   /** splitmix64-style deterministic plane component in [-1, 1]: the
     * hyperplane matrix is fixed at plan-build time (no RNG state), so
-    * every run — and every executor — sees identical planes. */
-  private def planeComponent(p: Int, j: Int): Double = {
-    var z = ((p.toLong << 32) | (j.toLong & 0xffffffffL)) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= (z >>> 31)
-    (Math.floorMod(z, 2001L) - 1000L) / 1000.0
-  }
+    * every run — and every executor — sees identical planes. The
+    * actual generator lives in [[graft.functions.BandSigs]] (shared
+    * with the codegen signature kernel, which must see the exact same
+    * matrix). */
+  private def planeComponent(p: Int, j: Int): Double =
+    graft.functions.BandSigs.planeComponent(p, j)
 
   /** Banded hyperplane-LSH near-duplicate pair enumeration — the scale
     * path for [[nearDupPairsBrute]] (which stays the brute-force correctness
@@ -166,23 +157,18 @@ object VectorSearch {
     // inlined into every consuming lambda otherwise)
     val prepared = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(
-        transform(col("v"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
-    // dim probe reads the already-materialized checkpoint, not the
-    // source (a second parquet scan per call at 100 TB otherwise)
-    val dim = prepared.select(size(col("v"))).head().getInt(0)
-    val planes = typedLit((0 until nPlanes).map(p =>
-      (0 until dim).map(j => planeComponent(p, j))))
-    val bits = transform(sequence(lit(0), lit(nPlanes - 1)), p =>
-      when(aggregate(zip_with(col("v"), element_at(planes, p + 1),
-        (x, h) => x * h), lit(0.0), (acc, x) => acc + x) > 0, 1L).otherwise(0L))
+    // signature pass: one codegen kernel call per row (primitive
+    // double loop over the cached plane matrix — BandSigsExpr.scala),
+    // replacing the interpreted nPlanes × dim HOF-lambda cascade and
+    // the per-band slice→string→xxhash64 detour. Band signatures are
+    // the bit-packed sign slices themselves (injective, so buckets are
+    // exactly the sign-identical groups — equality semantics unchanged).
     val banded = prepared
-      .withColumn("bits", bits)
-      .select(col("id"), explode(transform(sequence(lit(0), lit(nBands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(slice(col("bits"), b * r + 1, lit(r)).cast("string")).as("sig")))).as("b"))
-      .select(col("id"), col("b.band").as("band"), col("b.sig").as("sig"))
+      .select(col("id"),
+        posexplode(expr(s"graft_band_sigs(v, $nPlanes, $nBands)")))
+      .toDF("id", "band", "sig")
       .localCheckpoint() // feeds both sides of the candidate self-join
     val cand = banded.as("x")
       .join(banded.as("y"),
@@ -194,9 +180,7 @@ object VectorSearch {
       .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-                        lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")), 6).as("sim"))
+        round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
   }
 
