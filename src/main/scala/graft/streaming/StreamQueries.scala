@@ -232,6 +232,55 @@ object StreamQueries {
       runToMemory(agg, "stream_late_drop", OutputMode.Append())
         .select(col("window.start").cast("string").as("ws"), col("n"))
         .orderBy(col("ws"))
+    }),
+
+    // table stream, MIN_DELTA mode (CREATE STREAM ON TABLE analog —
+    // TableStream.scala): a UNIQUE-key commit-versioned table built
+    // from events (key = user_id x event_type, seq = event_id, delete
+    // flag on event_id % 17). The stream starts after commit 1
+    // (show_initial_rows=false), commit 2 lands, and one read emits
+    // the folded snapshot diff under __DORIS_STREAM_CHANGE_TYPE_COL__
+    // (APPEND / DELETE with pre-window image / UPDATE_BEFORE+AFTER).
+    "stream_table_cdc" -> ((s, dir) => {
+      val (_, root) = fresh("table_cdc")
+      val ev = graft.Tables.load(s, dir, "events")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val base = ev.select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"),
+        when(col("event_id") % 17 === 0, 1).otherwise(0).as("del"))
+      TableStream.commit(base.filter(col("event_id") * 2 < maxId), root, 1L)
+      TableStream.create(s, "cdc_q", root,
+        Seq("user_id", "event_type"), "event_id", "del")
+      TableStream.commit(base.filter(col("event_id") * 2 >= maxId), root, 2L)
+      TableStream.read(s, "cdc_q")
+        .orderBy(col("user_id"), col("event_type"),
+          col(TableStream.ChangeTypeCol))
+    }),
+
+    // table stream, SNAPSHOT mode + RESET: after a reset the
+    // incremental read is empty (asserted inline — the
+    // test_olap_table_stream_reset contract), and the snapshot read
+    // returns the full current state as APPENDs.
+    "stream_table_snapshot" -> ((s, dir) => {
+      val (_, root) = fresh("table_snapshot")
+      val ev = graft.Tables.load(s, dir, "events")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val base = ev.select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"),
+        when(col("event_id") % 17 === 0, 1).otherwise(0).as("del"))
+      TableStream.commit(base.filter(col("event_id") * 2 < maxId), root, 1L)
+      TableStream.create(s, "snap_q", root,
+        Seq("user_id", "event_type"), "event_id", "del",
+        showInitialRows = true)
+      TableStream.commit(base.filter(col("event_id") * 2 >= maxId), root, 2L)
+      TableStream.reset(s, "snap_q")
+      val afterReset = TableStream.read(s, "snap_q").count()
+      require(afterReset == 0,
+        s"RESET must skip history, incremental read returned $afterReset rows")
+      TableStream.readSnapshot(s, "snap_q")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), col(TableStream.ChangeTypeCol))
+        .orderBy(col("user_id"), col("event_type"))
     })
   )
 
@@ -306,6 +355,64 @@ object StreamQueries {
       w AS (SELECT date_trunc('hour', ts) AS ws, count(*) AS n
             FROM kept GROUP BY 1)
       SELECT CAST(ws AS VARCHAR) AS ws, n FROM w, wmf
-      WHERE ws + INTERVAL 1 HOUR <= wmf.wm ORDER BY ws"""
+      WHERE ws + INTERVAL 1 HOUR <= wmf.wm ORDER BY ws""",
+
+    // min-delta = diff of the two merge-on-read snapshots (commit 1 =
+    // first half by event_id, commit 2 = everything), delete-sign on
+    // event_id % 17, latest-seq-wins per (user_id, event_type) key
+    "stream_table_cdc" -> """
+      WITH base AS (
+        SELECT user_id, event_type, event_id, value,
+               CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS del
+        FROM events),
+      mx AS (SELECT max(event_id) AS m FROM events),
+      s1 AS (
+        SELECT user_id, event_type, value FROM (
+          SELECT b.*, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY event_id DESC) AS rn
+          FROM base b, mx WHERE b.event_id * 2 < mx.m) t
+        WHERE rn = 1 AND del = 0),
+      s2 AS (
+        SELECT user_id, event_type, value FROM (
+          SELECT b.*, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY event_id DESC) AS rn
+          FROM base b) t
+        WHERE rn = 1 AND del = 0),
+      d AS (
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(a.event_type, b.event_type) AS event_type,
+               a.value AS ov, b.value AS nv,
+               (a.user_id IS NOT NULL) AS in_old,
+               (b.user_id IS NOT NULL) AS in_new
+        FROM s1 a FULL OUTER JOIN s2 b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type)
+      SELECT user_id, event_type, nv AS value,
+             'APPEND' AS __DORIS_STREAM_CHANGE_TYPE_COL__
+      FROM d WHERE NOT in_old AND in_new
+      UNION ALL
+      SELECT user_id, event_type, ov, 'DELETE'
+      FROM d WHERE in_old AND NOT in_new
+      UNION ALL
+      SELECT user_id, event_type, ov, 'UPDATE_BEFORE'
+      FROM d WHERE in_old AND in_new AND ov <> nv
+      UNION ALL
+      SELECT user_id, event_type, nv, 'UPDATE_AFTER'
+      FROM d WHERE in_old AND in_new AND ov <> nv
+      ORDER BY user_id, event_type, __DORIS_STREAM_CHANGE_TYPE_COL__""",
+
+    // snapshot mode: the full current merge-on-read state as APPENDs
+    "stream_table_snapshot" -> """
+      WITH base AS (
+        SELECT user_id, event_type, event_id, value,
+               CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS del
+        FROM events)
+      SELECT user_id, event_type, event_id, value,
+             'APPEND' AS __DORIS_STREAM_CHANGE_TYPE_COL__
+      FROM (
+        SELECT b.*, row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY event_id DESC) AS rn
+        FROM base b) t
+      WHERE rn = 1 AND del = 0
+      ORDER BY user_id, event_type"""
   )
 }
