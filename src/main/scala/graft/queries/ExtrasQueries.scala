@@ -55,6 +55,29 @@ object ExtrasQueries {
     }),
 
     // query-cache analog: persist a base, serve two shapes from it.
+    // SQL result cache (SqlCache.scala — FE SqlCacheContext + BE
+    // CacheSource/SinkOperatorX analog): same statement twice; the
+    // second serve must be a HIT whose plan reads the cache
+    // materialization and never scans the base table (asserted
+    // inline; invalidation-on-change is covered by SqlCacheSpec).
+    "extra_sql_cache" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      graft.plans.SqlCache.reset()
+      val q = """SELECT event_type, count(*) AS n,
+                        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+                 FROM events GROUP BY event_type"""
+      graft.plans.SqlCache.cachedSql(s, q).count() // populate (miss)
+      val out = graft.plans.SqlCache.cachedSql(s, q) // must hit
+      require(graft.plans.SqlCache.hits == 1 && graft.plans.SqlCache.misses == 1,
+        s"expected 1 hit / 1 miss, got ${graft.plans.SqlCache.hits}/${graft.plans.SqlCache.misses}")
+      val plan = out.queryExecution.executedPlan.toString
+      require(plan.contains("sqlcache"),
+        s"cache hit must serve from the materialization:\n$plan")
+      require(!plan.contains("events.parquet"),
+        s"cache hit must not scan the base table:\n$plan")
+      out.orderBy(col("event_type"))
+    }),
+
     "extra_cache" -> ((s, dir) => {
       val base = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= "1995-01-01")
@@ -125,6 +148,11 @@ object ExtrasQueries {
       SELECT a.c_nationkey, a.n, a.bal, round(a.bal / b.tot_bal, 9) AS share
       FROM seg a CROSS JOIN (SELECT sum(bal) AS tot_bal, sum(n) AS tot_n FROM seg) b
       ORDER BY a.c_nationkey""",
+
+    "extra_sql_cache" -> """
+      SELECT event_type, count(*) AS n,
+             CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "extra_cache" -> """
       SELECT key, v, n, dim FROM (
