@@ -55,6 +55,21 @@ object ExtrasQueries {
     }),
 
     // query-cache analog: persist a base, serve two shapes from it.
+    // OR-expansion join (ops/OrJoin.scala — OrExpansion.java analog):
+    // a disjunctive equi-join spelled as a union of hash joins with
+    // first-match exclusion filters; plan-asserted no nested-loop in
+    // PlanShapeSpec. Disjuncts chosen independent of each other
+    // (nation vs account-balance bucket).
+    "extra_or_join" -> ((s, dir) => {
+      graft.ops.OrJoin.expand(t(s, dir, "supplier"), t(s, dir, "customer"), Seq(
+        col("s_nationkey") === col("c_nationkey"),
+        floor(col("s_acctbal") / 1000) === floor(col("c_acctbal") / 1000)))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("c_custkey")).as("n_cust"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // SQL result cache (SqlCache.scala — FE SqlCacheContext + BE
     // CacheSource/SinkOperatorX analog): same statement twice; the
     // second serve must be a HIT whose plan reads the cache
@@ -148,6 +163,14 @@ object ExtrasQueries {
       SELECT a.c_nationkey, a.n, a.bal, round(a.bal / b.tot_bal, 9) AS share
       FROM seg a CROSS JOIN (SELECT sum(bal) AS tot_bal, sum(n) AS tot_n FROM seg) b
       ORDER BY a.c_nationkey""",
+
+    "extra_or_join" -> """
+      SELECT s_suppkey, count(*) AS n_matches,
+             count(DISTINCT c_custkey) AS n_cust
+      FROM supplier JOIN customer
+        ON s_nationkey = c_nationkey
+        OR floor(s_acctbal / 1000) = floor(c_acctbal / 1000)
+      GROUP BY s_suppkey ORDER BY s_suppkey""",
 
     "extra_sql_cache" -> """
       SELECT event_type, count(*) AS n,

@@ -194,6 +194,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"sums fell out of codegen:\n$finalPlan")
   }
 
+  test("or-expansion join plans hash joins under a union, no nested-loop") {
+    // a JOIN ... ON e1 OR e2 would otherwise be a BroadcastNestedLoopJoin
+    // (O(n*m) at scale); the expansion must yield equi joins only
+    val p = plan("extra_or_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nested-loop survived OR expansion:\n$p")
+    assert(p.contains("Union"), s"expected union of join branches:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"expected hash joins:\n$p")
+  }
+
   test("arrow roundtrip preserves schema") {
     val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
