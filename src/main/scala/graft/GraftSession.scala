@@ -62,6 +62,9 @@ object GraftSession {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     graft.functions.FunctionRegistry.registerExtensions(e)
+    // QUALIFY clause (reference: LogicalQualify + QualifyToFilter):
+    // pre-parse text rewrite to a windowed-subquery filter
+    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     // transparent MV rewrite (reference: nereids/rules/exploration/mv/)
     e.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
     // score() -> per-row BM25 with scalar-subquery corpus stats

@@ -13,6 +13,18 @@ import Q._
   */
 object ExtrasQueries {
 
+  // QUALIFY shapes — one SQL text, both engines (ANSI + QUALIFY)
+  val qualifyTopnSql: String = """
+    SELECT c_nationkey, c_name, c_acctbal,
+           row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS rk
+    FROM customer QUALIFY rk <= 2 ORDER BY c_nationkey, rk"""
+
+  val qualifyAggSql: String = """
+    SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+    QUALIFY rank() OVER (ORDER BY count(*) DESC, o_custkey) <= 5
+    ORDER BY n DESC, o_custkey"""
+
   private val mkJson =
     """concat('{"k":', CAST(pmod(event_id, 50) AS STRING),
               ',"tags":["t', CAST(pmod(event_id, 3) AS STRING), '","x"]',
@@ -52,6 +64,22 @@ object ExtrasQueries {
         FROM seg a CROSS JOIN (SELECT sum(bal) AS tot_bal, sum(n) AS tot_n FROM seg) b
         ORDER BY a.c_nationkey"""
       )
+    }),
+
+    // QUALIFY clause (plans/QualifySql.scala — LogicalQualify +
+    // QualifyToFilter analog, parser-injected): the SQL text below runs
+    // verbatim on BOTH engines (DuckDB has native QUALIFY; ours is the
+    // pre-parse rewrite), so the oracle is the same string.
+    // alias form: predicate references a window alias from the select list
+    "extra_qualify_topn" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(ExtrasQueries.qualifyTopnSql)
+    }),
+    // missing-slot form: bare window over an aggregated block
+    // (FillUpQualifyMissingSlot.java case)
+    "extra_qualify_agg" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(ExtrasQueries.qualifyAggSql)
     }),
 
     // query-cache analog: persist a base, serve two shapes from it.
@@ -163,6 +191,9 @@ object ExtrasQueries {
       SELECT a.c_nationkey, a.n, a.bal, round(a.bal / b.tot_bal, 9) AS share
       FROM seg a CROSS JOIN (SELECT sum(bal) AS tot_bal, sum(n) AS tot_n FROM seg) b
       ORDER BY a.c_nationkey""",
+
+    "extra_qualify_topn" -> qualifyTopnSql,
+    "extra_qualify_agg" -> qualifyAggSql,
 
     "extra_or_join" -> """
       SELECT s_suppkey, count(*) AS n_matches,
