@@ -31,7 +31,17 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Machine-load honesty (round-6 lesson: a bench recorded under the
+    // driver's concurrent 440-query sweep showed q21 at 5.14 s vs 0.74 s
+    // real). Record loadavg so a noisy recording is self-identifying.
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadavg()
+
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val maxExtra = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_EXTRA", "3").toInt
     // SPARK_GRAFT_BENCH_SET=ml benchmarks the training-pipeline ops
     // instead of the TPC-H headline set (driver default unchanged)
     val names = (sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "tpch") match {
@@ -42,15 +52,31 @@ object Bench {
     // reference methodology: N runs, best reported
     // (tools/tpch-tools/bin/run-tpch-queries.sh runs 3x)
     // best of the SUCCESSFUL runs; -1 only when every iteration failed
-    // (an explicit error marker, never mixed into a valid min)
+    // (an explicit error marker, never mixed into a valid min).
+    // Variance guard: if the best two runs disagree by >20% the machine
+    // is noisy — keep iterating (bounded) until they agree, and report
+    // the residual spread so an untrustworthy number announces itself.
     val results = names.map { n =>
-      val ok = (0 until iters).map(_ => timeOnce(n)).filter(_ >= 0)
-      n -> (if (ok.isEmpty) -1.0 else ok.min)
+      var ok = (0 until iters).map(_ => timeOnce(n)).filter(_ >= 0).sorted
+      var extra = 0
+      def spread(xs: Seq[Double]): Double =
+        if (xs.size < 2 || xs.head <= 0) 0.0 else (xs(1) - xs.head) / xs.head
+      while (ok.size >= 2 && spread(ok) > 0.20 && extra < maxExtra) {
+        val t = timeOnce(n)
+        if (t >= 0) ok = (ok :+ t).sorted
+        extra += 1
+      }
+      (n, if (ok.isEmpty) -1.0 else ok.head, spread(ok))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadEnd = loadavg()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""best2_spread":$sp}""")
     spark.stop()
   }
 }

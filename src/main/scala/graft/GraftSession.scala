@@ -63,7 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     graft.functions.FunctionRegistry.registerExtensions(e)
     // QUALIFY clause (reference: LogicalQualify + QualifyToFilter):
-    // pre-parse text rewrite to a windowed-subquery filter
+    // pre-parse text rewrite to a windowed-subquery filter; also binds
+    // the cdc_stream('name') TVF at parse time (CdcStreamTvf.scala —
+    // reference CdcStream.java; must precede ResolveFunctions' fail-fast)
     e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
     // transparent MV rewrite (reference: nereids/rules/exploration/mv/)
     e.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))

@@ -103,5 +103,6 @@ object SparkEntry {
     "q18_large_orders", "q21_waiting_supplier",
     "ml_dedup_minhash", "ml_embed_neardup_lsh",
     "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth",
-    "cb_q29", "cb_q32")
+    "cb_q29", "cb_q32",
+    "ml_pii_redact", "ml_quality_gopher")
 }

@@ -19,7 +19,7 @@ object Verify {
     // always runs the full surface)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     var nOk = 0
-    var failed = List.empty[String]
+    var failed = List.empty[(String, String)]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -30,14 +30,15 @@ object Verify {
         nOk += 1
         System.err.println(f"[verify] $name ok ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failed ::= (name, msg)
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // one grep-able line — a rows-only query that crashes has no oracle
     // entry, so this is its only aggregate signal
     System.err.println(s"[verify] SUMMARY ok=$nOk failed=${failed.size}" +
-      (if (failed.nonEmpty) s" (${failed.mkString(",")})" else ""))
+      (if (failed.nonEmpty) s" (${failed.map(_._1).mkString(",")})" else ""))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -53,6 +54,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Per-query failure artifact: a query that throws writes no result
+    // parquet and would otherwise be an ABSENCE in the driver's
+    // correctness JSON rather than a failure (round-6 lesson: 18 crashed
+    // queries read as "435/440 green" when 458 were declared). This file
+    // is written on every run — an empty {} is the positive "nothing
+    // crashed" signal.
+    val failJson = failed.reverse
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // exit 0 even on failures: the artifact is the signal — a nonzero
+    // exit could make the driver discard the 400+ good results.
+    Files.writeString(Paths.get(s"$outDir/failures.json"), failJson)
     spark.stop()
   }
 }

@@ -19,7 +19,22 @@ object PipelineOps {
   /** ###-##-#### national-id shape. Must be redacted BEFORE the phone
     * pass (the digits-and-dashes phone pattern would otherwise eat it). */
   val IdPat = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
-  val Ipv4Pat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  /** one valid dotted-quad octet, 0–255 (leftmost-first alternation is
+    * identical in RE2 and java.util.regex). */
+  private val Ipv4Octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+  /** bare dotted-quad with octet range check (no boundary context). */
+  val Ipv4Pat = s"($Ipv4Octet\\.){3}$Ipv4Octet"
+  /** Ipv4Pat wrapped in digit/dot boundary guards. Lookaround isn't in
+    * the RE2 subset, so the guards are CAPTURING context (restored via
+    * $1/$6 in the replacement): group 1 = leading context, 2 = the IP,
+    * 3–5 = octet internals, 6 = trailing context. Rejects matches
+    * inside longer dotted-digit runs ('1.2.3.4.5' redacts nothing) and
+    * invalid octets ('999.999.999.999' redacts nothing). Known limit:
+    * two IPs separated by ONE char ("a.b.c.d e.f.g.h") — the first
+    * match consumes the separator, so the second keeps its raw text;
+    * acceptable for a redaction pass (never corrupts, may under-redact
+    * in that rare adjacency). */
+  val Ipv4CtxPat = s"(^|[^0-9.])($Ipv4Pat)([^0-9.]|$$)"
   /** international-prefixed digits-and-dashes run. */
   val PhonePat = "\\+[0-9][0-9\\-]{6,}[0-9]"
 
@@ -33,7 +48,7 @@ object PipelineOps {
         regexp_replace(
           regexp_replace(text, EmailPat, "[EMAIL]"),
           IdPat, "[ID]"),
-        Ipv4Pat, "[IP]"),
+        Ipv4CtxPat, "$1[IP]$6"),
       PhonePat, "[PHONE]")
 
   /** occurrences of one PII pattern (BIGINT for oracle parity). */

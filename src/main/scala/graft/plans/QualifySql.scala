@@ -256,9 +256,9 @@ object QualifySql {
   * `SparkSessionExtensions.injectParser`. */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(QualifySql.rewrite(sqlText))
+    CdcStreamTvf.rewrite(delegate.parsePlan(QualifySql.rewrite(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    delegate.parseQuery(QualifySql.rewrite(sqlText))
+    CdcStreamTvf.rewrite(delegate.parseQuery(QualifySql.rewrite(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

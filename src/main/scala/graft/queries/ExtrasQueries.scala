@@ -25,6 +25,29 @@ object ExtrasQueries {
     QUALIFY rank() OVER (ORDER BY count(*) DESC, o_custkey) <= 5
     ORDER BY n DESC, o_custkey"""
 
+  // QUALIFY inside a CTE body: the rewrite must bind to the CTE's own
+  // query block, and the outer aggregate consumes the filtered rows
+  val qualifyCteSql: String = """
+    WITH top2 AS (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rk
+      FROM customer QUALIFY rk <= 2)
+    SELECT c_nationkey, count(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+    FROM top2 GROUP BY c_nationkey ORDER BY c_nationkey"""
+
+  // QUALIFY on the right branch of a set operation: binds to its own
+  // branch, not the union; bare window (no select-list alias)
+  val qualifyUnionSql: String = """
+    SELECT * FROM (
+      SELECT s_suppkey AS k, s_acctbal AS bal, 'sup' AS side
+      FROM supplier WHERE s_acctbal > 5000
+      UNION ALL
+      SELECT c_custkey AS k, c_acctbal AS bal, 'cust' AS side FROM customer
+      QUALIFY row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) <= 3
+    ) u ORDER BY side, bal DESC, k"""
+
   private val mkJson =
     """concat('{"k":', CAST(pmod(event_id, 50) AS STRING),
               ',"tags":["t', CAST(pmod(event_id, 3) AS STRING), '","x"]',
@@ -80,6 +103,16 @@ object ExtrasQueries {
     "extra_qualify_agg" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       s.sql(ExtrasQueries.qualifyAggSql)
+    }),
+    // recursion paths of the rewrite, pinned by oracle: CTE body…
+    "extra_qualify_cte" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(ExtrasQueries.qualifyCteSql)
+    }),
+    // …and a set-operation branch
+    "extra_qualify_union" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(ExtrasQueries.qualifyUnionSql)
     }),
 
     // query-cache analog: persist a base, serve two shapes from it.
@@ -194,6 +227,8 @@ object ExtrasQueries {
 
     "extra_qualify_topn" -> qualifyTopnSql,
     "extra_qualify_agg" -> qualifyAggSql,
+    "extra_qualify_cte" -> qualifyCteSql,
+    "extra_qualify_union" -> qualifyUnionSql,
 
     "extra_or_join" -> """
       SELECT s_suppkey, count(*) AS n_matches,

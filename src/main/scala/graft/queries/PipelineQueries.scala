@@ -38,8 +38,12 @@ object PipelineQueries {
     // clean), then redacted and counted per source
     "ml_pii_redact" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // coalesce pins NULL-text semantics: Spark concat is NULL-in →
+      // NULL-out while DuckDB concat skips NULLs; the corpus has no NULL
+      // text today, but a regenerated fixture with one must not silently
+      // diverge engine vs oracle (coalesce on BOTH sides).
       val aug = docs.select(col("doc_id"), col("source"), concat(
-          col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          coalesce(col("text"), lit("")), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or +1-555-"),
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
           lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".0.1"),
@@ -131,10 +135,13 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // pattern text interpolated from PipelineOps so engine and oracle
+    // provably share one regex source of truth (only the backref syntax
+    // differs: Java $n vs RE2 \n)
     "ml_pii_redact" -> raw"""
       WITH aug AS (
         SELECT doc_id, source,
-          concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
+          concat(coalesce(text, ''), ' contact user', CAST(doc_id AS VARCHAR), '@example.com or +1-555-',
                  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
                  ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1',
                  CASE WHEN doc_id % 3 = 0 THEN ' id 123-45-6789' ELSE '' END) AS text
@@ -142,12 +149,12 @@ object PipelineQueries {
       red AS (
         SELECT doc_id, source,
           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-            '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[ID]', 'g'),
-            '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g'),
-            '\+[0-9][0-9\-]{6,}[0-9]', '[PHONE]', 'g') AS rtext,
-          CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-          CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS BIGINT) AS n_id
+            '${PipelineOps.EmailPat}', '[EMAIL]', 'g'),
+            '${PipelineOps.IdPat}', '[ID]', 'g'),
+            '${PipelineOps.Ipv4CtxPat}', '\1[IP]\6', 'g'),
+            '${PipelineOps.PhonePat}', '[PHONE]', 'g') AS rtext,
+          CAST(len(regexp_extract_all(text, '${PipelineOps.EmailPat}')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(text, '${PipelineOps.IdPat}')) AS BIGINT) AS n_id
         FROM aug)
       SELECT source, count(*) AS n_docs, CAST(sum(n_email) AS BIGINT) AS n_emails,
              CAST(sum(n_id) AS BIGINT) AS n_ids,

@@ -20,9 +20,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamQueries {
 
-  /** raw file-source stream of events (ts arrives as nanos-long per
-    * the session's nanosAsLong; converted exactly like Tables.load). */
+  /** raw file-source stream of events, with ts normalized to a plain
+    * micros TimestampType exactly like Tables.load0 — the fixture has
+    * shipped ts as nanos-long (legacy nanosAsLong) and as
+    * TIMESTAMP_NTZ micros across driver regenerations; watermarks
+    * require TimestampType, so normalize whichever encoding arrives
+    * (UTC session ⇒ NTZ cast is value-identical). */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     // the file source requires a directory — stage a symlink dir.
     val src = Paths.get(dir, "events.parquet").toAbsolutePath
     val stage = Paths.get("target", "stream",
@@ -32,8 +37,14 @@ object StreamQueries {
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)
     val path = stage.toString
     val raw = s.read.parquet(path).schema
-    s.readStream.schema(raw).parquet(path)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = s.readStream.schema(raw).parquet(path)
+    raw("ts").dataType match {
+      case LongType => stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => stream.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => stream
+      case other => throw new IllegalStateException(
+        s"events.ts fixture drift: unexpected type $other — update eventsStream/Tables.load0")
+    }
   }
 
   private def fresh(name: String): (String, String) = {
@@ -257,6 +268,34 @@ object StreamQueries {
           col(TableStream.ChangeTypeCol))
     }),
 
+    // the same min-delta feed read through the SQL TVF spelling
+    // (cdc_stream('name') — CdcStreamRule): proves the change feed is
+    // addressable from plain SQL and composes with downstream relational
+    // ops. 'peek' first (no consume), then the consuming default; both
+    // must agree — pinning peek/read consistency.
+    "stream_cdc_tvf" -> ((s, dir) => {
+      val (_, root) = fresh("cdc_tvf")
+      val ev = graft.Tables.load(s, dir, "events")
+      val maxId = ev.agg(max(col("event_id"))).head().getLong(0)
+      val base = ev.select(col("user_id"), col("event_type"),
+        col("event_id"), col("value"),
+        when(col("event_id") % 17 === 0, 1).otherwise(0).as("del"))
+      TableStream.commit(base.filter(col("event_id") * 2 < maxId), root, 1L)
+      TableStream.create(s, "cdc_tvf_q", root,
+        Seq("user_id", "event_type"), "event_id", "del")
+      TableStream.commit(base.filter(col("event_id") * 2 >= maxId), root, 2L)
+      val nPeek = s.sql("SELECT count(*) AS n FROM cdc_stream('cdc_tvf_q', 'peek')")
+        .head().getLong(0)
+      val out = s.sql(
+        s"""SELECT user_id, event_type, value,
+           |       `${TableStream.ChangeTypeCol}`
+           |FROM cdc_stream('cdc_tvf_q')
+           |ORDER BY user_id, event_type, `${TableStream.ChangeTypeCol}`""".stripMargin)
+      require(nPeek == out.count(),
+        s"peek ($nPeek rows) and consuming read (${out.count()} rows) must agree")
+      out
+    }),
+
     // table stream, SNAPSHOT mode + RESET: after a reset the
     // incremental read is empty (asserted inline — the
     // test_olap_table_stream_reset contract), and the snapshot read
@@ -361,6 +400,47 @@ object StreamQueries {
     // first half by event_id, commit 2 = everything), delete-sign on
     // event_id % 17, latest-seq-wins per (user_id, event_type) key
     "stream_table_cdc" -> """
+      WITH base AS (
+        SELECT user_id, event_type, event_id, value,
+               CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS del
+        FROM events),
+      mx AS (SELECT max(event_id) AS m FROM events),
+      s1 AS (
+        SELECT user_id, event_type, value FROM (
+          SELECT b.*, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY event_id DESC) AS rn
+          FROM base b, mx WHERE b.event_id * 2 < mx.m) t
+        WHERE rn = 1 AND del = 0),
+      s2 AS (
+        SELECT user_id, event_type, value FROM (
+          SELECT b.*, row_number() OVER (PARTITION BY user_id, event_type
+                                         ORDER BY event_id DESC) AS rn
+          FROM base b) t
+        WHERE rn = 1 AND del = 0),
+      d AS (
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(a.event_type, b.event_type) AS event_type,
+               a.value AS ov, b.value AS nv,
+               (a.user_id IS NOT NULL) AS in_old,
+               (b.user_id IS NOT NULL) AS in_new
+        FROM s1 a FULL OUTER JOIN s2 b
+          ON a.user_id = b.user_id AND a.event_type = b.event_type)
+      SELECT user_id, event_type, nv AS value,
+             'APPEND' AS __DORIS_STREAM_CHANGE_TYPE_COL__
+      FROM d WHERE NOT in_old AND in_new
+      UNION ALL
+      SELECT user_id, event_type, ov, 'DELETE'
+      FROM d WHERE in_old AND NOT in_new
+      UNION ALL
+      SELECT user_id, event_type, ov, 'UPDATE_BEFORE'
+      FROM d WHERE in_old AND in_new AND ov <> nv
+      UNION ALL
+      SELECT user_id, event_type, nv, 'UPDATE_AFTER'
+      FROM d WHERE in_old AND in_new AND ov <> nv
+      ORDER BY user_id, event_type, __DORIS_STREAM_CHANGE_TYPE_COL__""",
+
+    // TVF spelling of the same min-delta feed — identical oracle shape
+    "stream_cdc_tvf" -> """
       WITH base AS (
         SELECT user_id, event_type, event_id, value,
                CASE WHEN event_id % 17 = 0 THEN 1 ELSE 0 END AS del

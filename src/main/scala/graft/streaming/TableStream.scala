@@ -127,6 +127,13 @@ object TableStream {
     out
   }
 
+  /** Like [[read]] but does NOT advance the offset — the idempotent
+    * spelling for contexts that may re-evaluate (cdc_stream TVF 'peek'). */
+  def peek(spark: SparkSession, name: String): DataFrame = {
+    val d = registry(name)
+    minDelta(spark, d, d.consumedVersion, currentVersion(spark, d.root))
+  }
+
   /** StreamReadMode.SNAPSHOT: full current state as APPENDs. */
   def readSnapshot(spark: SparkSession, name: String): DataFrame = {
     val d = registry(name)
