@@ -178,15 +178,37 @@ object AggQueries {
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")
     }),
 
-    // approximate sketches — engine-specific values, rows-only check
+    // approximate sketches — engine-specific values, so no cross-engine
+    // oracle; instead the query SELF-VERIFIES in the driver path:
+    // approx NDV within ±2% of exact, approx median inside the exact
+    // p45–p55 band, both computed in-engine on the same data (tiny
+    // per-group aggregates — the collect is 3 rows).
     // (reference: aggregate_function_approx_count_distinct.*, percentile_approx).
     "agg_approx" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      val li = t(s, dir, "lineitem")
+      val out = li
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("acd"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("acd"),
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
         .orderBy(col("l_returnflag"))
+      val exact = li.groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_partkey")).as("nd"),
+          expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.55)").as("p55"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      out.collect().foreach { r =>
+        val (nd, p45, p55) = exact(r.getString(0))
+        val acd = r.getLong(1)
+        require(math.abs(acd - nd) <= 0.02 * nd,
+          s"approx_count_distinct off by >2%: acd=$acd exact=$nd (${r.getString(0)})")
+        val p = r.getDouble(2)
+        require(p >= p45 && p <= p55,
+          s"percentile_approx p50=$p outside exact [$p45,$p55] (${r.getString(0)})")
+      }
+      out
     })
   )
 

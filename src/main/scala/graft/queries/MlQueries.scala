@@ -30,10 +30,18 @@ object MlQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // simhash: no cross-engine oracle (seeded xxhash64); rows-only.
+    // simhash: no cross-engine oracle (seeded xxhash64); the driver-path
+    // secondary check enforces the pair invariants in-engine (ordered
+    // pairs, hamming within [0, maxDist]); the exact-agreement law vs an
+    // unbanded popcount join is ml_simhash_exact (oracle-green) and
+    // AnnSpec "simhash pairs have symmetric-difference consistency".
     "ml_dedup_simhash" -> ((s, dir) => {
-      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxDist = 16)
-        .orderBy(col("id_a"), col("id_b"))
+      val out = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxDist = 16)
+      val viol = out.filter(col("id_a") >= col("id_b") ||
+        col("hamming") < 0 || col("hamming") > 16).count()
+      require(viol == 0, s"simhash pair invariants violated on $viol rows")
+      out.orderBy(col("id_a"), col("id_b"))
     }),
 
     // bigram-jaccard pairs through the SAME banded minhash-LSH path as
@@ -84,11 +92,23 @@ object MlQueries {
     }),
 
     // approximate ANN via hyperplane LSH — rows-only (bucket hashes are
-    // engine-seeded); recall is asserted in ScalaTest instead.
+    // engine-seeded); the exact-sim/recall law vs brute force is AnnSpec
+    // "LSH top-k sims are a subset of brute-force sims". The driver-path
+    // secondary check enforces the result-shape invariants in-engine:
+    // <= k rows per query, rn dense from 1, sims in [-1,1] and
+    // non-increasing by rank.
     "ml_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      VectorSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), 64, 10)
-        .orderBy(col("q_id"), col("rn"))
+      val out = VectorSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), 64, 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("rn"))
+      val viol = out
+        .withColumn("prev", lag(col("sim"), 1).over(w))
+        .filter(col("rn") > 10 || col("sim") > 1.000001 || col("sim") < -1.000001 ||
+          (col("prev").isNotNull && col("sim") > col("prev") + 1e-9))
+        .count()
+      require(viol == 0, s"LSH top-k shape invariants violated on $viol rows")
+      out.orderBy(col("q_id"), col("rn"))
     }),
 
     "ml_text_stats" -> ((s, dir) => {

@@ -117,17 +117,33 @@ object Round2bQueries {
 
     // spec-compliant murmur3 via the native codegen Expression —
     // rows-only (no DuckDB murmur3); correctness is property-tested
-    // against an independent implementation AND pinned to the
-    // reference's published 1-arg output vectors. Multi-arg chains
-    // strings (hash of arg N seeded by hash of args 1..N-1).
-    "misc_hash_murmur" -> sql("""
-      SELECT n_nationkey, murmur_hash3_32(n_name) AS h0,
-             murmur_hash3_32(n_name, upper(n_name)) AS hs,
-             murmur_hash3_64(n_name) AS h64,
-             CAST(murmur_hash3_128(n_name) AS STRING) AS h128,
-             xxhash_64(n_name) AS x3,
-             xxhash_32(n_name) AS x32
-      FROM nation ORDER BY n_nationkey"""),
+    // against an independent implementation (Murmur3Props) AND pinned
+    // HERE, in the driver's Verify path, to the reference's published
+    // output vectors (hello/world chain, M.out seeds) — the run aborts
+    // if the registered SQL functions drift from the public spec.
+    // Multi-arg chains strings (hash of arg N seeded by hash of
+    // args 1..N-1).
+    "misc_hash_murmur" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val v = s.sql("""
+        SELECT murmur_hash3_32('hello')          AS a,
+               murmur_hash3_32('hello','world')  AS b,
+               murmur_hash3_64('hello')          AS c,
+               xxhash_32('hello')                AS d,
+               xxhash_32('hello','world')        AS e""").head()
+      require(v.getInt(0) == 1321743225 && v.getInt(1) == 984713481 &&
+        v.getLong(2) == -3215607508166160593L &&
+        v.getInt(3) == -83855367 && v.getInt(4) == -920844969,
+        s"hash published-vector pin failed in driver path: $v")
+      s.sql("""
+        SELECT n_nationkey, murmur_hash3_32(n_name) AS h0,
+               murmur_hash3_32(n_name, upper(n_name)) AS hs,
+               murmur_hash3_64(n_name) AS h64,
+               CAST(murmur_hash3_128(n_name) AS STRING) AS h128,
+               xxhash_64(n_name) AS x3,
+               xxhash_32(n_name) AS x32
+        FROM nation ORDER BY n_nationkey""")
+    }),
 
     // salting for skewed keys: explode the hot side into SALT subkeys,
     // replicate the dim side across salts, join, aggregate — result

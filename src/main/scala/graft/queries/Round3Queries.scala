@@ -110,11 +110,24 @@ object Round3Queries {
                x -> concat(CAST(x.item AS STRING), ':', CAST(x.count AS STRING))), '|') AS top3
       FROM lineitem"""),
 
-    // engine-specific Bernoulli sampling — rows-only (no cross-engine
-    // oracle for a seeded sample)
-    "src_tablesample" -> sql("""
-      SELECT count(*) AS n, count(DISTINCT l_orderkey) AS nk
-      FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)""")
+    // engine-specific Bernoulli sampling — no cross-engine oracle for a
+    // seeded sample; the driver-path secondary check bounds the seeded
+    // 10% sample to [5%, 15%] of the exact row count (Bernoulli stddev
+    // at sf0.01's 60k rows is ~0.12%, so the band is ~40 sigma) and
+    // requires nk <= n. REPEATABLE(42) makes re-execution identical.
+    "src_tablesample" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val out = s.sql("""
+        SELECT count(*) AS n, count(DISTINCT l_orderkey) AS nk
+        FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)""")
+      val total = s.table("lineitem").count()
+      val r = out.head()
+      val (n, nk) = (r.getLong(0), r.getLong(1))
+      require(n >= total * 5 / 100 && n <= total * 15 / 100,
+        s"seeded 10% sample out of [5%,15%] band: n=$n of $total")
+      require(nk <= n, s"distinct keys $nk exceed sampled rows $n")
+      out
+    })
   )
 
   def oracle: Map[String, String] = Map(
