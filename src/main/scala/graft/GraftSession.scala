@@ -24,6 +24,26 @@ object GraftSession {
 
   private def base(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // Real Hive-metastore catalog (reference: HMS external catalog,
+    // fe/fe-core/.../datasource/hive/HMSExternalCatalog.java) — the jar
+    // set ships spark-hive + Derby + datanucleus, so managed tables,
+    // bucketed tables, and SHOW/DDL surface go through a genuine
+    // HiveExternalCatalog instead of the in-memory one. Embedded Derby
+    // is per-process (pid-suffixed path): concurrent JVMs (driver
+    // verify + local sbt test) must not contend on one Derby lock.
+    // Lazy: HMS starts only when a query first touches the catalog
+    // (~6-9s once per JVM); plain parquet reads and temp views never
+    // pay it.
+    .config("spark.sql.catalogImplementation", "hive")
+    .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+      s"jdbc:derby:;databaseName=target/hive_ms/pid_${ProcessHandle.current().pid()};create=true")
+    .config("spark.hadoop.datanucleus.schema.autoCreateAll", "true")
+    .config("spark.hadoop.hive.metastore.schema.verification", "false")
+    // pid-suffixed warehouse: managed-table data dirs must not collide
+    // between concurrent JVMs (each has its own Derby catalog, but the
+    // default spark-warehouse/ path is shared)
+    .config("spark.sql.warehouse.dir",
+      s"target/hive_ms/warehouse_${ProcessHandle.current().pid()}")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)

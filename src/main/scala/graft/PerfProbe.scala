@@ -50,6 +50,31 @@ object PerfProbe {
     best("minhash_full")(
       SparkEntry.queries("ml_dedup_minhash")(spark, sfDir))
     best("q21_full")(SparkEntry.queries("q21_waiting_supplier")(spark, sfDir))
+
+    // ---- TPC-H creep attribution (round-6 verdict item 4) -------------
+    // Splits each creeping query into analyze (DataFrame construction
+    // forces analysis), optimize+compile (executedPlan), and execute
+    // (noop write on the prepared df). If the first two are small, the
+    // injected rules / 1055-name registry are exonerated and the wall
+    // creep is execution-side (machine noise / codegen warmup).
+    def phases(name: String): Unit = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val t1 = System.nanoTime()
+        df.queryExecution.executedPlan // force optimize + physical plan
+        val t2 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
+      }
+      val bAn = runs.map(_._1).min
+      val bOpt = runs.map(_._2).min
+      val bEx = runs.map(_._3).min
+      println(f"[probe] $name phases: analyze=$bAn%.3f optimize=$bOpt%.3f execute=$bEx%.3f")
+    }
+    Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q18_large_orders", "q21_waiting_supplier").foreach(phases)
     spark.stop()
   }
 }

@@ -117,6 +117,80 @@ object PipelineQueries {
         .orderBy("source")
     }),
 
+    // benchmark decontamination (the n-gram test-set overlap removal a
+    // pretraining corpus gets — GPT-3 appendix C / Gopher §A.8 style):
+    // docs sharing any 5-gram with the held-out "benchmark" slice
+    // (doc_id % 97 == 0) are dropped from the train split. Scale shape:
+    // the benchmark gram set is tiny relative to the corpus, so the
+    // contamination check is a broadcast LEFT SEMI join against the
+    // train grams — the 100 TB side is never shuffled (at real scale
+    // you'd hash grams to 64-bit and/or bloom-filter the broadcast;
+    // strings kept here for oracle parity).
+    "ml_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def grams(d: DataFrame): DataFrame = d
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), col("source"),
+          explode(filter(
+            transform(col("ws"), (_, i) =>
+              when(i <= size(col("ws")) - 5,
+                concat_ws(" ", slice(col("ws"), i + 1, lit(5))))),
+            g => g.isNotNull)).as("g"))
+      val bench = grams(docs.filter(col("doc_id") % 97 === 0))
+        .select(col("g")).distinct()
+      val contaminated = grams(docs.filter(col("doc_id") % 97 =!= 0))
+        .join(broadcast(bench), "g")
+        .select(col("doc_id")).distinct()
+      docs.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("chk"))
+        .orderBy(col("source"))
+    }),
+
+    // seeded deterministic global shuffle (training-order permutation,
+    // reproducible across runs and engines): rank by md5 of a seeded
+    // key. Scale note: a total order is a range-partitioned sort; at
+    // 100 TB you shard first (hash(doc_id) % n_shards) and sort within
+    // shards — same permutation law per shard, no global exchange.
+    "ml_shuffle_seeded" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(md5(concat(lit("seed42:"), col("doc_id").cast("string"))),
+              col("doc_id"))).as("rk"))
+        .filter(col("rk") <= 100)
+        .orderBy(col("rk"))
+    }),
+
+    // deterministic linear quality classifier (fasttext-style filter
+    // re-expressed as a fixed-weight logistic over handcrafted
+    // features). The >0.5 cut is evaluated on the LINEAR term (z > 0 ⟺
+    // sigmoid(z) > 0.5) so no transcendental sits on the decision
+    // boundary; the reported average goes through exp but is rounded
+    // far above ulp noise. One projection + one agg — no shuffle
+    // beyond the group-by.
+    "ml_quality_logistic" -> ((s, dir) => {
+      val ws = split(col("text"), " ")
+      val nWords = size(ws).cast("double")
+      val meanWlen = aggregate(transform(ws, w => length(w)), lit(0),
+        (acc, x) => acc + x).cast("double") / nWords
+      val stopRatio = size(filter(ws, w =>
+        w.isin("the", "a", "of", "to", "and", "in", "is", "for"))).cast("double") / nWords
+      val punctRatio = (length(col("text")) -
+        length(regexp_replace(col("text"), "[A-Za-z0-9 ]", ""))).cast("double") /
+        length(col("text")).cast("double")
+      val z = lit(-3.0) + lit(0.01) * nWords + lit(0.5) * meanWlen +
+        lit(2.0) * stopRatio - lit(8.0) * punctRatio
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), z.as("z"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("z") > 0, 1L).otherwise(0L)).as("n_pos"),
+          round(avg(lit(1.0) / (lit(1.0) + exp(-col("z")))), 6).as("avg_q"))
+        .orderBy(col("source"))
+    }),
+
     // contiguous greedy packing into 512-token context windows: bin =
     // budget boundaries crossed before the doc starts
     "ml_seq_pack" -> ((s, dir) => {
@@ -203,6 +277,43 @@ object PipelineQueries {
       SELECT source, count(*) AS n_copies, count(DISTINCT doc_id) AS n_docs,
              CAST(sum(doc_id * i) AS BIGINT) AS chk
       FROM x GROUP BY source ORDER BY source""",
+
+    "ml_decontaminate" -> """
+      WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+            FROM w, UNNEST(range(1, len(ws) - 3)) AS t(i)
+            WHERE len(ws) >= 5),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      cont AS (SELECT DISTINCT g.doc_id FROM g JOIN bench USING (g)
+               WHERE g.doc_id % 97 <> 0)
+      SELECT source, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM documents
+      WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)
+      GROUP BY source ORDER BY source""",
+
+    "ml_shuffle_seeded" -> """
+      SELECT doc_id, rk FROM (
+        SELECT doc_id, row_number() OVER (
+          ORDER BY md5('seed42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents) t
+      WHERE rk <= 100 ORDER BY rk""",
+
+    "ml_quality_logistic" -> """
+      WITH f AS (
+        SELECT doc_id, source,
+          -3.0 + 0.01 * CAST(len(string_split(text, ' ')) AS DOUBLE)
+          + 0.5 * (CAST(list_sum(list_transform(string_split(text, ' '), w -> len(w))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          + 2.0 * (CAST(len(list_filter(string_split(text, ' '),
+                     w -> w IN ('the','a','of','to','and','in','is','for'))) AS DOUBLE)
+                   / CAST(len(string_split(text, ' ')) AS DOUBLE))
+          - 8.0 * (CAST(len(text) - len(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(text) AS DOUBLE)) AS z
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+             round(avg(1.0 / (1.0 + exp(-z))), 6) AS avg_q
+      FROM f GROUP BY source ORDER BY source""",
 
     "ml_seq_pack" -> """
       WITH t AS (SELECT doc_id, lang,

@@ -66,6 +66,31 @@ object SourceQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Hive-metastore catalog roundtrip (reference: HMS external catalog,
+    // datasource/hive/HMSExternalCatalog.java): a managed table is
+    // created THROUGH a genuine HiveExternalCatalog (embedded Derby HMS
+    // — GraftSession pins spark.sql.catalogImplementation=hive), data
+    // inserted, then read back via the catalog and aggregated. The
+    // require guards against silently falling back to the in-memory
+    // catalog, which would make this test vacuous.
+    "src_hive_catalog_roundtrip" -> ((s, dir) => {
+      val ext = s.sharedState.externalCatalog.unwrapped.getClass.getName
+      require(ext.endsWith("HiveExternalCatalog"),
+        s"expected a Hive metastore catalog, got $ext")
+      s.sql("DROP TABLE IF EXISTS hive_nations")
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+        .write.mode("overwrite").format("parquet").saveAsTable("hive_nations")
+      require(s.sql("SHOW TABLES").collect()
+        .exists(_.getString(1) == "hive_nations"), "HMS lost the table")
+      s.table("hive_nations")
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("mn"),
+          max(col("n_name")).as("mx"))
+        .orderBy(col("r_name"))
+    }),
+
     // information_schema scan -> spark.catalog (fixture views).
     "src_schema_scan" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
@@ -90,6 +115,10 @@ object SourceQueries {
     "src_schema_scan" -> """
       SELECT name FROM (VALUES ('region'),('nation'),('customer'),('supplier'),
         ('part'),('orders'),('lineitem'),('events'),('documents'),('embeddings')) v(name)
-      ORDER BY name"""
+      ORDER BY name""",
+    "src_hive_catalog_roundtrip" -> """
+      SELECT r_name, count(*) AS n, min(n_name) AS mn, max(n_name) AS mx
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name"""
   )
 }
