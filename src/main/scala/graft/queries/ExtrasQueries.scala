@@ -48,6 +48,20 @@ object ExtrasQueries {
       QUALIFY row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) <= 3
     ) u ORDER BY side, bal DESC, k"""
 
+  // QUALIFY on BOTH branches (each over its own aggregate): the rewrite
+  // loop must fix the left branch without swallowing the UNION tail,
+  // then the right branch on the next pass
+  val qualifyUnion2Sql: String = """
+    SELECT * FROM (
+      SELECT s_nationkey AS k, count(*) AS n, 'sup' AS side FROM supplier
+      GROUP BY s_nationkey
+      QUALIFY rank() OVER (ORDER BY count(*) DESC, s_nationkey) <= 4
+      UNION ALL
+      SELECT c_nationkey AS k, count(*) AS n, 'cust' AS side FROM customer
+      GROUP BY c_nationkey
+      QUALIFY rank() OVER (ORDER BY count(*) DESC, c_nationkey) <= 4
+    ) u ORDER BY side, n DESC, k"""
+
   private val mkJson =
     """concat('{"k":', CAST(pmod(event_id, 50) AS STRING),
               ',"tags":["t', CAST(pmod(event_id, 3) AS STRING), '","x"]',
@@ -113,6 +127,11 @@ object ExtrasQueries {
     "extra_qualify_union" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       s.sql(ExtrasQueries.qualifyUnionSql)
+    }),
+    // …and both branches of one union
+    "extra_qualify_union2" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql(ExtrasQueries.qualifyUnion2Sql)
     }),
 
     // query-cache analog: persist a base, serve two shapes from it.
@@ -229,6 +248,7 @@ object ExtrasQueries {
     "extra_qualify_agg" -> qualifyAggSql,
     "extra_qualify_cte" -> qualifyCteSql,
     "extra_qualify_union" -> qualifyUnionSql,
+    "extra_qualify_union2" -> qualifyUnion2Sql,
 
     "extra_or_join" -> """
       SELECT s_suppkey, count(*) AS n_matches,
