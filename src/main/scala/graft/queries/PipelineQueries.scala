@@ -191,6 +191,24 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // sliding context-window chunking (embedding / training prep):
+    // 128-token windows at stride 96 (32-token overlap), last window
+    // clipped. Pure per-row explode — no shuffle at all; at 100 TB each
+    // task chunks its own partition independently.
+    "ml_doc_chunk" -> ((s, dir) => {
+      val n = size(split(col("text"), " ")).cast("long")
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), n.as("n"))
+        .select(col("doc_id"), col("n"),
+          explode(sequence(lit(0L),
+            when(col("n") > 128, ceil((col("n") - 128).cast("double") / 96.0).cast("long"))
+              .otherwise(0L))).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * 96).as("start_tok"),
+          least(lit(128L), col("n") - col("chunk_id") * 96).as("len_tok"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
     // contiguous greedy packing into 512-token context windows: bin =
     // budget boundaries crossed before the doc starts
     "ml_seq_pack" -> ((s, dir) => {
@@ -314,6 +332,18 @@ object PipelineQueries {
              CAST(sum(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
              round(avg(1.0 / (1.0 + exp(-z))), 6) AS avg_q
       FROM f GROUP BY source ORDER BY source""",
+
+    "ml_doc_chunk" -> """
+      WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+                 FROM documents WHERE doc_id < 300),
+      c AS (SELECT doc_id, n, unnest(range(0,
+              1 + CASE WHEN n > 128
+                       THEN CAST(ceil((n - 128) / 96.0) AS BIGINT)
+                       ELSE 0 END)) AS chunk_id
+            FROM t)
+      SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
+             least(128, n - chunk_id * 96) AS len_tok
+      FROM c ORDER BY doc_id, chunk_id""",
 
     "ml_seq_pack" -> """
       WITH t AS (SELECT doc_id, lang,

@@ -91,6 +91,30 @@ object SourceQueries {
         .orderBy(col("r_name"))
     }),
 
+    // ANALYZE TABLE statistics collection (reference: FE stats jobs,
+    // fe/fe-core/.../statistics/AnalysisManager.java + BE stats sampling;
+    // feeds the CBO exactly like Doris's column stats feed Nereids).
+    // The collected rowCount must round-trip through the HMS catalog
+    // into the optimizer's Statistics — asserted in-query; the returned
+    // rows are oracle-checked against direct counts.
+    "src_analyze_stats" -> ((s, dir) => {
+      import s.implicits._
+      s.sql("DROP TABLE IF EXISTS hive_nation_stats")
+      t(s, dir, "nation").write.format("parquet").saveAsTable("hive_nation_stats")
+      s.sql("ANALYZE TABLE hive_nation_stats COMPUTE STATISTICS")
+      s.sql("ANALYZE TABLE hive_nation_stats COMPUTE STATISTICS FOR COLUMNS n_nationkey, n_regionkey")
+      val stats = s.table("hive_nation_stats").queryExecution.optimizedPlan.stats
+      val exact = s.table("hive_nation_stats").count()
+      require(stats.rowCount.exists(_.toLong == exact),
+        s"CBO rowCount ${stats.rowCount} != exact $exact after ANALYZE")
+      val ndvKey = stats.attributeStats.find(_._1.name == "n_nationkey")
+        .flatMap(_._2.distinctCount).map(_.toLong).getOrElse(-1L)
+      Seq(
+        ("row_count", stats.rowCount.map(_.toLong).getOrElse(-1L)),
+        ("ndv_nationkey", ndvKey))
+        .toDF("stat", "value").orderBy("stat")
+    }),
+
     // information_schema scan -> spark.catalog (fixture views).
     "src_schema_scan" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
@@ -119,6 +143,12 @@ object SourceQueries {
     "src_hive_catalog_roundtrip" -> """
       SELECT r_name, count(*) AS n, min(n_name) AS mn, max(n_name) AS mx
       FROM nation JOIN region ON n_regionkey = r_regionkey
-      GROUP BY r_name ORDER BY r_name"""
+      GROUP BY r_name ORDER BY r_name""",
+    "src_analyze_stats" -> """
+      SELECT 'ndv_nationkey' AS stat, CAST(count(DISTINCT n_nationkey) AS BIGINT) AS value
+      FROM nation
+      UNION ALL
+      SELECT 'row_count', count(*) FROM nation
+      ORDER BY stat"""
   )
 }
