@@ -132,6 +132,32 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("band") && p.contains("sig"), s"no band-bucket join:\n$p")
   }
 
+  test("ml_decontaminate: contamination check is a broadcast join, corpus never cartesians") {
+    val p = SparkEntry.queries("ml_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join in decontamination:\n$p")
+  }
+
+  test("ml_pii_redact is one scan with no join or extra exchange") {
+    val p = SparkEntry.queries("ml_pii_redact")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"unexpected join in pii redaction:\n$p")
+    // one partial/final agg pair => at most one hash exchange
+    val ex = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(ex <= 1, s"pii redaction shuffled $ex times:\n$p")
+  }
+
+  test("ml_doc_chunk explodes per-row with no shuffle at all") {
+    val p = SparkEntry.queries("ml_doc_chunk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Generate"), s"no explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"chunking must not shuffle:\n$p")
+  }
+
   test("q13 pre-aggregates orders below the join (round-6 rewrite)") {
     // the orders fact must be reduced to per-custkey counts BEFORE the
     // customer join — the physical plan shows a HashAggregate on the
