@@ -84,4 +84,19 @@ object Graft {
   def langId(text: Column): Column = TextOps.langId(text)
   def qualityScore(text: Column): Column = TextOps.qualityScore(text)
   def fingerprint(text: Column): Column = TextOps.fingerprint(text)
+
+  /** Replace emails / national ids / IPv4s / phone numbers with typed
+    * placeholders (codegen regexes, one projection — see
+    * ops.PipelineOps for the pattern contract). */
+  def redactPii(text: Column): Column = graft.ops.PipelineOps.redactPii(text)
+
+  /** Table-stream CDC surface (cdc_stream('name') in SQL): create a
+    * commit-versioned stream over a directory table. */
+  def createTableStream(spark: SparkSession, name: String, root: String,
+      keys: Seq[String], seqCol: String, delCol: String,
+      showInitialRows: Boolean = false): Unit =
+    graft.streaming.TableStream.create(
+      spark, name, root, keys, seqCol, delCol, showInitialRows)
+  def readTableStream(spark: SparkSession, name: String): DataFrame =
+    graft.streaming.TableStream.read(spark, name)
 }

@@ -92,5 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // score() -> per-row BM25 with scalar-subquery corpus stats
     // (reference: function_score.cpp + the FE's virtual-slot binding)
     e.injectOptimizerRule(s => new graft.plans.ScoreRewriteRule(s))
+    // PK-FK / unique join elimination over declared RELY constraints
+    // (reference: EliminateJoinByFK.java + EliminateJoinByUnique.java)
+    e.injectOptimizerRule(s => new graft.plans.FkJoinEliminationRule(s))
   }
 }

@@ -134,6 +134,32 @@ object ExtrasQueries {
       s.sql(ExtrasQueries.qualifyUnion2Sql)
     }),
 
+    // PK-FK join elimination (plans/FkJoinElimination.scala —
+    // EliminateJoinByFK.java analog): only lineitem columns are
+    // consumed, so the optimizer must DROP the orders join entirely
+    // (no-join plan assert in PlanShapeSpec). The oracle RUNS the join,
+    // so hash-equality proves the elimination returns identical rows.
+    "opt_fk_join_elim" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("l_quantity")))).as("sq"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // unique-key LEFT JOIN elimination (EliminateJoinByUnique.java
+    // analog): the nation side is unique on the join key and unused, so
+    // the left join can neither filter nor duplicate — dropped.
+    "opt_unique_join_elim" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          dbl(sum(money(col("c_acctbal")))).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // query-cache analog: persist a base, serve two shapes from it.
     // OR-expansion join (ops/OrJoin.scala — OrExpansion.java analog):
     // a disjunctive equi-join spelled as a union of hash joins with
@@ -249,6 +275,17 @@ object ExtrasQueries {
     "extra_qualify_cte" -> qualifyCteSql,
     "extra_qualify_union" -> qualifyUnionSql,
     "extra_qualify_union2" -> qualifyUnion2Sql,
+
+    "opt_fk_join_elim" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sq
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "opt_unique_join_elim" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
+      FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "extra_or_join" -> """
       SELECT s_suppkey, count(*) AS n_matches,

@@ -158,6 +158,38 @@ class PlanShapeSpec extends AnyFunSuite {
       s"chunking must not shuffle:\n$p")
   }
 
+  test("FK-constrained inner join is eliminated from the plan") {
+    val p = plan("opt_fk_join_elim")
+    assert(!p.contains("Join"), s"orders join not eliminated:\n$p")
+    assert(!p.toLowerCase.contains("orders.parquet"),
+      s"orders still scanned:\n$p")
+  }
+
+  test("unique-key left join is eliminated from the plan") {
+    val p = plan("opt_unique_join_elim")
+    assert(!p.contains("Join"), s"nation join not eliminated:\n$p")
+    assert(!p.toLowerCase.contains("nation.parquet"),
+      s"nation still scanned:\n$p")
+  }
+
+  test("FK elimination does NOT fire when the parent is filtered or referenced") {
+    import org.apache.spark.sql.functions._
+    // filtered parent: the join genuinely filters rows -> must remain
+    val filtered = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders").filter(col("o_orderstatus") === "O"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    assert(filtered.queryExecution.executedPlan.toString.contains("Join"),
+      "join over a FILTERED parent must not be eliminated")
+    // referenced parent: a parent column is consumed -> must remain
+    val referenced = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    assert(referenced.queryExecution.executedPlan.toString.contains("Join"),
+      "join whose parent columns are consumed must not be eliminated")
+  }
+
   test("q13 pre-aggregates orders below the join (round-6 rewrite)") {
     // the orders fact must be reduced to per-custkey counts BEFORE the
     // customer join — the physical plan shows a HashAggregate on the
