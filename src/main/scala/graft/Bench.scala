@@ -56,7 +56,8 @@ object Bench {
     // instead of the TPC-H headline set (driver default unchanged)
     val names = (sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "tpch") match {
       case "ml" => Seq("ml_dedup_minhash", "ml_pipeline_e2e", "ml_ann_ivf",
-        "ml_dedup_components", "ds_bm25", "ml_text_stats")
+        "ml_dedup_components", "ds_bm25", "ml_text_stats",
+        "ml_decontaminate", "ml_quality_logistic", "ml_doc_chunk")
       case _ => SparkEntry.benchQueries
     }).filter(SparkEntry.queries.contains)
     // reference methodology: N runs, best reported
