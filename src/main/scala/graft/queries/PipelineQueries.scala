@@ -150,16 +150,22 @@ object PipelineQueries {
 
     // seeded deterministic global shuffle (training-order permutation,
     // reproducible across runs and engines): rank by md5 of a seeded
-    // key. Scale note: a total order is a range-partitioned sort; at
-    // 100 TB you shard first (hash(doc_id) % n_shards) and sort within
-    // shards — same permutation law per shard, no global exchange.
+    // key. Scale shape: the head of the permutation comes from
+    // orderBy+limit = TakeOrderedAndProject (per-partition top-k, tiny
+    // merge on one reducer — plan-asserted); the ranking window then
+    // runs over only those 100 rows. A bare global row_number window
+    // would drag the WHOLE corpus through one task. For the full
+    // permutation at 100 TB you shard (hash(doc_id) % n_shards) and
+    // sort within shards — same law per shard, no global exchange.
     "ml_shuffle_seeded" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"),
+      val key = md5(concat(lit("seed42:"), col("doc_id").cast("string")))
+      val top = t(s, dir, "documents")
+        .select(col("doc_id"), key.as("k"))
+        .orderBy(col("k"), col("doc_id"))
+        .limit(100)
+      top.select(col("doc_id"),
           row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(md5(concat(lit("seed42:"), col("doc_id").cast("string"))),
-              col("doc_id"))).as("rk"))
-        .filter(col("rk") <= 100)
+            .orderBy(col("k"), col("doc_id"))).as("rk"))
         .orderBy(col("rk"))
     }),
 

@@ -150,6 +150,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(ex <= 1, s"pii redaction shuffled $ex times:\n$p")
   }
 
+  test("ml_shuffle_seeded takes the permutation head via TakeOrderedAndProject") {
+    val p = SparkEntry.queries("ml_shuffle_seeded")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"permutation head must be a distributed top-k, not a global sort:\n$p")
+  }
+
   test("ml_doc_chunk explodes per-row with no shuffle at all") {
     val p = SparkEntry.queries("ml_doc_chunk")(spark, sf)
       .queryExecution.executedPlan.toString
