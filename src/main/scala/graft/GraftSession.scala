@@ -22,7 +22,28 @@ object GraftSession {
         case Array(k, v) => (k.trim, v.trim)
       }.foldLeft(base(b0)) { case (bb, (k, v)) => bb.config(k, v) }
 
-  private def base(b: SparkSession.Builder): SparkSession.Builder = b
+  /** best-effort: drop hive_ms dirs left by dead JVMs (each run creates
+    * a pid-suffixed Derby + warehouse; without this they accumulate). */
+  private def cleanStaleMetastores(): Unit =
+    try {
+      val root = new java.io.File("target/hive_ms")
+      val self = ProcessHandle.current().pid()
+      Option(root.listFiles()).getOrElse(Array.empty).foreach { f =>
+        val pid = f.getName.replaceAll("^(pid_|warehouse_)", "")
+        if (pid.forall(_.isDigit) && pid.nonEmpty && pid.toLong != self &&
+            ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive).orElse(false) == false) {
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+    } catch { case _: Throwable => () }
+
+  private def base(b: SparkSession.Builder): SparkSession.Builder = {
+    cleanStaleMetastores()
+    b
     .config("spark.sql.session.timeZone", "UTC")
     // Real Hive-metastore catalog (reference: HMS external catalog,
     // fe/fe-core/.../datasource/hive/HMSExternalCatalog.java) — the jar
@@ -56,6 +77,7 @@ object GraftSession {
     .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     .config("spark.ui.enabled", "false")
     .withExtensions(new GraftExtensions)
+  }
 
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val s = configure(
