@@ -117,5 +117,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PK-FK / unique join elimination over declared RELY constraints
     // (reference: EliminateJoinByFK.java + EliminateJoinByUnique.java)
     e.injectOptimizerRule(s => new graft.plans.FkJoinEliminationRule(s))
+    // eager aggregation (reference: PushDownAggThroughJoinOneSide.java;
+    // opt-in via spark.graft.eagerAgg.enabled, like Doris's session-
+    // variable-gated exploration rules)
+    e.injectOptimizerRule(s => new graft.plans.EagerAggRule(s))
   }
 }

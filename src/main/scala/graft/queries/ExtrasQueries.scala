@@ -160,6 +160,34 @@ object ExtrasQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // eager aggregation (plans/EagerAgg.scala —
+    // PushDownAggThroughJoinOneSide.java analog, opt-in like the
+    // reference's session-gated exploration rules): lineitem is
+    // pre-aggregated per l_orderkey BELOW the join, the final agg above
+    // combines partials. The conf is scoped to this query: the eager
+    // plan is forced and EXECUTED (collect) while enabled, the rewrite
+    // is require()d to have fired, and the eager plan's own rows are
+    // what the driver hash-checks against the plain-join oracle.
+    "opt_eager_agg" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber").cast("long")).as("sl"),
+          min(col("l_quantity")).as("mnq"),
+          max(col("l_quantity")).as("mxq"))
+        .orderBy(col("o_orderpriority"))
+      s.conf.set("spark.graft.eagerAgg.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.contains("__eager_p_"),
+          s"eager aggregation did not fire:\n$optimized")
+        val rows = df.collect() // executes the EAGER physical plan
+        s.createDataFrame(
+          java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.eagerAgg.enabled", "false")
+    }),
+
     // query-cache analog: persist a base, serve two shapes from it.
     // OR-expansion join (ops/OrJoin.scala — OrExpansion.java analog):
     // a disjunctive equi-join spelled as a union of hash joins with
@@ -286,6 +314,12 @@ object ExtrasQueries {
              CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS bal
       FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "opt_eager_agg" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(l_linenumber) AS BIGINT) AS sl,
+             min(l_quantity) AS mnq, max(l_quantity) AS mxq
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "extra_or_join" -> """
       SELECT s_suppkey, count(*) AS n_matches,
