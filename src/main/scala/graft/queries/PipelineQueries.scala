@@ -215,6 +215,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
 
+    // token-budget subsampling (data-mixing selection): per source,
+    // walk docs in seeded-hash order and keep while the running token
+    // total stays under budget — the "fill each domain's token quota"
+    // pass of mixture construction. Window is PARTITIONED by source:
+    // each domain's walk is independent, so the op shards cleanly.
+    "ml_token_budget" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(concat(lit("tb:"), col("doc_id").cast("string"))), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tk"))
+        .withColumn("cum", sum(col("tk")).over(w))
+        .filter(col("cum") <= 20000)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("tk")).as("tokens"),
+          sum(col("doc_id")).as("chk"))
+        .orderBy(col("source"))
+    }),
+
     // contiguous greedy packing into 512-token context windows: bin =
     // budget boundaries crossed before the doc starts
     "ml_seq_pack" -> ((s, dir) => {
@@ -350,6 +370,20 @@ object PipelineQueries {
       SELECT doc_id, chunk_id, chunk_id * 96 AS start_tok,
              least(128, n - chunk_id * 96) AS len_tok
       FROM c ORDER BY doc_id, chunk_id""",
+
+    "ml_token_budget" -> """
+      WITH t AS (SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+                 FROM documents),
+      c AS (SELECT doc_id, source, tk,
+              sum(tk) OVER (PARTITION BY source
+                ORDER BY md5('tb:' || CAST(doc_id AS VARCHAR)), doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM t)
+      SELECT source, count(*) AS n_kept, CAST(sum(tk) AS BIGINT) AS tokens,
+             CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM c WHERE cum <= 20000
+      GROUP BY source ORDER BY source""",
 
     "ml_seq_pack" -> """
       WITH t AS (SELECT doc_id, lang,
