@@ -121,5 +121,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in via spark.graft.eagerAgg.enabled, like Doris's session-
     // variable-gated exploration rules)
     e.injectOptimizerRule(s => new graft.plans.EagerAggRule(s))
+    // correlated scalar-agg subquery -> window over a single scan
+    // (reference: AggScalarSubQueryToWindowFunction.java; opt-in via
+    // spark.graft.scalarAggWindow.enabled)
+    e.injectOptimizerRule(s => new graft.plans.ScalarAggToWindowRule(s))
   }
 }

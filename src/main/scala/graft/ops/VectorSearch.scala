@@ -230,6 +230,52 @@ object VectorSearch {
       .select(col("q_id"), col("rn"), col("vec_id"), col("sim"))
   }
 
+  /** Lloyd's k-means over the embedding column — the semantic-clustering
+    * stage of a training-data pipeline (cluster-then-sample quotas,
+    * semantic dedup cohorts, mixture balancing by topic). Reference ANN
+    * analog: the IVF coarse quantizer's training loop
+    * (be/src/storage/index/ann/faiss_ann_index.h).
+    *
+    * Deterministic contract — no RNG anywhere: centroids initialize to
+    * the first `k` corpus vectors by id (the IVF-cell convention used
+    * across this file), and each recomputed mean is rounded to 6
+    * decimals so engine and oracle argmin over bit-identical centroid
+    * values (a last-ulp difference in a float mean could otherwise flip
+    * a near-tie assignment).
+    *
+    * Scale anatomy per iteration: centroids are k vectors — broadcast;
+    * assignment is one corpus pass (broadcast join against k rows,
+    * per-id top-1 window over k candidates); the recompute is
+    * posexplode → (cid, pos) mean, which partial-aggregates map-side
+    * down to k×dim groups before the one shuffle. `iters` is a small
+    * fixed constant, and each round localCheckpoints the k×dim centroid
+    * table so plan lineage stays flat across iterations (the
+    * measured-blowup lesson documented on nearDupPairsIvf). */
+  def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val prep = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val d2 = expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)")
+    val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("cid").asc)
+    def assign(cent: DataFrame): DataFrame =
+      prep.crossJoin(broadcast(cent))
+        .withColumn("d", d2)
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+    var cent = prep.orderBy(col("id")).limit(k)
+      .select(col("id").cast("int").as("cid"), col("v").as("cv"))
+    for (_ <- 1 to iters) {
+      cent = assign(cent)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(round(avg(col("x")), 6).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("cv"))
+        .localCheckpoint()
+    }
+    assign(cent).select(col("id").as("vec_id"), col("cid").as("cluster"),
+      round(col("d"), 6).as("dist"))
+  }
+
   /** Approximate top-k: probe only the query's LSH bucket. */
   def topKLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
     val bc = lshBuckets(corpus, dim)

@@ -1,0 +1,150 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.VectorSearch
+import Q.t
+
+/** Round-7 additions:
+  *
+  *  - ml_kmeans_assign — Lloyd's k-means over the embedding corpus
+  *    (semantic clustering for cluster-then-sample / topic-mixture
+  *    pipelines), deterministic init + rounded means, oracle-exact.
+  *  - fq_sessionize — gap-based sessionization of the event stream
+  *    (behavior-analytics companion to window_funnel/retention;
+  *    reference: the same event-sequence family as
+  *    be/src/exprs/aggregate/aggregate_function_sequence_match.*).
+  *    One shuffle on user_id serves both window passes AND the final
+  *    per-session aggregate — the 100 TB shape.
+  *  - opt_scalar_subq_window — the AggScalarSubQueryToWindowFunction
+  *    rewrite (plans/ScalarAggToWindow.scala) fired on a correlated
+  *    avg subquery: asserts the optimized plan runs ONE scan of
+  *    lineitem with a window aggregate instead of the decorrelated
+  *    self-join, then checks value parity vs DuckDB running the
+  *    original correlated form.
+  */
+object Round7Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "ml_kmeans_assign" -> ((s, dir) => {
+      VectorSearch.kmeansAssign(t(s, dir, "embeddings"), 8, 2)
+        .orderBy(col("vec_id"))
+    }),
+
+    "fq_sessionize" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // micros on BOTH sides: DuckDB's epoch() is fractional seconds and
+      // Spark's unix_timestamp truncates, so a sub-second gap straddling
+      // the threshold would diverge — epoch_us/unix_micros are exact.
+      val gapUs = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      val brk = when(lag(col("ts"), 1).over(w).isNull ||
+        gapUs > lit(86400L * 1000000L), 1L).otherwise(0L)
+      e.select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("brk", brk)
+        .withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          // epoch micros, not a raw timestamp: parquet loaders disagree
+          // on ns-vs-us units for timestamp columns (oracle_check warns)
+          unix_micros(min(col("ts"))).as("start_us"),
+          (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "opt_scalar_subq_window" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val df = s.sql("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        FROM lineitem o
+        WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem i
+                                  WHERE i.l_partkey = o.l_partkey)
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""")
+      s.conf.set("spark.graft.scalarAggWindow.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.contains("__saw_w"),
+          s"scalar-agg-to-window did not fire:\n$optimized")
+        require(!optimized.contains("Join"),
+          s"self-join survived the window rewrite:\n$optimized")
+        val rows = df.collect() // executes the single-scan window plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.scalarAggWindow.enabled", "false")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    // two Lloyd iterations, unrolled: c0 = first-8 init, c1/c2 =
+    // 6-decimal-rounded per-position means, argmin with cid tiebreak —
+    // the exact contract VectorSearch.kmeansAssign implements
+    "ml_kmeans_assign" -> """
+      WITH prep AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM prep WHERE id < 8),
+      a1 AS (
+        SELECT id, cid FROM (
+          SELECT p.id, c.cid,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+          FROM prep p CROSS JOIN c0 c) x WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT a1.cid, t.pos, round(avg(p.v[t.pos]), 6) AS m
+          FROM a1 JOIN prep p USING (id)
+          CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 65)) t
+          GROUP BY a1.cid, t.pos) y
+        GROUP BY cid),
+      a2 AS (
+        SELECT id, cid FROM (
+          SELECT p.id, c.cid,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+          FROM prep p CROSS JOIN c1 c) x WHERE rn = 1),
+      c2 AS (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT a2.cid, t.pos, round(avg(p.v[t.pos]), 6) AS m
+          FROM a2 JOIN prep p USING (id)
+          CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 65)) t
+          GROUP BY a2.cid, t.pos) y
+        GROUP BY cid)
+      SELECT id AS vec_id, cid AS cluster, round(d, 6) AS dist FROM (
+        SELECT p.id, c.cid,
+          list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+            + list_inner_product(c.cv, c.cv) AS d,
+          row_number() OVER (PARTITION BY p.id ORDER BY
+            list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+              + list_inner_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+        FROM prep p CROSS JOIN c2 c) x
+      WHERE rn = 1 ORDER BY vec_id""",
+
+    "fq_sessionize" -> """
+      WITH f AS (
+        SELECT user_id, event_id, ts,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, ts,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        count(*) AS n_events, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+        CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "opt_scalar_subq_window" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      FROM lineitem o
+      WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem i
+                                WHERE i.l_partkey = o.l_partkey)
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity"""
+  )
+}
