@@ -55,6 +55,47 @@ object Round7Queries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // ExactSubstr/C4-style segment-level dedup with reassembly
+    // (Lee et al., "Deduplicating Training Data Makes Language Models
+    // Better"): split each doc into non-overlapping 10-word segments,
+    // keep only the globally-first occurrence of each segment text
+    // (ordered by doc_id, seg), and rebuild the surviving text per doc.
+    // A doc whose every segment already appeared elsewhere drops out
+    // entirely. Scale: explode is linear; the first-occurrence pass is
+    // ONE shuffle keyed by segment content; reassembly shuffles by
+    // doc_id — no pairwise comparisons anywhere.
+    "ml_segment_dedup" -> ((s, dir) => {
+      val segs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("parts"))
+        .select(col("doc_id"), col("parts"),
+          explode(sequence(lit(0),
+            (ceil(size(col("parts")) / 10.0) - 1).cast("int"))).as("seg"))
+        .select(col("doc_id"), col("seg"),
+          concat_ws(" ", slice(col("parts"), col("seg") * 10 + 1, lit(10))).as("seg_text"))
+      val w = Window.partitionBy(col("seg_text")).orderBy(col("doc_id"), col("seg"))
+      segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+            x => x("seg_text")), " ").as("nt"))
+        .select(col("doc_id"), col("n_kept"), md5(col("nt")).as("new_md5"),
+          size(split(col("nt"), " ")).cast("long").as("new_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cluster-then-sample: per-kmeans-cluster representative quota (the
+    // semantic-diversity sampling pass — stratified sampling where the
+    // strata are LEARNED topic clusters instead of a metadata column)
+    "ml_cluster_sample" -> ((s, dir) => {
+      val a = VectorSearch.kmeansAssign(t(s, dir, "embeddings"), 8, 1)
+      val w = Window.partitionBy(col("cluster"))
+        .orderBy(col("dist").asc, col("vec_id").asc)
+      a.withColumn("rk", row_number().over(w)).filter(col("rk") <= 30)
+        .select(col("cluster"), col("rk"), col("vec_id"), col("dist"))
+        .orderBy(col("cluster"), col("rk"))
+    }),
+
     "opt_scalar_subq_window" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -139,6 +180,60 @@ object Round7Queries {
         count(*) AS n_events, CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
         CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS dur_us
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""",
+
+    "ml_segment_dedup" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM documents),
+      segs AS (
+        SELECT doc_id, CAST(floor((pos - 1) / 10) AS INT) AS seg,
+               string_agg(word, ' ' ORDER BY pos) AS seg_text
+        FROM w GROUP BY doc_id, floor((pos - 1) / 10)),
+      keep AS (
+        SELECT doc_id, seg, seg_text,
+          row_number() OVER (PARTITION BY seg_text ORDER BY doc_id, seg) AS rn
+        FROM segs)
+      SELECT doc_id, count(*) AS n_kept,
+        md5(string_agg(seg_text, ' ' ORDER BY seg)) AS new_md5,
+        CAST(len(string_split(string_agg(seg_text, ' ' ORDER BY seg), ' '))
+          AS BIGINT) AS new_words
+      FROM keep WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""",
+
+    // one Lloyd iteration (c0 -> a1 -> c1), then rank within each final
+    // cluster by rounded distance with vec_id tiebreak, quota 30
+    "ml_cluster_sample" -> """
+      WITH prep AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c0 AS (SELECT CAST(id AS INT) AS cid, v AS cv FROM prep WHERE id < 8),
+      a1 AS (
+        SELECT id, cid FROM (
+          SELECT p.id, c.cid,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+          FROM prep p CROSS JOIN c0 c) x WHERE rn = 1),
+      c1 AS (
+        SELECT cid, list(m ORDER BY pos) AS cv FROM (
+          SELECT a1.cid, t.pos, round(avg(p.v[t.pos]), 6) AS m
+          FROM a1 JOIN prep p USING (id)
+          CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 65)) t
+          GROUP BY a1.cid, t.pos) y
+        GROUP BY cid),
+      a2 AS (
+        SELECT id, cid, round(d, 6) AS dist FROM (
+          SELECT p.id, c.cid,
+            list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+              + list_inner_product(c.cv, c.cv) AS d,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.cid ASC) AS rn
+          FROM prep p CROSS JOIN c1 c) x WHERE rn = 1)
+      SELECT cluster, rk, vec_id, dist FROM (
+        SELECT cid AS cluster, id AS vec_id, dist,
+          row_number() OVER (PARTITION BY cid ORDER BY dist ASC, id ASC) AS rk
+        FROM a2) z
+      WHERE rk <= 30 ORDER BY cluster, rk""",
 
     "opt_scalar_subq_window" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
