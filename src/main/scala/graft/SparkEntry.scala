@@ -105,5 +105,6 @@ object SparkEntry {
     "ml_dedup_minhash", "ml_embed_neardup_lsh",
     "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth",
     "cb_q29", "cb_q32",
-    "ml_pii_redact", "ml_quality_gopher")
+    "ml_pii_redact", "ml_quality_gopher",
+    "ml_segment_dedup", "ml_kmeans_assign")
 }

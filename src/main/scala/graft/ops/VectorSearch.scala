@@ -276,6 +276,70 @@ object VectorSearch {
       round(col("d"), 6).as("dist"))
   }
 
+  /** Product-quantization ANN (asymmetric distance computation) — the
+    * memory-bound scale path: each corpus vector is stored as `nSub`
+    * one-byte codes instead of `dim` floats (here 8 codes for 64
+    * floats, a 32x compression), and each query computes one small
+    * distance table against the codebook instead of full-vector
+    * arithmetic per candidate. Reference ANN analog: the PQ index
+    * family behind be/src/storage/index/ann/faiss_ann_index.h
+    * (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI'11).
+    *
+    * Deterministic contract, same as [[kmeansAssign]]: per-subspace
+    * codebooks initialize to the first `nCodes` corpus sub-vectors and
+    * take ONE Lloyd iteration with 6-decimal-rounded means.
+    *
+    * Scale anatomy: codebooks are nSub x nCodes tiny vectors —
+    * broadcast; encoding is one corpus pass (per-(id,sub) top-1 over
+    * nCodes broadcast candidates); the query distance table is
+    * |Q| x nSub x nCodes rows — broadcast; the ADC scan joins encoded
+    * rows against that broadcast table and the only shuffle is the
+    * (q_id, id) partial-sum — linear in corpus size, no full-vector
+    * math after encode. Composes with [[topKIvf]] cells for IVF-PQ. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, nSub: Int, subDim: Int,
+             nCodes: Int, k: Int): DataFrame = {
+    val prep = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .localCheckpoint()
+    def subSlices(df: DataFrame, idCol: String): DataFrame = df
+      .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("v"))
+      .select(col(idCol), col("sub"),
+        expr(s"slice(v, sub * $subDim + 1, $subDim)").as("sv"))
+    val subs = subSlices(prep, "id").localCheckpoint()
+    val d2 = expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)")
+    val wBest = Window.partitionBy(col("id"), col("sub"))
+      .orderBy(col("d").asc, col("code").asc)
+    def encode(cb: DataFrame): DataFrame =
+      subs.join(broadcast(cb), "sub")
+        .withColumn("d", d2)
+        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+    val cb0 = subs.filter(col("id") < nCodes)
+      .select(col("sub"), col("id").cast("int").as("code"), col("sv").as("cv"))
+    val cb1 = encode(cb0)
+      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("sub"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s("m")).as("cv"))
+      .localCheckpoint()
+    val enc = encode(cb1).select(col("id"), col("sub"), col("code"))
+    val dtab = subSlices(
+        queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v")), "q_id")
+      .join(broadcast(cb1), "sub")
+      .withColumn("qd", d2)
+      .select(col("q_id"), col("sub"), col("code"), col("qd"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    enc.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(round(sum(col("qd")), 6).as("adist"))
+      .withColumnRenamed("id", "vec_id")
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("adist"))
+  }
+
   /** Approximate top-k: probe only the query's LSH bucket. */
   def topKLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
     val bc = lshBuckets(corpus, dim)

@@ -96,6 +96,31 @@ object Round7Queries {
         .orderBy(col("cluster"), col("rk"))
     }),
 
+    // CCNet-style unigram language-model quality score: per-doc mean
+    // negative log-probability under the corpus's own unigram model.
+    // Scale: the vocabulary is tiny relative to the corpus (counts
+    // table broadcast); one explode pass + one doc_id-keyed aggregate.
+    "ml_unigram_logprob" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val cnt = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      words.join(broadcast(cnt), "word").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("c") / col("n"))), 6).as("nll"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // product-quantization ANN: 8 subspaces x 16 codes over the 64-dim
+    // corpus, asymmetric distance computation — see VectorSearch.pqTopK
+    "ml_ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.pqTopK(emb, emb.filter(col("vec_id") < 5),
+          nSub = 8, subDim = 8, nCodes = 16, k = 10)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     "opt_scalar_subq_window" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -234,6 +259,66 @@ object Round7Queries {
           row_number() OVER (PARTITION BY cid ORDER BY dist ASC, id ASC) AS rk
         FROM a2) z
       WHERE rk <= 30 ORDER BY cluster, rk""",
+
+    "ml_unigram_logprob" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+      tot AS (SELECT sum(c) AS n FROM cnt)
+      SELECT doc_id, count(*) AS n_tokens,
+        round(avg(-ln(cnt.c / tot.n)), 6) AS nll
+      FROM w JOIN cnt USING (word) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    // per-subspace codebooks: first-16 init, one Lloyd iteration with
+    // 6-decimal-rounded means; encode = per-(id,sub) argmin; ADC = sum
+    // of per-subspace distance-table entries — VectorSearch.pqTopK's
+    // exact contract
+    "ml_ann_pq" -> """
+      WITH prep AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      subs AS (
+        SELECT id, CAST(t.range AS INT) AS sub,
+               list_slice(v, CAST(t.range AS INT)*8 + 1, CAST(t.range AS INT)*8 + 8) AS sv
+        FROM prep CROSS JOIN range(0, 8) t),
+      cb0 AS (
+        SELECT sub, CAST(id AS INT) AS code, sv AS cv FROM subs WHERE id < 16),
+      enc0 AS (
+        SELECT id, sub, code, sv FROM (
+          SELECT s.id, s.sub, c.code, s.sv,
+            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+              list_inner_product(s.sv, s.sv) - 2*list_inner_product(s.sv, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+          FROM subs s JOIN cb0 c USING (sub)) x WHERE rn = 1),
+      cb1 AS (
+        SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+          SELECT e.sub, e.code, t.pos, round(avg(e.sv[t.pos]), 6) AS m
+          FROM enc0 e
+          CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 9)) t
+          GROUP BY e.sub, e.code, t.pos) y
+        GROUP BY sub, code),
+      enc AS (
+        SELECT id, sub, code FROM (
+          SELECT s.id, s.sub, c.code,
+            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+              list_inner_product(s.sv, s.sv) - 2*list_inner_product(s.sv, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+          FROM subs s JOIN cb1 c USING (sub)) x WHERE rn = 1),
+      dtab AS (
+        SELECT s.id AS q_id, s.sub, c.code,
+          list_inner_product(s.sv, s.sv) - 2*list_inner_product(s.sv, c.cv)
+            + list_inner_product(c.cv, c.cv) AS qd
+        FROM subs s JOIN cb1 c USING (sub) WHERE s.id < 5)
+      SELECT q_id, rn, vec_id, adist FROM (
+        SELECT q_id, vec_id, adist,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist ASC, vec_id ASC) AS rn
+        FROM (
+          SELECT d.q_id, e.id AS vec_id, round(sum(d.qd), 6) AS adist
+          FROM enc e JOIN dtab d ON e.sub = d.sub AND e.code = d.code
+          WHERE e.id <> d.q_id
+          GROUP BY d.q_id, e.id) g) z
+      WHERE rn <= 10 ORDER BY q_id, rn""",
 
     "opt_scalar_subq_window" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
