@@ -297,22 +297,26 @@ object VectorSearch {
     * rows against that broadcast table and the only shuffle is the
     * (q_id, id) partial-sum — linear in corpus size, no full-vector
     * math after encode. Composes with [[topKIvf]] cells for IVF-PQ. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, nSub: Int, subDim: Int,
-             nCodes: Int, k: Int): DataFrame = {
-    val prep = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
-      .localCheckpoint()
-    def subSlices(df: DataFrame, idCol: String): DataFrame = df
-      .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("v"))
-      .select(col(idCol), col("sub"),
-        expr(s"slice(v, sub * $subDim + 1, $subDim)").as("sv"))
-    val subs = subSlices(prep, "id").localCheckpoint()
-    val d2 = expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)")
+  private def pqSubSlices(df: DataFrame, idCol: String,
+                          nSub: Int, subDim: Int): DataFrame = df
+    .select(col(idCol), explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("v"))
+    .select(col(idCol), col("sub"),
+      expr(s"slice(v, sub * $subDim + 1, $subDim)").as("sv"))
+
+  private val pqD2 =
+    expr("graft_dot(sv, sv) - 2 * graft_dot(sv, cv) + graft_dot(cv, cv)")
+
+  /** Train per-subspace codebooks (first-nCodes init + ONE rounded
+    * Lloyd iteration) and encode the corpus: returns (cb1, enc) where
+    * cb1 = (sub, code, cv) and enc = (id, sub, code). */
+  private def pqEncode(prep: DataFrame, nSub: Int, subDim: Int,
+                       nCodes: Int): (DataFrame, DataFrame) = {
+    val subs = pqSubSlices(prep, "id", nSub, subDim).localCheckpoint()
     val wBest = Window.partitionBy(col("id"), col("sub"))
       .orderBy(col("d").asc, col("code").asc)
     def encode(cb: DataFrame): DataFrame =
       subs.join(broadcast(cb), "sub")
-        .withColumn("d", d2)
+        .withColumn("d", pqD2)
         .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
     val cb0 = subs.filter(col("id") < nCodes)
       .select(col("sub"), col("id").cast("int").as("code"), col("sv").as("cv"))
@@ -324,14 +328,84 @@ object VectorSearch {
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
         s => s("m")).as("cv"))
       .localCheckpoint()
-    val enc = encode(cb1).select(col("id"), col("sub"), col("code"))
-    val dtab = subSlices(
-        queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v")), "q_id")
+    (cb1, encode(cb1).select(col("id"), col("sub"), col("code")))
+  }
+
+  /** Per-query ADC distance table against a trained codebook:
+    * (q_id, sub, code, qd). */
+  private def pqDistanceTable(qprep: DataFrame, cb1: DataFrame,
+                              nSub: Int, subDim: Int): DataFrame =
+    pqSubSlices(qprep.select(col("q_id"), col("v")), "q_id", nSub, subDim)
       .join(broadcast(cb1), "sub")
-      .withColumn("qd", d2)
+      .withColumn("qd", pqD2)
       .select(col("q_id"), col("sub"), col("code"), col("qd"))
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, nSub: Int, subDim: Int,
+             nCodes: Int, k: Int): DataFrame = {
+    val prep = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val (cb1, enc) = pqEncode(prep, nSub, subDim, nCodes)
+    val dtab = pqDistanceTable(
+      queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v")),
+      cb1, nSub, subDim)
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
     enc.join(broadcast(dtab), Seq("sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(round(sum(col("qd")), 6).as("adist"))
+      .withColumnRenamed("id", "vec_id")
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("adist"))
+  }
+
+  /** IVF-PQ — the composed 100 TB ANN architecture: an IVF coarse
+    * quantizer bounds WHICH corpus vectors each query compares against
+    * (nprobe of nCells cells), and PQ codes bound WHAT each comparison
+    * costs (nSub table lookups instead of full-vector arithmetic).
+    * This is the standard billion-scale layout (Jégou et al. TPAMI'11;
+    * reference: the IVF-PQ index family behind
+    * be/src/storage/index/ann/faiss_ann_index.h). Simplification
+    * documented here: PQ codes raw vectors, not cell residuals —
+    * residual coding changes accuracy, not the dataflow shape.
+    *
+    * Scale anatomy: cell centroids AND codebooks AND the per-query
+    * probe list AND the ADC table are all broadcast-sized; the corpus
+    * is touched by exactly two linear passes (cell assign, PQ encode)
+    * and the search-time join is (probed cells ∩ encoded rows) ⋈
+    * broadcast tables — ~nprobe/nCells of the corpus per query, no
+    * full-vector math at search time. */
+  def topKIvfPq(corpus: DataFrame, queries: DataFrame,
+                nCells: Int, nprobe: Int, nSub: Int, subDim: Int,
+                nCodes: Int, k: Int): DataFrame = {
+    val prep = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cent = broadcast(prep.orderBy(col("id")).limit(nCells)
+      .select(col("id").cast("int").as("cid"), col("v").as("cellv")))
+    val dCell = expr("graft_dot(v, v) - 2 * graft_dot(v, cellv) + graft_dot(cellv, cellv)")
+    val wCell = Window.partitionBy(col("id")).orderBy(col("d").asc, col("cid").asc)
+    val assign = prep.crossJoin(cent).withColumn("d", dCell)
+      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
+      .select(col("id"), col("cid"))
+    val qprep = queries
+      .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v"))
+    val probes = qprep.withColumnRenamed("q_id", "pq_id")
+      .withColumnRenamed("v", "qv")
+      .crossJoin(cent)
+      .withColumn("d", expr(
+        "graft_dot(qv, qv) - 2 * graft_dot(qv, cellv) + graft_dot(cellv, cellv)"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("pq_id")).orderBy(col("d").asc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("pq_id").as("q_id"), col("cid"))
+    val (cb1, enc) = pqEncode(prep, nSub, subDim, nCodes)
+    val dtab = pqDistanceTable(qprep, cb1, nSub, subDim)
+    val cands = assign.join(broadcast(probes), "cid")
+      .select(col("q_id"), col("id"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    enc.join(cands, "id")
+      .join(broadcast(dtab), Seq("q_id", "sub", "code"))
       .filter(col("id") =!= col("q_id"))
       .groupBy(col("q_id"), col("id"))
       .agg(round(sum(col("qd")), 6).as("adist"))
