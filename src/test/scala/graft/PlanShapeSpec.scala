@@ -270,6 +270,33 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected hash joins:\n$p")
   }
 
+  test("ml_segment_dedup is join-free: explode, one content shuffle, reassembly") {
+    val p = SparkEntry.queries("ml_segment_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"segment dedup must not join:\n$p")
+    assert(p.contains("Generate"), s"no segment explode:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"first-occurrence keep must prune map-side via WindowGroupLimit:\n$p")
+  }
+
+  test("kmeans / PQ / IVF-PQ cross joins are broadcast-bounded, never CartesianProduct") {
+    // every cross join in these paths is against a broadcast centroid or
+    // codebook set (k, nCells, or nSub*nCodes rows); a CartesianProduct
+    // would mean two unbounded sides met — the O(N^2) scale-killer
+    for (q <- Seq("ml_kmeans_assign", "ml_cluster_sample", "ml_ann_pq", "ml_ann_ivfpq")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+  }
+
+  test("ml_unigram_logprob broadcasts the vocabulary counts") {
+    val p = SparkEntry.queries("ml_unigram_logprob")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocabulary join must be broadcast (tiny vocab vs corpus):\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in unigram scoring:\n$p")
+  }
+
   test("arrow roundtrip preserves schema") {
     val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
