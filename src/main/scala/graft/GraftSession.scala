@@ -125,5 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (reference: AggScalarSubQueryToWindowFunction.java; opt-in via
     // spark.graft.scalarAggWindow.enabled)
     e.injectOptimizerRule(s => new graft.plans.ScalarAggToWindowRule(s))
+    // N exact percentiles over one column -> one array-percentile buffer
+    // (reference: MergePercentileToArray.java; opt-in via
+    // spark.graft.mergePercentile.enabled)
+    e.injectOptimizerRule(s => new graft.plans.MergePercentileRule(s))
   }
 }

@@ -130,6 +130,25 @@ object Round7Queries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    "opt_merge_percentile" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(expr("percentile(l_quantity, 0.99)"), 6).as("p99"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("ep50"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+      s.conf.set("spark.graft.mergePercentile.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.contains("__pm_arr"),
+          s"percentile merge did not fire:\n$optimized")
+        val rows = df.collect() // executes the single-buffer plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.mergePercentile.enabled", "false")
+    }),
+
     "opt_scalar_subq_window" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -395,6 +414,15 @@ object Round7Queries {
           WHERE e.id <> d.q_id
           GROUP BY d.q_id, e.id) g) z
       WHERE rn <= 10 ORDER BY q_id, rn""",
+
+    "opt_merge_percentile" -> """
+      SELECT l_returnflag,
+        round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+        round(quantile_cont(l_quantity, 0.99), 6) AS p99,
+        round(quantile_cont(l_extendedprice, 0.5), 6) AS ep50,
+        count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "opt_scalar_subq_window" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
