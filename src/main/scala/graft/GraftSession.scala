@@ -129,5 +129,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (reference: MergePercentileToArray.java; opt-in via
     // spark.graft.mergePercentile.enabled)
     e.injectOptimizerRule(s => new graft.plans.MergePercentileRule(s))
+    // drop the UNION dedup aggregate when RELY-unique branches carry
+    // pairwise-distinct literal tags (reference:
+    // InferSetOperatorDistinct.java; opt-in via
+    // spark.graft.inferSetOpDistinct.enabled)
+    e.injectOptimizerRule(s => new graft.plans.InferSetOpDistinctRule(s))
   }
 }

@@ -57,6 +57,14 @@ object PerfProbe {
     // (noop write on the prepared df). If the first two are small, the
     // injected rules / 1055-name registry are exonerated and the wall
     // creep is execution-side (machine noise / codegen warmup).
+    // Measured r7 (quiet machine, sf0.1, best-of-3):
+    //   q1  analyze=0.027 optimize=0.012 execute=0.372
+    //   q3  analyze=0.023 optimize=0.018 execute=0.366
+    //   q18 analyze=0.015 optimize=0.014 execute=0.326
+    //   q21 analyze=0.038 optimize=0.024 execute=0.411
+    // Plan building is <= 0.06 s/query (~10%): the injected rules and
+    // the 1055-name registry are NOT the r4->r6 wall-creep source; the
+    // drift tracks execution-side machine noise.
     def phases(name: String): Unit = {
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -149,6 +149,24 @@ object Round7Queries {
       } finally s.conf.set("spark.graft.mergePercentile.enabled", "false")
     }),
 
+    "opt_union_distinct_elim" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val df = s.sql("""
+        SELECT 'cust' AS src, c_custkey AS k, round(c_acctbal, 2) AS v FROM customer
+        UNION
+        SELECT 'supp' AS src, s_suppkey AS k, round(s_acctbal, 2) AS v FROM supplier
+        ORDER BY src, k""")
+      s.conf.set("spark.graft.inferSetOpDistinct.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(!optimized.contains("Aggregate"),
+          s"union dedup survived constraint inference:\n$optimized")
+        require(optimized.contains("Union"), s"union gone:\n$optimized")
+        val rows = df.collect() // executes the dedup-free plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.inferSetOpDistinct.enabled", "false")
+    }),
+
     "opt_scalar_subq_window" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -423,6 +441,12 @@ object Round7Queries {
         round(quantile_cont(l_extendedprice, 0.5), 6) AS ep50,
         count(*) AS n
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "opt_union_distinct_elim" -> """
+      SELECT 'cust' AS src, c_custkey AS k, round(c_acctbal, 2) AS v FROM customer
+      UNION
+      SELECT 'supp' AS src, s_suppkey AS k, round(s_acctbal, 2) AS v FROM supplier
+      ORDER BY src, k""",
 
     "opt_scalar_subq_window" -> """
       SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
