@@ -130,6 +130,46 @@ object Round7Queries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // DSIR-style importance weighting (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling"): per-doc mean
+    // log-ratio of target-domain vs corpus unigram probability with
+    // add-1 smoothing (target = lang='en' slice). Positive = looks like
+    // the target domain. Scale: both count tables and the three scalar
+    // totals broadcast; one explode pass + one doc-keyed aggregate.
+    "ml_dsir_weight" -> ((s, dir) => {
+      val w = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("word"))
+      val src = w.groupBy(col("word")).agg(count(lit(1)).as("cs"))
+      val tgt = w.filter(col("lang") === "en")
+        .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+      val vocab = src.agg(count(lit(1)).as("v"))
+      val ns = src.agg(sum(col("cs")).as("n_s"))
+      val nt = tgt.agg(sum(col("ct")).as("n_t"))
+      w.join(broadcast(src), "word")
+        .join(broadcast(tgt), Seq("word"), "left")
+        .crossJoin(broadcast(ns)).crossJoin(broadcast(nt)).crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(
+          log((coalesce(col("ct"), lit(0L)) + 1) / (col("n_t") + col("v"))) -
+          log((col("cs") + 1) / (col("n_s") + col("v")))), 6).as("logweight"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // event-path analysis: top transition bigrams of the per-user event
+    // sequence (the Markov-path companion to window_funnel); one
+    // user_id shuffle for the lag, one small shuffle on the pair
+    "fq_event_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prev"), col("event_type").as("next"), col("n"))
+        .orderBy(col("n").desc, col("prev"), col("next")).limit(20)
+    }),
+
     "opt_merge_percentile" -> ((s, dir) => {
       val df = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -432,6 +472,32 @@ object Round7Queries {
           WHERE e.id <> d.q_id
           GROUP BY d.q_id, e.id) g) z
       WHERE rn <= 10 ORDER BY q_id, rn""",
+
+    "ml_dsir_weight" -> """
+      WITH w AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      vocab AS (SELECT count(DISTINCT word) AS v FROM w),
+      src AS (SELECT word, count(*) AS cs FROM w GROUP BY word),
+      tgt AS (SELECT word, count(*) AS ct FROM w WHERE lang = 'en' GROUP BY word),
+      ns AS (SELECT sum(cs) AS n FROM src),
+      nt AS (SELECT coalesce(sum(ct), 0) AS n FROM tgt)
+      SELECT doc_id,
+        round(avg(
+          ln((coalesce(tgt.ct, 0) + 1) / (nt.n + vocab.v)) -
+          ln((src.cs + 1) / (ns.n + vocab.v))), 6) AS logweight
+      FROM w JOIN src USING (word)
+      LEFT JOIN tgt USING (word)
+      CROSS JOIN ns CROSS JOIN nt CROSS JOIN vocab
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "fq_event_paths" -> """
+      WITH seq AS (
+        SELECT user_id, event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events)
+      SELECT prev, event_type AS next, count(*) AS n
+      FROM seq WHERE prev IS NOT NULL
+      GROUP BY prev, event_type ORDER BY n DESC, prev, next LIMIT 20""",
 
     "opt_merge_percentile" -> """
       SELECT l_returnflag,
