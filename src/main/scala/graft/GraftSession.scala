@@ -134,5 +134,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // InferSetOperatorDistinct.java; opt-in via
     // spark.graft.inferSetOpDistinct.enabled)
     e.injectOptimizerRule(s => new graft.plans.InferSetOpDistinctRule(s))
+    // (a1 JOIN r) UNION ALL (a2 JOIN r) -> (a1 UNION ALL a2) JOIN r
+    // (reference: PullUpJoinFromUnionAll.java; opt-in via
+    // spark.graft.pullUpUnionJoin.enabled)
+    e.injectOptimizerRule(s => new graft.plans.PullUpUnionJoinRule(s))
   }
 }

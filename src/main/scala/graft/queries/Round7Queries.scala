@@ -170,6 +170,27 @@ object Round7Queries {
         .orderBy(col("n").desc, col("prev"), col("next")).limit(20)
     }),
 
+    "opt_pullup_union_join" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val df = s.sql("""
+        SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > 5000
+        UNION ALL
+        SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal < -500
+        ORDER BY n_name, s_name""")
+      s.conf.set("spark.graft.pullUpUnionJoin.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan
+        val nJoins = optimized.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.size
+        require(nJoins == 1,
+          s"expected ONE shared-side join after pull-up, got $nJoins:\n$optimized")
+        val rows = df.collect() // executes the single-join plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.pullUpUnionJoin.enabled", "false")
+    }),
+
     "opt_merge_percentile" -> ((s, dir) => {
       val df = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -498,6 +519,14 @@ object Round7Queries {
       SELECT prev, event_type AS next, count(*) AS n
       FROM seq WHERE prev IS NOT NULL
       GROUP BY prev, event_type ORDER BY n DESC, prev, next LIMIT 20""",
+
+    "opt_pullup_union_join" -> """
+      SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_acctbal > 5000
+      UNION ALL
+      SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_acctbal < -500
+      ORDER BY n_name, s_name""",
 
     "opt_merge_percentile" -> """
       SELECT l_returnflag,
