@@ -170,6 +170,42 @@ object Round7Queries {
         .orderBy(col("n").desc, col("prev"), col("next")).limit(20)
     }),
 
+    // time-series gap filling: generate the daily spine per user between
+    // its min and max day, LEFT-join the actual daily rollup, and
+    // forward-fill with last_value IGNORE NULLS — the standard
+    // "densify then ffill" pass. Scale: the spine explodes per-user
+    // (no cross join against a global calendar), and the fill window
+    // rides the same user_id partitioning as the rollup.
+    "fq_ts_gapfill" -> ((s, dir) => {
+      val daily = t(s, dir, "events").filter(col("user_id") < 10)
+        .groupBy(col("user_id"), col("ts").cast("date").as("d"))
+        .agg(round(sum(col("value")), 6).as("v"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("d"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d").cast("string").as("day"),
+          when(col("v").isNull, 1).otherwise(0).as("filled"),
+          last(col("v"), ignoreNulls = true).over(w).as("v"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // hashing-trick featurization: token -> md5-derived bucket in
+    // [0, 1024), per-doc sparse counts (the classic fixed-width
+    // text-feature encoding; md5 keeps engine and oracle bit-identical)
+    "ml_feature_hash" -> ((s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"),
+          pmod(conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"),
+            lit(1024L)).as("f"))
+        .groupBy(col("doc_id"), col("f")).agg(count(lit(1)).as("c"))
+        .orderBy(col("doc_id"), col("f"))
+    }),
+
     "opt_pullup_union_join" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -519,6 +555,34 @@ object Round7Queries {
       SELECT prev, event_type AS next, count(*) AS n
       FROM seq WHERE prev IS NOT NULL
       GROUP BY prev, event_type ORDER BY n DESC, prev, next LIMIT 20""",
+
+    "fq_ts_gapfill" -> """
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d, round(sum(value), 6) AS v
+        FROM events WHERE user_id < 10 GROUP BY user_id, CAST(ts AS DATE)),
+      bounds AS (
+        SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY user_id),
+      spine AS (
+        SELECT b.user_id,
+               CAST(unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds b)
+      SELECT s.user_id, CAST(s.d AS VARCHAR) AS day,
+        CASE WHEN daily.v IS NULL THEN 1 ELSE 0 END AS filled,
+        last_value(daily.v IGNORE NULLS) OVER (
+          PARTITION BY s.user_id ORDER BY s.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d
+      ORDER BY s.user_id, day""",
+
+    "ml_feature_hash" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE doc_id < 50)
+      SELECT doc_id,
+        CAST(CAST(concat('0x', substr(md5(word), 1, 8)) AS BIGINT) % 1024
+          AS BIGINT) AS f,
+        count(*) AS c
+      FROM w GROUP BY doc_id, f ORDER BY doc_id, f""",
 
     "opt_pullup_union_join" -> """
       SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
