@@ -206,6 +206,45 @@ object Round7Queries {
         .orderBy(col("doc_id"), col("f"))
     }),
 
+    // RFM segmentation via broadcast quintile BOUNDARIES, not a global
+    // ntile window: a positional ntile needs a single-partition sort of
+    // every user — the scale-killer — while boundary scoring is one
+    // small aggregate + a broadcast, and only tie assignment differs.
+    // Score 5 = top quintile on each of recency/frequency/monetary.
+    "fq_rfm" -> ((s, dir) => {
+      val agg = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(unix_micros(max(col("ts"))).as("last_us"),
+          count(lit(1)).as("freq"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 6).as("monetary"))
+      val qs = "array(0.2d, 0.4d, 0.6d, 0.8d)"
+      val bounds = agg.agg(
+        expr(s"transform(percentile(last_us, $qs), x -> round(x, 6))").as("br"),
+        expr(s"transform(percentile(freq, $qs), x -> round(x, 6))").as("bf"),
+        expr(s"transform(percentile(monetary, $qs), x -> round(x, 6))").as("bm"))
+      agg.crossJoin(broadcast(bounds))
+        .select(col("user_id"),
+          (size(filter(col("br"), x => col("last_us") > x)) + 1).as("r"),
+          (size(filter(col("bf"), x => col("freq") > x)) + 1).as("f"),
+          (size(filter(col("bm"), x => col("monetary") > x)) + 1).as("m"))
+        .orderBy(col("user_id"))
+    }),
+
+    // per-event-type z-score outliers (|z| > 2.5): group stats are a
+    // tiny broadcast; the scan stays one pass
+    "fq_zscore_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val stats = e.groupBy(col("event_type"))
+        .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+      e.join(broadcast(stats), "event_type")
+        .withColumn("z", (col("value") - col("mu")) / col("sd"))
+        .filter(abs(col("z")) > 2.5)
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"), round(col("z"), 4).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     "opt_pullup_union_join" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -583,6 +622,39 @@ object Round7Queries {
           AS BIGINT) AS f,
         count(*) AS c
       FROM w GROUP BY doc_id, f ORDER BY doc_id, f""",
+
+    "fq_rfm" -> """
+      WITH agg AS (
+        SELECT user_id,
+          CAST(epoch_us(max(ts)) AS BIGINT) AS last_us,
+          count(*) AS freq,
+          round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 6)
+            AS monetary
+        FROM events GROUP BY user_id),
+      b AS (
+        SELECT
+          list_transform(quantile_cont(last_us, [0.2, 0.4, 0.6, 0.8]),
+            x -> round(x, 6)) AS br,
+          list_transform(quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]),
+            x -> round(x, 6)) AS bf,
+          list_transform(quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]),
+            x -> round(x, 6)) AS bm
+        FROM agg)
+      SELECT user_id,
+        CAST(len(list_filter(b.br, x -> agg.last_us > x)) + 1 AS INT) AS r,
+        CAST(len(list_filter(b.bf, x -> agg.freq > x)) + 1 AS INT) AS f,
+        CAST(len(list_filter(b.bm, x -> agg.monetary > x)) + 1 AS INT) AS m
+      FROM agg CROSS JOIN b ORDER BY user_id""",
+
+    "fq_zscore_outliers" -> """
+      WITH stats AS (
+        SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, round(e.value, 6) AS value,
+        round((e.value - s.mu) / s.sd, 4) AS z
+      FROM events e JOIN stats s USING (event_type)
+      WHERE abs((e.value - s.mu) / s.sd) > 2.5
+      ORDER BY e.event_id""",
 
     "opt_pullup_union_join" -> """
       SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
