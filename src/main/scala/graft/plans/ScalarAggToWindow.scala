@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -52,6 +52,13 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    count-over-empty-group is 0 (not NULL) so the null-rejection
   *    argument does not apply either.
   *
+  * LEFT OUTER joins (the decorrelated shape of a SELECT-list scalar
+  * subquery — "show each row with its group average") rewrite too:
+  * every probe row is kept, null keys get a NULL mask instead of the
+  * window value (EqualTo never matches them), and extra guards bail on
+  * right-side filters, non-key ON conjuncts, and group-attr
+  * passthroughs whose vanished-group NULLs a window can't reproduce.
+  *
   * OPT-IN via `spark.graft.scalarAggWindow.enabled` (the reference
   * gates the rule behind a session variable too). */
 class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -82,11 +89,14 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformUp {
-      case j @ Join(_, _, Inner, Some(_), _) => tryRewrite(j).getOrElse(j)
+      case j: Join if (j.joinType == Inner || j.joinType == LeftOuter) &&
+          j.condition.isDefined =>
+        tryRewrite(j).getOrElse(j)
     }
 
   private def tryRewrite(j: Join): Option[LogicalPlan] = {
-    val Join(left, right, Inner, Some(cond), _) = j
+    val (left, right, cond) = (j.left, j.right, j.condition.get)
+    val outer = j.joinType == LeftOuter
 
     // 1. peel the agg side: Filter* above Aggregate, all deterministic
     var rightFilters = Seq.empty[Expression]
@@ -125,6 +135,15 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!ok) return None
+    // LEFT OUTER: a Filter above the aggregate or an alias mixing
+    // grouping attrs with aggregates would need unmatched-row
+    // compensation beyond the per-key NULL mask below — bail.
+    if (outer) {
+      if (rightFilters.nonEmpty) return None
+      val aliasRefsGroup = aggAliases.exists(
+        _.child.references.exists(r => groupAttrs.exists(_.exprId == r.exprId)))
+      if (aliasRefsGroup) return None
+    }
 
     // 3. split the join condition into group-key equalities and residual
     val aggOut = agg.outputSet
@@ -147,6 +166,10 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => return None
     }
     if (!groupAttrs.forall(g => keyPairs.exists(_._2.exprId == g.exprId))) return None
+    // LEFT OUTER: a non-key conjunct in the ON clause selects which rows
+    // null-extend (it does NOT filter) — a Filter above the window would
+    // change semantics, so only pure key-equality conditions rewrite
+    if (outer && residual.nonEmpty) return None
 
     // 4. compare the two sides modulo exprIds
     val (lBase, lFilters) = peel(left).getOrElse(return None)
@@ -175,12 +198,23 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!leftExtra.forall(e => isNoOpNotNull(e))) return None
     if (aggExtra.nonEmpty) {
       if (!aggExtra.forall(e => isNoOpNotNull(remap(e)))) return None
-      // every agg output must be null-rejected by residual/right filters
-      val nullRejected = (residual ++ rightFilters).flatMap {
-        case IsNotNull(x: Attribute) => Some(x.exprId)
-        case _ => None
-      }.toSet
-      if (!aggAliases.forall(al => nullRejected.contains(al.exprId))) return None
+      if (outer) {
+        // a vanished group NULLs the join's group-attr passthroughs but
+        // our rewrite would emit the (non-null) probe key; agg-value
+        // outputs are exact (the window sees only null inputs there and
+        // a null-ignoring aggregate returns NULL, matching the
+        // null-extended row) — so bail only on bare group-attr outputs
+        if (agg.aggregateExpressions.exists(_.isInstanceOf[Attribute]))
+          return None
+      } else {
+        // INNER drops the probe rows of a vanished group entirely; the
+        // residual must null-reject every agg output to do the same
+        val nullRejected = (residual ++ rightFilters).flatMap {
+          case IsNotNull(x: Attribute) => Some(x.exprId)
+          case _ => None
+        }.toSet
+        if (!aggAliases.forall(al => nullRejected.contains(al.exprId))) return None
+      }
     }
 
     // 5. build window exprs over the probe side
@@ -188,6 +222,14 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!partKeys.forall(left.outputSet.contains)) return None
     val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, UnboundedFollowing)
     val spec = WindowSpecDefinition(partKeys, Nil, frame)
+    // LEFT OUTER null-extends unmatched probe rows; a NULL key never
+    // matches under EqualTo, so mask agg values for null keys
+    val nullableEqKeys = keyPairs.collect {
+      case (lk, _, false) if lk.nullable => lk }
+    def maskOuter(e: Expression): Expression =
+      if (!outer || nullableEqKeys.isEmpty) e
+      else If(nullableEqKeys.map(k => IsNull(k): Expression).reduce(Or),
+        Literal(null, e.dataType), e)
     var wAliases = Seq.empty[Alias]
     val replacements: Seq[NamedExpression] = agg.aggregateExpressions.map {
       case ga: Attribute =>
@@ -201,7 +243,7 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
             w.toAttribute
           case at: Attribute => a2l.getOrElse(at.exprId, at)
         }
-        Alias(newChild, al.name)(exprId = al.exprId)
+        Alias(maskOuter(newChild), al.name)(exprId = al.exprId)
     }
     // window inputs must be available on the probe side
     if (!wAliases.flatMap(_.references.filterNot(a =>
@@ -211,7 +253,11 @@ class ScalarAggToWindowRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
     val win = Window(wAliases, partKeys, Nil, left)
     val proj = Project(left.output ++ replacements, win)
-    val notNullKeys = keyPairs.collect { case (lk, _, false) => IsNotNull(lk): Expression }
+    // INNER drops null-key probe rows (EqualTo never matches them);
+    // LEFT OUTER keeps every probe row, so no key filter there
+    val notNullKeys =
+      if (outer) Nil
+      else keyPairs.collect { case (lk, _, false) => IsNotNull(lk): Expression }
     val allConds = (residual ++ rightFilters ++ notNullKeys).distinct
     Some(if (allConds.isEmpty) proj
          else Filter(allConds.reduce(And), proj))

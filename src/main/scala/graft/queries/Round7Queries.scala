@@ -266,6 +266,28 @@ object Round7Queries {
       } finally s.conf.set("spark.graft.pullUpUnionJoin.enabled", "false")
     }),
 
+    // SELECT-list scalar subquery (left-outer decorrelation) through
+    // the same window rewrite — "each row with its group average"
+    "opt_scalar_subq_select" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      val df = s.sql("""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+          round((SELECT avg(l_quantity) FROM lineitem i
+                 WHERE i.l_partkey = o.l_partkey), 6) AS pavg
+        FROM lineitem o
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""")
+      s.conf.set("spark.graft.scalarAggWindow.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(optimized.contains("__saw_w"),
+          s"select-list scalar-agg-to-window did not fire:\n$optimized")
+        require(!optimized.contains("Join"),
+          s"self-join survived the window rewrite:\n$optimized")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.scalarAggWindow.enabled", "false")
+    }),
+
     "opt_merge_percentile" -> ((s, dir) => {
       val df = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -663,6 +685,13 @@ object Round7Queries {
       SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
       WHERE s_acctbal < -500
       ORDER BY n_name, s_name""",
+
+    "opt_scalar_subq_select" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        round((SELECT avg(l_quantity) FROM lineitem i
+               WHERE i.l_partkey = o.l_partkey), 6) AS pavg
+      FROM lineitem o
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""",
 
     "opt_merge_percentile" -> """
       SELECT l_returnflag,

@@ -74,6 +74,37 @@ class ScalarAggToWindowSpec extends AnyFunSuite {
     assert(rows.map(_.toString).sorted == plain.map(_.toString).sorted)
   }
 
+  test("SELECT-list scalar subquery (LEFT OUTER decorrelation) fires and agrees") {
+    val q = """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+        round((SELECT avg(l_quantity) FROM lineitem i
+               WHERE i.l_partkey = o.l_partkey), 6) AS pavg
+      FROM lineitem o
+      ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity"""
+    val plain = sql(q).collect().toSeq
+    val (plan, rows) = withRule {
+      val df = sql(q)
+      (df.queryExecution.optimizedPlan.toString, df.collect().toSeq)
+    }
+    assert(plan.contains("__saw_w"), s"did not fire on LEFT OUTER:\n$plan")
+    assert(!plan.contains("Join"), s"self-join survived:\n$plan")
+    assert(rows == plain)
+    assert(rows.nonEmpty)
+  }
+
+  test("SELECT-list subquery with an extra outer filter bails (row sets differ)") {
+    withRule {
+      val q = """
+        SELECT l_orderkey,
+          (SELECT avg(l_quantity) FROM lineitem i
+           WHERE i.l_partkey = o.l_partkey) AS pavg
+        FROM lineitem o WHERE l_orderkey < 100"""
+      val plan = sql(q).queryExecution.optimizedPlan.toString
+      assert(!plan.contains("__saw_w"),
+        s"fired although the outer scan is filtered and the subquery is not:\n$plan")
+    }
+  }
+
   test("never fires when disabled, on count (count-bug family), on distinct, " +
       "or when the subquery scans a DIFFERENT table") {
     def planOf(q: String) = sql(q).queryExecution.optimizedPlan.toString
