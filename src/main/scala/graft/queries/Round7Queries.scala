@@ -245,6 +245,42 @@ object Round7Queries {
         .orderBy(col("event_id"))
     }),
 
+    // weighted PageRank over the event-type transition graph (damping
+    // 0.85, two power iterations, per-iteration 8-decimal rounding so
+    // engine and oracle iterate identical vectors). The iterative-graph
+    // companion to the connected-components dedup resolver: each
+    // iteration is one dst-keyed shuffle join of the rank vector with
+    // the edge list — the standard distributed power-iteration shape.
+    "fq_pagerank_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val wlag = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val edges = e
+        .select(col("event_type").as("dst"),
+          lag(col("event_type"), 1).over(wlag).as("src"))
+        .filter(col("src").isNotNull)
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("ew"))
+        .localCheckpoint()
+      val outw = edges.groupBy(col("src")).agg(sum(col("ew")).as("tw"))
+        .withColumnRenamed("src", "osrc")
+      val nodes = e.select(col("event_type").as("n")).distinct()
+      val nn = nodes.agg(count(lit(1)).as("k"))
+      val base = nodes.crossJoin(broadcast(nn)).localCheckpoint()
+      var pr = base.select(col("n"), (lit(1.0) / col("k")).as("pr"))
+      for (_ <- 1 to 2) {
+        pr = base
+          .join(edges, col("n") === col("dst"), "left")
+          .join(pr.select(col("n").as("srcn"), col("pr").as("spr")),
+            col("src") === col("srcn"), "left")
+          .join(outw, col("src") === col("osrc"), "left")
+          .groupBy(col("n"), col("k"))
+          .agg(round(lit(0.15) / col("k") +
+            lit(0.85) * coalesce(sum(col("spr") * col("ew") / col("tw")), lit(0.0)),
+            8).as("pr"))
+          .select(col("n"), col("pr"))
+      }
+      pr.select(col("n").as("node"), col("pr")).orderBy(col("node"))
+    }),
+
     "opt_pullup_union_join" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -677,6 +713,34 @@ object Round7Queries {
       FROM events e JOIN stats s USING (event_type)
       WHERE abs((e.value - s.mu) / s.sd) > 2.5
       ORDER BY e.event_id""",
+
+    "fq_pagerank_events" -> """
+      WITH edges AS (
+        SELECT prev AS src, event_type AS dst, count(*) AS w FROM (
+          SELECT event_type,
+            lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events) t WHERE prev IS NOT NULL GROUP BY prev, event_type),
+      outw AS (SELECT src, sum(w) AS tw FROM edges GROUP BY src),
+      nodes AS (SELECT DISTINCT event_type AS n FROM events),
+      nn AS (SELECT count(*) AS k FROM nodes),
+      r0 AS (SELECT n, 1.0 / nn.k AS pr FROM nodes CROSS JOIN nn),
+      r1 AS (
+        SELECT nodes.n,
+          round(0.15 / nn.k + 0.85 * coalesce(sum(r0.pr * e.w / ow.tw), 0), 8) AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN edges e ON e.dst = nodes.n
+        LEFT JOIN r0 ON r0.n = e.src
+        LEFT JOIN outw ow ON ow.src = e.src
+        GROUP BY nodes.n, nn.k),
+      r2 AS (
+        SELECT nodes.n,
+          round(0.15 / nn.k + 0.85 * coalesce(sum(r1.pr * e.w / ow.tw), 0), 8) AS pr
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN edges e ON e.dst = nodes.n
+        LEFT JOIN r1 ON r1.n = e.src
+        LEFT JOIN outw ow ON ow.src = e.src
+        GROUP BY nodes.n, nn.k)
+      SELECT n AS node, pr FROM r2 ORDER BY node""",
 
     "opt_pullup_union_join" -> """
       SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
