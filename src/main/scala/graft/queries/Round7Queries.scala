@@ -281,6 +281,41 @@ object Round7Queries {
       pr.select(col("n").as("node"), col("pr")).orderBy(col("node"))
     }),
 
+    // TF-IDF top-3 terms per doc (the classic relevance weighting next
+    // to the BM25 search surface); df table and corpus size broadcast
+    "ds_tfidf_topterms" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val w = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = w.groupBy(col("term")).agg(countDistinct(col("doc_id")).as("df"))
+      val n = docs.agg(countDistinct(col("doc_id")).as("n"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), "term").crossJoin(broadcast(n))
+        .withColumn("score", round(col("tf") * log(col("n") / col("df")), 6))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= 3 && col("doc_id") < 100)
+        .select(col("doc_id"), col("rn"), col("term"), col("score"))
+        .orderBy(col("doc_id"), col("rn"))
+    }),
+
+    // weekly cohort retention matrix: cohort = user's first-seen week,
+    // wk = weeks since that user's first day, active = distinct users.
+    // Integer day arithmetic on both sides — no week-truncation
+    // anchor semantics to keep in sync between engines.
+    "fq_cohort_retention" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val f = e.groupBy(col("user_id")).agg(min(col("ts").cast("date")).as("d0"))
+      e.join(broadcast(f), "user_id")
+        .select(col("user_id"),
+          floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7)
+            .cast("int").as("cohort"),
+          floor(datediff(col("ts").cast("date"), col("d0")) / 7)
+            .cast("int").as("wk"))
+        .groupBy(col("cohort"), col("wk"))
+        .agg(countDistinct(col("user_id")).as("active"))
+        .orderBy(col("cohort"), col("wk"))
+    }),
+
     "opt_pullup_union_join" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -741,6 +776,31 @@ object Round7Queries {
         LEFT JOIN outw ow ON ow.src = e.src
         GROUP BY nodes.n, nn.k)
       SELECT n AS node, pr FROM r2 ORDER BY node""",
+
+    "ds_tfidf_topterms" -> """
+      WITH w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY term),
+      n AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+      SELECT doc_id, rn, term, score FROM (
+        SELECT tf.doc_id, tf.term,
+          round(tf.tf * ln(n.n / df.df), 6) AS score,
+          row_number() OVER (PARTITION BY tf.doc_id
+            ORDER BY round(tf.tf * ln(n.n / df.df), 6) DESC, tf.term) AS rn
+        FROM tf JOIN df USING (term) CROSS JOIN n) x
+      WHERE rn <= 3 AND doc_id < 100 ORDER BY doc_id, rn""",
+
+    "fq_cohort_retention" -> """
+      WITH f AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id),
+      e AS (
+        SELECT ev.user_id,
+          CAST(floor(date_diff('day', DATE '2024-01-01', f.d0) / 7.0) AS INT) AS cohort,
+          CAST(floor(date_diff('day', f.d0, CAST(ev.ts AS DATE)) / 7.0) AS INT) AS wk
+        FROM events ev JOIN f USING (user_id))
+      SELECT cohort, wk, count(DISTINCT user_id) AS active
+      FROM e GROUP BY cohort, wk ORDER BY cohort, wk""",
 
     "opt_pullup_union_join" -> """
       SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
