@@ -316,6 +316,36 @@ object Round7Queries {
         .orderBy(col("cohort"), col("wk"))
     }),
 
+    // funnel depth WITHIN gap-based sessions — composes fq_sessionize's
+    // session derivation with strictly-ordered view->click->purchase
+    // step resolution (each step = one conditional-min join keyed on
+    // (user, session); all shuffles share the user_id key)
+    "fq_session_funnel" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val brk = when(lag(col("ts"), 1).over(w).isNull ||
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) >
+          lit(86400L * 1000000L), 1L).otherwise(0L)
+      val sess = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("sid", sum(brk).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .localCheckpoint()
+      val k = Seq("user_id", "sid")
+      val s1 = sess.filter(col("event_type") === "view")
+        .groupBy(k.map(col): _*).agg(min(col("ts")).as("t1"))
+      val s2 = sess.join(s1, k).filter(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy(k.map(col): _*).agg(min(col("ts")).as("t2"))
+      val s3 = sess.join(s2, k).filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy(k.map(col): _*).agg(min(col("ts")).as("t3"))
+      sess.select(col("user_id"), col("sid")).distinct()
+        .join(s1, k, "left").join(s2, k, "left").join(s3, k, "left")
+        .select(when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0).as("depth"))
+        .groupBy(col("depth")).agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("depth"))
+    }),
+
     "opt_pullup_union_join" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val df = s.sql("""
@@ -801,6 +831,39 @@ object Round7Queries {
         FROM events ev JOIN f USING (user_id))
       SELECT cohort, wk, count(DISTINCT user_id) AS active
       FROM e GROUP BY cohort, wk ORDER BY cohort, wk""",
+
+    "fq_session_funnel" -> """
+      WITH f AS (
+        SELECT user_id, event_id, ts, event_type,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+               THEN 1 ELSE 0 END AS brk
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (
+        SELECT user_id, event_id, ts, event_type,
+          CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM f),
+      s1 AS (SELECT user_id, sid, min(ts) AS t1 FROM s WHERE event_type = 'view'
+             GROUP BY user_id, sid),
+      s2 AS (SELECT s.user_id, s.sid, min(s.ts) AS t2
+             FROM s JOIN s1 ON s.user_id = s1.user_id AND s.sid = s1.sid
+             WHERE s.event_type = 'click' AND s.ts > s1.t1
+             GROUP BY s.user_id, s.sid),
+      s3 AS (SELECT s.user_id, s.sid, min(s.ts) AS t3
+             FROM s JOIN s2 ON s.user_id = s2.user_id AND s.sid = s2.sid
+             WHERE s.event_type = 'purchase' AND s.ts > s2.t2
+             GROUP BY s.user_id, s.sid),
+      sess AS (SELECT DISTINCT user_id, sid FROM s)
+      SELECT depth, count(*) AS n_sessions FROM (
+        SELECT CASE WHEN s3.t3 IS NOT NULL THEN 3
+                    WHEN s2.t2 IS NOT NULL THEN 2
+                    WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS depth
+        FROM sess
+        LEFT JOIN s1 ON sess.user_id = s1.user_id AND sess.sid = s1.sid
+        LEFT JOIN s2 ON sess.user_id = s2.user_id AND sess.sid = s2.sid
+        LEFT JOIN s3 ON sess.user_id = s3.user_id AND sess.sid = s3.sid) x
+      GROUP BY depth ORDER BY depth""",
 
     "opt_pullup_union_join" -> """
       SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
