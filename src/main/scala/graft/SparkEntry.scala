@@ -106,5 +106,5 @@ object SparkEntry {
     "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth",
     "cb_q29", "cb_q32",
     "ml_pii_redact", "ml_quality_gopher",
-    "ml_segment_dedup", "ml_kmeans_assign")
+    "ml_segment_dedup", "ml_kmeans_assign", "ml_ann_ivfpq")
 }

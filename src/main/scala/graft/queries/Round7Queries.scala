@@ -6,23 +6,29 @@ import org.apache.spark.sql.functions._
 import graft.ops.VectorSearch
 import Q.t
 
-/** Round-7 additions:
+/** Round-7 additions — every key oracle-exact vs DuckDB.
   *
-  *  - ml_kmeans_assign — Lloyd's k-means over the embedding corpus
-  *    (semantic clustering for cluster-then-sample / topic-mixture
-  *    pipelines), deterministic init + rounded means, oracle-exact.
-  *  - fq_sessionize — gap-based sessionization of the event stream
-  *    (behavior-analytics companion to window_funnel/retention;
-  *    reference: the same event-sequence family as
-  *    be/src/exprs/aggregate/aggregate_function_sequence_match.*).
-  *    One shuffle on user_id serves both window passes AND the final
-  *    per-session aggregate — the 100 TB shape.
-  *  - opt_scalar_subq_window — the AggScalarSubQueryToWindowFunction
-  *    rewrite (plans/ScalarAggToWindow.scala) fired on a correlated
-  *    avg subquery: asserts the optimized plan runs ONE scan of
-  *    lineitem with a window aggregate instead of the decorrelated
-  *    self-join, then checks value parity vs DuckDB running the
-  *    original correlated form.
+  * Training-pipeline: ml_kmeans_assign (Lloyd's k-means, deterministic
+  * first-k init + rounded means), ml_cluster_sample (per-learned-cluster
+  * quota), ml_segment_dedup (ExactSubstr/C4 segment dedup with
+  * reassembly), ml_unigram_logprob (CCNet-style mean NLL),
+  * ml_dsir_weight (importance-resampling log-ratio), ml_feature_hash
+  * (hashing-trick featurization), ml_ann_pq / ml_ann_ivfpq (product
+  * quantization ADC, alone and composed with IVF cells).
+  *
+  * Behavior/time-series analytics: fq_sessionize (gap sessions),
+  * fq_session_funnel (ordered funnel depth within sessions),
+  * fq_event_paths (transition bigrams), fq_pagerank_events (weighted
+  * power iteration), fq_ts_gapfill (daily spine + forward fill),
+  * fq_rfm (broadcast-boundary quintiles, not a global ntile),
+  * fq_zscore_outliers, fq_cohort_retention, ds_tfidf_topterms.
+  *
+  * Optimizer-rule demonstrations (each rule opt-in, plan-asserted here
+  * and value-locked by its spec): opt_scalar_subq_window +
+  * opt_scalar_subq_select (ScalarAggToWindow, INNER and LEFT OUTER
+  * decorrelation shapes), opt_merge_percentile (MergePercentile),
+  * opt_union_distinct_elim (InferSetOpDistinct), opt_pullup_union_join
+  * (PullUpUnionJoin).
   */
 object Round7Queries {
 
