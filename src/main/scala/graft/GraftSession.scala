@@ -138,5 +138,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (reference: PullUpJoinFromUnionAll.java; opt-in via
     // spark.graft.pullUpUnionJoin.enabled)
     e.injectOptimizerRule(s => new graft.plans.PullUpUnionJoinRule(s))
+    // GROUP BY a RELY-unique key over one scan -> stateless projection
+    // (reference: EliminateGroupByKey.java + EliminateAggregate.java;
+    // opt-in via spark.graft.aggByUnique.enabled)
+    e.injectOptimizerRule(s => new graft.plans.AggByUniqueRule(s))
   }
 }

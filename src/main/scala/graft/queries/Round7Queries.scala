@@ -395,6 +395,25 @@ object Round7Queries {
       } finally s.conf.set("spark.graft.scalarAggWindow.enabled", "false")
     }),
 
+    "opt_agg_by_unique" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("o_totalprice")), 6).as("total"),
+          count(lit(1)).as("n"),
+          max(col("o_orderpriority")).as("pri"),
+          round(avg(col("o_totalprice")), 6).as("avg_p"))
+        .filter(col("o_orderkey") < 5000)
+        .orderBy(col("o_orderkey"))
+      s.conf.set("spark.graft.aggByUnique.enabled", "true")
+      try {
+        val optimized = df.queryExecution.optimizedPlan.toString
+        require(!optimized.contains("Aggregate"),
+          s"unique-key aggregate survived elimination:\n$optimized")
+        val rows = df.collect() // executes the aggregation-free plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.aggByUnique.enabled", "false")
+    }),
+
     "opt_merge_percentile" -> ((s, dir) => {
       val df = t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -885,6 +904,13 @@ object Round7Queries {
                WHERE i.l_partkey = o.l_partkey), 6) AS pavg
       FROM lineitem o
       ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""",
+
+    "opt_agg_by_unique" -> """
+      SELECT o_orderkey, round(sum(o_totalprice), 6) AS total,
+             count(*) AS n, max(o_orderpriority) AS pri,
+             round(avg(o_totalprice), 6) AS avg_p
+      FROM orders WHERE o_orderkey < 5000
+      GROUP BY o_orderkey ORDER BY o_orderkey""",
 
     "opt_merge_percentile" -> """
       SELECT l_returnflag,
