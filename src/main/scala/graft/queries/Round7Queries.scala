@@ -395,6 +395,40 @@ object Round7Queries {
       } finally s.conf.set("spark.graft.scalarAggWindow.enabled", "false")
     }),
 
+    // last-touch attribution: each purchase credits the most recent
+    // non-purchase event within 24h (IGNORE NULLS lag carries the last
+    // touch forward); one user_id shuffle, then a tiny channel rollup
+    "fq_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val touchType = when(col("event_type") =!= "purchase", col("event_type"))
+      val touchTs = when(col("event_type") =!= "purchase", col("ts"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .withColumn("touch", lag(touchType, 1, null, ignoreNulls = true).over(w))
+        .withColumn("touch_ts", lag(touchTs, 1, null, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(
+          when(unix_micros(col("ts")) - unix_micros(col("touch_ts")) <=
+            lit(86400L * 1000000L), col("touch")), lit("none")).as("channel"),
+          col("value"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("purchases"), round(sum(col("value")), 6).as("revenue"))
+        .orderBy(col("channel"))
+    }),
+
+    // 7-day moving average of daily active users; the trailing window
+    // runs over the DAILY rollup (|days| rows — bounded at any corpus
+    // scale), not the raw events
+    "fq_dau_ma7" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val w = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+      daily.select(col("d").cast("string").as("day"), col("dau"),
+          round(avg(col("dau")).over(w), 6).as("ma7"))
+        .orderBy(col("day"))
+    }),
+
     "opt_agg_by_unique" -> ((s, dir) => {
       val df = t(s, dir, "orders")
         .groupBy(col("o_orderkey"))
@@ -904,6 +938,30 @@ object Round7Queries {
                WHERE i.l_partkey = o.l_partkey), 6) AS pavg
       FROM lineitem o
       ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""",
+
+    "fq_attribution" -> """
+      WITH seq AS (
+        SELECT user_id, event_id, ts, event_type, value,
+          lag(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS touch,
+          lag(CASE WHEN event_type <> 'purchase' THEN ts END IGNORE NULLS)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id) AS touch_ts
+        FROM events)
+      SELECT coalesce(CASE WHEN epoch_us(ts) - epoch_us(touch_ts) <= 86400000000
+                           THEN touch END, 'none') AS channel,
+        count(*) AS purchases,
+        round(sum(value), 6) AS revenue
+      FROM seq WHERE event_type = 'purchase'
+      GROUP BY channel ORDER BY channel""",
+
+    "fq_dau_ma7" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau
+        FROM events GROUP BY CAST(ts AS DATE))
+      SELECT CAST(d AS VARCHAR) AS day, dau,
+        round(avg(dau) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+          AS ma7
+      FROM daily ORDER BY day""",
 
     "opt_agg_by_unique" -> """
       SELECT o_orderkey, round(sum(o_totalprice), 6) AS total,
