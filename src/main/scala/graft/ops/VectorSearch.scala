@@ -414,6 +414,61 @@ object VectorSearch {
       .select(col("q_id"), col("rn"), col("vec_id"), col("adist"))
   }
 
+  /** Residual-coded IVF-PQ — the faiss-default refinement of
+    * [[topKIvfPq]]: PQ encodes each vector's RESIDUAL from its cell
+    * centroid (`v - c[cell]`), so the codebook spends its 16 codes on
+    * the within-cell spread instead of the global spread, and the
+    * query's distance table is built per PROBED CELL against the
+    * query's own residual (`q - c[cell]`). Approximates the same
+    * quantity — `||q - v||² = ||(q-c) - (v-c)||²` — with strictly
+    * better code utilization. Dataflow is identical to [[topKIvfPq]]
+    * except the distance table carries a cell column (size
+    * |Q| x nprobe x nSub x nCodes — still broadcast). */
+  def topKIvfPqResidual(corpus: DataFrame, queries: DataFrame,
+                        nCells: Int, nprobe: Int, nSub: Int, subDim: Int,
+                        nCodes: Int, k: Int): DataFrame = {
+    val prep = corpus
+      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .localCheckpoint()
+    val cent = broadcast(prep.orderBy(col("id")).limit(nCells)
+      .select(col("id").cast("int").as("cid"), col("v").as("cellv")))
+    val dCell = expr("graft_dot(v, v) - 2 * graft_dot(v, cellv) + graft_dot(cellv, cellv)")
+    val resid = expr("zip_with(v, cellv, (a, b) -> a - b)")
+    val assign = prep.crossJoin(cent).withColumn("d", dCell)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("d").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("cid"), resid.as("v"))
+      .localCheckpoint()
+    // per-subspace codebooks trained on residuals (first-nCodes init,
+    // one rounded Lloyd iteration) and residual encoding
+    val (cb1, enc) = pqEncode(assign.select(col("id"), col("v")), nSub, subDim, nCodes)
+    val encCell = enc.join(assign.select(col("id"), col("cid")), "id")
+    // queries: nprobe cells each; the distance table is per (query, cell)
+    val qprep = queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v"))
+    val probes = qprep.crossJoin(cent).withColumn("d", dCell)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cid").asc)))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cid"), resid.as("v"))
+    val qsubs = probes
+      .select(col("q_id"), col("cid"),
+        explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("v"))
+      .select(col("q_id"), col("cid"), col("sub"),
+        expr(s"slice(v, sub * $subDim + 1, $subDim)").as("sv"))
+    val dtab = qsubs.join(broadcast(cb1), "sub")
+      .withColumn("qd", pqD2)
+      .select(col("q_id"), col("cid"), col("sub"), col("code"), col("qd"))
+    val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    encCell.join(broadcast(dtab), Seq("cid", "sub", "code"))
+      .filter(col("id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(round(sum(col("qd")), 6).as("adist"))
+      .withColumnRenamed("id", "vec_id")
+      .withColumn("rn", row_number().over(wRank)).filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col("vec_id"), col("adist"))
+  }
+
   /** Approximate top-k: probe only the query's LSH bucket. */
   def topKLsh(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int): DataFrame = {
     val bc = lshBuckets(corpus, dim)

@@ -136,6 +136,15 @@ object Round7Queries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
+    // residual-coded IVF-PQ (the faiss default): PQ codes each vector's
+    // residual from its cell centroid — see VectorSearch.topKIvfPqResidual
+    "ml_ann_ivfpq_res" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSearch.topKIvfPqResidual(emb, emb.filter(col("vec_id") < 5),
+          nCells = 8, nprobe = 3, nSub = 8, subDim = 8, nCodes = 16, k = 10)
+        .orderBy(col("q_id"), col("rn"))
+    }),
+
     // DSIR-style importance weighting (Xie et al., "Data Selection for
     // Language Models via Importance Resampling"): per-doc mean
     // log-ratio of target-domain vs corpus unigram probability with
@@ -747,6 +756,79 @@ object Round7Queries {
           FROM enc e
           JOIN cands ca ON ca.id = e.id
           JOIN dtab d ON d.q_id = ca.q_id AND d.sub = e.sub AND d.code = e.code
+          WHERE e.id <> d.q_id
+          GROUP BY d.q_id, e.id) g) z
+      WHERE rn <= 10 ORDER BY q_id, rn""",
+
+    // same cell/codebook contract as ml_ann_ivfpq but trained on and
+    // applied to residuals (rv = v - cell centroid), with the query
+    // distance table keyed per (query, probed cell)
+    "ml_ann_ivfpq_res" -> """
+      WITH prep AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      cent AS (SELECT CAST(id AS INT) AS cid, v AS cellv FROM prep WHERE id < 8),
+      assign AS (
+        SELECT id, cid, list_transform(range(1, 65), i -> v[i] - cellv[i]) AS rv
+        FROM (
+          SELECT p.id, c.cid, p.v, c.cellv,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cellv)
+                + list_inner_product(c.cellv, c.cellv) ASC, c.cid ASC) AS rn
+          FROM prep p CROSS JOIN cent c) x WHERE rn = 1),
+      subs AS (
+        SELECT id, CAST(t.range AS INT) AS sub,
+               list_slice(rv, CAST(t.range AS INT)*8 + 1, CAST(t.range AS INT)*8 + 8) AS sv
+        FROM assign CROSS JOIN range(0, 8) t),
+      cb0 AS (
+        SELECT sub, CAST(id AS INT) AS code, sv AS cv FROM subs WHERE id < 16),
+      enc0 AS (
+        SELECT id, sub, code, sv FROM (
+          SELECT s.id, s.sub, c.code, s.sv,
+            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+              list_inner_product(s.sv, s.sv) - 2*list_inner_product(s.sv, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+          FROM subs s JOIN cb0 c USING (sub)) x WHERE rn = 1),
+      cb1 AS (
+        SELECT sub, code, list(m ORDER BY pos) AS cv FROM (
+          SELECT e.sub, e.code, t.pos, round(avg(e.sv[t.pos]), 6) AS m
+          FROM enc0 e
+          CROSS JOIN (SELECT CAST(range AS INT) AS pos FROM range(1, 9)) t
+          GROUP BY e.sub, e.code, t.pos) y
+        GROUP BY sub, code),
+      enc AS (
+        SELECT x.id, x.sub, x.code, a.cid FROM (
+          SELECT s.id, s.sub, c.code,
+            row_number() OVER (PARTITION BY s.id, s.sub ORDER BY
+              list_inner_product(s.sv, s.sv) - 2*list_inner_product(s.sv, c.cv)
+                + list_inner_product(c.cv, c.cv) ASC, c.code ASC) AS rn
+          FROM subs s JOIN cb1 c USING (sub)) x
+        JOIN assign a ON a.id = x.id WHERE x.rn = 1),
+      probes AS (
+        SELECT id AS q_id, cid,
+          list_transform(range(1, 65), i -> v[i] - cellv[i]) AS rv
+        FROM (
+          SELECT p.id, c.cid, p.v, c.cellv,
+            row_number() OVER (PARTITION BY p.id ORDER BY
+              list_inner_product(p.v, p.v) - 2*list_inner_product(p.v, c.cellv)
+                + list_inner_product(c.cellv, c.cellv) ASC, c.cid ASC) AS rn
+          FROM prep p CROSS JOIN cent c WHERE p.id < 5) x WHERE rn <= 3),
+      dtab AS (
+        SELECT q.q_id, q.cid, qs.sub, c.code,
+          list_inner_product(qs.sv, qs.sv) - 2*list_inner_product(qs.sv, c.cv)
+            + list_inner_product(c.cv, c.cv) AS qd
+        FROM probes q
+        CROSS JOIN range(0, 8) t
+        JOIN LATERAL (SELECT CAST(t.range AS INT) AS sub,
+          list_slice(q.rv, CAST(t.range AS INT)*8 + 1, CAST(t.range AS INT)*8 + 8) AS sv) qs ON true
+        JOIN cb1 c ON c.sub = qs.sub)
+      SELECT q_id, rn, vec_id, adist FROM (
+        SELECT q_id, vec_id, adist,
+          row_number() OVER (PARTITION BY q_id
+                             ORDER BY adist ASC, vec_id ASC) AS rn
+        FROM (
+          SELECT d.q_id, e.id AS vec_id, round(sum(d.qd), 6) AS adist
+          FROM enc e
+          JOIN dtab d ON d.cid = e.cid AND d.sub = e.sub AND d.code = e.code
           WHERE e.id <> d.q_id
           GROUP BY d.q_id, e.id) g) z
       WHERE rn <= 10 ORDER BY q_id, rn""",
