@@ -438,6 +438,44 @@ object Round7Queries {
         .orderBy(col("day"))
     }),
 
+    // DAU/MAU stickiness per month (avg daily actives / monthly actives)
+    "fq_stickiness" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val daily = e.groupBy(col("ts").cast("date").as("d"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+      val monthly = daily.groupBy(trunc(col("d"), "month").as("mo"))
+        .agg(avg(col("dau")).as("avg_dau"))
+      val mau = e.groupBy(trunc(col("ts").cast("date"), "month").as("mo"))
+        .agg(countDistinct(col("user_id")).as("mau"))
+      mau.join(monthly, "mo")
+        .select(col("mo").cast("string").as("month"),
+          round(col("avg_dau"), 6).as("avg_dau"), col("mau"),
+          round(col("avg_dau") / col("mau"), 6).as("stickiness"))
+        .orderBy(col("month"))
+    }),
+
+    // median step-transition times through the strictly-ordered
+    // view -> click -> purchase funnel (per-user conditional mins, then
+    // one exact median over the converted cohort)
+    "fq_funnel_time" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      s1.join(s2, "user_id").join(s3, "user_id")
+        .select(
+          ((unix_micros(col("t2")) - unix_micros(col("t1"))) / 1000000.0).as("vc"),
+          ((unix_micros(col("t3")) - unix_micros(col("t2"))) / 1000000.0).as("cp"))
+        .agg(count(lit(1)).as("n_converted"),
+          round(expr("percentile(vc, 0.5)"), 0).cast("long").as("med_view_click_s"),
+          round(expr("percentile(cp, 0.5)"), 0).cast("long").as("med_click_purchase_s"))
+    }),
+
     "opt_agg_by_unique" -> ((s, dir) => {
       val df = t(s, dir, "orders")
         .groupBy(col("o_orderkey"))
@@ -1044,6 +1082,37 @@ object Round7Queries {
         round(avg(dau) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
           AS ma7
       FROM daily ORDER BY day""",
+
+    "fq_stickiness" -> """
+      WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, count(DISTINCT user_id) AS dau
+        FROM events GROUP BY d),
+      monthly AS (
+        SELECT date_trunc('month', d) AS mo, avg(dau) AS avg_dau
+        FROM daily GROUP BY mo),
+      mau AS (
+        SELECT date_trunc('month', CAST(ts AS DATE)) AS mo,
+               count(DISTINCT user_id) AS mau
+        FROM events GROUP BY mo)
+      SELECT CAST(m.mo AS VARCHAR) AS month, round(mn.avg_dau, 6) AS avg_dau,
+        m.mau, round(mn.avg_dau / m.mau, 6) AS stickiness
+      FROM mau m JOIN monthly mn USING (mo) ORDER BY month""",
+
+    "fq_funnel_time" -> """
+      WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                  WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id
+             WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+      SELECT count(*) AS n_converted,
+        CAST(round(quantile_cont((epoch_us(t2) - epoch_us(t1)) / 1000000.0, 0.5), 0)
+          AS BIGINT) AS med_view_click_s,
+        CAST(round(quantile_cont((epoch_us(t3) - epoch_us(t2)) / 1000000.0, 0.5), 0)
+          AS BIGINT) AS med_click_purchase_s
+      FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
 
     "opt_agg_by_unique" -> """
       SELECT o_orderkey, round(sum(o_totalprice), 6) AS total,
