@@ -56,6 +56,40 @@ class Round7InvariantSpec extends AnyFunSuite {
     assert(overlap == 0, s"$overlap session boundaries violate the gap threshold")
   }
 
+  test("PQ paths keep a recall floor vs exact L2 top-10") {
+    // Measured: sf0.01 pq/ivfpq/ivfpq_res = 0.36/0.36/0.32; sf0.001
+    // (this suite's fixture) dips to 0.12 on ivfpq_res — the synthetic
+    // near-uniform embeddings are PQ's hardest case (residual coding
+    // only pays off on clustered data) and nprobe=3 of 8 cells caps
+    // IVF recall. The 0.08 floor detects catastrophic breakage (a
+    // broken codebook or distance table collapses recall toward
+    // k/N ≈ 0.02), not tuning.
+    import graft.ops.VectorSearch
+    val emb = Tables.load(spark, sf, "embeddings")
+    val prep = emb.select(col("vec_id").as("id"),
+      transform(col("embedding"), _.cast("double")).as("v"))
+    val q = prep.filter(col("id") < 5)
+      .select(col("id").as("q_id"), col("v").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d").asc, col("id").asc)
+    val exact = q.crossJoin(prep).filter(col("id") =!= col("q_id"))
+      .withColumn("d", expr(
+        "graft_dot(qv, qv) - 2*graft_dot(qv, v) + graft_dot(v, v)"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .select(col("q_id"), col("id").as("vec_id"))
+    val exactSet = exact.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(out: org.apache.spark.sql.DataFrame): Double =
+      out.select(col("q_id"), col("vec_id")).collect()
+        .count(r => exactSet.contains((r.getLong(0), r.getLong(1)))) / 50.0
+    val qs = emb.filter(col("vec_id") < 5)
+    val rPq = recall(VectorSearch.pqTopK(emb, qs, 8, 8, 16, 10))
+    val rIvf = recall(VectorSearch.topKIvfPq(emb, qs, 8, 3, 8, 8, 16, 10))
+    val rRes = recall(VectorSearch.topKIvfPqResidual(emb, qs, 8, 3, 8, 8, 16, 10))
+    assert(rPq >= 0.08, s"pq recall collapsed: $rPq")
+    assert(rIvf >= 0.08, s"ivfpq recall collapsed: $rIvf")
+    assert(rRes >= 0.08, s"ivfpq_res recall collapsed: $rRes")
+  }
+
   test("PQ top-k lists are valid: k rows per query, dense ranks, non-decreasing distance") {
     for (q <- Seq("ml_ann_pq", "ml_ann_ivfpq")) {
       val out = SparkEntry.queries(q)(spark, sf)
