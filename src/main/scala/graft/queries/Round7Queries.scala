@@ -476,6 +476,22 @@ object Round7Queries {
           round(expr("percentile(cp, 0.5)"), 0).cast("long").as("med_click_purchase_s"))
     }),
 
+    // market-basket pair mining: co-occurring part pairs within an
+    // order. The self-join is keyed on l_orderkey, so each order only
+    // pairs with itself — candidate count is sum of per-order
+    // (items choose 2), bounded by the small per-order item count, not
+    // |lineitem|^2 (same bounded-blocking shape as the dedup family).
+    "ds_basket_pairs" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      items.as("a").join(items.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("p1"), col("b.pk").as("p2"))
+        .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("n").desc, col("p1"), col("p2")).limit(50)
+    }),
+
     "opt_agg_by_unique" -> ((s, dir) => {
       val df = t(s, dir, "orders")
         .groupBy(col("o_orderkey"))
@@ -1113,6 +1129,15 @@ object Round7Queries {
         CAST(round(quantile_cont((epoch_us(t3) - epoch_us(t2)) / 1000000.0, 0.5), 0)
           AS BIGINT) AS med_click_purchase_s
       FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
+
+    "ds_basket_pairs" -> """
+      WITH items AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS n
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING count(*) >= 3
+      ORDER BY n DESC, p1, p2 LIMIT 50""",
 
     "opt_agg_by_unique" -> """
       SELECT o_orderkey, round(sum(o_totalprice), 6) AS total,
