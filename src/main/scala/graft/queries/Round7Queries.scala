@@ -481,6 +481,29 @@ object Round7Queries {
     // pairs with itself — candidate count is sum of per-order
     // (items choose 2), bounded by the small per-order item count, not
     // |lineitem|^2 (same bounded-blocking shape as the dedup family).
+    // one-row corpus "datasheet": size, vocabulary, language entropy,
+    // exact-dup rate — the summary block of a dataset card
+    "ml_dataset_card" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      val langEnt = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(docs.agg(count(lit(1)).as("n"))))
+        .agg(round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+          .as("lang_entropy"))
+      docs.agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          (lit(1.0) - countDistinct(md5(col("text"))) /
+            count(lit(1)).cast("double")).as("dup_rate"))
+        .crossJoin(broadcast(words.agg(count(lit(1)).as("total_words"),
+          countDistinct(col("w")).as("vocab"))))
+        .crossJoin(broadcast(langEnt))
+        .select(col("n_docs"), col("total_words"), col("vocab"),
+          col("avg_chars"), col("n_langs"), col("lang_entropy"),
+          round(col("dup_rate"), 6).as("dup_rate"))
+    }),
+
     "ds_basket_pairs" -> ((s, dir) => {
       val items = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
@@ -1129,6 +1152,24 @@ object Round7Queries {
         CAST(round(quantile_cont((epoch_us(t3) - epoch_us(t2)) / 1000000.0, 0.5), 0)
           AS BIGINT) AS med_click_purchase_s
       FROM s1 JOIN s2 USING (user_id) JOIN s3 USING (user_id)""",
+
+    "ml_dataset_card" -> """
+      WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      ent AS (
+        SELECT round(-sum((c / n) * ln(c / n)), 6) AS lang_entropy FROM (
+          SELECT lang, count(*) AS c,
+            (SELECT count(*) FROM documents) AS n
+          FROM documents GROUP BY lang) x)
+      SELECT
+        (SELECT count(*) FROM documents) AS n_docs,
+        (SELECT count(*) FROM w) AS total_words,
+        (SELECT count(DISTINCT word) FROM w) AS vocab,
+        (SELECT round(avg(n_chars), 6) FROM documents) AS avg_chars,
+        (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+        ent.lang_entropy,
+        round(1.0 - (SELECT count(DISTINCT md5(text)) FROM documents)
+          / CAST((SELECT count(*) FROM documents) AS DOUBLE), 6) AS dup_rate
+      FROM ent""",
 
     "ds_basket_pairs" -> """
       WITH items AS (
