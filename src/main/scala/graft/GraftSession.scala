@@ -142,5 +142,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (reference: EliminateGroupByKey.java + EliminateAggregate.java;
     // opt-in via spark.graft.aggByUnique.enabled)
     e.injectOptimizerRule(s => new graft.plans.AggByUniqueRule(s))
+    // ORDER BY graft_l2sq(col, const) LIMIT k over a vector-indexed
+    // table -> EXACT triangle-inequality-pruned cell scan (reference:
+    // PushDownVectorTopNIntoOlapScan.java; opt-in via
+    // spark.graft.vectorTopN.enabled)
+    e.injectOptimizerRule(s => new graft.plans.VectorTopNRule(s))
   }
 }

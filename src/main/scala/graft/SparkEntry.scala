@@ -62,7 +62,8 @@ object SparkEntry {
       (graft.queries.ClickBenchQueries.queries, graft.queries.ClickBenchQueries.oracle),
       (graft.queries.RealDataQueries.queries, graft.queries.RealDataQueries.oracle),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracle),
-      (graft.queries.Round7Queries.queries, graft.queries.Round7Queries.oracle)
+      (graft.queries.Round7Queries.queries, graft.queries.Round7Queries.oracle),
+      (graft.queries.Round7bQueries.queries, graft.queries.Round7bQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Banded sign-LSH signature kernel for the embedding near-dup path
   * (ops/VectorSearch.nearDupPairsLsh).
@@ -61,6 +61,27 @@ object BandSigs {
     var acc = 0.0
     var i = 0
     while (i < n) { acc += aa(i) * bb(i); i += 1 }
+    acc
+  }
+
+  /** Squared-L2 kernel (called from generated code). The float flags
+    * select the element reader so an ARRAY<FLOAT> storage column (the
+    * embeddings fixture) is consumed directly — no transform-cast
+    * projection materializing a double copy per row on the scan path.
+    * Floats widen to double BEFORE the subtract, and the summation is
+    * left-to-right over (x-y)^2 — the same arithmetic sequence DuckDB
+    * computes on CAST(col AS DOUBLE[]) differences. */
+  def l2sq(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val d = x - y
+      acc += d * d
+      i += 1
+    }
     acc
   }
 
@@ -150,6 +171,48 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** graft_l2sq(a, b) -> DOUBLE — squared Euclidean distance as one
+  * codegen kernel call. Accepts ARRAY<FLOAT> or ARRAY<DOUBLE> on
+  * either side (floats widen per element inside the kernel), so the
+  * embeddings scan needs no cast projection. Doubles as the SORT-KEY
+  * MARKER the [[graft.plans.VectorTopNRule]] pattern-matches on: an
+  * `ORDER BY graft_l2sq(col, literal) LIMIT k` over a vector-indexed
+  * table is rewritten to a cell-pruned index scan (reference:
+  * PushDownVectorTopNIntoOlapScan.java — the FE pushing a top-n by
+  * distance into the ANN index scan). Monotone in true L2, so sorting
+  * by l2sq == sorting by the distance itself, without the sqrt. */
+case class L2Squared(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_l2sq expects ARRAY<FLOAT|DOUBLE> args, got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BandSigs.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BandSigs.l2sq($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Squared =
     copy(left = newLeft, right = newRight)
 }
 

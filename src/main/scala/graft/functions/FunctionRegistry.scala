@@ -79,6 +79,11 @@ object FunctionRegistry {
       case _ => throw new IllegalArgumentException(
         "graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)")
     }),
+    "graft_l2sq" -> ((args: Seq[Expression]) => args match {
+      case Seq(a, b) => L2Squared(a, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_l2sq(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>)")
+    }),
     "graft_minhash_bands" -> ((args: Seq[Expression]) => args match {
       case Seq(h, Literal(b: Int, _), Literal(r: Int, _)) =>
         MinhashBands(h, b, r)
