@@ -1,7 +1,9 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.ops.{PipelineOps, VectorSearch}
 import graft.plans.VectorIndexes
 import Q.t
 
@@ -55,6 +57,67 @@ object Round7bQueries {
         val rows = df.collect() // executes the cell-pruned plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       } finally s.conf.set("spark.graft.vectorTopN.enabled", "false")
+    }),
+
+    // SemDeDup (Abbas et al. '23): semantic dedup = cluster the
+    // embedding space, then drop near-duplicates WITHIN each cluster
+    // only — the O(N^2/k) scale trick that makes embedding dedup
+    // feasible at corpus scale. Composition of the IVF cell machinery
+    // (nprobe=1 -> pure cluster assignment) with min-id greedy keep:
+    // a vector is dropped when a smaller-id same-cluster neighbor has
+    // cosine >= tau (0.40 on this synthetic corpus); kept_by is the smallest such neighbor. One
+    // centroid broadcast + one cell-bounded pair join — no cartesian.
+    "ml_semdedup" -> ((s, dir) => {
+      val pairs = VectorSearch.nearDupPairsIvf(
+        t(s, dir, "embeddings"), threshold = 0.40, nCells = 8, nprobe = 1)
+      val w = Window.partitionBy(col("id_b")).orderBy(col("id_a"))
+      pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("id_b").as("vec_id"), col("id_a").as("kept_by"), col("sim"))
+        .orderBy("vec_id")
+    }),
+
+    // BPE first-iteration merge statistics: adjacent character-pair
+    // frequencies across the corpus — the count table the first merge
+    // of byte-pair-encoding tokenizer training reads. One explode +
+    // one pair-keyed aggregate (map-side partial), top-20 by count.
+    "ml_bpe_pairs" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 1)
+        .select(col("w"), explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(expr("substring(w, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
+    // adjacent-word PMI (phrase mining / tokenizer-merge signal):
+    // pmi(x,y) = ln(p(xy) / (p(x) p(y))) over corpus bigrams, computed
+    // from exact BIGINT counts with ONE ln at the end so both engines
+    // feed the identical double into the transcendental. Support floor
+    // c_xy >= 5 (the standard phrase-mining cut). Scale: two
+    // word-keyed aggregates + broadcast scalar totals.
+    "ml_cooccur_pmi" -> ((s, dir) => {
+      val ws = t(s, dir, "documents").select(split(col("text"), " ").as("ws"))
+      val uni = ws.select(explode(col("ws")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cw"))
+      val nUni = uni.agg(sum(col("cw")).as("n_uni"))
+      val bi = ws.filter(size(col("ws")) > 1)
+        .select(explode(PipelineOps.bigrams(col("ws"))).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("cxy"))
+        .filter(col("cxy") >= 5)
+        .select(expr("split(bg, ' ')[0]").as("w1"),
+          expr("split(bg, ' ')[1]").as("w2"), col("cxy"))
+      val nBi = ws.filter(size(col("ws")) > 1)
+        .select((size(col("ws")) - 1).cast("long").as("nb"))
+        .agg(sum(col("nb")).as("n_bi"))
+      bi.join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBi))
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(log(
+            (col("cxy") * col("n_uni") * col("n_uni")).cast("double") /
+              (col("n_bi") * col("c1") * col("c2")).cast("double")), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
     })
   )
 
@@ -67,6 +130,65 @@ object Round7bQueries {
       FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
       ORDER BY (list_inner_product(e, e) - 2 * list_inner_product(e, $qListSql)) ASC,
                vec_id
-      LIMIT 10"""
+      LIMIT 10""",
+
+    "ml_semdedup" -> """
+      WITH prep AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      cent AS (SELECT id AS cid, v AS cv, nrm AS cn FROM prep ORDER BY id LIMIT 8),
+      assign AS (
+        SELECT id, cid FROM (
+          SELECT p.id, c.cid,
+                 row_number() OVER (PARTITION BY p.id
+                   ORDER BY (list_inner_product(p.v, c.cv) / (p.nrm * c.cn)) DESC,
+                            c.cid) AS crn
+          FROM prep p CROSS JOIN cent c) x
+        WHERE crn = 1),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               round(list_inner_product(pa.v, pb.v) / (pa.nrm * pb.nrm), 6) AS sim
+        FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+        JOIN prep pa ON pa.id = a.id
+        JOIN prep pb ON pb.id = b.id)
+      SELECT id_b AS vec_id, id_a AS kept_by, sim FROM (
+        SELECT id_b, id_a, sim,
+               row_number() OVER (PARTITION BY id_b ORDER BY id_a) AS rn
+        FROM pairs WHERE sim >= 0.40) z
+      WHERE rn = 1
+      ORDER BY vec_id""",
+
+    "ml_bpe_pairs" -> """
+      WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      pl AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                                     i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM words WHERE length(w) > 1)
+      SELECT pair, count(*) AS cnt
+      FROM pl GROUP BY pair
+      ORDER BY cnt DESC, pair LIMIT 20""",
+
+    "ml_cooccur_pmi" -> """
+      WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      uni AS (SELECT unnest(ws) AS w FROM ws),
+      ucnt AS (SELECT w, count(*) AS cw FROM uni GROUP BY w),
+      nu AS (SELECT sum(cw) AS n_uni FROM ucnt),
+      bi AS (
+        SELECT unnest(list_transform(range(1, len(ws)),
+                 i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i AS INT) + 1])) AS bg
+        FROM ws WHERE len(ws) > 1),
+      bcnt AS (SELECT bg, count(*) AS cxy FROM bi GROUP BY bg HAVING count(*) >= 5),
+      nb AS (SELECT sum(len(ws) - 1) AS n_bi FROM ws WHERE len(ws) > 1)
+      SELECT w1, w2, cxy,
+             round(ln(CAST(cxy * n_uni * n_uni AS DOUBLE)
+                      / CAST(n_bi * c1 * c2 AS DOUBLE)), 6) AS pmi
+      FROM (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2, cxy
+            FROM bcnt) b
+      JOIN (SELECT w AS w1, cw AS c1 FROM ucnt) u1 USING (w1)
+      JOIN (SELECT w AS w2, cw AS c2 FROM ucnt) u2 USING (w2)
+      CROSS JOIN nu CROSS JOIN nb
+      ORDER BY pmi DESC, w1, w2 LIMIT 20"""
   )
 }
