@@ -147,5 +147,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PushDownVectorTopNIntoOlapScan.java; opt-in via
     // spark.graft.vectorTopN.enabled)
     e.injectOptimizerRule(s => new graft.plans.VectorTopNRule(s))
+    // GROUP BY coarse over (GROUP BY fine) -> one aggregate when every
+    // outer call derives from the inner partials (reference:
+    // MergeAggregate.java; opt-in via spark.graft.mergeAggregate.enabled)
+    e.injectOptimizerRule(s => new graft.plans.MergeAggregateRule(s))
   }
 }

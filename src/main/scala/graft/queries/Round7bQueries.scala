@@ -118,6 +118,37 @@ object Round7bQueries {
             (col("cxy") * col("n_uni") * col("n_uni")).cast("double") /
               (col("n_bi") * col("c1") * col("c2")).cast("double")), 6).as("pmi"))
         .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(20)
+    }),
+
+    // agg-over-agg fusion (reference MergeAggregate.java): the BI
+    // re-aggregation pattern GROUP BY coarse over (GROUP BY fine)
+    // collapses to ONE aggregate — one shuffle instead of two. The
+    // optimized plan is asserted to hold a single logical Aggregate;
+    // the oracle runs the unfused two-level SQL, so the hash match
+    // certifies the fusion is semantics-preserving.
+    "opt_merge_agg" -> ((s, dir) => {
+      val inner = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("mnp"), max(col("l_extendedprice")).as("mxp"))
+      val df = inner.groupBy(col("l_linestatus"))
+        .agg(round(sum(col("sq")), 6).as("sum_qty"),
+          sum(col("cnt")).as("n_rows"),
+          round(min(col("mnp")), 6).as("min_price"),
+          round(max(col("mxp")), 6).as("max_price"),
+          min(col("l_orderkey")).as("first_order"))
+        .orderBy(col("l_linestatus"))
+      s.conf.set("spark.graft.mergeAggregate.enabled", "true")
+      try {
+        val aggs = df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        }
+        require(aggs.size == 1,
+          s"agg-over-agg did not fuse (${aggs.size} Aggregates):\n" +
+            df.queryExecution.optimizedPlan)
+        val rows = df.collect() // executes the single-shuffle plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.mergeAggregate.enabled", "false")
     })
   )
 
@@ -189,6 +220,20 @@ object Round7bQueries {
       JOIN (SELECT w AS w1, cw AS c1 FROM ucnt) u1 USING (w1)
       JOIN (SELECT w AS w2, cw AS c2 FROM ucnt) u2 USING (w2)
       CROSS JOIN nu CROSS JOIN nb
-      ORDER BY pmi DESC, w1, w2 LIMIT 20"""
+      ORDER BY pmi DESC, w1, w2 LIMIT 20""",
+
+    "opt_merge_agg" -> """
+      SELECT l_linestatus,
+             round(sum(sq), 6) AS sum_qty,
+             CAST(sum(cnt) AS BIGINT) AS n_rows,
+             round(min(mnp), 6) AS min_price,
+             round(max(mxp), 6) AS max_price,
+             min(l_orderkey) AS first_order
+      FROM (
+        SELECT l_orderkey, l_linestatus, sum(l_quantity) AS sq,
+               count(*) AS cnt, min(l_extendedprice) AS mnp,
+               max(l_extendedprice) AS mxp
+        FROM lineitem GROUP BY l_orderkey, l_linestatus) i
+      GROUP BY l_linestatus ORDER BY l_linestatus"""
   )
 }
