@@ -149,6 +149,36 @@ object Round7bQueries {
         val rows = df.collect() // executes the single-shuffle plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       } finally s.conf.set("spark.graft.mergeAggregate.enabled", "false")
+    }),
+
+    // semi-join transpose through aggregate (reference
+    // TransposeAggSemiJoin.java): a LEFT SEMI filter on the group key
+    // must run BELOW the aggregate so the hash agg only sees surviving
+    // rows. Native in Spark (PushDownLeftSemiAntiJoin) — this key
+    // plan-asserts the transpose happened and oracle-locks the values.
+    "opt_semi_transpose" -> ((s, dir) => {
+      val aggd = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 6).as("spend"),
+          count(lit(1)).as("n_orders"))
+      val sel = t(s, dir, "customer").filter(col("c_nationkey") < 5)
+        .select(col("c_custkey"))
+      val df = aggd
+        .join(sel, col("o_custkey") === col("c_custkey"), "left_semi")
+        .filter(col("o_custkey") < 3000)
+        .orderBy(col("o_custkey"))
+      val agg = df.queryExecution.optimizedPlan.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.getOrElse(throw new IllegalStateException("no Aggregate in plan"))
+      val semiBelowAgg = agg.exists {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi
+        case _ => false
+      }
+      require(semiBelowAgg,
+        s"semi join did not transpose below the aggregate:\n" +
+          df.queryExecution.optimizedPlan)
+      df
     })
   )
 
@@ -234,6 +264,14 @@ object Round7bQueries {
                count(*) AS cnt, min(l_extendedprice) AS mnp,
                max(l_extendedprice) AS mxp
         FROM lineitem GROUP BY l_orderkey, l_linestatus) i
-      GROUP BY l_linestatus ORDER BY l_linestatus"""
+      GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    "opt_semi_transpose" -> """
+      SELECT o_custkey, round(sum(o_totalprice), 6) AS spend,
+             count(*) AS n_orders
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
+        AND o_custkey < 3000
+      GROUP BY o_custkey ORDER BY o_custkey"""
   )
 }
