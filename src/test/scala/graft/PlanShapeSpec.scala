@@ -125,6 +125,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in IVF pair path:\n$p")
   }
 
+  test("ml_semdedup joins within clusters, no cartesian") {
+    val p = SparkEntry.queries("ml_semdedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("cid"), s"no cluster-bounded join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in semdedup path:\n$p")
+  }
+
   test("ml_ngram_jaccard routes through banded LSH, no cartesian") {
     val p = SparkEntry.queries("ml_ngram_jaccard")(spark, sf)
       .queryExecution.executedPlan.toString
