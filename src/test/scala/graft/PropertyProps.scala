@@ -566,3 +566,48 @@ object TopNProps extends Properties("TopNAgg") {
     agg.finish(agg.merge(ba, bb)) == agg.finish(agg.merge(bb, ba))
   }
 }
+
+/** graft_l2sq kernel laws: the codegen loop must be bit-identical to
+  * the HOF spelling it shortcuts (left-to-right (x-y)^2 fold), the
+  * float reader must equal explicit per-element widening, and the
+  * triangle bound VectorTopN prunes with must hold on the kernel's own
+  * arithmetic (with the rule's epsilon). */
+object L2SqProps extends Properties("L2Sq") {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  private val vecs = Gen.chooseNum(1, 32).flatMap(n =>
+    Gen.listOfN(n, Gen.chooseNum(-100.0, 100.0)))
+
+  private def ad(xs: Seq[Double]) = new GenericArrayData(xs.toArray)
+  private def adF(xs: Seq[Float]) = new GenericArrayData(xs.toArray)
+
+  property("kernel == left-to-right HOF fold") = forAll(vecs, vecs) { (a0, b0) =>
+    val n = math.min(a0.size, b0.size)
+    val (a, b) = (a0.take(n), b0.take(n))
+    val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + (x - y) * (x - y) }
+    val got = graft.functions.BandSigs.l2sq(ad(a), ad(b), false, false)
+    java.lang.Double.doubleToLongBits(got) == java.lang.Double.doubleToLongBits(want)
+  }
+
+  property("float reader == explicit widen") = forAll(vecs, vecs) { (a0, b0) =>
+    val n = math.min(a0.size, b0.size)
+    val af = a0.take(n).map(_.toFloat)
+    val bf = b0.take(n).map(_.toFloat)
+    val viaFloat = graft.functions.BandSigs.l2sq(adF(af), adF(bf), true, true)
+    val viaWide = graft.functions.BandSigs.l2sq(
+      ad(af.map(_.toDouble)), ad(bf.map(_.toDouble)), false, false)
+    java.lang.Double.doubleToLongBits(viaFloat) ==
+      java.lang.Double.doubleToLongBits(viaWide)
+  }
+
+  property("triangle bound holds under the rule's epsilon") =
+    forAll(vecs, vecs, vecs) { (q0, c0, x0) =>
+      val n = Seq(q0.size, c0.size, x0.size).min
+      val (q, c, x) = (q0.take(n), c0.take(n), x0.take(n))
+      def d(u: Seq[Double], v: Seq[Double]) =
+        math.sqrt(graft.functions.BandSigs.l2sq(ad(u), ad(v), false, false))
+      // |d(q,x) - d(q,c)| <= d(c,x): the pruning lower bound
+      // d(q,c) - r(c) <= d(q,x) can only over-scan with the epsilon pad
+      d(q, c) - d(c, x) <= d(q, x) + 1e-9 * (1.0 + d(q, x))
+    }
+}
