@@ -147,6 +147,52 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // streaming upsert into a unique-key merge-on-write table: the
+    // routine-load -> UNIQUE KEY table flow (reference: RoutineLoadJob
+    // feeding a MoW table; insert/streaming/StreamingInsertJob.java).
+    // Each micro-batch merges into the current state — one row per
+    // user_id, latest by the event_id sequence column — and rewrites
+    // the state table (versioned dirs = MoW file rewrite). Final state
+    // is batch-order-invariant (max_by over a monotone seq), which is
+    // exactly the law the oracle checks.
+    "stream_upsert_mow" -> ((s, dir) => {
+      val (ckpt, out) = fresh("upsert_mow")
+      val (_, stage) = fresh("upsert_mow_src")
+      // 4-file staging so AvailableNow + maxFilesPerTrigger=1 yields a
+      // genuine multi-batch upsert sequence
+      graft.Tables.load(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      var latest: Option[String] = None
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val merged = latest match {
+            case Some(p) => s.read.parquet(p).unionByName(batch)
+            case None => batch
+          }
+          merged.groupBy(col("user_id"))
+            .agg(max_by(struct(col("event_id"), col("event_type"), col("value")),
+              col("event_id")).as("r"))
+            .select(col("user_id"), col("r.event_id").as("event_id"),
+              col("r.event_type").as("event_type"), col("r.value").as("value"))
+            .write.mode("overwrite").parquet(s"$out/v$id")
+          latest = Some(s"$out/v$id")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val state = s.read.parquet(latest.get)
+      // MoW invariant: exactly one live row per key
+      val keys = state.count()
+      val distinctKeys = state.select(col("user_id")).distinct().count()
+      require(keys == distinctKeys,
+        s"MoW state has $keys rows over $distinctKeys keys")
+      state.orderBy(col("user_id"))
+    }),
+
     // arbitrary stateful processing: per-user running aggregate via
     // mapGroupsWithState (KeyValueGroupedDataset custom state).
     "stream_stateful" -> ((s, dir) => {
@@ -354,6 +400,14 @@ object StreamQueries {
     "stream_insert_job" -> """
       SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_upsert_mow" -> """
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1 ORDER BY user_id""",
 
     "stream_routine_load" -> """
       SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
