@@ -92,10 +92,67 @@ object MaterializedViews {
         d.mvPath.stripSuffix(s"/${d.name}"), d.filterSql)
     }
 
-  def drop(name: String): Unit =
+  def drop(name: String): Unit = {
     registry.keys.foreach(k => registry.updateWith(k)(_.map(_.filterNot(_.name == name))))
+    joinRegistry.keys.foreach(k =>
+      joinRegistry.updateWith(k)(_.map(_.filterNot(_.name == name))))
+  }
 
   def forPath(p: String): Seq[MvDef] = registry.getOrElse(normalize(p), Vector.empty)
+
+  // ---- join MVs (reference: MTMV over multi-table SELECTs; rewrite
+  // rules nereids/rules/exploration/mv/MaterializedViewAggregateOnJoin*
+  // — an async MV materializing JOIN + GROUP BY, transparently served
+  // to queries with the same join shape).
+
+  case class JoinMvDef(name: String, leftPath: String, rightPath: String,
+                       leftKeys: Seq[String], rightKeys: Seq[String],
+                       groupCols: Seq[String], sumCols: Seq[String],
+                       minCols: Seq[String], maxCols: Seq[String], mvPath: String)
+
+  private val joinRegistry = new TrieMap[(String, String), Vector[JoinMvDef]]()
+
+  def forJoin(l: String, r: String): Seq[JoinMvDef] =
+    joinRegistry.getOrElse((l, r), Vector.empty)
+
+  /** the MvDef shape the shared matches/rewrite machinery consumes. */
+  def asDef(d: JoinMvDef): MvDef =
+    MvDef(d.name, d.leftPath, d.groupCols, d.sumCols, d.minCols, d.maxCols, d.mvPath)
+
+  /** Materialize + register an MV over an inner equi-join of two base
+    * parquet tables, with the same partial-agg layout as [[create]].
+    * At scale this is the classic pre-joined rollup: the join + both
+    * shuffles are paid once at refresh, queries read k rows. */
+  def createJoin(spark: SparkSession, name: String, baseDir: String,
+                 leftTable: String, rightTable: String,
+                 leftKeys: Seq[String], rightKeys: Seq[String],
+                 groupCols: Seq[String], sumCols: Seq[String] = Nil,
+                 minCols: Seq[String] = Nil, maxCols: Seq[String] = Nil,
+                 mvRoot: String = "target/mv"): JoinMvDef = {
+    val lpath = normalize(s"$baseDir/$leftTable.parquet")
+    val rpath = normalize(s"$baseDir/$rightTable.parquet")
+    val mvPath = s"$mvRoot/$name"
+    val l = spark.read.parquet(lpath)
+    val r = spark.read.parquet(rpath)
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (a, b) => l(a) === r(b) }.reduce(_ && _)
+    val aggs = sumCols.map(c => sum(col(c)).as(sumAlias(c))) ++
+      sumCols.map(c => count(col(c)).as(cntnAlias(c))) ++
+      minCols.map(c => min(col(c)).as(minAlias(c))) ++
+      maxCols.map(c => max(col(c)).as(maxAlias(c))) :+
+      count(lit(1)).as(cntAlias)
+    l.join(r, cond, "inner")
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .write.mode("overwrite").parquet(mvPath)
+    val d = JoinMvDef(name, lpath, rpath, leftKeys.map(_.toLowerCase),
+      rightKeys.map(_.toLowerCase), groupCols, sumCols, minCols, maxCols, mvPath)
+    joinRegistry.updateWith((lpath, rpath)) {
+      case Some(v) => Some(v.filterNot(_.name == name) :+ d)
+      case None => Some(Vector(d))
+    }
+    d
+  }
 
   // ---- partition-incremental refresh (reference:
   // fe/fe-core/.../mtmv/MTMVPartitionUtil.java — MV partitions follow
@@ -229,14 +286,70 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     val (conds0, rel) = unwrap(child, Nil)
     val conjuncts = conds0.flatMap(splitConjuncts)
-    for {
-      path <- relationPath(rel)
-      (mv, residual) <- forPath(path).flatMap { m =>
-        consumeFilter(m, conjuncts).map(r => (m, r))
-      }.find { case (m, residual) =>
-        matches(m, groupExprs, aggExprs, residual.reduceOption(And))
-      }
-    } yield rewrite(mv, agg, groupExprs, aggExprs, residual.reduceOption(And))
+    rel match {
+      case j: Join => tryJoinRewrite(agg, groupExprs, aggExprs, conjuncts, j)
+      case _ =>
+        for {
+          path <- relationPath(rel)
+          (mv, residual) <- forPath(path).flatMap { m =>
+            consumeFilter(m, conjuncts).map(r => (m, r))
+          }.find { case (m, residual) =>
+            matches(m, groupExprs, aggExprs, residual.reduceOption(And))
+          }
+        } yield rewrite(mv, agg, groupExprs, aggExprs, residual.reduceOption(And))
+    }
+  }
+
+  /** Aggregate over an inner equi-join of two registered base scans ->
+    * the pre-joined MV, when the join keys match the MV definition
+    * (either orientation) and the aggregate is derivable. Filters may
+    * sit ABOVE the join (group-key-only, kept over the MV scan);
+    * filters inside a join side bail — the MV pre-joined unfiltered
+    * rows. */
+  private def tryJoinRewrite(agg: Aggregate, groupExprs: Seq[Expression],
+                             aggExprs: Seq[NamedExpression],
+                             conjuncts: Seq[Expression],
+                             j: Join): Option[LogicalPlan] = j match {
+    case Join(lc, rc, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+      for {
+        lrel <- stripSide(lc)
+        rrel <- stripSide(rc)
+        lpath <- relationPath(lrel)
+        rpath <- relationPath(rrel)
+        pairs <- equiPairs(cond, lc.outputSet, rc.outputSet)
+        mv <- (forJoin(lpath, rpath).find(d =>
+                 pairs == d.leftKeys.zip(d.rightKeys).toSet) orElse
+               forJoin(rpath, lpath).find(d =>
+                 pairs == d.rightKeys.zip(d.leftKeys).toSet))
+        if matches(asDef(mv), groupExprs, aggExprs, conjuncts.reduceOption(And))
+      } yield rewrite(asDef(mv), agg, groupExprs, aggExprs,
+        conjuncts.reduceOption(And))
+    case _ => None
+  }
+
+  @annotation.tailrec
+  private def stripSide(p: LogicalPlan): Option[LogicalPlan] = p match {
+    case SubqueryAlias(_, c) => stripSide(c)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripSide(c)
+    case r if relationPath(r).isDefined => Some(r)
+    case _ => None
+  }
+
+  /** (leftName, rightName) equi pairs of the join condition, or None
+    * when any conjunct is not attr-=-attr across the two sides. */
+  private def equiPairs(cond: Expression, lout: AttributeSet,
+                        rout: AttributeSet): Option[Set[(String, String)]] = {
+    val pairs = splitConjuncts(cond).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if lout.contains(a) && rout.contains(b) =>
+        Some((a.name.toLowerCase, b.name.toLowerCase))
+      case EqualTo(b: AttributeReference, a: AttributeReference)
+          if lout.contains(a) && rout.contains(b) =>
+        Some((a.name.toLowerCase, b.name.toLowerCase))
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten.toSet) else None
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

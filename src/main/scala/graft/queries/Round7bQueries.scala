@@ -179,6 +179,32 @@ object Round7bQueries {
         s"semi join did not transpose below the aggregate:\n" +
           df.queryExecution.optimizedPlan)
       df
+    }),
+
+    // transparent JOIN-MV rewrite (reference: MTMV over multi-table
+    // SELECTs, nereids/rules/exploration/mv/ aggregate-on-join rules):
+    // an Aggregate over the lineitem⋈orders equi-join is served from
+    // the pre-joined rollup — the join and both its shuffles are paid
+    // once at refresh. Plan-asserted: neither base table is scanned.
+    "mv_join_rewrite" -> ((s, dir) => {
+      graft.plans.MaterializedViews.createJoin(s, "mv_li_ord", dir,
+        "lineitem", "orders", Seq("l_orderkey"), Seq("o_orderkey"),
+        groupCols = Seq("o_orderpriority", "l_returnflag"),
+        sumCols = Seq("l_quantity", "l_extendedprice"))
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val df = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"), col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 6).as("sq"),
+          count(lit(1)).as("n"),
+          round(avg(col("l_extendedprice")), 6).as("ap"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag"))
+      val plan = df.queryExecution.optimizedPlan.toString
+      // fired = the scan reads MV partial columns and the join is gone
+      // (no join-key attrs survive anywhere in the plan)
+      require(plan.contains("__sum_l_quantity") && !plan.contains("l_orderkey"),
+        s"join-MV rewrite did not fire:\n$plan")
+      df
     })
   )
 
@@ -272,6 +298,14 @@ object Round7bQueries {
       FROM orders
       WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey < 5)
         AND o_custkey < 3000
-      GROUP BY o_custkey ORDER BY o_custkey"""
+      GROUP BY o_custkey ORDER BY o_custkey""",
+
+    "mv_join_rewrite" -> """
+      SELECT o_orderpriority, l_returnflag,
+             round(sum(l_quantity), 6) AS sq, count(*) AS n,
+             round(avg(l_extendedprice), 6) AS ap
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority, l_returnflag
+      ORDER BY o_orderpriority, l_returnflag"""
   )
 }
