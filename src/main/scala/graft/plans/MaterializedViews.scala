@@ -305,18 +305,26 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * (either orientation) and the aggregate is derivable. Filters may
     * sit ABOVE the join (group-key-only, kept over the MV scan);
     * filters inside a join side bail — the MV pre-joined unfiltered
-    * rows. */
+    * rows — EXCEPT IsNotNull guards on the join keys themselves, which
+    * the optimizer infers from the inner equi-join and which cannot
+    * change its output. Gated by `spark.graft.mvJoinRewrite.enabled`
+    * (the reference's enable_materialized_view_rewrite session switch):
+    * unlike the single-table rewrite, a join MV can serve ANY
+    * aggregate-over-that-join in the session, so the user opts in. */
   private def tryJoinRewrite(agg: Aggregate, groupExprs: Seq[Expression],
                              aggExprs: Seq[NamedExpression],
                              conjuncts: Seq[Expression],
                              j: Join): Option[LogicalPlan] = j match {
-    case Join(lc, rc, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _) =>
+    case Join(lc, rc, org.apache.spark.sql.catalyst.plans.Inner, Some(cond), _)
+        if spark.conf.getOption("spark.graft.mvJoinRewrite.enabled").contains("true") =>
       for {
-        lrel <- stripSide(lc)
-        rrel <- stripSide(rc)
+        (lguards, lrel) <- stripSide(lc, Set.empty)
+        (rguards, rrel) <- stripSide(rc, Set.empty)
         lpath <- relationPath(lrel)
         rpath <- relationPath(rrel)
         pairs <- equiPairs(cond, lc.outputSet, rc.outputSet)
+        keyNames = pairs.flatMap(p => Seq(p._1, p._2))
+        if (lguards ++ rguards).subsetOf(keyNames)
         mv <- (forJoin(lpath, rpath).find(d =>
                  pairs == d.leftKeys.zip(d.rightKeys).toSet) orElse
                forJoin(rpath, lpath).find(d =>
@@ -327,12 +335,22 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** unwrap one join side, collecting the column names of IsNotNull
+    * guards (tolerated iff they turn out to be join keys). */
   @annotation.tailrec
-  private def stripSide(p: LogicalPlan): Option[LogicalPlan] = p match {
-    case SubqueryAlias(_, c) => stripSide(c)
+  private def stripSide(p: LogicalPlan, guards: Set[String])
+      : Option[(Set[String], LogicalPlan)] = p match {
+    case SubqueryAlias(_, c) => stripSide(c, guards)
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      stripSide(c)
-    case r if relationPath(r).isDefined => Some(r)
+      stripSide(c, guards)
+    case Filter(cond, c) =>
+      val nn = splitConjuncts(cond).map {
+        case IsNotNull(a: AttributeReference) => Some(a.name.toLowerCase)
+        case _ => None
+      }
+      if (nn.forall(_.isDefined)) stripSide(c, guards ++ nn.flatten)
+      else None
+    case r if relationPath(r).isDefined => Some((guards, r))
     case _ => None
   }
 

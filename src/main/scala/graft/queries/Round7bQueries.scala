@@ -199,12 +199,19 @@ object Round7bQueries {
           count(lit(1)).as("n"),
           round(avg(col("l_extendedprice")), 6).as("ap"))
         .orderBy(col("o_orderpriority"), col("l_returnflag"))
-      val plan = df.queryExecution.optimizedPlan.toString
-      // fired = the scan reads MV partial columns and the join is gone
-      // (no join-key attrs survive anywhere in the plan)
-      require(plan.contains("__sum_l_quantity") && !plan.contains("l_orderkey"),
-        s"join-MV rewrite did not fire:\n$plan")
-      df
+      s.conf.set("spark.graft.mvJoinRewrite.enabled", "true")
+      try {
+        val plan = df.queryExecution.optimizedPlan.toString
+        // fired = the scan reads MV partial columns and the join is
+        // gone (no join-key attrs survive anywhere in the plan)
+        require(plan.contains("__sum_l_quantity") && !plan.contains("l_orderkey"),
+          s"join-MV rewrite did not fire:\n$plan")
+        val rows = df.collect() // executes the join-free plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally {
+        s.conf.set("spark.graft.mvJoinRewrite.enabled", "false")
+        graft.plans.MaterializedViews.drop("mv_li_ord")
+      }
     })
   )
 

@@ -13,7 +13,12 @@ import graft.plans.MaterializedViews
 class MvJoinSpec extends AnyFunSuite {
   import TestSpark._
 
-  private def fired(df: DataFrame): Boolean = {
+  private def withJoinMv[T](f: => T): T = {
+    spark.conf.set("spark.graft.mvJoinRewrite.enabled", "true")
+    try f finally spark.conf.set("spark.graft.mvJoinRewrite.enabled", "false")
+  }
+
+  private def fired(df: DataFrame): Boolean = withJoinMv {
     val p = df.queryExecution.optimizedPlan.toString
     p.contains("__cnt") && !p.contains("Join")
   }
@@ -39,8 +44,8 @@ class MvJoinSpec extends AnyFunSuite {
     mk()
     try {
       val df = q(li, ord)
-      assert(fired(df), s"no rewrite:\n${df.queryExecution.optimizedPlan}")
-      assert(df.collect().toSeq == plain)
+      assert(fired(df), s"no rewrite:\n${withJoinMv(df.queryExecution.optimizedPlan)}")
+      assert(withJoinMv(df.collect().toSeq) == plain)
     } finally MaterializedViews.drop("mvj_spec")
   }
 

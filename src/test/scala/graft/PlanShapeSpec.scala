@@ -195,11 +195,13 @@ class PlanShapeSpec extends AnyFunSuite {
       .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
     assert(filtered.queryExecution.executedPlan.toString.contains("Join"),
       "join over a FILTERED parent must not be eliminated")
-    // referenced parent: a parent column is consumed -> must remain
+    // referenced parent: a parent column is consumed -> must remain.
+    // grouped by o_custkey, which no registered join-MV carries — keeps
+    // this assert independent of concurrently-registered MV definitions
     val referenced = Tables.load(spark, sf, "lineitem")
       .join(Tables.load(spark, sf, "orders"),
         col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
     assert(referenced.queryExecution.executedPlan.toString.contains("Join"),
       "join whose parent columns are consumed must not be eliminated")
   }
