@@ -212,6 +212,20 @@ object Round7bQueries {
         s.conf.set("spark.graft.mvJoinRewrite.enabled", "false")
         graft.plans.MaterializedViews.drop("mv_li_ord")
       }
+    }),
+
+    // external-process UDF (reference function_rpc.cpp /
+    // function_python_udf.cpp): rows stream through a real subprocess
+    // per partition via RDD.pipe — POSIX tr as the stand-in executor.
+    // The corpus is ASCII, so tr a-z A-Z == SQL upper() and the oracle
+    // can certify the round-trip through the process boundary.
+    "x4_pipe_udf" -> ((s, dir) => {
+      graft.ops.ExternalUdf.pipeTransform(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "doc_id", "text", Seq("tr", "a-z", "A-Z"), "utext")
+        .withColumn("n_up",
+          length(regexp_replace(col("utext"), "[^A-Z]", "")).cast("long"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -313,6 +327,11 @@ object Round7bQueries {
              round(avg(l_extendedprice), 6) AS ap
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority, l_returnflag
-      ORDER BY o_orderpriority, l_returnflag"""
+      ORDER BY o_orderpriority, l_returnflag""",
+
+    "x4_pipe_udf" -> """
+      SELECT doc_id, upper(text) AS utext,
+             length(regexp_replace(upper(text), '[^A-Z]', '', 'g')) AS n_up
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id"""
   )
 }
