@@ -69,6 +69,19 @@ class VectorTopNSpec extends AnyFunSuite {
     VectorIndexes.drop("vt_spec")
   }
 
+  test("cell filter reaches the file scan as a partition filter") {
+    idx()
+    def q = base.orderBy(expr(s"graft_l2sq(embedding, ${qSql(2)})"), col("vec_id"))
+      .limit(5).select(col("vec_id"))
+    val physical = withRule { q.queryExecution.executedPlan.toString }
+    // cid is the index's partition column: the cell subset must show up
+    // as PartitionFilters on the parquet scan (directories skipped on
+    // disk), not as a post-scan Filter
+    assert(physical.contains("PartitionFilters: [cid"),
+      s"cell filter did not become a partition filter:\n$physical")
+    VectorIndexes.drop("vt_spec")
+  }
+
   test("resolves the sort key through a projected alias") {
     idx()
     def q = base
