@@ -90,6 +90,32 @@ object Round7bQueries {
         .orderBy(col("cnt").desc, col("pair")).limit(20)
     }),
 
+    // second BPE iteration: apply the round-1 winning merge (the pair
+    // becomes one symbol, spelled with a marker char absent from the
+    // corpus) and recount — the trainer's apply-merge-recount loop,
+    // unrolled once in pure relational form. The merge choice rides a
+    // broadcast single-row join; replace() is left-to-right
+    // non-overlapping in both engines.
+    "ml_bpe_merge2" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 1)
+      def pairCounts(df: DataFrame, wcol: String): DataFrame = df
+        .select(col(wcol), explode(expr(s"sequence(1, length($wcol) - 1)")).as("i"))
+        .select(expr(s"substring($wcol, i, 2)").as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      val top1 = pairCounts(words, "w")
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair").as("merge1"))
+      val merged = words.crossJoin(broadcast(top1))
+        .select(col("merge1"), expr("replace(w, merge1, '¤')").as("w2"))
+        .filter(length(col("w2")) > 1)
+      pairCounts(merged, "w2")
+        .crossJoin(broadcast(top1))
+        .select(col("merge1"), col("pair"), col("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(10)
+    }),
+
     // adjacent-word PMI (phrase mining / tokenizer-merge signal):
     // pmi(x,y) = ln(p(xy) / (p(x) p(y))) over corpus bigrams, computed
     // from exact BIGINT counts with ONE ln at the end so both engines
@@ -277,6 +303,29 @@ object Round7bQueries {
       SELECT pair, count(*) AS cnt
       FROM pl GROUP BY pair
       ORDER BY cnt DESC, pair LIMIT 20""",
+
+    "ml_bpe_merge2" -> """
+      WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      w1 AS (SELECT w FROM words WHERE length(w) > 1),
+      p1 AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                 i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM w1),
+      top1 AS (
+        SELECT pair AS merge1 FROM (
+          SELECT pair, count(*) AS cnt FROM p1 GROUP BY pair
+          ORDER BY cnt DESC, pair LIMIT 1)),
+      w2 AS (
+        SELECT merge1, replace(w, merge1, '¤') AS w2
+        FROM w1 CROSS JOIN top1),
+      p2 AS (
+        SELECT merge1, unnest(list_transform(range(1, length(w2)),
+                 i -> substring(w2, CAST(i AS INT), 2))) AS pair
+        FROM w2 WHERE length(w2) > 1)
+      SELECT merge1, pair, count(*) AS cnt
+      FROM p2 GROUP BY merge1, pair
+      ORDER BY cnt DESC, pair LIMIT 10""",
 
     "ml_cooccur_pmi" -> """
       WITH ws AS (SELECT string_split(text, ' ') AS ws FROM documents),
