@@ -151,5 +151,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // outer call derives from the inner partials (reference:
     // MergeAggregate.java; opt-in via spark.graft.mergeAggregate.enabled)
     e.injectOptimizerRule(s => new graft.plans.MergeAggregateRule(s))
+    // GROUP BY k, f(k) -> GROUP BY k (reference: SimplifyAggGroupBy.java;
+    // opt-in via spark.graft.simplifyAggGroupBy.enabled)
+    e.injectOptimizerRule(s => new graft.plans.SimplifyAggGroupByRule(s))
   }
 }

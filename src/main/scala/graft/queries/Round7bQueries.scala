@@ -240,6 +240,32 @@ object Round7bQueries {
       }
     }),
 
+    // group-key simplification (reference SimplifyAggGroupBy.java):
+    // GROUP BY d, year(d), month(d) shuffles d alone — a deterministic
+    // function of a surviving key cannot split its groups. The plan
+    // assert pins the surviving single-key grouping; the oracle runs
+    // the full three-key SQL.
+    "opt_simplify_groupby" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .groupBy(col("o_orderdate"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"))
+        .agg(round(sum(col("o_totalprice")), 6).as("sp"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderdate"))
+      s.conf.set("spark.graft.simplifyAggGroupBy.enabled", "true")
+      try {
+        val aggs = df.queryExecution.optimizedPlan.collect {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+            a.groupingExpressions.size
+        }
+        require(aggs == Seq(1),
+          s"group key list was not simplified to [o_orderdate]: $aggs\n" +
+            df.queryExecution.optimizedPlan)
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.simplifyAggGroupBy.enabled", "false")
+    }),
+
     // external-process UDF (reference function_rpc.cpp /
     // function_python_udf.cpp): rows stream through a real subprocess
     // per partition via RDD.pipe — POSIX tr as the stand-in executor.
@@ -377,6 +403,13 @@ object Round7bQueries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority, l_returnflag
       ORDER BY o_orderpriority, l_returnflag""",
+
+    "opt_simplify_groupby" -> """
+      SELECT o_orderdate, year(o_orderdate) AS y, month(o_orderdate) AS m,
+             round(sum(o_totalprice), 6) AS sp, count(*) AS n
+      FROM orders
+      GROUP BY o_orderdate, year(o_orderdate), month(o_orderdate)
+      ORDER BY o_orderdate""",
 
     "x4_pipe_udf" -> """
       SELECT doc_id, upper(text) AS utext,
