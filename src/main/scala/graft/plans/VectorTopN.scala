@@ -88,9 +88,12 @@ object VectorIndexes {
     val centIdx = cent.withColumn("__cid",
       row_number().over(Window.orderBy(col("__cid0"))) - 1)
       .select(col("__cid"), col("__cv"))
+    // checkpointed: both the partitioned write and the stats pass read
+    // this once instead of re-running the assignment join
     val assigned = prep.crossJoin(broadcast(centIdx))
       .withColumn("__d", expr("graft_l2sq(__v, __cv)"))
       .withColumn("__rn", row_number().over(wBest)).filter(col("__rn") === 1)
+      .localCheckpoint()
     assigned
       .select(base.columns.map(col) :+ col("__cid").as("cid"): _*)
       .write.mode("overwrite").partitionBy("cid").parquet(idxPath)
