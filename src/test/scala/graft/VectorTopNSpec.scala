@@ -127,6 +127,19 @@ class VectorTopNSpec extends AnyFunSuite {
     VectorIndexes.drop("vt_spec")
   }
 
+  test("fires from SQL text through the injected function registry") {
+    idx()
+    base.createOrReplaceTempView("vt_clustered")
+    def q = spark.sql(
+      s"""SELECT vec_id FROM vt_clustered
+          ORDER BY graft_l2sq(embedding, ${qSql(4)}), vec_id LIMIT 5""")
+    val brute = q.collect().toSeq
+    val (plan, res) = withRule { (q.queryExecution.optimizedPlan.toString, q.collect().toSeq) }
+    assert(plan.contains("cid#"), s"did not fire from SQL:\n$plan")
+    assert(res == brute)
+    VectorIndexes.drop("vt_spec")
+  }
+
   test("exactness at the cell boundary: every query point agrees with brute force") {
     val d = idx()
     withRule {
