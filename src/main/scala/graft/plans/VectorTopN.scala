@@ -78,6 +78,14 @@ object VectorIndexes {
     val basePath = normalize(s"$dir/$table.parquet")
     val idxPath = s"$idxRoot/$name"
     val base = spark.read.parquet(basePath)
+    // NULL sort keys order before every distance under ASC NULLS FIRST,
+    // so a null-vector row would belong in ANY top-k — but it carries no
+    // distance, so no cell bound can retain it soundly. Refuse to index
+    // such a table rather than risk pruning a row the sort would keep.
+    val nNull = base.filter(col(vecCol).isNull).count()
+    require(nNull == 0,
+      s"$table.$vecCol has $nNull NULL vectors — a null sort key defeats " +
+        "the triangle-inequality bound; filter or impute before indexing")
     val prep = base
       .withColumn("__v", expr(s"transform($vecCol, x -> cast(x as double))"))
     val cent = broadcast(prep.orderBy(col(idCol)).limit(nCells)
@@ -203,17 +211,31 @@ class VectorTopNRule(spark: SparkSession) extends Rule[LogicalPlan] {
     cur
   }
 
+  /** evaluate a foldable query-vector literal; None (rule bails, query
+    * runs unrewritten) on null elements or any eval surprise — an
+    * optimizer rule must never throw on odd-but-legal input. */
   private def asQueryVec(e: Expression): Option[Array[Double]] =
     if (!e.foldable) None
-    else Option(e.eval(null)).map { v =>
+    else try Option(e.eval(null)).flatMap { v =>
       val ad = v.asInstanceOf[ArrayData]
-      e.dataType match {
+      val isFloat = e.dataType match {
         case org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType, _) =>
-          ad.toFloatArray().map(_.toDouble)
-        case _ => ad.toDoubleArray()
+            org.apache.spark.sql.types.FloatType, _) => true
+        case _ => false
       }
-    }
+      val n = ad.numElements()
+      val out = new Array[Double](n)
+      var ok = true
+      var i = 0
+      while (ok && i < n) {
+        if (ad.isNullAt(i)) ok = false
+        else {
+          out(i) = if (isFloat) ad.getFloat(i).toDouble else ad.getDouble(i)
+          i += 1
+        }
+      }
+      if (ok) Some(out) else None
+    } catch { case _: RuntimeException => None }
 
   private def matchDistKey(e: Expression)
       : Option[(AttributeReference, Array[Double])] = e match {
