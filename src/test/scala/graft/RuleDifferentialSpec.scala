@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential fuzzing of the opt-in rewrite rules: randomized query
+  * shapes (seeded, deterministic) run with EVERY rule enabled and with
+  * all disabled — results must be identical row-for-row. Hand-written
+  * specs pin each rule's known shapes; this hunts the unknown ones,
+  * especially cross-rule interactions (e.g. merge-aggregate output
+  * feeding group-key simplification feeding eager aggregation).
+  *
+  * The generator deliberately concentrates probability mass on the
+  * shapes the rules match — two-level aggregates, derived group keys,
+  * unique-key groupings, lineitem⋈orders equi-joins — plus off-shapes
+  * that must no-fire cleanly. */
+class RuleDifferentialSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val flags = Seq(
+    "spark.graft.eagerAgg.enabled",
+    "spark.graft.mergePercentile.enabled",
+    "spark.graft.aggByUnique.enabled",
+    "spark.graft.mergeAggregate.enabled",
+    "spark.graft.simplifyAggGroupBy.enabled",
+    "spark.graft.vectorTopN.enabled")
+
+  private def withAll[T](on: Boolean)(f: => T): T = {
+    flags.foreach(spark.conf.set(_, on.toString))
+    try f finally flags.foreach(spark.conf.set(_, "false"))
+  }
+
+  private def li = Tables.load(spark, sf, "lineitem")
+  private def ord = Tables.load(spark, sf, "orders")
+
+  /** one deterministic random query per seed. */
+  private def gen(seed: Int): DataFrame = {
+    val r = new scala.util.Random(seed)
+    def pick[A](xs: Seq[A]): A = xs(r.nextInt(xs.size))
+
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val liKeys = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+    val ordKeys = Seq("o_orderstatus", "o_orderpriority")
+
+    def aggList(cols: Seq[String]): Seq[Column] = {
+      val fns: Seq[String => Column] = Seq(
+        c => round(sum(col(c)), 6).as(s"s_$c"),
+        c => round(min(col(c)), 6).as(s"mn_$c"),
+        c => round(max(col(c)), 6).as(s"mx_$c"),
+        c => count(col(c)).as(s"c_$c"))
+      val n = 1 + r.nextInt(3)
+      Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
+    }
+
+    r.nextInt(5) match {
+      case 0 => // two-level aggregate (MergeAggregate territory)
+        val k2 = pick(liKeys)
+        val inner = li.groupBy(col("l_orderkey"), col(k2))
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"),
+            min(col("l_discount")).as("mnd"))
+        inner.groupBy(col(k2))
+          .agg(round(sum(col("sq")), 6).as("s2"), sum(col("cnt")).as("n2"),
+            round(min(col("mnd")), 6).as("m2"))
+          .orderBy(col(k2))
+      case 1 => // derived group keys (SimplifyAggGroupBy territory)
+        ord.groupBy(col("o_orderdate"),
+            year(col("o_orderdate")).cast("long").as("y"),
+            (month(col("o_orderdate")) + lit(r.nextInt(3))).cast("long").as("mx"))
+          .agg(aggList(Seq("o_totalprice")).head, count(lit(1)).as("n"))
+          .orderBy(col("o_orderdate"))
+      case 2 => // unique-key grouping (AggByUnique territory)
+        ord.filter(col("o_custkey") % (2 + r.nextInt(5)) === 0)
+          .groupBy(col("o_orderkey"))
+          .agg(round(sum(col("o_totalprice")), 6).as("sp"),
+            max(col("o_orderpriority")).as("p"), count(lit(1)).as("n"))
+          .orderBy(col("o_orderkey")).limit(500)
+      case 3 => // join + aggregate (EagerAgg territory)
+        val keys = Seq(col(pick(ordKeys))) ++
+          (if (r.nextBoolean()) Seq(col(pick(liKeys))) else Nil)
+        val as = aggList(numCols)
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(keys: _*)
+          .agg(as.head, as.tail: _*)
+          .orderBy(keys: _*)
+      case _ => // filtered two-level with derived outer key (composition)
+        val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
+          .groupBy(col("l_orderkey"), col("l_shipdate"))
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+        inner.groupBy(col("l_shipdate"),
+            year(col("l_shipdate")).cast("long").as("y"))
+          .agg(round(sum(col("sq")), 6).as("s2"), sum(col("cnt")).as("n2"))
+          .orderBy(col("l_shipdate"))
+    }
+  }
+
+  test("60 seeded query shapes: all rules ON == all rules OFF") {
+    val bad = (1 to 60).flatMap { seed =>
+      val off = withAll(on = false) { gen(seed).collect().toSeq }
+      val on = withAll(on = true) { gen(seed).collect().toSeq }
+      if (on == off) None
+      else Some(s"seed $seed diverged: off=${off.take(3)} on=${on.take(3)}")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+}
