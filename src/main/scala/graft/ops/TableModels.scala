@@ -50,4 +50,34 @@ object TableModels {
     df.groupBy(keys.map(col): _*)
       .agg(specs.head._2.expr(specs.head._1, seqCol),
         specs.tail.map { case (c, t) => t.expr(c, seqCol) }: _*)
+
+  /** UNIQUE-key partial-column update (reference: partial update on
+    * merge-on-write unique tables — an update load carries only the
+    * key plus the touched columns; untouched columns keep their stored
+    * value, and keys absent from the base insert with NULL for the
+    * untouched columns — the reference's insert-with-defaults mode).
+    * Column-level replacement is by PRESENCE in the update load, so a
+    * touched column set to NULL really becomes NULL.
+    *
+    * Scale shape: ONE key-partitioned full-outer join; at 100 TB both
+    * sides shuffle once on the key (or colocate if bucketed), and the
+    * projection is stateless. `updates` must hold `keys` plus a subset
+    * of base's remaining columns. */
+  def partialUpdate(base: DataFrame, updates: DataFrame,
+                    keys: Seq[String]): DataFrame = {
+    val touched = updates.columns.filterNot(keys.contains).toSeq
+    require(touched.nonEmpty && touched.forall(base.columns.contains),
+      s"update columns ${touched.mkString(",")} must be base columns")
+    val uR = touched.foldLeft(updates.withColumn("__upd", lit(1))) {
+      (d, c) => d.withColumnRenamed(c, s"__u_$c")
+    }
+    val joined = base.join(uR, keys, "full_outer")
+    val outCols = base.columns.toSeq.map { c =>
+      if (keys.contains(c)) col(c)
+      else if (touched.contains(c))
+        when(col("__upd") === 1, col(s"__u_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    joined.select(outCols: _*)
+  }
 }

@@ -266,6 +266,26 @@ object Round7bQueries {
       } finally s.conf.set("spark.graft.simplifyAggGroupBy.enabled", "false")
     }),
 
+    // partial-column update on a unique-key table (reference: partial
+    // update on MoW unique tables): the update load carries only
+    // (key, o_orderstatus); untouched columns keep stored values, new
+    // keys insert with NULL untouched columns. One key-partitioned
+    // full-outer join, presence-based column replacement.
+    "x4_partial_update" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+      val upd = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit("X").as("o_orderstatus"))
+        .unionByName(
+          base.filter(col("o_orderkey") % 7 === 0)
+            .select((col("o_orderkey") + 9000000L).as("o_orderkey"),
+              lit("NEW").as("o_orderstatus")))
+      graft.ops.TableModels.partialUpdate(base, upd, Seq("o_orderkey"))
+        .filter(col("o_orderkey") < 2000 || col("o_orderkey") >= 9000000L)
+        .orderBy(col("o_orderkey")).limit(800)
+    }),
+
     // external-process UDF (reference function_rpc.cpp /
     // function_python_udf.cpp): rows stream through a real subprocess
     // per partition via RDD.pipe — POSIX tr as the stand-in executor.
@@ -410,6 +430,23 @@ object Round7bQueries {
       FROM orders
       GROUP BY o_orderdate, year(o_orderdate), month(o_orderdate)
       ORDER BY o_orderdate""",
+
+    "x4_partial_update" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders),
+      upd AS (
+        SELECT o_orderkey, 'X' AS s FROM base WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey + 9000000, 'NEW' FROM base WHERE o_orderkey % 7 = 0)
+      SELECT COALESCE(b.o_orderkey, u.o_orderkey) AS o_orderkey,
+             CASE WHEN u.o_orderkey IS NOT NULL THEN u.s
+                  ELSE b.o_orderstatus END AS o_orderstatus,
+             b.o_totalprice, b.o_orderpriority
+      FROM base b FULL OUTER JOIN upd u ON b.o_orderkey = u.o_orderkey
+      WHERE COALESCE(b.o_orderkey, u.o_orderkey) < 2000
+         OR COALESCE(b.o_orderkey, u.o_orderkey) >= 9000000
+      ORDER BY o_orderkey LIMIT 800""",
 
     "x4_pipe_udf" -> """
       SELECT doc_id, upper(text) AS utext,
