@@ -266,6 +266,20 @@ object Round7bQueries {
       } finally s.conf.set("spark.graft.simplifyAggGroupBy.enabled", "false")
     }),
 
+    // CREATE TABLE AS SELECT through the Hive metastore catalog
+    // (reference: CTAS into an OLAP table, CreateTableAsSelectStmt):
+    // the aggregate materializes as a managed parquet table registered
+    // in HMS, then reads back through the catalog.
+    "src_ctas" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir)
+      s.sql("DROP TABLE IF EXISTS graft_ctas")
+      s.sql("""CREATE TABLE graft_ctas USING parquet AS
+               SELECT o_orderstatus, count(*) AS n,
+                      round(sum(o_totalprice), 6) AS sp
+               FROM orders GROUP BY o_orderstatus""")
+      s.sql("SELECT * FROM graft_ctas ORDER BY o_orderstatus")
+    }),
+
     // partial-column update on a unique-key table (reference: partial
     // update on MoW unique tables): the update load carries only
     // (key, o_orderstatus); untouched columns keep stored values, new
@@ -430,6 +444,10 @@ object Round7bQueries {
       FROM orders
       GROUP BY o_orderdate, year(o_orderdate), month(o_orderdate)
       ORDER BY o_orderdate""",
+
+    "src_ctas" -> """
+      SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 6) AS sp
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
 
     "x4_partial_update" -> """
       WITH base AS (
