@@ -154,5 +154,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // GROUP BY k, f(k) -> GROUP BY k (reference: SimplifyAggGroupBy.java;
     // opt-in via spark.graft.simplifyAggGroupBy.enabled)
     e.injectOptimizerRule(s => new graft.plans.SimplifyAggGroupByRule(s))
+    // ORDER BY + LIMIT pushed below outer/cross joins (row-preserved
+    // side) and UNION ALL branches (reference:
+    // PushDownTopNThroughJoin.java + PushDownTopNThroughUnion.java;
+    // opt-in via spark.graft.topnPushdown.enabled)
+    e.injectOptimizerRule(s => new graft.plans.TopNPushdownRule(s))
   }
 }

@@ -63,7 +63,8 @@ object SparkEntry {
       (graft.queries.RealDataQueries.queries, graft.queries.RealDataQueries.oracle),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracle),
       (graft.queries.Round7Queries.queries, graft.queries.Round7Queries.oracle),
-      (graft.queries.Round7bQueries.queries, graft.queries.Round7bQueries.oracle)
+      (graft.queries.Round7bQueries.queries, graft.queries.Round7bQueries.oracle),
+      (graft.queries.Round7cQueries.queries, graft.queries.Round7cQueries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -107,5 +108,6 @@ object SparkEntry {
     "ds_channel_rollup_net", "ds_wide_resale", "ds_two_channel_growth",
     "cb_q29", "cb_q32",
     "ml_pii_redact", "ml_quality_gopher",
-    "ml_segment_dedup", "ml_kmeans_assign", "ml_ann_ivfpq")
+    "ml_segment_dedup", "ml_kmeans_assign", "ml_ann_ivfpq",
+    "ml_line_dedup", "ml_c4_filter")
 }

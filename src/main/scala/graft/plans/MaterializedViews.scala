@@ -35,7 +35,8 @@ object MaterializedViews {
                    sumCols: Seq[String], minCols: Seq[String], maxCols: Seq[String],
                    mvPath: String, filterSql: Option[String] = None,
                    filterCanonical: Option[String] = None,
-                   filterRefs: Set[String] = Set.empty)
+                   filterRefs: Set[String] = Set.empty,
+                   rows: Long = -1L)
 
   /** base-path -> registered MVs (global so injected rules see it). */
   private val registry = new TrieMap[String, Vector[MvDef]]()
@@ -74,8 +75,14 @@ object MaterializedViews {
     base.groupBy(groupCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
       .write.mode("overwrite").parquet(mvPath)
+    // materialized row count, kept registry-resident like the FE keeps
+    // rollup-index cardinalities: it drives best-index selection when
+    // several rollups can serve one aggregate. Metadata-only read
+    // (parquet footer count) — no data scan.
+    val nRows = spark.read.parquet(mvPath).count()
     val d = MvDef(name, basePath, groupCols, sumCols, minCols, maxCols, mvPath,
-      filterSql, canonical.map(_._1), canonical.map(_._2).getOrElse(Set.empty))
+      filterSql, canonical.map(_._1), canonical.map(_._2).getOrElse(Set.empty),
+      rows = nRows)
     registry.updateWith(basePath) {
       case Some(v) => Some(v.filterNot(_.name == name) :+ d)
       case None => Some(Vector(d))
@@ -291,10 +298,23 @@ class MvRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ =>
         for {
           path <- relationPath(rel)
-          (mv, residual) <- forPath(path).flatMap { m =>
-            consumeFilter(m, conjuncts).map(r => (m, r))
-          }.find { case (m, residual) =>
-            matches(m, groupExprs, aggExprs, residual.reduceOption(And))
+          // best-index selection (reference:
+          // SelectMaterializedIndexWithAggregate.java): among ALL
+          // rollups that can serve this aggregate, scan the one with
+          // the fewest materialized rows (registry-resident counts;
+          // coarser rollup = cheaper scan), tie-broken by group-key
+          // arity then name for determinism.
+          (mv, residual) <- {
+            val qualifying = forPath(path).flatMap { m =>
+              consumeFilter(m, conjuncts).map(r => (m, r))
+            }.filter { case (m, residual) =>
+              matches(m, groupExprs, aggExprs, residual.reduceOption(And))
+            }
+            if (qualifying.isEmpty) None
+            else Some(qualifying.minBy { case (m, _) =>
+              (if (m.rows >= 0) m.rows else Long.MaxValue,
+                m.groupCols.size.toLong, m.name)
+            })
           }
         } yield rewrite(mv, agg, groupExprs, aggExprs, residual.reduceOption(And))
     }

@@ -1,0 +1,126 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, LeftOuter, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** TopN pushdown through outer/cross joins and UNION ALL (reference:
+  * nereids/rules/rewrite/PushDownTopNThroughJoin.java,
+  * PushDownTopNThroughUnion.java).
+  *
+  * `ORDER BY l.x LIMIT k` over `l LEFT JOIN r` joins ALL of `l` before
+  * keeping k rows. When every sort key comes from the row-preserved side,
+  * a copy of the TopN is valid on that side first: each preserved-side
+  * row yields >= 1 output row carrying its sort-key values, so the n
+  * globally-smallest output rows can only derive from the n
+  * smallest-keyed preserved rows (ties at the boundary are arbitrary in
+  * SQL LIMIT on either plan). The join input drops from |l| to k — at
+  * 100 TB that turns a fact-sized shuffle join into a k-row broadcast
+  * join. Spark's native LimitPushDown does this for bare LIMIT but not
+  * for ORDER BY + LIMIT (TopN).
+  *
+  * Join safety table (mirrors the reference's switch):
+  *  - LEFT OUTER, sort keys ⊆ left:  push to left (row-preserved).
+  *  - RIGHT OUTER, sort keys ⊆ right: push to right.
+  *  - CROSS: either side — each side's rows survive whenever the other
+  *    side is non-empty; if it IS empty both plans return 0 rows.
+  *  - INNER/semi/anti: never (a joined-away row may out-rank survivors).
+  *
+  * UNION ALL: TopN distributes to every branch (keep the global TopN) —
+  * on Spark the win is not the final merge (TakeOrderedAndProject is
+  * already a per-partition top-k) but early row reduction below
+  * whatever shuffles each branch contains.
+  *
+  * The child TopN is ADDED, never moved: the parent TopN still runs, so
+  * the rewrite is exact for any deterministic sort key set. Offsets are
+  * not matched (Spark plans them as a separate Offset node); non-literal
+  * limits are not matched.
+  *
+  * OPT-IN via `spark.graft.topnPushdown.enabled`. */
+class TopNPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption("spark.graft.topnPushdown.enabled").contains("true")
+
+  /** TopN above this many rows is left alone — pushing a huge top-k
+    * duplicates sort work without reducing anything (the reference gates
+    * the same way via topn_opt_limit_threshold). */
+  private def threshold: Long =
+    spark.conf.getOption("spark.graft.topnPushdown.threshold")
+      .map(_.toLong).getOrElse(16384L)
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case topn @ GlobalLimit(IntegerLiteral(n),
+          LocalLimit(IntegerLiteral(n2), s @ Sort(order, true, child, _)))
+          if n == n2 && n <= threshold && order.forall(_.child.deterministic) =>
+        rewriteChild(n, order, child) match {
+          case Some(newChild) =>
+            GlobalLimit(Literal(n), LocalLimit(Literal(n), s.copy(child = newChild)))
+          case None => topn
+        }
+    }
+
+  private def topNOf(n: Int, order: Seq[SortOrder], child: LogicalPlan): LogicalPlan =
+    GlobalLimit(Literal(n), LocalLimit(Literal(n), Sort(order, global = true, child)))
+
+  /** Already a limit? Then this TopN was pushed (or the user wrote one);
+    * re-firing would loop the fixpoint batch. */
+  private def isLimited(p: LogicalPlan): Boolean = p match {
+    case _: GlobalLimit | _: LocalLimit => true
+    case _ => false
+  }
+
+  private def rewriteChild(
+      n: Int, order: Seq[SortOrder], child: LogicalPlan): Option[LogicalPlan] = {
+    val sortRefs = AttributeSet(order.flatMap(_.references))
+    child match {
+      // TopN -> Join
+      case j: Join => pushIntoJoin(n, order, sortRefs, j).map(nj => nj)
+
+      // TopN -> Project -> Join: substitute project aliases into the
+      // sort keys, then push the rewritten TopN below the project.
+      case p @ Project(plist, j: Join) if plist.forall(_.deterministic) =>
+        val sub = plist.collect { case a: Alias => a.toAttribute.exprId -> a.child }.toMap
+        val mapped = order.map(so => so.copy(child = so.child.transform {
+          case a: Attribute if sub.contains(a.exprId) => sub(a.exprId)
+        }).asInstanceOf[SortOrder])
+        val mappedRefs = AttributeSet(mapped.flatMap(_.references))
+        if (!mappedRefs.subsetOf(j.outputSet)) None
+        else pushIntoJoin(n, mapped, mappedRefs, j).map(nj => p.copy(child = nj))
+
+      // TopN -> Union ALL: per-branch TopN with sort keys remapped onto
+      // each branch's own attributes (positional, like the reference).
+      case u @ Union(children, false, false)
+          if children.size >= 2 && !children.exists(isLimited) &&
+             sortRefs.subsetOf(u.outputSet) =>
+        val newChildren = children.map { c =>
+          val remap = u.output.map(_.exprId).zip(c.output).toMap
+          val childOrder = order.map(so => so.copy(child = so.child.transform {
+            case a: Attribute if remap.contains(a.exprId) => remap(a.exprId)
+          }).asInstanceOf[SortOrder])
+          topNOf(n, childOrder, c)
+        }
+        Some(u.copy(children = newChildren))
+
+      case _ => None
+    }
+  }
+
+  private def pushIntoJoin(
+      n: Int, order: Seq[SortOrder], sortRefs: AttributeSet, j: Join): Option[Join] =
+    j.joinType match {
+      case LeftOuter if sortRefs.subsetOf(j.left.outputSet) && !isLimited(j.left) =>
+        Some(j.copy(left = topNOf(n, order, j.left)))
+      case RightOuter if sortRefs.subsetOf(j.right.outputSet) && !isLimited(j.right) =>
+        Some(j.copy(right = topNOf(n, order, j.right)))
+      case Cross if sortRefs.subsetOf(j.left.outputSet) && !isLimited(j.left) =>
+        Some(j.copy(left = topNOf(n, order, j.left)))
+      case Cross if sortRefs.subsetOf(j.right.outputSet) && !isLimited(j.right) =>
+        Some(j.copy(right = topNOf(n, order, j.right)))
+      case _ => None
+    }
+}

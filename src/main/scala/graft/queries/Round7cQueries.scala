@@ -1,0 +1,424 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Round-7 batch 3 — TopN pushdown (reference:
+  * nereids/rules/rewrite/PushDownTopNThroughJoin.java +
+  * PushDownTopNThroughUnion.java) and three corpus-cleaning ops a
+  * pretraining pipeline runs before tokenization: URL canonicalization
+  * (CCNet/RefinedWeb-style), C4 line-level filtering, and cross-document
+  * boilerplate line removal. Every key oracle-exact vs DuckDB.
+  *
+  * The corpus fixtures are single-line word soup, so "lines" are
+  * materialized deterministically on BOTH sides as fixed-width word
+  * chunks (12 words for the C4 pass, 3 for the boilerplate pass — short
+  * enough that chunks genuinely repeat across documents). Same
+  * shared-transformation discipline as the PII keys: the oracle applies
+  * the identical chunking, so the hash match certifies the filter /
+  * dedup semantics, not the synthetic line shape.
+  */
+object Round7cQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TopN through a LEFT OUTER join: ORDER BY keys all come from the
+    // row-preserved (left/fact) side, so the top-20 can be taken BEFORE
+    // the join — the join input drops from |orders| to 20 rows. At
+    // 100 TB this is the difference between joining the whole fact
+    // table and broadcast-joining 20 rows. Plan-asserted: a limit lands
+    // below the join on the left subtree.
+    "opt_topn_join" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+      s.conf.set("spark.graft.topnPushdown.enabled", "true")
+      try {
+        import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
+        val join = df.queryExecution.optimizedPlan.collectFirst {
+          case j: Join => j
+        }.getOrElse(throw new IllegalStateException("no Join in plan"))
+        val pushed = join.left.exists { case _: GlobalLimit => true; case _ => false }
+        require(pushed, s"TopN was not pushed below the join:\n" +
+          df.queryExecution.optimizedPlan)
+        val rows = df.collect() // executes the k-row-join plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+    }),
+
+    // TopN through UNION ALL: the global top-4 distributes to each
+    // branch, so every branch's shuffle (here: a hash aggregate each)
+    // feeds a branch-local top-k instead of its full output into the
+    // final merge. Plan-asserted: each union child carries a limit.
+    "opt_topn_union" -> ((s, dir) => {
+      val b1 = t(s, dir, "orders").groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("ord").as("src"), col("o_orderpriority").as("k"), col("n"))
+      val b2 = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("li").as("src"), col("l_returnflag").as("k"), col("n"))
+      val df = b1.unionAll(b2)
+        .orderBy(col("n").desc, col("src"), col("k"))
+        .limit(4)
+      s.conf.set("spark.graft.topnPushdown.enabled", "true")
+      try {
+        import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Union}
+        val union = df.queryExecution.optimizedPlan.collectFirst {
+          case u: Union => u
+        }.getOrElse(throw new IllegalStateException("no Union in plan"))
+        val allPushed = union.children.forall(
+          _.exists { case _: GlobalLimit => true; case _ => false })
+        require(allPushed, s"TopN was not pushed into every union branch:\n" +
+          df.queryExecution.optimizedPlan)
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+    }),
+
+    // Best-rollup-index selection (reference:
+    // SelectMaterializedIndexWithAggregate.java + SetPreAggStatus.java):
+    // when SEVERAL materialized rollups can serve one aggregate, the
+    // rewrite must scan the one with the fewest materialized rows, not
+    // the first registered. The fine rollup (3 group keys, ~every
+    // lineitem key combo) registers FIRST; the 3-row coarse rollup must
+    // still win. Plan-asserted on the executed scan path.
+    "mv_best_index" -> ((s, dir) => {
+      import graft.plans.MaterializedViews
+      MaterializedViews.create(s, "mv_li_fine_bi", dir, "lineitem",
+        groupCols = Seq("l_returnflag", "l_linestatus", "l_suppkey"),
+        sumCols = Seq("l_quantity"))
+      MaterializedViews.create(s, "mv_li_coarse_bi", dir, "lineitem",
+        groupCols = Seq("l_returnflag"), sumCols = Seq("l_quantity"))
+      try {
+        val df = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(round(sum(col("l_quantity")), 2).as("sq"), count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
+        val p = df.queryExecution.executedPlan.toString
+        require(p.contains("mv_li_coarse_bi"),
+          s"best (coarse) rollup not selected:\n$p")
+        require(!p.contains("mv_li_fine_bi"),
+          s"fine rollup scanned despite a cheaper candidate:\n$p")
+        val rows = df.collect() // executes the 3-row rollup scan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally {
+        MaterializedViews.drop("mv_li_fine_bi")
+        MaterializedViews.drop("mv_li_coarse_bi")
+      }
+    }),
+
+    // URL canonicalization (CCNet/RefinedWeb pre-dedup normalization):
+    // lowercase scheme+host, strip the scheme-default port, drop the
+    // fragment, drop utm_* tracking params, sort the surviving query
+    // params. Pure codegen string/array expressions — one projection,
+    // no shuffle, safe at any corpus size. The raw URL is synthesized
+    // deterministically per doc on both sides (no URL column in the
+    // fixtures).
+    "ml_url_canon" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("doc_id") < 40)
+        .withColumn("url", concat(
+          lit("HTTPS://WWW."), upper(col("source")), lit(".Example.COM:443/Docs/"),
+          col("doc_id"), lit("?utm_src=x&b=2&a=1#frag")))
+        .withColumn("scheme", lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1)))
+        .withColumn("host", regexp_replace(
+          lower(regexp_extract(col("url"), "^[A-Za-z]+://([^/?#]+)", 1)), ":443$", ""))
+        .withColumn("path", regexp_extract(col("url"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1))
+        .withColumn("qs", array_join(array_sort(expr(
+          "filter(split(regexp_extract(url, '\\\\?([^#]*)', 1), '&'), p -> not startswith(p, 'utm_'))")),
+          "&"))
+        .select(col("doc_id"),
+          concat(col("scheme"), lit("://"), col("host"), col("path"),
+            when(col("qs") =!= "", concat(lit("?"), col("qs"))).otherwise(lit("")))
+            .as("canon_url"),
+          col("host"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style line filtering: chunk each doc into 12-word lines, keep
+    // lines with >= 5 words not containing the blocklist tokens, report
+    // per-doc kept counts + a fingerprint of the reassembled text. All
+    // array HOFs — zero shuffle; the corpus streams through one
+    // projection.
+    "ml_c4_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("lines", expr(
+          "transform(sequence(0, cast(ceil(size(ws)/12.0) as int) - 1), " +
+          "i -> array_join(slice(ws, i*12+1, 12), ' '))"))
+        .withColumn("kept", expr(
+          "filter(lines, x -> size(split(x, ' ')) >= 5 " +
+          "and x not like '%lorem%' and x not like '%{%')"))
+        .select(col("doc_id"),
+          size(col("lines")).cast("long").as("n_lines"),
+          size(col("kept")).cast("long").as("n_kept"),
+          md5(array_join(col("kept"), " ")).as("fp"),
+          length(array_join(col("kept"), " ")).cast("long").as("cleaned_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Cross-document boilerplate line removal (CCNet's per-shard line
+    // dedup): explode 3-word lines with position, count DISTINCT docs
+    // per line text over the whole corpus, drop lines appearing in >= 5
+    // docs, reassemble each doc in original order. One line-keyed
+    // shuffle for the counts + one join back (the count side is
+    // heavy-hitter-sized — broadcastable at any corpus scale if
+    // thresholded first); the reassembly groups by doc_id.
+    // Zipf vocabulary-coverage curve (tokenizer-design signal: what
+    // fraction of corpus tokens do the top-k vocabulary words cover?).
+    // One word-keyed count shuffle (vocabulary-sized from then on), a
+    // single-partition window over the COUNT TABLE only — never the
+    // corpus — and exact BIGINT cumulative sums with one trailing
+    // double division.
+    "ml_vocab_coverage" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cnt = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      val ranked = cnt.withColumn("rk",
+          row_number().over(Window.orderBy(col("c").desc, col("word"))))
+        .withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("c").desc, col("word"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      ranked.filter(col("rk").isin(5, 10, 20))
+        .crossJoin(broadcast(tot))
+        .select(col("rk").cast("long").as("top_k"),
+          col("cum").as("covered_tokens"),
+          round(col("cum").cast("double") / col("n"), 6).as("coverage"))
+        .orderBy(col("top_k"))
+    }),
+
+    // Per-doc character-level Shannon entropy (a Gopher-adjacent
+    // gibberish/boilerplate signal: natural text sits in a narrow
+    // entropy band; key-mash and template dumps fall outside it).
+    // One (doc_id, char) shuffle — doc-keyed, shards at any scale.
+    "ml_char_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // Spark's regex split keeps a trailing empty token on '' patterns
+      // (java Pattern.split limit -1); DuckDB's does not — drop it.
+      val chars = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(col("ch") =!= "")
+      val perChar = chars.groupBy(col("doc_id"), col("ch"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+      perChar.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("n_chars2"),
+          round(-sum((col("c") / col("n")) * log(col("c") / col("n"))), 6)
+            .as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Winnowing fingerprints (Schleimer, Wilkerson, Aiken '03 — the
+    // MOSS local document-fingerprinting algorithm): hash every word
+    // 3-gram, slide a window of 4 hashes, select each window's minimum
+    // (rightmost on ties — encoded as (h ASC, -pos ASC) struct sort),
+    // dedupe the selections. Guarantees a match for any shared run of
+    // >= w+k-1 words while storing ~2/(w+1) of the grams. Pure per-row
+    // array HOFs — zero shuffle at any corpus scale; the portable md5
+    // gram hash keeps engine and oracle bit-identical.
+    "ml_winnow_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .filter(size(col("ws")) >= 6)
+        .withColumn("hs", expr(
+          "transform(sequence(1, size(ws)-2), i -> md5(array_join(slice(ws, i, 3), ' ')))"))
+        .withColumn("picks", expr(
+          "transform(sequence(1, size(hs)-3), j -> element_at(array_sort(" +
+          "transform(sequence(j, j+3), i -> named_struct('h', element_at(hs, i), 'np', -i))), 1))"))
+        .withColumn("dp", expr(
+          "array_sort(array_distinct(transform(picks, " +
+          "x -> concat(lpad(cast(-x.np as string), 6, '0'), ':', x.h))))"))
+        .select(col("doc_id"),
+          size(col("hs")).cast("long").as("n_grams"),
+          size(col("dp")).cast("long").as("n_sel"),
+          md5(array_join(col("dp"), ",")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram LM quality scoring with unigram interpolation backoff
+    // (the CCNet/KenLM-style perplexity filter, exact and deterministic:
+    // P(w|p) = 0.7·c(p,w)/c(p·) + 0.3·c(w)/N with bigram-derived context
+    // counts). The corpus streams through ONE bigram explode; all four
+    // count tables are vocabulary-sized — broadcast at any corpus scale
+    // — so no shuffle ever carries the 100 TB side.
+    "ml_bigram_logprob" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bi = docs
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1), " +
+          "(a, b) -> named_struct('prev', a, 'cur', b))")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val cb = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cb"))
+      val cctx = cb.groupBy(col("prev")).agg(sum(col("cb")).as("cc"))
+      val cuc = docs.select(explode(split(col("text"), " ")).as("cur"))
+        .groupBy(col("cur")).agg(count(lit(1)).as("cuw"))
+      val tot = cuc.agg(sum(col("cuw")).as("n"))
+      bi.join(broadcast(cb), Seq("prev", "cur"))
+        .join(broadcast(cctx), Seq("prev"))
+        .join(broadcast(cuc), Seq("cur"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log(lit(0.7) * col("cb") / col("cc")
+            + lit(0.3) * col("cuw") / col("n"))), 6).as("nll"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "ml_line_dedup" -> ((s, dir) => {
+      val lines = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, cast(ceil(size(ws)/3.0) as int) - 1), " +
+          "i -> array_join(slice(ws, i*3+1, 3), ' '))")))
+        .withColumnRenamed("col", "line")
+      val counts = lines.groupBy(col("line"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+      lines.join(counts, Seq("line"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("n_boiler"),
+          md5(array_join(expr(
+            "transform(array_sort(collect_list(case when nd < 5 then struct(pos, line) end)), x -> x.line)"),
+            " ")).as("fp"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "opt_topn_join" -> """
+      SELECT o_orderkey, o_totalprice, c_name
+      FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+
+    "opt_topn_union" -> """
+      SELECT * FROM (
+        SELECT 'ord' AS src, o_orderpriority AS k, COUNT(*) AS n
+        FROM orders GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'li' AS src, l_returnflag AS k, COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+      ) ORDER BY n DESC, src, k LIMIT 4""",
+
+    "mv_best_index" -> """
+      SELECT l_returnflag, round(sum(l_quantity), 2) AS sq, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "ml_url_canon" -> """
+      WITH u AS (
+        SELECT doc_id,
+               'HTTPS://WWW.' || upper(source) || '.Example.COM:443/Docs/' ||
+               doc_id || '?utm_src=x&b=2&a=1#frag' AS url
+        FROM documents WHERE doc_id < 40),
+      p AS (
+        SELECT doc_id,
+               lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+               regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':443$', '') AS host,
+               regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                 p -> NOT starts_with(p, 'utm_'))), '&') AS qs
+        FROM u)
+      SELECT doc_id,
+             scheme || '://' || host || path ||
+               (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS canon_url,
+             host
+      FROM p ORDER BY doc_id""",
+
+    "ml_c4_filter" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      l AS (
+        SELECT doc_id,
+               [array_to_string(ws[(i*12+1):(i*12+12)], ' ')
+                for i in range(0, CAST(ceil(len(ws)/12.0) AS INT))] AS lines
+        FROM w),
+      k AS (
+        SELECT doc_id, lines,
+               list_filter(lines, x -> len(string_split(x, ' ')) >= 5
+                 AND x NOT LIKE '%lorem%' AND x NOT LIKE '%{%') AS kept
+        FROM l)
+      SELECT doc_id,
+             CAST(len(lines) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             md5(array_to_string(kept, ' ')) AS fp,
+             CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS cleaned_len
+      FROM k ORDER BY doc_id""",
+
+    "ml_vocab_coverage" -> """
+      WITH wds AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      cnt AS (SELECT word, count(*) AS c FROM wds GROUP BY word),
+      tot AS (SELECT sum(c) AS n FROM cnt),
+      rkd AS (SELECT word, c,
+              row_number() OVER (ORDER BY c DESC, word) AS rk,
+              sum(c) OVER (ORDER BY c DESC, word
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+              FROM cnt)
+      SELECT CAST(rk AS BIGINT) AS top_k, CAST(cum AS BIGINT) AS covered_tokens,
+             round(CAST(cum AS DOUBLE) / n, 6) AS coverage
+      FROM rkd CROSS JOIN tot WHERE rk IN (5, 10, 20) ORDER BY top_k""",
+
+    "ml_char_entropy" -> """
+      WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch),
+      wt AS (SELECT doc_id, ch, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM pc)
+      SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars2,
+             round(-sum((c / n) * ln(c / n)), 6) AS entropy
+      FROM wt GROUP BY doc_id ORDER BY doc_id""",
+
+    "ml_winnow_fingerprint" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id,
+              [md5(array_to_string(ws[i:i+2], ' ')) for i in range(1, len(ws)-1)] AS hs
+            FROM w WHERE len(ws) >= 3),
+      sel AS (SELECT doc_id, hs,
+              [(list_sort([{'h': hs[i], 'np': -i} for i in range(j, j+4)]))[1]
+               for j in range(1, len(hs)-2)] AS picks
+            FROM g WHERE len(hs) >= 4),
+      s2 AS (SELECT doc_id, len(hs) AS n_grams,
+              list_sort(list_distinct([lpad(CAST(-x['np'] AS VARCHAR), 6, '0') || ':' || x['h'] for x in picks])) AS dp
+             FROM sel)
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             CAST(len(dp) AS BIGINT) AS n_sel,
+             md5(array_to_string(dp, ',')) AS fp
+      FROM s2 ORDER BY doc_id""",
+
+    "ml_bigram_logprob" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      bg0 AS (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS z FROM w),
+      bi AS (SELECT doc_id, z[1] AS prev, z[2] AS cur FROM bg0),
+      cb AS (SELECT prev, cur, count(*) AS cb FROM bi GROUP BY prev, cur),
+      cctx AS (SELECT prev, sum(cb) AS cc FROM cb GROUP BY prev),
+      cu AS (SELECT unnest(string_split(text, ' ')) AS cur FROM documents),
+      cuc AS (SELECT cur, count(*) AS cuw FROM cu GROUP BY cur),
+      tot AS (SELECT sum(cuw) AS n FROM cuc)
+      SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        round(avg(-ln(0.7::DOUBLE * cb.cb / cctx.cc + 0.3::DOUBLE * cuc.cuw / tot.n)), 6) AS nll
+      FROM bi JOIN cb USING (prev, cur) JOIN cctx USING (prev)
+        JOIN cuc USING (cur) CROSS JOIN tot
+      GROUP BY doc_id ORDER BY doc_id""",
+
+    "ml_line_dedup" -> """
+      WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      l AS (
+        SELECT doc_id,
+               [{'p': i, 'l': array_to_string(ws[(i*3+1):(i*3+3)], ' ')}
+                for i in range(0, CAST(ceil(len(ws)/3.0) AS INT))] AS pl
+        FROM w),
+      e AS (SELECT doc_id, unnest(pl) AS x FROM l),
+      l3 AS (SELECT doc_id, x.p AS pos, x.l AS line FROM e),
+      c AS (SELECT line, COUNT(DISTINCT doc_id) AS nd FROM l3 GROUP BY line),
+      j AS (SELECT l3.doc_id, l3.pos, l3.line, c.nd FROM l3 JOIN c USING (line))
+      SELECT doc_id,
+             COUNT(*)::BIGINT AS n_lines,
+             SUM(CASE WHEN nd >= 5 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+             md5(coalesce(string_agg(CASE WHEN nd < 5 THEN line END, ' ' ORDER BY pos), '')) AS fp
+      FROM j GROUP BY doc_id ORDER BY doc_id"""
+  )
+}

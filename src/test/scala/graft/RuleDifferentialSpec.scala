@@ -24,7 +24,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.aggByUnique.enabled",
     "spark.graft.mergeAggregate.enabled",
     "spark.graft.simplifyAggGroupBy.enabled",
-    "spark.graft.vectorTopN.enabled")
+    "spark.graft.vectorTopN.enabled",
+    "spark.graft.topnPushdown.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -53,7 +54,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(5) match {
+    r.nextInt(7) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -83,6 +84,19 @@ class RuleDifferentialSpec extends AnyFunSuite {
           .groupBy(keys: _*)
           .agg(as.head, as.tail: _*)
           .orderBy(keys: _*)
+      case 5 => // TopN over an outer join (TopNPushdown territory);
+        // unique tiebreaker keeps the on/off row sets comparable
+        val k = 1 + r.nextInt(40)
+        val cust = Tables.load(spark, sf, "customer")
+        ord.join(cust, col("o_custkey") === col("c_custkey"), "left_outer")
+          .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(k)
+      case 6 => // TopN over UNION ALL (TopNPushdown territory)
+        val k = 1 + r.nextInt(20)
+        val b1 = ord.select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+        val b2 = li.select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
+        b1.unionAll(b2).orderBy(col("v").desc, col("k")).limit(k)
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
