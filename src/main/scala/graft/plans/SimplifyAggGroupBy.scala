@@ -57,12 +57,25 @@ class SimplifyAggGroupByRule(spark: SparkSession) extends Rule[LogicalPlan] {
         if (dropped.isEmpty) agg
         else {
           val droppedIds = dropped.map(_.exprId).toSet
+          // A kept key may be an ALIAS of its base column (view shape:
+          // `event_id AS WatchID`); the bare base is then pruned from
+          // the Project's output, so a re-inlined definition must
+          // reference the surviving ALIAS, not the base — otherwise the
+          // aggregate's result expressions bind against an attribute
+          // the child no longer produces (found by the all-rules-on
+          // composition law over cb_q32).
+          val baseToKept: Map[ExprId, AttributeReference] =
+            kept.flatMap(k => baseOf(k).map(_ -> k)).toMap
+          def inline(d: Expression): Expression = d.transform {
+            case r: AttributeReference if baseToKept.get(r.exprId)
+                .exists(_.exprId != r.exprId) => baseToKept(r.exprId)
+          }
           // result expressions re-inline the dropped keys' definitions
-          // (which reference only surviving base-column keys)
+          // (rebased onto the surviving group attrs)
           val newA = a.map { ne =>
             ne.transformUp {
               case at: AttributeReference if droppedIds.contains(at.exprId) =>
-                defs(at.exprId)
+                inline(defs(at.exprId))
             } match {
               case n: NamedExpression => n
               case other => Alias(other, ne.name)(exprId = ne.exprId)

@@ -108,6 +108,21 @@ class RuleDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("bench battery: all rules ON == all rules OFF") {
+    // The composition law over the REAL headline queries (not generated
+    // shapes): every opt-in rewrite enabled simultaneously must leave
+    // all 22 bench results row-identical. Queries that manage their own
+    // flags/state (mv/vector/stream) are not in benchQueries, so this
+    // is a pure flag-flip differential.
+    val bad = SparkEntry.benchQueries.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val off = withAll(on = false) { fn(spark, sf).collect().toSeq.sortBy(_.toString) }
+      val on = withAll(on = true) { fn(spark, sf).collect().toSeq.sortBy(_.toString) }
+      if (on == off) None else Some(s"$name diverged under all-rules-on")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("60 seeded query shapes: all rules ON == all rules OFF") {
     val bad = (1 to 60).flatMap { seed =>
       val off = withAll(on = false) { gen(seed).collect().toSeq }

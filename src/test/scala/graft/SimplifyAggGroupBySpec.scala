@@ -36,6 +36,26 @@ class SimplifyAggGroupBySpec extends AnyFunSuite {
     assert(schema == q.schema)
   }
 
+  test("view-aliased base: re-inlined key rebases onto the surviving alias") {
+    // cb_q32 regression: the view renames the base column
+    // (event_id AS WatchID) and derives a second key from the SAME base
+    // ((event_id*7919)%100000 AS ClientIP). The bare base is pruned
+    // from the Project, so the dropped key's definition must be
+    // rewritten onto the surviving alias or the plan fails to bind.
+    Tables.registerAll(spark, sf)
+    def q = spark.sql("""
+      WITH v AS (SELECT event_id AS WatchID,
+                        CAST((event_id * 7919) % 100000 AS INT) AS ClientIP,
+                        value FROM events)
+      SELECT WatchID, ClientIP, COUNT(*) AS c, ROUND(SUM(value), 6) AS sv
+      FROM v GROUP BY WatchID, ClientIP
+      ORDER BY c DESC, WatchID LIMIT 10""")
+    val plain = q.collect().toSeq
+    val (sizes, simplified) = withRule { (groupSizes(q), q.collect().toSeq) }
+    assert(sizes == Seq(1), s"expected single surviving key, got $sizes")
+    assert(simplified == plain)
+  }
+
   test("expression over a NON-group column keeps its key") {
     def q = Tables.load(spark, sf, "orders")
       .groupBy(col("o_orderstatus"),
