@@ -23,7 +23,8 @@ object AsofJoin {
     * unmatched left rows. */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    leftTime: String, rightTime: String,
-                   payload: Seq[String], inner: Boolean): DataFrame = {
+                   payload: Seq[String], inner: Boolean,
+                   toleranceUs: Option[Long] = None): DataFrame = {
     // The whole right payload rides in ONE struct (with an always-true
     // match marker), so a single last(ignoreNulls) carries an entire
     // right row — never a stitch of columns from different right rows
@@ -32,9 +33,16 @@ object AsofJoin {
     // side 0 = right (sorts before left at equal ts => <= semantics);
     // the struct itself is the tiebreaker among right rows with equal
     // (keys, ts), making the picked row deterministic.
+    // With a tolerance, the matched right row's OWN timestamp rides in
+    // the struct (trailing field — appended so the tie-break ordering
+    // of the tolerance-free path is unchanged) and the match is NULLed
+    // when it is too old. Exact integer microseconds on both sides of
+    // the comparison — no float/second truncation at the boundary.
+    val payFields = (lit(true).as("__m") +: payload.map(c => col(c).as(c))) ++
+      (if (toleranceUs.isDefined) Seq(unix_micros(col(rightTime)).as("__rts")) else Nil)
     val r = right.select(
       (keys.map(col) :+ col(rightTime).as("__ts")) :+
-        struct(lit(true).as("__m") +: payload.map(c => col(c).as(c)): _*).as("__pay"): _*)
+        struct(payFields: _*).as("__pay"): _*)
       .withColumn("__side", lit(0))
     val l = left
       .withColumn("__ts", col(leftTime))
@@ -42,9 +50,14 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"), col("__pay"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = l.unionByName(r, allowMissingColumns = true)
+    val matched0 = l.unionByName(r, allowMissingColumns = true)
       .select(col("*"), last(col("__pay"), ignoreNulls = true).over(w).as("__r"))
       .filter(col("__side") === 1)
+    val matched = toleranceUs.fold(matched0) { tol =>
+      matched0.withColumn("__r",
+        when(col("__r").isNotNull &&
+          unix_micros(col(leftTime)) - col("__r.__rts") <= tol, col("__r")))
+    }
     val kept = if (inner) matched.filter(col("__r").isNotNull) else matched
     kept.select(
       left.columns.map(col) ++ payload.map(c => col("__r").getField(c).as(s"r_$c")): _*)

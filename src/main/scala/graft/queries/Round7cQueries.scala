@@ -168,6 +168,27 @@ object Round7cQueries {
     // shuffle for the counts + one join back (the count side is
     // heavy-hitter-sized — broadcastable at any corpus scale if
     // thresholded first); the reassembly groups by doc_id.
+    // As-of join with a match tolerance (the time-series staple "join
+    // the latest quote no older than 1 h"): backward as-of, but the
+    // match is NULLed when the picked right row is too old. Exact
+    // integer-microsecond boundary on both engines. Correctness note:
+    // the LATEST right row <= t is also the CLOSEST, so
+    // latest-then-check-tolerance equals max-within-tolerance — one
+    // window pass, no per-row range probing. Right side pre-aggregated
+    // to unique (user, ts) so the picked row is tie-free.
+    "model_asof_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("v"))
+      graft.ops.AsofJoin.asofBackward(purchases, views, Seq("user_id"),
+          "ts", "ts", Seq("v"), inner = false,
+          toleranceUs = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), round(col("r_v"), 6).as("rv"))
+        .orderBy(col("event_id"))
+    }),
+
     // Zipf vocabulary-coverage curve (tokenizer-design signal: what
     // fraction of corpus tokens do the top-k vocabulary words cover?).
     // One word-keyed count shuffle (vocabulary-sized from then on), a
@@ -350,6 +371,19 @@ object Round7cQueries {
              md5(array_to_string(kept, ' ')) AS fp,
              CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS cleaned_len
       FROM k ORDER BY doc_id""",
+
+    "model_asof_tolerance" -> """
+      WITH r0 AS (SELECT user_id, ts, max(value) AS v FROM events
+                  WHERE event_type = 'view' GROUP BY user_id, ts),
+      l0 AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT l0.event_id, l0.user_id, l0.ts,
+              (SELECT max(r0.ts) FROM r0 WHERE r0.user_id = l0.user_id
+                 AND r0.ts <= l0.ts
+                 AND epoch_us(l0.ts) - epoch_us(r0.ts) <= 3600000000) AS mts
+            FROM l0)
+      SELECT m.event_id, m.user_id, round(r0.v, 6) AS rv
+      FROM m LEFT JOIN r0 ON r0.user_id = m.user_id AND r0.ts = m.mts
+      ORDER BY m.event_id""",
 
     "ml_vocab_coverage" -> """
       WITH wds AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
