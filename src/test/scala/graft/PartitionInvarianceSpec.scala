@@ -20,9 +20,15 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "state_hll", "fq_topn", "fq_retention", "fq_window_funnel",
     "state_ema", "win_frames_rows",
     "ml_dedup_exact", "ml_dedup_minhash", "ml_ngram_jaccard",
-    "setop_except_all", "ml_quality_gopher")
+    "setop_except_all", "ml_quality_gopher",
+    // round-7c shuffle-bearing ops: cross-doc line dedup (COUNT
+    // DISTINCT + join-back), bigram LM (four broadcast count tables),
+    // winnowing (per-row, but the fingerprint must not depend on input
+    // split), as-of tolerance (union+window single shuffle)
+    "ml_line_dedup", "ml_bigram_logprob", "ml_winnow_fingerprint",
+    "model_asof_tolerance")
 
-  test("17 representative queries are shuffle-partition invariant (3 vs 32)") {
+  test("21 representative queries are shuffle-partition invariant (3 vs 32)") {
     GraftSession.install(spark) // session-scoped UDF surface (idempotent)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAt(n: String, key: String) = {
