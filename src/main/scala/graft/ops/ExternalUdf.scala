@@ -28,6 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object ExternalUdf {
 
+  /** External-process AGGREGATION (the RPC-UDAF half of the contract:
+    * reference function_rpc.cpp's update/merge driven from BE — here
+    * the external command owns the whole group because the engine
+    * guarantees group locality first). One hash shuffle on the key +
+    * a partition-local sort puts every group's rows CONSECUTIVELY in
+    * exactly one partition's stdin stream, so the command aggregates
+    * on key change with O(1) state — no cross-process merge step
+    * needed, which is what makes an opaque-state external aggregator
+    * safe at 1000 executors. Output: one `key \t out1 \t out2 ...`
+    * line per group, parsed to BIGINT columns. */
+  def pipeAggregate(df: DataFrame, keyCol: String, valCol: String,
+                    cmd: Seq[String], outCols: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines: Dataset[String] = df
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol))
+      .select(concat_ws("\t",
+        col(keyCol).cast("string"), col(valCol).cast("string")).as("l"))
+      .as[String]
+    val piped = lines.rdd.pipe(cmd)
+    val parsed = split(col("value"), "\t")
+    spark.createDataset(piped).select(
+      parsed.getItem(0).cast("long").as(keyCol) +:
+        outCols.zipWithIndex.map { case (c, i) =>
+          parsed.getItem(i + 1).cast("long").as(c)
+        }: _*)
+  }
+
   /** Pipe `keyCol \t valCol` lines through `cmd`, returning
     * (keyCol: long, outCol: string) parsed from the command's stdout. */
   def pipeTransform(df: DataFrame, keyCol: String, valCol: String,

@@ -168,6 +168,24 @@ object Round7cQueries {
     // shuffle for the counts + one join back (the count side is
     // heavy-hitter-sized — broadcastable at any corpus scale if
     // thresholded first); the reassembly groups by doc_id.
+    // External-process UDAF (reference function_rpc.cpp aggregate
+    // path): per-user exact cent sums computed by an awk subprocess —
+    // the engine shuffles+sorts so each group streams consecutively
+    // into ONE process, the process aggregates on key change
+    // (ExternalUdf.pipeAggregate). %.0f printf keeps the emitted sums
+    // exact integers (awk's default %.6g would round past 1e6).
+    "x4_pipe_udaf" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("event_type") === "purchase")
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      val awkScript =
+        "{ if (($1 \"\") != (k \"\") && NR > 1) { printf \"%s\\t%.0f\\t%.0f\\n\", k, s, n } " +
+        "if (($1 \"\") != (k \"\")) { k=$1; s=0; n=0 } s+=$2; n+=1 } " +
+        "END { if (NR > 0) printf \"%s\\t%.0f\\t%.0f\\n\", k, s, n }"
+      graft.ops.ExternalUdf.pipeAggregate(ev, "user_id", "cents",
+          Seq("awk", "-F\t", awkScript), Seq("sum_cents", "n"))
+        .orderBy(col("user_id"))
+    }),
+
     // As-of join with a match tolerance (the time-series staple "join
     // the latest quote no older than 1 h"): backward as-of, but the
     // match is NULLed when the picked right row is too old. Exact
@@ -371,6 +389,13 @@ object Round7cQueries {
              md5(array_to_string(kept, ' ')) AS fp,
              CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS cleaned_len
       FROM k ORDER BY doc_id""",
+
+    "x4_pipe_udaf" -> """
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+             COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id ORDER BY user_id""",
 
     "model_asof_tolerance" -> """
       WITH r0 AS (SELECT user_id, ts, max(value) AS v FROM events
