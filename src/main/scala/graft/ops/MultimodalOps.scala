@@ -49,6 +49,90 @@ object MultimodalOps {
       (ow.cast("long") * oh * 3L).as("n_bytes"))
   }
 
+  // ---- REAL codec: BMP ----------------------------------------------
+  // BMP (24-bit BI_RGB) is a pure byte-layout format — no codec
+  // library required — so unlike the stub above, this decode path is
+  // genuinely exercised in-sandbox: magic check, little-endian header
+  // fields (pixel offset @10, width @18, height @22, bpp @28), 4-byte
+  // row stride, bottom-up row order. The synthetic encoder writes
+  // pixel(x, y) = (id*31 + 7x + 3y) mod 256 so every decoded statistic
+  // has a closed-form oracle.
+
+  /** Scaffolding: a valid 24bpp BMP with the deterministic gradient. */
+  def encodeBmp(id: Long, w: Int, h: Int): Array[Byte] = {
+    val stride = ((w * 3 + 3) / 4) * 4
+    val dataSize = stride * h
+    val size = 54 + dataSize
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+    b.putInt(0).putInt(dataSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var sy = 0
+    while (sy < h) {
+      val y = h - 1 - sy // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val v = ((id * 31 + x * 7 + y * 3) % 256).toInt
+        b.put(v.toByte).put(v.toByte).put(v.toByte)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { b.put(0.toByte); pad += 1 }
+      sy += 1
+    }
+    b.array()
+  }
+
+  /** (id) -> (id, img: binary) with one encoder per partition. */
+  def syntheticBmps(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    w: Int, h: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeBmp(id, w, h))))
+      .toDF(idCol, "img")
+  }
+
+  /** REAL per-partition BMP decode: header parse + red-channel stats.
+    * Same mapPartitions batch shape as `decodeBatch` — one decoder per
+    * partition, no per-row setup; at 1000 executors each partition
+    * decodes its own shard. Returns (id, width, height, n_bytes,
+    * mean_px, checksum) where checksum = sum of red-channel bytes. */
+  def decodeBmpBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          require(bytes.length > 54 && bytes(0) == 'B' && bytes(1) == 'M',
+            s"not a BMP payload for id=$id")
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val off = bb.getInt(10)
+          val w = bb.getInt(18)
+          val h = bb.getInt(22)
+          val bpp = bb.getShort(28).toInt
+          require(bpp == 24, s"unsupported bpp=$bpp")
+          val stride = ((w * 3 + 3) / 4) * 4
+          var sum = 0L
+          var row = 0
+          while (row < h) {
+            var x = 0
+            while (x < w) {
+              sum += (bytes(off + row * stride + x * 3 + 2) & 0xff) // red
+              x += 1
+            }
+            row += 1
+          }
+          (id, w, h, bytes.length.toLong, sum.toDouble / (w.toLong * h), sum)
+        }
+      }
+      .toDF(idCol, "width", "height", "n_bytes", "mean_px", "checksum")
+  }
+
   /** Per-partition imperative decode (the mapPartitions escape hatch a
     * real codec needs — one codec instance per partition, streaming
     * batches, no per-row JNI setup). The "codec" here is the same

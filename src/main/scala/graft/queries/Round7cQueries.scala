@@ -168,6 +168,23 @@ object Round7cQueries {
     // shuffle for the counts + one join back (the count side is
     // heavy-hitter-sized — broadcastable at any corpus scale if
     // thresholded first); the reassembly groups by doc_id.
+    // REAL image decode (upgrades the multimodal STUB): 24-bit BMP is
+    // a pure byte-layout format, so header parse + pixel stats run
+    // genuinely in-sandbox with no codec library. The synthetic encoder
+    // writes pixel(x,y) = (doc_id*31 + 7x + 3y) mod 256, giving every
+    // decoded statistic a closed-form oracle — a wrong stride, offset,
+    // or channel index shows up as a value mismatch, not a crash.
+    "mm_bmp_decode" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val imgs = MultimodalOps.syntheticBmps(ids, "doc_id", 8, 8)
+      MultimodalOps.decodeBmpBatch(imgs, "doc_id", "img")
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          round(col("mean_px"), 6).as("mean_px"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // External-process UDAF (reference function_rpc.cpp aggregate
     // path): per-user exact cent sums computed by an awk subprocess —
     // the engine shuffles+sorts so each group streams consecutively
@@ -389,6 +406,16 @@ object Round7cQueries {
              md5(array_to_string(kept, ' ')) AS fp,
              CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS cleaned_len
       FROM k ORDER BY doc_id""",
+
+    "mm_bmp_decode" -> """
+      SELECT doc_id,
+             CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             CAST(246 AS BIGINT) AS n_bytes,
+             round(CAST(list_sum([(doc_id*31 + (i%8)*7 + (i//8)*3) % 256
+               for i in range(64)]) AS DOUBLE) / 64, 6) AS mean_px,
+             CAST(list_sum([(doc_id*31 + (i%8)*7 + (i//8)*3) % 256
+               for i in range(64)]) AS BIGINT) AS checksum
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
     "x4_pipe_udaf" -> """
       SELECT user_id,
