@@ -133,6 +133,97 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "n_bytes", "mean_px", "checksum")
   }
 
+  // ---- REAL codec: WAV/PCM ------------------------------------------
+  // RIFF/WAVE with 8-bit mono PCM is the audio analog of BMP: a pure
+  // byte-layout container. The decoder does a proper CHUNK WALK (not
+  // fixed offsets) — "fmt " for sample_rate/channels/bits, "data" for
+  // samples — so files with extra chunks (LIST/INFO) would decode too.
+  // Synthetic waveform: sample(t) = (id*13 + 7t) mod 256 (unsigned),
+  // giving DC mean and RMS closed-form oracles.
+
+  /** Scaffolding: a valid 44-byte-header WAV with the deterministic
+    * waveform (8-bit mono PCM). */
+  def encodeWav(id: Long, nSamples: Int, sampleRate: Int): Array[Byte] = {
+    val size = 44 + nSamples
+    val b = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(size - 8)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1) // PCM
+    b.putShort(1) // mono
+    b.putInt(sampleRate)
+    b.putInt(sampleRate) // byteRate = rate * 1 ch * 1 byte
+    b.putShort(1) // blockAlign
+    b.putShort(8) // bits
+    b.put("data".getBytes("US-ASCII")).putInt(nSamples)
+    var t = 0
+    while (t < nSamples) {
+      b.put(((id * 13 + t * 7) % 256).toByte)
+      t += 1
+    }
+    b.array()
+  }
+
+  def syntheticWavs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    nSamples: Int, sampleRate: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeWav(id, nSamples, sampleRate))))
+      .toDF(idCol, "audio")
+  }
+
+  /** REAL per-partition WAV decode: RIFF chunk walk + PCM stats.
+    * Returns (id, sample_rate, channels, bits, n_samples, dc_mean,
+    * rms) — rms over samples centered at the 8-bit midpoint 128. */
+  def decodeWavBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def tag(off: Int): String =
+            new String(bytes, off, 4, "US-ASCII")
+          require(tag(0) == "RIFF" && tag(8) == "WAVE",
+            s"not a WAV payload for id=$id")
+          var off = 12
+          var rate = -1; var ch = -1; var bits = -1
+          var dataOff = -1; var dataLen = -1
+          while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+            val cid = tag(off)
+            val clen = bb.getInt(off + 4)
+            if (cid == "fmt ") {
+              rate = bb.getInt(off + 12)
+              ch = bb.getShort(off + 10).toInt
+              bits = bb.getShort(off + 22).toInt
+            } else if (cid == "data") {
+              dataOff = off + 8; dataLen = clen
+            }
+            off += 8 + clen + (clen & 1) // chunks are 2-byte aligned
+          }
+          require(rate > 0 && dataOff >= 0 && bits == 8 && ch == 1,
+            s"unsupported WAV layout for id=$id (rate=$rate bits=$bits ch=$ch)")
+          var sum = 0L; var ss = 0L; var i = 0
+          while (i < dataLen) {
+            val v = bytes(dataOff + i) & 0xff
+            sum += v
+            val c = v - 128
+            ss += c.toLong * c
+            i += 1
+          }
+          (id, rate, ch, bits, dataLen.toLong,
+            sum.toDouble / dataLen, math.sqrt(ss.toDouble / dataLen))
+        }
+      }
+      .toDF(idCol, "sample_rate", "channels", "bits", "n_samples",
+        "dc_mean", "rms")
+  }
+
   /** Per-partition imperative decode (the mapPartitions escape hatch a
     * real codec needs — one codec instance per partition, streaming
     * batches, no per-row JNI setup). The "codec" here is the same

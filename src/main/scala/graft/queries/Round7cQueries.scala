@@ -185,6 +185,23 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode: RIFF/WAVE 8-bit mono PCM, decoded by a proper
+    // chunk walk (fmt /data discovery, 2-byte chunk alignment) — the
+    // audio analog of mm_bmp_decode, with DC-mean and RMS closed-form
+    // oracles over the deterministic waveform (id*13 + 7t) mod 256.
+    "mm_wav_decode" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val wavs = MultimodalOps.syntheticWavs(ids, "doc_id", 64, 8000)
+      MultimodalOps.decodeWavBatch(wavs, "doc_id", "audio")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"),
+          round(col("dc_mean"), 6).as("dc_mean"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // External-process UDAF (reference function_rpc.cpp aggregate
     // path): per-user exact cent sums computed by an awk subprocess —
     // the engine shuffles+sorts so each group streams consecutively
@@ -415,6 +432,17 @@ object Round7cQueries {
                for i in range(64)]) AS DOUBLE) / 64, 6) AS mean_px,
              CAST(list_sum([(doc_id*31 + (i%8)*7 + (i//8)*3) % 256
                for i in range(64)]) AS BIGINT) AS checksum
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "mm_wav_decode" -> """
+      SELECT doc_id,
+             CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+             CAST(8 AS INT) AS bits, CAST(64 AS BIGINT) AS n_samples,
+             round(CAST(list_sum([(doc_id*13 + t*7) % 256
+               for t in range(64)]) AS DOUBLE) / 64, 6) AS dc_mean,
+             round(sqrt(CAST(list_sum([((doc_id*13 + t*7) % 256 - 128) *
+               ((doc_id*13 + t*7) % 256 - 128)
+               for t in range(64)]) AS DOUBLE) / 64), 6) AS rms
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
     "x4_pipe_udaf" -> """
