@@ -133,6 +133,51 @@ object MultimodalOps {
       .toDF(idCol, "width", "height", "n_bytes", "mean_px", "checksum")
   }
 
+  /** REAL nearest-neighbor downsample: decode 24bpp pixels, sample
+    * every (sw/w, sh/h)-th, re-encode a valid BMP. The output is real
+    * image BYTES (round-trippable through decodeBmpBatch), not resize
+    * metadata — one mapPartitions pass, no shuffle. */
+  def resizeBmpBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     blobCol: String, w: Int, h: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          require(bytes(0) == 'B' && bytes(1) == 'M', s"not a BMP for id=$id")
+          val off = bb.getInt(10); val sw = bb.getInt(18); val sh = bb.getInt(22)
+          val sStride = ((sw * 3 + 3) / 4) * 4
+          val oStride = ((w * 3 + 3) / 4) * 4
+          val out = java.nio.ByteBuffer.allocate(54 + oStride * h)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put('B'.toByte).put('M'.toByte).putInt(54 + oStride * h)
+            .putInt(0).putInt(54)
+          out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+          out.putInt(0).putInt(oStride * h).putInt(2835).putInt(2835)
+            .putInt(0).putInt(0)
+          var row = 0
+          while (row < h) {
+            val srow = row * sh / h // storage-order rows map 1:1
+            var x = 0
+            while (x < w) {
+              val sx = x * sw / w
+              val p = off + srow * sStride + sx * 3
+              out.put(bytes(p)).put(bytes(p + 1)).put(bytes(p + 2))
+              x += 1
+            }
+            var pad = w * 3
+            while (pad < oStride) { out.put(0.toByte); pad += 1 }
+            row += 1
+          }
+          (id, out.array())
+        }
+      }
+      .toDF(idCol, blobCol)
+  }
+
   // ---- REAL codec: WAV/PCM ------------------------------------------
   // RIFF/WAVE with 8-bit mono PCM is the audio analog of BMP: a pure
   // byte-layout container. The decoder does a proper CHUNK WALK (not

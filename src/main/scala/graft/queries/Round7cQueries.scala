@@ -185,6 +185,22 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL resize: nearest-neighbor 8x8 -> 4x4 producing valid BMP
+    // BYTES (not resize metadata), proven by decoding the resized image
+    // and matching the closed-form stats of the sampled pixel lattice
+    // (x' -> 2x', storage row r -> source row 2r, logical y = 7-2r).
+    "mm_bmp_resize" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val imgs = MultimodalOps.syntheticBmps(ids, "doc_id", 8, 8)
+      val small = MultimodalOps.resizeBmpBatch(imgs, "doc_id", "img", 4, 4)
+      MultimodalOps.decodeBmpBatch(small, "doc_id", "img")
+        .select(col("doc_id"), col("width"), col("height"), col("n_bytes"),
+          round(col("mean_px"), 6).as("mean_px"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL audio decode: RIFF/WAVE 8-bit mono PCM, decoded by a proper
     // chunk walk (fmt /data discovery, 2-byte chunk alignment) — the
     // audio analog of mm_bmp_decode, with DC-mean and RMS closed-form
@@ -432,6 +448,16 @@ object Round7cQueries {
                for i in range(64)]) AS DOUBLE) / 64, 6) AS mean_px,
              CAST(list_sum([(doc_id*31 + (i%8)*7 + (i//8)*3) % 256
                for i in range(64)]) AS BIGINT) AS checksum
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "mm_bmp_resize" -> """
+      SELECT doc_id,
+             CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+             CAST(102 AS BIGINT) AS n_bytes,
+             round(CAST(list_sum([(doc_id*31 + (i%4)*2*7 + (7 - (i//4)*2)*3) % 256
+               for i in range(16)]) AS DOUBLE) / 16, 6) AS mean_px,
+             CAST(list_sum([(doc_id*31 + (i%4)*2*7 + (7 - (i//4)*2)*3) % 256
+               for i in range(16)]) AS BIGINT) AS checksum
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
     "mm_wav_decode" -> """
