@@ -178,6 +178,80 @@ object MultimodalOps {
       .toDF(idCol, blobCol)
   }
 
+  // ---- REAL container: frame sequence ("video") ---------------------
+  // A minimal length-prefixed frame container: 'GVID' magic, frame
+  // count, then [len][BMP bytes] per frame. Frame sampling — the video
+  // operation a training pipeline actually runs — walks the prefixes to
+  // the wanted indices and decodes ONLY those frames; the container
+  // needs no codec, and the per-frame payloads exercise the real BMP
+  // decoder. Frame f's pixels use id*31 + f*17 in the gradient, so each
+  // sampled frame has its own closed-form stats.
+
+  def encodeFrames(id: Long, nFrames: Int, w: Int, h: Int): Array[Byte] = {
+    val frames = (0 until nFrames).map(f => encodeBmp(id + f * 17, w, h))
+    val total = 8 + frames.map(4 + _.length).sum
+    val b = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("GVID".getBytes("US-ASCII")).putInt(nFrames)
+    frames.foreach { fr => b.putInt(fr.length); b.put(fr) }
+    b.array()
+  }
+
+  def syntheticVideos(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      nFrames: Int, w: Int, h: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeFrames(id, nFrames, w, h))))
+      .toDF(idCol, "video")
+  }
+
+  /** REAL frame sampling: walk the length prefixes, decode only the
+    * requested frame indices, one output row per sampled frame with
+    * that frame's red-channel stats. */
+  def sampleFramesBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        blobCol: String, wanted: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wantedSet = wanted.toSet
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          require(new String(bytes, 0, 4, "US-ASCII") == "GVID",
+            s"not a frame container for id=$id")
+          val n = bb.getInt(4)
+          var off = 8
+          (0 until n).flatMap { f =>
+            val len = bb.getInt(off)
+            val frameOff = off + 4
+            off += 4 + len
+            if (!wantedSet.contains(f)) None
+            else {
+              val pixOff = bb.getInt(frameOff + 10)
+              val w = bb.getInt(frameOff + 18)
+              val h = bb.getInt(frameOff + 22)
+              val stride = ((w * 3 + 3) / 4) * 4
+              var sum = 0L
+              var row = 0
+              while (row < h) {
+                var x = 0
+                while (x < w) {
+                  sum += (bytes(frameOff + pixOff + row * stride + x * 3 + 2) & 0xff)
+                  x += 1
+                }
+                row += 1
+              }
+              Some((id, f, w, h, sum.toDouble / (w.toLong * h), sum))
+            }
+          }
+        }
+      }
+      .toDF(idCol, "frame", "width", "height", "mean_px", "checksum")
+  }
+
   // ---- REAL codec: WAV/PCM ------------------------------------------
   // RIFF/WAVE with 8-bit mono PCM is the audio analog of BMP: a pure
   // byte-layout container. The decoder does a proper CHUNK WALK (not

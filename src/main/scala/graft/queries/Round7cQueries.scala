@@ -201,6 +201,22 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL video-frame sampling: a length-prefixed frame container
+    // ('GVID' + count + [len][BMP] frames) walked to the wanted
+    // indices; ONLY those frames decode (the pipeline pattern for "grab
+    // 3 frames per clip" without decoding the clip). Each frame's
+    // gradient is keyed by (doc_id + 17*frame), closed-form per frame.
+    "mm_frame_sample" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"))
+      val vids = MultimodalOps.syntheticVideos(ids, "doc_id", 4, 8, 8)
+      MultimodalOps.sampleFramesBatch(vids, "doc_id", "video", Seq(0, 2, 3))
+        .select(col("doc_id"), col("frame"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"), col("checksum"))
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
     // REAL audio decode: RIFF/WAVE 8-bit mono PCM, decoded by a proper
     // chunk walk (fmt /data discovery, 2-byte chunk alignment) — the
     // audio analog of mm_bmp_decode, with DC-mean and RMS closed-form
@@ -459,6 +475,16 @@ object Round7cQueries {
              CAST(list_sum([(doc_id*31 + (i%4)*2*7 + (7 - (i//4)*2)*3) % 256
                for i in range(16)]) AS BIGINT) AS checksum
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "mm_frame_sample" -> """
+      SELECT doc_id, f.frame,
+             CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+             round(CAST(list_sum([((doc_id + f.frame*17)*31 + (i%8)*7 + (i//8)*3) % 256
+               for i in range(64)]) AS DOUBLE) / 64, 6) AS mean_px,
+             CAST(list_sum([((doc_id + f.frame*17)*31 + (i%8)*7 + (i//8)*3) % 256
+               for i in range(64)]) AS BIGINT) AS checksum
+      FROM documents CROSS JOIN (SELECT unnest([0, 2, 3]) AS frame) f
+      WHERE doc_id < 100 ORDER BY doc_id, f.frame""",
 
     "mm_wav_decode" -> """
       SELECT doc_id,
