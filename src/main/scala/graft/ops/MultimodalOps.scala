@@ -178,6 +178,53 @@ object MultimodalOps {
       .toDF(idCol, blobCol)
   }
 
+  /** REAL feature extraction: decode a 24bpp BMP and mean-pool the red
+    * channel over a (w/bs × h/bs) block grid into a flat double vector
+    * (row-major over LOGICAL rows — bottom-up storage is re-flipped so
+    * the embedding is orientation-stable). The image→vector bridge that
+    * feeds the ANN/dedup family. */
+  def embedBmpBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    blobCol: String, bs: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val off = bb.getInt(10); val w = bb.getInt(18); val h = bb.getInt(22)
+          val stride = ((w * 3 + 3) / 4) * 4
+          val gw = w / bs; val gh = h / bs
+          val vec = new Array[Double](gw * gh)
+          var by = 0
+          while (by < gh) {
+            var bx = 0
+            while (bx < gw) {
+              var sum = 0L
+              var dy = 0
+              while (dy < bs) {
+                val y = by * bs + dy              // logical row
+                val srow = h - 1 - y              // bottom-up storage
+                var dx = 0
+                while (dx < bs) {
+                  val x = bx * bs + dx
+                  sum += (bytes(off + srow * stride + x * 3 + 2) & 0xff)
+                  dx += 1
+                }
+                dy += 1
+              }
+              vec(by * gw + bx) = sum.toDouble / (bs * bs)
+              bx += 1
+            }
+            by += 1
+          }
+          (id, vec)
+        }
+      }
+      .toDF(idCol, "embedding")
+  }
+
   // ---- REAL container: frame sequence ("video") ---------------------
   // A minimal length-prefixed frame container: 'GVID' magic, frame
   // count, then [len][BMP bytes] per frame. Frame sampling — the video

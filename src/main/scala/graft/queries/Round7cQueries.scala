@@ -201,6 +201,33 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Image -> embedding -> similarity, end to end REAL: decode the
+    // BMP, mean-pool 2x2 blocks into a 16-dim vector, nearest neighbor
+    // by cosine over the 50-doc set. Every arithmetic step is exact
+    // dyadic (block means carry 2 fraction bits, dot products stay
+    // under 2^20), so cosine is bit-identical across engines and the
+    // top-1 selection is tie-free deterministic.
+    "mm_bmp_embed" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      import org.apache.spark.sql.expressions.Window
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"))
+      val emb = MultimodalOps.embedBmpBatch(
+        MultimodalOps.syntheticBmps(ids, "doc_id", 8, 8), "doc_id", "img", 2)
+      val a = emb.select(col("doc_id").as("a_id"), col("embedding").as("va"))
+      val b = emb.select(col("doc_id").as("b_id"), col("embedding").as("vb"))
+      val pairs = a.crossJoin(broadcast(b))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("cos", expr(
+          "graft_dot(va, vb) / (sqrt(graft_dot(va, va)) * sqrt(graft_dot(vb, vb)))"))
+      pairs.withColumn("rn", row_number().over(
+          Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
+        .filter(col("rn") === 1)
+        .select(col("a_id").as("doc_id"), col("b_id").as("nn_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL video-frame sampling: a length-prefixed frame container
     // ('GVID' + count + [len][BMP] frames) walked to the wanted
     // indices; ONLY those frames decode (the pipeline pattern for "grab
@@ -475,6 +502,27 @@ object Round7cQueries {
              CAST(list_sum([(doc_id*31 + (i%4)*2*7 + (7 - (i//4)*2)*3) % 256
                for i in range(16)]) AS BIGINT) AS checksum
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "mm_bmp_embed" -> """
+      WITH v AS (
+        SELECT doc_id,
+          [ CAST((doc_id*31 + (2*(j%4))*7   + (2*(j//4))*3)   % 256
+              + (doc_id*31 + (2*(j%4)+1)*7 + (2*(j//4))*3)   % 256
+              + (doc_id*31 + (2*(j%4))*7   + (2*(j//4)+1)*3) % 256
+              + (doc_id*31 + (2*(j%4)+1)*7 + (2*(j//4)+1)*3) % 256 AS DOUBLE) / 4
+            for j in range(16) ] AS e
+        FROM documents WHERE doc_id < 50),
+      p AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               list_inner_product(a.e, b.e) /
+                 (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) AS cos
+        FROM v a CROSS JOIN v b WHERE a.doc_id <> b.doc_id),
+      r AS (
+        SELECT a_id, b_id, cos,
+               row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rn
+        FROM p)
+      SELECT a_id AS doc_id, b_id AS nn_id, round(cos, 6) AS cos
+      FROM r WHERE rn = 1 ORDER BY doc_id""",
 
     "mm_frame_sample" -> """
       SELECT doc_id, f.frame,
