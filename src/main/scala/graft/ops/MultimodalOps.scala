@@ -390,6 +390,48 @@ object MultimodalOps {
         "dc_mean", "rms")
   }
 
+  /** REAL integer-factor resample (decimation): keep every k-th PCM
+    * sample and re-encode a valid WAV at rate/k — real audio BYTES out,
+    * round-trippable through decodeWavBatch. (Proper resampling would
+    * low-pass first; plain decimation keeps the oracle closed-form and
+    * the container/layout path is what's under test.) */
+  def resampleWavBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       blobCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+          require(tag(0) == "RIFF" && tag(8) == "WAVE", s"not a WAV for id=$id")
+          var off = 12
+          var rate = -1; var dataOff = -1; var dataLen = -1
+          while (off + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+            val cid = tag(off); val clen = bb.getInt(off + 4)
+            if (cid == "fmt ") rate = bb.getInt(off + 12)
+            else if (cid == "data") { dataOff = off + 8; dataLen = clen }
+            off += 8 + clen + (clen & 1)
+          }
+          val nOut = (dataLen + k - 1) / k
+          val out = java.nio.ByteBuffer.allocate(44 + nOut)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          out.put("RIFF".getBytes("US-ASCII")).putInt(36 + nOut)
+          out.put("WAVE".getBytes("US-ASCII"))
+          out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+          out.putShort(1).putShort(1).putInt(rate / k).putInt(rate / k)
+          out.putShort(1).putShort(8)
+          out.put("data".getBytes("US-ASCII")).putInt(nOut)
+          var i = 0
+          while (i < dataLen) { out.put(bytes(dataOff + i)); i += k }
+          (id, out.array())
+        }
+      }
+      .toDF(idCol, blobCol)
+  }
+
   /** Per-partition imperative decode (the mapPartitions escape hatch a
     * real codec needs — one codec instance per partition, streaming
     * batches, no per-row JNI setup). The "codec" here is the same

@@ -261,6 +261,23 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio resample (x4 decimation): keep every 4th sample,
+    // re-encode at rate/4, prove by round-trip decode against the
+    // closed form over the kept lattice t in {0,4,...,60}.
+    "mm_wav_resample" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val wavs = MultimodalOps.syntheticWavs(ids, "doc_id", 64, 8000)
+      val small = MultimodalOps.resampleWavBatch(wavs, "doc_id", "audio", 4)
+      MultimodalOps.decodeWavBatch(small, "doc_id", "audio")
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("n_samples"),
+          round(col("dc_mean"), 6).as("dc_mean"),
+          round(col("rms"), 6).as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
     // External-process UDAF (reference function_rpc.cpp aggregate
     // path): per-user exact cent sums computed by an awk subprocess —
     // the engine shuffles+sorts so each group streams consecutively
@@ -543,6 +560,17 @@ object Round7cQueries {
              round(sqrt(CAST(list_sum([((doc_id*13 + t*7) % 256 - 128) *
                ((doc_id*13 + t*7) % 256 - 128)
                for t in range(64)]) AS DOUBLE) / 64), 6) AS rms
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
+
+    "mm_wav_resample" -> """
+      SELECT doc_id,
+             CAST(2000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+             CAST(8 AS INT) AS bits, CAST(16 AS BIGINT) AS n_samples,
+             round(CAST(list_sum([(doc_id*13 + t*4*7) % 256
+               for t in range(16)]) AS DOUBLE) / 16, 6) AS dc_mean,
+             round(sqrt(CAST(list_sum([((doc_id*13 + t*4*7) % 256 - 128) *
+               ((doc_id*13 + t*4*7) % 256 - 128)
+               for t in range(16)]) AS DOUBLE) / 16), 6) AS rms
       FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
     "x4_pipe_udaf" -> """
