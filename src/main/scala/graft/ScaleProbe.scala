@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions._
   * Every scan/join/agg path is sublinear on 5x rows; the dedup paths
   * scale with true duplicate density (the honest cost driver); no plan
   * flipped to cartesian/NLJ (asserted per query).
+  *
+  * Round-7c ops added to the probe (same day, same method; 1x baseline
+  * from the clean BENCH run):
+  *   ml_line_dedup     0.79 -> 1.75 (2.2x on 5x docs — the line-count
+  *                     table grows sublinearly as boilerplate repeats)
+  *   ml_bigram_logprob 1.60 at 5x (vocabulary-sized count tables stay
+  *                     broadcast; the corpus-side explode is the only
+  *                     linear term)
   */
 object ScaleProbe {
 
@@ -93,7 +101,8 @@ object ScaleProbe {
 
     val qs = Seq("q1_pricing_summary", "q3_shipping_priority",
       "q9_product_profit", "q18_large_orders", "q21_waiting_supplier",
-      "ml_dedup_minhash", "ml_embed_neardup_lsh", "ds_wide_resale", "cb_q29")
+      "ml_dedup_minhash", "ml_embed_neardup_lsh", "ds_wide_resale", "cb_q29",
+      "ml_line_dedup", "ml_bigram_logprob")
     qs.foreach { name =>
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
