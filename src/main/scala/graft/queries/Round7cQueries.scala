@@ -4,12 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Q.t
 
-/** Round-7 batch 3 — TopN pushdown (reference:
+/** Round-7 batch 3. Optimizer: TopN pushdown (reference:
   * nereids/rules/rewrite/PushDownTopNThroughJoin.java +
-  * PushDownTopNThroughUnion.java) and three corpus-cleaning ops a
-  * pretraining pipeline runs before tokenization: URL canonicalization
-  * (CCNet/RefinedWeb-style), C4 line-level filtering, and cross-document
-  * boilerplate line removal. Every key oracle-exact vs DuckDB.
+  * PushDownTopNThroughUnion.java) and best-rollup-index selection
+  * (SelectMaterializedIndexWithAggregate.java). Corpus-cleaning passes
+  * a pretraining pipeline runs before tokenization: URL
+  * canonicalization, C4 line filtering, cross-document boilerplate
+  * line removal, bigram-LM scoring, winnowing fingerprints, vocabulary
+  * coverage, character entropy. Time-series: as-of join with match
+  * tolerance. External-process UDAF via RDD.pipe. Multimodal, REAL
+  * byte-level codecs (no external libraries): BMP decode / resize /
+  * block-mean embedding + cosine NN, WAV decode / decimation resample,
+  * frame-container sampling. Every key oracle-exact vs DuckDB.
   *
   * The corpus fixtures are single-line word soup, so "lines" are
   * materialized deterministically on BOTH sides as fixed-width word
