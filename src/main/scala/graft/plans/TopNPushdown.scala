@@ -106,6 +106,28 @@ class TopNPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         Some(u.copy(children = newChildren))
 
+      // TopN -> DISTINCT -> Union ALL (reference:
+      // PushDownTopNDistinctThroughUnion.java). Every globally-distinct
+      // row exists in >= 1 branch, and ranks there no worse than
+      // globally, so per-branch distinct + TopN keeps every candidate;
+      // the global Aggregate still dedups across branches and the
+      // global TopN still applies. Each branch feeds at most n rows
+      // into the distinct shuffle instead of its whole output (partial
+      // aggregation dedups map-side but never LIMITS).
+      case agg @ Aggregate(g, a, u @ Union(children, false, false), _)
+          if children.size >= 2 && !children.exists(isLimited) &&
+             a.forall(_.isInstanceOf[Attribute]) && g == a &&
+             sortRefs.subsetOf(agg.outputSet) =>
+        val newChildren = children.map { c =>
+          val remap = u.output.map(_.exprId).zip(c.output).toMap
+          val childOrder = order.map(so => so.copy(child = so.child.transform {
+            case at: Attribute if remap.contains(at.exprId) => remap(at.exprId)
+          }).asInstanceOf[SortOrder])
+          topNOf(n, childOrder,
+            Aggregate(c.output, c.output, c))
+        }
+        Some(agg.copy(child = u.copy(children = newChildren)))
+
       case _ => None
     }
   }

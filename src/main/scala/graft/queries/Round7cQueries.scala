@@ -85,6 +85,36 @@ object Round7cQueries {
       } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
     }),
 
+    // TopN over DISTINCT over UNION ALL (reference:
+    // PushDownTopNDistinctThroughUnion.java): per-branch distinct +
+    // top-5 bounds each branch's contribution to the global distinct
+    // shuffle at 5 rows — partial aggregation dedups map-side but never
+    // limits. Plan-asserted: every union branch carries a limit with an
+    // aggregate below it.
+    "opt_topn_distinct_union" -> ((s, dir) => {
+      val b1 = t(s, dir, "orders")
+        .select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+      val b2 = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+      val df = b1.unionAll(b2).distinct()
+        .orderBy(col("a"), col("b")).limit(5)
+      s.conf.set("spark.graft.topnPushdown.enabled", "true")
+      try {
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Union}
+        val union = df.queryExecution.optimizedPlan.collectFirst {
+          case u: Union => u
+        }.getOrElse(throw new IllegalStateException("no Union in plan"))
+        val allPushed = union.children.forall(c =>
+          c.exists { case _: GlobalLimit => true; case _ => false } &&
+          c.exists { case _: Aggregate => true; case _ => false })
+        require(allPushed,
+          s"distinct TopN was not pushed into every union branch:\n" +
+            df.queryExecution.optimizedPlan)
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+    }),
+
     // Best-rollup-index selection (reference:
     // SelectMaterializedIndexWithAggregate.java + SetPreAggStatus.java):
     // when SEVERAL materialized rollups can serve one aggregate, the
@@ -461,6 +491,13 @@ object Round7cQueries {
         SELECT 'li' AS src, l_returnflag AS k, COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag
       ) ORDER BY n DESC, src, k LIMIT 4""",
+
+    "opt_topn_distinct_union" -> """
+      SELECT DISTINCT * FROM (
+        SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+        UNION ALL
+        SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+      ) ORDER BY a, b LIMIT 5""",
 
     "mv_best_index" -> """
       SELECT l_returnflag, round(sum(l_quantity), 2) AS sq, count(*) AS n

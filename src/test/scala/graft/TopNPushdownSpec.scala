@@ -73,6 +73,29 @@ class TopNPushdownSpec extends AnyFunSuite {
     assert(rowsU.size == 7)
   }
 
+  test("distinct-over-union: per-branch distinct TopN; values identical") {
+    val q = """
+      SELECT DISTINCT * FROM (
+        SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+        UNION ALL
+        SELECT l_returnflag AS a, l_linestatus AS b FROM lineitem
+      ) ORDER BY a, b LIMIT 5"""
+    val plain = sql(q).collect().toSeq
+    val (allPushed, rows) = withRule {
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val u = sql(q).queryExecution.optimizedPlan.collectFirst {
+        case un: Union => un
+      }.getOrElse(fail("no Union in plan"))
+      (u.children.forall(c =>
+        c.exists { case _: GlobalLimit => true; case _ => false } &&
+        c.exists { case _: Aggregate => true; case _ => false }),
+        sql(q).collect().toSeq)
+    }
+    assert(allPushed, "distinct TopN did not reach every union branch")
+    assert(rows == plain)
+    assert(rows.size == 5)
+  }
+
   test("no-fire guards: disabled, inner join, sort key from the null-padded side") {
     assert(limitsUnderJoin(sql(leftOuterTopN)) == 0, "fired while disabled")
     withRule {
