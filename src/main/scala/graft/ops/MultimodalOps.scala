@@ -103,6 +103,156 @@ object MultimodalOps {
       .toDF(idCol, "gz_bytes", "n_chars2", "n_words", "text2")
   }
 
+  // ---- REAL codec: PNG ----------------------------------------------
+  // Full compressed-image path with nothing but the JDK: chunk layout +
+  // CRC32, zlib (Deflater/Inflater), and the five scanline filters
+  // (None/Sub/Up/Average/Paeth). The encoder deliberately cycles the
+  // filter type per row (row mod 5), so a decoder that mishandles ANY
+  // unfilter path — or the Paeth predictor — produces wrong pixels and
+  // fails the closed-form oracle. 8-bit grayscale, non-interlaced.
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Scaffolding: encode the deterministic gradient as a valid PNG,
+    * filter type = row mod 5. */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    // reconstructed (true) pixels, raster order top-down
+    val recon = Array.tabulate(h, w)((y, x) => ((id * 31 + x * 7 + y * 3) % 256).toInt)
+    // filtered scanlines: [filter byte][w filtered bytes] per row
+    val raw = new java.io.ByteArrayOutputStream()
+    for (y <- 0 until h) {
+      val f = y % 5
+      raw.write(f)
+      for (x <- 0 until w) {
+        val cur = recon(y)(x)
+        val left = if (x > 0) recon(y)(x - 1) else 0
+        val up = if (y > 0) recon(y - 1)(x) else 0
+        val ul = if (x > 0 && y > 0) recon(y - 1)(x - 1) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw.write((cur - pred) & 0xff)
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw.toByteArray); deflater.finish()
+    val comp = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) comp.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+      out.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(0.toByte) // depth 8, grayscale
+      .put(0.toByte).put(0.toByte).put(0.toByte)       // deflate, adaptive, no interlace
+      .array()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", comp.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  def syntheticPngs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    w: Int, h: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodePng(id, w, h))))
+      .toDF(idCol, "png")
+  }
+
+  /** REAL per-partition PNG decode: signature + chunk walk + CRC check,
+    * zlib inflate, all five unfilters, grayscale stats. */
+  def decodePngBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes) // big-endian default
+          require((bb.getLong(0) & 0xffffffffffffffffL) == 0x89504e470d0a1a0aL,
+            s"not a PNG for id=$id")
+          var off = 8
+          var w = -1; var h = -1
+          val idat = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done && off + 8 <= bytes.length) {
+            val len = bb.getInt(off)
+            val typ = new String(bytes, off + 4, 4, "US-ASCII")
+            val crc = new java.util.zip.CRC32()
+            crc.update(bytes, off + 4, 4 + len)
+            require(crc.getValue.toInt == bb.getInt(off + 8 + len),
+              s"CRC mismatch in $typ chunk for id=$id")
+            typ match {
+              case "IHDR" =>
+                w = bb.getInt(off + 8); h = bb.getInt(off + 12)
+                val depth = bytes(off + 16) & 0xff
+                val color = bytes(off + 17) & 0xff
+                val interlace = bytes(off + 20) & 0xff
+                require(depth == 8 && color == 0 && interlace == 0,
+                  s"unsupported PNG layout (depth=$depth color=$color interlace=$interlace)")
+              case "IDAT" => idat.write(bytes, off + 8, len)
+              case "IEND" => done = true
+              case _ => () // ancillary chunk: skip
+            }
+            off += 12 + len
+          }
+          val inflater = new java.util.zip.Inflater()
+          inflater.setInput(idat.toByteArray)
+          val raw = new Array[Byte]((w + 1) * h)
+          var got = 0
+          while (got < raw.length && !inflater.finished())
+            got += inflater.inflate(raw, got, raw.length - got)
+          inflater.end()
+          require(got == raw.length, s"short inflate for id=$id: $got")
+          // unfilter
+          val recon = Array.ofDim[Int](h, w)
+          var y = 0
+          while (y < h) {
+            val f = raw(y * (w + 1)) & 0xff
+            var x = 0
+            while (x < w) {
+              val v = raw(y * (w + 1) + 1 + x) & 0xff
+              val left = if (x > 0) recon(y)(x - 1) else 0
+              val up = if (y > 0) recon(y - 1)(x) else 0
+              val ul = if (x > 0 && y > 0) recon(y - 1)(x - 1) else 0
+              val pred = f match {
+                case 0 => 0
+                case 1 => left
+                case 2 => up
+                case 3 => (left + up) / 2
+                case 4 => paeth(left, up, ul)
+                case other => throw new IllegalStateException(s"bad filter $other")
+              }
+              recon(y)(x) = (v + pred) & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          var sum = 0L
+          for (row <- recon; v <- row) sum += v
+          (id, w, h, sum.toDouble / (w.toLong * h), sum)
+        }
+      }
+      .toDF(idCol, "width", "height", "mean_px", "checksum")
+  }
+
   // ---- REAL codec: BMP ----------------------------------------------
   // BMP (24-bit BI_RGB) is a pure byte-layout format — no codec
   // library required — so unlike the stub above, this decode path is

@@ -218,6 +218,22 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL compressed-image decode: PNG with nothing but the JDK —
+    // chunk walk with CRC verification, zlib inflate, and all five
+    // scanline unfilters (the encoder cycles filter type per row, so a
+    // wrong Sub/Up/Average/Paeth path corrupts pixels and fails the
+    // closed-form oracle). 16x16 8-bit grayscale gradient per doc.
+    "mm_png_decode" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"))
+      val pngs = MultimodalOps.syntheticPngs(ids, "doc_id", 16, 16)
+      MultimodalOps.decodePngBatch(pngs, "doc_id", "png")
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_px"), 6).as("mean_px"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image decode (upgrades the multimodal STUB): 24-bit BMP is
     // a pure byte-layout format, so header parse + pixel stats run
     // genuinely in-sandbox with no codec library. The synthetic encoder
@@ -562,6 +578,15 @@ object Round7cQueries {
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
              md5(text) AS fp
       FROM documents ORDER BY doc_id""",
+
+    "mm_png_decode" -> """
+      SELECT doc_id,
+             CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+             round(CAST(list_sum([(doc_id*31 + (i%16)*7 + (i//16)*3) % 256
+               for i in range(256)]) AS DOUBLE) / 256, 6) AS mean_px,
+             CAST(list_sum([(doc_id*31 + (i%16)*7 + (i//16)*3) % 256
+               for i in range(256)]) AS BIGINT) AS checksum
+      FROM documents WHERE doc_id < 200 ORDER BY doc_id""",
 
     "mm_bmp_decode" -> """
       SELECT doc_id,
