@@ -218,6 +218,30 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Multi-doc gzip SHARD round-trip — the actual unit of work a
+    // corpus arrives in (WET / jsonl.gz shards of many documents, not
+    // one file per doc): assemble 10-doc shards (id\ttext lines,
+    // id-ordered), gzip each shard, then the ingest path: per-partition
+    // gunzip, line split, per-doc re-parse. Byte-exactness of the whole
+    // shard pipeline proven per DOCUMENT by md5 against the originals.
+    "ml_shard_roundtrip" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("shard", (col("doc_id") / 10).cast("long"))
+      val shards = docs.groupBy(col("shard"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(doc_id, text))), " +
+          "x -> concat(x.doc_id, '\\t', x.text))"), "\n").as("payload"))
+      val gz = MultimodalOps.gzipTexts(shards, "shard", "payload")
+      MultimodalOps.gunzipBatch(gz, "shard", "gz")
+        .select(explode(split(col("text2"), "\n")).as("line"))
+        .select(split(col("line"), "\t").getItem(0).cast("long").as("doc_id"),
+          split(col("line"), "\t").getItem(1).as("text"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"),
+          md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL compressed-image decode: PNG with nothing but the JDK —
     // chunk walk with CRC verification, zlib inflate, and all five
     // scanline unfilters (the encoder cycles filter type per row, so a
@@ -577,6 +601,10 @@ object Round7cQueries {
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
              md5(text) AS fp
+      FROM documents ORDER BY doc_id""",
+
+    "ml_shard_roundtrip" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, md5(text) AS fp
       FROM documents ORDER BY doc_id""",
 
     "mm_png_decode" -> """
