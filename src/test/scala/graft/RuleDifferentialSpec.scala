@@ -54,7 +54,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(7) match {
+    r.nextInt(8) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -97,6 +97,11 @@ class RuleDifferentialSpec extends AnyFunSuite {
         val b1 = ord.select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
         val b2 = li.select(col("l_orderkey").as("k"), col("l_extendedprice").as("v"))
         b1.unionAll(b2).orderBy(col("v").desc, col("k")).limit(k)
+      case 7 => // TopN over DISTINCT over UNION ALL (TopNPushdown territory)
+        val k = 1 + r.nextInt(10)
+        val b1 = ord.select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
+        val b2 = li.select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
+        b1.unionAll(b2).distinct().orderBy(col("a"), col("b")).limit(k)
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
