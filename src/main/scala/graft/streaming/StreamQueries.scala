@@ -105,6 +105,61 @@ object StreamQueries {
 
     // streaming insert job: offset-checkpointed foreachBatch ingestion
     // into a parquet table (the StreamingInsertJob.java:272 loop).
+    // Streaming ingestion of gzip corpus shards (multimodal x
+    // streaming): 10-doc shards are staged as .gz binary files — the
+    // format pretraining corpora actually arrive in — then a
+    // binaryFile STREAM decodes each shard per micro-batch
+    // (per-partition gunzip + line split + per-doc parse) and appends
+    // to the sink. The batch oracle checks every document survived the
+    // compressed hop byte-exactly (per-doc md5). At scale this is the
+    // standing ingest job: new shards land, the stream picks them up,
+    // decode parallelism = file partitioning.
+    "stream_gzip_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val (ckpt, out) = fresh("gzip_ingest")
+      val (_, shardDir) = fresh("gzip_shards")
+      Files.createDirectories(Paths.get(shardDir))
+      val shards = graft.Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("shard", (col("doc_id") / 10).cast("long"))
+        .groupBy(col("shard"))
+        .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(doc_id, text))), " +
+          "x -> concat(x.doc_id, '\\t', x.text))"), "\n").as("payload"))
+      val shardRoot = Paths.get(shardDir).toAbsolutePath.toString
+      shards.as[(Long, String)].foreachPartition {
+        (it: Iterator[(Long, String)]) =>
+          it.foreach { case (shard, payload) =>
+            Files.write(Paths.get(shardRoot, f"shard_$shard%05d.gz"),
+              graft.ops.MultimodalOps.gzipBytes(payload))
+          }
+      }
+      val stream = s.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.gz")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .load(shardRoot)
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          import bs.implicits._
+          batch.select(col("content")).as[Array[Byte]]
+            .mapPartitions(_.map(graft.ops.MultimodalOps.gunzipString))
+            .toDF("payload")
+            .select(explode(split(col("payload"), "\n")).as("line"))
+            .select(
+              split(col("line"), "\t").getItem(0).cast("long").as("doc_id"),
+              split(col("line"), "\t").getItem(1).as("text"))
+            .write.mode("append").parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"),
+          md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     "stream_insert_job" -> ((s, dir) => {
       val (ckpt, out) = fresh("insert_job")
       val q = eventsStream(s, dir).writeStream
@@ -370,6 +425,10 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_gzip_ingest" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, md5(text) AS fp
+      FROM documents ORDER BY doc_id""",
+
     "stream_tumbling" -> """
       SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
              round(sum(value), 4) AS sv
