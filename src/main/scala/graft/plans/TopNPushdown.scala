@@ -67,6 +67,19 @@ class TopNPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def topNOf(n: Int, order: Seq[SortOrder], child: LogicalPlan): LogicalPlan =
     GlobalLimit(Literal(n), LocalLimit(Literal(n), Sort(order, global = true, child)))
 
+  /** The Aggregate is a full-row DISTINCT of `childOutput` (grouping =
+    * every child column), optionally with a sub-projection of the group
+    * keys as its output (CollapseProject folds a Project above
+    * DISTINCT * into this shape) — and no aggregate calls. */
+  private def isFullRowDistinct(g: Seq[Expression], a: Seq[NamedExpression],
+                                childOutput: AttributeSet): Boolean = {
+    val gAttrs = g.forall(_.isInstanceOf[Attribute]) && AttributeSet(g) == childOutput
+    gAttrs && a.forall {
+      case at: Attribute => childOutput.contains(at)
+      case _ => false
+    }
+  }
+
   /** Already a limit? Then this TopN was pushed (or the user wrote one);
     * re-firing would loop the fixpoint batch. */
   private def isLimited(p: LogicalPlan): Boolean = p match {
@@ -114,9 +127,15 @@ class TopNPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
       // global TopN still applies. Each branch feeds at most n rows
       // into the distinct shuffle instead of its whole output (partial
       // aggregation dedups map-side but never LIMITS).
+      // (Full-coverage guard mirrors the join case below: per-branch
+      // dedup runs on the branch's whole output, which matches the
+      // global distinct only when the GROUPING covers every union
+      // column. The output list may be a sub-projection of the group
+      // keys — CollapseProject folds `SELECT a,b FROM (DISTINCT *)`
+      // into exactly that shape — but must carry no aggregate calls.)
       case agg @ Aggregate(g, a, u @ Union(children, false, false), _)
           if children.size >= 2 && !children.exists(isLimited) &&
-             a.forall(_.isInstanceOf[Attribute]) && g == a &&
+             isFullRowDistinct(g, a, u.outputSet) &&
              sortRefs.subsetOf(agg.outputSet) =>
         val newChildren = children.map { c =>
           val remap = u.output.map(_.exprId).zip(c.output).toMap
@@ -127,6 +146,33 @@ class TopNPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
             Aggregate(c.output, c.output, c))
         }
         Some(agg.copy(child = u.copy(children = newChildren)))
+
+      // TopN -> DISTINCT -> outer Join (reference:
+      // PushDownTopNDistinctThroughJoin.java). Pre-deduping the
+      // preserved side on its full column set never changes the global
+      // distinct (duplicate preserved rows only make duplicate joined
+      // rows), and the preserved-side TopN keeps every candidate by
+      // the same n-smallest argument as the plain join case — each of
+      // the n smallest distinct OUTPUT rows traces to a distinct
+      // preserved row that ranks within the side's top n. SOUND ONLY
+      // when the distinct covers the join's FULL output (`DISTINCT *`):
+      // a projected distinct can collapse several preserved rows into
+      // one output row, and the side-local top n then under-counts —
+      // e.g. left x-values (1,1,2), DISTINCT x LIMIT 2 must return
+      // {1,2}, but a left top-2 keeps both x=1 rows and loses the 2.
+      case agg @ Aggregate(g, a, j: Join, _)
+          if isFullRowDistinct(g, a, j.outputSet) &&
+             sortRefs.subsetOf(agg.outputSet) =>
+        val pushed = j.joinType match {
+          case LeftOuter if sortRefs.subsetOf(j.left.outputSet) && !isLimited(j.left) =>
+            Some(j.copy(left = topNOf(n, order,
+              Aggregate(j.left.output, j.left.output, j.left))))
+          case RightOuter if sortRefs.subsetOf(j.right.outputSet) && !isLimited(j.right) =>
+            Some(j.copy(right = topNOf(n, order,
+              Aggregate(j.right.output, j.right.output, j.right))))
+          case _ => None
+        }
+        pushed.map(nj => agg.copy(child = nj))
 
       case _ => None
     }

@@ -115,6 +115,35 @@ object Round7cQueries {
       } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
     }),
 
+    // TopN over DISTINCT * over a LEFT OUTER join (reference:
+    // PushDownTopNDistinctThroughJoin.java): the preserved side is
+    // deduped on its full row and top-10'd BEFORE the join. Sound only
+    // for full-output distinct — the rule's subset-distinct guard is
+    // pinned by the spec's counter-example.
+    "opt_topn_distinct_join" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+        .join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_outer")
+        .distinct()
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+      s.conf.set("spark.graft.topnPushdown.enabled", "true")
+      try {
+        import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join}
+        val join = df.queryExecution.optimizedPlan.collectFirst {
+          case j: Join => j
+        }.getOrElse(throw new IllegalStateException("no Join in plan"))
+        val pushed =
+          join.left.exists { case _: GlobalLimit => true; case _ => false } &&
+          join.left.exists { case _: Aggregate => true; case _ => false }
+        require(pushed, s"distinct TopN was not pushed below the join:\n" +
+          df.queryExecution.optimizedPlan)
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+    }),
+
     // Best-rollup-index selection (reference:
     // SelectMaterializedIndexWithAggregate.java + SetPreAggStatus.java):
     // when SEVERAL materialized rollups can serve one aggregate, the
@@ -545,6 +574,12 @@ object Round7cQueries {
         SELECT 'li' AS src, l_returnflag AS k, COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag
       ) ORDER BY n DESC, src, k LIMIT 4""",
+
+    "opt_topn_distinct_join" -> """
+      SELECT o_orderkey, o_totalprice, c_name FROM (
+        SELECT DISTINCT * FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+      ) ORDER BY o_totalprice DESC, o_orderkey""",
 
     "opt_topn_distinct_union" -> """
       SELECT DISTINCT * FROM (

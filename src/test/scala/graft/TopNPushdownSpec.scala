@@ -96,6 +96,38 @@ class TopNPushdownSpec extends AnyFunSuite {
     assert(rows.size == 5)
   }
 
+  test("distinct-over-join: full-output distinct pushes; subset distinct must NOT") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val full = """
+      SELECT DISTINCT * FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+    val plain = sql(full).collect().toSeq
+    val (pushed, rows) = withRule {
+      val j = sql(full).queryExecution.optimizedPlan.collectFirst {
+        case jn: Join => jn
+      }.getOrElse(fail("no Join in plan"))
+      (j.left.exists { case _: GlobalLimit => true; case _ => false } &&
+        j.left.exists { case _: Aggregate => true; case _ => false },
+        sql(full).collect().toSeq)
+    }
+    assert(pushed, "full-output distinct TopN did not push below the join")
+    assert(rows == plain)
+
+    // the soundness counter-example class: DISTINCT over a SUBSET can
+    // collapse several preserved rows into one output row, so a
+    // side-local top-n under-counts — the rule must not fire.
+    val subset = """
+      SELECT DISTINCT o_orderstatus FROM orders LEFT JOIN customer
+        ON o_custkey = c_custkey
+      ORDER BY o_orderstatus LIMIT 2"""
+    val plainS = sql(subset).collect().toSeq
+    val (firedS, rowsS) = withRule {
+      (limitsUnderJoin(sql(subset)) > 0, sql(subset).collect().toSeq)
+    }
+    assert(!firedS, "fired on a subset distinct (unsound)")
+    assert(rowsS == plainS)
+  }
+
   test("no-fire guards: disabled, inner join, sort key from the null-padded side") {
     assert(limitsUnderJoin(sql(leftOuterTopN)) == 0, "fired while disabled")
     withRule {
