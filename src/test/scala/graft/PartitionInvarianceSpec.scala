@@ -26,9 +26,12 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     // winnowing (per-row, but the fingerprint must not depend on input
     // split), as-of tolerance (union+window single shuffle)
     "ml_line_dedup", "ml_bigram_logprob", "ml_winnow_fingerprint",
-    "model_asof_tolerance")
+    "model_asof_tolerance",
+    // codec paths: decode results must not depend on how the binary
+    // rows were split across partitions
+    "mm_png_decode", "ml_gzip_roundtrip", "ml_shard_roundtrip")
 
-  test("21 representative queries are shuffle-partition invariant (3 vs 32)") {
+  test("24 representative queries are shuffle-partition invariant (3 vs 32)") {
     GraftSession.install(spark) // session-scoped UDF surface (idempotent)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAt(n: String, key: String) = {
