@@ -73,6 +73,24 @@ object MultimodalOps {
     new String(out.toByteArray, "UTF-8")
   }
 
+  /** raw-bytes variants (tar.gz shards need a binary payload). */
+  def gzipRaw(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  def gunzipRaw(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+    out.toByteArray
+  }
+
   /** (id, text) -> (id, gz: binary) — the compressed-shard scaffold. */
   def gzipTexts(df: org.apache.spark.sql.DataFrame, idCol: String,
                 textCol: String): org.apache.spark.sql.DataFrame = {
@@ -101,6 +119,76 @@ object MultimodalOps {
         }
       }
       .toDF(idCol, "gz_bytes", "n_chars2", "n_words", "text2")
+  }
+
+  // ---- REAL container: tar (ustar) ----------------------------------
+  // tar.gz of per-doc text files is the other format corpora ship in
+  // (WARC-adjacent dumps, HF dataset shards). tar is pure byte layout:
+  // 512-byte ustar headers with octal size fields and a checksum. Both
+  // directions are real; the decoder VERIFIES each header checksum
+  // (sum of header bytes with the checksum field read as spaces).
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    val s = java.lang.Long.toOctalString(v)
+    (("0" * (width - 1 - s.length)) + s + " ").getBytes("US-ASCII")
+  }
+
+  def tarBytes(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, content) =>
+      val h = new Array[Byte](512)
+      def put(off: Int, b: Array[Byte]): Unit = System.arraycopy(b, 0, h, off, b.length)
+      put(0, name.getBytes("US-ASCII"))
+      put(100, octal(0x1a4, 8))        // mode 0644
+      put(108, octal(0, 8))            // uid
+      put(116, octal(0, 8))            // gid
+      put(124, octal(content.length.toLong, 12))
+      put(136, octal(0, 12))           // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum placeholder
+      h(156) = '0'                     // regular file
+      put(257, Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0')) // magic+version
+      val sum = h.map(_ & 0xff).sum
+      val chk = java.lang.Long.toOctalString(sum.toLong)
+      put(148, (("0" * (6 - chk.length)) + chk).getBytes("US-ASCII"))
+      h(154) = 0; h(155) = ' '         // canonical "%06o<NUL><space>" form
+      out.write(h)
+      out.write(content)
+      val pad = (512 - content.length % 512) % 512
+      out.write(new Array[Byte](pad))
+    }
+    out.write(new Array[Byte](1024)) // end-of-archive
+    out.toByteArray
+  }
+
+  /** Walk a tar stream, verifying every header checksum. */
+  def untar(bytes: Array[Byte]): Seq[(String, Array[Byte])] = {
+    val res = Seq.newBuilder[(String, Array[Byte])]
+    var off = 0
+    var done = false
+    while (!done && off + 512 <= bytes.length) {
+      if (bytes(off) == 0) done = true // zero block = end
+      else {
+        var end = off
+        while (end < off + 100 && bytes(end) != 0) end += 1
+        val name = new String(bytes, off, end - off, "US-ASCII")
+        val sizeStr = new String(bytes, off + 124, 12, "US-ASCII")
+          .takeWhile(c => c >= '0' && c <= '7')
+        val size = java.lang.Long.parseLong(sizeStr, 8).toInt
+        val stored = java.lang.Long.parseLong(
+          new String(bytes, off + 148, 8, "US-ASCII")
+            .filter(c => c >= '0' && c <= '7'), 8)
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xff)
+          i += 1
+        }
+        require(sum == stored, s"tar checksum mismatch at entry $name")
+        res += name -> java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size)
+        off += 512 + size + (512 - size % 512) % 512
+      }
+    }
+    res.result()
   }
 
   // ---- REAL codec: PNG ----------------------------------------------

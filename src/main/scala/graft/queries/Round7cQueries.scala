@@ -271,6 +271,42 @@ object Round7cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // tar.gz corpus shards (the OTHER arrival format — per-doc text
+    // files in a ustar archive, gzipped): 10-doc shards are tarred
+    // (real 512-byte ustar headers) and gzipped, then the ingest path
+    // gunzips, walks the archive VERIFYING every header checksum, and
+    // re-parses each member file back to (doc_id, text). Per-doc md5
+    // parity proves the whole container hop byte-exact. TarCodecSpec
+    // additionally validates the archives with the system tar binary.
+    "ml_targz_shard" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      import s.implicits._
+      val shards = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("shard", (col("doc_id") / 10).cast("long"))
+        .groupBy(col("shard"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("docs"))
+        .as[(Long, Seq[(Long, String)])]
+      val tgz = shards.mapPartitions(_.map { case (shard, docs) =>
+        val entries = docs.map { case (id, t) =>
+          (s"doc_$id.txt", t.getBytes("UTF-8")) }
+        (shard, MultimodalOps.gzipRaw(MultimodalOps.tarBytes(entries)))
+      }).toDF("shard", "tgz")
+      tgz.select(col("tgz")).as[Array[Byte]]
+        .mapPartitions(_.flatMap { bytes =>
+          MultimodalOps.untar(MultimodalOps.gunzipRaw(bytes)).map {
+            case (name, content) =>
+              (name.stripPrefix("doc_").stripSuffix(".txt").toLong,
+                new String(content, "UTF-8"))
+          }
+        })
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), length(col("text")).cast("long").as("n_chars2"),
+          md5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL compressed-image decode: PNG with nothing but the JDK —
     // chunk walk with CRC verification, zlib inflate, and all five
     // scanline unfilters (the encoder cycles filter type per row, so a
@@ -639,6 +675,10 @@ object Round7cQueries {
       FROM documents ORDER BY doc_id""",
 
     "ml_shard_roundtrip" -> """
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, md5(text) AS fp
+      FROM documents ORDER BY doc_id""",
+
+    "ml_targz_shard" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, md5(text) AS fp
       FROM documents ORDER BY doc_id""",
 
