@@ -24,8 +24,11 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * Join safety table (mirrors the reference's switch):
   *  - LEFT OUTER, sort keys ⊆ left:  push to left (row-preserved).
   *  - RIGHT OUTER, sort keys ⊆ right: push to right.
-  *  - CROSS: either side — each side's rows survive whenever the other
-  *    side is non-empty; if it IS empty both plans return 0 rows.
+  *  - CROSS with NO condition: either side — each side's rows survive
+  *    whenever the other side is non-empty; if it IS empty both plans
+  *    return 0 rows. A Cross WITH a condition (Spark keeps joinType
+  *    Cross when PushPredicateThroughJoin fuses a WHERE into it) is
+  *    inner-like and never safe.
   *  - INNER/semi/anti: never (a joined-away row may out-rank survivors).
   *
   * UNION ALL: TopN distributes to every branch (keep the global TopN) —
@@ -185,9 +188,17 @@ class TopNPushdownRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Some(j.copy(left = topNOf(n, order, j.left)))
       case RightOuter if sortRefs.subsetOf(j.right.outputSet) && !isLimited(j.right) =>
         Some(j.copy(right = topNOf(n, order, j.right)))
-      case Cross if sortRefs.subsetOf(j.left.outputSet) && !isLimited(j.left) =>
+      // CROSS is only safe CONDITION-FREE: PushPredicateThroughJoin can
+      // fuse a WHERE into the join condition while keeping joinType
+      // Cross, making it inner-like — a side-local top-n could then keep
+      // rows that fail the condition while dropping qualifying rows.
+      // (The reference only reaches its CROSS_JOIN case for
+      // condition-free joins because cross+filter normalizes to inner.)
+      case Cross if j.condition.isEmpty &&
+          sortRefs.subsetOf(j.left.outputSet) && !isLimited(j.left) =>
         Some(j.copy(left = topNOf(n, order, j.left)))
-      case Cross if sortRefs.subsetOf(j.right.outputSet) && !isLimited(j.right) =>
+      case Cross if j.condition.isEmpty &&
+          sortRefs.subsetOf(j.right.outputSet) && !isLimited(j.right) =>
         Some(j.copy(right = topNOf(n, order, j.right)))
       case _ => None
     }

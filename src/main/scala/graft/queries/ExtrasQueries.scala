@@ -177,15 +177,14 @@ object ExtrasQueries {
           min(col("l_quantity")).as("mnq"),
           max(col("l_quantity")).as("mxq"))
         .orderBy(col("o_orderpriority"))
-      s.conf.set("spark.graft.eagerAgg.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.eagerAgg.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(optimized.contains("__eager_p_"),
           s"eager aggregation did not fire:\n$optimized")
         val rows = df.collect() // executes the EAGER physical plan
         s.createDataFrame(
           java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.eagerAgg.enabled", "false")
+      }
     }),
 
     // query-cache analog: persist a base, serve two shapes from it.

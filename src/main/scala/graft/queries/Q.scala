@@ -16,6 +16,18 @@ import graft.Tables
 object Q {
   def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.load(s, dir, n)
 
+  /** Run `body` with runtime conf `key` set to `value`, then restore the
+    * PRIOR value (or unset if there was none) — a literal "false" restore
+    * would clobber a session-level opt-in the user had set. */
+  def withFlag[A](s: SparkSession, key: String, value: String = "true")(body: => A): A = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** money-typed column: exact cents. */
   def money(c: Column): Column = c.cast(DecimalType(12, 2))
   /** small rate (discount/tax 0.00-0.99). */

@@ -370,8 +370,7 @@ object Round7Queries {
         SELECT n_name, s_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
         WHERE s_acctbal < -500
         ORDER BY n_name, s_name""")
-      s.conf.set("spark.graft.pullUpUnionJoin.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.pullUpUnionJoin.enabled") {
         val optimized = df.queryExecution.optimizedPlan
         val nJoins = optimized.collect {
           case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.size
@@ -379,7 +378,7 @@ object Round7Queries {
           s"expected ONE shared-side join after pull-up, got $nJoins:\n$optimized")
         val rows = df.collect() // executes the single-join plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.pullUpUnionJoin.enabled", "false")
+      }
     }),
 
     // SELECT-list scalar subquery (left-outer decorrelation) through
@@ -392,8 +391,7 @@ object Round7Queries {
                  WHERE i.l_partkey = o.l_partkey), 6) AS pavg
         FROM lineitem o
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""")
-      s.conf.set("spark.graft.scalarAggWindow.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.scalarAggWindow.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(optimized.contains("__saw_w"),
           s"select-list scalar-agg-to-window did not fire:\n$optimized")
@@ -401,7 +399,7 @@ object Round7Queries {
           s"self-join survived the window rewrite:\n$optimized")
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.scalarAggWindow.enabled", "false")
+      }
     }),
 
     // last-touch attribution: each purchase credits the most recent
@@ -524,14 +522,13 @@ object Round7Queries {
           round(avg(col("o_totalprice")), 6).as("avg_p"))
         .filter(col("o_orderkey") < 5000)
         .orderBy(col("o_orderkey"))
-      s.conf.set("spark.graft.aggByUnique.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.aggByUnique.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(!optimized.contains("Aggregate"),
           s"unique-key aggregate survived elimination:\n$optimized")
         val rows = df.collect() // executes the aggregation-free plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.aggByUnique.enabled", "false")
+      }
     }),
 
     "opt_merge_percentile" -> ((s, dir) => {
@@ -543,14 +540,13 @@ object Round7Queries {
           round(expr("percentile(l_extendedprice, 0.5)"), 6).as("ep50"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
-      s.conf.set("spark.graft.mergePercentile.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.mergePercentile.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(optimized.contains("__pm_arr"),
           s"percentile merge did not fire:\n$optimized")
         val rows = df.collect() // executes the single-buffer plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.mergePercentile.enabled", "false")
+      }
     }),
 
     "opt_union_distinct_elim" -> ((s, dir) => {
@@ -560,15 +556,14 @@ object Round7Queries {
         UNION
         SELECT 'supp' AS src, s_suppkey AS k, round(s_acctbal, 2) AS v FROM supplier
         ORDER BY src, k""")
-      s.conf.set("spark.graft.inferSetOpDistinct.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.inferSetOpDistinct.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(!optimized.contains("Aggregate"),
           s"union dedup survived constraint inference:\n$optimized")
         require(optimized.contains("Union"), s"union gone:\n$optimized")
         val rows = df.collect() // executes the dedup-free plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.inferSetOpDistinct.enabled", "false")
+      }
     }),
 
     "opt_scalar_subq_window" -> ((s, dir) => {
@@ -579,8 +574,7 @@ object Round7Queries {
         WHERE l_quantity > 1.5 * (SELECT avg(l_quantity) FROM lineitem i
                                   WHERE i.l_partkey = o.l_partkey)
         ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""")
-      s.conf.set("spark.graft.scalarAggWindow.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.scalarAggWindow.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(optimized.contains("__saw_w"),
           s"scalar-agg-to-window did not fire:\n$optimized")
@@ -588,7 +582,7 @@ object Round7Queries {
           s"self-join survived the window rewrite:\n$optimized")
         val rows = df.collect() // executes the single-scan window plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.scalarAggWindow.enabled", "false")
+      }
     })
   )
 

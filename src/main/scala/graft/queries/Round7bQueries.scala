@@ -49,14 +49,13 @@ object Round7bQueries {
         .select(col("vec_id"),
           round(sqrt(expr(s"graft_dot($de, $de) - 2 * graft_dot($de, $qArrSql) + ${qq}D")), 6)
             .as("dist"))
-      s.conf.set("spark.graft.vectorTopN.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.vectorTopN.enabled") {
         val optimized = df.queryExecution.optimizedPlan.toString
         require(optimized.contains("cid#"),
           s"vector top-n was not pushed into the index scan:\n$optimized")
         val rows = df.collect() // executes the cell-pruned plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.vectorTopN.enabled", "false")
+      }
     }),
 
     // SemDeDup (Abbas et al. '23): semantic dedup = cluster the
@@ -164,8 +163,7 @@ object Round7bQueries {
           round(max(col("mxp")), 6).as("max_price"),
           min(col("l_orderkey")).as("first_order"))
         .orderBy(col("l_linestatus"))
-      s.conf.set("spark.graft.mergeAggregate.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.mergeAggregate.enabled") {
         val aggs = df.queryExecution.optimizedPlan.collect {
           case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
         }
@@ -174,7 +172,7 @@ object Round7bQueries {
             df.queryExecution.optimizedPlan)
         val rows = df.collect() // executes the single-shuffle plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.mergeAggregate.enabled", "false")
+      }
     }),
 
     // semi-join transpose through aggregate (reference
@@ -225,18 +223,16 @@ object Round7bQueries {
           count(lit(1)).as("n"),
           round(avg(col("l_extendedprice")), 6).as("ap"))
         .orderBy(col("o_orderpriority"), col("l_returnflag"))
-      s.conf.set("spark.graft.mvJoinRewrite.enabled", "true")
-      try {
-        val plan = df.queryExecution.optimizedPlan.toString
-        // fired = the scan reads MV partial columns and the join is
-        // gone (no join-key attrs survive anywhere in the plan)
-        require(plan.contains("__sum_l_quantity") && !plan.contains("l_orderkey"),
-          s"join-MV rewrite did not fire:\n$plan")
-        val rows = df.collect() // executes the join-free plan
-        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally {
-        s.conf.set("spark.graft.mvJoinRewrite.enabled", "false")
-        graft.plans.MaterializedViews.drop("mv_li_ord")
+      Q.withFlag(s, "spark.graft.mvJoinRewrite.enabled") {
+        try {
+          val plan = df.queryExecution.optimizedPlan.toString
+          // fired = the scan reads MV partial columns and the join is
+          // gone (no join-key attrs survive anywhere in the plan)
+          require(plan.contains("__sum_l_quantity") && !plan.contains("l_orderkey"),
+            s"join-MV rewrite did not fire:\n$plan")
+          val rows = df.collect() // executes the join-free plan
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        } finally graft.plans.MaterializedViews.drop("mv_li_ord")
       }
     }),
 
@@ -252,8 +248,7 @@ object Round7bQueries {
           month(col("o_orderdate")).cast("long").as("m"))
         .agg(round(sum(col("o_totalprice")), 6).as("sp"), count(lit(1)).as("n"))
         .orderBy(col("o_orderdate"))
-      s.conf.set("spark.graft.simplifyAggGroupBy.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.simplifyAggGroupBy.enabled") {
         val aggs = df.queryExecution.optimizedPlan.collect {
           case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
             a.groupingExpressions.size
@@ -263,7 +258,7 @@ object Round7bQueries {
             df.queryExecution.optimizedPlan)
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.simplifyAggGroupBy.enabled", "false")
+      }
     }),
 
     // CREATE TABLE AS SELECT through the Hive metastore catalog

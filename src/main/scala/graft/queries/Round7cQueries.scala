@@ -42,8 +42,7 @@ object Round7cQueries {
         .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
-      s.conf.set("spark.graft.topnPushdown.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.topnPushdown.enabled") {
         import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Join}
         val join = df.queryExecution.optimizedPlan.collectFirst {
           case j: Join => j
@@ -53,7 +52,7 @@ object Round7cQueries {
           df.queryExecution.optimizedPlan)
         val rows = df.collect() // executes the k-row-join plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+      }
     }),
 
     // TopN through UNION ALL: the global top-4 distributes to each
@@ -70,8 +69,7 @@ object Round7cQueries {
       val df = b1.unionAll(b2)
         .orderBy(col("n").desc, col("src"), col("k"))
         .limit(4)
-      s.conf.set("spark.graft.topnPushdown.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.topnPushdown.enabled") {
         import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, Union}
         val union = df.queryExecution.optimizedPlan.collectFirst {
           case u: Union => u
@@ -82,7 +80,7 @@ object Round7cQueries {
           df.queryExecution.optimizedPlan)
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+      }
     }),
 
     // TopN over DISTINCT over UNION ALL (reference:
@@ -98,8 +96,7 @@ object Round7cQueries {
         .select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
       val df = b1.unionAll(b2).distinct()
         .orderBy(col("a"), col("b")).limit(5)
-      s.conf.set("spark.graft.topnPushdown.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.topnPushdown.enabled") {
         import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Union}
         val union = df.queryExecution.optimizedPlan.collectFirst {
           case u: Union => u
@@ -112,7 +109,7 @@ object Round7cQueries {
             df.queryExecution.optimizedPlan)
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+      }
     }),
 
     // TopN over DISTINCT * over a LEFT OUTER join (reference:
@@ -128,8 +125,7 @@ object Round7cQueries {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(10)
         .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
-      s.conf.set("spark.graft.topnPushdown.enabled", "true")
-      try {
+      Q.withFlag(s, "spark.graft.topnPushdown.enabled") {
         import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join}
         val join = df.queryExecution.optimizedPlan.collectFirst {
           case j: Join => j
@@ -141,7 +137,7 @@ object Round7cQueries {
           df.queryExecution.optimizedPlan)
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-      } finally s.conf.set("spark.graft.topnPushdown.enabled", "false")
+      }
     }),
 
     // Best-rollup-index selection (reference:
@@ -548,9 +544,12 @@ object Round7cQueries {
     // Bigram LM quality scoring with unigram interpolation backoff
     // (the CCNet/KenLM-style perplexity filter, exact and deterministic:
     // P(w|p) = 0.7·c(p,w)/c(p·) + 0.3·c(w)/N with bigram-derived context
-    // counts). The corpus streams through ONE bigram explode; all four
-    // count tables are vocabulary-sized — broadcast at any corpus scale
-    // — so no shuffle ever carries the 100 TB side.
+    // counts). The corpus streams through ONE bigram explode. The
+    // unigram/context/total tables are vocabulary-sized (Heaps' law) —
+    // broadcast at any corpus scale — but the BIGRAM count table grows
+    // with the corpus (KenLM bigram tables hit tens of GB on web-scale
+    // data), so that one join is a plain content-keyed shuffle, same as
+    // ml_line_dedup's counts join.
     "ml_bigram_logprob" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val bi = docs
@@ -564,7 +563,7 @@ object Round7cQueries {
       val cuc = docs.select(explode(split(col("text"), " ")).as("cur"))
         .groupBy(col("cur")).agg(count(lit(1)).as("cuw"))
       val tot = cuc.agg(sum(col("cuw")).as("n"))
-      bi.join(broadcast(cb), Seq("prev", "cur"))
+      bi.join(cb, Seq("prev", "cur"))
         .join(broadcast(cctx), Seq("prev"))
         .join(broadcast(cuc), Seq("cur"))
         .crossJoin(broadcast(tot))

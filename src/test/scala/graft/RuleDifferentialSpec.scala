@@ -25,7 +25,10 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.mergeAggregate.enabled",
     "spark.graft.simplifyAggGroupBy.enabled",
     "spark.graft.vectorTopN.enabled",
-    "spark.graft.topnPushdown.enabled")
+    "spark.graft.topnPushdown.enabled",
+    "spark.graft.pullUpUnionJoin.enabled",
+    "spark.graft.inferSetOpDistinct.enabled",
+    "spark.graft.scalarAggWindow.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -54,7 +57,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(8) match {
+    r.nextInt(13) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -102,6 +105,59 @@ class RuleDifferentialSpec extends AnyFunSuite {
         val b1 = ord.select(col("o_orderstatus").as("a"), col("o_orderpriority").as("b"))
         val b2 = li.select(col("l_returnflag").as("a"), col("l_linestatus").as("b"))
         b1.unionAll(b2).distinct().orderBy(col("a"), col("b")).limit(k)
+      case 8 => // TopN over a CROSS join — half the seeds condition-free
+        // (rule may fire), half with a WHERE that Spark fuses into the
+        // join condition keeping joinType Cross (must no-fire; the r7
+        // advice soundness hole). Tie rows sort-normalized by the test.
+        val k = 1 + r.nextInt(10)
+        val cust = Tables.load(spark, sf, "customer")
+        if (r.nextBoolean())
+          // single-row right side keeps the output order deterministic
+          // while the join stays condition-free Cross (the filter sits
+          // BELOW the join) — the rule fires on the left.
+          ord.crossJoin(Tables.load(spark, sf, "region")
+              .filter(col("r_name") === "ASIA"))
+            .select(col("o_orderkey"), col("o_totalprice"), col("r_name"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .limit(k)
+        else
+          ord.crossJoin(cust).filter(col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+            .limit(k)
+      case 9 => // TopNPushdown x PullUpUnionJoin: UNION ALL of two joins
+        // sharing the right side, TopN on top — both rules can touch it.
+        val k = 1 + r.nextInt(15)
+        def leg(f: Column): DataFrame =
+          li.filter(f).join(ord, col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_orderpriority").as("p"), col("l_extendedprice").as("v"),
+              col("l_orderkey").as("k0"), col("l_linenumber").as("k1"))
+        leg(col("l_linenumber") <= 3).unionAll(leg(col("l_linenumber") > 3))
+          .orderBy(col("v").desc, col("k0"), col("k1")).limit(k)
+      case 10 => // MergeAggregate x SimplifyAggGroupBy: two-level agg
+        // whose OUTER grouping carries a derived key of a surviving key.
+        val inner = li.groupBy(col("l_shipdate"), col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+        inner.groupBy(col("l_shipdate"),
+            year(col("l_shipdate")).cast("long").as("y"),
+            (month(col("l_shipdate")) + lit(r.nextInt(2))).cast("long").as("mx"))
+          .agg(round(sum(col("sq")), 6).as("s2"), sum(col("cnt")).as("n2"))
+          .orderBy(col("l_shipdate"))
+      case 11 => // InferSetOpDistinct x TopNPushdown: UNION DISTINCT of
+        // already-distinct branches with a TopN on top.
+        val k = 1 + r.nextInt(8)
+        val b1 = ord.select(col("o_orderstatus").as("a")).distinct()
+        val b2 = li.select(col("l_returnflag").as("a")).distinct()
+        b1.unionAll(b2).distinct().orderBy(col("a")).limit(k)
+      case 12 => // ScalarAggToWindow x aggregation: filter against a
+        // same-table scalar aggregate feeding a grouped aggregate.
+        Tables.registerAll(spark, sf)
+        val cmp = if (r.nextBoolean()) ">" else "<="
+        spark.sql(s"""
+          SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 6) AS sq
+          FROM lineitem
+          WHERE l_extendedprice $cmp (SELECT avg(l_extendedprice) FROM lineitem)
+          GROUP BY l_returnflag ORDER BY l_returnflag""")
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))

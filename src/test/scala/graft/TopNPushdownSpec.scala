@@ -128,6 +128,42 @@ class TopNPushdownSpec extends AnyFunSuite {
     assert(rowsS == plainS)
   }
 
+  test("cross join: condition-free pushes; filter-fused Cross condition must NOT") {
+    // condition-free cross: every left row survives (right is non-empty),
+    // so a left-local top-n is exact. Tie rows (one order x 5 regions)
+    // compare as sorted sets.
+    val free = """
+      SELECT o_orderkey, o_totalprice, r_name
+      FROM orders CROSS JOIN region
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 5"""
+    val plainF = sql(free).collect().toSeq.sortBy(_.toString)
+    val (nF, rowsF) = withRule {
+      (limitsUnderJoin(sql(free)), sql(free).collect().toSeq.sortBy(_.toString))
+    }
+    assert(nF >= 1, "TopN did not push below the condition-free cross join")
+    assert(rowsF == plainF)
+
+    // the r7-advice soundness hole: PushPredicateThroughJoin fuses a
+    // WHERE into the join condition while KEEPING joinType Cross, making
+    // it inner-like — a side-local top-n could keep rows that fail the
+    // condition while dropping qualifying ones. Must no-fire.
+    val fused = """
+      SELECT o_orderkey, o_totalprice, c_name
+      FROM orders CROSS JOIN customer
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"""
+    val plain = sql(fused).collect().toSeq
+    withRule {
+      val df = sql(fused)
+      val j = df.queryExecution.optimizedPlan.collectFirst { case jn: Join => jn }
+        .getOrElse(fail("no Join in plan"))
+      assert(j.condition.nonEmpty, "premise: WHERE did not fuse into the join condition")
+      assert(limitsUnderJoin(df) == 0,
+        s"fired on a cross join WITH a condition (unsound): ${j.joinType}")
+      assert(df.collect().toSeq == plain)
+    }
+  }
+
   test("no-fire guards: disabled, inner join, sort key from the null-padded side") {
     assert(limitsUnderJoin(sql(leftOuterTopN)) == 0, "fired while disabled")
     withRule {
