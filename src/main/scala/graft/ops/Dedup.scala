@@ -17,6 +17,48 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bucket-size skew guard for the banded candidate self-joins
+    * (minhash bands, simhash pigeonhole blocks, hyperplane-LSH bands).
+    * A pathological (band, sig) bucket — thousands of byte-identical
+    * boilerplate docs, common in web corpora — makes the bucket-local
+    * exact verify quadratic in that bucket, AND the qualifying pair
+    * OUTPUT itself is quadratic, so no rewrite can bound the work while
+    * keeping exact pair semantics. The guard is a single count pre-pass
+    * on the banding key (one aggregation over the already-materialized
+    * banded table — negligible next to the self-join it protects) that
+    * fails FAST with the documented remedy instead of launching a
+    * quadratic join. Mirrors the reference's posting-list/ngram-bloom
+    * cutoffs (be/src/storage/index/bloom_filter/ngram_bloom_filter.h).
+    *
+    * Documented precondition: route the corpus through EXACT dedup
+    * first (hash-groupBy / segment dedup) — byte-identical copies are
+    * what create oversized buckets, and exact dedup absorbs them in one
+    * linear pass. Cap is per-session tunable via
+    * `spark.graft.lsh.bucketCap` (default 2048; true near-dup clusters
+    * above that size are precisely the quadratic-output inputs the
+    * guard exists to catch). */
+  private[graft] def requireBoundedBuckets(
+      banded: DataFrame, keyCols: Seq[String], what: String): Unit = {
+    val cap = banded.sparkSession.conf
+      .getOption("spark.graft.lsh.bucketCap").map(_.toInt).getOrElse(2048)
+    // driver-path assert on <= 1 row (sanctioned collect class)
+    val over = banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") > cap)
+      .orderBy(col("bucket_n").desc).limit(1).collect()
+    if (over.nonEmpty) {
+      val worst = over.head.getAs[Long]("bucket_n")
+      throw new IllegalStateException(
+        s"$what: a (${keyCols.mkString(", ")}) bucket holds $worst members " +
+        s"(cap $cap, spark.graft.lsh.bucketCap): the candidate verify and " +
+        "the qualifying pair output are quadratic in that bucket. Run " +
+        "exact deduplication first (hash-groupBy on content / segment " +
+        "dedup) — byte-identical copies are what inflate LSH buckets — " +
+        "or raise the cap if the cluster is a true near-dup cluster you " +
+        "intend to enumerate pairwise.")
+    }
+  }
+
   /** distinct word n-gram shingles of a words array. */
   def shingles(words: Column, n: Int): Column = {
     val grams = transform(
@@ -84,6 +126,7 @@ object Dedup {
       .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
       .toDF("id", "band", "sig")
       .localCheckpoint()
+    requireBoundedBuckets(banded, Seq("band", "sig"), "minhashPairs")
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -137,6 +180,7 @@ object Dedup {
                shiftrightunsigned(sh, CAST(b * 16 AS INT)) & CAST(65535 AS BIGINT) AS key))""")).as("b"))
       .select(col("id"), col("sh"), col("b.band"), col("b.key"))
       .localCheckpoint() // feeds both sides of the candidate self-join
+    requireBoundedBuckets(banded, Seq("band", "key"), "simhashPairs")
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&

@@ -170,6 +170,7 @@ object VectorSearch {
         posexplode(expr(s"graft_band_sigs(v, $nPlanes, $nBands)")))
       .toDF("id", "band", "sig")
       .localCheckpoint() // feeds both sides of the candidate self-join
+    Dedup.requireBoundedBuckets(banded, Seq("band", "sig"), "nearDupPairsLsh")
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
