@@ -108,7 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // pre-parse text rewrite to a windowed-subquery filter; also binds
     // the cdc_stream('name') TVF at parse time (CdcStreamTvf.scala —
     // reference CdcStream.java; must precede ResolveFunctions' fail-fast)
-    e.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    e.injectParser((s, delegate) => new graft.plans.GraftSqlParser(delegate, () => s))
     // transparent MV rewrite (reference: nereids/rules/exploration/mv/)
     e.injectOptimizerRule(s => new graft.plans.MvRewriteRule(s))
     // score() -> per-row BM25 with scalar-subquery corpus stats

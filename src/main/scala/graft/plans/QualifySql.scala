@@ -54,7 +54,7 @@ object QualifySql {
 
   /** flags(i) == true when s(i) is at paren-depth 0 of this block and
     * outside string literals, quoted identifiers, and comments. */
-  private def topLevelFlags(s: String): Array[Boolean] = {
+  private[plans] def topLevelFlags(s: String): Array[Boolean] = {
     val flags = new Array[Boolean](s.length)
     var depth = 0
     var i = 0
@@ -89,11 +89,11 @@ object QualifySql {
     flags
   }
 
-  private def isWord(c: Char): Boolean = c.isLetterOrDigit || c == '_'
+  private[plans] def isWord(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
   /** first depth-0 occurrence of keyword `kw` (case-insensitive, word
     * bounded) in s at or after `from`; -1 if none. */
-  private def findKw(s: String, flags: Array[Boolean], kw: String, from: Int): Int = {
+  private[plans] def findKw(s: String, flags: Array[Boolean], kw: String, from: Int): Int = {
     val n = kw.length
     var i = math.max(from, 0)
     while (i + n <= s.length) {
@@ -109,7 +109,7 @@ object QualifySql {
     -1
   }
 
-  private def lastKwBefore(s: String, flags: Array[Boolean], kw: String, limit: Int): Int = {
+  private[plans] def lastKwBefore(s: String, flags: Array[Boolean], kw: String, limit: Int): Int = {
     var at = -1
     var i = findKw(s, flags, kw, 0)
     while (i >= 0 && i < limit) { at = i; i = findKw(s, flags, kw, i + 1) }
@@ -217,7 +217,7 @@ object QualifySql {
   }
 
   /** index of the ')' matching the '(' at `open` (quote/comment aware). */
-  private def matchParen(s: String, open: Int): Int = {
+  private[plans] def matchParen(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
@@ -251,14 +251,24 @@ object QualifySql {
   }
 }
 
-/** Delegating parser that applies [[QualifySql.rewrite]] to statement
-  * text before handing off to Spark's parser. Injected via
-  * `SparkSessionExtensions.injectParser`. */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+/** Delegating parser that applies [[QualifySql.rewrite]] (and the
+  * [[RecursiveSql]] WITH RECURSIVE pre-pass, which needs the session to
+  * drive the fixpoint) to statement text before handing off to Spark's
+  * parser. Injected via `SparkSessionExtensions.injectParser`. */
+class GraftSqlParser(delegate: ParserInterface,
+                     session: () => org.apache.spark.sql.SparkSession =
+                       () => org.apache.spark.sql.SparkSession.active)
+    extends ParserInterface {
+  private def prePass(sqlText: String): String = {
+    val s = if (RecursiveSql.handles(sqlText))
+      RecursiveSql.rewrite(session(), sqlText)
+    else sqlText
+    QualifySql.rewrite(s)
+  }
   override def parsePlan(sqlText: String): LogicalPlan =
-    CdcStreamTvf.rewrite(delegate.parsePlan(QualifySql.rewrite(sqlText)))
+    CdcStreamTvf.rewrite(delegate.parsePlan(prePass(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
-    CdcStreamTvf.rewrite(delegate.parseQuery(QualifySql.rewrite(sqlText)))
+    CdcStreamTvf.rewrite(delegate.parseQuery(prePass(sqlText)))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
   override def parseTableIdentifier(sqlText: String): TableIdentifier =

@@ -12,7 +12,39 @@ import Q._
   */
 object ModelQueries {
 
+  /** SQL-level WITH RECURSIVE (plans/RecursiveSql.scala pre-pass): the
+    * SAME statement text runs on both engines — DuckDB natively, here
+    * via the injected-parser fixpoint. UNION ALL ladder driving a
+    * grouped join (bag semantics, data-independent 10-step depth). */
+  private val RecSql1 = """
+    WITH RECURSIVE m(k) AS (
+      SELECT CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT k + 1 FROM m WHERE k < 9
+    )
+    SELECT k, count(o_orderkey) AS n,
+      CAST(round(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sp
+    FROM m LEFT JOIN orders ON o_orderkey % 10 = k
+    GROUP BY k ORDER BY k"""
+
+  /** UNION DISTINCT doubling chain walked THROUGH the orders fixture:
+    * termination is data-driven (the chain stops at the first missing
+    * orderkey), the set semantics dedup across iterations. */
+  private val RecSql2 = """
+    WITH RECURSIVE chain(k) AS (
+      SELECT CAST(1 AS BIGINT)
+      UNION
+      SELECT o_orderkey FROM orders JOIN chain ON o_orderkey = k * 2
+    )
+    SELECT count(*) AS n, CAST(max(k) AS BIGINT) AS mx FROM chain"""
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "model_recursive_cte_sql" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir); s.sql(RecSql1)
+    }),
+    "model_recursive_cte_sql2" -> ((s, dir) => {
+      graft.Tables.registerAll(s, dir); s.sql(RecSql2)
+    }),
     // latest prior 'view' for each 'purchase' of the same user.
     "model_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -92,6 +124,10 @@ object ModelQueries {
         ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') r
           ON l.user_id = r.user_id AND l.ts >= r.ts) x
       GROUP BY user_id ORDER BY user_id""",
+
+    "model_recursive_cte_sql" -> RecSql1,
+
+    "model_recursive_cte_sql2" -> RecSql2,
 
     "model_recursive_cte" -> """
       WITH RECURSIVE r(n) AS (
