@@ -49,9 +49,9 @@ object Final1Queries {
         FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }),
 
-    // funnel MODES (default vs dedup vs fixed) side by side — rows-only
-    // (mode semantics are operational; laws + break vectors are
-    // property-tested in FunnelModeProps).
+    // funnel MODES (default vs dedup vs fixed) side by side — oracle'd
+    // since r8: each mode's greedy-scan semantics is re-derived in
+    // portable SQL (see the oracle), on top of the FunnelModeProps laws.
     "f1_funnel_modes" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       s.sql("""
@@ -113,6 +113,87 @@ object Final1Queries {
              max(c_custkey) + 8589934592 AS mx,
              bool_or(c_custkey = 1) AS has_first
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    // The 4-mode matrix re-derived in portable SQL. Events carry
+    // single-bit masks (view=1, click=2, purchase=4; others 0), so the
+    // impl's (ts, mask) buffer order reduces to ts order with the mask
+    // as tiebreak, and "index-after" becomes plain ts comparisons:
+    //  - DEFAULT never breaks -> greedy == existential chain.
+    //  - INCREASE/DEDUP break at the FIRST next-level occurrence, so
+    //    each attempt is deterministic: ct/pt are the first in-window
+    //    click/purchase, and the CASE encodes the break rules
+    //    (non-strictly-later first hit kills INCREASE; a passed-level
+    //    event before the first next-level hit kills DEDUP — including
+    //    a second click tied at exactly ct, which sorts adjacent).
+    //  - FIXED is lead() adjacency over (ts, mask) INCLUDING mask-0
+    //    rows (the impl keeps them only in Fixed mode).
+    // W = 3 days = 259200000000 micros.
+    "f1_funnel_modes" -> """
+      WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS ts,
+               CAST(event_type = 'view' AS INT)
+               + 2 * CAST(event_type = 'click' AS INT)
+               + 4 * CAST(event_type = 'purchase' AS INT) AS m
+        FROM events),
+      u AS (SELECT DISTINCT user_id FROM ev),
+      s AS (SELECT user_id, ts FROM ev WHERE m = 1),
+      def2 AS (SELECT DISTINCT s.user_id FROM s JOIN ev c
+               ON c.user_id = s.user_id AND c.m = 2
+               AND c.ts >= s.ts AND c.ts <= s.ts + 259200000000),
+      def3 AS (SELECT DISTINCT s.user_id FROM s
+               JOIN ev c ON c.user_id = s.user_id AND c.m = 2 AND c.ts >= s.ts
+               JOIN ev p ON p.user_id = s.user_id AND p.m = 4 AND p.ts >= c.ts
+                AND p.ts <= s.ts + 259200000000),
+      att0 AS (
+        SELECT s.user_id, s.ts,
+          (SELECT min(c.ts) FROM ev c WHERE c.user_id = s.user_id AND c.m = 2
+            AND c.ts >= s.ts AND c.ts <= s.ts + 259200000000) AS ct
+        FROM s),
+      att1 AS (
+        SELECT a.user_id, a.ts, a.ct,
+          (SELECT min(p.ts) FROM ev p WHERE p.user_id = a.user_id AND p.m = 4
+            AND p.ts >= a.ct AND p.ts <= a.ts + 259200000000) AS pt,
+          (SELECT count(*) FROM ev q WHERE q.user_id = a.user_id AND q.m = 2
+            AND q.ts = a.ct) AS nclk,
+          EXISTS (SELECT 1 FROM ev v WHERE v.user_id = a.user_id AND v.m = 1
+            AND v.ts > a.ts AND v.ts <= a.ct) AS b2
+        FROM att0 a),
+      inc AS (SELECT user_id,
+                CASE WHEN ct IS NULL OR ct <= ts THEN 1
+                     WHEN pt IS NULL OR pt <= ct THEN 2 ELSE 3 END AS lvl
+              FROM att1),
+      ded AS (SELECT a.user_id,
+                CASE WHEN a.ct IS NULL OR a.b2 THEN 1
+                     WHEN a.pt IS NULL THEN 2
+                     WHEN a.nclk > 1 OR EXISTS (
+                       SELECT 1 FROM ev q WHERE q.user_id = a.user_id
+                       AND q.m IN (1, 2) AND q.ts > a.ct AND q.ts <= a.pt)
+                       THEN 2
+                     ELSE 3 END AS lvl
+              FROM att1 a),
+      fx AS (SELECT user_id,
+               max(CASE WHEN m1 = 2 AND t1 <= ts + 259200000000 THEN
+                     CASE WHEN m2 = 4 AND t2 <= ts + 259200000000 THEN 3 ELSE 2 END
+                   ELSE 1 END) AS lvl
+             FROM (SELECT user_id, ts, m,
+                     lead(m, 1) OVER w AS m1, lead(ts, 1) OVER w AS t1,
+                     lead(m, 2) OVER w AS m2, lead(ts, 2) OVER w AS t2
+                   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, m)) z
+             WHERE m = 1 GROUP BY user_id),
+      per_user AS (
+        SELECT u.user_id,
+          CASE WHEN u.user_id IN (SELECT user_id FROM def3) THEN 3
+               WHEN u.user_id IN (SELECT user_id FROM def2) THEN 2
+               WHEN u.user_id IN (SELECT user_id FROM s) THEN 1
+               ELSE 0 END AS lvl_default,
+          coalesce((SELECT max(lvl) FROM inc WHERE inc.user_id = u.user_id), 0) AS lvl_increase,
+          coalesce((SELECT max(lvl) FROM ded WHERE ded.user_id = u.user_id), 0) AS lvl_dedup,
+          coalesce((SELECT lvl FROM fx WHERE fx.user_id = u.user_id), 0) AS lvl_fixed
+        FROM u)
+      SELECT lvl_default, lvl_increase, lvl_dedup, lvl_fixed, count(*) AS n_users
+      FROM per_user
+      GROUP BY lvl_default, lvl_increase, lvl_dedup, lvl_fixed
+      ORDER BY lvl_default, lvl_increase, lvl_dedup, lvl_fixed""",
 
     "f1_funnel_1h" -> """
       WITH u AS (SELECT DISTINCT user_id FROM events),
