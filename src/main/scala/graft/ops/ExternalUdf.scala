@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Process-boundary external UDFs (reference: function_rpc.cpp — Doris
@@ -17,9 +17,13 @@ import org.apache.spark.sql.functions._
   * imperative logic that genuinely cannot be a Catalyst expression:
   * the computation lives in another process).
   *
-  * Protocol: one row per line, fields tab-separated (the fixture
-  * corpus is newline/tab-free ASCII; a production build would frame
-  * with length prefixes like the reference's protobuf envelope).
+  * Protocol: one row per line, fields tab-separated. The value field
+  * MUST be tab/newline-free — [[tsvSafe]] enforces it per row (a task
+  * failure, never silent frame corruption). For arbitrary corpus text,
+  * frame the field yourself with `base64(col)` on the way in and
+  * decode in the command / `unbase64` on the way out; a production
+  * build would frame with length prefixes like the reference's
+  * protobuf envelope.
   *
   * Scale anatomy: no shuffle — the pipe is a map-side transform; at
   * 1000 executors each partition holds its own subprocess, and
@@ -27,6 +31,21 @@ import org.apache.spark.sql.functions._
   * fails the task (and Spark retries it), matching RPC-UDF semantics.
   */
 object ExternalUdf {
+
+  /** Enforce the line-protocol framing constraint: a value containing
+    * tab/newline/CR would silently merge or split frames (one corrupted
+    * group instead of one loud error). Codegen CASE WHEN + raise_error,
+    * zero cost on clean data. Callers with arbitrary text should
+    * base64-frame instead (see object scaladoc). */
+  def tsvSafe(c: Column, what: String): Column =
+    when(c.rlike("[\\t\\n\\r]"),
+      raise_error(concat(
+        lit(s"$what: value contains tab/newline/CR — the id\\tvalue line " +
+          "protocol would corrupt frames; base64-encode the field " +
+          "(base64()/unbase64()) or strip control characters. Offending " +
+          "prefix: "),
+        substring(c, 1, 40))))
+      .otherwise(c)
 
   /** External-process AGGREGATION (the RPC-UDAF half of the contract:
     * reference function_rpc.cpp's update/merge driven from BE — here
@@ -45,8 +64,8 @@ object ExternalUdf {
     val lines: Dataset[String] = df
       .repartition(col(keyCol))
       .sortWithinPartitions(col(keyCol))
-      .select(concat_ws("\t",
-        col(keyCol).cast("string"), col(valCol).cast("string")).as("l"))
+      .select(concat_ws("\t", col(keyCol).cast("string"),
+        tsvSafe(col(valCol).cast("string"), "pipeAggregate")).as("l"))
       .as[String]
     val piped = lines.rdd.pipe(cmd)
     val parsed = split(col("value"), "\t")
@@ -64,7 +83,8 @@ object ExternalUdf {
     val spark = df.sparkSession
     import spark.implicits._
     val lines: Dataset[String] = df
-      .select(concat_ws("\t", col(keyCol).cast("string"), col(valCol)).as("l"))
+      .select(concat_ws("\t", col(keyCol).cast("string"),
+        tsvSafe(col(valCol), "pipeTransform")).as("l"))
       .as[String]
     val piped = lines.rdd.pipe(cmd)
     spark.createDataset(piped)

@@ -250,8 +250,12 @@ object Round7cQueries {
     // gunzip, line split, per-doc re-parse. Byte-exactness of the whole
     // shard pipeline proven per DOCUMENT by md5 against the originals.
     "ml_shard_roundtrip" -> ((s, dir) => {
-      import graft.ops.MultimodalOps
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      import graft.ops.{ExternalUdf, MultimodalOps}
+      // line-protocol framing guard: tab/newline in a doc would merge/
+      // split shard lines silently — fail the task instead
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          ExternalUdf.tsvSafe(col("text"), "ml_shard_roundtrip").as("text"))
         .withColumn("shard", (col("doc_id") / 10).cast("long"))
       val shards = docs.groupBy(col("shard"))
         .agg(array_join(expr(

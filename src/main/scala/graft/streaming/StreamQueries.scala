@@ -120,28 +120,35 @@ object StreamQueries {
       val (_, shardDir) = fresh("gzip_shards")
       Files.createDirectories(Paths.get(shardDir))
       val shards = graft.Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
+        .select(col("doc_id"),
+          // framing guard: tab/newline in a doc would corrupt shard lines
+          graft.ops.ExternalUdf.tsvSafe(col("text"), "stream_gzip_ingest").as("text"))
         .withColumn("shard", (col("doc_id") / 10).cast("long"))
         .groupBy(col("shard"))
         .agg(array_join(expr(
           "transform(array_sort(collect_list(struct(doc_id, text))), " +
           "x -> concat(x.doc_id, '\\t', x.text))"), "\n").as("payload"))
       val shardRoot = Paths.get(shardDir).toAbsolutePath.toString
-      shards.as[(Long, String)].foreachPartition {
-        (it: Iterator[(Long, String)]) =>
-          it.foreach { case (shard, payload) =>
-            Files.write(Paths.get(shardRoot, f"shard_$shard%05d.gz"),
-              graft.ops.MultimodalOps.gzipBytes(payload))
-          }
+      // staging the landing directory is DRIVER-side test scaffolding
+      // (in production shards arrive from object storage; executors
+      // must never write a driver-local path — that only works in
+      // local mode). Fixture shard count is tiny, so collect is fine.
+      shards.as[(Long, String)].collect().foreach { case (shard, payload) =>
+        Files.write(Paths.get(shardRoot, f"shard_$shard%05d.gz"),
+          graft.ops.MultimodalOps.gzipBytes(payload))
       }
       val stream = s.readStream.format("binaryFile")
         .option("pathGlobFilter", "*.gz")
         .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
         .load(shardRoot)
       val q = stream.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val bs = batch.sparkSession
           import bs.implicits._
+          // idempotent sink: each micro-batch OWNS its partition dir
+          // and overwrites it, so a retried batch (executor loss,
+          // foreachBatch redelivery) replaces its own output instead
+          // of appending duplicates that would fail the md5 oracle
           batch.select(col("content")).as[Array[Byte]]
             .mapPartitions(_.map(graft.ops.MultimodalOps.gunzipString))
             .toDF("payload")
@@ -149,7 +156,7 @@ object StreamQueries {
             .select(
               split(col("line"), "\t").getItem(0).cast("long").as("doc_id"),
               split(col("line"), "\t").getItem(1).as("text"))
-            .write.mode("append").parquet(out)
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
         }
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
