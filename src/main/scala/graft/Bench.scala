@@ -31,15 +31,16 @@ object Bench {
     GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
 
-    def timeOnce(name: String): Double = {
+    def timeOnceIn(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try {
-        val df = SparkEntry.queries(name)(spark, sfDir)
+        val df = SparkEntry.queries(name)(spark, dir)
         // noop write = full plan execution without driver materialization
         df.write.format("noop").mode("overwrite").save()
       } catch { case _: Throwable => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
+    def timeOnce(name: String): Double = timeOnceIn(name, sfDir)
 
     // Machine-load honesty (round-6 lesson: a bench recorded under the
     // driver's concurrent 440-query sweep showed q21 at 5.14 s vs 0.74 s
@@ -79,9 +80,34 @@ object Bench {
       }
       (n, if (ok.isEmpty) -1.0 else ok.head, spread(ok))
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+    // scale evidence IN the artifact (not only in ScaleProbe): two
+    // heavy entries re-timed on the 5x key-shifted replication of this
+    // SF (build cost excluded from timings; same best-of-N + spread
+    // discipline as the 1x entries).
+    val scaleResults =
+      if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "tpch") != "tpch") Nil
+      else {
+        val out = s"target/scale/${new java.io.File(sfDir).getName}_x5"
+        try {
+          ScaleProbe.build(spark, sfDir, out, 5)
+          Seq("ds_wide_resale", "ml_segment_dedup").map { n =>
+            var ok = (0 until iters).map(_ => timeOnceIn(n, out)).filter(_ >= 0).sorted
+            def spread(xs: Seq[Double]): Double =
+              if (xs.size < 2 || xs.head <= 0) 0.0 else (xs(1) - xs.head) / xs.head
+            var extra = 0
+            while (ok.size >= 2 && spread(ok) > 0.20 && extra < maxExtra) {
+              val t = timeOnceIn(n, out)
+              if (t >= 0) ok = (ok :+ t).sorted
+              extra += 1
+            }
+            (s"scale5x_$n", if (ok.isEmpty) -1.0 else ok.head, spread(ok))
+          }
+        } catch { case _: Throwable => Seq(("scale5x_build_failed", -1.0, 0.0)) }
+      }
+    val all = results ++ scaleResults
+    val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val sp = results.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
+    val sp = all.map { case (k, _, s) => "\"" + k + "\":" + f"$s%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val loadEnd = loadavg()

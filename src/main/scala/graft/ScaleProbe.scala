@@ -89,34 +89,86 @@ object ScaleProbe {
     ()
   }
 
+  /** Since round 8 this is a GATE, not a probe: one command
+    * (`sbt "runMain graft.ScaleProbe"`) measures every heavy query at
+    * 1x AND 5x in the same JVM, asserts per-query growth bounds and the
+    * no-cartesian plan shape, self-tests that the cartesian detector
+    * actually fires on a planted all-pairs plan, and exits non-zero on
+    * any violation — a plan regression at scale fails a check instead
+    * of a scaladoc comment.
+    *
+    * Bounds are per query CLASS, set ~2x above the round-7 measured
+    * growth so noise never trips them but a complexity-class regression
+    * (O(n) -> O(n^2)) blows through by an order of magnitude:
+    *  - scan/agg/join paths: measured 1.2-2.6x on 5x rows -> bound 6x.
+    *  - full-cardinality group-by (cb_q29): measured 4.6x -> bound 8x.
+    *  - planted-density dedup (minhash/LSH: every doc gains 4 near-dup
+    *    replicas, TRUE pair volume grows superlinearly): measured up to
+    *    8.6x -> bound 13x.
+    * An absolute 0.4 s floor on the base damps fixed-overhead noise on
+    * sub-second queries. */
   def main(args: Array[String]): Unit = {
     val mult = 5
-    val src = "/root/testdata/sf0.1"
-    val out = "target/scale/sf0.5"
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = s"target/scale/${new java.io.File(src).getName}_x$mult"
     val spark = GraftSession.configure(SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")).getOrCreate()
     GraftSession.install(spark)
     spark.sparkContext.setLogLevel("WARN")
     build(spark, src, out, mult)
 
-    val qs = Seq("q1_pricing_summary", "q3_shipping_priority",
-      "q9_product_profit", "q18_large_orders", "q21_waiting_supplier",
-      "ml_dedup_minhash", "ml_embed_neardup_lsh", "ds_wide_resale", "cb_q29",
-      "ml_line_dedup", "ml_bigram_logprob")
-    qs.foreach { name =>
+    def run(name: String, dir: String): (Double, String) = {
+      var plan = ""
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        val df = SparkEntry.queries(name)(spark, out)
+        val df = SparkEntry.queries(name)(spark, dir)
         df.write.format("noop").mode("overwrite").save()
-        val el = (System.nanoTime() - t0) / 1e9
-        // scale invariant: the 5x plan must not flip to an all-pairs join
-        val p = df.queryExecution.executedPlan.toString
-        require(!p.contains("CartesianProduct"),
-          s"$name flipped to cartesian at 5x")
-        el
+        plan = df.queryExecution.executedPlan.toString
+        (System.nanoTime() - t0) / 1e9
       }.min
-      println(f"[scale5x] $name: $t%.2f s")
+      (t, plan)
+    }
+
+    // self-test: the detector must FIRE on a genuine all-pairs plan —
+    // otherwise "no cartesian" below proves nothing. Broadcasting is
+    // disabled for the planted plan (at 100 TB neither fact side fits a
+    // broadcast, which is exactly when the cartesian materializes); the
+    // plan is only inspected, never executed.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val planted = spark.read.parquet(s"$out/lineitem.parquet")
+        .crossJoin(spark.read.parquet(s"$out/orders.parquet"))
+      require(planted.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "self-test failed: planted cross join did not surface as CartesianProduct")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+
+    val specs = Seq(
+      ("q1_pricing_summary", 6.0), ("q3_shipping_priority", 6.0),
+      ("q9_product_profit", 6.0), ("q18_large_orders", 6.0),
+      ("q21_waiting_supplier", 6.0), ("ds_wide_resale", 6.0),
+      ("ml_line_dedup", 6.0), ("ml_bigram_logprob", 6.0),
+      ("cb_q29", 8.0),
+      ("ml_dedup_minhash", 13.0), ("ml_embed_neardup_lsh", 13.0))
+    val failures = specs.flatMap { case (name, factor) =>
+      val (base, _) = run(name, src)
+      val (scaled, plan) = run(name, out)
+      val limit = factor * math.max(base, 0.4)
+      val ratio = scaled / math.max(base, 0.4)
+      println(f"[scale5x] $name: 1x $base%.2f s -> 5x $scaled%.2f s " +
+        f"(${ratio}%.1fx, bound ${factor}%.0fx)")
+      val cart = if (plan.contains("CartesianProduct"))
+        Seq(s"$name flipped to cartesian at 5x") else Nil
+      val slow = if (scaled > limit)
+        Seq(f"$name grew $ratio%.1fx on ${mult}x rows (bound $factor%.0fx) " +
+          "— plan no longer holds at scale") else Nil
+      cart ++ slow
     }
     spark.stop()
+    if (failures.nonEmpty) {
+      failures.foreach(f => println(s"[scale5x] FAIL $f"))
+      sys.exit(1)
+    }
+    println(s"[scale5x] PASS ${specs.size} queries within growth bounds, no cartesian")
   }
 }

@@ -318,10 +318,14 @@ object Round7Queries {
     // Integer day arithmetic on both sides — no week-truncation
     // anchor semantics to keep in sync between engines.
     "fq_cohort_retention" -> ((s, dir) => {
+      // first-seen date as a window over the user_id partition: ONE
+      // shuffle on user_id and no per-user side table (a broadcast of a
+      // user-keyed table would grow with the corpus — same scale class
+      // as the r7 bigram finding)
       val e = t(s, dir, "events")
-      val f = e.groupBy(col("user_id")).agg(min(col("ts").cast("date")).as("d0"))
-      e.join(broadcast(f), "user_id")
-        .select(col("user_id"),
+        .withColumn("d0", min(col("ts").cast("date"))
+          .over(Window.partitionBy(col("user_id"))))
+      e.select(col("user_id"),
           floor(datediff(col("d0"), lit("2024-01-01").cast("date")) / 7)
             .cast("int").as("cohort"),
           floor(datediff(col("ts").cast("date"), col("d0")) / 7)
