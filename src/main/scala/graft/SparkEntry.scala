@@ -64,7 +64,8 @@ object SparkEntry {
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracle),
       (graft.queries.Round7Queries.queries, graft.queries.Round7Queries.oracle),
       (graft.queries.Round7bQueries.queries, graft.queries.Round7bQueries.oracle),
-      (graft.queries.Round7cQueries.queries, graft.queries.Round7cQueries.oracle)
+      (graft.queries.Round7cQueries.queries, graft.queries.Round7cQueries.oracle),
+      (graft.queries.Round8Queries.queries, graft.queries.Round8Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,108 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Round-8 pipeline depth: the corpus-mixture ops between cleaning and
+  * tokenization that operate on COMPUTED corpus statistics rather than
+  * hardcoded weights (complementing ml_mixture_upsample's fixed-weight
+  * form). All deterministic — no RNG anywhere; sampling decisions come
+  * from portable integer arithmetic both engines evaluate identically.
+  *
+  * Scale notes (100 TB):
+  *  - temperature sample: ONE tiny groupBy for per-language counts
+  *    (#languages rows), rates broadcast, then a per-row codegen filter
+  *    — the corpus is scanned once and never shuffled.
+  *  - dup-paragraph: doc-keyed explode + two-level agg, partial
+  *    map-side; no cross-document state.
+  */
+object Round8Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Multilingual temperature sampling (alpha = 0.5): target share per
+    // language ~ sqrt(n_lang) (flattens the head, boosts the tail —
+    // the standard multilingual-pretraining mixture), budget 60% of the
+    // corpus, rate capped at 1 (downsampling only). Kept set decided by
+    // a Knuth multiplicative hash threshold — exact, reproducible, and
+    // engine-portable (sqrt/div/mul are IEEE correctly-rounded, so the
+    // doubles agree bit-for-bit; the final compare is integer).
+    "ml_temperature_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = docs.groupBy(col("lang")).agg(count(lit(1)).as("nd"))
+      val tot = stats.agg(sum(sqrt(col("nd"))).as("z"), sum(col("nd")).as("n"))
+      // one row per language — broadcast-safe at any corpus scale
+      val rates = stats.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(1.0),
+            sqrt(col("nd")) / col("z") * lit(0.6) * col("n") / col("nd"))
+            .as("rate"))
+      docs.join(broadcast(rates), "lang")
+        .filter(pmod(col("doc_id") * lit(2654435761L), lit(1000003L)) <
+          round(col("rate") * 1000003).cast("long"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("chk"))
+        .orderBy(col("lang"))
+    }),
+
+    // Gopher repetition signal at PARAGRAPH granularity (the third of
+    // the trio next to ml_quality_gopher's word/bigram fractions):
+    // fraction of paragraphs that are within-doc duplicates, and the
+    // fraction of characters inside duplicated paragraphs (Gopher
+    // filters on both). Paragraphs are materialized deterministically
+    // as 12-word chunks on BOTH sides (the corpus fixture is
+    // single-line word soup — same shared-transformation discipline as
+    // the C4/boilerplate passes).
+    "ml_dup_paragraph" -> ((s, dir) => {
+      val paras = t(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, cast(ceil(size(ws)/12.0) as int) - 1), " +
+          "i -> array_join(slice(ws, i*12+1, 12), ' '))")).as("para"))
+      val pc = paras.groupBy(col("doc_id"), col("para"))
+        .agg(count(lit(1)).as("n"), length(col("para")).as("chars"))
+      pc.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_paras"),
+          count(lit(1)).as("n_distinct"),
+          round(lit(1.0) - count(lit(1)) * lit(1.0) / sum(col("n")), 9)
+            .as("dup_para_frac"),
+          round(sum(when(col("n") > 1, col("n") * col("chars")).otherwise(0L))
+            * lit(1.0) / sum(col("n") * col("chars")), 9)
+            .as("dup_char_frac"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "ml_temperature_sample" -> """
+      WITH stats AS (SELECT lang, count(*) AS nd FROM documents GROUP BY lang),
+      tot AS (SELECT sum(sqrt(nd)) AS z, sum(nd) AS n FROM stats),
+      rates AS (SELECT lang, least(1.0, sqrt(nd) / z * 0.6 * n / nd) AS rate
+                FROM stats, tot)
+      SELECT d.lang, count(*) AS n_kept, CAST(sum(d.doc_id) AS BIGINT) AS chk
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE (d.doc_id * 2654435761) % 1000003 <
+            CAST(round(r.rate * 1000003) AS BIGINT)
+      GROUP BY d.lang ORDER BY d.lang""",
+
+    "ml_dup_paragraph" -> """
+      WITH paras AS (
+        SELECT doc_id, unnest(list_transform(
+          range(0, CAST(ceil(len(string_split(text, ' ')) / 12.0) AS INT)),
+          i -> array_to_string(list_slice(string_split(text, ' '),
+                 i * 12 + 1, i * 12 + 12), ' '))) AS para
+        FROM documents),
+      pc AS (
+        SELECT doc_id, para, count(*) AS n, length(para) AS chars
+        FROM paras GROUP BY doc_id, para)
+      SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_paras,
+             count(*) AS n_distinct,
+             round(1.0 - count(*) * 1.0 / sum(n), 9) AS dup_para_frac,
+             round(sum(CASE WHEN n > 1 THEN n * chars ELSE 0 END) * 1.0
+                   / sum(n * chars), 9) AS dup_char_frac
+      FROM pc GROUP BY doc_id ORDER BY doc_id"""
+  )
+}
