@@ -130,11 +130,20 @@ object Round7cQueries {
         val join = df.queryExecution.optimizedPlan.collectFirst {
           case j: Join => j
         }.getOrElse(throw new IllegalStateException("no Join in plan"))
-        val pushed =
-          join.left.exists { case _: GlobalLimit => true; case _ => false } &&
+        val limited =
+          join.left.exists { case _: GlobalLimit => true; case _ => false }
+        // rule composition (caught by the r8 all-rules hunt): when
+        // AggByUnique is ALSO enabled it correctly erases the pushed
+        // pre-join distinct — orders' full row carries the unique
+        // o_orderkey, so that dedup is an identity. The limit must
+        // always land; the Aggregate only when AggByUnique isn't on.
+        val aggByUnique = s.conf
+          .getOption("spark.graft.aggByUnique.enabled").contains("true")
+        val dedupped = aggByUnique ||
           join.left.exists { case _: Aggregate => true; case _ => false }
-        require(pushed, s"distinct TopN was not pushed below the join:\n" +
-          df.queryExecution.optimizedPlan)
+        require(limited && dedupped,
+          s"distinct TopN was not pushed below the join:\n" +
+            df.queryExecution.optimizedPlan)
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
