@@ -89,6 +89,32 @@ class RecursiveSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("anchor"), e.getMessage)
   }
 
+  test("plain CTE BEFORE the recursive one, and chained recursive CTEs") {
+    // standard grammar: RECURSIVE flags the whole list; any CTE may be
+    // plain, and a later recursive CTE may read an earlier one
+    val sql = """
+      WITH RECURSIVE base(b) AS (
+        SELECT 2
+      ), powers(n) AS (
+        SELECT b FROM base
+        UNION ALL
+        SELECT n * 2 FROM powers WHERE n < 50
+      ), offsets(o) AS (
+        SELECT n + 1 FROM powers
+        UNION
+        SELECT o + 100 FROM offsets WHERE o < 200
+      )
+      SELECT CAST(count(*) AS BIGINT) AS c, CAST(sum(o) AS BIGINT) AS s
+      FROM offsets"""
+    val r = spark.sql(sql).head()
+    // powers = 2,4,8,16,32,64; offsets anchor = 3,5,9,17,33,65, closed
+    // under o -> o+100 for o < 200: each anchor yields +100 and +200
+    // (the guard filters the SOURCE row) -> 18 rows
+    val anchors = Seq(3, 5, 9, 17, 33, 65)
+    assert(r.getLong(0) == 18)
+    assert(r.getLong(1) == anchors.map(a => 3 * a + 300).sum)
+  }
+
   test("non-recursive WITH is untouched by the pre-pass") {
     Tables.registerAll(spark, sf)
     val n = spark.sql("""
