@@ -159,5 +159,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PushDownTopNThroughJoin.java + PushDownTopNThroughUnion.java;
     // opt-in via spark.graft.topnPushdown.enabled)
     e.injectOptimizerRule(s => new graft.plans.TopNPushdownRule(s))
+    // sum(col + k) -> sum(col) + count(col)*k (SumLiteralRewrite.java)
+    e.injectOptimizerRule(s => new graft.plans.SumLiteralRule(s))
   }
 }

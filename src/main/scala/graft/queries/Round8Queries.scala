@@ -46,6 +46,40 @@ object Round8Queries {
         .orderBy(col("lang"))
     }),
 
+    // sum-of-literal decomposition (reference SumLiteralRewrite.java):
+    // sum(col + k) runs as sum(col) + count(col)*k, so the two
+    // adjusted measures below share ONE sum/count buffer pair instead
+    // of carrying a buffer per literal. Plan-asserted: no Sum over a
+    // literal Add survives optimization, and a Count the query never
+    // wrote appears.
+    "opt_sum_literal" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast("long") + lit(5L)).as("s5"),
+          sum(col("l_quantity").cast("long") + lit(10L)).as("s10"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+      Q.withFlag(s, "spark.graft.sumLiteral.enabled") {
+        import org.apache.spark.sql.catalyst.expressions.{Add, Literal}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+        import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+        val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+        val sumAddSurvives = aggs.exists(_.aggregateExpressions.exists(_.exists {
+          case AggregateExpression(Sum(a: Add, _), _, _, _, _) =>
+            a.left.isInstanceOf[Literal] || a.right.isInstanceOf[Literal]
+          case _ => false
+        }))
+        val countAppears = aggs.exists(_.aggregateExpressions.exists(_.exists {
+          case AggregateExpression(_: Count, _, _, _, _) => true
+          case _ => false
+        }))
+        require(!sumAddSurvives && countAppears,
+          s"sum-literal rewrite did not fire:\n${df.queryExecution.optimizedPlan}")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
     // Gopher repetition signal at PARAGRAPH granularity (the third of
     // the trio next to ml_quality_gopher's word/bigram fractions):
     // fraction of paragraphs that are within-doc duplicates, and the
@@ -86,6 +120,13 @@ object Round8Queries {
       WHERE (d.doc_id * 2654435761) % 1000003 <
             CAST(round(r.rate * 1000003) AS BIGINT)
       GROUP BY d.lang ORDER BY d.lang""",
+
+    "opt_sum_literal" -> """
+      SELECT l_returnflag,
+             CAST(sum(CAST(l_quantity AS BIGINT) + 5) AS BIGINT) AS s5,
+             CAST(sum(CAST(l_quantity AS BIGINT) + 10) AS BIGINT) AS s10,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "ml_dup_paragraph" -> """
       WITH paras AS (

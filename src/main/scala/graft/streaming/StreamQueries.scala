@@ -103,6 +103,38 @@ object StreamQueries {
         .orderBy(col("user_id"), col("ss"))
     }),
 
+    // STREAM-STREAM interval join: purchases joined to the same user's
+    // views from the preceding hour, both sides genuinely streaming
+    // (two independent file-source streams) with watermarks bounding
+    // the join state — the canonical two-stream enrichment shape.
+    // Inner time-interval joins emit matches eagerly (the watermark
+    // only bounds state retention, it gates no output), so the finite
+    // run is deterministic and the batch oracle applies; the compact
+    // per-user rollup happens BATCH-side on the materialized matches.
+    // At scale: state per side is one hour of events sharded by the
+    // join key; everything else is the normal keyed-shuffle join.
+    "stream_stream_join" -> ((s, dir) => {
+      val views = eventsStream(s, dir).filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("event_id").as("vid"))
+        .withWatermark("vts", "1 hour")
+      val purch = eventsStream(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("pts"),
+          col("event_id").as("pid"))
+        .withWatermark("pts", "1 hour")
+      val joined = purch.join(views, expr(
+        "p_user = v_user AND vts >= pts - interval 1 hour AND vts < pts"))
+      runToMemory(joined.select(col("p_user"), col("pid"), col("vid")),
+          "stream_stream_join", OutputMode.Append())
+        .groupBy(col("p_user"))
+        .agg(countDistinct(col("pid")).as("n_purch"),
+          count(lit(1)).as("n_pairs"),
+          max(col("vid")).as("max_vid"))
+        .select(col("p_user").as("user_id"), col("n_purch"),
+          col("n_pairs"), col("max_vid"))
+        .orderBy(col("user_id"))
+    }),
+
     // streaming insert job: offset-checkpointed foreachBatch ingestion
     // into a parquet table (the StreamingInsertJob.java:272 loop).
     // Streaming ingestion of gzip corpus shards (multimodal x
@@ -432,6 +464,14 @@ object StreamQueries {
   )
 
   def oracle: Map[String, String] = Map(
+    "stream_stream_join" -> """
+      SELECT p.user_id, count(DISTINCT p.event_id) AS n_purch,
+             count(*) AS n_pairs, max(v.event_id) AS max_vid
+      FROM events p JOIN events v ON v.user_id = p.user_id
+        AND p.event_type = 'purchase' AND v.event_type = 'view'
+        AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+      GROUP BY p.user_id ORDER BY p.user_id""",
+
     "stream_gzip_ingest" -> """
       SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars2, md5(text) AS fp
       FROM documents ORDER BY doc_id""",

@@ -28,7 +28,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.topnPushdown.enabled",
     "spark.graft.pullUpUnionJoin.enabled",
     "spark.graft.inferSetOpDistinct.enabled",
-    "spark.graft.scalarAggWindow.enabled")
+    "spark.graft.scalarAggWindow.enabled",
+    "spark.graft.sumLiteral.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -57,7 +58,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(13) match {
+    r.nextInt(14) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -158,6 +159,13 @@ class RuleDifferentialSpec extends AnyFunSuite {
           FROM lineitem
           WHERE l_extendedprice $cmp (SELECT avg(l_extendedprice) FROM lineitem)
           GROUP BY l_returnflag ORDER BY l_returnflag""")
+      case 13 => // sum(col + k) decomposition (SumLiteralRule territory)
+        val k = (1 + r.nextInt(20)).toLong
+        li.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast("long") + lit(k)).as("s"),
+            sum(col("l_suppkey").cast("long") + lit(k)).as("s2"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag"))
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
