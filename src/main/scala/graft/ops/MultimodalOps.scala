@@ -682,6 +682,98 @@ object MultimodalOps {
         "dc_mean", "rms")
   }
 
+  /** shared RIFF walk -> centered 8-bit mono samples (v - 128). */
+  private def pcmCentered(id: Long, bytes: Array[Byte]): Array[Int] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(bytes, off, 4, "US-ASCII")
+    require(tag(0) == "RIFF" && tag(8) == "WAVE", s"not a WAV payload for id=$id")
+    var off = 12
+    var bits = -1; var ch = -1
+    var dataOff = -1; var dataLen = -1
+    while (off + 8 <= bytes.length && (bits < 0 || dataOff < 0)) {
+      val cid = tag(off)
+      val clen = bb.getInt(off + 4)
+      if (cid == "fmt ") { ch = bb.getShort(off + 10).toInt; bits = bb.getShort(off + 22).toInt }
+      else if (cid == "data") { dataOff = off + 8; dataLen = clen }
+      off += 8 + clen + (clen & 1)
+    }
+    require(bits == 8 && ch == 1 && dataOff >= 0,
+      s"unsupported WAV layout for id=$id (bits=$bits ch=$ch)")
+    Array.tabulate(dataLen)(i => (bytes(dataOff + i) & 0xff) - 128)
+  }
+
+  /** Windowed audio FEATURE EXTRACTION over 8-bit mono PCM: per
+    * `win`-sample window — RMS of centered samples, zero-crossing count
+    * (adjacent pairs within the window whose signs straddle zero), and
+    * peak |sample|. The frame-level descriptor pass an audio-filtering
+    * pipeline runs before any model sees the clip (silence/clipping/
+    * noisiness gates). Pure integer + one sqrt per window, so the
+    * oracle reconstructs the synthetic waveform in SQL exactly.
+    * mapPartitions batch shape: decode + features stream one clip at a
+    * time, nothing leaves the partition until the tiny feature rows. */
+  def audioFeaturesBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                         blobCol: String, win: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val cs = pcmCentered(id, bytes)
+          val nWin = (cs.length + win - 1) / win
+          (0 until nWin).iterator.map { w =>
+            val lo = w * win
+            val hi = math.min(lo + win, cs.length)
+            var ss = 0L; var zcr = 0L; var peak = 0L
+            var i = lo
+            while (i < hi) {
+              val c = cs(i)
+              ss += c.toLong * c
+              if (math.abs(c) > peak) peak = math.abs(c)
+              if (i > lo && ((cs(i - 1) < 0) != (c < 0))) zcr += 1
+              i += 1
+            }
+            val n = (hi - lo).toLong
+            (id, w.toLong, n, math.sqrt(ss.toDouble / n), zcr, peak)
+          }
+        }
+      }
+      .toDF(idCol, "win_idx", "n", "rms", "zcr", "peak")
+  }
+
+  /** DFT-bin magnitude extraction (spectral features): for each
+    * requested bin k, |sum_t c_t * e^{-2 pi i k t / N}| over the whole
+    * clip — the tone/hum detector shape (Goertzel computes the same
+    * quantity; the direct form keeps the arithmetic order portable so
+    * the SQL oracle can reproduce it to within ulps, absorbed by 4dp
+    * rounding). Doubles throughout; one pass per (clip, bin). */
+  def dftMagnitudeBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        blobCol: String, bins: Seq[Int]): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val cs = pcmCentered(id, bytes)
+          val n = cs.length
+          bins.iterator.map { k =>
+            var re = 0.0; var im = 0.0
+            var t = 0
+            while (t < n) {
+              val ang = 2.0 * math.Pi * k * t / n
+              re += cs(t) * math.cos(ang)
+              im += cs(t) * math.sin(ang)
+              t += 1
+            }
+            (id, k, math.sqrt(re * re + im * im))
+          }
+        }
+      }
+      .toDF(idCol, "bin", "mag")
+  }
+
   /** REAL integer-factor resample (decimation): keep every k-th PCM
     * sample and re-encode a valid WAV at rate/k — real audio BYTES out,
     * round-trippable through decodeWavBatch. (Proper resampling would

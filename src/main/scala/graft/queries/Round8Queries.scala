@@ -46,6 +46,38 @@ object Round8Queries {
         .orderBy(col("lang"))
     }),
 
+    // Windowed audio features over REAL decoded WAV bytes (RMS /
+    // zero-crossings / peak per 256-sample frame — the silence/
+    // clipping/noisiness gate an audio pipeline applies before any
+    // model): integer + sqrt math, so the oracle reconstructs the
+    // synthetic waveform ((id*13+7t) mod 256, centered) in SQL exactly.
+    "mm_audio_features" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"))
+      MultimodalOps.audioFeaturesBatch(
+          MultimodalOps.syntheticWavs(ids, "doc_id", 1024, 8000),
+          "doc_id", "audio", 256)
+        .select(col("doc_id"), col("win_idx"), col("n"),
+          round(col("rms"), 6).as("rms"), col("zcr"), col("peak"))
+        .orderBy(col("doc_id"), col("win_idx"))
+    }),
+
+    // DFT-bin magnitudes over the same decoded PCM (the tone/hum
+    // detector; Goertzel computes the same quantity — the direct form
+    // keeps summation order portable, 4dp rounding absorbs cos/sin
+    // ulp differences between libm implementations).
+    "mm_dft_power" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 30)
+        .select(col("doc_id"))
+      MultimodalOps.dftMagnitudeBatch(
+          MultimodalOps.syntheticWavs(ids, "doc_id", 1024, 8000),
+          "doc_id", "audio", Seq(1, 5, 17))
+        .select(col("doc_id"), col("bin"), round(col("mag"), 4).as("mag"))
+        .orderBy(col("doc_id"), col("bin"))
+    }),
+
     // sum-of-literal decomposition (reference SumLiteralRewrite.java):
     // sum(col + k) runs as sum(col) + count(col)*k, so the two
     // adjusted measures below share ONE sum/count buffer pair instead
@@ -120,6 +152,33 @@ object Round8Queries {
       WHERE (d.doc_id * 2654435761) % 1000003 <
             CAST(round(r.rate * 1000003) AS BIGINT)
       GROUP BY d.lang ORDER BY d.lang""",
+
+    "mm_audio_features" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+      s AS (SELECT doc_id, t,
+                   ((doc_id * 13 + 7 * t) % 256) - 128 AS c
+            FROM ids, (SELECT unnest(range(0, 1024)) AS t) g),
+      f AS (SELECT doc_id, t // 256 AS win_idx, c,
+                   CASE WHEN t % 256 > 0
+                          AND (lag(c) OVER w < 0) <> (c < 0)
+                        THEN 1 ELSE 0 END AS crossed
+            FROM s WINDOW w AS (PARTITION BY doc_id ORDER BY t))
+      SELECT doc_id, win_idx, count(*) AS n,
+             round(sqrt(sum(c * c) * 1.0 / count(*)), 6) AS rms,
+             CAST(sum(crossed) AS BIGINT) AS zcr,
+             CAST(max(abs(c)) AS BIGINT) AS peak
+      FROM f GROUP BY doc_id, win_idx ORDER BY doc_id, win_idx""",
+
+    "mm_dft_power" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 30),
+      s AS (SELECT doc_id, t,
+                   CAST(((doc_id * 13 + 7 * t) % 256) - 128 AS DOUBLE) AS c
+            FROM ids, (SELECT unnest(range(0, 1024)) AS t) g),
+      b AS (SELECT unnest([1, 5, 17]) AS bin)
+      SELECT doc_id, bin,
+             round(sqrt(pow(sum(c * cos(2 * pi() * bin * t / 1024)), 2)
+                      + pow(sum(c * sin(2 * pi() * bin * t / 1024)), 2)), 4) AS mag
+      FROM s, b GROUP BY doc_id, bin ORDER BY doc_id, bin""",
 
     "opt_sum_literal" -> """
       SELECT l_returnflag,
