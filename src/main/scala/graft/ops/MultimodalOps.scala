@@ -841,4 +841,219 @@ object MultimodalOps {
       }
       .toDF(idCol, "format", "width", "height", "n_bytes")
   }
+
+  // ---- REAL codec: GIF (LZW) ----------------------------------------
+  // GIF89a with a 256-entry grayscale global color table and REAL LZW:
+  // the decoder implements the full variable-width LZW algorithm
+  // (dictionary growth, the code==dictSize self-reference case, width
+  // bumps at 2^w, clear-code resets) from the public GIF89a spec; the
+  // encoder uses the classic "uncompressed GIF" literal-code stream
+  // (valid LZW the decoder's dictionary still grows through, with
+  // clear codes before the 12-bit ceiling). Pixels are the
+  // deterministic pattern v = (id*7 + 3x + 5y) mod 256, giving
+  // closed-form SQL oracles; GifCodecSpec round-trips the bytes
+  // through javax.imageio's independent GIF reader pixel-for-pixel.
+
+  /** variable-width LSB-first LZW decode of concatenated GIF image
+    * data, stopping after `expected` pixels. */
+  private[graft] def lzwDecode(minCodeSize: Int, data: Array[Byte],
+                               expected: Int): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < clear) { dict(i) = Array(i.toByte); i += 1 }
+    var dictSize = end + 1
+    var codeSize = minCodeSize + 1
+    val out = new java.io.ByteArrayOutputStream(expected)
+    var bitPos = 0
+    def nextCode(): Int = {
+      var v = 0
+      var k = 0
+      while (k < codeSize) {
+        val byteI = (bitPos + k) >> 3
+        if (byteI >= data.length) return end
+        v |= (((data(byteI) >> ((bitPos + k) & 7)) & 1) << k)
+        k += 1
+      }
+      bitPos += codeSize
+      v
+    }
+    var prev: Array[Byte] = null
+    var done = false
+    while (!done && out.size < expected) {
+      val code = nextCode()
+      if (code == clear) { dictSize = end + 1; codeSize = minCodeSize + 1; prev = null }
+      else if (code == end) done = true
+      else {
+        val entry =
+          if (code < dictSize && code < clear) dict(code)
+          else if (code < dictSize && dict(code) != null) dict(code)
+          else if (code == dictSize && prev != null) prev :+ prev(0)
+          else throw new IllegalStateException(s"bad LZW code $code (dict $dictSize)")
+        out.write(entry, 0, entry.length)
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0)
+          dictSize += 1
+          if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+        }
+        prev = entry
+      }
+    }
+    out.toByteArray
+  }
+
+  /** literal-code LZW encode (the valid "uncompressed" stream): the
+    * DECODER's dictionary still grows one entry per emitted code, so
+    * the encoder mirrors that growth to keep code widths in sync and
+    * clears before the 12-bit ceiling. */
+  private def lzwEncodeLiterals(minCodeSize: Int, pixels: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCodeSize
+    val end = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var cur = 0
+    var curBits = 0
+    var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      cur |= code << curBits
+      curBits += codeSize
+      while (curBits >= 8) {
+        out.write(cur & 0xff)
+        cur >>= 8
+        curBits -= 8
+      }
+    }
+    var dictSize = end + 1
+    emit(clear)
+    var sinceClear = 0
+    var i = 0
+    while (i < pixels.length) {
+      emit(pixels(i) & 0xff)
+      if (sinceClear > 0) {
+        dictSize += 1
+        if (dictSize == (1 << codeSize) && codeSize < 12) codeSize += 1
+      }
+      sinceClear += 1
+      if (dictSize >= 4094) {
+        emit(clear)
+        dictSize = end + 1
+        codeSize = minCodeSize + 1
+        sinceClear = 0
+      }
+      i += 1
+    }
+    emit(end)
+    if (curBits > 0) out.write(cur & 0xff)
+    out.toByteArray
+  }
+
+  /** Scaffolding: a valid GIF89a (grayscale palette, no interlace)
+    * with pixel(x, y) = (id*7 + 3x + 5y) mod 256. */
+  def encodeGif(id: Long, w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF89a".getBytes("US-ASCII"))
+    le16(w); le16(h)
+    out.write(0xF7) // global table, 8-bit resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect
+    var i = 0
+    while (i < 256) { out.write(i); out.write(i); out.write(i); i += 1 }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(0)    // no local table, no interlace
+    out.write(8)    // LZW min code size
+    val pixels = Array.tabulate(w * h) { idx =>
+      val x = idx % w; val y = idx / w
+      ((id * 7 + 3 * x + 5 * y) % 256).toByte
+    }
+    val lzw = lzwEncodeLiterals(8, pixels)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n)
+      out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0)    // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  def syntheticGifs(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    w: Int, h: Int): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .mapPartitions(it => it.map(id => (id, encodeGif(id, w, h))))
+      .toDF(idCol, "img")
+  }
+
+  /** REAL GIF decode: header + screen descriptor + palette walk,
+    * extension-block skipping, sub-block reassembly, full LZW decode.
+    * Returns gray pixel values (palette is grayscale by construction;
+    * a color palette would return indices mapped through it the same
+    * way). */
+  private[graft] def decodeGif(id: Long, bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(new String(bytes, 0, 6, "US-ASCII").startsWith("GIF"),
+      s"not a GIF payload for id=$id")
+    def u16(off: Int): Int = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    var off = 6
+    off += 4 // screen w/h
+    val packed = bytes(off) & 0xff
+    off += 3
+    val gctSize = if ((packed & 0x80) != 0) 2 << (packed & 7) else 0
+    val palette = Array.tabulate(gctSize)(i => bytes(off + 3 * i) & 0xff)
+    off += 3 * gctSize
+    // walk blocks to the first image descriptor, skipping extensions
+    while ((bytes(off) & 0xff) == 0x21) {
+      off += 2 // introducer + label
+      while ((bytes(off) & 0xff) != 0) off += 1 + (bytes(off) & 0xff)
+      off += 1
+    }
+    require((bytes(off) & 0xff) == 0x2C, s"no image descriptor for id=$id")
+    val w = u16(off + 5); val h = u16(off + 7)
+    val ipacked = bytes(off + 9) & 0xff
+    require((ipacked & 0x40) == 0, s"interlaced GIF unsupported for id=$id")
+    off += 10
+    val minCode = bytes(off) & 0xff
+    off += 1
+    val data = new java.io.ByteArrayOutputStream()
+    while ((bytes(off) & 0xff) != 0) {
+      val n = bytes(off) & 0xff
+      data.write(bytes, off + 1, n)
+      off += 1 + n
+    }
+    val idx = lzwDecode(minCode, data.toByteArray, w * h)
+    require(idx.length == w * h, s"LZW underrun for id=$id: ${idx.length} of ${w * h}")
+    (w, h, idx.map(b => palette(b & 0xff)))
+  }
+
+  /** batch GIF decode -> per-image integer pixel stats (n, sum, min,
+    * max, and a position-weighted checksum) so the oracle can rebuild
+    * the pattern in closed form. */
+  def decodeGifBatch(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     blobCol: String): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(blobCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, px) = decodeGif(id, bytes)
+          var sum = 0L; var mn = 256L; var mx = -1L; var chk = 0L
+          var i = 0
+          while (i < px.length) {
+            val v = px(i).toLong
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            chk += (i + 1) * v
+            i += 1
+          }
+          (id, w, h, px.length.toLong, sum, mn, mx, chk)
+        }
+      }
+      .toDF(idCol, "w", "h", "n_px", "sum_v", "mn_v", "mx_v", "chk")
+  }
 }

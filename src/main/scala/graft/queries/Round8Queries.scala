@@ -46,6 +46,22 @@ object Round8Queries {
         .orderBy(col("lang"))
     }),
 
+    // REAL GIF decode (third real image codec next to PNG/BMP): full
+    // variable-width LZW with dictionary growth and clear resets,
+    // cross-validated against javax.imageio in GifCodecSpec. The
+    // oracle rebuilds the (id*7 + 3x + 5y) mod 256 pattern in SQL and
+    // checks position-weighted integer stats — so a single transposed
+    // pixel fails the hash.
+    "mm_gif_decode" -> ((s, dir) => {
+      import graft.ops.MultimodalOps
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"))
+      MultimodalOps.decodeGifBatch(
+          MultimodalOps.syntheticGifs(ids, "doc_id", 31, 17),
+          "doc_id", "img")
+        .orderBy(col("doc_id"))
+    }),
+
     // Windowed audio features over REAL decoded WAV bytes (RMS /
     // zero-crossings / peak per 256-sample frame — the silence/
     // clipping/noisiness gate an audio pipeline applies before any
@@ -152,6 +168,17 @@ object Round8Queries {
       WHERE (d.doc_id * 2654435761) % 1000003 <
             CAST(round(r.rate * 1000003) AS BIGINT)
       GROUP BY d.lang ORDER BY d.lang""",
+
+    "mm_gif_decode" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+      px AS (SELECT doc_id, i,
+                    (doc_id * 7 + 3 * (i % 31) + 5 * (i // 31)) % 256 AS v
+             FROM ids, (SELECT unnest(range(0, 527)) AS i) g)
+      SELECT doc_id, 31 AS w, 17 AS h, count(*) AS n_px,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(min(v) AS BIGINT) AS mn_v, CAST(max(v) AS BIGINT) AS mx_v,
+             CAST(sum((i + 1) * v) AS BIGINT) AS chk
+      FROM px GROUP BY doc_id ORDER BY doc_id""",
 
     "mm_audio_features" -> """
       WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),

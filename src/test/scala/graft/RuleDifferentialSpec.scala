@@ -192,8 +192,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
-  test("60 seeded query shapes: all rules ON == all rules OFF") {
-    val bad = (1 to 60).flatMap { seed =>
+  test("100 seeded query shapes: all rules ON == all rules OFF") {
+    val bad = (1 to 100).flatMap { seed =>
       val off = withAll(on = false) { gen(seed).collect().toSeq }
       val on = withAll(on = true) { gen(seed).collect().toSeq }
       if (on == off) None
