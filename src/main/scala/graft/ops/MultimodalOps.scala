@@ -6,12 +6,20 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata
   * structs, decode/feature-extract/frame-sample operators.
   *
-  * The Spark-side plumbing (binary columns, struct schemas, batch
-  * shape, partitioning) is real; the actual media decode is a
-  * ===== STUB ===== — this container has no image/audio codecs, so
-  * `decodeMeta` derives deterministic fake dimensions from the payload
-  * bytes (documented formula, oracle-checkable). A production build
-  * swaps `decodeMeta`'s body for a real codec behind the same schema.
+  * The format codecs in this file are REAL byte-level implementations
+  * from the public specs — gzip (JDK), tar/ustar with verified header
+  * checksums, PNG (zlib inflate + all five filters, cross-validated
+  * against javax.imageio), 24-bit BMP, GIF with full variable-width
+  * LZW (cross-validated against javax.imageio), WAV/PCM decode +
+  * decimation resample, frame containers, plus windowed audio features
+  * and DFT-bin spectral magnitudes over decoded PCM.
+  *
+  * Only the GENERIC fallbacks below (`decodeMeta`/`resizeMeta`) remain
+  * the documented ===== STUB ===== for formats with no codec in this
+  * container (JPEG/video): they derive deterministic fake dimensions
+  * from the payload bytes so the Spark-side plumbing (binary columns,
+  * struct schemas, batch shape, partitioning) stays real and tested; a
+  * production build swaps their bodies behind the same schema.
   */
 object MultimodalOps {
 
