@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * from the public specs — gzip (JDK), tar/ustar with verified header
   * checksums, PNG (zlib inflate + all five filters, cross-validated
   * against javax.imageio), 24-bit BMP, GIF with full variable-width
-  * LZW (cross-validated against javax.imageio), WAV/PCM decode +
+  * LZW (cross-validated against javax.imageio), baseline JPEG
+  * (in-file Huffman tables, DC prediction, dequant, full IDCT —
+  * ops/JpegCodec.scala, also imageio-cross-validated), WAV/PCM decode +
   * decimation resample, frame containers, plus windowed audio features
   * and DFT-bin spectral magnitudes over decoded PCM.
   *
   * Only the GENERIC fallbacks below (`decodeMeta`/`resizeMeta`) remain
   * the documented ===== STUB ===== for formats with no codec in this
-  * container (JPEG/video): they derive deterministic fake dimensions
+  * container (video): they derive deterministic fake dimensions
   * from the payload bytes so the Spark-side plumbing (binary columns,
   * struct schemas, batch shape, partitioning) stays real and tested; a
   * production build swaps their bodies behind the same schema.

@@ -62,6 +62,21 @@ object Round8Queries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL baseline JPEG decode (markers, in-file Huffman tables,
+    // byte-stuffed entropy stream, DC prediction, dequant, full 8x8
+    // IDCT) — cross-validated against javax.imageio in JpegCodecSpec.
+    // Fixtures are block-constant (DC-only, q_dc = 8), the
+    // exactly-decodable subset, so the SQL oracle is closed-form.
+    "mm_jpeg_decode" -> ((s, dir) => {
+      import graft.ops.JpegCodec
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"))
+      JpegCodec.decodeJpegBatch(
+          JpegCodec.syntheticJpegs(ids, "doc_id", 64, 32),
+          "doc_id", "img")
+        .orderBy(col("doc_id"))
+    }),
+
     // Windowed audio features over REAL decoded WAV bytes (RMS /
     // zero-crossings / peak per 256-sample frame — the silence/
     // clipping/noisiness gate an audio pipeline applies before any
@@ -175,6 +190,17 @@ object Round8Queries {
                     (doc_id * 7 + 3 * (i % 31) + 5 * (i // 31)) % 256 AS v
              FROM ids, (SELECT unnest(range(0, 527)) AS i) g)
       SELECT doc_id, 31 AS w, 17 AS h, count(*) AS n_px,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(min(v) AS BIGINT) AS mn_v, CAST(max(v) AS BIGINT) AS mx_v,
+             CAST(sum((i + 1) * v) AS BIGINT) AS chk
+      FROM px GROUP BY doc_id ORDER BY doc_id""",
+
+    "mm_jpeg_decode" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40),
+      px AS (SELECT doc_id, i,
+                    (doc_id * 7 + 3 * ((i % 64) // 8) + 5 * ((i // 64) // 8)) % 256 AS v
+             FROM ids, (SELECT unnest(range(0, 2048)) AS i) g)
+      SELECT doc_id, 64 AS w, 32 AS h, count(*) AS n_px,
              CAST(sum(v) AS BIGINT) AS sum_v,
              CAST(min(v) AS BIGINT) AS mn_v, CAST(max(v) AS BIGINT) AS mx_v,
              CAST(sum((i + 1) * v) AS BIGINT) AS chk
