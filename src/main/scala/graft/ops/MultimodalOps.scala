@@ -16,12 +16,16 @@ import org.apache.spark.sql.functions._
   * decimation resample, frame containers, plus windowed audio features
   * and DFT-bin spectral magnitudes over decoded PCM.
   *
+  * Video is REAL too as of round 8 (`ops/VideoCodec.scala`): AVI/RIFF
+  * with Motion-JPEG frames through the real JPEG decoder (incl. idx1
+  * random access) and YUV4MPEG2 with genuine 4:2:0 plane arithmetic.
   * Only the GENERIC fallbacks below (`decodeMeta`/`resizeMeta`) remain
-  * the documented ===== STUB ===== for formats with no codec in this
-  * container (video): they derive deterministic fake dimensions
-  * from the payload bytes so the Spark-side plumbing (binary columns,
-  * struct schemas, batch shape, partitioning) stays real and tested; a
-  * production build swaps their bodies behind the same schema.
+  * the documented ===== STUB =====, kept for formats with no codec in
+  * this container (e.g. compressed inter-frame codecs): they derive
+  * deterministic fake dimensions from the payload bytes so the
+  * Spark-side plumbing (binary columns, struct schemas, batch shape,
+  * partitioning) stays real and tested; a production build swaps their
+  * bodies behind the same schema.
   */
 object MultimodalOps {
 

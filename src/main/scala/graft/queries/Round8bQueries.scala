@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Round-8 continuation: REAL video containers (see ops/VideoCodec.scala)
+  * — AVI/RIFF with Motion-JPEG frames through the real JPEG decoder, and
+  * YUV4MPEG2 with genuine 4:2:0 plane arithmetic. This retires the last
+  * multimodal family ("video") from the documented generic stub.
+  */
+object Round8bQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // REAL video decode #1: a valid AVI (RIFF chunk walk: hdrl/avih,
+    // strl/strh/strf, movi, idx1) whose 00dc chunks are baseline JPEGs
+    // decoded by ops/JpegCodec (Huffman + dequant + IDCT). The batch
+    // asserts idx1 == movi walk per file, then decodes EVERY frame.
+    // Frame f's pixel law is the JPEG block law keyed by id + f*17.
+    "mm_avi_mjpeg" -> ((s, dir) => {
+      import graft.ops.VideoCodec
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id"))
+      VideoCodec.decodeAviBatch(
+          VideoCodec.syntheticAvis(ids, "doc_id", 3, 64, 32),
+          "doc_id", "video")
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
+    // REAL video decode #2: random access through the idx1 index — only
+    // frames {0, 2} are located (seek) and decoded; frame 1's bytes are
+    // never touched. At 100 TB this is the difference between reading
+    // the sampled frames and decoding the whole corpus.
+    "mm_avi_seek" -> ((s, dir) => {
+      import graft.ops.VideoCodec
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id"))
+      VideoCodec.sampleAviBatch(
+          VideoCodec.syntheticAvis(ids, "doc_id", 3, 64, 32),
+          "doc_id", "video", Seq(0, 2))
+        .orderBy(col("doc_id"), col("frame"))
+    }),
+
+    // REAL video decode #3: YUV4MPEG2 — tokenized parameter header,
+    // FRAME records, planar 4:2:0 walk (luma w*h + two quarter-size
+    // chroma planes, neutrality-asserted). Luma law:
+    // (id*11 + f*19 + 2x + 3y) mod 256.
+    "mm_y4m_decode" -> ((s, dir) => {
+      import graft.ops.VideoCodec
+      val ids = t(s, dir, "documents").filter(col("doc_id") < 24)
+        .select(col("doc_id"))
+      VideoCodec.decodeY4mBatch(
+          VideoCodec.syntheticY4ms(ids, "doc_id", 3, 32, 16),
+          "doc_id", "video")
+        .orderBy(col("doc_id"), col("frame"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    "mm_avi_mjpeg" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+      fr AS (SELECT unnest([0, 1, 2]) AS frame),
+      px AS (SELECT doc_id, frame, i,
+                    ((doc_id + frame * 17) * 7
+                     + 3 * ((i % 64) // 8) + 5 * ((i // 64) // 8)) % 256 AS v
+             FROM ids, fr, (SELECT unnest(range(0, 2048)) AS i) g)
+      SELECT doc_id, frame, 64 AS w, 32 AS h, count(*) AS n_px,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(sum((i + 1) * v) AS BIGINT) AS chk
+      FROM px GROUP BY doc_id, frame ORDER BY doc_id, frame""",
+
+    "mm_avi_seek" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+      fr AS (SELECT unnest([0, 2]) AS frame),
+      px AS (SELECT doc_id, frame, i,
+                    ((doc_id + frame * 17) * 7
+                     + 3 * ((i % 64) // 8) + 5 * ((i // 64) // 8)) % 256 AS v
+             FROM ids, fr, (SELECT unnest(range(0, 2048)) AS i) g)
+      SELECT doc_id, frame, 64 AS w, 32 AS h, count(*) AS n_px,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(sum((i + 1) * v) AS BIGINT) AS chk
+      FROM px GROUP BY doc_id, frame ORDER BY doc_id, frame""",
+
+    "mm_y4m_decode" -> """
+      WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 24),
+      fr AS (SELECT unnest([0, 1, 2]) AS frame),
+      px AS (SELECT doc_id, frame, i,
+                    (doc_id * 11 + frame * 19
+                     + 2 * (i % 32) + 3 * (i // 32)) % 256 AS v
+             FROM ids, fr, (SELECT unnest(range(0, 512)) AS i) g)
+      SELECT doc_id, frame, 32 AS w, 16 AS h, count(*) AS n_px,
+             CAST(sum(v) AS BIGINT) AS sum_v,
+             CAST(sum((i + 1) * v) AS BIGINT) AS chk
+      FROM px GROUP BY doc_id, frame ORDER BY doc_id, frame""")
+}
