@@ -32,17 +32,16 @@ object AvroSource {
     """{"type":"record","name":"Nation","fields":[
       |{"name":"n_nationkey","type":"long"},
       |{"name":"n_name","type":"string"},
-      |{"name":"n_regionkey","type":"long"},
-      |{"name":"n_comment","type":"string"}]}""".stripMargin
+      |{"name":"n_regionkey","type":"long"}]}""".stripMargin
 
-  /** stage `df`'s (n_nationkey, n_name, n_regionkey, n_comment) rows as
+  /** stage `df`'s (n_nationkey, n_name, n_regionkey) rows as
     * deflate-compressed Avro container files under `outDir`, `perFile`
     * rows per container (several files so the read side demonstrably
     * splits). */
   def writeNationAvro(df: DataFrame, outDir: String, perFile: Int): Unit = {
     val schema = new Schema.Parser().parse(NationSchema)
     val rows = df.select(col("n_nationkey").cast("long"), col("n_name"),
-        col("n_regionkey").cast("long"), col("n_comment"))
+        col("n_regionkey").cast("long"))
       .collect() // dimension fixture: 25 rows at any SF
     val dir = new java.io.File(outDir)
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
@@ -56,7 +55,6 @@ object AvroSource {
         rec.put("n_nationkey", r.getLong(0))
         rec.put("n_name", r.getString(1))
         rec.put("n_regionkey", r.getLong(2))
-        rec.put("n_comment", r.getString(3))
         w.append(rec)
       }
       w.close()
@@ -78,18 +76,17 @@ object AvroSource {
           val in = new DataFileStream(
             new java.io.ByteArrayInputStream(bytes),
             new GenericDatumReader[GenericRecord]())
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, String)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
           while (in.hasNext) {
             val r = in.next()
             out += ((r.get("n_nationkey").asInstanceOf[Long],
               r.get("n_name").toString,
-              r.get("n_regionkey").asInstanceOf[Long],
-              r.get("n_comment").toString))
+              r.get("n_regionkey").asInstanceOf[Long]))
           }
           in.close()
           out
         }
       }
-      .toDF("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .toDF("n_nationkey", "n_name", "n_regionkey")
   }
 }

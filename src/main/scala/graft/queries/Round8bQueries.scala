@@ -54,6 +54,43 @@ object Round8bQueries {
           VideoCodec.syntheticY4ms(ids, "doc_id", 3, 32, 16),
           "doc_id", "video")
         .orderBy(col("doc_id"), col("frame"))
+    }),
+
+    // Wikipedia-dump-shaped XML ingestion through Spark 4's NATIVE
+    // from_xml: each doc becomes a mediawiki-like <page> record
+    // (entity-escaped on construction, the way a dump writer emits it),
+    // then the parse side — the operator under test — extracts the
+    // nested revision fields and aggregates ONLY parsed values. The
+    // oracle recomputes from the base table, so any parser infidelity
+    // (dropped entity, trimmed text, misnested field) desyncs the hash.
+    // Per-row codegen + one bounded groupBy — no scale hazard.
+    "ml_wiki_xml" -> ((s, dir) => {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.types.StructType
+      val esc: Column => Column = c => regexp_replace(
+        regexp_replace(regexp_replace(c, "&", "&amp;"), "<", "&lt;"),
+        ">", "&gt;")
+      val docs = t(s, dir, "documents")
+        .filter(length(coalesce(col("text"), lit(""))) > 0)
+      val raw = docs.select(concat(
+          lit("<page><id>"), col("doc_id"),
+          lit("</id><title>Doc "), col("doc_id"),
+          lit("</title><revision><lang>"), col("lang"),
+          lit("</lang><text>"), esc(col("text")),
+          lit("</text></revision></page>")).as("xml"))
+      val schema = StructType.fromDDL(
+        "id BIGINT, title STRING, revision STRUCT<lang: STRING, text: STRING>")
+      raw.select(from_xml(col("xml"), schema).as("p"))
+        .select(col("p.id").as("doc_id"), col("p.title").as("title"),
+          col("p.revision.lang").as("lang"),
+          col("p.revision.text").as("text"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_pages"),
+          sum(col("doc_id")).as("sum_id"),
+          sum(length(col("text"))).as("chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("words"),
+          min(col("title")).as("first_title"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -93,5 +130,14 @@ object Round8bQueries {
       SELECT doc_id, frame, 32 AS w, 16 AS h, count(*) AS n_px,
              CAST(sum(v) AS BIGINT) AS sum_v,
              CAST(sum((i + 1) * v) AS BIGINT) AS chk
-      FROM px GROUP BY doc_id, frame ORDER BY doc_id, frame""")
+      FROM px GROUP BY doc_id, frame ORDER BY doc_id, frame""",
+
+    "ml_wiki_xml" -> """
+      SELECT lang, count(*) AS n_pages,
+             CAST(sum(doc_id) AS BIGINT) AS sum_id,
+             CAST(sum(length(text)) AS BIGINT) AS chars,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
+             min('Doc ' || doc_id) AS first_title
+      FROM documents WHERE length(coalesce(text, '')) > 0
+      GROUP BY lang ORDER BY lang""")
 }

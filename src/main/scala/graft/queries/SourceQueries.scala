@@ -21,11 +21,16 @@ object SourceQueries {
     val out = s"target/sources/nation_$fmt"
     val n = t(s, dir, "nation")
     val w = n.write.mode("overwrite").format(fmt)
-    (if (fmt == "csv") w.option("header", "true") else w).save(out)
+    (fmt match {
+      case "csv" => w.option("header", "true")
+      case "xml" => w.option("rowTag", "nation")
+      case _ => w
+    }).save(out)
     val r = s.read.format(fmt)
     (fmt match {
       case "csv" => r.option("header", "true").schema(n.schema)
       case "json" => r.schema(n.schema)
+      case "xml" => r.option("rowTag", "nation").schema(n.schema)
       case _ => r
     }).load(out)
   }
@@ -45,6 +50,22 @@ object SourceQueries {
     "src_csv_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "csv"))),
     "src_json_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "json"))),
     "src_orc_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "orc"))),
+
+    // XML roundtrip through Spark 4's NATIVE xml data source (the
+    // format a Wikipedia-dump ingest job reads; rowTag-scoped records,
+    // schema-projected read).
+    "src_xml_roundtrip" -> ((s, dir) => agg(roundTrip(s, dir, "xml"))),
+
+    // Avro object-container roundtrip (ops/AvroSource.scala): REAL
+    // container files — schema header, sync markers, deflate blocks —
+    // via the core Avro runtime; read side is a distributed binaryFile
+    // scan with one DataFileStream decoder per file. Split across 4
+    // containers so the scan demonstrably parallelizes.
+    "src_avro_roundtrip" -> ((s, dir) => {
+      val out = "target/sources/nation_avro"
+      graft.ops.AvroSource.writeNationAvro(t(s, dir, "nation"), out, 7)
+      agg(graft.ops.AvroSource.readNationAvro(s, out))
+    }),
 
     // INTO OUTFILE: write a query result, read it back.
     "src_outfile" -> ((s, dir) => {
@@ -129,6 +150,8 @@ object SourceQueries {
     "src_csv_roundtrip" -> oracleAgg,
     "src_json_roundtrip" -> oracleAgg,
     "src_orc_roundtrip" -> oracleAgg,
+    "src_avro_roundtrip" -> oracleAgg,
+    "src_xml_roundtrip" -> oracleAgg,
     "src_outfile" -> """
       SELECT c_nationkey, count(*) AS n FROM customer
       WHERE c_acctbal > 9000 GROUP BY c_nationkey ORDER BY c_nationkey""",
