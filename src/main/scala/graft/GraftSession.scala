@@ -121,6 +121,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in via spark.graft.eagerAgg.enabled, like Doris's session-
     // variable-gated exploration rules)
     e.injectOptimizerRule(s => new graft.plans.EagerAggRule(s))
+    // double-eager aggregation: partials on BOTH join inputs, join
+    // multiplicity restored via per-group counts (reference:
+    // PushDownAggThroughJoin.java; opt-in via
+    // spark.graft.eagerAggBoth.enabled)
+    e.injectOptimizerRule(s => new graft.plans.EagerAggBothRule(s))
     // correlated scalar-agg subquery -> window over a single scan
     // (reference: AggScalarSubQueryToWindowFunction.java; opt-in via
     // spark.graft.scalarAggWindow.enabled)

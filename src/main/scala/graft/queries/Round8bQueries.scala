@@ -91,6 +91,36 @@ object Round8bQueries {
           sum(size(split(col("text"), " ")).cast("long")).as("words"),
           min(col("title")).as("first_title"))
         .orderBy(col("lang"))
+    }),
+
+    // Double-eager aggregation (plans/EagerAggBoth.scala — reference
+    // PushDownAggThroughJoin.java): aggregates on BOTH inputs of the
+    // customer-orders join are pre-aggregated below it; the join runs
+    // over two group-level relations and the final agg restores join
+    // multiplicity via per-group counts. The eager plan is forced,
+    // plan-asserted (both partial markers below the join) and EXECUTED;
+    // its rows are what the driver hashes against the plain-join oracle.
+    "opt_eager_agg_both" -> ((s, dir) => {
+      val df = t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_nationkey").cast("long")).as("sl"),
+          sum(month(col("o_orderdate")).cast("long")).as("sr"),
+          min(col("o_totalprice")).as("mnp"))
+        .orderBy(col("c_mktsegment"))
+      Q.withFlag(s, "spark.graft.eagerAggBoth.enabled") {
+        // marker-presence assert only: under the all-rules hunt,
+        // AggByUnique legitimately collapses the left pre-agg (customer
+        // groups by its unique c_custkey, so cntL == 1 folds away) —
+        // the strict both-sides-below-the-join structural assert lives
+        // in EagerAggBothSpec where the flag runs isolated.
+        val opt = df.queryExecution.optimizedPlan
+        require(opt.toString.contains("__eager2_p_"),
+          s"double-eager aggregation did not fire:\n$opt")
+        val rows = df.collect() // executes the double-eager physical plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
     })
   )
 
@@ -139,5 +169,13 @@ object Round8bQueries {
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS words,
              min('Doc ' || doc_id) AS first_title
       FROM documents WHERE length(coalesce(text, '')) > 0
-      GROUP BY lang ORDER BY lang""")
+      GROUP BY lang ORDER BY lang""",
+
+    "opt_eager_agg_both" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(c_nationkey) AS BIGINT) AS sl,
+             CAST(sum(month(o_orderdate)) AS BIGINT) AS sr,
+             min(o_totalprice) AS mnp
+      FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
 }

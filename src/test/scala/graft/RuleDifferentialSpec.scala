@@ -29,7 +29,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.pullUpUnionJoin.enabled",
     "spark.graft.inferSetOpDistinct.enabled",
     "spark.graft.scalarAggWindow.enabled",
-    "spark.graft.sumLiteral.enabled")
+    "spark.graft.sumLiteral.enabled",
+    "spark.graft.eagerAggBoth.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -58,7 +59,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(14) match {
+    r.nextInt(15) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -166,6 +167,18 @@ class RuleDifferentialSpec extends AnyFunSuite {
             sum(col("l_suppkey").cast("long") + lit(k)).as("s2"),
             count(lit(1)).as("n"))
           .orderBy(col("l_returnflag"))
+      case 14 => // integral aggs on BOTH join sides (EagerAggBoth
+        // territory, composing with EagerAgg/MergeAggregate/AggByUnique)
+        val k = pick(ordKeys)
+        li.filter(col("l_quantity") > (r.nextInt(5) + 1))
+          .join(ord, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col(k))
+          .agg(sum(col("l_linenumber").cast("long")).as("sl"),
+            sum(month(col("o_orderdate")).cast("long")).as("sr"),
+            count(col("l_partkey")).as("cl"),
+            round(min(col("o_totalprice")), 6).as("mnp"),
+            count(lit(1)).as("n"))
+          .orderBy(col(k))
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
