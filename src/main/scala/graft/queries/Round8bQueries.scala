@@ -121,6 +121,64 @@ object Round8bQueries {
         val rows = df.collect() // executes the double-eager physical plan
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
+    }),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. '19): per-doc LM
+    // score (unigram mean NLL, the ml_unigram_logprob discipline), then
+    // head/middle/tail terciles PER LANGUAGE. Bucket boundaries are
+    // rank-based over a total order (rounded score, doc_id) — integer
+    // ntile output, no float threshold compares, so both engines cut
+    // identically. Scale: one explode pass + per-lang window; at 100 TB
+    // the exact per-lang sort is the stated CCNet computation (a cheaper
+    // variant would broadcast approx quantile thresholds — documented
+    // trade, not taken, because buckets would stop being exact).
+    "ml_perplexity_bucket" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          explode(split(col("text"), " ")).as("word"))
+      val cnt = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val tot = cnt.agg(sum(col("c")).as("n"))
+      val nll = words.join(broadcast(cnt), "word").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("c") / col("n"))), 6).as("nll"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("nll"), col("doc_id"))
+      nll.withColumn("bucket", ntile(3).over(w))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tokens"),
+          min(col("nll")).as("mn_nll"), max(col("nll")).as("mx_nll"),
+          sum(col("doc_id")).as("chk"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
+
+    // Deterministic global shuffle + shard assignment for training
+    // (the "shuffle the corpus into N shards" step every pretraining
+    // run does): shard by a multiplicative hash of doc_id, order within
+    // each shard by a SECOND hash (the interleave), fingerprint the
+    // exact order with sum(pos * doc_id). Reproducible end to end — no
+    // RNG, any engine derives the same byte order. The in-query
+    // balance assert pins the hash's spread (max/min shard size < 2x).
+    // Scale: ONE shuffle (the per-shard window); no global sort.
+    "ml_train_shard" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val sharded = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("toks"))
+        .withColumn("shard",
+          pmod(col("doc_id") * lit(2654435761L), lit(64L)).cast("int"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(
+            pmod(col("doc_id") * lit(40503L) + lit(9973L), lit(999983L)),
+            col("doc_id"))))
+      val out = sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("tokens"),
+          sum(col("pos") * col("doc_id")).as("order_chk"))
+      val st = out.agg(max(col("n_docs")), min(col("n_docs"))).collect()(0)
+      require(st.getLong(0) < 2 * st.getLong(1),
+        s"shard imbalance: max=${st.getLong(0)} min=${st.getLong(1)}")
+      out.orderBy(col("shard"))
     })
   )
 
@@ -177,5 +235,34 @@ object Round8bQueries {
              CAST(sum(month(o_orderdate)) AS BIGINT) AS sr,
              min(o_totalprice) AS mnp
       FROM customer JOIN orders ON c_custkey = o_custkey
-      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "ml_perplexity_bucket" -> """
+      WITH words AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                     FROM documents),
+      cnt AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+      tot AS (SELECT sum(c) AS n FROM cnt),
+      nll AS (SELECT doc_id, lang, count(*) AS n_tokens,
+                     round(avg(-ln(c / n)), 6) AS nll
+              FROM words JOIN cnt USING (word), tot GROUP BY doc_id, lang),
+      b AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                     ORDER BY nll, doc_id) AS bucket
+            FROM nll)
+      SELECT lang, CAST(bucket AS INT) AS bucket, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens,
+             min(nll) AS mn_nll, max(nll) AS mx_nll,
+             CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM b GROUP BY lang, bucket ORDER BY lang, bucket""",
+
+    "ml_train_shard" -> """
+      WITH s AS (SELECT doc_id, len(string_split(text, ' ')) AS toks,
+                        CAST((doc_id * 2654435761) % 64 AS INT) AS shard
+                 FROM documents),
+      p AS (SELECT doc_id, toks, shard,
+                   row_number() OVER (PARTITION BY shard
+                     ORDER BY (doc_id * 40503 + 9973) % 999983, doc_id) AS pos
+            FROM s)
+      SELECT shard, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS tokens,
+             CAST(sum(pos * doc_id) AS BIGINT) AS order_chk
+      FROM p GROUP BY shard ORDER BY shard""")
 }
