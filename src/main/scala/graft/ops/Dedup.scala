@@ -144,6 +144,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Cross-set near-dup pairs: `left` (the standing corpus) vs `right`
+    * (an incoming shard) — the INCREMENTAL ingestion shape: dedup
+    * today's crawl against everything already accepted without ever
+    * comparing corpus-to-corpus. Same banded-candidates + exact-verify
+    * discipline as `minhashPairs`; the candidate join is
+    * left_bands ⋈ right_bands on (band, sig), so work scales with the
+    * shard's collision volume, not the corpus pair count. At 100 TB the
+    * corpus side's banded signatures are a materialized artifact
+    * maintained across runs (16 longs per doc); each ingest batch
+    * re-bands ONLY its own docs. Returns (id_a ∈ left, id_b ∈ right,
+    * jaccard >= threshold). */
+  def minhashPairsAcross(left: DataFrame, right: DataFrame, idCol: String,
+                         textCol: String, n: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame, what: String) = {
+      val hashed = df
+        .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+        .withColumn("sh", shingles(col("ws"), n))
+        .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
+        .localCheckpoint() // feeds banding AND the verify join
+      val banded = hashed
+        .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
+        .toDF("id", "band", "sig")
+      requireBoundedBuckets(banded, Seq("band", "sig"), what)
+      (hashed, banded)
+    }
+    val (hl, bl) = prep(left, "minhashPairsAcross/corpus")
+    val (hr, br) = prep(right, "minhashPairsAcross/incoming")
+    val cand = bl.as("x")
+      .join(br.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(hl.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
+      .join(hr.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .withColumn("jaccard",
+        inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
   /** 64-bit SimHash over PRE-HASHED words (dynamic bit shifts require
     * the SQL shiftleft/shiftright forms). Callers hash words to longs
     * once in their own column — the naive per-bit form re-runs the

@@ -30,6 +30,38 @@ object MlQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // INCREMENTAL dedup — the daily-ingest shape: dedup an incoming
+    // shard against the standing corpus without any corpus-to-corpus
+    // work. Stage 1: exact cross-set anti-join on content hash.
+    // Stage 2: near-dup via cross-set banded minhash
+    // (Dedup.minhashPairsAcross — corpus bands ⋈ shard bands only).
+    // Per-language admission report; kept-set checksum pins the exact
+    // admitted ids.
+    "ml_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 3 === 0)
+      val exactKept = incoming.join(
+        corpus.select(md5(col("text")).as("h")).distinct(),
+        md5(col("text")) === col("h"), "left_anti")
+      val near = Dedup.minhashPairsAcross(corpus, exactKept,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val kept = exactKept.join(
+        near.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val a1 = incoming.groupBy(col("lang")).agg(count(lit(1)).as("n_in"))
+      val a2 = exactKept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_exact_kept"))
+      val a3 = kept.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("chk"))
+      a1.join(a2, Seq("lang"), "left").join(a3, Seq("lang"), "left")
+        .select(col("lang"), col("n_in"),
+          coalesce(col("n_exact_kept"), lit(0L)).as("n_exact_kept"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("chk"), lit(0L)).as("chk"))
+        .orderBy(col("lang"))
+    }),
+
     // simhash: no cross-engine oracle (seeded xxhash64); the driver-path
     // secondary check enforces the pair invariants in-engine (ordered
     // pairs, hamming within [0, maxDist]); the exact-agreement law vs an
@@ -194,6 +226,33 @@ object MlQueries {
       WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
       ORDER BY id_a, id_b""",
+
+    "ml_dedup_incremental" -> s"""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      inc AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      ek AS (SELECT * FROM inc
+             WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+      s_c AS (SELECT doc_id, $shingleSql AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) w),
+      s_i AS (SELECT doc_id, $shingleSql AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ek) w),
+      near AS (SELECT DISTINCT b.doc_id
+               FROM s_c a JOIN s_i b
+                 ON len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.5),
+      kept AS (SELECT * FROM ek
+               WHERE doc_id NOT IN (SELECT doc_id FROM near)),
+      a1 AS (SELECT lang, count(*) AS n_in FROM inc GROUP BY lang),
+      a2 AS (SELECT lang, count(*) AS n_exact_kept FROM ek GROUP BY lang),
+      a3 AS (SELECT lang, count(*) AS n_kept, sum(doc_id) AS chk
+             FROM kept GROUP BY lang)
+      SELECT a1.lang, n_in,
+             coalesce(n_exact_kept, 0) AS n_exact_kept,
+             coalesce(n_kept, 0) AS n_kept,
+             CAST(coalesce(chk, 0) AS BIGINT) AS chk
+      FROM a1 LEFT JOIN a2 USING (lang) LEFT JOIN a3 USING (lang)
+      ORDER BY lang""",
 
     "ml_ngram_jaccard" -> """
       WITH s AS (SELECT doc_id,

@@ -60,6 +60,30 @@ class AnnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("nearDupPairsIvf"))
   }
 
+  test("cross-set minhash pairs == union pairs restricted to the split") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.Dedup
+    GraftSession.install(spark)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") < 3000)
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    val across = Dedup.minhashPairsAcross(corpus, incoming, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // the self-join over the union, restricted to pairs that straddle
+    // the split and re-oriented as (corpus id, incoming id)
+    val union = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .flatMap { case (a, b, j) =>
+        if (a % 3 != 0 && b % 3 == 0) Some((a, b, j))
+        else if (a % 3 == 0 && b % 3 != 0) Some((b, a, j))
+        else None
+      }.toSet
+    assert(union.nonEmpty, "no cross-split near-dup pairs on the fixture")
+    assert(across == union,
+      s"across-only=${(across -- union).take(5)} union-only=${(union -- across).take(5)}")
+  }
+
   test("simhash pairs have symmetric-difference consistency") {
     val pairs = SparkEntry.queries("ml_dedup_simhash")(spark, sf).collect()
     pairs.foreach { r =>

@@ -29,9 +29,16 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "model_asof_tolerance",
     // codec paths: decode results must not depend on how the binary
     // rows were split across partitions
-    "mm_png_decode", "ml_gzip_roundtrip", "ml_shard_roundtrip")
+    "mm_png_decode", "ml_gzip_roundtrip", "ml_shard_roundtrip",
+    // round-8 paths: video containers (AVI idx1 seek), the Avro
+    // container scan, XML ingestion, rank-based perplexity terciles,
+    // two-hash train sharding (row_number interleave must not depend
+    // on input split)
+    "mm_avi_seek", "mm_y4m_decode", "src_avro_roundtrip",
+    "ml_wiki_xml", "ml_perplexity_bucket", "ml_train_shard",
+    "ml_dedup_incremental")
 
-  test("24 representative queries are shuffle-partition invariant (3 vs 32)") {
+  test("31 representative queries are shuffle-partition invariant (3 vs 32)") {
     GraftSession.install(spark) // session-scoped UDF surface (idempotent)
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     def runAt(n: String, key: String) = {
