@@ -158,20 +158,41 @@ object Dedup {
   def minhashPairsAcross(left: DataFrame, right: DataFrame, idCol: String,
                          textCol: String, n: Int = 3,
                          threshold: Double = 0.5): DataFrame = {
-    def prep(df: DataFrame, what: String) = {
-      val hashed = df
-        .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-        .withColumn("sh", shingles(col("ws"), n))
-        .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
-        .localCheckpoint() // feeds banding AND the verify join
-      val banded = hashed
-        .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
-        .toDF("id", "band", "sig")
-      requireBoundedBuckets(banded, Seq("band", "sig"), what)
-      (hashed, banded)
-    }
-    val (hl, bl) = prep(left, "minhashPairsAcross/corpus")
-    val (hr, br) = prep(right, "minhashPairsAcross/incoming")
+    val (hl, bl) = minhashPrepare(left, idCol, textCol, n,
+      "minhashPairsAcross/corpus")
+    minhashPairsAcrossPrepared(hl, bl, right, idCol, textCol, n, threshold)
+  }
+
+  /** the standing corpus artifact: (hashed(id, sh, hsh),
+    * banded(id, band, sig)) — 16 (band, sig) longs + the shingle sets
+    * per doc. Built once, reused across ingest batches (persist/write
+    * is the caller's choice; `stream_corpus_dedup` holds it across a
+    * whole streaming run). */
+  def minhashPrepare(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, what: String = "minhashPrepare")
+      : (DataFrame, DataFrame) = {
+    val hashed = df
+      .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
+      .withColumn("sh", shingles(col("ws"), n))
+      .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
+      .localCheckpoint() // feeds banding AND the verify join
+    val banded = hashed
+      .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
+      .toDF("id", "band", "sig")
+      .localCheckpoint()
+    requireBoundedBuckets(banded, Seq("band", "sig"), what)
+    (hashed, banded)
+  }
+
+  /** cross-set pairs against a PREPARED corpus artifact — the per-batch
+    * work is banding the batch + one (band, sig) join; the corpus is
+    * never re-scanned. */
+  def minhashPairsAcrossPrepared(hl: DataFrame, bl: DataFrame,
+                                 right: DataFrame, idCol: String,
+                                 textCol: String, n: Int = 3,
+                                 threshold: Double = 0.5): DataFrame = {
+    val (hr, br) = minhashPrepare(right, idCol, textCol, n,
+      "minhashPairsAcross/incoming")
     val cand = bl.as("x")
       .join(br.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))

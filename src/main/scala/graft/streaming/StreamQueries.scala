@@ -344,6 +344,60 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // STREAMING incremental corpus dedup — the continuous-ingest form
+    // of ml_dedup_incremental: incoming docs arrive in micro-batches
+    // (4 staged files, maxFilesPerTrigger=1 → ≥4 real batches,
+    // asserted); each batch is admitted against the STANDING corpus
+    // artifact (md5 set + minhash bands, built ONCE before the stream
+    // and reused every batch — Dedup.minhashPrepare /
+    // minhashPairsAcrossPrepared). Admission depends only on the
+    // static corpus, so the result is batch-boundary-invariant and the
+    // stream==batch law holds exactly. Idempotent sink: each batch
+    // overwrites its own batch=N partition dir.
+    "stream_corpus_dedup" -> ((s, dir) => {
+      import graft.ops.Dedup
+      graft.GraftSession.install(s)
+      val (ckpt, out) = fresh("corpus_dedup")
+      val (_, stage) = fresh("corpus_dedup_src")
+      val docs = graft.Tables.load(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      // standing artifacts, built once for the whole run
+      val corpusHashes = corpus.select(md5(col("text")).as("h"))
+        .distinct().localCheckpoint()
+      val (ch, cb) = Dedup.minhashPrepare(corpus, "doc_id", "text", 3,
+        "stream_corpus_dedup/corpus")
+      docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = s.read.parquet(stage).schema
+      val nBatches = s.sparkContext.longAccumulator("corpus_dedup_batches")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nBatches.add(1L)
+          val exactKept = batch.join(corpusHashes,
+            md5(col("text")) === col("h"), "left_anti")
+          val near = Dedup.minhashPairsAcrossPrepared(ch, cb, exactKept,
+            "doc_id", "text", n = 3, threshold = 0.5)
+          val kept = exactKept.join(
+            near.select(col("id_b").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          kept.select(col("doc_id"), col("lang"))
+            .write.mode("overwrite").parquet(s"$out/batch=$batchId")
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      require(nBatches.value >= 4,
+        s"expected >=4 micro-batches, saw ${nBatches.value} — staging drift")
+      s.read.parquet(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("chk"))
+        .orderBy(col("lang"))
+    }),
+
     // late-data drop under an event-time watermark — deterministic
     // three-batch replay (mtime-ordered files + maxFilesPerTrigger=1):
     // batch 1 = early evens, batch 2 = remaining evens. The watermark
@@ -527,6 +581,34 @@ object StreamQueries {
     "stream_dedup" -> """
       SELECT event_type, count(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // stream == batch law for the continuous-ingest dedup: admission
+    // depends only on the static corpus, so the batch SQL is exact
+    // regardless of micro-batch boundaries
+    "stream_corpus_dedup" -> """
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      inc AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      ek AS (SELECT * FROM inc
+             WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+      s_c AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2),
+                       i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+                ELSE [array_to_string(ws, ' ')] END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) w),
+      s_i AS (SELECT doc_id, list_distinct(CASE WHEN len(ws) >= 3
+                THEN list_transform(generate_series(1, len(ws) - 2),
+                       i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))
+                ELSE [array_to_string(ws, ' ')] END) AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ek) w),
+      near AS (SELECT DISTINCT b.doc_id
+               FROM s_c a JOIN s_i b
+                 ON len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.5),
+      kept AS (SELECT * FROM ek
+               WHERE doc_id NOT IN (SELECT doc_id FROM near))
+      SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM kept GROUP BY lang ORDER BY lang""",
 
     "stream_join" -> """
       SELECT v.user_id, count(*) AS n_attr
