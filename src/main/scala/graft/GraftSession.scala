@@ -126,6 +126,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // PushDownAggThroughJoin.java; opt-in via
     // spark.graft.eagerAggBoth.enabled)
     e.injectOptimizerRule(s => new graft.plans.EagerAggBothRule(s))
+    // outer-join + equi-key IS NULL filter -> anti join (reference:
+    // ConvertOuterJoinToAntiJoin.java; opt-in via
+    // spark.graft.outerToAnti.enabled)
+    e.injectOptimizerRule(s => new graft.plans.OuterToAntiRule(s))
     // correlated scalar-agg subquery -> window over a single scan
     // (reference: AggScalarSubQueryToWindowFunction.java; opt-in via
     // spark.graft.scalarAggWindow.enabled)

@@ -123,6 +123,33 @@ object Round8bQueries {
       }
     }),
 
+    // Outer-join -> anti-join conversion (plans/OuterToAnti.scala —
+    // reference ConvertOuterJoinToAntiJoin.java): the "customers with
+    // no orders" idiom. Spark natively materializes the full outer
+    // join then filters; the rewrite runs LEFT ANTI (probe
+    // short-circuits on first match, unmatched-bounded output). Plan
+    // asserted: LeftAnti present, no LeftOuter survives; rows from the
+    // rewritten plan hash against the outer-join oracle.
+    "opt_outer_to_anti" -> ((s, dir) => {
+      val df = t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .filter(col("o_custkey").isNull) // customers with no 'F' order
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("sc"))
+        .orderBy(col("c_mktsegment"))
+      Q.withFlag(s, "spark.graft.outerToAnti.enabled") {
+        import org.apache.spark.sql.catalyst.plans.logical.Join
+        import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftOuter}
+        val types = df.queryExecution.optimizedPlan
+          .collect { case j: Join => j.joinType }
+        require(types.contains(LeftAnti) && !types.contains(LeftOuter),
+          s"outer->anti did not fire: $types\n${df.queryExecution.optimizedPlan}")
+        val rows = df.collect() // executes the anti-join physical plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
     // CCNet-style perplexity bucketing (Wenzek et al. '19): per-doc LM
     // score (unigram mean NLL, the ml_unigram_logprob discipline), then
     // head/middle/tail terciles PER LANGUAGE. Bucket boundaries are
@@ -235,6 +262,15 @@ object Round8bQueries {
              CAST(sum(month(o_orderdate)) AS BIGINT) AS sr,
              min(o_totalprice) AS mnp
       FROM customer JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "opt_outer_to_anti" -> """
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(c_custkey) AS BIGINT) AS sc
+      FROM customer
+      LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+        ON c_custkey = o_custkey
+      WHERE o_custkey IS NULL
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
     "ml_perplexity_bucket" -> """

@@ -30,7 +30,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.inferSetOpDistinct.enabled",
     "spark.graft.scalarAggWindow.enabled",
     "spark.graft.sumLiteral.enabled",
-    "spark.graft.eagerAggBoth.enabled")
+    "spark.graft.eagerAggBoth.enabled",
+    "spark.graft.outerToAnti.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -59,7 +60,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(15) match {
+    r.nextInt(16) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -179,6 +180,19 @@ class RuleDifferentialSpec extends AnyFunSuite {
             round(min(col("o_totalprice")), 6).as("mnp"),
             count(lit(1)).as("n"))
           .orderBy(col(k))
+      case 15 => // outer join + IS NULL anti idiom (OuterToAnti
+        // territory), composed with an aggregate above; alternates the
+        // trigger between the equi-key (fires) and a non-key (must not)
+        val nullCol = if (r.nextBoolean()) "o_orderkey" else "o_orderdate"
+        val lk = pick(liKeys)
+        li.filter(col("l_quantity") > (r.nextInt(20) + 25))
+          .join(ord.filter(col("o_orderkey") % (2 + r.nextInt(4)) === 0),
+            col("l_orderkey") === col("o_orderkey"), "left")
+          .filter(col(nullCol).isNull)
+          .groupBy(col(lk))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_linenumber").cast("long")).as("sl"))
+          .orderBy(col(lk))
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
