@@ -170,5 +170,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectOptimizerRule(s => new graft.plans.TopNPushdownRule(s))
     // sum(col + k) -> sum(col) + count(col)*k (SumLiteralRewrite.java)
     e.injectOptimizerRule(s => new graft.plans.SumLiteralRule(s))
+    // HAVING min(a) < k derives row predicate a < k below the agg, down
+    // to the parquet scan (reference: MaxMinFilterPushDown.java; opt-in
+    // via spark.graft.maxMinFilter.enabled)
+    e.injectOptimizerRule(s => new graft.plans.MaxMinFilterRule(s))
   }
 }

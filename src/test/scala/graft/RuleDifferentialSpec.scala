@@ -31,7 +31,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.scalarAggWindow.enabled",
     "spark.graft.sumLiteral.enabled",
     "spark.graft.eagerAggBoth.enabled",
-    "spark.graft.outerToAnti.enabled")
+    "spark.graft.outerToAnti.enabled",
+    "spark.graft.maxMinFilter.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -60,7 +61,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(16) match {
+    r.nextInt(17) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -193,6 +194,29 @@ class RuleDifferentialSpec extends AnyFunSuite {
           .agg(count(lit(1)).as("n"),
             sum(col("l_linenumber").cast("long")).as("sl"))
           .orderBy(col(lk))
+      case 16 => // HAVING on extrema (MaxMinFilter territory): fire
+        // shapes (covered min/max, single or paired) and no-fire shapes
+        // (count alongside, wrong direction) in one generator.
+        val k = pick(liKeys)
+        val thr = 500.0 + r.nextInt(2000)
+        // bare min/max (no round wrapper): extrema of stored doubles
+        // are exact values, and the rule matches only direct aliases
+        r.nextInt(4) match {
+          case 0 => li.groupBy(col(k))
+            .agg(min(col("l_extendedprice")).as("mn"))
+            .filter(col("mn") < thr).orderBy(col(k))
+          case 1 => li.groupBy(col(k))
+            .agg(max(col("l_extendedprice")).as("mx"))
+            .filter(col("mx") > thr).orderBy(col(k))
+          case 2 => li.groupBy(col(k))
+            .agg(min(col("l_extendedprice")).as("mn"),
+              max(col("l_extendedprice")).as("mx"))
+            .filter(col("mn") < thr && col("mx") > thr).orderBy(col(k))
+          case _ => li.groupBy(col(k)) // count present: must no-fire
+            .agg(min(col("l_extendedprice")).as("mn"),
+              count(lit(1)).as("n"))
+            .filter(col("mn") < thr && col("n") > 1).orderBy(col(k))
+        }
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
