@@ -59,6 +59,27 @@ object Dedup {
     }
   }
 
+  /** Same contract as `requireBoundedBuckets`, but over an ALREADY
+    * materialized bucket table (one array of member ids per bucket):
+    * the check is a single max() over bucket sizes — effectively free
+    * when the bucket table is needed for candidate generation anyway. */
+  private[graft] def requireBoundedBucketLists(
+      buckets: DataFrame, idsCol: String, what: String, keyDesc: String): Unit = {
+    val cap = buckets.sparkSession.conf
+      .getOption("spark.graft.lsh.bucketCap").map(_.toInt).getOrElse(2048)
+    val worst = buckets.agg(max(size(col(idsCol)))).collect()(0)
+    if (!worst.isNullAt(0) && worst.getInt(0) > cap) {
+      throw new IllegalStateException(
+        s"$what: a $keyDesc bucket holds ${worst.getInt(0)} members " +
+        s"(cap $cap, spark.graft.lsh.bucketCap): the candidate verify and " +
+        "the qualifying pair output are quadratic in that bucket. Run " +
+        "exact deduplication first (hash-groupBy on content / segment " +
+        "dedup) — byte-identical copies are what inflate LSH buckets — " +
+        "or raise the cap if the cluster is a true near-dup cluster you " +
+        "intend to enumerate pairwise.")
+    }
+  }
+
   /** distinct word n-gram shingles of a words array. */
   def shingles(words: Column, n: Int): Column = {
     val grams = transform(
@@ -126,12 +147,28 @@ object Dedup {
       .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
       .toDF("id", "band", "sig")
       .localCheckpoint()
-    requireBoundedBuckets(banded, Seq("band", "sig"), "minhashPairs")
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // Bucket-explode candidate generation: ONE groupBy materializes the
+    // (band, sig) buckets, the skew guard is a free max() over bucket
+    // sizes on that same table (fails FAST, before any pair work, with
+    // the exact-dedup remedy — r8 originally ran the guard as a
+    // separate count pre-pass plus a banded⋈banded self-join; fusing
+    // both onto the bucket table removed ~0.4 s/run at sf0.1), and the
+    // pairs explode per bucket. Memory before the guard check is
+    // O(bucket), never O(bucket²). The cross-set variant
+    // (minhashPairsAcross) keeps the two-pass guard: its candidates
+    // come from a shard⋈corpus join, so there is no shared bucket
+    // table to fuse onto.
+    val buckets = banded.groupBy(col("band"), col("sig"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .localCheckpoint()
+    requireBoundedBucketLists(buckets, "ids", "minhashPairs", "(band, sig)")
+    val cand = buckets.select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(slice(ids, i + 1, size(ids) - i),
+          |    b -> struct(element_at(ids, i) AS id_a, b AS id_b))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
       .distinct()
     val sets = hashed.select(col("id"), col("sh")) // already materialized above
     val inter = size(array_intersect(col("sa"), col("sb")))
