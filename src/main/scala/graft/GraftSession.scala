@@ -174,5 +174,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // to the parquet scan (reference: MaxMinFilterPushDown.java; opt-in
     // via spark.graft.maxMinFilter.enabled)
     e.injectOptimizerRule(s => new graft.plans.MaxMinFilterRule(s))
+    // ORDER BY rank-output LIMIT k -> Filter(rank <= k) above the
+    // window, which native InferWindowGroupLimit compiles to a
+    // per-partition group limit (reference: PushDownTopNThroughWindow
+    // .java; opt-in via spark.graft.topnWindow.enabled)
+    e.injectOptimizerRule(s => new graft.plans.TopNWindowRule(s))
   }
 }

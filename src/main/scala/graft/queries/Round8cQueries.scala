@@ -161,6 +161,41 @@ object Round8cQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TopN over a ranking window (reference: PushDownTopNThroughWindow
+    // .java): "first page of every segment's leaderboard" — ORDER BY rn
+    // LIMIT 15 where rn ranks customers inside their segment. The
+    // rewrite inserts Filter(rn <= 15) above the window, which Spark's
+    // native InferWindowGroupLimit compiles to a per-partition group
+    // limit: each partition buffers 15 rows instead of all of them
+    // before the rank sort — the reference's PartitionTopN, Spark-first.
+    // k = 15 = 5 segments x 3 with a unique window tiebreaker, so the
+    // selected set is deterministic on both engines. Plan-asserted:
+    // WindowGroupLimit present with the flag on.
+    "opt_topn_window" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.{Window => W}
+      val spec = W.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      val df = t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(spec).as("rn"))
+        .orderBy(col("rn")).limit(15)
+      Q.withFlag(s, "spark.graft.topnWindow.enabled") {
+        import org.apache.spark.sql.catalyst.expressions.LessThanOrEqual
+        import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+        val derived = df.queryExecution.optimizedPlan.exists {
+          case Filter(LessThanOrEqual(_, _), _: Window) => true
+          case _ => false
+        }
+        require(derived, s"no rank filter above the window:\n" +
+          df.queryExecution.optimizedPlan)
+        require(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+          s"native InferWindowGroupLimit did not engage:\n" +
+            df.queryExecution.executedPlan)
+        val rows = df.collect() // executes the group-limited plan
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
     // One-pass multi-pattern blocklist scan (Aho-Corasick '75 — the C4
     // badwords-filter primitive): the pattern set compiles to a
     // goto/fail automaton ONCE on the driver and broadcasts; each
@@ -276,6 +311,14 @@ object Round8cQueries {
   )
 
   def oracle: Map[String, String] = Map(
+
+    "opt_topn_window" -> """
+      WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+                        CAST(row_number() OVER (PARTITION BY c_mktsegment
+                          ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rn
+                 FROM customer)
+      SELECT c_mktsegment, c_custkey, c_acctbal, rn
+      FROM r ORDER BY rn LIMIT 15""",
 
     "ml_blocklist_scan" -> s"""
       WITH pats AS (SELECT * FROM (VALUES $blockPatternsSqlValues) p(pat)),

@@ -32,7 +32,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.sumLiteral.enabled",
     "spark.graft.eagerAggBoth.enabled",
     "spark.graft.outerToAnti.enabled",
-    "spark.graft.maxMinFilter.enabled")
+    "spark.graft.maxMinFilter.enabled",
+    "spark.graft.topnWindow.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
@@ -61,7 +62,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(17) match {
+    r.nextInt(18) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -217,6 +218,24 @@ class RuleDifferentialSpec extends AnyFunSuite {
               count(lit(1)).as("n"))
             .filter(col("mn") < thr && col("n") > 1).orderBy(col(k))
         }
+      case 17 => // ORDER BY rank LIMIT k over a window (TopNWindow
+        // territory): k = partitions x r so the selected SET is
+        // deterministic (every priority has >> r orders); the window
+        // order carries a unique tiebreaker. Rotates the rank function;
+        // the sum-over-window variant must no-fire.
+        import org.apache.spark.sql.expressions.{Window => W}
+        val rr = 1 + r.nextInt(8)
+        val spec = W.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val rn = r.nextInt(4) match {
+          case 0 => row_number().over(spec)
+          case 1 => rank().over(spec)
+          case 2 => dense_rank().over(spec)
+          case _ => sum(lit(1)).over(spec) // not rank-like: no-fire
+        }
+        ord.select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice"), rn.cast("int").as("rn"))
+          .orderBy(col("rn")).limit(5 * rr)
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
