@@ -179,5 +179,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // per-partition group limit (reference: PushDownTopNThroughWindow
     // .java; opt-in via spark.graft.topnWindow.enabled)
     e.injectOptimizerRule(s => new graft.plans.TopNWindowRule(s))
+    // derive per-column pushable predicates from OR-of-AND filters so
+    // untranslatable legs stop blanking PushedFilters (reference:
+    // ExtractSingleTableExpressionFromDisjunction.java /
+    // InferInPredicateFromOr.java; opt-in via
+    // spark.graft.orExtract.enabled)
+    e.injectOptimizerRule(s => new graft.plans.OrExtractRule(s))
   }
 }

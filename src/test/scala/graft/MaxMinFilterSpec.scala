@@ -19,11 +19,17 @@ class MaxMinFilterSpec extends AnyFunSuite {
   }
 
   /** Derived filters strictly below the first Aggregate that reference
-    * the given column. */
+    * the given column — by exact name, or by the rollup-prefixed name
+    * (`__min_<col>`/`__max_<col>`) when the always-on MV best-index
+    * rewrite has already substituted a registered rollup for the base
+    * scan (the registry is JVM-global, so another spec's registration
+    * can legitimately serve this aggregate; the composition is sound —
+    * the HAVING-derived predicate then prunes the ROLLUP scan). */
   private def derivedFilters(df: DataFrame, colName: String): Seq[Filter] =
     df.queryExecution.optimizedPlan.collectFirst { case a: Aggregate => a }
       .toSeq.flatMap(_.collect {
-        case f: Filter if f.condition.references.exists(_.name == colName) => f
+        case f: Filter if f.condition.references.exists(a =>
+          a.name == colName || a.name.endsWith("_" + colName)) => f
       })
 
   private def li = Tables.load(spark, sf, "lineitem")
