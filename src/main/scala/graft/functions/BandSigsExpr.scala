@@ -54,9 +54,12 @@ object BandSigs {
     * on equal-length inputs (all call sites are same-dim by schema;
     * on a mismatch the shorter length wins, where the HOF spelling
     * would null out). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val aa = a.toDoubleArray()
-    val bb = b.toDoubleArray()
+  def dot(a: ArrayData, b: ArrayData): Double =
+    dot2(a.toDoubleArray(), b.toDoubleArray())
+
+  /** Primitive-array overload (CellTopK / PqCodes kernels) — identical
+    * left-to-right summation. */
+  def dot2(aa: Array[Double], bb: Array[Double]): Double = {
     val n = math.min(aa.length, bb.length)
     var acc = 0.0
     var i = 0

