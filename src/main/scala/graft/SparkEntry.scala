@@ -67,7 +67,8 @@ object SparkEntry {
       (graft.queries.Round7cQueries.queries, graft.queries.Round7cQueries.oracle),
       (graft.queries.Round8Queries.queries, graft.queries.Round8Queries.oracle),
       (graft.queries.Round8bQueries.queries, graft.queries.Round8bQueries.oracle),
-      (graft.queries.Round8cQueries.queries, graft.queries.Round8cQueries.oracle)
+      (graft.queries.Round8cQueries.queries, graft.queries.Round8cQueries.oracle),
+      (graft.queries.Round9Queries.queries, graft.queries.Round9Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

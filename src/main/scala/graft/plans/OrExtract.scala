@@ -4,6 +4,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+
+object OrExtract {
+  /** Apply-once marker (set even when nothing derives, so the fixpoint
+    * never re-scans a Filter): see the convergence note on
+    * [[OrExtractRule]]. */
+  val Derived = TreeNodeTag[Boolean]("graft.orExtract.derived")
+}
 
 /** Derive pushable per-column predicates from disjunctions (reference:
   * nereids/rules/rewrite/ExtractSingleTableExpressionFromDisjunction.java
@@ -35,15 +43,20 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * row the Filter keeps. The rewrite ADDS the derived conjuncts and
   * keeps the original condition, so the kept row set is unchanged.
   *
-  * Convergence: a re-derivation from the same disjunction produces
-  * semantically-equal conjuncts, which are deduplicated against the
-  * (grown) conjunct list — the second fixpoint pass is a no-op, no
-  * tags needed. Native PushDownPredicates then sinks the derived
-  * conjuncts to the scan inside the same operator-optimization batch.
+  * Convergence: a rewritten Filter is tagged ([[OrExtract.Derived]],
+  * mirroring MaxMinFilterRule) and never re-derived. The tag — not
+  * same-Filter dedup — is what guarantees the fixpoint: native
+  * PushDownPredicates can SEPARATE a derived conjunct from its source
+  * Filter (e.g. a HAVING mixing grouping and aggregate columns), after
+  * which conjunct-list dedup alone would re-add it every iteration.
+  * The Doris reference likewise applies this rule exactly once.
+  * Native PushDownPredicates then sinks the derived conjuncts to the
+  * scan inside the same operator-optimization batch.
   *
   * OPT-IN via `spark.graft.orExtract.enabled`. */
 class OrExtractRule(spark: SparkSession)
     extends Rule[LogicalPlan] with PredicateHelper {
+  import OrExtract.Derived
 
   private def enabled: Boolean =
     spark.conf.getOption("spark.graft.orExtract.enabled").contains("true")
@@ -54,7 +67,7 @@ class OrExtractRule(spark: SparkSession)
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.transformDown {
-      case f @ Filter(cond, child) =>
+      case f @ Filter(cond, child) if f.getTagValue(Derived).isEmpty =>
         val conjuncts = splitConjunctivePredicates(cond)
         val derived = conjuncts.collect { case or: Or => deriveFromOr(or) }.flatten
         val fresh = derived.filterNot(d => conjuncts.exists(_.semanticEquals(d)))
@@ -63,8 +76,12 @@ class OrExtractRule(spark: SparkSession)
           .foldLeft(Vector.empty[Expression]) { (acc, d) =>
             if (acc.exists(_.semanticEquals(d))) acc else acc :+ d
           }
-        if (fresh.isEmpty) f
-        else Filter(And(fresh.reduceLeft(And), cond), child)
+        if (fresh.isEmpty) { f.setTagValue(Derived, true); f }
+        else {
+          val out = Filter(And(fresh.reduceLeft(And), cond), child)
+          out.setTagValue(Derived, true)
+          out
+        }
     }
 
   /** One derived predicate per column carried by EVERY disjunct. */

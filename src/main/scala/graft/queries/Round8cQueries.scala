@@ -262,12 +262,15 @@ object Round8cQueries {
         val agg = df.queryExecution.optimizedPlan.collectFirst {
           case a: Aggregate => a
         }.getOrElse(throw new IllegalStateException("no Aggregate"))
-        // name-contains: the always-on MV best-index rewrite may have
-        // substituted a registered rollup whose column is
-        // __min_l_extendedprice — the derived filter then prunes the
-        // ROLLUP scan, which is exactly the composition we want
+        // exact names only (base column or the rollup-prefixed
+        // __min_/__max_ column the always-on MV best-index rewrite may
+        // substitute — the derived filter then prunes the ROLLUP scan,
+        // which is exactly the composition we want); a contains() match
+        // would also accept unrelated columns embedding the substring
+        val expectedNames = Set("l_extendedprice",
+          "__min_l_extendedprice", "__max_l_extendedprice")
         val derived = agg.exists {
-          case Filter(c, _) => c.references.exists(_.name.contains("l_extendedprice"))
+          case Filter(c, _) => c.references.exists(r => expectedNames(r.name))
           case _ => false
         }
         require(derived, s"no derived filter below the aggregate:\n" +
@@ -301,10 +304,12 @@ object Round8cQueries {
         val agg = df.queryExecution.optimizedPlan.collectFirst {
           case a: Aggregate => a
         }.getOrElse(throw new IllegalStateException("no Aggregate"))
+        val expectedNames = Set("l_extendedprice",
+          "__min_l_extendedprice", "__max_l_extendedprice")
         val disjunct = agg.exists {
           case Filter(c, _) =>
             c.isInstanceOf[Or] &&
-              c.references.exists(_.name.contains("l_extendedprice"))
+              c.references.exists(r => expectedNames(r.name))
           case _ => false
         }
         require(disjunct, s"no OR-combined derived filter below the aggregate:\n" +

@@ -29,7 +29,8 @@ class MaxMinFilterSpec extends AnyFunSuite {
     df.queryExecution.optimizedPlan.collectFirst { case a: Aggregate => a }
       .toSeq.flatMap(_.collect {
         case f: Filter if f.condition.references.exists(a =>
-          a.name == colName || a.name.endsWith("_" + colName)) => f
+          a.name == colName || a.name == "__min_" + colName ||
+            a.name == "__max_" + colName) => f
       })
 
   private def li = Tables.load(spark, sf, "lineitem")

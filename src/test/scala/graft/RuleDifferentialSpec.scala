@@ -33,7 +33,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.eagerAggBoth.enabled",
     "spark.graft.outerToAnti.enabled",
     "spark.graft.maxMinFilter.enabled",
-    "spark.graft.topnWindow.enabled")
+    "spark.graft.topnWindow.enabled",
+    "spark.graft.orExtract.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
