@@ -49,6 +49,20 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
         .split("\\s+")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Loadavg GATE (r8-verdict #4): a recording started on a busy
+    // machine is not attributable round-over-round, so wait (bounded)
+    // for the 1-min loadavg to drop below the threshold before timing
+    // anything; if it never does, record anyway — loadavg_start in the
+    // JSON marks the run as noisy, and loadavg_waited_s shows the gate
+    // tried.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "2.0").toDouble
+    val gateMaxWaitS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADWAIT", "120").toInt
+    var waited = 0
+    while (loadavg() > loadGate && waited < gateMaxWaitS) {
+      System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $loadGate%.1f — waiting")
+      Thread.sleep(10000)
+      waited += 10
+    }
     val loadStart = loadavg()
 
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
@@ -80,17 +94,21 @@ object Bench {
       }
       (n, if (ok.isEmpty) -1.0 else ok.head, spread(ok))
     }
-    // scale evidence IN the artifact (not only in ScaleProbe): two
-    // heavy entries re-timed on the 5x key-shifted replication of this
-    // SF (build cost excluded from timings; same best-of-N + spread
-    // discipline as the 1x entries).
+    // scale evidence IN the artifact (not only in ScaleProbe): one
+    // entry per growth class ScaleProbe asserts — scan/agg/join
+    // (ds_wide_resale), full-cardinality group-by (cb_q29), content
+    // dedup (ml_segment_dedup), planted-density banded dedup
+    // (ml_dedup_minhash, ml_embed_neardup_lsh) — re-timed on the 5x
+    // key-shifted replication of this SF (build cost excluded from
+    // timings; same best-of-N + spread discipline as the 1x entries).
     val scaleResults =
       if (sys.env.getOrElse("SPARK_GRAFT_BENCH_SET", "tpch") != "tpch") Nil
       else {
         val out = s"target/scale/${new java.io.File(sfDir).getName}_x5"
         try {
           ScaleProbe.build(spark, sfDir, out, 5)
-          Seq("ds_wide_resale", "ml_segment_dedup").map { n =>
+          Seq("ds_wide_resale", "ml_segment_dedup", "cb_q29",
+              "ml_dedup_minhash", "ml_embed_neardup_lsh").map { n =>
             var ok = (0 until iters).map(_ => timeOnceIn(n, out)).filter(_ >= 0).sorted
             def spread(xs: Seq[Double]): Double =
               if (xs.size < 2 || xs.head <= 0) 0.0 else (xs(1) - xs.head) / xs.head
@@ -113,7 +131,7 @@ object Bench {
     val loadEnd = loadavg()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
-      s""""best2_spread":$sp}""")
+      s""""loadavg_waited_s":$waited,"best2_spread":$sp}""")
     spark.stop()
   }
 }

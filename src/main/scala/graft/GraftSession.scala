@@ -185,5 +185,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // InferInPredicateFromOr.java; opt-in via
     // spark.graft.orExtract.enabled)
     e.injectOptimizerRule(s => new graft.plans.OrExtractRule(s))
+    // transitive range inference through non-equi comparison chains
+    // (reference: UnequalPredicateInfer.java; opt-in via
+    // spark.graft.unequalInfer.enabled)
+    e.injectOptimizerRule(s => new graft.plans.UnequalPredicateInferRule(s))
   }
 }

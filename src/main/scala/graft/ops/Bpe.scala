@@ -13,12 +13,12 @@ import org.apache.spark.sql.functions._
   *    there on everything is VOCABULARY-sized (Heaps' law bounds
   *    distinct words far below corpus size — this is exactly why the
   *    classical BPE trainers operate on word counts, not the corpus).
-  *  - each of the K merge steps is one small pair-count aggregation
-  *    over the vocab table (sliding bigrams weighted by word count) +
-  *    a 1-row argmax to the driver (scheduler-sized, the sanctioned
-  *    class) + a map-side merge application. No step touches the
-  *    corpus again; K ~ 30k merges in production is K bounded shuffles
-  *    of a bounded table.
+  *  - the K-merge loop runs DRIVER-LOCAL over the collected word-count
+  *    table when it fits `spark.graft.bpe.vocabCap` (default 1M words
+  *    — the common case by Heaps' law; K ≈ 30k production merges cost
+  *    zero Spark jobs). Over the cap, each merge step falls back to
+  *    one bounded pair-count aggregation + a 1-row argmax — K bounded
+  *    shuffles of a bounded table, never the corpus.
   *  - application (tokenize) broadcasts the learned merge ranks and is
   *    a pure per-partition map over the corpus.
   *
@@ -61,24 +61,93 @@ object Bpe {
 
   /** Train `numMerges` merges over the corpus' space-separated words.
     * Stops early when the best pair occurs fewer than `minCount` times.
-    * The vocab stays a Dataset the whole way — only the per-step argmax
-    * row ever reaches the driver. */
+    *
+    * Two-phase design (r8-verdict fix of the K-jobs-with-K-collects
+    * shape): the ONE corpus-wide shuffle builds the (word, count)
+    * table; that table is VOCABULARY-bounded (Heaps' law), so when it
+    * fits under `spark.graft.bpe.vocabCap` (default 1M distinct words
+    * — tens of MB of symbols) the K-merge loop runs DRIVER-LOCAL, the
+    * classical in-memory BPE trainer: K ≈ 30k production merges cost
+    * zero Spark jobs instead of 30k scheduler round-trips over a table
+    * that fits one machine by construction. Over the cap, the
+    * distributed per-step loop (one bounded aggregation + a 1-row
+    * argmax per merge) remains as the fallback — same tie-breaks, same
+    * merge sequence. Both paths are pinned against the independent
+    * naive trainer in `BpeSpec`. */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             minCount: Long = 2L): Seq[Merge] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // the ONE corpus-wide shuffle. localCheckpoint (eager) materializes
-    // AND truncates lineage — without it each merge step nests the
-    // previous step's plan and the tree (hence every plan print and
-    // re-optimization) grows without bound; this is the standard
-    // iterative-Spark discipline (GraphX/ALS do the same).
-    var vocab: Dataset[(Seq[String], Long)] = docs
+    // the ONE corpus-wide shuffle
+    val vocab0: Dataset[(Seq[String], Long)] = docs
       .select(explode(split(coalesce(col(textCol), lit(""))," ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .as[(String, Long)]
       .map { case (w, c) => (wordToSymbols(w), c) }
       .localCheckpoint()
+    val cap = spark.conf.getOption("spark.graft.bpe.vocabCap")
+      .map(_.toLong).getOrElse(1000000L)
+    if (vocab0.count() <= cap)
+      trainLocal(vocab0.collect(), numMerges, minCount)
+    else trainDistributed(vocab0, numMerges, minCount)
+  }
 
+  /** Driver-local merge loop over the collected vocabulary — identical
+    * tie-breaks ((count DESC, left ASC, right ASC)) and identical
+    * left-to-right greedy merge application, so the merge sequence
+    * matches the distributed path symbol-for-symbol. */
+  private def trainLocal(vocab0: Array[(Seq[String], Long)], numMerges: Int,
+                         minCount: Long): Seq[Merge] = {
+    var vocab = vocab0
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    var lastCount = Long.MaxValue
+    while (rank < numMerges && !done) {
+      val counts = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          counts.merge((syms(i), syms(i + 1)), c, (a, b) => a + b)
+          i += 1
+        }
+      }
+      var best: (String, String) = null
+      var bestC = 0L
+      counts.forEach { (k, v) =>
+        if (best == null || v > bestC ||
+            (v == bestC && (k._1 < best._1 ||
+              (k._1 == best._1 && k._2 < best._2)))) {
+          best = k; bestC = v
+        }
+      }
+      if (best == null || bestC < minCount) done = true
+      else {
+        // law: the chosen count never increases step-over-step — new
+        // pairs created by a merge occur at most as often as the merge
+        // that created them
+        require(bestC <= lastCount,
+          s"BPE max-count monotonicity violated: $bestC after $lastCount")
+        lastCount = bestC
+        merges += Merge(rank, best._1, best._2, bestC)
+        val (l, r) = best
+        vocab = vocab.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Over-cap fallback: the vocab stays a Dataset the whole way — only
+    * the per-step argmax row ever reaches the driver. localCheckpoint
+    * (eager) materializes AND truncates lineage — without it each merge
+    * step nests the previous step's plan and the tree (hence every plan
+    * print and re-optimization) grows without bound; this is the
+    * standard iterative-Spark discipline (GraphX/ALS do the same). */
+  private def trainDistributed(vocab0: Dataset[(Seq[String], Long)],
+                               numMerges: Int, minCount: Long): Seq[Merge] = {
+    import vocab0.sparkSession.implicits._
+    var vocab = vocab0
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -93,9 +162,6 @@ object Bpe {
         .limit(1).collect() // 1 row: the argmax only
       best.headOption match {
         case Some((l, r, c)) if c >= minCount =>
-          // law: the chosen count never increases step-over-step — new
-          // pairs created by a merge occur at most as often as the
-          // merge that created them
           require(c <= lastCount,
             s"BPE max-count monotonicity violated: $c after $lastCount")
           lastCount = c

@@ -266,13 +266,27 @@ object Dedup {
   /** SimHash near-dup pairs with hamming distance <= maxDist, using
     * 4x16-bit band blocking (pigeonhole: dist <= 3 implies >= 1 equal
     * band), then exact popcount verify. */
+  /** 60-bit md5-derived word hash (top 15 hex chars → BIGINT) — the
+    * cross-engine-replicable alternative to xxhash64 (DuckDB:
+    * `CAST(concat('0x', substr(md5(w),1,15)) AS BIGINT)`), shared with
+    * the `ml_simhash_exact` derivation. */
+  def md5WordHash(w: Column): Column =
+    conv(substring(md5(w), 1, 15), 16, 10).cast("long")
+
+  /** `wordHash` selects the per-word hash: the default xxhash64 is the
+    * scale path (one codegen hash per word); the md5-derived 60-bit
+    * variant ([[md5WordHash]]) is bit-replicable in DuckDB SQL, which
+    * is what lets `ml_dedup_simhash` carry a value-exact oracle (r9 —
+    * the banding, verify, and pair semantics are identical either
+    * way). */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3,
+                   wordHash: Column => Column = w => xxhash64(w)): DataFrame = {
     // word hashes once (checkpointed: single-reference aliases get
     // inlined into the 64 per-bit lambdas otherwise), sign-sum on longs
     val hashed = docs
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
-      .withColumn("hw", transform(col("ws"), w => xxhash64(w)))
+      .withColumn("hw", transform(col("ws"), w => wordHash(w)))
       .localCheckpoint()
       .withColumn("sh", simhashOfHashes("hw"))
     val banded = hashed.select(col("id"), col("sh"),

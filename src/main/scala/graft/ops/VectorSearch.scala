@@ -199,20 +199,21 @@ object VectorSearch {
       .filter(col("sim") >= threshold)
   }
 
-  /** Random-hyperplane LSH bucketing: nPlanes pseudo-random (seeded,
-    * deterministic) hyperplanes; bucket = sign-bit signature. Probing
-    * joins on bucket equality — approximate, corpus scanned once. */
-  def lshBuckets(df: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame = {
-    // plane p component j = hash(p, j) mapped to [-1, 1] — deterministic
-    val sig = expr(
-      s"""aggregate(sequence(0, ${nPlanes - 1}), CAST(0 AS BIGINT), (acc, p) ->
-            acc + IF(aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), (s, j) ->
-                       s + CAST(embedding[j] AS DOUBLE) *
-                           (CAST(pmod(xxhash64(concat(CAST(p AS STRING), ':', CAST(j AS STRING))), 2000) AS DOUBLE) / 1000.0 - 1.0)
-                     ) > 0,
-                     shiftleft(CAST(1 AS BIGINT), p), CAST(0 AS BIGINT)))""")
-    df.withColumn("bucket", sig)
-  }
+  /** Random-hyperplane LSH bucketing: nPlanes deterministic
+    * splitmix64-derived hyperplanes (the SAME matrix as the banded
+    * near-dup kernel — [[graft.functions.BandSigs.planeComponent]]);
+    * bucket = sign-bit signature packed into one long by the codegen
+    * kernel. Probing joins on bucket equality — approximate, corpus
+    * scanned once. Because the plane derivation is plain 64-bit
+    * integer arithmetic, the bucketing is CROSS-ENGINE REPLICABLE:
+    * the `ml_ann_lsh` DuckDB oracle re-derives the identical planes
+    * (mul-mod-2^64 via HUGEINT split multiplies) and buckets — the
+    * r9 conversion of this path from rows-only to value-exact.
+    * `dim` is retained for signature stability but unused (the kernel
+    * reads the vector's own length). */
+  def lshBuckets(df: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame =
+    df.withColumn("bucket",
+      expr(s"graft_band_sigs(transform(embedding, x -> CAST(x AS DOUBLE)), $nPlanes, 1)[0]"))
 
   /** IVF-style two-level search: assign every corpus vector to its best
     * centroid cell (one broadcast of the centroid set + one corpus

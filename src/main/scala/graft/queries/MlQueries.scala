@@ -62,14 +62,16 @@ object MlQueries {
         .orderBy(col("lang"))
     }),
 
-    // simhash: no cross-engine oracle (seeded xxhash64); the driver-path
-    // secondary check enforces the pair invariants in-engine (ordered
-    // pairs, hamming within [0, maxDist]); the exact-agreement law vs an
-    // unbanded popcount join is ml_simhash_exact (oracle-green) and
-    // AnnSpec "simhash pairs have symmetric-difference consistency".
+    // simhash through the FULL banded pipeline (4x16-bit pigeonhole
+    // blocks, popcount verify) with the md5-derived 60-bit word hash —
+    // bit-replicable in DuckDB, so this is value-exact against an
+    // oracle that re-derives the identical banding (r9: was rows-only
+    // under seeded xxhash64, which stays the scale-path default in
+    // Dedup.simhashPairs). The in-engine invariant check remains as a
+    // belt.
     "ml_dedup_simhash" -> ((s, dir) => {
       val out = Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxDist = 16)
+        maxDist = 16, wordHash = Dedup.md5WordHash)
       val viol = out.filter(col("id_a") >= col("id_b") ||
         col("hamming") < 0 || col("hamming") > 16).count()
       require(viol == 0, s"simhash pair invariants violated on $viol rows")
@@ -123,12 +125,13 @@ object MlQueries {
         .orderBy(col("q_id"), col("rn"))
     }),
 
-    // approximate ANN via hyperplane LSH — rows-only (bucket hashes are
-    // engine-seeded); the exact-sim/recall law vs brute force is AnnSpec
-    // "LSH top-k sims are a subset of brute-force sims". The driver-path
-    // secondary check enforces the result-shape invariants in-engine:
-    // <= k rows per query, rn dense from 1, sims in [-1,1] and
-    // non-increasing by rank.
+    // approximate ANN via hyperplane LSH — value-exact (r9): the
+    // splitmix64 plane derivation is plain 64-bit integer arithmetic,
+    // so the DuckDB oracle re-derives the identical plane matrix
+    // (split-multiply mod-2^64 over HUGEINT), buckets, and ranks. The
+    // exact-sim/recall law vs brute force is AnnSpec "LSH top-k sims
+    // are a subset of brute-force sims"; the in-engine shape checks
+    // remain as a belt.
     "ml_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val out = VectorSearch.topKLsh(emb, emb.filter(col("vec_id") < 5), 64, 10)
@@ -215,6 +218,82 @@ object MlQueries {
       SELECT lang, count(*) AS n, count(DISTINCT text) AS n_uniq,
              count(DISTINCT md5(text)) AS n_uniq_h
       FROM documents GROUP BY lang ORDER BY lang""",
+
+    // identical banded pipeline re-derived: md5-60bit word hashes,
+    // 64-bit sign-sum simhash, 4x16-bit pigeonhole blocks, popcount
+    // verify (arithmetic >> then & 65535 == the logical shift on the
+    // masked low bits)
+    "ml_dedup_simhash" -> """
+      WITH h AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(wd), 1, 15)) AS BIGINT) AS wh
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+              FROM documents) w),
+      bits AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN (wh >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) g
+        GROUP BY doc_id, i),
+      sh AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS BIGINT) AS sh
+        FROM bits GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, sh, b, (sh >> (b * 16)) & 65535 AS key
+        FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb)
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             bit_count(xor(x.sh, y.sh)) AS hamming
+      FROM banded x JOIN banded y
+        ON x.b = y.b AND x.key = y.key AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.sh, y.sh)) <= 16
+      ORDER BY id_a, id_b""",
+
+    // the LSH plane matrix re-derived in SQL: splitmix64 over (p, j)
+    // with wrap-around 64-bit multiplies done as HUGEINT split
+    // products (a*b mod 2^64 = a*lo + ((a*hi) mod 2^32)<<32), signed
+    // floorMod 2001 -> [-1, 1] components — bit-identical to
+    // graft.functions.BandSigs.planeComponent; then sign-bit buckets,
+    // bucket-equality probe, exact cosine rank
+    "ml_ann_lsh" -> """
+      WITH pj AS (SELECT p.range AS p, j.range AS j
+                  FROM range(0, 8) p(range), range(0, 64) j(range)),
+      s0 AS (SELECT p, j,
+        ((CAST(p AS HUGEINT) * 4294967296 + j) + 11400714819323198485)
+          % 18446744073709551616 AS z0 FROM pj),
+      x0 AS (SELECT p, j, xor(z0, z0 // 1073741824) AS a FROM s0),
+      s1 AS (SELECT p, j,
+        ((a * 484763065) % 18446744073709551616
+         + ((a * 3210233709) % 4294967296) * 4294967296)
+          % 18446744073709551616 AS z1 FROM x0),
+      x1 AS (SELECT p, j, xor(z1, z1 // 134217728) AS a FROM s1),
+      s2 AS (SELECT p, j,
+        ((a * 321982955) % 18446744073709551616
+         + ((a * 2496678331) % 4294967296) * 4294967296)
+          % 18446744073709551616 AS z2 FROM x1),
+      s3 AS (SELECT p, j, xor(z2, z2 // 2147483648) AS z3 FROM s2),
+      sg AS (SELECT p, j,
+        CASE WHEN z3 >= 9223372036854775808
+             THEN z3 - 18446744073709551616 ELSE z3 END AS sv FROM s3),
+      plv AS (SELECT p, list(CAST(((sv % 2001) + 2001) % 2001 - 1000 AS DOUBLE)
+                             / 1000.0 ORDER BY j) AS pv
+              FROM sg GROUP BY p),
+      emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      buck AS (
+        SELECT e.vec_id, e.v,
+          CAST(sum(CASE WHEN list_inner_product(e.v, plv.pv) > 0
+                   THEN CAST(1 AS BIGINT) << plv.p ELSE 0 END) AS BIGINT) AS bucket
+        FROM emb e CROSS JOIN plv GROUP BY e.vec_id, e.v),
+      cand AS (
+        SELECT q.vec_id AS q_id, c.vec_id,
+          round(list_inner_product(q.v, c.v)
+            / (sqrt(list_inner_product(q.v, q.v))
+             * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+        FROM buck q JOIN buck c USING (bucket)
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      SELECT q_id, rn, vec_id, sim FROM (
+        SELECT q_id, vec_id, sim,
+          row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+        FROM cand) x
+      WHERE rn <= 10 ORDER BY q_id, rn""",
 
     "ml_dedup_minhash" -> s"""
       WITH s AS (SELECT doc_id, $shingleSql AS sh

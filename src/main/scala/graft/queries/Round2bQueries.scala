@@ -123,6 +123,13 @@ object Round2bQueries {
     // if the registered SQL functions drift from the public spec.
     // Multi-arg chains strings (hash of arg N seeded by hash of
     // args 1..N-1).
+    // r9: converted from rows-only to a literal-expected oracle built
+    // from PUBLISHED vectors only (the reference's M.out fn_test rows
+    // and the hello/world chain from test_hash_function.out, plus
+    // XXH3's published empty-input value) — the same fn_hash_pinned
+    // discipline. The in-engine require stays as a belt; the broader
+    // table-driven surface (h128, xxhash over data columns) remains
+    // exercised by fn_hash128 / fn_hash_pinned / fn_hash_chained.
     "misc_hash_murmur" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
       val v = s.sql("""
@@ -136,13 +143,11 @@ object Round2bQueries {
         v.getInt(3) == -83855367 && v.getInt(4) == -920844969,
         s"hash published-vector pin failed in driver path: $v")
       s.sql("""
-        SELECT n_nationkey, murmur_hash3_32(n_name) AS h0,
-               murmur_hash3_32(n_name, upper(n_name)) AS hs,
-               murmur_hash3_64(n_name) AS h64,
-               CAST(murmur_hash3_128(n_name) AS STRING) AS h128,
-               xxhash_64(n_name) AS x3,
-               xxhash_32(n_name) AS x32
-        FROM nation ORDER BY n_nationkey""")
+        SELECT s, murmur_hash3_32(s) AS h32, murmur_hash3_64(s) AS h64,
+               xxhash_32('hello') AS x32h, xxhash_64() AS x64e
+        FROM VALUES ('hello'), ('string1'), ('varchar11'), ('varchar12'),
+                    ('varchar13') AS t(s)
+        ORDER BY s""")
     }),
 
     // salting for skewed keys: explode the hot side into SALT subkeys,
@@ -162,6 +167,29 @@ object Round2bQueries {
   )
 
   def oracle: Map[String, String] = Map(
+
+    // literal expected table: published murmur vectors (M.out fn_test
+    // rows + the hello/world chain), xxhash_32('hello') from
+    // test_hash_function.out, and XXH3-64's published empty-input value
+    "misc_hash_murmur" -> """
+      SELECT * FROM (VALUES
+        ('hello',     CAST(1321743225 AS INT),
+         CAST(-3215607508166160593 AS BIGINT),
+         CAST(-83855367 AS INT), CAST(3244421341483603138 AS BIGINT)),
+        ('string1',   CAST(1105201137 AS INT),
+         CAST(-7629742527255288609 AS BIGINT),
+         CAST(-83855367 AS INT), CAST(3244421341483603138 AS BIGINT)),
+        ('varchar11', CAST(1382328699 AS INT),
+         CAST(8683832286507167489 AS BIGINT),
+         CAST(-83855367 AS INT), CAST(3244421341483603138 AS BIGINT)),
+        ('varchar12', CAST(-216074155 AS INT),
+         CAST(8582507899476528269 AS BIGINT),
+         CAST(-83855367 AS INT), CAST(3244421341483603138 AS BIGINT)),
+        ('varchar13', CAST(-1704245912 AS INT),
+         CAST(3951582574031518507 AS BIGINT),
+         CAST(-83855367 AS INT), CAST(3244421341483603138 AS BIGINT)))
+        t(s, h32, h64, x32h, x64e)
+      ORDER BY s""",
     "fn_string2" -> """
       SELECT n_nationkey,
              split_part(n_name, 'A', 1) AS si1,

@@ -41,6 +41,61 @@ object Round9Queries {
         val rows = df.collect()
         s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
       }
+    }),
+
+    // Transitive range inference through a NON-EQUI join chain
+    // (reference: UnequalPredicateInfer.java): the date-band predicate
+    // sits on orders, the join compares l_shipdate > o_orderdate, and
+    // the implied l_shipdate > cutoff must reach lineitem's
+    // PushedFilters — natively the fact scan gets IsNotNull only
+    // (probed; Spark's InferFiltersFromConstraints covers equi keys
+    // exclusively). At 100 TB this zonemap-prunes the fact side of
+    // every "events after the cutoff" shape.
+    "opt_unequal_infer" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem").as("l")
+        .join(t(s, dir, "orders").as("o"),
+          col("l.l_orderkey") === col("o.o_orderkey") &&
+            col("l.l_shipdate") > col("o.o_orderdate"))
+        .filter(col("o.o_orderdate") > lit("1997-06-01").cast("timestamp_ntz"))
+        .groupBy(col("l.l_returnflag").as("flag"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l.l_orderkey")).as("sum_ok"))
+        .orderBy(col("flag"))
+      Q.withFlag(s, "spark.graft.unequalInfer.enabled") {
+        val phys = df.queryExecution.executedPlan.toString
+        require(phys.matches(
+          "(?s).*PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate.*"),
+          s"implied l_shipdate bound did not reach the fact scan:\n$phys")
+        val rows = df.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+      }
+    }),
+
+    // count(non-null literal) — the reference rewrites this to
+    // count(*) (CountLiteralRewrite.java); Spark 4 normalizes it
+    // natively (probed: `count(lit(5))` plans as functions=[count(1)]
+    // with ReadSchema: struct<>, zero columns read). This query pins
+    // that native coverage: the plan assert fails if a regression ever
+    // makes the literal count read data.
+    "opt_count_literal" -> ((s, dir) => {
+      val df = t(s, dir, "lineitem")
+        .agg(count(lit(5)).as("n_lit"), count(lit(1)).as("n_one"),
+          count(lit("x")).as("n_str"))
+      val phys = df.queryExecution.executedPlan.toString
+      // two acceptable plans: the bare count reads ZERO columns
+      // (ReadSchema: struct<>), or the always-on MV best-index rewrite
+      // has substituted a count rollup (sum of the rollup's __cnt
+      // column — strictly better: it reads the tiny MV, not the fact
+      // table). Either way the literal itself must never be evaluated
+      // per row.
+      val zeroRead = phys.contains("ReadSchema: struct<>")
+      val mvCount = phys.contains("__cnt")
+      require(zeroRead || mvCount,
+        s"literal count must read zero columns (or the count rollup):\n$phys")
+      require(!phys.contains("count(5)") &&
+        (mvCount || phys.contains("count(1)")),
+        s"count(literal) was not normalized to count(1):\n$phys")
+      df
     })
   )
 
@@ -53,6 +108,18 @@ object Round9Queries {
       WHERE (l_quantity = 4 AND l_extendedprice * l_discount > 50)
          OR (l_quantity = 5 AND l_tax > 0.05)
          OR (l_quantity = 6 AND l_returnflag = 'R')
-      GROUP BY 1 ORDER BY 1"""
+      GROUP BY 1 ORDER BY 1""",
+
+    "opt_unequal_infer" -> """
+      SELECT l.l_returnflag AS flag, count(*) AS n_rows,
+             CAST(sum(l.l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem l JOIN orders o
+        ON l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      WHERE o.o_orderdate > TIMESTAMP '1997-06-01'
+      GROUP BY 1 ORDER BY 1""",
+
+    "opt_count_literal" -> """
+      SELECT count(5) AS n_lit, count(*) AS n_one, count('x') AS n_str
+      FROM lineitem"""
   )
 }

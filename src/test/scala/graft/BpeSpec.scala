@@ -116,4 +116,17 @@ class BpeSpec extends AnyFunSuite {
     assert(Bpe.applyMerge(Seq("a", "a", "a", "</w>"), "a", "a")
       == Seq("aa", "a", "</w>"))
   }
+
+  test("driver-local and forced-distributed merge loops learn identical sequences") {
+    // under the vocab cap the K-merge loop runs driver-local (zero
+    // Spark jobs); cap 0 forces the distributed per-step fallback —
+    // both must produce the same merges, counts, and ranks
+    val docs = Tables.load(spark, sf, "documents").filter(col("doc_id") < 200)
+    val local = Bpe.train(docs, "text", 12)
+    val dist = graft.queries.Q.withFlag(spark, "spark.graft.bpe.vocabCap", "0") {
+      Bpe.train(docs, "text", 12)
+    }
+    assert(local.nonEmpty && local == dist,
+      s"local/distributed merge sequences diverged:\n$local\nvs\n$dist")
+  }
 }

@@ -235,6 +235,24 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("ds_wide_resale: one cross_sales aggregate subtree feeds both join sides (r9)") {
+    // the cs1⋈cs2 self-join must be served by exchange reuse — one
+    // aggregate subtree, the second side a ReusedExchange. This GATES
+    // the canonicalization ReuseExchange depends on: if a future change
+    // breaks it, this fails loudly and the structural fallback (eager
+    // materialization of the CTE — measured 2x slower at sf0.1 because
+    // of row serialization, hence not the default) gets swapped in.
+    // AQE finalizes reuse at runtime, so execute (an action on THIS
+    // Dataset — a write would plan a fresh QueryExecution), then
+    // inspect the final adaptive plan.
+    val df = SparkEntry.queries("ds_wide_resale")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"plan did not finalize:\n$p")
+    assert(p.contains("ReusedExchange"),
+      s"cross_sales self-join no longer reuses the aggregate subtree:\n$p")
+  }
+
   test("TPC-H q2 tail: correlated min resolves without cartesian") {
     val p = plan("q2_min_cost_supplier")
     assert(!p.contains("CartesianProduct"), s"cartesian in q2:\n$p")

@@ -34,7 +34,8 @@ class RuleDifferentialSpec extends AnyFunSuite {
     "spark.graft.outerToAnti.enabled",
     "spark.graft.maxMinFilter.enabled",
     "spark.graft.topnWindow.enabled",
-    "spark.graft.orExtract.enabled")
+    "spark.graft.orExtract.enabled",
+    "spark.graft.unequalInfer.enabled")
 
   private def withAll[T](on: Boolean)(f: => T): T = {
     flags.foreach(spark.conf.set(_, on.toString))
