@@ -57,6 +57,35 @@ object BandSigs {
   def dot(a: ArrayData, b: ArrayData): Double =
     dot2(a.toDoubleArray(), b.toDoubleArray())
 
+  /** Widening reader: an ARRAY<FLOAT> storage column is consumed
+    * directly (float → double is exact), so the vector paths need no
+    * transform-cast projection materializing a double copy per row —
+    * the L2Squared design generalized to the whole kernel family. */
+  def toDoubles(a: ArrayData, isFloat: Boolean): Array[Double] =
+    if (!isFloat) a.toDoubleArray()
+    else {
+      val n = a.numElements()
+      val out = new Array[Double](n)
+      var i = 0
+      while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
+      out
+    }
+
+  /** Mixed-width inner product (either side FLOAT or DOUBLE); same
+    * left-to-right summation, bit-identical to casting first. */
+  def dotw(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
   /** Primitive-array overload (CellTopK / PqCodes kernels) — identical
     * left-to-right summation. */
   def dot2(aa: Array[Double], bb: Array[Double]): Double = {
@@ -129,8 +158,14 @@ object BandSigs {
   }
 
   /** The per-row kernel (called from generated code). */
-  def sigs(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData = {
-    val vv = v.toDoubleArray()
+  def sigs(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData =
+    sigsOf(v.toDoubleArray(), nPlanes, nBands)
+
+  /** Float-storage variant: widen then the identical plane loop. */
+  def sigsF(v: ArrayData, nPlanes: Int, nBands: Int, isFloat: Boolean): ArrayData =
+    sigsOf(toDoubles(v, isFloat), nPlanes, nBands)
+
+  private def sigsOf(vv: Array[Double], nPlanes: Int, nBands: Int): ArrayData = {
     val pl = planes(nPlanes, vv.length)
     val r = nPlanes / nBands
     val out = new Array[Long](nBands)
@@ -147,30 +182,41 @@ object BandSigs {
   }
 }
 
-/** graft_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) -> DOUBLE — the inner
-  * product as one codegen kernel call (primitive loop) instead of the
-  * interpreted aggregate(zip_with(...)) cascade. Shared by the LSH /
-  * IVF verify stages and the norm pass (norm = sqrt(graft_dot(v, v))).
-  * Summation order is left-to-right exactly like the HOF spelling it
-  * replaces, so results are bit-identical. */
+/** graft_dot(a ARRAY<FLOAT|DOUBLE>, b ARRAY<FLOAT|DOUBLE>) -> DOUBLE —
+  * the inner product as one codegen kernel call (primitive loop)
+  * instead of the interpreted aggregate(zip_with(...)) cascade. Shared
+  * by the LSH / IVF verify stages and the norm pass
+  * (norm = sqrt(graft_dot(v, v))). Summation order is left-to-right
+  * exactly like the HOF spelling it replaces, and floats widen to
+  * double per element (exact), so results are bit-identical — an
+  * ARRAY<FLOAT> storage column needs no cast projection (r9, the
+  * L2Squared design extended to the dot family). */
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
-      case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"graft_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got ($l, $r)")
-    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_dot expects ARRAY<FLOAT|DOUBLE> args, got (${left.dataType}, ${right.dataType})")
 
   override def dataType: DataType = DoubleType
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    BandSigs.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    BandSigs.dotw(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.BandSigs.dot($a, $b)")
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BandSigs.dotw($a, $b, ${isFloat(left)}, ${isFloat(right)})")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -255,19 +301,25 @@ case class BandSignatures(child: Expression, nPlanes: Int, nBands: Int)
   require(nPlanes / nBands <= 63, "band width must fit a long")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_band_sigs expects ARRAY<DOUBLE>, got $t")
+      s"graft_band_sigs expects ARRAY<FLOAT|DOUBLE>, got $t")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(v: Any): Any =
-    BandSigs.sigs(v.asInstanceOf[ArrayData], nPlanes, nBands)
+    BandSigs.sigsF(v.asInstanceOf[ArrayData], nPlanes, nBands, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.BandSigs.sigs($c, $nPlanes, $nBands)")
+      c => s"graft.functions.BandSigs.sigsF($c, $nPlanes, $nBands, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): BandSignatures =
     copy(child = newChild)

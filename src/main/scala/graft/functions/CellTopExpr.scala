@@ -136,7 +136,7 @@ case class CellTopK(vec: Expression, cents: Expression, n: Int, metric: String)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val vOk = vec.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     }
     val cOk = centsElem.exists { st =>
@@ -148,8 +148,13 @@ case class CellTopK(vec: Expression, cents: Expression, n: Int, metric: String)
     }
     if (vOk && cOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_cell_top expects (ARRAY<DOUBLE>, ARRAY<STRUCT<cid INT|BIGINT, " +
+      "graft_cell_top expects (ARRAY<FLOAT|DOUBLE>, ARRAY<STRUCT<cid INT|BIGINT, " +
         s"cv ARRAY<DOUBLE>>>), got (${vec.dataType}, ${cents.dataType})")
+  }
+
+  private def vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   private def cidType: DataType =
@@ -172,7 +177,7 @@ case class CellTopK(vec: Expression, cents: Expression, n: Int, metric: String)
   def compute(vAny: ArrayData, cAny: ArrayData): ArrayData = {
     val cs = if (cached != null) cached
       else CellKernel.decode(cAny, cosMetric, cidType == LongType)
-    val vv = vAny.toDoubleArray()
+    val vv = BandSigs.toDoubles(vAny, vecIsFloat)
     val k = cs.ids.length
     val m = math.min(n, k)
     val svv = BandSigs.dot2(vv, vv)
@@ -238,7 +243,7 @@ case class PqCodes(vec: Expression, books: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val vOk = vec.dataType match {
-      case ArrayType(DoubleType, _) => true
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
       case _ => false
     }
     val bOk = books.dataType match {
@@ -251,8 +256,13 @@ case class PqCodes(vec: Expression, books: Expression)
     }
     if (vOk && bOk) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      "graft_pq_codes expects (ARRAY<DOUBLE>, ARRAY<ARRAY<STRUCT<code INT, " +
+      "graft_pq_codes expects (ARRAY<FLOAT|DOUBLE>, ARRAY<ARRAY<STRUCT<code INT, " +
         s"cv ARRAY<DOUBLE>>>>), got (${vec.dataType}, ${books.dataType})")
+  }
+
+  private def vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -268,7 +278,7 @@ case class PqCodes(vec: Expression, books: Expression)
 
   def compute(vAny: ArrayData, bAny: ArrayData): ArrayData = {
     val bks = if (cached != null) cached else decodeBooks(bAny)
-    val vv = vAny.toDoubleArray()
+    val vv = BandSigs.toDoubles(vAny, vecIsFloat)
     val nSub = bks.length
     val out = new Array[Int](nSub)
     var sub = 0

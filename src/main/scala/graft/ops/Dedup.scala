@@ -341,4 +341,74 @@ object Dedup {
     }
     labels
   }
+
+  /** Cross-corpus duplicated-substring SPAN removal at w-shingle
+    * granularity — the exact-substring dedup family of Lee et al. '22
+    * ("Deduplicating Training Data Makes Language Models Better"),
+    * whose suffix-array construction this re-expresses relationally:
+    * a word position is duplicated when it is covered by a w-word
+    * window whose text occurs >= 2 times ANYWHERE in the corpus
+    * (including the same document); maximal runs of duplicated
+    * windows merge into spans, and the kept text is the document with
+    * covered positions removed.
+    *
+    * 100 TB shape: one explode produces (doc, pos, md5(shingle)) —
+    * the 32-hex digest, never the w-word string, is what shuffles;
+    * the global frequency pass is a content-keyed aggregate
+    * (correctly NOT broadcast — shingle cardinality grows with the
+    * corpus); duplicated positions come back via one hash-keyed join,
+    * span-merge is a per-doc window (intervals all have length w, so
+    * sorted-by-p merge needs only lag(p)), and reassembly is a
+    * per-row HOF over the original word array. No cartesian, no
+    * driver-side text.
+    *
+    * Returns one row per document: (id, n_words, n_spans, n_dup_pos,
+    * covered, kept_words, kept_fp) with kept_fp = md5 of the
+    * span-removed text — a value-level cross-engine check that the
+    * removal itself (not just the counts) is exact. */
+  def substringDedupSpans(docs: DataFrame, idCol: String, textCol: String,
+                          w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .select(col(idCol).as("id"),
+        split(coalesce(col(textCol), lit("")), " ").as("ws"))
+      .withColumn("len", size(col("ws")))
+      .localCheckpoint() // consumed by the shingle pass AND reassembly
+    val shingles = base.filter(col("len") >= w)
+      .select(col("id"), explode(expr(s"sequence(1, len - ${w - 1})")).as("p"),
+        md5(expr(s"array_join(slice(ws, p, $w), ' ')")).as("hs"))
+    val dupSh = shingles.groupBy(col("hs"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+    val dupPos = shingles.join(dupSh, "hs").select(col("id"), col("p"))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("p"))
+    val spans = dupPos
+      .withColumn("brk",
+        when(lag(col("p"), 1).over(wOrd).isNull ||
+          col("p") > lag(col("p"), 1).over(wOrd) + (w - 1), 1).otherwise(0))
+      .withColumn("island", sum(col("brk"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("island"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + (w - 1)).as("e"),
+        count(lit(1)).as("npos"))
+    val perDoc = spans.groupBy(col("id")).agg(
+      count(lit(1)).as("n_spans"),
+      sum(col("e") - col("s") + 1).as("covered"),
+      sum(col("npos")).as("n_dup_pos"),
+      collect_list(struct(col("s"), col("e"))).as("iv"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        col("len").cast("long").as("n_words"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_pos"), lit(0L)).as("n_dup_pos"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        (col("len").cast("long") - coalesce(col("covered"), lit(0L))).as("kept_words"),
+        md5(when(col("iv").isNull, expr("array_join(ws, ' ')"))
+          .otherwise(expr(
+            """array_join(
+                 filter(transform(sequence(1, len),
+                          i -> IF(exists(iv, r -> i >= r.s AND i <= r.e),
+                                  NULL, element_at(ws, i))),
+                        x -> x IS NOT NULL),
+                 ' ')"""))).as("kept_fp"))
+  }
 }

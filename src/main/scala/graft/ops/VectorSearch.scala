@@ -67,7 +67,7 @@ object VectorSearch {
     // O(N^2) pairs — profiled 51s -> ~5s at sf0.1. dot/(na*nb) is the
     // identical arithmetic sequence, so results stay bit-for-bit.
     val prepared = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
     val a = prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
@@ -100,7 +100,7 @@ object VectorSearch {
   def nearDupPairsIvf(corpus: DataFrame, threshold: Double,
                       nCells: Int = 8, nprobe: Int = 4): DataFrame = {
     val prepared = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
     // multi-probe assignment: per-row top-nprobe cells via the CellTop
@@ -108,7 +108,7 @@ object VectorSearch {
     // (the crossJoin+window spelling shuffled the nCells×-inflated
     // corpus on id just to keep nprobe rows)
     val cents = collectCentsLong(prepared.orderBy(col("id")).limit(nCells)
-      .select(col("id"), col("v")))
+      .select(col("id"), dvec(col("v"))))
     val assign = prepared
       .select(col("id"),
         explode(CellTop.topLong(col("v"), cents, nprobe, "cos")).as("c"))
@@ -170,7 +170,7 @@ object VectorSearch {
     // nearDupPairsBrute/minhashPairs: single-reference aliases would be
     // inlined into every consuming lambda otherwise)
     val prepared = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .withColumn("nrm", sqrt(expr("graft_dot(v, v)")))
       .localCheckpoint()
     // signature pass: one codegen kernel call per row (primitive
@@ -213,7 +213,7 @@ object VectorSearch {
     * reads the vector's own length). */
   def lshBuckets(df: DataFrame, dim: Int, nPlanes: Int = 8): DataFrame =
     df.withColumn("bucket",
-      expr(s"graft_band_sigs(transform(embedding, x -> CAST(x AS DOUBLE)), $nPlanes, 1)[0]"))
+      expr(s"graft_band_sigs(embedding, $nPlanes, 1)[0]"))
 
   /** IVF-style two-level search: assign every corpus vector to its best
     * centroid cell (one broadcast of the centroid set + one corpus
@@ -230,11 +230,11 @@ object VectorSearch {
     // per-row kernel argmin ("cos6" = the round-6 cosine the window
     // ordering used) — corpus assignment is now a pure map stage
     val assign = corpus.select(col("vec_id"), col("embedding"),
-      CellTop.topLong(dvec(col("embedding")), cents, 1, "cos6")
+      CellTop.topLong(col("embedding"), cents, 1, "cos6")
         .getItem(0).getField("cid").as("cid"))
     val qcells = queries
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        explode(CellTop.topLong(dvec(col("embedding")), cents, nprobe, "cos6")).as("c"))
+        explode(CellTop.topLong(col("embedding"), cents, nprobe, "cos6")).as("c"))
       .select(col("q_id"), col("q_emb"), col("c.cid").as("cid"))
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
     qcells.join(assign, "cid")
@@ -268,7 +268,7 @@ object VectorSearch {
     * constant. */
   def kmeansAssign(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val prep = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .localCheckpoint()
     // centroids live driver-side (k×dim doubles — index-constant sized);
     // assignment is ONE CellTop kernel call per row, so each Lloyd
@@ -277,7 +277,7 @@ object VectorSearch {
     // inflation and an id-keyed corpus shuffle per iteration)
     var cent: Seq[(Int, Seq[Double])] = collectCentsInt(
       prep.orderBy(col("id")).limit(k)
-        .select(col("id").cast("int").as("cid"), col("v")))
+        .select(col("id").cast("int").as("cid"), dvec(col("v"))))
     def best(c: Seq[(Int, Seq[Double])]): Column =
       CellTop.top(col("v"), c, 1, "l2sq").getItem(0)
     for (_ <- 1 to iters) {
@@ -337,7 +337,7 @@ object VectorSearch {
                        nCodes: Int): (DataFrame, DataFrame) = {
     // init: per-sub slices of the first nCodes vectors, code = id
     val init = collectCentsInt(prep.filter(col("id") < nCodes)
-      .select(col("id").cast("int").as("code"), col("v")))
+      .select(col("id").cast("int").as("code"), dvec(col("v"))))
     val cb0: Seq[Seq[(Int, Seq[Double])]] = (0 until nSub).map { sub =>
       init.map { case (code, v) =>
         (code, v.slice(sub * subDim, sub * subDim + subDim)) }
@@ -382,11 +382,11 @@ object VectorSearch {
   def pqTopK(corpus: DataFrame, queries: DataFrame, nSub: Int, subDim: Int,
              nCodes: Int, k: Int): DataFrame = {
     val prep = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .localCheckpoint()
     val (cb1, enc) = pqEncode(prep, nSub, subDim, nCodes)
     val dtab = pqDistanceTable(
-      queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v")),
+      queries.select(col("vec_id").as("q_id"), col("embedding").as("v")),
       cb1, nSub, subDim)
     val wRank = Window.partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
     enc.join(broadcast(dtab), Seq("sub", "code"))
@@ -418,16 +418,16 @@ object VectorSearch {
                 nCells: Int, nprobe: Int, nSub: Int, subDim: Int,
                 nCodes: Int, k: Int): DataFrame = {
     val prep = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .localCheckpoint()
     // cell assignment + query probes: per-row CellTop kernel argmin
     // over the driver-collected centroid set (map stage, no inflation)
     val cents = collectCentsInt(prep.orderBy(col("id")).limit(nCells)
-      .select(col("id").cast("int").as("cid"), col("v")))
+      .select(col("id").cast("int").as("cid"), dvec(col("v"))))
     val assign = prep.select(col("id"),
       CellTop.top(col("v"), cents, 1, "l2sq").getItem(0).getField("cid").as("cid"))
     val qprep = queries
-      .select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("v"))
     val probes = qprep
       .select(col("q_id"),
         explode(CellTop.top(col("v"), cents, nprobe, "l2sq")).as("c"))
@@ -461,13 +461,13 @@ object VectorSearch {
                         nCells: Int, nprobe: Int, nSub: Int, subDim: Int,
                         nCodes: Int, k: Int): DataFrame = {
     val prep = corpus
-      .select(col("vec_id").as("id"), dvec(col("embedding")).as("v"))
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
       .localCheckpoint()
     // cell assignment via the CellTop kernel; the winning centroid
     // vector for the residual subtraction comes from a literal
     // cid→centroid map (same driver-held set, zero extra dataflow)
     val cents = collectCentsInt(prep.orderBy(col("id")).limit(nCells)
-      .select(col("id").cast("int").as("cid"), col("v")))
+      .select(col("id").cast("int").as("cid"), dvec(col("v"))))
     val centMap = typedLit(cents.toMap)
     def residual(v: Column, cid: Column): Column =
       zip_with(v, element_at(centMap, cid), (a, b) => a - b)
@@ -481,7 +481,7 @@ object VectorSearch {
     val (cb1, enc) = pqEncode(assign.select(col("id"), col("v")), nSub, subDim, nCodes)
     val encCell = enc.join(assign.select(col("id"), col("cid")), "id")
     // queries: nprobe cells each; the distance table is per (query, cell)
-    val qprep = queries.select(col("vec_id").as("q_id"), dvec(col("embedding")).as("v"))
+    val qprep = queries.select(col("vec_id").as("q_id"), col("embedding").as("v"))
     val probes = qprep
       .select(col("q_id"), col("v").as("v0"),
         explode(CellTop.top(col("v"), cents, nprobe, "l2sq")).as("c"))

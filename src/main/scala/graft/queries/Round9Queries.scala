@@ -96,6 +96,18 @@ object Round9Queries {
         (mvCount || phys.contains("count(1)")),
         s"count(literal) was not normalized to count(1):\n$phys")
       df
+    }),
+
+    // Exact duplicated-substring SPAN removal (Lee et al. '22 family —
+    // the suffix-array dedup re-expressed relationally at w-shingle
+    // granularity): global shingle frequencies via a content-keyed
+    // md5-digest shuffle, per-doc maximal span merge, and kept_fp
+    // fingerprints the span-REMOVED text so the removal itself is
+    // value-checked cross-engine, not just the counts.
+    "ml_substring_dedup" -> ((s, dir) => {
+      graft.ops.Dedup.substringDedupSpans(
+          t(s, dir, "documents"), "doc_id", "text", w = 8)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -120,6 +132,56 @@ object Round9Queries {
 
     "opt_count_literal" -> """
       SELECT count(5) AS n_lit, count(*) AS n_one, count('x') AS n_str
-      FROM lineitem"""
+      FROM lineitem""",
+
+    // identical span semantics re-derived: w=8 shingles keyed by md5,
+    // count >= 2 anywhere in the corpus, equal-length intervals merge
+    // when p <= lag(p) + 7, kept text = words outside every span
+    "ml_substring_dedup" -> """
+      WITH b2 AS (
+        SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws,
+               len(string_split(coalesce(text, ''), ' ')) AS n
+        FROM documents),
+      sh AS (
+        SELECT doc_id, g.p,
+               md5(array_to_string(list_slice(ws, g.p, g.p + 7), ' ')) AS hs
+        FROM b2, LATERAL (SELECT unnest(generate_series(1, n - 7)) AS p) g
+        WHERE n >= 8),
+      dup AS (SELECT hs FROM sh GROUP BY hs HAVING count(*) >= 2),
+      dp AS (SELECT s.doc_id, s.p FROM sh s JOIN dup USING (hs)),
+      m AS (
+        SELECT doc_id, p,
+          CASE WHEN lag(p) OVER w IS NULL OR p > lag(p) OVER w + 7
+               THEN 1 ELSE 0 END AS brk
+        FROM dp WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+      i AS (
+        SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p
+                                         ROWS UNBOUNDED PRECEDING) AS isl
+        FROM m),
+      sp AS (
+        SELECT doc_id, isl, min(p) AS s, max(p) + 7 AS e, count(*) AS npos
+        FROM i GROUP BY doc_id, isl),
+      pd AS (
+        SELECT doc_id, count(*) AS n_spans, sum(e - s + 1) AS covered,
+               sum(npos) AS n_dup_pos
+        FROM sp GROUP BY doc_id),
+      keptw AS (
+        SELECT b2.doc_id, w.i, w.x
+        FROM b2, LATERAL (SELECT unnest(ws) AS x,
+                                 generate_subscripts(ws, 1) AS i) w
+        WHERE NOT EXISTS (SELECT 1 FROM sp
+                          WHERE sp.doc_id = b2.doc_id
+                            AND w.i BETWEEN sp.s AND sp.e)),
+      kept AS (
+        SELECT doc_id, string_agg(x, ' ' ORDER BY i) AS kt
+        FROM keptw GROUP BY doc_id)
+      SELECT b2.doc_id, CAST(b2.n AS BIGINT) AS n_words,
+             CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+             CAST(coalesce(pd.n_dup_pos, 0) AS BIGINT) AS n_dup_pos,
+             CAST(coalesce(pd.covered, 0) AS BIGINT) AS covered,
+             CAST(b2.n - coalesce(pd.covered, 0) AS BIGINT) AS kept_words,
+             md5(coalesce(k.kt, '')) AS kept_fp
+      FROM b2 LEFT JOIN pd USING (doc_id) LEFT JOIN kept k USING (doc_id)
+      ORDER BY doc_id"""
   )
 }

@@ -75,6 +75,21 @@ class CellTopSpec extends AnyFunSuite {
     assert(got == Map(100L -> 2L, 101L -> 9L))
   }
 
+  test("float storage path == pre-cast double path, bit for bit (r9)") {
+    // the fixture embedding column is ARRAY<FLOAT>; the kernel widens
+    // per element (exact), so feeding the raw storage column must give
+    // the same cells and distances as casting first
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    def run(v: org.apache.spark.sql.Column) = emb
+      .select(col("vec_id"),
+        posexplode(CellTop.topLong(v, cents, 3, "l2sq")).as(Seq("p", "c")))
+      .select(col("vec_id"), col("p"), col("c.cid"), col("c.d"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(run(col("embedding")) ==
+      run(transform(col("embedding"), _.cast("double"))))
+  }
+
   test("SQL surface: graft_pq_codes matches per-sub argmin over slices") {
     // 4-dim vectors, 2 subspaces of dim 2, 2 codes per sub
     val books = Seq(
