@@ -148,6 +148,10 @@ object ScaleProbe {
       ("q9_product_profit", 6.0), ("q18_large_orders", 6.0),
       ("q21_waiting_supplier", 6.0), ("ds_wide_resale", 6.0),
       ("ml_line_dedup", 6.0), ("ml_bigram_logprob", 6.0),
+      // r9: substring-span dedup is content-keyed (scan/agg class);
+      // kmeans assignment is now a pure map stage + k×dim mean shuffle,
+      // so it must scale like a scan
+      ("ml_substring_dedup", 6.0), ("ml_kmeans_assign", 6.0),
       ("cb_q29", 8.0),
       ("ml_dedup_minhash", 13.0), ("ml_embed_neardup_lsh", 13.0))
     val failures = specs.flatMap { case (name, factor) =>

@@ -64,7 +64,7 @@ class RuleDifferentialSpec extends AnyFunSuite {
       Seq.fill(n)(pick(fns)(pick(cols))) :+ count(lit(1)).as("n_rows")
     }
 
-    r.nextInt(18) match {
+    r.nextInt(20) match {
       case 0 => // two-level aggregate (MergeAggregate territory)
         val k2 = pick(liKeys)
         val inner = li.groupBy(col("l_orderkey"), col(k2))
@@ -238,6 +238,33 @@ class RuleDifferentialSpec extends AnyFunSuite {
         ord.select(col("o_orderkey"), col("o_orderpriority"),
             col("o_totalprice"), rn.cast("int").as("rn"))
           .orderBy(col("rn")).limit(5 * rr)
+      case 18 => // OrExtract x UnequalInfer: disjunctive band with an
+        // untranslatable leg ABOVE a non-equi chain join — both rules
+        // must fire together without changing values
+        val q1 = 1 + r.nextInt(10)
+        val q2 = 1 + r.nextInt(10)
+        li.as("l").join(ord.as("o"),
+            col("l.l_orderkey") === col("o.o_orderkey") &&
+              col("l.l_shipdate") > col("o.o_orderdate"))
+          .filter(
+            (col("l.l_quantity") === q1.toDouble &&
+              col("l.l_extendedprice") * col("l.l_discount") > lit(20.0)) ||
+            (col("l.l_quantity") === q2.toDouble && col("l.l_tax") > lit(0.03)))
+          .groupBy(col("l.l_returnflag"))
+          .agg(count(lit(1)).as("n"), sum(col("l.l_orderkey")).as("s"))
+          .orderBy(col("l_returnflag"))
+      case 19 => // UnequalInfer no-fire polarity: same chain under an
+        // outer join (preserved side must keep its rows) — rotates the
+        // side so both preserved polarities are exercised
+        val jt = if (r.nextBoolean()) "left_outer" else "right_outer"
+        li.as("l").join(ord.as("o"),
+            col("l.l_orderkey") === col("o.o_orderkey") &&
+              col("l.l_shipdate") > col("o.o_orderdate") &&
+              col("o.o_orderdate") > lit("1997-01-01").cast("timestamp_ntz"),
+            jt)
+          .groupBy(col("l.l_returnflag"))
+          .agg(count(col("o.o_orderkey")).as("n"), count(lit(1)).as("all"))
+          .orderBy(col("l_returnflag"))
       case _ => // filtered two-level with derived outer key (composition)
         val inner = li.filter(col("l_quantity") > (r.nextInt(10) + 1))
           .groupBy(col("l_orderkey"), col("l_shipdate"))
