@@ -113,5 +113,6 @@ object SparkEntry {
     "cb_q29", "cb_q32",
     "ml_pii_redact", "ml_quality_gopher",
     "ml_segment_dedup", "ml_kmeans_assign", "ml_ann_ivfpq",
-    "ml_line_dedup", "ml_c4_filter", "ml_perplexity_bucket")
+    "ml_line_dedup", "ml_c4_filter", "ml_perplexity_bucket",
+    "ml_substring_dedup")
 }
