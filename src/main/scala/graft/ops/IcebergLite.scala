@@ -1,0 +1,295 @@
+package graft.ops
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Apache Iceberg v2 TABLE-FORMAT read path, implemented from the
+  * PUBLIC spec (iceberg.apache.org/spec) with no connector jar —
+  * upgrading the round-8 "lakehouse connectors: jar-bound, not
+  * actionable" row to a real in-repo capability (reference:
+  * fe/fe-core/src/main/java/org/apache/doris/datasource/iceberg/ —
+  * Doris's FE walks the same metadata chain).
+  *
+  * The chain, exactly as the spec lays it out:
+  *   version-hint.text → metadata/vN.metadata.json (snapshot log,
+  *   schema, partition spec) → the snapshot's manifest-list (Avro
+  *   container) → manifests (Avro) → data/delete files (parquet).
+  *
+  * Spark-first mapping of each stage:
+  *  - metadata/manifests are METADATA-sized and read on the driver —
+  *    the FE role, same contract as the routine-load offset maps;
+  *  - partition pruning happens on the manifest rows BEFORE any data
+  *    file is opened (identity transform; each data_file carries its
+  *    partition tuple), so a filtered read lists only matching files —
+  *    at 100 TB this is the difference between opening every parquet
+  *    footer and opening one partition's;
+  *  - POSITION DELETES (v2 row-level deletes: parquet files of
+  *    (file_path, pos)) are applied as a distributed LEFT ANTI join
+  *    against Spark's native `_metadata.file_path` /
+  *    `_metadata.row_index` columns — no per-file loops, no UDFs, and
+  *    the delete side shuffles like any join side when it is large.
+  *
+  * Honest scope (documented, not hidden): identity partition
+  * transforms only; position deletes (equality deletes and the
+  * sequence-number visibility rule they need are not implemented);
+  * the WRITER here is test scaffolding that stages a spec-shaped
+  * table layout from the driver so the reader has something real to
+  * walk — a production writer (commit protocol, optimistic metadata
+  * swap) remains connector territory. Correctness is gated
+  * non-circularly: the `src_iceberg_*` oracles recompute the expected
+  * CONTENT from the base lineitem table by predicate, so the reader
+  * must get snapshot selection + pruning + delete application right
+  * to match.
+  */
+object IcebergLite {
+
+  // ---------------------------------------------------------------- schemas
+  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string"},
+      |{"name":"manifest_length","type":"long"},
+      |{"name":"partition_spec_id","type":"int"},
+      |{"name":"content","type":"int"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"min_sequence_number","type":"long"},
+      |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+
+  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int"},
+      |{"name":"snapshot_id","type":"long"},
+      |{"name":"sequence_number","type":"long"},
+      |{"name":"data_file","type":{"type":"record","name":"data_file","fields":[
+      |  {"name":"content","type":"int"},
+      |  {"name":"file_path","type":"string"},
+      |  {"name":"file_format","type":"string"},
+      |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
+      |    {"name":"part_value","type":["null","string"],"default":null}]}},
+      |  {"name":"record_count","type":"long"},
+      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+
+  /** One live file of a snapshot, as planned from the metadata chain
+    * (the FE's "file scan task"). content: 0 = data, 1 = position
+    * deletes. */
+  final case class FileTask(path: String, content: Int,
+                            partValue: Option[String], recordCount: Long,
+                            sequenceNumber: Long)
+
+  // ---------------------------------------------------------------- reader
+  private def mapper = new ObjectMapper()
+
+  private def currentMetadataPath(tableDir: String): String = {
+    val hint = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
+    val v = java.nio.file.Files.readString(hint).trim.toInt
+    s"$tableDir/metadata/v$v.metadata.json"
+  }
+
+  /** Plan the live files of a snapshot (default: current) — the
+    * metadata walk, driver-side by design. `partFilter` prunes on the
+    * identity partition value BEFORE any data file is listed. */
+  def planFiles(tableDir: String, snapshotId: Option[Long] = None,
+                partFilter: Option[String => Boolean] = None): Seq[FileTask] = {
+    val meta = mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val wanted = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
+    val snaps = meta.get("snapshots")
+    val snap = (0 until snaps.size).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == wanted)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $wanted not in ${meta.get("snapshots")}"))
+    val manifestList = snap.get("manifest-list").asText
+    readAvro(manifestList).flatMap { mf =>
+      val manifestPath = mf.get("manifest_path").toString
+      readAvro(manifestPath).flatMap { e =>
+        val status = e.get("status").asInstanceOf[Int]
+        if (status == 2) None // DELETED entries drop out of the snapshot
+        else {
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          val part = Option(df.get("partition").asInstanceOf[GenericRecord]
+            .get("part_value")).map(_.toString)
+          val content = df.get("content").asInstanceOf[Int]
+          val keep = content == 1 || partFilter.forall(f => part.forall(f))
+          if (!keep) None
+          else Some(FileTask(df.get("file_path").toString, content, part,
+            df.get("record_count").asInstanceOf[Long],
+            e.get("sequence_number").asInstanceOf[Long]))
+        }
+      }
+    }
+  }
+
+  /** Read a snapshot as a DataFrame: pruned data files, position
+    * deletes applied via `_metadata.file_path` / `_metadata.row_index`
+    * anti-join (both sides normalized to scheme-less absolute paths). */
+  def readSnapshot(spark: SparkSession, tableDir: String,
+                   snapshotId: Option[Long] = None,
+                   partFilter: Option[String => Boolean] = None): DataFrame = {
+    val tasks = planFiles(tableDir, snapshotId, partFilter)
+    val dataPaths = tasks.filter(_.content == 0).map(_.path)
+    val deletePaths = tasks.filter(_.content == 1).map(_.path)
+    require(dataPaths.nonEmpty, s"snapshot has no data files in $tableDir")
+    val data = spark.read.parquet(dataPaths: _*)
+      .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live =
+      if (deletePaths.isEmpty) data
+      else {
+        val dels = spark.read.parquet(deletePaths: _*)
+          .select(regexp_replace(col("file_path"), "^file:+", "").as("__fp"),
+            col("pos").as("__pos"))
+        data.join(dels, Seq("__fp", "__pos"), "left_anti")
+      }
+    live.drop("__fp", "__pos")
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val in = new DataFileStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (in.hasNext) out += in.next()
+      out.result()
+    } finally in.close()
+  }
+
+  // ------------------------------------------------------- writer (fixture)
+  /** Stage a spec-shaped iceberg table: `appends` are (partValue →
+    * rows) batches, one snapshot each; then one snapshot of position
+    * deletes given as (dataFileIndex, rowPos). Driver staging — test
+    * scaffolding so the reader has a real metadata chain to walk. Each
+    * data file's rows are written in the given order (single in-memory
+    * partition), so delete positions are exact by construction. */
+  def writeFixtureTable(spark: SparkSession, tableDir: String,
+                        schemaDf: DataFrame,
+                        appends: Seq[Seq[(String, Seq[Row])]],
+                        deletes: Seq[(Int, Seq[Long])]): Unit = {
+    val dir = new java.io.File(tableDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    new java.io.File(dir, "data").mkdirs()
+    new java.io.File(dir, "metadata").mkdirs()
+
+    val dataFiles = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var seq = 0L
+    val snapshotIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val manifestLists = scala.collection.mutable.ArrayBuffer.empty[String]
+    val manifests = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long)]
+
+    def writeParquetFile(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType,
+                         target: String): Long = {
+      val tmp = s"$tableDir/tmp_stage"
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(target)
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      dst.length()
+    }
+
+    def writeManifest(path: String, entries: Seq[(Int, String, Option[String], Long, Long, Long)],
+                      snapId: Long): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+      w.create(ManifestEntrySchema, new java.io.File(path))
+      entries.foreach { case (content, fp, part, rc, bytes, sq) =>
+        val partRec = new GenericData.Record(
+          ManifestEntrySchema.getField("data_file").schema.getField("partition").schema)
+        partRec.put("part_value", part.orNull)
+        val df = new GenericData.Record(ManifestEntrySchema.getField("data_file").schema)
+        df.put("content", content)
+        df.put("file_path", fp)
+        df.put("file_format", "PARQUET")
+        df.put("partition", partRec)
+        df.put("record_count", rc)
+        df.put("file_size_in_bytes", bytes)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("status", 1) // ADDED
+        e.put("snapshot_id", snapId)
+        e.put("sequence_number", sq)
+        e.put("data_file", df)
+        w.append(e)
+      }
+      w.close()
+    }
+
+    def writeManifestList(path: String): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestFileSchema))
+      w.create(ManifestFileSchema, new java.io.File(path))
+      manifests.foreach { case (mp, content, sq) =>
+        val r = new GenericData.Record(ManifestFileSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", new java.io.File(mp).length())
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", sq)
+        r.put("min_sequence_number", sq)
+        r.put("added_snapshot_id", snapshotIds.last)
+        w.append(r)
+      }
+      w.close()
+    }
+
+    // data snapshots
+    appends.zipWithIndex.foreach { case (batch, i) =>
+      seq += 1
+      val snapId = 1000L + i
+      snapshotIds += snapId
+      val entries = batch.map { case (part, rows) =>
+        val fp = s"$tableDir/data/s${i}_$part.parquet"
+        val bytes = writeParquetFile(rows, schemaDf.schema, fp)
+        dataFiles += ((fp, part, rows.size.toLong))
+        (0, fp, Some(part), rows.size.toLong, bytes, seq)
+      }
+      val mp = s"$tableDir/metadata/manifest-$seq.avro"
+      writeManifest(mp, entries, snapId)
+      manifests += ((mp, 0, seq))
+      val ml = s"$tableDir/metadata/snap-$snapId.avro"
+      writeManifestList(ml)
+      manifestLists += ml
+    }
+    // delete snapshot
+    if (deletes.nonEmpty) {
+      seq += 1
+      val snapId = 1000L + appends.size
+      snapshotIds += snapId
+      import org.apache.spark.sql.types._
+      val delSchema = StructType(Seq(StructField("file_path", StringType),
+        StructField("pos", LongType)))
+      val delRows = deletes.flatMap { case (fi, poss) =>
+        poss.map(p => Row(dataFiles(fi)._1, p)) }
+      val fp = s"$tableDir/data/deletes-$seq.parquet"
+      val bytes = writeParquetFile(delRows, delSchema, fp)
+      val mp = s"$tableDir/metadata/manifest-$seq.avro"
+      writeManifest(mp, Seq((1, fp, None, delRows.size.toLong, bytes, seq)), snapId)
+      manifests += ((mp, 1, seq))
+      val ml = s"$tableDir/metadata/snap-$snapId.avro"
+      writeManifestList(ml)
+      manifestLists += ml
+    }
+
+    // table metadata json + version hint
+    val snapsJson = snapshotIds.zip(manifestLists).zipWithIndex.map {
+      case ((sid, ml), i) =>
+        s"""{"snapshot-id":$sid,"sequence-number":${i + 1},
+           |"timestamp-ms":${1700000000000L + i},
+           |"manifest-list":"$ml","summary":{"operation":"append"}}""".stripMargin
+    }.mkString(",")
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000000",
+         |"location":"$tableDir","last-sequence-number":$seq,
+         |"current-snapshot-id":${snapshotIds.last},
+         |"partition-specs":[{"spec-id":0,"fields":[
+         |  {"name":"part_value","transform":"identity","source-id":1,"field-id":1000}]}],
+         |"snapshots":[$snapsJson]}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "metadata", "v1.metadata.json"), metaJson)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text"), "1")
+  }
+}

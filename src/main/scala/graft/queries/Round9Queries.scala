@@ -108,8 +108,92 @@ object Round9Queries {
       graft.ops.Dedup.substringDedupSpans(
           t(s, dir, "documents"), "doc_id", "text", w = 8)
         .orderBy(col("doc_id"))
+    }),
+
+    // Iceberg v2 table-format READ path from the public spec, no
+    // connector jar (ops/IcebergLite.scala): the fixture stages a real
+    // metadata chain (version-hint → metadata.json → manifest-list
+    // avro → manifest avro → parquet data + position-delete files) and
+    // the reader walks it. The oracle recomputes the expected CONTENT
+    // from the base lineitem table by predicate — snapshot selection,
+    // manifest pruning, and the _metadata.row_index delete anti-join
+    // must all be right to match. Current snapshot: both appends minus
+    // the position-deleted l_linenumber=1 rows.
+    "src_iceberg_scan" -> ((s, dir) => {
+      val tableDir = icebergFixture(s, dir)
+      graft.ops.IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // time travel: snapshot 1000 = the FIRST append only, and the
+    // later delete snapshot must NOT leak backward
+    "src_iceberg_time_travel" -> ((s, dir) => {
+      val tableDir = icebergFixture(s, dir)
+      graft.ops.IcebergLite.readSnapshot(s, tableDir, snapshotId = Some(1000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // manifest partition pruning: a l_returnflag='R' read must plan
+    // ONLY the R partition's data files (asserted on the planned file
+    // list — no parquet footer of any other partition is opened)
+    "src_iceberg_prune" -> ((s, dir) => {
+      import graft.ops.IcebergLite
+      val tableDir = icebergFixture(s, dir)
+      val all = IcebergLite.planFiles(tableDir).count(_.content == 0)
+      val pruned = IcebergLite.planFiles(tableDir,
+        partFilter = Some(_ == "R")).filter(_.content == 0)
+      require(pruned.nonEmpty && pruned.size < all,
+        s"partition pruning did not narrow the file list: ${pruned.size} of $all")
+      require(pruned.forall(_.partValue.contains("R")),
+        s"pruned plan leaked a non-R file: $pruned")
+      IcebergLite.readSnapshot(s, tableDir, partFilter = Some(_ == "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
     })
   )
+
+  /** Stage the iceberg fixture table once per (sfDir, JVM): two append
+    * snapshots (even / odd l_orderkey halves, identity-partitioned by
+    * l_returnflag) + one position-delete snapshot removing every
+    * l_linenumber=1 row. Row order inside each data file is the sort
+    * order used here, so delete positions are exact by construction. */
+  private val icebergBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def icebergFixture(s: SparkSession, dir: String): String =
+    icebergBuilt.computeIfAbsent(dir, _ => {
+      import org.apache.spark.sql.Row
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 20000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def batch(m: Int): Seq[(String, Seq[Row])] = {
+        val rows = src.filter(col("l_orderkey") % 2 === m)
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .collect().toSeq
+        rows.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      }
+      val b0 = batch(0)
+      val b1 = batch(1)
+      val fileOrder: Seq[Seq[Row]] = b0.map(_._2) ++ b1.map(_._2)
+      val dels = fileOrder.zipWithIndex.flatMap { case (rs, fi) =>
+        val ps = rs.zipWithIndex.collect {
+          case (r, i) if r.getInt(1) == 1 => i.toLong }
+        if (ps.nonEmpty) Some(fi -> ps) else None
+      }
+      // absolute path: manifests record file_path verbatim and the
+      // delete anti-join matches it against _metadata.file_path
+      val tableDir = new java.io.File(
+        s"target/iceberg/lineitem_${new java.io.File(dir).getName}").getAbsolutePath
+      graft.ops.IcebergLite.writeFixtureTable(s, tableDir, src, Seq(b0, b1), dels)
+      tableDir
+    })
 
   def oracle: Map[String, String] = Map(
 
@@ -182,6 +266,34 @@ object Round9Queries {
              CAST(b2.n - coalesce(pd.covered, 0) AS BIGINT) AS kept_words,
              md5(coalesce(k.kt, '')) AS kept_fp
       FROM b2 LEFT JOIN pd USING (doc_id) LEFT JOIN kept k USING (doc_id)
-      ORDER BY doc_id"""
+      ORDER BY doc_id""",
+
+    // expected content from the BASE table by predicate (non-circular):
+    // both appends = all l_orderkey < 20000 rows; position deletes
+    // removed every l_linenumber = 1 row
+    "src_iceberg_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 20000 AND l_linenumber <> 1
+      GROUP BY 1 ORDER BY 1""",
+
+    // snapshot 1000 = first append only (even l_orderkey), no deletes
+    "src_iceberg_time_travel" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 20000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_iceberg_prune" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 20000 AND l_linenumber <> 1
+        AND l_returnflag = 'R'
+      GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.IcebergLite
+
+/** ops/IcebergLite.scala — the spec-following Iceberg v2 read path:
+  * snapshot visibility across the log, position-delete application,
+  * pruning keeps delete files, and loud failure on unknown snapshots. */
+class IcebergLiteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val tableDir: String = {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/iceberg/spec_table").getAbsolutePath
+    IcebergLite.writeFixtureTable(spark, dir, df,
+      appends = Seq(
+        Seq("A" -> Seq(Row(1L, "A", 10), Row(2L, "A", 20)),
+            "B" -> Seq(Row(3L, "B", 30))),
+        Seq("A" -> Seq(Row(4L, "A", 40)),
+            "B" -> Seq(Row(5L, "B", 50), Row(6L, "B", 60)))),
+      // delete: file 0 (s0_A) pos 1 -> k=2; file 3 (s1_B) pos 0 -> k=5
+      deletes = Seq(0 -> Seq(1L), 3 -> Seq(0L)))
+    dir
+  }
+
+  private def keys(snap: Option[Long], part: Option[String => Boolean] = None): Set[Long] =
+    IcebergLite.readSnapshot(spark, tableDir, snap, part)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+
+  test("snapshot log visibility: each snapshot sees exactly its files") {
+    assert(keys(Some(1000L)) == Set(1L, 2L, 3L), "first append")
+    assert(keys(Some(1001L)) == Set(1L, 2L, 3L, 4L, 5L, 6L), "second append, pre-delete")
+    assert(keys(None) == Set(1L, 3L, 4L, 6L), "current = deletes applied")
+  }
+
+  test("position deletes remove exactly the (file, pos) rows") {
+    // k=2 was pos 1 of the first A file; k=5 pos 0 of the second B file
+    val cur = keys(None)
+    assert(!cur.contains(2L) && !cur.contains(5L))
+    assert(cur.contains(1L) && cur.contains(6L),
+      "neighbors of deleted positions must survive")
+  }
+
+  test("partition pruning narrows data files but keeps delete files") {
+    val tasks = IcebergLite.planFiles(tableDir, None, Some(_ == "B"))
+    assert(tasks.filter(_.content == 0).forall(_.partValue.contains("B")))
+    assert(tasks.exists(_.content == 1),
+      "delete files must survive partition pruning (they are partition-less)")
+    assert(keys(None, Some(_ == "B")) == Set(3L, 6L))
+  }
+
+  test("unknown snapshot id fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      IcebergLite.readSnapshot(spark, tableDir, Some(99L))
+    }
+    assert(e.getMessage.contains("snapshot 99"))
+  }
+}
