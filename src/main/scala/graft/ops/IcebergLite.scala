@@ -34,9 +34,10 @@ import org.apache.spark.sql.functions._
   *    the delete side shuffles like any join side when it is large.
   *
   * Honest scope (documented, not hidden): identity partition
-  * transforms only; position deletes (equality deletes and the
-  * sequence-number visibility rule they need are not implemented);
-  * the WRITER here is test scaffolding that stages a spec-shaped
+  * transforms only; position deletes AND equality deletes (content=2,
+  * r9 — applied under the spec's strict sequence-visibility rule, so
+  * later re-inserts of a deleted key survive: the merge-on-write
+  * upsert contract); the WRITER here is test scaffolding that stages a spec-shaped
   * table layout from the driver so the reader has something real to
   * walk — a production writer (commit protocol, optimistic metadata
   * swap) remains connector territory. Correctness is gated
@@ -112,7 +113,9 @@ object IcebergLite {
           val part = Option(df.get("partition").asInstanceOf[GenericRecord]
             .get("part_value")).map(_.toString)
           val content = df.get("content").asInstanceOf[Int]
-          val keep = content == 1 || partFilter.forall(f => part.forall(f))
+          // delete files (position OR equality) are partition-less and
+          // survive pruning; only data files prune
+          val keep = content != 0 || partFilter.forall(f => part.forall(f))
           if (!keep) None
           else Some(FileTask(df.get("file_path").toString, content, part,
             df.get("record_count").asInstanceOf[Long],
@@ -124,26 +127,49 @@ object IcebergLite {
 
   /** Read a snapshot as a DataFrame: pruned data files, position
     * deletes applied via `_metadata.file_path` / `_metadata.row_index`
-    * anti-join (both sides normalized to scheme-less absolute paths). */
+    * anti-join (both sides normalized to scheme-less absolute paths),
+    * then EQUALITY deletes (content=2) under the spec's strict
+    * sequence-visibility rule — an equality delete at sequence S
+    * removes matching rows only from data files with sequence < S, so
+    * a key re-inserted in a LATER snapshot survives (the merge-on-write
+    * upsert contract). Each delete file's equality columns are its own
+    * parquet schema; data-file sequence numbers ride a metadata-sized
+    * literal map keyed by normalized path. */
   def readSnapshot(spark: SparkSession, tableDir: String,
                    snapshotId: Option[Long] = None,
                    partFilter: Option[String => Boolean] = None): DataFrame = {
     val tasks = planFiles(tableDir, snapshotId, partFilter)
-    val dataPaths = tasks.filter(_.content == 0).map(_.path)
-    val deletePaths = tasks.filter(_.content == 1).map(_.path)
-    require(dataPaths.nonEmpty, s"snapshot has no data files in $tableDir")
-    val data = spark.read.parquet(dataPaths: _*)
+    val dataTasks = tasks.filter(_.content == 0)
+    val posDeletePaths = tasks.filter(_.content == 1).map(_.path)
+    val eqDeleteTasks = tasks.filter(_.content == 2)
+    require(dataTasks.nonEmpty, s"snapshot has no data files in $tableDir")
+    def norm(p: String): String = p.replaceAll("^file:+", "")
+    val data = spark.read.parquet(dataTasks.map(_.path): _*)
       .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
       .withColumn("__pos", col("_metadata.row_index"))
-    val live =
-      if (deletePaths.isEmpty) data
+    val afterPos =
+      if (posDeletePaths.isEmpty) data
       else {
-        val dels = spark.read.parquet(deletePaths: _*)
+        val dels = spark.read.parquet(posDeletePaths: _*)
           .select(regexp_replace(col("file_path"), "^file:+", "").as("__fp"),
             col("pos").as("__pos"))
         data.join(dels, Seq("__fp", "__pos"), "left_anti")
       }
-    live.drop("__fp", "__pos")
+    val afterEq =
+      if (eqDeleteTasks.isEmpty) afterPos
+      else {
+        val seqMap = typedLit(dataTasks.map(t => norm(t.path) -> t.sequenceNumber).toMap)
+        val withSeq = afterPos.withColumn("__seq", element_at(seqMap, col("__fp")))
+        eqDeleteTasks.foldLeft(withSeq) { (cur, del) =>
+          val d = spark.read.parquet(del.path)
+          val eqCols = d.columns.toSeq
+          val right = d.select(eqCols.map(c => col(c).as(s"__d_$c")): _*)
+          val cond = eqCols.map(c => cur(c) <=> right(s"__d_$c"))
+            .reduceLeft(_ && _) && cur("__seq") < lit(del.sequenceNumber)
+          cur.join(right, cond, "left_anti")
+        }.drop("__seq")
+      }
+    afterEq.drop("__fp", "__pos")
   }
 
   private def readAvro(path: String): Seq[GenericRecord] = {
@@ -158,16 +184,37 @@ object IcebergLite {
   }
 
   // ------------------------------------------------------- writer (fixture)
-  /** Stage a spec-shaped iceberg table: `appends` are (partValue →
-    * rows) batches, one snapshot each; then one snapshot of position
-    * deletes given as (dataFileIndex, rowPos). Driver staging — test
-    * scaffolding so the reader has a real metadata chain to walk. Each
-    * data file's rows are written in the given order (single in-memory
-    * partition), so delete positions are exact by construction. */
+
+  /** Snapshot actions for the fixture writer: appends of (partValue →
+    * rows) batches, position deletes addressed as (dataFileIndex,
+    * positions), and EQUALITY deletes (content=2) given as the rows of
+    * equality-column values to remove — each action commits one
+    * snapshot with its own sequence number, which is what the reader's
+    * visibility rule keys on. */
+  sealed trait Action
+  final case class Append(batch: Seq[(String, Seq[Row])]) extends Action
+  final case class PosDelete(entries: Seq[(Int, Seq[Long])]) extends Action
+  final case class EqDelete(rows: Seq[Row],
+                            schema: org.apache.spark.sql.types.StructType) extends Action
+
+  /** Back-compat convenience: appends then (optionally) one
+    * position-delete snapshot. */
   def writeFixtureTable(spark: SparkSession, tableDir: String,
                         schemaDf: DataFrame,
                         appends: Seq[Seq[(String, Seq[Row])]],
-                        deletes: Seq[(Int, Seq[Long])]): Unit = {
+                        deletes: Seq[(Int, Seq[Long])]): Unit =
+    writeFixtureTable(spark, tableDir, schemaDf,
+      appends.map(Append(_)) ++
+        (if (deletes.nonEmpty) Seq(PosDelete(deletes)) else Nil))
+
+  /** Stage a spec-shaped iceberg table from an ordered snapshot-action
+    * log. Driver staging — test scaffolding so the reader has a real
+    * metadata chain to walk. Each data file's rows are written in the
+    * given order (single in-memory partition), so delete positions are
+    * exact by construction. */
+  def writeFixtureTable(spark: SparkSession, tableDir: String,
+                        schemaDf: DataFrame,
+                        actions: Seq[Action]): Unit = {
     val dir = new java.io.File(tableDir)
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
     new java.io.File(dir, "data").mkdirs()
@@ -235,39 +282,40 @@ object IcebergLite {
       w.close()
     }
 
-    // data snapshots
-    appends.zipWithIndex.foreach { case (batch, i) =>
+    // one snapshot per action, each with its own sequence number
+    actions.zipWithIndex.foreach { case (action, i) =>
       seq += 1
       val snapId = 1000L + i
       snapshotIds += snapId
-      val entries = batch.map { case (part, rows) =>
-        val fp = s"$tableDir/data/s${i}_$part.parquet"
-        val bytes = writeParquetFile(rows, schemaDf.schema, fp)
-        dataFiles += ((fp, part, rows.size.toLong))
-        (0, fp, Some(part), rows.size.toLong, bytes, seq)
+      action match {
+        case Append(batch) =>
+          val entries = batch.map { case (part, rows) =>
+            val fp = s"$tableDir/data/s${i}_$part.parquet"
+            val bytes = writeParquetFile(rows, schemaDf.schema, fp)
+            dataFiles += ((fp, part, rows.size.toLong))
+            (0, fp, Some(part), rows.size.toLong, bytes, seq)
+          }
+          val mp = s"$tableDir/metadata/manifest-$seq.avro"
+          writeManifest(mp, entries, snapId)
+          manifests += ((mp, 0, seq))
+        case PosDelete(entries0) =>
+          import org.apache.spark.sql.types._
+          val delSchema = StructType(Seq(StructField("file_path", StringType),
+            StructField("pos", LongType)))
+          val delRows = entries0.flatMap { case (fi, poss) =>
+            poss.map(p => Row(dataFiles(fi)._1, p)) }
+          val fp = s"$tableDir/data/deletes-$seq.parquet"
+          val bytes = writeParquetFile(delRows, delSchema, fp)
+          val mp = s"$tableDir/metadata/manifest-$seq.avro"
+          writeManifest(mp, Seq((1, fp, None, delRows.size.toLong, bytes, seq)), snapId)
+          manifests += ((mp, 1, seq))
+        case EqDelete(rows, schema) =>
+          val fp = s"$tableDir/data/eq-deletes-$seq.parquet"
+          val bytes = writeParquetFile(rows, schema, fp)
+          val mp = s"$tableDir/metadata/manifest-$seq.avro"
+          writeManifest(mp, Seq((2, fp, None, rows.size.toLong, bytes, seq)), snapId)
+          manifests += ((mp, 1, seq))
       }
-      val mp = s"$tableDir/metadata/manifest-$seq.avro"
-      writeManifest(mp, entries, snapId)
-      manifests += ((mp, 0, seq))
-      val ml = s"$tableDir/metadata/snap-$snapId.avro"
-      writeManifestList(ml)
-      manifestLists += ml
-    }
-    // delete snapshot
-    if (deletes.nonEmpty) {
-      seq += 1
-      val snapId = 1000L + appends.size
-      snapshotIds += snapId
-      import org.apache.spark.sql.types._
-      val delSchema = StructType(Seq(StructField("file_path", StringType),
-        StructField("pos", LongType)))
-      val delRows = deletes.flatMap { case (fi, poss) =>
-        poss.map(p => Row(dataFiles(fi)._1, p)) }
-      val fp = s"$tableDir/data/deletes-$seq.parquet"
-      val bytes = writeParquetFile(delRows, delSchema, fp)
-      val mp = s"$tableDir/metadata/manifest-$seq.avro"
-      writeManifest(mp, Seq((1, fp, None, delRows.size.toLong, bytes, seq)), snapId)
-      manifests += ((mp, 1, seq))
       val ml = s"$tableDir/metadata/snap-$snapId.avro"
       writeManifestList(ml)
       manifestLists += ml

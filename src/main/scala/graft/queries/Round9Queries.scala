@@ -158,6 +158,48 @@ object Round9Queries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Equality deletes + the strict sequence-visibility rule = the
+    // merge-on-write UPSERT contract: snapshot log is append(evens) →
+    // equality-delete(keys %10=0) → append(re-insert %10=0 under
+    // 5000). The delete removes its keys ONLY from earlier-sequence
+    // files, so the re-inserted rows survive. Oracle recomputes the
+    // surviving set from base lineitem by predicate — non-circular.
+    "src_iceberg_upsert" -> ((s, dir) => {
+      import graft.ops.IcebergLite
+      import org.apache.spark.sql.Row
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000 && col("l_orderkey") % 2 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def batch(f: org.apache.spark.sql.Column): Seq[(String, Seq[Row])] =
+        src.filter(f)
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .collect().toSeq.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      val delKeys = src.filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey")).distinct().orderBy(col("l_orderkey"))
+        .collect().toSeq
+      val tableDir = new java.io.File(
+        s"target/iceberg/upsert_${new java.io.File(dir).getName}").getAbsolutePath
+      IcebergLite.writeFixtureTable(s, tableDir, src, Seq(
+        IcebergLite.Append(batch(lit(true))),
+        IcebergLite.EqDelete(delKeys,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("l_orderkey",
+              org.apache.spark.sql.types.LongType)))),
+        IcebergLite.Append(batch(
+          col("l_orderkey") % 10 === 0 && col("l_orderkey") < 5000))))
+      val cur = IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+      // belt: the pre-delete snapshot still shows every key
+      val k0 = IcebergLite.readSnapshot(s, tableDir, Some(1000L)).count()
+      val kDel = IcebergLite.readSnapshot(s, tableDir, Some(1001L)).count()
+      require(kDel < k0, s"equality delete removed nothing: $k0 -> $kDel")
+      cur
     })
   )
 
@@ -294,6 +336,17 @@ object Round9Queries {
       FROM lineitem
       WHERE l_orderkey < 20000 AND l_linenumber <> 1
         AND l_returnflag = 'R'
+      GROUP BY 1 ORDER BY 1""",
+
+    // surviving set: evens under 10000, minus %10=0 keys EXCEPT the
+    // re-inserted ones (%10=0 under 5000) — the upsert contract
+    "src_iceberg_upsert" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 2 = 0
+        AND (l_orderkey % 10 <> 0 OR l_orderkey < 5000)
       GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -60,4 +60,35 @@ class IcebergLiteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("snapshot 99"))
   }
+
+  private lazy val upsertDir: String = {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val df = Seq((1L, "A", 10)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/iceberg/spec_upsert").getAbsolutePath
+    IcebergLite.writeFixtureTable(spark, dir, df, Seq(
+      IcebergLite.Append(Seq(
+        "A" -> Seq(Row(1L, "A", 10), Row(2L, "A", 20), Row(3L, "A", 30)))),
+      IcebergLite.EqDelete(Seq(Row(2L), Row(3L)),
+        StructType(Seq(StructField("k", LongType)))),
+      // re-insert k=3 AFTER the delete; also a position delete of k=1
+      // (file 0 pos 0) composing with the equality delete
+      IcebergLite.Append(Seq("A" -> Seq(Row(3L, "A", 31)))),
+      IcebergLite.PosDelete(Seq(0 -> Seq(0L)))))
+    dir
+  }
+
+  test("equality deletes: strict sequence rule keeps later re-inserts (upsert)") {
+    def ks(snap: Option[Long]) =
+      IcebergLite.readSnapshot(spark, upsertDir, snap)
+        .select(col("k"), col("v")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(ks(Some(1000L)) == Set(1L -> 10, 2L -> 20, 3L -> 30), "pre-delete")
+    assert(ks(Some(1001L)) == Set(1L -> 10), "after equality delete of k=2,3")
+    assert(ks(Some(1002L)) == Set(1L -> 10, 3L -> 31),
+      "re-inserted k=3 must survive the EARLIER equality delete (v=31, the new row)")
+    assert(ks(None) == Set(3L -> 31),
+      "final: position delete removes k=1; upserted k=3 remains")
+  }
 }
