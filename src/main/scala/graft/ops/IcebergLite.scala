@@ -172,6 +172,35 @@ object IcebergLite {
     afterEq.drop("__fp", "__pos")
   }
 
+  /** Incremental APPEND scan between two snapshots (the spec's
+    * incremental read, the table-stream/CDC analog): data files whose
+    * sequence number lands in (from, to]. Deletes inside the window are
+    * ignored by design — the incremental contract ships appended rows;
+    * row-level retractions ride the delete files and belong to the
+    * full-snapshot read (documented spec behavior). */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val fromSeq = snapshotSequence(tableDir, fromSnapshotId)
+    val toSeq = snapshotSequence(tableDir, toSnapshotId)
+    require(fromSeq < toSeq, s"from ($fromSeq) must precede to ($toSeq)")
+    val added = planFiles(tableDir, Some(toSnapshotId))
+      .filter(t => t.content == 0 &&
+        t.sequenceNumber > fromSeq && t.sequenceNumber <= toSeq)
+    require(added.nonEmpty, "no appended data files in the window")
+    spark.read.parquet(added.map(_.path): _*)
+  }
+
+  private def snapshotSequence(tableDir: String, snapId: Long): Long = {
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val snaps = meta.get("snapshots")
+    (0 until snaps.size).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == snapId)
+      .map(_.get("sequence-number").asLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapId not in the log"))
+  }
+
   private def readAvro(path: String): Seq[GenericRecord] = {
     val in = new DataFileStream(
       java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),

@@ -200,6 +200,21 @@ object Round9Queries {
       val kDel = IcebergLite.readSnapshot(s, tableDir, Some(1001L)).count()
       require(kDel < k0, s"equality delete removed nothing: $k0 -> $kDel")
       cur
+    }),
+
+    // incremental APPEND scan between snapshots (the table-stream/CDC
+    // analog of the engine's min-delta contract): files whose sequence
+    // lands in (from, to] — here exactly the second append (odd
+    // l_orderkey half). Oracle recomputes that window from the base
+    // table by predicate.
+    "src_iceberg_incremental" -> ((s, dir) => {
+      val tableDir = icebergFixture(s, dir)
+      graft.ops.IcebergLite.readIncremental(s, tableDir, 1000L, 1001L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -347,6 +362,15 @@ object Round9Queries {
       FROM lineitem
       WHERE l_orderkey < 10000 AND l_orderkey % 2 = 0
         AND (l_orderkey % 10 <> 0 OR l_orderkey < 5000)
+      GROUP BY 1 ORDER BY 1""",
+
+    // the (1000, 1001] window = the odd-l_orderkey append only
+    "src_iceberg_incremental" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 20000 AND l_orderkey % 2 = 1
       GROUP BY 1 ORDER BY 1"""
   )
 }
