@@ -201,6 +201,18 @@ object IcebergLite {
         s"snapshot $snapId not in the log"))
   }
 
+  /** Iceberg bucket[N] transform for BIGINT keys (spec Appendix B:
+    * murmur3_x86_32 over the little-endian 8-byte value, seed 0, then
+    * positive mod N; the published vector hash(34L) = 2017239379 is
+    * pinned in IcebergLiteSpec). Pruning on it is the hash-partition
+    * analog of the reference's tablet prune
+    * (nereids/rules/rewrite/PruneOlapScanTablet.java). */
+  def bucketLong(v: Long, n: Int): Int = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    (graft.functions.Murmur3.hash32(b, 0) & Integer.MAX_VALUE) % n
+  }
+
   private def readAvro(path: String): Seq[GenericRecord] = {
     val in = new DataFileStream(
       java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),

@@ -215,6 +215,43 @@ object Round9Queries {
           sum(col("l_orderkey")).as("sum_ok"),
           sum(col("l_linenumber").cast("long")).as("sum_ln"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // bucket[8] hash-partition pruning (spec Appendix B transform —
+    // murmur3_x86_32 little-endian, pinned to the published
+    // hash(34)=2017239379 vector; the reference analog is
+    // PruneOlapScanTablet's hash-bucket prune): a point lookup on the
+    // bucket key plans ONLY the key's bucket file. Oracle recomputes
+    // the key's rows from the base table (the key itself is the
+    // deterministic min >= 100 on both engines).
+    "src_iceberg_bucket_prune" -> ((s, dir) => {
+      import graft.ops.IcebergLite
+      import org.apache.spark.sql.Row
+      val nBuckets = 8
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val rows = src
+        .orderBy(col("l_orderkey"), col("l_linenumber")).collect().toSeq
+      val batch = rows.groupBy(r => IcebergLite.bucketLong(r.getLong(0), nBuckets))
+        .toSeq.sortBy(_._1).map { case (b, rs) => (b.toString, rs) }
+      val tableDir = new java.io.File(
+        s"target/iceberg/bucket_${new java.io.File(dir).getName}").getAbsolutePath
+      IcebergLite.writeFixtureTable(s, tableDir, src,
+        Seq(IcebergLite.Append(batch)))
+      val key = rows.map(_.getLong(0)).filter(_ >= 100).min
+      val want = IcebergLite.bucketLong(key, nBuckets).toString
+      val all = IcebergLite.planFiles(tableDir).count(_.content == 0)
+      val pruned = IcebergLite.planFiles(tableDir,
+        partFilter = Some(_ == want)).filter(_.content == 0)
+      require(pruned.size == 1 && all == nBuckets,
+        s"bucket prune should plan exactly 1 of $all files, got ${pruned.size}")
+      IcebergLite.readSnapshot(s, tableDir, partFilter = Some(_ == want))
+        .filter(col("l_orderkey") === key)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_orderkey"))
     })
   )
 
@@ -371,6 +408,14 @@ object Round9Queries {
              CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
       FROM lineitem
       WHERE l_orderkey < 20000 AND l_orderkey % 2 = 1
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_iceberg_bucket_prune" -> """
+      SELECT l_orderkey, count(*) AS n,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem
+                          WHERE l_orderkey >= 100 AND l_orderkey < 10000)
       GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -91,4 +91,14 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(ks(None) == Set(3L -> 31),
       "final: position delete removes k=1; upserted k=3 remains")
   }
+
+  test("bucket transform matches the published spec vector") {
+    // Iceberg spec Appendix B: bucket hash of int/long 34 = 2017239379
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(34L).array()
+    assert(graft.functions.Murmur3.hash32(b, 0) == 2017239379)
+    assert(IcebergLite.bucketLong(34L, 16) == 2017239379 % 16)
+    // positive-mod contract for keys whose hash is negative
+    assert((0 until 64).forall(i => IcebergLite.bucketLong(i.toLong, 8) >= 0))
+  }
 }
