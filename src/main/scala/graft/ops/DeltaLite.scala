@@ -1,0 +1,127 @@
+package graft.ops
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+
+/** Delta Lake TABLE-FORMAT read path from the PUBLIC protocol spec
+  * (github.com/delta-io/delta/blob/master/PROTOCOL.md) with no
+  * connector jar — the sibling of [[IcebergLite]] (reference:
+  * fe/fe-core/.../datasource/ — Doris's multi-catalog reads lakehouse
+  * tables through the same published formats).
+  *
+  * The protocol: `_delta_log/` holds zero-padded versioned commits
+  * (`00000000000000000000.json`, one JSON ACTION per line — `add`,
+  * `remove`, `metaData`, `protocol`, `commitInfo`). The table state at
+  * version V is the log replay 0..V: latest `add` per path wins,
+  * `remove` drops it. `add.path` is RELATIVE to the table root and
+  * `partitionValues` carries the identity partition tuple.
+  *
+  * Spark-first mapping: the log is METADATA-sized and replays on the
+  * driver (FE role); partition pruning filters `partitionValues`
+  * during replay — before any parquet footer is opened; the data read
+  * is one `spark.read.parquet(liveFiles)`. Time travel = replay to an
+  * older version. Honest scope: add/remove replay + identity
+  * partitions; checkpoints (.checkpoint.parquet), deletion vectors,
+  * and column mapping are out of scope and documented here; the
+  * writer is fixture scaffolding (no commit protocol). Correctness is
+  * non-circular: the `src_delta_*` oracles recompute expected content
+  * from the base table by predicate. */
+object DeltaLite {
+
+  private def mapper = new ObjectMapper()
+
+  /** Live (path, partitionValues) after replaying the log up to and
+    * including `version` (default: latest). */
+  def planFiles(tableDir: String, version: Option[Long] = None,
+                partFilter: Option[Map[String, String] => Boolean] = None)
+      : Seq[(String, Map[String, String])] = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getName)
+      .filter(f => version.forall(v => f.getName.dropRight(5).toLong <= v))
+    require(commits.nonEmpty, s"no delta commits <= $version in $logDir")
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    commits.foreach { f =>
+      java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            val a = node.get("add")
+            val pv = Option(a.get("partitionValues")).map { m =>
+              val it = m.fieldNames()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText }
+              b.result()
+            }.getOrElse(Map.empty[String, String])
+            live(a.get("path").asText) = pv
+          } else if (node.has("remove")) {
+            live.remove(node.get("remove").get("path").asText)
+          }
+        }
+      }
+    }
+    live.toSeq.filter { case (_, pv) => partFilter.forall(_(pv)) }
+  }
+
+  /** Read a version (default latest) with optional partition pruning. */
+  def readVersion(spark: SparkSession, tableDir: String,
+                  version: Option[Long] = None,
+                  partFilter: Option[Map[String, String] => Boolean] = None)
+      : DataFrame = {
+    val files = planFiles(tableDir, version, partFilter)
+    require(files.nonEmpty, "no live files after replay/pruning")
+    spark.read.parquet(files.map { case (p, _) => s"$tableDir/$p" }: _*)
+  }
+
+  // ------------------------------------------------------- writer (fixture)
+  /** Commit actions for the fixture writer: each element is one
+    * commit — adds of (relativePath-less partition value → rows) and
+    * removes of previously-added relative paths. */
+  final case class Commit(adds: Seq[(String, Seq[Row])] = Nil,
+                          removes: Seq[String] = Nil)
+
+  /** Stage a protocol-shaped delta table (driver staging — test
+    * scaffolding): data files under `data/`, one JSON commit per
+    * [[Commit]], relative `add.path`s, identity `partitionValues`
+    * keyed by `part`. Returns the relative paths added, in order. */
+  def writeFixtureTable(spark: SparkSession, tableDir: String,
+                        schemaDf: DataFrame,
+                        commits: Seq[Commit]): Seq[String] = {
+    val dir = new java.io.File(tableDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    new java.io.File(dir, "data").mkdirs()
+    new java.io.File(dir, "_delta_log").mkdirs()
+    val added = Seq.newBuilder[String]
+    commits.zipWithIndex.foreach { case (c, v) =>
+      val lines = Seq.newBuilder[String]
+      if (v == 0) {
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        lines += s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000000","format":{"provider":"parquet"},"partitionColumns":["part"],"schemaString":"{}"}}"""
+      }
+      c.adds.zipWithIndex.foreach { case ((part, rows), j) =>
+        val rel = s"data/c${v}_f${j}_$part.parquet"
+        val tmp = s"$tableDir/tmp_stage"
+        spark.createDataFrame(
+            new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+            schemaDf.schema)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val partFile = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(partFile.toPath,
+          new java.io.File(dir, rel).toPath)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+        added += rel
+        lines += s"""{"add":{"path":"$rel","partitionValues":{"part":"$part"},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + v},"dataChange":true}}"""
+      }
+      c.removes.foreach { rel =>
+        lines += s"""{"remove":{"path":"$rel","deletionTimestamp":${1700000000000L + v},"dataChange":true}}"""
+      }
+      val name = f"$v%020d.json"
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tableDir, "_delta_log", name),
+        String.join("\n", lines.result(): _*).getBytes("UTF-8"))
+    }
+    added.result()
+  }
+}

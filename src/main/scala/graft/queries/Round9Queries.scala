@@ -252,8 +252,82 @@ object Round9Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("l_linenumber").cast("long")).as("sum_ln"))
         .orderBy(col("l_orderkey"))
+    }),
+
+    // Delta Lake protocol read path (ops/DeltaLite.scala — the JSON
+    // commit-log sibling of the iceberg chain): current version =
+    // replay of add/remove actions; commit 2 REMOVES the first
+    // commit's 'R' file, so its rows must vanish from the read.
+    "src_delta_scan" -> ((s, dir) => {
+      val tableDir = deltaFixture(s, dir)
+      graft.ops.DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // version time travel: version 0 = the even append, pre-remove
+    "src_delta_time_travel" -> ((s, dir) => {
+      val tableDir = deltaFixture(s, dir)
+      graft.ops.DeltaLite.readVersion(s, tableDir, version = Some(0L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // partitionValues pruning during log replay: an 'A'-only read must
+    // plan only 'A' files (asserted), before any footer is opened
+    "src_delta_prune" -> ((s, dir) => {
+      import graft.ops.DeltaLite
+      val tableDir = deltaFixture(s, dir)
+      val all = DeltaLite.planFiles(tableDir).size
+      val pruned = DeltaLite.planFiles(tableDir,
+        partFilter = Some(_.get("part").contains("A")))
+      require(pruned.nonEmpty && pruned.size < all,
+        s"delta partition pruning did not narrow: ${pruned.size} of $all")
+      DeltaLite.readVersion(s, tableDir,
+          partFilter = Some(_.get("part").contains("A")))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
     })
   )
+
+  /** Delta fixture: commit 0 adds the even half (partitioned by
+    * l_returnflag), commit 1 the odd half, commit 2 removes commit 0's
+    * 'R' file (a delete/compaction-style action). */
+  private val deltaBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deltaFixture(s: SparkSession, dir: String): String =
+    deltaBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.DeltaLite
+      import org.apache.spark.sql.Row
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 20000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def batch(m: Int): Seq[(String, Seq[Row])] = {
+        val rows = src.filter(col("l_orderkey") % 2 === m)
+          .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+          .collect().toSeq
+        rows.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      }
+      val tableDir = new java.io.File(
+        s"target/delta/lineitem_${new java.io.File(dir).getName}").getAbsolutePath
+      val b0 = batch(0)
+      val added0 = b0.map(_._1) // partition order of commit 0
+      val rIdx = added0.indexOf("R")
+      require(rIdx >= 0, "fixture premise: commit 0 has an R partition")
+      val rels = DeltaLite.writeFixtureTable(s, tableDir, src, Seq(
+        DeltaLite.Commit(adds = b0),
+        DeltaLite.Commit(adds = batch(1)),
+        DeltaLite.Commit(removes = Seq(s"data/c0_f${rIdx}_R.parquet"))))
+      require(rels.contains(s"data/c0_f${rIdx}_R.parquet"),
+        s"expected relative path not produced: $rels")
+      tableDir
+    })
 
   /** Stage the iceberg fixture table once per (sfDir, JVM): two append
     * snapshots (even / odd l_orderkey halves, identity-partitioned by
@@ -416,6 +490,33 @@ object Round9Queries {
       FROM lineitem
       WHERE l_orderkey = (SELECT min(l_orderkey) FROM lineitem
                           WHERE l_orderkey >= 100 AND l_orderkey < 10000)
+      GROUP BY 1 ORDER BY 1""",
+
+    // current version: both halves minus the removed (even, 'R') file
+    "src_delta_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 20000
+        AND NOT (l_orderkey % 2 = 0 AND l_returnflag = 'R')
+      GROUP BY 1 ORDER BY 1""",
+
+    // version 0 = even half only
+    "src_delta_time_travel" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 20000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // 'A' partition across both halves (the remove hit 'R' only)
+    "src_delta_prune" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 20000 AND l_returnflag = 'A'
       GROUP BY 1 ORDER BY 1"""
   )
 }

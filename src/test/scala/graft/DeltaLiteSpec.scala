@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.DeltaLite
+
+/** ops/DeltaLite.scala — protocol-replay semantics: add/remove
+  * ordering, re-add after remove (last action wins), version time
+  * travel, pruning during replay, loud empty results. */
+class DeltaLiteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val tableDir: String = {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/delta/spec_table").getAbsolutePath
+    DeltaLite.writeFixtureTable(spark, dir, df, Seq(
+      DeltaLite.Commit(adds = Seq(
+        "A" -> Seq(Row(1L, "A", 1), Row(2L, "A", 2)),
+        "B" -> Seq(Row(3L, "B", 3)))),
+      DeltaLite.Commit(removes = Seq("data/c0_f0_A.parquet")),
+      DeltaLite.Commit(adds = Seq("A" -> Seq(Row(1L, "A", 11))))))
+    dir
+  }
+
+  private def ks(version: Option[Long]): Set[(Long, Int)] =
+    DeltaLite.readVersion(spark, tableDir, version)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getInt(2 - 1))).toSet
+
+  test("replay: remove drops the file, later re-add brings new content") {
+    assert(ks(Some(0L)) == Set(1L -> 1, 2L -> 2, 3L -> 3), "version 0")
+    assert(ks(Some(1L)) == Set(3L -> 3), "version 1: A file removed")
+    assert(ks(None) == Set(3L -> 3, 1L -> 11),
+      "version 2: re-added A content (new file), old A rows stay gone")
+  }
+
+  test("pruning during replay plans only matching partitions") {
+    val files = DeltaLite.planFiles(tableDir,
+      partFilter = Some(_.get("part").contains("B")))
+    assert(files.nonEmpty && files.forall(_._2.get("part").contains("B")))
+  }
+
+  test("a version beyond the log or an empty replay fails loudly") {
+    intercept[IllegalArgumentException] {
+      DeltaLite.planFiles(tableDir, Some(-1L))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLite.readVersion(spark, tableDir,
+        partFilter = Some(_.get("part").contains("Z")))
+    }
+  }
+}
