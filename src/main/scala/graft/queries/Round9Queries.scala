@@ -294,8 +294,60 @@ object Round9Queries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Hudi COPY-ON-WRITE read path (ops/HudiLite.scala): commit 2
+    // REWRITES the 'A' file group dropping l_linenumber=1 rows (the
+    // CoW update), so the current snapshot = latest file slice per
+    // group must show the rewritten content while 'N'/'R' groups keep
+    // their first slices.
+    "src_hudi_scan" -> ((s, dir) => {
+      val tableDir = hudiFixture(s, dir)
+      graft.ops.HudiLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // time travel to the first instant: pre-rewrite slices everywhere
+    "src_hudi_time_travel" -> ((s, dir) => {
+      val tableDir = hudiFixture(s, dir)
+      graft.ops.HudiLite.readSnapshot(s, tableDir, instant = Some("001"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
     })
   )
+
+  /** Hudi fixture: commit 001 writes one file group per l_returnflag
+    * partition (l_orderkey < 15000); commit 002 copy-on-write rewrites
+    * the 'A' group without its l_linenumber=1 rows. */
+  private val hudiBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hudiFixture(s: SparkSession, dir: String): String =
+    hudiBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.HudiLite
+      import org.apache.spark.sql.Row
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 15000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      def part(p: String, extra: org.apache.spark.sql.Column): Seq[Row] =
+        src.filter(col("l_returnflag") === p && extra)
+          .orderBy(col("l_orderkey"), col("l_linenumber")).collect().toSeq
+      val tableDir = new java.io.File(
+        s"target/hudi/lineitem_${new java.io.File(dir).getName}").getAbsolutePath
+      HudiLite.writeFixtureTable(s, tableDir, src, Seq(
+        HudiLite.Commit("001", Seq(
+          ("A", "fg-a", part("A", lit(true))),
+          ("N", "fg-n", part("N", lit(true))),
+          ("R", "fg-r", part("R", lit(true))))),
+        HudiLite.Commit("002", Seq(
+          ("A", "fg-a", part("A", col("l_linenumber") =!= 1))))))
+      tableDir
+    })
 
   /** Delta fixture: commit 0 adds the even half (partitioned by
     * l_returnflag), commit 1 the odd half, commit 2 removes commit 0's
@@ -517,6 +569,26 @@ object Round9Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 20000 AND l_returnflag = 'A'
+      GROUP BY 1 ORDER BY 1""",
+
+    // latest slices: rewritten 'A' group (no l_linenumber=1), original
+    // 'N'/'R' groups
+    "src_hudi_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 15000
+        AND NOT (l_returnflag = 'A' AND l_linenumber = 1)
+      GROUP BY 1 ORDER BY 1""",
+
+    // instant 001 = every group's first slice
+    "src_hudi_time_travel" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 15000
       GROUP BY 1 ORDER BY 1"""
   )
 }
