@@ -64,14 +64,115 @@ object DeltaLite {
     live.toSeq.filter { case (_, pv) => partFilter.forall(_(pv)) }
   }
 
-  /** Read a version (default latest) with optional partition pruning. */
+  /** Like [[planFiles]] but starting from `_last_checkpoint` when one
+    * exists (the protocol's scale path: at 100 TB the log is thousands
+    * of commits and replaying every JSON is the bottleneck — the
+    * checkpoint parquet IS the state at its version, so replay is one
+    * metadata-sized parquet read + the post-checkpoint tail). Falls
+    * back to full JSON replay when there is no usable checkpoint.
+    * Correctness is provable non-circularly: after log expiry deletes
+    * the pre-checkpoint commits, only a correct checkpoint read can
+    * reconstruct the table. */
+  def planFilesWithCheckpoint(spark: SparkSession, tableDir: String,
+                              version: Option[Long] = None,
+                              partFilter: Option[Map[String, String] => Boolean] = None)
+      : Seq[(String, Map[String, String])] = {
+    val lastCp = new java.io.File(tableDir, "_delta_log/_last_checkpoint")
+    val cpVersion = if (lastCp.exists())
+      Some(mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
+        .get("version").asLong)
+    else None
+    cpVersion.filter(cv => version.forall(cv <= _)) match {
+      case None => planFiles(tableDir, version, partFilter)
+      case Some(cv) =>
+        // checkpoint rows: one action per row, `add` struct for live files
+        val cpFile = f"$tableDir/_delta_log/$cv%020d.checkpoint.parquet"
+        val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+        spark.read.parquet(cpFile).select("add").where("add IS NOT NULL")
+          .collect().foreach { row =>
+            val a = row.getStruct(0)
+            val path = a.getString(a.fieldIndex("path"))
+            val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
+              .map(_.toMap).getOrElse(Map.empty[String, String])
+            live(path) = pv
+          }
+        // replay only the post-checkpoint JSON tail
+        val logDir = new java.io.File(tableDir, "_delta_log")
+        Option(logDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("\\d{20}\\.json"))
+          .sortBy(_.getName)
+          .filter { f =>
+            val v = f.getName.dropRight(5).toLong
+            v > cv && version.forall(v <= _)
+          }
+          .foreach { f =>
+            java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+              if (line.nonEmpty) {
+                val node = mapper.readTree(line)
+                if (node.has("add")) {
+                  val a = node.get("add")
+                  val pv = Option(a.get("partitionValues")).map { m =>
+                    val it = m.fieldNames()
+                    val b = Map.newBuilder[String, String]
+                    while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText }
+                    b.result()
+                  }.getOrElse(Map.empty[String, String])
+                  live(a.get("path").asText) = pv
+                } else if (node.has("remove")) {
+                  live.remove(node.get("remove").get("path").asText)
+                }
+              }
+            }
+          }
+        live.toSeq.filter { case (_, pv) => partFilter.forall(_(pv)) }
+    }
+  }
+
+  /** Read a version (default latest) with optional partition pruning —
+    * checkpoint-aware (see [[planFilesWithCheckpoint]]). */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Option[Long] = None,
                   partFilter: Option[Map[String, String] => Boolean] = None)
       : DataFrame = {
-    val files = planFiles(tableDir, version, partFilter)
+    val files = planFilesWithCheckpoint(spark, tableDir, version, partFilter)
     require(files.nonEmpty, "no live files after replay/pruning")
     spark.read.parquet(files.map { case (p, _) => s"$tableDir/$p" }: _*)
+  }
+
+  /** Write a protocol-shaped checkpoint at `version` (fixture side of
+    * the scale path): the live state as one parquet of `add` structs +
+    * the `_last_checkpoint` pointer. */
+  def writeCheckpoint(spark: SparkSession, tableDir: String, version: Long): Unit = {
+    import org.apache.spark.sql.types._
+    val state = planFiles(tableDir, Some(version))
+    val schema = StructType(Seq(StructField("add", StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)))))))
+    val rows = state.map { case (p, pv) => Row(Row(p, pv)) }
+    val tmp = s"$tableDir/_cp_stage"
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(tableDir, "_delta_log", f"$version%020d.checkpoint.parquet"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "_delta_log", "_last_checkpoint"),
+      s"""{"version":$version,"size":${state.size}}""")
+  }
+
+  /** Expire (delete) JSON commits at or below `version` — the log
+    * retention/VACUUM analog. After this, only the checkpoint path can
+    * serve reads that span the expired range, which is exactly what
+    * the `src_delta_checkpoint` oracle proves. */
+  def expireLog(tableDir: String, version: Long): Seq[String] = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json") &&
+        f.getName.dropRight(5).toLong <= version)
+      .map { f => f.delete(); f.getName }.toSeq
   }
 
   // ------------------------------------------------------- writer (fixture)

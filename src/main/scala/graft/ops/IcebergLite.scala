@@ -71,14 +71,21 @@ object IcebergLite {
       |  {"name":"partition","type":{"type":"record","name":"r102","fields":[
       |    {"name":"part_value","type":["null","string"],"default":null}]}},
       |  {"name":"record_count","type":"long"},
-      |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |  {"name":"file_size_in_bytes","type":"long"},
+      |  {"name":"lower_bounds","type":["null",{"type":"map","values":"long"}],"default":null},
+      |  {"name":"upper_bounds","type":["null",{"type":"map","values":"long"}],"default":null}]}}]}""".stripMargin)
 
   /** One live file of a snapshot, as planned from the metadata chain
     * (the FE's "file scan task"). content: 0 = data, 1 = position
-    * deletes. */
+    * deletes. `lower`/`upper` are the per-column value bounds the
+    * manifest carries (spec: lower_bounds/upper_bounds — simplified
+    * here to name-keyed longs for integral columns; the real spec keys
+    * by field id over serialized binary). */
   final case class FileTask(path: String, content: Int,
                             partValue: Option[String], recordCount: Long,
-                            sequenceNumber: Long)
+                            sequenceNumber: Long,
+                            lower: Map[String, Long] = Map.empty,
+                            upper: Map[String, Long] = Map.empty)
 
   // ---------------------------------------------------------------- reader
   private def mapper = new ObjectMapper()
@@ -93,7 +100,9 @@ object IcebergLite {
     * metadata walk, driver-side by design. `partFilter` prunes on the
     * identity partition value BEFORE any data file is listed. */
   def planFiles(tableDir: String, snapshotId: Option[Long] = None,
-                partFilter: Option[String => Boolean] = None): Seq[FileTask] = {
+                partFilter: Option[String => Boolean] = None,
+                statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None)
+      : Seq[FileTask] = {
     val meta = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(currentMetadataPath(tableDir))))
     val wanted = snapshotId.getOrElse(meta.get("current-snapshot-id").asLong)
@@ -113,13 +122,28 @@ object IcebergLite {
           val part = Option(df.get("partition").asInstanceOf[GenericRecord]
             .get("part_value")).map(_.toString)
           val content = df.get("content").asInstanceOf[Int]
+          def bounds(field: String): Map[String, Long] =
+            Option(df.get(field)).map {
+              _.asInstanceOf[java.util.Map[AnyRef, java.lang.Long]]
+                .entrySet().iterator()
+            }.map { it =>
+              val b = Map.newBuilder[String, Long]
+              while (it.hasNext) { val kv = it.next(); b += kv.getKey.toString -> kv.getValue.longValue }
+              b.result()
+            }.getOrElse(Map.empty)
+          val lower = bounds("lower_bounds")
+          val upper = bounds("upper_bounds")
           // delete files (position OR equality) are partition-less and
-          // survive pruning; only data files prune
-          val keep = content != 0 || partFilter.forall(f => part.forall(f))
+          // survive both prunes; data files prune on partition value
+          // and on column bounds (a file with no recorded bounds is
+          // conservatively kept — stats pruning must never be lossy)
+          val keep = content != 0 ||
+            (partFilter.forall(f => part.forall(f)) &&
+              statsFilter.forall(f => lower.isEmpty && upper.isEmpty || f(lower, upper)))
           if (!keep) None
           else Some(FileTask(df.get("file_path").toString, content, part,
             df.get("record_count").asInstanceOf[Long],
-            e.get("sequence_number").asInstanceOf[Long]))
+            e.get("sequence_number").asInstanceOf[Long], lower, upper))
         }
       }
     }
@@ -137,8 +161,10 @@ object IcebergLite {
     * literal map keyed by normalized path. */
   def readSnapshot(spark: SparkSession, tableDir: String,
                    snapshotId: Option[Long] = None,
-                   partFilter: Option[String => Boolean] = None): DataFrame = {
-    val tasks = planFiles(tableDir, snapshotId, partFilter)
+                   partFilter: Option[String => Boolean] = None,
+                   statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None)
+      : DataFrame = {
+    val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter)
     val dataTasks = tasks.filter(_.content == 0)
     val posDeletePaths = tasks.filter(_.content == 1).map(_.path)
     val eqDeleteTasks = tasks.filter(_.content == 2)
@@ -281,11 +307,13 @@ object IcebergLite {
       dst.length()
     }
 
-    def writeManifest(path: String, entries: Seq[(Int, String, Option[String], Long, Long, Long)],
+    def writeManifest(path: String,
+                      entries: Seq[(Int, String, Option[String], Long, Long, Long,
+                        Map[String, Long], Map[String, Long])],
                       snapId: Long): Unit = {
       val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
       w.create(ManifestEntrySchema, new java.io.File(path))
-      entries.foreach { case (content, fp, part, rc, bytes, sq) =>
+      entries.foreach { case (content, fp, part, rc, bytes, sq, lower, upper) =>
         val partRec = new GenericData.Record(
           ManifestEntrySchema.getField("data_file").schema.getField("partition").schema)
         partRec.put("part_value", part.orNull)
@@ -296,6 +324,15 @@ object IcebergLite {
         df.put("partition", partRec)
         df.put("record_count", rc)
         df.put("file_size_in_bytes", bytes)
+        def toJava(m: Map[String, Long]): java.util.Map[String, java.lang.Long] =
+          if (m.isEmpty) null
+          else {
+            val jm = new java.util.HashMap[String, java.lang.Long]()
+            m.foreach { case (k, v) => jm.put(k, java.lang.Long.valueOf(v)) }
+            jm
+          }
+        df.put("lower_bounds", toJava(lower))
+        df.put("upper_bounds", toJava(upper))
         val e = new GenericData.Record(ManifestEntrySchema)
         e.put("status", 1) // ADDED
         e.put("snapshot_id", snapId)
@@ -330,11 +367,30 @@ object IcebergLite {
       snapshotIds += snapId
       action match {
         case Append(batch) =>
+          // manifest value bounds for integral columns — the writer-side
+          // half of the spec's lower_bounds/upper_bounds stats
+          def colBounds(rows: Seq[Row]): (Map[String, Long], Map[String, Long]) = {
+            val numeric = schemaDf.schema.fields.zipWithIndex.collect {
+              case (f, idx) if f.dataType == org.apache.spark.sql.types.LongType ||
+                f.dataType == org.apache.spark.sql.types.IntegerType => (f.name, idx, f.dataType)
+            }
+            val lo = Map.newBuilder[String, Long]
+            val hi = Map.newBuilder[String, Long]
+            numeric.foreach { case (name, idx, dt) =>
+              val vs = rows.filterNot(_.isNullAt(idx)).map { r =>
+                if (dt == org.apache.spark.sql.types.LongType) r.getLong(idx)
+                else r.getInt(idx).toLong
+              }
+              if (vs.nonEmpty) { lo += name -> vs.min; hi += name -> vs.max }
+            }
+            (lo.result(), hi.result())
+          }
           val entries = batch.map { case (part, rows) =>
             val fp = s"$tableDir/data/s${i}_$part.parquet"
             val bytes = writeParquetFile(rows, schemaDf.schema, fp)
             dataFiles += ((fp, part, rows.size.toLong))
-            (0, fp, Some(part), rows.size.toLong, bytes, seq)
+            val (lo, hi) = colBounds(rows)
+            (0, fp, Some(part), rows.size.toLong, bytes, seq, lo, hi)
           }
           val mp = s"$tableDir/metadata/manifest-$seq.avro"
           writeManifest(mp, entries, snapId)
@@ -348,13 +404,15 @@ object IcebergLite {
           val fp = s"$tableDir/data/deletes-$seq.parquet"
           val bytes = writeParquetFile(delRows, delSchema, fp)
           val mp = s"$tableDir/metadata/manifest-$seq.avro"
-          writeManifest(mp, Seq((1, fp, None, delRows.size.toLong, bytes, seq)), snapId)
+          writeManifest(mp, Seq((1, fp, None, delRows.size.toLong, bytes, seq,
+            Map.empty[String, Long], Map.empty[String, Long])), snapId)
           manifests += ((mp, 1, seq))
         case EqDelete(rows, schema) =>
           val fp = s"$tableDir/data/eq-deletes-$seq.parquet"
           val bytes = writeParquetFile(rows, schema, fp)
           val mp = s"$tableDir/metadata/manifest-$seq.avro"
-          writeManifest(mp, Seq((2, fp, None, rows.size.toLong, bytes, seq)), snapId)
+          writeManifest(mp, Seq((2, fp, None, rows.size.toLong, bytes, seq,
+            Map.empty[String, Long], Map.empty[String, Long])), snapId)
           manifests += ((mp, 1, seq))
       }
       val ml = s"$tableDir/metadata/snap-$snapId.avro"

@@ -1,0 +1,322 @@
+package graft.ops
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Apache Paimon TABLE-FORMAT read path from the PUBLIC spec
+  * (paimon.apache.org/docs — "Basic Concepts" / "File Layouts"), no
+  * connector jar: the fourth lakehouse format next to [[IcebergLite]],
+  * [[DeltaLite]] and [[HudiLite]] (reference:
+  * fe/fe-core/src/main/java/org/apache/doris/datasource/paimon/ —
+  * Doris's FE reads Paimon tables through the same published layout).
+  *
+  * The layout, exactly as the spec draws it:
+  *   snapshot/LATEST (hint: latest id) → snapshot/snapshot-N (JSON:
+  *   baseManifestList + deltaManifestList + commitKind) →
+  *   manifest/manifest-list-* (Avro: which manifests) →
+  *   manifest/manifest-* (Avro: ADD/DELETE file entries with
+  *   partition, bucket, level, sequence range) →
+  *   <partition>/bucket-B/data-*.parquet.
+  *
+  * Primary-key tables are LSM trees per bucket: data files carry the
+  * system columns `_SEQUENCE_NUMBER` (monotone per write) and
+  * `_VALUE_KIND` (RowKind: 0=+I, 1=-U, 2=+U, 3=-D). The snapshot read
+  * under the default "deduplicate" merge engine keeps, per key, the
+  * row with the LARGEST sequence number — and drops the key entirely
+  * when that winner is a retraction (-U/-D).
+  *
+  * Spark-first mapping:
+  *  - snapshot/manifest chain is METADATA-sized → driver (FE role);
+  *    partition pruning on manifest entries BEFORE any footer opens;
+  *  - the LSM merge is declared, not hand-scheduled: one distributed
+  *    parquet scan of the live files + a key-window
+  *    `row_number() over (partition by key order by _SEQUENCE_NUMBER
+  *    desc) = 1` + a RowKind filter. Paimon buckets rows by key hash,
+  *    so on a real deployment this window's shuffle is bucket-local by
+  *    construction; the portable Spark spelling is a plain window and
+  *    AQE handles skewed keys.
+  *  - COMPACT snapshots replay as ADD+DELETE manifest entries — the
+  *    reader proves replay correctness non-circularly because a missed
+  *    DELETE would double every compacted row against the oracle;
+  *  - incremental reads = the deltaManifestList files of APPEND
+  *    snapshots in (from, to], skipping COMPACT/OVERWRITE snapshots
+  *    exactly as the spec's streaming read does — the rows carry their
+  *    RowKind, i.e. a real changelog.
+  *
+  * Honest scope (documented, not hidden): identity partition values
+  * serialized as strings (real Paimon serializes a BinaryRow),
+  * deduplicate merge engine only (no partial-update/aggregation
+  * engines), no changelog-producer files, and the writer below is
+  * fixture scaffolding — the production commit protocol stays
+  * connector territory. Correctness is non-circular: the
+  * `src_paimon_*` oracles recompute expected content from the base
+  * lineitem table by predicate. */
+object PaimonLite {
+
+  /** RowKind codes, as the spec orders them. */
+  val KindInsert = 0
+  val KindUpdateBefore = 1
+  val KindUpdateAfter = 2
+  val KindDelete = 3
+
+  // ---------------------------------------------------------------- schemas
+  private val ManifestListSchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file_meta","fields":[
+      |{"name":"_FILE_NAME","type":"string"},
+      |{"name":"_FILE_SIZE","type":"long"},
+      |{"name":"_NUM_ADDED_FILES","type":"long"},
+      |{"name":"_NUM_DELETED_FILES","type":"long"},
+      |{"name":"_SCHEMA_ID","type":"long"}]}""".stripMargin)
+
+  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"_KIND","type":"int"},
+      |{"name":"_PARTITION","type":["null","string"],"default":null},
+      |{"name":"_BUCKET","type":"int"},
+      |{"name":"_FILE","type":{"type":"record","name":"data_file_meta","fields":[
+      |  {"name":"_FILE_NAME","type":"string"},
+      |  {"name":"_FILE_SIZE","type":"long"},
+      |  {"name":"_ROW_COUNT","type":"long"},
+      |  {"name":"_MIN_SEQUENCE_NUMBER","type":"long"},
+      |  {"name":"_MAX_SEQUENCE_NUMBER","type":"long"},
+      |  {"name":"_LEVEL","type":"int"}]}}]}""".stripMargin)
+
+  /** One live file as planned from the metadata chain. `path` is
+    * table-relative (partition/bucket dirs included), as the spec
+    * stores it. */
+  final case class FileMeta(path: String, part: Option[String], bucket: Int,
+                            level: Int, minSeq: Long, maxSeq: Long,
+                            rowCount: Long)
+
+  private def mapper = new ObjectMapper()
+
+  // ---------------------------------------------------------------- reader
+  def latestSnapshotId(tableDir: String): Long =
+    java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")).trim.toLong
+
+  private def snapshotNode(tableDir: String, id: Long) = {
+    val p = java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$id")
+    require(java.nio.file.Files.exists(p), s"snapshot $id not in $tableDir/snapshot")
+    mapper.readTree(java.nio.file.Files.readString(p))
+  }
+
+  private def readAvro(path: String): Seq[GenericRecord] = {
+    val in = new DataFileStream(
+      java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
+      new GenericDatumReader[GenericRecord]())
+    try {
+      val out = Seq.newBuilder[GenericRecord]
+      while (in.hasNext) out += in.next()
+      out.result()
+    } finally in.close()
+  }
+
+  private def manifestEntries(tableDir: String, manifestListName: String)
+      : Seq[GenericRecord] =
+    readAvro(s"$tableDir/manifest/$manifestListName").flatMap { mf =>
+      readAvro(s"$tableDir/manifest/${mf.get("_FILE_NAME")}")
+    }
+
+  /** Replay base + delta manifests of a snapshot (default: LATEST):
+    * ADD registers a file, DELETE (compaction) drops it by name.
+    * `partFilter` prunes on the identity partition value before any
+    * data file is listed — the FE-role prune. */
+  def planFiles(tableDir: String, snapshotId: Option[Long] = None,
+                partFilter: Option[String => Boolean] = None): Seq[FileMeta] = {
+    val id = snapshotId.getOrElse(latestSnapshotId(tableDir))
+    val snap = snapshotNode(tableDir, id)
+    val entries =
+      manifestEntries(tableDir, snap.get("baseManifestList").asText) ++
+        manifestEntries(tableDir, snap.get("deltaManifestList").asText)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
+    entries.foreach { e =>
+      val f = e.get("_FILE").asInstanceOf[GenericRecord]
+      val part = Option(e.get("_PARTITION")).map(_.toString)
+      val rel = part.map(p => s"$p/").getOrElse("") +
+        s"bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+      e.get("_KIND").asInstanceOf[Int] match {
+        case 0 => live(rel) = FileMeta(rel, part,
+          e.get("_BUCKET").asInstanceOf[Int], f.get("_LEVEL").asInstanceOf[Int],
+          f.get("_MIN_SEQUENCE_NUMBER").asInstanceOf[Long],
+          f.get("_MAX_SEQUENCE_NUMBER").asInstanceOf[Long],
+          f.get("_ROW_COUNT").asInstanceOf[Long])
+        case 1 => live.remove(rel)
+        case k => throw new IllegalStateException(s"unknown manifest kind $k")
+      }
+    }
+    live.values.toSeq.filter(m => partFilter.forall(f => m.part.forall(f)))
+  }
+
+  /** Snapshot read of a PRIMARY-KEY table under the deduplicate merge
+    * engine: per key the max-sequence row wins; retraction winners
+    * (-U/-D) drop the key. Returns value columns only (system columns
+    * consumed by the merge). */
+  def readSnapshot(spark: SparkSession, tableDir: String, keyCols: Seq[String],
+                   snapshotId: Option[Long] = None,
+                   partFilter: Option[String => Boolean] = None): DataFrame = {
+    val files = planFiles(tableDir, snapshotId, partFilter)
+    require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
+    val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_SEQUENCE_NUMBER").desc)
+    data.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 &&
+        col("_VALUE_KIND").isin(KindInsert, KindUpdateAfter))
+      .drop("__rn", "_SEQUENCE_NUMBER", "_VALUE_KIND")
+  }
+
+  /** Incremental CHANGELOG read over (fromSnapshot, toSnapshot]: the
+    * delta files of APPEND snapshots in the window, RowKind column
+    * kept (`_VALUE_KIND`) — COMPACT/OVERWRITE snapshots are skipped,
+    * as the spec's streaming read does (compaction rewrites state, it
+    * is not new data). */
+  def readIncremental(spark: SparkSession, tableDir: String,
+                      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId < toSnapshotId,
+      s"from ($fromSnapshotId) must precede to ($toSnapshotId)")
+    val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+      val snap = snapshotNode(tableDir, id)
+      if (snap.get("commitKind").asText != "APPEND") Nil
+      else manifestEntries(tableDir, snap.get("deltaManifestList").asText)
+        .filter(_.get("_KIND").asInstanceOf[Int] == 0)
+        .map { e =>
+          val f = e.get("_FILE").asInstanceOf[GenericRecord]
+          val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
+          s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+        }
+    }
+    require(files.nonEmpty, "no appended delta files in the window")
+    spark.read.parquet(files: _*).drop("_SEQUENCE_NUMBER")
+  }
+
+  // ------------------------------------------------------- writer (fixture)
+  /** One staged write: rows must already carry `_SEQUENCE_NUMBER` and
+    * `_VALUE_KIND` (the fixture assigns them the way a real writer
+    * would — monotone per commit). */
+  final case class Write(part: Option[String], bucket: Int, level: Int,
+                         rows: Seq[Row])
+
+  /** One commit = one snapshot. `removes` are table-relative paths of
+    * files this commit's DELETE manifest entries drop (compaction). */
+  final case class Commit(kind: String, writes: Seq[Write],
+                          removes: Seq[FileMeta] = Nil)
+
+  /** Stage a layout-shaped Paimon table (driver staging — test
+    * scaffolding): snapshot JSON chain with LATEST/EARLIEST hints,
+    * cumulative base + per-commit delta manifest lists, manifest avro
+    * with ADD/DELETE entries, data files under partition/bucket dirs. */
+  def writeFixtureTable(spark: SparkSession, tableDir: String,
+                        schemaWithSys: org.apache.spark.sql.types.StructType,
+                        commits: Seq[Commit]): Unit = {
+    val dir = new java.io.File(tableDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    new java.io.File(dir, "snapshot").mkdirs()
+    new java.io.File(dir, "manifest").mkdirs()
+
+    def writeParquetFile(rows: Seq[Row], target: java.io.File): Long = {
+      target.getParentFile.mkdirs()
+      val tmp = s"$tableDir/tmp_stage"
+      spark.createDataFrame(
+          new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+          schemaWithSys)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      target.length()
+    }
+
+    def writeManifest(name: String,
+                      adds: Seq[(FileMeta, Long)], dels: Seq[FileMeta]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+      w.create(ManifestEntrySchema, new java.io.File(s"$tableDir/manifest/$name"))
+      def entry(kind: Int, m: FileMeta, size: Long): GenericRecord = {
+        val f = new GenericData.Record(ManifestEntrySchema.getField("_FILE").schema)
+        f.put("_FILE_NAME", m.path.split("/").last)
+        f.put("_FILE_SIZE", size)
+        f.put("_ROW_COUNT", m.rowCount)
+        f.put("_MIN_SEQUENCE_NUMBER", m.minSeq)
+        f.put("_MAX_SEQUENCE_NUMBER", m.maxSeq)
+        f.put("_LEVEL", m.level)
+        val e = new GenericData.Record(ManifestEntrySchema)
+        e.put("_KIND", kind)
+        e.put("_PARTITION", m.part.orNull)
+        e.put("_BUCKET", m.bucket)
+        e.put("_FILE", f)
+        e
+      }
+      adds.foreach { case (m, size) => w.append(entry(0, m, size)) }
+      dels.foreach { m => w.append(entry(1, m, 0L)) }
+      w.close()
+    }
+
+    def writeManifestList(name: String, manifestNames: Seq[String]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestListSchema))
+      w.create(ManifestListSchema, new java.io.File(s"$tableDir/manifest/$name"))
+      manifestNames.foreach { mn =>
+        val r = new GenericData.Record(ManifestListSchema)
+        r.put("_FILE_NAME", mn)
+        r.put("_FILE_SIZE", new java.io.File(s"$tableDir/manifest/$mn").length())
+        r.put("_NUM_ADDED_FILES", 0L)
+        r.put("_NUM_DELETED_FILES", 0L)
+        r.put("_SCHEMA_ID", 0L)
+        w.append(r)
+      }
+      w.close()
+    }
+
+    val allManifests = scala.collection.mutable.ArrayBuffer.empty[String]
+    commits.zipWithIndex.foreach { case (c, i) =>
+      val snapId = i + 1
+      val adds = c.writes.zipWithIndex.map { case (wr, j) =>
+        val seqs = wr.rows.map(_.getLong(schemaWithSys.fieldIndex("_SEQUENCE_NUMBER")))
+        val rel = wr.part.map(p => s"$p/").getOrElse("") +
+          s"bucket-${wr.bucket}/data-s$snapId-$j.parquet"
+        val meta = FileMeta(rel, wr.part, wr.bucket, wr.level,
+          seqs.min, seqs.max, wr.rows.size.toLong)
+        val size = writeParquetFile(wr.rows, new java.io.File(dir, rel))
+        (meta, size)
+      }
+      val mName = s"manifest-$snapId"
+      writeManifest(mName, adds, c.removes)
+      val baseName = s"manifest-list-$snapId-base"
+      val deltaName = s"manifest-list-$snapId-delta"
+      writeManifestList(baseName, allManifests.toSeq)
+      writeManifestList(deltaName, Seq(mName))
+      allManifests += mName
+      val snapJson =
+        s"""{"version":3,"id":$snapId,"schemaId":0,
+           |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+           |"commitKind":"${c.kind}","timeMillis":${1700000000000L + i},
+           |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"), snapJson)
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "snapshot", "LATEST"),
+      commits.size.toString)
+  }
+
+  /** Driver-side reference of the deduplicate merge for fixture
+    * compaction output: per key keep the max-seq row, drop retraction
+    * winners. Rows are (key..., values..., seq, kind) in `schema`
+    * order. */
+  def mergeDriverLocal(rows: Seq[Row], schema: org.apache.spark.sql.types.StructType,
+                       keyCols: Seq[String]): Seq[Row] = {
+    val ki = keyCols.map(schema.fieldIndex)
+    val si = schema.fieldIndex("_SEQUENCE_NUMBER")
+    val vi = schema.fieldIndex("_VALUE_KIND")
+    rows.groupBy(r => ki.map(r.get))
+      .values.map(_.maxBy(_.getLong(si))).toSeq
+      .filter(r => r.getInt(vi) == KindInsert || r.getInt(vi) == KindUpdateAfter)
+  }
+}

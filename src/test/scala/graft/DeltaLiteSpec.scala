@@ -44,6 +44,36 @@ class DeltaLiteSpec extends AnyFunSuite {
     assert(files.nonEmpty && files.forall(_._2.get("part").contains("B")))
   }
 
+  test("checkpoint replay reconstructs expired state; pre-checkpoint travel is loud") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/delta/spec_cp_table").getAbsolutePath
+    DeltaLite.writeFixtureTable(spark, dir, df, Seq(
+      DeltaLite.Commit(adds = Seq(
+        "A" -> Seq(Row(1L, "A", 1)), "B" -> Seq(Row(2L, "B", 2)))),
+      DeltaLite.Commit(adds = Seq("C" -> Seq(Row(3L, "C", 3)))),
+      DeltaLite.Commit(removes = Seq("data/c0_f1_B.parquet"))))
+    val before = DeltaLite.readVersion(spark, dir)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    DeltaLite.writeCheckpoint(spark, dir, 1L)
+    assert(DeltaLite.expireLog(dir, 1L).size == 2)
+    // JSON-only replay is blind now; the checkpoint path is not
+    assert(DeltaLite.planFiles(dir).isEmpty)
+    val after = DeltaLite.readVersion(spark, dir)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(after == before && after == Set(1L, 3L),
+      s"checkpoint replay must match the pre-expiry state: $after vs $before")
+    // checkpoint + pruning compose
+    val pruned = DeltaLite.planFilesWithCheckpoint(spark, dir,
+      partFilter = Some(_.get("part").contains("A")))
+    assert(pruned.map(_._1) == Seq("data/c0_f0_A.parquet"))
+    // a version below the checkpoint needs the expired commits: loud
+    intercept[IllegalArgumentException] {
+      DeltaLite.readVersion(spark, dir, version = Some(0L))
+    }
+  }
+
   test("a version beyond the log or an empty replay fails loudly") {
     intercept[IllegalArgumentException] {
       DeltaLite.planFiles(tableDir, Some(-1L))

@@ -54,6 +54,30 @@ class IcebergLiteSpec extends AnyFunSuite {
     assert(keys(None, Some(_ == "B")) == Set(3L, 6L))
   }
 
+  test("column-stats pruning narrows by bounds, keeps bound-less files, composes with deletes") {
+    // bounds on k: file0 A=[1,2], file1 B=[3,3], file2 A=[4,4], file3 B=[5,6]
+    def kept(lo: Long, hi: Long) = IcebergLite.planFiles(tableDir,
+      statsFilter = Some((l, u) =>
+        l.get("k").forall(_ <= hi) && u.get("k").forall(_ >= lo)))
+    val narrow = kept(5L, 6L)
+    assert(narrow.count(_.content == 0) == 1,
+      s"k in [5,6] should keep exactly the second B file: $narrow")
+    assert(narrow.exists(_.content == 1),
+      "delete files must survive stats pruning")
+    // reading the pruned plan still applies deletes: k=5 is deleted
+    val rows = IcebergLite.readSnapshot(spark, tableDir,
+      statsFilter = Some((l, u) =>
+        l.get("k").forall(_ <= 6L) && u.get("k").forall(_ >= 5L)))
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(rows == Set(6L), s"delete inside the kept file must apply: $rows")
+    // a filter on a column with no recorded bounds keeps everything
+    val conservative = IcebergLite.planFiles(tableDir,
+      statsFilter = Some((l, u) =>
+        l.get("no_such_col").forall(_ <= 0L) && u.get("no_such_col").forall(_ >= 0L)))
+    assert(conservative.count(_.content == 0) == 4,
+      "missing bounds must be conservatively kept")
+  }
+
   test("unknown snapshot id fails loudly") {
     val e = intercept[IllegalArgumentException] {
       IcebergLite.readSnapshot(spark, tableDir, Some(99L))
