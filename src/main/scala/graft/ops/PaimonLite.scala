@@ -163,8 +163,13 @@ object PaimonLite {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
     val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    // Real Paimon guarantees per-bucket-unique sequence numbers; rather
+    // than assume the precondition, break seq ties deterministically by
+    // RowKind (the retraction wins the tie and the key drops) so a
+    // violated precondition still reads the same rows every run.
+    // mergeDriverLocal mirrors this order.
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_SEQUENCE_NUMBER").desc)
+      .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc)
     data.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 &&
         col("_VALUE_KIND").isin(KindInsert, KindUpdateAfter))
@@ -316,7 +321,7 @@ object PaimonLite {
     val si = schema.fieldIndex("_SEQUENCE_NUMBER")
     val vi = schema.fieldIndex("_VALUE_KIND")
     rows.groupBy(r => ki.map(r.get))
-      .values.map(_.maxBy(_.getLong(si))).toSeq
+      .values.map(_.maxBy(r => (r.getLong(si), r.getInt(vi)))).toSeq
       .filter(r => r.getInt(vi) == KindInsert || r.getInt(vi) == KindUpdateAfter)
   }
 }

@@ -16,7 +16,13 @@ import Q.t
   * to match. */
 object Round9bQueries {
 
-  private val PK = Seq("l_returnflag", "l_orderkey", "l_linenumber")
+  // The testdata lineitem is NOT strict TPC-H: (l_returnflag,
+  // l_orderkey, l_linenumber) is not unique (sf0.01: 60000 rows but
+  // only 54701 distinct triples under l_orderkey < 15000), so the PK
+  // carries a deterministic per-row uid — the fixture stages it and
+  // asserts uniqueness loudly (a false premise must fail as `err`,
+  // never record a silently-merged wrong answer).
+  private val PK = Seq("l_returnflag", "l_orderkey", "l_linenumber", "__uid")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -143,11 +149,28 @@ object Round9bQueries {
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("l_qty"))
       val sysSchema = StructType(src.schema.fields ++ Array(
+        StructField("__uid", LongType, nullable = false),
         StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
         StructField("_VALUE_KIND", IntegerType, nullable = false)))
+      // deterministic per-row uid = rank in a stable full sort; rows
+      // that tie on every column are interchangeable, so any stable
+      // assignment yields the same merged CONTENT
       val base = src
-        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_qty"))
         .collect().toSeq
+        .zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i.toLong) }
+      // premise gate (VERDICT r9 #1): the PK must be genuinely unique,
+      // or the deduplicate merge silently collapses base rows and the
+      // oracle (which counts every row) records a wrong answer
+      locally {
+        val ki = PK.map(sysSchema.fieldIndex) // tracks the DECLARED key
+        val nDistinct = base.map(r => ki.map(r.get)).distinct.size
+        require(base.size == nDistinct,
+          s"paimon fixture premise violated: ${base.size} rows but only " +
+            s"$nDistinct distinct ${PK.mkString("(", ",", ")")} tuples — " +
+            "PK is not unique")
+      }
       def sys(r: Row, seq: Long, kind: Int): Row =
         Row.fromSeq(r.toSeq ++ Seq[Any](seq, kind)) // Seq[Any]: don't let Seq(Long, Int) unify to Seq[Long]
       val c1 = base.zipWithIndex.map { case (r, i) => sys(r, 1000000L + i, PaimonLite.KindInsert) }
@@ -155,7 +178,7 @@ object Round9bQueries {
         val ok = r.getLong(1)
         if (ok % 10 == 0)
           Some(Row(r.getString(0), ok, r.getInt(2), r.getLong(3) + 100L,
-            2000000L + i, PaimonLite.KindUpdateAfter))
+            r.getLong(4), 2000000L + i, PaimonLite.KindUpdateAfter))
         else if (ok % 7 == 0) Some(sys(r, 2000000L + i, PaimonLite.KindDelete))
         else None
       }
@@ -173,7 +196,7 @@ object Round9bQueries {
       val w3 = merged.groupBy(r => (r.getLong(1) % 3).toInt).toSeq.sortBy(_._1)
         .map { case (b, rs) =>
           PaimonLite.Write(Some("A"), b, level = 5,
-            rs.sortBy(r => (r.getLong(1), r.getInt(2)))) }
+            rs.sortBy(r => (r.getLong(1), r.getInt(2), r.getLong(4)))) }
       def removesOf(ws: Seq[PaimonLite.Write], snap: Int): Seq[PaimonLite.FileMeta] =
         ws.zipWithIndex.collect { case (w, j) if w.part.contains("A") =>
           PaimonLite.FileMeta(s"A/bucket-${w.bucket}/data-s$snap-$j.parquet",
@@ -314,17 +337,21 @@ object Round9bQueries {
       GROUP BY 1 ORDER BY 1""",
 
     // the (1, 3] changelog = snapshot 2's delta only (3 is COMPACT):
-    // RowKind 2 (+U) for the upserted rows, 3 (-D) for the deleted
+    // RowKind 2 (+U) for the upserted rows, 3 (-D) for the deleted.
+    // HAVING guards each branch so an SF where a predicate matches
+    // nothing emits NO row — matching the engine's groupBy semantics
     "src_paimon_incremental" -> """
       SELECT 2 AS kind, count(*) AS n,
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 15000 AND l_orderkey % 10 = 0
+      HAVING count(*) > 0
       UNION ALL
       SELECT 3 AS kind, count(*) AS n,
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 15000 AND l_orderkey % 7 = 0 AND l_orderkey % 10 <> 0
+      HAVING count(*) > 0
       ORDER BY kind"""
   )
 }
