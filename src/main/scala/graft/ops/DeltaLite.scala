@@ -20,12 +20,18 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * driver (FE role); partition pruning filters `partitionValues`
   * during replay — before any parquet footer is opened; the data read
   * is one `spark.read.parquet(liveFiles)`. Time travel = replay to an
-  * older version. Honest scope: add/remove replay + identity
-  * partitions; checkpoints (.checkpoint.parquet), deletion vectors,
-  * and column mapping are out of scope and documented here; the
-  * writer is fixture scaffolding (no commit protocol). Correctness is
-  * non-circular: the `src_delta_*` oracles recompute expected content
-  * from the base table by predicate. */
+  * older version. Checkpoints are supported on both sides: replay
+  * starts from `_last_checkpoint` when present
+  * ([[planFilesWithCheckpoint]]) and [[writeCheckpoint]] emits the
+  * PROTOCOL.md checkpoint schema — `protocol` + `metaData` + live
+  * `add`s + `remove` tombstones as nullable top-level action columns —
+  * so a spec-conformant external reader can reconstruct the table
+  * after [[expireLog]] deletes the pre-checkpoint commits. Honest
+  * scope: deletion vectors and column mapping are out of scope and
+  * documented here; the writer is fixture scaffolding (no concurrent
+  * commit protocol). Correctness is non-circular: the `src_delta_*`
+  * oracles recompute expected content from the base table by
+  * predicate. */
 object DeltaLite {
 
   private def mapper = new ObjectMapper()
@@ -139,16 +145,94 @@ object DeltaLite {
     spark.read.parquet(files.map { case (p, _) => s"$tableDir/$p" }: _*)
   }
 
-  /** Write a protocol-shaped checkpoint at `version` (fixture side of
-    * the scale path): the live state as one parquet of `add` structs +
-    * the `_last_checkpoint` pointer. */
+  /** Write a PROTOCOL.md-conformant checkpoint at `version`: one
+    * parquet whose rows are the table state as nullable action columns
+    * — exactly one `protocol` row, exactly one `metaData` row (the
+    * latest of each at `version`; the spec REQUIRES both, since after
+    * log expiry the checkpoint may be their only holder), every live
+    * `add`, and `remove` tombstones for files whose last action was a
+    * remove — plus the `_last_checkpoint` pointer. */
   def writeCheckpoint(spark: SparkSession, tableDir: String, version: Long): Unit = {
     import org.apache.spark.sql.types._
-    val state = planFiles(tableDir, Some(version))
-    val schema = StructType(Seq(StructField("add", StructType(Seq(
-      StructField("path", StringType),
-      StructField("partitionValues", MapType(StringType, StringType)))))))
-    val rows = state.map { case (p, pv) => Row(Row(p, pv)) }
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json") &&
+        f.getName.dropRight(5).toLong <= version)
+      .sortBy(_.getName)
+    require(commits.nonEmpty, s"no delta commits <= $version to checkpoint")
+    var protocol: Option[Row] = None
+    var metaData: Option[Row] = None
+    val liveAdds = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    commits.foreach { f =>
+      java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("add")) {
+            val a = node.get("add")
+            val pv = Option(a.get("partitionValues")).map { m =>
+              val it = m.fieldNames()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText }
+              b.result()
+            }.getOrElse(Map.empty[String, String])
+            val path = a.get("path").asText
+            // checkpoints record state, not change: dataChange=false
+            liveAdds(path) = Row(path, pv,
+              Option(a.get("size")).map(_.asLong).getOrElse(0L),
+              Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
+              false)
+            tombstones.remove(path)
+          } else if (node.has("remove")) {
+            val r = node.get("remove")
+            val path = r.get("path").asText
+            liveAdds.remove(path)
+            tombstones(path) = Row(path,
+              Option(r.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
+              false)
+          } else if (node.has("protocol")) {
+            val p = node.get("protocol")
+            protocol = Some(Row(p.get("minReaderVersion").asInt,
+              p.get("minWriterVersion").asInt))
+          } else if (node.has("metaData")) {
+            val m = node.get("metaData")
+            val partCols = Option(m.get("partitionColumns")).map { arr =>
+              (0 until arr.size).map(arr.get(_).asText)
+            }.getOrElse(Seq.empty)
+            metaData = Some(Row(m.get("id").asText,
+              Row(Option(m.get("format")).map(_.get("provider").asText)
+                .getOrElse("parquet")),
+              Option(m.get("schemaString")).map(_.asText).getOrElse("{}"),
+              partCols))
+          }
+        }
+      }
+    }
+    require(protocol.nonEmpty && metaData.nonEmpty,
+      "checkpoint requires protocol and metaData actions in the log <= version")
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", StringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType))))))
+    val rows =
+      Seq(Row(protocol.get, null, null, null), Row(null, metaData.get, null, null)) ++
+        liveAdds.values.map(a => Row(null, null, a, null)) ++
+        tombstones.values.map(r => Row(null, null, null, r))
     val tmp = s"$tableDir/_cp_stage"
     spark.createDataFrame(
         new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
@@ -160,7 +244,7 @@ object DeltaLite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, "_delta_log", "_last_checkpoint"),
-      s"""{"version":$version,"size":${state.size}}""")
+      s"""{"version":$version,"size":${rows.size}}""")
   }
 
   /** Expire (delete) JSON commits at or below `version` — the log

@@ -72,6 +72,40 @@ class DeltaLiteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       DeltaLite.readVersion(spark, dir, version = Some(0L))
     }
+    // PROTOCOL.md conformance: the checkpoint must carry exactly one
+    // protocol and one metaData action (after expiry it is their ONLY
+    // holder — commit 0 held them and is gone), the live adds, and no
+    // tombstones (the only remove happened AFTER the checkpoint version)
+    val cp = spark.read.parquet(s"$dir/_delta_log/" + f"${1L}%020d.checkpoint.parquet")
+    assert(cp.where("protocol IS NOT NULL").count() == 1)
+    assert(cp.where("metaData IS NOT NULL").count() == 1)
+    assert(cp.where("add IS NOT NULL").count() == 3, "v1 state: 3 live files")
+    assert(cp.where("remove IS NOT NULL").count() == 0)
+    val proto = cp.where("protocol IS NOT NULL")
+      .selectExpr("protocol.minReaderVersion", "protocol.minWriterVersion").head()
+    assert((proto.getInt(0), proto.getInt(1)) == (1, 2))
+    val md = cp.where("metaData IS NOT NULL")
+      .selectExpr("metaData.partitionColumns", "metaData.format.provider").head()
+    assert(md.getSeq[String](0) == Seq("part") && md.getString(1) == "parquet")
+  }
+
+  test("checkpoint past a remove carries the tombstone") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/delta/spec_cp_tomb").getAbsolutePath
+    DeltaLite.writeFixtureTable(spark, dir, df, Seq(
+      DeltaLite.Commit(adds = Seq(
+        "A" -> Seq(Row(1L, "A", 1)), "B" -> Seq(Row(2L, "B", 2)))),
+      DeltaLite.Commit(removes = Seq("data/c0_f1_B.parquet"))))
+    DeltaLite.writeCheckpoint(spark, dir, 1L)
+    val cp = spark.read.parquet(s"$dir/_delta_log/" + f"${1L}%020d.checkpoint.parquet")
+    assert(cp.where("add IS NOT NULL").count() == 1)
+    val tomb = cp.where("remove IS NOT NULL").selectExpr("remove.path").collect()
+    assert(tomb.map(_.getString(0)).toSeq == Seq("data/c0_f1_B.parquet"))
+    // adds in a checkpoint are state, not change
+    assert(cp.where("add IS NOT NULL").selectExpr("add.dataChange")
+      .head().getBoolean(0) == false)
   }
 
   test("a version beyond the log or an empty replay fails loudly") {
