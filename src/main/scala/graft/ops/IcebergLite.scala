@@ -49,7 +49,7 @@ import org.apache.spark.sql.functions._
 object IcebergLite {
 
   // ---------------------------------------------------------------- schemas
-  private val ManifestFileSchema: Schema = new Schema.Parser().parse(
+  private[ops] val ManifestFileSchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_file","fields":[
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
@@ -59,7 +59,7 @@ object IcebergLite {
       |{"name":"min_sequence_number","type":"long"},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
-  private val ManifestEntrySchema: Schema = new Schema.Parser().parse(
+  private[ops] val ManifestEntrySchema: Schema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":"long"},
@@ -239,7 +239,7 @@ object IcebergLite {
     (graft.functions.Murmur3.hash32(b, 0) & Integer.MAX_VALUE) % n
   }
 
-  private def readAvro(path: String): Seq[GenericRecord] = {
+  private[ops] def readAvro(path: String): Seq[GenericRecord] = {
     val in = new DataFileStream(
       java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path)),
       new GenericDatumReader[GenericRecord]())

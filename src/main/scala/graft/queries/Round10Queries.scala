@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Round-10: the Iceberg single-writer WRITE path
+  * (ops/IcebergWriter.scala — reference:
+  * be/src/exec/operator/iceberg_table_sink_operator.h:44) proven
+  * end-to-end: data is written THROUGH the writer (distributed
+  * partitioned parquet pass + footer-stats manifests + metadata-version
+  * commit) and read back through the independent [[graft.ops.IcebergLite]]
+  * read path; every oracle recomputes expected content from the base
+  * lineitem table by predicate, so commit layout, snapshot log, and
+  * manifest stats all have to be right to match. */
+object Round10Queries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // two commits (even then odd l_orderkey): the current snapshot must
+    // read the union — a writer that dropped the carried-forward
+    // manifests would lose commit 1, one that double-listed them would
+    // double it
+    "src_iceberg_write_scan" -> ((s, dir) => {
+      val tableDir = writtenTable(s, dir)
+      graft.ops.IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // snapshot 1 = the first commit only (even keys): the written
+    // snapshot log must time-travel exactly like a fixture-staged one
+    "src_iceberg_write_travel" -> ((s, dir) => {
+      val tableDir = writtenTable(s, dir)
+      graft.ops.IcebergLite.readSnapshot(s, tableDir, snapshotId = Some(1000L))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // the writer's FOOTER-derived bounds must prune: four band-clustered
+    // commits, a band predicate plans exactly ONE of the four written
+    // files before any footer opens (asserted), and the values match
+    "src_iceberg_write_prune" -> ((s, dir) => {
+      import graft.ops.IcebergLite
+      val tableDir = bandedTable(s, dir)
+      val (mn, mx) = bandRange(s, dir)
+      val w = (mx - mn + 1) / 4
+      val lo = mn + 2 * w; val hi = mn + 3 * w - 1 // third quartile band
+      val pred: (Map[String, Long], Map[String, Long]) => Boolean =
+        (l, u) => l.get("l_orderkey").forall(_ <= hi) &&
+          u.get("l_orderkey").forall(_ >= lo)
+      val all = IcebergLite.planFiles(tableDir).count(_.content == 0)
+      val kept = IcebergLite.planFiles(tableDir, statsFilter = Some(pred))
+        .filter(_.content == 0)
+      require(all == 4 && kept.size == 1,
+        s"writer footer stats should plan exactly 1 of $all files, got ${kept.size}")
+      IcebergLite.readSnapshot(s, tableDir, statsFilter = Some(pred))
+        .filter(col("l_orderkey").between(lo, hi))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  /** Two-commit table written through IcebergWriter: commit 1 = even
+    * l_orderkey, commit 2 = odd, identity-partitioned by l_returnflag.
+    * Premise gates (r9 lesson): the expected snapshot ids and the
+    * commit split are asserted at staging time so a broken premise is a
+    * loud `err`, never a silent value mismatch. */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def writtenTable(s: SparkSession, dir: String): String =
+    built.computeIfAbsent(dir, _ => {
+      import graft.ops.IcebergWriter
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 12000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/written_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      val even = src.filter(col("l_orderkey") % 2 === 0)
+      val odd = src.filter(col("l_orderkey") % 2 === 1)
+      require(even.limit(1).count() == 1 && odd.limit(1).count() == 1,
+        "fixture premise: both commits must be non-empty")
+      val s1 = IcebergWriter.append(s, tableDir, even, partCol = Some("l_returnflag"))
+      val s2 = IcebergWriter.append(s, tableDir, odd, partCol = Some("l_returnflag"))
+      require(s1 == 1000L && s2 == 1001L, s"unexpected snapshot ids $s1/$s2")
+      tableDir
+    })
+
+  /** Four commits band-clustered on l_orderkey (unpartitioned), so each
+    * written file's footer bounds carry one disjoint range — the
+    * clustered-ingestion shape that makes stats pruning decisive. */
+  private val bandedBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bandRange(s: SparkSession, dir: String): (Long, Long) = {
+    val r = t(s, dir, "lineitem").filter(col("l_orderkey") < 16000)
+      .agg(min(col("l_orderkey")), max(col("l_orderkey"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+  private def bandedTable(s: SparkSession, dir: String): String =
+    bandedBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.IcebergWriter
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 16000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val (mn, mx) = bandRange(s, dir)
+      val w = (mx - mn + 1) / 4
+      val tableDir = new java.io.File(
+        s"target/iceberg/written_bands_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      (0 until 4).foreach { b =>
+        val lo = mn + b * w
+        val hi = if (b == 3) mx else mn + (b + 1) * w - 1
+        val band = src.filter(col("l_orderkey").between(lo, hi)).coalesce(1)
+        require(band.limit(1).count() == 1, s"fixture premise: band $b non-empty")
+        IcebergWriter.append(s, tableDir, band, partCol = None)
+      }
+      tableDir
+    })
+
+  def oracle: Map[String, String] = Map(
+
+    "src_iceberg_write_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_iceberg_write_travel" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // third quartile band, derived exactly as the fixture derives it
+    "src_iceberg_write_prune" -> """
+      WITH b AS (SELECT min(l_orderkey) AS mn, max(l_orderkey) AS mx
+                 FROM lineitem WHERE l_orderkey < 16000),
+      r AS (SELECT mn + 2 * ((mx - mn + 1) // 4) AS lo,
+                   mn + 3 * ((mx - mn + 1) // 4) - 1 AS hi FROM b)
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem, r
+      WHERE l_orderkey BETWEEN r.lo AND r.hi
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{IcebergLite, IcebergWriter}
+
+/** ops/IcebergWriter.scala — the single-writer commit path: every
+  * layout artifact it writes must parse with the SAME readers the
+  * read-path fixtures use (planFiles/readSnapshot), the version chain
+  * must grow one metadata file per commit with the hint swapped last,
+  * footer-derived bounds must make stats pruning work on written
+  * tables, and the clustered write must produce one file per partition
+  * value. */
+class IcebergWriterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val tableDir: String = {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val c1 = Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v")
+    val c2 = Seq((4L, "A", 40), (5L, "B", 50), (6L, "C", 60)).toDF("k", "p", "v")
+    val s1 = IcebergWriter.append(spark, dir, c1, partCol = Some("p"))
+    val s2id = IcebergWriter.append(spark, dir, c2, partCol = Some("p"))
+    assert(s1 != s2id, "each commit gets its own snapshot id")
+    dir
+  }
+
+  private def keys(snap: Option[Long]): Set[Long] =
+    IcebergLite.readSnapshot(spark, tableDir, snap)
+      .select(col("k")).collect().map(_.getLong(0)).toSet
+
+  test("round trip: written commits read back exactly, time travel works") {
+    assert(keys(None) == Set(1L, 2L, 3L, 4L, 5L, 6L), "current snapshot")
+    assert(keys(Some(1000L)) == Set(1L, 2L, 3L), "snapshot 1 = first commit only")
+    // full rows, not just keys
+    val got = IcebergLite.readSnapshot(spark, tableDir)
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "A", 10), (2L, "A", 20), (3L, "B", 30),
+      (4L, "A", 40), (5L, "B", 50), (6L, "C", 60)))
+  }
+
+  test("version chain: one metadata version per commit, hint points at the last") {
+    val metaDir = new java.io.File(tableDir, "metadata")
+    assert(new java.io.File(metaDir, "v1.metadata.json").exists())
+    assert(new java.io.File(metaDir, "v2.metadata.json").exists())
+    assert(java.nio.file.Files.readString(
+      metaDir.toPath.resolve("version-hint.text")).trim == "2")
+  }
+
+  test("clustered write: one data file per partition value per commit") {
+    val tasks = IcebergLite.planFiles(tableDir)
+    assert(tasks.size == 5, s"A,B of commit 1 + A,B,C of commit 2: $tasks")
+    assert(tasks.groupBy(t => (t.partValue, t.sequenceNumber))
+      .values.forall(_.size == 1))
+  }
+
+  test("partition pruning plans only matching written files") {
+    val pruned = IcebergLite.planFiles(tableDir, partFilter = Some(_ == "C"))
+    assert(pruned.size == 1 && pruned.head.partValue.contains("C"))
+  }
+
+  test("footer stats ride the manifest and prune files") {
+    val tasks = IcebergLite.planFiles(tableDir)
+    assert(tasks.forall(t => t.lower.contains("k") && t.upper.contains("k")),
+      s"every written file must carry k bounds: $tasks")
+    // k=6 lives only in commit 2's C file
+    val kept = IcebergLite.planFiles(tableDir,
+      statsFilter = Some((lo, hi) => lo.get("k").forall(_ <= 6L) &&
+        hi.get("k").forall(_ >= 6L)))
+    assert(kept.size == 1 && kept.head.partValue.contains("C"), s"$kept")
+  }
+
+  test("unpartitioned append commits and reads back") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_unpart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      Seq((1L, 1), (2L, 2)).toDF("k", "v"), partCol = None)
+    val got = IcebergLite.readSnapshot(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+    assert(IcebergLite.planFiles(dir).forall(_.partValue.isEmpty))
+  }
+
+  test("empty append is rejected loudly, table state unchanged") {
+    val s2 = spark
+    import s2.implicits._
+    val before = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      tableDir, "metadata", "version-hint.text")).trim
+    intercept[IllegalArgumentException] {
+      IcebergWriter.append(spark, tableDir,
+        Seq.empty[(Long, String, Int)].toDF("k", "p", "v"), partCol = Some("p"))
+    }
+    val after = java.nio.file.Files.readString(java.nio.file.Paths.get(
+      tableDir, "metadata", "version-hint.text")).trim
+    assert(before == after, "a failed commit must not move the version hint")
+  }
+}
