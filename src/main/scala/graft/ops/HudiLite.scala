@@ -19,10 +19,23 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * Spark-first mapping: the timeline is metadata-sized and replays on
   * the driver (FE role); file-slice selection and partition-path
   * pruning happen there, before any parquet footer opens; the read is
-  * one distributed parquet scan of the chosen slices. Honest scope:
-  * COW snapshot + time travel + partition pruning; merge-on-read log
-  * files (.log.*), the internal metadata table, and the commit
-  * protocol (the writer below is fixture scaffolding) are out of
+  * one distributed parquet scan of the chosen slices.
+  *
+  * MERGE-ON-READ (r10): MoR file groups layer `.log.*` delta files
+  * over a base file; delta commits land on the timeline as
+  * `<instant>.deltacommit`. A log file is a sequence of BLOCKS — data
+  * blocks carrying upserted records and delete blocks carrying keys —
+  * and the snapshot read merges, per record key, the latest record
+  * across base + logs (Hudi's OverwriteWithLatestAvroPayload), with
+  * delete winners dropping the key. Spark-first split: the timeline/
+  * file-slice walk stays driver-side, log BYTES parse DISTRIBUTED
+  * (`binaryFiles` → per-executor block decode → rows), and the merge
+  * is the declared key-window discipline shared with
+  * [[PaimonLite.readSnapshot]]. Honest scope: the block framing is
+  * simplified to (magic, version, type, instant, seq, length,
+  * avro-container payload) — real Hudi adds header maps, checksums and
+  * rollback blocks; the internal metadata table and the commit
+  * protocol (the writer below is fixture scaffolding) stay out of
   * scope and documented here. Correctness is non-circular: the
   * `src_hudi_*` oracles recompute expected content from the base
   * table by predicate. */
@@ -108,6 +121,228 @@ object HudiLite {
       }.mkString(",")
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(tableDir, ".hoodie", s"${c.instant}.commit"),
+        s"""{"partitionToWriteStats":{$statsJson}}""")
+    }
+  }
+
+  // ------------------------------------------------------ merge-on-read (r10)
+
+  /** Log block types (spec HoodieLogBlockType, reduced set). */
+  val BlockData = 1
+  val BlockDelete = 2
+
+  private val LogMagic: Array[Byte] = "#HUDI#".getBytes("UTF-8")
+  private val LogFormatVersion = 1
+
+  /** Avro schema for a Spark row schema (nullable unions; the column
+    * types the fixtures use: long/int/string/double/boolean). */
+  private[ops] def avroSchemaOf(schema: org.apache.spark.sql.types.StructType,
+                                name: String): org.apache.avro.Schema = {
+    import org.apache.spark.sql.types._
+    val fields = schema.fields.map { f =>
+      val base = f.dataType match {
+        case LongType => "\"long\""
+        case IntegerType => "\"int\""
+        case StringType => "\"string\""
+        case DoubleType => "\"double\""
+        case BooleanType => "\"boolean\""
+        case dt => throw new IllegalArgumentException(s"unsupported log type $dt")
+      }
+      s"""{"name":"${f.name}","type":["null",$base],"default":null}"""
+    }
+    new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}""")
+  }
+
+  /** One log block for the fixture writer: data rows (full schema) or
+    * delete keys (key-column schema). */
+  final case class LogBlock(blockType: Int, instant: String, rows: Seq[Row],
+                            schema: org.apache.spark.sql.types.StructType)
+
+  /** Append spec-shaped blocks to a log file (fixture staging): each
+    * block is magic + version + type + instant + seq + payload length +
+    * an Avro container of the block's records. */
+  def writeLogFile(path: String, blocks: Seq[LogBlock]): Unit = {
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f, true)))
+    try blocks.zipWithIndex.foreach { case (b, seq) =>
+      val avroSchema = avroSchemaOf(b.schema, s"log_block_$seq")
+      val bytes = new java.io.ByteArrayOutputStream()
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](avroSchema))
+      w.create(avroSchema, bytes)
+      b.rows.foreach { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        b.schema.fields.zipWithIndex.foreach { case (fld, i) =>
+          rec.put(fld.name, if (r.isNullAt(i)) null else r.get(i))
+        }
+        w.append(rec)
+      }
+      w.close()
+      val payload = bytes.toByteArray
+      out.write(LogMagic)
+      out.writeInt(LogFormatVersion)
+      out.writeInt(b.blockType)
+      out.writeUTF(b.instant)
+      out.writeLong(seq.toLong)
+      out.writeLong(payload.length.toLong)
+      out.write(payload)
+    } finally out.close()
+  }
+
+  /** Executor-side block parse of one log file's bytes:
+    * (blockType, instant, seq, records). Static so the closure ships
+    * clean. */
+  private[graft] def parseLogBytes(bytes: Array[Byte])
+      : Seq[(Int, String, Long, Seq[org.apache.avro.generic.GenericRecord])] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val out = Seq.newBuilder[(Int, String, Long, Seq[org.apache.avro.generic.GenericRecord])]
+    while (in.available() > 0) {
+      val magic = new Array[Byte](LogMagic.length)
+      in.readFully(magic)
+      require(java.util.Arrays.equals(magic, LogMagic), "bad log block magic")
+      val version = in.readInt()
+      require(version == LogFormatVersion, s"unsupported log version $version")
+      val blockType = in.readInt()
+      val instant = in.readUTF()
+      val seq = in.readLong()
+      val len = in.readLong().toInt
+      val payload = new Array[Byte](len)
+      in.readFully(payload)
+      val reader = new org.apache.avro.file.DataFileStream(
+        new java.io.ByteArrayInputStream(payload),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      val recs = Seq.newBuilder[org.apache.avro.generic.GenericRecord]
+      try { while (reader.hasNext) recs += reader.next() } finally reader.close()
+      out += ((blockType, instant, seq, recs.result()))
+    }
+    out.result()
+  }
+
+  /** MoR file-slice plan at `instant`: per file group the latest base
+    * file from `.commit` replay plus, in timeline order, the log files
+    * of `.deltacommit`s attached to THAT base instant. A log written
+    * against a base that was later rewritten (compaction) is excluded
+    * by the baseInstant match — the spec's file-slice rule. */
+  def planFilesMor(tableDir: String, instant: Option[String] = None,
+                   partFilter: Option[String => Boolean] = None)
+      : Seq[(String, String, String, String, Seq[String])] = {
+    val bases = planFiles(tableDir, instant, partFilter)
+    val byFileId = bases.map(b => b._3 -> b).toMap
+    val timelineDir = new java.io.File(tableDir, ".hoodie")
+    val deltas = Option(timelineDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".deltacommit"))
+      .map(f => (f.getName.stripSuffix(".deltacommit"), f))
+      .sortBy(_._1)
+      .filter { case (t, _) => instant.forall(t <= _) }
+    val logsByFileId = scala.collection.mutable.Map
+      .empty[String, Vector[String]].withDefaultValue(Vector.empty)
+    deltas.foreach { case (_, f) =>
+      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      val p2ws = node.get("partitionToWriteStats")
+      val parts = p2ws.fieldNames()
+      while (parts.hasNext) {
+        val part = parts.next()
+        val stats = p2ws.get(part)
+        (0 until stats.size).map(stats.get).foreach { st =>
+          val fid = st.get("fileId").asText
+          val baseInstant = st.get("baseInstant").asText
+          // attach only when the log's base is the chosen slice
+          if (byFileId.get(fid).exists(_._4 == baseInstant))
+            logsByFileId(fid) = logsByFileId(fid) :+ st.get("path").asText
+        }
+      }
+    }
+    bases.map { case (path, part, fid, t) =>
+      (path, part, fid, t, logsByFileId(fid).map(p => s"$tableDir/$p"))
+    }
+  }
+
+  /** MoR snapshot read: base slices + distributed log-block decode +
+    * per-key latest-record merge. `keyCols` is the record key (Hudi's
+    * `_hoodie_record_key` equivalent — the fixtures stage plain
+    * columns). Base rows rank at (baseInstant, seq=-1) so any log
+    * record of the same instant or later overrides them; delete-block
+    * winners drop the key. */
+  def readSnapshotMor(spark: SparkSession, tableDir: String,
+                      keyCols: Seq[String],
+                      instant: Option[String] = None,
+                      partFilter: Option[String => Boolean] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val slices = planFilesMor(tableDir, instant, partFilter)
+    require(slices.nonEmpty, "no live file slices after replay/pruning")
+    val base = spark.read.parquet(slices.map(_._1): _*)
+    val dataSchema = base.schema
+    val withSys = StructType(dataSchema.fields ++ Array(
+      StructField("__instant", StringType, nullable = false),
+      StructField("__seq", LongType, nullable = false),
+      StructField("__del", BooleanType, nullable = false)))
+    // base rows carry their slice's instant via a metadata-sized map
+    val instantByPath = slices.map(s =>
+      s._1.replaceAll("^file:+", "") -> s._4).toMap
+    val baseSys = base
+      .withColumn("__instant", element_at(typedLit(instantByPath),
+        regexp_replace(col("_metadata.file_path"), "^file:+", "")))
+      .withColumn("__seq", lit(-1L))
+      .withColumn("__del", lit(false))
+    val logPaths = slices.flatMap(_._5)
+    val merged =
+      if (logPaths.isEmpty) baseSys
+      else {
+        val names = dataSchema.fields.map(_.name)
+        val types = dataSchema.fields.map(_.dataType)
+        val logRows = spark.sparkContext
+          .binaryFiles(logPaths.mkString(","))
+          .flatMap { case (_, pds) =>
+            parseLogBytes(pds.toArray()).flatMap { case (bt, inst, seq, recs) =>
+              recs.map { rec =>
+                val vals = names.zip(types).map { case (n, dt) =>
+                  val v = if (rec.getSchema.getField(n) == null) null else rec.get(n)
+                  (v, dt) match {
+                    case (null, _) => null
+                    case (u: org.apache.avro.util.Utf8, _) => u.toString
+                    case (x, _) => x
+                  }
+                }
+                Row.fromSeq(vals.toSeq ++ Seq[Any](inst, seq, bt == BlockDelete))
+              }
+            }
+          }
+        baseSys.unionByName(spark.createDataFrame(logRows, withSys))
+      }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__instant").desc, col("__seq").desc)
+    merged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .drop("__rn", "__instant", "__seq", "__del")
+  }
+
+  /** One MoR delta commit for the fixture writer: per (partition,
+    * fileId, baseInstant) the blocks to append to that file group's
+    * log. */
+  final case class DeltaCommit(instant: String,
+                               writes: Seq[(String, String, String, Seq[LogBlock])])
+
+  /** Stage delta commits onto an existing COW fixture table: appends
+    * the log files and writes the `.deltacommit` timeline instants. */
+  def writeDeltaCommits(tableDir: String, commits: Seq[DeltaCommit]): Unit = {
+    commits.foreach { c =>
+      val statsJson = c.writes.groupBy(_._1).map { case (part, ws) =>
+        val entries = ws.map { case (_, fileId, baseInstant, blocks) =>
+          val rel = s"$part/${fileId}_$baseInstant.log.${c.instant}"
+          writeLogFile(s"$tableDir/$rel", blocks)
+          s"""{"fileId":"$fileId","path":"$rel","baseInstant":"$baseInstant"}"""
+        }
+        s""""$part":[${entries.mkString(",")}]"""
+      }.mkString(",")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"${c.instant}.deltacommit"),
         s"""{"partitionToWriteStats":{$statsJson}}""")
     }
   }

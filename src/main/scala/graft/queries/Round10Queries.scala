@@ -63,8 +63,95 @@ object Round10Queries {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Hudi merge-on-read at the current instant: two log layers + log
+    // deletes merged over the base slices. A reader that skipped the
+    // .log files (the r9 gap) would show pre-upsert custkeys and
+    // deleted keys; one that let 002's record beat 003's would show
+    // +1000000 where +2000000 is right.
+    "src_hudi_mor" -> ((s, dir) => {
+      val tableDir = hudiMorTable(s, dir)
+      graft.ops.HudiLite.readSnapshotMor(s, tableDir, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // time travel INTO the log layers: instant 002 sees the first
+    // upsert+delete wave but not 003's overwrite
+    "src_hudi_mor_travel" -> ((s, dir) => {
+      val tableDir = hudiMorTable(s, dir)
+      graft.ops.HudiLite.readSnapshotMor(s, tableDir, Seq("o_orderkey"),
+          instant = Some("002"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
     })
   )
+
+  /** Hudi MERGE-ON-READ fixture on the orders table (o_orderkey is
+    * verified unique — premise gate below): COW commit 001 = base
+    * slices per o_orderstatus partition; deltacommit 002 = log upserts
+    * (+1000000 custkey on %10==0 keys) and log deletes (%7==0 keys not
+    * upserted); deltacommit 003 = a second upsert layer (+2000000 on
+    * %20==0 keys — OverwriteWithLatestAvroPayload: the LATEST record
+    * wins entirely, it does not accumulate). */
+  private val hudiMorBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hudiMorTable(s: SparkSession, dir: String): String =
+    hudiMorBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.HudiLite
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType)))
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        .collect().toSeq
+      require(base.map(_.getLong(0)).distinct.size == base.size,
+        "hudi MoR fixture premise violated: o_orderkey is not unique")
+      require(base.nonEmpty, "hudi MoR fixture premise: base is empty")
+      val tableDir = new java.io.File(
+        s"target/hudi/mor_orders_${new java.io.File(dir).getName}").getAbsolutePath
+      val byPart = base.groupBy(_.getString(2)).toSeq.sortBy(_._1)
+      HudiLite.writeFixtureTable(s, tableDir,
+        s.createDataFrame(new java.util.ArrayList[Row](), schema),
+        Seq(HudiLite.Commit("001",
+          byPart.map { case (p, rows) => (p, s"f_$p", rows) })))
+      def blocksFor(rows: Seq[Row], instant: String): Seq[HudiLite.LogBlock] = {
+        val ups = rows.filter(_.getLong(0) % 10 == 0).map(r =>
+          Row(r.getLong(0), r.getLong(1) + 1000000L, r.getString(2)))
+        val dels = rows.filter(r => r.getLong(0) % 7 == 0 && r.getLong(0) % 10 != 0)
+          .map(r => Row(r.getLong(0)))
+        Seq(
+          if (ups.nonEmpty) Some(HudiLite.LogBlock(HudiLite.BlockData, instant, ups, schema)) else None,
+          if (dels.nonEmpty) Some(HudiLite.LogBlock(HudiLite.BlockDelete, instant, dels,
+            StructType(Seq(StructField("o_orderkey", LongType))))) else None
+        ).flatten
+      }
+      val w2 = byPart.flatMap { case (p, rows) =>
+        val bs = blocksFor(rows, "002")
+        if (bs.isEmpty) None else Some((p, s"f_$p", "001", bs))
+      }
+      val w3 = byPart.flatMap { case (p, rows) =>
+        val ups = rows.filter(_.getLong(0) % 20 == 0).map(r =>
+          Row(r.getLong(0), r.getLong(1) + 2000000L, r.getString(2)))
+        if (ups.isEmpty) None
+        else Some((p, s"f_$p", "001",
+          Seq(HudiLite.LogBlock(HudiLite.BlockData, "003", ups, schema))))
+      }
+      require(w2.nonEmpty && w3.nonEmpty,
+        "hudi MoR fixture premise: both delta commits must write logs")
+      HudiLite.writeDeltaCommits(tableDir, Seq(
+        HudiLite.DeltaCommit("002", w2), HudiLite.DeltaCommit("003", w3)))
+      tableDir
+    })
 
   /** Two-commit table written through IcebergWriter: commit 1 = even
     * l_orderkey, commit 2 = odd, identity-partitioned by l_returnflag.
@@ -136,6 +223,30 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // survivors: %7==0 keys die unless upserted (%10==0); custkey is
+    // the LATEST overwrite — +2000000 for %20==0, else +1000000 for
+    // %10==0, else base
+    "src_hudi_mor" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(CASE WHEN o_orderkey % 20 = 0 THEN o_custkey + 2000000
+                           WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 12000
+        AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    // at instant 002: only the first upsert wave (+1000000 on %10==0)
+    "src_hudi_mor_travel" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 12000
+        AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
       GROUP BY 1 ORDER BY 1""",
 
     // third quartile band, derived exactly as the fixture derives it

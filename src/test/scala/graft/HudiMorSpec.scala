@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.HudiLite
+
+/** ops/HudiLite.scala merge-on-read: log-block round trip, per-key
+  * latest-record merge with delete blocks, multi-delta layering,
+  * time travel, the file-slice rule (compaction orphans old logs), and
+  * partition pruning composing with the merge. */
+class HudiMorSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("p", StringType),
+    StructField("v", IntegerType)))
+  private val keySchema = StructType(Seq(StructField("k", LongType)))
+
+  private lazy val tableDir: String = {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/hudi/mor_spec").getAbsolutePath
+    HudiLite.writeFixtureTable(spark, dir, df, Seq(
+      HudiLite.Commit("001", Seq(
+        ("A", "f1", Seq(Row(1L, "A", 10), Row(2L, "A", 20), Row(3L, "A", 30))),
+        ("B", "f2", Seq(Row(4L, "B", 40), Row(5L, "B", 50)))))))
+    HudiLite.writeDeltaCommits(dir, Seq(
+      HudiLite.DeltaCommit("002", Seq(
+        ("A", "f1", "001", Seq(
+          HudiLite.LogBlock(HudiLite.BlockData, "002", Seq(Row(2L, "A", 200)), schema),
+          HudiLite.LogBlock(HudiLite.BlockDelete, "002", Seq(Row(3L)), keySchema))),
+        ("B", "f2", "001", Seq(
+          HudiLite.LogBlock(HudiLite.BlockData, "002", Seq(Row(4L, "B", 400)), schema))))),
+      HudiLite.DeltaCommit("003", Seq(
+        ("A", "f1", "001", Seq(
+          HudiLite.LogBlock(HudiLite.BlockData, "003",
+            Seq(Row(2L, "A", 222), Row(9L, "A", 90)), schema)))))))
+    dir
+  }
+
+  private def state(instant: Option[String],
+                    part: Option[String => Boolean] = None): Map[Long, Int] =
+    HudiLite.readSnapshotMor(spark, tableDir, Seq("k"), instant, part)
+      .select(col("k"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+
+  test("base-only time travel: no logs visible at the base instant") {
+    assert(state(Some("001")) ==
+      Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40, 5L -> 50))
+  }
+
+  test("delta commit merges: upsert overrides, delete drops, others survive") {
+    assert(state(Some("002")) ==
+      Map(1L -> 10, 2L -> 200, 4L -> 400, 5L -> 50), "k=3 deleted")
+  }
+
+  test("later delta layers on top; log-borne insert appears") {
+    assert(state(None) ==
+      Map(1L -> 10, 2L -> 222, 4L -> 400, 5L -> 50, 9L -> 90))
+  }
+
+  test("partition pruning composes with the merge") {
+    assert(state(None, Some(_ == "B")) == Map(4L -> 400, 5L -> 50))
+  }
+
+  test("file-slice rule: a compaction rewrite orphans the old base's logs") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/hudi/mor_spec_compact").getAbsolutePath
+    HudiLite.writeFixtureTable(spark, dir, df, Seq(
+      HudiLite.Commit("001", Seq(("A", "f1", Seq(Row(1L, "A", 10)))))))
+    HudiLite.writeDeltaCommits(dir, Seq(
+      HudiLite.DeltaCommit("002", Seq(("A", "f1", "001", Seq(
+        HudiLite.LogBlock(HudiLite.BlockData, "002", Seq(Row(1L, "A", 100)), schema)))))))
+    // compaction: new base slice for f1 at 003 carrying the merged state
+    val statsJson = """{"partitionToWriteStats":{"A":[{"fileId":"f1","path":"A/f1_0-0-0_003.parquet","numWrites":1}]}}"""
+    val tmp = s"$dir/tmp_stage"
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(Row(1L, "A", 100))), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(dir, "A/f1_0-0-0_003.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".hoodie", "003.commit"), statsJson)
+    // the 002 log's baseInstant is 001; after the 003 rewrite it must
+    // NOT attach to the new slice
+    val plan = HudiLite.planFilesMor(dir)
+    assert(plan.size == 1 && plan.head._4 == "003" && plan.head._5.isEmpty,
+      s"old log must be orphaned by the new slice: $plan")
+    val got = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 100)))
+  }
+
+  test("log block framing round-trips multi-block files byte-exactly") {
+    val path = new java.io.File("target/hudi/mor_block_rt.log").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    HudiLite.writeLogFile(path, Seq(
+      HudiLite.LogBlock(HudiLite.BlockData, "010",
+        Seq(Row(7L, null, 70), Row(8L, "X", null)), schema),
+      HudiLite.LogBlock(HudiLite.BlockDelete, "010", Seq(Row(7L)), keySchema)))
+    val blocks = HudiLite.parseLogBytes(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+    assert(blocks.map(b => (b._1, b._2, b._3, b._4.size)) ==
+      Seq((HudiLite.BlockData, "010", 0L, 2), (HudiLite.BlockDelete, "010", 1L, 1)))
+    val r0 = blocks.head._4.head
+    assert(r0.get("k") == 7L && r0.get("p") == null && r0.get("v") == 70)
+  }
+}
