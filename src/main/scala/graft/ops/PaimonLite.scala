@@ -176,6 +176,73 @@ object PaimonLite {
       .drop("__rn", "_SEQUENCE_NUMBER", "_VALUE_KIND")
   }
 
+  /** PARTIAL-UPDATE merge engine (spec "Merge Engine" → partial-update
+    * with remove-record-on-delete): per key, fold the rows in SEQUENCE
+    * order — each record's non-null values overwrite the accumulated
+    * row, a -U/-D retraction clears it entirely, and later records
+    * rebuild from scratch. Spelled as ONE key shuffle with no UDF: the
+    * per-key fold is `aggregate(array_sort(collect_list(struct(...))))`
+    * — a sequential semantic that stays inside codegen because the
+    * per-key row count is the LSM update depth, not the corpus size. */
+  def readSnapshotPartialUpdate(spark: SparkSession, tableDir: String,
+                                keyCols: Seq[String],
+                                snapshotId: Option[Long] = None,
+                                partFilter: Option[String => Boolean] = None)
+      : DataFrame = {
+    val files = planFiles(tableDir, snapshotId, partFilter)
+    require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
+    val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    val valueCols = data.schema.fields
+      .filterNot(f => keyCols.contains(f.name) ||
+        f.name == "_SEQUENCE_NUMBER" || f.name == "_VALUE_KIND").toSeq
+    // seq first so array_sort's natural struct order IS sequence order
+    val rowStruct = struct(
+      (col("_SEQUENCE_NUMBER") +: col("_VALUE_KIND") +:
+        valueCols.map(f => col(f.name))): _*)
+    val init = struct(
+      (lit(false).as("__present") +:
+        valueCols.map(f => lit(null).cast(f.dataType).as(f.name))): _*)
+    val folded = data.groupBy(keyCols.map(col): _*)
+      .agg(aggregate(
+        array_sort(collect_list(rowStruct)),
+        init,
+        (acc, x) => when(
+          x.getField("_VALUE_KIND").isin(KindUpdateBefore, KindDelete),
+          init // retraction resets the row
+        ).otherwise(struct(
+          (lit(true).as("__present") +:
+            valueCols.map(f => coalesce(x.getField(f.name), acc.getField(f.name))
+              .as(f.name))): _*))
+      ).as("__acc"))
+    folded.filter(col("__acc.__present"))
+      .select((keyCols.map(col) ++
+        valueCols.map(f => col(s"__acc.${f.name}").as(f.name))): _*)
+  }
+
+  /** AGGREGATION merge engine (spec "Merge Engine" → aggregation): per
+    * key, each value column combines under its declared function —
+    * reusing [[TableModels.AggType]] finalize semantics (the reference
+    * AGG-keys model analog: Sum/Min/Max/Replace/ReplaceIfNotNull over
+    * the sequence). Retractions are out of scope for this engine
+    * (loudly rejected), matching the spec's default aggregates, which
+    * do not support retract inputs. */
+  def readSnapshotAggMerge(spark: SparkSession, tableDir: String,
+                           keyCols: Seq[String],
+                           specs: Seq[(String, TableModels.AggType)],
+                           snapshotId: Option[Long] = None,
+                           partFilter: Option[String => Boolean] = None)
+      : DataFrame = {
+    val files = planFiles(tableDir, snapshotId, partFilter)
+    require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
+    val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    val withGuard = data.filter(
+      when(col("_VALUE_KIND").isin(KindInsert, KindUpdateAfter), lit(true))
+        .otherwise(raise_error(concat(lit(
+          "aggregation merge engine does not accept retractions: kind="),
+          col("_VALUE_KIND")))))
+    TableModels.aggView(withGuard, keyCols, "_SEQUENCE_NUMBER", specs)
+  }
+
   /** Incremental CHANGELOG read over (fromSnapshot, toSnapshot]: the
     * delta files of APPEND snapshots in the window, RowKind column
     * kept (`_VALUE_KIND`) — COMPACT/OVERWRITE snapshots are skipped,

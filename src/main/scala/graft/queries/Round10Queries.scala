@@ -65,6 +65,39 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Paimon PARTIAL-UPDATE merge engine: three commits of
+    // column-sparse writes fold per key in sequence order — non-null
+    // overwrites, -D resets, a later sparse write rebuilds the row with
+    // the untouched columns NULL. A "last row wins" reader would lose
+    // kept columns; one that let deleted state leak into the rebuild
+    // would resurrect pre-delete priorities.
+    "src_paimon_partial_update" -> ((s, dir) => {
+      val tableDir = paimonPuTable(s, dir)
+      graft.ops.PaimonLite.readSnapshotPartialUpdate(s, tableDir,
+          Seq("o_orderstatus", "o_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("priority"))
+    }),
+
+    // Paimon AGGREGATION merge engine: per-key combine under declared
+    // per-column functions (Sum + Max here), across two snapshots —
+    // the AGG-keys table-model semantics over the LSM layout
+    "src_paimon_agg_merge" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, TableModels}
+      val tableDir = paimonAggTable(s, dir)
+      PaimonLite.readSnapshotAggMerge(s, tableDir,
+          Seq("l_returnflag", "l_orderkey"),
+          Seq("l_qty" -> TableModels.Sum, "l_linenumber" -> TableModels.Max))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_qty")).as("sum_qty"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Hudi merge-on-read at the current instant: two log layers + log
     // deletes merged over the base slices. A reader that skipped the
     // .log files (the r9 gap) would show pre-upsert custkeys and
@@ -91,6 +124,111 @@ object Round10Queries {
         .orderBy(col("o_orderstatus"))
     })
   )
+
+  /** Paimon partial-update fixture on orders (key uniqueness
+    * premise-gated): c1 full inserts; c2 custkey-only updates
+    * (+1000000 on %10==0) and deletes (%9==0 not %10); c3
+    * priority-only updates ('RUSH' on %4==0) — %36-with-%10!=0 keys
+    * exercise the delete-then-sparse-rebuild path (custkey must come
+    * back NULL, not the pre-delete value). */
+  private val paimonPuBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def paimonPuTable(s: SparkSession, dir: String): String =
+    paimonPuBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.PaimonLite
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val sysSchema = StructType(Seq(
+        StructField("o_orderstatus", StringType),
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderpriority", StringType),
+        StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
+        StructField("_VALUE_KIND", IntegerType, nullable = false)))
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderstatus"), col("o_orderkey"))
+        .collect().toSeq
+      require(base.map(r => (r.getString(0), r.getLong(1))).distinct.size == base.size,
+        "paimon PU fixture premise violated: (o_orderstatus, o_orderkey) not unique")
+      val c1 = base.zipWithIndex.map { case (r, i) =>
+        Row(r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+          1000000L + i, PaimonLite.KindInsert) }
+      val c2 = base.zipWithIndex.flatMap { case (r, i) =>
+        val k = r.getLong(1)
+        if (k % 10 == 0)
+          Some(Row(r.getString(0), k, r.getLong(2) + 1000000L, null,
+            2000000L + i, PaimonLite.KindUpdateAfter))
+        else if (k % 9 == 0)
+          Some(Row(r.getString(0), k, null, null,
+            2000000L + i, PaimonLite.KindDelete))
+        else None
+      }
+      val c3 = base.zipWithIndex.flatMap { case (r, i) =>
+        val k = r.getLong(1)
+        if (k % 4 == 0)
+          Some(Row(r.getString(0), k, null, "RUSH",
+            3000000L + i, PaimonLite.KindUpdateAfter))
+        else None
+      }
+      require(c2.nonEmpty && c3.nonEmpty,
+        "paimon PU fixture premise: update commits must be non-empty")
+      def writes(rows: Seq[Row]): Seq[PaimonLite.Write] =
+        rows.groupBy(r => (r.getString(0), (r.getLong(1) % 3).toInt)).toSeq
+          .sortBy(_._1)
+          .map { case ((p, b), rs) => PaimonLite.Write(Some(p), b, 0, rs) }
+      val tableDir = new java.io.File(
+        s"target/paimon/pu_orders_${new java.io.File(dir).getName}").getAbsolutePath
+      PaimonLite.writeFixtureTable(s, tableDir, sysSchema, Seq(
+        PaimonLite.Commit("APPEND", writes(c1)),
+        PaimonLite.Commit("APPEND", writes(c2)),
+        PaimonLite.Commit("APPEND", writes(c3))))
+      tableDir
+    })
+
+  /** Paimon aggregation-merge fixture on lineitem: key
+    * (l_returnflag, l_orderkey) has MANY rows by construction (the
+    * lineitems of an order) split across two snapshots by linenumber
+    * parity, so the combine must cross snapshots. */
+  private val paimonAggBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def paimonAggTable(s: SparkSession, dir: String): String =
+    paimonAggBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.PaimonLite
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val sysSchema = StructType(Seq(
+        StructField("l_returnflag", StringType),
+        StructField("l_orderkey", LongType),
+        StructField("l_qty", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
+        StructField("_VALUE_KIND", IntegerType, nullable = false)))
+      val base = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 15000)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_quantity").cast("long").as("l_qty"), col("l_linenumber"))
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_qty"))
+        .collect().toSeq
+      val (odd, even) = base.partition(_.getInt(3) % 2 == 1)
+      require(odd.nonEmpty && even.nonEmpty,
+        "paimon AGG fixture premise: both parity snapshots must be non-empty")
+      def rows(rs: Seq[Row], seqBase: Long): Seq[Row] =
+        rs.zipWithIndex.map { case (r, i) =>
+          Row(r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3),
+            seqBase + i, PaimonLite.KindInsert) }
+      def writes(rs: Seq[Row]): Seq[PaimonLite.Write] =
+        rs.groupBy(r => (r.getString(0), (r.getLong(1) % 3).toInt)).toSeq
+          .sortBy(_._1)
+          .map { case ((p, b), g) => PaimonLite.Write(Some(p), b, 0, g) }
+      val tableDir = new java.io.File(
+        s"target/paimon/agg_lineitem_${new java.io.File(dir).getName}").getAbsolutePath
+      PaimonLite.writeFixtureTable(s, tableDir, sysSchema, Seq(
+        PaimonLite.Commit("APPEND", writes(rows(odd, 1000000L))),
+        PaimonLite.Commit("APPEND", writes(rows(even, 2000000L)))))
+      tableDir
+    })
 
   /** Hudi MERGE-ON-READ fixture on the orders table (o_orderkey is
     * verified unique — premise gate below): COW commit 001 = base
@@ -224,6 +362,40 @@ object Round10Queries {
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
       GROUP BY 1 ORDER BY 1""",
+
+    // fold result recomputed by predicate: survivors are non-deleted
+    // rows plus %4==0 rebuilds; priority is RUSH wherever c3 touched;
+    // custkey is NULL on rebuilt rows, +1000000 on %10 updates
+    "src_paimon_partial_update" -> """
+      WITH s AS (
+        SELECT o_orderkey AS k, o_custkey AS c, o_orderpriority AS pr,
+               (o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0) AS del,
+               (o_orderkey % 4 = 0) AS upd3,
+               (o_orderkey % 10 = 0) AS upd2
+        FROM orders WHERE o_orderkey < 12000)
+      SELECT CASE WHEN upd3 THEN 'RUSH' ELSE pr END AS priority,
+             count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_ok,
+             CAST(sum(CASE WHEN del THEN NULL
+                           WHEN upd2 THEN c + 1000000
+                           ELSE c END) AS BIGINT) AS sum_ck
+      FROM s
+      WHERE (NOT del) OR upd3
+      GROUP BY 1 ORDER BY 1""",
+
+    // per-key Sum/Max combine, then the wrap-up rollup — grouped the
+    // same way on both sides
+    "src_paimon_agg_merge" -> """
+      WITH m AS (
+        SELECT l_returnflag, l_orderkey,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+               max(l_linenumber) AS max_ln
+        FROM lineitem WHERE l_orderkey < 15000
+        GROUP BY 1, 2)
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(sum_qty) AS BIGINT) AS sum_qty,
+             CAST(sum(max_ln) AS BIGINT) AS sum_ln
+      FROM m GROUP BY 1 ORDER BY 1""",
 
     // survivors: %7==0 keys die unless upserted (%10==0); custkey is
     // the LATEST overwrite — +2000000 for %20==0, else +1000000 for

@@ -99,4 +99,81 @@ class PaimonLiteSpec extends AnyFunSuite {
       PaimonLite.planFiles(tableDir, Some(99L))
     }
   }
+
+  // ---- partial-update merge engine: column-sparse folds in seq order
+  private val puSchema = StructType(Seq(
+    StructField("p", StringType), StructField("k", LongType),
+    StructField("a", IntegerType), StructField("b", StringType),
+    StructField("_SEQUENCE_NUMBER", LongType, nullable = false),
+    StructField("_VALUE_KIND", IntegerType, nullable = false)))
+  private def pu(k: Long, a: Any, b: String, seq: Long, kind: Int) =
+    Row("A", k, a, b, seq, kind)
+
+  private lazy val puTableDir: String = {
+    val dir = new java.io.File("target/paimon/spec_pu_table").getAbsolutePath
+    // k=1: insert (1,"x") then a-only update → (11,"x")
+    // k=2: insert (2,"y"), b-only update → (2,"z"), then -D, then a
+    //      re-created row with ONLY a set → (22,null): the delete must
+    //      clear "z", not let it leak through the rebuild
+    // k=3: delete wins last → absent
+    PaimonLite.writeFixtureTable(spark, dir, puSchema, Seq(
+      PaimonLite.Commit("APPEND", Seq(PaimonLite.Write(Some("A"), 0, 0, Seq(
+        pu(1, 1, "x", 10, PaimonLite.KindInsert),
+        pu(2, 2, "y", 11, PaimonLite.KindInsert),
+        pu(3, 3, "w", 12, PaimonLite.KindInsert))))),
+      PaimonLite.Commit("APPEND", Seq(PaimonLite.Write(Some("A"), 0, 0, Seq(
+        pu(1, 11, null, 20, PaimonLite.KindUpdateAfter),
+        pu(2, null, "z", 21, PaimonLite.KindUpdateAfter))))),
+      PaimonLite.Commit("APPEND", Seq(PaimonLite.Write(Some("A"), 0, 0, Seq(
+        pu(2, null, null, 30, PaimonLite.KindDelete),
+        pu(3, null, null, 31, PaimonLite.KindDelete),
+        pu(2, 22, null, 32, PaimonLite.KindUpdateAfter)))))))
+    dir
+  }
+
+  test("partial-update merge: non-null overwrites, delete resets the fold") {
+    val got = PaimonLite.readSnapshotPartialUpdate(spark, puTableDir, Seq("p", "k"))
+      .select(col("k"), col("a"), col("b")).collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) null else x.getInt(1),
+        x.getString(2))).toSet
+    assert(got == Set((1L, 11, "x"), (2L, 22, null)),
+      s"k=1 keeps b through the a-update; k=2 rebuilt AFTER delete; k=3 gone: $got")
+  }
+
+  test("partial-update time travel folds only visible sequences") {
+    val got = PaimonLite.readSnapshotPartialUpdate(spark, puTableDir,
+        Seq("p", "k"), snapshotId = Some(2L))
+      .select(col("k"), col("a"), col("b")).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getString(2))).toSet
+    assert(got == Set((1L, 11, "x"), (2L, 2, "z"), (3L, 3, "w")))
+  }
+
+  // ---- aggregation merge engine: per-column combine via TableModels
+  test("aggregation merge combines per spec; retraction input is loud") {
+    import graft.ops.TableModels
+    val dir = new java.io.File("target/paimon/spec_agg_table").getAbsolutePath
+    PaimonLite.writeFixtureTable(spark, dir, puSchema, Seq(
+      PaimonLite.Commit("APPEND", Seq(PaimonLite.Write(Some("A"), 0, 0, Seq(
+        pu(1, 5, "x", 10, PaimonLite.KindInsert),
+        pu(1, 7, "y", 11, PaimonLite.KindInsert))))),
+      PaimonLite.Commit("APPEND", Seq(PaimonLite.Write(Some("A"), 0, 0, Seq(
+        pu(1, 3, null, 20, PaimonLite.KindUpdateAfter)))))))
+    val got = PaimonLite.readSnapshotAggMerge(spark, dir, Seq("p", "k"),
+        Seq("a" -> TableModels.Sum, "b" -> TableModels.ReplaceIfNotNull))
+      .select(col("k"), col("a"), col("b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2))).toSet
+    assert(got == Set((1L, 15L, "y")),
+      s"sum(5,7,3)=15; last non-null b by sequence is y: $got")
+    // a retraction under the aggregation engine must fail loudly
+    PaimonLite.writeFixtureTable(spark, dir, puSchema, Seq(
+      PaimonLite.Commit("APPEND", Seq(PaimonLite.Write(Some("A"), 0, 0, Seq(
+        pu(1, 5, "x", 10, PaimonLite.KindInsert),
+        pu(1, 2, null, 11, PaimonLite.KindDelete)))))))
+    intercept[Exception] {
+      PaimonLite.readSnapshotAggMerge(spark, dir, Seq("p", "k"),
+        Seq("a" -> TableModels.Sum, "b" -> TableModels.ReplaceIfNotNull))
+        .collect()
+    }
+  }
 }
