@@ -178,37 +178,37 @@ object AggQueries {
         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")
     }),
 
-    // approximate sketches — engine-specific values, so no cross-engine
-    // oracle; instead the query SELF-VERIFIES in the driver path:
-    // approx NDV within ±2% of exact, approx median inside the exact
-    // p45–p55 band, both computed in-engine on the same data (tiny
-    // per-group aggregates — the collect is 3 rows).
+    // approximate sketches — raw sketch VALUES are engine-specific, but
+    // the sketch CONTRACT is cross-engine checkable (r9-verdict #9):
+    // both engines compute approx/exact per group and round the ratio
+    // to one decimal — any sketch within its published error lands on
+    // exactly 1.0, so the driver's hash compare now gates the accuracy
+    // claim instead of a rows-only check. The tighter in-engine asserts
+    // (±2% NDV, p50 inside the exact p45–p55 band) remain as before.
     // (reference: aggregate_function_approx_count_distinct.*, percentile_approx).
     "agg_approx" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      val out = li
+      val both = li
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_partkey"), 0.01).as("acd"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"))
-        .orderBy(col("l_returnflag"))
-      val exact = li.groupBy(col("l_returnflag")).agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("p50_approx"),
           countDistinct(col("l_partkey")).as("nd"),
           expr("percentile(l_extendedprice, 0.45)").as("p45"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
           expr("percentile(l_extendedprice, 0.55)").as("p55"))
-        .collect()
-        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
-        .toMap
-      out.collect().foreach { r =>
-        val (nd, p45, p55) = exact(r.getString(0))
-        val acd = r.getLong(1)
+      both.collect().foreach { r =>
+        val (acd, nd) = (r.getLong(1), r.getLong(3))
         require(math.abs(acd - nd) <= 0.02 * nd,
           s"approx_count_distinct off by >2%: acd=$acd exact=$nd (${r.getString(0)})")
         val p = r.getDouble(2)
-        require(p >= p45 && p <= p55,
-          s"percentile_approx p50=$p outside exact [$p45,$p55] (${r.getString(0)})")
+        require(p >= r.getDouble(4) && p <= r.getDouble(6),
+          s"percentile_approx p50=$p outside exact band (${r.getString(0)})")
       }
-      out
+      both.select(col("l_returnflag"),
+          round(col("acd").cast("double") / col("nd"), 1).as("ndv_ratio"),
+          round(col("p50_approx") / col("p50_exact"), 1).as("p50_ratio"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -310,7 +310,16 @@ object AggQueries {
              CAST(count_if(l_tax = 0) AS BIGINT) AS n_notax,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)))
                   / SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS w_avg_price
-      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""
-    // agg_approx: intentionally no oracle (engine-specific sketch values)
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+
+    // each engine rounds ITS OWN sketch-vs-exact ratio: a sketch inside
+    // its published error lands on exactly 1.0 on both sides
+    "agg_approx" -> """
+      SELECT l_returnflag,
+             round(CAST(approx_count_distinct(l_partkey) AS DOUBLE)
+                   / count(DISTINCT l_partkey), 1) AS ndv_ratio,
+             round(approx_quantile(l_extendedprice, 0.5)
+                   / quantile_cont(l_extendedprice, 0.5), 1) AS p50_ratio
+      FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -110,23 +110,34 @@ object Round3Queries {
                x -> concat(CAST(x.item AS STRING), ':', CAST(x.count AS STRING))), '|') AS top3
       FROM lineitem"""),
 
-    // engine-specific Bernoulli sampling — no cross-engine oracle for a
-    // seeded sample; the driver-path secondary check bounds the seeded
-    // 10% sample to [5%, 15%] of the exact row count (Bernoulli stddev
-    // at sf0.01's 60k rows is ~0.12%, so the band is ~40 sigma) and
-    // requires nk <= n. REPEATABLE(42) makes re-execution identical.
+    // seeded Bernoulli sampling — the sampled ROW SET is engine-specific,
+    // but the sampling CONTRACT is cross-engine checkable (r9-verdict
+    // #9): the 10% sample's size rounds to exactly 0.1 of the table on
+    // any engine whose sampler is unbiased (Bernoulli stddev at sf0.01's
+    // 60k rows is ~0.12%, ~25 sigma inside the rounding bucket), keys
+    // never exceed rows, and REPEATABLE(42) makes re-execution
+    // identical (asserted in-engine). DuckDB mirrors all three from its
+    // own seeded sample, so the driver's hash compare gates the
+    // contract instead of a rows-only check.
     "src_tablesample" -> ((s, dir) => {
       graft.Tables.registerAll(s, dir)
-      val out = s.sql("""
+      def sample() = s.sql("""
         SELECT count(*) AS n, count(DISTINCT l_orderkey) AS nk
         FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)""")
-      val total = s.table("lineitem").count()
-      val r = out.head()
+      val r = sample().head()
       val (n, nk) = (r.getLong(0), r.getLong(1))
+      val r2 = sample().head()
+      require(r2.getLong(0) == n && r2.getLong(1) == nk,
+        s"REPEATABLE(42) re-execution differed: ($n,$nk) vs $r2")
+      val total = s.table("lineitem").count()
       require(n >= total * 5 / 100 && n <= total * 15 / 100,
         s"seeded 10% sample out of [5%,15%] band: n=$n of $total")
       require(nk <= n, s"distinct keys $nk exceed sampled rows $n")
-      out
+      s.sql("""
+        SELECT round(CAST(count(*) AS DOUBLE)
+                     / (SELECT count(*) FROM lineitem), 1) AS sample_ratio,
+               count(DISTINCT l_orderkey) <= count(*) AS keys_bounded
+        FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)""")
     })
   )
 
@@ -211,7 +222,14 @@ object Round3Queries {
       WITH c AS (SELECT l_linenumber, count(*) AS n FROM lineitem GROUP BY 1)
       SELECT string_agg(CAST(l_linenumber AS VARCHAR) || ':' || CAST(n AS VARCHAR),
                         '|' ORDER BY n DESC, l_linenumber) AS top3
-      FROM (SELECT * FROM c ORDER BY n DESC, l_linenumber LIMIT 3) t"""
-    // src_tablesample: intentionally no oracle (seeded engine sampling)
+      FROM (SELECT * FROM c ORDER BY n DESC, l_linenumber LIMIT 3) t""",
+
+    // each engine's own seeded 10% sample must round to 0.1 of the
+    // table and never repeat a row (unbiased-sampler contract)
+    "src_tablesample" -> """
+      SELECT round(CAST(count(*) AS DOUBLE)
+                   / (SELECT count(*) FROM lineitem), 1) AS sample_ratio,
+             count(DISTINCT l_orderkey) <= count(*) AS keys_bounded
+      FROM lineitem USING SAMPLE 10 PERCENT (bernoulli, 42)"""
   )
 }
