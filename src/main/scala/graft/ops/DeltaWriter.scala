@@ -1,0 +1,126 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta Lake single-writer WRITE path from the PUBLIC protocol spec
+  * (PROTOCOL.md) — the sibling of [[IcebergWriter]] and the inverse of
+  * [[DeltaLite]]'s reader (reference sink:
+  * be/src/exec/operator/hive_table_sink_operator.h:45 — same
+  * stage-files-then-commit shape).
+  *
+  * Spark-first split, as in the Iceberg writer: the DATA write is one
+  * distributed `partitionBy` parquet pass (pre-repartitioned so each
+  * identity partition value lands in one file); the COMMIT is
+  * driver-side metadata — one `_delta_log/NNN.json` of actions
+  * (`protocol` + `metaData` on the first commit, `add` rows with
+  * partitionValues/size/modificationTime, `remove` tombstones for
+  * deletes), written atomically via temp-file rename. Every
+  * `checkpointInterval` commits the writer also emits the PROTOCOL.md
+  * checkpoint parquet + `_last_checkpoint` pointer
+  * ([[DeltaLite.writeCheckpoint]]), which is the 100 TB replay story:
+  * readers start from the checkpoint and replay only the JSON tail.
+  *
+  * Honest scope: single writer — the optimistic-concurrency loop
+  * (conflict detection on the next version number) is out of scope;
+  * append + partition-delete commits; identity partitions. Round-trip
+  * correctness is non-circular: `src_delta_write_scan` reads back
+  * through the independent [[DeltaLite]] replay against an oracle
+  * recomputed from the base table by predicate. */
+object DeltaWriter {
+
+  /** Commits between automatic checkpoints (the protocol's default
+    * cadence is 10). */
+  val CheckpointInterval = 10
+
+  private def nextVersion(tableDir: String): Long = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .map(_.getName.dropRight(5).toLong)
+      .foldLeft(-1L)(math.max) + 1
+  }
+
+  private def writeCommit(tableDir: String, version: Long,
+                          lines: Seq[String]): Unit = {
+    // atomic publish: write the commit to a temp name, rename into place
+    val logDir = java.nio.file.Paths.get(tableDir, "_delta_log")
+    val tmp = logDir.resolve(f".$version%020d.json.tmp")
+    java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, logDir.resolve(f"$version%020d.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, tableDir: String,
+                              version: Long): Unit =
+    if (version > 0 && version % CheckpointInterval == 0)
+      DeltaLite.writeCheckpoint(spark, tableDir, version)
+
+  /** Append `df` as one commit, creating the table on first use.
+    * Returns the committed version. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+             partCol: Option[String] = None): Long = {
+    val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "data").mkdirs()
+    new java.io.File(dir, "_delta_log").mkdirs()
+    val version = nextVersion(tableDir)
+
+    require(!df.isEmpty, "append of an empty DataFrame is not a commit")
+    val staging = s"$tableDir/stage_v$version"
+    partCol match {
+      case Some(p) =>
+        df.withColumn("__part", col(p).cast("string"))
+          .repartition(col("__part"))
+          .write.partitionBy("__part").mode("overwrite").parquet(staging)
+      case None =>
+        df.write.mode("overwrite").parquet(staging)
+    }
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val moved = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val part = f.getParentFile.getName match {
+          case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
+          case _ => None
+        }
+        val rel = s"data/w${version}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet"
+        java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+        (rel, part)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(moved.nonEmpty, "append of an empty DataFrame is not a commit")
+
+    val lines = Seq.newBuilder[String]
+    if (version == 0) {
+      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}"""
+    }
+    moved.foreach { case (rel, part) =>
+      val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
+      lines += s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
+    }
+    writeCommit(tableDir, version, lines.result())
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
+  /** Remove every live file whose partition values satisfy `pred` —
+    * the partition-delete commit (remove tombstones only; data files
+    * stay on disk until vacuum, exactly as the protocol specifies). */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  pred: Map[String, String] => Boolean): Long = {
+    val victims = DeltaLite.planFilesWithCheckpoint(spark, tableDir)
+      .filter { case (_, pv) => pred(pv) }
+    require(victims.nonEmpty, "deleteWhere matched no live files")
+    val version = nextVersion(tableDir)
+    writeCommit(tableDir, version, victims.map { case (rel, _) =>
+      s"""{"remove":{"path":"$rel","deletionTimestamp":${1700000000000L + version},"dataChange":true}}"""
+    })
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+}

@@ -55,7 +55,59 @@ object IcebergWriter {
     * the table on first use. `partCol` selects identity partitioning
     * (one data file per partition value). Returns the new snapshot id. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-             partCol: Option[String] = None): Long = {
+             partCol: Option[String] = None): Long =
+    commit(spark, tableDir, df, partCol, upsertKeys = None)
+
+  /** UPSERT commit — merge-on-write via v2 EQUALITY DELETES: one
+    * snapshot holding an equality-delete file of the incoming keys plus
+    * the new data files. The spec's sequence-visibility rule does the
+    * merge at read time with no rewrite of existing data: the delete
+    * (sequence S) removes matching keys only from data files with
+    * sequence < S, and the same-commit data files (sequence = S)
+    * survive — exactly the upsert contract [[IcebergLite.readSnapshot]]
+    * already enforces. At 100 TB this is the write path that makes CDC
+    * ingestion cheap: old files are never rewritten, the read-side
+    * anti-join shuffles only the delete keys. */
+  def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
+             keyCols: Seq[String], partCol: Option[String] = None): Long = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"upsert keys ${keyCols.mkString(",")} must be df columns")
+    commit(spark, tableDir, df, partCol, upsertKeys = Some(keyCols))
+  }
+
+  /** Exactly-once streaming sink hook: append one micro-batch, stamping
+    * its id into the snapshot SUMMARY. foreachBatch delivers
+    * at-least-once; a redelivered batch whose id is already on the
+    * snapshot log is skipped (returns None), upgrading the sink to
+    * exactly-once — the same idempotence trick the connector sinks use,
+    * driven off metadata the reader already parses. */
+  def appendBatch(spark: SparkSession, tableDir: String, df: DataFrame,
+                  batchId: Long, partCol: Option[String] = None): Option[Long] =
+    if (committedBatchIds(tableDir).contains(batchId)) None
+    else Some(commit(spark, tableDir, df, partCol, upsertKeys = None,
+      summaryProps = Map("streaming-batch-id" -> batchId.toString)))
+
+  /** Batch ids already committed via [[appendBatch]] (from the snapshot
+    * summaries of the current metadata version). */
+  def committedBatchIds(tableDir: String): Set[Long] = {
+    val hint = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
+    if (!java.nio.file.Files.exists(hint)) Set.empty
+    else {
+      val v = java.nio.file.Files.readString(hint).trim.toInt
+      val meta = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tableDir, "metadata", s"v$v.metadata.json")))
+      val snaps = meta.get("snapshots")
+      (0 until snaps.size).flatMap { i =>
+        Option(snaps.get(i).get("summary"))
+          .flatMap(s => Option(s.get("streaming-batch-id")))
+          .map(_.asText.toLong)
+      }.toSet
+    }
+  }
+
+  private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
+                     partCol: Option[String], upsertKeys: Option[Seq[String]],
+                     summaryProps: Map[String, String] = Map.empty): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -81,6 +133,7 @@ object IcebergWriter {
     // ---- distributed data write: one pass; __part duplicates the
     // partition column so data files RETAIN it (identity transform —
     // the reader does not reconstruct partition columns from metadata)
+    require(!df.isEmpty, "commit of an empty DataFrame is not allowed")
     val staging = s"$tableDir/stage_v${curVersion + 1}"
     partCol match {
       case Some(p) =>
@@ -118,6 +171,45 @@ object IcebergWriter {
     val entries = moved.map { case (path, part) =>
       val (rows, bytes, lo, hi) = footerStats(path, conf)
       (path, part, rows, bytes, lo, hi)
+    }
+
+    // ---- equality-delete file + its manifest (upsert commits): the
+    // incoming keys, written once, distinct — the read side anti-joins
+    // them against earlier-sequence data files only
+    val deleteManifest: Option[String] = upsertKeys.map { keys =>
+      val delStaging = s"$tableDir/stage_del_v${curVersion + 1}"
+      df.select(keys.map(col): _*).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(delStaging)
+      val delSrc = parquetsUnder(new java.io.File(delStaging)).head
+      val delPath = new java.io.File(dir, s"data/eqdel_$seq.parquet")
+      java.nio.file.Files.move(delSrc.toPath, delPath.toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delStaging))
+      val (delRows, delBytes, _, _) = footerStats(delPath.getAbsolutePath, conf)
+      val mp = s"$tableDir/metadata/manifest-d$seq.avro"
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestEntrySchema))
+      w.create(IcebergLite.ManifestEntrySchema, new java.io.File(mp))
+      val es = IcebergLite.ManifestEntrySchema
+      val partRec = new GenericData.Record(
+        es.getField("data_file").schema.getField("partition").schema)
+      partRec.put("part_value", null)
+      val dfRec = new GenericData.Record(es.getField("data_file").schema)
+      dfRec.put("content", 2) // equality deletes
+      dfRec.put("file_path", delPath.getAbsolutePath)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("partition", partRec)
+      dfRec.put("record_count", delRows)
+      dfRec.put("file_size_in_bytes", delBytes)
+      dfRec.put("lower_bounds", null)
+      dfRec.put("upper_bounds", null)
+      val e = new GenericData.Record(es)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("data_file", dfRec)
+      w.append(e)
+      w.close()
+      mp
     }
 
     // ---- manifest avro for this commit
@@ -169,15 +261,19 @@ object IcebergWriter {
         new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
       w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
       prevManifests.foreach(w.append)
-      val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
-      r.put("manifest_path", manifestPath)
-      r.put("manifest_length", new java.io.File(manifestPath).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", 0)
-      r.put("sequence_number", seq)
-      r.put("min_sequence_number", seq)
-      r.put("added_snapshot_id", snapId)
-      w.append(r)
+      def listEntry(mp: String, content: Int): GenericRecord = {
+        val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", new java.io.File(mp).length())
+        r.put("partition_spec_id", 0)
+        r.put("content", content)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", snapId)
+        r
+      }
+      deleteManifest.foreach(mp => w.append(listEntry(mp, 1)))
+      w.append(listEntry(manifestPath, 0))
       w.close()
     }
 
@@ -205,7 +301,10 @@ object IcebergWriter {
     snapNode.put("sequence-number", seq)
     snapNode.put("timestamp-ms", 1700000000000L + seq)
     snapNode.put("manifest-list", manifestList)
-    snapNode.putObject("summary").put("operation", "append")
+    val summaryNode = snapNode.putObject("summary")
+    summaryNode.put("operation",
+      if (upsertKeys.isDefined) "overwrite" else "append")
+    summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, "metadata",
         s"v${curVersion + 1}.metadata.json"),

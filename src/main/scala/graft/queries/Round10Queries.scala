@@ -65,6 +65,32 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Delta writer round trip: two distributed append commits + a
+    // partition-delete tombstone, read back through the independent
+    // log-replay reader
+    "src_delta_write_scan" -> ((s, dir) => {
+      val tableDir = deltaWrittenTable(s, dir)
+      graft.ops.DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // writer UPSERT (merge-on-write via equality deletes): base commit
+    // + an upsert commit that replaces %10 custkeys and inserts a
+    // synthetic key range, all without rewriting the base files — the
+    // reader's sequence-visibility rule must merge exactly
+    "src_iceberg_write_upsert" -> ((s, dir) => {
+      val tableDir = upsertTable(s, dir)
+      graft.ops.IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Paimon PARTIAL-UPDATE merge engine: three commits of
     // column-sparse writes fold per key in sequence order — non-null
     // overwrites, -D resets, a later sparse write rebuilds the row with
@@ -124,6 +150,55 @@ object Round10Queries {
         .orderBy(col("o_orderstatus"))
     })
   )
+
+  /** Delta-written table: even/odd append commits partitioned by
+    * l_returnflag, then a partition-delete of 'R' — the surviving state
+    * is both halves minus the whole R partition. */
+  private val deltaWrittenBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def deltaWrittenTable(s: SparkSession, dir: String): String =
+    deltaWrittenBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.DeltaWriter
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 12000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/written_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_returnflag"))
+      DeltaWriter.deleteWhere(s, tableDir, _.get("l_returnflag").contains("R"))
+      tableDir
+    })
+
+  /** Upsert-written table: append orders (o_orderkey < 12000), then
+    * ONE upsert commit carrying replaced rows (%10 keys, custkey
+    * +1000000) and brand-new rows (keys 90001..90020, custkey = key,
+    * status 'X') — replacement and insertion must both ride the same
+    * equality-delete commit. */
+  private val upsertBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def upsertTable(s: SparkSession, dir: String): String =
+    upsertBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.IcebergWriter
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/upsert_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir, src, partCol = Some("o_orderstatus"))
+      val replaced = src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+      val fresh = s.range(90001, 90021)
+        .select(col("id").as("o_orderkey"), col("id").as("o_custkey"),
+          lit("X").as("o_orderstatus"))
+      require(replaced.limit(1).count() == 1,
+        "upsert fixture premise: replacement set must be non-empty")
+      IcebergWriter.upsert(s, tableDir, replaced.unionByName(fresh),
+        keyCols = Seq("o_orderkey"), partCol = Some("o_orderstatus"))
+      tableDir
+    })
 
   /** Paimon partial-update fixture on orders (key uniqueness
     * premise-gated): c1 full inserts; c2 custkey-only updates
@@ -362,6 +437,30 @@ object Round10Queries {
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
       GROUP BY 1 ORDER BY 1""",
+
+    // both halves minus the deleted R partition
+    "src_delta_write_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000 AND l_returnflag <> 'R'
+      GROUP BY 1 ORDER BY 1""",
+
+    // merged state by predicate: %10 custkeys bumped, synthetic 'X'
+    // rows appended
+    "src_iceberg_write_upsert" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 12000
+      GROUP BY 1
+      UNION ALL
+      SELECT 'X' AS o_orderstatus, 20 AS n,
+             CAST(sum(r) AS BIGINT) AS sum_ok, CAST(sum(r) AS BIGINT) AS sum_ck
+      FROM range(90001, 90021) t(r)
+      ORDER BY o_orderstatus""",
 
     // fold result recomputed by predicate: survivors are non-deleted
     // rows plus %4==0 rebuilds; priority is RUSH wherever c3 touched;

@@ -199,6 +199,45 @@ object StreamQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // streaming → Iceberg TABLE sink (r10): each micro-batch commits one
+    // snapshot through the single-writer path with its batch id stamped
+    // in the snapshot summary — foreachBatch's at-least-once upgraded to
+    // exactly-once (a redelivered id is skipped; proven by replaying
+    // batch 0 by hand after the stream drains and asserting both the
+    // skip AND that the table content is unchanged). The read-back goes
+    // through the independent IcebergLite metadata walk.
+    "stream_iceberg_sink" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val (ckpt, _) = fresh("iceberg_sink")
+      val (_, tableDir) = fresh("iceberg_sink_table")
+      val q = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          IcebergWriter.appendBatch(batch.sparkSession, tableDir, batch, id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val committed = IcebergWriter.committedBatchIds(tableDir)
+      require(committed.nonEmpty, "stream committed no batches")
+      // redelivery drill: batch 0 again must be a no-op
+      val before = IcebergLite.planFiles(tableDir).size
+      val redelivered = IcebergWriter.appendBatch(s, tableDir,
+        graft.Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")).limit(5),
+        batchId = committed.min)
+      require(redelivered.isEmpty &&
+        IcebergLite.planFiles(tableDir).size == before,
+        "redelivered batch must be skipped without a new snapshot")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("nd"),
+          sum(col("user_id")).as("sum_uid"))
+        .orderBy(col("event_type"))
+    }),
+
     "stream_insert_job" -> ((s, dir) => {
       val (ckpt, out) = fresh("insert_job")
       val q = eventsStream(s, dir).writeStream
@@ -559,6 +598,13 @@ object StreamQueries {
 
     "stream_insert_job" -> """
       SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // exactly-once sink: the table must hold the source exactly once —
+    // a duplicated batch would double n without moving nd
+    "stream_iceberg_sink" -> """
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     "stream_upsert_mow" -> """

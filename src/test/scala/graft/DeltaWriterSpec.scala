@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DeltaLite, DeltaWriter}
+
+/** ops/DeltaWriter.scala — the Delta single-writer commit path: every
+  * layout artifact must replay with the independent DeltaLite reader,
+  * the automatic checkpoint cadence must make expired logs survivable,
+  * and partition deletes must tombstone without touching data bytes. */
+class DeltaWriterSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("append/delete round trip with version history") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val v0 = DeltaWriter.append(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    val v1 = DeltaWriter.append(spark, dir,
+      Seq((3L, "A", 30)).toDF("k", "p", "v"), partCol = Some("p"))
+    assert(v0 == 0L && v1 == 1L)
+    def ks(version: Option[Long]): Set[Long] =
+      DeltaLite.readVersion(spark, dir, version)
+        .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks(None) == Set(1L, 2L, 3L))
+    assert(ks(Some(0L)) == Set(1L, 2L))
+    // partition delete: B is tombstoned, its bytes stay on disk
+    val bytesBefore = new java.io.File(dir, "data").listFiles().length
+    DeltaWriter.deleteWhere(spark, dir, _.get("p").contains("B"))
+    assert(ks(None) == Set(1L, 3L))
+    assert(new java.io.File(dir, "data").listFiles().length == bytesBefore,
+      "remove is a tombstone, not a physical delete")
+    // and pruning on the written layout works
+    val pruned = DeltaLite.planFilesWithCheckpoint(spark, dir,
+      partFilter = Some(_.get("p").contains("A")))
+    assert(pruned.size == 2 && pruned.forall(_._2("p") == "A"))
+  }
+
+  test("automatic checkpoint at the cadence makes expired logs survivable") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_cp").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 12).foreach { i =>
+      DeltaWriter.append(spark, dir,
+        Seq((i.toLong, "A", i)).toDF("k", "p", "v"), partCol = Some("p"))
+    }
+    val lastCp = new java.io.File(dir, "_delta_log/_last_checkpoint")
+    assert(lastCp.exists(), "checkpoint must fire at the cadence")
+    assert(java.nio.file.Files.readString(lastCp.toPath).contains("\"version\":10"))
+    // expire everything the checkpoint covers; replay must still work
+    val expired = DeltaLite.expireLog(dir, 10L)
+    assert(expired.size == 11, s"commits 0..10 expired: $expired")
+    val ks = DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == (0L until 12L).toSet,
+      "checkpoint + tail replay must reconstruct all 12 commits")
+  }
+
+  test("unpartitioned append and empty-append rejection") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_unpart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir, Seq((1L, 1)).toDF("k", "v"), partCol = None)
+    assert(DeltaLite.readVersion(spark, dir).select("k").head().getLong(0) == 1L)
+    intercept[IllegalArgumentException] {
+      DeltaWriter.append(spark, dir,
+        Seq.empty[(Long, Int)].toDF("k", "v"), partCol = None)
+    }
+    assert(DeltaLite.planFiles(dir).size == 1, "failed commit left no trace")
+  }
+}

@@ -87,6 +87,36 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(IcebergLite.planFiles(dir).forall(_.partValue.isEmpty))
   }
 
+  test("upsert commit: equality delete merges at read, history preserved") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_upsert").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    IcebergWriter.upsert(spark, dir,
+      Seq((2L, "A", 200), (4L, "B", 400)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = Some("p"))
+    def kv(snap: Option[Long]): Map[Long, Int] =
+      IcebergLite.readSnapshot(spark, dir, snap)
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kv(None) == Map(1L -> 10, 2L -> 200, 3L -> 30, 4L -> 400),
+      "k=2 replaced without rewriting commit 1's files; k=4 inserted")
+    assert(kv(Some(1000L)) == Map(1L -> 10, 2L -> 20, 3L -> 30),
+      "pre-upsert snapshot unaffected (no data rewrite happened)")
+    // a second upsert of the same key layers by sequence
+    IcebergWriter.upsert(spark, dir,
+      Seq((2L, "A", 999)).toDF("k", "p", "v"), keyCols = Seq("k"),
+      partCol = Some("p"))
+    assert(kv(None) == Map(1L -> 10, 2L -> 999, 3L -> 30, 4L -> 400))
+    // and commit 1's data files are untouched on disk (merge-on-write
+    // writes deltas, never rewrites)
+    val c1Files = IcebergLite.planFiles(dir, Some(1000L)).map(_.path).toSet
+    val curFiles = IcebergLite.planFiles(dir).filter(_.content == 0).map(_.path).toSet
+    assert(c1Files.subsetOf(curFiles), "upserts must not rewrite old data files")
+  }
+
   test("empty append is rejected loudly, table state unchanged") {
     val s2 = spark
     import s2.implicits._
