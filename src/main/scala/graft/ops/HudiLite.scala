@@ -272,11 +272,19 @@ object HudiLite {
                       keyCols: Seq[String],
                       instant: Option[String] = None,
                       partFilter: Option[String => Boolean] = None): DataFrame = {
+    val slices = planFilesMor(tableDir, instant, partFilter)
+    require(slices.nonEmpty, "no live file slices after replay/pruning")
+    mergeSlices(spark, keyCols, slices)
+  }
+
+  /** The MoR merge over an explicit slice list (shared by the snapshot
+    * read and [[compact]]). */
+  private def mergeSlices(spark: SparkSession, keyCols: Seq[String],
+                          slices: Seq[(String, String, String, String, Seq[String])])
+      : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val slices = planFilesMor(tableDir, instant, partFilter)
-    require(slices.nonEmpty, "no live file slices after replay/pruning")
     val base = spark.read.parquet(slices.map(_._1): _*)
     val dataSchema = base.schema
     val withSys = StructType(dataSchema.fields ++ Array(
@@ -345,5 +353,44 @@ object HudiLite {
         java.nio.file.Paths.get(tableDir, ".hoodie", s"${c.instant}.deltacommit"),
         s"""{"partitionToWriteStats":{$statsJson}}""")
     }
+  }
+
+  /** COMPACTION (the MoR maintenance write): rewrite every file group
+    * that has log files as a fresh base slice holding its merged state,
+    * committed as one `.commit` timeline instant. The file-slice rule
+    * then orphans the old logs automatically — no log deletion needed
+    * (they age out with cleaning, as in real Hudi). Each group's merge
+    * runs the SAME distributed discipline as the snapshot read; groups
+    * compact independently, which is exactly how it parallelizes across
+    * a cluster at 100 TB (real Hudi schedules one task per file slice).
+    * Returns the compacted fileIds. */
+  def compact(spark: SparkSession, tableDir: String, keyCols: Seq[String],
+              newInstant: String): Seq[String] = {
+    val withLogs = planFilesMor(tableDir).filter(_._5.nonEmpty)
+    require(withLogs.nonEmpty, "no file group has log files to compact")
+    require(Option(new java.io.File(tableDir, ".hoodie").list()).getOrElse(Array.empty)
+        .forall(f => f.split('.').head < newInstant),
+      s"compaction instant $newInstant must follow the timeline")
+    val stats = withLogs.map { case slice @ (_, part, fid, _, _) =>
+      val merged = mergeSlices(spark, keyCols, Seq(slice))
+      val rel = s"$part/${fid}_0-0-0_$newInstant.parquet"
+      val tmp = s"$tableDir/tmp_compact"
+      merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val partFile = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(partFile.toPath,
+        new java.io.File(tableDir, rel).toPath)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+      (part, fid, rel)
+    }
+    val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
+      val entries = ss.map { case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }
+      s""""$part":[${entries.mkString(",")}]"""
+    }.mkString(",")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, ".hoodie", s"$newInstant.commit"),
+      s"""{"partitionToWriteStats":{$statsJson}}""")
+    stats.map(_._2)
   }
 }

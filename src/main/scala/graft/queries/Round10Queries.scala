@@ -139,6 +139,26 @@ object Round10Queries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // MoR COMPACTION on a dedicated fixture copy: the rewrite must be a
+    // state no-op (same oracle as src_hudi_mor), the plan must carry no
+    // logs afterwards, and only logged groups may rewrite — the
+    // maintenance write that keeps MoR read amplification bounded
+    "src_hudi_mor_compact" -> ((s, dir) => {
+      import graft.ops.HudiLite
+      val tableDir = hudiMorTable(s, dir, suffix = "_compact")
+      if (HudiLite.planFilesMor(tableDir).exists(_._5.nonEmpty))
+        HudiLite.compact(s, tableDir, Seq("o_orderkey"), "900")
+      val plan = HudiLite.planFilesMor(tableDir)
+      require(plan.nonEmpty && plan.forall(_._5.isEmpty),
+        s"post-compaction plan must carry no logs")
+      HudiLite.readSnapshotMor(s, tableDir, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // time travel INTO the log layers: instant 002 sees the first
     // upsert+delete wave but not 003's overwrite
     "src_hudi_mor_travel" -> ((s, dir) => {
@@ -313,8 +333,9 @@ object Round10Queries {
     * %20==0 keys — OverwriteWithLatestAvroPayload: the LATEST record
     * wins entirely, it does not accumulate). */
   private val hudiMorBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def hudiMorTable(s: SparkSession, dir: String): String =
-    hudiMorBuilt.computeIfAbsent(dir, _ => {
+  private def hudiMorTable(s: SparkSession, dir: String,
+                           suffix: String = ""): String =
+    hudiMorBuilt.computeIfAbsent(dir + suffix, _ => {
       import graft.ops.HudiLite
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types._
@@ -331,7 +352,7 @@ object Round10Queries {
         "hudi MoR fixture premise violated: o_orderkey is not unique")
       require(base.nonEmpty, "hudi MoR fixture premise: base is empty")
       val tableDir = new java.io.File(
-        s"target/hudi/mor_orders_${new java.io.File(dir).getName}").getAbsolutePath
+        s"target/hudi/mor_orders${suffix}_${new java.io.File(dir).getName}").getAbsolutePath
       val byPart = base.groupBy(_.getString(2)).toSeq.sortBy(_._1)
       HudiLite.writeFixtureTable(s, tableDir,
         s.createDataFrame(new java.util.ArrayList[Row](), schema),
@@ -500,6 +521,18 @@ object Round10Queries {
     // the LATEST overwrite — +2000000 for %20==0, else +1000000 for
     // %10==0, else base
     "src_hudi_mor" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(CASE WHEN o_orderkey % 20 = 0 THEN o_custkey + 2000000
+                           WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 12000
+        AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    // compaction is a state no-op: same merged state as src_hudi_mor
+    "src_hudi_mor_compact" -> """
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
              CAST(sum(CASE WHEN o_orderkey % 20 = 0 THEN o_custkey + 2000000

@@ -99,6 +99,41 @@ class HudiMorSpec extends AnyFunSuite {
     assert(got == Set((1L, 100)))
   }
 
+  test("compaction rewrites logged groups; state is a no-op; history survives") {
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    val dir = new java.io.File("target/hudi/mor_spec_compact2").getAbsolutePath
+    HudiLite.writeFixtureTable(spark, dir, df, Seq(
+      HudiLite.Commit("001", Seq(
+        ("A", "f1", Seq(Row(1L, "A", 10), Row(2L, "A", 20))),
+        ("B", "f2", Seq(Row(3L, "B", 30)))))))
+    HudiLite.writeDeltaCommits(dir, Seq(
+      HudiLite.DeltaCommit("002", Seq(("A", "f1", "001", Seq(
+        HudiLite.LogBlock(HudiLite.BlockData, "002", Seq(Row(1L, "A", 100)), schema),
+        HudiLite.LogBlock(HudiLite.BlockDelete, "002", Seq(Row(2L)), keySchema)))))))
+    val before = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val compacted = HudiLite.compact(spark, dir, Seq("k"), "010")
+    assert(compacted == Seq("f1"), "only the logged group rewrites")
+    val plan = HudiLite.planFilesMor(dir)
+    assert(plan.forall(_._5.isEmpty), s"post-compaction plan must carry no logs: $plan")
+    assert(plan.find(_._3 == "f1").get._4 == "010" &&
+      plan.find(_._3 == "f2").get._4 == "001",
+      "unlogged group keeps its original slice")
+    val after = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before && after == Set((1L, 100), (3L, 30)),
+      "compaction must be a state no-op")
+    // pre-compaction time travel still merges the logs
+    val at002 = HudiLite.readSnapshotMor(spark, dir, Seq("k"), Some("002"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(at002 == Set((1L, 100), (3L, 30)))
+    // nothing left to compact; a stale instant is rejected
+    intercept[IllegalArgumentException] { HudiLite.compact(spark, dir, Seq("k"), "011") }
+    intercept[IllegalArgumentException] { HudiLite.compact(spark, dir, Seq("k"), "005") }
+  }
+
   test("log block framing round-trips multi-block files byte-exactly") {
     val path = new java.io.File("target/hudi/mor_block_rt.log").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
