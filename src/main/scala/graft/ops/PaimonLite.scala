@@ -306,43 +306,11 @@ object PaimonLite {
     }
 
     def writeManifest(name: String,
-                      adds: Seq[(FileMeta, Long)], dels: Seq[FileMeta]): Unit = {
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
-      w.create(ManifestEntrySchema, new java.io.File(s"$tableDir/manifest/$name"))
-      def entry(kind: Int, m: FileMeta, size: Long): GenericRecord = {
-        val f = new GenericData.Record(ManifestEntrySchema.getField("_FILE").schema)
-        f.put("_FILE_NAME", m.path.split("/").last)
-        f.put("_FILE_SIZE", size)
-        f.put("_ROW_COUNT", m.rowCount)
-        f.put("_MIN_SEQUENCE_NUMBER", m.minSeq)
-        f.put("_MAX_SEQUENCE_NUMBER", m.maxSeq)
-        f.put("_LEVEL", m.level)
-        val e = new GenericData.Record(ManifestEntrySchema)
-        e.put("_KIND", kind)
-        e.put("_PARTITION", m.part.orNull)
-        e.put("_BUCKET", m.bucket)
-        e.put("_FILE", f)
-        e
-      }
-      adds.foreach { case (m, size) => w.append(entry(0, m, size)) }
-      dels.foreach { m => w.append(entry(1, m, 0L)) }
-      w.close()
-    }
+                      adds: Seq[(FileMeta, Long)], dels: Seq[FileMeta]): Unit =
+      writeManifestAvro(tableDir, name, adds, dels)
 
-    def writeManifestList(name: String, manifestNames: Seq[String]): Unit = {
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestListSchema))
-      w.create(ManifestListSchema, new java.io.File(s"$tableDir/manifest/$name"))
-      manifestNames.foreach { mn =>
-        val r = new GenericData.Record(ManifestListSchema)
-        r.put("_FILE_NAME", mn)
-        r.put("_FILE_SIZE", new java.io.File(s"$tableDir/manifest/$mn").length())
-        r.put("_NUM_ADDED_FILES", 0L)
-        r.put("_NUM_DELETED_FILES", 0L)
-        r.put("_SCHEMA_ID", 0L)
-        w.append(r)
-      }
-      w.close()
-    }
+    def writeManifestList(name: String, manifestNames: Seq[String]): Unit =
+      writeManifestListAvro(tableDir, name, manifestNames)
 
     val allManifests = scala.collection.mutable.ArrayBuffer.empty[String]
     commits.zipWithIndex.foreach { case (c, i) =>
@@ -376,6 +344,59 @@ object PaimonLite {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, "snapshot", "LATEST"),
       commits.size.toString)
+  }
+
+  /** Write one manifest avro of ADD (and DELETE) file entries — shared
+    * by the fixture writer and [[PaimonWriter]]. */
+  private[ops] def writeManifestAvro(tableDir: String, name: String,
+                                     adds: Seq[(FileMeta, Long)],
+                                     dels: Seq[FileMeta]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestEntrySchema))
+    w.create(ManifestEntrySchema, new java.io.File(s"$tableDir/manifest/$name"))
+    def entry(kind: Int, m: FileMeta, size: Long): GenericRecord = {
+      val f = new GenericData.Record(ManifestEntrySchema.getField("_FILE").schema)
+      f.put("_FILE_NAME", m.path.split("/").last)
+      f.put("_FILE_SIZE", size)
+      f.put("_ROW_COUNT", m.rowCount)
+      f.put("_MIN_SEQUENCE_NUMBER", m.minSeq)
+      f.put("_MAX_SEQUENCE_NUMBER", m.maxSeq)
+      f.put("_LEVEL", m.level)
+      val e = new GenericData.Record(ManifestEntrySchema)
+      e.put("_KIND", kind)
+      e.put("_PARTITION", m.part.orNull)
+      e.put("_BUCKET", m.bucket)
+      e.put("_FILE", f)
+      e
+    }
+    adds.foreach { case (m, size) => w.append(entry(0, m, size)) }
+    dels.foreach { m => w.append(entry(1, m, 0L)) }
+    w.close()
+  }
+
+  /** Write one manifest-list avro referencing `manifestNames` (each
+    * must already exist under manifest/). */
+  private[ops] def writeManifestListAvro(tableDir: String, name: String,
+                                         manifestNames: Seq[String]): Unit = {
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](ManifestListSchema))
+    w.create(ManifestListSchema, new java.io.File(s"$tableDir/manifest/$name"))
+    manifestNames.foreach { mn =>
+      val r = new GenericData.Record(ManifestListSchema)
+      r.put("_FILE_NAME", mn)
+      r.put("_FILE_SIZE", new java.io.File(s"$tableDir/manifest/$mn").length())
+      r.put("_NUM_ADDED_FILES", 0L)
+      r.put("_NUM_DELETED_FILES", 0L)
+      r.put("_SCHEMA_ID", 0L)
+      w.append(r)
+    }
+    w.close()
+  }
+
+  /** Manifest names referenced by a snapshot's base + delta lists —
+    * what an appending writer must carry forward. */
+  private[ops] def snapshotManifestNames(tableDir: String, id: Long): Seq[String] = {
+    val snap = snapshotNode(tableDir, id)
+    Seq(snap.get("baseManifestList").asText, snap.get("deltaManifestList").asText)
+      .flatMap(l => readAvro(s"$tableDir/manifest/$l").map(_.get("_FILE_NAME").toString))
   }
 
   /** Driver-side reference of the deduplicate merge for fixture

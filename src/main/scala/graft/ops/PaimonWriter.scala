@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Apache Paimon single-writer WRITE path for PRIMARY-KEY tables, from
+  * the public layout spec — completing the write side of the lakehouse
+  * quartet next to [[IcebergWriter]] and [[DeltaWriter]] (reference:
+  * the Paimon sink side of fe/fe-core/.../datasource/paimon/).
+  *
+  * Spark-first split:
+  *  - the DATA write is one distributed pass: rows gain the LSM system
+  *    columns (`_SEQUENCE_NUMBER` monotone above every previously
+  *    committed sequence, `_VALUE_KIND` from the caller or +I), bucket
+  *    by positive key hash, and land via
+  *    `repartition(part, bucket).write.partitionBy(part, bucket)` — one
+  *    file per (partition, bucket) per commit, which is exactly the
+  *    bucket-local layout the LSM merge relies on at 100 TB;
+  *  - the COMMIT is driver-side metadata: per-file min/max sequence
+  *    from the staged parquet FOOTERS, one manifest avro of ADD
+  *    entries, a base manifest list carrying the previous snapshot's
+  *    manifests forward plus a delta list of this commit, the snapshot
+  *    JSON, and the `snapshot/LATEST` hint swapped LAST as the atomic
+  *    commit point.
+  *
+  * Honest scope: single writer (no lock/conflict protocol), APPEND
+  * commits of +I/+U/-D rows (compaction stays a reader-side concern
+  * here — [[PaimonLite]] replays COMPACT snapshots the fixture stages),
+  * identity partitions, modulo-free hash bucketing via Spark's
+  * murmur-based `hash`. Each key should appear at most once per commit
+  * (the same premise a real write buffer enforces by deduplicating
+  * before flush). Correctness is non-circular:
+  * `src_paimon_write_{scan,travel}` read back through the independent
+  * [[PaimonLite]] chain against oracles recomputed by predicate. */
+object PaimonWriter {
+
+  /** Append `df` as one APPEND snapshot, creating the table on first
+    * use. `df` may carry a `_VALUE_KIND` column (+I/+U/-D codes);
+    * absent, every row commits as an insert. Returns the snapshot id. */
+  def append(spark: SparkSession, tableDir: String, df: DataFrame,
+             partCol: String, keyCols: Seq[String],
+             numBuckets: Int = 4): Long = {
+    require(keyCols.contains(partCol),
+      "paimon requires the partition column inside the primary key")
+    val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "snapshot").mkdirs()
+    new java.io.File(dir, "manifest").mkdirs()
+
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    val curSnap: Long =
+      if (java.nio.file.Files.exists(latestPath))
+        java.nio.file.Files.readString(latestPath).trim.toLong
+      else 0L
+    // the LSM bucket contract: a key's writes must always land in the
+    // same bucket, so the bucket count is fixed at table creation (real
+    // Paimon stores it in the table schema options)
+    val bucketsPath = java.nio.file.Paths.get(tableDir, "snapshot", "BUCKETS")
+    if (curSnap > 0L && java.nio.file.Files.exists(bucketsPath))
+      require(java.nio.file.Files.readString(bucketsPath).trim.toInt == numBuckets,
+        s"bucket count $numBuckets differs from the table's " +
+          s"${java.nio.file.Files.readString(bucketsPath).trim} — keys would change buckets")
+    // next sequence floor: above every live file's max sequence
+    val lastSeq: Long =
+      if (curSnap == 0L) 0L
+      else PaimonLite.planFiles(tableDir).map(_.maxSeq).foldLeft(0L)(math.max)
+    val snapId = curSnap + 1
+
+    require(!df.isEmpty, "append of an empty DataFrame is not a commit")
+    val withKind =
+      if (df.columns.contains("_VALUE_KIND")) df
+      else df.withColumn("_VALUE_KIND", lit(PaimonLite.KindInsert))
+    val staged = withKind
+      .withColumn("_SEQUENCE_NUMBER",
+        lit(lastSeq + 1) + monotonically_increasing_id())
+      .withColumn("__part", col(partCol).cast("string"))
+      .withColumn("__bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+    val staging = s"$tableDir/stage_s$snapId"
+    staged.repartition(col("__part"), col("__bucket"))
+      .write.partitionBy("__part", "__bucket")
+      .mode("overwrite").parquet(staging)
+
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val bucketDir = f.getParentFile.getName // __bucket=B
+        val partDir = f.getParentFile.getParentFile.getName // __part=P
+        require(partDir.startsWith("__part=") && bucketDir.startsWith("__bucket="),
+          s"unexpected staging layout: $partDir/$bucketDir")
+        val part = partDir.stripPrefix("__part=")
+        val bucket = bucketDir.stripPrefix("__bucket=").toInt
+        val rel = s"$part/bucket-$bucket/data-w$snapId-$j.parquet"
+        val dst = new java.io.File(dir, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        val (rows, bytes, lo, hi) =
+          IcebergWriter.footerStats(dst.getAbsolutePath, conf)
+        val meta = PaimonLite.FileMeta(rel, Some(part), bucket, level = 0,
+          minSeq = lo.getOrElse("_SEQUENCE_NUMBER", 0L),
+          maxSeq = hi.getOrElse("_SEQUENCE_NUMBER", 0L),
+          rowCount = rows)
+        (meta, bytes)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(adds.nonEmpty, "append of an empty DataFrame is not a commit")
+
+    // commit: manifest, carried-forward base list, delta list, snapshot
+    // JSON, LATEST swap last
+    val mName = s"manifest-w$snapId"
+    PaimonLite.writeManifestAvro(tableDir, mName, adds, Nil)
+    val prevManifests: Seq[String] =
+      if (curSnap == 0L) Nil
+      else PaimonLite.snapshotManifestNames(tableDir, curSnap)
+    val baseName = s"manifest-list-w$snapId-base"
+    val deltaName = s"manifest-list-w$snapId-delta"
+    PaimonLite.writeManifestListAvro(tableDir, baseName, prevManifests)
+    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
+    val snapJson =
+      s"""{"version":3,"id":$snapId,"schemaId":0,
+         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+         |"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
+         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"), snapJson)
+    if (curSnap == 0L) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
+      java.nio.file.Files.writeString(bucketsPath, numBuckets.toString)
+    }
+    java.nio.file.Files.writeString(latestPath, snapId.toString)
+    snapId
+  }
+}

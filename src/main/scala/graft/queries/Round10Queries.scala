@@ -65,6 +65,31 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Paimon writer round trip: insert commit + a mixed upsert/delete
+    // commit written through the distributed bucket pass, merged back
+    // by the independent LSM read — sequence monotonicity across
+    // commits is what makes the upserts win
+    "src_paimon_write_scan" -> ((s, dir) => {
+      val tableDir = paimonWrittenTable(s, dir)
+      graft.ops.PaimonLite.readSnapshot(s, tableDir,
+          Seq("o_orderstatus", "o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // snapshot 1 of the written table = pure inserts
+    "src_paimon_write_travel" -> ((s, dir) => {
+      val tableDir = paimonWrittenTable(s, dir)
+      graft.ops.PaimonLite.readSnapshot(s, tableDir,
+          Seq("o_orderstatus", "o_orderkey"), snapshotId = Some(1L))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Delta writer round trip: two distributed append commits + a
     // partition-delete tombstone, read back through the independent
     // log-replay reader
@@ -170,6 +195,40 @@ object Round10Queries {
         .orderBy(col("o_orderstatus"))
     })
   )
+
+  /** Paimon-written table on orders (key uniqueness premise-gated):
+    * commit 1 inserts everything; commit 2 mixes +U rows (custkey
+    * +1000000 on %10 keys) and -D rows (%9 keys not %10) in ONE
+    * distributed write. */
+  private val paimonWrittenBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def paimonWrittenTable(s: SparkSession, dir: String): String =
+    paimonWrittenBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      locally {
+        val (n, nd) = {
+          val r = src.agg(count(lit(1)), countDistinct(col("o_orderkey"))).head()
+          (r.getLong(0), r.getLong(1))
+        }
+        require(n == nd && n > 0,
+          s"paimon writer fixture premise violated: $n rows, $nd distinct keys")
+      }
+      val tableDir = new java.io.File(
+        s"target/paimon/written_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      PaimonWriter.append(s, tableDir, src, "o_orderstatus", keys, numBuckets = 4)
+      val ups = src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .withColumn("_VALUE_KIND", lit(PaimonLite.KindUpdateAfter))
+      val dels = src.filter(col("o_orderkey") % 9 === 0 && col("o_orderkey") % 10 =!= 0)
+        .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
+      PaimonWriter.append(s, tableDir, ups.unionByName(dels),
+        "o_orderstatus", keys, numBuckets = 4)
+      tableDir
+    })
 
   /** Delta-written table: even/odd append commits partitioned by
     * l_returnflag, then a partition-delete of 'R' — the surviving state
@@ -457,6 +516,25 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // written-table merge by predicate: %9-not-%10 keys deleted, %10
+    // custkeys bumped
+    "src_paimon_write_scan" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 12000
+        AND NOT (o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0)
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_paimon_write_travel" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 12000
       GROUP BY 1 ORDER BY 1""",
 
     // both halves minus the deleted R partition

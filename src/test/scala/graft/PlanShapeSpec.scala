@@ -342,6 +342,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in unigram scoring:\n$p")
   }
 
+  test("lakehouse merge reads shuffle once on the key, never join or cartesian (r10)") {
+    // Paimon partial-update: the per-key sequential fold is ONE hash
+    // shuffle (groupBy key) + a codegen aggregate/array_sort HOF — no
+    // join, no window, no second exchange of the corpus
+    val pu = SparkEntry.queries("src_paimon_partial_update")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!pu.contains("Join") && !pu.contains("CartesianProduct"),
+      s"partial-update fold must not join:\n$pu")
+    // Hudi MoR: base ∪ logs then ONE key window — no join; the window's
+    // hash exchange is the only corpus shuffle before the wrap-up agg
+    val mor = SparkEntry.queries("src_hudi_mor")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!mor.contains("Join") && !mor.contains("CartesianProduct"),
+      s"MoR merge must not join:\n$mor")
+    assert(mor.contains("Union"), s"MoR merge must union base and logs:\n$mor")
+  }
+
   test("arrow roundtrip preserves schema") {
     val res = spark.sql("SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c")
     val (schemaJson, batches) = graft.ops.ArrowResult.serialize(res)
