@@ -313,6 +313,65 @@ object IcebergWriter {
     snapId
   }
 
+  /** Snapshot EXPIRY + orphan cleanup (the spec's expire_snapshots /
+    * remove_orphan_files maintenance pair): keep the most recent
+    * `keepLast` snapshots, rewrite the metadata version without the
+    * expired ones, delete their manifest lists, and physically delete
+    * every data/delete/manifest file referenced ONLY by expired
+    * snapshots. Metadata-sized driver work; the file-reachability set
+    * is the union of the kept snapshots' plans. Returns the deleted
+    * file paths. At 100 TB this is what keeps a CDC-upserted table from
+    * growing without bound. */
+  def expireSnapshots(tableDir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val hintPath = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
+    val curVersion = java.nio.file.Files.readString(hintPath).trim.toInt
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val snaps = meta.withArray[ArrayNode]("snapshots")
+    val all = (0 until snaps.size).map(snaps.get(_).asInstanceOf[ObjectNode])
+      .sortBy(_.get("sequence-number").asLong)
+    if (all.size <= keepLast) return Nil
+    val (expired, kept) = all.splitAt(all.size - keepLast)
+
+    // reachability: every file (data + manifest) a KEPT snapshot plans
+    def filesOf(snapId: Long): (Set[String], Set[String]) = {
+      val tasks = IcebergLite.planFiles(tableDir, Some(snapId))
+      val snap = all.find(_.get("snapshot-id").asLong == snapId).get
+      val manifests = IcebergLite.readAvro(snap.get("manifest-list").asText)
+        .map(_.get("manifest_path").toString).toSet
+      (tasks.map(_.path).toSet, manifests)
+    }
+    val keptIds = kept.map(_.get("snapshot-id").asLong)
+    val (keptData, keptManifests) = keptIds.map(filesOf)
+      .foldLeft((Set.empty[String], Set.empty[String])) {
+        case ((d, m), (d2, m2)) => (d ++ d2, m ++ m2)
+      }
+    val deleted = Seq.newBuilder[String]
+    expired.foreach { s =>
+      val (data, manifests) = filesOf(s.get("snapshot-id").asLong)
+      (data -- keptData).foreach { p =>
+        if (new java.io.File(p).delete()) deleted += p
+      }
+      (manifests -- keptManifests).foreach { p =>
+        if (new java.io.File(p).delete()) deleted += p
+      }
+      val ml = s.get("manifest-list").asText
+      if (new java.io.File(ml).delete()) deleted += ml
+    }
+    // rewrite metadata with only the kept snapshots, bump the version
+    val newSnaps = mapper.createArrayNode()
+    kept.foreach(newSnaps.add)
+    meta.set[ObjectNode]("snapshots", newSnaps)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "metadata",
+        s"v${curVersion + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    java.nio.file.Files.writeString(hintPath, (curVersion + 1).toString)
+    deleted.result()
+  }
+
   /** Record count, byte size, and integral-column lower/upper bounds
     * from one parquet footer — metadata-sized, no data read. */
   private[ops] def footerStats(path: String,

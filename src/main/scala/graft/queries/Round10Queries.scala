@@ -65,6 +65,34 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // snapshot EXPIRY on a dedicated written table: keep only the
+    // current snapshot, assert the expired one fails loudly and its
+    // now-unreachable manifest metadata is physically gone, then prove
+    // the surviving read is still value-exact
+    "src_iceberg_expire" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/expire_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_returnflag"))
+      val deleted = IcebergWriter.expireSnapshots(tableDir, keepLast = 1)
+      require(deleted.nonEmpty && deleted.forall(p => !new java.io.File(p).exists()),
+        s"expiry must physically delete unreachable metadata: $deleted")
+      val loud = try { IcebergLite.planFiles(tableDir, Some(1000L)); false }
+        catch { case _: IllegalArgumentException => true }
+      require(loud, "expired snapshot must fail loudly, not read stale data")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Paimon writer round trip: insert commit + a mixed upsert/delete
     // commit written through the distributed bucket pass, merged back
     // by the independent LSM read — sequence monotonicity across
@@ -516,6 +544,14 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // expiry must not lose a row: the whole written set survives
+    "src_iceberg_expire" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000
       GROUP BY 1 ORDER BY 1""",
 
     // written-table merge by predicate: %9-not-%10 keys deleted, %10

@@ -117,6 +117,45 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(c1Files.subsetOf(curFiles), "upserts must not rewrite old data files")
   }
 
+  test("snapshot expiry deletes only unreachable files; current reads survive") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_expire").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir, Seq((1L, "A", 1)).toDF("k", "p", "v"), Some("p"))
+    IcebergWriter.append(spark, dir, Seq((2L, "B", 2)).toDF("k", "p", "v"), Some("p"))
+    IcebergWriter.upsert(spark, dir, Seq((1L, "A", 11)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = Some("p"))
+    val before = IcebergLite.readSnapshot(spark, dir)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val deleted = IcebergWriter.expireSnapshots(dir, keepLast = 2)
+    // snapshot 1000's manifest list is gone, but every data file it
+    // added is still reachable from the kept snapshots — so only the
+    // manifest list itself dies here
+    assert(deleted.nonEmpty && deleted.forall(_.contains("metadata/")),
+      s"commit-1 data is still live in later snapshots: $deleted")
+    deleted.foreach(p => assert(!new java.io.File(p).exists()))
+    val after = IcebergLite.readSnapshot(spark, dir)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before && after == Set((1L, 11), (2L, 2)))
+    // the expired snapshot is gone from the log: loud failure
+    intercept[IllegalArgumentException] {
+      IcebergLite.readSnapshot(spark, dir, Some(1000L)).collect()
+    }
+    // expiring down to 1 snapshot also reclaims the replaced data file:
+    // the upsert's equality delete hides k=1's old row only LOGICALLY;
+    // once its snapshot is the only survivor, nothing else references
+    // the old file... except iceberg semantics: the old data file is
+    // still part of the current snapshot's plan (the delete is applied
+    // at read). So nothing data-sized may be deleted here either.
+    val deleted2 = IcebergWriter.expireSnapshots(dir, keepLast = 1)
+    assert(deleted2.forall(_.contains("metadata/")),
+      s"current-snapshot files must survive: $deleted2")
+    val after2 = IcebergLite.readSnapshot(spark, dir)
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after2 == before)
+  }
+
   test("empty append is rejected loudly, table state unchanged") {
     val s2 = spark
     import s2.implicits._
