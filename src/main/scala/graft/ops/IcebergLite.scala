@@ -162,7 +162,8 @@ object IcebergLite {
   def readSnapshot(spark: SparkSession, tableDir: String,
                    snapshotId: Option[Long] = None,
                    partFilter: Option[String => Boolean] = None,
-                   statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None)
+                   statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None,
+                   mergeSchema: Boolean = false)
       : DataFrame = {
     val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter)
     val dataTasks = tasks.filter(_.content == 0)
@@ -170,7 +171,11 @@ object IcebergLite {
     val eqDeleteTasks = tasks.filter(_.content == 2)
     require(dataTasks.nonEmpty, s"snapshot has no data files in $tableDir")
     def norm(p: String): String = p.replaceAll("^file:+", "")
-    val data = spark.read.parquet(dataTasks.map(_.path): _*)
+    // mergeSchema = the spec's ADD-COLUMN evolution read: files written
+    // before the column appeared read it as NULL (field-id resolution
+    // simplified to by-name — the identity mapping our writer produces)
+    val data = (if (mergeSchema) spark.read.option("mergeSchema", "true")
+                else spark.read).parquet(dataTasks.map(_.path): _*)
       .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
       .withColumn("__pos", col("_metadata.row_index"))
     val afterPos =

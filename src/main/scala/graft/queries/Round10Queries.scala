@@ -65,6 +65,35 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ADD-COLUMN schema evolution: commit 2 writes a column commit 1
+    // never had; the merged read surfaces it as NULL on old files —
+    // n counts every row, the new column sums only the evolved half
+    "src_iceberg_schema_evolution" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity").cast("long").as("l_qty"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/evolve_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0).drop("l_qty"),
+        partCol = Some("l_returnflag"))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1),
+        partCol = Some("l_returnflag"))
+      val evolved = IcebergLite.readSnapshot(s, tableDir, mergeSchema = true)
+      require(evolved.columns.contains("l_qty"),
+        "merged read must surface the evolved column")
+      evolved
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          count(col("l_qty")).as("n_evolved"),
+          sum(col("l_qty")).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // snapshot EXPIRY on a dedicated written table: keep only the
     // current snapshot, assert the expired one fails loudly and its
     // now-unreachable manifest metadata is physically gone, then prove
@@ -544,6 +573,17 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // pre-evolution rows read the new column as NULL: counted in n,
+    // absent from n_evolved/sum_qty
+    "src_iceberg_schema_evolution" -> """
+      SELECT l_returnflag, count(*) AS n,
+             count(CASE WHEN l_orderkey % 2 = 1 THEN 1 END) AS n_evolved,
+             CAST(sum(CASE WHEN l_orderkey % 2 = 1
+                           THEN CAST(l_quantity AS BIGINT) END) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey < 10000
       GROUP BY 1 ORDER BY 1""",
 
     // expiry must not lose a row: the whole written set survives
