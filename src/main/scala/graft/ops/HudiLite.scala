@@ -355,6 +355,97 @@ object HudiLite {
     }
   }
 
+  /** INCREMENTAL (changelog) read over (fromInstant, toInstant] — the
+    * Hudi incremental-query analog, completing the trio next to
+    * [[IcebergLite.readIncremental]] and [[PaimonLite.readIncremental]]:
+    *  - a `.deltacommit` in the window ships its log records — data
+    *    blocks as `_CHANGE_TYPE='upsert'`, delete blocks as
+    *    `'delete'` rows (non-key columns NULL);
+    *  - a `.commit` in the window ships the rows of its NEW file
+    *    groups as `'insert'`; a commit that rewrites fileIds that
+    *    existed at `fromInstant` is a COMPACTION rewrite — state
+    *    motion, not change — and is skipped, mirroring how the Paimon
+    *    incremental read skips COMPACT snapshots.
+    * Log bytes decode distributed; base inserts are a plain parquet
+    * scan of the new files. */
+  def readIncrementalMor(spark: SparkSession, tableDir: String,
+                         fromInstant: String, toInstant: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(fromInstant < toInstant,
+      s"from ($fromInstant) must precede to ($toInstant)")
+    val timelineDir = new java.io.File(tableDir, ".hoodie")
+    val instants = Option(timelineDir.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val n = f.getName
+        if (n.endsWith(".commit")) Some((n.stripSuffix(".commit"), "commit", f))
+        else if (n.endsWith(".deltacommit"))
+          Some((n.stripSuffix(".deltacommit"), "deltacommit", f))
+        else None
+      }.sortBy(_._1)
+    val preExisting = instants.filter(_._1 <= fromInstant).flatMap { case (_, _, f) =>
+      statEntries(f).map(_._2)
+    }.toSet
+    val window = instants.filter { case (t, _, _) => t > fromInstant && t <= toInstant }
+    require(window.nonEmpty, s"no instants in ($fromInstant, $toInstant]")
+
+    val newBaseFiles = window.collect { case (_, "commit", f) =>
+      statEntries(f).filter { case (_, fid, _) => !preExisting.contains(fid) }
+        .map { case (_, _, path) => s"$tableDir/$path" }
+    }.flatten
+    val logFiles = window.collect { case (_, "deltacommit", f) =>
+      statEntries(f).map { case (_, _, path) => s"$tableDir/$path" }
+    }.flatten
+
+    // data schema from any base file of the table (metadata-sized walk)
+    val anyBase = planFiles(tableDir).head._1
+    val dataSchema = spark.read.parquet(anyBase).schema
+    val outSchema = StructType(dataSchema.fields :+
+      StructField("_CHANGE_TYPE", StringType, nullable = false))
+    val inserts =
+      if (newBaseFiles.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[Row](), outSchema)
+      else spark.read.parquet(newBaseFiles: _*)
+        .withColumn("_CHANGE_TYPE", lit("insert"))
+    if (logFiles.isEmpty) return inserts
+    val names = dataSchema.fields.map(_.name)
+    val logRows = spark.sparkContext
+      .binaryFiles(logFiles.mkString(","))
+      .flatMap { case (_, pds) =>
+        parseLogBytes(pds.toArray()).flatMap { case (bt, _, _, recs) =>
+          recs.map { rec =>
+            val vals = names.map { n =>
+              val v = if (rec.getSchema.getField(n) == null) null else rec.get(n)
+              v match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case x => x
+              }
+            }
+            Row.fromSeq(vals.toSeq :+
+              (if (bt == BlockDelete) "delete" else "upsert"))
+          }
+        }
+      }
+    inserts.unionByName(spark.createDataFrame(logRows, outSchema))
+  }
+
+  /** (partition, fileId, path) triples of one timeline instant's
+    * partitionToWriteStats. */
+  private def statEntries(f: java.io.File): Seq[(String, String, String)] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+    val p2ws = node.get("partitionToWriteStats")
+    val parts = p2ws.fieldNames()
+    val out = Seq.newBuilder[(String, String, String)]
+    while (parts.hasNext) {
+      val part = parts.next()
+      val stats = p2ws.get(part)
+      (0 until stats.size).map(stats.get).foreach { st =>
+        out += ((part, st.get("fileId").asText, st.get("path").asText))
+      }
+    }
+    out.result()
+  }
+
   /** COMPACTION (the MoR maintenance write): rewrite every file group
     * that has log files as a fresh base slice holding its merged state,
     * committed as one `.commit` timeline instant. The file-slice rule

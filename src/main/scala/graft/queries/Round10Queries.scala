@@ -221,6 +221,18 @@ object Round10Queries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // incremental changelog over (001, 003]: both deltacommits' log
+    // records ship — %10 upserts from 002, %20 upserts AGAIN from 003
+    // (a changelog ships every change, not the folded state), deletes
+    // with their kind
+    "src_hudi_incremental" -> ((s, dir) => {
+      val tableDir = hudiMorTable(s, dir)
+      graft.ops.HudiLite.readIncrementalMor(s, tableDir, "001", "003")
+        .groupBy(col("_CHANGE_TYPE").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("change"))
+    }),
+
     // MoR COMPACTION on a dedicated fixture copy: the rewrite must be a
     // state no-op (same oracle as src_hudi_mor), the plan must carry no
     // logs afterwards, and only logged groups may rewrite — the
@@ -684,6 +696,26 @@ object Round10Queries {
       WHERE o_orderkey < 12000
         AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
       GROUP BY 1 ORDER BY 1""",
+
+    // the changelog multiset: deletes = %7-not-%10 keys once; upserts =
+    // %10 keys (002) plus %20 keys again (003). HAVING guards empty
+    // branches to match groupBy semantics
+    "src_hudi_incremental" -> """
+      SELECT 'delete' AS change, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 12000 AND o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0
+      HAVING count(*) > 0
+      UNION ALL
+      SELECT 'upsert' AS change,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN o_orderkey % 20 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_orderkey ELSE 0 END)
+                  + sum(CASE WHEN o_orderkey % 20 = 0 THEN o_orderkey ELSE 0 END) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 12000
+      HAVING sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END) > 0
+      ORDER BY change""",
 
     // compaction is a state no-op: same merged state as src_hudi_mor
     "src_hudi_mor_compact" -> """

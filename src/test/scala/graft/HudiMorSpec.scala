@@ -134,6 +134,47 @@ class HudiMorSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { HudiLite.compact(spark, dir, Seq("k"), "005") }
   }
 
+  test("incremental read ships log changes and fresh-group inserts, skips rewrites") {
+    // main fixture: (001, 003] = deltacommits 002 (upsert k=2, delete
+    // k=3, upsert k=4) and 003 (upsert k=2 again, insert-via-log k=9)
+    val inc = HudiLite.readIncrementalMor(spark, tableDir, "001", "003")
+      .select(col("k"), col("v"), col("_CHANGE_TYPE")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getString(2))).toSet
+    assert(inc == Set((2L, 200, "upsert"), (3L, -1, "delete"),
+      (4L, 400, "upsert"), (2L, 222, "upsert"), (9L, 90, "upsert")),
+      s"every change in the window ships, including k=2 twice: $inc")
+    // a window past a compaction skips the rewrite but ships the
+    // fresh-group insert of a later commit
+    val dir = new java.io.File("target/hudi/mor_spec_inc").getAbsolutePath
+    val s2 = spark
+    import s2.implicits._
+    val df = Seq((1L, "A", 1)).toDF("k", "p", "v")
+    HudiLite.writeFixtureTable(spark, dir, df, Seq(
+      HudiLite.Commit("001", Seq(("A", "f1", Seq(Row(1L, "A", 10)))))))
+    HudiLite.writeDeltaCommits(dir, Seq(
+      HudiLite.DeltaCommit("002", Seq(("A", "f1", "001", Seq(
+        HudiLite.LogBlock(HudiLite.BlockData, "002", Seq(Row(1L, "A", 100)), schema)))))))
+    HudiLite.compact(spark, dir, Seq("k"), "003")
+    // commit 004: a brand-new file group (fresh insert, not a rewrite)
+    val statsJson = """{"partitionToWriteStats":{"B":[{"fileId":"f9","path":"B/f9_0-0-0_004.parquet","numWrites":1}]}}"""
+    val tmp = s"$dir/tmp_stage"
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(Row(9L, "B", 90))), schema)
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+    new java.io.File(dir, "B").mkdirs()
+    java.nio.file.Files.move(part.toPath, new java.io.File(dir, "B/f9_0-0-0_004.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, ".hoodie", "004.commit"), statsJson)
+    val inc2 = HudiLite.readIncrementalMor(spark, dir, "002", "004")
+      .select(col("k"), col("_CHANGE_TYPE")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inc2 == Set((9L, "insert")),
+      s"the 003 compaction rewrite must not ship as change: $inc2")
+  }
+
   test("log block framing round-trips multi-block files byte-exactly") {
     val path = new java.io.File("target/hudi/mor_block_rt.log").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
