@@ -98,10 +98,17 @@ object IcebergLite {
 
   /** Plan the live files of a snapshot (default: current) — the
     * metadata walk, driver-side by design. `partFilter` prunes on the
-    * identity partition value BEFORE any data file is listed. */
+    * identity partition value BEFORE any data file is listed.
+    * `partPruneBy` is the PARTITION-EVOLUTION-aware prune (spec:
+    * "Partition Evolution"): (columnName, valuePredicate) — a file is
+    * pruned only when its manifest's partition SPEC actually partitions
+    * by that column; files written under a different spec are
+    * conservatively KEPT, because the spec says you cannot skip a file
+    * by a field it was never partitioned on. */
   def planFiles(tableDir: String, snapshotId: Option[Long] = None,
                 partFilter: Option[String => Boolean] = None,
-                statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None)
+                statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None,
+                partPruneBy: Option[(String, String => Boolean)] = None)
       : Seq[FileTask] = {
     val meta = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(currentMetadataPath(tableDir))))
@@ -111,9 +118,19 @@ object IcebergLite {
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not in ${meta.get("snapshots")}"))
+    // spec-id → the (single identity) partition column of that spec
+    val specCols: Map[Int, String] = Option(meta.get("partition-specs"))
+      .map { specs =>
+        (0 until specs.size).map(specs.get).flatMap { s =>
+          val fields = s.get("fields")
+          if (fields == null || fields.size == 0) None
+          else Some(s.get("spec-id").asInt -> fields.get(0).get("name").asText)
+        }.toMap
+      }.getOrElse(Map.empty)
     val manifestList = snap.get("manifest-list").asText
     readAvro(manifestList).flatMap { mf =>
       val manifestPath = mf.get("manifest_path").toString
+      val specId = mf.get("partition_spec_id").asInstanceOf[Int]
       readAvro(manifestPath).flatMap { e =>
         val status = e.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED entries drop out of the snapshot
@@ -139,7 +156,10 @@ object IcebergLite {
           // conservatively kept — stats pruning must never be lossy)
           val keep = content != 0 ||
             (partFilter.forall(f => part.forall(f)) &&
-              statsFilter.forall(f => lower.isEmpty && upper.isEmpty || f(lower, upper)))
+              statsFilter.forall(f => lower.isEmpty && upper.isEmpty || f(lower, upper)) &&
+              partPruneBy.forall { case (colName, f) =>
+                !specCols.get(specId).contains(colName) || part.forall(f)
+              })
           if (!keep) None
           else Some(FileTask(df.get("file_path").toString, content, part,
             df.get("record_count").asInstanceOf[Long],
@@ -163,9 +183,10 @@ object IcebergLite {
                    snapshotId: Option[Long] = None,
                    partFilter: Option[String => Boolean] = None,
                    statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None,
-                   mergeSchema: Boolean = false)
+                   mergeSchema: Boolean = false,
+                   partPruneBy: Option[(String, String => Boolean)] = None)
       : DataFrame = {
-    val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter)
+    val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter, partPruneBy)
     val dataTasks = tasks.filter(_.content == 0)
     val posDeletePaths = tasks.filter(_.content == 1).map(_.path)
     val eqDeleteTasks = tasks.filter(_.content == 2)

@@ -246,6 +246,43 @@ object IcebergWriter {
       w.close()
     }
 
+    // ---- metadata node (created on first commit) + partition-spec
+    // resolution. PARTITION EVOLUTION (spec "Partition Evolution"):
+    // each commit's manifest records the spec it was written under; a
+    // later commit with a different partition column registers a NEW
+    // spec rather than rewriting history, and the reader prunes each
+    // file only by its own spec's column (planFiles partPruneBy).
+    val meta: ObjectNode = curMeta.getOrElse {
+      val m = mapper.createObjectNode()
+      m.put("format-version", 2)
+      m.put("table-uuid", "00000000-0000-0000-0000-000000000001")
+      m.put("location", tableDir)
+      m.putArray("partition-specs")
+      m.putArray("snapshots")
+      m
+    }
+    val specsArr = meta.withArray[ArrayNode]("partition-specs")
+    val wantedField = partCol.getOrElse("")
+    val specId: Int = (0 until specsArr.size).map(specsArr.get)
+      .find { s =>
+        val fs = s.get("fields")
+        (if (fs == null || fs.size == 0) "" else fs.get(0).get("name").asText) == wantedField
+      }
+      .map(_.get("spec-id").asInt)
+      .getOrElse {
+        val nid = (0 until specsArr.size).map(specsArr.get(_).get("spec-id").asInt)
+          .foldLeft(-1)(math.max) + 1
+        val spec = specsArr.addObject()
+        spec.put("spec-id", nid)
+        val fields = spec.putArray("fields")
+        partCol.foreach { p =>
+          val f = fields.addObject()
+          f.put("name", p); f.put("transform", "identity")
+          f.put("source-id", 1); f.put("field-id", 1000 + nid)
+        }
+        nid
+      }
+
     // ---- manifest list: previous snapshot's manifests carried
     // forward + the new one (append semantics)
     val prevManifests: Seq[GenericRecord] = curMeta.map { m =>
@@ -265,7 +302,7 @@ object IcebergWriter {
         val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
         r.put("manifest_path", mp)
         r.put("manifest_length", new java.io.File(mp).length())
-        r.put("partition_spec_id", 0)
+        r.put("partition_spec_id", specId)
         r.put("content", content)
         r.put("sequence_number", seq)
         r.put("min_sequence_number", seq)
@@ -279,21 +316,6 @@ object IcebergWriter {
 
     // ---- new metadata version, then the version-hint swap (the
     // single-writer commit point — written LAST)
-    val meta: ObjectNode = curMeta.getOrElse {
-      val m = mapper.createObjectNode()
-      m.put("format-version", 2)
-      m.put("table-uuid", "00000000-0000-0000-0000-000000000001")
-      m.put("location", tableDir)
-      val specs = m.putArray("partition-specs")
-      val spec = specs.addObject()
-      spec.put("spec-id", 0)
-      val fields = spec.putArray("fields")
-      val f = fields.addObject()
-      f.put("name", "part_value"); f.put("transform", "identity")
-      f.put("source-id", 1); f.put("field-id", 1000)
-      m.putArray("snapshots")
-      m
-    }
     meta.put("last-sequence-number", seq)
     meta.put("current-snapshot-id", snapId)
     val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()

@@ -65,6 +65,36 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // PARTITION EVOLUTION: the table changes its partition column
+    // between commits; a prune on the old column must skip only
+    // old-spec files and conservatively keep new-spec ones (you cannot
+    // skip a file by a field it was never partitioned on), with the
+    // residual filter restoring exactness
+    "src_iceberg_partition_evolution" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_linestatus"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/pevolve_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_linestatus"))
+      val pruned = IcebergLite.planFiles(tableDir,
+        partPruneBy = Some(("l_returnflag", (_: String) == "R")))
+        .filter(_.content == 0)
+      require(pruned.size == 3,
+        s"expected commit-1's R file + both commit-2 files, got $pruned")
+      IcebergLite.readSnapshot(s, tableDir,
+          partPruneBy = Some(("l_returnflag", (_: String) == "R")))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_linestatus"))
+    }),
+
     // ADD-COLUMN schema evolution: commit 2 writes a column commit 1
     // never had; the merged read surfaces it as NULL on old files —
     // n counts every row, the new column sums only the evolved half
@@ -585,6 +615,14 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // spec-aware prune + residual filter = the plain predicate
+    "src_iceberg_partition_evolution" -> """
+      SELECT l_linestatus, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_returnflag = 'R'
       GROUP BY 1 ORDER BY 1""",
 
     // pre-evolution rows read the new column as NULL: counted in n,

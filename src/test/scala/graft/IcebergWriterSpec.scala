@@ -117,6 +117,37 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(c1Files.subsetOf(curFiles), "upserts must not rewrite old data files")
   }
 
+  test("partition evolution: each file prunes only under its own spec") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_evolve").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // commit 1 partitioned by p (values A,B); commit 2 repartitions the
+    // table by q (values X,Y) — a spec change, not a rewrite
+    IcebergWriter.append(spark, dir,
+      Seq((1L, "A", "X", 1), (2L, "B", "X", 2)).toDF("k", "p", "q", "v"),
+      partCol = Some("p"))
+    IcebergWriter.append(spark, dir,
+      Seq((3L, "A", "X", 3), (4L, "A", "Y", 4)).toDF("k", "p", "q", "v"),
+      partCol = Some("q"))
+    val all = IcebergLite.planFiles(dir).filter(_.content == 0)
+    assert(all.size == 4, s"A,B then X,Y: $all")
+    // prune by p == A: commit-1's B file drops; commit-2 files are
+    // partitioned by q and must be conservatively KEPT
+    val byP = IcebergLite.planFiles(dir,
+      partPruneBy = Some(("p", (_: String) == "A"))).filter(_.content == 0)
+    assert(byP.size == 3, s"1 of commit-1 + both of commit-2: $byP")
+    // prune by q == Y: commit-2's X file drops; commit-1 files kept
+    val byQ = IcebergLite.planFiles(dir,
+      partPruneBy = Some(("q", (_: String) == "Y"))).filter(_.content == 0)
+    assert(byQ.size == 3, s"both of commit-1 + 1 of commit-2: $byQ")
+    // correctness composes: prune + residual filter = plain filter
+    val got = IcebergLite.readSnapshot(spark, dir,
+        partPruneBy = Some(("q", (_: String) == "Y")))
+      .filter(col("q") === "Y").select("k").collect().map(_.getLong(0)).toSet
+    assert(got == Set(4L))
+  }
+
   test("snapshot expiry deletes only unreachable files; current reads survive") {
     val s2 = spark
     import s2.implicits._
