@@ -36,39 +36,66 @@ object DeltaLite {
 
   private def mapper = new ObjectMapper()
 
-  /** Live (path, partitionValues) after replaying the log up to and
-    * including `version` (default: latest). */
-  def planFiles(tableDir: String, version: Option[Long] = None,
-                partFilter: Option[Map[String, String] => Boolean] = None)
-      : Seq[(String, Map[String, String])] = {
+  /** A deletion-vector descriptor as the `add.deletionVector` action
+    * field carries it (PROTOCOL.md): `storageType` "i" = inline z85,
+    * "p" = absolute-path DV file. */
+  final case class DvDesc(storageType: String, pathOrInlineDv: String,
+                          offset: Int, sizeInBytes: Int, cardinality: Long)
+
+  /** One live file after replay: path, identity partition values, and
+    * the deletion vector currently attached to it (if any). */
+  final case class AddFile(path: String, partitionValues: Map[String, String],
+                           dv: Option[DvDesc])
+
+  private def parseAdd(a: com.fasterxml.jackson.databind.JsonNode): AddFile = {
+    val pv = Option(a.get("partitionValues")).map { m =>
+      val it = m.fieldNames()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    val dv = Option(a.get("deletionVector")).map { d =>
+      DvDesc(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+        Option(d.get("offset")).map(_.asInt).getOrElse(0),
+        d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+    }
+    AddFile(a.get("path").asText, pv, dv)
+  }
+
+  /** Live files (with their deletion vectors) after replaying the log
+    * up to and including `version` (default: latest). */
+  def planAdds(tableDir: String, version: Option[Long] = None,
+               partFilter: Option[Map[String, String] => Boolean] = None)
+      : Seq[AddFile] = {
     val logDir = new java.io.File(tableDir, "_delta_log")
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .sortBy(_.getName)
       .filter(f => version.forall(v => f.getName.dropRight(5).toLong <= v))
     require(commits.nonEmpty, s"no delta commits <= $version in $logDir")
-    val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     commits.foreach { f =>
       java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
         if (line.nonEmpty) {
           val node = mapper.readTree(line)
           if (node.has("add")) {
-            val a = node.get("add")
-            val pv = Option(a.get("partitionValues")).map { m =>
-              val it = m.fieldNames()
-              val b = Map.newBuilder[String, String]
-              while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText }
-              b.result()
-            }.getOrElse(Map.empty[String, String])
-            live(a.get("path").asText) = pv
+            val a = parseAdd(node.get("add"))
+            live(a.path) = a
           } else if (node.has("remove")) {
             live.remove(node.get("remove").get("path").asText)
           }
         }
       }
     }
-    live.toSeq.filter { case (_, pv) => partFilter.forall(_(pv)) }
+    live.values.toSeq.filter(a => partFilter.forall(_(a.partitionValues)))
   }
+
+  /** Live (path, partitionValues) — the DV-less projection kept for the
+    * many call sites that only plan paths. */
+  def planFiles(tableDir: String, version: Option[Long] = None,
+                partFilter: Option[Map[String, String] => Boolean] = None)
+      : Seq[(String, Map[String, String])] =
+    planAdds(tableDir, version, partFilter).map(a => (a.path, a.partitionValues))
 
   /** Like [[planFiles]] but starting from `_last_checkpoint` when one
     * exists (the protocol's scale path: at 100 TB the log is thousands
@@ -79,28 +106,42 @@ object DeltaLite {
     * Correctness is provable non-circularly: after log expiry deletes
     * the pre-checkpoint commits, only a correct checkpoint read can
     * reconstruct the table. */
-  def planFilesWithCheckpoint(spark: SparkSession, tableDir: String,
-                              version: Option[Long] = None,
-                              partFilter: Option[Map[String, String] => Boolean] = None)
-      : Seq[(String, Map[String, String])] = {
+  def planAddsWithCheckpoint(spark: SparkSession, tableDir: String,
+                             version: Option[Long] = None,
+                             partFilter: Option[Map[String, String] => Boolean] = None)
+      : Seq[AddFile] = {
     val lastCp = new java.io.File(tableDir, "_delta_log/_last_checkpoint")
     val cpVersion = if (lastCp.exists())
       Some(mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
         .get("version").asLong)
     else None
     cpVersion.filter(cv => version.forall(cv <= _)) match {
-      case None => planFiles(tableDir, version, partFilter)
+      case None => planAdds(tableDir, version, partFilter)
       case Some(cv) =>
         // checkpoint rows: one action per row, `add` struct for live files
         val cpFile = f"$tableDir/_delta_log/$cv%020d.checkpoint.parquet"
-        val live = scala.collection.mutable.LinkedHashMap.empty[String, Map[String, String]]
-        spark.read.parquet(cpFile).select("add").where("add IS NOT NULL")
+        val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+        val cpDf = spark.read.parquet(cpFile)
+        val hasDv = cpDf.select("add").schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.contains("deletionVector")
+        cpDf.select("add").where("add IS NOT NULL")
           .collect().foreach { row =>
             val a = row.getStruct(0)
             val path = a.getString(a.fieldIndex("path"))
             val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
               .map(_.toMap).getOrElse(Map.empty[String, String])
-            live(path) = pv
+            val dv =
+              if (!hasDv || a.isNullAt(a.fieldIndex("deletionVector"))) None
+              else {
+                val d = a.getStruct(a.fieldIndex("deletionVector"))
+                Some(DvDesc(d.getString(d.fieldIndex("storageType")),
+                  d.getString(d.fieldIndex("pathOrInlineDv")),
+                  d.getInt(d.fieldIndex("offset")),
+                  d.getInt(d.fieldIndex("sizeInBytes")),
+                  d.getLong(d.fieldIndex("cardinality"))))
+              }
+            live(path) = AddFile(path, pv, dv)
           }
         // replay only the post-checkpoint JSON tail
         val logDir = new java.io.File(tableDir, "_delta_log")
@@ -116,33 +157,69 @@ object DeltaLite {
               if (line.nonEmpty) {
                 val node = mapper.readTree(line)
                 if (node.has("add")) {
-                  val a = node.get("add")
-                  val pv = Option(a.get("partitionValues")).map { m =>
-                    val it = m.fieldNames()
-                    val b = Map.newBuilder[String, String]
-                    while (it.hasNext) { val k = it.next(); b += k -> m.get(k).asText }
-                    b.result()
-                  }.getOrElse(Map.empty[String, String])
-                  live(a.get("path").asText) = pv
+                  val a = parseAdd(node.get("add"))
+                  live(a.path) = a
                 } else if (node.has("remove")) {
                   live.remove(node.get("remove").get("path").asText)
                 }
               }
             }
           }
-        live.toSeq.filter { case (_, pv) => partFilter.forall(_(pv)) }
+        live.values.toSeq.filter(a => partFilter.forall(_(a.partitionValues)))
     }
   }
 
+  def planFilesWithCheckpoint(spark: SparkSession, tableDir: String,
+                              version: Option[Long] = None,
+                              partFilter: Option[Map[String, String] => Boolean] = None)
+      : Seq[(String, Map[String, String])] =
+    planAddsWithCheckpoint(spark, tableDir, version, partFilter)
+      .map(a => (a.path, a.partitionValues))
+
   /** Read a version (default latest) with optional partition pruning —
-    * checkpoint-aware (see [[planFilesWithCheckpoint]]). */
+    * checkpoint-aware (see [[planFilesWithCheckpoint]]), DELETION
+    * VECTORS applied: each file's DV positions (inline z85 or DV-file
+    * blob, decoded driver-side — DV descriptors are metadata riding the
+    * add actions) anti-join against Spark's native
+    * `_metadata.file_path`/`row_index`, the same distributed discipline
+    * as the Iceberg position deletes. */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Option[Long] = None,
                   partFilter: Option[Map[String, String] => Boolean] = None)
       : DataFrame = {
-    val files = planFilesWithCheckpoint(spark, tableDir, version, partFilter)
-    require(files.nonEmpty, "no live files after replay/pruning")
-    spark.read.parquet(files.map { case (p, _) => s"$tableDir/$p" }: _*)
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val adds = planAddsWithCheckpoint(spark, tableDir, version, partFilter)
+    require(adds.nonEmpty, "no live files after replay/pruning")
+    val data = spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
+    val withDv = adds.filter(_.dv.isDefined)
+    if (withDv.isEmpty) data
+    else {
+      val delRows: Seq[Row] = withDv.flatMap { a =>
+        val d = a.dv.get
+        val positions = d.storageType match {
+          case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(d.pathOrInlineDv))
+          case "p" => DeltaDv.readDvFile(d.pathOrInlineDv, d.offset, d.sizeInBytes)
+          case st => throw new IllegalArgumentException(
+            s"unsupported DV storageType '$st'")
+        }
+        require(positions.size.toLong == d.cardinality,
+          s"DV cardinality mismatch: ${positions.size} vs ${d.cardinality}")
+        val abs = new java.io.File(tableDir, a.path).getAbsolutePath
+        positions.map(p => Row(abs, p))
+      }
+      val delSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__fp",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__pos",
+          org.apache.spark.sql.types.LongType)))
+      val dels = spark.createDataFrame(
+        new java.util.ArrayList[Row](java.util.Arrays.asList(delRows: _*)), delSchema)
+      data
+        .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dels, Seq("__fp", "__pos"), "left_anti")
+        .drop("__fp", "__pos")
+    }
   }
 
   /** Write a PROTOCOL.md-conformant checkpoint at `version`: one
@@ -177,11 +254,16 @@ object DeltaLite {
               b.result()
             }.getOrElse(Map.empty[String, String])
             val path = a.get("path").asText
+            val dvRow = Option(a.get("deletionVector")).map { d =>
+              Row(d.get("storageType").asText, d.get("pathOrInlineDv").asText,
+                Option(d.get("offset")).map(_.asInt).getOrElse(0),
+                d.get("sizeInBytes").asInt, d.get("cardinality").asLong)
+            }.orNull
             // checkpoints record state, not change: dataChange=false
             liveAdds(path) = Row(path, pv,
               Option(a.get("size")).map(_.asLong).getOrElse(0L),
               Option(a.get("modificationTime")).map(_.asLong).getOrElse(0L),
-              false)
+              false, dvRow)
             tombstones.remove(path)
           } else if (node.has("remove")) {
             val r = node.get("remove")
@@ -224,7 +306,13 @@ object DeltaLite {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),

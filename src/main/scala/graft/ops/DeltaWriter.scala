@@ -108,6 +108,60 @@ object DeltaWriter {
     version
   }
 
+  /** ROW-LEVEL DELETE via deletion vectors (PROTOCOL.md "Deletion
+    * Vectors"): mark matching row positions deleted WITHOUT rewriting
+    * any parquet. One distributed scan finds the matching
+    * (file, row_index) pairs and aggregates them per file (only the
+    * matched positions return to the driver — at 100 TB that is the
+    * deleted-row count, not the table); each affected file gets a new
+    * DV (unioned with its existing one, since a row may already be
+    * dead), blobs land in one `.bin` DV file, and the commit re-adds
+    * each affected file with its descriptor after a remove — the
+    * protocol's DV-update shape. Returns the committed version. */
+  def deleteRows(spark: SparkSession, tableDir: String,
+                 cond: org.apache.spark.sql.Column): Long = {
+    val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    require(adds.nonEmpty, "empty table")
+    val byAbs = adds.map(a =>
+      new java.io.File(tableDir, a.path).getAbsolutePath -> a).toMap
+    val matched = spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
+      .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+      .withColumn("__pos", col("_metadata.row_index"))
+      .filter(cond)
+      .groupBy(col("__fp"))
+      .agg(sort_array(collect_set(col("__pos"))).as("__poss"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1))
+    require(matched.nonEmpty, "deleteRows matched no rows")
+    val version = nextVersion(tableDir)
+    val dvFile = new java.io.File(tableDir,
+      s"deletion_vectors/dv-$version.bin").getAbsolutePath
+    val updated = matched.map { case (abs, newPos) =>
+      val add = byAbs(abs)
+      val existing = add.dv.map { d =>
+        d.storageType match {
+          case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(d.pathOrInlineDv))
+          case "p" => DeltaDv.readDvFile(d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        }
+      }.getOrElse(Nil)
+      val union = (existing ++ newPos).distinct.sorted
+      (add, union)
+    }
+    val frames = DeltaDv.writeDvFile(dvFile,
+      updated.map { case (_, pos) => DeltaDv.dvBlob(pos) }.toSeq)
+    val lines = updated.toSeq.zip(frames).flatMap { case ((add, pos), (off, size)) =>
+      val pv = add.partitionValues
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      val bytes = new java.io.File(tableDir, add.path).length()
+      Seq(
+        s"""{"remove":{"path":"${add.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}""",
+        s"""{"add":{"path":"${add.path}","partitionValues":{$pv},"size":$bytes,"modificationTime":${1700000000000L + version},"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dvFile","offset":$off,"sizeInBytes":$size,"cardinality":${pos.size}}}}""")
+    }
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
   /** Remove every live file whose partition values satisfy `pred` —
     * the partition-delete commit (remove tombstones only; data files
     * stay on disk until vacuum, exactly as the protocol specifies). */

@@ -65,6 +65,35 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // ROW-LEVEL DELETE via deletion vectors: two delete commits mark
+    // positions dead (z85/roaring64 per PROTOCOL.md) with ZERO parquet
+    // rewrites (asserted on file bytes); the second DV must merge with
+    // the first; the read anti-joins positions on _metadata
+    "src_delta_dv" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/dv_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
+      val bytesBefore = new java.io.File(tableDir, "data").listFiles()
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 5 === 0)
+      val bytesAfter = new java.io.File(tableDir, "data").listFiles()
+        .map(f => f.getName -> f.length()).toSeq.sortBy(_._1)
+      require(bytesBefore == bytesAfter,
+        "deletion vectors must not rewrite any data file")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // PARTITION EVOLUTION: the table changes its partition column
     // between commits; a prune on the old column must skip only
     // old-spec files and conservatively keep new-spec ones (you cannot
@@ -615,6 +644,16 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // survivors after both DV waves
+    "src_delta_dv" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 10000
+        AND l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0
       GROUP BY 1 ORDER BY 1""",
 
     // spec-aware prune + residual filter = the plain predicate
