@@ -75,6 +75,106 @@ object IcebergWriter {
     commit(spark, tableDir, df, partCol, upsertKeys = Some(keyCols))
   }
 
+  /** ROW-LEVEL DELETE via v2 POSITION DELETES: one distributed scan
+    * finds matching (file_path, pos) pairs and writes them as a
+    * position-delete parquet — the spec's content=1 file the read side
+    * already anti-joins — committed as one snapshot with no data
+    * rewrite. The sibling of [[DeltaWriter.deleteRows]]'s deletion
+    * vectors: same contract, the other protocol's spelling. */
+  def deleteRows(spark: SparkSession, tableDir: String,
+                 cond: org.apache.spark.sql.Column): Long = {
+    val dataTasks = IcebergLite.planFiles(tableDir).filter(_.content == 0)
+    require(dataTasks.nonEmpty, "empty table")
+    val matched = spark.read.parquet(dataTasks.map(_.path): _*)
+      .withColumn("file_path",
+        regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+      .withColumn("pos", col("_metadata.row_index"))
+      .filter(cond)
+      .select(col("file_path"), col("pos"))
+    require(!matched.isEmpty, "deleteRows matched no rows")
+
+    val hintPath = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
+    val curVersion = java.nio.file.Files.readString(hintPath).trim.toInt
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val snaps0 = meta.get("snapshots")
+    val snapId = (0 until snaps0.size).map(snaps0.get(_).get("snapshot-id").asLong).max + 1
+
+    // the delete file: distributed write, moved into data/
+    val staging = s"$tableDir/stage_del_v${curVersion + 1}"
+    matched.coalesce(1).write.mode("overwrite").parquet(staging)
+    val src = Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
+      .find(_.getName.endsWith(".parquet")).get
+    val delPath = new java.io.File(tableDir, s"data/posdel_$seq.parquet")
+    java.nio.file.Files.move(src.toPath, delPath.toPath)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    val conf = spark.sessionState.newHadoopConf()
+    val (delRows, delBytes, _, _) = footerStats(delPath.getAbsolutePath, conf)
+
+    // manifest (content=1 position deletes) + carried-forward list
+    val mp = s"$tableDir/metadata/manifest-pd$seq.avro"
+    locally {
+      val es = IcebergLite.ManifestEntrySchema
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
+      w.create(es, new java.io.File(mp))
+      val partRec = new GenericData.Record(
+        es.getField("data_file").schema.getField("partition").schema)
+      partRec.put("part_value", null)
+      val dfRec = new GenericData.Record(es.getField("data_file").schema)
+      dfRec.put("content", 1)
+      dfRec.put("file_path", delPath.getAbsolutePath)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("partition", partRec)
+      dfRec.put("record_count", delRows)
+      dfRec.put("file_size_in_bytes", delBytes)
+      dfRec.put("lower_bounds", null)
+      dfRec.put("upper_bounds", null)
+      val e = new GenericData.Record(es)
+      e.put("status", 1)
+      e.put("snapshot_id", snapId)
+      e.put("sequence_number", seq)
+      e.put("data_file", dfRec)
+      w.append(e)
+      w.close()
+    }
+    val cur = (0 until snaps0.size).map(snaps0.get)
+      .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
+    val prevManifests = IcebergLite.readAvro(cur.get("manifest-list").asText)
+    val manifestList = s"$tableDir/metadata/snap-$snapId.avro"
+    locally {
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
+      w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
+      prevManifests.foreach(w.append)
+      val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", new java.io.File(mp).length())
+      r.put("partition_spec_id", 0)
+      r.put("content", 1)
+      r.put("sequence_number", seq)
+      r.put("min_sequence_number", seq)
+      r.put("added_snapshot_id", snapId)
+      w.append(r)
+      w.close()
+    }
+    meta.put("last-sequence-number", seq)
+    meta.put("current-snapshot-id", snapId)
+    val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", seq)
+    snapNode.put("timestamp-ms", 1700000000000L + seq)
+    snapNode.put("manifest-list", manifestList)
+    snapNode.putObject("summary").put("operation", "delete")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "metadata",
+        s"v${curVersion + 1}.metadata.json"),
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
+    java.nio.file.Files.writeString(hintPath, (curVersion + 1).toString)
+    snapId
+  }
+
   /** Exactly-once streaming sink hook: append one micro-batch, stamping
     * its id into the snapshot SUMMARY. foreachBatch delivers
     * at-least-once; a redelivered batch whose id is already on the

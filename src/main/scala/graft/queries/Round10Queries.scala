@@ -65,6 +65,36 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Iceberg writer ROW-LEVEL DELETE via position-delete commits: two
+    // waves compose, zero data-file rewrites (asserted on bytes) — the
+    // v2 spelling of what src_delta_dv proves for deletion vectors
+    "src_iceberg_write_delete" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/wdel_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
+      val bytesBefore = new java.io.File(tableDir, "data").listFiles()
+        .filter(_.getName.startsWith("w")).map(f => f.getName -> f.length())
+        .toSeq.sortBy(_._1)
+      IcebergWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      IcebergWriter.deleteRows(s, tableDir, col("l_orderkey") % 5 === 0)
+      val bytesAfter = new java.io.File(tableDir, "data").listFiles()
+        .filter(_.getName.startsWith("w")).map(f => f.getName -> f.length())
+        .toSeq.sortBy(_._1)
+      require(bytesBefore == bytesAfter,
+        "position deletes must not rewrite any data file")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ROW-LEVEL DELETE via deletion vectors: two delete commits mark
     // positions dead (z85/roaring64 per PROTOCOL.md) with ZERO parquet
     // rewrites (asserted on file bytes); the second DV must merge with
@@ -644,6 +674,16 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // same survivor set as the DV spelling
+    "src_iceberg_write_delete" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 10000
+        AND l_orderkey % 3 <> 0 AND l_orderkey % 5 <> 0
       GROUP BY 1 ORDER BY 1""",
 
     // survivors after both DV waves

@@ -117,6 +117,34 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(c1Files.subsetOf(curFiles), "upserts must not rewrite old data files")
   }
 
+  test("position-delete commit: rows drop without data rewrite, history intact") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_posdel").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      (1L to 12L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    val bytes = new java.io.File(dir, "data").listFiles()
+      .filter(_.getName.startsWith("w")).map(f => f.getName -> f.length()).toMap
+    IcebergWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    def ks: Set[Long] = IcebergLite.readSnapshot(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == (1L to 12L).filterNot(_ % 3 == 0).toSet)
+    // second wave composes (both delete files apply)
+    IcebergWriter.deleteRows(spark, dir, col("k") % 4 === 0)
+    assert(ks == (1L to 12L).filterNot(k => k % 3 == 0 || k % 4 == 0).toSet)
+    val after = new java.io.File(dir, "data").listFiles()
+      .filter(_.getName.startsWith("w")).map(f => f.getName -> f.length()).toMap
+    assert(after == bytes, "position deletes must not rewrite data files")
+    // pre-delete snapshot still sees every row
+    assert(IcebergLite.readSnapshot(spark, dir, Some(1000L))
+      .select("k").collect().map(_.getLong(0)).toSet == (1L to 12L).toSet)
+    intercept[IllegalArgumentException] {
+      IcebergWriter.deleteRows(spark, dir, col("k") > 100L)
+    }
+  }
+
   test("partition evolution: each file prunes only under its own spec") {
     val s2 = spark
     import s2.implicits._
