@@ -162,6 +162,59 @@ object DeltaWriter {
     version
   }
 
+  /** OPTIMIZE-style rewrite: materialize the current state (deletion
+    * vectors applied) into fresh compacted files — one per identity
+    * partition value — and commit removes of every old file plus adds
+    * of the new, DV-free ones. This is the DV lifecycle's purge step:
+    * reads stop paying the anti-join, and the superseded files become
+    * reclaimable at vacuum. Old versions still time travel (nothing is
+    * physically deleted here). */
+  def optimize(spark: SparkSession, tableDir: String,
+               partCol: Option[String] = None): Long = {
+    val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    require(old.nonEmpty, "empty table")
+    val state = DeltaLite.readVersion(spark, tableDir)
+    val version = nextVersion(tableDir)
+    val dir = new java.io.File(tableDir)
+    val staging = s"$tableDir/stage_v$version"
+    partCol match {
+      case Some(p) =>
+        state.withColumn("__part", col(p).cast("string"))
+          .repartition(col("__part"))
+          .write.partitionBy("__part").mode("overwrite").parquet(staging)
+      case None =>
+        state.coalesce(1).write.mode("overwrite").parquet(staging)
+    }
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val moved = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val part = f.getParentFile.getName match {
+          case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
+          case _ => None
+        }
+        val rel = s"data/o${version}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet"
+        java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+        (rel, part)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(moved.nonEmpty, "optimize produced no files")
+    val lines =
+      old.map { a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + version},"dataChange":false}}"""
+      } ++ moved.map { case (rel, part) =>
+        val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
+        s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":false}}"""
+      }
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
   /** Remove every live file whose partition values satisfy `pred` —
     * the partition-delete commit (remove tombstones only; data files
     * stay on disk until vacuum, exactly as the protocol specifies). */

@@ -65,6 +65,29 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // OPTIMIZE after DV deletes: the rewrite must purge every deletion
+    // vector (asserted on the plan), leave one compacted file per
+    // partition, and preserve the exact survivor content
+    "src_delta_optimize" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/opt_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      DeltaWriter.optimize(s, tableDir, partCol = Some("l_returnflag"))
+      val plan = DeltaLite.planAddsWithCheckpoint(s, tableDir)
+      require(plan.nonEmpty && plan.forall(_.dv.isEmpty),
+        "optimize must purge every deletion vector")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Iceberg writer ROW-LEVEL DELETE via position-delete commits: two
     // waves compose, zero data-file rewrites (asserted on bytes) — the
     // v2 spelling of what src_delta_dv proves for deletion vectors
@@ -674,6 +697,14 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // survivors unchanged by the rewrite
+    "src_delta_optimize" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
       GROUP BY 1 ORDER BY 1""",
 
     // same survivor set as the DV spelling

@@ -53,6 +53,27 @@ class DeltaDvSpec extends AnyFunSuite {
     }
   }
 
+  test("optimize purges deletion vectors into fresh DV-free files") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/dv_optimize").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      (1L to 20L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    val expected = (1L to 20L).filterNot(_ % 3 == 0).toSet
+    val vOpt = DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+    val plan = DeltaLite.planAddsWithCheckpoint(spark, dir)
+    assert(plan.forall(_.dv.isEmpty), s"optimize must leave no DVs: $plan")
+    assert(plan.forall(_.path.startsWith(s"data/o$vOpt")), "all files rewritten")
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == expected)
+    // the pre-optimize DV version still time travels identically
+    assert(DeltaLite.readVersion(spark, dir, Some(vOpt - 1))
+      .select("k").collect().map(_.getLong(0)).toSet == expected)
+  }
+
   test("row-level delete end to end: merge across commits, no rewrite, checkpoint") {
     val s2 = spark
     import s2.implicits._
