@@ -176,6 +176,61 @@ object DeltaLite {
     planAddsWithCheckpoint(spark, tableDir, version, partFilter)
       .map(a => (a.path, a.partitionValues))
 
+  /** The table's current `metaData.schemaString` at `version` — newest
+    * JSON-commit metaData wins; falls back to the checkpoint's metaData
+    * row when the holder commits are expired. None when the table
+    * predates schema tracking (fixtures write "{}"). */
+  def tableSchemaString(spark: SparkSession, tableDir: String,
+                        version: Option[Long] = None): Option[String] = {
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    var found: Option[String] = None
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json") &&
+        version.forall(v => f.getName.dropRight(5).toLong <= v))
+      .sortBy(_.getName)
+      .foreach { f =>
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has("metaData"))
+              found = Option(node.get("metaData").get("schemaString")).map(_.asText)
+          }
+        }
+      }
+    found.filter(_ != "{}").orElse {
+      val lastCp = new java.io.File(tableDir, "_delta_log/_last_checkpoint")
+      if (!lastCp.exists()) None
+      else {
+        val cv = mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
+          .get("version").asLong
+        if (!version.forall(cv <= _)) None
+        else spark.read
+          .parquet(f"$tableDir/_delta_log/$cv%020d.checkpoint.parquet")
+          .where("metaData IS NOT NULL")
+          .selectExpr("metaData.schemaString")
+          .collect().headOption.map(_.getString(0)).filter(_ != "{}")
+      }
+    }
+  }
+
+  /** COLUMN MAPPING (PROTOCOL.md "Column Mapping", mode `name`): when
+    * the schemaString's fields carry `delta.columnMapping.physicalName`
+    * metadata, parquet files store PHYSICAL column names and the reader
+    * renames them back to the logical schema. Returns logical→physical
+    * pairs, or Nil when the table is unmapped. */
+  def columnMapping(spark: SparkSession, tableDir: String,
+                    version: Option[Long] = None): Seq[(String, String)] =
+    tableSchemaString(spark, tableDir, version).toSeq.flatMap { ss =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(ss))
+        .toOption.collect { case st: org.apache.spark.sql.types.StructType =>
+          st.fields.toSeq.flatMap { f =>
+            if (f.metadata.contains("delta.columnMapping.physicalName"))
+              Some(f.name -> f.metadata.getString("delta.columnMapping.physicalName"))
+            else None
+          }
+        }.getOrElse(Nil)
+    }
+
   /** Read a version (default latest) with optional partition pruning —
     * checkpoint-aware (see [[planFilesWithCheckpoint]]), DELETION
     * VECTORS applied: each file's DV positions (inline z85 or DV-file
@@ -192,7 +247,7 @@ object DeltaLite {
     require(adds.nonEmpty, "no live files after replay/pruning")
     val data = spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
     val withDv = adds.filter(_.dv.isDefined)
-    if (withDv.isEmpty) data
+    val afterDv = if (withDv.isEmpty) data
     else {
       val delRows: Seq[Row] = withDv.flatMap { a =>
         val d = a.dv.get
@@ -220,6 +275,11 @@ object DeltaLite {
         .join(dels, Seq("__fp", "__pos"), "left_anti")
         .drop("__fp", "__pos")
     }
+    // column mapping: physical parquet names → the logical schema
+    val mapping = columnMapping(spark, tableDir, version)
+    if (mapping.isEmpty) afterDv
+    else afterDv.select(mapping.map { case (logical, physical) =>
+      col(physical).as(logical) }: _*)
   }
 
   /** Write a PROTOCOL.md-conformant checkpoint at `version`: one

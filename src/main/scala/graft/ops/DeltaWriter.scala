@@ -56,10 +56,54 @@ object DeltaWriter {
     if (version > 0 && version % CheckpointInterval == 0)
       DeltaLite.writeCheckpoint(spark, tableDir, version)
 
+  /** Append under COLUMN MAPPING mode `name` (PROTOCOL.md "Column
+    * Mapping"): parquet files store PHYSICAL column names
+    * (deterministic `col_<id>` here; real writers mint UUIDs) and the
+    * metaData's schemaString carries the logical→physical map in field
+    * metadata, which [[DeltaLite.readVersion]] uses to rename on read.
+    * On an existing mapped table the established physical names are
+    * reused — renaming a LOGICAL column later would need only a
+    * metaData commit, never a data rewrite, which is the point of the
+    * feature. Partition values are keyed by the physical name, per the
+    * protocol. */
+  def appendMapped(spark: SparkSession, tableDir: String, df: DataFrame,
+                   partCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.types._
+    val mappedSchema: StructType =
+      DeltaLite.tableSchemaString(spark, tableDir) match {
+        case Some(ss) => DataType.fromJson(ss).asInstanceOf[StructType]
+        case None => StructType(df.schema.fields.zipWithIndex.map { case (f, i) =>
+          f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", i + 1L)
+            .putString("delta.columnMapping.physicalName", s"col_${i + 1}")
+            .build())
+        })
+      }
+    val phys = mappedSchema.fields.map(f =>
+      f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
+    require(df.columns.forall(phys.contains),
+      s"columns ${df.columns.mkString(",")} must match the mapped schema ${phys.keys}")
+    val dfPhys = df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
+    append(spark, tableDir, dfPhys, partCol.map(phys),
+      metaDataJson = Some {
+        val m = new com.fasterxml.jackson.databind.ObjectMapper()
+        val md = m.createObjectNode()
+        md.put("id", "00000000-0000-0000-0000-000000000003")
+        md.putObject("format").put("provider", "parquet")
+        md.put("schemaString", mappedSchema.json)
+        val pc = md.putArray("partitionColumns")
+        partCol.foreach(p => pc.add(phys(p)))
+        md.putObject("configuration")
+          .put("delta.columnMapping.mode", "name")
+        s"""{"metaData":${m.writeValueAsString(md)}}"""
+      })
+  }
+
   /** Append `df` as one commit, creating the table on first use.
     * Returns the committed version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-             partCol: Option[String] = None): Long = {
+             partCol: Option[String] = None,
+             metaDataJson: Option[String] = None): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_delta_log").mkdirs()
@@ -97,7 +141,8 @@ object DeltaWriter {
     val lines = Seq.newBuilder[String]
     if (version == 0) {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      lines += s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}"""
+      lines += metaDataJson.getOrElse(
+        s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}""")
     }
     moved.foreach { case (rel, part) =>
       val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")

@@ -65,6 +65,33 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // COLUMN MAPPING mode name: parquet stores physical col_N names
+    // (asserted on a raw file read), partition values key physically,
+    // and the reader restores the logical schema from the metaData map
+    "src_delta_column_mapping" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/cm_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.appendMapped(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      DeltaWriter.appendMapped(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_returnflag"))
+      val adds = DeltaLite.planAddsWithCheckpoint(s, tableDir)
+      val raw = s.read.parquet(s"$tableDir/${adds.head.path}")
+      require(raw.columns.forall(_.startsWith("col_")),
+        s"physical layout must not leak logical names: ${raw.columns.toSeq}")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_orderkey")).as("sum_ok"),
+          sum(col("l_linenumber").cast("long")).as("sum_ln"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // OPTIMIZE after DV deletes: the rewrite must purge every deletion
     // vector (asserted on the plan), leave one compacted file per
     // partition, and preserve the exact survivor content
@@ -697,6 +724,16 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // the logical view equals the plain predicate — mapping is pure
+    // indirection
+    "src_delta_column_mapping" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok,
+             CAST(sum(l_linenumber) AS BIGINT) AS sum_ln
+      FROM lineitem
+      WHERE l_orderkey < 10000
       GROUP BY 1 ORDER BY 1""",
 
     // survivors unchanged by the rewrite

@@ -60,6 +60,34 @@ class DeltaWriterSpec extends AnyFunSuite {
       "checkpoint + tail replay must reconstruct all 12 commits")
   }
 
+  test("column mapping: physical names on disk, logical names on read") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_cm").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.appendMapped(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    DeltaWriter.appendMapped(spark, dir,
+      Seq((3L, "A", 30)).toDF("k", "p", "v"), partCol = Some("p"))
+    // physical layout: parquet columns are col_N, partition values keyed
+    // by the physical name
+    val adds = DeltaLite.planAddsWithCheckpoint(spark, dir)
+    assert(adds.forall(_.partitionValues.keySet == Set("col_2")),
+      s"partition values must be keyed physically: $adds")
+    val raw = spark.read.parquet(s"$dir/${adds.head.path}")
+    assert(raw.columns.toSet == Set("col_1", "col_2", "col_3"),
+      s"parquet must carry physical names: ${raw.columns.toSeq}")
+    // logical read
+    val got = DeltaLite.readVersion(spark, dir)
+      .select("k", "p", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set((1L, "A", 10), (2L, "B", 20), (3L, "A", 30)))
+    // the established physical names survive later appends (commit 2's
+    // files use the same mapping)
+    assert(DeltaLite.columnMapping(spark, dir) ==
+      Seq("k" -> "col_1", "p" -> "col_2", "v" -> "col_3"))
+  }
+
   test("unpartitioned append and empty-append rejection") {
     val s2 = spark
     import s2.implicits._
