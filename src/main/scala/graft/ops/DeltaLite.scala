@@ -176,6 +176,54 @@ object DeltaLite {
     planAddsWithCheckpoint(spark, tableDir, version, partFilter)
       .map(a => (a.path, a.partitionValues))
 
+  /** The HISTORY table (`DESCRIBE HISTORY` surface): one row per JSON
+    * commit still on the log — version, commit timestamp (max action
+    * timestamp in the commit), adds, removes. */
+  def historyTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val rows = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .sortBy(_.getName)
+      .map { f =>
+        val v = f.getName.dropRight(5).toLong
+        var (adds, removes, ts) = (0L, 0L, 0L)
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has("add")) {
+              adds += 1
+              ts = math.max(ts, Option(node.get("add").get("modificationTime"))
+                .map(_.asLong).getOrElse(0L))
+            } else if (node.has("remove")) {
+              removes += 1
+              ts = math.max(ts, Option(node.get("remove").get("deletionTimestamp"))
+                .map(_.asLong).getOrElse(0L))
+            }
+          }
+        }
+        Row(v, ts, adds, removes)
+      }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows.toSeq: _*)),
+      StructType(Seq(StructField("version", LongType),
+        StructField("timestamp_ms", LongType),
+        StructField("n_adds", LongType), StructField("n_removes", LongType))))
+  }
+
+  /** Timestamp time travel: the latest version whose commit timestamp
+    * is at or before `tsMillis`. */
+  def readTimestampAsOf(spark: SparkSession, tableDir: String,
+                        tsMillis: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val hist = historyTable(spark, tableDir)
+      .filter(col("timestamp_ms") <= tsMillis)
+      .orderBy(col("version").desc)
+      .select("version").collect()
+    require(hist.nonEmpty, s"no version at or before $tsMillis")
+    readVersion(spark, tableDir, Some(hist.head.getLong(0)))
+  }
+
   /** The table's current `metaData.schemaString` at `version` — newest
     * JSON-commit metaData wins; falls back to the checkpoint's metaData
     * row when the holder commits are expired. None when the table

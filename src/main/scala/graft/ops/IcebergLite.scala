@@ -224,6 +224,65 @@ object IcebergLite {
     afterEq.drop("__fp", "__pos")
   }
 
+  /** The `snapshots` METADATA TABLE (the `SELECT * FROM tbl.snapshots`
+    * surface): one row per snapshot from the metadata JSON. */
+  def snapshotsTable(spark: SparkSession, tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val meta = mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val snaps = meta.get("snapshots")
+    val rows = (0 until snaps.size).map(snaps.get).map { s =>
+      org.apache.spark.sql.Row(s.get("snapshot-id").asLong,
+        s.get("sequence-number").asLong,
+        s.get("timestamp-ms").asLong,
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText).orNull)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(StructField("snapshot_id", LongType),
+        StructField("sequence_number", LongType),
+        StructField("committed_at_ms", LongType),
+        StructField("operation", StringType))))
+  }
+
+  /** The `files` METADATA TABLE: one row per live file of a snapshot
+    * (content, path, partition, record_count, sequence_number). */
+  def filesTable(spark: SparkSession, tableDir: String,
+                 snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val rows = planFiles(tableDir, snapshotId).map { t =>
+      org.apache.spark.sql.Row(t.content, t.path, t.partValue.orNull,
+        t.recordCount, t.sequenceNumber)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)),
+      StructType(Seq(StructField("content", IntegerType),
+        StructField("file_path", StringType),
+        StructField("partition", StringType),
+        StructField("record_count", LongType),
+        StructField("sequence_number", LongType))))
+  }
+
+  /** Timestamp time travel (`FOR SYSTEM_TIME AS OF`): the latest
+    * snapshot committed at or before `tsMillis`. */
+  def readSnapshotAsOf(spark: SparkSession, tableDir: String,
+                       tsMillis: Long): DataFrame = {
+    val meta = mapper.readTree(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val snaps = meta.get("snapshots")
+    val id = (0 until snaps.size).map(snaps.get)
+      .filter(_.get("timestamp-ms").asLong <= tsMillis)
+      .sortBy(_.get("timestamp-ms").asLong)
+      .lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $tsMillis"))
+      .get("snapshot-id").asLong
+    readSnapshot(spark, tableDir, Some(id))
+  }
+
   /** Incremental APPEND scan between two snapshots (the spec's
     * incremental read, the table-stream/CDC analog): data files whose
     * sequence number lands in (from, to]. Deletes inside the window are

@@ -65,6 +65,54 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the snapshots METADATA TABLE over a written table: ids, sequence
+    // numbers, deterministic commit stamps, operations
+    "src_iceberg_snapshots_table" -> ((s, dir) => {
+      val tableDir = writtenTable(s, dir)
+      graft.ops.IcebergLite.snapshotsTable(s, tableDir)
+        .orderBy(col("snapshot_id"))
+    }),
+
+    // the files METADATA TABLE: per partition, file count (one per
+    // commit) and exact record counts from the manifests — no data read
+    "src_iceberg_files_table" -> ((s, dir) => {
+      val tableDir = writtenTable(s, dir)
+      val ft = graft.ops.IcebergLite.filesTable(s, tableDir)
+        .filter(col("content") === 0)
+      ft.groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_files"), sum(col("record_count")).as("n_rows"))
+        .orderBy(col("partition"))
+    }),
+
+    // FOR SYSTEM_TIME AS OF: the stamp of the first commit resolves to
+    // snapshot 1 (the even half)
+    "src_iceberg_asof" -> ((s, dir) => {
+      val tableDir = writtenTable(s, dir)
+      graft.ops.IcebergLite.readSnapshotAsOf(s, tableDir, 1700000000001L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // DESCRIBE HISTORY over the delta-written table: three appends'
+    // file counts and the partition-delete's tombstone count, with the
+    // writers' deterministic stamps
+    "src_delta_history" -> ((s, dir) => {
+      val tableDir = deltaWrittenTable(s, dir)
+      graft.ops.DeltaLite.historyTable(s, tableDir)
+        .orderBy(col("version"))
+    }),
+
+    // delta timestamp travel: version 1's stamp = both halves, before
+    // the R delete
+    "src_delta_asof" -> ((s, dir) => {
+      val tableDir = deltaWrittenTable(s, dir)
+      graft.ops.DeltaLite.readTimestampAsOf(s, tableDir, 1700000000001L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // COLUMN MAPPING mode name: parquet stores physical col_N names
     // (asserted on a raw file read), partition values key physically,
     // and the reader restores the logical schema from the metaData map
@@ -724,6 +772,54 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // fixture-deterministic snapshot log (ids 1000+, stamps
+    // 1700000000000 + sequence)
+    "src_iceberg_snapshots_table" -> """
+      SELECT * FROM (VALUES
+        (CAST(1000 AS BIGINT), CAST(1 AS BIGINT),
+         CAST(1700000000001 AS BIGINT), 'append'),
+        (CAST(1001 AS BIGINT), CAST(2 AS BIGINT),
+         CAST(1700000000002 AS BIGINT), 'append'))
+      t(snapshot_id, sequence_number, committed_at_ms, operation)
+      ORDER BY snapshot_id""",
+
+    // manifest record counts must equal the data: one file per commit
+    // per flag, rows = the flag's count
+    "src_iceberg_files_table" -> """
+      SELECT l_returnflag AS partition, CAST(2 AS BIGINT) AS n_files,
+             count(*) AS n_rows
+      FROM lineitem WHERE l_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    // as-of the first commit stamp = the even half only
+    "src_iceberg_asof" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // v0/v1 append 3 files each (A,N,R both halves); v2 tombstones the
+    // two R files
+    "src_delta_history" -> """
+      SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(1700000000000 AS BIGINT),
+         CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(1 AS BIGINT), CAST(1700000000001 AS BIGINT),
+         CAST(3 AS BIGINT), CAST(0 AS BIGINT)),
+        (CAST(2 AS BIGINT), CAST(1700000000002 AS BIGINT),
+         CAST(0 AS BIGINT), CAST(2 AS BIGINT)))
+      t(version, timestamp_ms, n_adds, n_removes)
+      ORDER BY version""",
+
+    // as-of version 1's stamp: both halves, R not yet deleted
+    "src_delta_asof" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000
       GROUP BY 1 ORDER BY 1""",
 
     // the logical view equals the plain predicate — mapping is pure
