@@ -75,6 +75,23 @@ object IcebergWriter {
     commit(spark, tableDir, df, partCol, upsertKeys = Some(keyCols))
   }
 
+  /** REWRITE DATA FILES (the rewrite_data_files / compaction
+    * maintenance action): materialize the current snapshot — position
+    * and equality deletes applied — into fresh compacted files and
+    * commit them as a REPLACE snapshot whose manifest list references
+    * ONLY the new manifest. Reads stop paying the delete anti-joins,
+    * and the superseded data/delete files become unreachable from the
+    * new snapshot — [[expireSnapshots]] then physically reclaims them,
+    * which is the full delete lifecycle at 100 TB: mark (deleteRows) →
+    * merge-on-read → rewrite → expire. Old snapshots still time travel
+    * until expiry. */
+  def rewriteDataFiles(spark: SparkSession, tableDir: String,
+                       partCol: Option[String] = None): Long = {
+    val state = IcebergLite.readSnapshot(spark, tableDir)
+    commit(spark, tableDir, state, partCol, upsertKeys = None,
+      summaryProps = Map.empty, replaceAll = true)
+  }
+
   /** ROW-LEVEL DELETE via v2 POSITION DELETES: one distributed scan
     * finds matching (file_path, pos) pairs and writes them as a
     * position-delete parquet — the spec's content=1 file the read side
@@ -207,7 +224,8 @@ object IcebergWriter {
 
   private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
                      partCol: Option[String], upsertKeys: Option[Seq[String]],
-                     summaryProps: Map[String, String] = Map.empty): Long = {
+                     summaryProps: Map[String, String] = Map.empty,
+                     replaceAll: Boolean = false): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -385,7 +403,8 @@ object IcebergWriter {
 
     // ---- manifest list: previous snapshot's manifests carried
     // forward + the new one (append semantics)
-    val prevManifests: Seq[GenericRecord] = curMeta.map { m =>
+    val prevManifests: Seq[GenericRecord] = if (replaceAll) Nil
+    else curMeta.map { m =>
       val snaps = m.get("snapshots")
       val cur = (0 until snaps.size).map(snaps.get)
         .find(_.get("snapshot-id").asLong == m.get("current-snapshot-id").asLong)
@@ -425,7 +444,8 @@ object IcebergWriter {
     snapNode.put("manifest-list", manifestList)
     val summaryNode = snapNode.putObject("summary")
     summaryNode.put("operation",
-      if (upsertKeys.isDefined) "overwrite" else "append")
+      if (replaceAll) "replace"
+      else if (upsertKeys.isDefined) "overwrite" else "append")
     summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, "metadata",
@@ -471,15 +491,18 @@ object IcebergWriter {
         case ((d, m), (d2, m2)) => (d ++ d2, m ++ m2)
       }
     val deleted = Seq.newBuilder[String]
-    expired.foreach { s =>
-      val (data, manifests) = filesOf(s.get("snapshot-id").asLong)
+    // plan every expired snapshot BEFORE deleting anything — later
+    // expired snapshots replay manifests earlier ones also reference
+    val expiredSets = expired.map { s =>
+      (s.get("manifest-list").asText, filesOf(s.get("snapshot-id").asLong))
+    }
+    expiredSets.foreach { case (ml, (data, manifests)) =>
       (data -- keptData).foreach { p =>
         if (new java.io.File(p).delete()) deleted += p
       }
       (manifests -- keptManifests).foreach { p =>
         if (new java.io.File(p).delete()) deleted += p
       }
-      val ml = s.get("manifest-list").asText
       if (new java.io.File(ml).delete()) deleted += ml
     }
     // rewrite metadata with only the kept snapshots, bump the version

@@ -163,6 +163,33 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // the FULL delete lifecycle: mark (position-delete commit) →
+    // rewrite (folds deletes into fresh files, plan sheds delete files)
+    // → expire (physically reclaims the superseded data AND delete
+    // files) — reads stay value-exact through all three
+    "src_iceberg_rewrite" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/rw_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
+      IcebergWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      IcebergWriter.rewriteDataFiles(s, tableDir, partCol = Some("l_returnflag"))
+      val plan = IcebergLite.planFiles(tableDir)
+      require(plan.nonEmpty && plan.forall(_.content == 0),
+        s"rewrite must shed every delete file: $plan")
+      val reclaimed = IcebergWriter.expireSnapshots(tableDir, keepLast = 1)
+      require(reclaimed.exists(_.contains("/data/")),
+        s"expiry after rewrite must reclaim superseded data files: $reclaimed")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Iceberg writer ROW-LEVEL DELETE via position-delete commits: two
     // waves compose, zero data-file rewrites (asserted on bytes) — the
     // v2 spelling of what src_delta_dv proves for deletion vectors
@@ -834,6 +861,14 @@ object Round10Queries {
 
     // survivors unchanged by the rewrite
     "src_delta_optimize" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // survivors unchanged through rewrite and reclaim
+    "src_iceberg_rewrite" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem

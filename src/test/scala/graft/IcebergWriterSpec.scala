@@ -176,6 +176,37 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(got == Set(4L))
   }
 
+  test("rewrite folds deletes into fresh files; expiry then reclaims bytes") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_rewrite").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      (1L to 12L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    IcebergWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    val expected = (1L to 12L).filterNot(_ % 3 == 0).toSet
+    IcebergWriter.rewriteDataFiles(spark, dir, partCol = Some("p"))
+    val plan = IcebergLite.planFiles(dir)
+    assert(plan.forall(_.content == 0), s"rewrite must shed delete files: $plan")
+    assert(plan.size == 2, s"one compacted file per partition: $plan")
+    def ks: Set[Long] = IcebergLite.readSnapshot(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == expected, "rewrite is a state no-op")
+    // pre-rewrite snapshots still travel (deletes re-applied)
+    assert(IcebergLite.readSnapshot(spark, dir, Some(1001L))
+      .select("k").collect().map(_.getLong(0)).toSet == expected)
+    // expiry now reclaims the superseded DATA and DELETE files
+    val oldData = new java.io.File(dir, "data").listFiles().map(_.getName).toSet
+    val deleted = IcebergWriter.expireSnapshots(dir, keepLast = 1)
+    assert(deleted.exists(_.contains("/data/")),
+      s"rewrite made old data files unreachable — expiry must reclaim them: $deleted")
+    assert(deleted.exists(_.contains("posdel")), "the delete file dies too")
+    assert(ks == expected, "reads survive the reclaim")
+    val newData = new java.io.File(dir, "data").listFiles().map(_.getName).toSet
+    assert(newData.subsetOf(oldData) && newData.size < oldData.size)
+  }
+
   test("snapshot expiry deletes only unreachable files; current reads survive") {
     val s2 = spark
     import s2.implicits._
