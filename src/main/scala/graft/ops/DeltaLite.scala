@@ -176,6 +176,46 @@ object DeltaLite {
     planAddsWithCheckpoint(spark, tableDir, version, partFilter)
       .map(a => (a.path, a.partitionValues))
 
+  /** The latest `txn` action version for `appId` (PROTOCOL.md
+    * "Transaction Identifiers" — the idempotent-streaming-write
+    * mechanism): checkpoint txn rows first, then the JSON tail; None
+    * when the app never committed. */
+  def lastTxnVersion(spark: SparkSession, tableDir: String,
+                     appId: String): Option[Long] = {
+    var last: Option[Long] = None
+    val lastCp = new java.io.File(tableDir, "_delta_log/_last_checkpoint")
+    val cpVersion = if (lastCp.exists())
+      Some(mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
+        .get("version").asLong)
+    else None
+    cpVersion.foreach { cv =>
+      val cpDf = spark.read.parquet(f"$tableDir/_delta_log/$cv%020d.checkpoint.parquet")
+      if (cpDf.columns.contains("txn")) {
+        import org.apache.spark.sql.functions.col
+        cpDf.where("txn IS NOT NULL")
+          .select(col("txn.appId"), col("txn.version"))
+          .collect()
+          .filter(_.getString(0) == appId)
+          .foreach(r => last = Some(r.getLong(1)))
+      }
+    }
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("\\d{20}\\.json") &&
+        cpVersion.forall(f.getName.dropRight(5).toLong > _))
+      .sortBy(_.getName)
+      .foreach { f =>
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has("txn") && node.get("txn").get("appId").asText == appId)
+              last = Some(node.get("txn").get("version").asLong)
+          }
+        }
+      }
+    last
+  }
+
   /** The HISTORY table (`DESCRIBE HISTORY` surface): one row per JSON
     * commit still on the log — version, commit timestamp (max action
     * timestamp in the commit), adds, removes. */
@@ -349,6 +389,7 @@ object DeltaLite {
     var metaData: Option[Row] = None
     val liveAdds = scala.collection.mutable.LinkedHashMap.empty[String, Row]
     val tombstones = scala.collection.mutable.LinkedHashMap.empty[String, Row]
+    val txns = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     commits.foreach { f =>
       java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
         if (line.nonEmpty) {
@@ -394,6 +435,9 @@ object DeltaLite {
                 .getOrElse("parquet")),
               Option(m.get("schemaString")).map(_.asText).getOrElse("{}"),
               partCols))
+          } else if (node.has("txn")) {
+            val t = node.get("txn")
+            txns(t.get("appId").asText) = t.get("version").asLong
           }
         }
       }
@@ -424,11 +468,16 @@ object DeltaLite {
       StructField("remove", StructType(Seq(
         StructField("path", StringType),
         StructField("deletionTimestamp", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
     val rows =
-      Seq(Row(protocol.get, null, null, null), Row(null, metaData.get, null, null)) ++
-        liveAdds.values.map(a => Row(null, null, a, null)) ++
-        tombstones.values.map(r => Row(null, null, null, r))
+      Seq(Row(protocol.get, null, null, null, null),
+        Row(null, metaData.get, null, null, null)) ++
+        liveAdds.values.map(a => Row(null, null, a, null, null)) ++
+        tombstones.values.map(r => Row(null, null, null, r, null)) ++
+        txns.map { case (app, v) => Row(null, null, null, null, Row(app, v)) }
     val tmp = s"$tableDir/_cp_stage"
     spark.createDataFrame(
         new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)

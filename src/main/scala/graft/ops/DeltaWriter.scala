@@ -99,11 +99,26 @@ object DeltaWriter {
       })
   }
 
+  /** Exactly-once streaming sink via the protocol's `txn` action
+    * (PROTOCOL.md "Transaction Identifiers" — the real Delta mechanism
+    * for idempotent streaming writes): each micro-batch commit carries
+    * {appId, version=batchId}; a redelivered batch whose version is
+    * already recorded for the app — in a checkpoint's txn rows or the
+    * JSON tail — is skipped. The Delta sibling of
+    * [[IcebergWriter.appendBatch]]. */
+  def appendBatch(spark: SparkSession, tableDir: String, df: DataFrame,
+                  appId: String, batchId: Long,
+                  partCol: Option[String] = None): Option[Long] =
+    if (DeltaLite.lastTxnVersion(spark, tableDir, appId).exists(_ >= batchId)) None
+    else Some(append(spark, tableDir, df, partCol,
+      txn = Some((appId, batchId))))
+
   /** Append `df` as one commit, creating the table on first use.
     * Returns the committed version. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: Option[String] = None,
-             metaDataJson: Option[String] = None): Long = {
+             metaDataJson: Option[String] = None,
+             txn: Option[(String, Long)] = None): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_delta_log").mkdirs()
@@ -143,6 +158,9 @@ object DeltaWriter {
       lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       lines += metaDataJson.getOrElse(
         s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}""")
+    }
+    txn.foreach { case (appId, v) =>
+      lines += s"""{"txn":{"appId":"$appId","version":$v}}"""
     }
     moved.foreach { case (rel, part) =>
       val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")

@@ -238,6 +238,43 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // streaming → Delta TABLE sink via the protocol's txn action (the
+    // real Delta idempotence mechanism: {appId, version=batchId} rides
+    // each commit; a redelivered version is skipped). Proven the same
+    // way as the Iceberg sink: replay a batch by hand, assert the skip
+    // and unchanged state, read back through the independent log replay.
+    "stream_delta_sink" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val (ckpt, _) = fresh("delta_sink")
+      val (_, tableDir) = fresh("delta_sink_table")
+      val appId = "stream_delta_sink"
+      val q = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          DeltaWriter.appendBatch(batch.sparkSession, tableDir, batch,
+            appId, id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val last = DeltaLite.lastTxnVersion(s, tableDir, appId)
+      require(last.nonEmpty, "stream committed no batches")
+      val before = DeltaLite.planFiles(tableDir).size
+      val redelivered = DeltaWriter.appendBatch(s, tableDir,
+        graft.Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")).limit(5),
+        appId, batchId = 0L)
+      require(redelivered.isEmpty && DeltaLite.planFiles(tableDir).size == before,
+        "redelivered txn version must be skipped without a new commit")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("nd"),
+          sum(col("user_id")).as("sum_uid"))
+        .orderBy(col("event_type"))
+    }),
+
     "stream_insert_job" -> ((s, dir) => {
       val (ckpt, out) = fresh("insert_job")
       val q = eventsStream(s, dir).writeStream
@@ -598,6 +635,12 @@ object StreamQueries {
 
     "stream_insert_job" -> """
       SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // exactly-once via txn: the table must hold the source exactly once
+    "stream_delta_sink" -> """
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid
       FROM events GROUP BY event_type ORDER BY event_type""",
 
     // exactly-once sink: the table must hold the source exactly once —

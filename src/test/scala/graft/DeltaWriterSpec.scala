@@ -88,6 +88,32 @@ class DeltaWriterSpec extends AnyFunSuite {
       Seq("k" -> "col_1", "p" -> "col_2", "v" -> "col_3"))
   }
 
+  test("txn idempotence survives checkpoint and log expiry") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_txn").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val app = "specapp"
+    assert(DeltaWriter.appendBatch(spark, dir,
+      Seq((1L, 1)).toDF("k", "v"), app, 0L).isDefined)
+    assert(DeltaWriter.appendBatch(spark, dir,
+      Seq((2L, 2)).toDF("k", "v"), app, 1L).isDefined)
+    // redelivery of an old version is a no-op
+    assert(DeltaWriter.appendBatch(spark, dir,
+      Seq((9L, 9)).toDF("k", "v"), app, 0L).isEmpty)
+    assert(DeltaLite.lastTxnVersion(spark, dir, app).contains(1L))
+    assert(DeltaLite.lastTxnVersion(spark, dir, "other").isEmpty)
+    // the txn watermark must survive checkpoint + expiry of its commits
+    DeltaLite.writeCheckpoint(spark, dir, 1L)
+    assert(DeltaLite.expireLog(dir, 1L).size == 2)
+    assert(DeltaLite.lastTxnVersion(spark, dir, app).contains(1L),
+      "checkpoint txn rows must keep redelivery detection alive")
+    assert(DeltaWriter.appendBatch(spark, dir,
+      Seq((9L, 9)).toDF("k", "v"), app, 1L).isEmpty)
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
   test("unpartitioned append and empty-append rejection") {
     val s2 = spark
     import s2.implicits._
