@@ -207,7 +207,7 @@ object MlQueries {
     base.unionAll(dup)
   }
 
-  private val shingleSql =
+  private[queries] val shingleSql =
     """list_distinct(CASE WHEN len(ws) >= 3
          THEN list_transform(generate_series(1, len(ws) - 2),
                 i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))

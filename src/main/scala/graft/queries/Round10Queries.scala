@@ -65,6 +65,50 @@ object Round10Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // VERSIONED CORPUS with dedup-on-ingest — the two flagship families
+    // composed: batch 1 commits to an Iceberg table; batch 2 dedups
+    // against the STANDING TABLE (exact md5 anti-join + MinHash-banded
+    // near-dup with exact verify, never all-pairs) and commits only the
+    // survivors; snapshot 1 shows the pre-ingest corpus. This is the
+    // training-data platform loop at 100 TB: the corpus is a table, new
+    // shards admit through dedup, every state is time-travelable.
+    "ml_corpus_versioned" -> ((s, dir) => {
+      import graft.ops.{Dedup, IcebergLite, IcebergWriter}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val batch1 = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch2 = docs.filter(col("doc_id") % 3 === 0)
+      val tableDir = new java.io.File(
+        s"target/iceberg/corpus_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.appendBatch(s, tableDir, batch1, batchId = 0L)
+      val corpus = IcebergLite.readSnapshot(s, tableDir) // the standing table
+      val exactKept = batch2.join(
+        corpus.select(md5(col("text")).as("h")).distinct(),
+        md5(col("text")) === col("h"), "left_anti")
+      val near = Dedup.minhashPairsAcross(corpus, exactKept,
+        "doc_id", "text", n = 3, threshold = 0.5)
+      val kept = exactKept.join(
+        near.select(col("id_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val (nIn, nKept) = {
+        val r = batch2.agg(count(lit(1))).head().getLong(0)
+        (r, kept.count())
+      }
+      require(nKept > 0 && nKept < nIn,
+        s"ingest premise: dedup must keep some ($nKept) but not all ($nIn)")
+      IcebergWriter.appendBatch(s, tableDir, kept, batchId = 1L)
+      val v1 = IcebergLite.readSnapshot(s, tableDir, Some(1000L))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_v1"))
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"), sum(col("doc_id")).as("chk"))
+        .join(v1, Seq("lang"), "left")
+        .select(col("lang"), coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          col("n_total"), col("chk"))
+        .orderBy(col("lang"))
+    }),
+
     // the snapshots METADATA TABLE over a written table: ids, sequence
     // numbers, deterministic commit stamps, operations
     "src_iceberg_snapshots_table" -> ((s, dir) => {
@@ -799,6 +843,33 @@ object Round10Queries {
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
       FROM lineitem
       WHERE l_orderkey < 12000 AND l_orderkey % 2 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // the final corpus = batch 1 plus batch 2's dedup survivors, with
+    // snapshot 1 = batch 1 alone; the near-dup rule is the same exact
+    // 3-shingle Jaccard >= 0.5 recomputation ml_dedup_incremental pins
+    "ml_corpus_versioned" -> s"""
+      WITH corpus AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+      inc AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+      ek AS (SELECT * FROM inc
+             WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+      s_c AS (SELECT doc_id, ${MlQueries.shingleSql} AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus) w),
+      s_i AS (SELECT doc_id, ${MlQueries.shingleSql} AS sh
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM ek) w),
+      near AS (SELECT DISTINCT b.doc_id
+               FROM s_c a JOIN s_i b
+                 ON len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                    >= 0.5),
+      kept AS (SELECT * FROM ek
+               WHERE doc_id NOT IN (SELECT doc_id FROM near))
+      SELECT lang,
+             CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+             count(*) AS n_total,
+             CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM (SELECT lang, doc_id, 1 AS src FROM corpus
+            UNION ALL SELECT lang, doc_id, 2 AS src FROM kept) u
       GROUP BY 1 ORDER BY 1""",
 
     // fixture-deterministic snapshot log (ids 1000+, stamps
