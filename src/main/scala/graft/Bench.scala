@@ -151,9 +151,15 @@ object Bench {
     val loadEnd = loadavg()
     val lq = loadAtQ.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
+    // Two lines, bulky diagnostics FIRST: the driver captures only a
+    // 2 kB stdout tail, and the r10 diagnostics (loadavg_q, spreads)
+    // grew the single line past it, scrolling the per-query medians out
+    // of BENCH_r10.json (parsed:null). The LAST line is the compact
+    // machine-readable record — per-query minimums always in the tail.
+    println(s"""{"diag":"bench","loadavg_waited_s":$waited,""" +
+      s""""best2_spread":$sp,"loadavg_q":$lq}""")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
-      s""""loadavg_waited_s":$waited,"best2_spread":$sp,"loadavg_q":$lq}""")
+      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
     spark.stop()
   }
 }

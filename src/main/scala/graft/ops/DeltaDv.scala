@@ -204,15 +204,22 @@ object DeltaDv {
     val created = !f.exists()
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(f, true)))
-    var offset = if (created) { out.writeByte(1); 1 } else f.length().toInt
+    var offset: Long = if (created) { out.writeByte(1); 1L } else f.length()
     try blobs.map { blob =>
-      val at = offset
+      // the protocol's descriptor carries offset/sizeInBytes as 32-bit
+      // ints — a DV file past 2 GB is unrepresentable, so refuse loudly
+      // instead of wrapping (writers shard DVs across files well before
+      // this; deleteRows writes one DV file per task)
+      require(offset + 8L + blob.length <= Int.MaxValue.toLong,
+        s"DV file $path would exceed the protocol's 32-bit " +
+          "offset/sizeInBytes descriptor fields — start a new DV file")
+      val at = offset.toInt
       out.writeInt(blob.length)
       out.write(blob)
       val crc = new java.util.zip.CRC32()
       crc.update(blob)
       out.writeInt(crc.getValue.toInt)
-      offset += 4 + blob.length + 4
+      offset += 4L + blob.length + 4L
       (at, blob.length)
     } finally out.close()
   }

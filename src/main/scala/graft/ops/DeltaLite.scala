@@ -423,8 +423,12 @@ object DeltaLite {
               false)
           } else if (node.has("protocol")) {
             val p = node.get("protocol")
+            def feats(n: String): Seq[String] =
+              Option(p.get(n)).map(a =>
+                (0 until a.size).map(a.get(_).asText)).getOrElse(null)
             protocol = Some(Row(p.get("minReaderVersion").asInt,
-              p.get("minWriterVersion").asInt))
+              p.get("minWriterVersion").asInt,
+              feats("readerFeatures"), feats("writerFeatures")))
           } else if (node.has("metaData")) {
             val m = node.get("metaData")
             val partCols = Option(m.get("partitionColumns")).map { arr =>
@@ -447,7 +451,12 @@ object DeltaLite {
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        // table-features spelling (reader 3 / writer 7): the checkpoint
+        // may be the protocol's only holder after log expiry, so the
+        // feature lists must survive the round trip
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(StructField("provider", StringType)))),

@@ -35,10 +35,97 @@ object DeltaWriter {
 
   private def nextVersion(tableDir: String): Long = {
     val logDir = new java.io.File(tableDir, "_delta_log")
-    Option(logDir.listFiles()).getOrElse(Array.empty)
+    val maxJson = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("\\d{20}\\.json"))
       .map(_.getName.dropRight(5).toLong)
-      .foldLeft(-1L)(math.max) + 1
+      .foldLeft(-1L)(math.max)
+    // checkpoint-aware: after expireLog removes every JSON commit the
+    // checkpoint is the only version holder — restarting at 0 would
+    // write a commit planAddsWithCheckpoint filters out (v <= cp
+    // version), a silently invisible commit
+    val lastCp = new java.io.File(logDir, "_last_checkpoint")
+    val cpVersion =
+      if (!lastCp.exists()) -1L
+      else mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
+        .get("version").asLong
+    math.max(maxJson, cpVersion) + 1
+  }
+
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** The table's current protocol — (minReader, minWriter,
+    * readerFeatures, writerFeatures) — latest protocol action wins,
+    * checkpoint row first then the JSON tail. None = no protocol yet
+    * (table does not exist). */
+  private def currentProtocol(spark: SparkSession, tableDir: String)
+      : Option[(Int, Int, Set[String], Set[String])] = {
+    var found: Option[(Int, Int, Set[String], Set[String])] = None
+    val lastCp = new java.io.File(tableDir, "_delta_log/_last_checkpoint")
+    if (lastCp.exists()) {
+      val cv = mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
+        .get("version").asLong
+      val cpDf = spark.read.parquet(f"$tableDir/_delta_log/$cv%020d.checkpoint.parquet")
+      val pFields = cpDf.select("protocol").schema.head.dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      cpDf.where("protocol IS NOT NULL").select("protocol").collect()
+        .foreach { row =>
+          val p = row.getStruct(0)
+          def feats(n: String): Set[String] =
+            if (!pFields.contains(n) || p.isNullAt(p.fieldIndex(n))) Set.empty
+            else p.getSeq[String](p.fieldIndex(n)).toSet
+          found = Some((p.getInt(p.fieldIndex("minReaderVersion")),
+            p.getInt(p.fieldIndex("minWriterVersion")),
+            feats("readerFeatures"), feats("writerFeatures")))
+        }
+    }
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { f =>
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has("protocol")) {
+              val p = node.get("protocol")
+              def feats(n: String): Set[String] =
+                Option(p.get(n)).map(a =>
+                  (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty)
+              found = Some((p.get("minReaderVersion").asInt,
+                p.get("minWriterVersion").asInt,
+                feats("readerFeatures"), feats("writerFeatures")))
+            }
+          }
+        }
+      }
+    found
+  }
+
+  /** PROTOCOL.md legacy version → table-feature mapping, needed when
+    * upgrading to the (3, 7) table-features spelling: writer version 7
+    * must list every feature the legacy version implied. */
+  private def legacyWriterFeatures(wv: Int): Seq[String] =
+    Seq(2 -> Seq("appendOnly", "invariants"), 3 -> Seq("checkConstraints"),
+        4 -> Seq("changeDataFeed", "generatedColumns"),
+        5 -> Seq("columnMapping"), 6 -> Seq("identityColumns"))
+      .collect { case (v, fs) if wv >= v => fs }.flatten
+  private def legacyReaderFeatures(rv: Int): Seq[String] =
+    if (rv >= 2) Seq("columnMapping") else Nil
+
+  /** The protocol action that upgrades the table to support DELETION
+    * VECTORS — PROTOCOL.md requires reader 3 / writer 7 with
+    * `deletionVectors` in both feature lists (a writer stamping 1/2
+    * would let a spec-conformant external reader silently read deleted
+    * rows). None when the table already supports them. */
+  private def dvProtocolUpgrade(spark: SparkSession, tableDir: String)
+      : Option[String] = {
+    val p = currentProtocol(spark, tableDir)
+    if (p.exists(x => x._3.contains("deletionVectors"))) None
+    else {
+      val (rv, wv, rf, wf) = p.getOrElse((1, 2, Set.empty[String], Set.empty[String]))
+      val readerF = (legacyReaderFeatures(rv) ++ rf ++ Seq("deletionVectors")).distinct.sorted
+      val writerF = (legacyWriterFeatures(wv) ++ wf ++ Seq("deletionVectors")).distinct.sorted
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${readerF.map(f => s""""$f"""").mkString(",")}],"writerFeatures":[${writerF.map(f => s""""$f"""").mkString(",")}]}}""")
+    }
   }
 
   private def writeCommit(tableDir: String, version: Long,
@@ -84,7 +171,15 @@ object DeltaWriter {
     require(df.columns.forall(phys.contains),
       s"columns ${df.columns.mkString(",")} must match the mapped schema ${phys.keys}")
     val dfPhys = df.select(df.columns.toSeq.map(c => col(c).as(phys(c))): _*)
+    // COLUMN MAPPING requires protocol reader 2 / writer 5
+    // (PROTOCOL.md "Column Mapping") — stamped on table creation, or
+    // as an upgrade action when mapping lands on an existing table
+    val protoLine = currentProtocol(spark, tableDir) match {
+      case Some((rv, wv, _, _)) if rv >= 2 && wv >= 5 => None
+      case _ => Some("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    }
     append(spark, tableDir, dfPhys, partCol.map(phys),
+      protocolLine = protoLine,
       metaDataJson = Some {
         val m = new com.fasterxml.jackson.databind.ObjectMapper()
         val md = m.createObjectNode()
@@ -118,7 +213,8 @@ object DeltaWriter {
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: Option[String] = None,
              metaDataJson: Option[String] = None,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             protocolLine: Option[String] = None): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_delta_log").mkdirs()
@@ -155,10 +251,11 @@ object DeltaWriter {
 
     val lines = Seq.newBuilder[String]
     if (version == 0) {
-      lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      lines += protocolLine.getOrElse(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
       lines += metaDataJson.getOrElse(
         s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}""")
-    }
+    } else protocolLine.foreach(lines += _) // protocol upgrade action
     txn.foreach { case (appId, v) =>
       lines += s"""{"txn":{"appId":"$appId","version":$v}}"""
     }
@@ -174,52 +271,79 @@ object DeltaWriter {
   /** ROW-LEVEL DELETE via deletion vectors (PROTOCOL.md "Deletion
     * Vectors"): mark matching row positions deleted WITHOUT rewriting
     * any parquet. One distributed scan finds the matching
-    * (file, row_index) pairs and aggregates them per file (only the
-    * matched positions return to the driver — at 100 TB that is the
-    * deleted-row count, not the table); each affected file gets a new
-    * DV (unioned with its existing one, since a row may already be
-    * dead), blobs land in one `.bin` DV file, and the commit re-adds
-    * each affected file with its descriptor after a remove — the
-    * protocol's DV-update shape. Returns the committed version. */
+    * (file, row_index) pairs and aggregates them per file; the roaring
+    * DV blob for each file is built EXECUTOR-SIDE in the task owning
+    * that file's group (unioned with the file's existing DV — decoded
+    * there too, from the metadata-sized broadcast of descriptors), and
+    * each task writes its own `.bin` DV shard. Only the
+    * descriptor-sized (file, dvPath, offset, size, cardinality) rows
+    * return to the driver — a broad delete on a 100 TB table holds
+    * O(affected files) driver state, never O(deleted rows). That is
+    * the reference's contract too: delete bitmaps are computed
+    * distributed, per tablet
+    * (be/src/storage/delete/delete_bitmap_calculator.h). The commit
+    * re-adds each affected file with its descriptor after a remove —
+    * the protocol's DV-update shape — and upgrades the protocol to
+    * reader 3 / writer 7 + deletionVectors features on first use.
+    * Returns the committed version. */
   def deleteRows(spark: SparkSession, tableDir: String,
                  cond: org.apache.spark.sql.Column): Long = {
     val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(adds.nonEmpty, "empty table")
     val byAbs = adds.map(a =>
       new java.io.File(tableDir, a.path).getAbsolutePath -> a).toMap
-    val matched = spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
-      .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
-      .withColumn("__pos", col("_metadata.row_index"))
-      .filter(cond)
-      .groupBy(col("__fp"))
-      .agg(sort_array(collect_set(col("__pos"))).as("__poss"))
-      .collect()
-      .map(r => r.getString(0) -> r.getSeq[Long](1))
-    require(matched.nonEmpty, "deleteRows matched no rows")
+    val protoUpgrade = dvProtocolUpgrade(spark, tableDir)
     val version = nextVersion(tableDir)
-    val dvFile = new java.io.File(tableDir,
-      s"deletion_vectors/dv-$version.bin").getAbsolutePath
-    val updated = matched.map { case (abs, newPos) =>
-      val add = byAbs(abs)
-      val existing = add.dv.map { d =>
-        d.storageType match {
-          case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(d.pathOrInlineDv))
-          case "p" => DeltaDv.readDvFile(d.pathOrInlineDv, d.offset, d.sizeInBytes)
-        }
-      }.getOrElse(Nil)
-      val union = (existing ++ newPos).distinct.sorted
-      (add, union)
-    }
-    val frames = DeltaDv.writeDvFile(dvFile,
-      updated.map { case (_, pos) => DeltaDv.dvBlob(pos) }.toSeq)
-    val lines = updated.toSeq.zip(frames).flatMap { case ((add, pos), (off, size)) =>
-      val pv = add.partitionValues
-        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
-      val bytes = new java.io.File(tableDir, add.path).length()
-      Seq(
-        s"""{"remove":{"path":"${add.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}""",
-        s"""{"add":{"path":"${add.path}","partitionValues":{$pv},"size":$bytes,"modificationTime":${1700000000000L + version},"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dvFile","offset":$off,"sizeInBytes":$size,"cardinality":${pos.size}}}}""")
-    }
+    val dvDir = new java.io.File(tableDir, "deletion_vectors")
+    dvDir.mkdirs()
+    val dvDirAbs = dvDir.getAbsolutePath
+    // existing DV descriptors ship to tasks (metadata-sized); the
+    // positions they point at are decoded where the union is built
+    val bcDv = spark.sparkContext.broadcast(
+      byAbs.collect { case (abs, a) if a.dv.isDefined => abs -> a.dv.get })
+    import spark.implicits._
+    val descriptors: Seq[(String, String, Int, Int, Long)] =
+      spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
+        .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .filter(cond)
+        .groupBy(col("__fp"))
+        .agg(sort_array(collect_set(col("__pos"))).as("__poss"))
+        .as[(String, Seq[Long])]
+        .mapPartitions { it =>
+          val rows = it.toVector
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val pid = org.apache.spark.TaskContext.getPartitionId()
+            val dvPath = s"$dvDirAbs/dv-$version-p$pid.bin"
+            new java.io.File(dvPath).delete() // task-retry overwrite
+            val blobs = rows.map { case (fp, newPos) =>
+              val existing = bcDv.value.get(fp).map { d =>
+                d.storageType match {
+                  case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(d.pathOrInlineDv))
+                  case "p" => DeltaDv.readDvFile(d.pathOrInlineDv, d.offset, d.sizeInBytes)
+                }
+              }.getOrElse(Nil)
+              val union = (existing ++ newPos).distinct.sorted
+              (fp, DeltaDv.dvBlob(union), union.size.toLong)
+            }
+            val frames = DeltaDv.writeDvFile(dvPath, blobs.map(_._2))
+            blobs.zip(frames).map { case ((fp, _, card), (off, size)) =>
+              (fp, dvPath, off, size, card)
+            }.iterator
+          }
+        }.collect().toSeq.sortBy(_._1)
+    require(descriptors.nonEmpty, "deleteRows matched no rows")
+    val lines = protoUpgrade.toSeq ++
+      descriptors.flatMap { case (abs, dvPath, off, size, card) =>
+        val add = byAbs(abs)
+        val pv = add.partitionValues
+          .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+        val bytes = new java.io.File(tableDir, add.path).length()
+        Seq(
+          s"""{"remove":{"path":"${add.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}""",
+          s"""{"add":{"path":"${add.path}","partitionValues":{$pv},"size":$bytes,"modificationTime":${1700000000000L + version},"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dvPath","offset":$off,"sizeInBytes":$size,"cardinality":$card}}}""")
+      }
     writeCommit(tableDir, version, lines)
     maybeCheckpoint(spark, tableDir, version)
     version

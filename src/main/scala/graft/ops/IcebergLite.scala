@@ -92,7 +92,14 @@ object IcebergLite {
 
   private def currentMetadataPath(tableDir: String): String = {
     val hint = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
-    val v = java.nio.file.Files.readString(hint).trim.toInt
+    // spec "File System Tables": the hint is a hint, not the truth — a
+    // concurrent writer may have published vN+1 before its hint update
+    // landed, so probe upward from the hinted version for newer
+    // metadata files and read the highest one that exists.
+    var v = java.nio.file.Files.readString(hint).trim.toInt
+    while (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tableDir, "metadata", s"v${v + 1}.metadata.json")))
+      v += 1
     s"$tableDir/metadata/v$v.metadata.json"
   }
 

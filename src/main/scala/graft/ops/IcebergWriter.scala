@@ -12,51 +12,165 @@ import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
 
-/** Iceberg v2 single-writer WRITE path from the PUBLIC spec
+/** Iceberg v2 WRITE path from the PUBLIC spec
   * (iceberg.apache.org/spec, "Commit conflicts" / "File System Tables")
   * — the inverse of [[IcebergLite]]'s reader and the in-repo answer to
   * the reference's lakehouse sinks
   * (be/src/exec/operator/iceberg_table_sink_operator.h:44): stage data
-  * files, append a manifest, write the new metadata version, bump the
-  * version pointer.
+  * files, append a manifest, write the new metadata version, publish it
+  * atomically.
   *
   * Spark-first split of the work, the same FE/BE split the reader uses:
   *  - the DATA write is fully distributed — one
   *    `df.write.partitionBy(part).parquet(staging)` pass; with a
   *    pre-`repartition` on the partition column each identity
-  *    partition value lands in exactly one task and so one file (the
-  *    clustered-write shape whose manifest bounds make
-  *    `src_iceberg_stats_prune`-style skipping possible at 100 TB);
+  *    partition value lands in one task's file, and `filesPerPart > 1`
+  *    adds a deterministic content-hash salt so a HOT partition splits
+  *    across that many tasks/files instead of funneling through one
+  *    (the 100 TB answer to skewed partition values);
   *  - per-file STATS (record count, lower/upper bounds) are read from
-  *    the staged parquet FOOTERS — metadata-sized driver work, the
-  *    exact stats a production writer accumulates while streaming rows;
-  *  - the COMMIT is the spec's file-system-table protocol: manifest
-  *    avro for the new files, a manifest list carrying the previous
-  *    snapshot's manifests forward plus the new one, a new
-  *    `vN.metadata.json` with the full snapshot log, and LAST the
-  *    `version-hint.text` swap — the single atomic commit point, so a
-  *    reader never observes a half-written snapshot.
+  *    the staged parquet FOOTERS in one DISTRIBUTED pass
+  *    (`parallelize(paths).map(footerStats)`) — only the
+  *    metadata-sized (path → stats) rows return to the driver, so a
+  *    million-file commit never serializes footer reads there;
+  *  - the COMMIT is the spec's optimistic protocol: manifest avro for
+  *    the new files, a manifest list carrying the current snapshot's
+  *    manifests forward plus the new one, and the new
+  *    `vN+1.metadata.json` published via an atomic CREATE-IF-ABSENT
+  *    (hard link) — the file-system spelling of the catalog's
+  *    compare-and-swap. A loser re-reads the winner's metadata,
+  *    re-resolves sequence/snapshot-id/manifest-list against it, and
+  *    retries (bounded): concurrent append/append and append/delete
+  *    both land, nothing is lost. `version-hint.text` is advisory and
+  *    advances monotonically AFTER the CAS (readers probe upward from
+  *    it, per the spec's file-system-table rule).
   *
-  * Honest scope (documented, not hidden): SINGLE writer — the
-  * optimistic retry loop of the spec's concurrent-commit protocol
-  * (compare-and-swap on the version hint, re-resolving manifests on
-  * conflict) is out of scope; append snapshots only (row-level deletes
-  * ride [[IcebergLite]]'s read-side position/equality delete support);
-  * identity partition transforms; bounds for integral columns.
-  * Round-trip correctness is non-circular: `src_iceberg_write_*`
-  * oracles recompute expected content from the base table by predicate,
-  * and the spec verifies the written layout with the same parsers the
-  * read-path fixtures use. */
+  * Honest scope (documented, not hidden): REPLACE commits
+  * (rewrite_data_files) do not retry — a conflict there would need the
+  * spec's revalidation of concurrently-added files, so they fail
+  * loudly instead of dropping a concurrent commit. Identity partition
+  * transforms; bounds for integral columns. Round-trip correctness is
+  * non-circular: `src_iceberg_write_*` oracles recompute expected
+  * content from the base table by predicate, and the spec verifies the
+  * written layout with the same parsers the read-path fixtures use. */
 object IcebergWriter {
 
   private def mapper = new ObjectMapper()
 
+  /** Bounded optimistic retries for append/delete commits (spec
+    * "Commit conflicts": retry is safe when the operation's
+    * assumptions still hold after re-resolution). */
+  val MaxCommitRetries = 10
+
+  // unique per-JVM tokens for staging dirs / file names, so two
+  // concurrent writers never collide on a path before the commit CAS
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextToken(): String =
+    s"${ProcessHandle.current().pid()}x${tokenCounter.incrementAndGet()}"
+
+  /** Atomic publish of a small pointer file (version-hint / LATEST):
+    * write a temp sibling, rename into place (POSIX rename is atomic —
+    * a concurrent reader never observes a truncated hint). */
+  private[ops] def atomicWriteString(path: java.nio.file.Path,
+                                     content: String): Unit = {
+    val tmp = path.resolveSibling(s".${path.getFileName}.${nextToken()}.tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Current metadata version by direct probe (NOT the hint): the
+    * highest `vN.metadata.json` present. The CAS below targets
+    * `v(N+1)`, so this read is what makes the loop linearizable on a
+    * POSIX filesystem. 0 = table does not exist yet. */
+  private def currentVersion(tableDir: String): Int = {
+    val md = new java.io.File(tableDir, "metadata")
+    Option(md.listFiles()).getOrElse(Array.empty)
+      .flatMap { f =>
+        val m = "^v(\\d+)\\.metadata\\.json$".r.findFirstMatchIn(f.getName)
+        m.map(_.group(1).toInt)
+      }.foldLeft(0)(math.max)
+  }
+
+  /** Advance the advisory hint monotonically (never regress it past a
+    * later writer's update; the tiny read-then-write race is why
+    * readers probe upward from the hint instead of trusting it). */
+  private def advanceHint(tableDir: String, v: Int): Unit = {
+    val hintPath = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
+    val cur =
+      if (java.nio.file.Files.exists(hintPath))
+        java.nio.file.Files.readString(hintPath).trim.toInt
+      else 0
+    if (cur < v) atomicWriteString(hintPath, v.toString)
+  }
+
+  /** CAS publish of `vN+1.metadata.json`: hard-link the staged temp
+    * onto the target name — atomically fails with
+    * FileAlreadyExistsException when another writer won the version.
+    * Returns true on success. */
+  private def casPublish(tableDir: String, newVersion: Int,
+                         metaJson: String): Boolean = {
+    val tmp = java.nio.file.Paths.get(tableDir, "metadata",
+      s".meta-${nextToken()}.json")
+    java.nio.file.Files.writeString(tmp, metaJson)
+    val target = java.nio.file.Paths.get(tableDir, "metadata",
+      s"v$newVersion.metadata.json")
+    try {
+      java.nio.file.Files.createLink(target, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
+  /** Resolve (or register, mutating `meta`) the partition spec for
+    * `partCol` — PARTITION EVOLUTION (spec "Partition Evolution"):
+    * each commit's manifest records the spec it was written under; a
+    * later commit with a different partition column registers a NEW
+    * spec rather than rewriting history, and the reader prunes each
+    * file only by its own spec's column. `None` resolves the
+    * unpartitioned spec (what delete manifests are stamped with). */
+  private def resolveSpecId(meta: ObjectNode, partCol: Option[String]): Int = {
+    val specsArr = meta.withArray[ArrayNode]("partition-specs")
+    val wantedField = partCol.getOrElse("")
+    (0 until specsArr.size).map(specsArr.get)
+      .find { s =>
+        val fs = s.get("fields")
+        (if (fs == null || fs.size == 0) "" else fs.get(0).get("name").asText) == wantedField
+      }
+      .map(_.get("spec-id").asInt)
+      .getOrElse {
+        val nid = (0 until specsArr.size).map(specsArr.get(_).get("spec-id").asInt)
+          .foldLeft(-1)(math.max) + 1
+        val spec = specsArr.addObject()
+        spec.put("spec-id", nid)
+        val fields = spec.putArray("fields")
+        partCol.foreach { p =>
+          val f = fields.addObject()
+          f.put("name", p); f.put("transform", "identity")
+          f.put("source-id", 1); f.put("field-id", 1000 + nid)
+        }
+        nid
+      }
+  }
+
   /** Append `df` to the table at `tableDir` as one snapshot, creating
-    * the table on first use. `partCol` selects identity partitioning
-    * (one data file per partition value). Returns the new snapshot id. */
+    * the table on first use. `partCol` selects identity partitioning;
+    * `filesPerPart` splits each partition value across that many files
+    * (hot-partition relief). Returns the new snapshot id. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-             partCol: Option[String] = None): Long =
-    commit(spark, tableDir, df, partCol, upsertKeys = None)
+             partCol: Option[String] = None, filesPerPart: Int = 1): Long =
+    commit(spark, tableDir, df, partCol, upsertKeys = None,
+      filesPerPart = filesPerPart)
+
+  /** Append with a test-visible hook fired just before the first CAS
+    * attempt — how the concurrent-commit specs interleave two writers
+    * deterministically. */
+  private[graft] def appendHooked(spark: SparkSession, tableDir: String,
+                                  df: DataFrame, partCol: Option[String],
+                                  beforePublish: () => Unit): Long =
+    commit(spark, tableDir, df, partCol, upsertKeys = None,
+      beforePublish = beforePublish)
 
   /** UPSERT commit — merge-on-write via v2 EQUALITY DELETES: one
     * snapshot holding an equality-delete file of the incoming keys plus
@@ -84,7 +198,8 @@ object IcebergWriter {
     * new snapshot — [[expireSnapshots]] then physically reclaims them,
     * which is the full delete lifecycle at 100 TB: mark (deleteRows) →
     * merge-on-read → rewrite → expire. Old snapshots still time travel
-    * until expiry. */
+    * until expiry. A REPLACE commit does not retry on conflict (see
+    * the scope note above). */
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
                        partCol: Option[String] = None): Long = {
     val state = IcebergLite.readSnapshot(spark, tableDir)
@@ -93,103 +208,124 @@ object IcebergWriter {
   }
 
   /** ROW-LEVEL DELETE via v2 POSITION DELETES: one distributed scan
-    * finds matching (file_path, pos) pairs and writes them as a
-    * position-delete parquet — the spec's content=1 file the read side
-    * already anti-joins — committed as one snapshot with no data
-    * rewrite. The sibling of [[DeltaWriter.deleteRows]]'s deletion
-    * vectors: same contract, the other protocol's spelling. */
+    * finds matching (file_path, pos) pairs and writes them as
+    * position-delete parquet shards — spec-sorted by (file_path, pos),
+    * one file per (AQE-coalesced) task, NO single-task funnel — each
+    * registered as a content=1 manifest entry the read side already
+    * anti-joins. Committed through the same optimistic CAS loop as
+    * appends: a concurrent append cannot invalidate a position delete
+    * (it references files by path), so retry is safe. The sibling of
+    * [[DeltaWriter.deleteRows]]'s deletion vectors: same contract, the
+    * other protocol's spelling. */
   def deleteRows(spark: SparkSession, tableDir: String,
                  cond: org.apache.spark.sql.Column): Long = {
     val dataTasks = IcebergLite.planFiles(tableDir).filter(_.content == 0)
     require(dataTasks.nonEmpty, "empty table")
+    val tok = nextToken()
     val matched = spark.read.parquet(dataTasks.map(_.path): _*)
       .withColumn("file_path",
         regexp_replace(col("_metadata.file_path"), "^file:+", ""))
       .withColumn("pos", col("_metadata.row_index"))
       .filter(cond)
       .select(col("file_path"), col("pos"))
-    require(!matched.isEmpty, "deleteRows matched no rows")
 
-    val hintPath = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
-    val curVersion = java.nio.file.Files.readString(hintPath).trim.toInt
-    val meta = mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
-      .asInstanceOf[ObjectNode]
-    val seq = meta.get("last-sequence-number").asLong + 1
-    val snaps0 = meta.get("snapshots")
-    val snapId = (0 until snaps0.size).map(snaps0.get(_).get("snapshot-id").asLong).max + 1
-
-    // the delete file: distributed write, moved into data/
-    val staging = s"$tableDir/stage_del_v${curVersion + 1}"
-    matched.coalesce(1).write.mode("overwrite").parquet(staging)
-    val src = Option(new java.io.File(staging).listFiles()).getOrElse(Array.empty)
-      .find(_.getName.endsWith(".parquet")).get
-    val delPath = new java.io.File(tableDir, s"data/posdel_$seq.parquet")
-    java.nio.file.Files.move(src.toPath, delPath.toPath)
+    // distributed delete-file write: repartition by file so each data
+    // file's positions land in one sorted run, AQE bounds tiny tasks
+    val staging = s"$tableDir/stage_del_$tok"
+    matched.repartition(col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .write.mode("overwrite").parquet(staging)
+    val delFiles = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val dst = new java.io.File(tableDir, s"data/posdel_${tok}_$j.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.getAbsolutePath
+      }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    val conf = spark.sessionState.newHadoopConf()
-    val (delRows, delBytes, _, _) = footerStats(delPath.getAbsolutePath, conf)
+    val delStats = distributedFooterStats(spark, delFiles)
+    require(delStats.map(_._2._1).sum > 0, "deleteRows matched no rows")
 
-    // manifest (content=1 position deletes) + carried-forward list
-    val mp = s"$tableDir/metadata/manifest-pd$seq.avro"
-    locally {
-      val es = IcebergLite.ManifestEntrySchema
-      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
-      w.create(es, new java.io.File(mp))
-      val partRec = new GenericData.Record(
-        es.getField("data_file").schema.getField("partition").schema)
-      partRec.put("part_value", null)
-      val dfRec = new GenericData.Record(es.getField("data_file").schema)
-      dfRec.put("content", 1)
-      dfRec.put("file_path", delPath.getAbsolutePath)
-      dfRec.put("file_format", "PARQUET")
-      dfRec.put("partition", partRec)
-      dfRec.put("record_count", delRows)
-      dfRec.put("file_size_in_bytes", delBytes)
-      dfRec.put("lower_bounds", null)
-      dfRec.put("upper_bounds", null)
-      val e = new GenericData.Record(es)
-      e.put("status", 1)
-      e.put("snapshot_id", snapId)
-      e.put("sequence_number", seq)
-      e.put("data_file", dfRec)
-      w.append(e)
-      w.close()
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      val curVersion = currentVersion(tableDir)
+      val meta = mapper.readTree(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+        .asInstanceOf[ObjectNode]
+      val seq = meta.get("last-sequence-number").asLong + 1
+      val snaps0 = meta.get("snapshots")
+      val snapId = (0 until snaps0.size).map(snaps0.get(_).get("snapshot-id").asLong).max + 1
+      val specId = resolveSpecId(meta, None) // delete files are unpartitioned
+
+      // manifest (content=1 position deletes) + carried-forward list
+      val mp = s"$tableDir/metadata/manifest-pd$tok-$attempt.avro"
+      locally {
+        val es = IcebergLite.ManifestEntrySchema
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
+        w.create(es, new java.io.File(mp))
+        delFiles.foreach { dp =>
+          val (delRows, delBytes, _, _) = delStats.toMap.apply(dp)
+          val partRec = new GenericData.Record(
+            es.getField("data_file").schema.getField("partition").schema)
+          partRec.put("part_value", null)
+          val dfRec = new GenericData.Record(es.getField("data_file").schema)
+          dfRec.put("content", 1)
+          dfRec.put("file_path", dp)
+          dfRec.put("file_format", "PARQUET")
+          dfRec.put("partition", partRec)
+          dfRec.put("record_count", delRows)
+          dfRec.put("file_size_in_bytes", delBytes)
+          dfRec.put("lower_bounds", null)
+          dfRec.put("upper_bounds", null)
+          val e = new GenericData.Record(es)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", seq)
+          e.put("data_file", dfRec)
+          w.append(e)
+        }
+        w.close()
+      }
+      val cur = (0 until snaps0.size).map(snaps0.get)
+        .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
+      val prevManifests = IcebergLite.readAvro(cur.get("manifest-list").asText)
+      val manifestList = s"$tableDir/metadata/snap-$snapId-$tok.avro"
+      locally {
+        val w = new DataFileWriter(
+          new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
+        w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
+        prevManifests.foreach(w.append)
+        val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
+        r.put("manifest_path", mp)
+        r.put("manifest_length", new java.io.File(mp).length())
+        r.put("partition_spec_id", specId)
+        r.put("content", 1)
+        r.put("sequence_number", seq)
+        r.put("min_sequence_number", seq)
+        r.put("added_snapshot_id", snapId)
+        w.append(r)
+        w.close()
+      }
+      meta.put("last-sequence-number", seq)
+      meta.put("current-snapshot-id", snapId)
+      val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
+      snapNode.put("snapshot-id", snapId)
+      snapNode.put("sequence-number", seq)
+      snapNode.put("timestamp-ms", 1700000000000L + seq)
+      snapNode.put("manifest-list", manifestList)
+      snapNode.putObject("summary").put("operation", "delete")
+      if (casPublish(tableDir, curVersion + 1,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))) {
+        advanceHint(tableDir, curVersion + 1)
+        result = snapId
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"delete commit conflict persisted after $MaxCommitRetries attempts")
+      }
     }
-    val cur = (0 until snaps0.size).map(snaps0.get)
-      .find(_.get("snapshot-id").asLong == meta.get("current-snapshot-id").asLong).get
-    val prevManifests = IcebergLite.readAvro(cur.get("manifest-list").asText)
-    val manifestList = s"$tableDir/metadata/snap-$snapId.avro"
-    locally {
-      val w = new DataFileWriter(
-        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
-      w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
-      prevManifests.foreach(w.append)
-      val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
-      r.put("manifest_path", mp)
-      r.put("manifest_length", new java.io.File(mp).length())
-      r.put("partition_spec_id", 0)
-      r.put("content", 1)
-      r.put("sequence_number", seq)
-      r.put("min_sequence_number", seq)
-      r.put("added_snapshot_id", snapId)
-      w.append(r)
-      w.close()
-    }
-    meta.put("last-sequence-number", seq)
-    meta.put("current-snapshot-id", snapId)
-    val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
-    snapNode.put("snapshot-id", snapId)
-    snapNode.put("sequence-number", seq)
-    snapNode.put("timestamp-ms", 1700000000000L + seq)
-    snapNode.put("manifest-list", manifestList)
-    snapNode.putObject("summary").put("operation", "delete")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, "metadata",
-        s"v${curVersion + 1}.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    java.nio.file.Files.writeString(hintPath, (curVersion + 1).toString)
-    snapId
+    result
   }
 
   /** Exactly-once streaming sink hook: append one micro-batch, stamping
@@ -207,10 +343,9 @@ object IcebergWriter {
   /** Batch ids already committed via [[appendBatch]] (from the snapshot
     * summaries of the current metadata version). */
   def committedBatchIds(tableDir: String): Set[Long] = {
-    val hint = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
-    if (!java.nio.file.Files.exists(hint)) Set.empty
+    val v = currentVersion(tableDir)
+    if (v == 0) Set.empty
     else {
-      val v = java.nio.file.Files.readString(hint).trim.toInt
       val meta = mapper.readTree(java.nio.file.Files.readString(
         java.nio.file.Paths.get(tableDir, "metadata", s"v$v.metadata.json")))
       val snaps = meta.get("snapshots")
@@ -222,237 +357,276 @@ object IcebergWriter {
     }
   }
 
+  private def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+    Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+      if (f.isDirectory) parquetsUnder(f)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    }
+
+  /** One distributed pass over parquet footers: (path → stats). Only
+    * metadata-sized rows return to the driver — the production shape
+    * for a many-file commit (writers accumulate these stats in tasks;
+    * here the footer read IS task-side). */
+  private def distributedFooterStats(spark: SparkSession, paths: Seq[String])
+      : Seq[(String, (Long, Long, Map[String, Long], Map[String, Long]))] =
+    if (paths.isEmpty) Nil
+    else spark.sparkContext
+      .parallelize(paths, math.max(1, math.min(paths.size, 32)))
+      .map { p =>
+        p -> footerStats(p, new org.apache.hadoop.conf.Configuration())
+      }
+      .collect().toSeq.sortBy(_._1)
+
   private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
                      partCol: Option[String], upsertKeys: Option[Seq[String]],
                      summaryProps: Map[String, String] = Map.empty,
-                     replaceAll: Boolean = false): Long = {
+                     replaceAll: Boolean = false,
+                     filesPerPart: Int = 1,
+                     beforePublish: () => Unit = () => ()): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
-
-    // ---- current table state (absent on first commit)
-    val hintPath = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
-    val curVersion: Int =
-      if (java.nio.file.Files.exists(hintPath))
-        java.nio.file.Files.readString(hintPath).trim.toInt
-      else 0
-    val curMeta: Option[ObjectNode] =
-      if (curVersion == 0) None
-      else Some(mapper.readTree(java.nio.file.Files.readString(
-        java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
-        .asInstanceOf[ObjectNode])
-    val lastSeq = curMeta.map(_.get("last-sequence-number").asLong).getOrElse(0L)
-    val seq = lastSeq + 1
-    val snapId = curMeta.map { m =>
-      val snaps = m.get("snapshots")
-      (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).max + 1
-    }.getOrElse(1000L)
+    val tok = nextToken()
 
     // ---- distributed data write: one pass; __part duplicates the
     // partition column so data files RETAIN it (identity transform —
-    // the reader does not reconstruct partition columns from metadata)
-    require(!df.isEmpty, "commit of an empty DataFrame is not allowed")
-    val staging = s"$tableDir/stage_v${curVersion + 1}"
+    // the reader does not reconstruct partition columns from metadata).
+    // filesPerPart > 1 adds a deterministic content-hash salt: a hot
+    // partition value splits across that many tasks/files instead of
+    // funneling through one.
+    val staging = s"$tableDir/stage_$tok"
     partCol match {
+      case Some(p) if filesPerPart > 1 =>
+        df.withColumn("__part", col(p).cast("string"))
+          .withColumn("__salt",
+            pmod(hash(df.columns.map(col): _*), lit(filesPerPart)))
+          .repartition(col("__part"), col("__salt"))
+          .drop("__salt")
+          .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case Some(p) =>
         df.withColumn("__part", col(p).cast("string"))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
+      case None if filesPerPart > 1 =>
+        df.repartition(filesPerPart)
+          .write.mode("overwrite").parquet(staging)
       case None =>
         df.write.mode("overwrite").parquet(staging)
     }
 
-    // ---- stage → data/: collect (finalPath, partValue) per file
-    val stagedRoot = new java.io.File(staging)
-    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
-      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
-        if (f.isDirectory) parquetsUnder(f)
-        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
-      }
-    val moved: Seq[(String, Option[String])] = parquetsUnder(stagedRoot)
-      .sortBy(_.getAbsolutePath)
-      .zipWithIndex.map { case (f, j) =>
-        val part = f.getParentFile.getName match {
-          case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
-          case _ => None
+    // ---- stage → data/: (finalPath, partValue) per file; stats come
+    // from one distributed footer pass, and the emptiness guard rides
+    // those stats instead of a dedicated df.isEmpty pre-job
+    val staged: Seq[(java.io.File, Option[String])] =
+      parquetsUnder(new java.io.File(staging))
+        .sortBy(_.getAbsolutePath)
+        .map { f =>
+          val part = f.getParentFile.getName match {
+            case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
+            case _ => None
+          }
+          (f, part)
         }
-        val dst = new java.io.File(dir,
-          s"data/w${seq}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet")
-        java.nio.file.Files.move(f.toPath, dst.toPath)
-        (dst.getAbsolutePath, part)
-      }
-    org.apache.commons.io.FileUtils.deleteQuietly(stagedRoot)
-    require(moved.nonEmpty, "append of an empty DataFrame is not a commit")
-
-    // ---- footer stats, the manifest's file-skipping payload
-    val conf = spark.sessionState.newHadoopConf()
-    val entries = moved.map { case (path, part) =>
-      val (rows, bytes, lo, hi) = footerStats(path, conf)
-      (path, part, rows, bytes, lo, hi)
+    val stagedStats = distributedFooterStats(spark, staged.map(_._1.getAbsolutePath)).toMap
+    if (stagedStats.values.map(_._1).sum == 0L) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+      throw new IllegalArgumentException("commit of an empty DataFrame is not allowed")
     }
+    val entries: Seq[(String, Option[String], Long, Long, Map[String, Long], Map[String, Long])] =
+      staged.zipWithIndex.flatMap { case ((f, part), j) =>
+        val (rows, bytes, lo, hi) = stagedStats(f.getAbsolutePath)
+        if (rows == 0L) { f.delete(); None } // salt shards can be empty
+        else {
+          val dst = new java.io.File(dir,
+            s"data/w${tok}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          Some((dst.getAbsolutePath, part, rows, bytes, lo, hi))
+        }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(entries.nonEmpty, "append of an empty DataFrame is not a commit")
 
-    // ---- equality-delete file + its manifest (upsert commits): the
-    // incoming keys, written once, distinct — the read side anti-joins
-    // them against earlier-sequence data files only
-    val deleteManifest: Option[String] = upsertKeys.map { keys =>
-      val delStaging = s"$tableDir/stage_del_v${curVersion + 1}"
+    // ---- equality-delete file (upsert commits): the incoming keys,
+    // written once, distinct — the read side anti-joins them against
+    // earlier-sequence data files only. Written WITHOUT a single-task
+    // coalesce: each (AQE-coalesced) task emits one shard, every shard
+    // becomes its own content=2 manifest entry.
+    val eqDelFiles: Seq[(String, Long, Long)] = upsertKeys.map { keys =>
+      val delStaging = s"$tableDir/stage_del_$tok"
       df.select(keys.map(col): _*).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(delStaging)
-      val delSrc = parquetsUnder(new java.io.File(delStaging)).head
-      val delPath = new java.io.File(dir, s"data/eqdel_$seq.parquet")
-      java.nio.file.Files.move(delSrc.toPath, delPath.toPath)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delStaging))
-      val (delRows, delBytes, _, _) = footerStats(delPath.getAbsolutePath, conf)
-      val mp = s"$tableDir/metadata/manifest-d$seq.avro"
-      val w = new DataFileWriter(
-        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestEntrySchema))
-      w.create(IcebergLite.ManifestEntrySchema, new java.io.File(mp))
-      val es = IcebergLite.ManifestEntrySchema
-      val partRec = new GenericData.Record(
-        es.getField("data_file").schema.getField("partition").schema)
-      partRec.put("part_value", null)
-      val dfRec = new GenericData.Record(es.getField("data_file").schema)
-      dfRec.put("content", 2) // equality deletes
-      dfRec.put("file_path", delPath.getAbsolutePath)
-      dfRec.put("file_format", "PARQUET")
-      dfRec.put("partition", partRec)
-      dfRec.put("record_count", delRows)
-      dfRec.put("file_size_in_bytes", delBytes)
-      dfRec.put("lower_bounds", null)
-      dfRec.put("upper_bounds", null)
-      val e = new GenericData.Record(es)
-      e.put("status", 1)
-      e.put("snapshot_id", snapId)
-      e.put("sequence_number", seq)
-      e.put("data_file", dfRec)
-      w.append(e)
-      w.close()
-      mp
-    }
-
-    // ---- manifest avro for this commit
-    val manifestPath = s"$tableDir/metadata/manifest-w$seq.avro"
-    locally {
-      val w = new DataFileWriter(
-        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestEntrySchema))
-      w.create(IcebergLite.ManifestEntrySchema, new java.io.File(manifestPath))
-      entries.foreach { case (fp, part, rows, bytes, lo, hi) =>
-        val es = IcebergLite.ManifestEntrySchema
-        val partRec = new GenericData.Record(
-          es.getField("data_file").schema.getField("partition").schema)
-        partRec.put("part_value", part.orNull)
-        val dfRec = new GenericData.Record(es.getField("data_file").schema)
-        dfRec.put("content", 0)
-        dfRec.put("file_path", fp)
-        dfRec.put("file_format", "PARQUET")
-        dfRec.put("partition", partRec)
-        dfRec.put("record_count", rows)
-        dfRec.put("file_size_in_bytes", bytes)
-        def toJava(m: Map[String, Long]): java.util.Map[String, java.lang.Long] =
-          if (m.isEmpty) null
-          else { val jm = new java.util.HashMap[String, java.lang.Long]()
-            m.foreach { case (k, v) => jm.put(k, java.lang.Long.valueOf(v)) }; jm }
-        dfRec.put("lower_bounds", toJava(lo))
-        dfRec.put("upper_bounds", toJava(hi))
-        val e = new GenericData.Record(es)
-        e.put("status", 1) // ADDED
-        e.put("snapshot_id", snapId)
-        e.put("sequence_number", seq)
-        e.put("data_file", dfRec)
-        w.append(e)
-      }
-      w.close()
-    }
-
-    // ---- metadata node (created on first commit) + partition-spec
-    // resolution. PARTITION EVOLUTION (spec "Partition Evolution"):
-    // each commit's manifest records the spec it was written under; a
-    // later commit with a different partition column registers a NEW
-    // spec rather than rewriting history, and the reader prunes each
-    // file only by its own spec's column (planFiles partPruneBy).
-    val meta: ObjectNode = curMeta.getOrElse {
-      val m = mapper.createObjectNode()
-      m.put("format-version", 2)
-      m.put("table-uuid", "00000000-0000-0000-0000-000000000001")
-      m.put("location", tableDir)
-      m.putArray("partition-specs")
-      m.putArray("snapshots")
-      m
-    }
-    val specsArr = meta.withArray[ArrayNode]("partition-specs")
-    val wantedField = partCol.getOrElse("")
-    val specId: Int = (0 until specsArr.size).map(specsArr.get)
-      .find { s =>
-        val fs = s.get("fields")
-        (if (fs == null || fs.size == 0) "" else fs.get(0).get("name").asText) == wantedField
-      }
-      .map(_.get("spec-id").asInt)
-      .getOrElse {
-        val nid = (0 until specsArr.size).map(specsArr.get(_).get("spec-id").asInt)
-          .foldLeft(-1)(math.max) + 1
-        val spec = specsArr.addObject()
-        spec.put("spec-id", nid)
-        val fields = spec.putArray("fields")
-        partCol.foreach { p =>
-          val f = fields.addObject()
-          f.put("name", p); f.put("transform", "identity")
-          f.put("source-id", 1); f.put("field-id", 1000 + nid)
+        .write.mode("overwrite").parquet(delStaging)
+      val moved = parquetsUnder(new java.io.File(delStaging))
+        .sortBy(_.getAbsolutePath)
+        .zipWithIndex.map { case (f, j) =>
+          val dst = new java.io.File(dir, s"data/eqdel_${tok}_$j.parquet")
+          java.nio.file.Files.move(f.toPath, dst.toPath)
+          dst.getAbsolutePath
         }
-        nid
-      }
-
-    // ---- manifest list: previous snapshot's manifests carried
-    // forward + the new one (append semantics)
-    val prevManifests: Seq[GenericRecord] = if (replaceAll) Nil
-    else curMeta.map { m =>
-      val snaps = m.get("snapshots")
-      val cur = (0 until snaps.size).map(snaps.get)
-        .find(_.get("snapshot-id").asLong == m.get("current-snapshot-id").asLong)
-        .getOrElse(throw new IllegalStateException("current snapshot missing"))
-      IcebergLite.readAvro(cur.get("manifest-list").asText)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(delStaging))
+      distributedFooterStats(spark, moved)
+        .collect { case (p, (rows, bytes, _, _)) if rows > 0 => (p, rows, bytes) }
     }.getOrElse(Nil)
-    val manifestList = s"$tableDir/metadata/snap-$snapId.avro"
-    locally {
-      val w = new DataFileWriter(
-        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
-      w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
-      prevManifests.foreach(w.append)
-      def listEntry(mp: String, content: Int): GenericRecord = {
-        val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
-        r.put("manifest_path", mp)
-        r.put("manifest_length", new java.io.File(mp).length())
-        r.put("partition_spec_id", specId)
-        r.put("content", content)
-        r.put("sequence_number", seq)
-        r.put("min_sequence_number", seq)
-        r.put("added_snapshot_id", snapId)
-        r
-      }
-      deleteManifest.foreach(mp => w.append(listEntry(mp, 1)))
-      w.append(listEntry(manifestPath, 0))
-      w.close()
-    }
 
-    // ---- new metadata version, then the version-hint swap (the
-    // single-writer commit point — written LAST)
-    meta.put("last-sequence-number", seq)
-    meta.put("current-snapshot-id", snapId)
-    val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
-    snapNode.put("snapshot-id", snapId)
-    snapNode.put("sequence-number", seq)
-    snapNode.put("timestamp-ms", 1700000000000L + seq)
-    snapNode.put("manifest-list", manifestList)
-    val summaryNode = snapNode.putObject("summary")
-    summaryNode.put("operation",
-      if (replaceAll) "replace"
-      else if (upsertKeys.isDefined) "overwrite" else "append")
-    summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, "metadata",
-        s"v${curVersion + 1}.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    java.nio.file.Files.writeString(hintPath, (curVersion + 1).toString)
-    snapId
+    // ---- optimistic commit loop (spec "Commit conflicts"): each
+    // attempt re-reads the current metadata, re-stamps sequence and
+    // snapshot id, rewrites the (metadata-sized) manifest + list, and
+    // CAS-publishes vN+1. The staged DATA files are written once,
+    // above — conflicts re-resolve metadata only.
+    var attempt = 0
+    var result = -1L
+    while (result < 0) {
+      val curVersion = currentVersion(tableDir)
+      val curMeta: Option[ObjectNode] =
+        if (curVersion == 0) None
+        else Some(mapper.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+          .asInstanceOf[ObjectNode])
+      require(attempt == 0 || !replaceAll,
+        "REPLACE commit conflicts with a concurrent commit — rerun the " +
+          "rewrite against the new table state (retry would need " +
+          "conflicting-file revalidation, declared out of scope)")
+      val lastSeq = curMeta.map(_.get("last-sequence-number").asLong).getOrElse(0L)
+      val seq = lastSeq + 1
+      val snapId = curMeta.map { m =>
+        val snaps = m.get("snapshots")
+        (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).max + 1
+      }.getOrElse(1000L)
+
+      // manifest avro for this commit's data files
+      val manifestPath = s"$tableDir/metadata/manifest-w$tok-$attempt.avro"
+      locally {
+        val w = new DataFileWriter(
+          new GenericDatumWriter[GenericRecord](IcebergLite.ManifestEntrySchema))
+        w.create(IcebergLite.ManifestEntrySchema, new java.io.File(manifestPath))
+        entries.foreach { case (fp, part, rows, bytes, lo, hi) =>
+          val es = IcebergLite.ManifestEntrySchema
+          val partRec = new GenericData.Record(
+            es.getField("data_file").schema.getField("partition").schema)
+          partRec.put("part_value", part.orNull)
+          val dfRec = new GenericData.Record(es.getField("data_file").schema)
+          dfRec.put("content", 0)
+          dfRec.put("file_path", fp)
+          dfRec.put("file_format", "PARQUET")
+          dfRec.put("partition", partRec)
+          dfRec.put("record_count", rows)
+          dfRec.put("file_size_in_bytes", bytes)
+          def toJava(m: Map[String, Long]): java.util.Map[String, java.lang.Long] =
+            if (m.isEmpty) null
+            else { val jm = new java.util.HashMap[String, java.lang.Long]()
+              m.foreach { case (k, v) => jm.put(k, java.lang.Long.valueOf(v)) }; jm }
+          dfRec.put("lower_bounds", toJava(lo))
+          dfRec.put("upper_bounds", toJava(hi))
+          val e = new GenericData.Record(es)
+          e.put("status", 1) // ADDED
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", seq)
+          e.put("data_file", dfRec)
+          w.append(e)
+        }
+        w.close()
+      }
+
+      // equality-delete manifest (upsert commits)
+      val deleteManifest: Option[String] =
+        if (eqDelFiles.isEmpty) None
+        else Some {
+          val mp = s"$tableDir/metadata/manifest-d$tok-$attempt.avro"
+          val es = IcebergLite.ManifestEntrySchema
+          val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
+          w.create(es, new java.io.File(mp))
+          eqDelFiles.foreach { case (dp, delRows, delBytes) =>
+            val partRec = new GenericData.Record(
+              es.getField("data_file").schema.getField("partition").schema)
+            partRec.put("part_value", null)
+            val dfRec = new GenericData.Record(es.getField("data_file").schema)
+            dfRec.put("content", 2) // equality deletes
+            dfRec.put("file_path", dp)
+            dfRec.put("file_format", "PARQUET")
+            dfRec.put("partition", partRec)
+            dfRec.put("record_count", delRows)
+            dfRec.put("file_size_in_bytes", delBytes)
+            dfRec.put("lower_bounds", null)
+            dfRec.put("upper_bounds", null)
+            val e = new GenericData.Record(es)
+            e.put("status", 1)
+            e.put("snapshot_id", snapId)
+            e.put("sequence_number", seq)
+            e.put("data_file", dfRec)
+            w.append(e)
+          }
+          w.close()
+          mp
+        }
+
+      // metadata node (created on first commit) + spec resolution
+      val meta: ObjectNode = curMeta.getOrElse {
+        val m = mapper.createObjectNode()
+        m.put("format-version", 2)
+        m.put("table-uuid", "00000000-0000-0000-0000-000000000001")
+        m.put("location", tableDir)
+        m.putArray("partition-specs")
+        m.putArray("snapshots")
+        m
+      }
+      val specId = resolveSpecId(meta, partCol)
+
+      // manifest list: current snapshot's manifests carried forward +
+      // the new one (append semantics); REPLACE lists only the new one
+      val prevManifests: Seq[GenericRecord] = if (replaceAll) Nil
+      else curMeta.map { m =>
+        val snaps = m.get("snapshots")
+        val cur = (0 until snaps.size).map(snaps.get)
+          .find(_.get("snapshot-id").asLong == m.get("current-snapshot-id").asLong)
+          .getOrElse(throw new IllegalStateException("current snapshot missing"))
+        IcebergLite.readAvro(cur.get("manifest-list").asText)
+      }.getOrElse(Nil)
+      val manifestList = s"$tableDir/metadata/snap-$snapId-$tok.avro"
+      locally {
+        val w = new DataFileWriter(
+          new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
+        w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
+        prevManifests.foreach(w.append)
+        def listEntry(mp: String, content: Int): GenericRecord = {
+          val r = new GenericData.Record(IcebergLite.ManifestFileSchema)
+          r.put("manifest_path", mp)
+          r.put("manifest_length", new java.io.File(mp).length())
+          r.put("partition_spec_id", specId)
+          r.put("content", content)
+          r.put("sequence_number", seq)
+          r.put("min_sequence_number", seq)
+          r.put("added_snapshot_id", snapId)
+          r
+        }
+        deleteManifest.foreach(mp => w.append(listEntry(mp, 1)))
+        w.append(listEntry(manifestPath, 0))
+        w.close()
+      }
+
+      // new metadata version, CAS-published; hint advances after
+      meta.put("last-sequence-number", seq)
+      meta.put("current-snapshot-id", snapId)
+      val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
+      snapNode.put("snapshot-id", snapId)
+      snapNode.put("sequence-number", seq)
+      snapNode.put("timestamp-ms", 1700000000000L + seq)
+      snapNode.put("manifest-list", manifestList)
+      val summaryNode = snapNode.putObject("summary")
+      summaryNode.put("operation",
+        if (replaceAll) "replace"
+        else if (upsertKeys.isDefined) "overwrite" else "append")
+      summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
+      if (attempt == 0) beforePublish()
+      if (casPublish(tableDir, curVersion + 1,
+          mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))) {
+        advanceHint(tableDir, curVersion + 1)
+        result = snapId
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"commit conflict persisted after $MaxCommitRetries attempts")
+      }
+    }
+    result
   }
 
   /** Snapshot EXPIRY + orphan cleanup (the spec's expire_snapshots /
@@ -461,13 +635,14 @@ object IcebergWriter {
     * expired ones, delete their manifest lists, and physically delete
     * every data/delete/manifest file referenced ONLY by expired
     * snapshots. Metadata-sized driver work; the file-reachability set
-    * is the union of the kept snapshots' plans. Returns the deleted
-    * file paths. At 100 TB this is what keeps a CDC-upserted table from
-    * growing without bound. */
+    * is the union of the kept snapshots' plans. The version bump is
+    * CAS-published like a commit — racing a concurrent writer fails
+    * loudly instead of clobbering its version. Returns the deleted
+    * file paths. At 100 TB this is what keeps a CDC-upserted table
+    * from growing without bound. */
   def expireSnapshots(tableDir: String, keepLast: Int): Seq[String] = {
     require(keepLast >= 1, "must keep at least the current snapshot")
-    val hintPath = java.nio.file.Paths.get(tableDir, "metadata", "version-hint.text")
-    val curVersion = java.nio.file.Files.readString(hintPath).trim.toInt
+    val curVersion = currentVersion(tableDir)
     val meta = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
       .asInstanceOf[ObjectNode]
@@ -496,6 +671,15 @@ object IcebergWriter {
     val expiredSets = expired.map { s =>
       (s.get("manifest-list").asText, filesOf(s.get("snapshot-id").asLong))
     }
+    // rewrite metadata with only the kept snapshots FIRST (CAS) — only
+    // after the new version is live do the unreachable files go away
+    val newSnaps = mapper.createArrayNode()
+    kept.foreach(newSnaps.add)
+    meta.set[ObjectNode]("snapshots", newSnaps)
+    require(casPublish(tableDir, curVersion + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
+      "expireSnapshots lost a version race with a concurrent commit — rerun")
+    advanceHint(tableDir, curVersion + 1)
     expiredSets.foreach { case (ml, (data, manifests)) =>
       (data -- keptData).foreach { p =>
         if (new java.io.File(p).delete()) deleted += p
@@ -505,20 +689,12 @@ object IcebergWriter {
       }
       if (new java.io.File(ml).delete()) deleted += ml
     }
-    // rewrite metadata with only the kept snapshots, bump the version
-    val newSnaps = mapper.createArrayNode()
-    kept.foreach(newSnaps.add)
-    meta.set[ObjectNode]("snapshots", newSnaps)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, "metadata",
-        s"v${curVersion + 1}.metadata.json"),
-      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))
-    java.nio.file.Files.writeString(hintPath, (curVersion + 1).toString)
     deleted.result()
   }
 
   /** Record count, byte size, and integral-column lower/upper bounds
-    * from one parquet footer — metadata-sized, no data read. */
+    * from one parquet footer — metadata-sized, no data read. Runs
+    * task-side in [[distributedFooterStats]]. */
   private[ops] def footerStats(path: String,
                                conf: org.apache.hadoop.conf.Configuration)
       : (Long, Long, Map[String, Long], Map[String, Long]) = {

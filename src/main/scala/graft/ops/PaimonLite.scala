@@ -49,10 +49,12 @@ import org.apache.spark.sql.functions._
   *    RowKind, i.e. a real changelog.
   *
   * Honest scope (documented, not hidden): identity partition values
-  * serialized as strings (real Paimon serializes a BinaryRow),
-  * deduplicate merge engine only (no partial-update/aggregation
-  * engines), no changelog-producer files, and the writer below is
-  * fixture scaffolding — the production commit protocol stays
+  * serialized as strings (real Paimon serializes a BinaryRow); merge
+  * engines covered are deduplicate ([[readSnapshot]]), partial-update
+  * ([[readSnapshotPartialUpdate]]) and aggregation
+  * ([[readSnapshotAggMerge]]); the writer below is fixture
+  * scaffolding — the single-writer commit path lives in
+  * [[PaimonWriter]], the production concurrent-commit protocol stays
   * connector territory. Correctness is non-circular: the
   * `src_paimon_*` oracles recompute expected content from the base
   * lineitem table by predicate. */

@@ -132,7 +132,9 @@ object PaimonWriter {
         java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
       java.nio.file.Files.writeString(bucketsPath, numBuckets.toString)
     }
-    java.nio.file.Files.writeString(latestPath, snapId.toString)
+    // LATEST is the commit point: publish atomically (temp + rename)
+    // so a concurrent reader never observes a truncated hint
+    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
     snapId
   }
 }
