@@ -169,14 +169,86 @@ object ScaleProbe {
       cart ++ slow
     }
     val lakeFailures = lakeMetaProbe(spark)
+    val writerFailures = writerScaleProbe(spark)
     spark.stop()
-    val allFailures = failures ++ lakeFailures
+    val allFailures = failures ++ lakeFailures ++ writerFailures
     if (allFailures.nonEmpty) {
       allFailures.foreach(f => println(s"[scale5x] FAIL $f"))
       sys.exit(1)
     }
     println(s"[scale5x] PASS ${specs.size} queries within growth bounds, " +
-      "no cartesian; 4 lakehouse formats plan metadata-only at 50 commits")
+      "no cartesian; 4 lakehouse formats plan metadata-only at 50 commits; " +
+      "writer probes hold (many-file commit + descriptor-sized DV delete)")
+  }
+
+  /** Writer-scale probe (r10-verdict #1/#5): the write paths' driver
+    * state must stay METADATA-sized as files and deleted rows grow.
+    *  - Many-file Iceberg commit: 50 partitions × 4 salt files ≈ 200
+    *    files in ONE commit — every file must register with exact
+    *    record counts (the distributed footer-stats pass), the commit
+    *    must finish inside a generous wall bound, and the metadata
+    *    version must stay KB-sized while the data dir holds the files.
+    *  - Broad Delta DV delete: ~130k deleted rows across many files —
+    *    the COMMIT JSON must stay descriptor-sized (< 64 KB: positions
+    *    live in the roaring .bin shards written by tasks, never in
+    *    driver-held JSON), and the survivor read must be value-exact.
+    *    A driver that still collected positions would not fail this
+    *    size gate, but the one it feeds (an O(rows) commit encoding)
+    *    would. */
+  private def writerScaleProbe(spark: SparkSession): Seq[String] = {
+    val s2 = spark
+    import s2.implicits._
+    val failures = Seq.newBuilder[String]
+    val base = new java.io.File("target/writerscale").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+    try {
+      // many-file commit
+      val iceDir = s"$base/iceberg_manyfiles"
+      val rows = spark.range(0, 400000)
+        .select(col("id").as("k"), (col("id") % 50).cast("string").as("p"),
+          (col("id") * 7 % 1000).as("v"))
+      val t0 = System.nanoTime()
+      graft.ops.IcebergWriter.append(spark, iceDir, rows,
+        partCol = Some("p"), filesPerPart = 4)
+      val commitS = (System.nanoTime() - t0) / 1e9
+      val files = graft.ops.IcebergLite.planFiles(iceDir).filter(_.content == 0)
+      println(f"[writerscale] iceberg: ${files.size} files committed in " +
+        f"$commitS%.1f s; manifest rows ${files.map(_.recordCount).sum}")
+      if (files.size < 100)
+        failures += s"many-file commit produced only ${files.size} files (wanted ~200)"
+      if (files.map(_.recordCount).sum != 400000L)
+        failures += "manifest record counts do not cover the committed rows"
+      if (commitS > 120.0)
+        failures += f"200-file commit took $commitS%.1f s — driver-side serialization suspected"
+      val metaBytes = new java.io.File(iceDir, "metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json")).map(_.length()).max
+      if (metaBytes > 64 * 1024)
+        failures += s"metadata version is $metaBytes bytes — not metadata-sized"
+
+      // broad DV delete
+      val dvDir = s"$base/delta_broad_dv"
+      graft.ops.DeltaWriter.append(spark, dvDir,
+        spark.range(0, 400000).select(col("id").as("k"),
+          (col("id") % 20).cast("string").as("p")),
+        partCol = Some("p"))
+      graft.ops.DeltaWriter.deleteRows(spark, dvDir, col("k") % 3 === 0)
+      val commitJson = new java.io.File(dvDir, "_delta_log")
+        .listFiles().filter(_.getName == f"${1L}%020d.json").head
+      val survivors = graft.ops.DeltaLite.readVersion(spark, dvDir).count()
+      println(f"[writerscale] delta DV: deleted ${400000 - survivors} rows, " +
+        f"commit JSON ${commitJson.length()} bytes")
+      if (survivors != (0L until 400000L).count(_ % 3 != 0))
+        failures += s"DV survivor count wrong: $survivors"
+      if (commitJson.length() > 64 * 1024)
+        failures += s"DV commit JSON is ${commitJson.length()} bytes for ~133k " +
+          "deleted rows — positions are riding the driver commit, not the .bin shards"
+      if (!new java.io.File(dvDir, "deletion_vectors").listFiles()
+          .exists(_.getName.endsWith(".bin")))
+        failures += "no DV .bin shard written"
+    } catch { case e: Throwable =>
+      failures += s"writer-scale probe crashed: ${e.getMessage}"
+    }
+    failures.result()
   }
 
   /** Lakehouse metadata-replay probe (r9-verdict #8): the FE-role claim

@@ -446,6 +446,204 @@ object HudiLite {
     out.result()
   }
 
+  // ------------------------------------------------- user-facing writer (r11)
+
+  /** CREATE a MoR table from a DataFrame — the distributed base-commit
+    * write completing the user-facing trio with [[upsert]] and
+    * [[deleteKeys]]: rows bucket into `groupsPerPart` file groups per
+    * partition by key hash (Hudi's fixed record-key → file-group
+    * routing), one parquet base file per group written by the task that
+    * owns it, and the `.commit` timeline instant written last. */
+  def createTable(spark: SparkSession, tableDir: String, df: DataFrame,
+                  keyCols: Seq[String], partCol: String,
+                  instant: String, groupsPerPart: Int = 2): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains) &&
+      df.columns.contains(partCol), "key/partition columns must exist")
+    val dir = new java.io.File(tableDir)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    new java.io.File(dir, ".hoodie").mkdirs()
+    val staging = s"$tableDir/tmp_create"
+    val n = math.max(groupsPerPart,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    df.withColumn("__part", col(partCol).cast("string"))
+      .withColumn("__grp", pmod(hash(keyCols.map(col): _*), lit(groupsPerPart)))
+      .repartition(n, col("__part"), col("__grp")) // explicit n: AQE must not re-merge groups
+      .drop("__grp")
+      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val entries = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.flatMap { case (f, j) =>
+        val part = f.getParentFile.getName.stripPrefix("__part=")
+        if (f.length() == 0L) None
+        else {
+          val fid = s"g$j"
+          val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+          new java.io.File(dir, part).mkdirs()
+          java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+          Some((part, fid, rel))
+        }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(entries.nonEmpty, "createTable of an empty DataFrame")
+    val statsJson = entries.groupBy(_._1).map { case (part, es) =>
+      val js = es.map { case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }
+      s""""$part":[${js.mkString(",")}]"""
+    }.mkString(",")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
+      s"""{"partitionToWriteStats":{$statsJson}}""")
+  }
+
+  /** The record-key → file-group index of the current table state:
+    * DataFrame(keyCols..., __fid). Base keys come from one distributed
+    * key-column parquet scan (fileId resolved from `_metadata.file_path`
+    * through the metadata-sized slice map); log-borne keys (earlier
+    * upserts of NEW records) decode distributed from the log bytes.
+    * This is the Spark spelling of Hudi's record index / bloom-index
+    * lookup — the thing that pins a key to its group for life. */
+  private def keyIndex(spark: SparkSession, keyCols: Seq[String],
+                       slices: Seq[(String, String, String, String, Seq[String])])
+      : DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val fidByPath: Map[String, String] =
+      (slices.map(s => s._1.replaceAll("^file:+", "") -> s._3) ++
+        slices.flatMap(s => s._5.map(lp =>
+          new java.io.File(lp).getAbsolutePath -> s._3))).toMap
+    val baseKeys = spark.read.parquet(slices.map(_._1): _*)
+      .select(keyCols.map(col) :+
+        element_at(typedLit(fidByPath),
+          regexp_replace(col("_metadata.file_path"), "^file:+", "")).as("__fid"): _*)
+    val logPaths = slices.flatMap(_._5)
+    if (logPaths.isEmpty) baseKeys
+    else {
+      val keySchema = StructType(
+        baseKeys.schema.fields.filter(f => keyCols.contains(f.name)) :+
+          StructField("__fid", StringType, nullable = false))
+      val logRows = spark.sparkContext
+        .binaryFiles(logPaths.map(new java.io.File(_).getAbsolutePath).mkString(","))
+        .flatMap { case (p, pds) =>
+          val fid = fidByPath(new java.io.File(
+            new java.net.URI(p).getPath).getAbsolutePath)
+          parseLogBytes(pds.toArray()).flatMap { case (_, _, _, recs) =>
+            recs.map { rec =>
+              val vals = keyCols.map { n =>
+                rec.get(n) match {
+                  case u: org.apache.avro.util.Utf8 => u.toString
+                  case x => x
+                }
+              }
+              Row.fromSeq(vals :+ fid)
+            }
+          }
+        }
+      baseKeys.unionByName(spark.createDataFrame(logRows, keySchema))
+    }
+  }
+
+  /** UPSERT one batch as a `.deltacommit`: existing keys route to the
+    * file group that owns them (via [[keyIndex]]); NEW keys route to a
+    * group of their partition by key hash (loud error on an unknown
+    * partition — base groups are created by [[createTable]]/commits).
+    * One log file per touched file group, written EXECUTOR-SIDE by the
+    * task owning that group after a fileId repartition — the driver
+    * sees only the (partition, fileId, path) stats rows, exactly how
+    * this parallelizes on a 1000-executor cluster. */
+  def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
+             keyCols: Seq[String], partCol: String, instant: String): Unit =
+    writeDeltaCommitDistributed(spark, tableDir, df, keyCols,
+      Some(partCol), instant, BlockData)
+
+  /** DELETE keys as a `.deltacommit` of delete blocks: `keysDf` holds
+    * the key columns only; every key must resolve through the index
+    * (loud error otherwise — deleting an unknown key is a premise
+    * violation, not a no-op). */
+  def deleteKeys(spark: SparkSession, tableDir: String, keysDf: DataFrame,
+                 keyCols: Seq[String], instant: String): Unit = {
+    require(keysDf.columns.toSeq.sorted == keyCols.sorted,
+      s"deleteKeys wants exactly the key columns, got ${keysDf.columns.toSeq}")
+    writeDeltaCommitDistributed(spark, tableDir, keysDf, keyCols,
+      None, instant, BlockDelete)
+  }
+
+  private def writeDeltaCommitDistributed(spark: SparkSession, tableDir: String,
+                                          df: DataFrame, keyCols: Seq[String],
+                                          partCol: Option[String], instant: String,
+                                          blockType: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    require(Option(new java.io.File(tableDir, ".hoodie").list())
+        .getOrElse(Array.empty)
+        .forall(f => f.split('.').head < instant),
+      s"instant $instant must follow the timeline")
+    val slices = planFilesMor(tableDir)
+    val index = keyIndex(spark, keyCols, slices)
+      .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
+    val tagged = df.join(index, keyCols, "left")
+    // NEW keys (upserts only): route by key hash into the partition's
+    // existing groups — codegen element_at over a broadcast-small
+    // (partition → group list) frame, no UDF
+    val routed = partCol match {
+      case Some(p) =>
+        val groupRows = slices.groupBy(_._2).toSeq.sortBy(_._1).map {
+          case (part, ss) => (part, ss.map(_._3).distinct.sorted)
+        }
+        val groupsDf = spark.createDataFrame(groupRows)
+          .toDF("__gpart", "__fids")
+        tagged
+          .join(broadcast(groupsDf), col(p).cast("string") === col("__gpart"), "left")
+          .withColumn("__fid", coalesce(col("__fid"),
+            when(col("__fids").isNull, raise_error(concat(
+              lit("upsert into unknown partition: "), col(p).cast("string"))))
+              .otherwise(element_at(col("__fids"),
+                (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
+                  .cast("int")))))
+          .drop("__gpart", "__fids")
+      case None =>
+        tagged.withColumn("__fid",
+          when(col("__fid").isNull, raise_error(concat(
+            lit("deleteKeys of unknown key: "), concat_ws(",",
+              keyCols.map(c => col(c).cast("string")): _*))))
+            .otherwise(col("__fid")))
+    }
+    val dataCols = df.columns.toSeq
+    val schema = df.select(dataCols.map(col): _*).schema
+    val metaByFid: Map[String, (String, String)] =
+      slices.map(s => s._3 -> (s._2, s._4)).toMap
+    val bcMeta = spark.sparkContext.broadcast(metaByFid)
+    val tdir = tableDir
+    val stats: Seq[(String, String, String, String)] = routed
+      .select(col("__fid") +: dataCols.map(col): _*)
+      .repartition(col("__fid"))
+      .rdd.mapPartitions { it =>
+        val byFid = it.toVector.groupBy(_.getString(0))
+        byFid.iterator.map { case (fid, rows) =>
+          val (part, baseInstant) = bcMeta.value(fid)
+          val rel = s"$part/${fid}_$baseInstant.log.$instant"
+          val f = new java.io.File(tdir, rel)
+          f.delete() // task-retry overwrite (writeLogFile appends)
+          writeLogFile(f.getAbsolutePath, Seq(LogBlock(blockType, instant,
+            rows.map(r => Row.fromSeq(r.toSeq.drop(1))), schema)))
+          (part, fid, baseInstant, rel)
+        }
+      }.collect().toSeq.sortBy(_._4)
+    require(stats.nonEmpty, "empty delta commit")
+    val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
+      val js = ss.map { case (_, fid, baseInstant, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}""" }
+      s""""$part":[${js.mkString(",")}]"""
+    }.mkString(",")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
+      s"""{"partitionToWriteStats":{$statsJson}}""")
+  }
+
   /** COMPACTION (the MoR maintenance write): rewrite every file group
     * that has log files as a fresh base slice holding its merged state,
     * committed as one `.commit` timeline instant. The file-slice rule

@@ -397,10 +397,14 @@ object IcebergWriter {
     val staging = s"$tableDir/stage_$tok"
     partCol match {
       case Some(p) if filesPerPart > 1 =>
+        // explicit partition count: an AQE-coalesced exchange would
+        // re-merge the salt groups and defeat the split
+        val n = math.max(filesPerPart,
+          df.sparkSession.sessionState.conf.numShufflePartitions)
         df.withColumn("__part", col(p).cast("string"))
           .withColumn("__salt",
             pmod(hash(df.columns.map(col): _*), lit(filesPerPart)))
-          .repartition(col("__part"), col("__salt"))
+          .repartition(n, col("__part"), col("__salt"))
           .drop("__salt")
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case Some(p) =>

@@ -269,6 +269,47 @@ object PaimonLite {
     spark.read.parquet(files: _*).drop("_SEQUENCE_NUMBER")
   }
 
+  /** APPEND-ONLY (non-PK) table read — the spec's "Append Table": no
+    * merge, no system columns, a plain scan of the live files after
+    * the same snapshot/manifest replay and partition prune. */
+  def readAppendOnly(spark: SparkSession, tableDir: String,
+                     snapshotId: Option[Long] = None,
+                     partFilter: Option[String => Boolean] = None): DataFrame = {
+    val files = planFiles(tableDir, snapshotId, partFilter)
+    require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
+    spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+  }
+
+  /** CHANGELOG read over (fromSnapshot, toSnapshot] against a table
+    * written with changelog-producer = input: each snapshot's
+    * changelogManifestList names the persisted changelog files — the
+    * stream survives compactions rewriting the data files, which is
+    * the reason the producer exists. RowKind kept (`_VALUE_KIND`).
+    * Loud when a snapshot in the window carries no changelog (the
+    * table was not written with a producer — falling back to delta
+    * files would silently change semantics under compaction). */
+  def readChangelog(spark: SparkSession, tableDir: String,
+                    fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    require(fromSnapshotId < toSnapshotId,
+      s"from ($fromSnapshotId) must precede to ($toSnapshotId)")
+    val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+      val snap = snapshotNode(tableDir, id)
+      val cl = snap.get("changelogManifestList")
+      require(cl != null,
+        s"snapshot $id has no changelogManifestList — table written " +
+          "without changelog-producer")
+      manifestEntries(tableDir, cl.asText)
+        .filter(_.get("_KIND").asInstanceOf[Int] == 0)
+        .map { e =>
+          val f = e.get("_FILE").asInstanceOf[GenericRecord]
+          val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
+          s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+        }
+    }
+    require(files.nonEmpty, "no changelog files in the window")
+    spark.read.parquet(files: _*).drop("_SEQUENCE_NUMBER")
+  }
+
   // ------------------------------------------------------- writer (fixture)
   /** One staged write: rows must already carry `_SEQUENCE_NUMBER` and
     * `_VALUE_KIND` (the fixture assigns them the way a real writer

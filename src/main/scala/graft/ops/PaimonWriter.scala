@@ -34,18 +34,118 @@ import org.apache.spark.sql.functions._
   * [[PaimonLite]] chain against oracles recomputed by predicate. */
 object PaimonWriter {
 
+  /** APPEND-ONLY (non-PK) table write — the spec's "Append Table":
+    * no primary key, no LSM merge, rows are immutable facts. The data
+    * pass is one distributed partition-clustered write (no bucket
+    * routing — append tables have no key to route by), the commit is
+    * the same snapshot/manifest chain, and the read side is a plain
+    * scan of the live files ([[PaimonLite.readAppendOnly]]). A
+    * `TYPE` marker keeps PK and append-only commits from mixing on one
+    * table (they have different read disciplines). */
+  def appendOnly(spark: SparkSession, tableDir: String, df: DataFrame,
+                 partCol: String): Long = {
+    val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "snapshot").mkdirs()
+    new java.io.File(dir, "manifest").mkdirs()
+    val typePath = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
+    if (java.nio.file.Files.exists(typePath))
+      require(java.nio.file.Files.readString(typePath).trim == "append-only",
+        "table is not append-only")
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    val curSnap: Long =
+      if (java.nio.file.Files.exists(latestPath))
+        java.nio.file.Files.readString(latestPath).trim.toLong
+      else 0L
+    val snapId = curSnap + 1
+    val staging = s"$tableDir/stage_s$snapId"
+    df.withColumn("__part", col(partCol).cast("string"))
+      .repartition(col("__part"))
+      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val adds = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val part = f.getParentFile.getName.stripPrefix("__part=")
+        val rel = s"$part/bucket-0/data-a$snapId-$j.parquet"
+        val dst = new java.io.File(dir, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        val (rows, bytes, _, _) =
+          IcebergWriter.footerStats(dst.getAbsolutePath, conf)
+        (PaimonLite.FileMeta(rel, Some(part), bucket = 0, level = 0,
+          minSeq = snapId, maxSeq = snapId, rowCount = rows), bytes)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(adds.nonEmpty && adds.map(_._1.rowCount).sum > 0,
+      "append of an empty DataFrame is not a commit")
+    commitSnapshot(tableDir, snapId, curSnap, adds, changelog = Nil)
+    if (curSnap == 0L) {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
+      java.nio.file.Files.writeString(typePath, "append-only")
+    }
+    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
+    snapId
+  }
+
+  /** Shared commit tail: manifest, carried-forward base list, delta
+    * list, optional CHANGELOG manifest list, snapshot JSON. LATEST is
+    * swapped by the caller (after any creation markers). */
+  private def commitSnapshot(tableDir: String, snapId: Long, curSnap: Long,
+                             adds: Seq[(PaimonLite.FileMeta, Long)],
+                             changelog: Seq[(PaimonLite.FileMeta, Long)]): Unit = {
+    val mName = s"manifest-w$snapId"
+    PaimonLite.writeManifestAvro(tableDir, mName, adds, Nil)
+    val prevManifests: Seq[String] =
+      if (curSnap == 0L) Nil
+      else PaimonLite.snapshotManifestNames(tableDir, curSnap)
+    val baseName = s"manifest-list-w$snapId-base"
+    val deltaName = s"manifest-list-w$snapId-delta"
+    PaimonLite.writeManifestListAvro(tableDir, baseName, prevManifests)
+    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
+    val clField = if (changelog.isEmpty) "" else {
+      val clManifest = s"manifest-cl$snapId"
+      PaimonLite.writeManifestAvro(tableDir, clManifest, changelog, Nil)
+      val clList = s"manifest-list-w$snapId-changelog"
+      PaimonLite.writeManifestListAvro(tableDir, clList, Seq(clManifest))
+      s""""changelogManifestList":"$clList","""
+    }
+    val snapJson =
+      s"""{"version":3,"id":$snapId,"schemaId":0,
+         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+         |$clField"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
+         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"), snapJson)
+  }
+
   /** Append `df` as one APPEND snapshot, creating the table on first
     * use. `df` may carry a `_VALUE_KIND` column (+I/+U/-D codes);
-    * absent, every row commits as an insert. Returns the snapshot id. */
+    * absent, every row commits as an insert. With
+    * `changelogProducer = true` the commit also emits CHANGELOG files —
+    * the spec's changelog-producer = "input": the input records,
+    * RowKind kept, persisted as separate `changelog-*` files referenced
+    * by the snapshot's changelogManifestList, so streaming readers
+    * ([[PaimonLite.readChangelog]]) survive compactions rewriting the
+    * data files. Returns the snapshot id. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: String, keyCols: Seq[String],
-             numBuckets: Int = 4): Long = {
+             numBuckets: Int = 4, changelogProducer: Boolean = false): Long = {
     require(keyCols.contains(partCol),
       "paimon requires the partition column inside the primary key")
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
 
+    val typePath0 = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
+    if (java.nio.file.Files.exists(typePath0))
+      require(java.nio.file.Files.readString(typePath0).trim == "primary-key",
+        "table is append-only — PK commits have a different read discipline")
     val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
     val curSnap: Long =
       if (java.nio.file.Files.exists(latestPath))
@@ -109,28 +209,34 @@ object PaimonWriter {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     require(adds.nonEmpty, "append of an empty DataFrame is not a commit")
 
-    // commit: manifest, carried-forward base list, delta list, snapshot
-    // JSON, LATEST swap last
-    val mName = s"manifest-w$snapId"
-    PaimonLite.writeManifestAvro(tableDir, mName, adds, Nil)
-    val prevManifests: Seq[String] =
-      if (curSnap == 0L) Nil
-      else PaimonLite.snapshotManifestNames(tableDir, curSnap)
-    val baseName = s"manifest-list-w$snapId-base"
-    val deltaName = s"manifest-list-w$snapId-delta"
-    PaimonLite.writeManifestListAvro(tableDir, baseName, prevManifests)
-    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
-    val snapJson =
-      s"""{"version":3,"id":$snapId,"schemaId":0,
-         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
-         |"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
-         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"), snapJson)
+    // changelog-producer = input: the committed input records persist a
+    // second time as changelog-* files (same bytes, separate identity —
+    // a later compaction rewriting the DATA files must not take the
+    // changelog with it). The CHANGELOG marker keeps the producer
+    // setting consistent across commits: a gap in the changelog stream
+    // is silent data loss for a streaming reader.
+    val clPath = java.nio.file.Paths.get(tableDir, "snapshot", "CHANGELOG")
+    if (curSnap > 0L)
+      require(java.nio.file.Files.exists(clPath) == changelogProducer,
+        "changelog-producer setting must not change mid-table")
+    val changelog: Seq[(PaimonLite.FileMeta, Long)] =
+      if (!changelogProducer) Nil
+      else adds.map { case (m, bytes) =>
+        val name = m.path.split("/").last
+        val clRel = m.path.stripSuffix(name) + s"changelog-$name"
+        java.nio.file.Files.copy(
+          new java.io.File(dir, m.path).toPath,
+          new java.io.File(dir, clRel).toPath)
+        (m.copy(path = clRel), bytes)
+      }
+
+    commitSnapshot(tableDir, snapId, curSnap, adds, changelog)
     if (curSnap == 0L) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
       java.nio.file.Files.writeString(bucketsPath, numBuckets.toString)
+      java.nio.file.Files.writeString(typePath0, "primary-key")
+      if (changelogProducer) java.nio.file.Files.writeString(clPath, "input")
     }
     // LATEST is the commit point: publish atomically (temp + rename)
     // so a concurrent reader never observes a truncated hint

@@ -1,0 +1,163 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{DeltaLite, DeltaWriter, HudiLite, IcebergLite, IcebergWriter, PaimonLite, PaimonWriter}
+
+/** SQL surface for the in-repo lakehouse writers — the `graft_iceberg`
+  * / `graft_delta` / `graft_hudi` / `graft_paimon` catalog names
+  * (deliberately NOT the connector strings: everything routes through
+  * the repo's own readers/writers, no jars). Reference shape: the
+  * multi-catalog DDL/DML surface of fe/fe-core/.../datasource/ — here
+  * re-expressed as a pre-parse statement route in [[GraftSqlParser]],
+  * the same mechanism WITH RECURSIVE uses (RecursiveSql.scala).
+  *
+  * Grammar (own catalogs, spec-minimal):
+  *   CREATE [OR REPLACE] TABLE graft_<fmt>.<name>
+  *     [PRIMARY KEY (k, ...)] [PARTITIONED BY (p)] AS <select>
+  *   INSERT INTO graft_<fmt>.<name> <select>
+  *   DELETE FROM graft_<fmt>.<name> WHERE <cond>      (iceberg | delta)
+  *   SELECT ... FROM graft_<fmt>.<name> ...           (any statement)
+  *
+  * Tables live under `spark.graft.lakehouse.dir` (default
+  * target/lakehouse) as `<fmt>/<name>`; the catalog metadata a real FE
+  * would hold (partition column, primary key) persists in a
+  * `_graft_table.json` sidecar written at CREATE, so INSERT/SELECT
+  * need only the name. Writes execute eagerly during the parse
+  * pre-pass (the RecursiveSql precedent) and the statement resolves to
+  * `SELECT <version> AS committed_version`; reads substitute each
+  * reference with a temp view over the format's independent read path
+  * (snapshot semantics: the view is re-registered per statement).
+  * Paimon without PRIMARY KEY creates an append-only table. */
+object LakehouseSql {
+
+  private val CreateRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*" +
+      "(?:PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*)?" +
+      "(?:PARTITIONED\\s+BY\\s*\\(([^)]*)\\)\\s*)?" +
+      "AS\\s+(.*)$").r
+  private val InsertRe =
+    "(?is)^\\s*INSERT\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$".r
+  private val DeleteRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+WHERE\\s+(.*)$".r
+  private val RefRe = "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)".r
+
+  def handles(sql: String): Boolean = RefRe.findFirstIn(sql).isDefined
+
+  private def warehouse(spark: SparkSession): String =
+    spark.conf.getOption("spark.graft.lakehouse.dir")
+      .getOrElse("target/lakehouse")
+
+  private def tableDir(spark: SparkSession, fmt: String, name: String): String =
+    new java.io.File(s"${warehouse(spark)}/$fmt/$name").getAbsolutePath
+
+  private final case class Props(partCol: Option[String], keyCols: Seq[String])
+
+  private def writeProps(dir: String, p: Props): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_table.json"),
+      s"""{"partCol":${p.partCol.map(c => s""""$c"""").getOrElse("null")},""" +
+        s""""keyCols":[${p.keyCols.map(c => s""""$c"""").mkString(",")}]}""")
+  }
+
+  private def readProps(dir: String): Props = {
+    val f = java.nio.file.Paths.get(dir, "_graft_table.json")
+    require(java.nio.file.Files.exists(f), s"unknown lake table at $dir")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f))
+    val keys = Option(node.get("keyCols")).map(a =>
+      (0 until a.size).map(a.get(_).asText)).getOrElse(Seq.empty)
+    Props(Option(node.get("partCol")).filterNot(_.isNull).map(_.asText), keys)
+  }
+
+  /** Zero-padded next Hudi instant from the timeline. */
+  private def nextInstant(dir: String): String = {
+    val max = Option(new java.io.File(dir, ".hoodie").list())
+      .getOrElse(Array.empty)
+      .map(_.split('.').head).filter(_.forall(_.isDigit))
+      .foldLeft(0)((m, s) => math.max(m, s.toInt))
+    f"${max + 1}%03d"
+  }
+
+  private def reader(spark: SparkSession, fmt: String, dir: String,
+                     p: Props): DataFrame = fmt match {
+    case "iceberg" => IcebergLite.readSnapshot(spark, dir)
+    case "delta"   => DeltaLite.readVersion(spark, dir)
+    case "hudi"    => HudiLite.readSnapshotMor(spark, dir, p.keyCols)
+    case "paimon"  =>
+      if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir)
+      else PaimonLite.readSnapshot(spark, dir, p.keyCols)
+  }
+
+  private def appendTo(spark: SparkSession, fmt: String, dir: String,
+                       p: Props, df: DataFrame, create: Boolean): Long = fmt match {
+    case "iceberg" => IcebergWriter.append(spark, dir, df, p.partCol)
+    case "delta"   => DeltaWriter.append(spark, dir, df, p.partCol)
+    case "hudi"    =>
+      require(p.keyCols.nonEmpty && p.partCol.nonEmpty,
+        "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")
+      val instant = if (create) "001" else nextInstant(dir)
+      if (create)
+        HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get, instant)
+      else
+        HudiLite.upsert(spark, dir, df, p.keyCols, p.partCol.get, instant)
+      instant.toLong
+    case "paimon"  =>
+      if (p.keyCols.isEmpty) {
+        require(p.partCol.nonEmpty, "graft_paimon tables need PARTITIONED BY")
+        PaimonWriter.appendOnly(spark, dir, df, p.partCol.get)
+      } else {
+        require(p.partCol.exists(p.keyCols.contains),
+          "paimon PRIMARY KEY must include the partition column")
+        PaimonWriter.append(spark, dir, df, p.partCol.get, p.keyCols)
+      }
+  }
+
+  /** Rewrite (and for writes: execute) one statement. Returns the SQL
+    * Spark should actually parse. */
+  def rewrite(spark: SparkSession, sql: String): String = sql match {
+    case CreateRe(orReplace, fmt, name, pkRaw, partRaw, select) =>
+      val dir = tableDir(spark, fmt, name)
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_graft_table.json"))
+      require(!exists || orReplace != null,
+        s"table graft_$fmt.$name already exists (use CREATE OR REPLACE)")
+      if (exists) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val props = Props(
+        Option(partRaw).map(_.trim).filter(_.nonEmpty),
+        Option(pkRaw).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty))
+      val version = appendTo(spark, fmt, dir, props, spark.sql(select), create = true)
+      writeProps(dir, props)
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case InsertRe(fmt, name, select) =>
+      val dir = tableDir(spark, fmt, name)
+      val version = appendTo(spark, fmt, dir, readProps(dir),
+        spark.sql(select), create = false)
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case DeleteRe(fmt, name, cond) =>
+      val dir = tableDir(spark, fmt, name)
+      readProps(dir) // existence gate
+      val version = fmt match {
+        case "iceberg" => IcebergWriter.deleteRows(spark, dir,
+          org.apache.spark.sql.functions.expr(cond))
+        case "delta" => DeltaWriter.deleteRows(spark, dir,
+          org.apache.spark.sql.functions.expr(cond))
+        case other => throw new IllegalArgumentException(
+          s"DELETE FROM graft_$other is not supported — iceberg (position " +
+            "deletes) and delta (deletion vectors) carry the row-delete paths")
+      }
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case _ =>
+      // read path: substitute each reference with a snapshot temp view
+      RefRe.replaceAllIn(sql, m => {
+        val (fmt, name) = (m.group(1), m.group(2))
+        val dir = tableDir(spark, fmt, name)
+        val view = s"graft_lake_${fmt}_$name"
+        reader(spark, fmt, dir, readProps(dir)).createOrReplaceTempView(view)
+        view
+      })
+  }
+}

@@ -260,9 +260,12 @@ class GraftSqlParser(delegate: ParserInterface,
                        () => org.apache.spark.sql.SparkSession.active)
     extends ParserInterface {
   private def prePass(sqlText: String): String = {
-    val s = if (RecursiveSql.handles(sqlText))
-      RecursiveSql.rewrite(session(), sqlText)
+    val s0 = if (LakehouseSql.handles(sqlText))
+      LakehouseSql.rewrite(session(), sqlText)
     else sqlText
+    val s = if (RecursiveSql.handles(s0))
+      RecursiveSql.rewrite(session(), s0)
+    else s0
     QualifySql.rewrite(s)
   }
   override def parsePlan(sqlText: String): LogicalPlan =

@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Q.t
+
+/** Round-11: the lakehouse write paths hardened for scale and surfaced
+  * in SQL — optimistic concurrent Iceberg commits (spec "Commit
+  * conflicts", the CAS-on-version spelling of
+  * be/src/exec/operator/iceberg_table_sink_operator.h:44's commit
+  * coordination), hot-partition file splitting, the user-facing Hudi
+  * MoR upsert/delete writer, Paimon append-only tables and
+  * changelog-producer files, and the `graft_<fmt>.<name>` SQL catalog
+  * route (plans/LakehouseSql.scala) driving every format's write+read
+  * from plain SQL. Oracles recompute expected content from the base
+  * tables by predicate — non-circular as always. */
+object Round11Queries {
+
+  private def safeName(dir: String): String =
+    new java.io.File(dir).getName.replace(".", "_")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CONCURRENT COMMITS: writer B commits between writer A's metadata
+    // resolution and CAS publish; A must retry and land on top — the
+    // read is the union of all three commits (no lost update). The
+    // version chain is asserted so a silently-skipped conflict (A
+    // clobbering B) is loud, not a value mismatch.
+    "src_iceberg_concurrent" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 12000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/conc_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      IcebergWriter.appendHooked(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 3 =!= 0),
+        partCol = Some("l_returnflag"),
+        beforePublish = () => {
+          IcebergWriter.append(s, tableDir,
+            src.filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 3 === 0),
+            partCol = Some("l_returnflag"))
+          ()
+        })
+      val metaDir = new java.io.File(tableDir, "metadata")
+      require((1 to 3).forall(v =>
+        new java.io.File(metaDir, s"v$v.metadata.json").exists()),
+        "concurrency premise: base + winner + retried loser = 3 versions")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // HOT-PARTITION SPLIT: filesPerPart=4 must break the
+    // one-file-per-partition-value funnel (asserted: more files than
+    // partition values) while manifest stats still cover every row
+    "src_iceberg_hot_split" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 12000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/split_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir, src,
+        partCol = Some("l_returnflag"), filesPerPart = 4)
+      val files = IcebergLite.planFiles(tableDir).filter(_.content == 0)
+      val nParts = files.flatMap(_.partValue).distinct.size
+      require(files.size > nParts,
+        s"split premise: ${files.size} files over $nParts partition values")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // USER-FACING HUDI WRITER: createTable (distributed base groups) →
+    // upsert (updates + inserts routed through the key index, log
+    // files written per file group executor-side) → deleteKeys →
+    // MoR snapshot merge through the independent reader
+    "src_hudi_write_upsert" -> ((s, dir) => {
+      val tableDir = hudiWrittenTable(s, dir)
+      graft.ops.HudiLite.readSnapshotMor(s, tableDir, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // PAIMON APPEND-ONLY table: no merge engine — a re-appended subset
+    // must count TWICE (the exact opposite of the PK table's dedup),
+    // proving the read discipline switches with the table type
+    "src_paimon_append_scan" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 12000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/paimon/ao_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      PaimonWriter.appendOnly(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), "l_returnflag")
+      PaimonWriter.appendOnly(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1)
+          .unionByName(src.filter(col("l_orderkey") % 100 === 0)),
+        "l_returnflag")
+      PaimonLite.readAppendOnly(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // CHANGELOG-PRODUCER=input: the stream over (1, 2] is the INPUT
+    // records with RowKind — retractions ship as -D rows, not as
+    // folded state
+    "src_paimon_changelog" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      val tableDir = new java.io.File(
+        s"target/paimon/cl_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      PaimonWriter.append(s, tableDir, src,
+        "o_orderstatus", Seq("o_orderstatus", "o_orderkey"),
+        changelogProducer = true)
+      val wave = src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+        .withColumn("_VALUE_KIND", lit(PaimonLite.KindUpdateAfter))
+        .unionByName(src
+          .filter(col("o_orderkey") % 9 === 0 && col("o_orderkey") % 10 =!= 0)
+          .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete)))
+      PaimonWriter.append(s, tableDir, wave,
+        "o_orderstatus", Seq("o_orderstatus", "o_orderkey"),
+        changelogProducer = true)
+      PaimonLite.readChangelog(s, tableDir, 1L, 2L)
+        .groupBy(col("_VALUE_KIND").as("kind"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("kind"))
+    }),
+
+    // SQL-DRIVEN lakehouse round trips — the graft_<fmt> catalog route:
+    // CREATE ... AS SELECT, INSERT INTO, DELETE FROM, SELECT all in
+    // plain SQL, executing through the in-repo writers/readers
+    "sql_lake_iceberg" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("r11_li")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.li_$n " +
+        "PARTITIONED BY (l_returnflag) AS SELECT * FROM r11_li")
+      s.sql(s"DELETE FROM graft_iceberg.li_$n WHERE l_orderkey % 3 = 0")
+      s.sql(s"SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS sum_ok " +
+        s"FROM graft_iceberg.li_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    "sql_lake_delta" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("r11_li")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.li_$n " +
+        "PARTITIONED BY (l_returnflag) " +
+        "AS SELECT * FROM r11_li WHERE l_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_delta.li_$n " +
+        "SELECT * FROM r11_li WHERE l_orderkey % 2 = 1")
+      s.sql(s"DELETE FROM graft_delta.li_$n WHERE l_orderkey % 5 = 0")
+      s.sql(s"SELECT l_returnflag, count(*) AS n, sum(l_orderkey) AS sum_ok " +
+        s"FROM graft_delta.li_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    "sql_lake_hudi" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r11_ord")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_hudi.ord_$n " +
+        "PRIMARY KEY (o_orderkey) PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r11_ord")
+      // the INSERT is an upsert: %10 custkeys bump, synthetic keys land
+      s.sql(s"INSERT INTO graft_hudi.ord_$n " +
+        "SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus " +
+        "FROM r11_ord WHERE o_orderkey % 10 = 0 " +
+        "UNION ALL SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus " +
+        "FROM range(90001, 90021)")
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_ck " +
+        s"FROM graft_hudi.ord_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    "sql_lake_paimon" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("r11_ord")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_paimon.ord_$n " +
+        "PRIMARY KEY (o_orderstatus, o_orderkey) " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r11_ord")
+      // LSM upsert: the later sequence wins per key
+      s.sql(s"INSERT INTO graft_paimon.ord_$n " +
+        "SELECT o_orderstatus, o_orderkey, o_custkey + 1000000 AS o_custkey " +
+        "FROM r11_ord WHERE o_orderkey % 10 = 0")
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_ck " +
+        s"FROM graft_paimon.ord_$n GROUP BY 1 ORDER BY 1")
+    })
+  )
+
+  /** Hudi table written through the USER-FACING API (createTable /
+    * upsert / deleteKeys), cached per sf dir. Premise gates: non-empty
+    * waves, unique keys. */
+  private val hudiBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def hudiWrittenTable(s: SparkSession, dir: String): String =
+    hudiBuilt.computeIfAbsent(dir, _ => {
+      import graft.ops.HudiLite
+      val base = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val tableDir = new java.io.File(
+        s"target/hudi/uw_${new java.io.File(dir).getName}").getAbsolutePath
+      HudiLite.createTable(s, tableDir, base,
+        keyCols = Seq("o_orderkey"), partCol = "o_orderstatus",
+        instant = "001", groupsPerPart = 2)
+      val updates = base.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+      val inserts = s.range(90001L, 90021L)
+        .select(col("id").as("o_orderkey"), col("id").as("o_custkey"),
+          lit("O").as("o_orderstatus"))
+      require(updates.limit(1).count() == 1, "upsert premise: updates non-empty")
+      HudiLite.upsert(s, tableDir, updates.unionByName(inserts),
+        keyCols = Seq("o_orderkey"), partCol = "o_orderstatus", instant = "002")
+      val dels = base.filter(
+        col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey"))
+      require(dels.limit(1).count() == 1, "delete premise: keys non-empty")
+      HudiLite.deleteKeys(s, tableDir, dels,
+        keyCols = Seq("o_orderkey"), instant = "003")
+      tableDir
+    })
+
+  def oracle: Map[String, String] = Map(
+
+    // union of all three interleaved commits — a lost update would
+    // drop a residue class and miss
+    "src_iceberg_concurrent" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_iceberg_hot_split" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    // API-written MoR table: %10 custkeys bumped, %7-not-%10 keys
+    // deleted, synthetic 'O' inserts — the same merge contract the
+    // fixture-staged src_hudi_mor pins, now through the writer
+    "src_hudi_write_upsert" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(ok) AS BIGINT) AS sum_ok,
+             CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus, o_orderkey AS ok,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders
+            WHERE o_orderkey < 12000
+              AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+            UNION ALL
+            SELECT 'O' AS o_orderstatus, r AS ok, r AS ck
+            FROM range(90001, 90021) t(r)) u
+      GROUP BY 1 ORDER BY 1""",
+
+    // append-only: duplicates COUNT — the %100 subset rides twice
+    "src_paimon_append_scan" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM (SELECT l_returnflag, l_orderkey FROM lineitem
+            WHERE l_orderkey < 12000
+            UNION ALL
+            SELECT l_returnflag, l_orderkey FROM lineitem
+            WHERE l_orderkey < 12000 AND l_orderkey % 100 = 0) u
+      GROUP BY 1 ORDER BY 1""",
+
+    // the input records of commit 2 with their RowKind codes
+    // (2 = +U, 3 = -D)
+    "src_paimon_changelog" -> """
+      SELECT 2 AS kind, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders WHERE o_orderkey < 12000 AND o_orderkey % 10 = 0
+      UNION ALL
+      SELECT 3 AS kind, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 12000 AND o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0
+      ORDER BY kind""",
+
+    "sql_lake_iceberg" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_delta" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 5 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_hudi" -> """
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders WHERE o_orderkey < 12000
+            UNION ALL
+            SELECT 'O' AS o_orderstatus, r AS ck
+            FROM range(90001, 90021) t(r)) u
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_paimon" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders WHERE o_orderkey < 12000
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

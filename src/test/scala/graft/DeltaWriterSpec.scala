@@ -114,6 +114,90 @@ class DeltaWriterSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
   }
 
+  test("DV delete upgrades the protocol to reader 3 / writer 7 + features") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_proto").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      (1L to 10L).map(k => (k, k.toInt)).toDF("k", "v"), partCol = None)
+    DeltaWriter.deleteRows(spark, dir, col("k") % 2 === 0)
+    def protocolLines(v: Long): Seq[String] =
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+        dir, "_delta_log", f"$v%020d.json")).toArray.map(_.toString)
+        .filter(_.contains("\"protocol\"")).toSeq
+    assert(protocolLines(0L).head.contains("\"minReaderVersion\":1"),
+      "plain appends stay at the legacy protocol")
+    val up = protocolLines(1L)
+    assert(up.size == 1, "the first DV commit carries the upgrade action")
+    assert(up.head.contains("\"minReaderVersion\":3") &&
+      up.head.contains("\"minWriterVersion\":7") &&
+      up.head.contains("\"readerFeatures\"") &&
+      up.head.contains("\"deletionVectors\"") &&
+      up.head.contains("\"appendOnly\""),
+      s"spec: DV needs 3/7 + feature lists incl. the legacy-implied ones: $up")
+    // a second DV commit must not re-upgrade
+    DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    assert(protocolLines(2L).isEmpty, "protocol already supports DVs")
+    // the checkpoint carries the feature lists — after log expiry it is
+    // the protocol's only holder
+    DeltaLite.writeCheckpoint(spark, dir, 2L)
+    DeltaLite.expireLog(dir, 2L)
+    val cpProto = spark.read
+      .parquet(dir + "/_delta_log/" + f"${2L}%020d.checkpoint.parquet")
+      .where("protocol IS NOT NULL")
+      .selectExpr("protocol.minReaderVersion", "protocol.readerFeatures")
+      .collect().head
+    assert(cpProto.getInt(0) == 3 &&
+      cpProto.getSeq[String](1).contains("deletionVectors"),
+      s"checkpoint must round-trip the table-features protocol: $cpProto")
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).filterNot(k => k % 2 == 0 || k % 3 == 0).toSet)
+  }
+
+  test("column mapping stamps protocol reader 2 / writer 5 on creation") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_cmproto").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.appendMapped(spark, dir,
+      Seq((1L, "A", 10)).toDF("k", "p", "v"), partCol = Some("p"))
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      dir, "_delta_log", f"${0L}%020d.json")).toArray.map(_.toString)
+      .filter(_.contains("\"protocol\""))
+    assert(lines.size == 1 && lines.head.contains("\"minReaderVersion\":2") &&
+      lines.head.contains("\"minWriterVersion\":5"),
+      s"PROTOCOL.md: column mapping needs reader 2 / writer 5: ${lines.toSeq}")
+    // the second mapped append does not re-stamp
+    DeltaWriter.appendMapped(spark, dir,
+      Seq((2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    assert(!java.nio.file.Files.readString(java.nio.file.Paths.get(
+      dir, "_delta_log", f"${1L}%020d.json")).contains("\"protocol\""))
+  }
+
+  test("append after full log expiry continues the version chain") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_expver").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (0 until 11).foreach { i =>
+      DeltaWriter.append(spark, dir,
+        Seq((i.toLong, i)).toDF("k", "v"), partCol = None)
+    }
+    DeltaLite.expireLog(dir, 10L) // checkpoint-only log
+    assert(Option(new java.io.File(dir, "_delta_log").listFiles()).get
+      .forall(!_.getName.matches("\\d{20}\\.json")))
+    // the r10 bug: nextVersion restarted at 0, which the checkpoint
+    // replay filters out — a silently invisible commit
+    val v = DeltaWriter.append(spark, dir,
+      Seq((99L, 99)).toDF("k", "v"), partCol = None)
+    assert(v == 11L, s"version chain must continue past the checkpoint: $v")
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      (0L until 11L).toSet + 99L)
+  }
+
   test("unpartitioned append and empty-append rejection") {
     val s2 = spark
     import s2.implicits._

@@ -175,6 +175,53 @@ class HudiMorSpec extends AnyFunSuite {
       s"the 003 compaction rewrite must not ship as change: $inc2")
   }
 
+  test("user-facing write path: createTable + upsert + deleteKeys round trip") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_user_write").getAbsolutePath
+    val base = (1L to 20L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt))
+      .toDF("k", "p", "v")
+    HudiLite.createTable(spark, dir, base, keyCols = Seq("k"), partCol = "p",
+      instant = "001", groupsPerPart = 2)
+    // base commit alone reads back exactly, split across file groups
+    val plan0 = HudiLite.planFilesMor(dir)
+    assert(plan0.size >= 3, s"groups split per partition: $plan0")
+    def state: Map[Long, Int] = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(state == (1L to 20L).map(k => k -> k.toInt).toMap)
+    // upsert: update existing keys + insert new ones (existing partitions)
+    HudiLite.upsert(spark, dir,
+      Seq((2L, "A", 200), (3L, "B", 300), (21L, "B", 210), (22L, "A", 220))
+        .toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "002")
+    val exp1 = ((1L to 20L).map(k => k -> k.toInt).toMap
+      ++ Map(2L -> 200, 3L -> 300, 21L -> 210, 22L -> 220))
+    assert(state == exp1, "updates override, inserts appear")
+    // a second upsert of a log-born key must land in the SAME group
+    // (the key index covers log-borne records)
+    HudiLite.upsert(spark, dir, Seq((21L, "B", 999)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "003")
+    assert(state(21L) == 999, "the log-borne key's group resolves stably")
+    // delete: existing + log-born keys drop; unknown key is loud
+    HudiLite.deleteKeys(spark, dir, Seq(4L, 21L).toDF("k"),
+      keyCols = Seq("k"), instant = "004")
+    assert(state == exp1 - 4L - 21L + (21L -> 999) - 21L)
+    intercept[Exception] {
+      HudiLite.deleteKeys(spark, dir, Seq(777L).toDF("k"),
+        keyCols = Seq("k"), instant = "005")
+    }
+    // unknown partition on insert is loud
+    intercept[Exception] {
+      HudiLite.upsert(spark, dir, Seq((50L, "Z", 1)).toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "006")
+    }
+    // compaction folds the API-written logs; state is a no-op
+    val before = state
+    HudiLite.compact(spark, dir, Seq("k"), "900")
+    assert(HudiLite.planFilesMor(dir).forall(_._5.isEmpty))
+    assert(state == before)
+  }
+
   test("log block framing round-trips multi-block files byte-exactly") {
     val path = new java.io.File("target/hudi/mor_block_rt.log").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

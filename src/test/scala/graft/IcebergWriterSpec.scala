@@ -246,6 +246,81 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(after2 == before)
   }
 
+  test("concurrent append/append: loser retries, both snapshots land") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_concurrent").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      Seq((1L, "A", 1)).toDF("k", "p", "v"), partCol = Some("p"))
+    // writer B commits BETWEEN writer A's metadata resolution and A's
+    // CAS publish — the deterministic interleaving of the spec's
+    // "Commit conflicts" scenario. A must lose v2, re-resolve against
+    // B's snapshot, and land at v3 with B's manifests carried forward.
+    IcebergWriter.appendHooked(spark, dir,
+      Seq((2L, "A", 2)).toDF("k", "p", "v"), partCol = Some("p"),
+      beforePublish = () => {
+        IcebergWriter.append(spark, dir,
+          Seq((3L, "B", 3)).toDF("k", "p", "v"), partCol = Some("p"))
+        ()
+      })
+    assert(IcebergLite.readSnapshot(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "no lost update: both concurrent commits are visible")
+    val metaDir = new java.io.File(dir, "metadata")
+    assert((1 to 3).forall(v =>
+      new java.io.File(metaDir, s"v$v.metadata.json").exists()),
+      "three metadata versions: base, winner, retried loser")
+    assert(java.nio.file.Files.readString(
+      metaDir.toPath.resolve("version-hint.text")).trim == "3")
+    // the retried commit re-stamped its sequence number past the winner
+    val tasks = IcebergLite.planFiles(dir)
+    assert(tasks.map(_.sequenceNumber).toSet == Set(1L, 2L, 3L),
+      s"each commit owns one sequence: $tasks")
+  }
+
+  test("concurrent append/delete: append retries over the delete commit") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_concdel").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      (1L to 6L).map(k => (k, "A", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    IcebergWriter.appendHooked(spark, dir,
+      Seq((10L, "A", 10)).toDF("k", "p", "v"), partCol = Some("p"),
+      beforePublish = () => {
+        IcebergWriter.deleteRows(spark, dir, col("k") % 2 === 0)
+        ()
+      })
+    assert(IcebergLite.readSnapshot(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 10L),
+      "delete applies to the base files; the retried append survives " +
+        "(its file is not referenced by the position deletes)")
+  }
+
+  test("filesPerPart splits a hot partition across files; read is exact") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_split").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // one hot partition value: strict one-file-per-value would funnel
+    // all 2000 rows through one task
+    IcebergWriter.append(spark, dir,
+      (1L to 2000L).map(k => (k, "HOT", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"), filesPerPart = 4)
+    val files = IcebergLite.planFiles(dir).filter(_.content == 0)
+    assert(files.size > 1 && files.size <= 4,
+      s"hot partition must split across up to 4 files: ${files.size}")
+    assert(files.forall(_.partValue.contains("HOT")))
+    assert(files.map(_.recordCount).sum == 2000L,
+      "manifest record counts cover every row exactly once")
+    assert(IcebergLite.readSnapshot(spark, dir)
+      .agg(count(lit(1)), sum(col("k"))).collect().head.toSeq ==
+      Seq(2000L, (1L to 2000L).sum))
+  }
+
   test("empty append is rejected loudly, table state unchanged") {
     val s2 = spark
     import s2.implicits._

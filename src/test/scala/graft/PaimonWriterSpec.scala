@@ -34,6 +34,79 @@ class PaimonWriterSpec extends AnyFunSuite {
       .select(col("k"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
 
+  test("append-only table: plain scan, time travel, type guard") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_ao").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val s1 = PaimonWriter.appendOnly(spark, dir,
+      Seq(("A", 1L), ("A", 2L), ("B", 3L)).toDF("p", "k"), "p")
+    val s2id = PaimonWriter.appendOnly(spark, dir,
+      Seq(("A", 1L), ("B", 4L)).toDF("p", "k"), "p") // duplicate k=1 SURVIVES
+    assert(s1 == 1L && s2id == 2L)
+    def ks(snap: Option[Long]): Seq[Long] =
+      PaimonLite.readAppendOnly(spark, dir, snap)
+        .select("k").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ks(None) == Seq(1L, 1L, 2L, 3L, 4L),
+      "append-only keeps duplicates — no merge engine runs")
+    assert(ks(Some(1L)) == Seq(1L, 2L, 3L))
+    assert(PaimonLite.readAppendOnly(spark, dir,
+        partFilter = Some(_ == "B")).select("k")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 4L))
+    // PK append on an append-only table is a type violation
+    intercept[IllegalArgumentException] {
+      PaimonWriter.append(spark, dir,
+        Seq(("A", 9L)).toDF("p", "k"), "p", Seq("p", "k"))
+    }
+  }
+
+  test("changelog-producer=input: stream survives, markers enforced") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_cl").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 10), ("B", 2L, 20)).toDF("p", "k", "v"),
+      "p", Seq("p", "k"), numBuckets = 2, changelogProducer = true)
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 111, PaimonLite.KindUpdateAfter),
+          ("B", 2L, 0, PaimonLite.KindDelete))
+        .toDF("p", "k", "v", "_VALUE_KIND"),
+      "p", Seq("p", "k"), numBuckets = 2, changelogProducer = true)
+    // the changelog over (1, 2] ships the INPUT records with RowKind —
+    // not the folded state
+    val cl = PaimonLite.readChangelog(spark, dir, 1L, 2L)
+      .select(col("k"), col("_VALUE_KIND")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(cl == Set((1L, PaimonLite.KindUpdateAfter),
+      (2L, PaimonLite.KindDelete)), s"changelog = input records: $cl")
+    // full-window changelog includes the creation inserts
+    assert(PaimonLite.readChangelog(spark, dir, 0L, 2L).count() == 4L)
+    // changelog files are separate bytes from data files (a compaction
+    // dropping data files must not drop the stream)
+    val live = PaimonLite.planFiles(dir).map(_.path).toSet
+    assert(live.forall(!_.contains("changelog-")),
+      "data plan must not include changelog files")
+    // the snapshot read still folds correctly
+    assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 111)))
+    // producer setting cannot silently change mid-table
+    intercept[IllegalArgumentException] {
+      PaimonWriter.append(spark, dir,
+        Seq(("A", 7L, 70)).toDF("p", "k", "v"),
+        "p", Seq("p", "k"), numBuckets = 2, changelogProducer = false)
+    }
+    // a producer-less table refuses changelog reads loudly
+    val plain = new java.io.File("target/paimon/writer_spec_nocl").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plain))
+    PaimonWriter.append(spark, plain,
+      Seq(("A", 1L, 1)).toDF("p", "k", "v"), "p", Seq("p", "k"))
+    intercept[IllegalArgumentException] {
+      PaimonLite.readChangelog(spark, plain, 0L, 1L)
+    }
+  }
+
   test("round trip: LSM merge of written commits, time travel intact") {
     assert(kv(None) == Map(1L -> 10, 2L -> 222),
       "k=2 upserted by the later sequence, k=3 deleted")
