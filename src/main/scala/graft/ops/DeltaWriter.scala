@@ -128,15 +128,39 @@ object DeltaWriter {
     }
   }
 
-  private def writeCommit(tableDir: String, version: Long,
-                          lines: Seq[String]): Unit = {
-    // atomic publish: write the commit to a temp name, rename into place
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def nextToken(): String =
+    s"${ProcessHandle.current().pid()}x${tokenCounter.incrementAndGet()}"
+
+  /** CAS publish of one commit version: hard-link a staged temp onto
+    * `NNN.json` — atomically FAILS when another writer already owns the
+    * version (POSIX rename would silently replace it: a lost update).
+    * This is the protocol's "only one writer may create version N"
+    * rule, the file-system spelling of the LogStore's
+    * put-if-absent. Returns false on conflict. */
+  private def casWriteCommit(tableDir: String, version: Long,
+                             lines: Seq[String]): Boolean = {
     val logDir = java.nio.file.Paths.get(tableDir, "_delta_log")
-    val tmp = logDir.resolve(f".$version%020d.json.tmp")
+    val tmp = logDir.resolve(s".commit-${nextToken()}.tmp")
     java.nio.file.Files.write(tmp, String.join("\n", lines: _*).getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp, logDir.resolve(f"$version%020d.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try {
+      java.nio.file.Files.createLink(logDir.resolve(f"$version%020d.json"), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
   }
+
+  /** Single-shot commit for the non-append operations (row/partition
+    * deletes, optimize): these read table state to build their
+    * actions, so a version conflict means the state moved under them —
+    * fail loudly (the protocol's ConcurrentModificationException)
+    * instead of retrying with stale reads. */
+  private def writeCommit(tableDir: String, version: Long,
+                          lines: Seq[String]): Unit =
+    require(casWriteCommit(tableDir, version, lines),
+      s"commit $version conflicts with a concurrent writer — re-read " +
+        "the table state and retry the operation")
 
   private def maybeCheckpoint(spark: SparkSession, tableDir: String,
                               version: Long): Unit =
@@ -210,18 +234,26 @@ object DeltaWriter {
 
   /** Append `df` as one commit, creating the table on first use.
     * Returns the committed version. */
+  /** Bounded optimistic retries for append commits (the protocol's
+    * disjoint-append rule: an append conflicts with nothing, so losing
+    * the version race only means re-stamping the commit). */
+  val MaxCommitRetries = 10
+
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: Option[String] = None,
              metaDataJson: Option[String] = None,
              txn: Option[(String, Long)] = None,
-             protocolLine: Option[String] = None): Long = {
+             protocolLine: Option[String] = None,
+             beforePublish: () => Unit = () => ()): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_delta_log").mkdirs()
-    val version = nextVersion(tableDir)
+    val tok = nextToken()
 
     require(!df.isEmpty, "append of an empty DataFrame is not a commit")
-    val staging = s"$tableDir/stage_v$version"
+    // data staged ONCE under token names (version-free: a retried
+    // commit re-stamps metadata only, never rewrites data)
+    val staging = s"$tableDir/stage_$tok"
     partCol match {
       case Some(p) =>
         df.withColumn("__part", col(p).cast("string"))
@@ -242,30 +274,51 @@ object DeltaWriter {
           case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
           case _ => None
         }
-        val rel = s"data/w${version}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet"
+        val rel = s"data/w${tok}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet"
         java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
         (rel, part)
       }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     require(moved.nonEmpty, "append of an empty DataFrame is not a commit")
 
-    val lines = Seq.newBuilder[String]
-    if (version == 0) {
-      lines += protocolLine.getOrElse(
-        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
-      lines += metaDataJson.getOrElse(
-        s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}""")
-    } else protocolLine.foreach(lines += _) // protocol upgrade action
-    txn.foreach { case (appId, v) =>
-      lines += s"""{"txn":{"appId":"$appId","version":$v}}"""
+    // optimistic commit loop: version re-resolved per attempt, CAS on
+    // the commit file name, bounded retries
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val version = nextVersion(tableDir)
+      // a CREATION payload (mapped schema, custom protocol) must not
+      // silently vanish when another writer creates the table first —
+      // the loser's files would disagree with the winner's metaData
+      require(attempt == 0 || version == 0 ||
+          (metaDataJson.isEmpty && protocolLine.isEmpty),
+        "table-creation commit lost the version race — re-run against " +
+          "the now-existing table so the metadata payload re-resolves")
+      val lines = Seq.newBuilder[String]
+      if (version == 0) {
+        lines += protocolLine.getOrElse(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        lines += metaDataJson.getOrElse(
+          s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}""")
+      } else protocolLine.foreach(lines += _) // protocol upgrade action
+      txn.foreach { case (appId, v) =>
+        lines += s"""{"txn":{"appId":"$appId","version":$v}}"""
+      }
+      moved.foreach { case (rel, part) =>
+        val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
+        lines += s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
+      }
+      if (attempt == 0) beforePublish()
+      if (casWriteCommit(tableDir, version, lines.result())) {
+        maybeCheckpoint(spark, tableDir, version)
+        committed = version
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"append conflict persisted after $MaxCommitRetries attempts")
+      }
     }
-    moved.foreach { case (rel, part) =>
-      val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
-      lines += s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
-    }
-    writeCommit(tableDir, version, lines.result())
-    maybeCheckpoint(spark, tableDir, version)
-    version
+    committed
   }
 
   /** ROW-LEVEL DELETE via deletion vectors (PROTOCOL.md "Deletion
@@ -400,6 +453,34 @@ object DeltaWriter {
     writeCommit(tableDir, version, lines)
     maybeCheckpoint(spark, tableDir, version)
     version
+  }
+
+  /** VACUUM: physically delete every data file and DV blob file that
+    * the CURRENT version no longer references — the reclaim step the
+    * remove-tombstone and OPTIMIZE docs above defer to. Spelled with
+    * retention 0 (delete immediately); the protocol's time-based
+    * retention window only changes WHICH unreferenced files qualify,
+    * not the mechanism. After vacuum, time travel to versions that
+    * needed the reclaimed files fails loudly on the missing file —
+    * exactly the documented Delta trade-off. Metadata-sized driver
+    * work: the live set is the current adds list. Returns the deleted
+    * absolute paths. */
+  def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
+    val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    require(adds.nonEmpty, "empty table")
+    val liveData = adds.map(a =>
+      new java.io.File(tableDir, a.path).getAbsolutePath).toSet
+    val liveDv = adds.flatMap(_.dv).filter(_.storageType == "p")
+      .map(d => new java.io.File(d.pathOrInlineDv).getAbsolutePath).toSet
+    val deleted = Seq.newBuilder[String]
+    def sweep(d: java.io.File, live: Set[String]): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isFile && !live.contains(f.getAbsolutePath) && f.delete())
+          deleted += f.getAbsolutePath
+      }
+    sweep(new java.io.File(tableDir, "data"), liveData)
+    sweep(new java.io.File(tableDir, "deletion_vectors"), liveDv)
+    deleted.result()
   }
 
   /** Remove every live file whose partition values satisfy `pred` —

@@ -456,7 +456,8 @@ object HudiLite {
     * owns it, and the `.commit` timeline instant written last. */
   def createTable(spark: SparkSession, tableDir: String, df: DataFrame,
                   keyCols: Seq[String], partCol: String,
-                  instant: String, groupsPerPart: Int = 2): Unit = {
+                  instant: String, groupsPerPart: Int = 2,
+                  batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains) &&
       df.columns.contains(partCol), "key/partition columns must exist")
@@ -496,9 +497,45 @@ object HudiLite {
         s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }
       s""""$part":[${js.mkString(",")}]"""
     }.mkString(",")
+    val bField = batchId.map(b => s""""batchId":$b,""").getOrElse("")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
-      s"""{"partitionToWriteStats":{$statsJson}}""")
+      s"""{$bField"partitionToWriteStats":{$statsJson}}""")
+  }
+
+  /** Exactly-once streaming UPSERT sink, completing the quartet next
+    * to [[IcebergWriter.appendBatch]] / DeltaWriter / PaimonWriter:
+    * the first batch CREATES the table (base file groups), later
+    * batches stage deltacommits; every timeline instant carries its
+    * batch id, and a redelivered id is skipped (returns None). */
+  def appendBatch(spark: SparkSession, tableDir: String, df: DataFrame,
+                  keyCols: Seq[String], partCol: String,
+                  batchId: Long): Option[String] =
+    if (committedBatchIds(tableDir).contains(batchId)) None
+    else if (!new java.io.File(tableDir, ".hoodie").exists()) {
+      createTable(spark, tableDir, df, keyCols, partCol, "001",
+        batchId = Some(batchId))
+      Some("001")
+    } else {
+      val instant = f"${Option(new java.io.File(tableDir, ".hoodie").list())
+        .getOrElse(Array.empty)
+        .map(_.split('.').head).filter(_.forall(_.isDigit))
+        .foldLeft(0)((m, s) => math.max(m, s.toInt)) + 1}%03d"
+      upsert(spark, tableDir, df, keyCols, partCol, instant,
+        batchId = Some(batchId))
+      Some(instant)
+    }
+
+  /** Batch ids stamped on the timeline by [[appendBatch]]. */
+  def committedBatchIds(tableDir: String): Set[Long] = {
+    val timelineDir = new java.io.File(tableDir, ".hoodie")
+    Option(timelineDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit"))
+      .flatMap { f =>
+        val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+        Option(node.get("batchId")).map(_.asLong)
+      }.toSet
   }
 
   /** The record-key → file-group index of the current table state:
@@ -557,9 +594,10 @@ object HudiLite {
     * sees only the (partition, fileId, path) stats rows, exactly how
     * this parallelizes on a 1000-executor cluster. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
-             keyCols: Seq[String], partCol: String, instant: String): Unit =
+             keyCols: Seq[String], partCol: String, instant: String,
+             batchId: Option[Long] = None): Unit =
     writeDeltaCommitDistributed(spark, tableDir, df, keyCols,
-      Some(partCol), instant, BlockData)
+      Some(partCol), instant, BlockData, batchId)
 
   /** DELETE keys as a `.deltacommit` of delete blocks: `keysDf` holds
     * the key columns only; every key must resolve through the index
@@ -576,7 +614,8 @@ object HudiLite {
   private def writeDeltaCommitDistributed(spark: SparkSession, tableDir: String,
                                           df: DataFrame, keyCols: Seq[String],
                                           partCol: Option[String], instant: String,
-                                          blockType: Int): Unit = {
+                                          blockType: Int,
+                                          batchId: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions._
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
@@ -639,9 +678,42 @@ object HudiLite {
         s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}""" }
       s""""$part":[${js.mkString(",")}]"""
     }.mkString(",")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
-      s"""{"partitionToWriteStats":{$statsJson}}""")
+    val bField = batchId.map(b => s""""batchId":$b,""").getOrElse("")
+    // CAS create: two writers racing the same instant must not clobber
+    // each other's timeline entry — the loser fails loudly (its log
+    // files embed the instant, so a retry needs a fresh instant and a
+    // re-staged write)
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
+        s"""{$bField"partitionToWriteStats":{$statsJson}}"""),
+      s"instant $instant conflicts with a concurrent commit — retry " +
+        "with a fresh instant")
+  }
+
+  /** CLEANER (Hudi's hoodie.cleaner policy, KEEP_LATEST_FILE_VERSIONS
+    * with 1 retained): physically delete every base file and log file
+    * the CURRENT file-slice plan no longer references — the superseded
+    * slices a compaction orphaned, and logs attached to rewritten
+    * bases. The timeline JSONs stay (metadata-sized history); time
+    * travel to a cleaned instant fails loudly on the missing file,
+    * the same trade-off as Iceberg expiry / Delta vacuum. Returns
+    * deleted paths. */
+  def clean(tableDir: String): Seq[String] = {
+    val live: Set[String] = planFilesMor(tableDir).flatMap { s =>
+      new java.io.File(s._1).getAbsolutePath +:
+        s._5.map(p => new java.io.File(p).getAbsolutePath)
+    }.toSet
+    require(live.nonEmpty, "empty table")
+    val deleted = Seq.newBuilder[String]
+    def walk(d: java.io.File): Unit =
+      Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) { if (f.getName != ".hoodie") walk(f) }
+        else if ((f.getName.endsWith(".parquet") || f.getName.contains(".log.")) &&
+            !live.contains(f.getAbsolutePath) && f.delete())
+          deleted += f.getAbsolutePath
+      }
+    walk(new java.io.File(tableDir))
+    deleted.result()
   }
 
   /** COMPACTION (the MoR maintenance write): rewrite every file group
@@ -677,9 +749,10 @@ object HudiLite {
         s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }
       s""""$part":[${entries.mkString(",")}]"""
     }.mkString(",")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, ".hoodie", s"$newInstant.commit"),
-      s"""{"partitionToWriteStats":{$statsJson}}""")
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$newInstant.commit"),
+        s"""{"partitionToWriteStats":{$statsJson}}"""),
+      s"compaction instant $newInstant conflicts with a concurrent commit")
     stats.map(_._2)
   }
 }

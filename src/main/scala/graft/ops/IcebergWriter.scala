@@ -79,6 +79,22 @@ object IcebergWriter {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** CAS create of a metadata file that must not already exist
+    * (Paimon snapshot-N, Hudi timeline instants): a plain write would
+    * silently CLOBBER a concurrent writer's commit — this turns the
+    * lost update into a loud, atomic failure. Returns false when the
+    * target exists. */
+  private[ops] def casCreate(path: java.nio.file.Path, content: String): Boolean = {
+    val tmp = path.resolveSibling(s".${path.getFileName}.${nextToken()}.tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    try {
+      java.nio.file.Files.createLink(path, tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   /** Current metadata version by direct probe (NOT the hint): the
     * highest `vN.metadata.json` present. The CAS below targets
     * `v(N+1)`, so this read is what makes the loop linearizable on a

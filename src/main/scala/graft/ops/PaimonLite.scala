@@ -442,6 +442,29 @@ object PaimonLite {
       .flatMap(l => readAvro(s"$tableDir/manifest/$l").map(_.get("_FILE_NAME").toString))
   }
 
+  /** Everything one snapshot makes reachable — (table-relative data
+    * paths incl. its changelog files, manifest/ file names incl. the
+    * lists) — the reachability unit [[PaimonWriter.expireSnapshots]]
+    * folds over kept snapshots. */
+  private[ops] def snapshotArtifacts(tableDir: String, id: Long)
+      : (Set[String], Set[String]) = {
+    val snap = snapshotNode(tableDir, id)
+    val lists = Seq("baseManifestList", "deltaManifestList", "changelogManifestList")
+      .flatMap(f => Option(snap.get(f)).map(_.asText))
+    val manifests = lists.flatMap(l =>
+      readAvro(s"$tableDir/manifest/$l").map(_.get("_FILE_NAME").toString))
+    val clData = Option(snap.get("changelogManifestList")).map(_.asText).toSeq
+      .flatMap(l => manifestEntries(tableDir, l)
+        .filter(_.get("_KIND").asInstanceOf[Int] == 0)
+        .map { e =>
+          val f = e.get("_FILE").asInstanceOf[GenericRecord]
+          Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("") +
+            s"bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+        })
+    (planFiles(tableDir, Some(id)).map(_.path).toSet ++ clData,
+      (lists ++ manifests).toSet)
+  }
+
   /** Driver-side reference of the deduplicate merge for fixture
     * compaction output: per key keep the max-seq row, drop retraction
     * winners. Rows are (key..., values..., seq, kind) in `schema`

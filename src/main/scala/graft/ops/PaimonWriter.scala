@@ -93,12 +93,44 @@ object PaimonWriter {
     snapId
   }
 
+  /** Exactly-once streaming sink hook, the Paimon sibling of
+    * [[IcebergWriter.appendBatch]]: each micro-batch commit stamps its
+    * id into the snapshot JSON; a redelivered batch whose id is
+    * already on the snapshot chain is skipped (returns None). */
+  def appendBatch(spark: SparkSession, tableDir: String, df: DataFrame,
+                  partCol: String, keyCols: Seq[String],
+                  batchId: Long, numBuckets: Int = 4): Option[Long] =
+    if (committedBatchIds(tableDir).contains(batchId)) None
+    else Some(append(spark, tableDir, df, partCol, keyCols, numBuckets,
+      batchId = Some(batchId)))
+
+  /** Batch ids stamped on the snapshot chain by [[appendBatch]]. */
+  def committedBatchIds(tableDir: String): Set[Long] = {
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    if (!java.nio.file.Files.exists(latestPath)) Set.empty
+    else {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val latest = java.nio.file.Files.readString(latestPath).trim.toLong
+      val earliestPath = java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST")
+      val earliest =
+        if (java.nio.file.Files.exists(earliestPath))
+          java.nio.file.Files.readString(earliestPath).trim.toLong
+        else 1L
+      (earliest to latest).flatMap { id =>
+        val node = m.readTree(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$id")))
+        Option(node.get("streamingBatchId")).map(_.asLong)
+      }.toSet
+    }
+  }
+
   /** Shared commit tail: manifest, carried-forward base list, delta
     * list, optional CHANGELOG manifest list, snapshot JSON. LATEST is
     * swapped by the caller (after any creation markers). */
   private def commitSnapshot(tableDir: String, snapId: Long, curSnap: Long,
                              adds: Seq[(PaimonLite.FileMeta, Long)],
-                             changelog: Seq[(PaimonLite.FileMeta, Long)]): Unit = {
+                             changelog: Seq[(PaimonLite.FileMeta, Long)],
+                             batchId: Option[Long] = None): Unit = {
     val mName = s"manifest-w$snapId"
     PaimonLite.writeManifestAvro(tableDir, mName, adds, Nil)
     val prevManifests: Seq[String] =
@@ -115,13 +147,22 @@ object PaimonWriter {
       PaimonLite.writeManifestListAvro(tableDir, clList, Seq(clManifest))
       s""""changelogManifestList":"$clList","""
     }
+    val bField = batchId.map(b => s""""streamingBatchId":$b,""").getOrElse("")
     val snapJson =
       s"""{"version":3,"id":$snapId,"schemaId":0,
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
-         |$clField"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
+         |$clField$bField"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
          |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"), snapJson)
+    // CAS create: a plain write would silently clobber a concurrent
+    // writer's snapshot. A retry protocol would need the staged data's
+    // _SEQUENCE_NUMBER floor re-stamped against the winner (sequence
+    // ranges must not interleave per key), so the conflict is LOUD —
+    // re-run the append against the new table state.
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
+        snapJson),
+      s"snapshot $snapId conflicts with a concurrent commit — re-run " +
+        "the append so sequences re-resolve against the new state")
   }
 
   /** Append `df` as one APPEND snapshot, creating the table on first
@@ -135,7 +176,8 @@ object PaimonWriter {
     * data files. Returns the snapshot id. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: String, keyCols: Seq[String],
-             numBuckets: Int = 4, changelogProducer: Boolean = false): Long = {
+             numBuckets: Int = 4, changelogProducer: Boolean = false,
+             batchId: Option[Long] = None): Long = {
     require(keyCols.contains(partCol),
       "paimon requires the partition column inside the primary key")
     val dir = new java.io.File(tableDir)
@@ -230,7 +272,7 @@ object PaimonWriter {
         (m.copy(path = clRel), bytes)
       }
 
-    commitSnapshot(tableDir, snapId, curSnap, adds, changelog)
+    commitSnapshot(tableDir, snapId, curSnap, adds, changelog, batchId)
     if (curSnap == 0L) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
@@ -242,5 +284,49 @@ object PaimonWriter {
     // so a concurrent reader never observes a truncated hint
     IcebergWriter.atomicWriteString(latestPath, snapId.toString)
     snapId
+  }
+
+  /** SNAPSHOT EXPIRY (the spec's snapshot.num-retained.* retention):
+    * keep the most recent `keepLast` snapshots, advance EARLIEST, and
+    * physically delete everything only expired snapshots reach — data
+    * files, changelog files, manifests, manifest lists, and the
+    * snapshot JSONs themselves. Metadata-sized driver work (the
+    * reachability fold is over manifest contents); expired-snapshot
+    * reads fail loudly afterwards. Returns deleted paths — the Paimon
+    * spelling of [[IcebergWriter.expireSnapshots]]. */
+  def expireSnapshots(tableDir: String, keepLast: Int): Seq[String] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val latest = PaimonLite.latestSnapshotId(tableDir)
+    val earliestPath = java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST")
+    val earliest =
+      if (java.nio.file.Files.exists(earliestPath))
+        java.nio.file.Files.readString(earliestPath).trim.toLong
+      else 1L
+    if (latest - earliest + 1 <= keepLast) return Nil
+    val newEarliest = latest - keepLast + 1
+    val (keptData, keptManifests) = (newEarliest to latest)
+      .map(PaimonLite.snapshotArtifacts(tableDir, _))
+      .foldLeft((Set.empty[String], Set.empty[String])) {
+        case ((d, m), (d2, m2)) => (d ++ d2, m ++ m2)
+      }
+    val deleted = Seq.newBuilder[String]
+    (earliest until newEarliest).foreach { id =>
+      val (data, manifests) = PaimonLite.snapshotArtifacts(tableDir, id)
+      (data -- keptData).foreach { rel =>
+        val f = new java.io.File(tableDir, rel)
+        if (f.delete()) deleted += f.getAbsolutePath
+      }
+      (manifests -- keptManifests).foreach { name =>
+        val f = new java.io.File(s"$tableDir/manifest/$name")
+        if (f.delete()) deleted += f.getAbsolutePath
+      }
+    }
+    // snapshot JSONs go LAST: reachability above still needed them
+    (earliest until newEarliest).foreach { id =>
+      val f = new java.io.File(s"$tableDir/snapshot/snapshot-$id")
+      if (f.delete()) deleted += f.getAbsolutePath
+    }
+    java.nio.file.Files.writeString(earliestPath, newEarliest.toString)
+    deleted.result()
   }
 }

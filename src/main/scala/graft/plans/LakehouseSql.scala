@@ -16,8 +16,9 @@ import graft.ops.{DeltaLite, DeltaWriter, HudiLite, IcebergLite, IcebergWriter, 
   *   CREATE [OR REPLACE] TABLE graft_<fmt>.<name>
   *     [PRIMARY KEY (k, ...)] [PARTITIONED BY (p)] AS <select>
   *   INSERT INTO graft_<fmt>.<name> <select>
-  *   DELETE FROM graft_<fmt>.<name> WHERE <cond>      (iceberg | delta)
-  *   SELECT ... FROM graft_<fmt>.<name> ...           (any statement)
+  *   DELETE FROM graft_<fmt>.<name> WHERE <cond>   (all four: position
+  *     deletes / deletion vectors / -D rows / delete blocks)
+  *   SELECT ... FROM graft_<fmt>.<name> [FOR VERSION AS OF n] ...
   *
   * Tables live under `spark.graft.lakehouse.dir` (default
   * target/lakehouse) as `<fmt>/<name>`; the catalog metadata a real FE
@@ -42,6 +43,9 @@ object LakehouseSql {
   private val DeleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+WHERE\\s+(.*)$".r
   private val RefRe = "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)".r
+  private val RefVerRe =
+    ("(?i)graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
+      "\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
 
   def handles(sql: String): Boolean = RefRe.findFirstIn(sql).isDefined
 
@@ -81,15 +85,20 @@ object LakehouseSql {
     f"${max + 1}%03d"
   }
 
+  /** Snapshot read, optionally at a version — `FOR VERSION AS OF n`
+    * takes each format's native coordinate: Iceberg snapshot id, Delta
+    * version, Paimon snapshot id, Hudi instant (zero-padded). */
   private def reader(spark: SparkSession, fmt: String, dir: String,
-                     p: Props): DataFrame = fmt match {
-    case "iceberg" => IcebergLite.readSnapshot(spark, dir)
-    case "delta"   => DeltaLite.readVersion(spark, dir)
-    case "hudi"    => HudiLite.readSnapshotMor(spark, dir, p.keyCols)
-    case "paimon"  =>
-      if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir)
-      else PaimonLite.readSnapshot(spark, dir, p.keyCols)
-  }
+                     p: Props, version: Option[Long] = None): DataFrame =
+    fmt match {
+      case "iceberg" => IcebergLite.readSnapshot(spark, dir, version)
+      case "delta"   => DeltaLite.readVersion(spark, dir, version)
+      case "hudi"    => HudiLite.readSnapshotMor(spark, dir, p.keyCols,
+        instant = version.map(v => f"$v%03d"))
+      case "paimon"  =>
+        if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version)
+        else PaimonLite.readSnapshot(spark, dir, p.keyCols, version)
+    }
 
   private def appendTo(spark: SparkSession, fmt: String, dir: String,
                        p: Props, df: DataFrame, create: Boolean): Long = fmt match {
@@ -138,21 +147,45 @@ object LakehouseSql {
         spark.sql(select), create = false)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
     case DeleteRe(fmt, name, cond) =>
+      import org.apache.spark.sql.functions.{expr, lit}
       val dir = tableDir(spark, fmt, name)
-      readProps(dir) // existence gate
+      val p = readProps(dir)
+      // each format's native row-delete spelling: Iceberg position
+      // deletes, Delta deletion vectors, Paimon -D retraction rows,
+      // Hudi delete blocks
       val version = fmt match {
-        case "iceberg" => IcebergWriter.deleteRows(spark, dir,
-          org.apache.spark.sql.functions.expr(cond))
-        case "delta" => DeltaWriter.deleteRows(spark, dir,
-          org.apache.spark.sql.functions.expr(cond))
-        case other => throw new IllegalArgumentException(
-          s"DELETE FROM graft_$other is not supported — iceberg (position " +
-            "deletes) and delta (deletion vectors) carry the row-delete paths")
+        case "iceberg" => IcebergWriter.deleteRows(spark, dir, expr(cond))
+        case "delta" => DeltaWriter.deleteRows(spark, dir, expr(cond))
+        case "paimon" =>
+          require(p.keyCols.nonEmpty,
+            "DELETE FROM an append-only paimon table is not supported " +
+              "(append tables are immutable facts)")
+          val victims = PaimonLite.readSnapshot(spark, dir, p.keyCols)
+            .filter(expr(cond))
+            .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
+          PaimonWriter.append(spark, dir, victims, p.partCol.get, p.keyCols)
+        case "hudi" =>
+          val keys = HudiLite.readSnapshotMor(spark, dir, p.keyCols)
+            .filter(expr(cond))
+            .select(p.keyCols.map(org.apache.spark.sql.functions.col): _*)
+          val instant = nextInstant(dir)
+          HudiLite.deleteKeys(spark, dir, keys, p.keyCols, instant)
+          instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
     case _ =>
       // read path: substitute each reference with a snapshot temp view
-      RefRe.replaceAllIn(sql, m => {
+      // — versioned references (FOR VERSION AS OF n) first, so the
+      // plain pattern cannot eat their table token
+      val versioned = RefVerRe.replaceAllIn(sql, m => {
+        val (fmt, name, v) = (m.group(1), m.group(2), m.group(3).toLong)
+        val dir = tableDir(spark, fmt, name)
+        val view = s"graft_lake_${fmt}_${name}_v$v"
+        reader(spark, fmt, dir, readProps(dir), Some(v))
+          .createOrReplaceTempView(view)
+        view
+      })
+      RefRe.replaceAllIn(versioned, m => {
         val (fmt, name) = (m.group(1), m.group(2))
         val dir = tableDir(spark, fmt, name)
         val view = s"graft_lake_${fmt}_$name"

@@ -144,6 +144,120 @@ object Round11Queries {
         .orderBy(col("kind"))
     }),
 
+    // DELTA CONCURRENT COMMITS: the hard-link CAS on the commit file —
+    // POSIX rename (the r10 spelling) would have silently REPLACED the
+    // interleaved writer's commit, a lost update the union catches
+    "src_delta_concurrent" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 12000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/conc_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 3 =!= 0),
+        partCol = Some("l_returnflag"),
+        beforePublish = () => {
+          DeltaWriter.append(s, tableDir,
+            src.filter(col("l_orderkey") % 2 === 1 && col("l_orderkey") % 3 === 0),
+            partCol = Some("l_returnflag"))
+          ()
+        })
+      val logDir = new java.io.File(tableDir, "_delta_log")
+      require((0L to 2L).forall(v =>
+        new java.io.File(logDir, f"$v%020d.json").exists()),
+        "concurrency premise: base + winner + retried loser = 3 commits")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // DELTA VACUUM: the reclaim step after DV deletes + OPTIMIZE —
+    // superseded data files AND orphaned DV blobs die physically,
+    // the current version stays value-exact, expired time travel is
+    // loud (all asserted)
+    "src_delta_vacuum" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/vac_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      DeltaWriter.optimize(s, tableDir, partCol = Some("l_returnflag"))
+      val deleted = DeltaWriter.vacuum(s, tableDir)
+      require(deleted.exists(_.contains("/data/")) &&
+        deleted.exists(_.contains("deletion_vectors")),
+        s"vacuum must reclaim superseded data + DV bytes: $deleted")
+      val loud = try { DeltaLite.readVersion(s, tableDir, Some(0L)).collect(); false }
+        catch { case _: Throwable => true }
+      require(loud, "time travel past vacuum must fail loudly")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // PAIMON SNAPSHOT EXPIRY: keep the latest snapshot, advance
+    // EARLIEST, reclaim expired-only metadata — live LSM layers
+    // survive (they are reachable from the kept snapshot), and the
+    // folded read stays value-exact
+    "src_paimon_expire" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      val src = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 12000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      val tableDir = new java.io.File(
+        s"target/paimon/exp_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      PaimonWriter.append(s, tableDir, src,
+        "o_orderstatus", Seq("o_orderstatus", "o_orderkey"))
+      PaimonWriter.append(s, tableDir,
+        src.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_custkey", col("o_custkey") + 1000000L),
+        "o_orderstatus", Seq("o_orderstatus", "o_orderkey"))
+      val deleted = PaimonWriter.expireSnapshots(tableDir, keepLast = 1)
+      require(deleted.nonEmpty, "expiry must reclaim snapshot-1 metadata")
+      val loud = try {
+        PaimonLite.readSnapshot(s, tableDir,
+          Seq("o_orderstatus", "o_orderkey"), Some(1L)).collect(); false
+      } catch { case _: Throwable => true }
+      require(loud, "expired snapshot must fail loudly")
+      PaimonLite.readSnapshot(s, tableDir, Seq("o_orderstatus", "o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // HUDI CLEANER: after compaction folds the API-written logs, the
+    // superseded base files and logs die physically; the merged state
+    // is untouched (same oracle as src_hudi_write_upsert)
+    "src_hudi_clean" -> ((s, dir) => {
+      import graft.ops.HudiLite
+      val tableDir = hudiWrittenTable(s, dir, suffix = "_clean")
+      if (HudiLite.planFilesMor(tableDir).exists(_._5.nonEmpty))
+        HudiLite.compact(s, tableDir, Seq("o_orderkey"), "900")
+      val cleanedMarker = new java.io.File(tableDir, ".cleaned")
+      if (!cleanedMarker.exists()) {
+        val deleted = HudiLite.clean(tableDir)
+        require(deleted.exists(_.endsWith(".parquet")),
+          s"cleaner must reclaim the pre-compaction bases: $deleted")
+        java.nio.file.Files.writeString(cleanedMarker.toPath, "1")
+      }
+      HudiLite.readSnapshotMor(s, tableDir, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).as("sum_ok"),
+          sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // SQL-DRIVEN lakehouse round trips — the graft_<fmt> catalog route:
     // CREATE ... AS SELECT, INSERT INTO, DELETE FROM, SELECT all in
     // plain SQL, executing through the in-repo writers/readers
@@ -174,6 +288,65 @@ object Round11Queries {
         s"FROM graft_delta.li_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // SQL TIME TRAVEL: FOR VERSION AS OF resolves each format's native
+    // coordinate — version 0 of the delta table is the pre-INSERT even
+    // half, read next to the current state in ONE statement
+    "sql_lake_travel" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+        .createOrReplaceTempView("r11_li")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.tt_$n " +
+        "PARTITIONED BY (l_returnflag) " +
+        "AS SELECT * FROM r11_li WHERE l_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_delta.tt_$n " +
+        "SELECT * FROM r11_li WHERE l_orderkey % 2 = 1")
+      s.sql(
+        s"""SELECT cur.l_returnflag, cur.n AS n_cur,
+           |       coalesce(v0.n, 0) AS n_v0
+           |FROM (SELECT l_returnflag, count(*) AS n
+           |      FROM graft_delta.tt_$n GROUP BY 1) cur
+           |LEFT JOIN (SELECT l_returnflag, count(*) AS n
+           |           FROM graft_delta.tt_$n FOR VERSION AS OF 0
+           |           GROUP BY 1) v0
+           |  ON cur.l_returnflag = v0.l_returnflag
+           |ORDER BY cur.l_returnflag""".stripMargin)
+    }),
+
+    // RIGHT-TO-BE-FORGOTTEN on the training corpus — the two product
+    // families composed the other way from ml_corpus_versioned: the
+    // corpus IS an Iceberg table; a takedown list position-deletes its
+    // docs, rewrite folds the deletes into fresh files, expiry
+    // physically reclaims the originals — and the premise gate proves
+    // NO surviving parquet byte still holds a forgotten doc (the
+    // actual GDPR contract: bytes gone, not masked). At 100 TB each
+    // step is metadata- or touched-file-sized, never a corpus rewrite
+    // beyond the affected partitions.
+    "ml_corpus_forget" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/forget_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir, docs, partCol = Some("lang"))
+      IcebergWriter.deleteRows(s, tableDir, col("doc_id") % 37 === 0)
+      IcebergWriter.rewriteDataFiles(s, tableDir, partCol = Some("lang"))
+      val reclaimed = IcebergWriter.expireSnapshots(tableDir, keepLast = 1)
+      require(reclaimed.exists(_.contains("/data/")),
+        s"forget must physically reclaim the pre-rewrite files: $reclaimed")
+      // the hard premise: scan the RAW surviving files — no forgotten
+      // doc id may exist in any byte still on disk
+      val survivorFiles = IcebergLite.planFiles(tableDir).map(_.path)
+      val leaked = s.read.parquet(survivorFiles: _*)
+        .filter(col("doc_id") % 37 === 0).limit(1).count()
+      require(leaked == 0L, "forgotten docs must be physically gone")
+      IcebergLite.readSnapshot(s, tableDir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("chk"))
+        .orderBy(col("lang"))
+    }),
+
     "sql_lake_hudi" -> ((s, dir) => {
       t(s, dir, "orders").filter(col("o_orderkey") < 12000)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
@@ -188,6 +361,9 @@ object Round11Queries {
         "FROM r11_ord WHERE o_orderkey % 10 = 0 " +
         "UNION ALL SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus " +
         "FROM range(90001, 90021)")
+      // SQL DELETE via delete blocks (keys resolved by predicate)
+      s.sql(s"DELETE FROM graft_hudi.ord_$n " +
+        "WHERE o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0 AND o_orderkey < 12000")
       s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_ck " +
         s"FROM graft_hudi.ord_$n GROUP BY 1 ORDER BY 1")
     }),
@@ -204,6 +380,9 @@ object Round11Queries {
       s.sql(s"INSERT INTO graft_paimon.ord_$n " +
         "SELECT o_orderstatus, o_orderkey, o_custkey + 1000000 AS o_custkey " +
         "FROM r11_ord WHERE o_orderkey % 10 = 0")
+      // SQL DELETE via -D retraction rows
+      s.sql(s"DELETE FROM graft_paimon.ord_$n " +
+        "WHERE o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0")
       s.sql(s"SELECT o_orderstatus, count(*) AS n, sum(o_custkey) AS sum_ck " +
         s"FROM graft_paimon.ord_$n GROUP BY 1 ORDER BY 1")
     })
@@ -213,14 +392,15 @@ object Round11Queries {
     * upsert / deleteKeys), cached per sf dir. Premise gates: non-empty
     * waves, unique keys. */
   private val hudiBuilt = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def hudiWrittenTable(s: SparkSession, dir: String): String =
-    hudiBuilt.computeIfAbsent(dir, _ => {
+  private def hudiWrittenTable(s: SparkSession, dir: String,
+                               suffix: String = ""): String =
+    hudiBuilt.computeIfAbsent(dir + suffix, _ => {
       import graft.ops.HudiLite
       val base = t(s, dir, "orders")
         .filter(col("o_orderkey") < 12000)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
       val tableDir = new java.io.File(
-        s"target/hudi/uw_${new java.io.File(dir).getName}").getAbsolutePath
+        s"target/hudi/uw${suffix}_${new java.io.File(dir).getName}").getAbsolutePath
       HudiLite.createTable(s, tableDir, base,
         keyCols = Seq("o_orderkey"), partCol = "o_orderstatus",
         instant = "001", groupsPerPart = 2)
@@ -301,6 +481,46 @@ object Round11Queries {
       WHERE o_orderkey < 12000 AND o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0
       ORDER BY kind""",
 
+    "src_delta_concurrent" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    // survivors after the DV wave, unchanged through optimize + vacuum
+    "src_delta_vacuum" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // the folded LSM state by predicate — expiry must not lose a layer
+    "src_paimon_expire" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders WHERE o_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    // compaction + cleaning are state no-ops: same merged content as
+    // src_hudi_write_upsert
+    "src_hudi_clean" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(ok) AS BIGINT) AS sum_ok,
+             CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus, o_orderkey AS ok,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders
+            WHERE o_orderkey < 12000
+              AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+            UNION ALL
+            SELECT 'O' AS o_orderstatus, r AS ok, r AS ck
+            FROM range(90001, 90021) t(r)) u
+      GROUP BY 1 ORDER BY 1""",
+
     "sql_lake_iceberg" -> """
       SELECT l_returnflag, count(*) AS n,
              CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
@@ -315,12 +535,30 @@ object Round11Queries {
       WHERE l_orderkey < 10000 AND l_orderkey % 5 <> 0
       GROUP BY 1 ORDER BY 1""",
 
+    // current = both halves; v0 = the even half only
+    "sql_lake_travel" -> """
+      SELECT l_returnflag, count(*) AS n_cur,
+             CAST(sum(CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_v0
+      FROM lineitem
+      WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    // the corpus minus the takedown list, physically
+    "ml_corpus_forget" -> """
+      SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM documents
+      WHERE doc_id % 37 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
     "sql_lake_hudi" -> """
       SELECT o_orderstatus, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sum_ck
       FROM (SELECT o_orderstatus,
                    CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
                         ELSE o_custkey END AS ck
-            FROM orders WHERE o_orderkey < 12000
+            FROM orders
+            WHERE o_orderkey < 12000
+              AND NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
             UNION ALL
             SELECT 'O' AS o_orderstatus, r AS ck
             FROM range(90001, 90021) t(r)) u
@@ -330,7 +568,9 @@ object Round11Queries {
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
                            ELSE o_custkey END) AS BIGINT) AS sum_ck
-      FROM orders WHERE o_orderkey < 12000
+      FROM orders
+      WHERE o_orderkey < 12000
+        AND NOT (o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0)
       GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -275,6 +275,79 @@ object StreamQueries {
         .orderBy(col("event_type"))
     }),
 
+    // streaming → Paimon PK table sink (r11, completing the quartet):
+    // each micro-batch commits through the LSM writer with its batch id
+    // stamped on the snapshot JSON; the redelivery drill proves the
+    // skip, the read goes through the independent merge chain.
+    "stream_paimon_sink" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      val (ckpt, _) = fresh("paimon_sink")
+      val (_, tableDir) = fresh("paimon_sink_table")
+      val q = eventsStream(s, dir)
+        .select(col("event_type"), col("event_id"), col("user_id"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          PaimonWriter.appendBatch(batch.sparkSession, tableDir, batch,
+            "event_type", Seq("event_type", "event_id"), id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val committed = PaimonWriter.committedBatchIds(tableDir)
+      require(committed.nonEmpty, "stream committed no batches")
+      val before = PaimonLite.latestSnapshotId(tableDir)
+      val redelivered = PaimonWriter.appendBatch(s, tableDir,
+        graft.Tables.load(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("user_id")).limit(5),
+        "event_type", Seq("event_type", "event_id"), committed.min)
+      require(redelivered.isEmpty &&
+        PaimonLite.latestSnapshotId(tableDir) == before,
+        "redelivered batch must be skipped without a new snapshot")
+      PaimonLite.readSnapshot(s, tableDir, Seq("event_type", "event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("nd"),
+          sum(col("user_id")).as("sum_uid"))
+        .orderBy(col("event_type"))
+    }),
+
+    // streaming → Hudi MoR table sink (r11): the first batch creates
+    // the base file groups, later batches stage deltacommit upserts;
+    // every timeline instant carries its batch id.
+    "stream_hudi_sink" -> ((s, dir) => {
+      import graft.ops.HudiLite
+      val (ckpt, _) = fresh("hudi_sink")
+      val (_, tableDir) = fresh("hudi_sink_table")
+      val q = eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          HudiLite.appendBatch(batch.sparkSession, tableDir, batch,
+            Seq("event_id"), "event_type", id): Unit
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val committed = HudiLite.committedBatchIds(tableDir)
+      require(committed.nonEmpty, "stream committed no batches")
+      val before = Option(new java.io.File(tableDir, ".hoodie").list())
+        .getOrElse(Array.empty).toSeq.sorted
+      val redelivered = HudiLite.appendBatch(s, tableDir,
+        graft.Tables.load(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type")).limit(5),
+        Seq("event_id"), "event_type", committed.min)
+      require(redelivered.isEmpty &&
+        Option(new java.io.File(tableDir, ".hoodie").list())
+          .getOrElse(Array.empty).toSeq.sorted == before,
+        "redelivered batch must be skipped without a new instant")
+      HudiLite.readSnapshotMor(s, tableDir, Seq("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_id")).as("nd"),
+          sum(col("user_id")).as("sum_uid"))
+        .orderBy(col("event_type"))
+    }),
+
     "stream_insert_job" -> ((s, dir) => {
       val (ckpt, out) = fresh("insert_job")
       val q = eventsStream(s, dir).writeStream
@@ -646,6 +719,16 @@ object StreamQueries {
     // exactly-once sink: the table must hold the source exactly once —
     // a duplicated batch would double n without moving nd
     "stream_iceberg_sink" -> """
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_paimon_sink" -> """
+      SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
+             CAST(sum(user_id) AS BIGINT) AS sum_uid
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "stream_hudi_sink" -> """
       SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS nd,
              CAST(sum(user_id) AS BIGINT) AS sum_uid
       FROM events GROUP BY event_type ORDER BY event_type""",

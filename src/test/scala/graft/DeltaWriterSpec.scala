@@ -198,6 +198,61 @@ class DeltaWriterSpec extends AnyFunSuite {
       (0L until 11L).toSet + 99L)
   }
 
+  test("concurrent append/append: loser retries, both commits land") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_conc").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir, Seq((1L, "A", 1)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    // writer B takes the version between A's resolution and A's CAS:
+    // POSIX rename would have silently replaced B's commit (lost
+    // update); the hard-link CAS forces A to retry onto version 2
+    DeltaWriter.append(spark, dir, Seq((2L, "A", 2)).toDF("k", "p", "v"),
+      partCol = Some("p"),
+      beforePublish = () => {
+        DeltaWriter.append(spark, dir,
+          Seq((3L, "B", 3)).toDF("k", "p", "v"), partCol = Some("p"))
+        ()
+      })
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "no lost update")
+    val logDir = new java.io.File(dir, "_delta_log")
+    assert((0L to 2L).forall(v =>
+      new java.io.File(logDir, f"$v%020d.json").exists()),
+      "three commit versions on the log")
+  }
+
+  test("vacuum reclaims unreferenced data + DV bytes; current read survives") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_vacuum").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      (1L to 12L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt))
+        .toDF("k", "p", "v"), partCol = Some("p"))
+    DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+    val expected = (1L to 12L).filterNot(_ % 3 == 0).toSet
+    def ks: Set[Long] = DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    // pre-vacuum: old files + DV blobs still on disk, time travel works
+    assert(ks == expected)
+    assert(DeltaLite.readVersion(spark, dir, Some(0L))
+      .select("k").collect().map(_.getLong(0)).toSet == (1L to 12L).toSet)
+    val deleted = DeltaWriter.vacuum(spark, dir)
+    assert(deleted.exists(_.contains("/data/")),
+      s"optimize-superseded data files must be reclaimed: $deleted")
+    assert(deleted.exists(_.contains("deletion_vectors")),
+      "orphaned DV blobs die too (optimize purged the descriptors)")
+    assert(ks == expected, "the current version survives vacuum intact")
+    // time travel to the pre-optimize version now fails loudly
+    intercept[Exception] {
+      DeltaLite.readVersion(spark, dir, Some(0L)).collect()
+    }
+  }
+
   test("unpartitioned append and empty-append rejection") {
     val s2 = spark
     import s2.implicits._

@@ -222,6 +222,53 @@ class HudiMorSpec extends AnyFunSuite {
     assert(state == before)
   }
 
+  test("cleaner reclaims superseded slices after compaction; state intact") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_clean").getAbsolutePath
+    HudiLite.createTable(spark, dir,
+      (1L to 10L).map(k => (k, "A", k.toInt)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001", groupsPerPart = 2)
+    HudiLite.upsert(spark, dir, Seq((2L, "A", 200)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "002")
+    HudiLite.compact(spark, dir, Seq("k"), "003")
+    def state: Map[Long, Int] = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val before = state
+    val deleted = HudiLite.clean(dir)
+    assert(deleted.exists(_.endsWith(".parquet")) &&
+      deleted.exists(_.contains(".log.")),
+      s"compaction-superseded base + its log must die: $deleted")
+    assert(state == before, "the latest slices survive cleaning")
+    // time travel to the cleaned instant now fails loudly
+    intercept[Exception] {
+      HudiLite.readSnapshotMor(spark, dir, Seq("k"),
+        instant = Some("002")).collect()
+    }
+  }
+
+  test("exactly-once batch sink: create-then-upsert, redelivery skipped") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_batch_sink").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(HudiLite.appendBatch(spark, dir,
+      Seq((1L, "A", 1), (2L, "A", 2)).toDF("k", "p", "v"),
+      Seq("k"), "p", batchId = 0L).contains("001"))
+    assert(HudiLite.appendBatch(spark, dir,
+      Seq((2L, "A", 200), (3L, "A", 3)).toDF("k", "p", "v"),
+      Seq("k"), "p", batchId = 1L).contains("002"))
+    // redelivery of either batch is a no-op
+    assert(HudiLite.appendBatch(spark, dir,
+      Seq((9L, "A", 9)).toDF("k", "p", "v"), Seq("k"), "p", 0L).isEmpty)
+    assert(HudiLite.appendBatch(spark, dir,
+      Seq((9L, "A", 9)).toDF("k", "p", "v"), Seq("k"), "p", 1L).isEmpty)
+    assert(HudiLite.committedBatchIds(dir) == Set(0L, 1L))
+    assert(HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 1), (2L, 200), (3L, 3)))
+  }
+
   test("log block framing round-trips multi-block files byte-exactly") {
     val path = new java.io.File("target/hudi/mor_block_rt.log").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

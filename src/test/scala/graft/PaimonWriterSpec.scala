@@ -34,6 +34,39 @@ class PaimonWriterSpec extends AnyFunSuite {
       .select(col("k"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
 
+  test("snapshot expiry reclaims only expired-reachable files; reads survive") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_expire").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 10), ("B", 2L, 20)).toDF("p", "k", "v"), "p", Seq("p", "k"))
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 111, PaimonLite.KindUpdateAfter))
+        .toDF("p", "k", "v", "_VALUE_KIND"), "p", Seq("p", "k"))
+    PaimonWriter.append(spark, dir,
+      Seq(("B", 3L, 30)).toDF("p", "k", "v"), "p", Seq("p", "k"))
+    def state: Map[Long, Int] =
+      PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val before = state
+    val deleted = PaimonWriter.expireSnapshots(dir, keepLast = 1)
+    // every expired commit's data is still LIVE in snapshot 3 (LSM
+    // keeps all sequence layers), so only superseded metadata dies
+    assert(deleted.nonEmpty && deleted.forall(p =>
+        p.contains("/manifest/") || p.contains("/snapshot/")),
+      s"live data files must survive expiry: $deleted")
+    assert(state == before && before == Map(1L -> 111, 2L -> 20, 3L -> 30))
+    // the expired snapshots are gone: loud failure, EARLIEST advanced
+    intercept[IllegalArgumentException] {
+      PaimonLite.readSnapshot(spark, dir, Seq("p", "k"), Some(1L)).collect()
+    }
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      dir, "snapshot", "EARLIEST")).trim == "3")
+    // expiry with nothing to do is a no-op
+    assert(PaimonWriter.expireSnapshots(dir, keepLast = 5).isEmpty)
+  }
+
   test("append-only table: plain scan, time travel, type guard") {
     val s2 = spark
     import s2.implicits._
