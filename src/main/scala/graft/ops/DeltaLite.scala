@@ -322,8 +322,8 @@ object DeltaLite {
   /** Read a version (default latest) with optional partition pruning —
     * checkpoint-aware (see [[planFilesWithCheckpoint]]), DELETION
     * VECTORS applied: each file's DV positions (inline z85 or DV-file
-    * blob, decoded driver-side — DV descriptors are metadata riding the
-    * add actions) anti-join against Spark's native
+    * blob, decoded EXECUTOR-SIDE from the metadata-sized descriptors)
+    * anti-join against Spark's native
     * `_metadata.file_path`/`row_index`, the same distributed discipline
     * as the Iceberg position deletes. */
   def readVersion(spark: SparkSession, tableDir: String,
@@ -337,26 +337,37 @@ object DeltaLite {
     val withDv = adds.filter(_.dv.isDefined)
     val afterDv = if (withDv.isEmpty) data
     else {
-      val delRows: Seq[Row] = withDv.flatMap { a =>
-        val d = a.dv.get
-        val positions = d.storageType match {
-          case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(d.pathOrInlineDv))
-          case "p" => DeltaDv.readDvFile(d.pathOrInlineDv, d.offset, d.sizeInBytes)
-          case st => throw new IllegalArgumentException(
-            s"unsupported DV storageType '$st'")
+      // DV descriptors are metadata-sized; the POSITIONS are not — at
+      // 100 TB a broad delete holds millions of them, so the roaring
+      // blobs decode EXECUTOR-SIDE (one task per descriptor, reading
+      // its .bin range or inline payload) and only the anti-join frame
+      // exists distributed. The driver ships (path, descriptor) pairs.
+      val descs: Seq[(String, String, String, Int, Int, Long)] =
+        withDv.map { a =>
+          val d = a.dv.get
+          require(d.storageType == "i" || d.storageType == "p",
+            s"unsupported DV storageType '${d.storageType}'")
+          (new java.io.File(tableDir, a.path).getAbsolutePath,
+            d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes,
+            d.cardinality)
         }
-        require(positions.size.toLong == d.cardinality,
-          s"DV cardinality mismatch: ${positions.size} vs ${d.cardinality}")
-        val abs = new java.io.File(tableDir, a.path).getAbsolutePath
-        positions.map(p => Row(abs, p))
-      }
       val delSchema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("__fp",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("__pos",
           org.apache.spark.sql.types.LongType)))
-      val dels = spark.createDataFrame(
-        new java.util.ArrayList[Row](java.util.Arrays.asList(delRows: _*)), delSchema)
+      val delRows = spark.sparkContext
+        .parallelize(descs, math.max(1, math.min(descs.size, 32)))
+        .flatMap { case (abs, st, payload, off, size, card) =>
+          val positions = st match {
+            case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(payload))
+            case _ => DeltaDv.readDvFile(payload, off, size)
+          }
+          require(positions.size.toLong == card,
+            s"DV cardinality mismatch: ${positions.size} vs $card")
+          positions.map(p => Row(abs, p))
+        }
+      val dels = spark.createDataFrame(delRows, delSchema)
       data
         .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
         .withColumn("__pos", col("_metadata.row_index"))

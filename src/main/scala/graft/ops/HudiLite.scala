@@ -492,6 +492,10 @@ object HudiLite {
       }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     require(entries.nonEmpty, "createTable of an empty DataFrame")
+    // bloom sidecars: what makes later upserts open only candidate
+    // files instead of scanning every base key (Hudi's bloom index)
+    writeBlooms(spark, keyCols,
+      entries.map { case (_, _, rel) => new java.io.File(dir, rel).getAbsolutePath })
     val statsJson = entries.groupBy(_._1).map { case (part, es) =>
       val js = es.map { case (_, fid, rel) =>
         s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }
@@ -538,6 +542,125 @@ object HudiLite {
       }.toSet
   }
 
+  // ------------------------------------------------------- bloom index (r11)
+  // Hudi's bloom index, the thing that makes upserts sub-table-scan at
+  // 100 TB: each base file carries a bloom filter of its record keys
+  // (here an 8 KiB sidecar; real Hudi rides the parquet footer). An
+  // incoming batch tests its keys against the blooms of ITS partition's
+  // files (broadcast, metadata-sized) and the exact key-index scan then
+  // opens only the candidate files. Bloom negatives are exact — a key
+  // missing from every bloom is genuinely new — so routing stays
+  // split-brain-free; false positives only cost extra candidate files.
+  private val BloomBits = 1 << 16
+  private val BloomHashes = 3
+
+  private def bloomHash(key: String, i: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c + i * 0x5bd1e995)
+    java.lang.Math.floorMod(h, BloomBits)
+  }
+
+  private[graft] def bloomAdd(bits: Array[Long], key: String): Unit = {
+    var i = 0
+    while (i < BloomHashes) {
+      val b = bloomHash(key, i)
+      bits(b >>> 6) |= (1L << (b & 63))
+      i += 1
+    }
+  }
+
+  private[graft] def bloomContains(bits: Array[Long], key: String): Boolean = {
+    var i = 0
+    while (i < BloomHashes) {
+      val b = bloomHash(key, i)
+      if ((bits(b >>> 6) & (1L << (b & 63))) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  private def bloomKeyCol(keyCols: Seq[String]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+  }
+
+  /** Build and write the `.bloom` sidecar for each base file: one
+    * distributed key-column scan, per-file bitsets OR-merged, only the
+    * 8 KiB-per-file bitmaps return to the driver. */
+  private def writeBlooms(spark: SparkSession, keyCols: Seq[String],
+                          baseFiles: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions._
+    if (baseFiles.isEmpty) return
+    val words = BloomBits / 64
+    val perFile = spark.read.parquet(baseFiles: _*)
+      .select(
+        regexp_replace(col("_metadata.file_path"), "^file:+", "").as("__fp"),
+        bloomKeyCol(keyCols).as("__k"))
+      .rdd.map(r => (r.getString(0), r.getString(1)))
+      .aggregateByKey(new Array[Long](words))(
+        (bits, k) => { bloomAdd(bits, k); bits },
+        (a, b) => { var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a })
+      .collect()
+    perFile.foreach { case (fp, bits) =>
+      val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
+      bits.foreach(bb.putLong)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(fp + ".bloom"), bb.array())
+    }
+  }
+
+  private def readBloom(f: java.io.File): Array[Long] = {
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  /** Bloom-pruned candidate base files for an incoming batch: per
+    * partition, the files whose bloom contains at least one incoming
+    * key (plus files with no sidecar — conservative). The candidate
+    * fid set is computed DISTRIBUTED (keys test only their own
+    * partition's blooms) and only the small fid set returns. */
+  private[graft] def candidateBaseFids(spark: SparkSession, df: DataFrame,
+                                       keyCols: Seq[String],
+                                       partCol: Option[String],
+                                       slices: Seq[(String, String, String, String, Seq[String])])
+      : Set[String] = {
+    import org.apache.spark.sql.functions._
+    val withBloom = slices.flatMap { s =>
+      val f = new java.io.File(s._1 + ".bloom")
+      if (f.exists()) Some((s._2, s._3, readBloom(f))) else None
+    }
+    val noBloom = slices.collect {
+      case s if !new java.io.File(s._1 + ".bloom").exists() => s._3
+    }.toSet
+    if (withBloom.isEmpty) return slices.map(_._3).toSet
+    // partition → (fid, bloom) list, broadcast (8 KiB per base file)
+    val byPart: Map[String, Seq[(String, Array[Long])]] =
+      withBloom.groupBy(_._1).map { case (p, xs) =>
+        p -> xs.map(x => (x._2, x._3))
+      }
+    val bc = spark.sparkContext.broadcast(byPart)
+    val keyed = partCol match {
+      case Some(p) => df.select(col(p).cast("string").as("__p"),
+        bloomKeyCol(keyCols).as("__k"))
+      case None => df.select(lit(null).cast("string").as("__p"),
+        bloomKeyCol(keyCols).as("__k"))
+    }
+    val hits = keyed.rdd.mapPartitions { it =>
+      val m = bc.value
+      val seen = scala.collection.mutable.Set.empty[String]
+      it.foreach { r =>
+        val blooms: Iterable[(String, Array[Long])] =
+          if (r.isNullAt(0)) m.values.flatten else m.getOrElse(r.getString(0), Nil)
+        val k = r.getString(1)
+        blooms.foreach { case (fid, bits) =>
+          if (!seen.contains(fid) && bloomContains(bits, k)) seen += fid
+        }
+      }
+      seen.iterator
+    }.distinct().collect().toSet
+    hits ++ noBloom
+  }
+
   /** The record-key → file-group index of the current table state:
     * DataFrame(keyCols..., __fid). Base keys come from one distributed
     * key-column parquet scan (fileId resolved from `_metadata.file_path`
@@ -546,7 +669,9 @@ object HudiLite {
     * This is the Spark spelling of Hudi's record index / bloom-index
     * lookup — the thing that pins a key to its group for life. */
   private def keyIndex(spark: SparkSession, keyCols: Seq[String],
-                       slices: Seq[(String, String, String, String, Seq[String])])
+                       slices: Seq[(String, String, String, String, Seq[String])],
+                       baseFids: Set[String],
+                       keySchema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
@@ -554,16 +679,22 @@ object HudiLite {
       (slices.map(s => s._1.replaceAll("^file:+", "") -> s._3) ++
         slices.flatMap(s => s._5.map(lp =>
           new java.io.File(lp).getAbsolutePath -> s._3))).toMap
-    val baseKeys = spark.read.parquet(slices.map(_._1): _*)
-      .select(keyCols.map(col) :+
-        element_at(typedLit(fidByPath),
-          regexp_replace(col("_metadata.file_path"), "^file:+", "")).as("__fid"): _*)
+    val fidSchema = StructType(keySchema.fields :+
+      StructField("__fid", StringType, nullable = false))
+    // bloom-pruned: only candidate base files are opened; LOG files
+    // always scan (they are batch-sized deltas until compaction folds
+    // them into bloom-carrying bases)
+    val basePaths = slices.filter(s => baseFids.contains(s._3)).map(_._1)
+    val baseKeys =
+      if (basePaths.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), fidSchema)
+      else spark.read.parquet(basePaths: _*)
+        .select(keyCols.map(col) :+
+          element_at(typedLit(fidByPath),
+            regexp_replace(col("_metadata.file_path"), "^file:+", "")).as("__fid"): _*)
     val logPaths = slices.flatMap(_._5)
     if (logPaths.isEmpty) baseKeys
     else {
-      val keySchema = StructType(
-        baseKeys.schema.fields.filter(f => keyCols.contains(f.name)) :+
-          StructField("__fid", StringType, nullable = false))
       val logRows = spark.sparkContext
         .binaryFiles(logPaths.map(new java.io.File(_).getAbsolutePath).mkString(","))
         .flatMap { case (p, pds) =>
@@ -581,7 +712,7 @@ object HudiLite {
             }
           }
         }
-      baseKeys.unionByName(spark.createDataFrame(logRows, keySchema))
+      baseKeys.unionByName(spark.createDataFrame(logRows, fidSchema))
     }
   }
 
@@ -622,7 +753,10 @@ object HudiLite {
         .forall(f => f.split('.').head < instant),
       s"instant $instant must follow the timeline")
     val slices = planFilesMor(tableDir)
-    val index = keyIndex(spark, keyCols, slices)
+    val keySchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filter(f => keyCols.contains(f.name)))
+    val candidates = candidateBaseFids(spark, df, keyCols, partCol, slices)
+    val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
       .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
     val tagged = df.join(index, keyCols, "left")
     // NEW keys (upserts only): route by key hash into the partition's
@@ -709,8 +843,12 @@ object HudiLite {
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
         if (f.isDirectory) { if (f.getName != ".hoodie") walk(f) }
         else if ((f.getName.endsWith(".parquet") || f.getName.contains(".log.")) &&
-            !live.contains(f.getAbsolutePath) && f.delete())
+            !live.contains(f.getAbsolutePath) && f.delete()) {
           deleted += f.getAbsolutePath
+          // the base's bloom sidecar dies with it
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(f.getAbsolutePath + ".bloom")): Unit
+        }
       }
     walk(new java.io.File(tableDir))
     deleted.result()
@@ -744,6 +882,10 @@ object HudiLite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
       (part, fid, rel)
     }
+    // fresh bases carry fresh bloom sidecars — the folded log keys
+    // become bloom-visible again after compaction
+    writeBlooms(spark, keyCols,
+      stats.map { case (_, _, rel) => new java.io.File(tableDir, rel).getAbsolutePath })
     val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
       val entries = ss.map { case (_, fid, rel) =>
         s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }

@@ -143,8 +143,19 @@ object LakehouseSql {
       s"SELECT CAST($version AS BIGINT) AS committed_version"
     case InsertRe(fmt, name, select) =>
       val dir = tableDir(spark, fmt, name)
-      val version = appendTo(spark, fmt, dir, readProps(dir),
-        spark.sql(select), create = false)
+      val p = readProps(dir)
+      // align the incoming rows to the TABLE schema (by name, cast to
+      // the stored types) — mixed int/long parquet across commits
+      // would otherwise poison later merged reads
+      val incoming = spark.sql(select)
+      val target = reader(spark, fmt, dir, p).schema
+      require(incoming.columns.toSet == target.fieldNames.toSet,
+        s"INSERT columns ${incoming.columns.mkString(",")} must match " +
+          s"the table's ${target.fieldNames.mkString(",")}")
+      val aligned = incoming.select(target.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)): _*)
+      val version = appendTo(spark, fmt, dir, p, aligned, create = false)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
     case DeleteRe(fmt, name, cond) =>
       import org.apache.spark.sql.functions.{expr, lit}

@@ -269,6 +269,45 @@ class HudiMorSpec extends AnyFunSuite {
       Set((1L, 1), (2L, 200), (3L, 3)))
   }
 
+  test("bloom index prunes the upsert's base scan to candidate files") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_bloom").getAbsolutePath
+    HudiLite.createTable(spark, dir,
+      (1L to 400L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt))
+        .toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001", groupsPerPart = 4)
+    val slices = HudiLite.planFilesMor(dir)
+    assert(slices.size >= 4, s"needs several groups to prune: $slices")
+    assert(slices.forall(s => new java.io.File(s._1 + ".bloom").exists()),
+      "every base file carries its bloom sidecar")
+    // one existing key: candidates ⊊ all groups (bloom negatives are
+    // exact; 8 KiB blooms over ≤100 keys ≈ zero false positives)
+    val one = Seq((2L, "A", 999)).toDF("k", "p", "v")
+    val cand = HudiLite.candidateBaseFids(spark, one, Seq("k"), Some("p"), slices)
+    assert(cand.nonEmpty && cand.size < slices.size,
+      s"one key must not candidate every group: ${cand.size}/${slices.size}")
+    // an all-new batch: zero candidates, upsert still routes + lands
+    val fresh = Seq((900L, "A", 1), (901L, "B", 2)).toDF("k", "p", "v")
+    assert(HudiLite.candidateBaseFids(spark, fresh, Seq("k"), Some("p"), slices).isEmpty,
+      "bloom-negative keys are genuinely new — no base file opens")
+    HudiLite.upsert(spark, dir, fresh, Seq("k"), "p", "002")
+    HudiLite.upsert(spark, dir, one, Seq("k"), "p", "003")
+    val got = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(2L) == 999 && got(900L) == 1 && got(901L) == 2 &&
+      got.size == 402)
+    // compaction refreshes blooms on the new bases
+    HudiLite.compact(spark, dir, Seq("k"), "900")
+    val after = HudiLite.planFilesMor(dir)
+    assert(after.forall(s => new java.io.File(s._1 + ".bloom").exists()),
+      "compacted bases re-carry blooms (folded log keys bloom-visible)")
+    // the log-born key now candidates through the NEW base's bloom
+    val cand2 = HudiLite.candidateBaseFids(spark,
+      Seq((900L, "A", 0)).toDF("k", "p", "v"), Seq("k"), Some("p"), after)
+    assert(cand2.nonEmpty, "post-compaction blooms must cover folded keys")
+  }
+
   test("log block framing round-trips multi-block files byte-exactly") {
     val path = new java.io.File("target/hudi/mor_block_rt.log").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** plans/LakehouseSql.scala — the graft_<fmt> SQL catalog route: the
+  * happy paths are oracle-checked (`sql_lake_*`); this spec pins the
+  * ERROR contract (loud, never silent) and the travel/read semantics
+  * at unit scale. */
+class LakehouseSqlSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def sql(s: String) = spark.sql(s)
+
+  test("create + insert + delete + select round trip (iceberg)") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"))
+      .toDF("k", "p").createOrReplaceTempView("lksql_src")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_t1 " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_src")
+    sql("INSERT INTO graft_iceberg.lksql_t1 SELECT 5 AS k, 'A' AS p")
+    sql("DELETE FROM graft_iceberg.lksql_t1 WHERE k % 2 = 0")
+    val got = sql("SELECT k FROM graft_iceberg.lksql_t1 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 5L))
+    // versioned read: snapshot 1000 is the CREATE state
+    assert(sql("SELECT count(*) AS n FROM graft_iceberg.lksql_t1 " +
+      "FOR VERSION AS OF 1000").head().getLong(0) == 4L)
+  }
+
+  test("CREATE without OR REPLACE on an existing table is loud") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_src2")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_t2 " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_src2")
+    val e = intercept[Exception] {
+      sql("CREATE TABLE graft_delta.lksql_t2 " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_src2")
+    }
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("reads and writes against an unknown table are loud") {
+    intercept[Exception] {
+      sql("SELECT * FROM graft_iceberg.lksql_nope").collect()
+    }
+    intercept[Exception] {
+      sql("INSERT INTO graft_paimon.lksql_nope SELECT 1 AS k")
+    }
+  }
+
+  test("append-only paimon refuses DELETE; hudi without PK refuses CREATE") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_src3")
+    // no PRIMARY KEY -> append-only paimon table
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_ao " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_src3")
+    // duplicates survive on append-only
+    sql("INSERT INTO graft_paimon.lksql_ao SELECT * FROM lksql_src3")
+    assert(sql("SELECT count(*) AS n FROM graft_paimon.lksql_ao")
+      .head().getLong(0) == 2L)
+    val e = intercept[Exception] {
+      sql("DELETE FROM graft_paimon.lksql_ao WHERE k = 1")
+    }
+    assert(e.getMessage.contains("append-only"))
+    intercept[Exception] {
+      sql("CREATE OR REPLACE TABLE graft_hudi.lksql_nopk " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_src3")
+    }
+  }
+
+  test("delta travel + paimon PK upsert through SQL") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_src4")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_tt " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_src4")
+    sql("INSERT INTO graft_delta.lksql_tt SELECT 3 AS k, 'A' AS p, 30 AS v")
+    assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_tt " +
+      "FOR VERSION AS OF 0").head().getLong(0) == 2L)
+    assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_tt")
+      .head().getLong(0) == 3L)
+    // paimon PK: the re-inserted key upserts, not duplicates
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_pk " +
+      "PRIMARY KEY (p, k) PARTITIONED BY (p) AS SELECT * FROM lksql_src4")
+    sql("INSERT INTO graft_paimon.lksql_pk SELECT 1 AS k, 'A' AS p, 99 AS v")
+    val rows = sql("SELECT k, v FROM graft_paimon.lksql_pk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(rows == Seq((1L, 99), (2L, 20)))
+  }
+}
