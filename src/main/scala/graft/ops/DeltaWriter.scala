@@ -229,8 +229,13 @@ object DeltaWriter {
                   appId: String, batchId: Long,
                   partCol: Option[String] = None): Option[Long] =
     if (DeltaLite.lastTxnVersion(spark, tableDir, appId).exists(_ >= batchId)) None
-    else Some(append(spark, tableDir, df, partCol,
-      txn = Some((appId, batchId))))
+    else {
+      // the txn watermark is ALSO re-checked inside append's retry
+      // loop — two sinks racing the same redelivered batch must not
+      // both commit after CAS retries
+      val v = append(spark, tableDir, df, partCol, txn = Some((appId, batchId)))
+      if (v < 0) None else Some(v)
+    }
 
   /** Append `df` as one commit, creating the table on first use.
     * Returns the committed version. */
@@ -244,7 +249,8 @@ object DeltaWriter {
              metaDataJson: Option[String] = None,
              txn: Option[(String, Long)] = None,
              protocolLine: Option[String] = None,
-             beforePublish: () => Unit = () => ()): Long = {
+             beforePublish: () => Unit = () => (),
+             filesPerPart: Int = 1): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_delta_log").mkdirs()
@@ -255,10 +261,25 @@ object DeltaWriter {
     // commit re-stamps metadata only, never rewrites data)
     val staging = s"$tableDir/stage_$tok"
     partCol match {
+      case Some(p) if filesPerPart > 1 =>
+        // hot-partition split, the Iceberg writer's spelling: a
+        // content-hash salt with an explicit partition count (AQE must
+        // not re-merge the groups)
+        val n = math.max(filesPerPart,
+          df.sparkSession.sessionState.conf.numShufflePartitions)
+        df.withColumn("__part", col(p).cast("string"))
+          .withColumn("__salt",
+            pmod(hash(df.columns.map(col): _*), lit(filesPerPart)))
+          .repartition(n, col("__part"), col("__salt"))
+          .drop("__salt")
+          .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case Some(p) =>
         df.withColumn("__part", col(p).cast("string"))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
+      case None if filesPerPart > 1 =>
+        df.repartition(filesPerPart)
+          .write.mode("overwrite").parquet(staging)
       case None =>
         df.write.mode("overwrite").parquet(staging)
     }
@@ -285,8 +306,14 @@ object DeltaWriter {
     // the commit file name, bounded retries
     var attempt = 0
     var committed = -1L
-    while (committed < 0) {
+    var skippedTxn = false
+    while (committed < 0 && !skippedTxn) {
       val version = nextVersion(tableDir)
+      // exactly-once re-check under the loop (see appendBatch)
+      if (attempt > 0 && txn.exists { case (appId, v) =>
+          DeltaLite.lastTxnVersion(spark, tableDir, appId).exists(_ >= v) }) {
+        skippedTxn = true
+      } else {
       // a CREATION payload (mapped schema, custom protocol) must not
       // silently vanish when another writer creates the table first —
       // the loser's files would disagree with the winner's metaData
@@ -317,8 +344,9 @@ object DeltaWriter {
         require(attempt < MaxCommitRetries,
           s"append conflict persisted after $MaxCommitRetries attempts")
       }
+      }
     }
-    committed
+    committed // -1 = txn version already committed by a concurrent sink
   }
 
   /** ROW-LEVEL DELETE via deletion vectors (PROTOCOL.md "Deletion

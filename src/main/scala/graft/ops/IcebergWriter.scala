@@ -353,8 +353,15 @@ object IcebergWriter {
   def appendBatch(spark: SparkSession, tableDir: String, df: DataFrame,
                   batchId: Long, partCol: Option[String] = None): Option[Long] =
     if (committedBatchIds(tableDir).contains(batchId)) None
-    else Some(commit(spark, tableDir, df, partCol, upsertKeys = None,
-      summaryProps = Map("streaming-batch-id" -> batchId.toString)))
+    else {
+      // the batch id is ALSO re-checked inside the commit retry loop:
+      // two sinks racing the same redelivered batch would otherwise
+      // both pass this pre-check and double-commit after CAS retries
+      val id = commit(spark, tableDir, df, partCol, upsertKeys = None,
+        summaryProps = Map("streaming-batch-id" -> batchId.toString),
+        skipIfBatchCommitted = Some(batchId))
+      if (id < 0) None else Some(id)
+    }
 
   /** Batch ids already committed via [[appendBatch]] (from the snapshot
     * summaries of the current metadata version). */
@@ -398,7 +405,8 @@ object IcebergWriter {
                      summaryProps: Map[String, String] = Map.empty,
                      replaceAll: Boolean = false,
                      filesPerPart: Int = 1,
-                     beforePublish: () => Unit = () => ()): Long = {
+                     beforePublish: () => Unit = () => (),
+                     skipIfBatchCommitted: Option[Long] = None): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -494,8 +502,15 @@ object IcebergWriter {
     // above — conflicts re-resolve metadata only.
     var attempt = 0
     var result = -1L
-    while (result < 0) {
+    var skipped = false
+    while (result < 0 && !skipped) {
       val curVersion = currentVersion(tableDir)
+      // exactly-once re-check under the loop: a concurrent sink may
+      // have committed this batch between our pre-check and this CAS
+      // attempt
+      if (skipIfBatchCommitted.exists(committedBatchIds(tableDir).contains)) {
+        skipped = true
+      } else {
       val curMeta: Option[ObjectNode] =
         if (curVersion == 0) None
         else Some(mapper.readTree(java.nio.file.Files.readString(
@@ -645,8 +660,9 @@ object IcebergWriter {
         require(attempt < MaxCommitRetries,
           s"commit conflict persisted after $MaxCommitRetries attempts")
       }
+      }
     }
-    result
+    result // -1 = batch already committed by a concurrent sink
   }
 
   /** Snapshot EXPIRY + orphan cleanup (the spec's expire_snapshots /

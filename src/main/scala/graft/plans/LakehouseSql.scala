@@ -29,7 +29,14 @@ import graft.ops.{DeltaLite, DeltaWriter, HudiLite, IcebergLite, IcebergWriter, 
   * `SELECT <version> AS committed_version`; reads substitute each
   * reference with a temp view over the format's independent read path
   * (snapshot semantics: the view is re-registered per statement).
-  * Paimon without PRIMARY KEY creates an append-only table. */
+  * Paimon without PRIMARY KEY creates an append-only table.
+  *
+  * Honest scope: the SQL route does not infer the library readers'
+  * FE-role partition `partFilter` from the statement's WHERE clause —
+  * a `WHERE part = 'X'` still plans every live file (Spark then prunes
+  * row groups via parquet pushdown, but file-level skipping needs the
+  * library API or a manifest-aware catalog plugin on a real cluster).
+  * Statement-level only: no multi-statement transactions. */
 object LakehouseSql {
 
   private val CreateRe =

@@ -253,6 +253,23 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("filesPerPart splits a hot partition; read and pruning exact") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_split").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      (1L to 2000L).map(k => (k, "HOT", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"), filesPerPart = 4)
+    val files = DeltaLite.planFiles(dir)
+    assert(files.size > 1 && files.size <= 4,
+      s"hot partition must split across up to 4 files: ${files.size}")
+    assert(files.forall(_._2("p") == "HOT"))
+    assert(DeltaLite.readVersion(spark, dir)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))).head().getLong(0) == 2000L)
+  }
+
   test("unpartitioned append and empty-append rejection") {
     val s2 = spark
     import s2.implicits._
