@@ -483,6 +483,44 @@ object DeltaWriter {
     version
   }
 
+  /** RESTORE the table to an earlier `version` (Delta's RESTORE TABLE
+    * ... TO VERSION AS OF): one metadata commit that removes files the
+    * target state lacks and re-adds the target's files with their
+    * deletion vectors — no data movement, history preserved (the
+    * restore itself is a new version, so it can be restored away).
+    * Loudly refuses when a target file was vacuumed away. */
+  def restore(spark: SparkSession, tableDir: String, version: Long): Long = {
+    val target = DeltaLite.planAddsWithCheckpoint(spark, tableDir, Some(version))
+    val current = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    require(target.nonEmpty, s"version $version has no live files")
+    target.foreach { a =>
+      require(new java.io.File(tableDir, a.path).exists(),
+        s"cannot restore: ${a.path} was vacuumed away")
+    }
+    val curByPath = current.map(a => a.path -> a).toMap
+    val tgtPaths = target.map(_.path).toSet
+    val newVersion = nextVersion(tableDir)
+    def dvJson(a: DeltaLite.AddFile): String = a.dv.map(d =>
+      s""","deletionVector":{"storageType":"${d.storageType}","pathOrInlineDv":"${d.pathOrInlineDv}","offset":${d.offset},"sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}""").getOrElse("")
+    val lines =
+      current.filterNot(a => tgtPaths.contains(a.path)).map { a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + newVersion},"dataChange":true}}"""
+      } ++ target.filterNot(a => curByPath.get(a.path).contains(a)).flatMap { a =>
+        val pv = a.partitionValues
+          .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+        val add = s"""{"add":{"path":"${a.path}","partitionValues":{$pv},"size":${new java.io.File(tableDir, a.path).length()},"modificationTime":${1700000000000L + newVersion},"dataChange":true${dvJson(a)}}}"""
+        // a path live in BOTH states but with a different DV needs the
+        // remove first so the replay ends on the target descriptor
+        if (curByPath.contains(a.path))
+          Seq(s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + newVersion},"dataChange":true}}""", add)
+        else Seq(add)
+      }
+    require(lines.nonEmpty, s"table already at version $version's state")
+    writeCommit(tableDir, newVersion, lines)
+    maybeCheckpoint(spark, tableDir, newVersion)
+    newVersion
+  }
+
   /** VACUUM: physically delete every data file and DV blob file that
     * the CURRENT version no longer references — the reclaim step the
     * remove-tombstone and OPTIMIZE docs above defer to. Spelled with

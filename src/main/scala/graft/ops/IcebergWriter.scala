@@ -665,6 +665,59 @@ object IcebergWriter {
     result // -1 = batch already committed by a concurrent sink
   }
 
+  /** TAG a snapshot (spec "Refs": named references to snapshot ids —
+    * tags are immutable labels, branches movable heads; both live in
+    * the metadata's `refs` map). A tagged snapshot survives
+    * [[expireSnapshots]] until the tag is dropped — how production
+    * tables pin "the corpus we trained v3 on" while retention reaps
+    * everything else. Published through the same CAS as commits. */
+  def tagSnapshot(tableDir: String, name: String, snapshotId: Long,
+                  refType: String = "tag"): Unit = {
+    require(refType == "tag" || refType == "branch", s"bad ref type $refType")
+    val curVersion = currentVersion(tableDir)
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val snaps = meta.get("snapshots")
+    require((0 until snaps.size).exists(
+      snaps.get(_).get("snapshot-id").asLong == snapshotId),
+      s"snapshot $snapshotId is not on the log")
+    val refs =
+      if (meta.has("refs")) meta.withObject("refs")
+      else meta.putObject("refs")
+    val r = refs.putObject(name)
+    r.put("snapshot-id", snapshotId)
+    r.put("type", refType)
+    require(casPublish(tableDir, curVersion + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
+      "ref update lost a version race with a concurrent commit — rerun")
+    advanceHint(tableDir, curVersion + 1)
+  }
+
+  /** Drop a ref (the tag becomes reapable by the next expiry). */
+  def dropRef(tableDir: String, name: String): Unit = {
+    val curVersion = currentVersion(tableDir)
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    require(meta.has("refs") && meta.get("refs").has(name), s"no ref $name")
+    meta.withObject("refs").remove(name)
+    require(casPublish(tableDir, curVersion + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
+      "ref update lost a version race with a concurrent commit — rerun")
+    advanceHint(tableDir, curVersion + 1)
+  }
+
+  /** Resolve a ref name to its snapshot id. */
+  def resolveRef(tableDir: String, name: String): Long = {
+    val curVersion = currentVersion(tableDir)
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+    val refs = meta.get("refs")
+    require(refs != null && refs.has(name), s"no ref $name on the table")
+    refs.get(name).get("snapshot-id").asLong
+  }
+
   /** Snapshot EXPIRY + orphan cleanup (the spec's expire_snapshots /
     * remove_orphan_files maintenance pair): keep the most recent
     * `keepLast` snapshots, rewrite the metadata version without the
@@ -686,7 +739,19 @@ object IcebergWriter {
     val all = (0 until snaps.size).map(snaps.get(_).asInstanceOf[ObjectNode])
       .sortBy(_.get("sequence-number").asLong)
     if (all.size <= keepLast) return Nil
-    val (expired, kept) = all.splitAt(all.size - keepLast)
+    // refs pin their snapshots past retention (spec: expire_snapshots
+    // never removes a snapshot a branch/tag references)
+    val refIds: Set[Long] = Option(meta.get("refs")).map { refs =>
+      val it = refs.fieldNames()
+      val b = Set.newBuilder[Long]
+      while (it.hasNext) b += refs.get(it.next()).get("snapshot-id").asLong
+      b.result()
+    }.getOrElse(Set.empty)
+    val (tail, recent) = all.splitAt(all.size - keepLast)
+    val (pinned, expired) = tail.partition(s =>
+      refIds.contains(s.get("snapshot-id").asLong))
+    val kept = pinned ++ recent
+    if (expired.isEmpty) return Nil
 
     // reachability: every file (data + manifest) a KEPT snapshot plans
     def filesOf(snapId: Long): (Set[String], Set[String]) = {

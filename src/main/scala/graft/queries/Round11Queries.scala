@@ -258,6 +258,59 @@ object Round11Queries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // TAGS pin training snapshots through retention (spec "Refs"): the
+    // corpus state a model trained on stays time-travelable by NAME
+    // while expiry reaps everything else — asserted by expiring down to
+    // 1 snapshot and still reading the tag exactly
+    "src_iceberg_tag" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/tag_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      val s1 = IcebergWriter.append(s, tableDir,
+        docs.filter(col("doc_id") % 3 =!= 0), partCol = Some("lang"))
+      IcebergWriter.tagSnapshot(tableDir, "train_v1", s1)
+      IcebergWriter.append(s, tableDir,
+        docs.filter(col("doc_id") % 3 === 0), partCol = Some("lang"))
+      IcebergWriter.expireSnapshots(tableDir, keepLast = 1)
+      require(!IcebergLite.planFiles(tableDir,
+          Some(IcebergWriter.resolveRef(tableDir, "train_v1")))
+        .isEmpty, "the tagged snapshot must survive expiry")
+      IcebergLite.readSnapshot(s, tableDir,
+          Some(IcebergWriter.resolveRef(tableDir, "train_v1")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("chk"))
+        .orderBy(col("lang"))
+    }),
+
+    // RESTORE: unwind an append and a DV delete in one metadata commit,
+    // then prove the pre-restore history is still intact
+    "src_delta_restore" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/restore_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_returnflag"))
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      DeltaWriter.restore(s, tableDir, 0L)
+      // the deleted-state version still replays (restore adds history,
+      // never rewrites it)
+      val preRestore = DeltaLite.readVersion(s, tableDir, Some(2L)).count()
+      require(preRestore > 0, "pre-restore versions must stay readable")
+      DeltaLite.readVersion(s, tableDir)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // SQL-DRIVEN lakehouse round trips — the graft_<fmt> catalog route:
     // CREATE ... AS SELECT, INSERT INTO, DELETE FROM, SELECT all in
     // plain SQL, executing through the in-repo writers/readers
@@ -519,6 +572,21 @@ object Round11Queries {
             UNION ALL
             SELECT 'O' AS o_orderstatus, r AS ok, r AS ck
             FROM range(90001, 90021) t(r)) u
+      GROUP BY 1 ORDER BY 1""",
+
+    // the tag resolves the pre-ingest corpus: batch 1 only
+    "src_iceberg_tag" -> """
+      SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS chk
+      FROM documents
+      WHERE doc_id % 3 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // restore to v0 = the even half, the delete unwound
+    "src_delta_restore" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 2 = 0
       GROUP BY 1 ORDER BY 1""",
 
     "sql_lake_iceberg" -> """

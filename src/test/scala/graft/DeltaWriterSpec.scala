@@ -253,6 +253,34 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("restore rewinds state metadata-only; history and DVs compose") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_restore").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      (1L to 12L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt))
+        .toDF("k", "p", "v"), partCol = Some("p"))
+    DeltaWriter.append(spark, dir,
+      Seq((20L, "A", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    def ks: Set[Long] = DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(ks == ((1L to 12L) :+ 20L).filterNot(_ % 3 == 0).toSet)
+    // restore to version 0: the append and the DV delete both unwind
+    val v = DeltaWriter.restore(spark, dir, 0L)
+    assert(ks == (1L to 12L).toSet, "restored to the v0 state")
+    // the restore is itself a version: restore forward to the DV state
+    DeltaWriter.restore(spark, dir, 2L)
+    assert(ks == ((1L to 12L) :+ 20L).filterNot(_ % 3 == 0).toSet,
+      "restore composes in both directions (DV descriptors re-attach)")
+    assert(v == 3L, "restore commits are ordinary versions on the log")
+    // restoring to the current state is a loud no-op
+    intercept[IllegalArgumentException] {
+      DeltaWriter.restore(spark, dir, 2L)
+    }
+  }
+
   test("filesPerPart splits a hot partition; read and pruning exact") {
     val s2 = spark
     import s2.implicits._

@@ -321,6 +321,35 @@ class IcebergWriterSpec extends AnyFunSuite {
       Seq(2000L, (1L to 2000L).sum))
   }
 
+  test("tags pin snapshots through expiry; dropped tags become reapable") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/iceberg/writer_spec_refs").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val s1 = IcebergWriter.append(spark, dir, Seq((1L, "A", 1)).toDF("k", "p", "v"), Some("p"))
+    IcebergWriter.append(spark, dir, Seq((2L, "A", 2)).toDF("k", "p", "v"), Some("p"))
+    IcebergWriter.append(spark, dir, Seq((3L, "B", 3)).toDF("k", "p", "v"), Some("p"))
+    IcebergWriter.tagSnapshot(dir, "train_v1", s1)
+    assert(IcebergWriter.resolveRef(dir, "train_v1") == s1)
+    // expiry keeps the tagged snapshot alive
+    IcebergWriter.expireSnapshots(dir, keepLast = 1)
+    val viaTag = IcebergLite.readSnapshot(spark, dir,
+      Some(IcebergWriter.resolveRef(dir, "train_v1")))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(viaTag == Set(1L), "the tagged snapshot still reads exactly")
+    assert(IcebergLite.readSnapshot(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    // drop the tag: the next expiry reaps it
+    IcebergWriter.dropRef(dir, "train_v1")
+    IcebergWriter.expireSnapshots(dir, keepLast = 1)
+    intercept[IllegalArgumentException] {
+      IcebergLite.readSnapshot(spark, dir, Some(s1)).collect()
+    }
+    intercept[IllegalArgumentException] {
+      IcebergWriter.resolveRef(dir, "train_v1")
+    }
+  }
+
   test("empty append is rejected loudly, table state unchanged") {
     val s2 = spark
     import s2.implicits._
