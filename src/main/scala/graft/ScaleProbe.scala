@@ -245,6 +245,34 @@ object ScaleProbe {
       if (!new java.io.File(dvDir, "deletion_vectors").listFiles()
           .exists(_.getName.endsWith(".bin")))
         failures += "no DV .bin shard written"
+
+      // Hudi bloom index: a narrow upsert batch against a many-group
+      // table must open only candidate base files for its key-index
+      // scan — without the blooms every upsert is a full table key
+      // scan, the thing that cannot hold at 100 TB
+      val hudiDir = s"$base/hudi_bloom"
+      graft.ops.HudiLite.createTable(spark, hudiDir,
+        spark.range(0, 200000)
+          .select(col("id").as("k"), (col("id") % 20).cast("string").as("p"),
+            (col("id") % 997).cast("int").as("v")),
+        keyCols = Seq("k"), partCol = "p", instant = "001", groupsPerPart = 4)
+      val slices = graft.ops.HudiLite.planFilesMor(hudiDir)
+      val narrow = Seq(7L, 11770L, 99999L)
+        .map(k => (k, (k % 20).toString, 1)).toDF("k", "p", "v")
+      val cand = graft.ops.HudiLite.candidateBaseFids(
+        spark, narrow, Seq("k"), Some("p"), slices)
+      println(s"[writerscale] hudi bloom: ${cand.size} candidate files of " +
+        s"${slices.size} for a 3-key batch")
+      if (slices.size < 40)
+        failures += s"hudi bloom probe staged only ${slices.size} groups — vacuous"
+      if (cand.size * 4 > slices.size)
+        failures += s"3-key upsert candidates ${cand.size}/${slices.size} — " +
+          "bloom index is not pruning the key-index scan"
+      graft.ops.HudiLite.upsert(spark, hudiDir, narrow, Seq("k"), "p", "002")
+      val merged = graft.ops.HudiLite.readSnapshotMor(spark, hudiDir, Seq("k"))
+        .filter(col("v") === 1 && col("k").isin(7L, 11770L, 99999L)).count()
+      if (merged != 3L)
+        failures += s"bloom-pruned upsert lost rows: $merged of 3"
     } catch { case e: Throwable =>
       failures += s"writer-scale probe crashed: ${e.getMessage}"
     }
