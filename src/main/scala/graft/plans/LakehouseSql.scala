@@ -109,8 +109,19 @@ object LakehouseSql {
 
   private def appendTo(spark: SparkSession, fmt: String, dir: String,
                        p: Props, df: DataFrame, create: Boolean): Long = fmt match {
-    case "iceberg" => IcebergWriter.append(spark, dir, df, p.partCol)
-    case "delta"   => DeltaWriter.append(spark, dir, df, p.partCol)
+    case "iceberg" =>
+      // PRIMARY KEY tables upsert on INSERT (equality-delete commits),
+      // matching the paimon/hudi route's PK semantics; keyless tables
+      // append
+      if (!create && p.keyCols.nonEmpty)
+        IcebergWriter.upsert(spark, dir, df, p.keyCols, p.partCol)
+      else IcebergWriter.append(spark, dir, df, p.partCol)
+    case "delta"   =>
+      require(p.keyCols.isEmpty,
+        "graft_delta tables are append/delete only — PRIMARY KEY upsert " +
+          "semantics live on graft_iceberg (equality deletes), " +
+          "graft_paimon (LSM) and graft_hudi (MoR)")
+      DeltaWriter.append(spark, dir, df, p.partCol)
     case "hudi"    =>
       require(p.keyCols.nonEmpty && p.partCol.nonEmpty,
         "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")

@@ -90,5 +90,18 @@ class LakehouseSqlSpec extends AnyFunSuite {
     val rows = sql("SELECT k, v FROM graft_paimon.lksql_pk ORDER BY k")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
     assert(rows == Seq((1L, 99), (2L, 20)))
+    // iceberg PK: INSERT upserts via equality deletes, same contract
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_pk " +
+      "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM lksql_src4")
+    sql("INSERT INTO graft_iceberg.lksql_pk SELECT 1 AS k, 'A' AS p, 77 AS v")
+    val irows = sql("SELECT k, v FROM graft_iceberg.lksql_pk ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(irows == Seq((1L, 77), (2L, 20)))
+    // delta with PRIMARY KEY is a loud scope error at CREATE, not a
+    // table that silently appends duplicates
+    intercept[Exception] {
+      sql("CREATE OR REPLACE TABLE graft_delta.lksql_pk " +
+        "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM lksql_src4")
+    }
   }
 }
