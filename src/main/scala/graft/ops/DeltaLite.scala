@@ -381,6 +381,159 @@ object DeltaLite {
       col(physical).as(logical) }: _*)
   }
 
+  /** CHANGE FEED over (fromVersion, toVersion] — the Delta CDC analog
+    * completing the incremental-read quartet next to
+    * [[IcebergLite.readIncremental]], [[HudiLite.readIncrementalMor]]
+    * and [[PaimonLite.readIncremental]]. Derived from the log's OWN
+    * change markers, no _change_data files needed:
+    *  - an `add` with dataChange=true of a NEW path ships that file's
+    *    rows as `_CHANGE_TYPE='insert'`;
+    *  - an `add` with dataChange=true that re-adds a LIVE path with a
+    *    grown deletion vector ships the NEWLY-dead positions as
+    *    `'delete'` rows;
+    *  - a `remove` with dataChange=true (partition delete, restore)
+    *    ships the file's then-live rows (its DV applied) as
+    *    `'delete'`;
+    *  - dataChange=false actions (OPTIMIZE, rewrite) are state motion,
+    *    not change, and ship nothing — the same discipline as the
+    *    other three formats' compaction skipping.
+    * Works only while the window's files survive vacuum (loud
+    * otherwise, via the parquet read). Driver work is log-sized; DV
+    * position sets decode executor-side as in [[readVersion]]. */
+  def readChanges(spark: SparkSession, tableDir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_replace}
+    require(fromVersion < toVersion,
+      s"from ($fromVersion) must precede to ($toVersion)")
+    // running state: live adds (with DVs) replayed to fromVersion
+    val state = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    planAdds(tableDir, Some(fromVersion)).foreach(a => state(a.path) = a)
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter { f =>
+        f.getName.matches("\\d{20}\\.json") && {
+          val v = f.getName.dropRight(5).toLong
+          v > fromVersion && v <= toVersion
+        }
+      }.sortBy(_.getName)
+    require(commits.nonEmpty, s"no commits in ($fromVersion, $toVersion]")
+
+    val insertFiles = Seq.newBuilder[AddFile]  // whole file inserted (DV applied)
+    val fullDeletes = Seq.newBuilder[AddFile]  // then-live rows deleted
+    // DV transitions on a live path: (path, newDv, oldDv) — new-only
+    // positions are deletes, old-only positions are re-inserts (restore)
+    val dvChanges = Seq.newBuilder[(String, Option[DvDesc], Option[DvDesc])]
+    commits.foreach { f =>
+      val preCommit: Map[String, AddFile] = state.toMap
+      val adds = Seq.newBuilder[(AddFile, Boolean)]
+      val removes = Seq.newBuilder[(String, Boolean)]
+      java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+        if (line.nonEmpty) {
+          val node = mapper.readTree(line)
+          if (node.has("add"))
+            adds += ((parseAdd(node.get("add")),
+              node.get("add").get("dataChange").asBoolean(false)))
+          else if (node.has("remove"))
+            removes += ((node.get("remove").get("path").asText,
+              node.get("remove").get("dataChange").asBoolean(false)))
+        }
+      }
+      val readded = adds.result().map(_._1.path).toSet
+      adds.result().foreach { case (a, dc) =>
+        if (dc) preCommit.get(a.path) match {
+          case None => insertFiles += a
+          case Some(old) => if (a.dv != old.dv) dvChanges += ((a.path, a.dv, old.dv))
+        }
+      }
+      removes.result().foreach { case (p, dc) =>
+        if (!readded.contains(p)) {
+          if (dc) preCommit.get(p).foreach(fullDeletes += _)
+          state.remove(p)
+        }
+      }
+      adds.result().foreach { case (a, _) => state(a.path) = a }
+    }
+
+    // ---- assemble the change frame (all reads distributed; DV
+    // position sets decode executor-side)
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    def abs(p: String) = new java.io.File(tableDir, p).getAbsolutePath
+    def dvPositionsRdd(entries: Seq[(String, DvDesc)]) =
+      spark.sparkContext
+        .parallelize(entries, math.max(1, math.min(entries.size, 32)))
+        .flatMap { case (fp, d) =>
+          val ps = d.storageType match {
+            case "i" => DeltaDv.dvBlobPositions(DeltaDv.z85Decode(d.pathOrInlineDv))
+            case _ => DeltaDv.readDvFile(d.pathOrInlineDv, d.offset, d.sizeInBytes)
+          }
+          ps.map(p => Row(fp, p))
+        }
+    val posSchema = StructType(Seq(StructField("__fp", StringType),
+      StructField("__pos", LongType)))
+    def withPos(files: Seq[String]) =
+      spark.read.parquet(files: _*)
+        .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+        .withColumn("__pos", col("_metadata.row_index"))
+    val frames = Seq.newBuilder[DataFrame]
+    locally { // whole-file inserts, their own DVs applied
+      val ins = insertFiles.result()
+      if (ins.nonEmpty) {
+        val dels = spark.createDataFrame(dvPositionsRdd(
+          ins.flatMap(a => a.dv.map(abs(a.path) -> _))), posSchema)
+        frames += withPos(ins.map(a => abs(a.path)))
+          .join(dels, Seq("__fp", "__pos"), "left_anti")
+          .drop("__fp", "__pos")
+          .withColumn("_CHANGE_TYPE", lit("insert"))
+      }
+    }
+    locally { // whole-file deletes: the rows live at removal time
+      val del = fullDeletes.result()
+      if (del.nonEmpty) {
+        val dead = spark.createDataFrame(dvPositionsRdd(
+          del.flatMap(a => a.dv.map(abs(a.path) -> _))), posSchema)
+        frames += withPos(del.map(a => abs(a.path)))
+          .join(dead, Seq("__fp", "__pos"), "left_anti")
+          .drop("__fp", "__pos")
+          .withColumn("_CHANGE_TYPE", lit("delete"))
+      }
+    }
+    locally { // DV transitions: per direction one position-set semi-join
+      val trans = dvChanges.result()
+      def sideRows(pick: ((String, Option[DvDesc], Option[DvDesc])) => (Seq[(String, DvDesc)], Seq[(String, DvDesc)]),
+                   changeType: String): Unit = {
+        val (plus, minus) = trans.map(pick)
+          .foldLeft((Seq.empty[(String, DvDesc)], Seq.empty[(String, DvDesc)])) {
+            case ((p, m), (p2, m2)) => (p ++ p2, m ++ m2)
+          }
+        if (plus.nonEmpty) {
+          val plusDf = spark.createDataFrame(dvPositionsRdd(plus), posSchema)
+          val minusDf = spark.createDataFrame(dvPositionsRdd(minus), posSchema)
+          val target = plusDf.join(minusDf, Seq("__fp", "__pos"), "left_anti")
+          frames += withPos(plus.map(_._1).distinct)
+            .join(target, Seq("__fp", "__pos"), "left_semi")
+            .drop("__fp", "__pos")
+            .withColumn("_CHANGE_TYPE", lit(changeType))
+        }
+      }
+      // deletes: positions in NEW dv but not old
+      sideRows(t => (t._2.map(abs(t._1) -> _).toSeq, t._3.map(abs(t._1) -> _).toSeq), "delete")
+      // re-inserts: positions in OLD dv but not new (restore)
+      sideRows(t => (t._3.map(abs(t._1) -> _).toSeq, t._2.map(abs(t._1) -> _).toSeq), "insert")
+    }
+    val all = frames.result()
+    if (all.nonEmpty) all.reduce(_ unionByName _)
+    else {
+      // a window of pure state motion (OPTIMIZE) ships an EMPTY frame
+      // with the right schema — streaming consumers poll windows
+      val anyFile = state.headOption.map(s => abs(s._1))
+      require(anyFile.isDefined, "empty change window on an empty table")
+      val dataSchema = spark.read.parquet(anyFile.get).schema
+      spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType(dataSchema.fields :+
+          StructField("_CHANGE_TYPE", StringType, nullable = false)))
+    }
+  }
+
   /** Write a PROTOCOL.md-conformant checkpoint at `version`: one
     * parquet whose rows are the table state as nullable action columns
     * — exactly one `protocol` row, exactly one `metaData` row (the

@@ -311,6 +311,29 @@ object Round11Queries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // CHANGE FEED over a version window — the Delta CDC analog
+    // completing the incremental-read quartet: the odd-half append
+    // ships as inserts, the DV wave as deletes, derived from the log's
+    // own dataChange markers (no _change_data files)
+    "src_delta_changes" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/cdf_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_returnflag"))
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      DeltaLite.readChanges(s, tableDir, 0L, 2L)
+        .groupBy(col("_CHANGE_TYPE").as("change"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("change"))
+    }),
+
     // SQL-DRIVEN lakehouse round trips — the graft_<fmt> catalog route:
     // CREATE ... AS SELECT, INSERT INTO, DELETE FROM, SELECT all in
     // plain SQL, executing through the in-repo writers/readers
@@ -588,6 +611,19 @@ object Round11Queries {
       FROM lineitem
       WHERE l_orderkey < 10000 AND l_orderkey % 2 = 0
       GROUP BY 1 ORDER BY 1""",
+
+    // inserts = the odd half; deletes = every %3 row of both halves
+    "src_delta_changes" -> """
+      SELECT 'delete' AS change, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 3 = 0
+      UNION ALL
+      SELECT 'insert' AS change, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 2 = 1
+      ORDER BY change""",
 
     "sql_lake_iceberg" -> """
       SELECT l_returnflag, count(*) AS n,

@@ -281,6 +281,52 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("change feed: inserts, DV deletes, optimize silence, restore re-inserts") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_cdf").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      (1L to 12L).filter(_ % 2 == 0).map(k => (k, "A", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    DeltaWriter.append(spark, dir,
+      (1L to 12L).filter(_ % 2 == 1).map(k => (k, "A", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
+    def changes(from: Long, to: Long): Map[String, Set[Long]] =
+      DeltaLite.readChanges(spark, dir, from, to)
+        .select("_CHANGE_TYPE", "k").collect()
+        .groupBy(_.getString(0)).map { case (t, rs) =>
+          t -> rs.map(_.getLong(1)).toSet
+        }
+    assert(changes(0L, 2L) == Map(
+      "insert" -> Set(1L, 3L, 5L, 7L, 9L, 11L),
+      "delete" -> Set(3L, 6L, 9L, 12L)),
+      "window sees the odd-append inserts and the DV-delete rows")
+    assert(changes(1L, 2L) == Map("delete" -> Set(3L, 6L, 9L, 12L)))
+    // OPTIMIZE is state motion: an empty frame, not a loud error
+    DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+    assert(DeltaLite.readChanges(spark, dir, 2L, 3L).count() == 0L)
+    assert(DeltaLite.readChanges(spark, dir, 2L, 3L)
+      .columns.contains("_CHANGE_TYPE"))
+    // restore across the DV delete (fresh table: v0 append, v1 DV
+    // delete, v2 restore to v0): the restore's DV shrink ships the
+    // resurrected positions as inserts
+    val dir2 = new java.io.File("target/delta/writer_spec_cdf2").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+    DeltaWriter.append(spark, dir2,
+      (1L to 12L).map(k => (k, "A", k.toInt)).toDF("k", "p", "v"),
+      partCol = Some("p"))
+    DeltaWriter.deleteRows(spark, dir2, col("k") % 3 === 0)
+    DeltaWriter.restore(spark, dir2, 0L)
+    val got = DeltaLite.readChanges(spark, dir2, 1L, 2L)
+      .select("_CHANGE_TYPE", "k").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        t -> rs.map(_.getLong(1)).toSet }
+    assert(got == Map("insert" -> Set(3L, 6L, 9L, 12L)),
+      s"restore re-inserts exactly the resurrected rows: $got")
+  }
+
   test("filesPerPart splits a hot partition; read and pruning exact") {
     val s2 = spark
     import s2.implicits._
