@@ -334,6 +334,39 @@ object Round11Queries {
         .orderBy(col("change"))
     }),
 
+    // CDC REPLICATION over the change feed: a replica starts from the
+    // v0 snapshot and applies each version window's insert/delete
+    // events in order — the replica must equal the live table exactly,
+    // proving the windows compose losslessly (the downstream-sync loop
+    // a 100 TB deployment runs continuously)
+    "src_delta_cdc_replica" -> ((s, dir) => {
+      import graft.ops.{DeltaLite, DeltaWriter}
+      val src = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"))
+      val tableDir = new java.io.File(
+        s"target/delta/cdc_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 0), partCol = Some("l_returnflag"))
+      DeltaWriter.append(s, tableDir,
+        src.filter(col("l_orderkey") % 2 === 1), partCol = Some("l_returnflag"))
+      DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
+      val replica = (0L until 2L).foldLeft(
+        DeltaLite.readVersion(s, tableDir, Some(0L))) { (state, v) =>
+        val w = DeltaLite.readChanges(s, tableDir, v, v + 1)
+        state
+          .unionByName(w.filter(col("_CHANGE_TYPE") === "insert")
+            .drop("_CHANGE_TYPE"))
+          .join(w.filter(col("_CHANGE_TYPE") === "delete")
+            .select(col("l_orderkey")), Seq("l_orderkey"), "left_anti")
+      }
+      replica
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("l_orderkey")).as("sum_ok"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // SQL-DRIVEN lakehouse round trips — the graft_<fmt> catalog route:
     // CREATE ... AS SELECT, INSERT INTO, DELETE FROM, SELECT all in
     // plain SQL, executing through the in-repo writers/readers
@@ -624,6 +657,14 @@ object Round11Queries {
       FROM lineitem
       WHERE l_orderkey < 10000 AND l_orderkey % 2 = 1
       ORDER BY change""",
+
+    // replica == live table: the %3 survivors of both halves
+    "src_delta_cdc_replica" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
+      GROUP BY 1 ORDER BY 1""",
 
     "sql_lake_iceberg" -> """
       SELECT l_returnflag, count(*) AS n,
