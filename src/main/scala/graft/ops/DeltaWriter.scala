@@ -309,8 +309,12 @@ object DeltaWriter {
     var skippedTxn = false
     while (committed < 0 && !skippedTxn) {
       val version = nextVersion(tableDir)
-      // exactly-once re-check under the loop (see appendBatch)
-      if (attempt > 0 && txn.exists { case (appId, v) =>
+      // exactly-once re-check on EVERY iteration, including attempt 0:
+      // a concurrent sink may commit the same batch between the
+      // caller's pre-check and this writer's first CAS — without the
+      // attempt-0 check that race commits the batch twice (the CAS
+      // targets a fresh version and succeeds without conflict)
+      if (txn.exists { case (appId, v) =>
           DeltaLite.lastTxnVersion(spark, tableDir, appId).exists(_ >= v) }) {
         skippedTxn = true
       } else {
@@ -395,9 +399,15 @@ object DeltaWriter {
           val rows = it.toVector
           if (rows.isEmpty) Iterator.empty
           else {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val dvPath = s"$dvDirAbs/dv-$version-p$pid.bin"
-            new java.io.File(dvPath).delete() // task-retry overwrite
+            // the shard name carries the task ATTEMPT id: under
+            // speculative execution two attempts of the same partition
+            // run concurrently, and a shared name would interleave
+            // their appends into one corrupt blob. Each attempt owns
+            // its file; only the winning attempt's descriptors reach
+            // the driver, losers leave unreferenced files vacuum sweeps.
+            val tc = org.apache.spark.TaskContext.get()
+            val dvPath =
+              s"$dvDirAbs/dv-$version-p${tc.partitionId()}-a${tc.taskAttemptId()}.bin"
             val blobs = rows.map { case (fp, newPos) =>
               val existing = bcDv.value.get(fp).map { d =>
                 d.storageType match {
@@ -530,18 +540,70 @@ object DeltaWriter {
     * needed the reclaimed files fails loudly on the missing file —
     * exactly the documented Delta trade-off. Metadata-sized driver
     * work: the live set is the current adds list. Returns the deleted
-    * absolute paths. */
-  def vacuum(spark: SparkSession, tableDir: String): Seq[String] = {
+    * absolute paths.
+    *
+    * Concurrent-append safety: [[append]] moves staged parquet into
+    * `data/` BEFORE entering its commit CAS loop, so an
+    * everything-not-live sweep racing an in-flight append would delete
+    * its uncommitted files and let the append commit add actions
+    * pointing at nothing. A file is therefore reclaimed only when it is
+    * REFERENCED by some committed action in the visible log (a
+    * superseded file) or older than `graceMillis` (an orphan from a
+    * long-dead writer) — the same committed-files-only discipline
+    * Iceberg/Hudi reclamation uses. */
+  def vacuum(spark: SparkSession, tableDir: String,
+             graceMillis: Long = 10 * 60 * 1000L): Seq[String] = {
     val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(adds.nonEmpty, "empty table")
     val liveData = adds.map(a =>
       new java.io.File(tableDir, a.path).getAbsolutePath).toSet
     val liveDv = adds.flatMap(_.dv).filter(_.storageType == "p")
       .map(d => new java.io.File(d.pathOrInlineDv).getAbsolutePath).toSet
+    // every path any COMMITTED action in the visible log references —
+    // metadata-sized; an in-flight append's staged files are in neither
+    // this set nor the live set, so they survive the sweep
+    val referenced = Set.newBuilder[String]
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    val lastCp = new java.io.File(logDir, "_last_checkpoint")
+    if (lastCp.exists()) {
+      val cv = mapper.readTree(java.nio.file.Files.readString(lastCp.toPath))
+        .get("version").asLong
+      spark.read.parquet(f"$tableDir/_delta_log/$cv%020d.checkpoint.parquet")
+        .select("add").where("add IS NOT NULL").collect().foreach { row =>
+          val a = row.getStruct(0)
+          referenced += new java.io.File(tableDir,
+            a.getString(a.fieldIndex("path"))).getAbsolutePath
+        }
+    }
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach { f =>
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            Seq("add", "remove").foreach { k =>
+              if (node.has(k) && node.get(k).has("path"))
+                referenced += new java.io.File(tableDir,
+                  node.get(k).get("path").asText).getAbsolutePath
+            }
+            if (node.has("add") && node.get("add").has("deletionVector")) {
+              val d = node.get("add").get("deletionVector")
+              if (d.get("storageType").asText == "p")
+                referenced += new java.io.File(
+                  d.get("pathOrInlineDv").asText).getAbsolutePath
+            }
+          }
+        }
+      }
+    val refd = referenced.result()
+    val cutoff = System.currentTimeMillis() - graceMillis
     val deleted = Seq.newBuilder[String]
     def sweep(d: java.io.File, live: Set[String]): Unit =
       Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
-        if (f.isFile && !live.contains(f.getAbsolutePath) && f.delete())
+        val reclaimable = refd.contains(f.getAbsolutePath) ||
+          f.lastModified() < cutoff
+        if (f.isFile && !live.contains(f.getAbsolutePath) && reclaimable &&
+            f.delete())
           deleted += f.getAbsolutePath
       }
     sweep(new java.io.File(tableDir, "data"), liveData)

@@ -525,9 +525,13 @@ object HudiLite {
         .getOrElse(Array.empty)
         .map(_.split('.').head).filter(_.forall(_.isDigit))
         .foldLeft(0)((m, s) => math.max(m, s.toInt)) + 1}%03d"
-      upsert(spark, tableDir, df, keyCols, partCol, instant,
-        batchId = Some(batchId))
-      Some(instant)
+      // the batch id is re-checked INSIDE the commit path, after this
+      // instant resolution and immediately before the timeline CAS —
+      // a concurrent sink committing the same batch in that window is
+      // skipped, not double-committed (the Iceberg/Delta discipline)
+      if (upsert(spark, tableDir, df, keyCols, partCol, instant,
+        batchId = Some(batchId))) Some(instant)
+      else None
     }
 
   /** Batch ids stamped on the timeline by [[appendBatch]]. */
@@ -726,7 +730,7 @@ object HudiLite {
     * this parallelizes on a 1000-executor cluster. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
              keyCols: Seq[String], partCol: String, instant: String,
-             batchId: Option[Long] = None): Unit =
+             batchId: Option[Long] = None): Boolean =
     writeDeltaCommitDistributed(spark, tableDir, df, keyCols,
       Some(partCol), instant, BlockData, batchId)
 
@@ -739,14 +743,17 @@ object HudiLite {
     require(keysDf.columns.toSeq.sorted == keyCols.sorted,
       s"deleteKeys wants exactly the key columns, got ${keysDf.columns.toSeq}")
     writeDeltaCommitDistributed(spark, tableDir, keysDf, keyCols,
-      None, instant, BlockDelete)
+      None, instant, BlockDelete): Unit
   }
 
+  /** Returns false when `batchId` turned out to be already committed by
+    * a concurrent sink (re-checked under the commit CAS — see
+    * [[appendBatch]]); true when this call committed the instant. */
   private def writeDeltaCommitDistributed(spark: SparkSession, tableDir: String,
                                           df: DataFrame, keyCols: Seq[String],
                                           partCol: Option[String], instant: String,
                                           blockType: Int,
-                                          batchId: Option[Long] = None): Unit = {
+                                          batchId: Option[Long] = None): Boolean = {
     import org.apache.spark.sql.functions._
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
@@ -800,9 +807,20 @@ object HudiLite {
           val (part, baseInstant) = bcMeta.value(fid)
           val rel = s"$part/${fid}_$baseInstant.log.$instant"
           val f = new java.io.File(tdir, rel)
-          f.delete() // task-retry overwrite (writeLogFile appends)
-          writeLogFile(f.getAbsolutePath, Seq(LogBlock(blockType, instant,
+          // stage under an attempt-unique name, then rename into place:
+          // under speculative execution two attempts of this partition
+          // run concurrently, and appending to a shared path would
+          // interleave their bytes into one corrupt log. Both attempts
+          // produce identical content, so the atomic REPLACE rename is
+          // race-free whichever lands last.
+          val attemptId = org.apache.spark.TaskContext.get().taskAttemptId()
+          val tmp = new java.io.File(tdir, s"$rel.a$attemptId.tmp")
+          tmp.delete() // sequential-retry leftover
+          writeLogFile(tmp.getAbsolutePath, Seq(LogBlock(blockType, instant,
             rows.map(r => Row.fromSeq(r.toSeq.drop(1))), schema)))
+          // POSIX rename(2): atomic, replaces an existing target
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
           (part, fid, baseInstant, rel)
         }
       }.collect().toSeq.sortBy(_._4)
@@ -813,15 +831,31 @@ object HudiLite {
       s""""$part":[${js.mkString(",")}]"""
     }.mkString(",")
     val bField = batchId.map(b => s""""batchId":$b,""").getOrElse("")
-    // CAS create: two writers racing the same instant must not clobber
-    // each other's timeline entry — the loser fails loudly (its log
-    // files embed the instant, so a retry needs a fresh instant and a
-    // re-staged write)
-    require(IcebergWriter.casCreate(
-        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
-        s"""{$bField"partitionToWriteStats":{$statsJson}}"""),
-      s"instant $instant conflicts with a concurrent commit — retry " +
-        "with a fresh instant")
+    // exactly-once re-check UNDER the commit CAS: a concurrent sink may
+    // have committed this batch (on an earlier instant) between the
+    // caller's pre-check and this point — in that window our instant
+    // resolved fresh, so the casCreate below would succeed and commit
+    // the batch twice. A commit landing between THIS check and the
+    // casCreate necessarily owns our instant name, so the CAS fails
+    // loudly — no silent window remains.
+    if (batchId.exists(committedBatchIds(tableDir).contains)) {
+      stats.foreach { case (_, _, _, rel) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, rel)): Unit
+      }
+      false
+    } else {
+      // CAS create: two writers racing the same instant must not clobber
+      // each other's timeline entry — the loser fails loudly (its log
+      // files embed the instant, so a retry needs a fresh instant and a
+      // re-staged write)
+      require(IcebergWriter.casCreate(
+          java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
+          s"""{$bField"partitionToWriteStats":{$statsJson}}"""),
+        s"instant $instant conflicts with a concurrent commit — retry " +
+          "with a fresh instant")
+      true
+    }
   }
 
   /** CLEANER (Hudi's hoodie.cleaner policy, KEEP_LATEST_FILE_VERSIONS

@@ -101,8 +101,13 @@ object PaimonWriter {
                   partCol: String, keyCols: Seq[String],
                   batchId: Long, numBuckets: Int = 4): Option[Long] =
     if (committedBatchIds(tableDir).contains(batchId)) None
-    else Some(append(spark, tableDir, df, partCol, keyCols, numBuckets,
-      batchId = Some(batchId)))
+    else {
+      // the batch id is re-checked inside append, after snapshot-id
+      // resolution and immediately before the commit CAS (see there)
+      val id = append(spark, tableDir, df, partCol, keyCols, numBuckets,
+        batchId = Some(batchId))
+      if (id < 0) None else Some(id)
+    }
 
   /** Batch ids stamped on the snapshot chain by [[appendBatch]]. */
   def committedBatchIds(tableDir: String): Set[Long] = {
@@ -173,7 +178,9 @@ object PaimonWriter {
     * RowKind kept, persisted as separate `changelog-*` files referenced
     * by the snapshot's changelogManifestList, so streaming readers
     * ([[PaimonLite.readChangelog]]) survive compactions rewriting the
-    * data files. Returns the snapshot id. */
+    * data files. Returns the snapshot id, or -1 when `batchId` turned
+    * out to be committed by a concurrent sink (re-checked under the
+    * commit CAS — see [[appendBatch]]). */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: String, keyCols: Seq[String],
              numBuckets: Int = 4, changelogProducer: Boolean = false,
@@ -261,6 +268,21 @@ object PaimonWriter {
     if (curSnap > 0L)
       require(java.nio.file.Files.exists(clPath) == changelogProducer,
         "changelog-producer setting must not change mid-table")
+
+    // exactly-once re-check UNDER the commit: a concurrent sink may
+    // have committed this batch between the caller's pre-check and the
+    // snapshot-id resolution above — in that window snapId resolved
+    // fresh, so commitSnapshot's CAS would succeed and the batch would
+    // land twice. A commit arriving between THIS check and the CAS
+    // necessarily owns snapshot-(snapId), so the CAS fails loudly — no
+    // silent window remains. Staged data files are removed on skip.
+    if (batchId.exists(committedBatchIds(tableDir).contains)) {
+      adds.foreach { case (m, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, m.path)): Unit
+      }
+      return -1L
+    }
     val changelog: Seq[(PaimonLite.FileMeta, Long)] =
       if (!changelogProducer) Nil
       else adds.map { case (m, bytes) =>
@@ -321,12 +343,17 @@ object PaimonWriter {
         if (f.delete()) deleted += f.getAbsolutePath
       }
     }
-    // snapshot JSONs go LAST: reachability above still needed them
+    // EARLIEST advances (atomically) BEFORE the snapshot JSONs are
+    // physically deleted: committedBatchIds/readChangelog iterate
+    // earliest..latest reading each snapshot file, so publishing the
+    // new floor first means no reader ever dereferences an id whose
+    // JSON this expiry is about to remove — a crash mid-delete leaves
+    // only unreferenced garbage, never a broken table
+    IcebergWriter.atomicWriteString(earliestPath, newEarliest.toString)
     (earliest until newEarliest).foreach { id =>
       val f = new java.io.File(s"$tableDir/snapshot/snapshot-$id")
       if (f.delete()) deleted += f.getAbsolutePath
     }
-    java.nio.file.Files.writeString(earliestPath, newEarliest.toString)
     deleted.result()
   }
 }

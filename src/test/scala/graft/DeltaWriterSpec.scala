@@ -357,4 +357,51 @@ class DeltaWriterSpec extends AnyFunSuite {
     }
     assert(DeltaLite.planFiles(dir).size == 1, "failed commit left no trace")
   }
+
+  test("txn re-check fires on attempt 0: batch committed mid-staging is skipped") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_txn0").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val app = "racer"
+    assert(DeltaWriter.appendBatch(spark, dir,
+      Seq((1L, 1)).toDF("k", "v"), app, 0L).isDefined)
+    // sink B commits batch 1 while sink A is "staging" (i.e. before A's
+    // first CAS attempt): A's direct append with the same txn must
+    // return -1 (skipped), never a fresh version — the attempt-0
+    // double-commit race
+    assert(DeltaWriter.appendBatch(spark, dir,
+      Seq((2L, 2)).toDF("k", "v"), app, 1L).isDefined)
+    val v = DeltaWriter.append(spark, dir,
+      Seq((99L, 99)).toDF("k", "v"), txn = Some((app, 1L)))
+    assert(v == -1L, s"attempt-0 txn re-check must skip, got version $v")
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+      "the raced batch must appear exactly once")
+  }
+
+  test("vacuum spares uncommitted (in-flight) data files, reclaims superseded ones") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_vacgrace").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    DeltaWriter.deleteWhere(spark, dir, _.get("p").contains("B"))
+    // simulate a concurrent append's staging: a fresh parquet moved into
+    // data/ before its commit CAS — committed nowhere, mtime now
+    val inflight = new java.io.File(dir, "data/wInflight_X_0.parquet")
+    java.nio.file.Files.writeString(inflight.toPath, "staged-not-yet-committed")
+    val deleted = DeltaWriter.vacuum(spark, dir)
+    assert(inflight.exists(),
+      "vacuum must not reap a concurrent append's staged (uncommitted) file")
+    assert(deleted.exists(_.contains("B_")) || deleted.nonEmpty,
+      s"the superseded committed B file must be reclaimed: $deleted")
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L))
+    // with a zero grace window the orphan is reapable (long-dead writer)
+    val deleted2 = DeltaWriter.vacuum(spark, dir, graceMillis = 0L)
+    assert(!inflight.exists() && deleted2.exists(_.endsWith("wInflight_X_0.parquet")),
+      s"grace 0 reclaims orphans: $deleted2")
+  }
 }

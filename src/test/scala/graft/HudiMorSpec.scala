@@ -267,6 +267,19 @@ class HudiMorSpec extends AnyFunSuite {
     assert(HudiLite.readSnapshotMor(spark, dir, Seq("k"))
       .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
       Set((1L, 1), (2L, 200), (3L, 3)))
+    // the re-check under the commit CAS: a sink whose pre-check RACED a
+    // concurrent commit of the same batch (so its instant resolved
+    // fresh, here "003") must skip rather than double-commit — upsert
+    // called directly with an already-committed id returns false, and
+    // neither a timeline instant nor staged log files remain
+    assert(!HudiLite.upsert(spark, dir,
+      Seq((7L, "A", 7)).toDF("k", "p", "v"), Seq("k"), "p", "003",
+      batchId = Some(1L)),
+      "re-check under the CAS must skip an already-committed batch")
+    assert(!new java.io.File(dir, ".hoodie/003.deltacommit").exists())
+    assert(HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L),
+      "the skipped batch must not surface")
   }
 
   test("bloom index prunes the upsert's base scan to candidate files") {

@@ -191,4 +191,52 @@ class PaimonWriterSpec extends AnyFunSuite {
     assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
       tableDir, "snapshot", "LATEST")).trim == before)
   }
+
+  test("batch re-check under the commit: raced redelivery skipped, no residue") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_batch").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    assert(PaimonWriter.appendBatch(spark, dir,
+      Seq(("A", 1L, 1)).toDF("p", "k", "v"), "p", Seq("p", "k"), batchId = 0L,
+      numBuckets = 2).contains(1L))
+    assert(PaimonWriter.appendBatch(spark, dir,
+      Seq(("A", 2L, 2)).toDF("p", "k", "v"), "p", Seq("p", "k"), batchId = 1L,
+      numBuckets = 2).contains(2L))
+    // a sink whose pre-check raced a concurrent commit of the same
+    // batch reaches append() with a fresh snapshot id — the re-check
+    // under the commit must skip (-1), leaving no snapshot and no
+    // staged data files behind
+    val dataBefore = PaimonLite.planFiles(dir).map(_.path).toSet
+    assert(PaimonWriter.append(spark, dir,
+      Seq(("A", 9L, 9)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+      numBuckets = 2, batchId = Some(1L)) == -1L,
+      "re-check under the commit must skip an already-committed batch")
+    assert(PaimonLite.latestSnapshotId(dir) == 2L, "no snapshot landed")
+    assert(PaimonLite.planFiles(dir).map(_.path).toSet == dataBefore)
+    assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("expiry publishes the EARLIEST floor before deleting snapshot JSONs") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_expire_order").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    (1 to 4).foreach { i =>
+      PaimonWriter.append(spark, dir,
+        Seq(("A", i.toLong, i)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+        numBuckets = 2): Unit
+    }
+    val deleted = PaimonWriter.expireSnapshots(dir, keepLast = 2)
+    assert(deleted.exists(_.contains("snapshot-1")) &&
+      deleted.exists(_.contains("snapshot-2")))
+    assert(java.nio.file.Files.readString(java.nio.file.Paths.get(
+      dir, "snapshot", "EARLIEST")).trim == "3",
+      "EARLIEST must hold the new floor")
+    // readers that walk earliest..latest stay consistent after expiry
+    assert(PaimonWriter.committedBatchIds(dir) == Set.empty[Long])
+    assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+  }
 }
