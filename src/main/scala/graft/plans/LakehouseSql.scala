@@ -31,13 +31,29 @@ import graft.ops.{DeltaLite, DeltaWriter, HudiLite, IcebergLite, IcebergWriter, 
   * (snapshot semantics: the view is re-registered per statement).
   * Paimon without PRIMARY KEY creates an append-only table.
   *
-  * Honest scope: the SQL route does not infer the library readers'
-  * FE-role partition `partFilter` from the statement's WHERE clause —
-  * a `WHERE part = 'X'` still plans every live file (Spark then prunes
-  * row groups via parquet pushdown, but file-level skipping needs the
-  * library API or a manifest-aware catalog plugin on a real cluster).
-  * Statement-level only: no multi-statement transactions. */
+  * FILE-LEVEL PRUNING (r12): the read path extracts provably-safe
+  * partition conjuncts from the statement's WHERE clause
+  * ([[SqlPrune.partPredicate]] — single WHERE at top depth, no
+  * OR/NOT/CASE/set-ops, column unqualified or qualified by the table)
+  * and forwards them into each format's manifest-level file planning,
+  * so `WHERE part = 'X'` opens one partition's files instead of every
+  * footer — the same FE partition prune every reference scan plan gets
+  * (nereids/rules/rewrite/PruneFileScanPartition.java). Statements the
+  * extractor cannot prove stay unpruned-but-correct. [[lastScans]]
+  * records (planned, total) per pruned scan for the plan asserts.
+  *
+  * Honest scope: statement-level only — no multi-statement
+  * transactions; pruning extracts identity partition conjuncts only
+  * (no expression pushdown beyond =, IN, numeric ranges). */
 object LakehouseSql {
+
+  /** One pruned read's file accounting, for plan asserts: how many
+    * files the format's metadata planning admitted vs the snapshot's
+    * live total. Only PRUNED reads record (unpruned reads plan once,
+    * inside the reader). */
+  final case class ScanRecord(fmt: String, name: String,
+                              plannedFiles: Int, totalFiles: Int)
+  @volatile var lastScans: List[ScanRecord] = Nil
 
   private val CreateRe =
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
@@ -54,7 +70,27 @@ object LakehouseSql {
     ("(?i)graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
 
-  def handles(sql: String): Boolean = RefRe.findFirstIn(sql).isDefined
+  // literal-masked: a string literal containing "graft_iceberg.x" is
+  // text, not a table reference
+  def handles(sql: String): Boolean =
+    RefRe.findFirstIn(SqlPrune.maskLiterals(sql)).isDefined
+
+  /** Replace every `re` match found on the LITERAL-MASKED text (same
+    * offsets as the original) with `f(match)`, splicing into the
+    * original — references inside quoted strings stay untouched. */
+  private def replaceRefsOutsideLiterals(sql: String,
+                                         re: scala.util.matching.Regex)
+                                        (f: scala.util.matching.Regex.Match => String)
+      : String = {
+    val masked = SqlPrune.maskLiterals(sql)
+    val sb = new StringBuilder
+    var last = 0
+    re.findAllMatchIn(masked).foreach { m =>
+      sb.append(sql.substring(last, m.start)).append(f(m))
+      last = m.end
+    }
+    sb.append(sql.substring(last)).toString
+  }
 
   private def warehouse(spark: SparkSession): String =
     spark.conf.getOption("spark.graft.lakehouse.dir")
@@ -94,18 +130,56 @@ object LakehouseSql {
 
   /** Snapshot read, optionally at a version — `FOR VERSION AS OF n`
     * takes each format's native coordinate: Iceberg snapshot id, Delta
-    * version, Paimon snapshot id, Hudi instant (zero-padded). */
+    * version, Paimon snapshot id, Hudi instant (zero-padded). A
+    * `partPred` extracted from the statement's WHERE reaches each
+    * format's FILE-LEVEL planning (manifest partition tuples / Delta
+    * partitionValues / Hudi partition dirs / Paimon manifest entries),
+    * and the (planned, total) counts land in [[lastScans]]. */
   private def reader(spark: SparkSession, fmt: String, dir: String,
-                     p: Props, version: Option[Long] = None): DataFrame =
-    fmt match {
-      case "iceberg" => IcebergLite.readSnapshot(spark, dir, version)
-      case "delta"   => DeltaLite.readVersion(spark, dir, version)
-      case "hudi"    => HudiLite.readSnapshotMor(spark, dir, p.keyCols,
-        instant = version.map(v => f"$v%03d"))
-      case "paimon"  =>
-        if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version)
-        else PaimonLite.readSnapshot(spark, dir, p.keyCols, version)
+                     p: Props, version: Option[Long] = None,
+                     partPred: Option[String => Boolean] = None,
+                     name: String = ""): DataFrame = {
+    val pc = p.partCol
+    val pred = partPred.filter(_ => pc.isDefined)
+    val df = fmt match {
+      case "iceberg" =>
+        pred.foreach { f =>
+          val planned = IcebergLite.planFiles(dir, version,
+            partPruneBy = Some((pc.get, f))).count(_.content == 0)
+          val total = IcebergLite.planFiles(dir, version).count(_.content == 0)
+          lastScans ::= ScanRecord(fmt, name, planned, total)
+        }
+        IcebergLite.readSnapshot(spark, dir, version,
+          partPruneBy = pred.map(f => (pc.get, f)))
+      case "delta" =>
+        val mapFilter = pred.map(f =>
+          (pv: Map[String, String]) => pv.get(pc.get).forall(f))
+        mapFilter.foreach { mf =>
+          val planned =
+            DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size
+          val total = DeltaLite.planFilesWithCheckpoint(spark, dir, version).size
+          lastScans ::= ScanRecord(fmt, name, planned, total)
+        }
+        DeltaLite.readVersion(spark, dir, version, mapFilter)
+      case "hudi" =>
+        val instant = version.map(v => f"$v%03d")
+        pred.foreach { f =>
+          val planned = HudiLite.planFilesMor(dir, instant, Some(f)).size
+          val total = HudiLite.planFilesMor(dir, instant).size
+          lastScans ::= ScanRecord(fmt, name, planned, total)
+        }
+        HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant, pred)
+      case "paimon" =>
+        pred.foreach { f =>
+          val planned = PaimonLite.planFiles(dir, version, Some(f)).size
+          val total = PaimonLite.planFiles(dir, version).size
+          lastScans ::= ScanRecord(fmt, name, planned, total)
+        }
+        if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version, pred)
+        else PaimonLite.readSnapshot(spark, dir, p.keyCols, version, pred)
     }
+    df
+  }
 
   private def appendTo(spark: SparkSession, fmt: String, dir: String,
                        p: Props, df: DataFrame, create: Boolean): Long = fmt match {
@@ -205,21 +279,32 @@ object LakehouseSql {
     case _ =>
       // read path: substitute each reference with a snapshot temp view
       // — versioned references (FOR VERSION AS OF n) first, so the
-      // plain pattern cannot eat their table token
-      val versioned = RefVerRe.replaceAllIn(sql, m => {
+      // plain pattern cannot eat their table token. Partition conjuncts
+      // provably tied to the scanned table prune its FILE planning
+      // (extracted against the ORIGINAL statement; references inside
+      // string literals are never rewritten).
+      lastScans = Nil
+      def prunePred(fmt: String, name: String, p: Props)
+          : Option[String => Boolean] =
+        p.partCol.flatMap(pc =>
+          SqlPrune.partPredicate(sql, s"graft_$fmt.$name", pc))
+      val versioned = replaceRefsOutsideLiterals(sql, RefVerRe) { m =>
         val (fmt, name, v) = (m.group(1), m.group(2), m.group(3).toLong)
         val dir = tableDir(spark, fmt, name)
+        val p = readProps(dir)
         val view = s"graft_lake_${fmt}_${name}_v$v"
-        reader(spark, fmt, dir, readProps(dir), Some(v))
+        reader(spark, fmt, dir, p, Some(v), prunePred(fmt, name, p), name)
           .createOrReplaceTempView(view)
         view
-      })
-      RefRe.replaceAllIn(versioned, m => {
+      }
+      replaceRefsOutsideLiterals(versioned, RefRe) { m =>
         val (fmt, name) = (m.group(1), m.group(2))
         val dir = tableDir(spark, fmt, name)
+        val p = readProps(dir)
         val view = s"graft_lake_${fmt}_$name"
-        reader(spark, fmt, dir, readProps(dir)).createOrReplaceTempView(view)
+        reader(spark, fmt, dir, p, None, prunePred(fmt, name, p), name)
+          .createOrReplaceTempView(view)
         view
-      })
+      }
   }
 }

@@ -104,4 +104,51 @@ class LakehouseSqlSpec extends AnyFunSuite {
         "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM lksql_src4")
     }
   }
+
+  test("WHERE partition conjuncts prune FILE planning on all four formats") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.plans.LakehouseSql
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30), (4L, "D", 40),
+        (5L, "A", 50), (6L, "B", 60))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_prune_src")
+    def check(fmt: String, ddlExtra: String): Unit = {
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_pr $ddlExtra " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_prune_src")
+      val got = sql(s"SELECT k FROM graft_$fmt.lksql_pr WHERE p = 'A' ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 5L), s"$fmt values")
+      val scan = LakehouseSql.lastScans.find(_.fmt == fmt)
+        .getOrElse(fail(s"$fmt read must record a pruned scan"))
+      assert(scan.plannedFiles < scan.totalFiles && scan.plannedFiles >= 1,
+        s"$fmt must plan a strict file subset: $scan")
+    }
+    check("iceberg", "")
+    check("delta", "")
+    check("hudi", "PRIMARY KEY (k)")
+    check("paimon", "PRIMARY KEY (p, k)")
+    // IN-list prune
+    sql("SELECT k FROM graft_iceberg.lksql_pr WHERE p IN ('A','B')").collect()
+    val s = graft.plans.LakehouseSql.lastScans.head
+    assert(s.plannedFiles == 2 && s.totalFiles == 4, s"IN prune: $s")
+  }
+
+  test("unprovable WHERE shapes read unpruned but value-correct") {
+    import graft.plans.LakehouseSql
+    // OR blocks pruning; the result must still be right
+    val got = sql("SELECT k FROM graft_iceberg.lksql_pr " +
+      "WHERE p = 'A' OR p = 'B' ORDER BY k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 2L, 5L, 6L))
+    assert(LakehouseSql.lastScans.isEmpty, "OR must not record a prune")
+  }
+
+  test("table references inside string literals are text, not tables") {
+    import graft.plans.LakehouseSql
+    // a pure literal mention is not even routed
+    assert(!LakehouseSql.handles("SELECT 'graft_iceberg.lksql_nope' AS s"))
+    // mixed: the real reference resolves, the literal survives verbatim
+    val row = sql("SELECT 'graft_iceberg.lksql_nope' AS s, count(*) AS n " +
+      "FROM graft_iceberg.lksql_pr").head()
+    assert(row.getString(0) == "graft_iceberg.lksql_nope" && row.getLong(1) == 6L)
+  }
 }

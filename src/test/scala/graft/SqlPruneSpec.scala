@@ -1,0 +1,88 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.SqlPrune
+
+/** plans/SqlPrune.scala — the conservative WHERE-conjunct extractor
+  * feeding graft_<fmt> file-level pruning. The contract under test:
+  * every extraction is provably restricting (soundness), and every
+  * unprovable shape returns None (never a wrong prune). */
+class SqlPruneSpec extends AnyFunSuite {
+
+  private val T = "graft_iceberg.t"
+
+  private def pred(sql: String, partCol: String = "p") =
+    SqlPrune.partPredicate(sql, T, partCol)
+
+  test("literal masking blanks quoted content, preserves length and offsets") {
+    val sql = "SELECT 'graft_iceberg.t', \"x WHERE y\", k FROM t WHERE p = 'A''B'"
+    val masked = SqlPrune.maskLiterals(sql)
+    assert(masked.length == sql.length)
+    assert(!masked.contains("graft_iceberg"))
+    assert(!masked.toUpperCase.substring(0, 40).contains("WHERE y".toUpperCase))
+    assert(masked.contains("WHERE p = '"))
+    // the doubled quote stays inside the literal
+    assert(masked.endsWith("'    '"))
+  }
+
+  test("equality, IN, numeric ranges and BETWEEN extract") {
+    val eq = pred(s"SELECT * FROM $T WHERE p = 'A' AND k > 3").get
+    assert(eq("A") && !eq("B"))
+    val in = pred(s"SELECT * FROM $T WHERE p IN ('A', 'C')").get
+    assert(in("A") && in("C") && !in("B"))
+    val rng = pred(s"SELECT k FROM $T WHERE p >= 10 AND p < 20", "p").get
+    assert(rng("10") && rng("19") && !rng("20") && !rng("9"))
+    val bt = pred(s"SELECT k FROM $T WHERE p BETWEEN 5 AND 7 AND k = 1").get
+    assert(bt("5") && bt("7") && !bt("8") && !bt("4"))
+    val flip = pred(s"SELECT * FROM $T WHERE 'A' = p").get
+    assert(flip("A") && !flip("B"))
+    val flipCmp = pred(s"SELECT * FROM $T WHERE 10 < p").get
+    assert(flipCmp("11") && !flipCmp("10"))
+  }
+
+  test("numeric-text equivalence: '5.0' matches 5, unparseable kept") {
+    val eq = pred(s"SELECT * FROM $T WHERE p = 5").get
+    assert(eq("5") && eq("5.0") && !eq("6"))
+    assert(eq("not-a-number"), "unparseable partition values are kept")
+    val eqs = pred(s"SELECT * FROM $T WHERE p = '5'").get
+    assert(eqs("5") && eqs("5.0") && !eqs("6"))
+  }
+
+  test("qualified columns: table name or alias accepted, others rejected") {
+    assert(pred(s"SELECT * FROM $T WHERE t.p = 'A'").isDefined)
+    assert(pred(s"SELECT * FROM $T x WHERE x.p = 'A'").isDefined)
+    assert(pred(s"SELECT * FROM $T AS x WHERE x.p = 'A'").isDefined)
+    assert(pred(s"SELECT * FROM $T x, other o WHERE o.p = 'A'").isEmpty,
+      "a conjunct on another table's column must not prune")
+  }
+
+  test("unprovable shapes return None: OR, NOT, CASE, set ops, subqueries") {
+    assert(pred(s"SELECT * FROM $T WHERE p = 'A' OR k = 1").isEmpty)
+    assert(pred(s"SELECT * FROM $T WHERE NOT p = 'A'").isEmpty)
+    assert(pred(s"SELECT CASE WHEN p = 'A' THEN 1 ELSE 0 END FROM $T").isEmpty)
+    assert(pred(s"SELECT * FROM $T WHERE p = 'A' UNION ALL SELECT * FROM u").isEmpty)
+    // WHERE inside a subquery restricts the subquery, not the table
+    assert(pred(s"SELECT * FROM $T JOIN (SELECT * FROM u WHERE p = 'A') s ON 1=1").isEmpty)
+    // two WHEREs: cannot tie either to the scan
+    assert(pred(
+      s"SELECT * FROM $T WHERE p = 'A' AND k IN (SELECT k FROM u WHERE p = 'B')").isEmpty)
+    // self-join shares one temp view — no one-sided prune
+    assert(pred(s"SELECT * FROM $T a JOIN $T b ON a.k = b.k WHERE a.p = 'A'").isEmpty)
+    // predicate text inside a string literal is not a predicate
+    assert(pred(s"SELECT * FROM $T WHERE note = 'p = ''A'''", "p").isEmpty)
+    // no WHERE at all
+    assert(pred(s"SELECT * FROM $T").isEmpty)
+  }
+
+  test("conjuncts on other columns don't block the partition conjunct") {
+    val f = pred(
+      s"SELECT k, sum(v) FROM $T WHERE k > 10 AND p = 'B' AND v <= 5 GROUP BY k").get
+    assert(f("B") && !f("A"))
+  }
+
+  test("GROUP/ORDER/LIMIT terminate the clause cleanly") {
+    val f = pred(s"SELECT p, count(*) FROM $T WHERE p = 'A' GROUP BY p ORDER BY p LIMIT 5").get
+    assert(f("A") && !f("Z"))
+  }
+}
