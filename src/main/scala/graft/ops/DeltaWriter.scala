@@ -372,7 +372,17 @@ object DeltaWriter {
     * reader 3 / writer 7 + deletionVectors features on first use.
     * Returns the committed version. */
   def deleteRows(spark: SparkSession, tableDir: String,
-                 cond: org.apache.spark.sql.Column): Long = {
+                 cond: org.apache.spark.sql.Column): Long =
+    deleteRowsWhere(spark, tableDir, _.filter(cond))
+
+  /** [[deleteRows]] generalized to a MATCHER over the scan (all table
+    * columns plus `__fp`/`__pos`, which must survive): the MERGE INTO
+    * route deletes "rows matched by the source join", which no single
+    * Column predicate can express. The matcher's output rows mark the
+    * positions to delete; everything downstream (per-file DV union,
+    * executor-side blobs, descriptor-only driver state) is unchanged. */
+  def deleteRowsWhere(spark: SparkSession, tableDir: String,
+                      matcher: DataFrame => DataFrame): Long = {
     val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(adds.nonEmpty, "empty table")
     val byAbs = adds.map(a =>
@@ -388,10 +398,10 @@ object DeltaWriter {
       byAbs.collect { case (abs, a) if a.dv.isDefined => abs -> a.dv.get })
     import spark.implicits._
     val descriptors: Seq[(String, String, Int, Int, Long)] =
-      spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
-        .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .filter(cond)
+      matcher(spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
+          .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+          .withColumn("__pos", col("_metadata.row_index")))
+        .select(col("__fp"), col("__pos"))
         .groupBy(col("__fp"))
         .agg(sort_array(collect_set(col("__pos"))).as("__poss"))
         .as[(String, Seq[Long])]

@@ -234,16 +234,23 @@ object IcebergWriter {
     * [[DeltaWriter.deleteRows]]'s deletion vectors: same contract, the
     * other protocol's spelling. */
   def deleteRows(spark: SparkSession, tableDir: String,
-                 cond: org.apache.spark.sql.Column): Long = {
+                 cond: org.apache.spark.sql.Column): Long =
+    deleteRowsWhere(spark, tableDir, _.filter(cond))
+
+  /** [[deleteRows]] generalized to a MATCHER over the scan (all table
+    * columns plus `file_path`/`pos`, which must survive) — the MERGE
+    * INTO route's join-matched delete, same contract as
+    * [[DeltaWriter.deleteRowsWhere]]. */
+  def deleteRowsWhere(spark: SparkSession, tableDir: String,
+                      matcher: DataFrame => DataFrame): Long = {
     val dataTasks = IcebergLite.planFiles(tableDir).filter(_.content == 0)
     require(dataTasks.nonEmpty, "empty table")
     val tok = nextToken()
-    val matched = spark.read.parquet(dataTasks.map(_.path): _*)
-      .withColumn("file_path",
-        regexp_replace(col("_metadata.file_path"), "^file:+", ""))
-      .withColumn("pos", col("_metadata.row_index"))
-      .filter(cond)
-      .select(col("file_path"), col("pos"))
+    val matched = matcher(spark.read.parquet(dataTasks.map(_.path): _*)
+        .withColumn("file_path",
+          regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+        .withColumn("pos", col("_metadata.row_index")))
+      .select(col("file_path"), col("pos")).distinct()
 
     // distributed delete-file write: repartition by file so each data
     // file's positions land in one sorted run, AQE bounds tiny tasks

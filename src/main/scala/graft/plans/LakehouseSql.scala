@@ -65,6 +65,15 @@ object LakehouseSql {
     "(?is)^\\s*INSERT\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$".r
   private val DeleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+WHERE\\s+(.*)$".r
+  private val UpdateRe =
+    ("(?is)^\\s*UPDATE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
+      "SET\\s+(.+?)\\s+WHERE\\s+(.*)$").r
+  private val MergeRe =
+    ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)\\s+" +
+      "WHEN\\s+MATCHED\\s+THEN\\s+(DELETE|UPDATE\\s+SET\\s+.+?)\\s*" +
+      "(WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*)?\\s*$").r
   private val RefRe = "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)".r
   private val RefVerRe =
     ("(?i)graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
@@ -216,6 +225,51 @@ object LakehouseSql {
       }
   }
 
+  /** Split on commas at paren depth 0 — SET lists whose expressions
+    * contain function calls keep their internal commas. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var last = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(last)
+    out.result()
+  }
+
+  /** `col = expr` assignments (UPDATE/MERGE SET lists). */
+  private def parseAssignments(raw: String, cols: Seq[String])
+      : Seq[(String, String)] =
+    splitTop(raw).map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"bad assignment '$a'")
+      val c = a.substring(0, i).trim
+      require(cols.contains(c), s"SET of unknown column '$c'")
+      (c, a.substring(i + 1).trim)
+    }
+
+  /** PK upsert commit for the three formats that have one. */
+  private def applyUpsert(spark: SparkSession, fmt: String, dir: String,
+                          p: Props, rows: DataFrame): Long = fmt match {
+    case "iceberg" =>
+      IcebergWriter.upsert(spark, dir, rows, p.keyCols, p.partCol)
+    case "hudi" =>
+      val instant = nextInstant(dir)
+      HudiLite.upsert(spark, dir, rows, p.keyCols, p.partCol.get, instant)
+      instant.toLong
+    case "paimon" =>
+      PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
+    case other => sys.error(s"no PK upsert for $other")
+  }
+
   /** Rewrite (and for writes: execute) one statement. Returns the SQL
     * Spark should actually parse. */
   def rewrite(spark: SparkSession, sql: String): String = sql match {
@@ -276,6 +330,138 @@ object LakehouseSql {
           instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case UpdateRe(fmt, name, setsRaw, cond) =>
+      // UPDATE ... SET ... WHERE: matched rows re-land updated, spelled
+      // in each format's native row-change idiom — PK formats as ONE
+      // upsert commit (equality deletes / MoR log / LSM sequence); the
+      // others as a row-delete commit (position deletes / DVs) followed
+      // by an append of the updated rows computed from the PRE-delete
+      // snapshot (the reader's file list is captured eagerly, so the
+      // already-built plan is immune to the delete commit).
+      import org.apache.spark.sql.functions.{col, expr}
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      val cur = reader(spark, fmt, dir, p)
+      val setMap = parseAssignments(setsRaw, cur.columns.toSeq).toMap
+      require(!p.keyCols.exists(setMap.contains),
+        "UPDATE must not assign PRIMARY KEY columns (delete + insert instead)")
+      val updated = cur.filter(expr(cond)).select(cur.columns.toSeq.map(c =>
+        setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
+      require(updated.limit(1).count() == 1, "UPDATE matched no rows")
+      val version = fmt match {
+        case "iceberg" if p.keyCols.nonEmpty =>
+          applyUpsert(spark, fmt, dir, p, updated)
+        case "iceberg" =>
+          IcebergWriter.deleteRows(spark, dir, expr(cond))
+          IcebergWriter.append(spark, dir, updated, p.partCol)
+        case "delta" =>
+          DeltaWriter.deleteRows(spark, dir, expr(cond))
+          DeltaWriter.append(spark, dir, updated, p.partCol)
+        case "hudi" | "paimon" =>
+          applyUpsert(spark, fmt, dir, p, updated)
+      }
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+
+    case MergeRe(fmt, name, tAliasRaw, srcView, sAliasRaw, cond,
+                 matchedRaw, notMatchedRaw) =>
+      // MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE SET ... |
+      // DELETE [WHEN NOT MATCHED THEN INSERT *] — the reference's
+      // dedicated merge sink (iceberg_merge_sink_operator.h:44),
+      // re-expressed over the existing writers: matched updates are PK
+      // upserts (or delete+re-add on positional formats), matched
+      // deletes go through each format's row-delete spelling, and
+      // not-matched inserts are an anti-join of the source.
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      val tAlias = Option(tAliasRaw).getOrElse(name)
+      val sAlias = Option(sAliasRaw).getOrElse(srcView)
+      if (sAlias != srcView)
+        spark.table(srcView).createOrReplaceTempView(sAlias)
+      val target = reader(spark, fmt, dir, p)
+      target.createOrReplaceTempView(tAlias)
+      val tCols = target.columns.toSeq
+      val isDelete = matchedRaw.trim.equalsIgnoreCase("DELETE")
+      val setMap: Map[String, String] =
+        if (isDelete) Map.empty
+        else parseAssignments(
+          matchedRaw.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""),
+          tCols).toMap
+      require(!p.keyCols.exists(setMap.contains),
+        "MERGE must not assign PRIMARY KEY columns")
+      // plans below capture the PRE-merge file list; later re-binding of
+      // tAlias (the delete matcher) cannot reach them
+      val matchedDf = spark.sql(
+        s"SELECT ${tCols.map(c => setMap.get(c).map(e => s"($e) AS $c")
+          .getOrElse(s"$tAlias.$c AS $c")).mkString(", ")} " +
+          s"FROM $tAlias JOIN $sAlias ON $cond")
+      val insertDf: Option[DataFrame] = Option(notMatchedRaw).map { _ =>
+        spark.sql(s"SELECT ${tCols.map(c => s"$sAlias.$c AS $c").mkString(", ")} " +
+          s"FROM $sAlias WHERE NOT EXISTS (SELECT 1 FROM $tAlias WHERE $cond)")
+      }
+      if (p.keyCols.nonEmpty && !isDelete) {
+        // the standard MERGE cardinality rule: one source row per key
+        val dup = matchedDf.groupBy(p.keyCols.map(col): _*)
+          .count().filter(col("count") > lit(1)).limit(1).count()
+        require(dup == 0L,
+          "MERGE cardinality violation: a target key matched more than one source row")
+      }
+      val hasMatched = matchedDf.limit(1).count() == 1
+      val hasInserts = insertDf.exists(_.limit(1).count() == 1)
+      require(hasMatched || hasInserts, "MERGE affected no rows")
+      // join-matched scan rows — for the positional delete spelling the
+      // matcher re-binds tAlias to the SCAN (its system columns survive
+      // the tAlias.* projection)
+      def matcher(scan: DataFrame): DataFrame = {
+        scan.createOrReplaceTempView(tAlias)
+        spark.sql(s"SELECT $tAlias.* FROM $tAlias JOIN $sAlias ON $cond")
+      }
+      def appendRows(rows: DataFrame): Long = fmt match {
+        case "iceberg" => IcebergWriter.append(spark, dir, rows, p.partCol)
+        case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol)
+        case _ => applyUpsert(spark, fmt, dir, p, rows)
+      }
+      // positional formats: delete the matched rows (skipped when none
+      // matched), then append updated + inserted rows in one commit
+      def positionalUpdate(del: (DataFrame => DataFrame) => Long): Long = {
+        if (hasMatched) del(matcher): Unit
+        appendRows(
+          if (hasMatched && hasInserts) matchedDf.unionByName(insertDf.get)
+          else if (hasMatched) matchedDf else insertDf.get)
+      }
+      val version: Long = (fmt, isDelete) match {
+        case ("delta", false) =>
+          positionalUpdate(DeltaWriter.deleteRowsWhere(spark, dir, _))
+        case ("iceberg", false) if p.keyCols.isEmpty =>
+          positionalUpdate(IcebergWriter.deleteRowsWhere(spark, dir, _))
+        case (_, true) =>
+          // matched DELETE in each format's native spelling (skipped
+          // when nothing matched), inserts after
+          val delV: Long =
+            if (!hasMatched) -1L
+            else fmt match {
+              case "iceberg" => IcebergWriter.deleteRowsWhere(spark, dir, matcher)
+              case "delta" => DeltaWriter.deleteRowsWhere(spark, dir, matcher)
+              case "hudi" =>
+                val instant = nextInstant(dir)
+                HudiLite.deleteKeys(spark, dir,
+                  matchedDf.select(p.keyCols.map(col): _*).distinct(),
+                  p.keyCols, instant)
+                instant.toLong
+              case "paimon" =>
+                PaimonWriter.append(spark, dir,
+                  matchedDf.withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete)),
+                  p.partCol.get, p.keyCols)
+            }
+          if (hasInserts) appendRows(insertDf.get) else delV
+        case (_, false) =>
+          // PK upsert: matched updates + inserts in ONE commit
+          applyUpsert(spark, fmt, dir, p,
+            if (hasMatched && hasInserts) matchedDf.unionByName(insertDf.get)
+            else if (hasMatched) matchedDf else insertDf.get)
+      }
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+
     case _ =>
       // read path: substitute each reference with a snapshot temp view
       // — versioned references (FOR VERSION AS OF n) first, so the

@@ -72,6 +72,52 @@ object Round12Queries {
       require(scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
         s"prune premise: IN ('N','R') must plan a strict file subset: $scan")
       out
+    }),
+
+    // SQL UPDATE on the Delta route: the matched rows re-land updated
+    // through a deletion-vector commit + append — no data rewrite of
+    // the untouched rows, the protocol's row-change shape
+    "sql_lake_update" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("r12_li")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.upd_$n " +
+        "PARTITIONED BY (l_returnflag) AS SELECT * FROM r12_li")
+      s.sql(s"UPDATE graft_delta.upd_$n SET l_quantity = l_quantity + 100 " +
+        "WHERE l_orderkey % 4 = 0")
+      s.sql(s"SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        s"FROM graft_delta.upd_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // SQL MERGE INTO on an Iceberg PRIMARY KEY table: matched updates
+    // + not-matched inserts land as ONE upsert commit (equality deletes
+    // + new data files — the merge-on-write shape of the reference's
+    // iceberg merge sink)
+    "sql_lake_merge" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r12_ord")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.mrg_$n " +
+        "PRIMARY KEY (o_orderkey) PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r12_ord")
+      s.sql(
+        """SELECT o_orderkey, o_custkey + 1000000 AS o_custkey,
+          |       o_orderstatus
+          |FROM r12_ord WHERE o_orderkey % 10 = 0
+          |UNION ALL
+          |SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus
+          |FROM range(90001, 90021)""".stripMargin)
+        .createOrReplaceTempView("r12_mrg_src")
+      s.sql(s"MERGE INTO graft_iceberg.mrg_$n t USING r12_mrg_src src " +
+        "ON t.o_orderkey = src.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET o_custkey = src.o_custkey " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_iceberg.mrg_$n GROUP BY 1 ORDER BY 1")
     })
   )
 
@@ -90,6 +136,26 @@ object Round12Queries {
       FROM lineitem
       WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
         AND l_returnflag IN ('N', 'R')
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_update" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CASE WHEN l_orderkey % 4 = 0 THEN l_quantity + 100
+                           ELSE l_quantity END) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_merge" -> """
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders
+            WHERE o_orderkey < 12000
+            UNION ALL
+            SELECT 'O' AS o_orderstatus, r AS ck
+            FROM range(90001, 90021) t(r)) u
       GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -142,6 +142,91 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(LakehouseSql.lastScans.isEmpty, "OR must not record a prune")
   }
 
+  test("UPDATE: native row-change spelling per format") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "A", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_upd_src")
+    def check(fmt: String, pk: String): Unit = {
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_upd $pk " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_upd_src")
+      sql(s"UPDATE graft_$fmt.lksql_upd SET v = v * 100 WHERE k >= 2")
+      val got = sql(s"SELECT k, v FROM graft_$fmt.lksql_upd ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == Seq((1L, 10), (2L, 2000), (3L, 3000)), s"$fmt update")
+    }
+    check("iceberg", "")
+    check("delta", "")
+    check("iceberg", "PRIMARY KEY (k)")
+    check("hudi", "PRIMARY KEY (k)")
+    check("paimon", "PRIMARY KEY (p, k)")
+    // assigning a PRIMARY KEY column is loud
+    val e = intercept[Exception] {
+      sql("UPDATE graft_paimon.lksql_upd SET k = k + 1 WHERE v = 10")
+    }
+    assert(e.getMessage.contains("PRIMARY KEY"))
+    intercept[Exception] {
+      sql("UPDATE graft_delta.lksql_upd SET v = 0 WHERE k = 999")
+    }
+  }
+
+  test("MERGE INTO: matched update + not-matched insert, all four formats") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "A", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mrg_tgt")
+    Seq((2L, "B", 999), (9L, "A", 90)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mrg_src")
+    def check(fmt: String, pk: String): Unit = {
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_mrg $pk " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_mrg_tgt")
+      sql(s"MERGE INTO graft_$fmt.lksql_mrg t USING lksql_mrg_src s " +
+        "ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val got = sql(s"SELECT k, v FROM graft_$fmt.lksql_mrg ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(got == Seq((1L, 10), (2L, 999), (3L, 30), (9L, 90)), s"$fmt merge")
+    }
+    check("iceberg", "")
+    check("delta", "")
+    check("iceberg", "PRIMARY KEY (k)")
+    check("hudi", "PRIMARY KEY (k)")
+    check("paimon", "PRIMARY KEY (p, k)")
+  }
+
+  test("MERGE WHEN MATCHED THEN DELETE; cardinality violation is loud") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "A", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mrg_tgt2")
+    Seq((2L, "B", 0), (9L, "A", 90)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mrg_src2")
+    def check(fmt: String, pk: String): Unit = {
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_mrgd $pk " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_mrg_tgt2")
+      sql(s"MERGE INTO graft_$fmt.lksql_mrgd t USING lksql_mrg_src2 s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val got = sql(s"SELECT k FROM graft_$fmt.lksql_mrgd ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(1L, 3L, 9L), s"$fmt merge-delete")
+    }
+    check("delta", "")
+    check("hudi", "PRIMARY KEY (k)")
+    check("paimon", "PRIMARY KEY (p, k)")
+    // a source with two rows per key violates MERGE cardinality (PK)
+    Seq((2L, "B", 1), (2L, "B", 2)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mrg_dup")
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_card " +
+      "PRIMARY KEY (p, k) PARTITIONED BY (p) AS SELECT * FROM lksql_mrg_tgt2")
+    val e = intercept[Exception] {
+      sql("MERGE INTO graft_paimon.lksql_card t USING lksql_mrg_dup s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(e.getMessage.contains("cardinality"))
+  }
+
   test("table references inside string literals are text, not tables") {
     import graft.plans.LakehouseSql
     // a pure literal mention is not even routed
