@@ -232,3 +232,60 @@ case class MurmurHash3_64(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): MurmurHash3_64 =
     copy(left = newLeft, right = newRight)
 }
+
+/** Iceberg partition-transform bucket hash (spec Appendix B): integral
+  * values hash as murmur3_x86_32 over the LITTLE-ENDIAN 8-byte long
+  * (ints promote to long first), strings over their UTF-8 bytes, seed
+  * 0; the bucket is (hash & Int.MaxValue) % N. The published vectors
+  * (hash(34L) = 2017239379, hash("iceberg") = 1210000089) are pinned in
+  * IcebergLiteSpec. */
+object IcebergBucket {
+  def ofLong(v: Long, n: Int): Int = {
+    val b = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    (Murmur3.hash32(b, 0) & Integer.MAX_VALUE) % n
+  }
+  def ofString(s: UTF8String, n: Int): Int =
+    (Murmur3.hash32(s.getBytes, 0) & Integer.MAX_VALUE) % n
+}
+
+/** iceberg_bucket(col, N) as a native codegen Expression — the
+  * write-path transform stamp ((b)-path of SURVEY §4.4: custom
+  * Expression before UDF), so a 100 TB bucketed write keeps the
+  * partition column inside whole-stage codegen. */
+case class IcebergBucketExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((left.dataType == LongType || left.dataType == IntegerType ||
+         left.dataType == StringType) && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"iceberg_bucket expects (BIGINT|INT|STRING, INT), got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(v: Any, n: Any): Any = left.dataType match {
+    case LongType => IcebergBucket.ofLong(v.asInstanceOf[Long], n.asInstanceOf[Int])
+    case IntegerType => IcebergBucket.ofLong(v.asInstanceOf[Int].toLong, n.asInstanceOf[Int])
+    case _ => IcebergBucket.ofString(v.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    left.dataType match {
+      case LongType =>
+        defineCodeGen(ctx, ev, (v, n) =>
+          s"graft.functions.IcebergBucket.ofLong($v, $n)")
+      case IntegerType =>
+        defineCodeGen(ctx, ev, (v, n) =>
+          s"graft.functions.IcebergBucket.ofLong((long) $v, $n)")
+      case _ =>
+        defineCodeGen(ctx, ev, (v, n) =>
+          s"graft.functions.IcebergBucket.ofString($v, $n)")
+    }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IcebergBucketExpr =
+    copy(left = newLeft, right = newRight)
+}

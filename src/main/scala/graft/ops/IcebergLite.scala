@@ -115,7 +115,8 @@ object IcebergLite {
   def planFiles(tableDir: String, snapshotId: Option[Long] = None,
                 partFilter: Option[String => Boolean] = None,
                 statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None,
-                partPruneBy: Option[(String, String => Boolean)] = None)
+                partPruneBy: Option[(String, String => Boolean)] = None,
+                transformPrune: Option[(String, String, String => Boolean)] = None)
       : Seq[FileTask] = {
     val meta = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get(currentMetadataPath(tableDir))))
@@ -125,13 +126,16 @@ object IcebergLite {
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not in ${meta.get("snapshots")}"))
-    // spec-id → the (single identity) partition column of that spec
-    val specCols: Map[Int, String] = Option(meta.get("partition-specs"))
+    // spec-id → (partition source column, transform) of that spec
+    val specCols: Map[Int, (String, String)] = Option(meta.get("partition-specs"))
       .map { specs =>
         (0 until specs.size).map(specs.get).flatMap { s =>
           val fields = s.get("fields")
           if (fields == null || fields.size == 0) None
-          else Some(s.get("spec-id").asInt -> fields.get(0).get("name").asText)
+          else Some(s.get("spec-id").asInt ->
+            (fields.get(0).get("name").asText,
+              Option(fields.get(0).get("transform")).map(_.asText)
+                .getOrElse("identity")))
         }.toMap
       }.getOrElse(Map.empty)
     val manifestList = snap.get("manifest-list").asText
@@ -165,7 +169,17 @@ object IcebergLite {
             (partFilter.forall(f => part.forall(f)) &&
               statsFilter.forall(f => lower.isEmpty && upper.isEmpty || f(lower, upper)) &&
               partPruneBy.forall { case (colName, f) =>
-                !specCols.get(specId).contains(colName) || part.forall(f)
+                // identity-only: a transformed partition value is not
+                // the source value this predicate speaks about
+                !specCols.get(specId).contains((colName, "identity")) ||
+                  part.forall(f)
+              } &&
+              transformPrune.forall { case (colName, transform, f) =>
+                // prune on the STORED (transformed) value, only for
+                // files whose spec is exactly (column, transform);
+                // other specs are conservatively kept
+                !specCols.get(specId).contains((colName, transform)) ||
+                  part.forall(f)
               })
           if (!keep) None
           else Some(FileTask(df.get("file_path").toString, content, part,
@@ -191,9 +205,11 @@ object IcebergLite {
                    partFilter: Option[String => Boolean] = None,
                    statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None,
                    mergeSchema: Boolean = false,
-                   partPruneBy: Option[(String, String => Boolean)] = None)
+                   partPruneBy: Option[(String, String => Boolean)] = None,
+                   transformPrune: Option[(String, String, String => Boolean)] = None)
       : DataFrame = {
-    val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter, partPruneBy)
+    val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter,
+      partPruneBy, transformPrune)
     val dataTasks = tasks.filter(_.content == 0)
     val posDeletePaths = tasks.filter(_.content == 1).map(_.path)
     val eqDeleteTasks = tasks.filter(_.content == 2)

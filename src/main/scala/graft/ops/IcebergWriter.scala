@@ -146,13 +146,18 @@ object IcebergWriter {
     * spec rather than rewriting history, and the reader prunes each
     * file only by its own spec's column. `None` resolves the
     * unpartitioned spec (what delete manifests are stamped with). */
-  private def resolveSpecId(meta: ObjectNode, partCol: Option[String]): Int = {
+  private def resolveSpecId(meta: ObjectNode, partCol: Option[String],
+                            transform: String = "identity"): Int = {
     val specsArr = meta.withArray[ArrayNode]("partition-specs")
     val wantedField = partCol.getOrElse("")
+    val wantedTransform = if (partCol.isEmpty) "" else transform
     (0 until specsArr.size).map(specsArr.get)
       .find { s =>
         val fs = s.get("fields")
-        (if (fs == null || fs.size == 0) "" else fs.get(0).get("name").asText) == wantedField
+        val (n, tr) =
+          if (fs == null || fs.size == 0) ("", "")
+          else (fs.get(0).get("name").asText, fs.get(0).get("transform").asText)
+        n == wantedField && tr == wantedTransform
       }
       .map(_.get("spec-id").asInt)
       .getOrElse {
@@ -163,21 +168,62 @@ object IcebergWriter {
         val fields = spec.putArray("fields")
         partCol.foreach { p =>
           val f = fields.addObject()
-          f.put("name", p); f.put("transform", "identity")
+          f.put("name", p); f.put("transform", transform)
           f.put("source-id", 1); f.put("field-id", 1000 + nid)
         }
         nid
       }
   }
 
+  private val BucketRe = "^bucket\\[(\\d+)\\]$".r
+  private val TruncateRe = "^truncate\\[(\\d+)\\]$".r
+
+  /** The `__part` stamp for a partition transform (spec "Partition
+    * Transforms"): identity keeps the value; bucket[N] is the spec's
+    * murmur3 bucket (native codegen [[graft.functions.IcebergBucketExpr]]);
+    * truncate[W] is a width-W floor for integrals / prefix for strings;
+    * year/month/day format the civil date. Data files always RETAIN the
+    * source column — the transform only names the partition. */
+  private[ops] def transformCol(df: DataFrame, p: String,
+                                transform: String): org.apache.spark.sql.Column = {
+    val c = col(p)
+    val dt = df.schema(p).dataType
+    import org.apache.spark.sql.types._
+    transform match {
+      case "identity" => c.cast("string")
+      case BucketRe(n) =>
+        import org.apache.spark.sql.graftshim.ColumnShim
+        ColumnShim.column(graft.functions.IcebergBucketExpr(
+          ColumnShim.expression(c),
+          org.apache.spark.sql.catalyst.expressions.Literal(n.toInt)))
+          .cast("string")
+      case TruncateRe(w) => dt match {
+        case StringType => substring(c, 1, w.toInt)
+        case LongType | IntegerType =>
+          // spec: v - (((v % W) + W) % W) — pmod IS the positive mod
+          (c - pmod(c, lit(w.toLong))).cast("string")
+        case other => throw new IllegalArgumentException(
+          s"truncate[$w] unsupported for $other")
+      }
+      case "year" => date_format(c, "yyyy")
+      case "month" => date_format(c, "yyyy-MM")
+      case "day" => date_format(c, "yyyy-MM-dd")
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform '$other'")
+    }
+  }
+
   /** Append `df` to the table at `tableDir` as one snapshot, creating
-    * the table on first use. `partCol` selects identity partitioning;
-    * `filesPerPart` splits each partition value across that many files
-    * (hot-partition relief). Returns the new snapshot id. */
+    * the table on first use. `partCol` selects the partition source
+    * column and `partTransform` its spec transform (identity,
+    * bucket[N], truncate[W], year/month/day); `filesPerPart` splits
+    * each partition value across that many files (hot-partition
+    * relief). Returns the new snapshot id. */
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
-             partCol: Option[String] = None, filesPerPart: Int = 1): Long =
+             partCol: Option[String] = None, filesPerPart: Int = 1,
+             partTransform: String = "identity"): Long =
     commit(spark, tableDir, df, partCol, upsertKeys = None,
-      filesPerPart = filesPerPart)
+      filesPerPart = filesPerPart, partTransform = partTransform)
 
   /** Append with a test-visible hook fired just before the first CAS
     * attempt — how the concurrent-commit specs interleave two writers
@@ -413,7 +459,8 @@ object IcebergWriter {
                      replaceAll: Boolean = false,
                      filesPerPart: Int = 1,
                      beforePublish: () => Unit = () => (),
-                     skipIfBatchCommitted: Option[Long] = None): Long = {
+                     skipIfBatchCommitted: Option[Long] = None,
+                     partTransform: String = "identity"): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -432,14 +479,14 @@ object IcebergWriter {
         // re-merge the salt groups and defeat the split
         val n = math.max(filesPerPart,
           df.sparkSession.sessionState.conf.numShufflePartitions)
-        df.withColumn("__part", col(p).cast("string"))
+        df.withColumn("__part", transformCol(df, p, partTransform))
           .withColumn("__salt",
             pmod(hash(df.columns.map(col): _*), lit(filesPerPart)))
           .repartition(n, col("__part"), col("__salt"))
           .drop("__salt")
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case Some(p) =>
-        df.withColumn("__part", col(p).cast("string"))
+        df.withColumn("__part", transformCol(df, p, partTransform))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case None if filesPerPart > 1 =>
@@ -610,7 +657,7 @@ object IcebergWriter {
         m.putArray("snapshots")
         m
       }
-      val specId = resolveSpecId(meta, partCol)
+      val specId = resolveSpecId(meta, partCol, partTransform)
 
       // manifest list: current snapshot's manifests carried forward +
       // the new one (append semantics); REPLACE lists only the new one

@@ -74,6 +74,34 @@ object Round12Queries {
       out
     }),
 
+    // WRITE-SIDE BUCKET TRANSFORM: the table is CREATED with bucket[8]
+    // on the key (spec murmur3, native codegen expression); a
+    // key-equality read computes the key's bucket and plans ONLY that
+    // bucket's files — the hash-partition analog of the reference's
+    // tablet prune (PruneOlapScanTablet.java), now closed write-to-read
+    "src_iceberg_write_bucket" -> ((s, dir) => {
+      import graft.ops.{IcebergLite, IcebergWriter}
+      val src = t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val tableDir = new java.io.File(
+        s"target/iceberg/wbucket_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      IcebergWriter.append(s, tableDir, src, partCol = Some("l_orderkey"),
+        partTransform = "bucket[8]")
+      val key = 1L
+      val want = IcebergLite.bucketLong(key, 8).toString
+      val prune = Some(("l_orderkey", "bucket[8]", (pv: String) => pv == want))
+      val planned = IcebergLite.planFiles(tableDir, transformPrune = prune)
+        .count(_.content == 0)
+      val total = IcebergLite.planFiles(tableDir).count(_.content == 0)
+      require(planned >= 1 && planned < total,
+        s"bucket prune premise: $planned of $total files")
+      IcebergLite.readSnapshot(s, tableDir, transformPrune = prune)
+        .filter(col("l_orderkey") === key)
+        .select(col("l_linenumber"), col("l_quantity").cast("bigint").as("qty"))
+        .orderBy(col("l_linenumber"))
+    }),
+
     // SQL UPDATE on the Delta route: the matched rows re-land updated
     // through a deletion-vector commit + append — no data rewrite of
     // the untouched rows, the protocol's row-change shape
@@ -137,6 +165,12 @@ object Round12Queries {
       WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
         AND l_returnflag IN ('N', 'R')
       GROUP BY 1 ORDER BY 1""",
+
+    "src_iceberg_write_bucket" -> """
+      SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_orderkey = 1
+      ORDER BY l_linenumber""",
 
     "sql_lake_update" -> """
       SELECT l_returnflag, count(*) AS cnt,

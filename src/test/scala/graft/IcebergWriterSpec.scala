@@ -350,6 +350,72 @@ class IcebergWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket[N] write: spec hash stamps partitions, key-equality prunes files") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.IcebergLite
+    val dir = new java.io.File("target/iceberg/writer_spec_bucket").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val rows = (1L to 64L).map(k => (k, s"v$k")).toDF("k", "v")
+    IcebergWriter.append(spark, dir, rows, partCol = Some("k"),
+      partTransform = "bucket[4]")
+    // the stored partition values ARE the spec buckets
+    val tasks = IcebergLite.planFiles(dir).filter(_.content == 0)
+    assert(tasks.flatMap(_.partValue).toSet.subsetOf(
+      (0 until 4).map(_.toString).toSet))
+    assert(tasks.size == 4, s"64 keys over bucket[4] → 4 files: ${tasks.size}")
+    // key-equality prune: only the key's bucket file is planned
+    val key = 34L
+    val want = IcebergLite.bucketLong(key, 4).toString
+    val planned = IcebergLite.planFiles(dir,
+      transformPrune = Some(("k", "bucket[4]", (pv: String) => pv == want)))
+      .filter(_.content == 0)
+    assert(planned.size == 1 && planned.head.partValue.contains(want))
+    val got = IcebergLite.readSnapshot(spark, dir,
+      transformPrune = Some(("k", "bucket[4]", (pv: String) => pv == want)))
+      .filter($"k" === key).select("v").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("v34"))
+    // a DIFFERENT transform's predicate must not prune these files
+    assert(IcebergLite.planFiles(dir,
+      transformPrune = Some(("k", "bucket[8]", (_: String) => false)))
+      .count(_.content == 0) == 4, "other specs are conservatively kept")
+    // data files retain the source column (the transform only names
+    // the partition)
+    assert(spark.read.parquet(tasks.head.path).columns.contains("k"))
+  }
+
+  test("truncate[W] and day transforms stamp spec-shaped partition values") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.IcebergLite
+    val dir = new java.io.File("target/iceberg/writer_spec_trunc").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.append(spark, dir,
+      Seq((7L, "a"), (12L, "b"), (19L, "c"), (23L, "d")).toDF("k", "v"),
+      partCol = Some("k"), partTransform = "truncate[10]")
+    val parts = IcebergLite.planFiles(dir).filter(_.content == 0)
+      .flatMap(_.partValue).toSet
+    assert(parts == Set("0", "10", "20"), s"width-10 floors: $parts")
+    val pruned = IcebergLite.readSnapshot(spark, dir,
+      transformPrune = Some(("k", "truncate[10]", (pv: String) => pv == "10")))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(pruned == Set(12L, 19L))
+    val dir2 = new java.io.File("target/iceberg/writer_spec_day").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+    IcebergWriter.append(spark, dir2,
+      Seq(("2024-03-01 10:00:00", 1), ("2024-03-01 23:59:00", 2),
+          ("2024-03-02 00:01:00", 3))
+        .toDF("ts", "v").withColumn("ts", $"ts".cast("timestamp")),
+      partCol = Some("ts"), partTransform = "day")
+    val dayParts = IcebergLite.planFiles(dir2).filter(_.content == 0)
+      .flatMap(_.partValue).toSet
+    assert(dayParts == Set("2024-03-01", "2024-03-02"))
+    val d2 = IcebergLite.readSnapshot(spark, dir2,
+      transformPrune = Some(("ts", "day", (pv: String) => pv == "2024-03-02")))
+      .select("v").collect().map(_.getInt(0)).toSet
+    assert(d2 == Set(3))
+  }
+
   test("empty append is rejected loudly, table state unchanged") {
     val s2 = spark
     import s2.implicits._
