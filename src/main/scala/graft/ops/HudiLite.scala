@@ -42,6 +42,7 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 object HudiLite {
 
   private def mapper = new ObjectMapper()
+  private val logTokenCounter = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** (path, partition, fileId, instantTime) of the latest slice per
     * file group visible at `instant` (default: latest commit). */
@@ -730,9 +731,10 @@ object HudiLite {
     * this parallelizes on a 1000-executor cluster. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
              keyCols: Seq[String], partCol: String, instant: String,
-             batchId: Option[Long] = None): Boolean =
+             batchId: Option[Long] = None,
+             beforeCommit: () => Unit = () => ()): Boolean =
     writeDeltaCommitDistributed(spark, tableDir, df, keyCols,
-      Some(partCol), instant, BlockData, batchId)
+      Some(partCol), instant, BlockData, batchId, beforeCommit)
 
   /** DELETE keys as a `.deltacommit` of delete blocks: `keysDf` holds
     * the key columns only; every key must resolve through the index
@@ -746,14 +748,57 @@ object HudiLite {
       None, instant, BlockDelete): Unit
   }
 
+  /** Bounded optimistic retries for delta commits. */
+  val MaxCommitRetries = 10
+
+  /** Zero-padded next instant from the timeline. */
+  private def nextInstantOf(tableDir: String): String =
+    f"${Option(new java.io.File(tableDir, ".hoodie").list())
+      .getOrElse(Array.empty)
+      .map(_.split('.').head).filter(_.forall(_.isDigit))
+      .foldLeft(0)((m, s) => math.max(m, s.toInt)) + 1}%03d"
+
   /** Returns false when `batchId` turned out to be already committed by
     * a concurrent sink (re-checked under the commit CAS — see
-    * [[appendBatch]]); true when this call committed the instant. */
+    * [[appendBatch]]); true when this call committed an instant.
+    *
+    * CONCURRENT COMMITS: losing the instant CAS retries by RE-STAGING
+    * the whole delta commit against the new timeline (bounded) — the
+    * log files embed the instant in both name and block bytes, and the
+    * key→file-group index must re-resolve over the winner's commit (a
+    * winner may have routed the same NEW key), so a metadata-only
+    * re-stamp would be split-brain-prone where a full re-stage is
+    * trivially correct. Retry cost is one delta-sized write, not a
+    * table scan. */
   private def writeDeltaCommitDistributed(spark: SparkSession, tableDir: String,
                                           df: DataFrame, keyCols: Seq[String],
-                                          partCol: Option[String], instant: String,
+                                          partCol: Option[String], instant0: String,
                                           blockType: Int,
-                                          batchId: Option[Long] = None): Boolean = {
+                                          batchId: Option[Long] = None,
+                                          beforeCommit: () => Unit = () => ())
+      : Boolean = {
+    var instant = instant0
+    var attempt = 0
+    while (true) {
+      val done = stageAndCommitOnce(spark, tableDir, df, keyCols, partCol,
+        instant, blockType, batchId, if (attempt == 0) beforeCommit else () => ())
+      if (done.isDefined) return done.get
+      attempt += 1
+      require(attempt < MaxCommitRetries,
+        s"delta-commit conflict persisted after $MaxCommitRetries attempts")
+      instant = nextInstantOf(tableDir)
+    }
+    false // unreachable
+  }
+
+  /** One staging + CAS attempt: Some(true) committed, Some(false)
+    * batch already committed elsewhere (skipped), None = lost the CAS
+    * (staged logs cleaned up; caller re-resolves and retries). */
+  private def stageAndCommitOnce(spark: SparkSession, tableDir: String,
+                                 df: DataFrame, keyCols: Seq[String],
+                                 partCol: Option[String], instant: String,
+                                 blockType: Int, batchId: Option[Long],
+                                 beforeCommit: () => Unit): Option[Boolean] = {
     import org.apache.spark.sql.functions._
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
@@ -798,6 +843,13 @@ object HudiLite {
       slices.map(s => s._3 -> (s._2, s._4)).toMap
     val bcMeta = spark.sparkContext.broadcast(metaByFid)
     val tdir = tableDir
+    // writer-unique token in the log NAME (real Hudi's writeToken):
+    // two writers staging the same instant must never share a path —
+    // the loser's post-CAS cleanup would otherwise delete the file the
+    // winner's commit references. Readers take log paths from the
+    // timeline JSON, never from name parsing.
+    val writeToken =
+      s"${ProcessHandle.current().pid()}-${logTokenCounter.incrementAndGet()}"
     val stats: Seq[(String, String, String, String)] = routed
       .select(col("__fid") +: dataCols.map(col): _*)
       .repartition(col("__fid"))
@@ -805,7 +857,7 @@ object HudiLite {
         val byFid = it.toVector.groupBy(_.getString(0))
         byFid.iterator.map { case (fid, rows) =>
           val (part, baseInstant) = bcMeta.value(fid)
-          val rel = s"$part/${fid}_$baseInstant.log.$instant"
+          val rel = s"$part/${fid}_$baseInstant.log.${instant}_$writeToken"
           val f = new java.io.File(tdir, rel)
           // stage under an attempt-unique name, then rename into place:
           // under speculative execution two attempts of this partition
@@ -843,18 +895,23 @@ object HudiLite {
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(tableDir, rel)): Unit
       }
-      false
+      Some(false)
     } else {
-      // CAS create: two writers racing the same instant must not clobber
-      // each other's timeline entry — the loser fails loudly (its log
-      // files embed the instant, so a retry needs a fresh instant and a
-      // re-staged write)
-      require(IcebergWriter.casCreate(
+      beforeCommit()
+      // CAS create: two writers racing the same instant must not
+      // clobber each other's timeline entry — the loser cleans up its
+      // staged logs and signals the caller to re-stage on a fresh
+      // instant (the log files embed the instant in name AND bytes)
+      if (IcebergWriter.casCreate(
           java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
-          s"""{$bField"partitionToWriteStats":{$statsJson}}"""),
-        s"instant $instant conflicts with a concurrent commit — retry " +
-          "with a fresh instant")
-      true
+          s"""{$bField"partitionToWriteStats":{$statsJson}}""")) Some(true)
+      else {
+        stats.foreach { case (_, _, _, rel) =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(tableDir, rel)): Unit
+        }
+        None
+      }
     }
   }
 

@@ -436,6 +436,20 @@ object PaimonLite {
 
   /** Manifest names referenced by a snapshot's base + delta lists —
     * what an appending writer must carry forward. */
+  /** The data files one snapshot ADDED (its delta manifest only) —
+    * table-relative paths; what a retrying concurrent appender
+    * validates its keys against. */
+  private[ops] def snapshotDeltaFiles(tableDir: String, id: Long): Seq[String] = {
+    val snap = snapshotNode(tableDir, id)
+    manifestEntries(tableDir, snap.get("deltaManifestList").asText)
+      .filter(_.get("_KIND").asInstanceOf[Int] == 0)
+      .map { e =>
+        val f = e.get("_FILE").asInstanceOf[GenericRecord]
+        Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("") +
+          s"bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+      }
+  }
+
   private[ops] def snapshotManifestNames(tableDir: String, id: Long): Seq[String] = {
     val snap = snapshotNode(tableDir, id)
     Seq(snap.get("baseManifestList").asText, snap.get("deltaManifestList").asText)

@@ -43,7 +43,8 @@ object PaimonWriter {
     * `TYPE` marker keeps PK and append-only commits from mixing on one
     * table (they have different read disciplines). */
   def appendOnly(spark: SparkSession, tableDir: String, df: DataFrame,
-                 partCol: String): Long = {
+                 partCol: String,
+                 beforeCommit: () => Unit = () => ()): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
@@ -71,7 +72,7 @@ object PaimonWriter {
       .sortBy(_.getAbsolutePath)
       .zipWithIndex.map { case (f, j) =>
         val part = f.getParentFile.getName.stripPrefix("__part=")
-        val rel = s"$part/bucket-0/data-a$snapId-$j.parquet"
+        val rel = s"$part/bucket-0/data-a$snapId-${nextTok()}-$j.parquet"
         val dst = new java.io.File(dir, rel)
         dst.getParentFile.mkdirs()
         java.nio.file.Files.move(f.toPath, dst.toPath)
@@ -83,14 +84,44 @@ object PaimonWriter {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
     require(adds.nonEmpty && adds.map(_._1.rowCount).sum > 0,
       "append of an empty DataFrame is not a commit")
-    commitSnapshot(tableDir, snapId, curSnap, adds, changelog = Nil)
-    if (curSnap == 0L) {
+    // optimistic commit loop: append-only rows carry no sequence, so a
+    // lost CAS only means renaming the staged files onto the next id
+    // and re-stamping metadata — retry is unconditionally safe
+    var id = snapId
+    var files = adds
+    var attempt = 0
+    var committed = false
+    while (!committed) {
+      if (attempt == 0) beforeCommit()
+      if (commitSnapshot(tableDir, id, id - 1, files, changelog = Nil)) {
+        committed = true
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"append conflict persisted after $MaxCommitRetries attempts")
+        val next = probeLatest(tableDir) + 1
+        if (java.nio.file.Files.exists(typePath))
+          require(java.nio.file.Files.readString(typePath).trim == "append-only",
+            "a concurrent writer created this table as primary-key")
+        files = files.zipWithIndex.map { case ((m, bytes), j) =>
+          val rel = m.path.replaceAll("data-a[^/]*\\.parquet$",
+            s"data-a$next-${nextTok()}-$j.parquet")
+          java.nio.file.Files.move(
+            new java.io.File(dir, m.path).toPath,
+            new java.io.File(dir, rel).toPath)
+          (m.copy(path = rel, minSeq = next, maxSeq = next), bytes)
+        }
+        id = next
+      }
+    }
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"))) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
       java.nio.file.Files.writeString(typePath, "append-only")
     }
-    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
-    snapId
+    IcebergWriter.atomicWriteString(latestPath, id.toString)
+    id
   }
 
   /** Exactly-once streaming sink hook, the Paimon sibling of
@@ -129,26 +160,44 @@ object PaimonWriter {
     }
   }
 
+  /** Bounded optimistic retries for append commits. */
+  val MaxCommitRetries = 10
+
   /** Shared commit tail: manifest, carried-forward base list, delta
-    * list, optional CHANGELOG manifest list, snapshot JSON. LATEST is
+    * list, optional CHANGELOG manifest list, snapshot JSON — all named
+    * by `snapId` (strictly increasing across retry attempts, so a
+    * loser's rewrite never clobbers the winner's artifacts). Returns
+    * false when the snapshot CAS lost to a concurrent commit; the
+    * caller re-resolves and retries (or fails loudly). LATEST is
     * swapped by the caller (after any creation markers). */
+  private val tokenCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+  /** Writer-unique token for staged artifact names: two writers staging
+    * the same prospective snapshot id must never share a file name. */
+  private def nextTok(): String =
+    s"${ProcessHandle.current().pid()}x${tokenCounter.incrementAndGet()}"
+
   private def commitSnapshot(tableDir: String, snapId: Long, curSnap: Long,
                              adds: Seq[(PaimonLite.FileMeta, Long)],
                              changelog: Seq[(PaimonLite.FileMeta, Long)],
-                             batchId: Option[Long] = None): Unit = {
-    val mName = s"manifest-w$snapId"
+                             batchId: Option[Long] = None): Boolean = {
+    // manifest/list names carry a writer-unique token: two writers
+    // staging the SAME prospective snapshot id must not overwrite each
+    // other's artifacts — the snapshot JSON (CAS-created) is the only
+    // shared name
+    val tok = s"$snapId-${nextTok()}"
+    val mName = s"manifest-w$tok"
     PaimonLite.writeManifestAvro(tableDir, mName, adds, Nil)
     val prevManifests: Seq[String] =
       if (curSnap == 0L) Nil
       else PaimonLite.snapshotManifestNames(tableDir, curSnap)
-    val baseName = s"manifest-list-w$snapId-base"
-    val deltaName = s"manifest-list-w$snapId-delta"
+    val baseName = s"manifest-list-w$tok-base"
+    val deltaName = s"manifest-list-w$tok-delta"
     PaimonLite.writeManifestListAvro(tableDir, baseName, prevManifests)
     PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
     val clField = if (changelog.isEmpty) "" else {
-      val clManifest = s"manifest-cl$snapId"
+      val clManifest = s"manifest-cl$tok"
       PaimonLite.writeManifestAvro(tableDir, clManifest, changelog, Nil)
-      val clList = s"manifest-list-w$snapId-changelog"
+      val clList = s"manifest-list-w$tok-changelog"
       PaimonLite.writeManifestListAvro(tableDir, clList, Seq(clManifest))
       s""""changelogManifestList":"$clList","""
     }
@@ -158,16 +207,24 @@ object PaimonWriter {
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
          |$clField$bField"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
          |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
-    // CAS create: a plain write would silently clobber a concurrent
-    // writer's snapshot. A retry protocol would need the staged data's
-    // _SEQUENCE_NUMBER floor re-stamped against the winner (sequence
-    // ranges must not interleave per key), so the conflict is LOUD —
-    // re-run the append against the new table state.
-    require(IcebergWriter.casCreate(
-        java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
-        snapJson),
-      s"snapshot $snapId conflicts with a concurrent commit — re-run " +
-        "the append so sequences re-resolve against the new state")
+    IcebergWriter.casCreate(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
+      snapJson)
+  }
+
+  /** The highest snapshot id actually PUBLISHED, by probing snapshot-N
+    * files upward from the LATEST hint — a loser must not trust the
+    * hint, which the winner updates only after its CAS. */
+  private def probeLatest(tableDir: String): Long = {
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    var v: Long =
+      if (java.nio.file.Files.exists(latestPath))
+        java.nio.file.Files.readString(latestPath).trim.toLong
+      else 0L
+    while (java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-${v + 1}")))
+      v += 1
+    v
   }
 
   /** Append `df` as one APPEND snapshot, creating the table on first
@@ -184,7 +241,8 @@ object PaimonWriter {
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: String, keyCols: Seq[String],
              numBuckets: Int = 4, changelogProducer: Boolean = false,
-             batchId: Option[Long] = None): Long = {
+             batchId: Option[Long] = None,
+             beforeCommit: () => Unit = () => ()): Long = {
     require(keyCols.contains(partCol),
       "paimon requires the partition column inside the primary key")
     val dir = new java.io.File(tableDir)
@@ -243,7 +301,7 @@ object PaimonWriter {
           s"unexpected staging layout: $partDir/$bucketDir")
         val part = partDir.stripPrefix("__part=")
         val bucket = bucketDir.stripPrefix("__bucket=").toInt
-        val rel = s"$part/bucket-$bucket/data-w$snapId-$j.parquet"
+        val rel = s"$part/bucket-$bucket/data-w$snapId-${nextTok()}-$j.parquet"
         val dst = new java.io.File(dir, rel)
         dst.getParentFile.mkdirs()
         java.nio.file.Files.move(f.toPath, dst.toPath)
@@ -283,9 +341,10 @@ object PaimonWriter {
       }
       return -1L
     }
-    val changelog: Seq[(PaimonLite.FileMeta, Long)] =
+    def makeChangelog(files: Seq[(PaimonLite.FileMeta, Long)])
+        : Seq[(PaimonLite.FileMeta, Long)] =
       if (!changelogProducer) Nil
-      else adds.map { case (m, bytes) =>
+      else files.map { case (m, bytes) =>
         val name = m.path.split("/").last
         val clRel = m.path.stripSuffix(name) + s"changelog-$name"
         java.nio.file.Files.copy(
@@ -294,8 +353,76 @@ object PaimonWriter {
         (m.copy(path = clRel), bytes)
       }
 
-    commitSnapshot(tableDir, snapId, curSnap, adds, changelog, batchId)
-    if (curSnap == 0L) {
+    // optimistic commit loop. A retry is SAFE only when the
+    // interleaved commits touch a DISJOINT key set: our rows'
+    // _SEQUENCE_NUMBER floor resolved against the pre-conflict state,
+    // so sequence ranges interleave with the winner's — harmless
+    // per-key-disjoint (the LSM merge orders per key), a lost-update
+    // hazard on overlap. The validation reads only the winner's DELTA
+    // files against our staged files (both delta-sized), the standard
+    // OCC validate-then-retry; overlap fails loudly.
+    var id = snapId
+    var files = adds
+    var attempt = 0
+    var committed = false
+    var skipped = false
+    var validatedUpTo = curSnap
+    while (!committed && !skipped) {
+      if (batchId.exists(committedBatchIds(tableDir).contains)) {
+        files.foreach { case (m, _) =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(tableDir, m.path)): Unit
+        }
+        skipped = true
+      } else {
+        if (attempt == 0) beforeCommit()
+        val changelog = makeChangelog(files)
+        if (commitSnapshot(tableDir, id, id - 1, files, changelog, batchId)) {
+          committed = true
+        } else {
+          changelog.foreach { case (m, _) =>
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(tableDir, m.path)): Unit
+          }
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"append conflict persisted after $MaxCommitRetries attempts")
+          val latest = probeLatest(tableDir)
+          if (java.nio.file.Files.exists(bucketsPath))
+            require(java.nio.file.Files.readString(bucketsPath).trim.toInt == numBuckets,
+              "a concurrent writer fixed a different bucket count")
+          val winnerFiles = ((validatedUpTo + 1) to latest)
+            .flatMap(PaimonLite.snapshotDeltaFiles(tableDir, _))
+            .map(rel => s"$tableDir/$rel")
+          if (winnerFiles.nonEmpty) {
+            import org.apache.spark.sql.functions.col
+            val overlap = spark.read.parquet(winnerFiles: _*)
+              .select(keyCols.map(col): _*)
+              .join(spark.read.parquet(files.map(f => s"$tableDir/${f._1.path}"): _*)
+                .select(keyCols.map(col): _*), keyCols, "left_semi")
+              .limit(1).count()
+            require(overlap == 0L,
+              "append conflicts with a concurrent commit on the SAME keys " +
+                "— sequence order between them would be arbitrary; re-run " +
+                "the append against the new table state")
+          }
+          validatedUpTo = latest
+          val next = latest + 1
+          files = files.zipWithIndex.map { case ((m, bytes), j) =>
+            val rel = m.path.replaceAll("data-w[^/]*\\.parquet$",
+              s"data-w$next-${nextTok()}-$j.parquet")
+            java.nio.file.Files.move(
+              new java.io.File(dir, m.path).toPath,
+              new java.io.File(dir, rel).toPath)
+            (m.copy(path = rel), bytes)
+          }
+          id = next
+        }
+      }
+    }
+    if (skipped) return -1L
+    if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"))) {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST"), "1")
       java.nio.file.Files.writeString(bucketsPath, numBuckets.toString)
@@ -304,8 +431,8 @@ object PaimonWriter {
     }
     // LATEST is the commit point: publish atomically (temp + rename)
     // so a concurrent reader never observes a truncated hint
-    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
-    snapId
+    IcebergWriter.atomicWriteString(latestPath, id.toString)
+    id
   }
 
   /** SNAPSHOT EXPIRY (the spec's snapshot.num-retained.* retention):

@@ -102,6 +102,67 @@ object Round12Queries {
         .orderBy(col("l_linenumber"))
     }),
 
+    // CONCURRENT PAIMON APPENDS: writer B commits between writer A's
+    // snapshot-id resolution and CAS; the key sets are disjoint, so A
+    // validates and retries onto the next id — the read is the union
+    // of all three commits (a lost update would drop a residue class)
+    "src_paimon_concurrent" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      val src = t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      val tableDir = new java.io.File(
+        s"target/paimon/conc_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      PaimonWriter.append(s, tableDir,
+        src.filter(col("o_orderkey") % 2 === 0), "o_orderstatus", keys): Unit
+      val id = PaimonWriter.append(s, tableDir,
+        src.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 =!= 0),
+        "o_orderstatus", keys,
+        beforeCommit = () => {
+          PaimonWriter.append(s, tableDir,
+            src.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 3 === 0),
+            "o_orderstatus", keys): Unit
+        })
+      require(id == 3L, s"concurrency premise: loser retries onto 3, got $id")
+      PaimonLite.readSnapshot(s, tableDir, keys)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // CONCURRENT HUDI UPSERTS: the loser re-stages its delta commit
+    // against the winner's timeline (key→file-group index re-resolved)
+    // and lands on the next instant
+    "src_hudi_concurrent" -> ((s, dir) => {
+      import graft.ops.HudiLite
+      val src = t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      val tableDir = new java.io.File(
+        s"target/hudi/conc_${new java.io.File(dir).getName}").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
+      HudiLite.createTable(s, tableDir, src,
+        keyCols = Seq("o_orderkey"), partCol = "o_orderstatus", instant = "001")
+      val waveA = src.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1000000L)
+      val waveB = src.filter(col("o_orderkey") % 10 === 1)
+        .withColumn("o_custkey", col("o_custkey") + 2000000L)
+      require(waveA.limit(1).count() == 1 && waveB.limit(1).count() == 1,
+        "concurrency premise: both waves non-empty")
+      HudiLite.upsert(s, tableDir, waveA,
+        Seq("o_orderkey"), "o_orderstatus", "002",
+        beforeCommit = () => {
+          HudiLite.upsert(s, tableDir, waveB,
+            Seq("o_orderkey"), "o_orderstatus", "002"): Unit
+        }): Unit
+      require(new java.io.File(tableDir, ".hoodie/003.deltacommit").exists(),
+        "concurrency premise: the retried loser lands on instant 003")
+      HudiLite.readSnapshotMor(s, tableDir, Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // SQL UPDATE on the Delta route: the matched rows re-land updated
     // through a deletion-vector commit + append — no data rewrite of
     // the untouched rows, the protocol's row-change shape
@@ -164,6 +225,23 @@ object Round12Queries {
       FROM lineitem
       WHERE l_orderkey < 10000 AND l_orderkey % 3 <> 0
         AND l_returnflag IN ('N', 'R')
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_paimon_concurrent" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 12000
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_hudi_concurrent" -> """
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                        WHEN o_orderkey % 10 = 1 THEN o_custkey + 2000000
+                        ELSE o_custkey END AS ck
+            FROM orders
+            WHERE o_orderkey < 12000) u
       GROUP BY 1 ORDER BY 1""",
 
     "src_iceberg_write_bucket" -> """

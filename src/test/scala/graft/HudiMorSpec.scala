@@ -282,6 +282,34 @@ class HudiMorSpec extends AnyFunSuite {
       "the skipped batch must not surface")
   }
 
+  test("concurrent upsert/upsert: loser re-stages on a fresh instant, both land") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_concurrent").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    HudiLite.createTable(spark, dir,
+      Seq((1L, "A", 1), (2L, "A", 2), (3L, "B", 3)).toDF("k", "p", "v"),
+      Seq("k"), "p", "001")
+    // writer X stages instant 002 for {2 -> 200, 10(new)}; before its
+    // CAS, writer Y commits 002 upserting {3 -> 300, 11(new)}; X must
+    // re-stage against Y's state and land on 003
+    assert(HudiLite.upsert(spark, dir,
+      Seq((2L, "A", 200), (10L, "A", 10)).toDF("k", "p", "v"),
+      Seq("k"), "p", "002",
+      beforeCommit = () => {
+        HudiLite.upsert(spark, dir,
+          Seq((3L, "B", 300), (11L, "B", 11)).toDF("k", "p", "v"),
+          Seq("k"), "p", "002"): Unit
+      }))
+    assert(new java.io.File(dir, ".hoodie/002.deltacommit").exists() &&
+      new java.io.File(dir, ".hoodie/003.deltacommit").exists(),
+      "winner at 002, retried loser at 003")
+    val got = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 1), (2L, 200), (3L, 300), (10L, 10), (11L, 11)),
+      s"no lost update across the interleave: $got")
+  }
+
   test("bloom index prunes the upsert's base scan to candidate files") {
     val s2 = spark
     import s2.implicits._

@@ -192,6 +192,77 @@ class PaimonWriterSpec extends AnyFunSuite {
       tableDir, "snapshot", "LATEST")).trim == before)
   }
 
+  test("concurrent append/append on DISJOINT keys: loser retries and lands") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_conc").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 1), ("B", 2L, 2)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+      numBuckets = 2): Unit
+    // writer X stages keys {3,4}; before its CAS, writer Y commits {5,6}
+    val id = PaimonWriter.append(spark, dir,
+      Seq(("A", 3L, 3), ("B", 4L, 4)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+      numBuckets = 2,
+      beforeCommit = () => {
+        PaimonWriter.append(spark, dir,
+          Seq(("A", 5L, 5), ("B", 6L, 6)).toDF("p", "k", "v"), "p",
+          Seq("p", "k"), numBuckets = 2): Unit
+      })
+    assert(id == 3L, s"loser must land on snapshot 3, got $id")
+    assert((1L to 3L).forall(i => new java.io.File(
+      dir, s"snapshot/snapshot-$i").exists()), "three snapshots on the chain")
+    assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+      .select("k").collect().map(_.getLong(0)).toSet == (1L to 6L).toSet,
+      "no lost update: both concurrent commits visible")
+  }
+
+  test("concurrent append/append on the SAME key fails loudly (no arbitrary order)") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_conc2").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 1)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+      numBuckets = 2): Unit
+    val e = intercept[IllegalArgumentException] {
+      PaimonWriter.append(spark, dir,
+        Seq(("A", 7L, 70)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+        numBuckets = 2,
+        beforeCommit = () => {
+          PaimonWriter.append(spark, dir,
+            Seq(("A", 7L, 71)).toDF("p", "k", "v"), "p", Seq("p", "k"),
+            numBuckets = 2): Unit
+        })
+    }
+    assert(e.getMessage.contains("SAME keys"))
+    // the winner's value stands; the loser left no snapshot
+    assert(PaimonLite.latestSnapshotId(dir) == 2L)
+    assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+      .filter($"k" === 7L).select("v").head().getInt(0) == 71)
+  }
+
+  test("concurrent append-only appends: retry unconditional, duplicates intact") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_conc3").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    PaimonWriter.appendOnly(spark, dir,
+      Seq(("A", 1L)).toDF("p", "k"), "p"): Unit
+    // append-only has no keys: even the SAME row retries safely
+    // (duplicates are facts on an append table) — writer Y lands
+    // snapshot 2 while X holds id 2, X retries onto 3
+    val id = PaimonWriter.appendOnly(spark, dir,
+      Seq(("A", 2L)).toDF("p", "k"), "p",
+      beforeCommit = () => {
+        PaimonWriter.appendOnly(spark, dir,
+          Seq(("A", 2L)).toDF("p", "k"), "p"): Unit
+      })
+    assert(id == 3L)
+    assert(PaimonLite.readAppendOnly(spark, dir)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 2L))
+  }
+
   test("batch re-check under the commit: raced redelivery skipped, no residue") {
     val s2 = spark
     import s2.implicits._
