@@ -333,7 +333,22 @@ object DeltaLite {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val adds = planAddsWithCheckpoint(spark, tableDir, version, partFilter)
     require(adds.nonEmpty, "no live files after replay/pruning")
-    val data = spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
+    // a DECLARED schema (real schemaString, unmapped table) plans the
+    // scan explicitly: files written before an ADD COLUMN null-fill the
+    // missing field natively — no mergeSchema footer sweep, which is
+    // the difference between one metadata read and opening every footer
+    // at 100 TB
+    val declared: Option[org.apache.spark.sql.types.StructType] =
+      if (columnMapping(spark, tableDir, version).nonEmpty) None
+      else tableSchemaString(spark, tableDir, version).flatMap { ss =>
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(ss))
+          .toOption.collect { case st: org.apache.spark.sql.types.StructType => st }
+      }
+    val paths = adds.map(a => s"$tableDir/${a.path}")
+    val data = declared match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
     val withDv = adds.filter(_.dv.isDefined)
     val afterDv = if (withDv.isEmpty) data
     else {

@@ -353,6 +353,76 @@ object DeltaWriter {
     committed // -1 = txn version already committed by a concurrent sink
   }
 
+  /** ADD COLUMN schema evolution (PROTOCOL.md "Schema Serialization
+    * Format"): one metaData-only commit whose schemaString appends the
+    * new NULLABLE field — no data movement; files written before the
+    * column appeared read it as NULL ([[DeltaLite.readVersion]] plans
+    * the scan with the declared schema, which null-fills missing
+    * columns natively — no mergeSchema footer sweep at 100 TB).
+    * Returns the committed version. */
+  def addColumn(spark: SparkSession, tableDir: String,
+                name: String, sqlType: String): Long = {
+    import org.apache.spark.sql.types._
+    require(columnMappingEmpty(spark, tableDir),
+      "ADD COLUMN on a column-mapped table needs a mapped id/physical " +
+        "name — use appendMapped's schema instead")
+    val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
+      .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
+      .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
+    // carry the current metaData forward with only schemaString changed
+    val md = latestMetaDataNode(spark, tableDir).getOrElse {
+      val m = mapper.createObjectNode()
+      m.put("id", "00000000-0000-0000-0000-000000000002")
+      m.putObject("format").put("provider", "parquet")
+      m.putArray("partitionColumns")
+      m
+    }
+    md.put("schemaString", evolved.json)
+    var committed = -1L
+    var attempt = 0
+    while (committed < 0) {
+      val version = nextVersion(tableDir)
+      if (casWriteCommit(tableDir, version,
+          Seq(s"""{"metaData":${mapper.writeValueAsString(md)}}"""))) {
+        maybeCheckpoint(spark, tableDir, version)
+        committed = version
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"ADD COLUMN conflict persisted after $MaxCommitRetries attempts")
+      }
+    }
+    committed
+  }
+
+  private def columnMappingEmpty(spark: SparkSession, tableDir: String): Boolean =
+    DeltaLite.columnMapping(spark, tableDir).isEmpty
+
+  /** The latest metaData action as a mutable node (JSON tail wins over
+    * the checkpoint row). */
+  private def latestMetaDataNode(spark: SparkSession, tableDir: String)
+      : Option[com.fasterxml.jackson.databind.node.ObjectNode] = {
+    var found: Option[com.fasterxml.jackson.databind.node.ObjectNode] = None
+    val logDir = new java.io.File(tableDir, "_delta_log")
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("\\d{20}\\.json")).sortBy(_.getName)
+      .foreach { f =>
+        java.nio.file.Files.readAllLines(f.toPath).forEach { line =>
+          if (line.nonEmpty) {
+            val node = mapper.readTree(line)
+            if (node.has("metaData"))
+              found = Some(node.get("metaData")
+                .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+          }
+        }
+      }
+    found
+  }
+
   /** ROW-LEVEL DELETE via deletion vectors (PROTOCOL.md "Deletion
     * Vectors"): mark matching row positions deleted WITHOUT rewriting
     * any parquet. One distributed scan finds the matching

@@ -280,13 +280,70 @@ object HudiLite {
 
   /** The MoR merge over an explicit slice list (shared by the snapshot
     * read and [[compact]]). */
+  /** The UNION of every schema the table has declared — `.hoodie/
+    * schema.json` (ALTER TABLE) plus the per-commit schema stamps —
+    * in first-seen field order. ADD-COLUMN-only evolution makes the
+    * union well-defined regardless of stamp order. None when nothing
+    * was ever declared (fixture tables read by parquet schema). */
+  def declaredSchema(tableDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val sources = Seq.newBuilder[String]
+    val sj = new java.io.File(tableDir, ".hoodie/schema.json")
+    if (sj.exists()) sources += java.nio.file.Files.readString(sj.toPath)
+    Option(new java.io.File(tableDir, ".hoodie").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit"))
+      .sortBy(_.getName)
+      .foreach { f =>
+        val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+        Option(node.get("schema")).foreach(n => sources += n.asText)
+      }
+    val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
+    sources.result().foreach { ss =>
+      DataType.fromJson(ss).asInstanceOf[StructType].fields.foreach { f =>
+        if (!fields.contains(f.name)) fields(f.name) = f.copy(nullable = true)
+      }
+    }
+    if (fields.isEmpty) None else Some(StructType(fields.values.toArray))
+  }
+
+  /** ADD COLUMN schema evolution: declare the evolved schema in
+    * `.hoodie/schema.json` (atomic swap) — no data movement; the MoR
+    * merge plans bases with the union schema, so pre-evolution files
+    * read the column as NULL and later upserts may carry it. */
+  def addColumn(spark: SparkSession, tableDir: String,
+                name: String, sqlType: String): Unit = {
+    import org.apache.spark.sql.types._
+    val cur: StructType = declaredSchema(tableDir).getOrElse {
+      val slices = planFilesMor(tableDir)
+      require(slices.nonEmpty, "table has no live file slices")
+      spark.read.parquet(slices.head._1).schema
+    }
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
+    IcebergWriter.atomicWriteString(
+      java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
+  }
+
   private def mergeSlices(spark: SparkSession, keyCols: Seq[String],
                           slices: Seq[(String, String, String, String, Seq[String])])
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    val base = spark.read.parquet(slices.map(_._1): _*)
+    // the declared union schema plans the base scan explicitly —
+    // pre-evolution bases null-fill the evolved columns natively
+    // slice paths are $tableDir/$partition/$file — recover the table
+    // root for the declared-schema lookup
+    val tDir = slices.head._1.split("/").dropRight(2).mkString("/")
+    val base = declaredSchema(tDir) match {
+      case Some(st) => spark.read.schema(st).parquet(slices.map(_._1): _*)
+      case None => spark.read.parquet(slices.map(_._1): _*)
+    }
     val dataSchema = base.schema
     val withSys = StructType(dataSchema.fields ++ Array(
       StructField("__instant", StringType, nullable = false),
@@ -503,9 +560,10 @@ object HudiLite {
       s""""$part":[${js.mkString(",")}]"""
     }.mkString(",")
     val bField = batchId.map(b => s""""batchId":$b,""").getOrElse("")
+    val schemaField = s""""schema":${mapper.writeValueAsString(df.schema.json)},"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
-      s"""{$bField"partitionToWriteStats":{$statsJson}}""")
+      s"""{$bField$schemaField"partitionToWriteStats":{$statsJson}}""")
   }
 
   /** Exactly-once streaming UPSERT sink, completing the quartet next
@@ -802,7 +860,8 @@ object HudiLite {
     import org.apache.spark.sql.functions._
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
-        .forall(f => f.split('.').head < instant),
+        .map(_.split('.').head).filter(_.forall(_.isDigit))
+        .forall(_ < instant),
       s"instant $instant must follow the timeline")
     val slices = planFilesMor(tableDir)
     val keySchema = org.apache.spark.sql.types.StructType(
@@ -883,6 +942,13 @@ object HudiLite {
       s""""$part":[${js.mkString(",")}]"""
     }.mkString(",")
     val bField = batchId.map(b => s""""batchId":$b,""").getOrElse("")
+    // the commit records its writer schema (real Hudi's commit
+    // metadata schema) — how ADD-COLUMN evolution reaches readers: the
+    // merge plans with the UNION of declared schemas, so bases written
+    // before the column appeared null-fill
+    val schemaField =
+      if (blockType != BlockData) "" // delete blocks carry KEY columns only
+      else s""""schema":${mapper.writeValueAsString(schema.json)},"""
     // exactly-once re-check UNDER the commit CAS: a concurrent sink may
     // have committed this batch (on an earlier instant) between the
     // caller's pre-check and this point — in that window our instant
@@ -904,7 +970,7 @@ object HudiLite {
       // instant (the log files embed the instant in name AND bytes)
       if (IcebergWriter.casCreate(
           java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
-          s"""{$bField"partitionToWriteStats":{$statsJson}}""")) Some(true)
+          s"""{$bField$schemaField"partitionToWriteStats":{$statsJson}}""")) Some(true)
       else {
         stats.foreach { case (_, _, _, rel) =>
           java.nio.file.Files.deleteIfExists(
@@ -959,7 +1025,8 @@ object HudiLite {
     val withLogs = planFilesMor(tableDir).filter(_._5.nonEmpty)
     require(withLogs.nonEmpty, "no file group has log files to compact")
     require(Option(new java.io.File(tableDir, ".hoodie").list()).getOrElse(Array.empty)
-        .forall(f => f.split('.').head < newInstant),
+        .map(_.split('.').head).filter(_.forall(_.isDigit))
+        .forall(_ < newInstant),
       s"compaction instant $newInstant must follow the timeline")
     val stats = withLogs.map { case slice @ (_, part, fid, _, _) =>
       val merged = mergeSlices(spark, keyCols, Seq(slice))

@@ -215,11 +215,18 @@ object IcebergLite {
     val eqDeleteTasks = tasks.filter(_.content == 2)
     require(dataTasks.nonEmpty, s"snapshot has no data files in $tableDir")
     def norm(p: String): String = p.replaceAll("^file:+", "")
-    // mergeSchema = the spec's ADD-COLUMN evolution read: files written
-    // before the column appeared read it as NULL (field-id resolution
-    // simplified to by-name — the identity mapping our writer produces)
-    val data = (if (mergeSchema) spark.read.option("mergeSchema", "true")
-                else spark.read).parquet(dataTasks.map(_.path): _*)
+    // ADD-COLUMN evolution read (field-id resolution simplified to
+    // by-name — the identity mapping our writer produces): a DECLARED
+    // schema (metadata `schemas` + current-schema-id) plans the scan
+    // explicitly and null-fills pre-evolution files natively — no
+    // footer sweep; mergeSchema stays as the fixture-table fallback
+    val scan = declaredSchema(tableDir) match {
+      case Some(st) => spark.read.schema(st).parquet(dataTasks.map(_.path): _*)
+      case None =>
+        (if (mergeSchema) spark.read.option("mergeSchema", "true")
+         else spark.read).parquet(dataTasks.map(_.path): _*)
+    }
+    val data = scan
       .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
       .withColumn("__pos", col("_metadata.row_index"))
     val afterPos =
@@ -334,6 +341,64 @@ object IcebergLite {
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapId not in the log"))
   }
+
+  /** Spark ↔ Iceberg primitive type names (spec "Schemas" — the subset
+    * the writers produce). */
+  private[ops] def icebergTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case StringType => "string"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  private[ops] def sparkTypeOf(name: String): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val Dec = "decimal\\((\\d+),(\\d+)\\)".r
+    name match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "string" => StringType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "boolean" => BooleanType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case Dec(p, s) => DecimalType(p.toInt, s.toInt)
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** The current declared schema from a parsed metadata node (spec
+    * `schemas` + `current-schema-id`); None when the writer never
+    * declared one (pre-evolution tables read by parquet schema). */
+  private[ops] def declaredSchemaOf(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[org.apache.spark.sql.types.StructType] =
+    for {
+      schemas <- Option(meta.get("schemas"))
+      curId <- Option(meta.get("current-schema-id")).map(_.asInt)
+      node <- (0 until schemas.size).map(schemas.get)
+        .find(_.get("schema-id").asInt == curId)
+    } yield org.apache.spark.sql.types.StructType(
+      (0 until node.get("fields").size).map(node.get("fields").get).map { f =>
+        org.apache.spark.sql.types.StructField(
+          f.get("name").asText, sparkTypeOf(f.get("type").asText),
+          nullable = true)
+      })
+
+  /** The current declared schema of the table at `tableDir`. */
+  def declaredSchema(tableDir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    declaredSchemaOf(mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir)))))
 
   /** Iceberg bucket[N] transform for BIGINT keys (spec Appendix B:
     * murmur3_x86_32 over the little-endian 8-byte value, seed 0, then

@@ -719,6 +719,52 @@ object IcebergWriter {
     result // -1 = batch already committed by a concurrent sink
   }
 
+  /** ADD COLUMN schema evolution, writer half (spec "Schemas" /
+    * "Schema Evolution"): append a NEW schema (fresh schema-id, new
+    * field appended nullable with the next field id) to the metadata's
+    * `schemas` array and point `current-schema-id` at it — one CAS
+    * metadata bump, no data movement. [[IcebergLite.readSnapshot]]
+    * plans the scan with the declared schema, so pre-evolution files
+    * read the column as NULL. Returns the new schema id. */
+  def addColumn(spark: SparkSession, tableDir: String,
+                name: String, sqlType: String): Int = {
+    val curVersion = currentVersion(tableDir)
+    require(curVersion > 0, "table does not exist")
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val cur: org.apache.spark.sql.types.StructType =
+      IcebergLite.declaredSchemaOf(meta)
+        .getOrElse(IcebergLite.readSnapshot(spark, tableDir).schema)
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    val evolved = org.apache.spark.sql.types.StructType(
+      cur.fields :+ org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    val schemas =
+      if (meta.has("schemas")) meta.withArray[ArrayNode]("schemas")
+      else meta.putArray("schemas")
+    val newId = (0 until schemas.size)
+      .map(schemas.get(_).get("schema-id").asInt).foldLeft(-1)(math.max) + 1
+    val node = schemas.addObject()
+    node.put("schema-id", newId)
+    node.put("type", "struct")
+    val fields = node.putArray("fields")
+    evolved.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", false)
+      fn.put("type", IcebergLite.icebergTypeName(f.dataType))
+    }
+    meta.put("current-schema-id", newId)
+    require(casPublish(tableDir, curVersion + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
+      "ADD COLUMN lost a version race with a concurrent commit — rerun")
+    advanceHint(tableDir, curVersion + 1)
+    newId
+  }
+
   /** TAG a snapshot (spec "Refs": named references to snapshot ids —
     * tags are immutable labels, branches movable heads; both live in
     * the metadata's `refs` map). A tagged snapshot survives

@@ -119,6 +119,66 @@ object PaimonLite {
     } finally in.close()
   }
 
+  /** Paimon-style SQL type names for the schema files (the subset the
+    * writers produce). */
+  private[ops] def paimonTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "BIGINT"
+      case IntegerType => "INT"
+      case StringType => "STRING"
+      case DoubleType => "DOUBLE"
+      case FloatType => "FLOAT"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => throw new IllegalArgumentException(s"unsupported type $other")
+    }
+  }
+
+  /** The latest declared schema (highest `schema/schema-N`), as the
+    * DATA columns — system columns (_SEQUENCE_NUMBER/_VALUE_KIND) are
+    * appended by the PK read path. None when the table never evolved
+    * (pre-evolution tables read by parquet schema). */
+  def declaredSchema(tableDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val schemaDir = new java.io.File(tableDir, "schema")
+    val latest = Option(schemaDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^schema-(\\d+)$".r.findFirstMatchIn(f.getName)
+        .map(m => (m.group(1).toLong, f)))
+      .sortBy(_._1).lastOption.map(_._2)
+    latest.map { f =>
+      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      val fields = node.get("fields")
+      org.apache.spark.sql.types.StructType(
+        (0 until fields.size).map(fields.get).map { fn =>
+          org.apache.spark.sql.types.StructField(fn.get("name").asText,
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(fn.get("type").asText),
+            nullable = true)
+        })
+    }
+  }
+
+  /** Plan the parquet scan of `paths` under the declared schema when
+    * one exists (+ the PK system columns when `withSystem`) — files
+    * written before an ADD COLUMN null-fill natively, no footer sweep. */
+  private[ops] def readAligned(spark: SparkSession, tableDir: String,
+                               paths: Seq[String],
+                               withSystem: Boolean): DataFrame =
+    declaredSchema(tableDir) match {
+      case Some(st) =>
+        import org.apache.spark.sql.types._
+        val full =
+          if (!withSystem) st
+          else StructType(st.fields ++ Array(
+            StructField("_SEQUENCE_NUMBER", LongType),
+            StructField("_VALUE_KIND", IntegerType)))
+        spark.read.schema(full).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
   private def manifestEntries(tableDir: String, manifestListName: String)
       : Seq[GenericRecord] =
     readAvro(s"$tableDir/manifest/$manifestListName").flatMap { mf =>
@@ -164,7 +224,8 @@ object PaimonLite {
                    partFilter: Option[String => Boolean] = None): DataFrame = {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
-    val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    val data = readAligned(spark, tableDir,
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
     // Real Paimon guarantees per-bucket-unique sequence numbers; rather
     // than assume the precondition, break seq ties deterministically by
     // RowKind (the retraction wins the tie and the key drops) so a
@@ -277,7 +338,8 @@ object PaimonLite {
                      partFilter: Option[String => Boolean] = None): DataFrame = {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
-    spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    readAligned(spark, tableDir,
+      files.map(f => s"$tableDir/${f.path}"), withSystem = false)
   }
 
   /** CHANGELOG read over (fromSnapshot, toSnapshot] against a table

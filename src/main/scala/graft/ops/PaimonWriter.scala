@@ -435,6 +435,44 @@ object PaimonWriter {
     id
   }
 
+  /** ADD COLUMN schema evolution (the spec's `schema/schema-N` files):
+    * write the next schema file with the new NULLABLE field appended —
+    * no data movement; [[PaimonLite]] plans scans with the latest
+    * declared schema, so pre-evolution files read the column as NULL.
+    * CAS-created: concurrent ALTERs fail loudly. Returns the new
+    * schema id. */
+  def addColumn(spark: SparkSession, tableDir: String,
+                name: String, sqlType: String): Long = {
+    import org.apache.spark.sql.types._
+    val cur: StructType = PaimonLite.declaredSchema(tableDir).getOrElse {
+      // pre-evolution table: the data columns are one live file's
+      // parquet schema minus the LSM system columns
+      val files = PaimonLite.planFiles(tableDir)
+      require(files.nonEmpty, "table has no live files")
+      StructType(spark.read.parquet(s"$tableDir/${files.head.path}")
+        .schema.fields.filterNot(f =>
+          f.name == "_SEQUENCE_NUMBER" || f.name == "_VALUE_KIND"))
+    }
+    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
+    val schemaDir = new java.io.File(tableDir, "schema")
+    schemaDir.mkdirs()
+    val nextId = Option(schemaDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^schema-(\\d+)$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toLong))
+      .foldLeft(-1L)(math.max) + 1
+    val fieldsJson = evolved.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":$i,"name":"${f.name}","type":"${PaimonLite.paimonTypeName(f.dataType)}"}"""
+    }.mkString(",")
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, "schema", s"schema-$nextId"),
+        s"""{"id":$nextId,"fields":[$fieldsJson]}"""),
+      s"schema-$nextId conflicts with a concurrent ALTER — rerun")
+    nextId
+  }
+
   /** SNAPSHOT EXPIRY (the spec's snapshot.num-retained.* retention):
     * keep the most recent `keepLast` snapshots, advance EARLIEST, and
     * physically delete everything only expired snapshots reach — data

@@ -68,6 +68,9 @@ object LakehouseSql {
   private val UpdateRe =
     ("(?is)^\\s*UPDATE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "SET\\s+(.+?)\\s+WHERE\\s+(.*)$").r
+  private val AlterRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
+      "ADD\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+([A-Za-z_]\\w*(?:\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)\\s*$").r
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
@@ -330,6 +333,21 @@ object LakehouseSql {
           instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case AlterRe(fmt, name, colName, sqlType) =>
+      // ADD COLUMN in each format's native evolution spelling: Delta
+      // metaData commit, Iceberg schemas array, Paimon schema-N file,
+      // Hudi declared-schema swap — no data movement anywhere;
+      // pre-evolution files read the column as NULL
+      val dir = tableDir(spark, fmt, name)
+      readProps(dir): Unit // existence check
+      fmt match {
+        case "iceberg" => IcebergWriter.addColumn(spark, dir, colName, sqlType): Unit
+        case "delta" => DeltaWriter.addColumn(spark, dir, colName, sqlType): Unit
+        case "paimon" => PaimonWriter.addColumn(spark, dir, colName, sqlType): Unit
+        case "hudi" => HudiLite.addColumn(spark, dir, colName, sqlType)
+      }
+      s"SELECT '$colName' AS added_column"
+
     case UpdateRe(fmt, name, setsRaw, cond) =>
       // UPDATE ... SET ... WHERE: matched rows re-land updated, spelled
       // in each format's native row-change idiom — PK formats as ONE

@@ -20,6 +20,28 @@ object Round12Queries {
   private def safeName(dir: String): String =
     new java.io.File(dir).getName.replace(".", "_")
 
+  /** CREATE (orders subset) → ALTER ADD COLUMN extra BIGINT → INSERT
+    * synthetic keys carrying it → aggregate; shared by the four
+    * `src_<fmt>_add_column` keys (same oracle shape). */
+  private def addColumnRoundTrip(s: SparkSession, dir: String,
+                                 fmt: String, pk: String): DataFrame = {
+    t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      .createOrReplaceTempView("r12_ord")
+    val n = safeName(dir)
+    s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.ac_$n $pk " +
+      "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r12_ord")
+    s.sql(s"ALTER TABLE graft_$fmt.ac_$n ADD COLUMN extra BIGINT")
+    s.sql(s"INSERT INTO graft_$fmt.ac_$n " +
+      "SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus, " +
+      "id * 2 AS extra FROM range(90001, 90021)")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |       count(extra) AS n_extra,
+         |       CAST(sum(coalesce(extra, 0)) AS BIGINT) AS sum_extra
+         |FROM graft_$fmt.ac_$n GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // SQL-ROUTE FILE PRUNING: the WHERE's partition conjunct must reach
@@ -163,6 +185,21 @@ object Round12Queries {
         .orderBy(col("o_orderstatus"))
     }),
 
+    // ADD COLUMN schema evolution, all four formats, driven through
+    // the SQL route: CREATE → ALTER TABLE ADD COLUMN → INSERT rows
+    // CARRYING the column → read. Pre-evolution rows must read the
+    // column as NULL (no data movement: Delta metaData commit, Iceberg
+    // schemas array, Paimon schema-N file, Hudi schema declaration).
+    "src_delta_add_column" -> ((s, dir) =>
+      addColumnRoundTrip(s, dir, "delta", "")),
+    "src_iceberg_add_column" -> ((s, dir) =>
+      addColumnRoundTrip(s, dir, "iceberg", "")),
+    "src_hudi_add_column" -> ((s, dir) =>
+      addColumnRoundTrip(s, dir, "hudi", "PRIMARY KEY (o_orderkey)")),
+    "src_paimon_add_column" -> ((s, dir) =>
+      addColumnRoundTrip(s, dir, "paimon",
+        "PRIMARY KEY (o_orderstatus, o_orderkey)")),
+
     // SQL UPDATE on the Delta route: the matched rows re-land updated
     // through a deletion-vector commit + append — no data rewrite of
     // the untouched rows, the protocol's row-change shape
@@ -210,6 +247,19 @@ object Round12Queries {
     })
   )
 
+  /** Base rows read the evolved column as NULL; the inserted synthetic
+    * keys carry it. */
+  private val AddColumnOracle = """
+    SELECT o_orderstatus, count(*) AS cnt,
+           count(extra) AS n_extra,
+           CAST(sum(coalesce(extra, 0)) AS BIGINT) AS sum_extra
+    FROM (SELECT o_orderstatus, CAST(NULL AS BIGINT) AS extra
+          FROM orders WHERE o_orderkey < 12000
+          UNION ALL
+          SELECT 'O' AS o_orderstatus, r * 2 AS extra
+          FROM range(90001, 90021) t(r)) u
+    GROUP BY 1 ORDER BY 1"""
+
   def oracle: Map[String, String] = Map(
 
     "sql_lake_prune" -> """
@@ -243,6 +293,11 @@ object Round12Queries {
             FROM orders
             WHERE o_orderkey < 12000) u
       GROUP BY 1 ORDER BY 1""",
+
+    "src_delta_add_column" -> AddColumnOracle,
+    "src_iceberg_add_column" -> AddColumnOracle,
+    "src_hudi_add_column" -> AddColumnOracle,
+    "src_paimon_add_column" -> AddColumnOracle,
 
     "src_iceberg_write_bucket" -> """
       SELECT l_linenumber, CAST(l_quantity AS BIGINT) AS qty
