@@ -46,9 +46,13 @@ object HudiLite {
 
   /** (path, partition, fileId, instantTime) of the latest slice per
     * file group visible at `instant` (default: latest commit). */
-  def planFiles(tableDir: String, instant: Option[String] = None,
+  def planFiles(tableDir0: String, instant: Option[String] = None,
                 partFilter: Option[String => Boolean] = None)
       : Seq[(String, String, String, String)] = {
+    // absolutize: the key-index joins resolve file groups through
+    // _metadata.file_path, which is always absolute — a relative
+    // tableDir would silently miss and misroute existing keys as new
+    val tableDir = new java.io.File(tableDir0).getAbsolutePath
     val timelineDir = new java.io.File(tableDir, ".hoodie")
     val commits = Option(timelineDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".commit"))

@@ -663,10 +663,123 @@ object StreamQueries {
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("value"), col(TableStream.ChangeTypeCol))
         .orderBy(col("user_id"), col("event_type"))
+    }),
+
+    // DELTA CHANGE FEED AS A STREAMING SOURCE (graft-cdf): readStream
+    // over the table's own log, offsets = Delta versions checkpointed
+    // by the engine. Two runs against ONE checkpoint: run 1 ships the
+    // initial snapshot + first delete window; between runs the table
+    // takes more commits; run 2 must RESUME from the committed version
+    // and ship only the new windows — the premise gate rejects any
+    // replayed (key, change) pair. The replica rebuilt from the feed
+    // is oracle-checked against the live predicate recomputation.
+    "stream_delta_cdf_source" -> ((s, dir) => {
+      import graft.ops.DeltaWriter
+      val (ckpt, out) = fresh("delta_cdf_source")
+      val (_, tableDir) = fresh("delta_cdf_source_table")
+      // orders: o_orderkey IS unique in the fixture data (lineitem's
+      // (orderkey, linenumber) is not), which the exactly-once premise
+      // below depends on
+      val base = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 8000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      DeltaWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 0), Some("o_orderstatus"))
+      DeltaWriter.deleteRows(s, tableDir, col("o_orderkey") % 10 === 0)
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.streaming.CdfSourceProvider")
+          .option("path", tableDir).option("format", "delta").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      DeltaWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 1), Some("o_orderstatus"))
+      DeltaWriter.deleteRows(s, tableDir,
+        col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+      runOnce()
+      val events = s.read.parquet(out)
+      val replayed = events
+        .groupBy(col("o_orderkey"), col("_CHANGE_TYPE"))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(replayed == 0L,
+        "offset resume premise: a restarted stream must not replay " +
+          "already-delivered change windows")
+      val inserts = events.filter(col("_CHANGE_TYPE") === "insert")
+      val deletes = events.filter(col("_CHANGE_TYPE") === "delete")
+        .select(col("o_orderkey"))
+      inserts.join(deletes, Seq("o_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // and the Paimon spelling: the changelog-producer files as the
+    // stream, RowKind mapped to _CHANGE_TYPE, snapshot-id offsets
+    "stream_paimon_cdf_source" -> ((s, dir) => {
+      import graft.ops.PaimonWriter
+      val (ckpt, out) = fresh("paimon_cdf_source")
+      val (_, tableDir) = fresh("paimon_cdf_source_table")
+      val base = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 9000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+      val keys = Seq("o_orderstatus", "o_orderkey")
+      PaimonWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 0), "o_orderstatus", keys,
+        changelogProducer = true): Unit
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.streaming.CdfSourceProvider")
+          .option("path", tableDir).option("format", "paimon").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      PaimonWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 1), "o_orderstatus", keys,
+        changelogProducer = true): Unit
+      import graft.ops.PaimonLite
+      PaimonWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 9 === 0)
+          .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete)),
+        "o_orderstatus", keys, changelogProducer = true): Unit
+      runOnce()
+      val events = s.read.parquet(out)
+      val replayed = events
+        .groupBy(col("o_orderkey"), col("_CHANGE_TYPE"))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(replayed == 0L, "offset resume premise violated")
+      val inserts = events.filter(col("_CHANGE_TYPE") === "insert")
+      val deletes = events.filter(col("_CHANGE_TYPE") === "delete")
+        .select(col("o_orderkey"))
+      inserts.join(deletes, Seq("o_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // replica-from-feed == live predicate recomputation; %10 hits only
+    // even keys (deleted in window 1), %7-not-%10 hits the rest
+    "stream_delta_cdf_source" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 8000
+        AND o_orderkey % 10 <> 0 AND o_orderkey % 7 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
+    "stream_paimon_cdf_source" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders
+      WHERE o_orderkey < 9000 AND o_orderkey % 9 <> 0
+      GROUP BY 1 ORDER BY 1""",
+
     "stream_stream_join" -> """
       SELECT p.user_id, count(DISTINCT p.event_id) AS n_purch,
              count(*) AS n_pairs, max(v.event_id) AS max_vid
