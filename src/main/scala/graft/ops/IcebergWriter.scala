@@ -71,7 +71,7 @@ object IcebergWriter {
   /** Atomic publish of a small pointer file (version-hint / LATEST):
     * write a temp sibling, rename into place (POSIX rename is atomic —
     * a concurrent reader never observes a truncated hint). */
-  private[ops] def atomicWriteString(path: java.nio.file.Path,
+  private[graft] def atomicWriteString(path: java.nio.file.Path,
                                      content: String): Unit = {
     val tmp = path.resolveSibling(s".${path.getFileName}.${nextToken()}.tmp")
     java.nio.file.Files.writeString(tmp, content)

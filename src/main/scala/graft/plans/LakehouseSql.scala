@@ -78,14 +78,55 @@ object LakehouseSql {
       "WHEN\\s+MATCHED\\s+THEN\\s+(DELETE|UPDATE\\s+SET\\s+.+?)\\s*" +
       "(WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*)?\\s*$").r
   private val RefRe = "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)".r
+  private val CreateStreamRe =
+    ("(?is)^\\s*CREATE\\s+STREAM\\s+graft_stream\\.([A-Za-z_]\\w*)\\s+" +
+      "ON\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
+  private val StreamRefRe = "graft_stream\\.([A-Za-z_]\\w*)".r
   private val RefVerRe =
     ("(?i)graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
 
   // literal-masked: a string literal containing "graft_iceberg.x" is
   // text, not a table reference
-  def handles(sql: String): Boolean =
-    RefRe.findFirstIn(SqlPrune.maskLiterals(sql)).isDefined
+  def handles(sql: String): Boolean = {
+    val masked = SqlPrune.maskLiterals(sql)
+    RefRe.findFirstIn(masked).isDefined ||
+      StreamRefRe.findFirstIn(masked).isDefined
+  }
+
+  // ------------------------------------------------------- table streams
+  // `CREATE STREAM graft_stream.s ON TABLE graft_<fmt>.t` +
+  // `SELECT ... FROM graft_stream.s` — the reference's table-stream
+  // surface (catalog/stream/OlapTableStream.java, suites
+  // table_stream_p0/): a named cursor over the table's change feed.
+  // The cursor starts at the CURRENT commit coordinate (changes since
+  // creation); each SELECT consumes (cursor, current] through
+  // [[graft.streaming.CdfFeed.changes]] and advances the cursor
+  // (atomic swap). An empty window returns an empty frame with the
+  // feed schema. Statement-level consumption: the cursor advances when
+  // the statement is rewritten, the same eager discipline as the
+  // route's writes.
+
+  private def streamFile(spark: SparkSession, name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(s"${warehouse(spark)}/_streams/$name.json")
+
+  private def readStreamState(spark: SparkSession, name: String)
+      : (String, String, Long) = {
+    val f = streamFile(spark, name)
+    require(java.nio.file.Files.exists(f), s"unknown stream graft_stream.$name")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f))
+    (node.get("fmt").asText, node.get("table").asText,
+      node.get("cursor").asLong)
+  }
+
+  private def writeStreamState(spark: SparkSession, name: String,
+                               fmt: String, table: String, cursor: Long): Unit = {
+    val f = streamFile(spark, name)
+    java.nio.file.Files.createDirectories(f.getParent)
+    IcebergWriter.atomicWriteString(f,
+      s"""{"fmt":"$fmt","table":"$table","cursor":$cursor}""")
+  }
 
   /** Replace every `re` match found on the LITERAL-MASKED text (same
     * offsets as the original) with `f(match)`, splicing into the
@@ -333,6 +374,17 @@ object LakehouseSql {
           instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case CreateStreamRe(streamName, fmt, tblName) =>
+      val dir = tableDir(spark, fmt, tblName)
+      readProps(dir): Unit // table must exist
+      require(!java.nio.file.Files.exists(streamFile(spark, streamName)),
+        s"stream graft_stream.$streamName already exists")
+      // the cursor starts NOW: the stream ships changes made after its
+      // creation (the snapshot-stream contract)
+      writeStreamState(spark, streamName, fmt, tblName,
+        graft.streaming.CdfFeed.coordinate(spark, fmt, dir))
+      s"SELECT '$streamName' AS created_stream"
+
     case AlterRe(fmt, name, colName, sqlType) =>
       // ADD COLUMN in each format's native evolution spelling: Delta
       // metaData commit, Iceberg schemas array, Paimon schema-N file,
@@ -492,7 +544,31 @@ object LakehouseSql {
           : Option[String => Boolean] =
         p.partCol.flatMap(pc =>
           SqlPrune.partPredicate(sql, s"graft_$fmt.$name", pc))
-      val versioned = replaceRefsOutsideLiterals(sql, RefVerRe) { m =>
+      // stream references first: each consumes (cursor, current] of its
+      // table's change feed and advances the cursor — the second read
+      // of an unchanged table is EMPTY (the table-stream contract)
+      val streamed = replaceRefsOutsideLiterals(sql, StreamRefRe) { m =>
+        val streamName = m.group(1)
+        val (fmt, tblName, cursor) = readStreamState(spark, streamName)
+        val dir = tableDir(spark, fmt, tblName)
+        val p = readProps(dir)
+        val current = graft.streaming.CdfFeed.coordinate(spark, fmt, dir)
+        val view = s"graft_stream_v_$streamName"
+        val window =
+          if (current <= cursor) {
+            // empty window, feed-shaped
+            val dataSchema = reader(spark, fmt, dir, p).schema
+            spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+              org.apache.spark.sql.types.StructType(dataSchema.fields :+
+                org.apache.spark.sql.types.StructField("_CHANGE_TYPE",
+                  org.apache.spark.sql.types.StringType, nullable = false)))
+          } else
+            graft.streaming.CdfFeed.changes(spark, fmt, dir, Some(cursor), current)
+        window.createOrReplaceTempView(view)
+        writeStreamState(spark, streamName, fmt, tblName, math.max(cursor, current))
+        view
+      }
+      val versioned = replaceRefsOutsideLiterals(streamed, RefVerRe) { m =>
         val (fmt, name, v) = (m.group(1), m.group(2), m.group(3).toLong)
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)

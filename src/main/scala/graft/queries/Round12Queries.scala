@@ -200,6 +200,44 @@ object Round12Queries {
       addColumnRoundTrip(s, dir, "paimon",
         "PRIMARY KEY (o_orderstatus, o_orderkey)")),
 
+    // SQL TABLE STREAM: CREATE STREAM graft_stream.s ON TABLE t gives
+    // a named cursor over the table's change feed; each SELECT FROM
+    // the stream consumes (cursor, current] and advances it — two
+    // consumption cycles here, with an emptiness premise between
+    // (reference catalog/stream/OlapTableStream.java, table_stream_p0/)
+    "sql_lake_stream" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r12_ord_ts")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.ts_$n " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r12_ord_ts WHERE o_orderkey % 2 = 0")
+      // fresh stream per run (CREATE STREAM refuses to clobber)
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        s.conf.getOption("spark.graft.lakehouse.dir")
+          .getOrElse("target/lakehouse") + s"/_streams/s_$n.json")): Unit
+      s.sql(s"CREATE STREAM graft_stream.s_$n ON TABLE graft_delta.ts_$n")
+      // cycle 1: the odd-key insert window
+      s.sql(s"INSERT INTO graft_delta.ts_$n " +
+        "SELECT * FROM r12_ord_ts WHERE o_orderkey % 2 = 1")
+      val c1 = s.sql(s"SELECT o_orderstatus, _CHANGE_TYPE, o_orderkey " +
+        s"FROM graft_stream.s_$n")
+      val c1rows = c1.cache().count()
+      require(c1rows > 0, "stream premise: cycle 1 must ship the insert window")
+      // consumed: an unchanged table yields an EMPTY window
+      require(s.sql(s"SELECT * FROM graft_stream.s_$n").limit(1).count() == 0,
+        "stream premise: a consumed stream with no new commits is empty")
+      // cycle 2: the delete window
+      s.sql(s"DELETE FROM graft_delta.ts_$n WHERE o_orderkey % 9 = 0")
+      val c2 = s.sql(s"SELECT o_orderstatus, _CHANGE_TYPE, o_orderkey " +
+        s"FROM graft_stream.s_$n")
+      c1.unionByName(c2)
+        .groupBy(col("o_orderstatus"), col("_CHANGE_TYPE").as("change_type"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("o_orderstatus"), col("change_type"))
+    }),
+
     // SQL UPDATE on the Delta route: the matched rows re-land updated
     // through a deletion-vector commit + append — no data rewrite of
     // the untouched rows, the protocol's row-change shape
@@ -304,6 +342,19 @@ object Round12Queries {
       FROM lineitem
       WHERE l_orderkey = 1
       ORDER BY l_linenumber""",
+
+    // cycle 1 = odd-key inserts; cycle 2 = deletes of every live %9
+    // key (both parities — evens predate the stream but their deletes
+    // are post-cursor changes)
+    "sql_lake_stream" -> """
+      SELECT o_orderstatus, ct AS change_type, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM (SELECT o_orderstatus, 'insert' AS ct, o_orderkey
+            FROM orders WHERE o_orderkey < 9000 AND o_orderkey % 2 = 1
+            UNION ALL
+            SELECT o_orderstatus, 'delete' AS ct, o_orderkey
+            FROM orders WHERE o_orderkey < 9000 AND o_orderkey % 9 = 0) u
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "sql_lake_update" -> """
       SELECT l_returnflag, count(*) AS cnt,

@@ -78,15 +78,13 @@ object CdfSource {
   }
 }
 
-class CdfSource(spark: SparkSession, params: Map[String, String]) extends Source {
-  private val dir = params("path")
-  private val fmt = CdfSource.fmtOf(params)
-  private val declared = CdfSource.schemaFor(spark, params)
+/** The change-window primitives shared by the streaming source and the
+  * SQL table-stream route (`CREATE STREAM ... ON TABLE`). */
+object CdfFeed {
 
-  override def schema: StructType = declared
-
-  /** The format's current commit coordinate (monotone). */
-  private def currentCoordinate: Long = fmt match {
+  /** The format's current commit coordinate (monotone): Delta version /
+    * Iceberg snapshot id / Hudi instant / Paimon snapshot id. */
+  def coordinate(spark: SparkSession, fmt: String, dir: String): Long = fmt match {
     case "delta" =>
       val logDir = new java.io.File(dir, "_delta_log")
       Option(logDir.listFiles()).getOrElse(Array.empty)
@@ -102,7 +100,50 @@ class CdfSource(spark: SparkSession, params: Map[String, String]) extends Source
     case "paimon" => PaimonLite.latestSnapshotId(dir)
   }
 
-  override def getOffset: Option[Offset] = Some(LongOffset(currentCoordinate))
+  /** The change rows of (from, to]; from = None ships the initial
+    * state as inserts. Output: data columns + _CHANGE_TYPE. */
+  def changes(spark: SparkSession, fmt: String, dir: String,
+              from: Option[Long], to: Long): DataFrame = fmt match {
+    case "delta" =>
+      val initial = if (from.isEmpty)
+        Some(DeltaLite.readVersion(spark, dir, Some(0L))
+          .withColumn("_CHANGE_TYPE", lit("insert")))
+      else None
+      val fromV = from.getOrElse(0L)
+      val windows = if (fromV < to)
+        Some(DeltaLite.readChanges(spark, dir, fromV, to)) else None
+      (initial.toSeq ++ windows.toSeq).reduce(_ unionByName _)
+    case "iceberg" =>
+      from match {
+        case None =>
+          IcebergLite.readSnapshot(spark, dir, Some(to))
+            .withColumn("_CHANGE_TYPE", lit("insert"))
+        case Some(f) =>
+          IcebergLite.readIncremental(spark, dir, f, to)
+            .withColumn("_CHANGE_TYPE", lit("insert"))
+      }
+    case "hudi" =>
+      HudiLite.readIncrementalMor(spark, dir,
+        f"${from.getOrElse(0L)}%03d", f"$to%03d")
+    case "paimon" =>
+      val cl = PaimonLite.readChangelog(spark, dir, from.getOrElse(0L), to)
+      cl.withColumn("_CHANGE_TYPE",
+          when(col("_VALUE_KIND") === lit(PaimonLite.KindInsert), lit("insert"))
+            .when(col("_VALUE_KIND") === lit(PaimonLite.KindUpdateAfter), lit("upsert"))
+            .otherwise(lit("delete")))
+        .drop("_VALUE_KIND")
+  }
+}
+
+class CdfSource(spark: SparkSession, params: Map[String, String]) extends Source {
+  private val dir = params("path")
+  private val fmt = CdfSource.fmtOf(params)
+  private val declared = CdfSource.schemaFor(spark, params)
+
+  override def schema: StructType = declared
+
+  override def getOffset: Option[Offset] =
+    Some(LongOffset(CdfFeed.coordinate(spark, fmt, dir)))
 
   private def coord(o: Offset): Long = o match {
     case LongOffset(v) => v
@@ -111,38 +152,7 @@ class CdfSource(spark: SparkSession, params: Map[String, String]) extends Source
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val to = coord(end)
-    val from = start.map(coord)
-    val batch: DataFrame = fmt match {
-      case "delta" =>
-        val initial = if (from.isEmpty)
-          Some(DeltaLite.readVersion(spark, dir, Some(0L))
-            .withColumn("_CHANGE_TYPE", lit("insert")))
-        else None
-        val fromV = from.getOrElse(0L)
-        val changes = if (fromV < to)
-          Some(DeltaLite.readChanges(spark, dir, fromV, to)) else None
-        (initial.toSeq ++ changes.toSeq).reduce(_ unionByName _)
-      case "iceberg" =>
-        from match {
-          case None =>
-            IcebergLite.readSnapshot(spark, dir, Some(to))
-              .withColumn("_CHANGE_TYPE", lit("insert"))
-          case Some(f) =>
-            IcebergLite.readIncremental(spark, dir, f, to)
-              .withColumn("_CHANGE_TYPE", lit("insert"))
-        }
-      case "hudi" =>
-        HudiLite.readIncrementalMor(spark, dir,
-          f"${from.getOrElse(0L)}%03d", f"$to%03d")
-      case "paimon" =>
-        val cl = PaimonLite.readChangelog(spark, dir, from.getOrElse(0L), to)
-        cl.withColumn("_CHANGE_TYPE",
-            when(col("_VALUE_KIND") === lit(PaimonLite.KindInsert), lit("insert"))
-              .when(col("_VALUE_KIND") === lit(PaimonLite.KindUpdateAfter), lit("upsert"))
-              .otherwise(lit("delete")))
-          .drop("_VALUE_KIND")
-    }
+    val batch = CdfFeed.changes(spark, fmt, dir, start.map(coord), coord(end))
     // exact declared order/set — the engine aliases by position
     StreamShim.asStreaming(
       batch.select(declared.fieldNames.toSeq.map(col): _*))

@@ -227,6 +227,37 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cardinality"))
   }
 
+  test("table streams: per-stream cursors, empty-after-consume, loud unknowns") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A"), (2L, "B")).toDF("k", "p")
+      .createOrReplaceTempView("lksql_ts_src")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_ts " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_ts_src")
+    val wh = spark.conf.getOption("spark.graft.lakehouse.dir")
+      .getOrElse("target/lakehouse")
+    Seq("sa", "sb").foreach(n => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$wh/_streams/lksql_$n.json")): Unit)
+    sql("CREATE STREAM graft_stream.lksql_sa ON TABLE graft_iceberg.lksql_ts")
+    sql("INSERT INTO graft_iceberg.lksql_ts SELECT 3 AS k, 'A' AS p")
+    // a second stream created AFTER the insert starts at the new head
+    sql("CREATE STREAM graft_stream.lksql_sb ON TABLE graft_iceberg.lksql_ts")
+    assert(sql("SELECT k FROM graft_stream.lksql_sa")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L),
+      "stream a ships the post-creation window")
+    assert(sql("SELECT k FROM graft_stream.lksql_sb").count() == 0,
+      "stream b's cursor started after the insert")
+    assert(sql("SELECT k FROM graft_stream.lksql_sa").count() == 0,
+      "consumed stream is empty until new commits")
+    val e = intercept[Exception] {
+      sql("CREATE STREAM graft_stream.lksql_sa ON TABLE graft_iceberg.lksql_ts")
+    }
+    assert(e.getMessage.contains("already exists"))
+    intercept[Exception] {
+      sql("SELECT * FROM graft_stream.lksql_nope").collect()
+    }
+  }
+
   test("table references inside string literals are text, not tables") {
     import graft.plans.LakehouseSql
     // a pure literal mention is not even routed
