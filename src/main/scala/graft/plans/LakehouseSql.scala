@@ -68,6 +68,11 @@ object LakehouseSql {
   private val UpdateRe =
     ("(?is)^\\s*UPDATE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "SET\\s+(.+?)\\s+WHERE\\s+(.*)$").r
+  private val DropRe =
+    ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
+  private val DropStreamRe =
+    "(?is)^\\s*DROP\\s+STREAM\\s+graft_stream\\.([A-Za-z_]\\w*)\\s*$".r
   private val AlterRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "ADD\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+([A-Za-z_]\\w*(?:\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)\\s*$").r
@@ -374,6 +379,25 @@ object LakehouseSql {
           instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case DropRe(ifExists, fmt, name) =>
+      // DROP TABLE: the whole table dir (data + metadata + sidecar)
+      // goes; streams created on it fail loudly at their next read
+      val dir = tableDir(spark, fmt, name)
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_graft_table.json"))
+      require(exists || ifExists != null,
+        s"table graft_$fmt.$name does not exist (use DROP TABLE IF EXISTS)")
+      if (exists)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)): Unit
+      s"SELECT ${exists} AS dropped"
+
+    case DropStreamRe(streamName) =>
+      val f = streamFile(spark, streamName)
+      require(java.nio.file.Files.exists(f),
+        s"unknown stream graft_stream.$streamName")
+      java.nio.file.Files.delete(f)
+      s"SELECT '$streamName' AS dropped_stream"
+
     case CreateStreamRe(streamName, fmt, tblName) =>
       val dir = tableDir(spark, fmt, tblName)
       readProps(dir): Unit // table must exist

@@ -258,6 +258,28 @@ class LakehouseSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("DROP TABLE / DROP STREAM: gone means gone, unknowns are loud") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_drop_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_drop " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_drop_src")
+    val wh = spark.conf.getOption("spark.graft.lakehouse.dir")
+      .getOrElse("target/lakehouse")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$wh/_streams/lksql_ds.json")): Unit
+    sql("CREATE STREAM graft_stream.lksql_ds ON TABLE graft_delta.lksql_drop")
+    sql("DROP STREAM graft_stream.lksql_ds")
+    intercept[Exception] { sql("SELECT * FROM graft_stream.lksql_ds").collect() }
+    assert(sql("DROP TABLE graft_delta.lksql_drop").head().getBoolean(0))
+    intercept[Exception] {
+      sql("SELECT * FROM graft_delta.lksql_drop").collect()
+    }
+    intercept[Exception] { sql("DROP TABLE graft_delta.lksql_drop") }
+    assert(!sql("DROP TABLE IF EXISTS graft_delta.lksql_drop")
+      .head().getBoolean(0), "IF EXISTS tolerates absence")
+  }
+
   test("table references inside string literals are text, not tables") {
     import graft.plans.LakehouseSql
     // a pure literal mention is not even routed
