@@ -170,8 +170,9 @@ object ScaleProbe {
     }
     val lakeFailures = lakeMetaProbe(spark)
     val writerFailures = writerScaleProbe(spark)
+    val sqlFailures = sqlRouteProbe(spark)
     spark.stop()
-    val allFailures = failures ++ lakeFailures ++ writerFailures
+    val allFailures = failures ++ lakeFailures ++ writerFailures ++ sqlFailures
     if (allFailures.nonEmpty) {
       allFailures.foreach(f => println(s"[scale5x] FAIL $f"))
       sys.exit(1)
@@ -275,6 +276,91 @@ object ScaleProbe {
         failures += s"bloom-pruned upsert lost rows: $merged of 3"
     } catch { case e: Throwable =>
       failures += s"writer-scale probe crashed: ${e.getMessage}"
+    }
+    failures.result()
+  }
+
+  /** SQL-route scale probe (r12): the graft_<fmt> SQL surface must keep
+    * its new verbs metadata-disciplined at growing table sizes.
+    *  - PRUNED READ: a 400k-row, 50-partition table read through pure
+    *    SQL with `WHERE p = '7'` must PLAN only that partition's files
+    *    (the lastScans record proves file-level pruning, not row-group
+    *    pruning) and return the exact count.
+    *  - BROAD SQL UPDATE (Delta): ~130k matched rows must commit the
+    *    delete half as a descriptor-sized DV JSON (< 64 KB), never
+    *    O(rows) driver state.
+    *  - MERGE INTO (Iceberg PK): a 2k-row source against the 400k-row
+    *    target must finish inside a generous wall bound (the matched
+    *    join is one distributed pass, the commit metadata-sized) and
+    *    land exactly the matched updates + new inserts. */
+  private def sqlRouteProbe(spark: SparkSession): Seq[String] = {
+    import graft.plans.LakehouseSql
+    val failures = Seq.newBuilder[String]
+    try {
+      spark.range(0, 400000)
+        .select(col("id").as("k"), (col("id") % 50).cast("string").as("p"),
+          (col("id") % 997).as("v"))
+        .createOrReplaceTempView("sqlscale_src")
+      spark.sql("CREATE OR REPLACE TABLE graft_iceberg.sqlscale " +
+        "PARTITIONED BY (p) AS SELECT * FROM sqlscale_src")
+      val n = spark.sql(
+        "SELECT count(*) AS n FROM graft_iceberg.sqlscale WHERE p = '7'")
+        .head().getLong(0)
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("no scan record"))
+      println(s"[sqlscale] pruned read planned ${scan.plannedFiles} of " +
+        s"${scan.totalFiles} files; rows $n")
+      if (n != 8000L) failures += s"pruned SQL read returned $n rows (want 8000)"
+      if (scan.plannedFiles * 10 > scan.totalFiles)
+        failures += s"WHERE p='7' planned ${scan.plannedFiles}/${scan.totalFiles} " +
+          "files — file-level pruning is not engaging through SQL"
+
+      // broad UPDATE via DV + append: the delete commit stays tiny
+      spark.sql("CREATE OR REPLACE TABLE graft_delta.sqlscale_upd " +
+        "PARTITIONED BY (p) AS SELECT * FROM sqlscale_src")
+      val t0 = System.nanoTime()
+      spark.sql("UPDATE graft_delta.sqlscale_upd SET v = v + 1000000 " +
+        "WHERE k % 3 = 0")
+      val updS = (System.nanoTime() - t0) / 1e9
+      val lakeDir = spark.conf.getOption("spark.graft.lakehouse.dir")
+        .getOrElse("target/lakehouse")
+      val dvCommit = new java.io.File(s"$lakeDir/delta/sqlscale_upd/_delta_log")
+        .listFiles().filter(_.getName == f"${1L}%020d.json").head
+      println(f"[sqlscale] broad UPDATE: $updS%.1f s, DV commit " +
+        f"${dvCommit.length()} bytes")
+      if (dvCommit.length() > 64 * 1024)
+        failures += s"UPDATE's delete commit is ${dvCommit.length()} bytes " +
+          "for ~130k matched rows — positions riding the driver JSON"
+      val updated = spark.sql("SELECT count(*) AS n FROM graft_delta.sqlscale_upd " +
+        "WHERE v >= 1000000").head().getLong(0)
+      if (updated != (0L until 400000L).count(_ % 3 == 0))
+        failures += s"UPDATE lost rows: $updated"
+
+      // MERGE at scale
+      spark.sql("CREATE OR REPLACE TABLE graft_iceberg.sqlscale_mrg " +
+        "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM sqlscale_src")
+      spark.range(0, 2000)
+        .select( // ids < 1000 hit existing keys, the rest are new
+          when(col("id") < 1000, col("id") * 400)
+            .otherwise(col("id") + 400000L).as("k"),
+          (col("id") % 50).cast("string").as("p"),
+          lit(7777777L).as("v"))
+        .createOrReplaceTempView("sqlscale_mrg_src")
+      val t1 = System.nanoTime()
+      spark.sql("MERGE INTO graft_iceberg.sqlscale_mrg t " +
+        "USING sqlscale_mrg_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v " +
+        "WHEN NOT MATCHED THEN INSERT *")
+      val mrgS = (System.nanoTime() - t1) / 1e9
+      val merged = spark.sql("SELECT count(*) AS n FROM graft_iceberg.sqlscale_mrg " +
+        "WHERE v = 7777777").head().getLong(0)
+      println(f"[sqlscale] MERGE 2k-source into 400k target: $mrgS%.1f s, " +
+        s"$merged rows carry the merge value")
+      if (merged != 2000L) failures += s"MERGE landed $merged of 2000 rows"
+      if (mrgS > 120.0)
+        failures += f"MERGE took $mrgS%.1f s — not a single distributed pass"
+    } catch { case e: Throwable =>
+      failures += s"sql-route probe crashed: ${e.getMessage}"
     }
     failures.result()
   }

@@ -199,13 +199,19 @@ object LakehouseSql {
                      name: String = ""): DataFrame = {
     val pc = p.partCol
     val pred = partPred.filter(_ => pc.isDefined)
+    // the (planned, total) audit doubles the metadata walk — fine for
+    // the plan-assert gates, skippable on a huge production table
+    val audit = spark.conf
+      .getOption("spark.graft.lakehouse.scanAudit").forall(_ == "true")
+    def record(planned: => Int, total: => Int): Unit =
+      if (audit) lastScans ::= ScanRecord(fmt, name, planned, total)
     val df = fmt match {
       case "iceberg" =>
         pred.foreach { f =>
-          val planned = IcebergLite.planFiles(dir, version,
-            partPruneBy = Some((pc.get, f))).count(_.content == 0)
-          val total = IcebergLite.planFiles(dir, version).count(_.content == 0)
-          lastScans ::= ScanRecord(fmt, name, planned, total)
+          record(
+            IcebergLite.planFiles(dir, version,
+              partPruneBy = Some((pc.get, f))).count(_.content == 0),
+            IcebergLite.planFiles(dir, version).count(_.content == 0))
         }
         IcebergLite.readSnapshot(spark, dir, version,
           partPruneBy = pred.map(f => (pc.get, f)))
@@ -213,25 +219,22 @@ object LakehouseSql {
         val mapFilter = pred.map(f =>
           (pv: Map[String, String]) => pv.get(pc.get).forall(f))
         mapFilter.foreach { mf =>
-          val planned =
-            DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size
-          val total = DeltaLite.planFilesWithCheckpoint(spark, dir, version).size
-          lastScans ::= ScanRecord(fmt, name, planned, total)
+          record(
+            DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size,
+            DeltaLite.planFilesWithCheckpoint(spark, dir, version).size)
         }
         DeltaLite.readVersion(spark, dir, version, mapFilter)
       case "hudi" =>
         val instant = version.map(v => f"$v%03d")
         pred.foreach { f =>
-          val planned = HudiLite.planFilesMor(dir, instant, Some(f)).size
-          val total = HudiLite.planFilesMor(dir, instant).size
-          lastScans ::= ScanRecord(fmt, name, planned, total)
+          record(HudiLite.planFilesMor(dir, instant, Some(f)).size,
+            HudiLite.planFilesMor(dir, instant).size)
         }
         HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant, pred)
       case "paimon" =>
         pred.foreach { f =>
-          val planned = PaimonLite.planFiles(dir, version, Some(f)).size
-          val total = PaimonLite.planFiles(dir, version).size
-          lastScans ::= ScanRecord(fmt, name, planned, total)
+          record(PaimonLite.planFiles(dir, version, Some(f)).size,
+            PaimonLite.planFiles(dir, version).size)
         }
         if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version, pred)
         else PaimonLite.readSnapshot(spark, dir, p.keyCols, version, pred)
