@@ -353,6 +353,95 @@ object DeltaWriter {
     committed // -1 = txn version already committed by a concurrent sink
   }
 
+  /** INSERT OVERWRITE: replace the table's entire live content with
+    * `df` in ONE atomic commit — remove tombstones for every current
+    * add plus the new files' adds (the protocol's overwrite shape; a
+    * reader sees the old state or the new, never a mix, unlike a
+    * delete-then-append pair). Old files stay on disk for time travel
+    * until vacuum. Conflicts fail loudly (an overwrite racing any
+    * concurrent commit is a real write-write conflict). */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+                partCol: Option[String] = None): Long = {
+    val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    require(old.nonEmpty, "overwrite of an empty/unknown table — use append")
+    val dir = new java.io.File(tableDir)
+    val tok = nextToken()
+    val staging = s"$tableDir/stage_$tok"
+    partCol match {
+      case Some(p) =>
+        df.withColumn("__part", col(p).cast("string"))
+          .repartition(col("__part"))
+          .write.partitionBy("__part").mode("overwrite").parquet(staging)
+      case None => df.write.mode("overwrite").parquet(staging)
+    }
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val moved = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val part = f.getParentFile.getName match {
+          case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
+          case _ => None
+        }
+        val rel = s"data/ov${tok}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet"
+        java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+        (rel, part)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(moved.nonEmpty, "overwrite with an empty DataFrame is not a commit")
+    val version = nextVersion(tableDir)
+    val lines =
+      old.map { a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}"""
+      } ++ moved.map { case (rel, part) =>
+        val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
+        s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
+      }
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
+  /** RENAME COLUMN on a column-mapped table (PROTOCOL.md "Column
+    * Mapping" — the feature's whole point): one metaData commit
+    * changing the LOGICAL field name; the physical parquet name and
+    * every data byte stay untouched, and reads rename on the fly.
+    * Loud on unmapped tables (those would need a data rewrite). */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Long = {
+    import org.apache.spark.sql.types._
+    val mapping = DeltaLite.columnMapping(spark, tableDir)
+    require(mapping.nonEmpty,
+      "RENAME COLUMN needs a column-mapped table (appendMapped) — an " +
+        "unmapped table binds logical names to parquet bytes")
+    val cur = DataType.fromJson(
+      DeltaLite.tableSchemaString(spark, tableDir).get).asInstanceOf[StructType]
+    require(cur.fieldNames.contains(from), s"no column $from")
+    require(!cur.fieldNames.contains(to), s"column $to already exists")
+    val evolved = StructType(cur.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f))
+    val md = latestMetaDataNode(spark, tableDir).get
+    md.put("schemaString", evolved.json)
+    var committed = -1L
+    var attempt = 0
+    while (committed < 0) {
+      val version = nextVersion(tableDir)
+      if (casWriteCommit(tableDir, version,
+          Seq(s"""{"metaData":${mapper.writeValueAsString(md)}}"""))) {
+        maybeCheckpoint(spark, tableDir, version)
+        committed = version
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"RENAME conflict persisted after $MaxCommitRetries attempts")
+      }
+    }
+    committed
+  }
+
   /** ADD COLUMN schema evolution (PROTOCOL.md "Schema Serialization
     * Format"): one metaData-only commit whose schemaString appends the
     * new NULLABLE field — no data movement; files written before the

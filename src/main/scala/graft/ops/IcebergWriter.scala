@@ -269,6 +269,18 @@ object IcebergWriter {
       summaryProps = Map.empty, replaceAll = true)
   }
 
+  /** INSERT OVERWRITE: one REPLACE snapshot whose manifest list names
+    * only `df`'s new files — readers see the old state or the new,
+    * never a mix. Old snapshots still time travel until expiry. Like
+    * all REPLACE commits, conflicts fail loudly (no retry). */
+  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
+                partCol: Option[String] = None): Long = {
+    require(currentVersion(tableDir) > 0,
+      "overwrite of an unknown table — use append")
+    commit(spark, tableDir, df, partCol, upsertKeys = None,
+      summaryProps = Map.empty, replaceAll = true)
+  }
+
   /** ROW-LEVEL DELETE via v2 POSITION DELETES: one distributed scan
     * finds matching (file_path, pos) pairs and writes them as
     * position-delete parquet shards — spec-sorted by (file_path, pos),

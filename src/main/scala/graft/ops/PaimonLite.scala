@@ -102,6 +102,21 @@ object PaimonLite {
     java.nio.file.Files.readString(
       java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")).trim.toLong
 
+  /** Timestamp travel: the latest snapshot committed at or before
+    * `tsMillis` (snapshot JSONs carry timeMillis). */
+  def snapshotIdAsOf(tableDir: String, tsMillis: Long): Long = {
+    val latest = latestSnapshotId(tableDir)
+    val earliestPath = java.nio.file.Paths.get(tableDir, "snapshot", "EARLIEST")
+    val earliest =
+      if (java.nio.file.Files.exists(earliestPath))
+        java.nio.file.Files.readString(earliestPath).trim.toLong
+      else 1L
+    val ids = (earliest to latest).filter(id =>
+      snapshotNode(tableDir, id).get("timeMillis").asLong <= tsMillis)
+    require(ids.nonEmpty, s"no snapshot at or before $tsMillis")
+    ids.max
+  }
+
   private def snapshotNode(tableDir: String, id: Long) = {
     val p = java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$id")
     require(java.nio.file.Files.exists(p), s"snapshot $id not in $tableDir/snapshot")

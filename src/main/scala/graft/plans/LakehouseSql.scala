@@ -90,6 +90,12 @@ object LakehouseSql {
   private val RefVerRe =
     ("(?i)graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "\\s+FOR\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)").r
+  private val RefTsRe =
+    ("(?i)graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
+      "\\s+FOR\\s+TIMESTAMP\\s+AS\\s+OF\\s+(\\d+)").r
+  private val InsertOverwriteRe =
+    ("(?is)^\\s*INSERT\\s+OVERWRITE\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$").r
 
   // literal-masked: a string literal containing "graft_iceberg.x" is
   // text, not a table reference
@@ -339,6 +345,29 @@ object LakehouseSql {
       val version = appendTo(spark, fmt, dir, props, spark.sql(select), create = true)
       writeProps(dir, props)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case InsertOverwriteRe(fmt, name, select) =>
+      // atomic full replace: Delta commits removes+adds in ONE commit,
+      // Iceberg a REPLACE snapshot — a reader sees old or new, never a
+      // mix (unlike a delete-then-append pair)
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      val incoming = spark.sql(select)
+      val target = reader(spark, fmt, dir, p).schema
+      require(incoming.columns.toSet == target.fieldNames.toSet,
+        s"INSERT OVERWRITE columns ${incoming.columns.mkString(",")} must " +
+          s"match the table's ${target.fieldNames.mkString(",")}")
+      val aligned = incoming.select(target.fields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
+          .as(f.name)): _*)
+      val version = fmt match {
+        case "delta" => DeltaWriter.overwrite(spark, dir, aligned, p.partCol)
+        case "iceberg" => IcebergWriter.overwrite(spark, dir, aligned, p.partCol)
+        case other => sys.error(
+          s"INSERT OVERWRITE is not supported on graft_$other — the LSM/" +
+            "MoR disciplines replace per key (use PK INSERT), not per table")
+      }
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+
     case InsertRe(fmt, name, select) =>
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
@@ -595,7 +624,29 @@ object LakehouseSql {
         writeStreamState(spark, streamName, fmt, tblName, math.max(cursor, current))
         view
       }
-      val versioned = replaceRefsOutsideLiterals(streamed, RefVerRe) { m =>
+      // timestamp travel before version travel (both before plain refs,
+      // so neither eats the other's table token)
+      val timestamped = replaceRefsOutsideLiterals(streamed, RefTsRe) { m =>
+        val (fmt, name, ts) = (m.group(1), m.group(2), m.group(3).toLong)
+        val dir = tableDir(spark, fmt, name)
+        val p = readProps(dir)
+        val view = s"graft_lake_${fmt}_${name}_ts$ts"
+        val df = fmt match {
+          case "iceberg" => IcebergLite.readSnapshotAsOf(spark, dir, ts)
+          case "delta" => DeltaLite.readTimestampAsOf(spark, dir, ts)
+          case "paimon" =>
+            val id = PaimonLite.snapshotIdAsOf(dir, ts)
+            if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, Some(id))
+            else PaimonLite.readSnapshot(spark, dir, p.keyCols, Some(id))
+          case "hudi" => sys.error(
+            "FOR TIMESTAMP AS OF is not supported on graft_hudi — its " +
+              "timeline instants are ordinals, not timestamps (use FOR " +
+              "VERSION AS OF)")
+        }
+        df.createOrReplaceTempView(view)
+        view
+      }
+      val versioned = replaceRefsOutsideLiterals(timestamped, RefVerRe) { m =>
         val (fmt, name, v) = (m.group(1), m.group(2), m.group(3).toLong)
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)

@@ -238,6 +238,63 @@ object Round12Queries {
         .orderBy(col("o_orderstatus"), col("change_type"))
     }),
 
+    // INSERT OVERWRITE: one atomic replace commit (Delta removes+adds
+    // in a single commit; a reader sees old or new, never a mix) —
+    // the premise pins the single-version atomicity
+    "sql_lake_overwrite" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r12_ord_ow")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.ow_$n " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r12_ord_ow WHERE o_orderkey % 2 = 0")
+      val v = s.sql(s"INSERT OVERWRITE graft_delta.ow_$n " +
+        "SELECT * FROM r12_ord_ow WHERE o_orderkey % 3 = 0").head().getLong(0)
+      require(v == 1L, s"overwrite premise: ONE commit after create, got $v")
+      // the pre-overwrite state still time travels
+      require(s.sql(s"SELECT count(*) FROM graft_delta.ow_$n " +
+        "FOR VERSION AS OF 0 WHERE o_orderkey % 2 <> 0").head().getLong(0) == 0L,
+        "overwrite premise: v0 is the even half")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS sum_ok " +
+        s"FROM graft_delta.ow_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // TIMESTAMP time travel through SQL — deterministic commit stamps
+    // (1700000000000 + version/snapshot) make the coordinates exact:
+    // delta at its v0 stamp, paimon at its snapshot-1 stamp, both next
+    // to the current state in one statement
+    "sql_lake_travel_ts" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("r12_ord_ts2")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.tts_$n " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r12_ord_ts2 WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_delta.tts_$n " +
+        "SELECT * FROM r12_ord_ts2 WHERE o_orderkey % 2 = 1")
+      s.sql(s"CREATE OR REPLACE TABLE graft_paimon.tts_$n " +
+        "PRIMARY KEY (o_orderstatus, o_orderkey) PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r12_ord_ts2 WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_paimon.tts_$n " +
+        "SELECT * FROM r12_ord_ts2 WHERE o_orderkey % 2 = 1")
+      s.sql(
+        s"""SELECT cur.o_orderstatus, cur.n AS n_cur,
+           |       coalesce(d0.n, 0) AS n_delta_t0,
+           |       coalesce(p1.n, 0) AS n_paimon_t1
+           |FROM (SELECT o_orderstatus, count(*) AS n
+           |      FROM graft_delta.tts_$n GROUP BY 1) cur
+           |LEFT JOIN (SELECT o_orderstatus, count(*) AS n
+           |           FROM graft_delta.tts_$n FOR TIMESTAMP AS OF 1700000000000
+           |           GROUP BY 1) d0 ON cur.o_orderstatus = d0.o_orderstatus
+           |LEFT JOIN (SELECT o_orderstatus, count(*) AS n
+           |           FROM graft_paimon.tts_$n FOR TIMESTAMP AS OF 1700000000001
+           |           GROUP BY 1) p1 ON cur.o_orderstatus = p1.o_orderstatus
+           |ORDER BY cur.o_orderstatus""".stripMargin)
+    }),
+
     // SQL UPDATE on the Delta route: the matched rows re-land updated
     // through a deletion-vector commit + append — no data rewrite of
     // the untouched rows, the protocol's row-change shape
@@ -355,6 +412,24 @@ object Round12Queries {
             SELECT o_orderstatus, 'delete' AS ct, o_orderkey
             FROM orders WHERE o_orderkey < 9000 AND o_orderkey % 9 = 0) u
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sql_lake_overwrite" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 9000 AND o_orderkey % 3 = 0
+      GROUP BY 1 ORDER BY 1""",
+
+    // both travel targets are the even half; current is everything
+    "sql_lake_travel_ts" -> """
+      SELECT o_orderstatus, count(*) AS n_cur,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_delta_t0,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_paimon_t1
+      FROM orders
+      WHERE o_orderkey < 9000
+      GROUP BY 1 ORDER BY 1""",
 
     "sql_lake_update" -> """
       SELECT l_returnflag, count(*) AS cnt,

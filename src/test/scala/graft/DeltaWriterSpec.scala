@@ -358,6 +358,61 @@ class DeltaWriterSpec extends AnyFunSuite {
     assert(DeltaLite.planFiles(dir).size == 1, "failed commit left no trace")
   }
 
+  test("INSERT OVERWRITE is one atomic commit: removes + adds together") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_ovw").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    val v = DeltaWriter.overwrite(spark, dir,
+      Seq((7L, "A", 70), (8L, "C", 80)).toDF("k", "p", "v"), partCol = Some("p"))
+    assert(v == 1L, "overwrite is ONE commit, not delete+append")
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("k").collect().map(_.getLong(0)).toSet == Set(7L, 8L))
+    // the single commit carries both remove tombstones and adds
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(
+      dir, "_delta_log", f"${1L}%020d.json"))
+    assert(lines.stream().anyMatch(_.contains("\"remove\"")) &&
+      lines.stream().anyMatch(_.contains("\"add\"")))
+    // old state still time travels
+    assert(DeltaLite.readVersion(spark, dir, Some(0L))
+      .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("RENAME COLUMN on a mapped table: metadata-only, bytes untouched") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/writer_spec_ren").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.appendMapped(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
+    val dataBytes = DeltaLite.planAddsWithCheckpoint(spark, dir).map(a =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, a.path)).toSeq)
+    DeltaWriter.renameColumn(spark, dir, "v", "value")
+    val got = DeltaLite.readVersion(spark, dir)
+      .select("k", "value").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == Set((1L, 10), (2L, 20)), "reads bind the new logical name")
+    val after = DeltaLite.planAddsWithCheckpoint(spark, dir).map(a =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, a.path)).toSeq)
+    assert(after == dataBytes, "rename must not touch a data byte")
+    // appends under the new name keep the established physical column
+    DeltaWriter.appendMapped(spark, dir,
+      Seq((3L, "A", 30)).toDF("k", "p", "value"), partCol = Some("p"))
+    assert(DeltaLite.readVersion(spark, dir)
+      .select("value").collect().map(_.getInt(0)).toSet == Set(10, 20, 30))
+    // unmapped tables refuse (they would need a data rewrite)
+    val dir2 = new java.io.File("target/delta/writer_spec_ren2").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
+    DeltaWriter.append(spark, dir2, Seq((1L, 1)).toDF("k", "v"))
+    intercept[IllegalArgumentException] {
+      DeltaWriter.renameColumn(spark, dir2, "v", "w")
+    }
+  }
+
   test("txn re-check fires on attempt 0: batch committed mid-staging is skipped") {
     val s2 = spark
     import s2.implicits._

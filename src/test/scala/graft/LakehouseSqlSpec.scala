@@ -258,6 +258,38 @@ class LakehouseSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("INSERT OVERWRITE: atomic on delta/iceberg, loud on LSM/MoR; ts travel") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_ow_src")
+    Seq((9L, "A", 90)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_ow_new")
+    Seq("delta", "iceberg").foreach { fmt =>
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_ow " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_ow_src")
+      sql(s"INSERT OVERWRITE graft_$fmt.lksql_ow SELECT * FROM lksql_ow_new")
+      assert(sql(s"SELECT k FROM graft_$fmt.lksql_ow")
+        .collect().map(_.getLong(0)).toSeq == Seq(9L), s"$fmt overwrite")
+    }
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_ow " +
+      "PRIMARY KEY (p, k) PARTITIONED BY (p) AS SELECT * FROM lksql_ow_src")
+    val e = intercept[Exception] {
+      sql("INSERT OVERWRITE graft_paimon.lksql_ow SELECT * FROM lksql_ow_new")
+    }
+    assert(e.getMessage.contains("not supported"))
+    // timestamp travel: delta v0 stamp resolves; hudi is loud
+    assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_ow " +
+      "FOR TIMESTAMP AS OF 1700000000000").head().getLong(0) == 2L)
+    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_owh " +
+      "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM lksql_ow_src")
+    val e2 = intercept[Exception] {
+      sql("SELECT * FROM graft_hudi.lksql_owh " +
+        "FOR TIMESTAMP AS OF 1700000000000").collect()
+    }
+    assert(e2.getMessage.contains("not supported"))
+  }
+
   test("DROP TABLE / DROP STREAM: gone means gone, unknowns are loud") {
     val s2 = spark
     import s2.implicits._
