@@ -68,6 +68,12 @@ object LakehouseSql {
   private val UpdateRe =
     ("(?is)^\\s*UPDATE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "SET\\s+(.+?)\\s+WHERE\\s+(.*)$").r
+  private val DescribeRe =
+    ("(?is)^\\s*DESC(?:RIBE)?\\s+(?:TABLE\\s+)?" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
+  private val ShowTablesRe =
+    "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_(iceberg|delta|hudi|paimon)\\s*$".r
+  private val ShowStreamsRe = "(?is)^\\s*SHOW\\s+STREAMS\\s*$".r
   private val DropRe =
     ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
@@ -102,7 +108,9 @@ object LakehouseSql {
   def handles(sql: String): Boolean = {
     val masked = SqlPrune.maskLiterals(sql)
     RefRe.findFirstIn(masked).isDefined ||
-      StreamRefRe.findFirstIn(masked).isDefined
+      StreamRefRe.findFirstIn(masked).isDefined ||
+      ShowTablesRe.findFirstIn(masked).isDefined ||
+      ShowStreamsRe.findFirstIn(masked).isDefined
   }
 
   // ------------------------------------------------------- table streams
@@ -411,6 +419,56 @@ object LakehouseSql {
           instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case DescribeRe(fmt, name) =>
+      // DESCRIBE: (col_name, data_type, comment) — comments mark the
+      // partition column and PRIMARY KEY membership
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      val schema = reader(spark, fmt, dir, p).schema
+      val rows = schema.fields.toSeq.map { f =>
+        val notes = Seq(
+          if (p.partCol.contains(f.name)) Some("partition") else None,
+          if (p.keyCols.contains(f.name)) Some("primary key") else None
+        ).flatten.mkString(", ")
+        org.apache.spark.sql.Row(f.name, f.dataType.simpleString, notes)
+      }
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val view = s"graft_describe_${fmt}_$name"
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          java.util.Arrays.asList(rows: _*)),
+        StructType(Seq(StructField("col_name", StringType),
+          StructField("data_type", StringType),
+          StructField("comment", StringType))))
+        .createOrReplaceTempView(view)
+      s"SELECT * FROM $view"
+
+    case ShowTablesRe(fmt) =>
+      val root = new java.io.File(s"${warehouse(spark)}/$fmt")
+      val names = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(d => new java.io.File(d, "_graft_table.json").exists())
+        .map(_.getName).sorted
+      val view = s"graft_show_tables_$fmt"
+      import spark.implicits._
+      names.toSeq.toDF("table_name").createOrReplaceTempView(view)
+      s"SELECT * FROM $view ORDER BY table_name"
+
+    case ShowStreamsRe() =>
+      val root = new java.io.File(s"${warehouse(spark)}/_streams")
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val rows = Option(root.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".json")).sortBy(_.getName)
+        .map { f =>
+          val node = m.readTree(java.nio.file.Files.readString(f.toPath))
+          (f.getName.stripSuffix(".json"),
+            s"graft_${node.get("fmt").asText}.${node.get("table").asText}",
+            node.get("cursor").asLong)
+        }
+      import spark.implicits._
+      rows.toSeq.toDF("stream_name", "on_table", "cursor")
+        .createOrReplaceTempView("graft_show_streams")
+      "SELECT * FROM graft_show_streams ORDER BY stream_name"
+
     case DropRe(ifExists, fmt, name) =>
       // DROP TABLE: the whole table dir (data + metadata + sidecar)
       // goes; streams created on it fail loudly at their next read

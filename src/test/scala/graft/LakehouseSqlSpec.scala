@@ -312,6 +312,32 @@ class LakehouseSqlSpec extends AnyFunSuite {
       .head().getBoolean(0), "IF EXISTS tolerates absence")
   }
 
+  test("DESCRIBE / SHOW TABLES / SHOW STREAMS") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_meta_src")
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_meta " +
+      "PRIMARY KEY (p, k) PARTITIONED BY (p) AS SELECT * FROM lksql_meta_src")
+    val desc = sql("DESCRIBE graft_paimon.lksql_meta")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(desc.map(_._1).toSeq == Seq("k", "p", "v"))
+    assert(desc.find(_._1 == "p").get._3 == "partition, primary key")
+    assert(desc.find(_._1 == "k").get._3 == "primary key")
+    assert(desc.find(_._1 == "v").get._3 == "")
+    val tables = sql("SHOW TABLES IN graft_paimon")
+      .collect().map(_.getString(0))
+    assert(tables.contains("lksql_meta"))
+    val wh = spark.conf.getOption("spark.graft.lakehouse.dir")
+      .getOrElse("target/lakehouse")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$wh/_streams/lksql_show.json")): Unit
+    sql("CREATE STREAM graft_stream.lksql_show ON TABLE graft_paimon.lksql_meta")
+    val streams = sql("SHOW STREAMS").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
+  }
+
   test("table references inside string literals are text, not tables") {
     import graft.plans.LakehouseSql
     // a pure literal mention is not even routed
