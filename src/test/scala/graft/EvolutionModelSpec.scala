@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{DeltaLite, DeltaWriter, HudiLite, IcebergLite, IcebergWriter, PaimonLite, PaimonWriter}
+
+/** Differential test for ADD COLUMN evolution under MIXED histories:
+  * each format runs seed → ADD COLUMN → writes carrying the new
+  * column → updates → row deletes → MAINTENANCE (optimize / rewrite /
+  * compaction) → EXPIRY, with an in-memory model of
+  * key → (v, Option[w]) checked after every step. The interactions
+  * this pins are the ones single-purpose fixtures miss: a compaction
+  * that rewrites pre-evolution files must keep their NULLs, an
+  * optimize after evolution must not resurrect dropped rows, expiry
+  * must not reap the schema declaration. */
+class EvolutionModelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def partOf(k: Long): String = s"P${k % 2}"
+
+  private def dfOld(rows: Seq[(Long, Int)]) = {
+    val s2 = spark
+    import s2.implicits._
+    rows.map { case (k, v) => (k, partOf(k), v) }.toDF("k", "p", "v")
+  }
+
+  private def dfNew(rows: Seq[(Long, Int, Long)]) = {
+    val s2 = spark
+    import s2.implicits._
+    rows.map { case (k, v, w) => (k, partOf(k), v, w) }.toDF("k", "p", "v", "w")
+  }
+
+  private type Model = Map[Long, (Int, Option[Long])]
+
+  private def assertModel(got: Seq[(Long, Int, Option[Long])], model: Model,
+                          op: String): Unit =
+    assert(got.map(t => t._1 -> ((t._2, t._3))).toMap == model,
+      s"diverged after $op")
+
+  private def collect3(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "v", "w").collect().map(r =>
+      (r.getLong(0), r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSeq
+
+  test("iceberg: evolution mid-history with rewrite and expiry") {
+    val dir = new java.io.File("target/iceberg/evo_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    var model: Model = Map(1L -> ((10, None)), 2L -> ((20, None)),
+      3L -> ((30, None)), 4L -> ((40, None)))
+    IcebergWriter.append(spark, dir,
+      dfOld(Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))), Some("p"))
+    def check(op: String): Unit =
+      assertModel(collect3(IcebergLite.readSnapshot(spark, dir)), model, op)
+    IcebergWriter.addColumn(spark, dir, "w", "BIGINT")
+    check("addColumn")
+    model ++= Map(5L -> ((50, Some(500L))), 6L -> ((60, Some(600L))))
+    IcebergWriter.append(spark, dir,
+      dfNew(Seq((5L, 50, 500L), (6L, 60, 600L))), Some("p"))
+    check("append with w")
+    // upsert updates an OLD key with a w value and an evolved key's v
+    model ++= Map(2L -> ((22, Some(222L))), 5L -> ((55, Some(555L))))
+    IcebergWriter.upsert(spark, dir,
+      dfNew(Seq((2L, 22, 222L), (5L, 55, 555L))), Seq("k"), Some("p"))
+    check("upsert across evolution")
+    model -= 3L
+    IcebergWriter.deleteRows(spark, dir, col("k") === 3L)
+    check("delete")
+    IcebergWriter.rewriteDataFiles(spark, dir, Some("p"))
+    check("rewrite after evolution")
+    IcebergWriter.expireSnapshots(dir, keepLast = 1)
+    check("expiry keeps the declared schema")
+  }
+
+  test("delta: evolution mid-history with optimize and vacuum") {
+    val dir = new java.io.File("target/delta/evo_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    var model: Model = Map(1L -> ((10, None)), 2L -> ((20, None)),
+      3L -> ((30, None)), 4L -> ((40, None)))
+    DeltaWriter.append(spark, dir,
+      dfOld(Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))), Some("p"))
+    def check(op: String): Unit =
+      assertModel(collect3(DeltaLite.readVersion(spark, dir)), model, op)
+    DeltaWriter.addColumn(spark, dir, "w", "BIGINT")
+    check("addColumn")
+    model ++= Map(5L -> ((50, Some(500L))), 6L -> ((60, Some(600L))))
+    DeltaWriter.append(spark, dir,
+      dfNew(Seq((5L, 50, 500L), (6L, 60, 600L))), Some("p"))
+    check("append with w")
+    model -= 2L
+    DeltaWriter.deleteRows(spark, dir, col("k") === 2L)
+    check("dv delete across evolution")
+    DeltaWriter.optimize(spark, dir, Some("p"))
+    check("optimize after evolution")
+    // the time-travel boundary: pre-evolution versions read under the
+    // current declared schema (w = NULL everywhere)...
+    assert(DeltaLite.readVersion(spark, dir, Some(0L))
+      .select("w").collect().forall(_.isNullAt(0)))
+    DeltaWriter.vacuum(spark, dir, graceMillis = 0L)
+    check("vacuum")
+    // ...and after vacuum reclaims the superseded files, travel to them
+    // fails LOUDLY — the documented Delta trade-off
+    intercept[Exception] {
+      DeltaLite.readVersion(spark, dir, Some(0L)).collect()
+    }
+  }
+
+  test("hudi: evolution mid-history with compaction and clean") {
+    val dir = new java.io.File("target/hudi/evo_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    var model: Model = Map(1L -> ((10, None)), 2L -> ((20, None)),
+      3L -> ((30, None)), 4L -> ((40, None)))
+    HudiLite.createTable(spark, dir,
+      dfOld(Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))),
+      Seq("k"), "p", "001", groupsPerPart = 2)
+    def check(op: String): Unit =
+      assertModel(collect3(HudiLite.readSnapshotMor(spark, dir, Seq("k"))),
+        model, op)
+    HudiLite.addColumn(spark, dir, "w", "BIGINT")
+    check("addColumn")
+    model ++= Map(2L -> ((22, Some(222L))), 6L -> ((60, Some(600L))))
+    HudiLite.upsert(spark, dir,
+      dfNew(Seq((2L, 22, 222L), (6L, 60, 600L))), Seq("k"), "p", "002"): Unit
+    check("upsert with w")
+    model -= 3L
+    val s2 = spark
+    import s2.implicits._
+    HudiLite.deleteKeys(spark, dir, Seq(3L).toDF("k"), Seq("k"), "003")
+    check("delete across evolution")
+    HudiLite.compact(spark, dir, Seq("k"), "004")
+    check("compaction folds the evolved column")
+    HudiLite.clean(dir)
+    check("clean")
+  }
+
+  test("paimon: evolution mid-history with expiry") {
+    val dir = new java.io.File("target/paimon/evo_spec").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    val s2 = spark
+    import s2.implicits._
+    var model: Model = Map(1L -> ((10, None)), 2L -> ((20, None)),
+      3L -> ((30, None)), 4L -> ((40, None)))
+    val keys = Seq("p", "k")
+    PaimonWriter.append(spark, dir,
+      dfOld(Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))), "p", keys): Unit
+    def check(op: String): Unit =
+      assertModel(collect3(PaimonLite.readSnapshot(spark, dir, keys)), model, op)
+    PaimonWriter.addColumn(spark, dir, "w", "BIGINT")
+    check("addColumn")
+    model ++= Map(2L -> ((22, Some(222L))), 6L -> ((60, Some(600L))))
+    PaimonWriter.append(spark, dir,
+      dfNew(Seq((2L, 22, 222L), (6L, 60, 600L))), "p", keys): Unit
+    check("LSM upsert with w")
+    model -= 3L
+    PaimonWriter.append(spark, dir,
+      Seq((3L, partOf(3L), 0, 0L, PaimonLite.KindDelete))
+        .toDF("k", "p", "v", "w", "_VALUE_KIND"), "p", keys): Unit
+    check("-D across evolution")
+    PaimonWriter.expireSnapshots(dir, keepLast = 1)
+    check("expiry keeps the schema files")
+  }
+}
