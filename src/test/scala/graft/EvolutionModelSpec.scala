@@ -92,10 +92,10 @@ class EvolutionModelSpec extends AnyFunSuite {
     check("dv delete across evolution")
     DeltaWriter.optimize(spark, dir, Some("p"))
     check("optimize after evolution")
-    // the time-travel boundary: pre-evolution versions read under the
-    // current declared schema (w = NULL everywhere)...
-    assert(DeltaLite.readVersion(spark, dir, Some(0L))
-      .select("w").collect().forall(_.isNullAt(0)))
+    // the time-travel boundary: a pre-evolution version reads under
+    // ITS OWN schema (no w column — the declared schema is
+    // version-scoped, exactly Delta's schema-as-of semantics)...
+    assert(!DeltaLite.readVersion(spark, dir, Some(0L)).columns.contains("w"))
     DeltaWriter.vacuum(spark, dir, graceMillis = 0L)
     check("vacuum")
     // ...and after vacuum reclaims the superseded files, travel to them
