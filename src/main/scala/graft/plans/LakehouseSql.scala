@@ -59,7 +59,7 @@ object LakehouseSql {
     ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*" +
       "(?:PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*)?" +
-      "(?:PARTITIONED\\s+BY\\s*\\(([^)]*)\\)\\s*)?" +
+      "(?:PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*)?" +
       "AS\\s+(.*)$").r
   private val InsertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$".r
@@ -171,13 +171,34 @@ object LakehouseSql {
   private def tableDir(spark: SparkSession, fmt: String, name: String): String =
     new java.io.File(s"${warehouse(spark)}/$fmt/$name").getAbsolutePath
 
-  private final case class Props(partCol: Option[String], keyCols: Seq[String])
+  private final case class Props(partCol: Option[String], keyCols: Seq[String],
+                                 partTransform: String = "identity",
+                                 partColType: String = "")
+
+  /** Parse one PARTITIONED BY entry: a bare column (identity) or an
+    * Iceberg transform call — bucket(N, col), truncate(W, col),
+    * days/months/years(col). */
+  private def parsePartSpec(raw: String): (String, String) = {
+    val BucketRe = "(?i)^bucket\\s*\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_]\\w*)\\s*\\)$".r
+    val TruncRe = "(?i)^truncate\\s*\\(\\s*(\\d+)\\s*,\\s*([A-Za-z_]\\w*)\\s*\\)$".r
+    val DateRe = "(?i)^(years?|months?|days?)\\s*\\(\\s*([A-Za-z_]\\w*)\\s*\\)$".r
+    raw.trim match {
+      case BucketRe(n, c) => (c, s"bucket[$n]")
+      case TruncRe(w, c) => (c, s"truncate[$w]")
+      case DateRe(t, c) =>
+        val tr = t.toLowerCase.stripSuffix("s")
+        (c, tr)
+      case c => (c, "identity")
+    }
+  }
 
   private def writeProps(dir: String, p: Props): Unit = {
     new java.io.File(dir).mkdirs()
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_graft_table.json"),
       s"""{"partCol":${p.partCol.map(c => s""""$c"""").getOrElse("null")},""" +
+        s""""partTransform":"${p.partTransform}",""" +
+        s""""partColType":"${p.partColType}",""" +
         s""""keyCols":[${p.keyCols.map(c => s""""$c"""").mkString(",")}]}""")
   }
 
@@ -188,7 +209,9 @@ object LakehouseSql {
       .readTree(java.nio.file.Files.readString(f))
     val keys = Option(node.get("keyCols")).map(a =>
       (0 until a.size).map(a.get(_).asText)).getOrElse(Seq.empty)
-    Props(Option(node.get("partCol")).filterNot(_.isNull).map(_.asText), keys)
+    Props(Option(node.get("partCol")).filterNot(_.isNull).map(_.asText), keys,
+      Option(node.get("partTransform")).map(_.asText).getOrElse("identity"),
+      Option(node.get("partColType")).map(_.asText).getOrElse(""))
   }
 
   /** Zero-padded next Hudi instant from the timeline. */
@@ -207,12 +230,39 @@ object LakehouseSql {
     * format's FILE-LEVEL planning (manifest partition tuples / Delta
     * partitionValues / Hudi partition dirs / Paimon manifest entries),
     * and the (planned, total) counts land in [[lastScans]]. */
+  /** Apply the table's partition TRANSFORM to an equality literal —
+    * what prunes a bucket/truncate spec: the transform of the queried
+    * value is the stored partition value. None = not transformable
+    * (wrong type / unsupported transform) → no prune. */
+  private def transformLiteral(tr: String, colType: String, v: String)
+      : Option[String] = {
+    val BucketRe = "^bucket\\[(\\d+)\\]$".r
+    val TruncRe = "^truncate\\[(\\d+)\\]$".r
+    tr match {
+      case BucketRe(n) => colType match {
+        case "bigint" | "int" => scala.util.Try(v.toLong).toOption
+          .map(x => IcebergLite.bucketLong(x, n.toInt).toString)
+        case "string" => Some(graft.functions.IcebergBucket.ofString(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v), n.toInt).toString)
+        case _ => None
+      }
+      case TruncRe(w) => colType match {
+        case "bigint" | "int" => scala.util.Try(v.toLong).toOption
+          .map(x => (x - java.lang.Math.floorMod(x, w.toLong)).toString)
+        case "string" => Some(v.take(w.toInt))
+        case _ => None
+      }
+      case _ => None
+    }
+  }
+
   private def reader(spark: SparkSession, fmt: String, dir: String,
                      p: Props, version: Option[Long] = None,
                      partPred: Option[String => Boolean] = None,
-                     name: String = ""): DataFrame = {
+                     name: String = "",
+                     eqVals: Option[Seq[String]] = None): DataFrame = {
     val pc = p.partCol
-    val pred = partPred.filter(_ => pc.isDefined)
+    val pred = partPred.filter(_ => pc.isDefined && p.partTransform == "identity")
     // the (planned, total) audit doubles the metadata walk — fine for
     // the plan-assert gates, skippable on a huge production table
     val audit = spark.conf
@@ -220,6 +270,24 @@ object LakehouseSql {
     def record(planned: => Int, total: => Int): Unit =
       if (audit) lastScans ::= ScanRecord(fmt, name, planned, total)
     val df = fmt match {
+      case "iceberg" if p.partTransform != "identity" =>
+        // transformed spec: an equality/IN conjunct prunes by the
+        // TRANSFORM of each queried value (bucket hash / truncate
+        // floor) against the stored partition values
+        val tPrune = eqVals.filter(_ => pc.isDefined).flatMap { vals =>
+          val targets = vals.flatMap(v =>
+            transformLiteral(p.partTransform, p.partColType, v)).toSet
+          if (vals.nonEmpty && targets.size == vals.size)
+            Some((pc.get, p.partTransform, (pv: String) => targets.contains(pv)))
+          else None
+        }
+        tPrune.foreach { tp =>
+          record(
+            IcebergLite.planFiles(dir, version, transformPrune = Some(tp))
+              .count(_.content == 0),
+            IcebergLite.planFiles(dir, version).count(_.content == 0))
+        }
+        IcebergLite.readSnapshot(spark, dir, version, transformPrune = tPrune)
       case "iceberg" =>
         pred.foreach { f =>
           record(
@@ -261,10 +329,14 @@ object LakehouseSql {
     case "iceberg" =>
       // PRIMARY KEY tables upsert on INSERT (equality-delete commits),
       // matching the paimon/hudi route's PK semantics; keyless tables
-      // append
-      if (!create && p.keyCols.nonEmpty)
+      // append. A declared transform (bucket/truncate/date) stamps the
+      // partition spec on every append.
+      if (!create && p.keyCols.nonEmpty) {
+        require(p.partTransform == "identity",
+          "PK upsert on a transformed partition spec is out of scope")
         IcebergWriter.upsert(spark, dir, df, p.keyCols, p.partCol)
-      else IcebergWriter.append(spark, dir, df, p.partCol)
+      } else IcebergWriter.append(spark, dir, df, p.partCol,
+        partTransform = p.partTransform)
     case "delta"   =>
       require(p.keyCols.isEmpty,
         "graft_delta tables are append/delete only — PRIMARY KEY upsert " +
@@ -346,11 +418,22 @@ object LakehouseSql {
       require(!exists || orReplace != null,
         s"table graft_$fmt.$name already exists (use CREATE OR REPLACE)")
       if (exists) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val parsedPart = Option(partRaw).map(_.trim).filter(_.nonEmpty)
+        .map(parsePartSpec)
+      parsedPart.foreach { case (_, tr) =>
+        require(tr == "identity" || fmt == "iceberg",
+          s"partition transforms are an Iceberg spec feature — graft_$fmt " +
+            "takes an identity column")
+      }
+      val created = spark.sql(select)
       val props = Props(
-        Option(partRaw).map(_.trim).filter(_.nonEmpty),
+        parsedPart.map(_._1),
         Option(pkRaw).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty))
-      val version = appendTo(spark, fmt, dir, props, spark.sql(select), create = true)
+          .getOrElse(Seq.empty),
+        parsedPart.map(_._2).getOrElse("identity"),
+        parsedPart.map(pp =>
+          created.schema(pp._1).dataType.simpleString).getOrElse(""))
+      val version = appendTo(spark, fmt, dir, props, created, create = true)
       writeProps(dir, props)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
     case InsertOverwriteRe(fmt, name, select) =>
@@ -658,6 +741,10 @@ object LakehouseSql {
           : Option[String => Boolean] =
         p.partCol.flatMap(pc =>
           SqlPrune.partPredicate(sql, s"graft_$fmt.$name", pc))
+      def pruneEqVals(fmt: String, name: String, p: Props)
+          : Option[Seq[String]] =
+        p.partCol.flatMap(pc =>
+          SqlPrune.partEqualityValues(sql, s"graft_$fmt.$name", pc))
       // stream references first: each consumes (cursor, current] of its
       // table's change feed and advances the cursor — the second read
       // of an unchanged table is EMPTY (the table-stream contract)
@@ -709,7 +796,8 @@ object LakehouseSql {
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)
         val view = s"graft_lake_${fmt}_${name}_v$v"
-        reader(spark, fmt, dir, p, Some(v), prunePred(fmt, name, p), name)
+        reader(spark, fmt, dir, p, Some(v), prunePred(fmt, name, p), name,
+          pruneEqVals(fmt, name, p))
           .createOrReplaceTempView(view)
         view
       }
@@ -718,7 +806,8 @@ object LakehouseSql {
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)
         val view = s"graft_lake_${fmt}_$name"
-        reader(spark, fmt, dir, p, None, prunePred(fmt, name, p), name)
+        reader(spark, fmt, dir, p, None, prunePred(fmt, name, p), name,
+          pruneEqVals(fmt, name, p))
           .createOrReplaceTempView(view)
         view
       }

@@ -101,6 +101,22 @@ object SqlPrune {
   private def lit(m: String, n: String): Literal =
     if (m != null) StrLit(m) else NumLit(BigDecimal(n))
 
+  /** The literal value strings of the first `=` / `IN` conjunct on
+    * `partCol` (same soundness guards as [[partPredicate]]) — what a
+    * TRANSFORMED partition spec needs: the transform applies to the
+    * literal, then prunes on the stored transformed value. None when
+    * no provable equality conjunct exists. */
+  def partEqualityValues(sql: String, tableRef: String, partCol: String)
+      : Option[Seq[String]] = {
+    equalityValues.set(None)
+    partPredicate(sql, tableRef, partCol): Unit
+    val out = equalityValues.get()
+    equalityValues.set(None)
+    out
+  }
+  private val equalityValues =
+    new ThreadLocal[Option[Seq[String]]] { override def initialValue = None }
+
   /** Extract a partition predicate for `partCol` of the table referred
     * to as `tableRef` (e.g. "graft_iceberg.li_x") from `sql`. None =
     * nothing provably extractable; the caller reads unpruned. */
@@ -136,7 +152,10 @@ object SqlPrune {
       .findAllMatchIn(masked).map(_.start).toList
     if (refPositions.size != 1 || depthAt(refPositions.head) != 0 ||
         depthAt(start) != 0) return None
-    // clause extent: to the first stop keyword or depth-dropping ')'
+    // clause extent: to the first stop KEYWORD (whole word — '_' is a
+    // word char, so "o_ORDERkey" never terminates its own clause) or a
+    // depth-dropping ')'
+    def wordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
     var depth = 0
     var end = sql.length
     var i = start
@@ -146,11 +165,14 @@ object SqlPrune {
         case ')' => if (depth == 0) end = i else depth -= 1
         case _ =>
           if (depth == 0) {
-            val tail = upper.substring(i)
-            if (Seq("GROUP", "ORDER", "HAVING", "QUALIFY", "LIMIT",
-                "WINDOW", "UNION", "EXCEPT", "INTERSECT").exists(k =>
-              tail.startsWith(k) && (i == 0 || !upper.charAt(i - 1).isLetter)))
-              end = i
+            val isStop = Seq("GROUP", "ORDER", "HAVING", "QUALIFY", "LIMIT",
+              "WINDOW", "UNION", "EXCEPT", "INTERSECT").exists { k =>
+              upper.startsWith(k, i) &&
+                (i == 0 || !wordChar(upper.charAt(i - 1))) &&
+                (i + k.length >= upper.length ||
+                  !wordChar(upper.charAt(i + k.length)))
+            }
+            if (isStop) end = i
           }
       }
       i += 1
@@ -170,9 +192,11 @@ object SqlPrune {
         case _ =>
           def word(w: String): Boolean =
             clauseUpper.startsWith(w, i) &&
-              (i == 0 || !clauseUpper.charAt(i - 1).isLetterOrDigit) &&
+              (i == 0 || { val c = clauseUpper.charAt(i - 1)
+                !c.isLetterOrDigit && c != '_' }) &&
               (i + w.length == clauseUpper.length ||
-                !clauseUpper.charAt(i + w.length).isLetterOrDigit)
+                { val c = clauseUpper.charAt(i + w.length)
+                  !c.isLetterOrDigit && c != '_' })
           if (depth == 0 && word("BETWEEN")) { betweenOpen = true; i += 7 }
           else if (depth == 0 && word("AND")) {
             if (betweenOpen) betweenOpen = false else splits += i
@@ -199,17 +223,24 @@ object SqlPrune {
       case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
       case o => o
     }
+    def recordEq(vals: Seq[String]): Unit =
+      if (equalityValues.get().isEmpty) equalityValues.set(Some(vals))
     val preds = conjuncts.flatMap {
-      case eqRe(qual, op, s, n) if colOk(qual) => Some(cmp(op, lit(s, n)))
-      case eqFlipRe(s, n, op, qual) if colOk(qual) => Some(cmp(flip(op), lit(s, n)))
+      case eqRe(qual, op, s, n) if colOk(qual) =>
+        if (op == "=") recordEq(Seq(if (s != null) s else n))
+        Some(cmp(op, lit(s, n)))
+      case eqFlipRe(s, n, op, qual) if colOk(qual) =>
+        if (op == "=") recordEq(Seq(if (s != null) s else n))
+        Some(cmp(flip(op), lit(s, n)))
       case inRe(qual, items) if colOk(qual) =>
         val parsed = items.split(",").map(_.trim).toSeq.map {
-          case inItemRe(s, n) => Some(lit(s, n))
+          case inItemRe(s, n) => Some((lit(s, n), if (s != null) s else n))
           case _ => None
         }
         if (parsed.exists(_.isEmpty)) None
         else {
-          val fs = parsed.flatten.map(cmp("=", _))
+          recordEq(parsed.flatten.map(_._2))
+          val fs = parsed.flatten.map(p => cmp("=", p._1))
           Some((pv: String) => fs.exists(_(pv)))
         }
       case btRe(qual, loS, hiS) if colOk(qual) =>

@@ -295,6 +295,28 @@ object Round12Queries {
            |ORDER BY cur.o_orderstatus""".stripMargin)
     }),
 
+    // PARTITION TRANSFORM THROUGH SQL: CREATE ... PARTITIONED BY
+    // (bucket(8, o_orderkey)) stamps the spec transform; a key-equality
+    // WHERE prunes to the key's bucket file — transforms usable
+    // end-to-end from SQL, write to read
+    "sql_lake_prune_bucket" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r12_ord_bk")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.bk_$n " +
+        "PARTITIONED BY (bucket(8, o_orderkey)) AS SELECT * FROM r12_ord_bk")
+      val out = s.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus " +
+        s"FROM graft_iceberg.bk_$n WHERE o_orderkey = 7 ORDER BY o_orderkey")
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("bucket prune premise: the read must record a pruned scan"))
+      require(scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"bucket prune premise: key equality must plan a strict file " +
+          s"subset, got $scan")
+      out
+    }),
+
     // SQL UPDATE on the Delta route: the matched rows re-land updated
     // through a deletion-vector commit + append — no data rewrite of
     // the untouched rows, the protocol's row-change shape
@@ -412,6 +434,12 @@ object Round12Queries {
             SELECT o_orderstatus, 'delete' AS ct, o_orderkey
             FROM orders WHERE o_orderkey < 9000 AND o_orderkey % 9 = 0) u
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "sql_lake_prune_bucket" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus
+      FROM orders
+      WHERE o_orderkey = 7
+      ORDER BY o_orderkey""",
 
     "sql_lake_overwrite" -> """
       SELECT o_orderstatus, count(*) AS cnt,

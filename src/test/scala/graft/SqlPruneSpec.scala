@@ -85,4 +85,27 @@ class SqlPruneSpec extends AnyFunSuite {
     val f = pred(s"SELECT p, count(*) FROM $T WHERE p = 'A' GROUP BY p ORDER BY p LIMIT 5").get
     assert(f("A") && !f("Z"))
   }
+
+  test("column names containing stop-keyword substrings do not truncate the clause") {
+    // "o_ORDERkey" contains ORDER after an underscore — '_' is a word
+    // char, so the clause must scan past it
+    val f = SqlPrune.partPredicate(
+      s"SELECT o_orderkey FROM $T WHERE o_orderkey = 7 ORDER BY o_orderkey",
+      T, "o_orderkey").get
+    assert(f("7") && !f("8"))
+    val vals = SqlPrune.partEqualityValues(
+      s"SELECT * FROM $T WHERE o_orderkey IN (7, 9) AND x_limit_y = 1",
+      T, "o_orderkey")
+    assert(vals.contains(Seq("7", "9")))
+    // a column literally named with an embedded AND must not split
+    assert(SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE a_and_b = 'A'", T, "a_and_b").get("A"))
+  }
+
+  test("equality values surface for transform pruning; ranges do not") {
+    assert(SqlPrune.partEqualityValues(
+      s"SELECT * FROM $T WHERE p = 'X' AND k > 2", T, "p").contains(Seq("X")))
+    assert(SqlPrune.partEqualityValues(
+      s"SELECT * FROM $T WHERE p > 5", T, "p").isEmpty)
+  }
 }
