@@ -417,17 +417,20 @@ object DeltaWriter {
     require(mapping.nonEmpty,
       "RENAME COLUMN needs a column-mapped table (appendMapped) — an " +
         "unmapped table binds logical names to parquet bytes")
-    val cur = DataType.fromJson(
-      DeltaLite.tableSchemaString(spark, tableDir).get).asInstanceOf[StructType]
-    require(cur.fieldNames.contains(from), s"no column $from")
-    require(!cur.fieldNames.contains(to), s"column $to already exists")
-    val evolved = StructType(cur.fields.map(f =>
-      if (f.name == from) f.copy(name = to) else f))
-    val md = latestMetaDataNode(spark, tableDir).get
-    md.put("schemaString", evolved.json)
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
+      // schema re-derived PER ATTEMPT: a retry after losing to a
+      // concurrent metaData commit (another ADD/RENAME) must evolve the
+      // WINNER's schema, not silently re-commit the stale one
+      val cur = DataType.fromJson(
+        DeltaLite.tableSchemaString(spark, tableDir).get).asInstanceOf[StructType]
+      require(cur.fieldNames.contains(from), s"no column $from")
+      require(!cur.fieldNames.contains(to), s"column $to already exists")
+      val evolved = StructType(cur.fields.map(f =>
+        if (f.name == from) f.copy(name = to) else f))
+      val md = latestMetaDataNode(spark, tableDir).get
+      md.put("schemaString", evolved.json)
       val version = nextVersion(tableDir)
       if (casWriteCommit(tableDir, version,
           Seq(s"""{"metaData":${mapper.writeValueAsString(md)}}"""))) {
@@ -455,25 +458,27 @@ object DeltaWriter {
     require(columnMappingEmpty(spark, tableDir),
       "ADD COLUMN on a column-mapped table needs a mapped id/physical " +
         "name — use appendMapped's schema instead")
-    val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
-      .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
-      .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
-    require(!cur.fieldNames.contains(name), s"column $name already exists")
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(sqlType)
-    val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
-    // carry the current metaData forward with only schemaString changed
-    val md = latestMetaDataNode(spark, tableDir).getOrElse {
-      val m = mapper.createObjectNode()
-      m.put("id", "00000000-0000-0000-0000-000000000002")
-      m.putObject("format").put("provider", "parquet")
-      m.putArray("partitionColumns")
-      m
-    }
-    md.put("schemaString", evolved.json)
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
+      // schema re-derived PER ATTEMPT (see renameColumn): losing the
+      // version race to a concurrent ADD COLUMN must not revert it
+      val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
+        .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
+        .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
+      require(!cur.fieldNames.contains(name), s"column $name already exists")
+      val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
+      // carry the current metaData forward with only schemaString changed
+      val md = latestMetaDataNode(spark, tableDir).getOrElse {
+        val m = mapper.createObjectNode()
+        m.put("id", "00000000-0000-0000-0000-000000000002")
+        m.putObject("format").put("provider", "parquet")
+        m.putArray("partitionColumns")
+        m
+      }
+      md.put("schemaString", evolved.json)
       val version = nextVersion(tableDir)
       if (casWriteCommit(tableDir, version,
           Seq(s"""{"metaData":${mapper.writeValueAsString(md)}}"""))) {
@@ -539,15 +544,111 @@ object DeltaWriter {
     * route deletes "rows matched by the source join", which no single
     * Column predicate can express. The matcher's output rows mark the
     * positions to delete; everything downstream (per-file DV union,
-    * executor-side blobs, descriptor-only driver state) is unchanged. */
+    * executor-side blobs, descriptor-only driver state) is unchanged.
+    *
+    * `partFilter` prunes the TARGET scan at file level — a DML
+    * statement whose WHERE carries a provable partition conjunct plans
+    * one partition's files, not every live add (sound because rows
+    * outside those files cannot satisfy the statement's predicate). */
   def deleteRowsWhere(spark: SparkSession, tableDir: String,
-                      matcher: DataFrame => DataFrame): Long = {
-    val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
-    require(adds.nonEmpty, "empty table")
-    val byAbs = adds.map(a =>
-      new java.io.File(tableDir, a.path).getAbsolutePath -> a).toMap
+                      matcher: DataFrame => DataFrame,
+                      partFilter: Option[Map[String, String] => Boolean] = None)
+      : Long = {
+    val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir, None, partFilter)
+    require(adds.nonEmpty,
+      if (partFilter.isDefined) "deleteRows matched no rows" else "empty table")
     val protoUpgrade = dvProtocolUpgrade(spark, tableDir)
     val version = nextVersion(tableDir)
+    val lines = protoUpgrade.toSeq ++
+      dvRemoveAddLines(spark, tableDir, matcher, adds, version,
+        requireMatch = true)
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
+  /** UPDATE / MERGE write half, ONE ATOMIC COMMIT: the matched rows'
+    * deletion-vector re-adds AND the new rows' add actions land in a
+    * single version — a reader sees the pre-statement state or the
+    * post-statement state, never matched-rows-gone-updates-missing,
+    * and a crash between the halves cannot lose the updates (the same
+    * all-or-nothing shape [[overwrite]] already has; reference: the
+    * dedicated merge sink commits once,
+    * be/src/exec/operator/iceberg_merge_sink_operator.h:44). Conflicts
+    * fail loudly, like every state-reading commit here. */
+  def updateRows(spark: SparkSession, tableDir: String,
+                 matcher: DataFrame => DataFrame, newRows: DataFrame,
+                 partCol: Option[String] = None,
+                 partFilter: Option[Map[String, String] => Boolean] = None)
+      : Long = {
+    val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir, None, partFilter)
+    require(adds.nonEmpty, "updateRows matched no live files")
+    // new data staged BEFORE the version resolves (version-free names)
+    val moved = stageParquet(spark, tableDir, newRows, partCol, "u")
+    require(moved.nonEmpty, "updateRows with no replacement rows — use deleteRowsWhere")
+    val protoUpgrade = dvProtocolUpgrade(spark, tableDir)
+    val version = nextVersion(tableDir)
+    val dir = new java.io.File(tableDir)
+    val lines = protoUpgrade.toSeq ++
+      dvRemoveAddLines(spark, tableDir, matcher, adds, version,
+        requireMatch = true) ++
+      moved.map { case (rel, part) =>
+        val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
+        s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
+      }
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
+  /** Stage `df` as parquet under `data/` with token (version-free)
+    * names; returns (relativePath, partitionValue) per file. The
+    * distributed half of every commit here. */
+  private def stageParquet(spark: SparkSession, tableDir: String,
+                           df: DataFrame, partCol: Option[String],
+                           prefix: String): Seq[(String, Option[String])] = {
+    val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "data").mkdirs()
+    val tok = nextToken()
+    val staging = s"$tableDir/stage_$tok"
+    partCol match {
+      case Some(p) =>
+        df.withColumn("__part", col(p).cast("string"))
+          .repartition(col("__part"))
+          .write.partitionBy("__part").mode("overwrite").parquet(staging)
+      case None => df.write.mode("overwrite").parquet(staging)
+    }
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val moved = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val part = f.getParentFile.getName match {
+          case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
+          case _ => None
+        }
+        val rel = s"data/$prefix${tok}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet"
+        java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+        (rel, part)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    moved
+  }
+
+  /** The remove + DV-re-add action lines for every file the matcher
+    * hits: one distributed scan over `adds` finds matching
+    * (file, row_index) pairs; roaring blobs build EXECUTOR-SIDE per
+    * task (unioned with each file's existing DV) and only the
+    * descriptor-sized rows return to the driver. */
+  private def dvRemoveAddLines(spark: SparkSession, tableDir: String,
+                               matcher: DataFrame => DataFrame,
+                               adds: Seq[DeltaLite.AddFile], version: Long,
+                               requireMatch: Boolean): Seq[String] = {
+    val byAbs = adds.map(a =>
+      new java.io.File(tableDir, a.path).getAbsolutePath -> a).toMap
     val dvDir = new java.io.File(tableDir, "deletion_vectors")
     dvDir.mkdirs()
     val dvDirAbs = dvDir.getAbsolutePath
@@ -593,20 +694,16 @@ object DeltaWriter {
             }.iterator
           }
         }.collect().toSeq.sortBy(_._1)
-    require(descriptors.nonEmpty, "deleteRows matched no rows")
-    val lines = protoUpgrade.toSeq ++
-      descriptors.flatMap { case (abs, dvPath, off, size, card) =>
-        val add = byAbs(abs)
-        val pv = add.partitionValues
-          .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
-        val bytes = new java.io.File(tableDir, add.path).length()
-        Seq(
-          s"""{"remove":{"path":"${add.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}""",
-          s"""{"add":{"path":"${add.path}","partitionValues":{$pv},"size":$bytes,"modificationTime":${1700000000000L + version},"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dvPath","offset":$off,"sizeInBytes":$size,"cardinality":$card}}}""")
-      }
-    writeCommit(tableDir, version, lines)
-    maybeCheckpoint(spark, tableDir, version)
-    version
+    require(!requireMatch || descriptors.nonEmpty, "deleteRows matched no rows")
+    descriptors.flatMap { case (abs, dvPath, off, size, card) =>
+      val add = byAbs(abs)
+      val pv = add.partitionValues
+        .map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+      val bytes = new java.io.File(tableDir, add.path).length()
+      Seq(
+        s"""{"remove":{"path":"${add.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}""",
+        s"""{"add":{"path":"${add.path}","partitionValues":{$pv},"size":$bytes,"modificationTime":${1700000000000L + version},"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"$dvPath","offset":$off,"sizeInBytes":$size,"cardinality":$card}}}""")
+    }
   }
 
   /** OPTIMIZE-style rewrite: materialize the current state (deletion

@@ -295,15 +295,13 @@ object IcebergWriter {
                  cond: org.apache.spark.sql.Column): Long =
     deleteRowsWhere(spark, tableDir, _.filter(cond))
 
-  /** [[deleteRows]] generalized to a MATCHER over the scan (all table
-    * columns plus `file_path`/`pos`, which must survive) — the MERGE
-    * INTO route's join-matched delete, same contract as
-    * [[DeltaWriter.deleteRowsWhere]]. */
-  def deleteRowsWhere(spark: SparkSession, tableDir: String,
-                      matcher: DataFrame => DataFrame): Long = {
-    val dataTasks = IcebergLite.planFiles(tableDir).filter(_.content == 0)
-    require(dataTasks.nonEmpty, "empty table")
-    val tok = nextToken()
+  /** One distributed pass staging the matcher's (file_path, pos) pairs
+    * as spec-sorted position-delete parquet shards. Returns
+    * (path, rows, bytes) per non-empty shard. */
+  private def stagePositionDeletes(spark: SparkSession, tableDir: String,
+                                   matcher: DataFrame => DataFrame,
+                                   dataTasks: Seq[IcebergLite.FileTask],
+                                   tok: String): Seq[(String, Long, Long)] = {
     val matched = matcher(spark.read.parquet(dataTasks.map(_.path): _*)
         .withColumn("file_path",
           regexp_replace(col("_metadata.file_path"), "^file:+", ""))
@@ -324,7 +322,52 @@ object IcebergWriter {
         dst.getAbsolutePath
       }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
-    val delStats = distributedFooterStats(spark, delFiles)
+    distributedFooterStats(spark, delFiles)
+      .collect { case (p, (rows, bytes, _, _)) if rows > 0 => (p, rows, bytes) }
+  }
+
+  /** UPDATE / MERGE write half, ONE ATOMIC SNAPSHOT: the matched rows'
+    * position-delete files and the new rows' data files commit
+    * together — a reader sees the pre-statement or post-statement
+    * state, never matched-rows-gone-updates-missing, and a crash
+    * cannot lose the updates. The Iceberg sibling of
+    * [[DeltaWriter.updateRows]] (reference: the dedicated merge sink
+    * commits once, be/src/exec/operator/iceberg_merge_sink_operator.h:44).
+    * `partPruneBy` prunes the TARGET scan at manifest level — a
+    * partition-scoped statement opens one partition's files. */
+  def updateRows(spark: SparkSession, tableDir: String,
+                 matcher: DataFrame => DataFrame, newRows: DataFrame,
+                 partCol: Option[String] = None,
+                 partPruneBy: Option[(String, String => Boolean)] = None)
+      : Long = {
+    val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy)
+      .filter(_.content == 0)
+    require(dataTasks.nonEmpty, "updateRows matched no live files")
+    val tok = nextToken()
+    val posDels = stagePositionDeletes(spark, tableDir, matcher, dataTasks, tok)
+    require(posDels.map(_._2).sum > 0, "updateRows matched no rows")
+    commit(spark, tableDir, newRows, partCol, upsertKeys = None,
+      posDelFiles = posDels, singleShot = true)
+  }
+
+  /** [[deleteRows]] generalized to a MATCHER over the scan (all table
+    * columns plus `file_path`/`pos`, which must survive) — the MERGE
+    * INTO route's join-matched delete, same contract as
+    * [[DeltaWriter.deleteRowsWhere]]. `partPruneBy` prunes the target
+    * scan at manifest level (sound when the statement's predicate
+    * cannot match rows outside those partitions). */
+  def deleteRowsWhere(spark: SparkSession, tableDir: String,
+                      matcher: DataFrame => DataFrame,
+                      partPruneBy: Option[(String, String => Boolean)] = None)
+      : Long = {
+    val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy)
+      .filter(_.content == 0)
+    require(dataTasks.nonEmpty,
+      if (partPruneBy.isDefined) "deleteRows matched no rows" else "empty table")
+    val tok = nextToken()
+    val delStats3 = stagePositionDeletes(spark, tableDir, matcher, dataTasks, tok)
+    val delFiles = delStats3.map(_._1)
+    val delStats = delStats3.map { case (p, r, b) => (p, (r, b, Map.empty[String, Long], Map.empty[String, Long])) }
     require(delStats.map(_._2._1).sum > 0, "deleteRows matched no rows")
 
     var attempt = 0
@@ -472,7 +515,9 @@ object IcebergWriter {
                      filesPerPart: Int = 1,
                      beforePublish: () => Unit = () => (),
                      skipIfBatchCommitted: Option[Long] = None,
-                     partTransform: String = "identity"): Long = {
+                     partTransform: String = "identity",
+                     posDelFiles: Seq[(String, Long, Long)] = Nil,
+                     singleShot: Boolean = false): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -586,6 +631,12 @@ object IcebergWriter {
         "REPLACE commit conflicts with a concurrent commit — rerun the " +
           "rewrite against the new table state (retry would need " +
           "conflicting-file revalidation, declared out of scope)")
+      // a state-reading commit (UPDATE/MERGE: the matched set depends
+      // on the snapshot it scanned) must not retry with stale deletes —
+      // the protocol's ConcurrentModificationException, not a retry
+      require(attempt == 0 || !singleShot,
+        "UPDATE/MERGE commit conflicts with a concurrent commit — " +
+          "re-read the table state and retry the statement")
       val lastSeq = curMeta.map(_.get("last-sequence-number").asLong).getOrElse(0L)
       val seq = lastSeq + 1
       val snapId = curMeta.map { m =>
@@ -627,37 +678,43 @@ object IcebergWriter {
         w.close()
       }
 
-      // equality-delete manifest (upsert commits)
+      // delete manifests: equality deletes (upsert commits) and/or
+      // position deletes (atomic UPDATE/MERGE commits)
+      def writeDeleteManifest(suffix: String, content: Int,
+                              files: Seq[(String, Long, Long)]): String = {
+        val mp = s"$tableDir/metadata/manifest-$suffix$tok-$attempt.avro"
+        val es = IcebergLite.ManifestEntrySchema
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
+        w.create(es, new java.io.File(mp))
+        files.foreach { case (dp, delRows, delBytes) =>
+          val partRec = new GenericData.Record(
+            es.getField("data_file").schema.getField("partition").schema)
+          partRec.put("part_value", null)
+          val dfRec = new GenericData.Record(es.getField("data_file").schema)
+          dfRec.put("content", content)
+          dfRec.put("file_path", dp)
+          dfRec.put("file_format", "PARQUET")
+          dfRec.put("partition", partRec)
+          dfRec.put("record_count", delRows)
+          dfRec.put("file_size_in_bytes", delBytes)
+          dfRec.put("lower_bounds", null)
+          dfRec.put("upper_bounds", null)
+          val e = new GenericData.Record(es)
+          e.put("status", 1)
+          e.put("snapshot_id", snapId)
+          e.put("sequence_number", seq)
+          e.put("data_file", dfRec)
+          w.append(e)
+        }
+        w.close()
+        mp
+      }
       val deleteManifest: Option[String] =
         if (eqDelFiles.isEmpty) None
-        else Some {
-          val mp = s"$tableDir/metadata/manifest-d$tok-$attempt.avro"
-          val es = IcebergLite.ManifestEntrySchema
-          val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](es))
-          w.create(es, new java.io.File(mp))
-          eqDelFiles.foreach { case (dp, delRows, delBytes) =>
-            val partRec = new GenericData.Record(
-              es.getField("data_file").schema.getField("partition").schema)
-            partRec.put("part_value", null)
-            val dfRec = new GenericData.Record(es.getField("data_file").schema)
-            dfRec.put("content", 2) // equality deletes
-            dfRec.put("file_path", dp)
-            dfRec.put("file_format", "PARQUET")
-            dfRec.put("partition", partRec)
-            dfRec.put("record_count", delRows)
-            dfRec.put("file_size_in_bytes", delBytes)
-            dfRec.put("lower_bounds", null)
-            dfRec.put("upper_bounds", null)
-            val e = new GenericData.Record(es)
-            e.put("status", 1)
-            e.put("snapshot_id", snapId)
-            e.put("sequence_number", seq)
-            e.put("data_file", dfRec)
-            w.append(e)
-          }
-          w.close()
-          mp
-        }
+        else Some(writeDeleteManifest("d", 2, eqDelFiles))
+      val posDelManifest: Option[String] =
+        if (posDelFiles.isEmpty) None
+        else Some(writeDeleteManifest("pd", 1, posDelFiles))
 
       // metadata node (created on first commit) + spec resolution
       val meta: ObjectNode = curMeta.getOrElse {
@@ -699,6 +756,7 @@ object IcebergWriter {
           r
         }
         deleteManifest.foreach(mp => w.append(listEntry(mp, 1)))
+        posDelManifest.foreach(mp => w.append(listEntry(mp, 1)))
         w.append(listEntry(manifestPath, 0))
         w.close()
       }
@@ -714,7 +772,8 @@ object IcebergWriter {
       val summaryNode = snapNode.putObject("summary")
       summaryNode.put("operation",
         if (replaceAll) "replace"
-        else if (upsertKeys.isDefined) "overwrite" else "append")
+        else if (upsertKeys.isDefined || posDelFiles.nonEmpty) "overwrite"
+        else "append")
       summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
       if (attempt == 0) beforePublish()
       if (casPublish(tableDir, curVersion + 1,

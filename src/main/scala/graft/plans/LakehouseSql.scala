@@ -231,9 +231,9 @@ object LakehouseSql {
     * partitionValues / Hudi partition dirs / Paimon manifest entries),
     * and the (planned, total) counts land in [[lastScans]]. */
   /** Apply the table's partition TRANSFORM to an equality literal —
-    * what prunes a bucket/truncate spec: the transform of the queried
-    * value is the stored partition value. None = not transformable
-    * (wrong type / unsupported transform) → no prune. */
+    * what prunes a bucket/truncate/date spec: the transform of the
+    * queried value is the stored partition value. None = not
+    * transformable (wrong type / unsupported transform) → no prune. */
   private def transformLiteral(tr: String, colType: String, v: String)
       : Option[String] = {
     val BucketRe = "^bucket\\[(\\d+)\\]$".r
@@ -252,76 +252,164 @@ object LakehouseSql {
         case "string" => Some(v.take(w.toInt))
         case _ => None
       }
+      case "year" | "month" | "day" => toLocalDate(colType, v).map(formatTr(tr, _))
       case _ => None
     }
   }
 
+  /** The literal's civil date, through Spark's own cast. Timestamps
+    * parse and render under one fixed zone (wall-clock round trip, the
+    * same wall-clock the writer's date_format stamped). */
+  private def toLocalDate(colType: String, v: String)
+      : Option[java.time.LocalDate] =
+    if (colType != "date" && !colType.startsWith("timestamp")) None
+    else SqlPrune.castTo(colType, v).collect {
+      case d: java.lang.Integer => java.time.LocalDate.ofEpochDay(d.longValue)
+      case m: java.lang.Long => java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(m.longValue, 1000000L), 0,
+        java.time.ZoneOffset.UTC).toLocalDate
+    }
+
+  private def formatTr(tr: String, ld: java.time.LocalDate): String = tr match {
+    case "year" => f"${ld.getYear}%04d"
+    case "month" => f"${ld.getYear}%04d-${ld.getMonthValue}%02d"
+    case _ => ld.toString // day: yyyy-MM-dd
+  }
+
+  /** One range bound on the SOURCE column, pushed through a MONOTONE
+    * transform (truncate / year / month / day — never bucket): a bound
+    * on x is an INCLUSIVE bound on transform(x), because truncation is
+    * monotone. Timestamp bounds on date transforms widen by one day on
+    * each side (wall-clock vs instant order can disagree inside a DST
+    * fall-back hour — a day of slack keeps pruning provably lossless). */
+  private def transformBound(tr: String, colType: String, op: String,
+                             v: String): Option[String => Boolean] = {
+    val lower = op == ">" || op == ">="
+    val dateTr = tr == "year" || tr == "month" || tr == "day"
+    val tv: Option[String] =
+      if (dateTr && colType.startsWith("timestamp"))
+        toLocalDate(colType, v).map(ld =>
+          formatTr(tr, if (lower) ld.minusDays(1) else ld.plusDays(1)))
+      else transformLiteral(tr, colType, v)
+    tv.map { t =>
+      val numeric = tr.startsWith("truncate[") &&
+        (colType == "bigint" || colType == "int")
+      (pv: String) =>
+        if (numeric) scala.util.Try(BigDecimal(pv)).toOption.forall(n =>
+          if (lower) n >= BigDecimal(t) else n <= BigDecimal(t))
+        else if (lower) pv >= t else pv <= t
+    }
+  }
+
+  /** The manifest-level prune for a TRANSFORMED partition spec:
+    * equality literals transform directly (bucket hash / truncate
+    * floor / civil-date format); range bounds push through the
+    * monotone transforms. None = nothing provable → unpruned read. */
+  private def transformPruneOf(p: Props, prune: Option[SqlPrune.PruneInfo])
+      : Option[(String, String, String => Boolean)] = for {
+    pc <- p.partCol
+    info <- prune
+    eqPred = info.eqVals.flatMap { vals =>
+      val targets = vals.flatMap(v =>
+        transformLiteral(p.partTransform, p.partColType, v)).toSet
+      if (vals.nonEmpty && targets.size == vals.size)
+        Some((pv: String) => targets.contains(pv))
+      else None
+    }
+    rangePred = {
+      val ps =
+        if (p.partTransform.startsWith("bucket")) Nil
+        else info.bounds.flatMap { case (op, v) =>
+          transformBound(p.partTransform, p.partColType, op, v) }
+      if (ps.isEmpty) None else Some((pv: String) => ps.forall(_(pv)))
+    }
+    if eqPred.isDefined || rangePred.isDefined
+  } yield {
+    val fs = eqPred.toSeq ++ rangePred.toSeq
+    (pc, p.partTransform, (pv: String) => fs.forall(_(pv)))
+  }
+
   private def reader(spark: SparkSession, fmt: String, dir: String,
                      p: Props, version: Option[Long] = None,
-                     partPred: Option[String => Boolean] = None,
-                     name: String = "",
-                     eqVals: Option[Seq[String]] = None): DataFrame = {
+                     prune: Option[SqlPrune.PruneInfo] = None,
+                     name: String = ""): DataFrame = {
     val pc = p.partCol
-    val pred = partPred.filter(_ => pc.isDefined && p.partTransform == "identity")
-    // the (planned, total) audit doubles the metadata walk — fine for
-    // the plan-assert gates, skippable on a huge production table
+    val pred = prune.map(_.pred)
+      .filter(_ => pc.isDefined && p.partTransform == "identity")
+    // the live-total audit doubles the metadata walk — fine for the
+    // plan-assert gates, skippable on a huge production table. The
+    // PLANNED count is always computed when pruning is active: it also
+    // powers the zero-match contract below.
     val audit = spark.conf
       .getOption("spark.graft.lakehouse.scanAudit").forall(_ == "true")
-    def record(planned: => Int, total: => Int): Unit =
+    def record(planned: Int, total: => Int): Unit =
       if (audit) lastScans ::= ScanRecord(fmt, name, planned, total)
-    val df = fmt match {
+    // a predicate matching NO partition returns an empty frame with the
+    // table's schema — the readers' no-live-files guard is for broken
+    // tables, not for valid queries over absent partitions
+    def emptyFrame(): DataFrame = {
+      val schema = reader(spark, fmt, dir, p, version).schema
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    }
+    fmt match {
       case "iceberg" if p.partTransform != "identity" =>
-        // transformed spec: an equality/IN conjunct prunes by the
-        // TRANSFORM of each queried value (bucket hash / truncate
-        // floor) against the stored partition values
-        val tPrune = eqVals.filter(_ => pc.isDefined).flatMap { vals =>
-          val targets = vals.flatMap(v =>
-            transformLiteral(p.partTransform, p.partColType, v)).toSet
-          if (vals.nonEmpty && targets.size == vals.size)
-            Some((pc.get, p.partTransform, (pv: String) => targets.contains(pv)))
-          else None
+        transformPruneOf(p, prune) match {
+          case Some(tp) =>
+            val planned = IcebergLite.planFiles(dir, version,
+              transformPrune = Some(tp)).count(_.content == 0)
+            record(planned,
+              IcebergLite.planFiles(dir, version).count(_.content == 0))
+            if (planned == 0) emptyFrame()
+            else IcebergLite.readSnapshot(spark, dir, version,
+              transformPrune = Some(tp))
+          case None => IcebergLite.readSnapshot(spark, dir, version)
         }
-        tPrune.foreach { tp =>
-          record(
-            IcebergLite.planFiles(dir, version, transformPrune = Some(tp))
-              .count(_.content == 0),
-            IcebergLite.planFiles(dir, version).count(_.content == 0))
-        }
-        IcebergLite.readSnapshot(spark, dir, version, transformPrune = tPrune)
       case "iceberg" =>
-        pred.foreach { f =>
-          record(
-            IcebergLite.planFiles(dir, version,
-              partPruneBy = Some((pc.get, f))).count(_.content == 0),
-            IcebergLite.planFiles(dir, version).count(_.content == 0))
+        pred match {
+          case Some(f) =>
+            val planned = IcebergLite.planFiles(dir, version,
+              partPruneBy = Some((pc.get, f))).count(_.content == 0)
+            record(planned,
+              IcebergLite.planFiles(dir, version).count(_.content == 0))
+            if (planned == 0) emptyFrame()
+            else IcebergLite.readSnapshot(spark, dir, version,
+              partPruneBy = Some((pc.get, f)))
+          case None => IcebergLite.readSnapshot(spark, dir, version)
         }
-        IcebergLite.readSnapshot(spark, dir, version,
-          partPruneBy = pred.map(f => (pc.get, f)))
       case "delta" =>
-        val mapFilter = pred.map(f =>
-          (pv: Map[String, String]) => pv.get(pc.get).forall(f))
-        mapFilter.foreach { mf =>
-          record(
-            DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size,
-            DeltaLite.planFilesWithCheckpoint(spark, dir, version).size)
+        pred.map(f => (pv: Map[String, String]) => pv.get(pc.get).forall(f)) match {
+          case Some(mf) =>
+            val planned =
+              DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size
+            record(planned,
+              DeltaLite.planFilesWithCheckpoint(spark, dir, version).size)
+            if (planned == 0) emptyFrame()
+            else DeltaLite.readVersion(spark, dir, version, Some(mf))
+          case None => DeltaLite.readVersion(spark, dir, version)
         }
-        DeltaLite.readVersion(spark, dir, version, mapFilter)
       case "hudi" =>
         val instant = version.map(v => f"$v%03d")
-        pred.foreach { f =>
-          record(HudiLite.planFilesMor(dir, instant, Some(f)).size,
-            HudiLite.planFilesMor(dir, instant).size)
+        pred match {
+          case Some(f) =>
+            val planned = HudiLite.planFilesMor(dir, instant, Some(f)).size
+            record(planned, HudiLite.planFilesMor(dir, instant).size)
+            if (planned == 0) emptyFrame()
+            else HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant, Some(f))
+          case None => HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant)
         }
-        HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant, pred)
       case "paimon" =>
-        pred.foreach { f =>
-          record(PaimonLite.planFiles(dir, version, Some(f)).size,
-            PaimonLite.planFiles(dir, version).size)
+        def rd(pf: Option[String => Boolean]): DataFrame =
+          if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version, pf)
+          else PaimonLite.readSnapshot(spark, dir, p.keyCols, version, pf)
+        pred match {
+          case Some(f) =>
+            val planned = PaimonLite.planFiles(dir, version, Some(f)).size
+            record(planned, PaimonLite.planFiles(dir, version).size)
+            if (planned == 0) emptyFrame() else rd(pred)
+          case None => rd(None)
         }
-        if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version, pred)
-        else PaimonLite.readSnapshot(spark, dir, p.keyCols, version, pred)
     }
-    df
   }
 
   private def appendTo(spark: SparkSession, fmt: String, dir: String,
@@ -479,22 +567,37 @@ object LakehouseSql {
       import org.apache.spark.sql.functions.{expr, lit}
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
+      lastScans = Nil
+      // a provable WHERE partition conjunct prunes the DELETE's target
+      // scan at file level — the same SqlPrune extraction the read path
+      // uses (sound: rows outside those files cannot match the WHERE)
+      val prune = p.partCol.flatMap(pc =>
+        SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
+      val identityPrune: Option[String => Boolean] = prune.map(_.pred)
+        .filter(_ => p.partCol.isDefined && p.partTransform == "identity")
       // each format's native row-delete spelling: Iceberg position
       // deletes, Delta deletion vectors, Paimon -D retraction rows,
       // Hudi delete blocks
       val version = fmt match {
-        case "iceberg" => IcebergWriter.deleteRows(spark, dir, expr(cond))
-        case "delta" => DeltaWriter.deleteRows(spark, dir, expr(cond))
+        case "iceberg" =>
+          IcebergWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
+            partPruneBy = identityPrune.map(f => (p.partCol.get, f)))
+        case "delta" =>
+          DeltaWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
+            partFilter = identityPrune.map(f =>
+              (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)))
         case "paimon" =>
           require(p.keyCols.nonEmpty,
             "DELETE FROM an append-only paimon table is not supported " +
               "(append tables are immutable facts)")
-          val victims = PaimonLite.readSnapshot(spark, dir, p.keyCols)
+          val victims = PaimonLite
+            .readSnapshot(spark, dir, p.keyCols, None, identityPrune)
             .filter(expr(cond))
             .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
           PaimonWriter.append(spark, dir, victims, p.partCol.get, p.keyCols)
         case "hudi" =>
-          val keys = HudiLite.readSnapshotMor(spark, dir, p.keyCols)
+          val keys = HudiLite
+            .readSnapshotMor(spark, dir, p.keyCols, None, identityPrune)
             .filter(expr(cond))
             .select(p.keyCols.map(org.apache.spark.sql.functions.col): _*)
           val instant = nextInstant(dir)
@@ -599,35 +702,50 @@ object LakehouseSql {
 
     case UpdateRe(fmt, name, setsRaw, cond) =>
       // UPDATE ... SET ... WHERE: matched rows re-land updated, spelled
-      // in each format's native row-change idiom — PK formats as ONE
-      // upsert commit (equality deletes / MoR log / LSM sequence); the
-      // others as a row-delete commit (position deletes / DVs) followed
-      // by an append of the updated rows computed from the PRE-delete
-      // snapshot (the reader's file list is captured eagerly, so the
-      // already-built plan is immune to the delete commit).
+      // in each format's native row-change idiom, always ONE COMMIT —
+      // PK formats as an upsert (equality deletes / MoR log / LSM
+      // sequence), positional formats as an atomic delete+add snapshot
+      // (position deletes / DVs plus the updated rows' files in the
+      // same version). A provable WHERE partition conjunct prunes BOTH
+      // the probe read and the writer's target scan to that
+      // partition's files. Zero matched rows is a successful no-op
+      // (standard SQL): the statement resolves to the current
+      // coordinate and the table is untouched.
       import org.apache.spark.sql.functions.{col, expr}
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
-      val cur = reader(spark, fmt, dir, p)
+      lastScans = Nil
+      val prune = p.partCol.flatMap(pc =>
+        SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
+      val cur = reader(spark, fmt, dir, p, None, prune, name)
       val setMap = parseAssignments(setsRaw, cur.columns.toSeq).toMap
       require(!p.keyCols.exists(setMap.contains),
         "UPDATE must not assign PRIMARY KEY columns (delete + insert instead)")
       val updated = cur.filter(expr(cond)).select(cur.columns.toSeq.map(c =>
         setMap.get(c).map(e => expr(e).as(c)).getOrElse(col(c))): _*)
-      require(updated.limit(1).count() == 1, "UPDATE matched no rows")
-      val version = fmt match {
-        case "iceberg" if p.keyCols.nonEmpty =>
-          applyUpsert(spark, fmt, dir, p, updated)
-        case "iceberg" =>
-          IcebergWriter.deleteRows(spark, dir, expr(cond))
-          IcebergWriter.append(spark, dir, updated, p.partCol)
-        case "delta" =>
-          DeltaWriter.deleteRows(spark, dir, expr(cond))
-          DeltaWriter.append(spark, dir, updated, p.partCol)
-        case "hudi" | "paimon" =>
-          applyUpsert(spark, fmt, dir, p, updated)
+      if (updated.limit(1).count() == 0)
+        s"SELECT CAST(${graft.streaming.CdfFeed.coordinate(spark, fmt, dir)} " +
+          "AS BIGINT) AS committed_version"
+      else {
+        val identityPrune: Option[String => Boolean] = prune.map(_.pred)
+          .filter(_ => p.partCol.isDefined && p.partTransform == "identity")
+        val version = fmt match {
+          case "iceberg" if p.keyCols.nonEmpty =>
+            applyUpsert(spark, fmt, dir, p, updated)
+          case "iceberg" =>
+            IcebergWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
+              p.partCol,
+              partPruneBy = identityPrune.map(f => (p.partCol.get, f)))
+          case "delta" =>
+            DeltaWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
+              p.partCol,
+              partFilter = identityPrune.map(f =>
+                (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)))
+          case "hudi" | "paimon" =>
+            applyUpsert(spark, fmt, dir, p, updated)
+        }
+        s"SELECT CAST($version AS BIGINT) AS committed_version"
       }
-      s"SELECT CAST($version AS BIGINT) AS committed_version"
 
     case MergeRe(fmt, name, tAliasRaw, srcView, sAliasRaw, cond,
                  matchedRaw, notMatchedRaw) =>
@@ -673,9 +791,28 @@ object LakehouseSql {
         require(dup == 0L,
           "MERGE cardinality violation: a target key matched more than one source row")
       }
+      if (p.keyCols.isEmpty && !isDelete) {
+        // keyless (positional) formats get the SAME cardinality rule,
+        // keyed on row identity: a target row matched twice would be
+        // deleted once and re-appended once per source row — silent
+        // duplication where standard MERGE requires an error
+        val tgtWithId = target.withColumn("__rid",
+          org.apache.spark.sql.functions.monotonically_increasing_id())
+        tgtWithId.createOrReplaceTempView(tAlias)
+        val dup = spark.sql(
+            s"SELECT $tAlias.__rid AS __rid FROM $tAlias JOIN $sAlias ON $cond")
+          .groupBy(col("__rid")).count()
+          .filter(col("count") > lit(1)).limit(1).count()
+        target.createOrReplaceTempView(tAlias)
+        require(dup == 0L,
+          "MERGE cardinality violation: a target row matched more than one source row")
+      }
       val hasMatched = matchedDf.limit(1).count() == 1
       val hasInserts = insertDf.exists(_.limit(1).count() == 1)
-      require(hasMatched || hasInserts, "MERGE affected no rows")
+      if (!hasMatched && !hasInserts)
+        // zero-match MERGE is a successful no-op (standard SQL)
+        return s"SELECT CAST(${graft.streaming.CdfFeed.coordinate(spark, fmt, dir)} " +
+          "AS BIGINT) AS committed_version"
       // join-matched scan rows — for the positional delete spelling the
       // matcher re-binds tAlias to the SCAN (its system columns survive
       // the tAlias.* projection)
@@ -688,39 +825,62 @@ object LakehouseSql {
         case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol)
         case _ => applyUpsert(spark, fmt, dir, p, rows)
       }
-      // positional formats: delete the matched rows (skipped when none
-      // matched), then append updated + inserted rows in one commit
-      def positionalUpdate(del: (DataFrame => DataFrame) => Long): Long = {
-        if (hasMatched) del(matcher): Unit
-        appendRows(
-          if (hasMatched && hasInserts) matchedDf.unionByName(insertDf.get)
-          else if (hasMatched) matchedDf else insertDf.get)
+      // positional formats: matched deletes (position deletes / DVs)
+      // and the replacement + inserted rows land in ONE atomic commit
+      // — a reader sees pre- or post-statement state, never
+      // matched-rows-gone-updates-missing, and a crash cannot lose the
+      // updates (updateRows; the same all-or-nothing shape INSERT
+      // OVERWRITE has)
+      def positionalOneCommit(rows: DataFrame): Long = fmt match {
+        case "iceberg" =>
+          IcebergWriter.updateRows(spark, dir, matcher, rows, p.partCol)
+        case "delta" =>
+          DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol)
+        case other => sys.error(s"no positional update for $other")
       }
       val version: Long = (fmt, isDelete) match {
-        case ("delta", false) =>
-          positionalUpdate(DeltaWriter.deleteRowsWhere(spark, dir, _))
-        case ("iceberg", false) if p.keyCols.isEmpty =>
-          positionalUpdate(IcebergWriter.deleteRowsWhere(spark, dir, _))
+        case ("delta" | "iceberg", false) if p.keyCols.isEmpty =>
+          if (!hasMatched) appendRows(insertDf.get)
+          else positionalOneCommit(
+            if (hasInserts) matchedDf.unionByName(insertDf.get) else matchedDf)
         case (_, true) =>
-          // matched DELETE in each format's native spelling (skipped
-          // when nothing matched), inserts after
-          val delV: Long =
-            if (!hasMatched) -1L
-            else fmt match {
-              case "iceberg" => IcebergWriter.deleteRowsWhere(spark, dir, matcher)
-              case "delta" => DeltaWriter.deleteRowsWhere(spark, dir, matcher)
-              case "hudi" =>
-                val instant = nextInstant(dir)
-                HudiLite.deleteKeys(spark, dir,
-                  matchedDf.select(p.keyCols.map(col): _*).distinct(),
-                  p.keyCols, instant)
-                instant.toLong
-              case "paimon" =>
-                PaimonWriter.append(spark, dir,
-                  matchedDf.withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete)),
-                  p.partCol.get, p.keyCols)
-            }
-          if (hasInserts) appendRows(insertDf.get) else delV
+          // matched DELETE in each format's native spelling; inserts
+          // share the commit wherever the format can express both
+          fmt match {
+            case "iceberg" | "delta" =>
+              if (!hasMatched) appendRows(insertDf.get)
+              else if (hasInserts) positionalOneCommit(insertDf.get)
+              else if (fmt == "iceberg")
+                IcebergWriter.deleteRowsWhere(spark, dir, matcher)
+              else DeltaWriter.deleteRowsWhere(spark, dir, matcher)
+            case "paimon" =>
+              // -D retractions and +I inserts are ROWS of one LSM
+              // commit — naturally atomic
+              val victims = matchedDf
+                .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
+              val rows =
+                if (!hasMatched) insertDf.get
+                  .withColumn("_VALUE_KIND", lit(PaimonLite.KindInsert))
+                else if (hasInserts) victims.unionByName(insertDf.get
+                  .withColumn("_VALUE_KIND", lit(PaimonLite.KindInsert)))
+                else victims
+              PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
+            case "hudi" =>
+              // MoR spells deletes and inserts as different block kinds
+              // in different file groups — two timeline instants
+              // (documented scope; the MoR merge hides the gap for
+              // readers at the latest instant)
+              val delV: Long =
+                if (!hasMatched) -1L
+                else {
+                  val instant = nextInstant(dir)
+                  HudiLite.deleteKeys(spark, dir,
+                    matchedDf.select(p.keyCols.map(col): _*).distinct(),
+                    p.keyCols, instant)
+                  instant.toLong
+                }
+              if (hasInserts) appendRows(insertDf.get) else delV
+          }
         case (_, false) =>
           // PK upsert: matched updates + inserts in ONE commit
           applyUpsert(spark, fmt, dir, p,
@@ -737,14 +897,10 @@ object LakehouseSql {
       // (extracted against the ORIGINAL statement; references inside
       // string literals are never rewritten).
       lastScans = Nil
-      def prunePred(fmt: String, name: String, p: Props)
-          : Option[String => Boolean] =
+      def pruneInfo(fmt: String, name: String, p: Props)
+          : Option[SqlPrune.PruneInfo] =
         p.partCol.flatMap(pc =>
-          SqlPrune.partPredicate(sql, s"graft_$fmt.$name", pc))
-      def pruneEqVals(fmt: String, name: String, p: Props)
-          : Option[Seq[String]] =
-        p.partCol.flatMap(pc =>
-          SqlPrune.partEqualityValues(sql, s"graft_$fmt.$name", pc))
+          SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
       // stream references first: each consumes (cursor, current] of its
       // table's change feed and advances the cursor — the second read
       // of an unchanged table is EMPTY (the table-stream contract)
@@ -796,8 +952,7 @@ object LakehouseSql {
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)
         val view = s"graft_lake_${fmt}_${name}_v$v"
-        reader(spark, fmt, dir, p, Some(v), prunePred(fmt, name, p), name,
-          pruneEqVals(fmt, name, p))
+        reader(spark, fmt, dir, p, Some(v), pruneInfo(fmt, name, p), name)
           .createOrReplaceTempView(view)
         view
       }
@@ -806,8 +961,7 @@ object LakehouseSql {
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)
         val view = s"graft_lake_${fmt}_$name"
-        reader(spark, fmt, dir, p, None, prunePred(fmt, name, p), name,
-          pruneEqVals(fmt, name, p))
+        reader(spark, fmt, dir, p, None, pruneInfo(fmt, name, p), name)
           .createOrReplaceTempView(view)
         view
       }

@@ -63,31 +63,85 @@ object SqlPrune {
       .filterNot(a => StopKeywords.contains(a.toUpperCase))
   }
 
+  /** Cast a string through Spark's OWN cast to the column's type —
+    * TRY mode, so unparseable input is None, never an exception. This
+    * is what makes date/timestamp/boolean pruning spelling-insensitive:
+    * the stored value ('2024-01-03 10:00:00') and a non-canonical
+    * literal ('2024-01-03T10:00:00') normalize to the same typed value
+    * exactly as the WHERE's own comparison would. */
+  private[plans] def castTo(colType: String, s: String): Option[Any] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal => CLit}
+    val dt =
+      try org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(colType)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    scala.util.Try(Cast(
+      CLit(org.apache.spark.unsafe.types.UTF8String.fromString(s),
+        org.apache.spark.sql.types.StringType),
+      dt, Some("UTC"), EvalMode.TRY).eval()).toOption.flatMap(Option(_))
+  }
+
+  /** Types whose STRING literals must normalize through [[castTo]]
+    * before comparing against the stored cast-to-string partition value
+    * — raw text comparison on these silently prunes live files when the
+    * literal is a valid non-canonical spelling. */
+  private def isTemporalish(colType: String): Boolean =
+    colType == "date" || colType == "boolean" || colType.startsWith("timestamp")
+
+  private def ordered(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => Some(x.compareTo(y))
+    case (x: java.lang.Long, y: java.lang.Long) => Some(x.compareTo(y))
+    case (x: java.lang.Boolean, y: java.lang.Boolean) => Some(x.compareTo(y))
+    case _ => None // unknown representation: caller keeps the file
+  }
+
+  private def opHolds(op: String, c: Int): Boolean = op match {
+    case "=" => c == 0
+    case "<" => c < 0
+    case "<=" => c <= 0
+    case ">" => c > 0
+    case ">=" => c >= 0
+    case _ => true
+  }
+
   /** One extracted comparison on the partition column, evaluated
     * against the STORED partition-value string (what the writers stamp:
     * `col.cast("string")`). Unparseable values are conservatively
-    * KEPT for numeric comparisons — pruning must never be lossy. */
-  private def cmp(op: String, lit: Literal): String => Boolean = {
+    * KEPT — pruning must never be lossy. `colType` is the partition
+    * column's declared type (simpleString); "" = unknown, which keeps
+    * the legacy raw/numeric comparison for equality only. */
+  private def cmp(op: String, lit: Literal, colType: String): String => Boolean = {
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s.trim)) catch { case _: NumberFormatException => None }
     lit match {
+      case StrLit(_) if colType.startsWith("timestamp") && op != "=" =>
+        // wall-clock order can disagree with instant order inside a DST
+        // fall-back hour — timestamp RANGES are not extracted (equality
+        // is safe: instant-equal implies rendering-equal, so the kept
+        // set is always a superset)
+        _ => true
+      case StrLit(v) if isTemporalish(colType) =>
+        castTo(colType, v) match {
+          case None => _ => true // literal the type cannot parse: no prune
+          case Some(lv) => pv => castTo(colType, pv) match {
+            case None => true // unparseable stored value: keep
+            case Some(sv) => ordered(sv, lv).forall(opHolds(op, _))
+          }
+        }
+      case StrLit(v) if colType == "string" || colType.startsWith("char") ||
+          colType.startsWith("varchar") =>
+        // stored value IS the exact string: lexicographic compare is
+        // the column's own ordering, so ranges extract too
+        pv => opHolds(op, pv.compareTo(v))
       case StrLit(v) => op match {
         case "=" => pv => pv == v || ((num(pv), num(v)) match {
           case (Some(a), Some(b)) => a == b
           case _ => false
         })
-        case _ => _ => true // string inequality: not extracted (see below)
+        case _ => _ => true // unknown-typed string inequality: not extracted
       }
       case NumLit(v) => pv => num(pv) match {
         case None => true // cast-to-null rows die in the WHERE anyway
-        case Some(n) => op match {
-          case "=" => n == v
-          case "<" => n < v
-          case "<=" => n <= v
-          case ">" => n > v
-          case ">=" => n >= v
-          case _ => true
-        }
+        case Some(n) => opHolds(op, n.compare(v))
       }
     }
   }
@@ -101,33 +155,51 @@ object SqlPrune {
   private def lit(m: String, n: String): Literal =
     if (m != null) StrLit(m) else NumLit(BigDecimal(n))
 
-  /** The literal value strings of the first `=` / `IN` conjunct on
-    * `partCol` (same soundness guards as [[partPredicate]]) — what a
-    * TRANSFORMED partition spec needs: the transform applies to the
-    * literal, then prunes on the stored transformed value. None when
-    * no provable equality conjunct exists. */
-  def partEqualityValues(sql: String, tableRef: String, partCol: String)
-      : Option[Seq[String]] = {
-    equalityValues.set(None)
-    partPredicate(sql, tableRef, partCol): Unit
-    val out = equalityValues.get()
-    equalityValues.set(None)
-    out
-  }
-  private val equalityValues =
-    new ThreadLocal[Option[Seq[String]]] { override def initialValue = None }
+  /** Everything the extractor can prove about the partition column
+    * from one statement: a keep-this-stored-value predicate, the
+    * equality literals (what bucket/truncate transform pruning needs),
+    * and the range bounds as (op, literal) pairs (what MONOTONE
+    * transform pruning — year/month/day, truncate — needs: a bound on
+    * the source column becomes an inclusive bound on its truncation). */
+  final case class PruneInfo(pred: String => Boolean,
+                             eqVals: Option[Seq[String]],
+                             bounds: Seq[(String, String)])
+
+  /** The literal value strings of the first `=` / `IN` / single-column
+    * OR-disjunction conjunct on `partCol` (same soundness guards as
+    * [[partPredicate]]) — what a TRANSFORMED partition spec needs: the
+    * transform applies to the literal, then prunes on the stored
+    * transformed value. None when no provable equality conjunct
+    * exists. */
+  def partEqualityValues(sql: String, tableRef: String, partCol: String,
+                         colType: String = ""): Option[Seq[String]] =
+    partPruneInfo(sql, tableRef, partCol, colType).flatMap(_.eqVals)
+
+  /** [[partPruneInfo]]'s predicate alone. */
+  def partPredicate(sql: String, tableRef: String, partCol: String,
+                    colType: String = ""): Option[String => Boolean] =
+    partPruneInfo(sql, tableRef, partCol, colType).map(_.pred)
 
   /** Extract a partition predicate for `partCol` of the table referred
     * to as `tableRef` (e.g. "graft_iceberg.li_x") from `sql`. None =
-    * nothing provably extractable; the caller reads unpruned. */
-  def partPredicate(sql: String, tableRef: String, partCol: String)
-      : Option[String => Boolean] = {
+    * nothing provably extractable; the caller reads unpruned.
+    *
+    * Soundness model: the WHERE clause splits into depth-0 AND
+    * conjuncts; a conjunct the patterns below do not match contributes
+    * NOTHING (never bails the others — an ANDed conjunct cannot
+    * un-restrict its siblings, and NOT/CASE bind tighter than AND so
+    * they stay inside their own conjunct). A depth-0 OR, by contrast,
+    * breaks the conjunction shape entirely: the clause is then used
+    * only if it is, in full, a single-column disjunction of equalities
+    * (`p='a' OR p='b'` ≡ `p IN ('a','b')`); anything else returns
+    * None. */
+  def partPruneInfo(sql: String, tableRef: String, partCol: String,
+                    colType: String = ""): Option[PruneInfo] = {
     val masked = maskLiterals(sql)
     val upper = masked.toUpperCase
-    // any OR / NOT / CASE anywhere makes textual conjuncts unreliable;
     // set operators split the statement into blocks a single textual
     // WHERE cannot be tied to
-    if (Seq("OR", "NOT", "CASE", "UNION", "EXCEPT", "INTERSECT")
+    if (Seq("UNION", "EXCEPT", "INTERSECT")
         .exists(k => s"\\b$k\\b".r.findFirstIn(upper).isDefined)) return None
     val whereStarts = "\\bWHERE\\b".r.findAllMatchIn(upper).map(_.end).toList
     if (whereStarts.size != 1) return None
@@ -180,34 +252,52 @@ object SqlPrune {
     // split on depth-0 ANDs (an AND completing a BETWEEN is not a split)
     val clauseMasked = masked.substring(start, end)
     val clauseOrig = sql.substring(start, end)
-    val splits = List.newBuilder[Int]
-    depth = 0
-    var betweenOpen = false
     val clauseUpper = clauseMasked.toUpperCase
-    i = 0
-    while (i < clauseUpper.length) {
-      clauseUpper.charAt(i) match {
-        case '(' => depth += 1; i += 1
-        case ')' => depth -= 1; i += 1
-        case _ =>
-          def word(w: String): Boolean =
-            clauseUpper.startsWith(w, i) &&
-              (i == 0 || { val c = clauseUpper.charAt(i - 1)
-                !c.isLetterOrDigit && c != '_' }) &&
-              (i + w.length == clauseUpper.length ||
-                { val c = clauseUpper.charAt(i + w.length)
-                  !c.isLetterOrDigit && c != '_' })
-          if (depth == 0 && word("BETWEEN")) { betweenOpen = true; i += 7 }
-          else if (depth == 0 && word("AND")) {
-            if (betweenOpen) betweenOpen = false else splits += i
-            i += 3
-          } else i += 1
+    def wordAt(text: String, w: String, at: Int): Boolean =
+      text.startsWith(w, at) &&
+        (at == 0 || { val c = text.charAt(at - 1)
+          !c.isLetterOrDigit && c != '_' }) &&
+        (at + w.length == text.length ||
+          { val c = text.charAt(at + w.length)
+            !c.isLetterOrDigit && c != '_' })
+    def splitOn(word: String): List[String] = {
+      val splits = List.newBuilder[Int]
+      var depth = 0
+      var betweenOpen = false
+      var j = 0
+      while (j < clauseUpper.length) {
+        clauseUpper.charAt(j) match {
+          case '(' => depth += 1; j += 1
+          case ')' => depth -= 1; j += 1
+          case _ =>
+            if (depth == 0 && wordAt(clauseUpper, "BETWEEN", j)) {
+              betweenOpen = true; j += 7
+            } else if (depth == 0 && wordAt(clauseUpper, "AND", j) &&
+                betweenOpen) {
+              betweenOpen = false; j += 3
+            } else if (depth == 0 && wordAt(clauseUpper, word, j)) {
+              splits += j; j += word.length
+            } else j += 1
+        }
       }
+      val bs = (0 +: splits.result().flatMap(s => Seq(s, s + word.length))) :+
+        clauseOrig.length
+      bs.grouped(2).collect { case Seq(a, b) =>
+        clauseOrig.substring(a, b).trim }.toList
     }
-    val bounds = (0 +: splits.result().flatMap(s => Seq(s, s + 3))) :+ clauseOrig.length
-    val conjuncts = bounds.grouped(2).collect {
-      case Seq(a, b) => clauseOrig.substring(a, b).trim
-    }.toList
+    def hasDepth0(word: String): Boolean = {
+      var depth = 0
+      var j = 0
+      while (j < clauseUpper.length) {
+        clauseUpper.charAt(j) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => if (depth == 0 && wordAt(clauseUpper, word, j)) return true
+        }
+        j += 1
+      }
+      false
+    }
 
     val alias = aliasOf(masked, tableRef)
     val tableName = tableRef.split("\\.").last
@@ -218,40 +308,115 @@ object SqlPrune {
     val eqFlipRe = s"(?is)^(?:$Str|$Num)\\s*(=|<=|>=|<|>)\\s*$colRe$$".r
     val inRe = s"(?is)^$colRe\\s+IN\\s*\\(([^()]*)\\)$$".r
     val inItemRe = s"(?is)^(?:$Str|$Num)$$".r
-    val btRe = s"(?is)^$colRe\\s+BETWEEN\\s+$Num\\s+AND\\s+$Num$$".r
+    val btRe = s"(?is)^$colRe\\s+BETWEEN\\s+(?:$Str|$Num)\\s+AND\\s+(?:$Str|$Num)$$".r
     def flip(op: String): String = op match {
       case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
       case o => o
     }
+    var eqVals: Option[Seq[String]] = None
+    val rangeBounds = Seq.newBuilder[(String, String)]
     def recordEq(vals: Seq[String]): Unit =
-      if (equalityValues.get().isEmpty) equalityValues.set(Some(vals))
-    val preds = conjuncts.flatMap {
-      case eqRe(qual, op, s, n) if colOk(qual) =>
-        if (op == "=") recordEq(Seq(if (s != null) s else n))
-        Some(cmp(op, lit(s, n)))
-      case eqFlipRe(s, n, op, qual) if colOk(qual) =>
-        if (op == "=") recordEq(Seq(if (s != null) s else n))
-        Some(cmp(flip(op), lit(s, n)))
-      case inRe(qual, items) if colOk(qual) =>
-        val parsed = items.split(",").map(_.trim).toSeq.map {
-          case inItemRe(s, n) => Some((lit(s, n), if (s != null) s else n))
-          case _ => None
+      if (eqVals.isEmpty) eqVals = Some(vals)
+    def rawOf(s: String, n: String): String = if (s != null) s else n
+
+    // a SAME-COLUMN disjunction of equalities (`p='a' OR p='b'`) is an
+    // IN in disguise; anything else containing OR proves nothing
+    def parseDisjunction(text: String): Option[String => Boolean] = {
+      val parts = {
+        // depth-0 OR split WITHIN this conjunct's text
+        val tU = maskLiterals(text).toUpperCase
+        val splits = List.newBuilder[Int]
+        var depth = 0
+        var j = 0
+        while (j < tU.length) {
+          tU.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ => if (depth == 0 && wordAt(tU, "OR", j)) splits += j
+          }
+          j += 1
         }
-        if (parsed.exists(_.isEmpty)) None
-        else {
-          recordEq(parsed.flatten.map(_._2))
-          val fs = parsed.flatten.map(p => cmp("=", p._1))
-          Some((pv: String) => fs.exists(_(pv)))
-        }
-      case btRe(qual, loS, hiS) if colOk(qual) =>
-        val (loF, hiF) = (cmp(">=", NumLit(BigDecimal(loS))),
-          cmp("<=", NumLit(BigDecimal(hiS))))
-        Some((pv: String) => loF(pv) && hiF(pv))
-      case _ => None
+        val bs = (0 +: splits.result().flatMap(s => Seq(s, s + 2))) :+ text.length
+        bs.grouped(2).collect { case Seq(a, b) =>
+          text.substring(a, b).trim }.toList
+      }
+      if (parts.size < 2) return None
+      val parsed = parts.map {
+        case eqRe(qual, "=", s, n) if colOk(qual) => Some(rawOf(s, n) -> lit(s, n))
+        case eqFlipRe(s, n, "=", qual) if colOk(qual) => Some(rawOf(s, n) -> lit(s, n))
+        case _ => None
+      }
+      if (parsed.exists(_.isEmpty)) None
+      else {
+        recordEq(parsed.flatten.map(_._1))
+        val fs = parsed.flatten.map(p => cmp("=", p._2, colType))
+        Some((pv: String) => fs.exists(_(pv)))
+      }
     }
-    // drop the always-true placeholders (string inequality)
-    val useful = preds
-    if (useful.isEmpty) None
-    else Some(pv => useful.forall(_(pv)))
+
+    if (hasDepth0("OR")) {
+      // the clause is not a conjunction — usable only if it is, whole,
+      // a single-column disjunction of equalities
+      return parseDisjunction(clauseOrig.trim).map(f =>
+        PruneInfo(f, eqVals, Nil))
+    }
+
+    val conjuncts = splitOn("AND")
+    def stripParens(s: String): String = {
+      val t = s.trim
+      if (t.startsWith("(") && t.endsWith(")")) {
+        // only strip when the parens MATCH each other
+        var depth = 0
+        var ok = true
+        var j = 0
+        while (j < t.length - 1) {
+          t.charAt(j) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) ok = false
+            case _ =>
+          }
+          j += 1
+        }
+        if (ok) t.substring(1, t.length - 1).trim else t
+      } else t
+    }
+    val preds = conjuncts.flatMap { c0 =>
+      stripParens(c0) match {
+        case eqRe(qual, op, s, n) if colOk(qual) =>
+          if (op == "=") recordEq(Seq(rawOf(s, n)))
+          else rangeBounds += ((op, rawOf(s, n)))
+          Some(cmp(op, lit(s, n), colType))
+        case eqFlipRe(s, n, op, qual) if colOk(qual) =>
+          if (op == "=") recordEq(Seq(rawOf(s, n)))
+          else rangeBounds += ((flip(op), rawOf(s, n)))
+          Some(cmp(flip(op), lit(s, n), colType))
+        case inRe(qual, items) if colOk(qual) =>
+          val parsed = items.split(",").map(_.trim).toSeq.map {
+            case inItemRe(s, n) => Some((lit(s, n), rawOf(s, n)))
+            case _ => None
+          }
+          if (parsed.exists(_.isEmpty)) None
+          else {
+            recordEq(parsed.flatten.map(_._2))
+            val fs = parsed.flatten.map(p => cmp("=", p._1, colType))
+            Some((pv: String) => fs.exists(_(pv)))
+          }
+        case btRe(qual, loS, loN, hiS, hiN) if colOk(qual) =>
+          rangeBounds += ((">=", rawOf(loS, loN)))
+          rangeBounds += (("<=", rawOf(hiS, hiN)))
+          val (loF, hiF) = (cmp(">=", lit(loS, loN), colType),
+            cmp("<=", lit(hiS, hiN), colType))
+          Some((pv: String) => loF(pv) && hiF(pv))
+        case c if maskLiterals(c).toUpperCase.matches("(?s).*\\bOR\\b.*") =>
+          // a parenthesized same-column disjunction inside the AND
+          // chain; any other OR-bearing conjunct proves nothing (and
+          // cannot un-restrict its siblings)
+          parseDisjunction(stripParens(c0))
+        case _ => None
+      }
+    }
+    if (preds.isEmpty) None
+    else Some(PruneInfo(pv => preds.forall(_(pv)), eqVals,
+      rangeBounds.result()))
   }
 }

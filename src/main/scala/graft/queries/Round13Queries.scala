@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import Q.t
+
+/** Round-13: the SQL lakehouse route hardens its DML semantics and
+  * widens pruning — zero-match UPDATE/MERGE as standard-SQL no-ops,
+  * positional UPDATE/MERGE as ONE atomic commit (position deletes /
+  * deletion vectors + the replacement files in a single version —
+  * reference shape: be/src/exec/operator/iceberg_merge_sink_operator.h:44
+  * commits once), DML target scans pruned by the same provable WHERE
+  * conjuncts the read path extracts, single-column OR disjunctions and
+  * monotone-transform ranges joining the extractor
+  * (fe/fe-core/.../nereids/rules/rewrite/PruneFileScanPartition.java is
+  * the FE-role precedent), and the Iceberg/Hudi change feeds gated as
+  * streaming sources like their Delta/Paimon siblings. Oracles
+  * recompute expected content from the base tables by predicate. */
+object Round13Queries {
+
+  private def safeName(dir: String): String =
+    new java.io.File(dir).getName.replace(".", "_")
+
+  private def fresh(name: String): (String, String) = {
+    val ckpt = s"target/stream/ckpt_$name"
+    val out = s"target/stream/out_$name"
+    Seq(ckpt, out).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      }
+    }
+    (new java.io.File(ckpt).getAbsolutePath, new java.io.File(out).getAbsolutePath)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ZERO-MATCH DML IS A NO-OP (standard SQL): an UPDATE whose WHERE
+    // matches nothing — including a partition predicate that prunes to
+    // ZERO files — resolves successfully and leaves the table
+    // byte-identical. Both engines recompute the unchanged content.
+    "sql_lake_update_nomatch" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 8000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("r13_li_nm")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.unm_$n " +
+        "PARTITIONED BY (l_returnflag) AS SELECT * FROM r13_li_nm")
+      // no row has this key; the partition exists
+      s.sql(s"UPDATE graft_delta.unm_$n SET l_quantity = 0 " +
+        "WHERE l_returnflag = 'A' AND l_orderkey = -1").collect()
+      // no partition has this value: the pruned read is EMPTY, the
+      // statement still a successful no-op
+      s.sql(s"UPDATE graft_delta.unm_$n SET l_quantity = 0 " +
+        "WHERE l_returnflag = 'Z'").collect()
+      // zero-match MERGE, same contract
+      s.sql("SELECT CAST(-7 AS BIGINT) AS l_orderkey, 'A' AS l_returnflag, " +
+        "CAST(0 AS DOUBLE) AS l_quantity")
+        .createOrReplaceTempView("r13_nm_src")
+      s.sql(s"MERGE INTO graft_delta.unm_$n tt USING r13_nm_src ss " +
+        "ON tt.l_orderkey = ss.l_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET l_quantity = ss.l_quantity").collect()
+      s.sql(s"SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        s"FROM graft_delta.unm_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // SINGLE-COLUMN OR DISJUNCTION PRUNES: `p='A' OR p='N'` is an IN in
+    // disguise — the premise gate asserts a strict file subset was
+    // planned, and the soundness negative (mixed-column OR must NOT
+    // prune) is pinned in SqlPruneSpec.
+    "sql_lake_prune_or" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("r13_li_or")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.pror_$n " +
+        "PARTITIONED BY (l_returnflag) AS SELECT * FROM r13_li_or")
+      val out = s.sql(
+        s"""SELECT l_returnflag, count(*) AS cnt,
+           |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           |FROM graft_iceberg.pror_$n
+           |WHERE l_returnflag = 'A' OR l_returnflag = 'N'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("OR prune premise: the read must record a pruned scan"))
+      require(scan.plannedFiles >= 2 && scan.plannedFiles < scan.totalFiles,
+        s"OR prune premise: the disjunction must plan a strict file subset, " +
+          s"got $scan")
+      out
+    }),
+
+    // MONOTONE-TRANSFORM RANGE PRUNING: a day(ts) partition spec prunes
+    // under a timestamp RANGE — each bound pushes through the
+    // truncation (widened a day for the DST caveat) and the manifest
+    // walk plans only the covered days' files.
+    "sql_lake_prune_range" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r13_ev")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.prts_$n " +
+        "PARTITIONED BY (days(ts)) AS SELECT * FROM r13_ev")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS cnt,
+           |       CAST(sum(event_id) AS BIGINT) AS sum_id
+           |FROM graft_iceberg.prts_$n
+           |WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("range prune premise: the read must record a pruned scan"))
+      require(scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"range prune premise: the ts range must plan a strict file subset " +
+          s"of the month's day partitions, got $scan")
+      out
+    }),
+
+    // DML TARGET PRUNING: an UPDATE whose WHERE carries a partition
+    // conjunct plans ONE partition's files in the writer's target scan
+    // (lastScans records the probe read's pruning; the writer receives
+    // the same predicate), and the whole statement is one atomic
+    // deletion-vector + add commit.
+    "sql_lake_update_prune" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 10000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("r13_li_up")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.updp_$n " +
+        "PARTITIONED BY (l_returnflag) AS SELECT * FROM r13_li_up")
+      s.sql(s"UPDATE graft_delta.updp_$n SET l_quantity = l_quantity + 500 " +
+        "WHERE l_returnflag = 'R' AND l_orderkey % 2 = 0").collect()
+      val scan = LakehouseSql.lastScans.find(_.fmt == "delta").getOrElse(
+        sys.error("UPDATE prune premise: the statement must record a pruned scan"))
+      require(scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"UPDATE prune premise: WHERE l_returnflag='R' must plan a strict " +
+          s"file subset, got $scan")
+      s.sql(s"SELECT l_returnflag, count(*) AS cnt, " +
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty " +
+        s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // ICEBERG CHANGE FEED AS A STREAMING SOURCE: snapshot-id offsets
+    // checkpointed by the engine; run 1 ships the initial snapshot,
+    // run 2 RESUMES and ships only the appended windows — the premise
+    // gate rejects any replayed (key, change) pair. The Iceberg
+    // incremental read ships appended files as inserts.
+    "stream_iceberg_cdf_source" -> ((s, dir) => {
+      import graft.ops.IcebergWriter
+      val (ckpt, out) = fresh("iceberg_cdf_source")
+      val (_, tableDir0) = fresh("iceberg_cdf_source_table")
+      val tableDir = tableDir0
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 8000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      IcebergWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 0), Some("o_orderstatus"))
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.streaming.CdfSourceProvider")
+          .option("path", tableDir).option("format", "iceberg").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      IcebergWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 4 === 1), Some("o_orderstatus"))
+      IcebergWriter.append(s, tableDir,
+        base.filter(col("o_orderkey") % 4 === 3), Some("o_orderstatus"))
+      runOnce()
+      val events = s.read.parquet(out)
+      val replayed = events
+        .groupBy(col("o_orderkey"), col("_CHANGE_TYPE"))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(replayed == 0L,
+        "offset resume premise: a restarted stream must not replay " +
+          "already-delivered change windows")
+      events.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_ok"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // HUDI CHANGE FEED AS A STREAMING SOURCE: instant offsets; delta
+    // log blocks ride _CHANGE_TYPE='upsert', delete blocks 'delete'
+    // (non-key columns NULL), new base files 'insert'. Two runs, one
+    // checkpoint, resume premise as above; the replica rebuilt from
+    // the feed is oracle-checked.
+    "stream_hudi_cdf_source" -> ((s, dir) => {
+      import graft.ops.HudiLite
+      val (ckpt, out) = fresh("hudi_cdf_source")
+      val (_, tableDir) = fresh("hudi_cdf_source_table")
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      HudiLite.createTable(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 0),
+        Seq("o_orderkey"), "o_orderstatus", "001")
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.streaming.CdfSourceProvider")
+          .option("path", tableDir).option("format", "hudi")
+          .option("keycols", "o_orderkey").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce()
+      HudiLite.upsert(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 1)
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
+        Seq("o_orderkey"), "o_orderstatus", "002")
+      HudiLite.deleteKeys(s, tableDir,
+        base.filter(col("o_orderkey") % 2 === 0 &&
+            col("o_orderkey") % 9 === 0)
+          .select(col("o_orderkey")),
+        Seq("o_orderkey"), "003")
+      runOnce()
+      val events = s.read.parquet(out)
+      val replayed = events
+        .groupBy(col("o_orderkey"), col("_CHANGE_TYPE"))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(replayed == 0L, "offset resume premise violated")
+      val live = events.filter(col("_CHANGE_TYPE") =!= "delete")
+      val deletes = events.filter(col("_CHANGE_TYPE") === "delete")
+        .select(col("o_orderkey"))
+      live.join(deletes, Seq("o_orderkey"), "left_anti")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("sum_ck"))
+        .orderBy(col("o_orderstatus"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    // three zero-match statements later, the table is the CREATE state
+    "sql_lake_update_nomatch" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey < 8000
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_prune_or" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey < 10000 AND l_returnflag IN ('A', 'N')
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_prune_range" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_update_prune" -> """
+      SELECT l_returnflag, count(*) AS cnt,
+             CAST(sum(CASE WHEN l_returnflag = 'R' AND l_orderkey % 2 = 0
+                           THEN l_quantity + 500 ELSE l_quantity END)
+                  AS BIGINT) AS sum_qty
+      FROM lineitem
+      WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    "stream_iceberg_cdf_source" -> """
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(o_orderkey) AS BIGINT) AS sum_ok
+      FROM orders
+      WHERE o_orderkey < 8000
+      GROUP BY 1 ORDER BY 1""",
+
+    // evens from the initial snapshot, odds upserted with +1000000,
+    // even multiples of 9 (i.e. of 18) deleted
+    "stream_hudi_cdf_source" -> """
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 2 = 1 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders
+            WHERE o_orderkey < 9000 AND o_orderkey % 18 <> 0) u
+      GROUP BY 1 ORDER BY 1"""
+  )
+}

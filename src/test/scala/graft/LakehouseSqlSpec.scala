@@ -133,13 +133,43 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(s.plannedFiles == 2 && s.totalFiles == 4, s"IN prune: $s")
   }
 
-  test("unprovable WHERE shapes read unpruned but value-correct") {
+  test("single-column OR prunes; unprovable OR shapes read unpruned") {
     import graft.plans.LakehouseSql
-    // OR blocks pruning; the result must still be right
+    // a same-column disjunction of equalities IS an IN: it prunes
     val got = sql("SELECT k FROM graft_iceberg.lksql_pr " +
       "WHERE p = 'A' OR p = 'B' ORDER BY k").collect().map(_.getLong(0)).toSeq
     assert(got == Seq(1L, 2L, 5L, 6L))
-    assert(LakehouseSql.lastScans.isEmpty, "OR must not record a prune")
+    val s = LakehouseSql.lastScans.headOption.getOrElse(
+      fail("same-column OR must record a prune"))
+    assert(s.plannedFiles == 2 && s.totalFiles == 4, s"OR prune: $s")
+    // a MIXED-column OR proves nothing: unpruned but value-correct
+    val got2 = sql("SELECT k FROM graft_iceberg.lksql_pr " +
+      "WHERE p = 'A' OR k = 2 ORDER BY k").collect().map(_.getLong(0)).toSeq
+    assert(got2 == Seq(1L, 2L, 5L))
+    assert(LakehouseSql.lastScans.isEmpty, "mixed-column OR must not prune")
+    // a parenthesized same-column disjunction INSIDE an AND chain
+    // composes with the other conjuncts
+    val got3 = sql("SELECT k FROM graft_iceberg.lksql_pr " +
+      "WHERE (p = 'A' OR p = 'B') AND k >= 2 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got3 == Seq(2L, 5L, 6L))
+    val s3 = LakehouseSql.lastScans.headOption.getOrElse(
+      fail("parenthesized OR conjunct must record a prune"))
+    assert(s3.plannedFiles == 2 && s3.totalFiles == 4, s"OR-in-AND prune: $s3")
+  }
+
+  test("a predicate matching no partition returns empty, never throws") {
+    import graft.plans.LakehouseSql
+    // the reader's no-live-files guard is for broken tables, not valid
+    // queries over absent partitions (every format)
+    for (fmt <- Seq("iceberg", "delta", "hudi", "paimon")) {
+      val out = sql(s"SELECT k, p, v FROM graft_$fmt.lksql_pr WHERE p = 'Z'")
+      assert(out.collect().isEmpty, s"$fmt absent-partition read")
+      assert(out.columns.toSeq == Seq("k", "p", "v"), s"$fmt schema survives")
+      val s = LakehouseSql.lastScans.find(_.fmt == fmt).getOrElse(
+        fail(s"$fmt zero-match read must record the pruned scan"))
+      assert(s.plannedFiles == 0, s"$fmt planned: $s")
+    }
   }
 
   test("UPDATE: native row-change spelling per format") {
@@ -165,9 +195,111 @@ class LakehouseSqlSpec extends AnyFunSuite {
       sql("UPDATE graft_paimon.lksql_upd SET k = k + 1 WHERE v = 10")
     }
     assert(e.getMessage.contains("PRIMARY KEY"))
-    intercept[Exception] {
-      sql("UPDATE graft_delta.lksql_upd SET v = 0 WHERE k = 999")
+    // zero-match UPDATE is a successful NO-OP (standard SQL): the
+    // statement resolves, the table is byte-identical
+    val before = sql("SELECT k, v FROM graft_delta.lksql_upd ORDER BY k")
+      .collect().toSeq
+    sql("UPDATE graft_delta.lksql_upd SET v = 0 WHERE k = 999").collect()
+    val after = sql("SELECT k, v FROM graft_delta.lksql_upd ORDER BY k")
+      .collect().toSeq
+    assert(before == after, "zero-match UPDATE must not change the table")
+  }
+
+  test("positional UPDATE/MERGE is ONE atomic commit; crash loses nothing") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.{DeltaLite, DeltaWriter, IcebergLite}
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "A", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_atom_src")
+    def deltaVersion(name: String): Long = {
+      val dir = new java.io.File(s"target/lakehouse/delta/$name/_delta_log")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("\\d{20}\\.json"))
+        .map(_.getName.dropRight(5).toLong).max
     }
+    def icebergVersion(name: String): Int = {
+      val dir = new java.io.File(s"target/lakehouse/iceberg/$name/metadata")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^v(\\d+)\\.metadata\\.json$".r
+          .findFirstMatchIn(f.getName).map(_.group(1).toInt)).max
+    }
+    // UPDATE: exactly ONE new version per statement, both formats
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_atom " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_atom_src")
+    val dv0 = deltaVersion("lksql_atom")
+    sql("UPDATE graft_delta.lksql_atom SET v = v * 100 WHERE k >= 2")
+    assert(deltaVersion("lksql_atom") == dv0 + 1,
+      "delta UPDATE must commit exactly one version")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_atom " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_atom_src")
+    val iv0 = icebergVersion("lksql_atom")
+    sql("UPDATE graft_iceberg.lksql_atom SET v = v * 100 WHERE k >= 2")
+    assert(icebergVersion("lksql_atom") == iv0 + 1,
+      "iceberg UPDATE must commit exactly one metadata version")
+    // MERGE with matched update + not-matched insert: one version
+    Seq((2L, "B", 9), (9L, "A", 90)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_atom_merge_src")
+    val dv1 = deltaVersion("lksql_atom")
+    sql("MERGE INTO graft_delta.lksql_atom t USING lksql_atom_merge_src s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(deltaVersion("lksql_atom") == dv1 + 1,
+      "delta MERGE must commit exactly one version")
+    val got = sql("SELECT k, v FROM graft_delta.lksql_atom ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 10), (2L, 9), (3L, 3000), (9L, 90)))
+    // crash-window drill: a SET expression that THROWS mid-statement.
+    // The two-commit spelling this replaced committed its delete half
+    // first, so this exact failure lost the matched rows; with one
+    // atomic commit the statement is all-or-nothing.
+    val dir = new java.io.File("target/lakehouse/delta/lksql_atom")
+      .getAbsolutePath
+    val before = sql("SELECT k, v FROM graft_delta.lksql_atom ORDER BY k")
+      .collect().toSeq
+    val dvBefore = deltaVersion("lksql_atom")
+    spark.udf.register("lksql_boom", (_: Int) =>
+      { throw new RuntimeException("injected mid-statement crash"); 0 })
+    intercept[Exception] {
+      sql("UPDATE graft_delta.lksql_atom SET v = lksql_boom(v) WHERE k >= 1")
+    }
+    assert(deltaVersion("lksql_atom") == dvBefore,
+      "a crashed UPDATE must commit nothing")
+    val after = sql("SELECT k, v FROM graft_delta.lksql_atom ORDER BY k")
+      .collect().toSeq
+    assert(before == after,
+      "a crashed UPDATE must leave the table at its pre-statement state")
+    // and the read path still replays: deletes + adds were never split
+    assert(DeltaLite.readVersion(spark, dir).count() == 4L)
+    IcebergLite.planFiles(
+      new java.io.File("target/lakehouse/iceberg/lksql_atom").getAbsolutePath)
+      : Unit
+  }
+
+  test("keyless MERGE cardinality violation is loud (positional formats)") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_card_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_card " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_card_src")
+    // two source rows hit target row k=1: standard MERGE requires an
+    // error, not one-delete-two-appends
+    Seq((1L, "A", 7), (1L, "A", 8)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_card_dup")
+    val e = intercept[Exception] {
+      sql("MERGE INTO graft_delta.lksql_card t USING lksql_card_dup s " +
+        "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")
+    }
+    assert(e.getMessage.contains("cardinality"), s"got: ${e.getMessage}")
+    // zero-match MERGE is a successful no-op
+    Seq((99L, "A", 1)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_card_none")
+    val before = sql("SELECT k, v FROM graft_delta.lksql_card ORDER BY k")
+      .collect().toSeq
+    sql("MERGE INTO graft_delta.lksql_card t USING lksql_card_none s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v").collect()
+    assert(sql("SELECT k, v FROM graft_delta.lksql_card ORDER BY k")
+      .collect().toSeq == before, "zero-match MERGE must not change the table")
   }
 
   test("MERGE INTO: matched update + not-matched insert, all four formats") {

@@ -108,4 +108,74 @@ class SqlPruneSpec extends AnyFunSuite {
     assert(SqlPrune.partEqualityValues(
       s"SELECT * FROM $T WHERE p > 5", T, "p").isEmpty)
   }
+
+  test("single-column OR disjunction extracts as an IN; mixed OR is None") {
+    val f = pred(s"SELECT * FROM $T WHERE p = 'A' OR p = 'B'").get
+    assert(f("A") && f("B") && !f("C"))
+    assert(SqlPrune.partEqualityValues(
+      s"SELECT * FROM $T WHERE p = 'A' OR p = 'B'", T, "p")
+      .contains(Seq("A", "B")))
+    // parenthesized disjunction inside an AND chain composes
+    val g = pred(s"SELECT * FROM $T WHERE (p = 'A' OR p = 'B') AND k > 3").get
+    assert(g("A") && g("B") && !g("C"))
+    // mixed columns, mixed ops, OR-of-AND: all unprovable
+    assert(pred(s"SELECT * FROM $T WHERE p = 'A' OR k = 1").isEmpty)
+    assert(pred(s"SELECT * FROM $T WHERE p = 'A' OR p > 3").isEmpty)
+    assert(pred(s"SELECT * FROM $T WHERE p = 'A' OR p = 'B' AND k = 1").isEmpty,
+      "AND binds tighter than OR — not a pure disjunction")
+    // an OR-bearing conjunct on OTHER columns does not block the
+    // partition conjunct (it cannot un-restrict an ANDed sibling)
+    val h = pred(s"SELECT * FROM $T WHERE (k = 1 OR v = 2) AND p = 'A'").get
+    assert(h("A") && !h("B"))
+  }
+
+  test("NOT/CASE in other conjuncts don't block; NOT on the column yields nothing") {
+    val f = pred(s"SELECT * FROM $T WHERE NOT k = 1 AND p = 'A'").get
+    assert(f("A") && !f("B"))
+    assert(pred(s"SELECT * FROM $T WHERE NOT (p = 'A' AND k = 1)").isEmpty,
+      "a NOT-group containing the column proves nothing")
+    assert(pred(s"SELECT * FROM $T WHERE p != 'A'").isEmpty)
+    assert(pred(s"SELECT * FROM $T WHERE p NOT IN ('A')").isEmpty)
+  }
+
+  test("typed literals normalize through Spark's cast (date/timestamp/boolean)") {
+    // non-canonical date spelling matches the stored canonical form
+    val d = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p = '2024-1-3'", T, "p", "date").get
+    assert(d("2024-01-03") && !d("2024-01-04"))
+    // T-separator timestamp matches the stored space-separated form
+    val ts = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p = '2024-01-03T10:00:00'", T, "p",
+      "timestamp").get
+    assert(ts("2024-01-03 10:00:00") && !ts("2024-01-03 10:00:01"))
+    // timestamp RANGES are not extracted (DST fall-back caveat):
+    // everything is kept
+    val tsr = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p >= '2024-01-03' AND k = 1", T, "p",
+      "timestamp")
+    assert(tsr.forall(f => f("1999-01-01")), "timestamp range must not prune")
+    // date ranges DO extract
+    val dr = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p >= '2024-01-03' AND p < '2024-02-01'",
+      T, "p", "date").get
+    assert(dr("2024-01-03") && dr("2024-01-31") && !dr("2024-02-01") &&
+      !dr("2024-01-02"))
+    val b = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p = 'true'", T, "p", "boolean").get
+    assert(b("true") && !b("false"))
+    // an unparseable stored value is conservatively kept
+    assert(d("not-a-date"))
+  }
+
+  test("string-typed ranges extract lexicographically") {
+    val f = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p >= 'B' AND p < 'D'", T, "p", "string").get
+    assert(f("B") && f("C") && !f("A") && !f("D"))
+    val bt = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p BETWEEN 'B' AND 'C'", T, "p", "string").get
+    assert(bt("B") && bt("C") && !bt("A") && !bt("D"))
+    // unknown column type: string inequality stays unextracted (kept)
+    val u = pred(s"SELECT * FROM $T WHERE p >= 'B' AND p = 'C'").get
+    assert(u("C") && !u("B"), "only the equality half prunes")
+  }
 }
