@@ -333,16 +333,25 @@ object DeltaLite {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val adds = planAddsWithCheckpoint(spark, tableDir, version, partFilter)
     require(adds.nonEmpty, "no live files after replay/pruning")
-    // a DECLARED schema (real schemaString, unmapped table) plans the
-    // scan explicitly: files written before an ADD COLUMN null-fill the
-    // missing field natively — no mergeSchema footer sweep, which is
-    // the difference between one metadata read and opening every footer
-    // at 100 TB
+    // a DECLARED schema plans the scan explicitly: files written before
+    // an ADD COLUMN null-fill the missing field natively — no
+    // mergeSchema footer sweep, which is the difference between one
+    // metadata read and opening every footer at 100 TB. Mapped tables
+    // plan the PHYSICAL column names (what the parquet stores); the
+    // mapping select below renames to the logical schema.
+    val mapping0 = columnMapping(spark, tableDir, version)
     val declared: Option[org.apache.spark.sql.types.StructType] =
-      if (columnMapping(spark, tableDir, version).nonEmpty) None
-      else tableSchemaString(spark, tableDir, version).flatMap { ss =>
+      tableSchemaString(spark, tableDir, version).flatMap { ss =>
         scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(ss))
-          .toOption.collect { case st: org.apache.spark.sql.types.StructType => st }
+          .toOption.collect { case st: org.apache.spark.sql.types.StructType =>
+            if (mapping0.isEmpty) st
+            else {
+              val phys = mapping0.toMap
+              org.apache.spark.sql.types.StructType(st.fields.map(f =>
+                f.copy(name = phys.getOrElse(f.name, f.name),
+                  metadata = org.apache.spark.sql.types.Metadata.empty)))
+            }
+          }
       }
     val paths = adds.map(a => s"$tableDir/${a.path}")
     val data = declared match {

@@ -360,10 +360,12 @@ object DeltaWriter {
     * delete-then-append pair). Old files stay on disk for time travel
     * until vacuum. Conflicts fail loudly (an overwrite racing any
     * concurrent commit is a real write-write conflict). */
-  def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
-                partCol: Option[String] = None): Long = {
+  def overwrite(spark: SparkSession, tableDir: String, dfIn: DataFrame,
+                partColIn: Option[String] = None): Long = {
     val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(old.nonEmpty, "overwrite of an empty/unknown table — use append")
+    // mapped tables store PHYSICAL names (see toPhysical)
+    val (df, partCol) = toPhysical(spark, tableDir, dfIn, partColIn)
     val dir = new java.io.File(tableDir)
     val tok = nextToken()
     val staging = s"$tableDir/stage_$tok"
@@ -405,31 +407,111 @@ object DeltaWriter {
     version
   }
 
-  /** RENAME COLUMN on a column-mapped table (PROTOCOL.md "Column
-    * Mapping" — the feature's whole point): one metaData commit
-    * changing the LOGICAL field name; the physical parquet name and
-    * every data byte stay untouched, and reads rename on the fly.
-    * Loud on unmapped tables (those would need a data rewrite). */
+  /** RENAME COLUMN (PROTOCOL.md "Column Mapping" — the feature's whole
+    * point): one metaData commit changing the LOGICAL field name; the
+    * physical parquet name and every data byte stay untouched, and
+    * reads rename on the fly. An UNMAPPED table upgrades to column
+    * mapping in the same commit — each existing column's physical name
+    * is fixed to its CURRENT name (exactly what the data files store),
+    * plus the protocol upgrade the mapping requires (feature-composed
+    * when the table already speaks reader 3 / writer 7). */
   def renameColumn(spark: SparkSession, tableDir: String,
                    from: String, to: String): Long = {
     import org.apache.spark.sql.types._
-    val mapping = DeltaLite.columnMapping(spark, tableDir)
-    require(mapping.nonEmpty,
-      "RENAME COLUMN needs a column-mapped table (appendMapped) — an " +
-        "unmapped table binds logical names to parquet bytes")
     var committed = -1L
     var attempt = 0
     while (committed < 0) {
       // schema re-derived PER ATTEMPT: a retry after losing to a
       // concurrent metaData commit (another ADD/RENAME) must evolve the
       // WINNER's schema, not silently re-commit the stale one
-      val cur = DataType.fromJson(
-        DeltaLite.tableSchemaString(spark, tableDir).get).asInstanceOf[StructType]
+      val mapping = DeltaLite.columnMapping(spark, tableDir)
+      val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
+        .flatMap(ss => scala.util.Try(DataType.fromJson(ss)).toOption)
+        .collect { case st: StructType => st }
+        .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
       require(cur.fieldNames.contains(from), s"no column $from")
       require(!cur.fieldNames.contains(to), s"column $to already exists")
-      val evolved = StructType(cur.fields.map(f =>
+      val lines = Seq.newBuilder[String]
+      val mappedCur: StructType =
+        if (mapping.nonEmpty) cur
+        else {
+          // column-mapping UPGRADE: physical = current names; protocol
+          // gains the mapping capability without losing table features
+          currentProtocol(spark, tableDir) match {
+            case Some((rv, wv, rf, wf)) if rv >= 3 || wv >= 7 =>
+              val readerF = (legacyReaderFeatures(rv) ++ rf ++
+                Seq("columnMapping")).distinct.sorted
+              val writerF = (legacyWriterFeatures(wv) ++ wf ++
+                Seq("columnMapping")).distinct.sorted
+              lines += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${readerF.map(f => s""""$f"""").mkString(",")}],"writerFeatures":[${writerF.map(f => s""""$f"""").mkString(",")}]}}"""
+            case Some((rv, wv, _, _)) if rv >= 2 && wv >= 5 => ()
+            case _ =>
+              lines += """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+          }
+          StructType(cur.fields.zipWithIndex.map { case (f, i) =>
+            f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putLong("delta.columnMapping.id", i + 1L)
+              .putString("delta.columnMapping.physicalName", f.name)
+              .build())
+          })
+        }
+      val evolved = StructType(mappedCur.fields.map(f =>
         if (f.name == from) f.copy(name = to) else f))
       val md = latestMetaDataNode(spark, tableDir).get
+      md.put("schemaString", evolved.json)
+      if (mapping.isEmpty) {
+        val conf =
+          if (md.has("configuration") && md.get("configuration").isObject)
+            md.get("configuration")
+              .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          else md.putObject("configuration")
+        conf.put("delta.columnMapping.mode", "name")
+      }
+      lines += s"""{"metaData":${mapper.writeValueAsString(md)}}"""
+      val version = nextVersion(tableDir)
+      if (casWriteCommit(tableDir, version, lines.result())) {
+        maybeCheckpoint(spark, tableDir, version)
+        committed = version
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"RENAME conflict persisted after $MaxCommitRetries attempts")
+      }
+    }
+    committed
+  }
+
+  /** DROP COLUMN: one metaData commit whose schemaString omits the
+    * field — no data movement; declared-schema reads never touch the
+    * stored bytes (on mapped tables the physical column stays in the
+    * parquet, unread). The partition column cannot drop. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Long = {
+    import org.apache.spark.sql.types._
+    var committed = -1L
+    var attempt = 0
+    while (committed < 0) {
+      val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
+        .flatMap(ss => scala.util.Try(DataType.fromJson(ss)).toOption)
+        .collect { case st: StructType => st }
+        .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
+      require(cur.fieldNames.contains(name), s"no column $name")
+      require(cur.fields.length > 1, "cannot drop the last column")
+      val md = latestMetaDataNode(spark, tableDir).getOrElse {
+        val m = mapper.createObjectNode()
+        m.put("id", "00000000-0000-0000-0000-000000000002")
+        m.putObject("format").put("provider", "parquet")
+        m.putArray("partitionColumns")
+        m
+      }
+      // the partition column's name in metaData is PHYSICAL on mapped
+      // tables — guard against dropping it under either spelling
+      val physName = DeltaLite.columnMapping(spark, tableDir).toMap
+        .getOrElse(name, name)
+      val pcs = Option(md.get("partitionColumns")).toSeq
+        .flatMap(a => (0 until a.size).map(a.get(_).asText))
+      require(!pcs.contains(physName) && !pcs.contains(name),
+        s"cannot drop partition column $name")
+      val evolved = StructType(cur.fields.filterNot(_.name == name))
       md.put("schemaString", evolved.json)
       val version = nextVersion(tableDir)
       if (casWriteCommit(tableDir, version,
@@ -439,7 +521,7 @@ object DeltaWriter {
       } else {
         attempt += 1
         require(attempt < MaxCommitRetries,
-          s"RENAME conflict persisted after $MaxCommitRetries attempts")
+          s"DROP COLUMN conflict persisted after $MaxCommitRetries attempts")
       }
     }
     committed
@@ -455,9 +537,6 @@ object DeltaWriter {
   def addColumn(spark: SparkSession, tableDir: String,
                 name: String, sqlType: String): Long = {
     import org.apache.spark.sql.types._
-    require(columnMappingEmpty(spark, tableDir),
-      "ADD COLUMN on a column-mapped table needs a mapped id/physical " +
-        "name — use appendMapped's schema instead")
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(sqlType)
     var committed = -1L
@@ -469,7 +548,22 @@ object DeltaWriter {
         .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
         .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
       require(!cur.fieldNames.contains(name), s"column $name already exists")
-      val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
+      // on a MAPPED table the new field gets the next mapping id and
+      // its own name as physical (fresh name — no clash possible)
+      val mapping = DeltaLite.columnMapping(spark, tableDir)
+      val newField =
+        if (mapping.isEmpty) StructField(name, dt, nullable = true)
+        else {
+          val nextId = cur.fields.map(f =>
+            if (f.metadata.contains("delta.columnMapping.id"))
+              f.metadata.getLong("delta.columnMapping.id") else 0L)
+            .foldLeft(0L)(math.max) + 1
+          StructField(name, dt, nullable = true,
+            metadata = new MetadataBuilder()
+              .putLong("delta.columnMapping.id", nextId)
+              .putString("delta.columnMapping.physicalName", name).build())
+        }
+      val evolved = StructType(cur.fields :+ newField)
       // carry the current metaData forward with only schemaString changed
       val md = latestMetaDataNode(spark, tableDir).getOrElse {
         val m = mapper.createObjectNode()
@@ -493,8 +587,46 @@ object DeltaWriter {
     committed
   }
 
-  private def columnMappingEmpty(spark: SparkSession, tableDir: String): Boolean =
-    DeltaLite.columnMapping(spark, tableDir).isEmpty
+  /** The scan every DML matcher sees: declared (physical-named) schema
+    * planned explicitly when one exists — pre-evolution files null-fill
+    * — then aliased to the LOGICAL names the matcher speaks, keeping
+    * `__fp`/`__pos`. */
+  private def logicalScan(spark: SparkSession, tableDir: String,
+                          paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val mapping = DeltaLite.columnMapping(spark, tableDir)
+    val physDeclared: Option[StructType] =
+      DeltaLite.tableSchemaString(spark, tableDir)
+        .flatMap(ss => scala.util.Try(DataType.fromJson(ss)).toOption)
+        .collect { case st: StructType =>
+          val phys = mapping.toMap
+          StructType(st.fields.map(f =>
+            f.copy(name = phys.getOrElse(f.name, f.name),
+              metadata = Metadata.empty)))
+        }
+    val raw = physDeclared match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+    val base = raw
+      .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (mapping.isEmpty) base
+    else base.select(mapping.map { case (l, p) => col(p).as(l) } ++
+      Seq(col("__fp"), col("__pos")): _*)
+  }
+
+  /** logical → physical rename of `df` plus the physical partition
+    * column name, for writers on MAPPED tables (no-ops when unmapped). */
+  private def toPhysical(spark: SparkSession, tableDir: String,
+                         df: DataFrame, partCol: Option[String])
+      : (DataFrame, Option[String]) = {
+    val phys = DeltaLite.columnMapping(spark, tableDir).toMap
+    if (phys.isEmpty) (df, partCol)
+    else (df.select(df.columns.toSeq.map(c =>
+      col(c).as(phys.getOrElse(c, c))): _*),
+      partCol.map(c => phys.getOrElse(c, c)))
+  }
 
   /** The latest metaData action as a mutable node (JSON tail wins over
     * the checkpoint row). */
@@ -583,8 +715,11 @@ object DeltaWriter {
       : Long = {
     val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir, None, partFilter)
     require(adds.nonEmpty, "updateRows matched no live files")
+    // mapped tables store PHYSICAL names: replacement rows rename
+    // before staging, and partition values key by the physical name
+    val (newRowsW, partColW) = toPhysical(spark, tableDir, newRows, partCol)
     // new data staged BEFORE the version resolves (version-free names)
-    val moved = stageParquet(spark, tableDir, newRows, partCol, "u")
+    val moved = stageParquet(spark, tableDir, newRowsW, partColW, "u")
     require(moved.nonEmpty, "updateRows with no replacement rows — use deleteRowsWhere")
     val protoUpgrade = dvProtocolUpgrade(spark, tableDir)
     val version = nextVersion(tableDir)
@@ -593,7 +728,7 @@ object DeltaWriter {
       dvRemoveAddLines(spark, tableDir, matcher, adds, version,
         requireMatch = true) ++
       moved.map { case (rel, part) =>
-        val pv = part.map(p => s""""${partCol.get}":"$p"""").getOrElse("")
+        val pv = part.map(p => s""""${partColW.get}":"$p"""").getOrElse("")
         s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
       }
     writeCommit(tableDir, version, lines)
@@ -658,9 +793,7 @@ object DeltaWriter {
       byAbs.collect { case (abs, a) if a.dv.isDefined => abs -> a.dv.get })
     import spark.implicits._
     val descriptors: Seq[(String, String, Int, Int, Long)] =
-      matcher(spark.read.parquet(adds.map(a => s"$tableDir/${a.path}"): _*)
-          .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
-          .withColumn("__pos", col("_metadata.row_index")))
+      matcher(logicalScan(spark, tableDir, adds.map(a => s"$tableDir/${a.path}")))
         .select(col("__fp"), col("__pos"))
         .groupBy(col("__fp"))
         .agg(sort_array(collect_set(col("__pos"))).as("__poss"))
@@ -714,10 +847,13 @@ object DeltaWriter {
     * reclaimable at vacuum. Old versions still time travel (nothing is
     * physically deleted here). */
   def optimize(spark: SparkSession, tableDir: String,
-               partCol: Option[String] = None): Long = {
+               partColIn: Option[String] = None): Long = {
     val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(old.nonEmpty, "empty table")
-    val state = DeltaLite.readVersion(spark, tableDir)
+    // readVersion yields LOGICAL names; compacted files must store the
+    // PHYSICAL ones on mapped tables
+    val (state, partCol) =
+      toPhysical(spark, tableDir, DeltaLite.readVersion(spark, tableDir), partColIn)
     val version = nextVersion(tableDir)
     val dir = new java.io.File(tableDir)
     val staging = s"$tableDir/stage_v$version"

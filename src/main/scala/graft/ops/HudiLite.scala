@@ -2,6 +2,7 @@ package graft.ops
 
 import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Apache Hudi COPY-ON-WRITE table read path from the public layout
   * spec (hudi.apache.org/docs — timeline + file groups), no connector
@@ -88,6 +89,33 @@ object HudiLite {
     val files = planFiles(tableDir, instant, partFilter)
     require(files.nonEmpty, "no live file slices after replay/pruning")
     spark.read.parquet(files.map(_._1): _*)
+  }
+
+  /** The deterministic wall-clock stamp of an instant, mirroring the
+    * Iceberg/Delta writers' `1700000000000 + ordinal` scheme (the
+    * fixtures are time-free; real deployments would stamp epoch
+    * millis). Written into every commit's metadata at commit time. */
+  private[ops] def stampMs(instant: String): Long =
+    1700000000000L + instant.toLong
+
+  /** TIMESTAMP time travel: the latest completed instant whose
+    * recorded `commitTimeMs` is <= `tsMillis` (instants written before
+    * the stamp existed fall back to the same deterministic formula). */
+  def instantAsOf(tableDir: String, tsMillis: Long): String = {
+    val timelineDir = new java.io.File(tableDir, ".hoodie")
+    val stamped = Option(timelineDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit"))
+      .map { f =>
+        val instant = f.getName.split('.').head
+        val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+        val ms = Option(node.get("commitTimeMs")).map(_.asLong)
+          .getOrElse(stampMs(instant))
+        (instant, ms)
+      }
+    val at = stamped.filter(_._2 <= tsMillis)
+    require(at.nonEmpty, s"no hudi instant at or before $tsMillis")
+    at.maxBy(_._1)._1
   }
 
   // ------------------------------------------------------- writer (fixture)
@@ -284,12 +312,44 @@ object HudiLite {
 
   /** The MoR merge over an explicit slice list (shared by the snapshot
     * read and [[compact]]). */
+  /** Dropped WRITE names + write→logical renames from
+    * `.hoodie/schema_meta.json` (the drop/rename evolution stamp — data
+    * files keep their stored column names; reads apply this metadata on
+    * the fly, the name-mapping trick Hudi spells with avro field-id
+    * aliases). */
+  private[ops] def schemaMeta(tableDir: String)
+      : (Set[String], Map[String, String]) = {
+    val f = new java.io.File(tableDir, ".hoodie/schema_meta.json")
+    if (!f.exists()) (Set.empty, Map.empty)
+    else {
+      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      val dropped = Option(node.get("dropped")).map(a =>
+        (0 until a.size).map(a.get(_).asText).toSet).getOrElse(Set.empty)
+      val renames = Option(node.get("renames")).map { r =>
+        val it = r.fieldNames()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val k = it.next(); b += k -> r.get(k).asText }
+        b.result()
+      }.getOrElse(Map.empty)
+      (dropped, renames)
+    }
+  }
+
+  private[ops] def writeSchemaMeta(tableDir: String, dropped: Set[String],
+                                   renames: Map[String, String]): Unit =
+    IcebergWriter.atomicWriteString(
+      java.nio.file.Paths.get(tableDir, ".hoodie", "schema_meta.json"),
+      s"""{"dropped":[${dropped.toSeq.sorted.map(d => s""""$d"""").mkString(",")}],""" +
+        s""""renames":{${renames.toSeq.sorted.map { case (w, l) =>
+          s""""$w":"$l"""" }.mkString(",")}}}""")
+
   /** The UNION of every schema the table has declared — `.hoodie/
     * schema.json` (ALTER TABLE) plus the per-commit schema stamps —
-    * in first-seen field order. ADD-COLUMN-only evolution makes the
+    * in first-seen field order, in the files' stored WRITE names,
+    * minus the dropped columns. ADD-COLUMN-only evolution makes the
     * union well-defined regardless of stamp order. None when nothing
     * was ever declared (fixture tables read by parquet schema). */
-  def declaredSchema(tableDir: String)
+  private[ops] def writeSchema(tableDir: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
     val sources = Seq.newBuilder[String]
@@ -310,8 +370,22 @@ object HudiLite {
         if (!fields.contains(f.name)) fields(f.name) = f.copy(nullable = true)
       }
     }
-    if (fields.isEmpty) None else Some(StructType(fields.values.toArray))
+    val (dropped, _) = schemaMeta(tableDir)
+    val kept = fields.values.toArray.filterNot(f => dropped.contains(f.name))
+    if (kept.isEmpty) None else Some(StructType(kept))
   }
+
+  /** The declared schema in LOGICAL names (write schema + renames). */
+  def declaredSchema(tableDir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val (_, renames) = schemaMeta(tableDir)
+    writeSchema(tableDir).map(st => org.apache.spark.sql.types.StructType(
+      st.fields.map(f => f.copy(name = renames.getOrElse(f.name, f.name)))))
+  }
+
+  /** logical → write-name map (identity when never renamed). */
+  def writeNames(tableDir: String): Map[String, String] =
+    schemaMeta(tableDir)._2.map(_.swap)
 
   /** ADD COLUMN schema evolution: declare the evolved schema in
     * `.hoodie/schema.json` (atomic swap) — no data movement; the MoR
@@ -320,17 +394,59 @@ object HudiLite {
   def addColumn(spark: SparkSession, tableDir: String,
                 name: String, sqlType: String): Unit = {
     import org.apache.spark.sql.types._
-    val cur: StructType = declaredSchema(tableDir).getOrElse {
+    val (dropped, renames) = schemaMeta(tableDir)
+    // a previously-dropped name must not come back: the old files'
+    // bytes would silently resurface under the re-added column
+    require(!dropped.contains(name),
+      s"column $name was dropped — re-adding it would resurrect old bytes")
+    val cur: StructType = writeSchema(tableDir).getOrElse {
       val slices = planFilesMor(tableDir)
       require(slices.nonEmpty, "table has no live file slices")
       spark.read.parquet(slices.head._1).schema
     }
-    require(!cur.fieldNames.contains(name), s"column $name already exists")
+    val logicalNames = cur.fieldNames.map(n => renames.getOrElse(n, n)).toSet
+    require(!cur.fieldNames.contains(name) && !logicalNames.contains(name),
+      s"column $name already exists")
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(sqlType)
     val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
     IcebergWriter.atomicWriteString(
       java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
+  }
+
+  /** DROP COLUMN: record the field's WRITE name in the evolution stamp
+    * — metadata-only; the union scan stops planning it. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Unit = {
+    val (dropped, renames) = schemaMeta(tableDir)
+    val w = renames.collectFirst { case (wn, l) if l == name => wn }
+      .getOrElse(name)
+    val cur = writeSchema(tableDir).getOrElse {
+      val slices = planFilesMor(tableDir)
+      require(slices.nonEmpty, "table has no live file slices")
+      spark.read.parquet(slices.head._1).schema
+    }
+    require(cur.fieldNames.contains(w), s"no column $name")
+    require(cur.fields.length > 1, "cannot drop the last column")
+    writeSchemaMeta(tableDir, dropped + w, renames - w)
+  }
+
+  /** RENAME COLUMN: one evolution-stamp swap mapping the field's
+    * stable WRITE name to its new logical name — no data movement. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Unit = {
+    val (dropped, renames) = schemaMeta(tableDir)
+    val cur = writeSchema(tableDir).getOrElse {
+      val slices = planFilesMor(tableDir)
+      require(slices.nonEmpty, "table has no live file slices")
+      spark.read.parquet(slices.head._1).schema
+    }
+    val logicalOf = (w: String) => renames.getOrElse(w, w)
+    val w = cur.fieldNames.find(wn => logicalOf(wn) == from)
+      .getOrElse(sys.error(s"no column $from"))
+    require(!cur.fieldNames.map(logicalOf).contains(to),
+      s"column $to already exists")
+    writeSchemaMeta(tableDir, dropped,
+      if (to == w) renames - w else renames + (w -> to))
   }
 
   private def mergeSlices(spark: SparkSession, keyCols: Seq[String],
@@ -339,12 +455,18 @@ object HudiLite {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    // the declared union schema plans the base scan explicitly —
-    // pre-evolution bases null-fill the evolved columns natively
-    // slice paths are $tableDir/$partition/$file — recover the table
-    // root for the declared-schema lookup
+    // the declared union schema (in the files' stored WRITE names)
+    // plans the base scan explicitly — pre-evolution bases null-fill
+    // the evolved columns natively; renamed columns alias to their
+    // logical names after the merge. Slice paths are
+    // $tableDir/$partition/$file — recover the table root.
     val tDir = slices.head._1.split("/").dropRight(2).mkString("/")
-    val base = declaredSchema(tDir) match {
+    val renames = schemaMeta(tDir)._2 // write → logical
+    val keyColsW = {
+      val l2w = renames.map(_.swap)
+      keyCols.map(c => l2w.getOrElse(c, c))
+    }
+    val base = writeSchema(tDir) match {
       case Some(st) => spark.read.schema(st).parquet(slices.map(_._1): _*)
       case None => spark.read.parquet(slices.map(_._1): _*)
     }
@@ -386,11 +508,14 @@ object HudiLite {
           }
         baseSys.unionByName(spark.createDataFrame(logRows, withSys))
       }
-    val w = Window.partitionBy(keyCols.map(col): _*)
+    val w = Window.partitionBy(keyColsW.map(col): _*)
       .orderBy(col("__instant").desc, col("__seq").desc)
-    merged.withColumn("__rn", row_number().over(w))
+    val out = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .drop("__rn", "__instant", "__seq", "__del")
+    if (renames.isEmpty) out
+    else out.select(dataSchema.fieldNames.toSeq.map(n =>
+      col(n).as(renames.getOrElse(n, n))): _*)
   }
 
   /** One MoR delta commit for the fixture writer: per (partition,
@@ -459,17 +584,23 @@ object HudiLite {
       statEntries(f).map { case (_, _, path) => s"$tableDir/$path" }
     }.flatten
 
-    // data schema from any base file of the table (metadata-sized walk)
+    // data schema from any base file of the table (metadata-sized
+    // walk) — WRITE names; renamed columns alias to logical at the end
     val anyBase = planFiles(tableDir).head._1
     val dataSchema = spark.read.parquet(anyBase).schema
+    val renames = schemaMeta(tableDir)._2
+    def toLogical(df0: DataFrame): DataFrame =
+      if (renames.isEmpty) df0
+      else df0.select(df0.columns.toSeq.map(n =>
+        col(n).as(renames.getOrElse(n, n))): _*)
     val outSchema = StructType(dataSchema.fields :+
       StructField("_CHANGE_TYPE", StringType, nullable = false))
     val inserts =
       if (newBaseFiles.isEmpty) spark.createDataFrame(
         new java.util.ArrayList[Row](), outSchema)
-      else spark.read.parquet(newBaseFiles: _*)
+      else spark.read.schema(dataSchema).parquet(newBaseFiles: _*)
         .withColumn("_CHANGE_TYPE", lit("insert"))
-    if (logFiles.isEmpty) return inserts
+    if (logFiles.isEmpty) return toLogical(inserts)
     val names = dataSchema.fields.map(_.name)
     val logRows = spark.sparkContext
       .binaryFiles(logFiles.mkString(","))
@@ -488,7 +619,7 @@ object HudiLite {
           }
         }
       }
-    inserts.unionByName(spark.createDataFrame(logRows, outSchema))
+    toLogical(inserts.unionByName(spark.createDataFrame(logRows, outSchema)))
   }
 
   /** (partition, fileId, path) triples of one timeline instant's
@@ -567,7 +698,8 @@ object HudiLite {
     val schemaField = s""""schema":${mapper.writeValueAsString(df.schema.json)},"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
-      s"""{$bField$schemaField"partitionToWriteStats":{$statsJson}}""")
+      s"""{$bField$schemaField"commitTimeMs":${stampMs(instant)},""" +
+        s""""partitionToWriteStats":{$statsJson}}""")
   }
 
   /** Exactly-once streaming UPSERT sink, completing the quartet next
@@ -794,9 +926,23 @@ object HudiLite {
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
              keyCols: Seq[String], partCol: String, instant: String,
              batchId: Option[Long] = None,
-             beforeCommit: () => Unit = () => ()): Boolean =
-    writeDeltaCommitDistributed(spark, tableDir, df, keyCols,
-      Some(partCol), instant, BlockData, batchId, beforeCommit)
+             beforeCommit: () => Unit = () => ()): Boolean = {
+    // RENAME COLUMN evolution: log blocks store stable WRITE names
+    val (dfW, keyColsW, partColW) = toWriteNames(tableDir, df, keyCols, partCol)
+    writeDeltaCommitDistributed(spark, tableDir, dfW, keyColsW,
+      Some(partColW), instant, BlockData, batchId, beforeCommit)
+  }
+
+  /** logical → write-name rename for writer inputs (no-op when the
+    * table never renamed). */
+  private def toWriteNames(tableDir: String, df: DataFrame,
+                           keyCols: Seq[String], partCol: String)
+      : (DataFrame, Seq[String], String) = {
+    val wn = writeNames(tableDir)
+    if (wn.isEmpty) (df, keyCols, partCol)
+    else (df.select(df.columns.toSeq.map(c => col(c).as(wn.getOrElse(c, c))): _*),
+      keyCols.map(c => wn.getOrElse(c, c)), wn.getOrElse(partCol, partCol))
+  }
 
   /** DELETE keys as a `.deltacommit` of delete blocks: `keysDf` holds
     * the key columns only; every key must resolve through the index
@@ -806,8 +952,13 @@ object HudiLite {
                  keyCols: Seq[String], instant: String): Unit = {
     require(keysDf.columns.toSeq.sorted == keyCols.sorted,
       s"deleteKeys wants exactly the key columns, got ${keysDf.columns.toSeq}")
-    writeDeltaCommitDistributed(spark, tableDir, keysDf, keyCols,
-      None, instant, BlockDelete): Unit
+    val wn = writeNames(tableDir)
+    val keysW =
+      if (wn.isEmpty) keysDf
+      else keysDf.select(keysDf.columns.toSeq.map(c =>
+        col(c).as(wn.getOrElse(c, c))): _*)
+    writeDeltaCommitDistributed(spark, tableDir, keysW,
+      keyCols.map(c => wn.getOrElse(c, c)), None, instant, BlockDelete): Unit
   }
 
   /** Bounded optimistic retries for delta commits. */
@@ -974,7 +1125,8 @@ object HudiLite {
       // instant (the log files embed the instant in name AND bytes)
       if (IcebergWriter.casCreate(
           java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
-          s"""{$bField$schemaField"partitionToWriteStats":{$statsJson}}""")) Some(true)
+          s"""{$bField$schemaField"commitTimeMs":${stampMs(instant)},""" +
+            s""""partitionToWriteStats":{$statsJson}}""")) Some(true)
       else {
         stats.foreach { case (_, _, _, rel) =>
           java.nio.file.Files.deleteIfExists(
@@ -1032,8 +1184,14 @@ object HudiLite {
         .map(_.split('.').head).filter(_.forall(_.isDigit))
         .forall(_ < newInstant),
       s"compaction instant $newInstant must follow the timeline")
+    // compacted bases store WRITE names, like every data file
+    val wn = writeNames(tableDir)
     val stats = withLogs.map { case slice @ (_, part, fid, _, _) =>
-      val merged = mergeSlices(spark, keyCols, Seq(slice))
+      val merged0 = mergeSlices(spark, keyCols, Seq(slice))
+      val merged =
+        if (wn.isEmpty) merged0
+        else merged0.select(merged0.columns.toSeq.map(c =>
+          col(c).as(wn.getOrElse(c, c))): _*)
       val rel = s"$part/${fid}_0-0-0_$newInstant.parquet"
       val tmp = s"$tableDir/tmp_compact"
       merged.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -1046,7 +1204,7 @@ object HudiLite {
     }
     // fresh bases carry fresh bloom sidecars — the folded log keys
     // become bloom-visible again after compaction
-    writeBlooms(spark, keyCols,
+    writeBlooms(spark, keyCols.map(c => wn.getOrElse(c, c)),
       stats.map { case (_, _, rel) => new java.io.File(tableDir, rel).getAbsolutePath })
     val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
       val entries = ss.map { case (_, fid, rel) =>
@@ -1055,7 +1213,7 @@ object HudiLite {
     }.mkString(",")
     require(IcebergWriter.casCreate(
         java.nio.file.Paths.get(tableDir, ".hoodie", s"$newInstant.commit"),
-        s"""{"partitionToWriteStats":{$statsJson}}"""),
+        s"""{"commitTimeMs":${stampMs(newInstant)},"partitionToWriteStats":{$statsJson}}"""),
       s"compaction instant $newInstant conflicts with a concurrent commit")
     stats.map(_._2)
   }

@@ -220,8 +220,21 @@ object IcebergLite {
     // schema (metadata `schemas` + current-schema-id) plans the scan
     // explicitly and null-fills pre-evolution files natively — no
     // footer sweep; mergeSchema stays as the fixture-table fallback
-    val scan = declaredSchema(tableDir) match {
-      case Some(st) => spark.read.schema(st).parquet(dataTasks.map(_.path): _*)
+    // RENAME COLUMN evolution: data (and delete) files are written with
+    // each field's stable WRITE name; the scan plans write names and
+    // aliases to the current logical names immediately — the name-mapping
+    // read (spec `schema.name-mapping.default`), no data movement
+    val declared = declaredFields(tableDir)
+    val writeToLogical: Map[String, String] =
+      declared.map(_.map { case (l, w, _) => w -> l }.toMap).getOrElse(Map.empty)
+    val scan = declared match {
+      case Some(fs) =>
+        val writeSchema = org.apache.spark.sql.types.StructType(fs.map {
+          case (_, w, dt) =>
+            org.apache.spark.sql.types.StructField(w, dt, nullable = true) })
+        val raw = spark.read.schema(writeSchema).parquet(dataTasks.map(_.path): _*)
+        if (fs.forall { case (l, w, _) => l == w }) raw
+        else raw.select(fs.map { case (l, w, _) => col(w).as(l) }: _*)
       case None =>
         (if (mergeSchema) spark.read.option("mergeSchema", "true")
          else spark.read).parquet(dataTasks.map(_.path): _*)
@@ -244,8 +257,10 @@ object IcebergLite {
         val withSeq = afterPos.withColumn("__seq", element_at(seqMap, col("__fp")))
         eqDeleteTasks.foldLeft(withSeq) { (cur, del) =>
           val d = spark.read.parquet(del.path)
-          val eqCols = d.columns.toSeq
-          val right = d.select(eqCols.map(c => col(c).as(s"__d_$c")): _*)
+          // delete files carry WRITE names; the frame is logical by now
+          val eqCols = d.columns.toSeq.map(c => writeToLogical.getOrElse(c, c))
+          val right = d.select(d.columns.toSeq.zip(eqCols).map {
+            case (w, l) => col(w).as(s"__d_$l") }: _*)
           val cond = eqCols.map(c => cur(c) <=> right(s"__d_$c"))
             .reduceLeft(_ && _) && cur("__seq") < lit(del.sequenceNumber)
           cur.join(right, cond, "left_anti")
@@ -328,7 +343,17 @@ object IcebergLite {
       .filter(t => t.content == 0 &&
         t.sequenceNumber > fromSeq && t.sequenceNumber <= toSeq)
     require(added.nonEmpty, "no appended data files in the window")
-    spark.read.parquet(added.map(_.path): _*)
+    declaredFields(tableDir) match {
+      case Some(fs) =>
+        // write-named scan, logical-named output (see readSnapshot)
+        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(
+          fs.map { case (_, w, dt) =>
+            org.apache.spark.sql.types.StructField(w, dt, nullable = true) }))
+          .parquet(added.map(_.path): _*)
+        if (fs.forall { case (l, w, _) => l == w }) raw
+        else raw.select(fs.map { case (l, w, _) => col(w).as(l) }: _*)
+      case None => spark.read.parquet(added.map(_.path): _*)
+    }
   }
 
   private def snapshotSequence(tableDir: String, snapId: Long): Long = {
@@ -399,6 +424,37 @@ object IcebergLite {
       : Option[org.apache.spark.sql.types.StructType] =
     declaredSchemaOf(mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(currentMetadataPath(tableDir)))))
+
+  /** The current declared fields as (logical name, WRITE name, type).
+    * The write name is the stable physical column name data files are
+    * written with — RENAME COLUMN changes only the logical name, the
+    * same contract as the spec's `schema.name-mapping.default` (field
+    * ids resolved by name mapping for files without embedded ids).
+    * Absent `write-name` = never renamed (write == logical). */
+  private[ops] def declaredFieldsOf(meta: com.fasterxml.jackson.databind.JsonNode)
+      : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] =
+    for {
+      schemas <- Option(meta.get("schemas"))
+      curId <- Option(meta.get("current-schema-id")).map(_.asInt)
+      node <- (0 until schemas.size).map(schemas.get)
+        .find(_.get("schema-id").asInt == curId)
+    } yield (0 until node.get("fields").size).map(node.get("fields").get).map { f =>
+      val name = f.get("name").asText
+      (name,
+        Option(f.get("write-name")).map(_.asText).getOrElse(name),
+        sparkTypeOf(f.get("type").asText))
+    }
+
+  def declaredFields(tableDir: String)
+      : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] =
+    declaredFieldsOf(mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir)))))
+
+  /** logical → write-name map of the CURRENT schema (identity entries
+    * included); empty when no schema was ever declared. */
+  def writeNames(tableDir: String): Map[String, String] =
+    declaredFields(tableDir)
+      .map(_.map { case (l, w, _) => l -> w }.toMap).getOrElse(Map.empty)
 
   /** Iceberg bucket[N] transform for BIGINT keys (spec Appendix B:
     * murmur3_x86_32 over the little-endian 8-byte value, seed 0, then

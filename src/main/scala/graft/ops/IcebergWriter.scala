@@ -222,7 +222,7 @@ object IcebergWriter {
   def append(spark: SparkSession, tableDir: String, df: DataFrame,
              partCol: Option[String] = None, filesPerPart: Int = 1,
              partTransform: String = "identity"): Long =
-    commit(spark, tableDir, df, partCol, upsertKeys = None,
+    commit(spark, tableDir, df, partCol, upsertKeysIn = None,
       filesPerPart = filesPerPart, partTransform = partTransform)
 
   /** Append with a test-visible hook fired just before the first CAS
@@ -231,7 +231,7 @@ object IcebergWriter {
   private[graft] def appendHooked(spark: SparkSession, tableDir: String,
                                   df: DataFrame, partCol: Option[String],
                                   beforePublish: () => Unit): Long =
-    commit(spark, tableDir, df, partCol, upsertKeys = None,
+    commit(spark, tableDir, df, partCol, upsertKeysIn = None,
       beforePublish = beforePublish)
 
   /** UPSERT commit — merge-on-write via v2 EQUALITY DELETES: one
@@ -248,7 +248,7 @@ object IcebergWriter {
              keyCols: Seq[String], partCol: Option[String] = None): Long = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"upsert keys ${keyCols.mkString(",")} must be df columns")
-    commit(spark, tableDir, df, partCol, upsertKeys = Some(keyCols))
+    commit(spark, tableDir, df, partCol, upsertKeysIn = Some(keyCols))
   }
 
   /** REWRITE DATA FILES (the rewrite_data_files / compaction
@@ -265,7 +265,7 @@ object IcebergWriter {
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
                        partCol: Option[String] = None): Long = {
     val state = IcebergLite.readSnapshot(spark, tableDir)
-    commit(spark, tableDir, state, partCol, upsertKeys = None,
+    commit(spark, tableDir, state, partCol, upsertKeysIn = None,
       summaryProps = Map.empty, replaceAll = true)
   }
 
@@ -277,7 +277,7 @@ object IcebergWriter {
                 partCol: Option[String] = None): Long = {
     require(currentVersion(tableDir) > 0,
       "overwrite of an unknown table — use append")
-    commit(spark, tableDir, df, partCol, upsertKeys = None,
+    commit(spark, tableDir, df, partCol, upsertKeysIn = None,
       summaryProps = Map.empty, replaceAll = true)
   }
 
@@ -302,10 +302,28 @@ object IcebergWriter {
                                    matcher: DataFrame => DataFrame,
                                    dataTasks: Seq[IcebergLite.FileTask],
                                    tok: String): Seq[(String, Long, Long)] = {
-    val matched = matcher(spark.read.parquet(dataTasks.map(_.path): _*)
-        .withColumn("file_path",
-          regexp_replace(col("_metadata.file_path"), "^file:+", ""))
-        .withColumn("pos", col("_metadata.row_index")))
+    // the matcher speaks LOGICAL names; the files store write names —
+    // plan the declared write schema, alias, keep file_path/pos
+    val declared = IcebergLite.declaredFields(tableDir)
+    val raw = declared match {
+      case Some(fs) =>
+        spark.read.schema(org.apache.spark.sql.types.StructType(fs.map {
+          case (_, w, dt) =>
+            org.apache.spark.sql.types.StructField(w, dt, nullable = true) }))
+          .parquet(dataTasks.map(_.path): _*)
+      case None => spark.read.parquet(dataTasks.map(_.path): _*)
+    }
+    val base = raw
+      .withColumn("file_path",
+        regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+      .withColumn("pos", col("_metadata.row_index"))
+    val scan = declared match {
+      case Some(fs) if fs.exists { case (l, w, _) => l != w } =>
+        base.select(fs.map { case (l, w, _) => col(w).as(l) } ++
+          Seq(col("file_path"), col("pos")): _*)
+      case _ => base
+    }
+    val matched = matcher(scan)
       .select(col("file_path"), col("pos")).distinct()
 
     // distributed delete-file write: repartition by file so each data
@@ -346,7 +364,7 @@ object IcebergWriter {
     val tok = nextToken()
     val posDels = stagePositionDeletes(spark, tableDir, matcher, dataTasks, tok)
     require(posDels.map(_._2).sum > 0, "updateRows matched no rows")
-    commit(spark, tableDir, newRows, partCol, upsertKeys = None,
+    commit(spark, tableDir, newRows, partCol, upsertKeysIn = None,
       posDelFiles = posDels, singleShot = true)
   }
 
@@ -465,7 +483,7 @@ object IcebergWriter {
       // the batch id is ALSO re-checked inside the commit retry loop:
       // two sinks racing the same redelivered batch would otherwise
       // both pass this pre-check and double-commit after CAS retries
-      val id = commit(spark, tableDir, df, partCol, upsertKeys = None,
+      val id = commit(spark, tableDir, df, partCol, upsertKeysIn = None,
         summaryProps = Map("streaming-batch-id" -> batchId.toString),
         skipIfBatchCommitted = Some(batchId))
       if (id < 0) None else Some(id)
@@ -508,8 +526,8 @@ object IcebergWriter {
       }
       .collect().toSeq.sortBy(_._1)
 
-  private def commit(spark: SparkSession, tableDir: String, df: DataFrame,
-                     partCol: Option[String], upsertKeys: Option[Seq[String]],
+  private def commit(spark: SparkSession, tableDir: String, dfIn: DataFrame,
+                     partColIn: Option[String], upsertKeysIn: Option[Seq[String]],
                      summaryProps: Map[String, String] = Map.empty,
                      replaceAll: Boolean = false,
                      filesPerPart: Int = 1,
@@ -522,6 +540,20 @@ object IcebergWriter {
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
     val tok = nextToken()
+
+    // RENAME COLUMN evolution: data files always store each field's
+    // stable WRITE name — incoming logical columns rename before
+    // staging, so files written after a rename stay joinable with the
+    // pre-rename ones under one name-mapping read
+    val writeMap: Map[String, String] =
+      if (currentVersion(tableDir) == 0) Map.empty
+      else IcebergLite.writeNames(tableDir)
+    val df =
+      if (dfIn.columns.forall(c => writeMap.getOrElse(c, c) == c)) dfIn
+      else dfIn.select(dfIn.columns.toSeq.map(c =>
+        col(c).as(writeMap.getOrElse(c, c))): _*)
+    val partCol = partColIn.map(c => writeMap.getOrElse(c, c))
+    val upsertKeys = upsertKeysIn.map(_.map(c => writeMap.getOrElse(c, c)))
 
     // ---- distributed data write: one pass; __part duplicates the
     // partition column so data files RETAIN it (identity transform —
@@ -798,20 +830,54 @@ object IcebergWriter {
     * plans the scan with the declared schema, so pre-evolution files
     * read the column as NULL. Returns the new schema id. */
   def addColumn(spark: SparkSession, tableDir: String,
-                name: String, sqlType: String): Int = {
+                name: String, sqlType: String): Int =
+    evolveSchema(spark, tableDir, "ADD COLUMN") { cur =>
+      require(!cur.exists(_._1 == name), s"column $name already exists")
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(sqlType)
+      cur :+ ((name, name, dt))
+    }
+
+  /** DROP COLUMN (spec "Schema Evolution"): a new schema without the
+    * field — metadata-only, no data movement; data files keep the bytes
+    * but the declared-schema scan never reads them. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Int =
+    evolveSchema(spark, tableDir, "DROP COLUMN") { cur =>
+      require(cur.exists(_._1 == name), s"no column $name")
+      val next = cur.filterNot(_._1 == name)
+      require(next.nonEmpty, "cannot drop the last column")
+      next
+    }
+
+  /** RENAME COLUMN (spec "Schema Evolution" + name mapping): a new
+    * schema where the field keeps its stable WRITE name (what data and
+    * delete files store — the `schema.name-mapping.default` contract)
+    * and only the logical name changes. Metadata-only; reads alias
+    * write → logical on the fly. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Int =
+    evolveSchema(spark, tableDir, "RENAME COLUMN") { cur =>
+      require(cur.exists(_._1 == from), s"no column $from")
+      require(!cur.exists(_._1 == to), s"column $to already exists")
+      cur.map { case (l, w, dt) => if (l == from) (to, w, dt) else (l, w, dt) }
+    }
+
+  /** One CAS schema-evolution commit: read the current fields
+    * (logical, write, type), apply `f`, append the new schema node and
+    * point current-schema-id at it. Returns the new schema id. */
+  private def evolveSchema(spark: SparkSession, tableDir: String, what: String)
+      (f: Seq[(String, String, org.apache.spark.sql.types.DataType)] =>
+        Seq[(String, String, org.apache.spark.sql.types.DataType)]): Int = {
     val curVersion = currentVersion(tableDir)
     require(curVersion > 0, "table does not exist")
     val meta = mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
       .asInstanceOf[ObjectNode]
-    val cur: org.apache.spark.sql.types.StructType =
-      IcebergLite.declaredSchemaOf(meta)
-        .getOrElse(IcebergLite.readSnapshot(spark, tableDir).schema)
-    require(!cur.fieldNames.contains(name), s"column $name already exists")
-    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseDataType(sqlType)
-    val evolved = org.apache.spark.sql.types.StructType(
-      cur.fields :+ org.apache.spark.sql.types.StructField(name, dt, nullable = true))
+    val cur: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      IcebergLite.declaredFieldsOf(meta).getOrElse(
+        IcebergLite.readSnapshot(spark, tableDir).schema.fields.toSeq
+          .map(x => (x.name, x.name, x.dataType)))
+    val evolved = f(cur)
     val schemas =
       if (meta.has("schemas")) meta.withArray[ArrayNode]("schemas")
       else meta.putArray("schemas")
@@ -821,17 +887,18 @@ object IcebergWriter {
     node.put("schema-id", newId)
     node.put("type", "struct")
     val fields = node.putArray("fields")
-    evolved.fields.zipWithIndex.foreach { case (f, i) =>
+    evolved.zipWithIndex.foreach { case ((l, w, dt), i) =>
       val fn = fields.addObject()
       fn.put("id", i + 1)
-      fn.put("name", f.name)
+      fn.put("name", l)
       fn.put("required", false)
-      fn.put("type", IcebergLite.icebergTypeName(f.dataType))
+      fn.put("type", IcebergLite.icebergTypeName(dt))
+      if (w != l) fn.put("write-name", w)
     }
     meta.put("current-schema-id", newId)
     require(casPublish(tableDir, curVersion + 1,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
-      "ADD COLUMN lost a version race with a concurrent commit — rerun")
+      s"$what lost a version race with a concurrent commit — rerun")
     advanceHint(tableDir, curVersion + 1)
     newId
   }

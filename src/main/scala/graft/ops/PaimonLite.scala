@@ -152,12 +152,13 @@ object PaimonLite {
     }
   }
 
-  /** The latest declared schema (highest `schema/schema-N`), as the
-    * DATA columns — system columns (_SEQUENCE_NUMBER/_VALUE_KIND) are
-    * appended by the PK read path. None when the table never evolved
-    * (pre-evolution tables read by parquet schema). */
-  def declaredSchema(tableDir: String)
-      : Option[org.apache.spark.sql.types.StructType] = {
+  /** The latest declared fields (highest `schema/schema-N`) as
+    * (logical name, WRITE name, type). The write name is the stable
+    * column name data files store — RENAME COLUMN changes only the
+    * logical name (the name-mapping trick Paimon spells with field
+    * ids). None when the table never evolved. */
+  def declaredFields(tableDir: String)
+      : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
     val schemaDir = new java.io.File(tableDir, "schema")
     val latest = Option(schemaDir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => "^schema-(\\d+)$".r.findFirstMatchIn(f.getName)
@@ -166,31 +167,53 @@ object PaimonLite {
     latest.map { f =>
       val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
       val fields = node.get("fields")
-      org.apache.spark.sql.types.StructType(
-        (0 until fields.size).map(fields.get).map { fn =>
-          org.apache.spark.sql.types.StructField(fn.get("name").asText,
-            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-              .parseDataType(fn.get("type").asText),
-            nullable = true)
-        })
+      (0 until fields.size).map(fields.get).map { fn =>
+        val name = fn.get("name").asText
+        (name,
+          Option(fn.get("writeName")).map(_.asText).getOrElse(name),
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(fn.get("type").asText))
+      }
     }
   }
 
+  /** The latest declared schema as the LOGICAL data columns — system
+    * columns (_SEQUENCE_NUMBER/_VALUE_KIND) are appended by the PK read
+    * path. None when the table never evolved (pre-evolution tables read
+    * by parquet schema). */
+  def declaredSchema(tableDir: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    declaredFields(tableDir).map(fs =>
+      org.apache.spark.sql.types.StructType(fs.map { case (l, _, dt) =>
+        org.apache.spark.sql.types.StructField(l, dt, nullable = true) }))
+
+  /** logical → write-name map of the current schema (identity when the
+    * table never declared one). */
+  def writeNames(tableDir: String): Map[String, String] =
+    declaredFields(tableDir)
+      .map(_.map { case (l, w, _) => l -> w }.toMap).getOrElse(Map.empty)
+
   /** Plan the parquet scan of `paths` under the declared schema when
     * one exists (+ the PK system columns when `withSystem`) — files
-    * written before an ADD COLUMN null-fill natively, no footer sweep. */
+    * written before an ADD COLUMN null-fill natively, no footer sweep.
+    * The scan plans WRITE names and aliases to logical immediately
+    * (RENAME COLUMN is metadata-only). */
   private[ops] def readAligned(spark: SparkSession, tableDir: String,
                                paths: Seq[String],
                                withSystem: Boolean): DataFrame =
-    declaredSchema(tableDir) match {
-      case Some(st) =>
+    declaredFields(tableDir) match {
+      case Some(fs) =>
         import org.apache.spark.sql.types._
-        val full =
-          if (!withSystem) st
-          else StructType(st.fields ++ Array(
-            StructField("_SEQUENCE_NUMBER", LongType),
-            StructField("_VALUE_KIND", IntegerType)))
-        spark.read.schema(full).parquet(paths: _*)
+        val sys =
+          if (!withSystem) Array.empty[StructField]
+          else Array(StructField("_SEQUENCE_NUMBER", LongType),
+            StructField("_VALUE_KIND", IntegerType))
+        val writeSchema = StructType(fs.map { case (_, w, dt) =>
+          StructField(w, dt, nullable = true) }.toArray ++ sys)
+        val raw = spark.read.schema(writeSchema).parquet(paths: _*)
+        if (fs.forall { case (l, w, _) => l == w }) raw
+        else raw.select(fs.map { case (l, w, _) => col(w).as(l) } ++
+          sys.toSeq.map(f => col(f.name)): _*)
       case None => spark.read.parquet(paths: _*)
     }
 

@@ -42,12 +42,14 @@ object PaimonWriter {
     * scan of the live files ([[PaimonLite.readAppendOnly]]). A
     * `TYPE` marker keeps PK and append-only commits from mixing on one
     * table (they have different read disciplines). */
-  def appendOnly(spark: SparkSession, tableDir: String, df: DataFrame,
-                 partCol: String,
+  def appendOnly(spark: SparkSession, tableDir: String, dfIn: DataFrame,
+                 partColIn: String,
                  beforeCommit: () => Unit = () => ()): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
+    // RENAME COLUMN evolution: files store stable WRITE names
+    val (df, partCol) = toWriteNames(tableDir, dfIn, partColIn)
     val typePath = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
     if (java.nio.file.Files.exists(typePath))
       require(java.nio.file.Files.readString(typePath).trim == "append-only",
@@ -238,16 +240,20 @@ object PaimonWriter {
     * data files. Returns the snapshot id, or -1 when `batchId` turned
     * out to be committed by a concurrent sink (re-checked under the
     * commit CAS — see [[appendBatch]]). */
-  def append(spark: SparkSession, tableDir: String, df: DataFrame,
-             partCol: String, keyCols: Seq[String],
+  def append(spark: SparkSession, tableDir: String, dfIn: DataFrame,
+             partColIn: String, keyColsIn: Seq[String],
              numBuckets: Int = 4, changelogProducer: Boolean = false,
              batchId: Option[Long] = None,
              beforeCommit: () => Unit = () => ()): Long = {
-    require(keyCols.contains(partCol),
+    require(keyColsIn.contains(partColIn),
       "paimon requires the partition column inside the primary key")
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
+    // RENAME COLUMN evolution: files store stable WRITE names
+    val (df, partCol) = toWriteNames(tableDir, dfIn, partColIn)
+    val wn = PaimonLite.writeNames(tableDir)
+    val keyCols = keyColsIn.map(c => wn.getOrElse(c, c))
 
     val typePath0 = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
     if (java.nio.file.Files.exists(typePath0))
@@ -442,35 +448,80 @@ object PaimonWriter {
     * CAS-created: concurrent ALTERs fail loudly. Returns the new
     * schema id. */
   def addColumn(spark: SparkSession, tableDir: String,
-                name: String, sqlType: String): Long = {
-    import org.apache.spark.sql.types._
-    val cur: StructType = PaimonLite.declaredSchema(tableDir).getOrElse {
-      // pre-evolution table: the data columns are one live file's
-      // parquet schema minus the LSM system columns
-      val files = PaimonLite.planFiles(tableDir)
-      require(files.nonEmpty, "table has no live files")
-      StructType(spark.read.parquet(s"$tableDir/${files.head.path}")
-        .schema.fields.filterNot(f =>
-          f.name == "_SEQUENCE_NUMBER" || f.name == "_VALUE_KIND"))
+                name: String, sqlType: String): Long =
+    evolveSchema(spark, tableDir) { cur =>
+      require(!cur.exists(_._1 == name), s"column $name already exists")
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(sqlType)
+      cur :+ ((name, name, dt))
     }
-    require(!cur.fieldNames.contains(name), s"column $name already exists")
-    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-      .parseDataType(sqlType)
-    val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
+
+  /** DROP COLUMN: a new `schema-N` without the field — metadata-only;
+    * data files keep the bytes, the declared-schema scan never reads
+    * them. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String): Long =
+    evolveSchema(spark, tableDir) { cur =>
+      require(cur.exists(_._1 == name), s"no column $name")
+      val next = cur.filterNot(_._1 == name)
+      require(next.nonEmpty, "cannot drop the last column")
+      next
+    }
+
+  /** RENAME COLUMN: a new `schema-N` where the field keeps its stable
+    * WRITE name (what the LSM files store — the name-mapping analog of
+    * Paimon's field ids) and only the logical name changes. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+                   from: String, to: String): Long =
+    evolveSchema(spark, tableDir) { cur =>
+      require(cur.exists(_._1 == from), s"no column $from")
+      require(!cur.exists(_._1 == to), s"column $to already exists")
+      cur.map { case (l, w, dt) => if (l == from) (to, w, dt) else (l, w, dt) }
+    }
+
+  /** One `schema-N` evolution step over (logical, write, type) fields;
+    * CAS-created, loud on a concurrent ALTER. */
+  private def evolveSchema(spark: SparkSession, tableDir: String)
+      (f: Seq[(String, String, org.apache.spark.sql.types.DataType)] =>
+        Seq[(String, String, org.apache.spark.sql.types.DataType)]): Long = {
+    import org.apache.spark.sql.types._
+    val cur: Seq[(String, String, DataType)] =
+      PaimonLite.declaredFields(tableDir).getOrElse {
+        // pre-evolution table: the data columns are one live file's
+        // parquet schema minus the LSM system columns
+        val files = PaimonLite.planFiles(tableDir)
+        require(files.nonEmpty, "table has no live files")
+        spark.read.parquet(s"$tableDir/${files.head.path}")
+          .schema.fields.toSeq.filterNot(x =>
+            x.name == "_SEQUENCE_NUMBER" || x.name == "_VALUE_KIND")
+          .map(x => (x.name, x.name, x.dataType))
+      }
+    val evolved = f(cur)
     val schemaDir = new java.io.File(tableDir, "schema")
     schemaDir.mkdirs()
     val nextId = Option(schemaDir.listFiles()).getOrElse(Array.empty)
-      .flatMap(f => "^schema-(\\d+)$".r.findFirstMatchIn(f.getName)
+      .flatMap(x => "^schema-(\\d+)$".r.findFirstMatchIn(x.getName)
         .map(_.group(1).toLong))
       .foldLeft(-1L)(math.max) + 1
-    val fieldsJson = evolved.fields.zipWithIndex.map { case (f, i) =>
-      s"""{"id":$i,"name":"${f.name}","type":"${PaimonLite.paimonTypeName(f.dataType)}"}"""
+    val fieldsJson = evolved.zipWithIndex.map { case ((l, w, dt), i) =>
+      val writeAttr = if (w != l) s""","writeName":"$w"""" else ""
+      s"""{"id":$i,"name":"$l","type":"${PaimonLite.paimonTypeName(dt)}"$writeAttr}"""
     }.mkString(",")
     require(IcebergWriter.casCreate(
         java.nio.file.Paths.get(tableDir, "schema", s"schema-$nextId"),
         s"""{"id":$nextId,"fields":[$fieldsJson]}"""),
       s"schema-$nextId conflicts with a concurrent ALTER — rerun")
     nextId
+  }
+
+  /** logical → write-name rename of `df` plus the write-named partition
+    * column (no-op when the table never renamed). */
+  private def toWriteNames(tableDir: String, df: DataFrame, partCol: String)
+      : (DataFrame, String) = {
+    val wn = PaimonLite.writeNames(tableDir)
+    val renamed =
+      if (df.columns.forall(c => wn.getOrElse(c, c) == c)) df
+      else df.select(df.columns.toSeq.map(c => col(c).as(wn.getOrElse(c, c))): _*)
+    (renamed, wn.getOrElse(partCol, partCol))
   }
 
   /** SNAPSHOT EXPIRY (the spec's snapshot.num-retained.* retention):

@@ -82,6 +82,12 @@ object LakehouseSql {
   private val AlterRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "ADD\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+([A-Za-z_]\\w*(?:\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)\\s*$").r
+  private val AlterDropRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
+      "DROP\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s*$").r
+  private val AlterRenameRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
+      "RENAME\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TO\\s+([A-Za-z_]\\w*)\\s*$").r
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
@@ -430,7 +436,11 @@ object LakehouseSql {
         "graft_delta tables are append/delete only — PRIMARY KEY upsert " +
           "semantics live on graft_iceberg (equality deletes), " +
           "graft_paimon (LSM) and graft_hudi (MoR)")
-      DeltaWriter.append(spark, dir, df, p.partCol)
+      // a RENAMED table is column-mapped: appends must stamp PHYSICAL
+      // parquet names, which appendMapped does
+      if (DeltaLite.columnMapping(spark, dir).nonEmpty)
+        DeltaWriter.appendMapped(spark, dir, df, p.partCol)
+      else DeltaWriter.append(spark, dir, df, p.partCol)
     case "hudi"    =>
       require(p.keyCols.nonEmpty && p.partCol.nonEmpty,
         "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")
@@ -700,6 +710,44 @@ object LakehouseSql {
       }
       s"SELECT '$colName' AS added_column"
 
+    case AlterDropRe(fmt, name, colName) =>
+      // DROP COLUMN: metadata-only on every format (new Iceberg schema /
+      // Delta metaData commit / Paimon schema-N / Hudi evolution stamp);
+      // the stored bytes stay, unread. Partition and PRIMARY KEY
+      // columns cannot drop — the table's physical layout hangs off them.
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      require(!p.partCol.contains(colName),
+        s"cannot drop partition column $colName")
+      require(!p.keyCols.contains(colName),
+        s"cannot drop PRIMARY KEY column $colName")
+      fmt match {
+        case "iceberg" => IcebergWriter.dropColumn(spark, dir, colName): Unit
+        case "delta" => DeltaWriter.dropColumn(spark, dir, colName): Unit
+        case "paimon" => PaimonWriter.dropColumn(spark, dir, colName): Unit
+        case "hudi" => HudiLite.dropColumn(spark, dir, colName)
+      }
+      s"SELECT '$colName' AS dropped_column"
+
+    case AlterRenameRe(fmt, name, from, to) =>
+      // RENAME COLUMN: metadata-only — data files keep each field's
+      // stable WRITE name (Delta: the protocol's column mapping;
+      // Iceberg/Paimon/Hudi: the name-mapping analog of their field
+      // ids); reads alias on the fly, writers rename incoming columns.
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      require(!p.partCol.contains(from),
+        s"cannot rename partition column $from")
+      require(!p.keyCols.contains(from),
+        s"cannot rename PRIMARY KEY column $from")
+      fmt match {
+        case "iceberg" => IcebergWriter.renameColumn(spark, dir, from, to): Unit
+        case "delta" => DeltaWriter.renameColumn(spark, dir, from, to): Unit
+        case "paimon" => PaimonWriter.renameColumn(spark, dir, from, to): Unit
+        case "hudi" => HudiLite.renameColumn(spark, dir, from, to)
+      }
+      s"SELECT '$to' AS renamed_column"
+
     case UpdateRe(fmt, name, setsRaw, cond) =>
       // UPDATE ... SET ... WHERE: matched rows re-land updated, spelled
       // in each format's native row-change idiom, always ONE COMMIT —
@@ -939,10 +987,11 @@ object LakehouseSql {
             val id = PaimonLite.snapshotIdAsOf(dir, ts)
             if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, Some(id))
             else PaimonLite.readSnapshot(spark, dir, p.keyCols, Some(id))
-          case "hudi" => sys.error(
-            "FOR TIMESTAMP AS OF is not supported on graft_hudi — its " +
-              "timeline instants are ordinals, not timestamps (use FOR " +
-              "VERSION AS OF)")
+          case "hudi" =>
+            // commit stamps (commitTimeMs, written at commit) map the
+            // timestamp to the latest instant at or before it
+            val inst = HudiLite.instantAsOf(dir, ts)
+            HudiLite.readSnapshotMor(spark, dir, p.keyCols, Some(inst))
         }
         df.createOrReplaceTempView(view)
         view

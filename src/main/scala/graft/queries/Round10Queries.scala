@@ -197,7 +197,7 @@ object Round10Queries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
       DeltaWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
       DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
-      DeltaWriter.optimize(s, tableDir, partCol = Some("l_returnflag"))
+      DeltaWriter.optimize(s, tableDir, partColIn = Some("l_returnflag"))
       val plan = DeltaLite.planAddsWithCheckpoint(s, tableDir)
       require(plan.nonEmpty && plan.forall(_.dv.isEmpty),
         "optimize must purge every deletion vector")

@@ -190,7 +190,7 @@ object Round11Queries {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tableDir))
       DeltaWriter.append(s, tableDir, src, partCol = Some("l_returnflag"))
       DeltaWriter.deleteRows(s, tableDir, col("l_orderkey") % 3 === 0)
-      DeltaWriter.optimize(s, tableDir, partCol = Some("l_returnflag"))
+      DeltaWriter.optimize(s, tableDir, partColIn = Some("l_returnflag"))
       val deleted = DeltaWriter.vacuum(s, tableDir)
       require(deleted.exists(_.contains("/data/")) &&
         deleted.exists(_.contains("deletion_vectors")),

@@ -35,7 +35,43 @@ object Round13Queries {
     (new java.io.File(ckpt).getAbsolutePath, new java.io.File(out).getAbsolutePath)
   }
 
+  /** CREATE (orders subset) → RENAME o_custkey TO cust → INSERT
+    * post-rename rows carrying `cust` → DROP o_totalprice → aggregate;
+    * shared by the four `src_<fmt>_drop_column` keys. Exercises the
+    * whole evolution read/write story: pre-rename files serve `cust`
+    * through the name mapping, post-rename inserts land under the
+    * stable write name, and the dropped column's bytes stay unread. */
+  private def dropRenameRoundTrip(s: SparkSession, dir: String,
+                                  fmt: String, pk: String): DataFrame = {
+    t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+      .createOrReplaceTempView("r13_ord_dr")
+    val n = safeName(dir)
+    s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.dr_$n $pk " +
+      "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r13_ord_dr")
+    s.sql(s"ALTER TABLE graft_$fmt.dr_$n RENAME COLUMN o_custkey TO cust")
+    s.sql(s"INSERT INTO graft_$fmt.dr_$n " +
+      "SELECT id AS o_orderkey, id * 3 AS cust, 'O' AS o_orderstatus, " +
+      "CAST(0.0 AS DOUBLE) AS o_totalprice FROM range(90001, 90021)")
+    s.sql(s"ALTER TABLE graft_$fmt.dr_$n DROP COLUMN o_totalprice")
+    s.sql(
+      s"""SELECT o_orderstatus, count(*) AS cnt,
+         |       CAST(sum(cust) AS BIGINT) AS sum_cust
+         |FROM graft_$fmt.dr_$n GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "src_iceberg_drop_column" -> ((s, dir) =>
+      dropRenameRoundTrip(s, dir, "iceberg", "")),
+    "src_delta_drop_column" -> ((s, dir) =>
+      dropRenameRoundTrip(s, dir, "delta", "")),
+    "src_hudi_drop_column" -> ((s, dir) =>
+      dropRenameRoundTrip(s, dir, "hudi", "PRIMARY KEY (o_orderkey)")),
+    "src_paimon_drop_column" -> ((s, dir) =>
+      dropRenameRoundTrip(s, dir, "paimon",
+        "PRIMARY KEY (o_orderstatus, o_orderkey)")),
 
     // ZERO-MATCH DML IS A NO-OP (standard SQL): an UPDATE whose WHERE
     // matches nothing — including a partition predicate that prunes to
@@ -144,6 +180,41 @@ object Round13Queries {
         s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // TIMESTAMP TRAVEL, hudi + iceberg (delta/paimon ride
+    // sql_lake_travel_ts): hudi commits stamp commitTimeMs in the
+    // instant metadata at write; FOR TIMESTAMP AS OF maps to the
+    // latest instant at or before it. Both tables travel to their
+    // first commit (evens) next to the current state (everything).
+    "sql_lake_travel_ts_hudi" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("r13_ord_ts")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_hudi.tts_$n " +
+        "PRIMARY KEY (o_orderkey) PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r13_ord_ts WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_hudi.tts_$n " +
+        "SELECT * FROM r13_ord_ts WHERE o_orderkey % 2 = 1")
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.tts_$n " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r13_ord_ts WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_iceberg.tts_$n " +
+        "SELECT * FROM r13_ord_ts WHERE o_orderkey % 2 = 1")
+      s.sql(
+        s"""SELECT cur.o_orderstatus, cur.n AS n_cur,
+           |       coalesce(h1.n, 0) AS n_hudi_t1,
+           |       coalesce(i1.n, 0) AS n_iceberg_t1
+           |FROM (SELECT o_orderstatus, count(*) AS n
+           |      FROM graft_hudi.tts_$n GROUP BY 1) cur
+           |LEFT JOIN (SELECT o_orderstatus, count(*) AS n
+           |           FROM graft_hudi.tts_$n FOR TIMESTAMP AS OF 1700000000001
+           |           GROUP BY 1) h1 ON cur.o_orderstatus = h1.o_orderstatus
+           |LEFT JOIN (SELECT o_orderstatus, count(*) AS n
+           |           FROM graft_iceberg.tts_$n FOR TIMESTAMP AS OF 1700000000001
+           |           GROUP BY 1) i1 ON cur.o_orderstatus = i1.o_orderstatus
+           |ORDER BY cur.o_orderstatus""".stripMargin)
+    }),
+
     // ICEBERG CHANGE FEED AS A STREAMING SOURCE: snapshot-id offsets
     // checkpointed by the engine; run 1 ships the initial snapshot,
     // run 2 RESUMES and ships only the appended windows — the premise
@@ -233,7 +304,23 @@ object Round13Queries {
     })
   )
 
+  /** Base rows keep their custkey under the new name; synthetic rows
+    * carry id*3. The dropped o_totalprice never shows. */
+  private val DropRenameOracle = """
+    SELECT o_orderstatus, count(*) AS cnt, CAST(sum(cust) AS BIGINT) AS sum_cust
+    FROM (SELECT o_orderstatus, o_custkey AS cust
+          FROM orders WHERE o_orderkey < 12000
+          UNION ALL
+          SELECT 'O' AS o_orderstatus, r * 3 AS cust
+          FROM range(90001, 90021) t(r)) u
+    GROUP BY 1 ORDER BY 1"""
+
   def oracle: Map[String, String] = Map(
+
+    "src_iceberg_drop_column" -> DropRenameOracle,
+    "src_delta_drop_column" -> DropRenameOracle,
+    "src_hudi_drop_column" -> DropRenameOracle,
+    "src_paimon_drop_column" -> DropRenameOracle,
 
     // three zero-match statements later, the table is the CREATE state
     "sql_lake_update_nomatch" -> """
@@ -265,6 +352,17 @@ object Round13Queries {
                   AS BIGINT) AS sum_qty
       FROM lineitem
       WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    // both travel targets are the even half; current is everything
+    "sql_lake_travel_ts_hudi" -> """
+      SELECT o_orderstatus, count(*) AS n_cur,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hudi_t1,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_iceberg_t1
+      FROM orders
+      WHERE o_orderkey < 9000
       GROUP BY 1 ORDER BY 1""",
 
     "stream_iceberg_cdf_source" -> """

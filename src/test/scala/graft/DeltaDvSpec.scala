@@ -63,7 +63,7 @@ class DeltaDvSpec extends AnyFunSuite {
       partCol = Some("p"))
     DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
     val expected = (1L to 20L).filterNot(_ % 3 == 0).toSet
-    val vOpt = DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+    val vOpt = DeltaWriter.optimize(spark, dir, partColIn = Some("p"))
     val plan = DeltaLite.planAddsWithCheckpoint(spark, dir)
     assert(plan.forall(_.dv.isEmpty), s"optimize must leave no DVs: $plan")
     assert(plan.forall(_.path.startsWith(s"data/o$vOpt")), "all files rewritten")

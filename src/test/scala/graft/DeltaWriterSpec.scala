@@ -233,7 +233,7 @@ class DeltaWriterSpec extends AnyFunSuite {
       (1L to 12L).map(k => (k, if (k % 2 == 0) "A" else "B", k.toInt))
         .toDF("k", "p", "v"), partCol = Some("p"))
     DeltaWriter.deleteRows(spark, dir, col("k") % 3 === 0)
-    DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+    DeltaWriter.optimize(spark, dir, partColIn = Some("p"))
     val expected = (1L to 12L).filterNot(_ % 3 == 0).toSet
     def ks: Set[Long] = DeltaLite.readVersion(spark, dir)
       .select("k").collect().map(_.getLong(0)).toSet
@@ -305,7 +305,7 @@ class DeltaWriterSpec extends AnyFunSuite {
       "window sees the odd-append inserts and the DV-delete rows")
     assert(changes(1L, 2L) == Map("delete" -> Set(3L, 6L, 9L, 12L)))
     // OPTIMIZE is state motion: an empty frame, not a loud error
-    DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+    DeltaWriter.optimize(spark, dir, partColIn = Some("p"))
     assert(DeltaLite.readChanges(spark, dir, 2L, 3L).count() == 0L)
     assert(DeltaLite.readChanges(spark, dir, 2L, 3L)
       .columns.contains("_CHANGE_TYPE"))
@@ -366,7 +366,7 @@ class DeltaWriterSpec extends AnyFunSuite {
     DeltaWriter.append(spark, dir,
       Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), partCol = Some("p"))
     val v = DeltaWriter.overwrite(spark, dir,
-      Seq((7L, "A", 70), (8L, "C", 80)).toDF("k", "p", "v"), partCol = Some("p"))
+      Seq((7L, "A", 70), (8L, "C", 80)).toDF("k", "p", "v"), partColIn = Some("p"))
     assert(v == 1L, "overwrite is ONE commit, not delete+append")
     assert(DeltaLite.readVersion(spark, dir)
       .select("k").collect().map(_.getLong(0)).toSet == Set(7L, 8L))
@@ -404,13 +404,28 @@ class DeltaWriterSpec extends AnyFunSuite {
       Seq((3L, "A", 30)).toDF("k", "p", "value"), partCol = Some("p"))
     assert(DeltaLite.readVersion(spark, dir)
       .select("value").collect().map(_.getInt(0)).toSet == Set(10, 20, 30))
-    // unmapped tables refuse (they would need a data rewrite)
+    // an UNMAPPED table upgrades to column mapping in the same commit:
+    // physical names fix to the current names, no data byte moves, and
+    // reads/appends bind the new logical name
     val dir2 = new java.io.File("target/delta/writer_spec_ren2").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir2))
     DeltaWriter.append(spark, dir2, Seq((1L, 1)).toDF("k", "v"))
-    intercept[IllegalArgumentException] {
-      DeltaWriter.renameColumn(spark, dir2, "v", "w")
-    }
+    val bytesBefore = DeltaLite.planAddsWithCheckpoint(spark, dir2).map(a =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir2, a.path)).toSeq)
+    DeltaWriter.renameColumn(spark, dir2, "v", "w")
+    assert(DeltaLite.columnMapping(spark, dir2).toMap == Map("k" -> "k", "w" -> "v"),
+      "upgrade fixes physical names to the pre-rename names")
+    assert(DeltaLite.readVersion(spark, dir2)
+      .select("k", "w").collect().map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      Set((1L, 1)), "reads bind the new logical name after the upgrade")
+    assert(DeltaLite.planAddsWithCheckpoint(spark, dir2).map(a =>
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir2, a.path)).toSeq) == bytesBefore,
+      "the upgrade commit must not touch a data byte")
+    DeltaWriter.appendMapped(spark, dir2, Seq((2L, 2)).toDF("k", "w"))
+    assert(DeltaLite.readVersion(spark, dir2)
+      .select("w").collect().map(_.getInt(0)).toSet == Set(1, 2))
   }
 
   test("txn re-check fires on attempt 0: batch committed mid-staging is skipped") {

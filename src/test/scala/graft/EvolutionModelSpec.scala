@@ -159,4 +159,120 @@ class EvolutionModelSpec extends AnyFunSuite {
     PaimonWriter.expireSnapshots(dir, keepLast = 1)
     check("expiry keeps the schema files")
   }
+
+  test("drop/rename mid-history: name mapping survives writes and maintenance") {
+    val s2 = spark
+    import s2.implicits._
+    // iceberg: rename → write under new name → upsert (eq deletes) →
+    // positional delete by the NEW name → rewrite → drop
+    locally {
+      val dir = new java.io.File("target/iceberg/evo_dr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      IcebergWriter.append(spark, dir,
+        dfOld(Seq((1L, 10), (2L, 20), (3L, 30))), Some("p"))
+      IcebergWriter.renameColumn(spark, dir, "v", "vv")
+      def got(): Map[Long, Int] = IcebergLite.readSnapshot(spark, dir)
+        .select("k", "vv").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30), "rename reads old files")
+      IcebergWriter.append(spark, dir,
+        Seq((4L, partOf(4L), 40)).toDF("k", "p", "vv"), Some("p"))
+      assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40),
+        "post-rename append joins pre-rename files")
+      IcebergWriter.upsert(spark, dir,
+        Seq((2L, partOf(2L), 22)).toDF("k", "p", "vv"), Seq("k"), Some("p"))
+      assert(got()(2L) == 22, "upsert across the rename")
+      IcebergWriter.deleteRows(spark, dir, col("vv") === 30)
+      assert(!got().contains(3L), "positional delete by the new name")
+      IcebergWriter.rewriteDataFiles(spark, dir, Some("p"))
+      assert(got() == Map(1L -> 10, 2L -> 22, 4L -> 40), "rewrite after rename")
+      IcebergWriter.dropColumn(spark, dir, "vv")
+      assert(!IcebergLite.readSnapshot(spark, dir).columns.contains("vv"))
+      assert(IcebergLite.readSnapshot(spark, dir).count() == 3L)
+    }
+    // delta: rename upgrades to column mapping; DV delete + atomic
+    // update + optimize all compose with it; then drop
+    locally {
+      val dir = new java.io.File("target/delta/evo_dr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      DeltaWriter.append(spark, dir,
+        dfOld(Seq((1L, 10), (2L, 20), (3L, 30))), Some("p"))
+      DeltaWriter.renameColumn(spark, dir, "v", "vv")
+      def got(): Map[Long, Int] = DeltaLite.readVersion(spark, dir)
+        .select("k", "vv").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30), "rename reads old files")
+      DeltaWriter.appendMapped(spark, dir,
+        Seq((4L, partOf(4L), 40)).toDF("k", "p", "vv"), Some("p"))
+      assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40),
+        "post-rename append joins pre-rename files")
+      DeltaWriter.deleteRows(spark, dir, col("vv") === 30)
+      assert(!got().contains(3L), "DV delete by the new name")
+      DeltaWriter.updateRows(spark, dir, _.filter(col("k") === 2L),
+        Seq((2L, partOf(2L), 22)).toDF("k", "p", "vv"), Some("p"))
+      assert(got()(2L) == 22, "atomic update across the mapping")
+      DeltaWriter.optimize(spark, dir, Some("p"))
+      assert(got() == Map(1L -> 10, 2L -> 22, 4L -> 40), "optimize after rename")
+      DeltaWriter.dropColumn(spark, dir, "vv")
+      assert(!DeltaLite.readVersion(spark, dir).columns.contains("vv"))
+      assert(DeltaLite.readVersion(spark, dir).count() == 3L)
+    }
+    // hudi: rename → upsert logs under the write name → compaction
+    // rewrites in write names → drop; re-adding a dropped name is loud
+    locally {
+      val dir = new java.io.File("target/hudi/evo_dr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      HudiLite.createTable(spark, dir,
+        dfOld(Seq((1L, 10), (2L, 20), (3L, 30))), Seq("k"), "p", "001")
+      HudiLite.renameColumn(spark, dir, "v", "vv")
+      def got(): Map[Long, Int] =
+        HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+          .select("k", "vv").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30), "rename reads old files")
+      HudiLite.upsert(spark, dir,
+        Seq((2L, partOf(2L), 22), (4L, partOf(4L), 40)).toDF("k", "p", "vv"),
+        Seq("k"), "p", "002"): Unit
+      assert(got() == Map(1L -> 10, 2L -> 22, 3L -> 30, 4L -> 40),
+        "upsert across the rename")
+      HudiLite.compact(spark, dir, Seq("k"), "003")
+      assert(got() == Map(1L -> 10, 2L -> 22, 3L -> 30, 4L -> 40),
+        "compaction preserves the mapping")
+      HudiLite.dropColumn(spark, dir, "vv")
+      assert(!HudiLite.readSnapshotMor(spark, dir, Seq("k")).columns.contains("vv"))
+      val e = intercept[Exception] {
+        HudiLite.addColumn(spark, dir, "v", "INT")
+      }
+      assert(e.getMessage.contains("resurrect"),
+        "re-adding a dropped write name must be loud")
+    }
+    // paimon: rename → LSM upsert under the new name → -D retraction →
+    // expiry → drop
+    locally {
+      val dir = new java.io.File("target/paimon/evo_dr").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val keys = Seq("p", "k")
+      PaimonWriter.append(spark, dir,
+        dfOld(Seq((1L, 10), (2L, 20), (3L, 30))), "p", keys): Unit
+      PaimonWriter.renameColumn(spark, dir, "v", "vv")
+      def got(): Map[Long, Int] =
+        PaimonLite.readSnapshot(spark, dir, keys)
+          .select("k", "vv").collect()
+          .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30), "rename reads old files")
+      PaimonWriter.append(spark, dir,
+        Seq((2L, partOf(2L), 22), (4L, partOf(4L), 40)).toDF("k", "p", "vv"),
+        "p", keys): Unit
+      assert(got() == Map(1L -> 10, 2L -> 22, 3L -> 30, 4L -> 40),
+        "LSM upsert across the rename")
+      PaimonWriter.append(spark, dir,
+        Seq((3L, partOf(3L), 0, PaimonLite.KindDelete))
+          .toDF("k", "p", "vv", "_VALUE_KIND"), "p", keys): Unit
+      assert(!got().contains(3L), "-D across the rename")
+      PaimonWriter.expireSnapshots(dir, keepLast = 1)
+      assert(got() == Map(1L -> 10, 2L -> 22, 4L -> 40), "expiry after rename")
+      PaimonWriter.dropColumn(spark, dir, "vv")
+      assert(!PaimonLite.readSnapshot(spark, dir, keys).columns.contains("vv"))
+    }
+  }
 }

@@ -470,6 +470,28 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
   }
 
+  test("ALTER DROP/RENAME COLUMN guards: partition and PRIMARY KEY stay") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10, 1.5)).toDF("k", "p", "v", "x")
+      .createOrReplaceTempView("lksql_alter_src")
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_alt PRIMARY KEY (p, k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_alter_src")
+    assert(intercept[Exception] {
+      sql("ALTER TABLE graft_paimon.lksql_alt DROP COLUMN p")
+    }.getMessage.contains("partition"))
+    assert(intercept[Exception] {
+      sql("ALTER TABLE graft_paimon.lksql_alt RENAME COLUMN k TO kk")
+    }.getMessage.contains("PRIMARY KEY"))
+    // the happy path round-trips: rename + drop + DESCRIBE reflects it
+    sql("ALTER TABLE graft_paimon.lksql_alt RENAME COLUMN v TO val")
+    sql("ALTER TABLE graft_paimon.lksql_alt DROP COLUMN x")
+    val cols = sql("DESCRIBE graft_paimon.lksql_alt")
+      .select("col_name").collect().map(_.getString(0)).toSeq
+    assert(cols == Seq("k", "p", "val"), s"got $cols")
+    assert(sql("SELECT val FROM graft_paimon.lksql_alt").head().getInt(0) == 10)
+  }
+
   test("table references inside string literals are text, not tables") {
     import graft.plans.LakehouseSql
     // a pure literal mention is not even routed

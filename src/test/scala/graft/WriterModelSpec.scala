@@ -139,7 +139,7 @@ class WriterModelSpec extends AnyFunSuite {
           }
         case 3 =>
           if (model.nonEmpty) {
-            DeltaWriter.optimize(spark, dir, partCol = Some("p"))
+            DeltaWriter.optimize(spark, dir, partColIn = Some("p"))
             check(s"op$i optimize")
           }
         case 4 =>
