@@ -336,6 +336,35 @@ object ScaleProbe {
       if (updated != (0L until 400000L).count(_ % 3 == 0))
         failures += s"UPDATE lost rows: $updated"
 
+      // PARTITION-SCOPED UPDATE: `WHERE p = '9'` must prune BOTH the
+      // probe read and the writer's target scan to that partition's
+      // files — the commit's remove tombstones prove the writer never
+      // planned the other 49 partitions
+      val t2 = System.nanoTime()
+      spark.sql("UPDATE graft_delta.sqlscale_upd SET v = v + 7 WHERE p = '9'")
+      val updPS = (System.nanoTime() - t2) / 1e9
+      val scanU = LakehouseSql.lastScans.find(_.fmt == "delta").getOrElse(
+        sys.error("partition-scoped UPDATE recorded no pruned scan"))
+      val commit2 = new java.io.File(s"$lakeDir/delta/sqlscale_upd/_delta_log")
+        .listFiles().filter(_.getName == f"${2L}%020d.json").head
+      val removes = java.nio.file.Files.readAllLines(commit2.toPath)
+        .toArray.map(_.toString).count(_.contains("\"remove\""))
+      println(f"[sqlscale] partition-scoped UPDATE: $updPS%.1f s, probe " +
+        s"planned ${scanU.plannedFiles}/${scanU.totalFiles} files, " +
+        s"commit removes $removes files")
+      if (scanU.plannedFiles < 1 || scanU.plannedFiles * 10 > scanU.totalFiles)
+        failures += s"UPDATE probe planned ${scanU.plannedFiles}/" +
+          s"${scanU.totalFiles} files — DML pruning is not engaging"
+      if (removes > 2)
+        failures += s"UPDATE's commit removed $removes files — the writer " +
+          "planned more than the WHERE partition"
+      // value-exactness spot check: k=9 took the broad (+1000000) and
+      // the scoped (+7) update on top of v = 9 % 997
+      val v9 = spark.sql("SELECT v FROM graft_delta.sqlscale_upd WHERE k = 9")
+        .head().getLong(0)
+      if (v9 != 9L + 1000000L + 7L)
+        failures += s"partition-scoped UPDATE value drift: k=9 has v=$v9"
+
       // MERGE at scale
       spark.sql("CREATE OR REPLACE TABLE graft_iceberg.sqlscale_mrg " +
         "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM sqlscale_src")

@@ -137,6 +137,10 @@ object LakehouseSql {
 
   private def readStreamState(spark: SparkSession, name: String)
       : (String, String, Long) = {
+    // drain the listener bus first: a just-finished consuming
+    // statement publishes its cursor from a QueryExecutionListener on
+    // the ASYNC bus, and this statement must see it
+    org.apache.spark.sql.graftshim.ListenerShim.flush(spark.sparkContext): Unit
     val f = streamFile(spark, name)
     require(java.nio.file.Files.exists(f), s"unknown stream graft_stream.$name")
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -151,6 +155,56 @@ object LakehouseSql {
     java.nio.file.Files.createDirectories(f.getParent)
     IcebergWriter.atomicWriteString(f,
       s"""{"fmt":"$fmt","table":"$table","cursor":$cursor}""")
+  }
+
+  /** Monotone cursor publication (listener callbacks may fire late or
+    * twice — max-publish makes them idempotent). */
+  private def publishCursorMax(spark: SparkSession, name: String,
+                               fmt: String, table: String, c: Long): Unit =
+    synchronized {
+      val f = streamFile(spark, name)
+      if (java.nio.file.Files.exists(f)) { // a dropped stream stays dropped
+        val cur = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(f)).get("cursor").asLong
+        if (cur < c) writeStreamState(spark, name, fmt, table, c)
+      }
+    }
+
+  /** Publish `newCursor` only when a query that actually SCANS the
+    * staged window succeeds — the table-stream commit-on-success rule
+    * (the graft-cdf streaming source gets this from engine checkpoints;
+    * the SQL route spells it with a QueryExecutionListener). A failed
+    * statement unregisters without publishing, so the window re-serves
+    * — at-least-once, like a streaming restart. */
+  private def publishCursorOnSuccess(spark: SparkSession, name: String,
+                                     fmt: String, table: String,
+                                     newCursor: Long, stagedPath: String): Unit = {
+    def norm(p: String): String = p.replaceAll("^file:+", "")
+    val target = norm(new java.io.File(stagedPath).getAbsolutePath)
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def touches(
+          qe: org.apache.spark.sql.execution.QueryExecution): Boolean =
+        qe.analyzed.collectFirst {
+          case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if (l.relation match {
+              case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+                fs.location.rootPaths.exists(rp => norm(rp.toString) == target)
+              case _ => false
+            }) => ()
+        }.isDefined
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        if (touches(qe)) {
+          publishCursorMax(spark, name, fmt, table, newCursor)
+          spark.listenerManager.unregister(this)
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit =
+        if (touches(qe)) spark.listenerManager.unregister(this)
+    }
+    spark.listenerManager.register(listener)
   }
 
   /** Replace every `re` match found on the LITERAL-MASKED text (same
@@ -952,6 +1006,13 @@ object LakehouseSql {
       // stream references first: each consumes (cursor, current] of its
       // table's change feed and advances the cursor — the second read
       // of an unchanged table is EMPTY (the table-stream contract)
+      // COMMIT-ON-SUCCESS consumption: the window MATERIALIZES to a
+      // staged parquet during the pre-pass (a failing feed computation
+      // keeps the cursor) and the cursor publishes only after the
+      // consuming statement's execution SUCCEEDS — a statement that
+      // fails mid-consume re-serves the same window next time, exactly
+      // the at-least-once discipline the graft-cdf source gets from
+      // engine checkpoints.
       val streamed = replaceRefsOutsideLiterals(sql, StreamRefRe) { m =>
         val streamName = m.group(1)
         val (fmt, tblName, cursor) = readStreamState(spark, streamName)
@@ -961,16 +1022,33 @@ object LakehouseSql {
         val view = s"graft_stream_v_$streamName"
         val window =
           if (current <= cursor) {
-            // empty window, feed-shaped
+            // empty window, feed-shaped; nothing to publish
             val dataSchema = reader(spark, fmt, dir, p).schema
             spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
               org.apache.spark.sql.types.StructType(dataSchema.fields :+
                 org.apache.spark.sql.types.StructField("_CHANGE_TYPE",
                   org.apache.spark.sql.types.StringType, nullable = false)))
-          } else
+          } else {
+            // each window stages under its OWN (from, to)-named dir: a
+            // still-unmaterialized plan over an earlier window keeps
+            // its files (overwriting one shared dir would pull them
+            // out from under it). Old windows sweep below, keep-last-4.
+            val staged = new java.io.File(
+              s"${warehouse(spark)}/_streams/window_${streamName}_${cursor}_$current")
+              .getAbsolutePath
             graft.streaming.CdfFeed.changes(spark, fmt, dir, Some(cursor), current)
+              .write.mode("overwrite").parquet(staged)
+            publishCursorOnSuccess(spark, streamName, fmt, tblName,
+              current, staged)
+            val siblings = Option(new java.io.File(s"${warehouse(spark)}/_streams")
+              .listFiles()).getOrElse(Array.empty)
+              .filter(_.getName.startsWith(s"window_${streamName}_"))
+              .sortBy(f => f.getName.split("_").last.toLong)
+            siblings.dropRight(4).foreach(
+              org.apache.commons.io.FileUtils.deleteQuietly)
+            spark.read.parquet(staged)
+          }
         window.createOrReplaceTempView(view)
-        writeStreamState(spark, streamName, fmt, tblName, math.max(cursor, current))
         view
       }
       // timestamp travel before version travel (both before plain refs,

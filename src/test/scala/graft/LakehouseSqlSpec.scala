@@ -410,16 +410,19 @@ class LakehouseSqlSpec extends AnyFunSuite {
       sql("INSERT OVERWRITE graft_paimon.lksql_ow SELECT * FROM lksql_ow_new")
     }
     assert(e.getMessage.contains("not supported"))
-    // timestamp travel: delta v0 stamp resolves; hudi is loud
+    // timestamp travel: delta v0 stamp resolves; hudi maps the stamp to
+    // its first instant (001 → 1700000000001), earlier is loud
     assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_ow " +
       "FOR TIMESTAMP AS OF 1700000000000").head().getLong(0) == 2L)
     sql("CREATE OR REPLACE TABLE graft_hudi.lksql_owh " +
       "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM lksql_ow_src")
+    assert(sql("SELECT count(*) AS n FROM graft_hudi.lksql_owh " +
+      "FOR TIMESTAMP AS OF 1700000000001").head().getLong(0) == 2L)
     val e2 = intercept[Exception] {
       sql("SELECT * FROM graft_hudi.lksql_owh " +
         "FOR TIMESTAMP AS OF 1700000000000").collect()
     }
-    assert(e2.getMessage.contains("not supported"))
+    assert(e2.getMessage.contains("no hudi instant"))
   }
 
   test("DROP TABLE / DROP STREAM: gone means gone, unknowns are loud") {
@@ -468,6 +471,32 @@ class LakehouseSqlSpec extends AnyFunSuite {
     val streams = sql("SHOW STREAMS").collect()
       .map(r => (r.getString(0), r.getString(1)))
     assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
+  }
+
+  test("stream cursor commits on SUCCESS: a failed consume re-serves the window") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_scs_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_scs " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_scs_src")
+    sql("CREATE STREAM graft_stream.scs_s ON TABLE graft_delta.lksql_scs")
+    sql("INSERT INTO graft_delta.lksql_scs SELECT 2 AS k, 'A' AS p")
+    // a consuming statement that fails MID-EXECUTION must not advance
+    // the cursor — the window re-serves (at-least-once)
+    spark.udf.register("lksql_scs_boom", (_: Long) =>
+      { throw new RuntimeException("injected consume crash"); 0L })
+    intercept[Exception] {
+      sql("SELECT lksql_scs_boom(k) FROM graft_stream.scs_s").collect()
+    }
+    val reserved = sql("SELECT k FROM graft_stream.scs_s")
+      .collect().map(_.getLong(0)).toSeq
+    assert(reserved == Seq(2L),
+      "the failed consume must not have advanced the cursor")
+    // ...and after the SUCCESSFUL consume the cursor is committed:
+    // the next read is empty
+    assert(sql("SELECT k FROM graft_stream.scs_s").collect().isEmpty,
+      "a successful consume commits the cursor")
+    sql("DROP STREAM graft_stream.scs_s")
   }
 
   test("ALTER DROP/RENAME COLUMN guards: partition and PRIMARY KEY stay") {
