@@ -126,18 +126,30 @@ object IcebergLite {
       .find(_.get("snapshot-id").asLong == wanted)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $wanted not in ${meta.get("snapshots")}"))
-    // spec-id → (partition source column, transform) of that spec
-    val specCols: Map[Int, (String, String)] = Option(meta.get("partition-specs"))
+    // spec-id → the spec's (source column, transform) FIELDS in order —
+    // multi-field specs (e.g. days(ts), bucket(16, id)) store their
+    // partition tuple as \\u0001-joined components in part_value
+    val specCols: Map[Int, Seq[(String, String)]] = Option(meta.get("partition-specs"))
       .map { specs =>
         (0 until specs.size).map(specs.get).flatMap { s =>
           val fields = s.get("fields")
           if (fields == null || fields.size == 0) None
           else Some(s.get("spec-id").asInt ->
-            (fields.get(0).get("name").asText,
-              Option(fields.get(0).get("transform")).map(_.asText)
-                .getOrElse("identity")))
+            (0 until fields.size).map(fields.get).map(f =>
+              (f.get("name").asText,
+                Option(f.get("transform")).map(_.asText)
+                  .getOrElse("identity"))))
         }.toMap
       }.getOrElse(Map.empty)
+    // the stored component for (column, transform) under a file's spec:
+    // None = the spec has no such field (conservatively kept)
+    def fieldComponent(specId: Int, colName: String, transform: String,
+                       partVal: Option[String]): Option[String] =
+      specCols.get(specId).flatMap { fs =>
+        val i = fs.indexOf((colName, transform))
+        if (i < 0) None
+        else partVal.flatMap(v => v.split('\u0001').lift(i))
+      }
     val manifestList = snap.get("manifest-list").asText
     readAvro(manifestList).flatMap { mf =>
       val manifestPath = mf.get("manifest_path").toString
@@ -170,16 +182,14 @@ object IcebergLite {
               statsFilter.forall(f => lower.isEmpty && upper.isEmpty || f(lower, upper)) &&
               partPruneBy.forall { case (colName, f) =>
                 // identity-only: a transformed partition value is not
-                // the source value this predicate speaks about
-                !specCols.get(specId).contains((colName, "identity")) ||
-                  part.forall(f)
+                // the source value this predicate speaks about; a file
+                // whose spec lacks the field is conservatively kept
+                fieldComponent(specId, colName, "identity", part).forall(f)
               } &&
               transformPrune.forall { case (colName, transform, f) =>
-                // prune on the STORED (transformed) value, only for
-                // files whose spec is exactly (column, transform);
-                // other specs are conservatively kept
-                !specCols.get(specId).contains((colName, transform)) ||
-                  part.forall(f)
+                // prune on the STORED (transformed) component, only for
+                // files whose spec carries exactly (column, transform)
+                fieldComponent(specId, colName, transform, part).forall(f)
               })
           if (!keep) None
           else Some(FileTask(df.get("file_path").toString, content, part,

@@ -146,18 +146,17 @@ object IcebergWriter {
     * spec rather than rewriting history, and the reader prunes each
     * file only by its own spec's column. `None` resolves the
     * unpartitioned spec (what delete manifests are stamped with). */
-  private def resolveSpecId(meta: ObjectNode, partCol: Option[String],
-                            transform: String = "identity"): Int = {
+  private def resolveSpecId(meta: ObjectNode,
+                            fields: Seq[(String, String)]): Int = {
     val specsArr = meta.withArray[ArrayNode]("partition-specs")
-    val wantedField = partCol.getOrElse("")
-    val wantedTransform = if (partCol.isEmpty) "" else transform
     (0 until specsArr.size).map(specsArr.get)
       .find { s =>
         val fs = s.get("fields")
-        val (n, tr) =
-          if (fs == null || fs.size == 0) ("", "")
-          else (fs.get(0).get("name").asText, fs.get(0).get("transform").asText)
-        n == wantedField && tr == wantedTransform
+        val cur =
+          if (fs == null) Seq.empty
+          else (0 until fs.size).map(fs.get).map(f =>
+            (f.get("name").asText, f.get("transform").asText))
+        cur == fields
       }
       .map(_.get("spec-id").asInt)
       .getOrElse {
@@ -165,11 +164,11 @@ object IcebergWriter {
           .foldLeft(-1)(math.max) + 1
         val spec = specsArr.addObject()
         spec.put("spec-id", nid)
-        val fields = spec.putArray("fields")
-        partCol.foreach { p =>
-          val f = fields.addObject()
-          f.put("name", p); f.put("transform", transform)
-          f.put("source-id", 1); f.put("field-id", 1000 + nid)
+        val farr = spec.putArray("fields")
+        fields.zipWithIndex.foreach { case ((c, tr), i) =>
+          val f = farr.addObject()
+          f.put("name", c); f.put("transform", tr)
+          f.put("source-id", i + 1); f.put("field-id", 1000 + nid * 10 + i)
         }
         nid
       }
@@ -224,6 +223,18 @@ object IcebergWriter {
              partTransform: String = "identity"): Long =
     commit(spark, tableDir, df, partCol, upsertKeysIn = None,
       filesPerPart = filesPerPart, partTransform = partTransform)
+
+  /** Append under a MULTI-FIELD partition spec (spec "Partition Specs":
+    * a fields array — e.g. `days(ts), bucket(16, id)`): the data write
+    * stages one directory level per field and the manifest stores the
+    * joined partition tuple; [[IcebergLite.planFiles]] prunes on any
+    * single field's component. */
+  def appendMultiSpec(spark: SparkSession, tableDir: String, df: DataFrame,
+                      partFields: Seq[(String, String)]): Long = {
+    require(partFields.size >= 2, "use append for single-field specs")
+    commit(spark, tableDir, df, None, upsertKeysIn = None,
+      partFieldsIn = partFields)
+  }
 
   /** Append with a test-visible hook fired just before the first CAS
     * attempt — how the concurrent-commit specs interleave two writers
@@ -398,7 +409,7 @@ object IcebergWriter {
       val seq = meta.get("last-sequence-number").asLong + 1
       val snaps0 = meta.get("snapshots")
       val snapId = (0 until snaps0.size).map(snaps0.get(_).get("snapshot-id").asLong).max + 1
-      val specId = resolveSpecId(meta, None) // delete files are unpartitioned
+      val specId = resolveSpecId(meta, Nil) // delete files are unpartitioned
 
       // manifest (content=1 position deletes) + carried-forward list
       val mp = s"$tableDir/metadata/manifest-pd$tok-$attempt.avro"
@@ -535,7 +546,8 @@ object IcebergWriter {
                      skipIfBatchCommitted: Option[Long] = None,
                      partTransform: String = "identity",
                      posDelFiles: Seq[(String, Long, Long)] = Nil,
-                     singleShot: Boolean = false): Long = {
+                     singleShot: Boolean = false,
+                     partFieldsIn: Seq[(String, String)] = Nil): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -554,15 +566,34 @@ object IcebergWriter {
         col(c).as(writeMap.getOrElse(c, c))): _*)
     val partCol = partColIn.map(c => writeMap.getOrElse(c, c))
     val upsertKeys = upsertKeysIn.map(_.map(c => writeMap.getOrElse(c, c)))
+    // effective spec fields: an explicit MULTI-FIELD spec (spec
+    // "Partition Specs": a fields array — e.g. days(ts), bucket(16,id))
+    // wins over the single-column spelling
+    val partFields: Seq[(String, String)] =
+      if (partFieldsIn.nonEmpty)
+        partFieldsIn.map { case (c, tr) => (writeMap.getOrElse(c, c), tr) }
+      else partCol.map(c => Seq((c, partTransform))).getOrElse(Nil)
+    require(partFields.size <= 1 || filesPerPart == 1,
+      "hot-partition salting with a multi-field spec is out of scope")
 
     // ---- distributed data write: one pass; __part duplicates the
     // partition column so data files RETAIN it (identity transform —
     // the reader does not reconstruct partition columns from metadata).
     // filesPerPart > 1 adds a deterministic content-hash salt: a hot
     // partition value splits across that many tasks/files instead of
-    // funneling through one.
+    // funneling through one. A multi-field spec stages one __pK
+    // directory level per field; the components join as the stored
+    // partition tuple.
     val staging = s"$tableDir/stage_$tok"
-    partCol match {
+    if (partFields.size > 1) {
+      val pcols = partFields.zipWithIndex.map { case ((c, tr), i) =>
+        (s"__p$i", transformCol(df, c, tr).cast("string")) }
+      val stagedDf = pcols.foldLeft(df) { case (acc, (n2, c2)) =>
+        acc.withColumn(n2, c2) }
+      stagedDf.repartition(pcols.map(p => col(p._1)): _*)
+        .write.partitionBy(pcols.map(_._1): _*)
+        .mode("overwrite").parquet(staging)
+    } else partCol match {
       case Some(p) if filesPerPart > 1 =>
         // explicit partition count: an AQE-coalesced exchange would
         // re-merge the salt groups and defeat the split
@@ -588,16 +619,30 @@ object IcebergWriter {
     // ---- stage → data/: (finalPath, partValue) per file; stats come
     // from one distributed footer pass, and the emptiness guard rides
     // those stats instead of a dedicated df.isEmpty pre-job
+    def partOf(f: java.io.File): Option[String] =
+      if (partFields.size > 1) {
+        // climb the __p(N-1)= ... __p0= directory levels
+        val comps = new Array[String](partFields.size)
+        var d = f.getParentFile
+        var ok = true
+        var i = partFields.size - 1
+        while (i >= 0) {
+          val pre = s"__p$i="
+          if (d != null && d.getName.startsWith(pre)) {
+            comps(i) = d.getName.stripPrefix(pre)
+            d = d.getParentFile
+          } else ok = false
+          i -= 1
+        }
+        if (ok) Some(comps.mkString("\u0001")) else None
+      } else f.getParentFile.getName match {
+        case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
+        case _ => None
+      }
     val staged: Seq[(java.io.File, Option[String])] =
       parquetsUnder(new java.io.File(staging))
         .sortBy(_.getAbsolutePath)
-        .map { f =>
-          val part = f.getParentFile.getName match {
-            case n if n.startsWith("__part=") => Some(n.stripPrefix("__part="))
-            case _ => None
-          }
-          (f, part)
-        }
+        .map(f => (f, partOf(f)))
     val stagedStats = distributedFooterStats(spark, staged.map(_._1.getAbsolutePath)).toMap
     if (stagedStats.values.map(_._1).sum == 0L) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
@@ -609,7 +654,8 @@ object IcebergWriter {
         if (rows == 0L) { f.delete(); None } // salt shards can be empty
         else {
           val dst = new java.io.File(dir,
-            s"data/w${tok}_${part.map(p => s"${p}_").getOrElse("")}$j.parquet")
+            s"data/w${tok}_${part.map(p =>
+              s"${p.replace('\u0001', '~')}_").getOrElse("")}$j.parquet")
           java.nio.file.Files.move(f.toPath, dst.toPath)
           Some((dst.getAbsolutePath, part, rows, bytes, lo, hi))
         }
@@ -758,7 +804,7 @@ object IcebergWriter {
         m.putArray("snapshots")
         m
       }
-      val specId = resolveSpecId(meta, partCol, partTransform)
+      val specId = resolveSpecId(meta, partFields)
 
       // manifest list: current snapshot's manifests carried forward +
       // the new one (append semantics); REPLACE lists only the new one

@@ -231,9 +231,13 @@ object LakehouseSql {
   private def tableDir(spark: SparkSession, fmt: String, name: String): String =
     new java.io.File(s"${warehouse(spark)}/$fmt/$name").getAbsolutePath
 
+  /** `partFields` is the MULTI-FIELD spec (col, transform, colType) —
+    * Iceberg only; when it has 2+ entries, partCol/partTransform are
+    * unused (the single-field spelling). */
   private final case class Props(partCol: Option[String], keyCols: Seq[String],
                                  partTransform: String = "identity",
-                                 partColType: String = "")
+                                 partColType: String = "",
+                                 partFields: Seq[(String, String, String)] = Nil)
 
   /** Parse one PARTITIONED BY entry: a bare column (identity) or an
     * Iceberg transform call — bucket(N, col), truncate(W, col),
@@ -254,11 +258,14 @@ object LakehouseSql {
 
   private def writeProps(dir: String, p: Props): Unit = {
     new java.io.File(dir).mkdirs()
+    val pf = p.partFields.map { case (c, tr, ct) =>
+      s"""{"col":"$c","tr":"$tr","ct":"$ct"}""" }.mkString(",")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(dir, "_graft_table.json"),
       s"""{"partCol":${p.partCol.map(c => s""""$c"""").getOrElse("null")},""" +
         s""""partTransform":"${p.partTransform}",""" +
         s""""partColType":"${p.partColType}",""" +
+        s""""partFields":[$pf],""" +
         s""""keyCols":[${p.keyCols.map(c => s""""$c"""").mkString(",")}]}""")
   }
 
@@ -269,9 +276,14 @@ object LakehouseSql {
       .readTree(java.nio.file.Files.readString(f))
     val keys = Option(node.get("keyCols")).map(a =>
       (0 until a.size).map(a.get(_).asText)).getOrElse(Seq.empty)
+    val pf = Option(node.get("partFields")).map(a =>
+      (0 until a.size).map(a.get).map(n =>
+        (n.get("col").asText, n.get("tr").asText, n.get("ct").asText)))
+      .getOrElse(Seq.empty)
     Props(Option(node.get("partCol")).filterNot(_.isNull).map(_.asText), keys,
       Option(node.get("partTransform")).map(_.asText).getOrElse("identity"),
-      Option(node.get("partColType")).map(_.asText).getOrElse(""))
+      Option(node.get("partColType")).map(_.asText).getOrElse(""),
+      pf)
   }
 
   /** Zero-padded next Hudi instant from the timeline. */
@@ -313,6 +325,13 @@ object LakehouseSql {
         case _ => None
       }
       case "year" | "month" | "day" => toLocalDate(colType, v).map(formatTr(tr, _))
+      case "identity" => colType match {
+        // identity fields inside MULTI-FIELD specs prune by raw value
+        // (string/integral only — typed spellings need normalization
+        // the single-field identity path gets from SqlPrune)
+        case "string" | "int" | "bigint" => Some(v)
+        case _ => None
+      }
       case _ => None
     }
   }
@@ -352,7 +371,7 @@ object LakehouseSql {
           formatTr(tr, if (lower) ld.minusDays(1) else ld.plusDays(1)))
       else transformLiteral(tr, colType, v)
     tv.map { t =>
-      val numeric = tr.startsWith("truncate[") &&
+      val numeric = (tr.startsWith("truncate[") || tr == "identity") &&
         (colType == "bigint" || colType == "int")
       (pv: String) =>
         if (numeric) scala.util.Try(BigDecimal(pv)).toOption.forall(n =>
@@ -392,7 +411,9 @@ object LakehouseSql {
   private def reader(spark: SparkSession, fmt: String, dir: String,
                      p: Props, version: Option[Long] = None,
                      prune: Option[SqlPrune.PruneInfo] = None,
-                     name: String = ""): DataFrame = {
+                     name: String = "",
+                     multiPrune: Option[(String, String, String => Boolean)] = None)
+      : DataFrame = {
     val pc = p.partCol
     val pred = prune.map(_.pred)
       .filter(_ => pc.isDefined && p.partTransform == "identity")
@@ -413,6 +434,21 @@ object LakehouseSql {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
     fmt match {
+      case "iceberg" if p.partFields.size > 1 =>
+        // MULTI-FIELD spec: the caller resolves ONE prunable field's
+        // conjunct into a (column, transform, pred) triple; planFiles
+        // prunes on that field's stored component
+        multiPrune match {
+          case Some(tp) =>
+            val planned = IcebergLite.planFiles(dir, version,
+              transformPrune = Some(tp)).count(_.content == 0)
+            record(planned,
+              IcebergLite.planFiles(dir, version).count(_.content == 0))
+            if (planned == 0) emptyFrame()
+            else IcebergLite.readSnapshot(spark, dir, version,
+              transformPrune = Some(tp))
+          case None => IcebergLite.readSnapshot(spark, dir, version)
+        }
       case "iceberg" if p.partTransform != "identity" =>
         transformPruneOf(p, prune) match {
           case Some(tp) =>
@@ -479,7 +515,10 @@ object LakehouseSql {
       // matching the paimon/hudi route's PK semantics; keyless tables
       // append. A declared transform (bucket/truncate/date) stamps the
       // partition spec on every append.
-      if (!create && p.keyCols.nonEmpty) {
+      if (p.partFields.size > 1)
+        IcebergWriter.appendMultiSpec(spark, dir, df,
+          p.partFields.map { case (c, tr, _) => (c, tr) })
+      else if (!create && p.keyCols.nonEmpty) {
         require(p.partTransform == "identity",
           "PK upsert on a transformed partition spec is out of scope")
         IcebergWriter.upsert(spark, dir, df, p.keyCols, p.partCol)
@@ -570,21 +609,39 @@ object LakehouseSql {
       require(!exists || orReplace != null,
         s"table graft_$fmt.$name already exists (use CREATE OR REPLACE)")
       if (exists) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val parsedPart = Option(partRaw).map(_.trim).filter(_.nonEmpty)
-        .map(parsePartSpec)
-      parsedPart.foreach { case (_, tr) =>
+      // PARTITIONED BY takes a comma list of entries; 2+ entries = a
+      // MULTI-FIELD spec (Iceberg's fields array, e.g.
+      // `days(ts), bucket(16, id)`)
+      val parsedParts: Seq[(String, String)] =
+        Option(partRaw).map(_.trim).filter(_.nonEmpty)
+          .map(raw => splitTop(raw).map(_.trim).filter(_.nonEmpty)
+            .map(parsePartSpec))
+          .getOrElse(Seq.empty)
+      parsedParts.foreach { case (_, tr) =>
         require(tr == "identity" || fmt == "iceberg",
           s"partition transforms are an Iceberg spec feature — graft_$fmt " +
             "takes an identity column")
       }
+      require(parsedParts.size <= 1 || fmt == "iceberg",
+        s"multi-field partition specs are an Iceberg spec feature — " +
+          s"graft_$fmt takes one partition column")
+      val pkCols = Option(pkRaw)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      require(parsedParts.size <= 1 || pkCols.isEmpty,
+        "PRIMARY KEY with a multi-field partition spec is out of scope")
       val created = spark.sql(select)
+      val parsedPart = parsedParts.headOption.filter(_ => parsedParts.size == 1)
       val props = Props(
         parsedPart.map(_._1),
-        Option(pkRaw).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Seq.empty),
+        pkCols,
         parsedPart.map(_._2).getOrElse("identity"),
         parsedPart.map(pp =>
-          created.schema(pp._1).dataType.simpleString).getOrElse(""))
+          created.schema(pp._1).dataType.simpleString).getOrElse(""),
+        if (parsedParts.size > 1)
+          parsedParts.map { case (c, tr) =>
+            (c, tr, created.schema(c).dataType.simpleString) }
+        else Nil)
       val version = appendTo(spark, fmt, dir, props, created, create = true)
       writeProps(dir, props)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
@@ -1003,6 +1060,16 @@ object LakehouseSql {
           : Option[SqlPrune.PruneInfo] =
         p.partCol.flatMap(pc =>
           SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
+      // MULTI-FIELD specs: the first field with a provable conjunct
+      // prunes (any single field's component restricts the file set)
+      def multiPruneOf(fmt: String, name: String, p: Props)
+          : Option[(String, String, String => Boolean)] =
+        if (p.partFields.size < 2) None
+        else p.partFields.view.flatMap { case (c, tr, ct) =>
+          SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", c, ct)
+            .flatMap(info => transformPruneOf(
+              Props(Some(c), Seq.empty, tr, ct), Some(info)))
+        }.headOption
       // stream references first: each consumes (cursor, current] of its
       // table's change feed and advances the cursor — the second read
       // of an unchanged table is EMPTY (the table-stream contract)
@@ -1079,7 +1146,8 @@ object LakehouseSql {
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)
         val view = s"graft_lake_${fmt}_${name}_v$v"
-        reader(spark, fmt, dir, p, Some(v), pruneInfo(fmt, name, p), name)
+        reader(spark, fmt, dir, p, Some(v), pruneInfo(fmt, name, p), name,
+          multiPruneOf(fmt, name, p))
           .createOrReplaceTempView(view)
         view
       }
@@ -1088,7 +1156,8 @@ object LakehouseSql {
         val dir = tableDir(spark, fmt, name)
         val p = readProps(dir)
         val view = s"graft_lake_${fmt}_$name"
-        reader(spark, fmt, dir, p, None, pruneInfo(fmt, name, p), name)
+        reader(spark, fmt, dir, p, None, pruneInfo(fmt, name, p), name,
+          multiPruneOf(fmt, name, p))
           .createOrReplaceTempView(view)
         view
       }

@@ -180,6 +180,44 @@ object Round13Queries {
         s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // MULTI-FIELD PARTITION SPEC (spec "Partition Specs" fields array):
+    // PARTITIONED BY (days(ts), bucket(8, event_id)) stamps a two-field
+    // spec; EITHER field's provable conjunct prunes the manifest walk —
+    // a key equality hits the bucket component, a ts range the day
+    // component. Both premises assert a strict file subset.
+    "src_iceberg_write_multispec" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r13_ev_ms")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.ms_$n " +
+        "PARTITIONED BY (days(ts), bucket(8, event_id)) " +
+        "AS SELECT * FROM r13_ev_ms")
+      // bucket-field prune via key equality
+      val byKey = s.sql(s"SELECT event_id, event_type " +
+        s"FROM graft_iceberg.ms_$n WHERE event_id = 77")
+      byKey.collect(): Unit
+      val kScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("multispec premise: key equality must record a pruned scan"))
+      require(kScan.plannedFiles >= 1 && kScan.plannedFiles * 2 <= kScan.totalFiles,
+        s"multispec premise: bucket-component pruning must plan a strict " +
+          s"subset, got $kScan")
+      // day-field prune via ts range
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS cnt,
+           |       CAST(sum(event_id) AS BIGINT) AS sum_id
+           |FROM graft_iceberg.ms_$n
+           |WHERE ts >= '2024-01-20 00:00:00' AND ts < '2024-01-23 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val tScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("multispec premise: the ts range must record a pruned scan"))
+      require(tScan.plannedFiles >= 1 && tScan.plannedFiles * 2 <= tScan.totalFiles,
+        s"multispec premise: day-component pruning must plan a strict " +
+          s"subset, got $tScan")
+      out
+    }),
+
     // TIMESTAMP TRAVEL, hudi + iceberg (delta/paimon ride
     // sql_lake_travel_ts): hudi commits stamp commitTimeMs in the
     // instant metadata at write; FOR TIMESTAMP AS OF maps to the
@@ -352,6 +390,14 @@ object Round13Queries {
                   AS BIGINT) AS sum_qty
       FROM lineitem
       WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    "src_iceberg_write_multispec" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+        AND ts < TIMESTAMP '2024-01-23 00:00:00'
       GROUP BY 1 ORDER BY 1""",
 
     // both travel targets are the even half; current is everything

@@ -416,6 +416,47 @@ class IcebergWriterSpec extends AnyFunSuite {
     assert(d2 == Set(3))
   }
 
+  test("multi-field spec: either field's component prunes; specs evolve") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.IcebergLite
+    val dir = new java.io.File("target/iceberg/writer_spec_multi").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    IcebergWriter.appendMultiSpec(spark, dir,
+      Seq(("2024-03-01 10:00:00", 1L, 10), ("2024-03-01 23:59:00", 2L, 20),
+          ("2024-03-02 00:01:00", 3L, 30), ("2024-03-02 08:00:00", 4L, 40))
+        .toDF("ts", "k", "v").withColumn("ts", $"ts".cast("timestamp")),
+      Seq(("ts", "day"), ("k", "bucket[4]")))
+    // stored tuples: day component + spec-murmur3 bucket component
+    val parts = IcebergLite.planFiles(dir).filter(_.content == 0)
+      .flatMap(_.partValue).toSet
+    assert(parts.forall(_.split('\u0001').length == 2), s"tuples: $parts")
+    assert(parts.map(_.split('\u0001')(0)) ==
+      Set("2024-03-01", "2024-03-02"), s"day components: $parts")
+    // day-component prune
+    val d2 = IcebergLite.readSnapshot(spark, dir,
+      transformPrune = Some(("ts", "day", (pv: String) => pv == "2024-03-02")))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(d2 == Set(3L, 4L))
+    // bucket-component prune: k=1's spec bucket
+    val b1 = IcebergLite.bucketLong(1L, 4).toString
+    val k1 = IcebergLite.readSnapshot(spark, dir,
+      transformPrune = Some(("k", "bucket[4]", (pv: String) => pv == b1)))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(k1.contains(1L))
+    // PARTITION EVOLUTION interop: a later single-field append registers
+    // a NEW spec; pruning on the multi spec keeps the new spec's files
+    IcebergWriter.append(spark, dir,
+      Seq(("2024-03-03 01:00:00", 9L, 90)).toDF("ts", "k", "v")
+        .withColumn("ts", $"ts".cast("timestamp")),
+      partCol = Some("k"), partTransform = "identity")
+    val afterEvo = IcebergLite.readSnapshot(spark, dir,
+      transformPrune = Some(("ts", "day", (pv: String) => pv == "2024-03-02")))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(afterEvo == Set(3L, 4L, 9L),
+      "files under a spec without the field are conservatively kept")
+  }
+
   test("empty append is rejected loudly, table state unchanged") {
     val s2 = spark
     import s2.implicits._
