@@ -91,9 +91,14 @@ object LakehouseSql {
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
-      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)\\s+" +
-      "WHEN\\s+MATCHED\\s+THEN\\s+(DELETE|UPDATE\\s+SET\\s+.+?)\\s*" +
-      "(WHEN\\s+NOT\\s+MATCHED\\s+THEN\\s+INSERT\\s+\\*)?\\s*$").r
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)" +
+      "(\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+)$").r
+  // one WHEN clause of the chain (split on the WHEN keywords above):
+  // standard MERGE allows a guard — WHEN MATCHED [AND cond] THEN ...
+  private val MatchedClauseRe =
+    "(?is)^WHEN\\s+MATCHED\\s*(?:AND\\s+(.+?)\\s+)?THEN\\s+(DELETE|UPDATE\\s+SET\\s+.+?)\\s*$".r
+  private val NotMatchedClauseRe =
+    "(?is)^WHEN\\s+NOT\\s+MATCHED\\s*(?:AND\\s+(.+?)\\s+)?THEN\\s+INSERT\\s+\\*\\s*$".r
   private val RefRe = "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)".r
   private val CreateStreamRe =
     ("(?is)^\\s*CREATE\\s+STREAM\\s+graft_stream\\.([A-Za-z_]\\w*)\\s+" +
@@ -696,6 +701,16 @@ object LakehouseSql {
         SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
       val identityPrune: Option[String => Boolean] = prune.map(_.pred)
         .filter(_ => p.partCol.isDefined && p.partTransform == "identity")
+      require(fmt != "paimon" || p.keyCols.nonEmpty,
+        "DELETE FROM an append-only paimon table is not supported " +
+          "(append tables are immutable facts)")
+      // zero-match DELETE is a successful no-op (standard SQL) — the
+      // probe rides the same pruned read the statement plans
+      if (reader(spark, fmt, dir, p, None, prune, name)
+          .filter(org.apache.spark.sql.functions.expr(cond))
+          .limit(1).count() == 0)
+        return s"SELECT CAST(${graft.streaming.CdfFeed.coordinate(spark, fmt, dir)} " +
+          "AS BIGINT) AS committed_version"
       // each format's native row-delete spelling: Iceberg position
       // deletes, Delta deletion vectors, Paimon -D retraction rows,
       // Hudi delete blocks
@@ -708,9 +723,6 @@ object LakehouseSql {
             partFilter = identityPrune.map(f =>
               (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)))
         case "paimon" =>
-          require(p.keyCols.nonEmpty,
-            "DELETE FROM an append-only paimon table is not supported " +
-              "(append tables are immutable facts)")
           val victims = PaimonLite
             .readSnapshot(spark, dir, p.keyCols, None, identityPrune)
             .filter(expr(cond))
@@ -906,15 +918,18 @@ object LakehouseSql {
         s"SELECT CAST($version AS BIGINT) AS committed_version"
       }
 
-    case MergeRe(fmt, name, tAliasRaw, srcView, sAliasRaw, cond,
-                 matchedRaw, notMatchedRaw) =>
-      // MERGE INTO t USING s ON cond WHEN MATCHED THEN UPDATE SET ... |
-      // DELETE [WHEN NOT MATCHED THEN INSERT *] — the reference's
-      // dedicated merge sink (iceberg_merge_sink_operator.h:44),
-      // re-expressed over the existing writers: matched updates are PK
-      // upserts (or delete+re-add on positional formats), matched
-      // deletes go through each format's row-delete spelling, and
-      // not-matched inserts are an anti-join of the source.
+    case MergeRe(fmt, name, tAliasRaw, srcView, sAliasRaw, cond, whenChain) =>
+      // MERGE INTO t USING s ON cond
+      //   WHEN MATCHED [AND g] THEN UPDATE SET ... | DELETE   (1..2 ×)
+      //   [WHEN NOT MATCHED [AND g] THEN INSERT *]
+      // — the reference's dedicated merge sink
+      // (iceberg_merge_sink_operator.h:44) with standard conditional
+      // clauses: per target row the FIRST matched clause whose guard
+      // holds wins; unclaimed matches stay untouched. Re-expressed over
+      // the existing writers — positional formats commit every claimed
+      // delete + every replacement/insert row in ONE atomic version
+      // (updateRows); PK formats upsert (+ the LSM's -D rows / MoR
+      // delete blocks for delete clauses).
       import org.apache.spark.sql.functions.{col, lit}
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
@@ -925,32 +940,89 @@ object LakehouseSql {
       val target = reader(spark, fmt, dir, p)
       target.createOrReplaceTempView(tAlias)
       val tCols = target.columns.toSeq
-      val isDelete = matchedRaw.trim.equalsIgnoreCase("DELETE")
-      val setMap: Map[String, String] =
-        if (isDelete) Map.empty
-        else parseAssignments(
-          matchedRaw.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""),
-          tCols).toMap
-      require(!p.keyCols.exists(setMap.contains),
-        "MERGE must not assign PRIMARY KEY columns")
-      // plans below capture the PRE-merge file list; later re-binding of
-      // tAlias (the delete matcher) cannot reach them
-      val matchedDf = spark.sql(
-        s"SELECT ${tCols.map(c => setMap.get(c).map(e => s"($e) AS $c")
-          .getOrElse(s"$tAlias.$c AS $c")).mkString(", ")} " +
-          s"FROM $tAlias JOIN $sAlias ON $cond")
-      val insertDf: Option[DataFrame] = Option(notMatchedRaw).map { _ =>
-        spark.sql(s"SELECT ${tCols.map(c => s"$sAlias.$c AS $c").mkString(", ")} " +
-          s"FROM $sAlias WHERE NOT EXISTS (SELECT 1 FROM $tAlias WHERE $cond)")
+
+      // ---- parse the WHEN chain (split at the clause keywords on the
+      // literal-masked text)
+      final case class MatchedClause(guard: Option[String], isDelete: Boolean,
+                                     sets: Map[String, String])
+      val chainMasked = SqlPrune.maskLiterals(whenChain)
+      val clauseStarts = "(?is)\\bWHEN\\s+(?:NOT\\s+)?MATCHED\\b".r
+        .findAllMatchIn(chainMasked).map(_.start).toList
+      require(clauseStarts.nonEmpty && clauseStarts.head == chainMasked
+        .indexWhere(!_.isWhitespace), s"unparseable MERGE clause chain")
+      val clauseTexts = (clauseStarts :+ whenChain.length).sliding(2).map {
+        case Seq(a, b) => whenChain.substring(a, b).trim
+        case _ => ""
+      }.toList
+      var matchedClauses = List.empty[MatchedClause]
+      var insertGuard: Option[Option[String]] = None // Some(guard) = clause present
+      clauseTexts.foreach {
+        case MatchedClauseRe(g, action) =>
+          require(insertGuard.isEmpty,
+            "WHEN MATCHED clauses must precede WHEN NOT MATCHED")
+          val del = action.trim.equalsIgnoreCase("DELETE")
+          val sets =
+            if (del) Map.empty[String, String]
+            else parseAssignments(
+              action.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""), tCols).toMap
+          matchedClauses :+= MatchedClause(Option(g).map(_.trim), del, sets)
+        case NotMatchedClauseRe(g) =>
+          require(insertGuard.isEmpty, "at most one WHEN NOT MATCHED clause")
+          insertGuard = Some(Option(g).map(_.trim))
+        case other => sys.error(s"unparseable MERGE clause: $other")
       }
-      if (p.keyCols.nonEmpty && !isDelete) {
+      require(matchedClauses.size <= 2,
+        "at most two WHEN MATCHED clauses (one UPDATE, one DELETE)")
+      matchedClauses.dropRight(1).foreach(c => require(c.guard.isDefined,
+        "a WHEN MATCHED clause without AND guard must be the last one"))
+      require(!matchedClauses.exists(c =>
+        p.keyCols.exists(c.sets.contains)),
+        "MERGE must not assign PRIMARY KEY columns")
+
+      // clause i claims the matched rows its guard accepts that no
+      // EARLIER clause claimed (standard first-match-wins)
+      def guardOf(i: Int): String = {
+        val own = matchedClauses(i).guard.map(g => s"($g)").getOrElse("TRUE")
+        val prior = matchedClauses.take(i).flatMap(_.guard)
+          .map(g => s"NOT coalesce(($g), FALSE)")
+        (own +: prior).mkString(" AND ")
+      }
+      val claimedPred = matchedClauses.zipWithIndex.map { case (c, _) =>
+        c.guard.map(g => s"($g)").getOrElse("TRUE") }.mkString(" OR ")
+
+      // plans below capture the PRE-merge file list; later re-binding
+      // of tAlias (the positional matcher) cannot reach them
+      def clauseRows(i: Int): DataFrame = {
+        val sets = matchedClauses(i).sets
+        spark.sql(
+          s"SELECT ${tCols.map(c => sets.get(c).map(e => s"($e) AS $c")
+            .getOrElse(s"$tAlias.$c AS $c")).mkString(", ")} " +
+            s"FROM $tAlias JOIN $sAlias ON $cond WHERE ${guardOf(i)}")
+      }
+      val updatedDf: Option[DataFrame] = matchedClauses.zipWithIndex
+        .filterNot(_._1.isDelete).map { case (_, i) => clauseRows(i) }
+        .reduceOption(_ unionByName _)
+      val deletedDf: Option[DataFrame] = matchedClauses.zipWithIndex
+        .filter(_._1.isDelete).map { case (_, i) => clauseRows(i) }
+        .reduceOption(_ unionByName _)
+      val insertDf: Option[DataFrame] = insertGuard.map { g =>
+        spark.sql(s"SELECT ${tCols.map(c => s"$sAlias.$c AS $c").mkString(", ")} " +
+          s"FROM $sAlias WHERE NOT EXISTS (SELECT 1 FROM $tAlias WHERE $cond)" +
+          g.map(gg => s" AND ($gg)").getOrElse(""))
+      }
+
+      val hasUpdates = matchedClauses.exists(!_.isDelete)
+      if (p.keyCols.nonEmpty && hasUpdates) {
         // the standard MERGE cardinality rule: one source row per key
-        val dup = matchedDf.groupBy(p.keyCols.map(col): _*)
+        val dup = spark.sql(
+            s"SELECT ${p.keyCols.map(c => s"$tAlias.$c AS $c").mkString(", ")} " +
+              s"FROM $tAlias JOIN $sAlias ON $cond")
+          .groupBy(p.keyCols.map(col): _*)
           .count().filter(col("count") > lit(1)).limit(1).count()
         require(dup == 0L,
           "MERGE cardinality violation: a target key matched more than one source row")
       }
-      if (p.keyCols.isEmpty && !isDelete) {
+      if (p.keyCols.isEmpty && hasUpdates) {
         // keyless (positional) formats get the SAME cardinality rule,
         // keyed on row identity: a target row matched twice would be
         // deleted once and re-appended once per source row — silent
@@ -966,85 +1038,84 @@ object LakehouseSql {
         require(dup == 0L,
           "MERGE cardinality violation: a target row matched more than one source row")
       }
-      val hasMatched = matchedDf.limit(1).count() == 1
+
+      val hasUpdated = updatedDf.exists(_.limit(1).count() == 1)
+      val hasDeleted = deletedDf.exists(_.limit(1).count() == 1)
       val hasInserts = insertDf.exists(_.limit(1).count() == 1)
-      if (!hasMatched && !hasInserts)
+      if (!hasUpdated && !hasDeleted && !hasInserts)
         // zero-match MERGE is a successful no-op (standard SQL)
         return s"SELECT CAST(${graft.streaming.CdfFeed.coordinate(spark, fmt, dir)} " +
           "AS BIGINT) AS committed_version"
-      // join-matched scan rows — for the positional delete spelling the
-      // matcher re-binds tAlias to the SCAN (its system columns survive
-      // the tAlias.* projection)
+      // join-matched CLAIMED scan rows — for the positional delete
+      // spelling the matcher re-binds tAlias to the SCAN (its system
+      // columns survive the tAlias.* projection)
       def matcher(scan: DataFrame): DataFrame = {
         scan.createOrReplaceTempView(tAlias)
-        spark.sql(s"SELECT $tAlias.* FROM $tAlias JOIN $sAlias ON $cond")
+        spark.sql(s"SELECT $tAlias.* FROM $tAlias JOIN $sAlias ON $cond " +
+          s"WHERE $claimedPred")
       }
       def appendRows(rows: DataFrame): Long = fmt match {
         case "iceberg" => IcebergWriter.append(spark, dir, rows, p.partCol)
         case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol)
         case _ => applyUpsert(spark, fmt, dir, p, rows)
       }
-      // positional formats: matched deletes (position deletes / DVs)
-      // and the replacement + inserted rows land in ONE atomic commit
-      // — a reader sees pre- or post-statement state, never
-      // matched-rows-gone-updates-missing, and a crash cannot lose the
-      // updates (updateRows; the same all-or-nothing shape INSERT
-      // OVERWRITE has)
-      def positionalOneCommit(rows: DataFrame): Long = fmt match {
-        case "iceberg" =>
-          IcebergWriter.updateRows(spark, dir, matcher, rows, p.partCol)
-        case "delta" =>
-          DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol)
-        case other => sys.error(s"no positional update for $other")
-      }
-      val version: Long = (fmt, isDelete) match {
-        case ("delta" | "iceberg", false) if p.keyCols.isEmpty =>
-          if (!hasMatched) appendRows(insertDf.get)
-          else positionalOneCommit(
-            if (hasInserts) matchedDf.unionByName(insertDf.get) else matchedDf)
-        case (_, true) =>
-          // matched DELETE in each format's native spelling; inserts
-          // share the commit wherever the format can express both
-          fmt match {
-            case "iceberg" | "delta" =>
-              if (!hasMatched) appendRows(insertDf.get)
-              else if (hasInserts) positionalOneCommit(insertDf.get)
-              else if (fmt == "iceberg")
-                IcebergWriter.deleteRowsWhere(spark, dir, matcher)
-              else DeltaWriter.deleteRowsWhere(spark, dir, matcher)
-            case "paimon" =>
-              // -D retractions and +I inserts are ROWS of one LSM
-              // commit — naturally atomic
-              val victims = matchedDf
-                .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
-              val rows =
-                if (!hasMatched) insertDf.get
-                  .withColumn("_VALUE_KIND", lit(PaimonLite.KindInsert))
-                else if (hasInserts) victims.unionByName(insertDf.get
-                  .withColumn("_VALUE_KIND", lit(PaimonLite.KindInsert)))
-                else victims
-              PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
-            case "hudi" =>
-              // MoR spells deletes and inserts as different block kinds
-              // in different file groups — two timeline instants
-              // (documented scope; the MoR merge hides the gap for
-              // readers at the latest instant)
-              val delV: Long =
-                if (!hasMatched) -1L
-                else {
-                  val instant = nextInstant(dir)
-                  HudiLite.deleteKeys(spark, dir,
-                    matchedDf.select(p.keyCols.map(col): _*).distinct(),
-                    p.keyCols, instant)
-                  instant.toLong
-                }
-              if (hasInserts) appendRows(insertDf.get) else delV
+      def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
+        dfs.reduceOption(_ unionByName _)
+      val version: Long = fmt match {
+        case "iceberg" | "delta" if p.keyCols.isEmpty || hasDeleted =>
+          // positional one-commit path: every claimed row position-
+          // deletes (DVs / content=1 files) and the replacement +
+          // inserted rows land in the SAME version — all-or-nothing
+          // (the INSERT OVERWRITE shape)
+          val newRows = unionAll(
+            (if (hasUpdated) updatedDf.toSeq else Nil) ++
+              (if (hasInserts) insertDf.toSeq else Nil))
+          if (!hasUpdated && !hasDeleted) appendRows(newRows.get)
+          else newRows match {
+            case Some(rows) if fmt == "iceberg" =>
+              IcebergWriter.updateRows(spark, dir, matcher, rows, p.partCol)
+            case Some(rows) =>
+              DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol)
+            case None if fmt == "iceberg" =>
+              IcebergWriter.deleteRowsWhere(spark, dir, matcher)
+            case None =>
+              DeltaWriter.deleteRowsWhere(spark, dir, matcher)
           }
-        case (_, false) =>
-          // PK upsert: matched updates + inserts in ONE commit
-          applyUpsert(spark, fmt, dir, p,
-            if (hasMatched && hasInserts) matchedDf.unionByName(insertDf.get)
-            else if (hasMatched) matchedDf else insertDf.get)
+        case "iceberg" =>
+          // PK iceberg, updates/inserts only: ONE upsert commit
+          // (equality deletes + data files)
+          applyUpsert(spark, fmt, dir, p, unionAll(
+            (if (hasUpdated) updatedDf.toSeq else Nil) ++
+              (if (hasInserts) insertDf.toSeq else Nil)).get)
+        case "paimon" =>
+          // -D retractions, updated +I rows and inserted +I rows are
+          // ROWS of one LSM commit — naturally atomic
+          val rows = unionAll(
+            (if (hasDeleted) deletedDf.map(_.withColumn("_VALUE_KIND",
+              lit(PaimonLite.KindDelete))).toSeq else Nil) ++
+              (if (hasUpdated) updatedDf.map(_.withColumn("_VALUE_KIND",
+                lit(PaimonLite.KindInsert))).toSeq else Nil) ++
+              (if (hasInserts) insertDf.map(_.withColumn("_VALUE_KIND",
+                lit(PaimonLite.KindInsert))).toSeq else Nil)).get
+          PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
+        case "hudi" =>
+          // MoR spells deletes and upserts as different block kinds in
+          // different file groups — up to two timeline instants
+          // (documented scope; the MoR merge hides the gap for readers
+          // at the latest instant)
+          val delV: Long =
+            if (!hasDeleted) -1L
+            else {
+              val instant = nextInstant(dir)
+              HudiLite.deleteKeys(spark, dir,
+                deletedDf.get.select(p.keyCols.map(col): _*).distinct(),
+                p.keyCols, instant)
+              instant.toLong
+            }
+          val upsRows = unionAll(
+            (if (hasUpdated) updatedDf.toSeq else Nil) ++
+              (if (hasInserts) insertDf.toSeq else Nil))
+          upsRows.map(applyUpsert(spark, fmt, dir, p, _)).getOrElse(delV)
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
 

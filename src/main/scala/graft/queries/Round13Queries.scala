@@ -180,6 +180,37 @@ object Round13Queries {
         s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // CONDITIONAL MERGE CLAUSES (standard SQL): WHEN MATCHED AND g THEN
+    // UPDATE / DELETE + guarded NOT MATCHED INSERT, first-match-wins,
+    // unclaimed matches untouched — one atomic DV+add commit on the
+    // positional route.
+    "sql_lake_merge_cond" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 12000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r13_ord_mc")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.mc_$n " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r13_ord_mc")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus
+          |FROM r13_ord_mc WHERE o_orderkey % 5 = 0
+          |UNION ALL
+          |SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus
+          |FROM range(90001, 90041)""".stripMargin)
+        .createOrReplaceTempView("r13_mc_src")
+      // matched %10=0 keys update (custkey += 1e6), matched %10=5 keys
+      // delete, new keys insert only when even
+      s.sql(s"MERGE INTO graft_delta.mc_$n t USING r13_mc_src src " +
+        "ON t.o_orderkey = src.o_orderkey " +
+        "WHEN MATCHED AND src.o_orderkey % 10 = 0 THEN " +
+        "UPDATE SET o_custkey = src.o_custkey + 1000000 " +
+        "WHEN MATCHED AND src.o_orderkey % 10 = 5 THEN DELETE " +
+        "WHEN NOT MATCHED AND src.o_orderkey % 2 = 0 THEN INSERT *")
+      s.sql(s"SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_delta.mc_$n GROUP BY 1 ORDER BY 1")
+    }),
+
     // MULTI-FIELD PARTITION SPEC (spec "Partition Specs" fields array):
     // PARTITIONED BY (days(ts), bucket(8, event_id)) stamps a two-field
     // spec; EITHER field's provable conjunct prunes the manifest walk —
@@ -390,6 +421,20 @@ object Round13Queries {
                   AS BIGINT) AS sum_qty
       FROM lineitem
       WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    // %10=0 matched keys carry +1e6; %10=5 matched keys are gone; even
+    // synthetic keys inserted
+    "sql_lake_merge_cond" -> """
+      SELECT o_orderstatus, count(*) AS n, CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders
+            WHERE o_orderkey < 12000 AND o_orderkey % 10 <> 5
+            UNION ALL
+            SELECT 'O' AS o_orderstatus, r AS ck
+            FROM range(90001, 90041) t(r) WHERE r % 2 = 0) u
       GROUP BY 1 ORDER BY 1""",
 
     "src_iceberg_write_multispec" -> """

@@ -473,6 +473,56 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
   }
 
+  test("conditional MERGE clauses: first-match-wins, unclaimed rows stay") {
+    val s2 = spark
+    import s2.implicits._
+    // delta (positional): UPDATE + DELETE + guarded INSERT in ONE commit
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30), (4L, "B", 40))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_cm_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_cm " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_cm_src")
+    // source: k=1 (small v → update), k=2 (big v → delete), k=3
+    // (guard misses both → untouched), k=9 (new, guard accepts),
+    // k=10 (new, guard rejects)
+    Seq((1L, "A", 5), (2L, "A", 99), (3L, "B", 50), (9L, "A", 90),
+        (10L, "A", -1)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_cm_upd")
+    def versions(): Long = Option(new java.io.File(
+      "target/lakehouse/delta/lksql_cm/_delta_log").listFiles())
+      .getOrElse(Array.empty)
+      .count(_.getName.matches("\\d{20}\\.json")).toLong
+    val v0 = versions()
+    sql("MERGE INTO graft_delta.lksql_cm t USING lksql_cm_upd s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.v < 10 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED AND s.v > 90 THEN DELETE " +
+      "WHEN NOT MATCHED AND s.v >= 0 THEN INSERT *")
+    assert(versions() == v0 + 1,
+      "conditional MERGE must commit exactly one version")
+    val got = sql("SELECT k, v FROM graft_delta.lksql_cm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 5), (3L, 30), (4L, 40), (9L, 90)),
+      s"k=1 updated, k=2 deleted, k=3 unclaimed stays, k=10 guard-rejected: $got")
+    // paimon PK: same semantics through one LSM commit
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_cm PRIMARY KEY (p, k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_cm_src")
+    sql("MERGE INTO graft_paimon.lksql_cm t USING lksql_cm_upd s " +
+      "ON t.k = s.k AND t.p = s.p " +
+      "WHEN MATCHED AND s.v < 10 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED AND s.v > 90 THEN DELETE " +
+      "WHEN NOT MATCHED AND s.v >= 0 THEN INSERT *")
+    val got2 = sql("SELECT k, v FROM graft_paimon.lksql_cm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got2 == Seq((1L, 5), (3L, 30), (4L, 40), (9L, 90)), s"paimon: $got2")
+    // an unguarded clause before another is unreachable — loud
+    val e = intercept[Exception] {
+      sql("MERGE INTO graft_delta.lksql_cm t USING lksql_cm_upd s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE " +
+        "WHEN MATCHED AND s.v < 10 THEN UPDATE SET v = s.v")
+    }
+    assert(e.getMessage.contains("must be the last"), s"got: ${e.getMessage}")
+  }
+
   test("stream cursor commits on SUCCESS: a failed consume re-serves the window") {
     val s2 = spark
     import s2.implicits._
