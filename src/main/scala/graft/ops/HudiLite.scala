@@ -61,11 +61,15 @@ object HudiLite {
       .sortBy(_._1)
       .filter { case (t, _) => instant.forall(t <= _) }
     require(commits.nonEmpty, s"no completed commits <= $instant in $timelineDir")
-    // replay: latest (instant, path) per fileId wins — copy-on-write
+    // replay: latest (instant, path) per fileId wins — copy-on-write.
+    // A REPLACE commit ("replaces":true — the insert_overwrite_table
+    // spelling) supersedes EVERY previous file group: the replay
+    // resets before applying its stats.
     val latest = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, String, String)] // fileId -> (path, part, instant)
     commits.foreach { case (t, f) =>
       val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      if (Option(node.get("replaces")).exists(_.asBoolean)) latest.clear()
       val p2ws = node.get("partitionToWriteStats")
       val parts = p2ws.fieldNames()
       while (parts.hasNext) {
@@ -575,6 +579,14 @@ object HudiLite {
     }.toSet
     val window = instants.filter { case (t, _, _) => t > fromInstant && t <= toInstant }
     require(window.nonEmpty, s"no instants in ($fromInstant, $toInstant]")
+    // a replacecommit in the window is STATE MOTION, not change —
+    // shipping its files as inserts would double rows; refuse loudly
+    window.foreach { case (t, _, f) =>
+      require(!Option(mapper.readTree(java.nio.file.Files.readString(f.toPath))
+          .get("replaces")).exists(_.asBoolean),
+        s"incremental read across replace instant $t is not supported — " +
+          "restart the feed from the overwritten state")
+    }
 
     val newBaseFiles = window.collect { case (_, "commit", f) =>
       statEntries(f).filter { case (_, fid, _) => !preExisting.contains(fid) }
@@ -700,6 +712,70 @@ object HudiLite {
       java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
       s"""{$bField$schemaField"commitTimeMs":${stampMs(instant)},""" +
         s""""partitionToWriteStats":{$statsJson}}""")
+  }
+
+  /** INSERT OVERWRITE (the insert_overwrite_table replacecommit): stage
+    * a fresh set of base file groups — exactly [[createTable]]'s
+    * distributed write, fresh fileIds — and commit ONE timeline instant
+    * stamped `"replaces":true`, which the replay treats as superseding
+    * every previous file group. Old slices stay on disk for time travel
+    * until [[clean]]; incremental reads across the replace instant are
+    * refused loudly (state motion, not change). */
+  def overwriteTable(spark: SparkSession, tableDir: String, df: DataFrame,
+                     keyCols: Seq[String], partCol: String,
+                     instant: String, groupsPerPart: Int = 2): Unit = {
+    import org.apache.spark.sql.functions._
+    require(new java.io.File(tableDir, ".hoodie").exists(),
+      "overwrite of an unknown table — use createTable")
+    require(Option(new java.io.File(tableDir, ".hoodie").list())
+        .getOrElse(Array.empty)
+        .map(_.split('.').head).filter(_.forall(_.isDigit))
+        .forall(_ < instant),
+      s"overwrite instant $instant must follow the timeline")
+    val (dfW, keyColsW, partColW) = toWriteNames(tableDir, df, keyCols, partCol)
+    val dir = new java.io.File(tableDir)
+    val staging = s"$tableDir/tmp_overwrite_$instant"
+    val n = math.max(groupsPerPart,
+      dfW.sparkSession.sessionState.conf.numShufflePartitions)
+    dfW.withColumn("__part", col(partColW).cast("string"))
+      .withColumn("__grp", pmod(hash(keyColsW.map(col): _*), lit(groupsPerPart)))
+      .repartition(n, col("__part"), col("__grp"))
+      .drop("__grp")
+      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val entries = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.flatMap { case (f, j) =>
+        val part = f.getParentFile.getName.stripPrefix("__part=")
+        if (f.length() == 0L) None
+        else {
+          // fresh fileIds — replaced groups keep theirs for time travel
+          val fid = s"o${instant}g$j"
+          val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+          new java.io.File(dir, part).mkdirs()
+          java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+          Some((part, fid, rel))
+        }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    require(entries.nonEmpty, "overwrite with an empty DataFrame is not a commit")
+    writeBlooms(spark, keyColsW,
+      entries.map { case (_, _, rel) => new java.io.File(dir, rel).getAbsolutePath })
+    val statsJson = entries.groupBy(_._1).map { case (part, es) =>
+      val js = es.map { case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","numWrites":0}""" }
+      s""""$part":[${js.mkString(",")}]"""
+    }.mkString(",")
+    val schemaField = s""""schema":${mapper.writeValueAsString(dfW.schema.json)},"""
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
+        s"""{"replaces":true,$schemaField"commitTimeMs":${stampMs(instant)},""" +
+          s""""partitionToWriteStats":{$statsJson}}"""),
+      s"overwrite instant $instant conflicts with a concurrent commit")
   }
 
   /** Exactly-once streaming UPSERT sink, completing the quartet next

@@ -44,7 +44,8 @@ object PaimonWriter {
     * table (they have different read disciplines). */
   def appendOnly(spark: SparkSession, tableDir: String, dfIn: DataFrame,
                  partColIn: String,
-                 beforeCommit: () => Unit = () => ()): Long = {
+                 beforeCommit: () => Unit = () => (),
+                 overwriteAll: Boolean = false): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
@@ -95,7 +96,8 @@ object PaimonWriter {
     var committed = false
     while (!committed) {
       if (attempt == 0) beforeCommit()
-      if (commitSnapshot(tableDir, id, id - 1, files, changelog = Nil)) {
+      if (commitSnapshot(tableDir, id, id - 1, files, changelog = Nil,
+          overwriteAll = overwriteAll)) {
         committed = true
       } else {
         attempt += 1
@@ -181,7 +183,8 @@ object PaimonWriter {
   private def commitSnapshot(tableDir: String, snapId: Long, curSnap: Long,
                              adds: Seq[(PaimonLite.FileMeta, Long)],
                              changelog: Seq[(PaimonLite.FileMeta, Long)],
-                             batchId: Option[Long] = None): Boolean = {
+                             batchId: Option[Long] = None,
+                             overwriteAll: Boolean = false): Boolean = {
     // manifest/list names carry a writer-unique token: two writers
     // staging the SAME prospective snapshot id must not overwrite each
     // other's artifacts — the snapshot JSON (CAS-created) is the only
@@ -189,8 +192,12 @@ object PaimonWriter {
     val tok = s"$snapId-${nextTok()}"
     val mName = s"manifest-w$tok"
     PaimonLite.writeManifestAvro(tableDir, mName, adds, Nil)
+    // an OVERWRITE snapshot carries NO base manifests: readers at this
+    // snapshot see only the new files (the spec's commitKind=OVERWRITE;
+    // incremental/changelog readers skip it, Paimon's documented
+    // streaming default)
     val prevManifests: Seq[String] =
-      if (curSnap == 0L) Nil
+      if (curSnap == 0L || overwriteAll) Nil
       else PaimonLite.snapshotManifestNames(tableDir, curSnap)
     val baseName = s"manifest-list-w$tok-base"
     val deltaName = s"manifest-list-w$tok-delta"
@@ -207,7 +214,8 @@ object PaimonWriter {
     val snapJson =
       s"""{"version":3,"id":$snapId,"schemaId":0,
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
-         |$clField$bField"commitKind":"APPEND","timeMillis":${1700000000000L + snapId},
+         |$clField$bField"commitKind":"${if (overwriteAll) "OVERWRITE" else "APPEND"}",
+         |"timeMillis":${1700000000000L + snapId},
          |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
     IcebergWriter.casCreate(
       java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
@@ -244,7 +252,8 @@ object PaimonWriter {
              partColIn: String, keyColsIn: Seq[String],
              numBuckets: Int = 4, changelogProducer: Boolean = false,
              batchId: Option[Long] = None,
-             beforeCommit: () => Unit = () => ()): Long = {
+             beforeCommit: () => Unit = () => (),
+             overwriteAll: Boolean = false): Long = {
     require(keyColsIn.contains(partColIn),
       "paimon requires the partition column inside the primary key")
     val dir = new java.io.File(tableDir)
@@ -383,7 +392,8 @@ object PaimonWriter {
       } else {
         if (attempt == 0) beforeCommit()
         val changelog = makeChangelog(files)
-        if (commitSnapshot(tableDir, id, id - 1, files, changelog, batchId)) {
+        if (commitSnapshot(tableDir, id, id - 1, files, changelog, batchId,
+            overwriteAll = overwriteAll)) {
           committed = true
         } else {
           changelog.foreach { case (m, _) =>

@@ -667,9 +667,21 @@ object LakehouseSql {
       val version = fmt match {
         case "delta" => DeltaWriter.overwrite(spark, dir, aligned, p.partCol)
         case "iceberg" => IcebergWriter.overwrite(spark, dir, aligned, p.partCol)
-        case other => sys.error(
-          s"INSERT OVERWRITE is not supported on graft_$other — the LSM/" +
-            "MoR disciplines replace per key (use PK INSERT), not per table")
+        case "paimon" =>
+          // ONE commitKind=OVERWRITE snapshot: no base manifests — a
+          // reader at it sees only the new files; history time-travels
+          if (p.keyCols.isEmpty)
+            PaimonWriter.appendOnly(spark, dir, aligned, p.partCol.get,
+              overwriteAll = true)
+          else PaimonWriter.append(spark, dir, aligned, p.partCol.get,
+            p.keyCols, overwriteAll = true)
+        case "hudi" =>
+          // ONE replacecommit instant: the replay supersedes every
+          // previous file group (insert_overwrite_table)
+          val instant = nextInstant(dir)
+          HudiLite.overwriteTable(spark, dir, aligned, p.keyCols,
+            p.partCol.get, instant)
+          instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
 

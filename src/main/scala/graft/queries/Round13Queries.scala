@@ -180,6 +180,41 @@ object Round13Queries {
         s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // INSERT OVERWRITE on the LSM/MoR formats, completing the 4/4 verb
+    // matrix: paimon commits ONE commitKind=OVERWRITE snapshot (no base
+    // manifests), hudi ONE replacecommit instant (the replay supersedes
+    // every file group). Both tables then take a normal PK INSERT on
+    // top, proving the overwritten state is a live, writable table.
+    "sql_lake_overwrite_lsm" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"))
+        .createOrReplaceTempView("r13_ord_ow")
+      val n = safeName(dir)
+      for (fmt <- Seq("paimon", "hudi")) {
+        val pk = if (fmt == "paimon") "PRIMARY KEY (o_orderstatus, o_orderkey)"
+          else "PRIMARY KEY (o_orderkey)"
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.ow_$n $pk " +
+          "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r13_ord_ow")
+        s.sql(s"INSERT OVERWRITE graft_$fmt.ow_$n " +
+          "SELECT o_orderstatus, o_orderkey, o_custkey + 5000000 AS o_custkey " +
+          "FROM r13_ord_ow WHERE o_orderkey % 3 = 0")
+        s.sql(s"INSERT INTO graft_$fmt.ow_$n " +
+          "SELECT 'O' AS o_orderstatus, id AS o_orderkey, id AS o_custkey " +
+          "FROM range(90001, 90011)")
+      }
+      s.sql(
+        s"""SELECT pa.o_orderstatus, pa.n, pa.sum_ck,
+           |       hu.n AS n_hudi, hu.sum_ck AS sum_ck_hudi
+           |FROM (SELECT o_orderstatus, count(*) AS n,
+           |             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+           |      FROM graft_paimon.ow_$n GROUP BY 1) pa
+           |JOIN (SELECT o_orderstatus, count(*) AS n,
+           |             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+           |      FROM graft_hudi.ow_$n GROUP BY 1) hu
+           |  ON pa.o_orderstatus = hu.o_orderstatus
+           |ORDER BY pa.o_orderstatus""".stripMargin)
+    }),
+
     // CONDITIONAL MERGE CLAUSES (standard SQL): WHEN MATCHED AND g THEN
     // UPDATE / DELETE + guarded NOT MATCHED INSERT, first-match-wins,
     // unclaimed matches untouched — one atomic DV+add commit on the
@@ -422,6 +457,21 @@ object Round13Queries {
       FROM lineitem
       WHERE l_orderkey < 10000
       GROUP BY 1 ORDER BY 1""",
+
+    // both formats converge on: the %3=0 overwritten rows (+5e6) plus
+    // the ten post-overwrite synthetic inserts
+    "sql_lake_overwrite_lsm" -> """
+      SELECT o_orderstatus, n, sum_ck, n AS n_hudi, sum_ck AS sum_ck_hudi
+      FROM (SELECT o_orderstatus, count(*) AS n,
+                   CAST(sum(ck) AS BIGINT) AS sum_ck
+            FROM (SELECT o_orderstatus, o_custkey + 5000000 AS ck
+                  FROM orders
+                  WHERE o_orderkey < 9000 AND o_orderkey % 3 = 0
+                  UNION ALL
+                  SELECT 'O' AS o_orderstatus, r AS ck
+                  FROM range(90001, 90011) t(r)) u
+            GROUP BY 1) g
+      ORDER BY o_orderstatus""",
 
     // %10=0 matched keys carry +1e6; %10=5 matched keys are gone; even
     // synthetic keys inserted

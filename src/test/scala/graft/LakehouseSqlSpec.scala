@@ -404,12 +404,25 @@ class LakehouseSqlSpec extends AnyFunSuite {
       assert(sql(s"SELECT k FROM graft_$fmt.lksql_ow")
         .collect().map(_.getLong(0)).toSeq == Seq(9L), s"$fmt overwrite")
     }
+    // paimon: ONE commitKind=OVERWRITE snapshot (no base manifests);
+    // the pre-overwrite snapshot still time-travels
     sql("CREATE OR REPLACE TABLE graft_paimon.lksql_ow " +
       "PRIMARY KEY (p, k) PARTITIONED BY (p) AS SELECT * FROM lksql_ow_src")
-    val e = intercept[Exception] {
-      sql("INSERT OVERWRITE graft_paimon.lksql_ow SELECT * FROM lksql_ow_new")
-    }
-    assert(e.getMessage.contains("not supported"))
+    sql("INSERT OVERWRITE graft_paimon.lksql_ow SELECT * FROM lksql_ow_new")
+    assert(sql("SELECT k FROM graft_paimon.lksql_ow ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L), "paimon overwrite")
+    assert(sql("SELECT count(*) AS n FROM graft_paimon.lksql_ow " +
+      "FOR VERSION AS OF 1").head().getLong(0) == 2L,
+      "pre-overwrite paimon snapshot still time-travels")
+    // hudi: ONE replacecommit instant supersedes every file group
+    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_ow " +
+      "PRIMARY KEY (k) PARTITIONED BY (p) AS SELECT * FROM lksql_ow_src")
+    sql("INSERT OVERWRITE graft_hudi.lksql_ow SELECT * FROM lksql_ow_new")
+    assert(sql("SELECT k FROM graft_hudi.lksql_ow ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(9L), "hudi overwrite")
+    assert(sql("SELECT count(*) AS n FROM graft_hudi.lksql_ow " +
+      "FOR VERSION AS OF 1").head().getLong(0) == 2L,
+      "pre-overwrite hudi instant still time-travels")
     // timestamp travel: delta v0 stamp resolves; hudi maps the stamp to
     // its first instant (001 → 1700000000001), earlier is loud
     assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_ow " +
