@@ -113,6 +113,14 @@ object LakehouseSql {
   private val InsertOverwriteRe =
     ("(?is)^\\s*INSERT\\s+OVERWRITE\\s+" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$").r
+  private val OptimizeRe =
+    "(?is)^\\s*OPTIMIZE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$".r
+  private val VacuumRe =
+    ("(?is)^\\s*VACUUM\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*$").r
+  private val RestoreRe =
+    ("(?is)^\\s*RESTORE\\s+TABLE\\s+graft_delta\\.([A-Za-z_]\\w*)\\s+" +
+      "TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*$").r
 
   // literal-masked: a string literal containing "graft_iceberg.x" is
   // text, not a table reference
@@ -882,6 +890,49 @@ object LakehouseSql {
         case "hudi" => HudiLite.renameColumn(spark, dir, from, to)
       }
       s"SELECT '$to' AS renamed_column"
+
+    case OptimizeRe(fmt, name) =>
+      // the maintenance REWRITE in each format's spelling: Delta
+      // OPTIMIZE (compacted DV-free files), Iceberg rewrite_data_files
+      // (REPLACE snapshot), Hudi compaction (fresh base slices for
+      // logged groups), Paimon n/a (the LSM merges at read; real Paimon
+      // compaction is a writer-side level merge, out of scope — loud)
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      fmt match {
+        case "delta" => DeltaWriter.optimize(spark, dir, p.partCol): Unit
+        case "iceberg" =>
+          IcebergWriter.rewriteDataFiles(spark, dir, p.partCol): Unit
+        case "hudi" =>
+          HudiLite.compact(spark, dir, p.keyCols, nextInstant(dir)): Unit
+        case "paimon" => sys.error(
+          "OPTIMIZE is not supported on graft_paimon — the LSM merges at " +
+            "read and compaction is a level-merge writer out of scope")
+      }
+      s"SELECT 'graft_$fmt.$name' AS optimized"
+
+    case VacuumRe(fmt, name, retainRaw) =>
+      // physical reclaim in each format's spelling: Delta VACUUM,
+      // Iceberg/Paimon expire_snapshots (RETAIN N VERSIONS keeps the
+      // last N snapshots; default 1), Hudi clean
+      val dir = tableDir(spark, fmt, name)
+      readProps(dir): Unit
+      val keep = Option(retainRaw).map(_.toInt).getOrElse(1)
+      val reclaimed: Int = fmt match {
+        case "delta" => DeltaWriter.vacuum(spark, dir, graceMillis = 0L).size
+        case "iceberg" => IcebergWriter.expireSnapshots(dir, keep).size
+        case "paimon" => PaimonWriter.expireSnapshots(dir, keep).size
+        case "hudi" => HudiLite.clean(dir).size
+      }
+      s"SELECT CAST($reclaimed AS BIGINT) AS reclaimed_files"
+
+    case RestoreRe(name, v) =>
+      // Delta RESTORE TABLE ... TO VERSION AS OF n: one metadata commit
+      // rewinding the live set; history preserved
+      val dir = tableDir(spark, "delta", name)
+      readProps(dir): Unit
+      val version = DeltaWriter.restore(spark, dir, v.toLong)
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
 
     case UpdateRe(fmt, name, setsRaw, cond) =>
       // UPDATE ... SET ... WHERE: matched rows re-land updated, spelled

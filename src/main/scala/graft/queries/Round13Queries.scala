@@ -180,6 +180,39 @@ object Round13Queries {
         s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // MAINTENANCE VERBS THROUGH SQL: OPTIMIZE folds deletion vectors /
+    // position deletes into fresh files, VACUUM physically reclaims the
+    // superseded bytes (premise: something was actually reclaimed), and
+    // the surviving content is value-exact after the full lifecycle.
+    "sql_lake_maintenance" -> ((s, dir) => {
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 8000)
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+        .createOrReplaceTempView("r13_li_mx")
+      val n = safeName(dir)
+      for (fmt <- Seq("delta", "iceberg")) {
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.mx_$n " +
+          "PARTITIONED BY (l_returnflag) AS SELECT * FROM r13_li_mx")
+        s.sql(s"DELETE FROM graft_$fmt.mx_$n WHERE l_orderkey % 3 = 0")
+        s.sql(s"OPTIMIZE graft_$fmt.mx_$n")
+        val reclaimed = s.sql(s"VACUUM graft_$fmt.mx_$n RETAIN 1 VERSIONS")
+          .head().getLong(0)
+        require(reclaimed > 0,
+          s"maintenance premise: $fmt VACUUM must reclaim the superseded " +
+            s"files, got $reclaimed")
+      }
+      s.sql(
+        s"""SELECT d.l_returnflag, d.cnt, d.sum_qty,
+           |       i.cnt AS cnt_iceberg, i.sum_qty AS sum_qty_iceberg
+           |FROM (SELECT l_returnflag, count(*) AS cnt,
+           |             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           |      FROM graft_delta.mx_$n GROUP BY 1) d
+           |JOIN (SELECT l_returnflag, count(*) AS cnt,
+           |             CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+           |      FROM graft_iceberg.mx_$n GROUP BY 1) i
+           |  ON d.l_returnflag = i.l_returnflag
+           |ORDER BY d.l_returnflag""".stripMargin)
+    }),
+
     // INSERT OVERWRITE on the LSM/MoR formats, completing the 4/4 verb
     // matrix: paimon commits ONE commitKind=OVERWRITE snapshot (no base
     // manifests), hudi ONE replacecommit instant (the replay supersedes
@@ -457,6 +490,16 @@ object Round13Queries {
       FROM lineitem
       WHERE l_orderkey < 10000
       GROUP BY 1 ORDER BY 1""",
+
+    "sql_lake_maintenance" -> """
+      SELECT l_returnflag, cnt, sum_qty, cnt AS cnt_iceberg,
+             sum_qty AS sum_qty_iceberg
+      FROM (SELECT l_returnflag, count(*) AS cnt,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey < 8000 AND l_orderkey % 3 <> 0
+            GROUP BY 1) g
+      ORDER BY l_returnflag""",
 
     // both formats converge on: the %3=0 overwritten rows (+5e6) plus
     // the ten post-overwrite synthetic inserts

@@ -486,6 +486,32 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
   }
 
+  test("SQL maintenance verbs: OPTIMIZE/VACUUM/RESTORE round-trip") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mx_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_mx " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_mx_src")
+    sql("DELETE FROM graft_delta.lksql_mx WHERE k = 2")
+    // RESTORE rewinds to the pre-delete version (metadata-only)
+    sql("RESTORE TABLE graft_delta.lksql_mx TO VERSION AS OF 0")
+    assert(sql("SELECT k FROM graft_delta.lksql_mx ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    sql("DELETE FROM graft_delta.lksql_mx WHERE k = 1")
+    sql("OPTIMIZE graft_delta.lksql_mx")
+    val reclaimed = sql("VACUUM graft_delta.lksql_mx").head().getLong(0)
+    assert(reclaimed > 0, "VACUUM must reclaim the superseded files")
+    assert(sql("SELECT k FROM graft_delta.lksql_mx ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    // OPTIMIZE on paimon is a documented refusal
+    sql("CREATE OR REPLACE TABLE graft_paimon.lksql_mx PRIMARY KEY (p, k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_mx_src")
+    assert(intercept[Exception] {
+      sql("OPTIMIZE graft_paimon.lksql_mx")
+    }.getMessage.contains("not supported"))
+  }
+
   test("conditional MERGE clauses: first-match-wins, unclaimed rows stay") {
     val s2 = spark
     import s2.implicits._
