@@ -545,17 +545,24 @@ object DeltaLite {
       sideRows(t => (t._3.map(abs(t._1) -> _).toSeq, t._2.map(abs(t._1) -> _).toSeq), "insert")
     }
     val all = frames.result()
-    if (all.nonEmpty) all.reduce(_ unionByName _)
-    else {
-      // a window of pure state motion (OPTIMIZE) ships an EMPTY frame
-      // with the right schema — streaming consumers poll windows
-      val anyFile = state.headOption.map(s => abs(s._1))
-      require(anyFile.isDefined, "empty change window on an empty table")
-      val dataSchema = spark.read.parquet(anyFile.get).schema
-      spark.createDataFrame(new java.util.ArrayList[Row](),
-        StructType(dataSchema.fields :+
-          StructField("_CHANGE_TYPE", StringType, nullable = false)))
-    }
+    val out =
+      if (all.nonEmpty) all.reduce(_ unionByName _)
+      else {
+        // a window of pure state motion (OPTIMIZE) ships an EMPTY frame
+        // with the right schema — streaming consumers poll windows
+        val anyFile = state.headOption.map(s => abs(s._1))
+        require(anyFile.isDefined, "empty change window on an empty table")
+        val dataSchema = spark.read.parquet(anyFile.get).schema
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          StructType(dataSchema.fields :+
+            StructField("_CHANGE_TYPE", StringType, nullable = false)))
+      }
+    // column-mapped (renamed) tables: the files store PHYSICAL names —
+    // the feed ships the LOGICAL schema, like every read here
+    val mapping = columnMapping(spark, tableDir, Some(toVersion))
+    if (mapping.isEmpty) out
+    else out.select(mapping.map { case (l, p) => col(p).as(l) } :+
+      col("_CHANGE_TYPE"): _*)
   }
 
   /** Write a PROTOCOL.md-conformant checkpoint at `version`: one

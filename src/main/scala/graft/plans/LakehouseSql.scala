@@ -996,11 +996,22 @@ object LakehouseSql {
       import org.apache.spark.sql.functions.{col, lit}
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
+      lastScans = Nil
       val tAlias = Option(tAliasRaw).getOrElse(name)
       val sAlias = Option(sAliasRaw).getOrElse(srcView)
       if (sAlias != srcView)
         spark.table(srcView).createOrReplaceTempView(sAlias)
-      val target = reader(spark, fmt, dir, p)
+      // a provable partition conjunct in the ON clause prunes the
+      // TARGET's file planning (sound for both halves: matched rows
+      // satisfy every ON conjunct, and the NOT EXISTS probe's condition
+      // contains the conjunct, so excluded files can never witness it)
+      val mergePrune = p.partCol.flatMap(pc => SqlPrune.partPruneInfo(
+        s"SELECT * FROM graft_$fmt.$name $tAlias WHERE $cond",
+        s"graft_$fmt.$name", pc, p.partColType))
+      val mergeIdentityPrune: Option[String => Boolean] = mergePrune
+        .map(_.pred)
+        .filter(_ => p.partCol.isDefined && p.partTransform == "identity")
+      val target = reader(spark, fmt, dir, p, None, mergePrune, name)
       target.createOrReplaceTempView(tAlias)
       val tCols = target.columns.toSeq
 
@@ -1133,16 +1144,23 @@ object LakehouseSql {
           val newRows = unionAll(
             (if (hasUpdated) updatedDf.toSeq else Nil) ++
               (if (hasInserts) insertDf.toSeq else Nil))
+          val icePrune = mergeIdentityPrune.map(f => (p.partCol.get, f))
+          val deltaPrune = mergeIdentityPrune.map(f =>
+            (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f))
           if (!hasUpdated && !hasDeleted) appendRows(newRows.get)
           else newRows match {
             case Some(rows) if fmt == "iceberg" =>
-              IcebergWriter.updateRows(spark, dir, matcher, rows, p.partCol)
+              IcebergWriter.updateRows(spark, dir, matcher, rows, p.partCol,
+                partPruneBy = icePrune)
             case Some(rows) =>
-              DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol)
+              DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol,
+                partFilter = deltaPrune)
             case None if fmt == "iceberg" =>
-              IcebergWriter.deleteRowsWhere(spark, dir, matcher)
+              IcebergWriter.deleteRowsWhere(spark, dir, matcher,
+                partPruneBy = icePrune)
             case None =>
-              DeltaWriter.deleteRowsWhere(spark, dir, matcher)
+              DeltaWriter.deleteRowsWhere(spark, dir, matcher,
+                partFilter = deltaPrune)
           }
         case "iceberg" =>
           // PK iceberg, updates/inserts only: ONE upsert commit

@@ -206,6 +206,12 @@ class EvolutionModelSpec extends AnyFunSuite {
         Seq((4L, partOf(4L), 40)).toDF("k", "p", "vv"), Some("p"))
       assert(got() == Map(1L -> 10, 2L -> 20, 3L -> 30, 4L -> 40),
         "post-rename append joins pre-rename files")
+      // the change feed ships the LOGICAL schema over physical files
+      val feed = DeltaLite.readChanges(spark, dir, 1L, 2L)
+      assert(feed.columns.contains("vv") && !feed.columns.contains("v"),
+        s"change feed must alias to logical names: ${feed.columns.toSeq}")
+      assert(feed.filter(feed("_CHANGE_TYPE") === "insert")
+        .select("vv").collect().map(_.getInt(0)).toSeq == Seq(40))
       DeltaWriter.deleteRows(spark, dir, col("vv") === 30)
       assert(!got().contains(3L), "DV delete by the new name")
       DeltaWriter.updateRows(spark, dir, _.filter(col("k") === 2L),

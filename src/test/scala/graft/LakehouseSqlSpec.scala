@@ -486,6 +486,28 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
   }
 
+  test("MERGE ON-clause partition conjunct prunes the target planning") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.plans.LakehouseSql
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30), (4L, "A", 40))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_mp_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_mp " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_mp_src")
+    Seq((1L, "A", 5), (4L, "A", 6)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_mp_upd")
+    sql("MERGE INTO graft_delta.lksql_mp t USING lksql_mp_upd s " +
+      "ON t.k = s.k AND t.p = 'A' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    val scan = LakehouseSql.lastScans.find(_.fmt == "delta").getOrElse(
+      fail("MERGE must record its pruned target scan"))
+    assert(scan.plannedFiles == 1 && scan.totalFiles == 3,
+      s"ON t.p='A' must plan one partition's files: $scan")
+    val got = sql("SELECT k, v FROM graft_delta.lksql_mp ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 5), (2L, 20), (3L, 30), (4L, 6)))
+  }
+
   test("SQL maintenance verbs: OPTIMIZE/VACUUM/RESTORE round-trip") {
     val s2 = spark
     import s2.implicits._
