@@ -256,10 +256,12 @@ object IcebergWriter {
     * ingestion cheap: old files are never rewritten, the read-side
     * anti-join shuffles only the delete keys. */
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
-             keyCols: Seq[String], partCol: Option[String] = None): Long = {
+             keyCols: Seq[String], partCol: Option[String] = None,
+             partTransform: String = "identity"): Long = {
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
       s"upsert keys ${keyCols.mkString(",")} must be df columns")
-    commit(spark, tableDir, df, partCol, upsertKeysIn = Some(keyCols))
+    commit(spark, tableDir, df, partCol, upsertKeysIn = Some(keyCols),
+      partTransform = partTransform)
   }
 
   /** REWRITE DATA FILES (the rewrite_data_files / compaction

@@ -531,11 +531,13 @@ object LakehouseSql {
       if (p.partFields.size > 1)
         IcebergWriter.appendMultiSpec(spark, dir, df,
           p.partFields.map { case (c, tr, _) => (c, tr) })
-      else if (!create && p.keyCols.nonEmpty) {
-        require(p.partTransform == "identity",
-          "PK upsert on a transformed partition spec is out of scope")
-        IcebergWriter.upsert(spark, dir, df, p.keyCols, p.partCol)
-      } else IcebergWriter.append(spark, dir, df, p.partCol,
+      else if (!create && p.keyCols.nonEmpty)
+        // equality deletes are unpartitioned, so the upsert commit
+        // composes with ANY spec transform — the data files stamp the
+        // table's transform like every append
+        IcebergWriter.upsert(spark, dir, df, p.keyCols, p.partCol,
+          partTransform = p.partTransform)
+      else IcebergWriter.append(spark, dir, df, p.partCol,
         partTransform = p.partTransform)
     case "delta"   =>
       require(p.keyCols.isEmpty,
@@ -602,7 +604,8 @@ object LakehouseSql {
   private def applyUpsert(spark: SparkSession, fmt: String, dir: String,
                           p: Props, rows: DataFrame): Long = fmt match {
     case "iceberg" =>
-      IcebergWriter.upsert(spark, dir, rows, p.keyCols, p.partCol)
+      IcebergWriter.upsert(spark, dir, rows, p.keyCols, p.partCol,
+        partTransform = p.partTransform)
     case "hudi" =>
       val instant = nextInstant(dir)
       HudiLite.upsert(spark, dir, rows, p.keyCols, p.partCol.get, instant)

@@ -486,6 +486,35 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(streams.contains(("lksql_show", "graft_paimon.lksql_meta")))
   }
 
+  test("PK upsert composes with a transformed (bucket) partition spec") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.plans.LakehouseSql
+    Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40), (5L, 50), (6L, 60))
+      .toDF("k", "v").createOrReplaceTempView("lksql_bku_src")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_bku PRIMARY KEY (k) " +
+      "PARTITIONED BY (bucket(4, k)) AS SELECT * FROM lksql_bku_src")
+    // INSERT on a PK table is an UPSERT: k=2 replaces, k=9 is new —
+    // the new data files stamp the bucket spec like every append
+    sql("INSERT INTO graft_iceberg.lksql_bku " +
+      "SELECT 2 AS k, 222 AS v UNION ALL SELECT 9 AS k, 90 AS v")
+    val got = sql("SELECT k, v FROM graft_iceberg.lksql_bku ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 10), (2L, 222), (3L, 30), (4L, 40), (5L, 50),
+      (6L, 60), (9L, 90)), s"upsert over bucket spec: $got")
+    // key equality still prunes through the spec transform
+    assert(sql("SELECT v FROM graft_iceberg.lksql_bku WHERE k = 2")
+      .head().getInt(0) == 222)
+    val scan = LakehouseSql.lastScans.headOption.getOrElse(
+      fail("bucket-spec PK read must record a pruned scan"))
+    assert(scan.plannedFiles < scan.totalFiles,
+      s"key equality must prune the bucket spec: $scan")
+    // UPDATE rides the same upsert machinery
+    sql("UPDATE graft_iceberg.lksql_bku SET v = v + 1 WHERE k = 9")
+    assert(sql("SELECT v FROM graft_iceberg.lksql_bku WHERE k = 9")
+      .head().getInt(0) == 91)
+  }
+
   test("MERGE ON-clause partition conjunct prunes the target planning") {
     val s2 = spark
     import s2.implicits._
