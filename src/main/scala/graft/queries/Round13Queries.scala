@@ -180,6 +180,36 @@ object Round13Queries {
         s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // PK UPSERT OVER A TRANSFORMED SPEC: a PRIMARY KEY table
+    // PARTITIONED BY (bucket(8, k)) takes INSERT-as-upsert commits
+    // (equality deletes are unpartitioned; data files stamp the spec);
+    // key equality still prunes through the transform.
+    "sql_lake_upsert_bucket" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "orders").filter(col("o_orderkey") < 10000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r13_ord_ub")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.ub_$n " +
+        "PRIMARY KEY (o_orderkey) PARTITIONED BY (bucket(8, o_orderkey)) " +
+        "AS SELECT * FROM r13_ord_ub")
+      s.sql(s"INSERT INTO graft_iceberg.ub_$n " +
+        "SELECT o_orderkey, o_custkey + 1000000 AS o_custkey, o_orderstatus " +
+        "FROM r13_ord_ub WHERE o_orderkey % 7 = 0")
+      val out = s.sql(
+        s"""SELECT o_orderstatus, count(*) AS cnt,
+           |       CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+           |FROM graft_iceberg.ub_$n GROUP BY 1 ORDER BY 1""".stripMargin)
+      // key equality prunes the bucket spec after the upsert
+      s.sql(s"SELECT o_custkey FROM graft_iceberg.ub_$n WHERE o_orderkey = 7")
+        .collect(): Unit
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("bucket upsert premise: key equality must record a pruned scan"))
+      require(scan.plannedFiles < scan.totalFiles,
+        s"bucket upsert premise: key equality must plan a strict subset, got $scan")
+      out
+    }),
+
     // MAINTENANCE VERBS THROUGH SQL: OPTIMIZE folds deletion vectors /
     // position deletes into fresh files, VACUUM physically reclaims the
     // superseded bytes (premise: something was actually reclaimed), and
@@ -489,6 +519,15 @@ object Round13Queries {
                   AS BIGINT) AS sum_qty
       FROM lineitem
       WHERE l_orderkey < 10000
+      GROUP BY 1 ORDER BY 1""",
+
+    // %7=0 keys replaced with the upserted custkey
+    "sql_lake_upsert_bucket" -> """
+      SELECT o_orderstatus, count(*) AS cnt, CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                        ELSE o_custkey END AS ck
+            FROM orders WHERE o_orderkey < 10000) u
       GROUP BY 1 ORDER BY 1""",
 
     "sql_lake_maintenance" -> """
