@@ -494,8 +494,26 @@ object DeltaLite {
         }
     val posSchema = StructType(Seq(StructField("__fp", StringType),
       StructField("__pos", LongType)))
+    // plan every file read with the DECLARED (physical-named) schema at
+    // toVersion: a window holding pre- AND post-evolution files would
+    // otherwise take one footer's schema and silently DROP the evolved
+    // column from the other files' rows; declared planning null-fills
+    val mappingTo = columnMapping(spark, tableDir, Some(toVersion))
+    val declaredPhys: Option[StructType] =
+      tableSchemaString(spark, tableDir, Some(toVersion)).flatMap { ss =>
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(ss))
+          .toOption.collect { case st: StructType =>
+            val phys = mappingTo.toMap
+            StructType(st.fields.map(f =>
+              f.copy(name = phys.getOrElse(f.name, f.name),
+                metadata = org.apache.spark.sql.types.Metadata.empty)))
+          }
+      }
     def withPos(files: Seq[String]) =
-      spark.read.parquet(files: _*)
+      (declaredPhys match {
+        case Some(st) => spark.read.schema(st)
+        case None => spark.read
+      }).parquet(files: _*)
         .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
         .withColumn("__pos", col("_metadata.row_index"))
     val frames = Seq.newBuilder[DataFrame]
@@ -552,7 +570,8 @@ object DeltaLite {
         // with the right schema — streaming consumers poll windows
         val anyFile = state.headOption.map(s => abs(s._1))
         require(anyFile.isDefined, "empty change window on an empty table")
-        val dataSchema = spark.read.parquet(anyFile.get).schema
+        val dataSchema = declaredPhys
+          .getOrElse(spark.read.parquet(anyFile.get).schema)
         spark.createDataFrame(new java.util.ArrayList[Row](),
           StructType(dataSchema.fields :+
             StructField("_CHANGE_TYPE", StringType, nullable = false)))

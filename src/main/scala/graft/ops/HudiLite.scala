@@ -599,7 +599,11 @@ object HudiLite {
     // data schema from any base file of the table (metadata-sized
     // walk) — WRITE names; renamed columns alias to logical at the end
     val anyBase = planFiles(tableDir).head._1
-    val dataSchema = spark.read.parquet(anyBase).schema
+    // the declared union schema (write names) — a window holding pre-
+    // AND post-evolution files must null-fill, never take one footer's
+    // schema and silently drop the evolved column
+    val dataSchema = writeSchema(tableDir)
+      .getOrElse(spark.read.parquet(anyBase).schema)
     val renames = schemaMeta(tableDir)._2
     def toLogical(df0: DataFrame): DataFrame =
       if (renames.isEmpty) df0

@@ -292,7 +292,8 @@ object PaimonLite {
       : DataFrame = {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
-    val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    val data = readAligned(spark, tableDir,
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
     val valueCols = data.schema.fields
       .filterNot(f => keyCols.contains(f.name) ||
         f.name == "_SEQUENCE_NUMBER" || f.name == "_VALUE_KIND").toSeq
@@ -335,7 +336,8 @@ object PaimonLite {
       : DataFrame = {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
-    val data = spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    val data = readAligned(spark, tableDir,
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
     val withGuard = data.filter(
       when(col("_VALUE_KIND").isin(KindInsert, KindUpdateAfter), lit(true))
         .otherwise(raise_error(concat(lit(
@@ -365,7 +367,8 @@ object PaimonLite {
         }
     }
     require(files.nonEmpty, "no appended delta files in the window")
-    spark.read.parquet(files: _*).drop("_SEQUENCE_NUMBER")
+    readAligned(spark, tableDir, files, withSystem = true)
+      .drop("_SEQUENCE_NUMBER")
   }
 
   /** APPEND-ONLY (non-PK) table read — the spec's "Append Table": no
@@ -407,7 +410,8 @@ object PaimonLite {
         }
     }
     require(files.nonEmpty, "no changelog files in the window")
-    spark.read.parquet(files: _*).drop("_SEQUENCE_NUMBER")
+    readAligned(spark, tableDir, files, withSystem = true)
+      .drop("_SEQUENCE_NUMBER")
   }
 
   // ------------------------------------------------------- writer (fixture)

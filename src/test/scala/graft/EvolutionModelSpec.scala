@@ -160,6 +160,62 @@ class EvolutionModelSpec extends AnyFunSuite {
     check("expiry keeps the schema files")
   }
 
+  test("delta change feed across ADD COLUMN: mixed-schema windows null-fill") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/delta/evo_cdf").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    DeltaWriter.append(spark, dir, dfOld(Seq((1L, 10))), Some("p"))      // v0
+    DeltaWriter.append(spark, dir, dfOld(Seq((2L, 20))), Some("p"))      // v1: old schema
+    DeltaWriter.addColumn(spark, dir, "w", "BIGINT")                     // v2
+    DeltaWriter.append(spark, dir, dfNew(Seq((3L, 30, 300L))), Some("p")) // v3: new schema
+    // ONE window holding pre- AND post-evolution insert files: the feed
+    // must plan the DECLARED schema — pre-evolution rows null-fill w,
+    // post-evolution rows keep their values (not silently dropped)
+    val feed = DeltaLite.readChanges(spark, dir, 0L, 3L)
+    assert(feed.columns.contains("w"),
+      s"feed must carry the evolved column: ${feed.columns.toSeq}")
+    val got = feed.select("k", "w").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(got == Map(2L -> None, 3L -> Some(300L)),
+      s"mixed-schema window must null-fill, never drop: $got")
+    // the same contract on the hudi incremental feed...
+    locally {
+      val hdir = new java.io.File("target/hudi/evo_cdf").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(hdir))
+      HudiLite.createTable(spark, hdir, dfOld(Seq((1L, 10), (2L, 2))),
+        Seq("k"), "p", "001")
+      HudiLite.upsert(spark, hdir, dfOld(Seq((2L, 20))), Seq("k"), "p", "002"): Unit
+      HudiLite.addColumn(spark, hdir, "w", "BIGINT")
+      HudiLite.upsert(spark, hdir, dfNew(Seq((3L, 30, 300L))), Seq("k"), "p", "003"): Unit
+      val hfeed = HudiLite.readIncrementalMor(spark, hdir, "001", "003")
+      assert(hfeed.columns.contains("w"),
+        s"hudi feed must carry the evolved column: ${hfeed.columns.toSeq}")
+      val hgot = hfeed.select("k", "w").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(hgot == Map(2L -> None, 3L -> Some(300L)), s"hudi: $hgot")
+    }
+    // ...and the paimon changelog
+    locally {
+      val pdir = new java.io.File("target/paimon/evo_cdf").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
+      val keys = Seq("p", "k")
+      PaimonWriter.append(spark, pdir, dfOld(Seq((1L, 10))), "p", keys): Unit
+      PaimonWriter.append(spark, pdir, dfOld(Seq((2L, 20))), "p", keys): Unit
+      PaimonWriter.addColumn(spark, pdir, "w", "BIGINT")
+      PaimonWriter.append(spark, pdir, dfNew(Seq((3L, 30, 300L))), "p", keys): Unit
+      val pfeed = PaimonLite.readIncremental(spark, pdir, 1L, 3L)
+      assert(pfeed.columns.contains("w"),
+        s"paimon feed must carry the evolved column: ${pfeed.columns.toSeq}")
+      val pgot = pfeed.select("k", "w").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toMap
+      assert(pgot == Map(2L -> None, 3L -> Some(300L)), s"paimon: $pgot")
+    }
+  }
+
   test("drop/rename mid-history: name mapping survives writes and maintenance") {
     val s2 = spark
     import s2.implicits._
