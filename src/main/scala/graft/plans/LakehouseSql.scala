@@ -920,6 +920,13 @@ object LakehouseSql {
       // last N snapshots; default 1), Hudi clean
       val dir = tableDir(spark, fmt, name)
       readProps(dir): Unit
+      // RETAIN N VERSIONS is snapshot-count retention — meaningful on
+      // the snapshot-expiring formats; Delta vacuum reclaims whatever
+      // the CURRENT version no longer references and Hudi clean sweeps
+      // unreferenced slices, so a RETAIN there would silently lie
+      require(retainRaw == null || fmt == "iceberg" || fmt == "paimon",
+        s"RETAIN N VERSIONS applies to snapshot-expiring formats " +
+          s"(iceberg/paimon) — graft_$fmt reclaims by reference, not count")
       val keep = Option(retainRaw).map(_.toInt).getOrElse(1)
       val reclaimed: Int = fmt match {
         case "delta" => DeltaWriter.vacuum(spark, dir, graceMillis = 0L).size

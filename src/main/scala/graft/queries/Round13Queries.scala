@@ -224,7 +224,10 @@ object Round13Queries {
           "PARTITIONED BY (l_returnflag) AS SELECT * FROM r13_li_mx")
         s.sql(s"DELETE FROM graft_$fmt.mx_$n WHERE l_orderkey % 3 = 0")
         s.sql(s"OPTIMIZE graft_$fmt.mx_$n")
-        val reclaimed = s.sql(s"VACUUM graft_$fmt.mx_$n RETAIN 1 VERSIONS")
+        // RETAIN N VERSIONS is snapshot-count retention (iceberg/paimon);
+        // delta vacuum reclaims by reference
+        val retain = if (fmt == "iceberg") " RETAIN 1 VERSIONS" else ""
+        val reclaimed = s.sql(s"VACUUM graft_$fmt.mx_$n$retain")
           .head().getLong(0)
         require(reclaimed > 0,
           s"maintenance premise: $fmt VACUUM must reclaim the superseded " +
