@@ -343,15 +343,27 @@ object IcebergLite {
     * sequence number lands in (from, to]. Deletes inside the window are
     * ignored by design — the incremental contract ships appended rows;
     * row-level retractions ride the delete files and belong to the
-    * full-snapshot read (documented spec behavior). */
+    * full-snapshot read (documented spec behavior). REPLACE snapshots
+    * (rewrite_data_files / INSERT OVERWRITE) are STATE MOTION, not
+    * change — their files are skipped, the same discipline as Paimon's
+    * OVERWRITE/COMPACT skip and Delta's dataChange=false. */
   def readIncremental(spark: SparkSession, tableDir: String,
                       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val fromSeq = snapshotSequence(tableDir, fromSnapshotId)
     val toSeq = snapshotSequence(tableDir, toSnapshotId)
     require(fromSeq < toSeq, s"from ($fromSeq) must precede to ($toSeq)")
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val snaps = meta.get("snapshots")
+    val replaceSeqs: Set[Long] = (0 until snaps.size).map(snaps.get)
+      .filter(s => Option(s.get("summary"))
+        .flatMap(x => Option(x.get("operation")))
+        .exists(_.asText == "replace"))
+      .map(_.get("sequence-number").asLong).toSet
     val added = planFiles(tableDir, Some(toSnapshotId))
       .filter(t => t.content == 0 &&
-        t.sequenceNumber > fromSeq && t.sequenceNumber <= toSeq)
+        t.sequenceNumber > fromSeq && t.sequenceNumber <= toSeq &&
+        !replaceSeqs.contains(t.sequenceNumber))
     require(added.nonEmpty, "no appended data files in the window")
     declaredFields(tableDir) match {
       case Some(fs) =>

@@ -31,6 +31,23 @@ class CdfSourceSpec extends AnyFunSuite {
     p
   }
 
+  test("iceberg incremental skips REPLACE snapshots: state motion is not change") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.{IcebergLite, IcebergWriter}
+    val dir = fresh("ice_repl")
+    val s1 = IcebergWriter.append(spark, dir,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), Some("p"))
+    IcebergWriter.rewriteDataFiles(spark, dir, Some("p")): Unit
+    val s3 = IcebergWriter.append(spark, dir, Seq((3L, "A")).toDF("k", "p"),
+      Some("p"))
+    // the rewrite's fresh copies of k=1,2 must NOT ship as appends
+    val inc = IcebergLite.readIncremental(spark, dir, s1, s3)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(inc == Set(3L),
+      s"a REPLACE snapshot's files are state motion, not change: $inc")
+  }
+
   test("iceberg incremental source: initial snapshot, appends-only windows, resume") {
     val s2 = spark
     import s2.implicits._
