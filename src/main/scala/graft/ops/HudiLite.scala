@@ -1041,6 +1041,159 @@ object HudiLite {
       keyCols.map(c => wn.getOrElse(c, c)), None, instant, BlockDelete): Unit
   }
 
+  /** ATOMIC MERGE commit: the matched-DELETE keys and the
+    * UPDATE/INSERT rows of one MERGE statement land in ONE
+    * `.deltacommit` instant — per touched file group one log file
+    * carrying its delete block (seq 0) before its data block (seq 1).
+    * Real Hudi's merge writes one commit; the previous two-instant
+    * spelling left a window where a reader saw the deletes without the
+    * updates and a crash between instants lost the updates durably.
+    * The two key sets are disjoint by MERGE clause semantics (a
+    * matched row is claimed by exactly one clause; NOT MATCHED keys
+    * are absent from the target) — and seq ordering makes a data row
+    * win over a same-instant delete regardless.
+    * Reference behavior: `datasource/hudi/` merge lands one commit
+    * (`hudi_table_sink.cpp` analog). Returns the committed instant. */
+  def mergeCommit(spark: SparkSession, tableDir: String,
+                  upserts: DataFrame, deleteKeysDf: DataFrame,
+                  keyCols: Seq[String], partCol: String,
+                  instant0: String): String = {
+    require(deleteKeysDf.columns.toSeq.sorted == keyCols.sorted,
+      s"mergeCommit wants exactly the key columns in the delete frame, " +
+        s"got ${deleteKeysDf.columns.toSeq}")
+    val (upsW, keyColsW, partColW) = toWriteNames(tableDir, upserts, keyCols, partCol)
+    val wn = writeNames(tableDir)
+    val delW =
+      if (wn.isEmpty) deleteKeysDf
+      else deleteKeysDf.select(deleteKeysDf.columns.toSeq.map(c =>
+        col(c).as(wn.getOrElse(c, c))): _*)
+    var instant = instant0
+    var attempt = 0
+    while (true) {
+      if (stageMergeOnce(spark, tableDir, upsW, delW, keyColsW, partColW, instant))
+        return instant
+      attempt += 1
+      require(attempt < MaxCommitRetries,
+        s"delta-commit conflict persisted after $MaxCommitRetries attempts")
+      instant = nextInstantOf(tableDir)
+    }
+    instant // unreachable
+  }
+
+  /** One staging + CAS attempt of a merged delete+data commit: true =
+    * committed, false = lost the CAS (staged logs cleaned; caller
+    * re-resolves the index and retries on a fresh instant). */
+  private def stageMergeOnce(spark: SparkSession, tableDir: String,
+                             df: DataFrame, delKeys: DataFrame,
+                             keyCols: Seq[String], partCol: String,
+                             instant: String): Boolean = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    require(Option(new java.io.File(tableDir, ".hoodie").list())
+        .getOrElse(Array.empty)
+        .map(_.split('.').head).filter(_.forall(_.isDigit))
+        .forall(_ < instant),
+      s"instant $instant must follow the timeline")
+    val slices = planFilesMor(tableDir)
+    val keySchema = StructType(
+      df.schema.fields.filter(f => keyCols.contains(f.name)))
+    // candidates must cover BOTH row sets — delete keys carry no
+    // partition column, so they test every partition's blooms
+    val candidates = candidateBaseFids(spark, df, keyCols, Some(partCol), slices) ++
+      candidateBaseFids(spark, delKeys, keyCols, None, slices)
+    val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
+      .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
+    // upsert rows: existing keys keep their group, NEW keys hash-route
+    // into their partition's groups (same routing as stageAndCommitOnce)
+    val tagged = df.join(index, keyCols, "left")
+    val groupRows = slices.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case (part, ss) => (part, ss.map(_._3).distinct.sorted)
+    }
+    val groupsDf = spark.createDataFrame(groupRows).toDF("__gpart", "__fids")
+    val routedUp = tagged
+      .join(broadcast(groupsDf), col(partCol).cast("string") === col("__gpart"), "left")
+      .withColumn("__fid", coalesce(col("__fid"),
+        when(col("__fids").isNull, raise_error(concat(
+          lit("upsert into unknown partition: "), col(partCol).cast("string"))))
+          .otherwise(element_at(col("__fids"),
+            (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
+              .cast("int")))))
+      .drop("__gpart", "__fids")
+    // delete keys MUST resolve through the index (deleting an unknown
+    // key is a premise violation, not a no-op)
+    val routedDel = delKeys.join(index, keyCols, "left")
+      .withColumn("__fid",
+        when(col("__fid").isNull, raise_error(concat(
+          lit("merge-delete of unknown key: "), concat_ws(",",
+            keyCols.map(c => col(c).cast("string")): _*))))
+          .otherwise(col("__fid")))
+    val dataCols = df.columns.toSeq
+    val schema = df.select(dataCols.map(col): _*).schema
+    // one routed frame; __bt picks the block kind, delete rows null-pad
+    // the non-key columns (dropped again before the delete block writes)
+    val upSel = routedUp.select(
+      col("__fid") +: lit(BlockData).as("__bt") +: dataCols.map(col): _*)
+    val delSel = routedDel.select(
+      col("__fid") +: lit(BlockDelete).as("__bt") +: dataCols.map(c =>
+        if (keyCols.contains(c)) col(c)
+        else lit(null).cast(schema(c).dataType).as(c)): _*)
+    val combined = upSel.unionByName(delSel)
+    val metaByFid: Map[String, (String, String)] =
+      slices.map(s => s._3 -> (s._2, s._4)).toMap
+    val bcMeta = spark.sparkContext.broadcast(metaByFid)
+    val tdir = tableDir
+    val keyIdxs = dataCols.zipWithIndex.collect {
+      case (c, i) if keyCols.contains(c) => i
+    }
+    val keySchemaL = keySchema
+    val writeToken =
+      s"${ProcessHandle.current().pid()}-${logTokenCounter.incrementAndGet()}"
+    val stats: Seq[(String, String, String, String)] = combined
+      .repartition(col("__fid"))
+      .rdd.mapPartitions { it =>
+        val byFid = it.toVector.groupBy(_.getString(0))
+        byFid.iterator.map { case (fid, rows) =>
+          val (part, baseInstant) = bcMeta.value(fid)
+          val rel = s"$part/${fid}_$baseInstant.log.${instant}_$writeToken"
+          val f = new java.io.File(tdir, rel)
+          val attemptId = org.apache.spark.TaskContext.get().taskAttemptId()
+          val tmp = new java.io.File(tdir, s"$rel.a$attemptId.tmp")
+          tmp.delete() // sequential-retry leftover
+          val (delRows, dataRows) = rows.partition(_.getInt(1) == BlockDelete)
+          val blocks =
+            (if (delRows.nonEmpty) Seq(LogBlock(BlockDelete, instant,
+              delRows.map(r => Row.fromSeq(keyIdxs.map(i => r.get(i + 2)))),
+              keySchemaL))
+            else Nil) ++
+              (if (dataRows.nonEmpty) Seq(LogBlock(BlockData, instant,
+                dataRows.map(r => Row.fromSeq(r.toSeq.drop(2))), schema))
+              else Nil)
+          writeLogFile(tmp.getAbsolutePath, blocks)
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          (part, fid, baseInstant, rel)
+        }
+      }.collect().toSeq.sortBy(_._4)
+    require(stats.nonEmpty, "empty merge commit")
+    val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
+      val js = ss.map { case (_, fid, baseInstant, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}""" }
+      s""""$part":[${js.mkString(",")}]"""
+    }.mkString(",")
+    val schemaField = s""""schema":${mapper.writeValueAsString(schema.json)},"""
+    if (IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.deltacommit"),
+        s"""{$schemaField"commitTimeMs":${stampMs(instant)},""" +
+          s""""partitionToWriteStats":{$statsJson}}""")) true
+    else {
+      stats.foreach { case (_, _, _, rel) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, rel)): Unit
+      }
+      false
+    }
+  }
+
   /** Bounded optimistic retries for delta commits. */
   val MaxCommitRetries = 10
 

@@ -369,9 +369,11 @@ object IcebergWriter {
   def updateRows(spark: SparkSession, tableDir: String,
                  matcher: DataFrame => DataFrame, newRows: DataFrame,
                  partCol: Option[String] = None,
-                 partPruneBy: Option[(String, String => Boolean)] = None)
+                 partPruneBy: Option[(String, String => Boolean)] = None,
+                 transformPrune: Option[(String, String, String => Boolean)] = None)
       : Long = {
-    val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy)
+    val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy,
+        transformPrune = transformPrune)
       .filter(_.content == 0)
     require(dataTasks.nonEmpty, "updateRows matched no live files")
     val tok = nextToken()
@@ -389,12 +391,15 @@ object IcebergWriter {
     * cannot match rows outside those partitions). */
   def deleteRowsWhere(spark: SparkSession, tableDir: String,
                       matcher: DataFrame => DataFrame,
-                      partPruneBy: Option[(String, String => Boolean)] = None)
+                      partPruneBy: Option[(String, String => Boolean)] = None,
+                      transformPrune: Option[(String, String, String => Boolean)] = None)
       : Long = {
-    val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy)
+    val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy,
+        transformPrune = transformPrune)
       .filter(_.content == 0)
     require(dataTasks.nonEmpty,
-      if (partPruneBy.isDefined) "deleteRows matched no rows" else "empty table")
+      if (partPruneBy.isDefined || transformPrune.isDefined)
+        "deleteRows matched no rows" else "empty table")
     val tok = nextToken()
     val delStats3 = stagePositionDeletes(spark, tableDir, matcher, dataTasks, tok)
     val delFiles = delStats3.map(_._1)

@@ -534,6 +534,132 @@ object PaimonWriter {
     (renamed, wn.getOrElse(partCol, partCol))
   }
 
+  /** FULL COMPACTION (the spec's full-compaction / the OPTIMIZE verb's
+    * paimon spelling): per (partition, bucket) whose LSM holds more
+    * than one file or any level-0 file, merge the bucket under the
+    * deduplicate engine and rewrite it as ONE max-level file. Commits
+    * ONE snapshot with commitKind=COMPACT whose delta manifest DELETEs
+    * the inputs and ADDs the outputs — state motion, not change:
+    * incremental/changelog readers skip it, older snapshots still see
+    * the pre-compaction files until expiry reclaims them. Retraction
+    * winners (-U/-D) DROP during the rewrite — sound only because full
+    * compaction covers the whole bucket, so a dropped tombstone has no
+    * lower level left to mask (below max level a -D must be kept).
+    * Single-shot on CAS loss like the other rewrite verbs — a stale
+    * merge must not retry against a moved table. Distributed: the merge
+    * is one (part, bucket) repartition; the driver sees footer stats.
+    * Returns the COMPACT snapshot id, or -1 when nothing needs
+    * compacting. */
+  def compact(spark: SparkSession, tableDir: String,
+              keyColsIn: Seq[String], partColIn: String): Long = {
+    val typePath = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
+    require(java.nio.file.Files.exists(typePath) &&
+      java.nio.file.Files.readString(typePath).trim == "primary-key",
+      "compact targets PRIMARY KEY tables (append-only has no merge debt)")
+    val wn = PaimonLite.writeNames(tableDir)
+    val keyCols = keyColsIn.map(c => wn.getOrElse(c, c))
+    val curSnap = PaimonLite.latestSnapshotId(tableDir)
+    val files = PaimonLite.planFiles(tableDir)
+    val byBucket = files.groupBy(f => (f.part, f.bucket))
+    val targets = byBucket.filter { case (_, fs) =>
+      fs.size > 1 || fs.exists(_.level == 0)
+    }
+    if (targets.isEmpty) return -1L
+    val inputs = targets.values.flatten.toSeq
+    val snapId = curSnap + 1
+    val buckets = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "snapshot", "BUCKETS")).trim.toInt
+    // merge per key over the TARGET buckets only (untouched buckets'
+    // files carry forward verbatim): max-seq row wins, retraction
+    // winners drop — the same order readSnapshot uses
+    val data = PaimonLite.readAligned(spark, tableDir,
+      inputs.map(f => s"$tableDir/${f.path}"), withSystem = true)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc)
+    val merged = data.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 &&
+        col("_VALUE_KIND").isin(PaimonLite.KindInsert, PaimonLite.KindUpdateAfter))
+      .drop("__rn")
+    // rows re-derive (part, bucket) exactly as append() stamped them:
+    // part = cast(partCol as string), bucket = pmod(hash(keys), buckets)
+    val partCol = wn.getOrElse(partColIn, partColIn)
+    require(keyCols.contains(partCol),
+      "paimon requires the partition column inside the primary key")
+    val staged = merged
+      .withColumn("__part", col(partCol).cast("string"))
+      .withColumn("__bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
+    val staging = s"$tableDir/stage_c$snapId"
+    staged.repartition(col("__part"), col("__bucket"))
+      .write.partitionBy("__part", "__bucket")
+      .mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new java.io.File(tableDir)
+    val adds = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val bucketDir = f.getParentFile.getName
+        val partDir = f.getParentFile.getParentFile.getName
+        require(partDir.startsWith("__part=") && bucketDir.startsWith("__bucket="),
+          s"unexpected staging layout: $partDir/$bucketDir")
+        val part = partDir.stripPrefix("__part=")
+        val bucket = bucketDir.stripPrefix("__bucket=").toInt
+        val rel = s"$part/bucket-$bucket/data-c$snapId-${nextTok()}-$j.parquet"
+        val dst = new java.io.File(dir, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        val (rows, bytes, lo, hi) =
+          IcebergWriter.footerStats(dst.getAbsolutePath, conf)
+        (PaimonLite.FileMeta(rel, Some(part), bucket, level = MaxLevel,
+          minSeq = lo.getOrElse("_SEQUENCE_NUMBER", 0L),
+          maxSeq = hi.getOrElse("_SEQUENCE_NUMBER", 0L),
+          rowCount = rows), bytes)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    // adds MAY be empty: a bucket holding only tombstone winners
+    // rewrites to nothing — the COMPACT snapshot still commits its
+    // DELETE entries (that is the reclaim)
+    // COMPACT snapshot: base = previous manifests, delta = DELETE(inputs)
+    // + ADD(outputs)
+    val tok = s"$snapId-${nextTok()}"
+    val mName = s"manifest-c$tok"
+    PaimonLite.writeManifestAvro(tableDir, mName, adds, inputs)
+    val baseName = s"manifest-list-c$tok-base"
+    val deltaName = s"manifest-list-c$tok-delta"
+    PaimonLite.writeManifestListAvro(tableDir, baseName,
+      PaimonLite.snapshotManifestNames(tableDir, curSnap))
+    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
+    val snapJson =
+      s"""{"version":3,"id":$snapId,"schemaId":0,
+         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+         |"commitKind":"COMPACT",
+         |"timeMillis":${1700000000000L + snapId},
+         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+    val won = IcebergWriter.casCreate(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"), snapJson)
+    if (!won) {
+      adds.foreach { case (m, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, m.path)): Unit
+      }
+      sys.error("compaction lost the snapshot CAS to a concurrent commit — " +
+        "its merge is stale against the moved table; re-run compact")
+    }
+    IcebergWriter.atomicWriteString(
+      java.nio.file.Paths.get(tableDir, "snapshot", "LATEST"), snapId.toString)
+    snapId
+  }
+
+  /** The LSM's highest level — where full compaction lands its rewrites
+    * (real Paimon's num-levels default minus one; the exact number only
+    * orders levels, readers never branch on it). */
+  val MaxLevel = 5
+
   /** SNAPSHOT EXPIRY (the spec's snapshot.num-retained.* retention):
     * keep the most recent `keepLast` snapshots, advance EARLIEST, and
     * physically delete everything only expired snapshots reach — data

@@ -898,8 +898,8 @@ object LakehouseSql {
       // the maintenance REWRITE in each format's spelling: Delta
       // OPTIMIZE (compacted DV-free files), Iceberg rewrite_data_files
       // (REPLACE snapshot), Hudi compaction (fresh base slices for
-      // logged groups), Paimon n/a (the LSM merges at read; real Paimon
-      // compaction is a writer-side level merge, out of scope — loud)
+      // logged groups), Paimon FULL COMPACTION (per-bucket level merge
+      // into one max-level file, ONE COMPACT snapshot)
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
       fmt match {
@@ -908,9 +908,8 @@ object LakehouseSql {
           IcebergWriter.rewriteDataFiles(spark, dir, p.partCol): Unit
         case "hudi" =>
           HudiLite.compact(spark, dir, p.keyCols, nextInstant(dir)): Unit
-        case "paimon" => sys.error(
-          "OPTIMIZE is not supported on graft_paimon — the LSM merges at " +
-            "read and compaction is a level-merge writer out of scope")
+        case "paimon" =>
+          PaimonWriter.compact(spark, dir, p.keyCols, p.partCol.get): Unit
       }
       s"SELECT 'graft_$fmt.$name' AS optimized"
 
@@ -1190,23 +1189,29 @@ object LakehouseSql {
                 lit(PaimonLite.KindInsert))).toSeq else Nil)).get
           PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
         case "hudi" =>
-          // MoR spells deletes and upserts as different block kinds in
-          // different file groups — up to two timeline instants
-          // (documented scope; the MoR merge hides the gap for readers
-          // at the latest instant)
-          val delV: Long =
-            if (!hasDeleted) -1L
-            else {
-              val instant = nextInstant(dir)
-              HudiLite.deleteKeys(spark, dir,
-                deletedDf.get.select(p.keyCols.map(col): _*).distinct(),
-                p.keyCols, instant)
-              instant.toLong
-            }
+          // MoR spells deletes and upserts as different BLOCK KINDS but
+          // they share ONE deltacommit instant: mergeCommit writes each
+          // touched file group one log file carrying its delete block
+          // before its data block — all-or-nothing like the other three
+          val delKeys =
+            if (hasDeleted)
+              Some(deletedDf.get.select(p.keyCols.map(col): _*).distinct())
+            else None
           val upsRows = unionAll(
             (if (hasUpdated) updatedDf.toSeq else Nil) ++
               (if (hasInserts) insertDf.toSeq else Nil))
-          upsRows.map(applyUpsert(spark, fmt, dir, p, _)).getOrElse(delV)
+          (delKeys, upsRows) match {
+            case (Some(dk), Some(ur)) =>
+              HudiLite.mergeCommit(spark, dir, ur, dk, p.keyCols,
+                p.partCol.get, nextInstant(dir)).toLong
+            case (Some(dk), None) =>
+              val instant = nextInstant(dir)
+              HudiLite.deleteKeys(spark, dir, dk, p.keyCols, instant)
+              instant.toLong
+            case (None, Some(ur)) => applyUpsert(spark, fmt, dir, p, ur)
+            case (None, None) =>
+              sys.error("unreachable: zero-match MERGE is handled above")
+          }
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
 

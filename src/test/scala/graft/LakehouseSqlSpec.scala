@@ -555,12 +555,42 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(reclaimed > 0, "VACUUM must reclaim the superseded files")
     assert(sql("SELECT k FROM graft_delta.lksql_mx ORDER BY k")
       .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
-    // OPTIMIZE on paimon is a documented refusal
+    // OPTIMIZE on paimon = FULL COMPACTION: the bucket's LSM files merge
+    // into one max-level file in ONE COMPACT snapshot; a deleted key is
+    // physically gone from the rewritten files, reads are unchanged
     sql("CREATE OR REPLACE TABLE graft_paimon.lksql_mx PRIMARY KEY (p, k) " +
       "PARTITIONED BY (p) AS SELECT * FROM lksql_mx_src")
-    assert(intercept[Exception] {
-      sql("OPTIMIZE graft_paimon.lksql_mx")
-    }.getMessage.contains("not supported"))
+    sql("INSERT INTO graft_paimon.lksql_mx " +
+      "SELECT 4 AS k, 'A' AS p, 40 AS v UNION ALL " +
+      "SELECT 1 AS k, 'A' AS p, 11 AS v") // upsert k=1
+    sql("DELETE FROM graft_paimon.lksql_mx WHERE k = 2")
+    def pmFiles(): Seq[graft.ops.PaimonLite.FileMeta] =
+      graft.ops.PaimonLite.planFiles(
+        new java.io.File("target/lakehouse/paimon/lksql_mx").getAbsolutePath)
+    val before = pmFiles()
+    assert(before.groupBy(f => (f.part, f.bucket)).exists(_._2.size > 1),
+      "compaction premise: some bucket holds >1 file before OPTIMIZE")
+    val preSnap = graft.ops.PaimonLite.latestSnapshotId(
+      new java.io.File("target/lakehouse/paimon/lksql_mx").getAbsolutePath)
+    sql("OPTIMIZE graft_paimon.lksql_mx")
+    val after = pmFiles()
+    assert(after.groupBy(f => (f.part, f.bucket)).forall(_._2.size == 1),
+      s"every bucket must hold exactly one file after full compaction: $after")
+    assert(after.forall(_.level == graft.ops.PaimonWriter.MaxLevel),
+      "rewrites land at max level")
+    val got = sql("SELECT k, v FROM graft_paimon.lksql_mx ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 11), (3L, 30), (4L, 40)),
+      s"reads unchanged across compaction: $got")
+    // time travel to the pre-compaction snapshot still sees old files
+    assert(sql("SELECT k FROM graft_paimon.lksql_mx " +
+      s"FOR VERSION AS OF $preSnap ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L, 4L))
+    // a second OPTIMIZE has no merge debt — no new snapshot
+    sql("OPTIMIZE graft_paimon.lksql_mx")
+    assert(graft.ops.PaimonLite.latestSnapshotId(
+      new java.io.File("target/lakehouse/paimon/lksql_mx").getAbsolutePath)
+      == preSnap + 1, "idempotent OPTIMIZE must not commit a second snapshot")
   }
 
   test("conditional MERGE clauses: first-match-wins, unclaimed rows stay") {
@@ -611,6 +641,41 @@ class LakehouseSqlSpec extends AnyFunSuite {
         "WHEN MATCHED AND s.v < 10 THEN UPDATE SET v = s.v")
     }
     assert(e.getMessage.contains("must be the last"), s"got: ${e.getMessage}")
+  }
+
+  test("hudi conditional MERGE with update AND delete clauses is ONE instant") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30), (4L, "B", 40))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_hcm_src")
+    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_hcm PRIMARY KEY (k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_hcm_src")
+    Seq((1L, "A", 5), (2L, "A", 99), (9L, "A", 90)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_hcm_upd")
+    def instants(): Long = Option(new java.io.File(
+      "target/lakehouse/hudi/lksql_hcm/.hoodie").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit")).toLong
+    val i0 = instants()
+    sql("MERGE INTO graft_hudi.lksql_hcm t USING lksql_hcm_upd s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.v < 10 THEN UPDATE SET v = s.v " +
+      "WHEN MATCHED AND s.v > 90 THEN DELETE " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    assert(instants() == i0 + 1,
+      "update+delete+insert MERGE must land ONE hudi deltacommit " +
+        "(delete blocks and data blocks share the instant)")
+    val got = sql("SELECT k, v FROM graft_hudi.lksql_hcm ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 5), (3L, 30), (4L, 40), (9L, 90)),
+      s"k=1 updated, k=2 deleted, k=9 inserted: $got")
+    // time travel to the pre-merge instant still sees the old state —
+    // the merged instant is one atomic point in the timeline
+    val pre = sql("SELECT k, v FROM graft_hudi.lksql_hcm " +
+      s"FOR VERSION AS OF ${i0} ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(pre == Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40)), s"travel: $pre")
   }
 
   test("stream cursor commits on SUCCESS: a failed consume re-serves the window") {
