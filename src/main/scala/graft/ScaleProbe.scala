@@ -388,6 +388,90 @@ object ScaleProbe {
       if (merged != 2000L) failures += s"MERGE landed $merged of 2000 rows"
       if (mrgS > 120.0)
         failures += f"MERGE took $mrgS%.1f s — not a single distributed pass"
+
+      // MULTI-FIELD-SPEC DML: on a (days(ts), bucket(8, k)) table a
+      // key-scoped UPDATE prunes by the bucket component and a
+      // day-range DELETE (ANSI typed literals) by the day component —
+      // BOTH the probe read and the writer's target planning
+      spark.range(0, 400000)
+        .select(col("id").as("k"),
+          expr("timestamp(date_add(date'2024-01-01', cast(id % 30 as int)))")
+            .as("ts"),
+          (col("id") % 997).as("v"))
+        .createOrReplaceTempView("sqlscale_ms_src")
+      spark.sql("CREATE OR REPLACE TABLE graft_iceberg.sqlscale_ms " +
+        "PARTITIONED BY (days(ts), bucket(8, k)) " +
+        "AS SELECT * FROM sqlscale_ms_src")
+      val t3 = System.nanoTime()
+      spark.sql("UPDATE graft_iceberg.sqlscale_ms SET v = v + 1000000 " +
+        "WHERE k = 12345")
+      val updMs = (System.nanoTime() - t3) / 1e9
+      val scanM = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("multispec UPDATE recorded no scan"))
+      println(f"[sqlscale] multispec key UPDATE: $updMs%.1f s, planned " +
+        s"${scanM.plannedFiles}/${scanM.totalFiles} files")
+      if (scanM.plannedFiles * 5 > scanM.totalFiles)
+        failures += s"multispec UPDATE planned ${scanM.plannedFiles}/" +
+          s"${scanM.totalFiles} — bucket-component DML pruning not engaging"
+      val vMs = spark.sql(
+        "SELECT v FROM graft_iceberg.sqlscale_ms WHERE k = 12345")
+        .head().getLong(0)
+      if (vMs != 12345L % 997L + 1000000L)
+        failures += s"multispec UPDATE value drift: k=12345 has v=$vMs"
+      spark.sql("DELETE FROM graft_iceberg.sqlscale_ms " +
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-12 00:00:00'")
+      val scanD = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("multispec DELETE recorded no scan"))
+      val expectLeft = 400000L -
+        (0L until 400000L).count(i => { val m = i % 30; m == 9 || m == 10 })
+      val left = spark.sql(
+        "SELECT count(*) AS n FROM graft_iceberg.sqlscale_ms").head().getLong(0)
+      println(s"[sqlscale] multispec day-range DELETE planned " +
+        s"${scanD.plannedFiles}/${scanD.totalFiles} files; $left rows remain")
+      if (scanD.plannedFiles * 3 > scanD.totalFiles)
+        failures += s"multispec DELETE planned ${scanD.plannedFiles}/" +
+          s"${scanD.totalFiles} — day-component DML pruning not engaging"
+      if (left != expectLeft)
+        failures += s"multispec DELETE row drift: $left (want $expectLeft)"
+
+      // PAIMON FULL COMPACTION at scale: three write waves build
+      // multi-file LSM buckets; OPTIMIZE merges each bucket to ONE
+      // max-level file in one COMPACT snapshot, VACUUM reclaims the
+      // superseded inputs, reads stay value-exact
+      spark.range(0, 200000)
+        .select(col("id").as("k"), (col("id") % 20).cast("string").as("p"),
+          (col("id") % 997).as("v"))
+        .createOrReplaceTempView("sqlscale_pc_src")
+      spark.sql("CREATE OR REPLACE TABLE graft_paimon.sqlscale_pc " +
+        "PRIMARY KEY (p, k) PARTITIONED BY (p) " +
+        "AS SELECT * FROM sqlscale_pc_src")
+      spark.sql("INSERT INTO graft_paimon.sqlscale_pc " +
+        "SELECT k, p, v + 1000000 AS v FROM sqlscale_pc_src WHERE k % 4 = 0")
+      spark.sql("INSERT INTO graft_paimon.sqlscale_pc " +
+        "SELECT k, p, v + 2000000 AS v FROM sqlscale_pc_src WHERE k % 4 = 1")
+      val pcDir = s"$lakeDir/paimon/sqlscale_pc"
+      val preFiles = graft.ops.PaimonLite.planFiles(
+        new java.io.File(pcDir).getAbsolutePath)
+      val t4 = System.nanoTime()
+      spark.sql("OPTIMIZE graft_paimon.sqlscale_pc")
+      val optS = (System.nanoTime() - t4) / 1e9
+      val postFiles = graft.ops.PaimonLite.planFiles(
+        new java.io.File(pcDir).getAbsolutePath)
+      val reclaimed = spark.sql(
+        "VACUUM graft_paimon.sqlscale_pc RETAIN 1 VERSIONS").head().getLong(0)
+      println(f"[sqlscale] paimon full compaction: ${preFiles.size} -> " +
+        f"${postFiles.size} files in $optS%.1f s, vacuum reclaimed $reclaimed")
+      if (!postFiles.groupBy(f => (f.part, f.bucket)).forall(_._2.size == 1))
+        failures += "paimon compaction left a multi-file bucket"
+      if (reclaimed == 0L)
+        failures += "paimon vacuum after compaction reclaimed nothing"
+      if (optS > 120.0)
+        failures += f"paimon compaction took $optS%.1f s"
+      val pcV = spark.sql(
+        "SELECT v FROM graft_paimon.sqlscale_pc WHERE k = 4").head().getLong(0)
+      if (pcV != 4L % 997L + 1000000L)
+        failures += s"paimon compaction value drift: k=4 has v=$pcV"
     } catch { case e: Throwable =>
       failures += s"sql-route probe crashed: ${e.getMessage}"
     }

@@ -117,13 +117,21 @@ object DeltaWriter {
     * would let a spec-conformant external reader silently read deleted
     * rows). None when the table already supports them. */
   private def dvProtocolUpgrade(spark: SparkSession, tableDir: String)
-      : Option[String] = {
+      : Option[String] = featureProtocolUpgrade(spark, tableDir, "deletionVectors")
+
+  /** The protocol action that upgrades the table to carry a
+    * reader+writer table FEATURE (PROTOCOL.md "Table Features": reader
+    * 3 / writer 7 with the feature in both lists — a writer stamping a
+    * legacy version would let a spec-conformant external reader
+    * silently misread). None when the table already has it. */
+  private def featureProtocolUpgrade(spark: SparkSession, tableDir: String,
+                                     feature: String): Option[String] = {
     val p = currentProtocol(spark, tableDir)
-    if (p.exists(x => x._3.contains("deletionVectors"))) None
+    if (p.exists(x => x._3.contains(feature))) None
     else {
       val (rv, wv, rf, wf) = p.getOrElse((1, 2, Set.empty[String], Set.empty[String]))
-      val readerF = (legacyReaderFeatures(rv) ++ rf ++ Seq("deletionVectors")).distinct.sorted
-      val writerF = (legacyWriterFeatures(wv) ++ wf ++ Seq("deletionVectors")).distinct.sorted
+      val readerF = (legacyReaderFeatures(rv) ++ rf ++ Seq(feature)).distinct.sorted
+      val writerF = (legacyWriterFeatures(wv) ++ wf ++ Seq(feature)).distinct.sorted
       Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":[${readerF.map(f => s""""$f"""").mkString(",")}],"writerFeatures":[${writerF.map(f => s""""$f"""").mkString(",")}]}}""")
     }
   }
@@ -582,6 +590,47 @@ object DeltaWriter {
         attempt += 1
         require(attempt < MaxCommitRetries,
           s"ADD COLUMN conflict persisted after $MaxCommitRetries attempts")
+      }
+    }
+    committed
+  }
+
+  /** ALTER COLUMN TYPE widening: one metaData commit re-typing the
+    * field (sanctioned promotions only) — metadata-only; declared-
+    * schema scans up-cast pre-widening parquet natively. The schema
+    * re-derives per CAS attempt like [[addColumn]]. */
+  def widenColumn(spark: SparkSession, tableDir: String,
+                  name: String, sqlType: String): Long = {
+    import org.apache.spark.sql.types._
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    var committed = -1L
+    var attempt = 0
+    while (committed < 0) {
+      val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
+        .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
+        .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
+      val f = cur.fields.find(_.name == name)
+        .getOrElse(sys.error(s"no column $name"))
+      TypeWiden.check(name, f.dataType, dt)
+      val evolved = StructType(cur.fields.map(fl =>
+        if (fl.name == name) fl.copy(dataType = dt) else fl))
+      val md = latestMetaDataNode(spark, tableDir).getOrElse(
+        sys.error("ALTER COLUMN TYPE on a table without metaData"))
+      md.put("schemaString", evolved.json)
+      // PROTOCOL.md: widened schemas require the typeWidening table
+      // feature — composed into the SAME commit on first use, like the
+      // deletionVectors upgrade
+      val protoAction = featureProtocolUpgrade(spark, tableDir, "typeWidening")
+      val version = nextVersion(tableDir)
+      if (casWriteCommit(tableDir, version, protoAction.toSeq :+
+          s"""{"metaData":${mapper.writeValueAsString(md)}}""")) {
+        maybeCheckpoint(spark, tableDir, version)
+        committed = version
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"ALTER COLUMN TYPE conflict persisted after $MaxCommitRetries attempts")
       }
     }
     committed

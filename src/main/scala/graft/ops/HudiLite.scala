@@ -418,6 +418,48 @@ object HudiLite {
       java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
   }
 
+  /** ALTER COLUMN TYPE widening: re-stamp the declared schema with the
+    * field re-typed (sanctioned promotions only) — metadata-only. Base
+    * parquet up-casts natively; LOG blocks decode through
+    * [[coerceLogValue]], which lifts an old block's narrower avro value
+    * to the declared type at read. */
+  def widenColumn(spark: SparkSession, tableDir: String,
+                  name: String, sqlType: String): Unit = {
+    import org.apache.spark.sql.types._
+    val (_, renames) = schemaMeta(tableDir)
+    val cur: StructType = writeSchema(tableDir).getOrElse {
+      val slices = planFilesMor(tableDir)
+      require(slices.nonEmpty, "table has no live file slices")
+      spark.read.parquet(slices.head._1).schema
+    }
+    val w = cur.fieldNames.find(wn => renames.getOrElse(wn, wn) == name)
+      .getOrElse(sys.error(s"no column $name"))
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    TypeWiden.check(name, cur(w).dataType, dt)
+    val evolved = StructType(cur.fields.map(f =>
+      if (f.name == w) f.copy(dataType = dt) else f))
+    IcebergWriter.atomicWriteString(
+      java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
+  }
+
+  /** Lift a decoded avro log value to the DECLARED column type — how
+    * type widening reaches log blocks written before the ALTER (their
+    * embedded writer schema keeps the narrow type). */
+  private[graft] def coerceLogValue(v: Any,
+                                    dt: org.apache.spark.sql.types.DataType): Any = {
+    import org.apache.spark.sql.types._
+    (v, dt) match {
+      case (null, _) => null
+      case (u: org.apache.avro.util.Utf8, _) => u.toString
+      case (i: java.lang.Integer, LongType) => i.longValue
+      case (i: java.lang.Integer, DoubleType) => i.doubleValue
+      case (l: java.lang.Long, DoubleType) => l.doubleValue
+      case (f: java.lang.Float, DoubleType) => f.doubleValue
+      case (x, _) => x
+    }
+  }
+
   /** DROP COLUMN: record the field's WRITE name in the evolution stamp
     * — metadata-only; the union scan stops planning it. */
   def dropColumn(spark: SparkSession, tableDir: String, name: String): Unit = {
@@ -500,11 +542,7 @@ object HudiLite {
               recs.map { rec =>
                 val vals = names.zip(types).map { case (n, dt) =>
                   val v = if (rec.getSchema.getField(n) == null) null else rec.get(n)
-                  (v, dt) match {
-                    case (null, _) => null
-                    case (u: org.apache.avro.util.Utf8, _) => u.toString
-                    case (x, _) => x
-                  }
+                  coerceLogValue(v, dt)
                 }
                 Row.fromSeq(vals.toSeq ++ Seq[Any](inst, seq, bt == BlockDelete))
               }
@@ -618,17 +656,15 @@ object HudiLite {
         .withColumn("_CHANGE_TYPE", lit("insert"))
     if (logFiles.isEmpty) return toLogical(inserts)
     val names = dataSchema.fields.map(_.name)
+    val types = dataSchema.fields.map(_.dataType)
     val logRows = spark.sparkContext
       .binaryFiles(logFiles.mkString(","))
       .flatMap { case (_, pds) =>
         parseLogBytes(pds.toArray()).flatMap { case (bt, _, _, recs) =>
           recs.map { rec =>
-            val vals = names.map { n =>
+            val vals = names.zip(types).map { case (n, dt) =>
               val v = if (rec.getSchema.getField(n) == null) null else rec.get(n)
-              v match {
-                case u: org.apache.avro.util.Utf8 => u.toString
-                case x => x
-              }
+              coerceLogValue(v, dt)
             }
             Row.fromSeq(vals.toSeq :+
               (if (bt == BlockDelete) "delete" else "upsert"))

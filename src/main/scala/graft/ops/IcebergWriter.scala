@@ -370,7 +370,9 @@ object IcebergWriter {
                  matcher: DataFrame => DataFrame, newRows: DataFrame,
                  partCol: Option[String] = None,
                  partPruneBy: Option[(String, String => Boolean)] = None,
-                 transformPrune: Option[(String, String, String => Boolean)] = None)
+                 transformPrune: Option[(String, String, String => Boolean)] = None,
+                 partTransform: String = "identity",
+                 partFields: Seq[(String, String)] = Nil)
       : Long = {
     val dataTasks = IcebergLite.planFiles(tableDir, partPruneBy = partPruneBy,
         transformPrune = transformPrune)
@@ -379,8 +381,12 @@ object IcebergWriter {
     val tok = nextToken()
     val posDels = stagePositionDeletes(spark, tableDir, matcher, dataTasks, tok)
     require(posDels.map(_._2).sum > 0, "updateRows matched no rows")
+    // the replacement rows land under the table's OWN spec (transform /
+    // multi-field) — forking an identity spec would leave them
+    // unprunable by the partition predicates the table was built for
     commit(spark, tableDir, newRows, partCol, upsertKeysIn = None,
-      posDelFiles = posDels, singleShot = true)
+      posDelFiles = posDels, singleShot = true,
+      partTransform = partTransform, partFieldsIn = partFields)
   }
 
   /** [[deleteRows]] generalized to a MATCHER over the scan (all table
@@ -889,6 +895,20 @@ object IcebergWriter {
       val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(sqlType)
       cur :+ ((name, name, dt))
+    }
+
+  /** ALTER COLUMN TYPE widening (spec "Schema Evolution": int→long,
+    * float→double are the sanctioned promotions): a new schema with the
+    * field re-typed — metadata-only; the declared-schema scan up-casts
+    * pre-widening files' narrower physical types natively. */
+  def widenColumn(spark: SparkSession, tableDir: String,
+                  name: String, sqlType: String): Int =
+    evolveSchema(spark, tableDir, "ALTER COLUMN TYPE") { cur =>
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(sqlType)
+      val f = cur.find(_._1 == name).getOrElse(sys.error(s"no column $name"))
+      TypeWiden.check(name, f._3, dt)
+      cur.map { case (l, w, t) => if (l == name) (l, w, dt) else (l, w, t) }
     }
 
   /** DROP COLUMN (spec "Schema Evolution"): a new schema without the

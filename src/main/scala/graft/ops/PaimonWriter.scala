@@ -466,6 +466,22 @@ object PaimonWriter {
       cur :+ ((name, name, dt))
     }
 
+  /** ALTER COLUMN TYPE widening: a new `schema-N` with the field
+    * re-typed (sanctioned promotions only) — metadata-only; the
+    * declared-schema LSM scan up-casts older files' narrower physical
+    * types natively. PRIMARY KEY columns are refused at the SQL route:
+    * Spark's long hash differs from its int hash, so widening a key
+    * would move keys across LSM buckets. */
+  def widenColumn(spark: SparkSession, tableDir: String,
+                  name: String, sqlType: String): Long =
+    evolveSchema(spark, tableDir) { cur =>
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(sqlType)
+      val f = cur.find(_._1 == name).getOrElse(sys.error(s"no column $name"))
+      TypeWiden.check(name, f._3, dt)
+      cur.map { case (l, w, t) => if (l == name) (l, w, dt) else (l, w, t) }
+    }
+
   /** DROP COLUMN: a new `schema-N` without the field — metadata-only;
     * data files keep the bytes, the declared-schema scan never reads
     * them. */

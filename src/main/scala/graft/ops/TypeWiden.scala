@@ -1,0 +1,30 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+
+/** Sanctioned type-widening promotions for `ALTER COLUMN ... TYPE`
+  * (Iceberg spec "Schema Evolution" allows int→long and float→double;
+  * the byte/short rungs ride the same INT32 physical encoding). The
+  * whole point of the sanction list: every promotion here is one
+  * Spark 4's parquet readers up-cast NATIVELY at scan, so widening is
+  * metadata-only — no data movement, the reference's light schema
+  * change (fe/fe-core/.../alter/SchemaChangeHandler.java, the
+  * LIGHT_SCHEMA_CHANGE path vs. the rewrite tier). Narrowing or
+  * cross-family changes would need a full rewrite and refuse loudly. */
+object TypeWiden {
+
+  def ok(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (ByteType | ShortType | IntegerType, DoubleType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
+  def check(col: String, from: DataType, to: DataType): Unit =
+    require(ok(from, to),
+      s"cannot widen $col from ${from.simpleString} to ${to.simpleString} — " +
+        "sanctioned promotions: byte/short/int -> bigint, " +
+        "byte/short/int -> double, float -> double")
+}

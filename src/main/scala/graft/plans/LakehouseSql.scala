@@ -74,6 +74,12 @@ object LakehouseSql {
   private val ShowTablesRe =
     "(?is)^\\s*SHOW\\s+TABLES\\s+IN\\s+graft_(iceberg|delta|hudi|paimon)\\s*$".r
   private val ShowStreamsRe = "(?is)^\\s*SHOW\\s+STREAMS\\s*$".r
+  private val ShowPartitionsRe =
+    ("(?is)^\\s*SHOW\\s+PARTITIONS\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
+  private val ShowCreateRe =
+    ("(?is)^\\s*SHOW\\s+CREATE\\s+TABLE\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
   private val DropRe =
     ("(?is)^\\s*DROP\\s+TABLE\\s+(IF\\s+EXISTS\\s+)?" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
@@ -88,6 +94,9 @@ object LakehouseSql {
   private val AlterRenameRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "RENAME\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TO\\s+([A-Za-z_]\\w*)\\s*$").r
+  private val AlterTypeRe =
+    ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
+      "ALTER\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TYPE\\s+([A-Za-z_]\\w*)\\s*$").r
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
@@ -421,6 +430,20 @@ object LakehouseSql {
     (pc, p.partTransform, (pv: String) => fs.forall(_(pv)))
   }
 
+  /** MULTI-FIELD specs (Iceberg only): the first spec field with a
+    * provable conjunct in `stmt` prunes — any single field's component
+    * restricts the file set, and planFiles matches components by
+    * (column, transform), conservatively keeping files under specs
+    * that lack the field. Shared by the read path and the DML verbs. */
+  private def multiFieldPrune(stmt: String, fmt: String, name: String, p: Props)
+      : Option[(String, String, String => Boolean)] =
+    if (p.partFields.size < 2) None
+    else p.partFields.view.flatMap { case (c, tr, ct) =>
+      SqlPrune.partPruneInfo(stmt, s"graft_$fmt.$name", c, ct)
+        .flatMap(info => transformPruneOf(
+          Props(Some(c), Seq.empty, tr, ct), Some(info)))
+    }.headOption
+
   private def reader(spark: SparkSession, fmt: String, dir: String,
                      p: Props, version: Option[Long] = None,
                      prune: Option[SqlPrune.PruneInfo] = None,
@@ -724,12 +747,17 @@ object LakehouseSql {
         SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
       val identityPrune: Option[String => Boolean] = prune.map(_.pred)
         .filter(_ => p.partCol.isDefined && p.partTransform == "identity")
+      // MULTI-FIELD spec tables: any single field's provable conjunct
+      // prunes the DML target planning too; single TRANSFORMED specs
+      // prune through the transform of the queried literal
+      val mfPrune = multiFieldPrune(sql, fmt, name, p).orElse(
+        transformPruneOf(p, prune).filter(_ => p.partTransform != "identity"))
       require(fmt != "paimon" || p.keyCols.nonEmpty,
         "DELETE FROM an append-only paimon table is not supported " +
           "(append tables are immutable facts)")
       // zero-match DELETE is a successful no-op (standard SQL) — the
       // probe rides the same pruned read the statement plans
-      if (reader(spark, fmt, dir, p, None, prune, name)
+      if (reader(spark, fmt, dir, p, None, prune, name, mfPrune)
           .filter(org.apache.spark.sql.functions.expr(cond))
           .limit(1).count() == 0)
         return s"SELECT CAST(${graft.streaming.CdfFeed.coordinate(spark, fmt, dir)} " +
@@ -740,7 +768,8 @@ object LakehouseSql {
       val version = fmt match {
         case "iceberg" =>
           IcebergWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
-            partPruneBy = identityPrune.map(f => (p.partCol.get, f)))
+            partPruneBy = identityPrune.map(f => (p.partCol.get, f)),
+            transformPrune = mfPrune)
         case "delta" =>
           DeltaWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
             partFilter = identityPrune.map(f =>
@@ -810,6 +839,64 @@ object LakehouseSql {
       rows.toSeq.toDF("stream_name", "on_table", "cursor")
         .createOrReplaceTempView("graft_show_streams")
       "SELECT * FROM graft_show_streams ORDER BY stream_name"
+
+    case ShowPartitionsRe(fmt, name) =>
+      // SHOW PARTITIONS (reference SHOW PARTITIONS FROM t): the STORED
+      // partition values with live-file counts, straight from each
+      // format's file planning — metadata-only, zero data bytes read
+      val dir = tableDir(spark, fmt, name)
+      readProps(dir): Unit
+      val parts: Seq[String] = fmt match {
+        case "iceberg" =>
+          IcebergLite.planFiles(dir).filter(_.content == 0)
+            .map(_.partValue.getOrElse(""))
+        case "delta" =>
+          DeltaLite.planFilesWithCheckpoint(spark, dir)
+            .map(_._2.values.mkString("/"))
+        case "hudi" => HudiLite.planFilesMor(dir).map(_._2)
+        case "paimon" => PaimonLite.planFiles(dir).map(_.part.getOrElse(""))
+      }
+      val pairs = parts.groupBy(identity).view
+        .map { case (p2, xs) => (p2, xs.size) }.toSeq.sortBy(_._1)
+      val view = s"graft_show_parts_${fmt}_$name"
+      import spark.implicits._
+      pairs.toDF("partition", "num_files").createOrReplaceTempView(view)
+      s"SELECT partition, num_files FROM $view ORDER BY partition"
+
+    case ShowCreateRe(fmt, name) =>
+      // SHOW CREATE TABLE: the statement that reconstructs the table on
+      // this route — declared schema + PRIMARY KEY + PARTITIONED BY
+      // (transforms rendered back to their call spelling)
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      def renderTr(tr: String, c: String): String = tr match {
+        case "identity" => c
+        case "year" => s"years($c)"
+        case "month" => s"months($c)"
+        case "day" => s"days($c)"
+        case b if b.startsWith("bucket[") =>
+          s"bucket(${b.stripPrefix("bucket[").stripSuffix("]")}, $c)"
+        case t if t.startsWith("truncate[") =>
+          s"truncate(${t.stripPrefix("truncate[").stripSuffix("]")}, $c)"
+        case other => sys.error(s"unknown transform $other")
+      }
+      val schema = reader(spark, fmt, dir, p).schema
+      val cols = schema.fields.map(f =>
+        s"${f.name} ${f.dataType.sql}").mkString(", ")
+      val pkPart =
+        if (p.keyCols.nonEmpty) s" PRIMARY KEY (${p.keyCols.mkString(", ")})"
+        else ""
+      val partPart =
+        if (p.partFields.size > 1)
+          s" PARTITIONED BY (${p.partFields.map { case (c, tr, _) =>
+            renderTr(tr, c) }.mkString(", ")})"
+        else p.partCol.map(pc =>
+          s" PARTITIONED BY (${renderTr(p.partTransform, pc)})").getOrElse("")
+      val stmt = s"CREATE TABLE graft_$fmt.$name ($cols)$pkPart$partPart"
+      val view = s"graft_show_create_${fmt}_$name"
+      import spark.implicits._
+      Seq(stmt).toDF("stmt").createOrReplaceTempView(view)
+      s"SELECT stmt FROM $view"
 
     case DropRe(ifExists, fmt, name) =>
       // DROP TABLE: the whole table dir (data + metadata + sidecar)
@@ -894,6 +981,34 @@ object LakehouseSql {
       }
       s"SELECT '$to' AS renamed_column"
 
+    case AlterTypeRe(fmt, name, colName, sqlType) =>
+      // TYPE WIDENING (metadata-only): the declared schema re-types the
+      // field to a sanctioned wider type; pre-widening parquet up-casts
+      // natively at scan (Spark 4 widened parquet reads), hudi log
+      // blocks coerce at decode. Partition and PRIMARY KEY columns
+      // refuse: stored partition strings ("5" vs "5.0") and LSM bucket
+      // hashes (Spark's long hash differs from its int hash) must not
+      // move under a live table.
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      require(!p.partCol.contains(colName) &&
+        !p.partFields.exists(_._1 == colName),
+        s"cannot widen partition column $colName — stored partition " +
+          "values and transforms would diverge from new writes")
+      require(!p.keyCols.contains(colName),
+        s"cannot widen PRIMARY KEY column $colName — key hashing and " +
+          "index routing must stay stable")
+      fmt match {
+        case "iceberg" =>
+          IcebergWriter.widenColumn(spark, dir, colName, sqlType): Unit
+        case "delta" =>
+          DeltaWriter.widenColumn(spark, dir, colName, sqlType): Unit
+        case "paimon" =>
+          PaimonWriter.widenColumn(spark, dir, colName, sqlType): Unit
+        case "hudi" => HudiLite.widenColumn(spark, dir, colName, sqlType)
+      }
+      s"SELECT '$colName' AS widened_column"
+
     case OptimizeRe(fmt, name) =>
       // the maintenance REWRITE in each format's spelling: Delta
       // OPTIMIZE (compacted DV-free files), Iceberg rewrite_data_files
@@ -960,7 +1075,11 @@ object LakehouseSql {
       lastScans = Nil
       val prune = p.partCol.flatMap(pc =>
         SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", pc, p.partColType))
-      val cur = reader(spark, fmt, dir, p, None, prune, name)
+      // multi-field and single-transform specs prune the DML planning
+      // (the same triple the read path resolves)
+      val mfPrune = multiFieldPrune(sql, fmt, name, p).orElse(
+        transformPruneOf(p, prune).filter(_ => p.partTransform != "identity"))
+      val cur = reader(spark, fmt, dir, p, None, prune, name, mfPrune)
       val setMap = parseAssignments(setsRaw, cur.columns.toSeq).toMap
       require(!p.keyCols.exists(setMap.contains),
         "UPDATE must not assign PRIMARY KEY columns (delete + insert instead)")
@@ -978,7 +1097,10 @@ object LakehouseSql {
           case "iceberg" =>
             IcebergWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
               p.partCol,
-              partPruneBy = identityPrune.map(f => (p.partCol.get, f)))
+              partPruneBy = identityPrune.map(f => (p.partCol.get, f)),
+              transformPrune = mfPrune,
+              partTransform = p.partTransform,
+              partFields = p.partFields.map(f => (f._1, f._2)))
           case "delta" =>
             DeltaWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
               p.partCol,
@@ -1020,7 +1142,13 @@ object LakehouseSql {
       val mergeIdentityPrune: Option[String => Boolean] = mergePrune
         .map(_.pred)
         .filter(_ => p.partCol.isDefined && p.partTransform == "identity")
-      val target = reader(spark, fmt, dir, p, None, mergePrune, name)
+      // multi-field and single-transform specs prune through the same
+      // ON-clause conjuncts (sound for both halves, as above)
+      val mergeMfPrune = multiFieldPrune(
+        s"SELECT * FROM graft_$fmt.$name $tAlias WHERE $cond", fmt, name, p)
+        .orElse(transformPruneOf(p, mergePrune)
+          .filter(_ => p.partTransform != "identity"))
+      val target = reader(spark, fmt, dir, p, None, mergePrune, name, mergeMfPrune)
       target.createOrReplaceTempView(tAlias)
       val tCols = target.columns.toSeq
 
@@ -1138,7 +1266,12 @@ object LakehouseSql {
           s"WHERE $claimedPred")
       }
       def appendRows(rows: DataFrame): Long = fmt match {
-        case "iceberg" => IcebergWriter.append(spark, dir, rows, p.partCol)
+        case "iceberg" if p.partFields.size > 1 =>
+          IcebergWriter.appendMultiSpec(spark, dir, rows,
+            p.partFields.map { case (c, tr, _) => (c, tr) })
+        case "iceberg" =>
+          IcebergWriter.append(spark, dir, rows, p.partCol,
+            partTransform = p.partTransform)
         case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol)
         case _ => applyUpsert(spark, fmt, dir, p, rows)
       }
@@ -1160,13 +1293,15 @@ object LakehouseSql {
           else newRows match {
             case Some(rows) if fmt == "iceberg" =>
               IcebergWriter.updateRows(spark, dir, matcher, rows, p.partCol,
-                partPruneBy = icePrune)
+                partPruneBy = icePrune, transformPrune = mergeMfPrune,
+                partTransform = p.partTransform,
+                partFields = p.partFields.map(f => (f._1, f._2)))
             case Some(rows) =>
               DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol,
                 partFilter = deltaPrune)
             case None if fmt == "iceberg" =>
               IcebergWriter.deleteRowsWhere(spark, dir, matcher,
-                partPruneBy = icePrune)
+                partPruneBy = icePrune, transformPrune = mergeMfPrune)
             case None =>
               DeltaWriter.deleteRowsWhere(spark, dir, matcher,
                 partFilter = deltaPrune)
@@ -1231,12 +1366,7 @@ object LakehouseSql {
       // prunes (any single field's component restricts the file set)
       def multiPruneOf(fmt: String, name: String, p: Props)
           : Option[(String, String, String => Boolean)] =
-        if (p.partFields.size < 2) None
-        else p.partFields.view.flatMap { case (c, tr, ct) =>
-          SqlPrune.partPruneInfo(sql, s"graft_$fmt.$name", c, ct)
-            .flatMap(info => transformPruneOf(
-              Props(Some(c), Seq.empty, tr, ct), Some(info)))
-        }.headOption
+        multiFieldPrune(sql, fmt, name, p)
       // stream references first: each consumes (cursor, current] of its
       // table's change feed and advances the cursor — the second read
       // of an unchanged table is EMPTY (the table-stream contract)

@@ -299,6 +299,26 @@ object SqlPrune {
       false
     }
 
+    // ANSI typed literals (`TIMESTAMP '...'` / `DATE '...'`): strip the
+    // prefix so the plain-string patterns match — but ONLY when the
+    // prefix agrees with the column's declared type, where the
+    // comparison semantics are the string-cast ones cmp() implements:
+    // TIMESTAMP literals require a timestamp column (a `d < TIMESTAMP
+    // '.. 10:00'` on a DATE column would prune the boundary date the
+    // WHERE still matches); DATE literals promote to midnight on
+    // timestamp columns exactly like Spark's coercion. A disallowed
+    // prefix stays in the text, so the conjunct matches nothing and
+    // contributes nothing — never unsound.
+    def typedPrefixOk(prefix: String): Boolean = prefix match {
+      case "TIMESTAMP" => colType.startsWith("timestamp")
+      case "DATE" => colType == "date" || colType.startsWith("timestamp")
+      case _ => false
+    }
+    def normTyped(text: String): String =
+      "(?i)\\b(DATE|TIMESTAMP)\\s+'".r.replaceAllIn(text, m =>
+        if (typedPrefixOk(m.group(1).toUpperCase)) "'"
+        else java.util.regex.Matcher.quoteReplacement(m.matched))
+
     val alias = aliasOf(masked, tableRef)
     val tableName = tableRef.split("\\.").last
     def colOk(qual: String): Boolean =
@@ -341,7 +361,7 @@ object SqlPrune {
           text.substring(a, b).trim }.toList
       }
       if (parts.size < 2) return None
-      val parsed = parts.map {
+      val parsed = parts.map(normTyped).map {
         case eqRe(qual, "=", s, n) if colOk(qual) => Some(rawOf(s, n) -> lit(s, n))
         case eqFlipRe(s, n, "=", qual) if colOk(qual) => Some(rawOf(s, n) -> lit(s, n))
         case _ => None
@@ -381,7 +401,7 @@ object SqlPrune {
       } else t
     }
     val preds = conjuncts.flatMap { c0 =>
-      stripParens(c0) match {
+      normTyped(stripParens(c0)) match {
         case eqRe(qual, op, s, n) if colOk(qual) =>
           if (op == "=") recordEq(Seq(rawOf(s, n)))
           else rangeBounds += ((op, rawOf(s, n)))

@@ -99,6 +99,93 @@ object Round13bQueries {
         "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
         s"FROM graft_paimon.mp_$n GROUP BY 1 ORDER BY 1")
     }),
+
+    // DML PRUNING ON A MULTI-FIELD SPEC: UPDATE by the bucket component
+    // and DELETE by a day-component range each plan a strict file
+    // subset (premise-gated via lastScans) — at 100 TB a key-scoped
+    // UPDATE must not open every partition's footers. The replacement
+    // rows land back under the table's own spec.
+    "sql_lake_update_multispec" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r13b_ev_um")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.um_$n " +
+        "PARTITIONED BY (days(ts), bucket(8, event_id)) " +
+        "AS SELECT * FROM r13b_ev_um")
+      s.sql(s"UPDATE graft_iceberg.um_$n SET event_type = 'UPD' " +
+        "WHERE event_id = 77")
+      val uScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: UPDATE must record a pruned scan"))
+      require(uScan.plannedFiles >= 1 && uScan.plannedFiles * 2 <= uScan.totalFiles,
+        s"premise: bucket-component UPDATE must plan a strict subset, got $uScan")
+      s.sql(s"DELETE FROM graft_iceberg.um_$n " +
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00'")
+      val dScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: DELETE must record a pruned scan"))
+      require(dScan.plannedFiles >= 1 && dScan.plannedFiles * 2 <= dScan.totalFiles,
+        s"premise: day-component DELETE must plan a strict subset, got $dScan")
+      s.sql(s"SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_iceberg.um_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // TYPE WIDENING ×4 (ALTER COLUMN ... TYPE BIGINT): metadata-only —
+    // pre-widening parquet up-casts natively at scan, hudi log blocks
+    // coerce at decode (the pre-widen upsert wave seeds them), and a
+    // post-widen INSERT carries values only BIGINT can hold.
+    "sql_lake_widen_column" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_custkey").cast("int").as("ck"))
+        .createOrReplaceTempView("r13b_ord_wd")
+      val n = safeName(dir)
+      Seq("delta", "hudi", "iceberg", "paimon").map { fmt =>
+        val pk = fmt match {
+          case "hudi" => "PRIMARY KEY (o_orderkey) "
+          case "paimon" => "PRIMARY KEY (o_orderstatus, o_orderkey) "
+          case _ => ""
+        }
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.wd_$n $pk" +
+          "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r13b_ord_wd")
+        if (fmt == "hudi")
+          // log blocks carrying the NARROW int — the decode-coercion leg
+          s.sql(s"INSERT INTO graft_hudi.wd_$n " +
+            "SELECT o_orderkey, o_orderstatus, ck + 1000000 AS ck " +
+            "FROM r13b_ord_wd WHERE o_orderkey % 10 = 0")
+        s.sql(s"ALTER TABLE graft_$fmt.wd_$n ALTER COLUMN ck TYPE BIGINT")
+        s.sql(s"INSERT INTO graft_$fmt.wd_$n " +
+          "SELECT id AS o_orderkey, 'O' AS o_orderstatus, " +
+          "CAST(10000000000 AS BIGINT) + id AS ck FROM range(90001, 90011)")
+        s.sql(s"SELECT '$fmt' AS fmt, o_orderstatus, count(*) AS n2, " +
+          s"CAST(sum(ck) AS BIGINT) AS sum_ck FROM graft_$fmt.wd_$n " +
+          "GROUP BY 1, 2")
+      }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
+    }),
+
+    // SHOW PARTITIONS / SHOW CREATE TABLE: metadata-only introspection.
+    // The partition list is oracle-checked against DISTINCT values; the
+    // reconstructed CREATE statement and per-partition file counts are
+    // premise-gated in-fixture (they embed engine-side facts DuckDB
+    // cannot see).
+    "sql_lake_show_meta" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r13b_ord_sm")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.sm_$n " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r13b_ord_sm")
+      val stmt = s.sql(s"SHOW CREATE TABLE graft_delta.sm_$n").head().getString(0)
+      require(stmt == s"CREATE TABLE graft_delta.sm_$n (o_orderkey BIGINT, " +
+        "o_custkey BIGINT, o_orderstatus STRING) PARTITIONED BY (o_orderstatus)",
+        s"premise: SHOW CREATE TABLE must reconstruct the statement, got: $stmt")
+      val out = s.sql(s"SHOW PARTITIONS graft_delta.sm_$n")
+      require(out.collect().forall(_.getInt(1) >= 1),
+        "premise: every partition holds at least one live file")
+      out.select(col("partition")).orderBy(col("partition"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -127,5 +214,39 @@ object Round13bQueries {
             FROM orders
             WHERE o_orderkey < 12000 AND o_orderkey % 10 <> 5) u
       GROUP BY 1 ORDER BY 1""",
+
+    // event_id=77 re-typed 'UPD'; the Jan 5-7 day window deleted
+    "sql_lake_update_multispec" -> """
+      SELECT CASE WHEN event_id = 77 THEN 'UPD' ELSE event_type END
+               AS event_type,
+             count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE NOT (ts >= TIMESTAMP '2024-01-05 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-08 00:00:00')
+      GROUP BY 1 ORDER BY 1""",
+
+    // per format: the base rows (hudi's %10=0 keys upserted +1e6) plus
+    // ten 'O'-status rows holding BIGINT-only values
+    "sql_lake_widen_column" -> """
+      SELECT fmt, o_orderstatus, count(*) AS n2,
+             CAST(sum(ck) AS BIGINT) AS sum_ck
+      FROM (
+        SELECT f.fmt, o.o_orderstatus,
+               CASE WHEN f.fmt = 'hudi' AND o.o_orderkey % 10 = 0
+                    THEN o.o_custkey + 1000000 ELSE o.o_custkey END AS ck
+        FROM orders o
+        CROSS JOIN (SELECT unnest(['delta','hudi','iceberg','paimon']) AS fmt) f
+        WHERE o.o_orderkey < 9000
+        UNION ALL
+        SELECT f.fmt, 'O' AS o_orderstatus, 10000000000 + r AS ck
+        FROM range(90001, 90011) t(r)
+        CROSS JOIN (SELECT unnest(['delta','hudi','iceberg','paimon']) AS fmt) f
+      ) u
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the stored partition values are the distinct status strings
+    "sql_lake_show_meta" -> """
+      SELECT DISTINCT o_orderstatus AS partition
+      FROM orders WHERE o_orderkey < 9000 ORDER BY 1""",
   )
 }

@@ -160,6 +160,108 @@ class EvolutionModelSpec extends AnyFunSuite {
     check("expiry keeps the schema files")
   }
 
+  test("widen mid-history: narrow files, log blocks and maintenance agree") {
+    val s2 = spark
+    import s2.implicits._
+    def dfI(rows: Seq[(Long, Int)]) =
+      rows.map { case (k, v) => (k, partOf(k), v) }.toDF("k", "p", "v")
+    def dfL(rows: Seq[(Long, Long)]) =
+      rows.map { case (k, v) => (k, partOf(k), v) }.toDF("k", "p", "v")
+    val BIG = 5000000000L // only BIGINT holds it
+
+    // iceberg (positional): widen → BIG append → delete → rewrite
+    locally {
+      val dir = new java.io.File("target/iceberg/widen_spec").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      var model = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      IcebergWriter.append(spark, dir, dfI(Seq((1L, 10), (2L, 20), (3L, 30))),
+        Some("p"))
+      IcebergWriter.widenColumn(spark, dir, "v", "BIGINT")
+      def got() = IcebergLite.readSnapshot(spark, dir).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got() == model, "iceberg: widened read of narrow files")
+      model += 9L -> BIG
+      IcebergWriter.append(spark, dir, dfL(Seq((9L, BIG))), Some("p"))
+      assert(got() == model, "iceberg: BIG append")
+      model -= 2L
+      IcebergWriter.deleteRows(spark, dir, col("k") === 2L)
+      assert(got() == model, "iceberg: delete across widen")
+      IcebergWriter.rewriteDataFiles(spark, dir, Some("p"))
+      assert(got() == model, "iceberg: rewrite after widen")
+    }
+    // delta: widen → BIG append → DV delete → optimize → vacuum
+    locally {
+      val dir = new java.io.File("target/delta/widen_spec").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      var model = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      DeltaWriter.append(spark, dir, dfI(Seq((1L, 10), (2L, 20), (3L, 30))),
+        Some("p"))
+      DeltaWriter.widenColumn(spark, dir, "v", "BIGINT")
+      def got() = DeltaLite.readVersion(spark, dir).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got() == model, "delta: widened read of narrow files")
+      model += 9L -> BIG
+      DeltaWriter.append(spark, dir, dfL(Seq((9L, BIG))), Some("p"))
+      assert(got() == model, "delta: BIG append")
+      model -= 2L
+      DeltaWriter.deleteRows(spark, dir, col("k") === 2L)
+      assert(got() == model, "delta: DV delete across widen")
+      DeltaWriter.optimize(spark, dir, Some("p"))
+      assert(got() == model, "delta: optimize after widen")
+      DeltaWriter.vacuum(spark, dir, graceMillis = 0L)
+      assert(got() == model, "delta: vacuum after widen")
+    }
+    // hudi MoR: NARROW log blocks before the widen (decode coercion),
+    // BIG log blocks after, compaction folds both
+    locally {
+      val dir = new java.io.File("target/hudi/widen_spec").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      var model = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      HudiLite.createTable(spark, dir, dfI(Seq((1L, 10), (2L, 20), (3L, 30))),
+        Seq("k"), "p", "001", groupsPerPart = 1)
+      model += 2L -> 21L
+      HudiLite.upsert(spark, dir, dfI(Seq((2L, 21))), Seq("k"), "p", "002"): Unit
+      HudiLite.widenColumn(spark, dir, "v", "BIGINT")
+      def got() = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+        .select("k", "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got() == model, "hudi: widened read coerces narrow log blocks")
+      model += 9L -> BIG
+      HudiLite.upsert(spark, dir, dfL(Seq((9L, BIG))), Seq("k"), "p", "003"): Unit
+      assert(got() == model, "hudi: BIG upsert")
+      HudiLite.compact(spark, dir, Seq("k"), "004")
+      assert(got() == model, "hudi: compaction folds narrow and wide blocks")
+      HudiLite.clean(dir)
+      assert(got() == model, "hudi: clean after widen")
+    }
+    // paimon LSM: widen → BIG upsert → -D delete → FULL COMPACTION →
+    // expiry (compaction rewrites narrow+wide inputs as one wide file)
+    locally {
+      val dir = new java.io.File("target/paimon/widen_spec").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val keys = Seq("p", "k")
+      var model = Map(1L -> 10L, 2L -> 20L, 3L -> 30L)
+      PaimonWriter.append(spark, dir, dfI(Seq((1L, 10), (2L, 20), (3L, 30))),
+        "p", keys): Unit
+      PaimonWriter.widenColumn(spark, dir, "v", "BIGINT")
+      def got() = PaimonLite.readSnapshot(spark, dir, keys).select("k", "v")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got() == model, "paimon: widened read of narrow files")
+      model += 9L -> BIG
+      PaimonWriter.append(spark, dir, dfL(Seq((9L, BIG))), "p", keys): Unit
+      assert(got() == model, "paimon: BIG upsert")
+      model -= 2L
+      PaimonWriter.append(spark, dir,
+        Seq((2L, partOf(2L), 0L, PaimonLite.KindDelete))
+          .toDF("k", "p", "v", "_VALUE_KIND"), "p", keys): Unit
+      assert(got() == model, "paimon: -D across widen")
+      PaimonWriter.compact(spark, dir, keys, "p"): Unit
+      assert(got() == model, "paimon: full compaction folds narrow+wide")
+      PaimonWriter.expireSnapshots(dir, keepLast = 1)
+      assert(got() == model, "paimon: expiry after widen+compaction")
+    }
+  }
+
   test("delta change feed across ADD COLUMN: mixed-schema windows null-fill") {
     val s2 = spark
     import s2.implicits._

@@ -643,6 +643,120 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be the last"), s"got: ${e.getMessage}")
   }
 
+  test("SHOW PARTITIONS and SHOW CREATE TABLE") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_sm_src")
+    // identity-partitioned hudi PK table
+    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_sm PRIMARY KEY (k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_sm_src")
+    val parts = sql("SHOW PARTITIONS graft_hudi.lksql_sm")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(parts.map(_._1) == Seq("A", "B") && parts.forall(_._2 >= 1),
+      s"hudi partitions: $parts")
+    val stmt = sql("SHOW CREATE TABLE graft_hudi.lksql_sm").head().getString(0)
+    assert(stmt == "CREATE TABLE graft_hudi.lksql_sm " +
+      "(k BIGINT, p STRING, v INT) PRIMARY KEY (k) PARTITIONED BY (p)",
+      s"got: $stmt")
+    // transformed iceberg spec renders its call spelling back
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_sm " +
+      "PARTITIONED BY (bucket(4, k)) AS SELECT * FROM lksql_sm_src")
+    val stmt2 = sql("SHOW CREATE TABLE graft_iceberg.lksql_sm")
+      .head().getString(0)
+    assert(stmt2 == "CREATE TABLE graft_iceberg.lksql_sm " +
+      "(k BIGINT, p STRING, v INT) PARTITIONED BY (bucket(4, k))",
+      s"got: $stmt2")
+    val bparts = sql("SHOW PARTITIONS graft_iceberg.lksql_sm")
+      .collect().map(_.getString(0)).toSeq
+    assert(bparts.nonEmpty && bparts.forall(_.forall(_.isDigit)),
+      s"bucket partitions are stored hash values: $bparts")
+  }
+
+  test("ALTER COLUMN TYPE widening: metadata-only on all four formats") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_wd_src")
+    for ((fmt, pk) <- Seq(("iceberg", ""), ("delta", ""),
+        ("hudi", "PRIMARY KEY (k) "), ("paimon", "PRIMARY KEY (p, k) "))) {
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_wd $pk" +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_wd_src")
+      // hudi: seed a LOG block carrying the narrow int (an upsert of
+      // k=2) so the avro decode-coercion path is exercised
+      if (fmt == "hudi")
+        sql("INSERT INTO graft_hudi.lksql_wd SELECT 2 AS k, 'A' AS p, 21 AS v")
+      sql(s"ALTER TABLE graft_$fmt.lksql_wd ALTER COLUMN v TYPE BIGINT")
+      // a value only BIGINT can hold proves the declared type moved
+      sql(s"INSERT INTO graft_$fmt.lksql_wd " +
+        "SELECT 9 AS k, 'B' AS p, CAST(5000000000 AS BIGINT) AS v")
+      val got = sql(s"SELECT CAST(sum(v) AS BIGINT) AS s, count(*) AS n " +
+        s"FROM graft_$fmt.lksql_wd").head()
+      val base = if (fmt == "hudi") 61L else 60L
+      assert((got.getLong(0), got.getLong(1)) == (5000000000L + base, 4L),
+        s"$fmt widen round-trip: $got")
+    }
+    // the delta widen commit carries the typeWidening table feature
+    // (PROTOCOL.md: reader 3 / writer 7 with the feature in both lists)
+    val logDir = new java.io.File("target/lakehouse/delta/lksql_wd/_delta_log")
+    assert(Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json"))
+      .exists(f => java.nio.file.Files.readString(f.toPath)
+        .contains("\"typeWidening\"")),
+      "the widen commit must compose the typeWidening protocol upgrade")
+    // guards: partition column, PRIMARY KEY column, narrowing
+    assert(intercept[Exception] {
+      sql("ALTER TABLE graft_delta.lksql_wd ALTER COLUMN p TYPE BIGINT")
+    }.getMessage.contains("partition"))
+    assert(intercept[Exception] {
+      sql("ALTER TABLE graft_paimon.lksql_wd ALTER COLUMN k TYPE BIGINT")
+    }.getMessage.contains("PRIMARY KEY"))
+    assert(intercept[Exception] {
+      sql("ALTER TABLE graft_delta.lksql_wd ALTER COLUMN v TYPE INT")
+    }.getMessage.contains("cannot widen"))
+  }
+
+  test("multi-field and transformed specs prune DML target planning") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.plans.LakehouseSql
+    val rows = (1 to 64).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-01-${(i % 8) + 1}%02d 10:00:00"), i))
+    rows.toDF("k", "ts", "v").createOrReplaceTempView("lksql_msd_src")
+    // multi-field spec: DELETE by the bucket component plans a subset
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_msd " +
+      "PARTITIONED BY (days(ts), bucket(8, k)) AS SELECT * FROM lksql_msd_src")
+    sql("DELETE FROM graft_iceberg.lksql_msd WHERE k = 7")
+    val scan = LakehouseSql.lastScans.headOption.getOrElse(
+      sys.error("DML probe must record a scan"))
+    assert(scan.plannedFiles >= 1 && scan.plannedFiles * 2 <= scan.totalFiles,
+      s"multi-field DELETE must plan a strict file subset: $scan")
+    assert(sql("SELECT count(*) AS n FROM graft_iceberg.lksql_msd")
+      .head().getLong(0) == 63L)
+    assert(sql("SELECT count(*) AS n FROM graft_iceberg.lksql_msd WHERE k = 7")
+      .head().getLong(0) == 0L)
+    // single transformed spec: UPDATE through bucket(4, k) plans a
+    // subset AND the replacement rows stay in the bucket spec (a later
+    // key-equality read still prunes to a strict subset)
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_msd1 " +
+      "PARTITIONED BY (bucket(4, k)) AS SELECT * FROM lksql_msd_src")
+    sql("UPDATE graft_iceberg.lksql_msd1 SET v = v + 100 WHERE k = 9")
+    val scan1 = LakehouseSql.lastScans.headOption.getOrElse(
+      sys.error("DML probe must record a scan"))
+    assert(scan1.plannedFiles >= 1 && scan1.plannedFiles * 2 <= scan1.totalFiles,
+      s"transformed UPDATE must plan a strict file subset: $scan1")
+    assert(sql("SELECT v FROM graft_iceberg.lksql_msd1 WHERE k = 9")
+      .head().getInt(0) == 109)
+    assert(sql("SELECT CAST(sum(v) AS BIGINT) AS s FROM graft_iceberg.lksql_msd1")
+      .head().getLong(0) == (1 to 64).sum.toLong + 100L)
+    sql("SELECT v FROM graft_iceberg.lksql_msd1 WHERE k = 9").collect(): Unit
+    val postScan = LakehouseSql.lastScans.headOption.getOrElse(
+      sys.error("read must record a scan"))
+    assert(postScan.plannedFiles * 2 <= postScan.totalFiles,
+      s"post-UPDATE key read must still prune (replacement rows stay in " +
+        s"the bucket spec): $postScan")
+  }
+
   test("hudi conditional MERGE with update AND delete clauses is ONE instant") {
     val s2 = spark
     import s2.implicits._

@@ -167,6 +167,43 @@ class SqlPruneSpec extends AnyFunSuite {
     assert(d("not-a-date"))
   }
 
+  test("ANSI typed literals: prefix strips when it agrees with the column type") {
+    // TIMESTAMP '...' on a timestamp column: bounds surface for
+    // monotone-transform pruning (the identity pred stays keep-all —
+    // the DST caveat)
+    val info = SqlPrune.partPruneInfo(
+      s"SELECT * FROM $T WHERE p >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND p < TIMESTAMP '2024-01-08 00:00:00'", T, "p", "timestamp").get
+    assert(info.bounds.toSet ==
+      Set((">=", "2024-01-05 00:00:00"), ("<", "2024-01-08 00:00:00")))
+    // DATE '...' promotes to midnight on a timestamp column (Spark's
+    // own coercion) — equality extracts
+    val de = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p = DATE '2024-01-05'", T, "p",
+      "timestamp").get
+    assert(de("2024-01-05 00:00:00") && !de("2024-01-05 10:00:00"))
+    // TIMESTAMP '...' on a DATE column must NOT extract: `d < TIMESTAMP
+    // '2024-01-05 10:00'` matches d=2024-01-05 rows the date-cast
+    // comparison would prune
+    val bad = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p < TIMESTAMP '2024-01-05 10:00:00'",
+      T, "p", "date")
+    assert(bad.forall(f => f("2024-01-05")),
+      "a type-mismatched typed literal must not prune the boundary value")
+    // TIMESTAMP prefix on a STRING column: lexicographic compare would
+    // be against the wrong ordering — not extracted
+    val badStr = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p = TIMESTAMP '2024-01-05 10:00:00'",
+      T, "p", "string")
+    assert(badStr.forall(f => f("anything")),
+      "typed literals on a string column must not prune")
+    // typed literals inside IN lists
+    val inb = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p IN (DATE '2024-01-05', DATE '2024-01-07')",
+      T, "p", "date").get
+    assert(inb("2024-01-05") && inb("2024-01-07") && !inb("2024-01-06"))
+  }
+
   test("string-typed ranges extract lexicographically") {
     val f = SqlPrune.partPredicate(
       s"SELECT * FROM $T WHERE p >= 'B' AND p < 'D'", T, "p", "string").get
