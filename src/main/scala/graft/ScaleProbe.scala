@@ -472,6 +472,31 @@ object ScaleProbe {
         "SELECT v FROM graft_paimon.sqlscale_pc WHERE k = 4").head().getLong(0)
       if (pcV != 4L % 997L + 1000000L)
         failures += s"paimon compaction value drift: k=4 has v=$pcV"
+
+      // TRUNCATE at scale: 400k rows gone in ONE metadata-sized commit
+      // (removes-only JSON — no data bytes move), then a refill insert
+      // proves the table stays writable
+      val t5 = System.nanoTime()
+      spark.sql("TRUNCATE TABLE graft_delta.sqlscale_upd")
+      val truncS = (System.nanoTime() - t5) / 1e9
+      val logDir = new java.io.File(s"$lakeDir/delta/sqlscale_upd/_delta_log")
+      val truncCommit = logDir.listFiles()
+        .filter(_.getName.matches("\\d{20}\\.json"))
+        .maxBy(_.getName)
+      val emptied = spark.sql(
+        "SELECT count(*) AS n FROM graft_delta.sqlscale_upd").head().getLong(0)
+      spark.sql("INSERT INTO graft_delta.sqlscale_upd " +
+        "VALUES (9000009, '7', 42)")
+      val refilled = spark.sql(
+        "SELECT v FROM graft_delta.sqlscale_upd").head().getLong(0)
+      println(f"[sqlscale] TRUNCATE 400k rows: $truncS%.1f s, commit " +
+        f"${truncCommit.length()} bytes; refill reads $refilled")
+      if (emptied != 0L) failures += s"TRUNCATE left $emptied rows"
+      if (truncCommit.length() > 64 * 1024)
+        failures += s"TRUNCATE commit is ${truncCommit.length()} bytes — " +
+          "not metadata-sized"
+      if (truncS > 30.0) failures += f"TRUNCATE took $truncS%.1f s"
+      if (refilled != 42L) failures += s"refill after TRUNCATE reads $refilled"
     } catch { case e: Throwable =>
       failures += s"sql-route probe crashed: ${e.getMessage}"
     }

@@ -337,8 +337,11 @@ object DeltaWriter {
       if (version == 0) {
         lines += protocolLine.getOrElse(
           """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""")
+        // the creation metaData carries the REAL schemaString (the
+        // protocol's contract) — what empty reads after a TRUNCATE and
+        // schema evolution resolve against
         lines += metaDataJson.getOrElse(
-          s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":"{}"}}""")
+          s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":${mapper.writeValueAsString(df.schema.json)}}}""")
       } else protocolLine.foreach(lines += _) // protocol upgrade action
       txn.foreach { case (appId, v) =>
         lines += s"""{"txn":{"appId":"$appId","version":$v}}"""
@@ -361,6 +364,43 @@ object DeltaWriter {
     committed // -1 = txn version already committed by a concurrent sink
   }
 
+  /** CREATE an EMPTY table (standard DDL: `CREATE TABLE t (cols...)`
+    * with no AS SELECT): one version-0 commit carrying protocol +
+    * metaData with the REAL schemaString and zero adds — the
+    * protocol's natural empty-table state. Reads return a
+    * declared-schema empty frame until the first append. */
+  def createEmpty(spark: SparkSession, tableDir: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partCol: Option[String]): Long = {
+    require(nextVersion(tableDir) == 0, s"table already exists at $tableDir")
+    new java.io.File(tableDir, "_delta_log").mkdirs()
+    val lines = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":${mapper.writeValueAsString(schema.json)}}}""")
+    require(casWriteCommit(tableDir, 0, lines),
+      "empty-table creation lost a race with a concurrent writer")
+    0L
+  }
+
+  /** TRUNCATE TABLE: ONE commit tombstoning every live add
+    * (dataChange = true) — all rows gone atomically; old versions
+    * travel until vacuum reclaims the bytes. No-op (returns -1) on an
+    * already-empty table, standard SQL. */
+  def truncate(spark: SparkSession, tableDir: String): Long = {
+    val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    if (old.isEmpty) return -1L
+    require(DeltaLite.tableSchemaString(spark, tableDir).exists(_ != "{}"),
+      "TRUNCATE needs a declared schemaString — this log predates schema " +
+        "declaration; rewrite the table first")
+    val version = nextVersion(tableDir)
+    val lines = old.map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + version},"dataChange":true}}"""
+    }
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
   /** INSERT OVERWRITE: replace the table's entire live content with
     * `df` in ONE atomic commit — remove tombstones for every current
     * add plus the new files' adds (the protocol's overwrite shape; a
@@ -370,11 +410,14 @@ object DeltaWriter {
     * concurrent commit is a real write-write conflict). */
   def overwrite(spark: SparkSession, tableDir: String, dfIn: DataFrame,
                 partColIn: Option[String] = None): Long = {
+    // planAdds is loud on an UNKNOWN table (no commits at all); an
+    // EXISTING empty table (created empty / truncated) overwrites fine
+    // — zero removes, the new adds, one commit
     val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
-    require(old.nonEmpty, "overwrite of an empty/unknown table — use append")
     // mapped tables store PHYSICAL names (see toPhysical)
     val (df, partCol) = toPhysical(spark, tableDir, dfIn, partColIn)
     val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "data").mkdirs() // absent on created-empty tables
     val tok = nextToken()
     val staging = s"$tableDir/stage_$tok"
     partCol match {

@@ -702,12 +702,16 @@ object HudiLite {
   def createTable(spark: SparkSession, tableDir: String, df: DataFrame,
                   keyCols: Seq[String], partCol: String,
                   instant: String, groupsPerPart: Int = 2,
-                  batchId: Option[Long] = None): Unit = {
+                  batchId: Option[Long] = None,
+                  wipe: Boolean = true): Unit = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains) &&
       df.columns.contains(partCol), "key/partition columns must exist")
     val dir = new java.io.File(tableDir)
-    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    // wipe = false: the FIRST INSERT into a created-empty or truncated
+    // table lays base groups while KEEPING the existing timeline,
+    // schema declaration and catalog sidecar
+    if (wipe) org.apache.commons.io.FileUtils.deleteQuietly(dir)
     new java.io.File(dir, ".hoodie").mkdirs()
     val staging = s"$tableDir/tmp_create"
     val n = math.max(groupsPerPart,
@@ -816,6 +820,31 @@ object HudiLite {
         s"""{"replaces":true,$schemaField"commitTimeMs":${stampMs(instant)},""" +
           s""""partitionToWriteStats":{$statsJson}}"""),
       s"overwrite instant $instant conflicts with a concurrent commit")
+  }
+
+  /** Whether the table currently has live base file groups — false for
+    * a created-empty table (timeline has no commits yet) and for a
+    * truncated one (a replaces=true commit superseded every group).
+    * The first INSERT after either lays fresh base groups. */
+  def hasLiveGroups(tableDir: String): Boolean = {
+    val names = Option(new java.io.File(tableDir, ".hoodie").list())
+      .getOrElse(Array.empty)
+    names.exists(_.endsWith(".commit")) && planFiles(tableDir).nonEmpty
+  }
+
+  /** TRUNCATE TABLE: one replaces=true commit with EMPTY write stats —
+    * the replay supersedes every file group with nothing, atomically.
+    * Older instants still travel; incremental reads across it refuse
+    * (the overwrite discipline). No-op (returns -1) when already
+    * empty. */
+  def truncateTable(tableDir: String, instant: String): Long = {
+    if (!hasLiveGroups(tableDir)) return -1L
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
+        s"""{"replaces":true,"commitTimeMs":${stampMs(instant)},""" +
+          s""""partitionToWriteStats":{}}"""),
+      s"TRUNCATE instant $instant conflicts with a concurrent commit")
+    instant.toLong
   }
 
   /** Exactly-once streaming UPSERT sink, completing the quartet next

@@ -472,6 +472,13 @@ object IcebergLite {
     declaredFieldsOf(mapper.readTree(java.nio.file.Files.readString(
       java.nio.file.Paths.get(currentMetadataPath(tableDir)))))
 
+  /** The metadata's current-snapshot-id — -1 for a CREATED-EMPTY table
+    * (the spec's no-snapshot state). One JSON read, no manifest walk. */
+  def currentSnapshotIdOf(tableDir: String): Long =
+    mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+      .get("current-snapshot-id").asLong
+
   /** logical → write-name map of the CURRENT schema (identity entries
     * included); empty when no schema was ever declared. */
   def writeNames(tableDir: String): Map[String, String] =

@@ -730,9 +730,12 @@ object IcebergWriter {
           "re-read the table state and retry the statement")
       val lastSeq = curMeta.map(_.get("last-sequence-number").asLong).getOrElse(0L)
       val seq = lastSeq + 1
+      // foldLeft(999): a CREATED-EMPTY table has metadata but zero
+      // snapshots — its first commit starts at 1000 like a fresh table
       val snapId = curMeta.map { m =>
         val snaps = m.get("snapshots")
-        (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong).max + 1
+        (0 until snaps.size).map(snaps.get(_).get("snapshot-id").asLong)
+          .foldLeft(999L)(math.max) + 1
       }.getOrElse(1000L)
 
       // manifest avro for this commit's data files
@@ -815,19 +818,74 @@ object IcebergWriter {
         m.put("location", tableDir)
         m.putArray("partition-specs")
         m.putArray("snapshots")
+        // the creation metadata DECLARES the schema (spec `schemas`)
+        // when every column type maps — what empty reads after a
+        // TRUNCATE and evolution resolve against; complex-typed
+        // fixture tables stay schema-by-file as before
+        if (df.schema.fields.forall(f =>
+            scala.util.Try(IcebergLite.icebergTypeName(f.dataType)).isSuccess)) {
+          val schemas = m.putArray("schemas")
+          val node = schemas.addObject()
+          node.put("schema-id", 0)
+          node.put("type", "struct")
+          val fs = node.putArray("fields")
+          df.schema.fields.zipWithIndex.foreach { case (f, i) =>
+            val fn = fs.addObject()
+            fn.put("id", i + 1)
+            fn.put("name", f.name)
+            fn.put("required", false)
+            fn.put("type", IcebergLite.icebergTypeName(f.dataType))
+          }
+          m.put("current-schema-id", 0)
+        }
         m
       }
       val specId = resolveSpecId(meta, partFields)
+
+      // SCHEMA-MERGE-ON-WRITE: an incoming column the declared schema
+      // lacks evolves the schema in the SAME commit — the pre-DDL
+      // evolve-by-append surface keeps working under declared schemas
+      // (real engines spell this mergeSchema / auto-evolve)
+      IcebergLite.declaredFieldsOf(meta).foreach { fields =>
+        val known = fields.map(_._2).toSet
+        val extra = df.schema.fields.filterNot(f => known.contains(f.name))
+        if (extra.nonEmpty) {
+          require(extra.forall(f => scala.util.Try(
+              IcebergLite.icebergTypeName(f.dataType)).isSuccess),
+            s"append adds column(s) the schema cannot declare: " +
+              extra.map(_.name).mkString(","))
+          val schemas = meta.withArray[ArrayNode]("schemas")
+          val newId = (0 until schemas.size)
+            .map(schemas.get(_).get("schema-id").asInt).max + 1
+          val node = schemas.addObject()
+          node.put("schema-id", newId)
+          node.put("type", "struct")
+          val fs = node.putArray("fields")
+          val evolved = fields ++ extra.map(f => (f.name, f.name, f.dataType))
+          evolved.zipWithIndex.foreach { case ((l, w, dt), i) =>
+            val fn = fs.addObject()
+            fn.put("id", i + 1)
+            fn.put("name", l)
+            fn.put("required", false)
+            fn.put("type", IcebergLite.icebergTypeName(dt))
+            if (w != l) fn.put("write-name", w)
+          }
+          meta.put("current-schema-id", newId)
+        }
+      }
 
       // manifest list: current snapshot's manifests carried forward +
       // the new one (append semantics); REPLACE lists only the new one
       val prevManifests: Seq[GenericRecord] = if (replaceAll) Nil
       else curMeta.map { m =>
         val snaps = m.get("snapshots")
-        val cur = (0 until snaps.size).map(snaps.get)
-          .find(_.get("snapshot-id").asLong == m.get("current-snapshot-id").asLong)
-          .getOrElse(throw new IllegalStateException("current snapshot missing"))
-        IcebergLite.readAvro(cur.get("manifest-list").asText)
+        if (m.get("current-snapshot-id").asLong == -1L) Nil // created empty
+        else {
+          val cur = (0 until snaps.size).map(snaps.get)
+            .find(_.get("snapshot-id").asLong == m.get("current-snapshot-id").asLong)
+            .getOrElse(throw new IllegalStateException("current snapshot missing"))
+          IcebergLite.readAvro(cur.get("manifest-list").asText)
+        }
       }.getOrElse(Nil)
       val manifestList = s"$tableDir/metadata/snap-$snapId-$tok.avro"
       locally {
@@ -879,6 +937,83 @@ object IcebergWriter {
       }
     }
     result // -1 = batch already committed by a concurrent sink
+  }
+
+  /** CREATE an EMPTY table (standard DDL: `CREATE TABLE t (cols...)`
+    * with no AS SELECT): v1.metadata.json declares the schema with NO
+    * snapshot — the spec's empty-table state (`current-snapshot-id` =
+    * -1). The first append commits snapshot 1000 on top; reads return
+    * a declared-schema empty frame until then. */
+  def createEmpty(spark: SparkSession, tableDir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    require(currentVersion(tableDir) == 0, s"table already exists at $tableDir")
+    new java.io.File(tableDir, "metadata").mkdirs()
+    val m = mapper.createObjectNode()
+    m.put("format-version", 2)
+    m.put("table-uuid", "00000000-0000-0000-0000-000000000001")
+    m.put("location", tableDir)
+    m.putArray("partition-specs")
+    m.putArray("snapshots")
+    m.put("last-sequence-number", 0L)
+    m.put("current-snapshot-id", -1L)
+    val schemas = m.putArray("schemas")
+    val node = schemas.addObject()
+    node.put("schema-id", 0)
+    node.put("type", "struct")
+    val fields = node.putArray("fields")
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      val fn = fields.addObject()
+      fn.put("id", i + 1)
+      fn.put("name", f.name)
+      fn.put("required", false)
+      fn.put("type", IcebergLite.icebergTypeName(f.dataType))
+    }
+    m.put("current-schema-id", 0)
+    require(casPublish(tableDir, 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(m)),
+      "empty-table creation lost a race with a concurrent writer")
+    advanceHint(tableDir, 1)
+  }
+
+  /** TRUNCATE TABLE: ONE REPLACE snapshot referencing an EMPTY
+    * manifest list — all live rows gone atomically, old snapshots
+    * still travel until expiry reclaims them. A no-op (returns -1) on
+    * an already-empty table, standard SQL. */
+  def truncateTable(spark: SparkSession, tableDir: String): Long = {
+    val curVersion = currentVersion(tableDir)
+    require(curVersion > 0, "table does not exist")
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    if (meta.get("current-snapshot-id").asLong == -1L) return -1L
+    if (!IcebergLite.planFiles(tableDir).exists(_.content == 0)) return -1L
+    require(IcebergLite.declaredFieldsOf(meta).isDefined,
+      "TRUNCATE needs a declared schema — this table predates schema " +
+        "declaration (complex-typed columns); rewrite it first")
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val snaps = meta.get("snapshots")
+    val snapId = (0 until snaps.size)
+      .map(snaps.get(_).get("snapshot-id").asLong).foldLeft(999L)(math.max) + 1
+    val manifestList = s"$tableDir/metadata/snap-$snapId-${nextToken()}.avro"
+    locally { // an EMPTY manifest list: zero live manifests
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
+      w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
+      w.close()
+    }
+    meta.put("last-sequence-number", seq)
+    meta.put("current-snapshot-id", snapId)
+    val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", seq)
+    snapNode.put("timestamp-ms", 1700000000000L + seq)
+    snapNode.put("manifest-list", manifestList)
+    snapNode.putObject("summary").put("operation", "replace")
+    require(casPublish(tableDir, curVersion + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
+      "TRUNCATE lost a version race with a concurrent commit — rerun")
+    advanceHint(tableDir, curVersion + 1)
+    snapId
   }
 
   /** ADD COLUMN schema evolution, writer half (spec "Schemas" /

@@ -550,6 +550,74 @@ object PaimonWriter {
     (renamed, wn.getOrElse(partCol, partCol))
   }
 
+  /** CREATE an EMPTY table (standard DDL): declare the schema as
+    * `schema/schema-0` (the spec's schema file) with NO snapshot — the
+    * first append creates snapshot 1 and stamps TYPE/BUCKETS as usual.
+    * Reads return a declared-schema empty frame until then. */
+  def createEmpty(spark: SparkSession, tableDir: String,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(tableDir, "schema", "schema-0")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")),
+      s"table already exists at $tableDir")
+    new java.io.File(tableDir, "schema").mkdirs()
+    val fieldsJson = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":$i,"name":"${f.name}","type":"${PaimonLite.paimonTypeName(f.dataType)}"}"""
+    }.mkString(",")
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, "schema", "schema-0"),
+        s"""{"id":0,"fields":[$fieldsJson]}"""),
+      "empty-table creation lost a race with a concurrent writer")
+  }
+
+  /** TRUNCATE TABLE: ONE commitKind=OVERWRITE snapshot carrying no base
+    * manifests and an EMPTY delta manifest — all rows gone atomically;
+    * older snapshots travel until expiry. No-op (returns -1) on an
+    * already-empty table. */
+  def truncate(spark: SparkSession, tableDir: String): Long = {
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    if (!java.nio.file.Files.exists(latestPath)) return -1L // created empty
+    if (PaimonLite.planFiles(tableDir).isEmpty) return -1L
+    // a pre-DDL table's only schema source is its data files — capture
+    // it as schema-0 BEFORE the rows go, so post-truncate reads (and
+    // later inserts) keep their shape (one footer read)
+    if (PaimonLite.declaredFields(tableDir).isEmpty) {
+      val head = PaimonLite.planFiles(tableDir).head
+      val fields = spark.read.parquet(s"$tableDir/${head.path}")
+        .schema.fields.toSeq.filterNot(x =>
+          x.name == "_SEQUENCE_NUMBER" || x.name == "_VALUE_KIND")
+      new java.io.File(tableDir, "schema").mkdirs()
+      val fieldsJson = fields.zipWithIndex.map { case (f, i) =>
+        s"""{"id":$i,"name":"${f.name}","type":"${PaimonLite.paimonTypeName(f.dataType)}"}"""
+      }.mkString(",")
+      require(IcebergWriter.casCreate(
+          java.nio.file.Paths.get(tableDir, "schema", "schema-0"),
+          s"""{"id":0,"fields":[$fieldsJson]}"""),
+        "TRUNCATE lost a schema-declaration race — rerun")
+    }
+    val curSnap = PaimonLite.latestSnapshotId(tableDir)
+    val snapId = curSnap + 1
+    val tok = s"$snapId-${nextTok()}"
+    val mName = s"manifest-t$tok"
+    PaimonLite.writeManifestAvro(tableDir, mName, Nil, Nil)
+    val baseName = s"manifest-list-t$tok-base"
+    val deltaName = s"manifest-list-t$tok-delta"
+    PaimonLite.writeManifestListAvro(tableDir, baseName, Nil)
+    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
+    val snapJson =
+      s"""{"version":3,"id":$snapId,"schemaId":0,
+         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+         |"commitKind":"OVERWRITE",
+         |"timeMillis":${1700000000000L + snapId},
+         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+    require(IcebergWriter.casCreate(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
+      snapJson), "TRUNCATE lost the snapshot CAS — rerun")
+    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
+    snapId
+  }
+
   /** FULL COMPACTION (the spec's full-compaction / the OPTIMIZE verb's
     * paimon spelling): per (partition, bucket) whose LSM holds more
     * than one file or any level-0 file, merge the bucket under the

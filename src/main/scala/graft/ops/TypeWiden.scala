@@ -19,6 +19,10 @@ object TypeWiden {
     case (IntegerType, LongType) => true
     case (ByteType | ShortType | IntegerType, DoubleType) => true
     case (FloatType, DoubleType) => true
+    // spec: decimal precision may grow, the scale never moves (a scale
+    // change rewrites values; a precision change only widens storage)
+    case (d1: DecimalType, d2: DecimalType) =>
+      d1.scale == d2.scale && d2.precision > d1.precision
     case _ => false
   }
 
@@ -26,5 +30,6 @@ object TypeWiden {
     require(ok(from, to),
       s"cannot widen $col from ${from.simpleString} to ${to.simpleString} — " +
         "sanctioned promotions: byte/short/int -> bigint, " +
-        "byte/short/int -> double, float -> double")
+        "byte/short/int -> double, float -> double, " +
+        "decimal(p,s) -> decimal(p'>p, s)")
 }

@@ -61,6 +61,22 @@ object LakehouseSql {
       "(?:PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*)?" +
       "(?:PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*)?" +
       "AS\\s+(.*)$").r
+  // standard DDL: CREATE TABLE t (col TYPE, ...) — no AS SELECT; the
+  // column list allows one paren nesting (DECIMAL(10,2))
+  private val CreateEmptyRe =
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*" +
+      "\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)\\s*" +
+      "(?:PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*)?" +
+      "(?:PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*)?$").r
+  private val TruncateRe =
+    ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
+  // column-subset INSERT: named columns take the source values
+  // positionally, unnamed ones null-fill
+  private val InsertColsRe =
+    ("(?is)^\\s*INSERT\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*" +
+      "\\(\\s*([A-Za-z_]\\w*(?:\\s*,\\s*[A-Za-z_]\\w*)*)\\s*\\)\\s+(.*)$").r
   private val InsertRe =
     "(?is)^\\s*INSERT\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$".r
   private val DeleteRe =
@@ -96,7 +112,8 @@ object LakehouseSql {
       "RENAME\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TO\\s+([A-Za-z_]\\w*)\\s*$").r
   private val AlterTypeRe =
     ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
-      "ALTER\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TYPE\\s+([A-Za-z_]\\w*)\\s*$").r
+      "ALTER\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TYPE\\s+" +
+      "([A-Za-z_]\\w*(?:\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)\\s*$").r
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
@@ -444,6 +461,50 @@ object LakehouseSql {
           Props(Some(c), Seq.empty, tr, ct), Some(info)))
     }.headOption
 
+  /** The declared LOGICAL schema from each format's own metadata —
+    * what an EMPTY table (created empty / truncated) reads as. None on
+    * pre-DDL tables whose only schema source is their data files. */
+  private def declaredLogicalSchema(spark: SparkSession, fmt: String,
+                                    dir: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types.{DataType, StructField, StructType}
+    fmt match {
+      case "iceberg" => IcebergLite.declaredFields(dir).map(fs =>
+        StructType(fs.map { case (l, _, dt) => StructField(l, dt) }))
+      case "delta" => DeltaLite.tableSchemaString(spark, dir)
+        .filter(_ != "{}")
+        .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
+        .map(st => StructType(st.fields.map(f => StructField(f.name, f.dataType))))
+      case "hudi" => HudiLite.declaredSchema(dir)
+      case "paimon" => PaimonLite.declaredSchema(dir)
+    }
+  }
+
+  /** Whether the table is in the EMPTY state — created empty (no
+    * snapshot / no commits) or truncated (a commit superseding every
+    * live file). Metadata-sized. Versioned reads probe at the version.
+    * A created-empty Iceberg/Paimon table refuses version travel (no
+    * snapshot to travel to) via the normal loud path. */
+  private def isEmptyTable(spark: SparkSession, fmt: String, dir: String,
+                           p: Props, version: Option[Long]): Boolean = fmt match {
+    case "iceberg" =>
+      if (version.isEmpty && IcebergLite.currentSnapshotIdOf(dir) == -1L) true
+      else if (IcebergLite.currentSnapshotIdOf(dir) == -1L) false // loud travel
+      else !IcebergLite.planFiles(dir, version).exists(_.content == 0)
+    case "delta" =>
+      DeltaLite.planFilesWithCheckpoint(spark, dir, version).isEmpty
+    case "hudi" =>
+      val names = Option(new java.io.File(dir, ".hoodie").list())
+        .getOrElse(Array.empty)
+      if (!names.exists(_.endsWith(".commit"))) true
+      else HudiLite.planFilesMor(dir, version.map(v => f"$v%03d")).isEmpty
+    case "paimon" =>
+      if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "snapshot", "LATEST")))
+        version.isEmpty // created empty; version travel stays loud
+      else PaimonLite.planFiles(dir, version).isEmpty
+  }
+
   private def reader(spark: SparkSession, fmt: String, dir: String,
                      p: Props, version: Option[Long] = None,
                      prune: Option[SqlPrune.PruneInfo] = None,
@@ -465,10 +526,21 @@ object LakehouseSql {
     // table's schema — the readers' no-live-files guard is for broken
     // tables, not for valid queries over absent partitions
     def emptyFrame(): DataFrame = {
-      val schema = reader(spark, fmt, dir, p, version).schema
+      val schema = declaredLogicalSchema(spark, fmt, dir)
+        .getOrElse(reader(spark, fmt, dir, p, version).schema)
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
     }
+    // CREATED-EMPTY or TRUNCATED tables: zero live files is a VALID
+    // state (standard DDL), served as a declared-schema empty frame.
+    // The probe is metadata-sized — the same walk planning does.
+    if (isEmptyTable(spark, fmt, dir, p, version))
+      return declaredLogicalSchema(spark, fmt, dir) match {
+        case Some(schema) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        case None => sys.error(s"graft_$fmt table at $dir has no live " +
+          "files and no declared schema — broken table")
+      }
     fmt match {
       case "iceberg" if p.partFields.size > 1 =>
         // MULTI-FIELD spec: the caller resolves ONE prunable field's
@@ -575,12 +647,21 @@ object LakehouseSql {
     case "hudi"    =>
       require(p.keyCols.nonEmpty && p.partCol.nonEmpty,
         "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")
-      val instant = if (create) "001" else nextInstant(dir)
-      if (create)
-        HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get, instant)
-      else
+      if (create) {
+        HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get, "001")
+        1L
+      } else if (!HudiLite.hasLiveGroups(dir)) {
+        // FIRST insert into a created-empty or truncated table lays
+        // fresh base file groups, keeping timeline + schema + sidecar
+        val instant = nextInstant(dir)
+        HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get,
+          instant, wipe = false)
+        instant.toLong
+      } else {
+        val instant = nextInstant(dir)
         HudiLite.upsert(spark, dir, df, p.keyCols, p.partCol.get, instant)
-      instant.toLong
+        instant.toLong
+      }
     case "paimon"  =>
       if (p.keyCols.isEmpty) {
         require(p.partCol.nonEmpty, "graft_paimon tables need PARTITIONED BY")
@@ -684,6 +765,101 @@ object LakehouseSql {
       val version = appendTo(spark, fmt, dir, props, created, create = true)
       writeProps(dir, props)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+
+    case CreateEmptyRe(orReplace, fmt, name, colsRaw, pkRaw, partRaw) =>
+      // standard DDL: CREATE TABLE t (cols...) with no AS SELECT — an
+      // EMPTY table whose declared schema lives in the format's OWN
+      // metadata (Delta v0 metaData commit, Iceberg schemas array with
+      // current-snapshot-id = -1, Paimon schema-0, Hudi schema.json);
+      // reads serve a declared-schema empty frame until the first INSERT
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val dir = tableDir(spark, fmt, name)
+      val exists = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "_graft_table.json"))
+      require(!exists || orReplace != null,
+        s"table graft_$fmt.$name already exists (use CREATE OR REPLACE)")
+      if (exists) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val schema = StructType(splitTop(colsRaw).map(_.trim).filter(_.nonEmpty)
+        .map { c =>
+          val i = c.indexWhere(_.isWhitespace)
+          require(i > 0, s"bad column definition '$c'")
+          StructField(c.substring(0, i),
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(c.substring(i + 1).trim), nullable = true)
+        })
+      val parsedParts: Seq[(String, String)] =
+        Option(partRaw).map(_.trim).filter(_.nonEmpty)
+          .map(raw => splitTop(raw).map(_.trim).filter(_.nonEmpty)
+            .map(parsePartSpec))
+          .getOrElse(Seq.empty)
+      parsedParts.foreach { case (c, tr) =>
+        require(schema.fieldNames.contains(c), s"unknown partition column $c")
+        require(tr == "identity" || fmt == "iceberg",
+          s"partition transforms are an Iceberg spec feature — graft_$fmt " +
+            "takes an identity column")
+      }
+      require(parsedParts.size <= 1 || fmt == "iceberg",
+        s"multi-field partition specs are an Iceberg spec feature — " +
+          s"graft_$fmt takes one partition column")
+      val pkCols = Option(pkRaw)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Seq.empty)
+      pkCols.foreach(c => require(schema.fieldNames.contains(c),
+        s"unknown PRIMARY KEY column $c"))
+      require(parsedParts.size <= 1 || pkCols.isEmpty,
+        "PRIMARY KEY with a multi-field partition spec is out of scope")
+      val parsedPart = parsedParts.headOption.filter(_ => parsedParts.size == 1)
+      // the first-INSERT route requirements fail HERE, not at insert time
+      fmt match {
+        case "delta" => require(pkCols.isEmpty,
+          "graft_delta tables are append/delete only — PRIMARY KEY upsert " +
+            "semantics live on graft_iceberg/graft_paimon/graft_hudi")
+        case "hudi" => require(pkCols.nonEmpty && parsedPart.nonEmpty,
+          "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")
+        case "paimon" =>
+          require(parsedPart.nonEmpty, "graft_paimon tables need PARTITIONED BY")
+          if (pkCols.nonEmpty)
+            require(parsedPart.exists(pp => pkCols.contains(pp._1)),
+              "paimon PRIMARY KEY must include the partition column")
+        case _ =>
+      }
+      val props = Props(
+        parsedPart.map(_._1),
+        pkCols,
+        parsedPart.map(_._2).getOrElse("identity"),
+        parsedPart.map(pp => schema(pp._1).dataType.simpleString).getOrElse(""),
+        if (parsedParts.size > 1)
+          parsedParts.map { case (c, tr) =>
+            (c, tr, schema(c).dataType.simpleString) }
+        else Nil)
+      fmt match {
+        case "iceberg" => IcebergWriter.createEmpty(spark, dir, schema)
+        case "delta" =>
+          DeltaWriter.createEmpty(spark, dir, schema, props.partCol): Unit
+        case "paimon" => PaimonWriter.createEmpty(spark, dir, schema)
+        case "hudi" =>
+          new java.io.File(dir, ".hoodie").mkdirs()
+          IcebergWriter.atomicWriteString(java.nio.file.Paths.get(
+            dir, ".hoodie", "schema.json"), schema.json)
+      }
+      writeProps(dir, props)
+      "SELECT CAST(0 AS BIGINT) AS committed_version"
+
+    case TruncateRe(fmt, name) =>
+      // TRUNCATE TABLE: all rows gone in ONE atomic commit (Delta
+      // removes-only commit, Iceberg empty REPLACE snapshot, Paimon
+      // empty OVERWRITE snapshot, Hudi empty replaces=true instant);
+      // older versions travel until reclaim. Already-empty = no-op.
+      val dir = tableDir(spark, fmt, name)
+      readProps(dir): Unit
+      val version = fmt match {
+        case "delta" => DeltaWriter.truncate(spark, dir)
+        case "iceberg" => IcebergWriter.truncateTable(spark, dir)
+        case "paimon" => PaimonWriter.truncate(spark, dir)
+        case "hudi" => HudiLite.truncateTable(dir, nextInstant(dir))
+      }
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+
     case InsertOverwriteRe(fmt, name, select) =>
       // atomic full replace: Delta commits removes+adds in ONE commit,
       // Iceberg a REPLACE snapshot — a reader sees old or new, never a
@@ -719,14 +895,51 @@ object LakehouseSql {
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
 
+    case InsertColsRe(fmt, name, colsRaw, select) =>
+      // INSERT INTO t (a, b) SELECT/VALUES ...: standard column-subset
+      // insert — source columns bind POSITIONALLY to the named list,
+      // unnamed table columns null-fill. Partition and PRIMARY KEY
+      // columns must be named (a null routing key has no home).
+      import org.apache.spark.sql.functions.{col, lit}
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      val cols = colsRaw.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.distinct.size == cols.size, "duplicate INSERT columns")
+      val target = reader(spark, fmt, dir, p).schema
+      cols.foreach(c => require(target.fieldNames.contains(c),
+        s"unknown INSERT column $c"))
+      (p.partCol.toSeq ++ p.partFields.map(_._1) ++ p.keyCols).distinct
+        .foreach(c => require(cols.contains(c),
+          s"the INSERT column list must include partition/PRIMARY KEY " +
+            s"column $c"))
+      val incoming0 = spark.sql(select)
+      require(incoming0.columns.length == cols.size,
+        s"INSERT source arity ${incoming0.columns.length} must match the " +
+          s"column list's ${cols.size}")
+      val named = incoming0.toDF(cols.toIndexedSeq: _*)
+      val aligned = named.select(target.fields.toSeq.map(f =>
+        (if (cols.contains(f.name)) col(f.name).cast(f.dataType)
+        else lit(null).cast(f.dataType)).as(f.name)): _*)
+      val version = appendTo(spark, fmt, dir, p, aligned, create = false)
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
+
     case InsertRe(fmt, name, select) =>
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
       // align the incoming rows to the TABLE schema (by name, cast to
       // the stored types) — mixed int/long parquet across commits
       // would otherwise poison later merged reads
-      val incoming = spark.sql(select)
+      val incoming0 = spark.sql(select)
       val target = reader(spark, fmt, dir, p).schema
+      // `INSERT INTO t VALUES (...)`: positional — the VALUES columns
+      // (col1..colN) take the table's schema order
+      val incoming =
+        if (select.trim.toUpperCase.startsWith("VALUES")) {
+          require(incoming0.columns.length == target.fields.length,
+            s"INSERT VALUES arity ${incoming0.columns.length} must match " +
+              s"the table's ${target.fields.length} columns")
+          incoming0.toDF(target.fieldNames.toIndexedSeq: _*)
+        } else incoming0
       require(incoming.columns.toSet == target.fieldNames.toSet,
         s"INSERT columns ${incoming.columns.mkString(",")} must match " +
           s"the table's ${target.fieldNames.mkString(",")}")
@@ -845,17 +1058,19 @@ object LakehouseSql {
       // partition values with live-file counts, straight from each
       // format's file planning — metadata-only, zero data bytes read
       val dir = tableDir(spark, fmt, name)
-      readProps(dir): Unit
-      val parts: Seq[String] = fmt match {
-        case "iceberg" =>
-          IcebergLite.planFiles(dir).filter(_.content == 0)
-            .map(_.partValue.getOrElse(""))
-        case "delta" =>
-          DeltaLite.planFilesWithCheckpoint(spark, dir)
-            .map(_._2.values.mkString("/"))
-        case "hudi" => HudiLite.planFilesMor(dir).map(_._2)
-        case "paimon" => PaimonLite.planFiles(dir).map(_.part.getOrElse(""))
-      }
+      val p = readProps(dir)
+      val parts: Seq[String] =
+        if (isEmptyTable(spark, fmt, dir, p, None)) Nil
+        else fmt match {
+          case "iceberg" =>
+            IcebergLite.planFiles(dir).filter(_.content == 0)
+              .map(_.partValue.getOrElse(""))
+          case "delta" =>
+            DeltaLite.planFilesWithCheckpoint(spark, dir)
+              .map(_._2.values.mkString("/"))
+          case "hudi" => HudiLite.planFilesMor(dir).map(_._2)
+          case "paimon" => PaimonLite.planFiles(dir).map(_.part.getOrElse(""))
+        }
       val pairs = parts.groupBy(identity).view
         .map { case (p2, xs) => (p2, xs.size) }.toSeq.sortBy(_._1)
       val view = s"graft_show_parts_${fmt}_$name"

@@ -100,6 +100,9 @@ object SqlPrune {
     case "<=" => c <= 0
     case ">" => c > 0
     case ">=" => c >= 0
+    case "<>" | "!=" => c != 0 // a file whose stored value IS the
+    // excluded literal holds only rows the WHERE filters out (NULLs
+    // fail <> too) — pruning it is sound
     case _ => true
   }
 
@@ -113,11 +116,12 @@ object SqlPrune {
     def num(s: String): Option[BigDecimal] =
       try Some(BigDecimal(s.trim)) catch { case _: NumberFormatException => None }
     lit match {
-      case StrLit(_) if colType.startsWith("timestamp") && op != "=" =>
+      case StrLit(_) if colType.startsWith("timestamp") &&
+          op != "=" && op != "<>" && op != "!=" =>
         // wall-clock order can disagree with instant order inside a DST
         // fall-back hour — timestamp RANGES are not extracted (equality
-        // is safe: instant-equal implies rendering-equal, so the kept
-        // set is always a superset)
+        // and exclusion are safe: both need only instant-equality,
+        // which the normalizing cast compares exactly)
         _ => true
       case StrLit(v) if isTemporalish(colType) =>
         castTo(colType, v) match {
@@ -149,6 +153,16 @@ object SqlPrune {
   private sealed trait Literal
   private final case class StrLit(v: String) extends Literal
   private final case class NumLit(v: BigDecimal) extends Literal
+
+  /** Whether a `<>`/`!=` conjunct can prune: only under an exact
+    * equality notion — numeric literals compare numerically, string
+    * literals need a string-family or temporal/boolean column type. */
+  private def exclusionExtractable(l: Literal, colType: String): Boolean =
+    l match {
+      case NumLit(_) => true
+      case StrLit(_) => isTemporalish(colType) || colType == "string" ||
+        colType.startsWith("char") || colType.startsWith("varchar")
+    }
 
   private val Str = "'([^']*)'"
   private val Num = "(-?\\d+(?:\\.\\d+)?)"
@@ -324,8 +338,8 @@ object SqlPrune {
     def colOk(qual: String): Boolean =
       qual == null || qual == tableName || alias.contains(qual)
     val colRe = s"(?:([A-Za-z_]\\w*)\\.)?${java.util.regex.Pattern.quote(partCol)}"
-    val eqRe = s"(?is)^$colRe\\s*(=|<=|>=|<|>)\\s*(?:$Str|$Num)$$".r
-    val eqFlipRe = s"(?is)^(?:$Str|$Num)\\s*(=|<=|>=|<|>)\\s*$colRe$$".r
+    val eqRe = s"(?is)^$colRe\\s*(=|<=|>=|<>|!=|<|>)\\s*(?:$Str|$Num)$$".r
+    val eqFlipRe = s"(?is)^(?:$Str|$Num)\\s*(=|<=|>=|<>|!=|<|>)\\s*$colRe$$".r
     val inRe = s"(?is)^$colRe\\s+IN\\s*\\(([^()]*)\\)$$".r
     val inItemRe = s"(?is)^(?:$Str|$Num)$$".r
     val btRe = s"(?is)^$colRe\\s+BETWEEN\\s+(?:$Str|$Num)\\s+AND\\s+(?:$Str|$Num)$$".r
@@ -403,13 +417,21 @@ object SqlPrune {
     val preds = conjuncts.flatMap { c0 =>
       normTyped(stripParens(c0)) match {
         case eqRe(qual, op, s, n) if colOk(qual) =>
+          val isExcl = op == "<>" || op == "!="
           if (op == "=") recordEq(Seq(rawOf(s, n)))
-          else rangeBounds += ((op, rawOf(s, n)))
-          Some(cmp(op, lit(s, n), colType))
+          else if (!isExcl) rangeBounds += ((op, rawOf(s, n)))
+          // exclusion needs an EXACT equality notion: extracted only
+          // when the column type pins one (string family, numeric,
+          // temporal via the normalizing cast) — unknown types keep
+          // the '5.0'-vs-5 ambiguity, so the conjunct proves nothing
+          if (isExcl && !exclusionExtractable(lit(s, n), colType)) None
+          else Some(cmp(op, lit(s, n), colType))
         case eqFlipRe(s, n, op, qual) if colOk(qual) =>
+          val isExcl = op == "<>" || op == "!="
           if (op == "=") recordEq(Seq(rawOf(s, n)))
-          else rangeBounds += ((flip(op), rawOf(s, n)))
-          Some(cmp(flip(op), lit(s, n), colType))
+          else if (!isExcl) rangeBounds += ((flip(op), rawOf(s, n)))
+          if (isExcl && !exclusionExtractable(lit(s, n), colType)) None
+          else Some(cmp(flip(op), lit(s, n), colType))
         case inRe(qual, items) if colOk(qual) =>
           val parsed = items.split(",").map(_.trim).toSeq.map {
             case inItemRe(s, n) => Some((lit(s, n), rawOf(s, n)))

@@ -186,6 +186,73 @@ object Round13bQueries {
         "premise: every partition holds at least one live file")
       out.select(col("partition")).orderBy(col("partition"))
     }),
+
+    // THE EMPTY-TABLE LIFECYCLE ×4 (standard DDL): CREATE TABLE (cols)
+    // with no AS SELECT → empty declared-schema read → INSERT odd keys
+    // → TRUNCATE (one atomic commit, zero rows, schema survives) →
+    // INSERT even keys. Premise-gated emptiness both times; the final
+    // content is exactly the even half on every format.
+    "sql_lake_empty_lifecycle" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r13b_ord_el")
+      val n = safeName(dir)
+      Seq("delta", "hudi", "iceberg", "paimon").map { fmt =>
+        val pk = fmt match {
+          case "hudi" => "PRIMARY KEY (o_orderkey) "
+          case "paimon" => "PRIMARY KEY (o_orderstatus, o_orderkey) "
+          case _ => ""
+        }
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.el_$n " +
+          "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING) " +
+          s"${pk}PARTITIONED BY (o_orderstatus)")
+        require(s.sql(s"SELECT * FROM graft_$fmt.el_$n").count() == 0,
+          s"premise: created-empty $fmt table must read zero rows")
+        s.sql(s"INSERT INTO graft_$fmt.el_$n " +
+          "SELECT * FROM r13b_ord_el WHERE o_orderkey % 2 = 1")
+        s.sql(s"TRUNCATE TABLE graft_$fmt.el_$n")
+        require(s.sql(s"SELECT * FROM graft_$fmt.el_$n").limit(1).count() == 0,
+          s"premise: truncated $fmt table must read zero rows")
+        s.sql(s"INSERT INTO graft_$fmt.el_$n " +
+          "SELECT * FROM r13b_ord_el WHERE o_orderkey % 2 = 0")
+        s.sql(s"SELECT '$fmt' AS fmt, o_orderstatus, count(*) AS n2, " +
+          s"CAST(sum(o_custkey) AS BIGINT) AS sum_ck FROM graft_$fmt.el_$n " +
+          "GROUP BY 1, 2")
+      }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
+    }),
+
+    // COLUMN-SUBSET INSERT + EXCLUSION PRUNING: INSERT INTO t (cols)
+    // binds positionally and null-fills the rest; the final read's
+    // `o_orderstatus <> 'P'` plans a strict file subset (the excluded
+    // partition pruned — premise-gated).
+    "sql_lake_insert_cols" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r13b_ord_ic")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.ic_$n " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+        "note STRING) PARTITIONED BY (o_orderstatus)")
+      s.sql(s"INSERT INTO graft_delta.ic_$n " +
+        "(o_orderkey, o_custkey, o_orderstatus) " +
+        "SELECT * FROM r13b_ord_ic WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO graft_delta.ic_$n " +
+        "(o_orderstatus, o_orderkey, note) " +
+        "SELECT o_orderstatus, o_orderkey, 'odd' FROM r13b_ord_ic " +
+        "WHERE o_orderkey % 2 = 1")
+      val out = s.sql(s"SELECT o_orderstatus, count(*) AS n2, " +
+        "CAST(sum(coalesce(o_custkey, 0)) AS BIGINT) AS sum_ck, " +
+        "count(note) AS n_note " +
+        s"FROM graft_delta.ic_$n WHERE o_orderstatus <> 'P' " +
+        "GROUP BY 1 ORDER BY 1")
+      out.collect(): Unit
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: the exclusion read must record a scan"))
+      require(scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"premise: <> must prune the excluded partition, got $scan")
+      out
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -248,5 +315,25 @@ object Round13bQueries {
     "sql_lake_show_meta" -> """
       SELECT DISTINCT o_orderstatus AS partition
       FROM orders WHERE o_orderkey < 9000 ORDER BY 1""",
+
+    // evens carry custkey (subset insert), odds carry the note; the 'P'
+    // partition is excluded
+    "sql_lake_insert_cols" -> """
+      SELECT o_orderstatus, count(*) AS n2,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 0 THEN o_custkey ELSE 0 END)
+                  AS BIGINT) AS sum_ck,
+             count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS n_note
+      FROM orders
+      WHERE o_orderkey < 9000 AND o_orderstatus <> 'P'
+      GROUP BY 1 ORDER BY 1""",
+
+    // the odd keys truncated away; the even half survives on each format
+    "sql_lake_empty_lifecycle" -> """
+      SELECT f.fmt, o.o_orderstatus, count(*) AS n2,
+             CAST(sum(o.o_custkey) AS BIGINT) AS sum_ck
+      FROM orders o
+      CROSS JOIN (SELECT unnest(['delta','hudi','iceberg','paimon']) AS fmt) f
+      WHERE o.o_orderkey < 9000 AND o.o_orderkey % 2 = 0
+      GROUP BY 1, 2 ORDER BY 1, 2""",
   )
 }

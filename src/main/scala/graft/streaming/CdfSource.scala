@@ -91,13 +91,18 @@ object CdfFeed {
         .filter(_.getName.matches("\\d{20}\\.json"))
         .map(_.getName.dropRight(5).toLong).foldLeft(-1L)(math.max)
     case "iceberg" =>
-      IcebergLite.snapshotsTable(spark, dir)
-        .agg(max(col("snapshot_id"))).head().getLong(0)
+      // a CREATED-EMPTY table has no snapshots yet: coordinate -1
+      val r = IcebergLite.snapshotsTable(spark, dir)
+        .agg(max(col("snapshot_id"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
     case "hudi" =>
       Option(new java.io.File(dir, ".hoodie").list()).getOrElse(Array.empty)
         .map(_.split('.').head).filter(_.forall(_.isDigit))
         .foldLeft(0L)((m, s) => math.max(m, s.toLong))
-    case "paimon" => PaimonLite.latestSnapshotId(dir)
+    case "paimon" =>
+      if (!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "snapshot", "LATEST"))) 0L
+      else PaimonLite.latestSnapshotId(dir)
   }
 
   /** The change rows of (from, to]; from = None ships the initial

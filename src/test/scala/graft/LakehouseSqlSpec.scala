@@ -643,6 +643,87 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("must be the last"), s"got: ${e.getMessage}")
   }
 
+  test("INSERT INTO t (cols): positional subset with null-fill") {
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_ic " +
+      "(k BIGINT, p STRING, v INT, note STRING) PARTITIONED BY (p)")
+    sql("INSERT INTO graft_delta.lksql_ic (k, p, v) VALUES (1, 'A', 10)")
+    sql("INSERT INTO graft_delta.lksql_ic (p, k, note) " +
+      "SELECT 'B', 2, 'hello'")
+    val got = sql("SELECT k, v, note FROM graft_delta.lksql_ic ORDER BY k")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        if (r.isNullAt(2)) "" else r.getString(2))).toSeq
+    assert(got == Seq((1L, 10, ""), (2L, -1, "hello")), s"got: $got")
+    // the partition column must be named — a null routing key has no home
+    assert(intercept[Exception] {
+      sql("INSERT INTO graft_delta.lksql_ic (k, v) VALUES (3, 30)")
+    }.getMessage.contains("partition"))
+  }
+
+  test("p <> 'x' prunes the excluded partition only") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.plans.LakehouseSql
+    Seq((1L, "A", 1), (2L, "B", 2), (3L, "C", 3)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_ne_src")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_ne " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_ne_src")
+    val got = sql("SELECT k FROM graft_iceberg.lksql_ne WHERE p <> 'B' " +
+      "ORDER BY k").collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L))
+    val scan = LakehouseSql.lastScans.headOption.getOrElse(
+      sys.error("no scan recorded"))
+    assert(scan.plannedFiles == 2 && scan.totalFiles == 3,
+      s"exclusion must prune exactly the excluded partition: $scan")
+  }
+
+  test("CREATE TABLE (cols) / first INSERT / TRUNCATE: empty-table lifecycle") {
+    for ((fmt, pk) <- Seq(("iceberg", ""), ("delta", ""),
+        ("hudi", "PRIMARY KEY (k) "), ("paimon", "PRIMARY KEY (p, k) "))) {
+      sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_et " +
+        s"(k BIGINT, p STRING, v INT) ${pk}PARTITIONED BY (p)")
+      // an empty read serves the DECLARED schema with zero rows
+      val empty = sql(s"SELECT * FROM graft_$fmt.lksql_et")
+      assert(empty.columns.toSeq == Seq("k", "p", "v") && empty.count() == 0,
+        s"$fmt: created-empty read")
+      // zero-match DML on an empty table is a successful no-op
+      sql(s"DELETE FROM graft_$fmt.lksql_et WHERE k = 1")
+      // first INSERT — the VALUES spelling, positional
+      sql(s"INSERT INTO graft_$fmt.lksql_et VALUES " +
+        "(1, 'A', 10), (2, 'B', 20)")
+      assert(sql(s"SELECT k FROM graft_$fmt.lksql_et ORDER BY k")
+        .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L),
+        s"$fmt: first insert")
+      // second INSERT takes the normal append/upsert route
+      sql(s"INSERT INTO graft_$fmt.lksql_et VALUES (3, 'A', 30)")
+      assert(sql(s"SELECT count(*) AS n FROM graft_$fmt.lksql_et")
+        .head().getLong(0) == 3L, s"$fmt: second insert")
+      // TRUNCATE: one atomic commit, all rows gone, schema survives
+      sql(s"TRUNCATE TABLE graft_$fmt.lksql_et")
+      val post = sql(s"SELECT * FROM graft_$fmt.lksql_et")
+      assert(post.columns.toSeq == Seq("k", "p", "v") && post.count() == 0,
+        s"$fmt: truncated read")
+      // idempotent re-TRUNCATE is a no-op
+      sql(s"TRUNCATE TABLE graft_$fmt.lksql_et")
+      // refill after truncate (hudi lays fresh base groups)
+      sql(s"INSERT INTO graft_$fmt.lksql_et VALUES (9, 'A', 90)")
+      val refill = sql(s"SELECT k, v FROM graft_$fmt.lksql_et")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      assert(refill == Seq((9L, 90)), s"$fmt: refill after truncate: $refill")
+    }
+    // introspection works off the declared schema of an EMPTY table
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_et2 " +
+      "(a BIGINT, b STRING) PARTITIONED BY (b)")
+    assert(sql("SHOW CREATE TABLE graft_delta.lksql_et2").head().getString(0)
+      == "CREATE TABLE graft_delta.lksql_et2 (a BIGINT, b STRING) " +
+        "PARTITIONED BY (b)")
+    assert(sql("DESCRIBE graft_delta.lksql_et2").count() == 2L)
+    // INSERT OVERWRITE into a created-empty table: zero removes, one
+    // atomic commit
+    sql("INSERT OVERWRITE graft_delta.lksql_et2 SELECT 5 AS a, 'X' AS b")
+    assert(sql("SELECT a FROM graft_delta.lksql_et2").head().getLong(0) == 5L)
+  }
+
   test("SHOW PARTITIONS and SHOW CREATE TABLE") {
     val s2 = spark
     import s2.implicits._
@@ -704,6 +785,20 @@ class LakehouseSqlSpec extends AnyFunSuite {
       .exists(f => java.nio.file.Files.readString(f.toPath)
         .contains("\"typeWidening\"")),
       "the widen commit must compose the typeWidening protocol upgrade")
+    // decimal PRECISION widening (scale pinned): metadata-only too
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_wd2 " +
+      "PARTITIONED BY (p) AS SELECT 1 AS k, 'A' AS p, " +
+      "CAST(12.34 AS DECIMAL(5,2)) AS d")
+    sql("ALTER TABLE graft_iceberg.lksql_wd2 ALTER COLUMN d TYPE DECIMAL(20,2)")
+    sql("INSERT INTO graft_iceberg.lksql_wd2 SELECT 2 AS k, 'B' AS p, " +
+      "CAST(123456789012345678.99 AS DECIMAL(20,2)) AS d")
+    val dsum = sql("SELECT CAST(sum(d) AS STRING) AS s " +
+      "FROM graft_iceberg.lksql_wd2").head().getString(0)
+    assert(dsum == "123456789012345691.33", s"decimal widen sum: $dsum")
+    // a SCALE change is a value rewrite, not a widening — loud
+    assert(intercept[Exception] {
+      sql("ALTER TABLE graft_iceberg.lksql_wd2 ALTER COLUMN d TYPE DECIMAL(20,4)")
+    }.getMessage.contains("cannot widen"))
     // guards: partition column, PRIMARY KEY column, narrowing
     assert(intercept[Exception] {
       sql("ALTER TABLE graft_delta.lksql_wd ALTER COLUMN p TYPE BIGINT")

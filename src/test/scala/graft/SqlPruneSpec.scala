@@ -204,6 +204,34 @@ class SqlPruneSpec extends AnyFunSuite {
     assert(inb("2024-01-05") && inb("2024-01-07") && !inb("2024-01-06"))
   }
 
+  test("<> exclusion extracts: the excluded partition prunes, others stay") {
+    val f = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p <> '7' AND k = 1", T, "p", "string").get
+    assert(!f("7") && f("6") && f("8"))
+    // != spelling, flipped sides
+    val g = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE '7' != p", T, "p", "string").get
+    assert(!g("7") && g("6"))
+    // numeric exclusion ('5.0'-vs-5 equivalence rides the same compare)
+    val h = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p <> 5", T, "p", "int").get
+    assert(!h("5") && h("4"))
+    // timestamp exclusion normalizes through the cast like equality
+    val ts = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p != '2024-01-03T10:00:00'", T, "p",
+      "timestamp").get
+    assert(!ts("2024-01-03 10:00:00") && ts("2024-01-03 10:00:01"))
+    // exclusion is NOT a range bound (monotone transforms must not see
+    // it) and records no equality values
+    val info = SqlPrune.partPruneInfo(
+      s"SELECT * FROM $T WHERE p <> '7'", T, "p", "string").get
+    assert(info.bounds.isEmpty && info.eqVals.isEmpty)
+    // unknown-typed exclusion stays unextracted ('5.0' vs '5' ambiguity)
+    val u = SqlPrune.partPredicate(
+      s"SELECT * FROM $T WHERE p <> '5'", T, "p", "")
+    assert(u.forall(x => x("5.0") && x("5")))
+  }
+
   test("string-typed ranges extract lexicographically") {
     val f = SqlPrune.partPredicate(
       s"SELECT * FROM $T WHERE p >= 'B' AND p < 'D'", T, "p", "string").get
