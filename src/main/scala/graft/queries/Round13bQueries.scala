@@ -221,6 +221,36 @@ object Round13bQueries {
       }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
     }),
 
+    // TABLE STREAM OVER THE EMPTY-TABLE LIFECYCLE: a stream created on
+    // a CREATED-EMPTY table ships the first insert window, and a
+    // TRUNCATE window ships every live row as a delete (the Delta CDC
+    // feed derives them from the removes-only commit's dataChange
+    // markers) — the aggregate of the delete window equals the
+    // pre-truncate content.
+    "sql_lake_stream_truncate" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r13b_ord_st")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.st_$n " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING) " +
+        "PARTITIONED BY (o_orderstatus)")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        s"${lakeDir(s)}/_streams/sts_$n.json")): Unit
+      s.sql(s"CREATE STREAM graft_stream.sts_$n ON TABLE graft_delta.st_$n")
+      require(s.sql(s"SELECT * FROM graft_stream.sts_$n").count() == 0,
+        "premise: a stream on a created-empty table starts empty")
+      s.sql(s"INSERT INTO graft_delta.st_$n SELECT * FROM r13b_ord_st")
+      val ins = s.sql(s"SELECT count(*) AS n FROM graft_stream.sts_$n " +
+        "WHERE _CHANGE_TYPE = 'insert'").head().getLong(0)
+      require(ins > 0, "premise: the insert window must ship")
+      s.sql(s"TRUNCATE TABLE graft_delta.st_$n")
+      // the truncate window: every pre-truncate row rides as a delete
+      s.sql(s"SELECT o_orderstatus, _CHANGE_TYPE, count(*) AS n2, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_stream.sts_$n GROUP BY 1, 2 ORDER BY 1, 2")
+    }),
+
     // COLUMN-SUBSET INSERT + EXCLUSION PRUNING: INSERT INTO t (cols)
     // binds positionally and null-fills the rest; the final read's
     // `o_orderstatus <> 'P'` plans a strict file subset (the excluded
@@ -315,6 +345,13 @@ object Round13bQueries {
     "sql_lake_show_meta" -> """
       SELECT DISTINCT o_orderstatus AS partition
       FROM orders WHERE o_orderkey < 9000 ORDER BY 1""",
+
+    // every pre-truncate row rides the delete window
+    "sql_lake_stream_truncate" -> """
+      SELECT o_orderstatus, 'delete' AS _CHANGE_TYPE, count(*) AS n2,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders WHERE o_orderkey < 9000
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // evens carry custkey (subset insert), odds carry the note; the 'P'
     // partition is excluded

@@ -724,6 +724,29 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(sql("SELECT a FROM graft_delta.lksql_et2").head().getLong(0) == 5L)
   }
 
+  test("a table stream created on an EMPTY table ships the first insert") {
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_es " +
+      "(k BIGINT, p STRING) PARTITIONED BY (p)")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      "target/lakehouse/_streams/es_s.json")): Unit
+    sql("CREATE STREAM graft_stream.es_s ON TABLE graft_delta.lksql_es")
+    // nothing to consume yet — the empty window, feed-shaped
+    assert(sql("SELECT * FROM graft_stream.es_s").count() == 0)
+    sql("INSERT INTO graft_delta.lksql_es VALUES (1, 'A'), (2, 'B')")
+    val win = sql("SELECT k, _CHANGE_TYPE FROM graft_stream.es_s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(win == Seq((1L, "insert"), (2L, "insert")),
+      s"the first insert window must ship: $win")
+    // consumed — and a TRUNCATE window ships the deletes (delta CDC
+    // derives them from the removes-only commit's dataChange markers)
+    sql("TRUNCATE TABLE graft_delta.lksql_es")
+    val del = sql("SELECT k, _CHANGE_TYPE FROM graft_stream.es_s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sortBy(_._1)
+    assert(del == Seq((1L, "delete"), (2L, "delete")),
+      s"the truncate window must ship deletes: $del")
+    sql("DROP STREAM graft_stream.es_s")
+  }
+
   test("SHOW PARTITIONS and SHOW CREATE TABLE") {
     val s2 = spark
     import s2.implicits._
