@@ -389,6 +389,38 @@ object ScaleProbe {
       if (mrgS > 120.0)
         failures += f"MERGE took $mrgS%.1f s — not a single distributed pass"
 
+      // CONDITIONAL POSITIONAL MERGE (r14 one-pass dataflow): delta
+      // keyless, update + delete + guarded insert — the spelling whose
+      // r13 dataflow re-evaluated the target join ~6× (per-clause rows,
+      // anti-join, cardinality probe, emptiness probes, writer
+      // matcher). The one-pass rewrite scans the 400k target ONCE
+      // (MergeOnePassSpec pins the input-byte bound; this row records
+      // the wall time at probe scale).
+      spark.sql("CREATE OR REPLACE TABLE graft_delta.sqlscale_mrgp " +
+        "PARTITIONED BY (p) AS SELECT * FROM sqlscale_src")
+      val t1b = System.nanoTime()
+      spark.sql("MERGE INTO graft_delta.sqlscale_mrgp t " +
+        "USING sqlscale_mrg_src s ON t.k = s.k " +
+        "WHEN MATCHED AND s.k % 800 = 0 THEN UPDATE SET v = s.v " +
+        "WHEN MATCHED AND s.k % 800 = 400 THEN DELETE " +
+        "WHEN NOT MATCHED AND s.k >= 400000 THEN INSERT *")
+      val mrgPS = (System.nanoTime() - t1b) / 1e9
+      val mp = spark.sql(
+        "SELECT count(*) AS n, sum(CASE WHEN v = 7777777 THEN 1 ELSE 0 END) " +
+          "AS hit FROM graft_delta.sqlscale_mrgp").head()
+      println(f"[sqlscale] conditional positional MERGE (upd+del+ins) " +
+        f"2k-source into 400k target: $mrgPS%.1f s, rows ${mp.getLong(0)}, " +
+        s"merge-valued ${mp.getLong(1)}")
+      // matched keys are id*400 for id<1000: k%800==0 ⇔ even id (500
+      // updates), k%800==400 ⇔ odd id (500 deletes); 1000 new keys
+      // insert — updates + inserts carry v=7777777
+      if (mp.getLong(0) != 400000L - 500L + 1000L)
+        failures += s"conditional MERGE row count ${mp.getLong(0)}"
+      if (mp.getLong(1) != 1500L)
+        failures += s"conditional MERGE landed ${mp.getLong(1)} merge-valued rows"
+      if (mrgPS > 120.0)
+        failures += f"conditional MERGE took $mrgPS%.1f s — not one pass"
+
       // MULTI-FIELD-SPEC DML: on a (days(ts), bucket(8, k)) table a
       // key-scoped UPDATE prunes by the bucket component and a
       // day-range DELETE (ANSI typed literals) by the day component —

@@ -328,7 +328,8 @@ object DeltaLite {
     * as the Iceberg position deletes. */
   def readVersion(spark: SparkSession, tableDir: String,
                   version: Option[Long] = None,
-                  partFilter: Option[Map[String, String] => Boolean] = None)
+                  partFilter: Option[Map[String, String] => Boolean] = None,
+                  keepPositions: Boolean = false)
       : DataFrame = {
     import org.apache.spark.sql.functions.{col, regexp_replace}
     val adds = planAddsWithCheckpoint(spark, tableDir, version, partFilter)
@@ -359,8 +360,15 @@ object DeltaLite {
       case None => spark.read.parquet(paths: _*)
     }
     val withDv = adds.filter(_.dv.isDefined)
-    val afterDv = if (withDv.isEmpty) data
-    else {
+    // keepPositions: DML callers (one-pass MERGE) keep the LIVE rows'
+    // (__fp, __pos) identity so the join evaluates once and its claimed
+    // positions feed the DV writer directly
+    val afterDv = if (withDv.isEmpty) {
+      if (!keepPositions) data
+      else data
+        .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+        .withColumn("__pos", col("_metadata.row_index"))
+    } else {
       // DV descriptors are metadata-sized; the POSITIONS are not — at
       // 100 TB a broad delete holds millions of them, so the roaring
       // blobs decode EXECUTOR-SIDE (one task per descriptor, reading
@@ -392,17 +400,18 @@ object DeltaLite {
           positions.map(p => Row(abs, p))
         }
       val dels = spark.createDataFrame(delRows, delSchema)
-      data
+      val joined = data
         .withColumn("__fp", regexp_replace(col("_metadata.file_path"), "^file:+", ""))
         .withColumn("__pos", col("_metadata.row_index"))
         .join(dels, Seq("__fp", "__pos"), "left_anti")
-        .drop("__fp", "__pos")
+      if (keepPositions) joined else joined.drop("__fp", "__pos")
     }
     // column mapping: physical parquet names → the logical schema
     val mapping = columnMapping(spark, tableDir, version)
     if (mapping.isEmpty) afterDv
     else afterDv.select(mapping.map { case (logical, physical) =>
-      col(physical).as(logical) }: _*)
+      col(physical).as(logical) } ++
+      (if (keepPositions) Seq(col("__fp"), col("__pos")) else Nil): _*)
   }
 
   /** CHANGE FEED over (fromVersion, toVersion] — the Delta CDC analog

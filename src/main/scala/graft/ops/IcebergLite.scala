@@ -216,7 +216,8 @@ object IcebergLite {
                    statsFilter: Option[(Map[String, Long], Map[String, Long]) => Boolean] = None,
                    mergeSchema: Boolean = false,
                    partPruneBy: Option[(String, String => Boolean)] = None,
-                   transformPrune: Option[(String, String, String => Boolean)] = None)
+                   transformPrune: Option[(String, String, String => Boolean)] = None,
+                   keepPositions: Boolean = false)
       : DataFrame = {
     val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter,
       partPruneBy, transformPrune)
@@ -276,7 +277,10 @@ object IcebergLite {
           cur.join(right, cond, "left_anti")
         }.drop("__seq")
       }
-    afterEq.drop("__fp", "__pos")
+    // keepPositions: DML callers (one-pass MERGE) keep the LIVE rows'
+    // (__fp, __pos) identity so the join evaluates once and its claimed
+    // positions feed the position-delete writer directly
+    if (keepPositions) afterEq else afterEq.drop("__fp", "__pos")
   }
 
   /** The `snapshots` METADATA TABLE (the `SELECT * FROM tbl.snapshots`

@@ -209,6 +209,26 @@ object LakehouseSql {
       }
     }
 
+  private def normPath(p: String): String = p.replaceAll("^file:+", "")
+
+  /** Live cursor listeners keyed by their staged-window path. A
+    * consuming statement that is REWRITTEN but never executed leaves
+    * its listener registered (nothing fires onSuccess/onFailure for
+    * it); without a sweep a long-lived session accumulates one
+    * plan-walking listener per abandoned consume. The keep-last-4
+    * staged-window sweep unregisters the listener along with its
+    * window, and a re-serve of the SAME window supersedes the previous
+    * registration (monotone max-publish makes either firing safe). */
+  private val cursorListeners = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.util.QueryExecutionListener]()
+
+  /** Test hook: how many cursor listeners are currently registered. */
+  def cursorListenerCount: Int = cursorListeners.size()
+
+  private def dropCursorListener(spark: SparkSession, stagedAbs: String): Unit =
+    Option(cursorListeners.remove(normPath(stagedAbs)))
+      .foreach(spark.listenerManager.unregister)
+
   /** Publish `newCursor` only when a query that actually SCANS the
     * staged window succeeds — the table-stream commit-on-success rule
     * (the graft-cdf streaming source gets this from engine checkpoints;
@@ -218,7 +238,7 @@ object LakehouseSql {
   private def publishCursorOnSuccess(spark: SparkSession, name: String,
                                      fmt: String, table: String,
                                      newCursor: Long, stagedPath: String): Unit = {
-    def norm(p: String): String = p.replaceAll("^file:+", "")
+    def norm(p: String): String = normPath(p)
     val target = norm(new java.io.File(stagedPath).getAbsolutePath)
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
       private def touches(
@@ -236,13 +256,20 @@ object LakehouseSql {
                              durationNs: Long): Unit =
         if (touches(qe)) {
           publishCursorMax(spark, name, fmt, table, newCursor)
+          cursorListeners.remove(target, this): Unit
           spark.listenerManager.unregister(this)
         }
       override def onFailure(funcName: String,
                              qe: org.apache.spark.sql.execution.QueryExecution,
                              exception: Exception): Unit =
-        if (touches(qe)) spark.listenerManager.unregister(this)
+        if (touches(qe)) {
+          cursorListeners.remove(target, this): Unit
+          spark.listenerManager.unregister(this)
+        }
     }
+    // a re-staged window supersedes its previous listener
+    Option(cursorListeners.put(target, listener))
+      .foreach(spark.listenerManager.unregister)
     spark.listenerManager.register(listener)
   }
 
@@ -509,7 +536,8 @@ object LakehouseSql {
                      p: Props, version: Option[Long] = None,
                      prune: Option[SqlPrune.PruneInfo] = None,
                      name: String = "",
-                     multiPrune: Option[(String, String, String => Boolean)] = None)
+                     multiPrune: Option[(String, String, String => Boolean)] = None,
+                     keepPositions: Boolean = false)
       : DataFrame = {
     val pc = p.partCol
     val pred = prune.map(_.pred)
@@ -554,8 +582,9 @@ object LakehouseSql {
               IcebergLite.planFiles(dir, version).count(_.content == 0))
             if (planned == 0) emptyFrame()
             else IcebergLite.readSnapshot(spark, dir, version,
-              transformPrune = Some(tp))
-          case None => IcebergLite.readSnapshot(spark, dir, version)
+              transformPrune = Some(tp), keepPositions = keepPositions)
+          case None => IcebergLite.readSnapshot(spark, dir, version,
+            keepPositions = keepPositions)
         }
       case "iceberg" if p.partTransform != "identity" =>
         transformPruneOf(p, prune) match {
@@ -566,8 +595,9 @@ object LakehouseSql {
               IcebergLite.planFiles(dir, version).count(_.content == 0))
             if (planned == 0) emptyFrame()
             else IcebergLite.readSnapshot(spark, dir, version,
-              transformPrune = Some(tp))
-          case None => IcebergLite.readSnapshot(spark, dir, version)
+              transformPrune = Some(tp), keepPositions = keepPositions)
+          case None => IcebergLite.readSnapshot(spark, dir, version,
+            keepPositions = keepPositions)
         }
       case "iceberg" =>
         pred match {
@@ -578,8 +608,9 @@ object LakehouseSql {
               IcebergLite.planFiles(dir, version).count(_.content == 0))
             if (planned == 0) emptyFrame()
             else IcebergLite.readSnapshot(spark, dir, version,
-              partPruneBy = Some((pc.get, f)))
-          case None => IcebergLite.readSnapshot(spark, dir, version)
+              partPruneBy = Some((pc.get, f)), keepPositions = keepPositions)
+          case None => IcebergLite.readSnapshot(spark, dir, version,
+            keepPositions = keepPositions)
         }
       case "delta" =>
         pred.map(f => (pv: Map[String, String]) => pv.get(pc.get).forall(f)) match {
@@ -589,8 +620,10 @@ object LakehouseSql {
             record(planned,
               DeltaLite.planFilesWithCheckpoint(spark, dir, version).size)
             if (planned == 0) emptyFrame()
-            else DeltaLite.readVersion(spark, dir, version, Some(mf))
-          case None => DeltaLite.readVersion(spark, dir, version)
+            else DeltaLite.readVersion(spark, dir, version, Some(mf),
+              keepPositions = keepPositions)
+          case None => DeltaLite.readVersion(spark, dir, version,
+            keepPositions = keepPositions)
         }
       case "hudi" =>
         val instant = version.map(v => f"$v%03d")
@@ -1339,18 +1372,29 @@ object LakehouseSql {
       // delete + every replacement/insert row in ONE atomic version
       // (updateRows); PK formats upsert (+ the LSM's -D rows / MoR
       // delete blocks for delete clauses).
-      import org.apache.spark.sql.functions.{col, lit}
+      //
+      // ONE-PASS DATAFLOW: the target⋈source join is evaluated ONCE and
+      // persisted; clause rows, the cardinality probe, the emptiness
+      // flags, the NOT-MATCHED anti-join and the positional writers'
+      // matched (file, pos) set all derive from that one frame — a
+      // 100 TB target is scanned once per MERGE, not once per probe
+      // (the reference's merge sink is one dataflow too). The join
+      // frame carries both sides as STRUCTS named by their aliases, so
+      // guard/SET expressions re-resolve unchanged (`s.v` is a struct
+      // field access); the target side also carries its row identity —
+      // (__fp, __pos) for positional formats, feeding the DV /
+      // position-delete writers without re-running the matcher.
+      import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id}
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
       lastScans = Nil
       val tAlias = Option(tAliasRaw).getOrElse(name)
       val sAlias = Option(sAliasRaw).getOrElse(srcView)
-      if (sAlias != srcView)
-        spark.table(srcView).createOrReplaceTempView(sAlias)
       // a provable partition conjunct in the ON clause prunes the
       // TARGET's file planning (sound for both halves: matched rows
-      // satisfy every ON conjunct, and the NOT EXISTS probe's condition
-      // contains the conjunct, so excluded files can never witness it)
+      // satisfy every ON conjunct, and the NOT-MATCHED anti-join's
+      // condition contains the conjunct, so excluded files can never
+      // witness it)
       val mergePrune = p.partCol.flatMap(pc => SqlPrune.partPruneInfo(
         s"SELECT * FROM graft_$fmt.$name $tAlias WHERE $cond",
         s"graft_$fmt.$name", pc, p.partColType))
@@ -1363,9 +1407,35 @@ object LakehouseSql {
         s"SELECT * FROM graft_$fmt.$name $tAlias WHERE $cond", fmt, name, p)
         .orElse(transformPruneOf(p, mergePrune)
           .filter(_ => p.partTransform != "identity"))
-      val target = reader(spark, fmt, dir, p, None, mergePrune, name, mergeMfPrune)
-      target.createOrReplaceTempView(tAlias)
-      val tCols = target.columns.toSeq
+      // positional formats whose write half MAY need (file, pos) keep
+      // the identity on the scan — a static decision from the clause
+      // chain's shape (a spurious hint costs two unused columns)
+      val hasDeleteClauseHint = "(?is)\\bTHEN\\s+DELETE\\b".r
+        .findFirstIn(SqlPrune.maskLiterals(whenChain)).isDefined
+      val needPos = (fmt == "iceberg" || fmt == "delta") &&
+        (p.keyCols.isEmpty || hasDeleteClauseHint)
+      val target0 =
+        reader(spark, fmt, dir, p, None, mergePrune, name, mergeMfPrune,
+          keepPositions = needPos)
+      // empty-table reads serve the declared schema (no metadata cols)
+      val target1 =
+        if (needPos && !target0.columns.contains("__fp"))
+          target0.withColumn("__fp", lit(null).cast("string"))
+            .withColumn("__pos", lit(null).cast("bigint"))
+        else target0
+      // keyless NON-positional formats still need a row identity for
+      // the cardinality probe; the id is consistent because the probe
+      // reads only the persisted join frame
+      val target =
+        if (!needPos && p.keyCols.isEmpty)
+          target1.withColumn("__rid", monotonically_increasing_id())
+        else target1
+      val idCols: Seq[String] =
+        if (needPos) Seq("__fp", "__pos")
+        else if (p.keyCols.isEmpty) Seq("__rid") else Nil
+      val tgtView = "__graft_mrg_tgt"
+      target.createOrReplaceTempView(tgtView)
+      val tCols = target.columns.toSeq.filterNot(Set("__fp", "__pos", "__rid"))
 
       // ---- parse the WHEN chain (split at the clause keywords on the
       // literal-masked text)
@@ -1416,14 +1486,43 @@ object LakehouseSql {
       val claimedPred = matchedClauses.zipWithIndex.map { case (c, _) =>
         c.guard.map(g => s"($g)").getOrElse("TRUE") }.mkString(" OR ")
 
-      // plans below capture the PRE-merge file list; later re-binding
-      // of tAlias (the positional matcher) cannot reach them
+      // ---- THE one join. Both sides ride as STRUCTS named by their
+      // aliases (a guard/SET expression like `s.v` re-resolves as
+      // struct field access, unchanged text), plus the target row
+      // identity and — when a NOT MATCHED clause exists — a source row
+      // id for the anti-join. PERSISTED: every probe and the write half
+      // below read this frame; the table itself is scanned exactly once.
+      val srcCols = spark.table(srcView).columns.toSeq
+      val needSrcIds = insertGuard.isDefined
+      val srcViewI = "__graft_mrg_src"
+      // the source materializes too (it is scanned by the join AND the
+      // anti-join, and its row ids must be stable) — in a MERGE the
+      // source is the small side; the 100 TB side is the target
+      val srcMat =
+        (if (needSrcIds)
+          spark.table(srcView).withColumn("__sid", monotonically_increasing_id())
+        else spark.table(srcView))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      srcMat.createOrReplaceTempView(srcViewI)
+      val matView = "__graft_mrg_mat"
+      val mat = spark.sql(
+        s"SELECT struct(${tCols.map(c => s"$tAlias.$c").mkString(", ")}) AS __t, " +
+          s"struct(${srcCols.map(c => s"$sAlias.$c").mkString(", ")}) AS __s" +
+          (idCols.map(c => s", $tAlias.$c AS $c") ++
+            (if (needSrcIds) Seq(s", $sAlias.__sid AS __sid") else Nil)).mkString +
+          s" FROM $tgtView AS $tAlias JOIN $srcViewI AS $sAlias ON $cond")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mat.select(Seq(col("__t").as(tAlias), col("__s").as(sAlias)) ++
+        (idCols ++ (if (needSrcIds) Seq("__sid") else Nil)).map(col): _*)
+        .createOrReplaceTempView(matView)
+      try {
+
       def clauseRows(i: Int): DataFrame = {
         val sets = matchedClauses(i).sets
         spark.sql(
           s"SELECT ${tCols.map(c => sets.get(c).map(e => s"($e) AS $c")
             .getOrElse(s"$tAlias.$c AS $c")).mkString(", ")} " +
-            s"FROM $tAlias JOIN $sAlias ON $cond WHERE ${guardOf(i)}")
+            s"FROM $matView WHERE ${guardOf(i)}")
       }
       val updatedDf: Option[DataFrame] = matchedClauses.zipWithIndex
         .filterNot(_._1.isDelete).map { case (_, i) => clauseRows(i) }
@@ -1432,53 +1531,66 @@ object LakehouseSql {
         .filter(_._1.isDelete).map { case (_, i) => clauseRows(i) }
         .reduceOption(_ unionByName _)
       val insertDf: Option[DataFrame] = insertGuard.map { g =>
+        // NOT MATCHED = the source rows whose id never joined — an
+        // anti-join against the (small) matched-id set, not a second
+        // pass over the target
+        mat.select(col("__sid")).distinct()
+          .createOrReplaceTempView("__graft_mrg_sid")
         spark.sql(s"SELECT ${tCols.map(c => s"$sAlias.$c AS $c").mkString(", ")} " +
-          s"FROM $sAlias WHERE NOT EXISTS (SELECT 1 FROM $tAlias WHERE $cond)" +
-          g.map(gg => s" AND ($gg)").getOrElse(""))
+          s"FROM $srcViewI AS $sAlias LEFT ANTI JOIN __graft_mrg_sid " +
+          s"ON $sAlias.__sid = __graft_mrg_sid.__sid" +
+          g.map(gg => s" WHERE ($gg)").getOrElse(""))
       }
 
       val hasUpdates = matchedClauses.exists(!_.isDelete)
-      if (p.keyCols.nonEmpty && hasUpdates) {
-        // the standard MERGE cardinality rule: one source row per key
-        val dup = spark.sql(
-            s"SELECT ${p.keyCols.map(c => s"$tAlias.$c AS $c").mkString(", ")} " +
-              s"FROM $tAlias JOIN $sAlias ON $cond")
-          .groupBy(p.keyCols.map(col): _*)
-          .count().filter(col("count") > lit(1)).limit(1).count()
+      if (hasUpdates) {
+        // the standard MERGE cardinality rule: one source row per
+        // target key — or, keyless, per target ROW identity (a row
+        // matched twice would be deleted once and re-appended once per
+        // source row: silent duplication where standard MERGE errors)
+        val idExprs =
+          if (p.keyCols.nonEmpty) p.keyCols.map(k => s"$tAlias.$k")
+          else idCols
+        val dup = spark.sql(s"SELECT 1 AS one FROM $matView " +
+          s"GROUP BY ${idExprs.mkString(", ")} HAVING count(*) > 1 LIMIT 1")
+          .count()
         require(dup == 0L,
-          "MERGE cardinality violation: a target key matched more than one source row")
-      }
-      if (p.keyCols.isEmpty && hasUpdates) {
-        // keyless (positional) formats get the SAME cardinality rule,
-        // keyed on row identity: a target row matched twice would be
-        // deleted once and re-appended once per source row — silent
-        // duplication where standard MERGE requires an error
-        val tgtWithId = target.withColumn("__rid",
-          org.apache.spark.sql.functions.monotonically_increasing_id())
-        tgtWithId.createOrReplaceTempView(tAlias)
-        val dup = spark.sql(
-            s"SELECT $tAlias.__rid AS __rid FROM $tAlias JOIN $sAlias ON $cond")
-          .groupBy(col("__rid")).count()
-          .filter(col("count") > lit(1)).limit(1).count()
-        target.createOrReplaceTempView(tAlias)
-        require(dup == 0L,
-          "MERGE cardinality violation: a target row matched more than one source row")
+          if (p.keyCols.nonEmpty)
+            "MERGE cardinality violation: a target key matched more than one source row"
+          else
+            "MERGE cardinality violation: a target row matched more than one source row")
       }
 
-      val hasUpdated = updatedDf.exists(_.limit(1).count() == 1)
-      val hasDeleted = deletedDf.exists(_.limit(1).count() == 1)
+      // emptiness flags: ONE aggregate over the persisted join frame
+      // decides which clauses claimed anything (it also materializes
+      // the frame), plus a limit(1) probe on the insert anti-join
+      val (hasUpdated, hasDeleted) =
+        if (matchedClauses.isEmpty) (false, false)
+        else {
+          val flags = spark.sql("SELECT " +
+            matchedClauses.indices.map(i =>
+              s"coalesce(max(CASE WHEN ${guardOf(i)} THEN 1 ELSE 0 END), 0) AS c_$i")
+              .mkString(", ") + s" FROM $matView").head()
+          val claimed = matchedClauses.indices.map(i => flags.getInt(i) == 1)
+          (matchedClauses.zipWithIndex.exists {
+            case (c, i) => !c.isDelete && claimed(i) },
+            matchedClauses.zipWithIndex.exists {
+              case (c, i) => c.isDelete && claimed(i) })
+        }
       val hasInserts = insertDf.exists(_.limit(1).count() == 1)
       if (!hasUpdated && !hasDeleted && !hasInserts)
         // zero-match MERGE is a successful no-op (standard SQL)
         return s"SELECT CAST(${graft.streaming.CdfFeed.coordinate(spark, fmt, dir)} " +
           "AS BIGINT) AS committed_version"
-      // join-matched CLAIMED scan rows — for the positional delete
-      // spelling the matcher re-binds tAlias to the SCAN (its system
-      // columns survive the tAlias.* projection)
+      // the positional writers' matched set: the claimed rows'
+      // (file, pos) straight from the persisted join frame — the
+      // writer's lazily-built scan argument is never executed
       def matcher(scan: DataFrame): DataFrame = {
-        scan.createOrReplaceTempView(tAlias)
-        spark.sql(s"SELECT $tAlias.* FROM $tAlias JOIN $sAlias ON $cond " +
-          s"WHERE $claimedPred")
+        val (fpName, posName) =
+          if (fmt == "iceberg") ("file_path", "pos") else ("__fp", "__pos")
+        locally(scan)
+        spark.sql(s"SELECT __fp AS $fpName, __pos AS $posName " +
+          s"FROM $matView WHERE $claimedPred")
       }
       def appendRows(rows: DataFrame): Long = fmt match {
         case "iceberg" if p.partFields.size > 1 =>
@@ -1564,6 +1676,10 @@ object LakehouseSql {
           }
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+      } finally {
+        mat.unpersist(): Unit
+        srcMat.unpersist(): Unit
+      }
 
     case _ =>
       // read path: substitute each reference with a snapshot temp view
@@ -1623,8 +1739,14 @@ object LakehouseSql {
               .listFiles()).getOrElse(Array.empty)
               .filter(_.getName.startsWith(s"window_${streamName}_"))
               .sortBy(f => f.getName.split("_").last.toLong)
-            siblings.dropRight(4).foreach(
-              org.apache.commons.io.FileUtils.deleteQuietly)
+            siblings.dropRight(4).foreach { f =>
+              // a swept window's listener can never fire usefully again
+              // (the statement that staged it was abandoned) — drop it
+              // with the files so abandoned consumes don't accumulate
+              // plan-walking listeners
+              dropCursorListener(spark, f.getAbsolutePath)
+              org.apache.commons.io.FileUtils.deleteQuietly(f): Unit
+            }
             spark.read.parquet(staged)
           }
         window.createOrReplaceTempView(view)

@@ -936,6 +936,61 @@ class LakehouseSqlSpec extends AnyFunSuite {
     sql("DROP STREAM graft_stream.scs_s")
   }
 
+  test("abandoned consume plans don't accumulate cursor listeners; window re-serves") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((0L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_lkr_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_lkr " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_lkr_src")
+    sql("CREATE STREAM graft_stream.lkr_s ON TABLE graft_delta.lksql_lkr")
+    val base = graft.plans.LakehouseSql.cursorListenerCount
+    // six consuming statements are REWRITTEN (staged + listener) but
+    // never executed — each stages a wider (0, i] window
+    (1 to 6).foreach { i =>
+      sql(s"INSERT INTO graft_delta.lksql_lkr SELECT ${10 + i} AS k, 'A' AS p")
+      sql("SELECT k FROM graft_stream.lkr_s"): Unit // no action
+    }
+    val live = graft.plans.LakehouseSql.cursorListenerCount - base
+    assert(live <= 4,
+      s"abandoned consumes left $live listeners — the keep-last-4 window " +
+        "sweep must drop their listeners too")
+    // the cursor never advanced: the next EXECUTED consume re-serves
+    // every insert since stream creation
+    val got = sql("SELECT k FROM graft_stream.lkr_s")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(got == (11L to 16L).toSeq, s"re-served window: $got")
+    assert(sql("SELECT k FROM graft_stream.lkr_s").collect().isEmpty,
+      "the successful consume commits the cursor")
+    sql("DROP STREAM graft_stream.lkr_s")
+  }
+
+  test("interleaved consumers: monotone max-publish — one wins, one re-serves, no loss") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((0L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_cc_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_cc " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_cc_src")
+    sql("CREATE STREAM graft_stream.cc_s ON TABLE graft_delta.lksql_cc")
+    sql("INSERT INTO graft_delta.lksql_cc SELECT 1 AS k, 'A' AS p")
+    // consumer A stages window (c0, c1] — plan held, not yet executed
+    val dfA = sql("SELECT k FROM graft_stream.cc_s")
+    sql("INSERT INTO graft_delta.lksql_cc SELECT 2 AS k, 'A' AS p")
+    // consumer B stages the WIDER window (c0, c2]
+    val dfB = sql("SELECT k FROM graft_stream.cc_s")
+    // B executes first and wins: cursor → c2
+    assert(dfB.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 2L))
+    // A executes after: its window re-serves (at-least-once duplicate),
+    // and its stale c1 publication must NOT regress the cursor
+    assert(dfA.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(sql("SELECT k FROM graft_stream.cc_s").collect().isEmpty,
+      "stale consumer A's c1 publication regressed the committed c2 cursor")
+    // and nothing was lost: a post-commit insert is served exactly once
+    sql("INSERT INTO graft_delta.lksql_cc SELECT 3 AS k, 'A' AS p")
+    assert(sql("SELECT k FROM graft_stream.cc_s")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    sql("DROP STREAM graft_stream.cc_s")
+  }
+
   test("ALTER DROP/RENAME COLUMN guards: partition and PRIMARY KEY stay") {
     val s2 = spark
     import s2.implicits._
