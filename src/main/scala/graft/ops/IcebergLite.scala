@@ -217,11 +217,17 @@ object IcebergLite {
                    mergeSchema: Boolean = false,
                    partPruneBy: Option[(String, String => Boolean)] = None,
                    transformPrune: Option[(String, String, String => Boolean)] = None,
-                   keepPositions: Boolean = false)
+                   keepPositions: Boolean = false,
+                   pathFilter: Option[String => Boolean] = None)
       : DataFrame = {
     val tasks = planFiles(tableDir, snapshotId, partFilter, statsFilter,
       partPruneBy, transformPrune)
+    // pathFilter restricts the DATA files only (delete files still
+    // apply): the CDC feed reads "the live rows of the files a
+    // snapshot removed" through it
     val dataTasks = tasks.filter(_.content == 0)
+      .filter(t => pathFilter.forall(f =>
+        f(t.path.replaceAll("^file:+", ""))))
     val posDeletePaths = tasks.filter(_.content == 1).map(_.path)
     val eqDeleteTasks = tasks.filter(_.content == 2)
     require(dataTasks.nonEmpty, s"snapshot has no data files in $tableDir")
@@ -348,9 +354,10 @@ object IcebergLite {
     * ignored by design — the incremental contract ships appended rows;
     * row-level retractions ride the delete files and belong to the
     * full-snapshot read (documented spec behavior). REPLACE snapshots
-    * (rewrite_data_files / INSERT OVERWRITE) are STATE MOTION, not
-    * change — their files are skipped, the same discipline as Paimon's
-    * OVERWRITE/COMPACT skip and Delta's dataChange=false. */
+    * (rewrite_data_files) are STATE MOTION, not change — their files
+    * are skipped, the same discipline as Paimon's COMPACT skip and
+    * Delta's dataChange=false. The CDC-complete sibling (overwrites /
+    * truncates as deletes+inserts) is [[readChangesCdc]]. */
   def readIncremental(spark: SparkSession, tableDir: String,
                       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     val fromSeq = snapshotSequence(tableDir, fromSnapshotId)
@@ -369,16 +376,96 @@ object IcebergLite {
         t.sequenceNumber > fromSeq && t.sequenceNumber <= toSeq &&
         !replaceSeqs.contains(t.sequenceNumber))
     require(added.nonEmpty, "no appended data files in the window")
+    readDataPaths(spark, tableDir, added.map(_.path))
+  }
+
+  /** Raw rows of specific data files under the table's declared
+    * (write-named) schema, output logical-named — the shared tail of
+    * the incremental readers. */
+  private def readDataPaths(spark: SparkSession, tableDir: String,
+                            paths: Seq[String]): DataFrame =
     declaredFields(tableDir) match {
       case Some(fs) =>
-        // write-named scan, logical-named output (see readSnapshot)
         val raw = spark.read.schema(org.apache.spark.sql.types.StructType(
           fs.map { case (_, w, dt) =>
             org.apache.spark.sql.types.StructField(w, dt, nullable = true) }))
-          .parquet(added.map(_.path): _*)
+          .parquet(paths: _*)
         if (fs.forall { case (l, w, _) => l == w }) raw
         else raw.select(fs.map { case (l, w, _) => col(w).as(l) }: _*)
-      case None => spark.read.parquet(added.map(_.path): _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
+  /** CDC change rows over (from, to] — the Delta-discipline feed the
+    * table streams consume, completing what [[readIncremental]]'s
+    * append-only contract cannot ship: per snapshot (walked in
+    * sequence order against its OWN predecessor),
+    *  - `replace` snapshots (rewrite_data_files / OPTIMIZE) are STATE
+    *    MOTION — skipped, like Delta's dataChange=false removes and
+    *    Paimon's COMPACT skip;
+    *  - every other operation diffs the live data-file sets: files
+    *    ADDED ship their rows as `_CHANGE_TYPE='insert'` (the append /
+    *    upsert discipline unchanged), files REMOVED (INSERT OVERWRITE's
+    *    replace-all, TRUNCATE's delete) ship their predecessor-LIVE
+    *    rows — position/equality deletes applied as of the predecessor
+    *    snapshot via [[readSnapshot]]'s pathFilter — as
+    *    `_CHANGE_TYPE='delete'`, exactly what a downstream replica
+    *    needs to mirror an overwrite or truncate.
+    * Row-level DML keeps its documented feed shape: position deletes
+    * leave their data files LIVE, so an UPDATE ships replacement rows
+    * as inserts and no per-row deletes (the full-snapshot read owns
+    * retractions). All diffs are manifest walks — metadata-sized at
+    * any table size. Reference: table streams replay the full binlog
+    * delta (nereids/rules/rewrite/NormalizeOlapTableStreamScan.java:18-56). */
+  def readChangesCdc(spark: SparkSession, tableDir: String,
+                     fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    def norm(p: String): String = p.replaceAll("^file:+", "")
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val snaps = meta.get("snapshots")
+    val ordered = (0 until snaps.size).map(snaps.get)
+      .map(s => (s.get("snapshot-id").asLong, s.get("sequence-number").asLong,
+        Option(s.get("summary")).flatMap(x => Option(x.get("operation")))
+          .map(_.asText).getOrElse("append")))
+      .sortBy(_._2)
+    // from = -1: a stream created on a still-empty table consumes from
+    // BEFORE the first snapshot (sequence numbers start at 1)
+    val fromSeq =
+      if (fromSnapshotId < 0) 0L else snapshotSequence(tableDir, fromSnapshotId)
+    val toSeq = snapshotSequence(tableDir, toSnapshotId)
+    require(fromSeq < toSeq, s"from ($fromSeq) must precede to ($toSeq)")
+    def liveData(id: Long): Map[String, FileTask] =
+      planFiles(tableDir, Some(id)).filter(_.content == 0)
+        .map(t => norm(t.path) -> t).toMap
+    val parts = ordered.filter(s => s._2 > fromSeq && s._2 <= toSeq)
+      .flatMap { case (id, seq, op) =>
+        if (op == "replace") Nil // state motion, not change
+        else {
+          val prevId = ordered.takeWhile(_._2 < seq).lastOption.map(_._1)
+          val before = prevId.map(liveData).getOrElse(Map.empty)
+          val after = liveData(id)
+          val addedPaths = (after.keySet -- before.keySet).toSeq.sorted
+          val removedPaths = before.keySet -- after.keySet
+          val insDf =
+            if (addedPaths.isEmpty) None
+            else Some(readDataPaths(spark, tableDir,
+              addedPaths.map(after(_).path))
+              .withColumn("_CHANGE_TYPE", lit("insert")))
+          val delDf =
+            if (removedPaths.isEmpty) None
+            else Some(readSnapshot(spark, tableDir, Some(prevId.get),
+              pathFilter = Some(removedPaths.contains))
+              .withColumn("_CHANGE_TYPE", lit("delete")))
+          insDf.toSeq ++ delDf.toSeq
+        }
+      }
+    parts.reduceOption(_ unionByName _).getOrElse {
+      // a window of pure state motion: empty, feed-shaped
+      val dataSchema = readSnapshot(spark, tableDir, Some(toSnapshotId)).schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(dataSchema.fields :+
+          org.apache.spark.sql.types.StructField("_CHANGE_TYPE",
+            org.apache.spark.sql.types.StringType, nullable = false)))
     }
   }
 

@@ -282,16 +282,20 @@ object IcebergWriter {
       summaryProps = Map.empty, replaceAll = true)
   }
 
-  /** INSERT OVERWRITE: one REPLACE snapshot whose manifest list names
-    * only `df`'s new files — readers see the old state or the new,
-    * never a mix. Old snapshots still time travel until expiry. Like
-    * all REPLACE commits, conflicts fail loudly (no retry). */
+  /** INSERT OVERWRITE: one replace-all snapshot (stamped with the
+    * spec's `overwrite` operation) whose manifest list names only
+    * `df`'s new files — readers see the old state or the new, never a
+    * mix. Old snapshots still time travel until expiry. Like all
+    * replace-all commits, conflicts fail loudly (no retry). */
   def overwrite(spark: SparkSession, tableDir: String, df: DataFrame,
                 partCol: Option[String] = None): Long = {
     require(currentVersion(tableDir) > 0,
       "overwrite of an unknown table — use append")
+    // stamped "overwrite" (the spec's INSERT OVERWRITE operation): a
+    // DATA change the CDC feed ships as deletes + inserts, unlike
+    // rewrite_data_files' "replace" (state motion, skipped)
     commit(spark, tableDir, df, partCol, upsertKeysIn = None,
-      summaryProps = Map.empty, replaceAll = true)
+      summaryProps = Map.empty, replaceAll = true, replaceOp = "overwrite")
   }
 
   /** ROW-LEVEL DELETE via v2 POSITION DELETES: one distributed scan
@@ -554,6 +558,7 @@ object IcebergWriter {
                      partColIn: Option[String], upsertKeysIn: Option[Seq[String]],
                      summaryProps: Map[String, String] = Map.empty,
                      replaceAll: Boolean = false,
+                     replaceOp: String = "replace",
                      filesPerPart: Int = 1,
                      beforePublish: () => Unit = () => (),
                      skipIfBatchCommitted: Option[Long] = None,
@@ -920,7 +925,7 @@ object IcebergWriter {
       snapNode.put("manifest-list", manifestList)
       val summaryNode = snapNode.putObject("summary")
       summaryNode.put("operation",
-        if (replaceAll) "replace"
+        if (replaceAll) replaceOp
         else if (upsertKeys.isDefined || posDelFiles.nonEmpty) "overwrite"
         else "append")
       summaryProps.foreach { case (k, v) => summaryNode.put(k, v) }
@@ -1008,7 +1013,10 @@ object IcebergWriter {
     snapNode.put("sequence-number", seq)
     snapNode.put("timestamp-ms", 1700000000000L + seq)
     snapNode.put("manifest-list", manifestList)
-    snapNode.putObject("summary").put("operation", "replace")
+    // TRUNCATE is a DATA change (every live row removed) — stamped
+    // "delete" so the CDC feed ships the truncated rows as deletes;
+    // "replace" stays reserved for state motion (rewrite_data_files)
+    snapNode.putObject("summary").put("operation", "delete")
     require(casPublish(tableDir, curVersion + 1,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
       "TRUNCATE lost a version race with a concurrent commit — rerun")

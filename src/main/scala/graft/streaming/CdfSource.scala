@@ -124,8 +124,11 @@ object CdfFeed {
           IcebergLite.readSnapshot(spark, dir, Some(to))
             .withColumn("_CHANGE_TYPE", lit("insert"))
         case Some(f) =>
-          IcebergLite.readIncremental(spark, dir, f, to)
-            .withColumn("_CHANGE_TYPE", lit("insert"))
+          // per-operation replace handling: appends/upserts ship as
+          // inserts, INSERT OVERWRITE / TRUNCATE ship removed rows as
+          // deletes + new rows as inserts, rewrite_data_files stays
+          // skipped (state motion) — the Delta feed's discipline
+          IcebergLite.readChangesCdc(spark, dir, f, to)
       }
     case "hudi" =>
       HudiLite.readIncrementalMor(spark, dir,

@@ -48,6 +48,50 @@ class CdfSourceSpec extends AnyFunSuite {
       s"a REPLACE snapshot's files are state motion, not change: $inc")
   }
 
+  test("iceberg CDC feed: overwrite ships deletes+inserts, truncate ships deletes, rewrite skipped") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.{IcebergLite, IcebergWriter}
+    val dir = fresh("ice_cdc_ops")
+    val s1 = IcebergWriter.append(spark, dir,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), Some("p"))
+    // INSERT OVERWRITE: a DATA change — old rows ship as deletes, new as inserts
+    val s2v = IcebergWriter.overwrite(spark, dir,
+      Seq((3L, "A"), (4L, "B")).toDF("k", "p"), Some("p"))
+    val w1 = IcebergLite.readChangesCdc(spark, dir, s1, s2v)
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w1 == Set((1L, "delete"), (2L, "delete"),
+      (3L, "insert"), (4L, "insert")), s"overwrite window: $w1")
+    // rewrite_data_files: STATE MOTION — the CDC feed ships nothing
+    IcebergWriter.rewriteDataFiles(spark, dir, Some("p")): Unit
+    val s3 = IcebergWriter.append(spark, dir, Seq((5L, "A")).toDF("k", "p"),
+      Some("p"))
+    val w2 = IcebergLite.readChangesCdc(spark, dir, s2v, s3)
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w2 == Set((5L, "insert")),
+      s"a rewrite's file churn must not ship as change: $w2")
+    // TRUNCATE: every live row ships as a delete
+    val s4 = IcebergWriter.truncateTable(spark, dir)
+    val w3 = IcebergLite.readChangesCdc(spark, dir, s3, s4)
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w3 == Set((3L, "delete"), (4L, "delete"), (5L, "delete")),
+      s"truncate window: $w3")
+    // deletes respect the PREDECESSOR's row-level state: a position-
+    // deleted row must not resurrect in a later overwrite/truncate window
+    val s5 = IcebergWriter.append(spark, dir,
+      Seq((6L, "A"), (7L, "A")).toDF("k", "p"), Some("p"))
+    IcebergWriter.deleteRows(spark, dir, $"k" === 6L): Unit
+    val s7 = IcebergWriter.truncateTable(spark, dir)
+    val w4 = IcebergLite.readChangesCdc(spark, dir, s5, s7)
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w4 == Set((7L, "delete")),
+      s"only the LIVE rows of a truncated snapshot ride as deletes: $w4")
+  }
+
   test("iceberg incremental source: initial snapshot, appends-only windows, resume") {
     val s2 = spark
     import s2.implicits._
