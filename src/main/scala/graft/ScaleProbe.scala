@@ -505,6 +505,39 @@ object ScaleProbe {
       if (pcV != 4L % 997L + 1000000L)
         failures += s"paimon compaction value drift: k=4 has v=$pcV"
 
+      // PAIMON LEVELED PARTIAL COMPACTION (r14): a tiny L0 wave on the
+      // fully-compacted 200k table — OPTIMIZE must rewrite O(new data),
+      // carrying the max-level tail forward VERBATIM, never a
+      // full-bucket rewrite
+      val pcAbs = new java.io.File(pcDir).getAbsolutePath
+      def lvlBytes(fs: Seq[graft.ops.PaimonLite.FileMeta]): Long =
+        fs.map(f => new java.io.File(pcAbs, f.path).length()).sum
+      val maxBefore = graft.ops.PaimonLite.planFiles(pcAbs)
+        .filter(_.level == graft.ops.PaimonWriter.MaxLevel)
+      spark.sql("INSERT INTO graft_paimon.sqlscale_pc " +
+        "SELECT k, p, v + 3000000 AS v FROM sqlscale_pc_src WHERE k % 1000 = 0")
+      val t4b = System.nanoTime()
+      spark.sql("OPTIMIZE graft_paimon.sqlscale_pc")
+      val optPS = (System.nanoTime() - t4b) / 1e9
+      val postP = graft.ops.PaimonLite.planFiles(pcAbs)
+      val mids = postP.filter(f =>
+        f.level > 0 && f.level < graft.ops.PaimonWriter.MaxLevel)
+      val maxAfter = postP.filter(_.level == graft.ops.PaimonWriter.MaxLevel)
+      println(f"[sqlscale] paimon PARTIAL compaction: $optPS%.1f s, " +
+        s"rewrote ${lvlBytes(mids)} bytes at intermediate levels vs " +
+        s"${lvlBytes(maxAfter)} max-level bytes carried forward")
+      if (maxAfter.map(_.path).toSet != maxBefore.map(_.path).toSet)
+        failures += "partial compaction rewrote the max-level tail"
+      if (mids.isEmpty)
+        failures += "partial compaction landed no intermediate-level files"
+      if (lvlBytes(mids) * 4 > lvlBytes(maxAfter))
+        failures += s"partial compaction rewrote ${lvlBytes(mids)} bytes — " +
+          "not O(new data)"
+      val pcV2 = spark.sql(
+        "SELECT v FROM graft_paimon.sqlscale_pc WHERE k = 1000").head().getLong(0)
+      if (pcV2 != 1000L % 997L + 3000000L)
+        failures += s"partial compaction value drift: k=1000 has v=$pcV2"
+
       // TRUNCATE at scale: 400k rows gone in ONE metadata-sized commit
       // (removes-only JSON — no data bytes move), then a refill insert
       // proves the table stays writable

@@ -679,6 +679,60 @@ object DeltaWriter {
     committed
   }
 
+  /** VALUE-REWRITING type change (the reference's rewrite-tier schema
+    * change, SchemaChangeHandler's non-LIGHT path; sanctioned cases in
+    * [[TypeWiden.retypeOk]]): every live row rewrites with the column
+    * cast to the new type, and the new-schema metaData action, the
+    * removes of every old file and the new files' adds land in ONE
+    * atomic commit — a reader sees the old (schema, data) pair or the
+    * new, never a mix, and a crash between halves cannot happen. The
+    * remove/add pair carries dataChange=false: the logical row set is
+    * unchanged (state motion), so the change feed stays quiet, like a
+    * compaction. */
+  def retypeColumn(spark: SparkSession, tableDir: String,
+                   name: String, sqlType: String,
+                   partCol: Option[String]): Long = {
+    import org.apache.spark.sql.types._
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    val cur: StructType = DeltaLite.tableSchemaString(spark, tableDir)
+      .map(ss => DataType.fromJson(ss).asInstanceOf[StructType])
+      .getOrElse(DeltaLite.readVersion(spark, tableDir).schema)
+    val f = cur.fields.find(_.name == name)
+      .getOrElse(sys.error(s"no column $name"))
+    require(TypeWiden.retypeOk(f.dataType, dt),
+      s"cannot retype $name from ${f.dataType.simpleString} to " +
+        s"${dt.simpleString} — sanctioned rewrites: byte/short/int/bigint " +
+        "-> string")
+    val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
+    // an EMPTY table (created empty / truncated) retypes metadata-only
+    val (moved, partColW) =
+      if (old.isEmpty) (Nil, partCol)
+      else {
+        val rows = DeltaLite.readVersion(spark, tableDir)
+          .withColumn(name, col(name).cast(dt))
+        val (df, pw) = toPhysical(spark, tableDir, rows, partCol)
+        (stageParquet(spark, tableDir, df, pw, "rt"), pw)
+      }
+    val evolved = StructType(cur.fields.map(fl =>
+      if (fl.name == name) fl.copy(dataType = dt) else fl))
+    val md = latestMetaDataNode(spark, tableDir).getOrElse(
+      sys.error("retype on a table without metaData"))
+    md.put("schemaString", evolved.json)
+    val version = nextVersion(tableDir)
+    val dir = new java.io.File(tableDir)
+    val lines = Seq(s"""{"metaData":${mapper.writeValueAsString(md)}}""") ++
+      old.map { a =>
+        s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + version},"dataChange":false}}"""
+      } ++ moved.map { case (rel, part) =>
+        val pv = part.map(p => s""""${partColW.get}":"$p"""").getOrElse("")
+        s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":false}}"""
+      }
+    writeCommit(tableDir, version, lines)
+    maybeCheckpoint(spark, tableDir, version)
+    version
+  }
+
   /** The scan every DML matcher sees: declared (physical-named) schema
     * planned explicitly when one exists — pre-evolution files null-fill
     * — then aliased to the LOGICAL names the matcher speaks, keeping

@@ -565,7 +565,9 @@ object IcebergWriter {
                      partTransform: String = "identity",
                      posDelFiles: Seq[(String, Long, Long)] = Nil,
                      singleShot: Boolean = false,
-                     partFieldsIn: Seq[(String, String)] = Nil): Long = {
+                     partFieldsIn: Seq[(String, String)] = Nil,
+                     retypeField: Option[(String,
+                       org.apache.spark.sql.types.DataType)] = None): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "metadata").mkdirs()
@@ -879,6 +881,34 @@ object IcebergWriter {
         }
       }
 
+      // VALUE-REWRITING RETYPE: a replace-all rewrite may re-type one
+      // declared field in the SAME metadata swap — the new schema entry
+      // and the rewritten files commit atomically (one CAS), so a
+      // reader sees the old (schema, data) pair or the new, never a mix
+      retypeField.foreach { case (rn, rdt) =>
+        val fields = IcebergLite.declaredFieldsOf(meta).getOrElse(
+          sys.error("retype needs a declared schema"))
+        require(fields.exists(_._1 == rn), s"no column $rn")
+        val schemas = meta.withArray[ArrayNode]("schemas")
+        val newId = (0 until schemas.size)
+          .map(schemas.get(_).get("schema-id").asInt).foldLeft(-1)(math.max) + 1
+        val node = schemas.addObject()
+        node.put("schema-id", newId)
+        node.put("type", "struct")
+        val fs = node.putArray("fields")
+        fields.map { case (l, w, dt) =>
+          (l, w, if (l == rn) rdt else dt)
+        }.zipWithIndex.foreach { case ((l, w, dt), i) =>
+          val fn = fs.addObject()
+          fn.put("id", i + 1)
+          fn.put("name", l)
+          fn.put("required", false)
+          fn.put("type", IcebergLite.icebergTypeName(dt))
+          if (w != l) fn.put("write-name", w)
+        }
+        meta.put("current-schema-id", newId)
+      }
+
       // manifest list: current snapshot's manifests carried forward +
       // the new one (append semantics); REPLACE lists only the new one
       val prevManifests: Seq[GenericRecord] = if (replaceAll) Nil
@@ -1022,6 +1052,43 @@ object IcebergWriter {
       "TRUNCATE lost a version race with a concurrent commit — rerun")
     advanceHint(tableDir, curVersion + 1)
     snapId
+  }
+
+  /** VALUE-REWRITING type change (sanctioned cases in
+    * [[TypeWiden.retypeOk]]): every live row rewrites with the column
+    * cast to the new type, committed as ONE replace-all snapshot whose
+    * metadata swap ALSO carries the re-typed schema — atomic at the
+    * CAS, like [[DeltaWriter.retypeColumn]]. Stamped "replace": the
+    * logical row set is unchanged (state motion), so the CDC feed
+    * stays quiet, like a compaction. An empty table retypes
+    * metadata-only. */
+  def retypeColumn(spark: SparkSession, tableDir: String,
+                   name: String, sqlType: String,
+                   partCol: Option[String] = None,
+                   partTransform: String = "identity",
+                   partFields: Seq[(String, String)] = Nil): Long = {
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sqlType)
+    val declared = IcebergLite.declaredFields(tableDir).getOrElse(
+      sys.error("retype needs a declared schema — this table predates " +
+        "schema declarations (CREATE it through the SQL route)"))
+    val f = declared.find(_._1 == name).getOrElse(sys.error(s"no column $name"))
+    require(TypeWiden.retypeOk(f._3, dt),
+      s"cannot retype $name from ${f._3.simpleString} to " +
+        s"${dt.simpleString} — sanctioned rewrites: byte/short/int/bigint " +
+        "-> string")
+    if (!IcebergLite.planFiles(tableDir).exists(_.content == 0)) {
+      // empty table: the schema swap alone
+      evolveSchema(spark, tableDir, "ALTER COLUMN TYPE")(fields =>
+        fields.map { case (l, w, fdt) =>
+          (l, w, if (l == name) dt else fdt) }): Unit
+      return currentVersion(tableDir).toLong
+    }
+    val rows = IcebergLite.readSnapshot(spark, tableDir)
+      .withColumn(name, org.apache.spark.sql.functions.col(name).cast(dt))
+    commit(spark, tableDir, rows, partCol, upsertKeysIn = None,
+      replaceAll = true, singleShot = true, partTransform = partTransform,
+      partFieldsIn = partFields, retypeField = Some((name, dt)))
   }
 
   /** ADD COLUMN schema evolution, writer half (spec "Schemas" /

@@ -34,6 +34,15 @@ import org.apache.spark.sql.functions._
   * [[PaimonLite]] chain against oracles recomputed by predicate. */
 object PaimonWriter {
 
+  /** The stored partition value: the raw column (identity) or a
+    * monotone date transform (day/month/year — the same spellings and
+    * formats [[IcebergWriter.transformCol]] stamps, so the SQL route's
+    * transform pruning compares like against like). */
+  private def partExpr(df: org.apache.spark.sql.DataFrame, partCol: String,
+                       partTransform: String): org.apache.spark.sql.Column =
+    if (partTransform == "identity") col(partCol).cast("string")
+    else IcebergWriter.transformCol(df, partCol, partTransform)
+
   /** APPEND-ONLY (non-PK) table write — the spec's "Append Table":
     * no primary key, no LSM merge, rows are immutable facts. The data
     * pass is one distributed partition-clustered write (no bucket
@@ -45,7 +54,8 @@ object PaimonWriter {
   def appendOnly(spark: SparkSession, tableDir: String, dfIn: DataFrame,
                  partColIn: String,
                  beforeCommit: () => Unit = () => (),
-                 overwriteAll: Boolean = false): Long = {
+                 overwriteAll: Boolean = false,
+                 partTransform: String = "identity"): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
@@ -62,7 +72,7 @@ object PaimonWriter {
       else 0L
     val snapId = curSnap + 1
     val staging = s"$tableDir/stage_s$snapId"
-    df.withColumn("__part", col(partCol).cast("string"))
+    df.withColumn("__part", partExpr(df, partCol, partTransform))
       .repartition(col("__part"))
       .write.partitionBy("__part").mode("overwrite").parquet(staging)
     def parquetsUnder(d: java.io.File): Seq[java.io.File] =
@@ -253,7 +263,8 @@ object PaimonWriter {
              numBuckets: Int = 4, changelogProducer: Boolean = false,
              batchId: Option[Long] = None,
              beforeCommit: () => Unit = () => (),
-             overwriteAll: Boolean = false): Long = {
+             overwriteAll: Boolean = false,
+             partTransform: String = "identity"): Long = {
     require(keyColsIn.contains(partColIn),
       "paimon requires the partition column inside the primary key")
     val dir = new java.io.File(tableDir)
@@ -294,7 +305,7 @@ object PaimonWriter {
     val staged = withKind
       .withColumn("_SEQUENCE_NUMBER",
         lit(lastSeq + 1) + monotonically_increasing_id())
-      .withColumn("__part", col(partCol).cast("string"))
+      .withColumn("__part", partExpr(withKind, partCol, partTransform))
       .withColumn("__bucket", pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
     val staging = s"$tableDir/stage_s$snapId"
     staged.repartition(col("__part"), col("__bucket"))
@@ -618,24 +629,37 @@ object PaimonWriter {
     snapId
   }
 
-  /** FULL COMPACTION (the spec's full-compaction / the OPTIMIZE verb's
-    * paimon spelling): per (partition, bucket) whose LSM holds more
-    * than one file or any level-0 file, merge the bucket under the
-    * deduplicate engine and rewrite it as ONE max-level file. Commits
-    * ONE snapshot with commitKind=COMPACT whose delta manifest DELETEs
-    * the inputs and ADDs the outputs — state motion, not change:
-    * incremental/changelog readers skip it, older snapshots still see
-    * the pre-compaction files until expiry reclaims them. Retraction
-    * winners (-U/-D) DROP during the rewrite — sound only because full
-    * compaction covers the whole bucket, so a dropped tombstone has no
-    * lower level left to mask (below max level a -D must be kept).
+  /** COMPACTION (the OPTIMIZE verb's paimon spelling): per
+    * (partition, bucket) whose LSM holds more than one file or any
+    * level-0 file, merge under the deduplicate engine — choosing FULL
+    * or PARTIAL (leveled) per bucket by COMPACTION DEBT:
+    *
+    *  - FULL (the spec's full-compaction): every file of the bucket
+    *    merges into ONE max-level file. Retraction winners (-U/-D)
+    *    DROP — sound only here, because nothing below is left to mask.
+    *  - PARTIAL (the spec's leveled compaction): when the bucket's
+    *    already-compacted tail dominates its level-0 debt (non-L0
+    *    bytes > 4× L0 bytes), ONLY the level-0 files merge, into one
+    *    file at an INTERMEDIATE level — and retraction winners are
+    *    KEPT: a -D below max level must keep masking the older rows in
+    *    the untouched files (dropping it would resurrect them). Sound
+    *    because only non-winning input rows are removed — each had a
+    *    higher (seq, kind) sibling among the inputs, so the global
+    *    per-key merge result is unchanged. OPTIMIZE on a huge bucket
+    *    thus pays O(new data), not a full-bucket rewrite.
+    *
+    * Commits ONE snapshot with commitKind=COMPACT whose delta manifest
+    * DELETEs the inputs and ADDs the outputs — state motion, not
+    * change: incremental/changelog readers skip it, older snapshots
+    * still see the pre-compaction files until expiry reclaims them.
     * Single-shot on CAS loss like the other rewrite verbs — a stale
     * merge must not retry against a moved table. Distributed: the merge
-    * is one (part, bucket) repartition; the driver sees footer stats.
-    * Returns the COMPACT snapshot id, or -1 when nothing needs
-    * compacting. */
+    * is one (part, bucket) repartition; the driver sees footer stats
+    * and file-length metadata only. Returns the COMPACT snapshot id,
+    * or -1 when nothing needs compacting. */
   def compact(spark: SparkSession, tableDir: String,
-              keyColsIn: Seq[String], partColIn: String): Long = {
+              keyColsIn: Seq[String], partColIn: String,
+              partTransform: String = "identity"): Long = {
     val typePath = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
     require(java.nio.file.Files.exists(typePath) &&
       java.nio.file.Files.readString(typePath).trim == "primary-key",
@@ -649,30 +673,47 @@ object PaimonWriter {
       fs.size > 1 || fs.exists(_.level == 0)
     }
     if (targets.isEmpty) return -1L
-    val inputs = targets.values.flatten.toSeq
+    // per-bucket debt policy: (inputs, output level, dropDeletes)
+    val groups: Map[(Option[String], Int), (Seq[PaimonLite.FileMeta], Int, Boolean)] =
+      targets.map { case (pb, fs) =>
+        val l0 = fs.filter(_.level == 0)
+        val rest = fs.filterNot(_.level == 0)
+        def sz(xs: Seq[PaimonLite.FileMeta]): Long =
+          xs.map(f => new java.io.File(tableDir, f.path).length()).sum
+        pb -> (
+          if (l0.nonEmpty && rest.nonEmpty && sz(rest) > 4L * sz(l0))
+            (l0, math.min(MaxLevel - 1, l0.map(_.level).max + 1), false)
+          else (fs, MaxLevel, true))
+      }
+    val inputs = groups.values.flatMap(_._1).toSeq
     val snapId = curSnap + 1
     val buckets = java.nio.file.Files.readString(
       java.nio.file.Paths.get(tableDir, "snapshot", "BUCKETS")).trim.toInt
-    // merge per key over the TARGET buckets only (untouched buckets'
-    // files carry forward verbatim): max-seq row wins, retraction
-    // winners drop — the same order readSnapshot uses
+    // merge per key over the chosen INPUT files only (untouched buckets
+    // and a partial bucket's compacted tail carry forward verbatim):
+    // max-(seq, kind) row wins — the same order readSnapshot uses
     val data = PaimonLite.readAligned(spark, tableDir,
       inputs.map(f => s"$tableDir/${f.path}"), withSystem = true)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc)
-    val merged = data.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1 &&
-        col("_VALUE_KIND").isin(PaimonLite.KindInsert, PaimonLite.KindUpdateAfter))
+    val winners = data.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .drop("__rn")
     // rows re-derive (part, bucket) exactly as append() stamped them:
     // part = cast(partCol as string), bucket = pmod(hash(keys), buckets)
     val partCol = wn.getOrElse(partColIn, partColIn)
     require(keyCols.contains(partCol),
       "paimon requires the partition column inside the primary key")
-    val staged = merged
-      .withColumn("__part", col(partCol).cast("string"))
+    // tombstone winners drop on FULL buckets only (metadata-sized map)
+    val dropMap = typedLit(groups.map { case ((p, b), (_, _, drop)) =>
+      s"${p.getOrElse("")}|$b" -> drop })
+    val staged = winners
+      .withColumn("__part", partExpr(winners, partCol, partTransform))
       .withColumn("__bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
+      .filter(!element_at(dropMap,
+        concat(col("__part"), lit("|"), col("__bucket"))) ||
+        col("_VALUE_KIND").isin(PaimonLite.KindInsert, PaimonLite.KindUpdateAfter))
     val staging = s"$tableDir/stage_c$snapId"
     staged.repartition(col("__part"), col("__bucket"))
       .write.partitionBy("__part", "__bucket")
@@ -699,7 +740,9 @@ object PaimonWriter {
         java.nio.file.Files.move(f.toPath, dst.toPath)
         val (rows, bytes, lo, hi) =
           IcebergWriter.footerStats(dst.getAbsolutePath, conf)
-        (PaimonLite.FileMeta(rel, Some(part), bucket, level = MaxLevel,
+        val outLevel = groups.get((Some(part), bucket)).map(_._2)
+          .getOrElse(MaxLevel)
+        (PaimonLite.FileMeta(rel, Some(part), bucket, level = outLevel,
           minSeq = lo.getOrElse("_SEQUENCE_NUMBER", 0L),
           maxSeq = hi.getOrElse("_SEQUENCE_NUMBER", 0L),
           rowCount = rows), bytes)

@@ -32,4 +32,14 @@ object TypeWiden {
         "sanctioned promotions: byte/short/int -> bigint, " +
         "byte/short/int -> double, float -> double, " +
         "decimal(p,s) -> decimal(p'>p, s)")
+
+  /** Sanctioned VALUE-REWRITING changes — the reference's rewrite-tier
+    * schema change (SchemaChangeHandler's non-LIGHT path): a
+    * cross-family change every live file must rewrite under. Kept to
+    * integral → string, where the cast is total (no overflow, no
+    * parse failure) so the rewrite cannot lose rows. */
+  def retypeOk(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType | ShortType | IntegerType | LongType, StringType) => true
+    case _ => false
+  }
 }

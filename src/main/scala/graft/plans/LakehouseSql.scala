@@ -116,7 +116,8 @@ object LakehouseSql {
       "([A-Za-z_]\\w*(?:\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)\\s*$").r
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
-      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+([A-Za-z_]\\w*)" +
+      "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+" +
+      "((?:graft_(?:iceberg|delta|hudi|paimon)\\.)?[A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)" +
       "(\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+)$").r
   // one WHEN clause of the chain (split on the WHEN keywords above):
@@ -228,6 +229,17 @@ object LakehouseSql {
   private def dropCursorListener(spark: SparkSession, stagedAbs: String): Unit =
     Option(cursorListeners.remove(normPath(stagedAbs)))
       .foreach(spark.listenerManager.unregister)
+
+  /** Delete every staged window dir of `streamName` (and its
+    * listeners) — a stream's windows die with it. */
+  private def sweepStreamWindows(spark: SparkSession, streamName: String): Unit =
+    Option(new java.io.File(s"${warehouse(spark)}/_streams").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(s"window_${streamName}_"))
+      .foreach { f =>
+        dropCursorListener(spark, f.getAbsolutePath)
+        org.apache.commons.io.FileUtils.deleteQuietly(f): Unit
+      }
 
   /** Publish `newCursor` only when a query that actually SCANS the
     * staged window succeeds — the table-stream commit-on-success rule
@@ -639,11 +651,17 @@ object LakehouseSql {
         def rd(pf: Option[String => Boolean]): DataFrame =
           if (p.keyCols.isEmpty) PaimonLite.readAppendOnly(spark, dir, version, pf)
           else PaimonLite.readSnapshot(spark, dir, p.keyCols, version, pf)
-        pred match {
+        // transformed specs prune by the transformed bounds — the
+        // stored partition values are day/month/year strings, the same
+        // monotone pushdown the iceberg branch gets
+        val paimonPred: Option[String => Boolean] =
+          if (p.partTransform == "identity") pred
+          else transformPruneOf(p, prune).map(_._3)
+        paimonPred match {
           case Some(f) =>
             val planned = PaimonLite.planFiles(dir, version, Some(f)).size
             record(planned, PaimonLite.planFiles(dir, version).size)
-            if (planned == 0) emptyFrame() else rd(pred)
+            if (planned == 0) emptyFrame() else rd(paimonPred)
           case None => rd(None)
         }
     }
@@ -698,11 +716,13 @@ object LakehouseSql {
     case "paimon"  =>
       if (p.keyCols.isEmpty) {
         require(p.partCol.nonEmpty, "graft_paimon tables need PARTITIONED BY")
-        PaimonWriter.appendOnly(spark, dir, df, p.partCol.get)
+        PaimonWriter.appendOnly(spark, dir, df, p.partCol.get,
+          partTransform = p.partTransform)
       } else {
         require(p.partCol.exists(p.keyCols.contains),
           "paimon PRIMARY KEY must include the partition column")
-        PaimonWriter.append(spark, dir, df, p.partCol.get, p.keyCols)
+        PaimonWriter.append(spark, dir, df, p.partCol.get, p.keyCols,
+          partTransform = p.partTransform)
       }
   }
 
@@ -748,7 +768,8 @@ object LakehouseSql {
       HudiLite.upsert(spark, dir, rows, p.keyCols, p.partCol.get, instant)
       instant.toLong
     case "paimon" =>
-      PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
+      PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols,
+        partTransform = p.partTransform)
     case other => sys.error(s"no PK upsert for $other")
   }
 
@@ -771,9 +792,10 @@ object LakehouseSql {
             .map(parsePartSpec))
           .getOrElse(Seq.empty)
       parsedParts.foreach { case (_, tr) =>
-        require(tr == "identity" || fmt == "iceberg",
-          s"partition transforms are an Iceberg spec feature — graft_$fmt " +
-            "takes an identity column")
+        require(tr == "identity" || fmt == "iceberg" ||
+          (fmt == "paimon" && Set("day", "month", "year")(tr)),
+          s"partition transform $tr is not supported on graft_$fmt " +
+            "(iceberg: all transforms; paimon: day/month/year)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -827,9 +849,10 @@ object LakehouseSql {
           .getOrElse(Seq.empty)
       parsedParts.foreach { case (c, tr) =>
         require(schema.fieldNames.contains(c), s"unknown partition column $c")
-        require(tr == "identity" || fmt == "iceberg",
-          s"partition transforms are an Iceberg spec feature — graft_$fmt " +
-            "takes an identity column")
+        require(tr == "identity" || fmt == "iceberg" ||
+          (fmt == "paimon" && Set("day", "month", "year")(tr)),
+          s"partition transform $tr is not supported on graft_$fmt " +
+            "(iceberg: all transforms; paimon: day/month/year)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -915,9 +938,9 @@ object LakehouseSql {
           // reader at it sees only the new files; history time-travels
           if (p.keyCols.isEmpty)
             PaimonWriter.appendOnly(spark, dir, aligned, p.partCol.get,
-              overwriteAll = true)
+              overwriteAll = true, partTransform = p.partTransform)
           else PaimonWriter.append(spark, dir, aligned, p.partCol.get,
-            p.keyCols, overwriteAll = true)
+            p.keyCols, overwriteAll = true, partTransform = p.partTransform)
         case "hudi" =>
           // ONE replacecommit instant: the replay supersedes every
           // previous file group (insert_overwrite_table)
@@ -1025,7 +1048,8 @@ object LakehouseSql {
             .readSnapshot(spark, dir, p.keyCols, None, identityPrune)
             .filter(expr(cond))
             .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
-          PaimonWriter.append(spark, dir, victims, p.partCol.get, p.keyCols)
+          PaimonWriter.append(spark, dir, victims, p.partCol.get, p.keyCols,
+            partTransform = p.partTransform)
         case "hudi" =>
           val keys = HudiLite
             .readSnapshotMor(spark, dir, p.keyCols, None, identityPrune)
@@ -1163,6 +1187,7 @@ object LakehouseSql {
       require(java.nio.file.Files.exists(f),
         s"unknown stream graft_stream.$streamName")
       java.nio.file.Files.delete(f)
+      sweepStreamWindows(spark, streamName)
       s"SELECT '$streamName' AS dropped_stream"
 
     case CreateStreamRe(streamName, fmt, tblName) =>
@@ -1170,6 +1195,10 @@ object LakehouseSql {
       readProps(dir): Unit // table must exist
       require(!java.nio.file.Files.exists(streamFile(spark, streamName)),
         s"stream graft_stream.$streamName already exists")
+      // a PREVIOUS stream of this name (dropped out-of-band) may have
+      // left staged windows whose coordinates would poison the fresh
+      // cursor's keep-last-4 sweep ordering — clear them first
+      sweepStreamWindows(spark, streamName)
       // the cursor starts NOW: the stream ships changes made after its
       // creation (the snapshot-stream contract)
       writeStreamState(spark, streamName, fmt, tblName,
@@ -1246,16 +1275,48 @@ object LakehouseSql {
       require(!p.keyCols.contains(colName),
         s"cannot widen PRIMARY KEY column $colName — key hashing and " +
           "index routing must stay stable")
-      fmt match {
-        case "iceberg" =>
-          IcebergWriter.widenColumn(spark, dir, colName, sqlType): Unit
-        case "delta" =>
-          DeltaWriter.widenColumn(spark, dir, colName, sqlType): Unit
-        case "paimon" =>
-          PaimonWriter.widenColumn(spark, dir, colName, sqlType): Unit
-        case "hudi" => HudiLite.widenColumn(spark, dir, colName, sqlType)
+      // tier choice, the reference's schema-change split
+      // (SchemaChangeHandler: LIGHT_SCHEMA_CHANGE vs the rewrite tier):
+      // sanctioned PROMOTIONS are metadata-only; sanctioned
+      // CROSS-FAMILY changes (integral → string) REWRITE every live
+      // file — one atomic commit on delta/iceberg, loud refusal where
+      // the schema file and the data commit are separate swap points
+      val curType = declaredLogicalSchema(spark, fmt, dir)
+        .map(_.apply(colName).dataType)
+        .getOrElse(reader(spark, fmt, dir, p).schema(colName).dataType)
+      val newType = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(sqlType)
+      if (graft.ops.TypeWiden.ok(curType, newType)) {
+        fmt match {
+          case "iceberg" =>
+            IcebergWriter.widenColumn(spark, dir, colName, sqlType): Unit
+          case "delta" =>
+            DeltaWriter.widenColumn(spark, dir, colName, sqlType): Unit
+          case "paimon" =>
+            PaimonWriter.widenColumn(spark, dir, colName, sqlType): Unit
+          case "hudi" => HudiLite.widenColumn(spark, dir, colName, sqlType)
+        }
+        s"SELECT '$colName' AS widened_column"
+      } else {
+        require(graft.ops.TypeWiden.retypeOk(curType, newType),
+          s"cannot alter $colName from ${curType.simpleString} to " +
+            s"${newType.simpleString} — sanctioned: widening promotions " +
+            "(metadata-only) or integral -> string (rewrite)")
+        fmt match {
+          case "delta" =>
+            DeltaWriter.retypeColumn(spark, dir, colName, sqlType,
+              p.partCol): Unit
+          case "iceberg" =>
+            IcebergWriter.retypeColumn(spark, dir, colName, sqlType,
+              p.partCol, p.partTransform,
+              p.partFields.map(x => (x._1, x._2))): Unit
+          case other => sys.error(s"value-rewriting retype on graft_$other " +
+            "is not atomic (the schema file and the data commit are " +
+            "separate swap points) — refused; rewrite via CREATE OR " +
+            "REPLACE ... AS SELECT")
+        }
+        s"SELECT '$colName' AS retyped_column"
       }
-      s"SELECT '$colName' AS widened_column"
 
     case OptimizeRe(fmt, name) =>
       // the maintenance REWRITE in each format's spelling: Delta
@@ -1272,7 +1333,8 @@ object LakehouseSql {
         case "hudi" =>
           HudiLite.compact(spark, dir, p.keyCols, nextInstant(dir)): Unit
         case "paimon" =>
-          PaimonWriter.compact(spark, dir, p.keyCols, p.partCol.get): Unit
+          PaimonWriter.compact(spark, dir, p.keyCols, p.partCol.get,
+            partTransform = p.partTransform): Unit
       }
       s"SELECT 'graft_$fmt.$name' AS optimized"
 
@@ -1389,7 +1451,9 @@ object LakehouseSql {
       val p = readProps(dir)
       lastScans = Nil
       val tAlias = Option(tAliasRaw).getOrElse(name)
-      val sAlias = Option(sAliasRaw).getOrElse(srcView)
+      val sAlias = Option(sAliasRaw).getOrElse(
+        if (srcView.contains(".")) srcView.substring(srcView.indexOf('.') + 1)
+        else srcView)
       // a provable partition conjunct in the ON clause prunes the
       // TARGET's file planning (sound for both halves: matched rows
       // satisfy every ON conjunct, and the NOT-MATCHED anti-join's
@@ -1492,16 +1556,39 @@ object LakehouseSql {
       // identity and — when a NOT MATCHED clause exists — a source row
       // id for the anti-join. PERSISTED: every probe and the write half
       // below read this frame; the table itself is scanned exactly once.
-      val srcCols = spark.table(srcView).columns.toSeq
       val needSrcIds = insertGuard.isDefined
+      // a LAKEHOUSE source (`USING graft_<fmt>.s`) reads through the
+      // same reader — and a provable ON conjunct on ITS partition
+      // column prunes the SOURCE's file planning too, but ONLY for a
+      // matched-only MERGE: every source row the statement can use
+      // then satisfies the full ON condition ⊇ the conjunct. With a
+      // NOT MATCHED clause the anti-join needs the UNMATCHED source
+      // rows as well (a pruned-away row must still INSERT), so the
+      // source plans unpruned.
+      val srcBase: DataFrame = srcView match {
+        case RefRe(sfmt, sname) =>
+          val sdir = tableDir(spark, sfmt, sname)
+          val sp = readProps(sdir)
+          val srcStmt = s"SELECT * FROM graft_$sfmt.$sname $sAlias WHERE $cond"
+          val srcPrune = if (needSrcIds) None else sp.partCol.flatMap(pc =>
+            SqlPrune.partPruneInfo(srcStmt, s"graft_$sfmt.$sname", pc,
+              sp.partColType))
+          val srcMf = if (needSrcIds) None
+            else multiFieldPrune(srcStmt, sfmt, sname, sp)
+              .orElse(transformPruneOf(sp, srcPrune)
+                .filter(_ => sp.partTransform != "identity"))
+          reader(spark, sfmt, sdir, sp, None, srcPrune, sname, srcMf)
+        case _ => spark.table(srcView)
+      }
+      val srcCols = srcBase.columns.toSeq
       val srcViewI = "__graft_mrg_src"
       // the source materializes too (it is scanned by the join AND the
       // anti-join, and its row ids must be stable) — in a MERGE the
       // source is the small side; the 100 TB side is the target
       val srcMat =
         (if (needSrcIds)
-          spark.table(srcView).withColumn("__sid", monotonically_increasing_id())
-        else spark.table(srcView))
+          srcBase.withColumn("__sid", monotonically_increasing_id())
+        else srcBase)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       srcMat.createOrReplaceTempView(srcViewI)
       val matView = "__graft_mrg_mat"
@@ -1649,7 +1736,8 @@ object LakehouseSql {
                 lit(PaimonLite.KindInsert))).toSeq else Nil) ++
               (if (hasInserts) insertDf.map(_.withColumn("_VALUE_KIND",
                 lit(PaimonLite.KindInsert))).toSeq else Nil)).get
-          PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols)
+          PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols,
+            partTransform = p.partTransform)
         case "hudi" =>
           // MoR spells deletes and upserts as different BLOCK KINDS but
           // they share ONE deltacommit instant: mergeCommit writes each

@@ -131,6 +131,136 @@ object Round14Queries {
         "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
         s"FROM graft_stream.stis_$n GROUP BY 1, 2 ORDER BY 1, 2")
     }),
+
+    // PAIMON LEVELED PARTIAL COMPACTION behind OPTIMIZE: after a full
+    // compaction, a small upsert+delete wave leaves L0 debt dwarfed by
+    // the compacted tail — the second OPTIMIZE must rewrite only the
+    // debt into an INTERMEDIATE level (max-level files carried forward
+    // verbatim, premise-gated) while its kept -D tombstones still mask
+    // the base rows (value-exact). The 40k synthetic 'Z' partition
+    // keeps the debt ratio SF-independent.
+    "sql_lake_compact_partial" -> ((s, dir) => {
+      import graft.ops.{PaimonLite, PaimonWriter}
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r14_ord_cp0")
+      s.sql(
+        """SELECT * FROM r14_ord_cp0
+          |UNION ALL
+          |SELECT id AS o_orderkey, id AS o_custkey, 'Z' AS o_orderstatus
+          |FROM range(100000, 140000)""".stripMargin)
+        .createOrReplaceTempView("r14_ord_cp")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_paimon.cp_$n " +
+        "PRIMARY KEY (o_orderstatus, o_orderkey) " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_cp")
+      s.sql(s"OPTIMIZE graft_paimon.cp_$n") // full: everything → max level
+      val tblDir = new java.io.File(s"${lakeDir(s)}/paimon/cp_$n")
+        .getAbsolutePath
+      val maxBefore = PaimonLite.planFiles(tblDir)
+        .filter(_.level == PaimonWriter.MaxLevel).map(_.path).toSet
+      require(maxBefore.nonEmpty, "premise: full compaction landed max-level files")
+      // small L0 debt: 20 upserts + 10 deletes on the synthetic keys
+      s.sql(s"INSERT INTO graft_paimon.cp_$n " +
+        "SELECT id AS o_orderkey, id + 1000000 AS o_custkey, " +
+        "'Z' AS o_orderstatus FROM range(100000, 100020)")
+      s.sql(s"DELETE FROM graft_paimon.cp_$n WHERE o_orderkey >= 139990")
+      s.sql(s"OPTIMIZE graft_paimon.cp_$n")
+      val after = PaimonLite.planFiles(tblDir)
+      require(after.filter(_.level == PaimonWriter.MaxLevel).map(_.path).toSet
+        == maxBefore,
+        "premise: partial compaction must carry the max-level tail verbatim")
+      val mids = after.filter(f =>
+        f.level > 0 && f.level < PaimonWriter.MaxLevel)
+      require(mids.nonEmpty,
+        "premise: partial compaction must land intermediate-level files")
+      def bytes(ps: Iterable[String]): Long =
+        ps.map(p => new java.io.File(tblDir, p).length()).sum
+      require(bytes(mids.map(_.path)) * 4 < bytes(maxBefore),
+        "premise: the partial rewrite must be far below full-bucket bytes")
+      s.sql(s"SELECT o_orderstatus, count(*) AS n2, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_paimon.cp_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // PAIMON DATE PARTITION TRANSFORMS (sql_lake_prune_range's sibling
+    // on a second format): `PARTITIONED BY (days(ts))` stores civil-day
+    // partition values on write, and a ts range conjunct prunes the
+    // FILE planning through the same monotone transform pushdown the
+    // iceberg spec branch gets — premise-gated strict subset. The PK
+    // leg upserts through the transformed spec; the read is value-exact.
+    "sql_lake_prune_range_paimon" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r14_ev_pp")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_paimon.prtp_$n " +
+        "PRIMARY KEY (ts, event_id) PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM r14_ev_pp")
+      // an upsert wave through the transformed spec (same keys,
+      // re-typed, integer-exact — no float aggregation in the oracle)
+      s.sql(s"INSERT INTO graft_paimon.prtp_$n " +
+        "SELECT event_id, ts, 'upserted' AS event_type, value " +
+        "FROM r14_ev_pp WHERE event_id % 100 = 0")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS cnt,
+           |       CAST(sum(event_id) AS BIGINT) AS sum_id
+           |FROM graft_paimon.prtp_$n
+           |WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("range prune premise: the read must record a pruned scan"))
+      require(scan.fmt == "paimon" &&
+        scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"range prune premise: the ts range must plan a strict file subset " +
+          s"of the day partitions, got $scan")
+      out
+    }),
+
+    // VALUE-REWRITING SCHEMA CHANGE (the reference's rewrite-tier
+    // ALTER, SchemaChangeHandler's non-LIGHT path): `ALTER COLUMN
+    // o_custkey TYPE STRING` on a BIGINT column rewrites every live
+    // file under the new type in ONE atomic commit per format (delta:
+    // metaData + removes + adds in one version; iceberg: new schema
+    // entry + replace-all snapshot in one metadata swap) — premise
+    // gates pin the one-commit shape and that time travel to the
+    // pre-retype version still reads the integer type.
+    "sql_lake_retype_column" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r14_ord_rt")
+      val n = safeName(dir)
+      Seq("delta", "iceberg").map { fmt =>
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.rt_$n " +
+          "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_rt")
+        def version: Long = fmt match {
+          case "delta" => Option(new java.io.File(
+              s"${lakeDir(s)}/delta/rt_$n/_delta_log").listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.endsWith(".json"))
+            .map(_.getName.dropRight(5).toLong).max
+          case _ => Option(new java.io.File(
+              s"${lakeDir(s)}/iceberg/rt_$n/metadata").listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+            .map(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+            .max
+        }
+        val v0 = version
+        s.sql(s"ALTER TABLE graft_$fmt.rt_$n ALTER COLUMN o_custkey TYPE STRING")
+        require(version == v0 + 1,
+          s"atomicity premise: a rewrite-retype on $fmt must land exactly " +
+            s"ONE commit, got ${version - v0}")
+        val dt = s.sql(s"SELECT * FROM graft_$fmt.rt_$n").schema("o_custkey")
+          .dataType.simpleString
+        require(dt == "string", s"retyped read premise: $fmt reads $dt")
+        s.sql(s"SELECT '$fmt' AS fmt, o_orderstatus, count(*) AS cnt, " +
+          "min(o_custkey) AS min_ck, max(o_custkey) AS max_ck, " +
+          "CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_ck " +
+          s"FROM graft_$fmt.rt_$n GROUP BY 1, 2")
+      }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -155,5 +285,44 @@ object Round14Queries {
              CAST(sum(o_custkey) AS BIGINT) AS sum_ck
       FROM orders WHERE o_orderkey < 9000
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // range-pruned day partitions; %100==0 keys re-typed by the upsert
+    "sql_lake_prune_range_paimon" -> """
+      SELECT CASE WHEN event_id % 100 = 0 THEN 'upserted'
+                  ELSE event_type END AS event_type,
+             count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+
+    // string min/max are lexicographic on the cast digits — DuckDB's
+    // own VARCHAR cast semantics, per format
+    "sql_lake_retype_column" -> """
+      SELECT fmt, o_orderstatus, count(*) AS cnt,
+             min(CAST(o_custkey AS VARCHAR)) AS min_ck,
+             max(CAST(o_custkey AS VARCHAR)) AS max_ck,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders
+      CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS fmt) f
+      WHERE o_orderkey < 9000
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the 'Z' partition: 40k synthetic keys, 20 upserted (+1e6 custkey),
+    // the last 10 deleted; real partitions untouched
+    "sql_lake_compact_partial" -> """
+      SELECT o_orderstatus, count(*) AS n2,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM (
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders WHERE o_orderkey < 9000
+        UNION ALL
+        SELECT r AS o_orderkey,
+               CASE WHEN r < 100020 THEN r + 1000000 ELSE r END AS o_custkey,
+               'Z' AS o_orderstatus
+        FROM range(100000, 139990) t(r)
+      ) u
+      GROUP BY 1 ORDER BY 1""",
   )
 }

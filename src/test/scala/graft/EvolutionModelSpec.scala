@@ -439,4 +439,68 @@ class EvolutionModelSpec extends AnyFunSuite {
       assert(!PaimonLite.readSnapshot(spark, dir, keys).columns.contains("vv"))
     }
   }
+
+  test("retype mid-history: one-commit rewrite, travel, post-retype writes") {
+    val s2 = spark
+    import s2.implicits._
+    // DELTA: the metaData + removes + adds share ONE version; time
+    // travel to the pre-retype version still reads the integer type
+    val ddir = new java.io.File("target/evo/retype_delta").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ddir))
+    DeltaWriter.append(spark, ddir,
+      dfOld(Seq((1L, 10), (2L, 20), (3L, 30))), Some("p")): Unit
+    DeltaWriter.deleteRows(spark, ddir, col("k") === 2L): Unit // v1, a DV
+    val vRt = DeltaWriter.retypeColumn(spark, ddir, "v", "string", Some("p"))
+    assert(vRt == 2L, "retype must land exactly one version")
+    val after = DeltaLite.readVersion(spark, ddir)
+    assert(after.schema("v").dataType.simpleString == "string")
+    assert(after.select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "10", 3L -> "30"),
+      "the rewrite folds the DV state — deleted rows stay deleted")
+    val before = DeltaLite.readVersion(spark, ddir, Some(1L))
+    assert(before.schema("v").dataType.simpleString == "int",
+      "travel to the pre-retype version reads the OLD type")
+    // post-retype writes carry the new type; the feed stayed quiet
+    // across the retype (dataChange=false, state motion)
+    DeltaWriter.append(spark, ddir,
+      Seq((4L, "P0", "40")).toDF("k", "p", "v"), Some("p")): Unit
+    val feed = DeltaLite.readChanges(spark, ddir, 1L, 3L)
+    assert(feed.filter(col("k").isin(1L, 3L)).count() == 0,
+      "a retype rewrite is state motion — the feed must not re-ship rows")
+    assert(feed.filter(col("_CHANGE_TYPE") === "insert")
+      .select("k").collect().map(_.getLong(0)).toSet == Set(4L))
+
+    // ICEBERG: the new schema entry and the replace-all snapshot share
+    // ONE metadata swap; the CDC feed stays quiet across it
+    val idir = new java.io.File("target/evo/retype_ice").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idir))
+    spark.sql("CREATE OR REPLACE TABLE graft_iceberg.evo_rt " +
+      "(k BIGINT, p STRING, v INT) PARTITIONED BY (p)")
+    val sqlDir = new java.io.File("target/lakehouse/iceberg/evo_rt")
+      .getAbsolutePath
+    spark.sql("INSERT INTO graft_iceberg.evo_rt " +
+      "SELECT k, p, v FROM VALUES (1L, 'P0', 10), (2L, 'P1', 20) t(k, p, v)")
+    val s1 = IcebergLite.currentSnapshotIdOf(sqlDir)
+    spark.sql("ALTER TABLE graft_iceberg.evo_rt ALTER COLUMN v TYPE STRING")
+    val got = spark.sql("SELECT k, v FROM graft_iceberg.evo_rt ORDER BY k")
+    assert(got.schema("v").dataType.simpleString == "string")
+    assert(got.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "10", 2L -> "20"))
+    val s2id = IcebergLite.currentSnapshotIdOf(sqlDir)
+    val w = IcebergLite.readChangesCdc(spark, sqlDir, s1, s2id)
+    assert(w.count() == 0,
+      "an iceberg retype is one replace-stamped rewrite — feed-quiet")
+
+    // refusals stay loud: non-sanctioned retypes and rewrite-less formats
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_iceberg.evo_rt ALTER COLUMN k TYPE DOUBLE")
+    }.getMessage.contains("sanctioned"))
+    Seq((1L, "A", 5)).toDF("k", "p", "v").createOrReplaceTempView("evo_rt_h")
+    spark.sql("CREATE OR REPLACE TABLE graft_hudi.evo_rt PRIMARY KEY (k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM evo_rt_h")
+    assert(intercept[Exception] {
+      spark.sql("ALTER TABLE graft_hudi.evo_rt ALTER COLUMN v TYPE STRING")
+    }.getMessage.contains("not atomic"))
+  }
 }

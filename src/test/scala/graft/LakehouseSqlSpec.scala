@@ -936,12 +936,63 @@ class LakehouseSqlSpec extends AnyFunSuite {
     sql("DROP STREAM graft_stream.scs_s")
   }
 
+  test("MERGE with a lakehouse SOURCE prunes the source's file planning (matched-only)") {
+    val s2 = spark
+    import s2.implicits._
+    // target: 3 partitions; source: a lakehouse table with 4 partitions
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "C", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_msp_tgt")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_msp " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_msp_tgt")
+    Seq((1L, "A", 100), (2L, "B", 200), (8L, "C", 800), (9L, "D", 900))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_msp_src0")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_msps " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_msp_src0")
+    // matched-only MERGE with a provable source-partition conjunct:
+    // BOTH sides' file planning prunes to p='A'
+    sql("MERGE INTO graft_delta.lksql_msp t USING graft_delta.lksql_msps s " +
+      "ON t.k = s.k AND s.p = 'A' AND t.p = 'A' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v")
+    val scans = graft.plans.LakehouseSql.lastScans
+    val srcScan = scans.find(_.name == "lksql_msps").getOrElse(
+      sys.error(s"no source scan recorded: $scans"))
+    assert(srcScan.plannedFiles >= 1 && srcScan.plannedFiles < srcScan.totalFiles,
+      s"the ON conjunct must prune the SOURCE's file planning: $srcScan")
+    val tgtScan = scans.find(_.name == "lksql_msp").getOrElse(
+      sys.error(s"no target scan recorded: $scans"))
+    assert(tgtScan.plannedFiles < tgtScan.totalFiles,
+      s"the ON conjunct must prune the TARGET's file planning: $tgtScan")
+    val got = sql("SELECT k, v FROM graft_delta.lksql_msp ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 100), (2L, 20), (3L, 30)), s"merge result: $got")
+    // WITH a NOT MATCHED clause the source must NOT prune — a
+    // pruned-away row must still insert
+    sql("MERGE INTO graft_delta.lksql_msp t USING graft_delta.lksql_msps s " +
+      "ON t.k = s.k AND s.p = 'A' " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT *")
+    val srcScan2 = graft.plans.LakehouseSql.lastScans.find(_.name == "lksql_msps")
+    assert(srcScan2.isEmpty,
+      s"a MERGE with NOT MATCHED must plan the source UNPRUNED: $srcScan2")
+    // standard semantics: (2,'B') FAILS the s.p='A' conjunct, so it is
+    // NOT MATCHED and inserts (a duplicate k — the target is keyless);
+    // pruning the source by that conjunct would have LOST this insert,
+    // which is exactly why the NOT MATCHED path plans unpruned
+    val got2 = sql("SELECT k, v FROM graft_delta.lksql_msp ORDER BY k, v")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got2 == Seq((1L, 100), (2L, 20), (2L, 200), (3L, 30),
+      (8L, 800), (9L, 900)),
+      s"unmatched source rows must insert despite the s.p conjunct: $got2")
+  }
+
   test("abandoned consume plans don't accumulate cursor listeners; window re-serves") {
     val s2 = spark
     import s2.implicits._
     Seq((0L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_lkr_src")
     sql("CREATE OR REPLACE TABLE graft_delta.lksql_lkr " +
       "PARTITIONED BY (p) AS SELECT * FROM lksql_lkr_src")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      "target/lakehouse/_streams/lkr_s.json")): Unit
     sql("CREATE STREAM graft_stream.lkr_s ON TABLE graft_delta.lksql_lkr")
     val base = graft.plans.LakehouseSql.cursorListenerCount
     // six consuming statements are REWRITTEN (staged + listener) but
@@ -970,6 +1021,8 @@ class LakehouseSqlSpec extends AnyFunSuite {
     Seq((0L, "A")).toDF("k", "p").createOrReplaceTempView("lksql_cc_src")
     sql("CREATE OR REPLACE TABLE graft_delta.lksql_cc " +
       "PARTITIONED BY (p) AS SELECT * FROM lksql_cc_src")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      "target/lakehouse/_streams/cc_s.json")): Unit
     sql("CREATE STREAM graft_stream.cc_s ON TABLE graft_delta.lksql_cc")
     sql("INSERT INTO graft_delta.lksql_cc SELECT 1 AS k, 'A' AS p")
     // consumer A stages window (c0, c1] — plan held, not yet executed

@@ -310,4 +310,55 @@ class PaimonWriterSpec extends AnyFunSuite {
     assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
       .select("k").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
   }
+
+  test("leveled PARTIAL compaction: small L0 debt rewrites small, tombstones kept") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_partial").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    // a dominant base: 20k rows, one bucket, then FULL-compact to max level
+    val base = spark.range(0, 20000)
+      .selectExpr("'A' AS p", "id AS k", "CAST(id AS INT) AS v")
+    PaimonWriter.append(spark, dir, base, "p", Seq("p", "k"), numBuckets = 1): Unit
+    assert(PaimonWriter.compact(spark, dir, Seq("p", "k"), "p") > 0)
+    val maxFiles = PaimonLite.planFiles(dir)
+      .filter(_.level == PaimonWriter.MaxLevel).map(_.path).toSet
+    assert(maxFiles.nonEmpty)
+    val fullBytes = maxFiles.map(p => new java.io.File(dir, p).length()).sum
+    // small L0 debt: one upsert + one delete
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 7L, 777, PaimonLite.KindUpdateAfter),
+        ("A", 9L, 0, PaimonLite.KindDelete))
+        .toDF("p", "k", "v", "_VALUE_KIND"),
+      "p", Seq("p", "k"), numBuckets = 1): Unit
+    val snap = PaimonWriter.compact(spark, dir, Seq("p", "k"), "p")
+    assert(snap > 0)
+    val after = PaimonLite.planFiles(dir)
+    // PARTIAL: the max-level base carried forward VERBATIM — the
+    // rewrite touched only the L0 debt
+    assert(after.filter(_.level == PaimonWriter.MaxLevel).map(_.path).toSet
+      == maxFiles, "partial compaction must not rewrite the compacted tail")
+    val mid = after.filter(f =>
+      f.level > 0 && f.level < PaimonWriter.MaxLevel)
+    assert(mid.nonEmpty, "partial compaction must land an intermediate level")
+    val midBytes = mid.map(f => new java.io.File(dir, f.path).length()).sum
+    assert(midBytes * 4 < fullBytes,
+      s"partial rewrite ($midBytes B) must be far below the bucket ($fullBytes B)")
+    // the -D tombstone is KEPT below max level (it must keep masking
+    // the base row for k=9)...
+    val midRows = spark.read.parquet(mid.map(f => s"$dir/${f.path}"): _*)
+    assert(midRows.filter(col("_VALUE_KIND") === PaimonLite.KindDelete)
+      .count() == 1, "a -D winner below max level must survive the rewrite")
+    // ...and the merged read reflects upsert + delete exactly
+    val got = PaimonLite.readSnapshot(spark, dir, Seq("p", "k"))
+      .filter(col("k").isin(7L, 9L) || col("k") === 8L)
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(7L -> 777, 8L -> 8), s"merged view after partial: $got")
+    // a later FULL compaction (L0-free bucket) folds the tombstone away
+    val snap3 = PaimonWriter.compact(spark, dir, Seq("p", "k"), "p")
+    assert(snap3 > 0)
+    val finalFiles = PaimonLite.planFiles(dir)
+    assert(finalFiles.forall(_.level == PaimonWriter.MaxLevel))
+    assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k")).count() == 19999L)
+  }
 }
