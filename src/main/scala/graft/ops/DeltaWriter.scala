@@ -702,8 +702,8 @@ object DeltaWriter {
       .getOrElse(sys.error(s"no column $name"))
     require(TypeWiden.retypeOk(f.dataType, dt),
       s"cannot retype $name from ${f.dataType.simpleString} to " +
-        s"${dt.simpleString} — sanctioned rewrites: byte/short/int/bigint " +
-        "-> string")
+        s"${dt.simpleString} — sanctioned rewrites: integral -> string, " +
+        "integer-digit-preserving decimal scale growth")
     val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     // an EMPTY table (created empty / truncated) retypes metadata-only
     val (moved, partColW) =

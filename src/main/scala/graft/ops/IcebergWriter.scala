@@ -1075,8 +1075,8 @@ object IcebergWriter {
     val f = declared.find(_._1 == name).getOrElse(sys.error(s"no column $name"))
     require(TypeWiden.retypeOk(f._3, dt),
       s"cannot retype $name from ${f._3.simpleString} to " +
-        s"${dt.simpleString} — sanctioned rewrites: byte/short/int/bigint " +
-        "-> string")
+        s"${dt.simpleString} — sanctioned rewrites: integral -> string, " +
+        "integer-digit-preserving decimal scale growth")
     if (!IcebergLite.planFiles(tableDir).exists(_.content == 0)) {
       // empty table: the schema swap alone
       evolveSchema(spark, tableDir, "ALTER COLUMN TYPE")(fields =>

@@ -34,12 +34,20 @@ object TypeWiden {
         "decimal(p,s) -> decimal(p'>p, s)")
 
   /** Sanctioned VALUE-REWRITING changes — the reference's rewrite-tier
-    * schema change (SchemaChangeHandler's non-LIGHT path): a
-    * cross-family change every live file must rewrite under. Kept to
-    * integral → string, where the cast is total (no overflow, no
-    * parse failure) so the rewrite cannot lose rows. */
+    * schema change (SchemaChangeHandler's non-LIGHT path): changes
+    * every live file must rewrite under, admitted only where the cast
+    * is TOTAL (no overflow, no parse failure) so the rewrite cannot
+    * lose or null rows:
+    *  - integral → string;
+    *  - decimal SCALE growth that keeps the integer-digit capacity,
+    *    decimal(p,s) → decimal(p',s') with s' ≥ s and p'−s' ≥ p−s
+    *    (a bare scale bump like (20,2)→(20,4) shrinks the integer
+    *    digits and stays refused). */
   def retypeOk(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ByteType | ShortType | IntegerType | LongType, StringType) => true
+    case (d1: DecimalType, d2: DecimalType) =>
+      !ok(from, to) && d2.scale >= d1.scale &&
+        (d2.precision - d2.scale) >= (d1.precision - d1.scale)
     case _ => false
   }
 }

@@ -124,8 +124,9 @@ object LakehouseSql {
   // standard MERGE allows a guard — WHEN MATCHED [AND cond] THEN ...
   private val MatchedClauseRe =
     "(?is)^WHEN\\s+MATCHED\\s*(?:AND\\s+(.+?)\\s+)?THEN\\s+(DELETE|UPDATE\\s+SET\\s+.+?)\\s*$".r
+  // the action group: `*` or the grammar's `cols? VALUES row`
   private val NotMatchedClauseRe =
-    "(?is)^WHEN\\s+NOT\\s+MATCHED\\s*(?:AND\\s+(.+?)\\s+)?THEN\\s+INSERT\\s+\\*\\s*$".r
+    "(?is)^WHEN\\s+NOT\\s+MATCHED\\s*(?:AND\\s+(.+?)\\s+)?THEN\\s+INSERT\\s+(.+?)\\s*$".r
   private val RefRe = "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)".r
   private val CreateStreamRe =
     ("(?is)^\\s*CREATE\\s+STREAM\\s+graft_stream\\.([A-Za-z_]\\w*)\\s+" +
@@ -1514,27 +1515,53 @@ object LakehouseSql {
         case Seq(a, b) => whenChain.substring(a, b).trim
         case _ => ""
       }.toList
+      // NOT MATCHED actions, the reference grammar's shapes
+      // (DorisParser.g4 mergeNotMatchedClause: `INSERT cols? VALUES
+      // row`; `INSERT *` kept as the common engine extension):
+      // cols/values None-None = INSERT * (source columns by name)
+      final case class NotMatchedClause(guard: Option[String],
+                                        cols: Option[Seq[String]],
+                                        values: Option[Seq[String]])
+      val InsertValuesRe =
+        "(?is)^(?:\\(([^)]*)\\)\\s*)?VALUES\\s*\\((.+)\\)$".r
       var matchedClauses = List.empty[MatchedClause]
-      var insertGuard: Option[Option[String]] = None // Some(guard) = clause present
+      var notMatchedClauses = List.empty[NotMatchedClause]
+      // clause kinds may INTERLEAVE in any order (the grammar's
+      // `(matched | notMatched)+`); first-match-wins applies per kind
       clauseTexts.foreach {
         case MatchedClauseRe(g, action) =>
-          require(insertGuard.isEmpty,
-            "WHEN MATCHED clauses must precede WHEN NOT MATCHED")
           val del = action.trim.equalsIgnoreCase("DELETE")
           val sets =
             if (del) Map.empty[String, String]
             else parseAssignments(
               action.trim.replaceFirst("(?is)^UPDATE\\s+SET\\s+", ""), tCols).toMap
           matchedClauses :+= MatchedClause(Option(g).map(_.trim), del, sets)
-        case NotMatchedClauseRe(g) =>
-          require(insertGuard.isEmpty, "at most one WHEN NOT MATCHED clause")
-          insertGuard = Some(Option(g).map(_.trim))
+        case NotMatchedClauseRe(g, action) =>
+          val nm = action.trim match {
+            case "*" => NotMatchedClause(Option(g).map(_.trim), None, None)
+            case InsertValuesRe(colsRaw, valsRaw) =>
+              val cols = Option(colsRaw)
+                .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+              val vals = splitTop(valsRaw).map(_.trim).filter(_.nonEmpty)
+              cols.foreach { cs =>
+                cs.foreach(c => require(tCols.contains(c),
+                  s"INSERT names unknown column $c"))
+                require(cs.size == vals.size,
+                  s"INSERT (${cs.size} columns) VALUES (${vals.size} values)")
+              }
+              if (cols.isEmpty) require(vals.size == tCols.size,
+                s"INSERT VALUES (${vals.size} values) against " +
+                  s"${tCols.size} target columns")
+              NotMatchedClause(Option(g).map(_.trim), cols, Some(vals))
+            case other => sys.error(s"unparseable INSERT action: $other")
+          }
+          notMatchedClauses :+= nm
         case other => sys.error(s"unparseable MERGE clause: $other")
       }
-      require(matchedClauses.size <= 2,
-        "at most two WHEN MATCHED clauses (one UPDATE, one DELETE)")
       matchedClauses.dropRight(1).foreach(c => require(c.guard.isDefined,
         "a WHEN MATCHED clause without AND guard must be the last one"))
+      notMatchedClauses.dropRight(1).foreach(c => require(c.guard.isDefined,
+        "a WHEN NOT MATCHED clause without AND guard must be the last one"))
       require(!matchedClauses.exists(c =>
         p.keyCols.exists(c.sets.contains)),
         "MERGE must not assign PRIMARY KEY columns")
@@ -1556,7 +1583,7 @@ object LakehouseSql {
       // identity and — when a NOT MATCHED clause exists — a source row
       // id for the anti-join. PERSISTED: every probe and the write half
       // below read this frame; the table itself is scanned exactly once.
-      val needSrcIds = insertGuard.isDefined
+      val needSrcIds = notMatchedClauses.nonEmpty
       // a LAKEHOUSE source (`USING graft_<fmt>.s`) reads through the
       // same reader — and a provable ON conjunct on ITS partition
       // column prunes the SOURCE's file planning too, but ONLY for a
@@ -1617,17 +1644,47 @@ object LakehouseSql {
       val deletedDf: Option[DataFrame] = matchedClauses.zipWithIndex
         .filter(_._1.isDelete).map { case (_, i) => clauseRows(i) }
         .reduceOption(_ unionByName _)
-      val insertDf: Option[DataFrame] = insertGuard.map { g =>
-        // NOT MATCHED = the source rows whose id never joined — an
-        // anti-join against the (small) matched-id set, not a second
-        // pass over the target
-        mat.select(col("__sid")).distinct()
-          .createOrReplaceTempView("__graft_mrg_sid")
-        spark.sql(s"SELECT ${tCols.map(c => s"$sAlias.$c AS $c").mkString(", ")} " +
-          s"FROM $srcViewI AS $sAlias LEFT ANTI JOIN __graft_mrg_sid " +
-          s"ON $sAlias.__sid = __graft_mrg_sid.__sid" +
-          g.map(gg => s" WHERE ($gg)").getOrElse(""))
-      }
+      val insertDf: Option[DataFrame] =
+        if (notMatchedClauses.isEmpty) None
+        else {
+          // NOT MATCHED = the source rows whose id never joined — an
+          // anti-join against the (small) matched-id set, not a second
+          // pass over the target; clause i claims the unmatched rows
+          // its guard accepts that no earlier NOT MATCHED clause
+          // claimed (first-match-wins, like the matched side)
+          mat.select(col("__sid")).distinct()
+            .createOrReplaceTempView("__graft_mrg_sid")
+          def insGuardOf(i: Int): Option[String] = {
+            val own = notMatchedClauses(i).guard.map(g => s"($g)")
+            val prior = notMatchedClauses.take(i).flatMap(_.guard)
+              .map(g => s"NOT coalesce(($g), FALSE)")
+            val all = own.toSeq ++ prior
+            if (all.isEmpty) None else Some(all.mkString(" AND "))
+          }
+          def typedAs(c: String): String =
+            target.schema(c).dataType.sql
+          def insRows(i: Int): DataFrame = {
+            val nm = notMatchedClauses(i)
+            val proj = nm.values match {
+              case None => tCols.map(c => s"$sAlias.$c AS $c")
+              case Some(vals) =>
+                val colsList = nm.cols.getOrElse(tCols)
+                tCols.map { c =>
+                  colsList.indexOf(c) match {
+                    // unnamed columns null-fill, like column-subset INSERT
+                    case -1 => s"CAST(NULL AS ${typedAs(c)}) AS $c"
+                    case ix => s"CAST((${vals(ix)}) AS ${typedAs(c)}) AS $c"
+                  }
+                }
+            }
+            spark.sql(s"SELECT ${proj.mkString(", ")} " +
+              s"FROM $srcViewI AS $sAlias LEFT ANTI JOIN __graft_mrg_sid " +
+              s"ON $sAlias.__sid = __graft_mrg_sid.__sid" +
+              insGuardOf(i).map(g => s" WHERE $g").getOrElse(""))
+          }
+          notMatchedClauses.indices.map(insRows)
+            .reduceOption(_ unionByName _)
+        }
 
       val hasUpdates = matchedClauses.exists(!_.isDelete)
       if (hasUpdates) {

@@ -261,6 +261,40 @@ object Round14Queries {
           s"FROM graft_$fmt.rt_$n GROUP BY 1, 2")
       }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
     }),
+
+    // MERGE's full clause grammar (DorisParser.g4 mergeInto: clause
+    // kinds interleave, NOT MATCHED actions are `INSERT cols? VALUES
+    // row`): two guarded NOT MATCHED clauses claim first-match-wins,
+    // the column-subset insert NULL-fills unnamed columns, and the
+    // clause order in the statement is interleaved on purpose.
+    "sql_lake_merge_values" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r14_ord_mv")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.mv_$n " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_mv")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus
+          |FROM r14_ord_mv WHERE o_orderkey % 5 = 0
+          |UNION ALL
+          |SELECT id AS o_orderkey, id AS o_custkey, 'X' AS o_orderstatus
+          |FROM range(90001, 90041)""".stripMargin)
+        .createOrReplaceTempView("r14_mv_src")
+      s.sql(s"MERGE INTO graft_delta.mv_$n t USING r14_mv_src s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN " +
+        "INSERT (o_orderkey, o_custkey, o_orderstatus) " +
+        "VALUES (s.o_orderkey, s.o_custkey * 10, 'E') " +
+        "WHEN MATCHED AND s.o_orderkey % 10 = 0 THEN " +
+        "UPDATE SET o_custkey = s.o_custkey + 1000000 " +
+        "WHEN NOT MATCHED THEN " +
+        "INSERT (o_orderkey, o_orderstatus) VALUES (s.o_orderkey, 'O')")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "count(o_custkey) AS n_ck, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_delta.mv_$n GROUP BY 1 ORDER BY 1")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -308,6 +342,26 @@ object Round14Queries {
       CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS fmt) f
       WHERE o_orderkey < 9000
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // matched %10=0 keys carry +1e6; even new keys insert as ('E',
+    // custkey*10), odd new keys as ('O', NULL custkey)
+    "sql_lake_merge_values" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+             count(o_custkey) AS n_ck,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS o_custkey
+        FROM orders WHERE o_orderkey < 9000
+        UNION ALL
+        SELECT 'E' AS o_orderstatus, r * 10 AS o_custkey
+        FROM range(90002, 90041, 2) t(r)
+        UNION ALL
+        SELECT 'O' AS o_orderstatus, NULL AS o_custkey
+        FROM range(90001, 90041, 2) t2(r)
+      ) u
+      GROUP BY 1 ORDER BY 1""",
 
     // the 'Z' partition: 40k synthetic keys, 20 upserted (+1e6 custkey),
     // the last 10 deleted; real partitions untouched

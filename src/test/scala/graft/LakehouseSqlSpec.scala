@@ -818,10 +818,17 @@ class LakehouseSqlSpec extends AnyFunSuite {
     val dsum = sql("SELECT CAST(sum(d) AS STRING) AS s " +
       "FROM graft_iceberg.lksql_wd2").head().getString(0)
     assert(dsum == "123456789012345691.33", s"decimal widen sum: $dsum")
-    // a SCALE change is a value rewrite, not a widening — loud
+    // a BARE scale bump shrinks the integer digits — the cast is not
+    // total, so neither tier takes it: loud
     assert(intercept[Exception] {
       sql("ALTER TABLE graft_iceberg.lksql_wd2 ALTER COLUMN d TYPE DECIMAL(20,4)")
-    }.getMessage.contains("cannot widen"))
+    }.getMessage.contains("cannot alter"))
+    // ...but integer-digit-preserving scale growth is a sanctioned
+    // REWRITE: (20,2) -> (22,4) re-scales every value, one atomic commit
+    sql("ALTER TABLE graft_iceberg.lksql_wd2 ALTER COLUMN d TYPE DECIMAL(22,4)")
+    val dsum2 = sql("SELECT CAST(sum(d) AS STRING) AS s " +
+      "FROM graft_iceberg.lksql_wd2").head().getString(0)
+    assert(dsum2 == "123456789012345691.3300", s"rescaled sum: $dsum2")
     // guards: partition column, PRIMARY KEY column, narrowing
     assert(intercept[Exception] {
       sql("ALTER TABLE graft_delta.lksql_wd ALTER COLUMN p TYPE BIGINT")
@@ -831,7 +838,7 @@ class LakehouseSqlSpec extends AnyFunSuite {
     }.getMessage.contains("PRIMARY KEY"))
     assert(intercept[Exception] {
       sql("ALTER TABLE graft_delta.lksql_wd ALTER COLUMN v TYPE INT")
-    }.getMessage.contains("cannot widen"))
+    }.getMessage.contains("cannot alter"))
   }
 
   test("multi-field and transformed specs prune DML target planning") {
@@ -934,6 +941,37 @@ class LakehouseSqlSpec extends AnyFunSuite {
     assert(sql("SELECT k FROM graft_stream.scs_s").collect().isEmpty,
       "a successful consume commits the cursor")
     sql("DROP STREAM graft_stream.scs_s")
+  }
+
+  test("MERGE clause grammar: three matched clauses, VALUES inserts, first-match-wins") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "A", 30), (4L, "A", 40))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_mg3_tgt")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_mg3 " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_mg3_tgt")
+    Seq((1L, "A", 1), (2L, "A", 2), (3L, "A", 3), (9L, "A", 9))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_mg3_src")
+    // three matched clauses: the FIRST whose guard holds claims the row
+    // (k=1 → +100; k=2 → DELETE; k=3 → +300); the guard-free insert
+    // takes the rest
+    sql("MERGE INTO graft_delta.lksql_mg3 t USING lksql_mg3_src s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND s.v = 1 THEN UPDATE SET v = s.v + 100 " +
+      "WHEN MATCHED AND s.v = 2 THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v + 300 " +
+      "WHEN NOT MATCHED THEN INSERT VALUES (s.k, s.p, s.v * 1000)")
+    val got = sql("SELECT k, v FROM graft_delta.lksql_mg3 ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 101), (3L, 303), (4L, 40), (9L, 9000)),
+      s"three-clause merge: $got")
+    // guard discipline: only the LAST clause of a kind may be unguarded
+    val e = intercept[Exception] {
+      sql("MERGE INTO graft_delta.lksql_mg3 t USING lksql_mg3_src s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE " +
+        "WHEN MATCHED AND s.v = 1 THEN UPDATE SET v = 0")
+    }
+    assert(e.getMessage.contains("must be the last"), e.getMessage)
   }
 
   test("MERGE with a lakehouse SOURCE prunes the source's file planning (matched-only)") {
