@@ -140,6 +140,16 @@ object DeltaWriter {
   private def nextToken(): String =
     s"${ProcessHandle.current().pid()}x${tokenCounter.incrementAndGet()}"
 
+  /** The stored partition value: the raw column (identity) or a
+    * monotone date transform (day/month/year — the same spellings and
+    * formats [[IcebergWriter.transformCol]] stamps, so the SQL route's
+    * transform pruning compares like against like; the real-Delta
+    * analog is a generated partition column). */
+  private def partExpr(df: DataFrame, partCol: String,
+                       partTransform: String): org.apache.spark.sql.Column =
+    if (partTransform == "identity") col(partCol).cast("string")
+    else IcebergWriter.transformCol(df, partCol, partTransform)
+
   /** CAS publish of one commit version: hard-link a staged temp onto
     * `NNN.json` — atomically FAILS when another writer already owns the
     * version (POSIX rename would silently replace it: a lost update).
@@ -258,7 +268,8 @@ object DeltaWriter {
              txn: Option[(String, Long)] = None,
              protocolLine: Option[String] = None,
              beforePublish: () => Unit = () => (),
-             filesPerPart: Int = 1): Long = {
+             filesPerPart: Int = 1,
+             partTransform: String = "identity"): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     new java.io.File(dir, "_delta_log").mkdirs()
@@ -275,14 +286,14 @@ object DeltaWriter {
         // not re-merge the groups)
         val n = math.max(filesPerPart,
           df.sparkSession.sessionState.conf.numShufflePartitions)
-        df.withColumn("__part", col(p).cast("string"))
+        df.withColumn("__part", partExpr(df, p, partTransform))
           .withColumn("__salt",
             pmod(hash(df.columns.map(col): _*), lit(filesPerPart)))
           .repartition(n, col("__part"), col("__salt"))
           .drop("__salt")
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case Some(p) =>
-        df.withColumn("__part", col(p).cast("string"))
+        df.withColumn("__part", partExpr(df, p, partTransform))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case None if filesPerPart > 1 =>
@@ -409,7 +420,8 @@ object DeltaWriter {
     * until vacuum. Conflicts fail loudly (an overwrite racing any
     * concurrent commit is a real write-write conflict). */
   def overwrite(spark: SparkSession, tableDir: String, dfIn: DataFrame,
-                partColIn: Option[String] = None): Long = {
+                partColIn: Option[String] = None,
+                partTransform: String = "identity"): Long = {
     // planAdds is loud on an UNKNOWN table (no commits at all); an
     // EXISTING empty table (created empty / truncated) overwrites fine
     // — zero removes, the new adds, one commit
@@ -422,7 +434,7 @@ object DeltaWriter {
     val staging = s"$tableDir/stage_$tok"
     partCol match {
       case Some(p) =>
-        df.withColumn("__part", col(p).cast("string"))
+        df.withColumn("__part", partExpr(df, p, partTransform))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case None => df.write.mode("overwrite").parquet(staging)
@@ -691,7 +703,8 @@ object DeltaWriter {
     * compaction. */
   def retypeColumn(spark: SparkSession, tableDir: String,
                    name: String, sqlType: String,
-                   partCol: Option[String]): Long = {
+                   partCol: Option[String],
+                   partTransform: String = "identity"): Long = {
     import org.apache.spark.sql.types._
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(sqlType)
@@ -712,7 +725,7 @@ object DeltaWriter {
         val rows = DeltaLite.readVersion(spark, tableDir)
           .withColumn(name, col(name).cast(dt))
         val (df, pw) = toPhysical(spark, tableDir, rows, partCol)
-        (stageParquet(spark, tableDir, df, pw, "rt"), pw)
+        (stageParquet(spark, tableDir, df, pw, "rt", partTransform), pw)
       }
     val evolved = StructType(cur.fields.map(fl =>
       if (fl.name == name) fl.copy(dataType = dt) else fl))
@@ -857,7 +870,8 @@ object DeltaWriter {
   def updateRows(spark: SparkSession, tableDir: String,
                  matcher: DataFrame => DataFrame, newRows: DataFrame,
                  partCol: Option[String] = None,
-                 partFilter: Option[Map[String, String] => Boolean] = None)
+                 partFilter: Option[Map[String, String] => Boolean] = None,
+                 partTransform: String = "identity")
       : Long = {
     val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir, None, partFilter)
     require(adds.nonEmpty, "updateRows matched no live files")
@@ -865,7 +879,8 @@ object DeltaWriter {
     // before staging, and partition values key by the physical name
     val (newRowsW, partColW) = toPhysical(spark, tableDir, newRows, partCol)
     // new data staged BEFORE the version resolves (version-free names)
-    val moved = stageParquet(spark, tableDir, newRowsW, partColW, "u")
+    val moved = stageParquet(spark, tableDir, newRowsW, partColW, "u",
+      partTransform)
     require(moved.nonEmpty, "updateRows with no replacement rows — use deleteRowsWhere")
     val protoUpgrade = dvProtocolUpgrade(spark, tableDir)
     val version = nextVersion(tableDir)
@@ -887,14 +902,16 @@ object DeltaWriter {
     * distributed half of every commit here. */
   private def stageParquet(spark: SparkSession, tableDir: String,
                            df: DataFrame, partCol: Option[String],
-                           prefix: String): Seq[(String, Option[String])] = {
+                           prefix: String,
+                           partTransform: String = "identity")
+      : Seq[(String, Option[String])] = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "data").mkdirs()
     val tok = nextToken()
     val staging = s"$tableDir/stage_$tok"
     partCol match {
       case Some(p) =>
-        df.withColumn("__part", col(p).cast("string"))
+        df.withColumn("__part", partExpr(df, p, partTransform))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case None => df.write.mode("overwrite").parquet(staging)
@@ -993,7 +1010,8 @@ object DeltaWriter {
     * reclaimable at vacuum. Old versions still time travel (nothing is
     * physically deleted here). */
   def optimize(spark: SparkSession, tableDir: String,
-               partColIn: Option[String] = None): Long = {
+               partColIn: Option[String] = None,
+               partTransform: String = "identity"): Long = {
     val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(old.nonEmpty, "empty table")
     // readVersion yields LOGICAL names; compacted files must store the
@@ -1005,7 +1023,7 @@ object DeltaWriter {
     val staging = s"$tableDir/stage_v$version"
     partCol match {
       case Some(p) =>
-        state.withColumn("__part", col(p).cast("string"))
+        state.withColumn("__part", partExpr(state, p, partTransform))
           .repartition(col("__part"))
           .write.partitionBy("__part").mode("overwrite").parquet(staging)
       case None =>

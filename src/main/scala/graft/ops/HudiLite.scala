@@ -171,15 +171,16 @@ object HudiLite {
   private val LogMagic: Array[Byte] = "#HUDI#".getBytes("UTF-8")
   private val LogFormatVersion = 1
 
-  /** Avro schema for a Spark row schema (nullable unions; the column
-    * types the fixtures use: long/int/string/double/boolean). */
+  /** Avro schema for a Spark row schema (nullable unions):
+    * long/int/string/double/boolean plus timestamps as micros-longs
+    * and dates as epoch-day ints (the spec's logical encodings). */
   private[ops] def avroSchemaOf(schema: org.apache.spark.sql.types.StructType,
                                 name: String): org.apache.avro.Schema = {
     import org.apache.spark.sql.types._
     val fields = schema.fields.map { f =>
       val base = f.dataType match {
-        case LongType => "\"long\""
-        case IntegerType => "\"int\""
+        case LongType | TimestampType => "\"long\""
+        case IntegerType | DateType => "\"int\""
         case StringType => "\"string\""
         case DoubleType => "\"double\""
         case BooleanType => "\"boolean\""
@@ -189,6 +190,17 @@ object HudiLite {
     }
     new org.apache.avro.Schema.Parser().parse(
       s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}""")
+  }
+
+  /** Temporal external values → the avro encodings above. */
+  private def toAvroValue(v: Any): Any = v match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+    case d: java.time.LocalDate => d.toEpochDay.toInt
+    case x => x
   }
 
   /** One log block for the fixture writer: data rows (full schema) or
@@ -214,7 +226,7 @@ object HudiLite {
       b.rows.foreach { r =>
         val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
         b.schema.fields.zipWithIndex.foreach { case (fld, i) =>
-          rec.put(fld.name, if (r.isNullAt(i)) null else r.get(i))
+          rec.put(fld.name, if (r.isNullAt(i)) null else toAvroValue(r.get(i)))
         }
         w.append(rec)
       }
@@ -456,6 +468,14 @@ object HudiLite {
       case (i: java.lang.Integer, DoubleType) => i.doubleValue
       case (l: java.lang.Long, DoubleType) => l.doubleValue
       case (f: java.lang.Float, DoubleType) => f.doubleValue
+      case (l: java.lang.Long, TimestampType) =>
+        // micros-long → external timestamp (second + micro halves)
+        val ts = new java.sql.Timestamp(
+          java.lang.Math.floorDiv(l.longValue, 1000000L) * 1000L)
+        ts.setNanos((java.lang.Math.floorMod(l.longValue, 1000000L) * 1000L).toInt)
+        ts
+      case (i: java.lang.Integer, DateType) =>
+        java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue))
       case (x, _) => x
     }
   }
@@ -703,7 +723,8 @@ object HudiLite {
                   keyCols: Seq[String], partCol: String,
                   instant: String, groupsPerPart: Int = 2,
                   batchId: Option[Long] = None,
-                  wipe: Boolean = true): Unit = {
+                  wipe: Boolean = true,
+                  partTransform: String = "identity"): Unit = {
     import org.apache.spark.sql.functions._
     require(keyCols.nonEmpty && keyCols.forall(df.columns.contains) &&
       df.columns.contains(partCol), "key/partition columns must exist")
@@ -716,7 +737,7 @@ object HudiLite {
     val staging = s"$tableDir/tmp_create"
     val n = math.max(groupsPerPart,
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    df.withColumn("__part", col(partCol).cast("string"))
+    df.withColumn("__part", partExpr(df, partCol, partTransform))
       .withColumn("__grp", pmod(hash(keyCols.map(col): _*), lit(groupsPerPart)))
       .repartition(n, col("__part"), col("__grp")) // explicit n: AQE must not re-merge groups
       .drop("__grp")
@@ -767,7 +788,8 @@ object HudiLite {
     * refused loudly (state motion, not change). */
   def overwriteTable(spark: SparkSession, tableDir: String, df: DataFrame,
                      keyCols: Seq[String], partCol: String,
-                     instant: String, groupsPerPart: Int = 2): Unit = {
+                     instant: String, groupsPerPart: Int = 2,
+                     partTransform: String = "identity"): Unit = {
     import org.apache.spark.sql.functions._
     require(new java.io.File(tableDir, ".hoodie").exists(),
       "overwrite of an unknown table — use createTable")
@@ -781,7 +803,7 @@ object HudiLite {
     val staging = s"$tableDir/tmp_overwrite_$instant"
     val n = math.max(groupsPerPart,
       dfW.sparkSession.sessionState.conf.numShufflePartitions)
-    dfW.withColumn("__part", col(partColW).cast("string"))
+    dfW.withColumn("__part", partExpr(dfW, partColW, partTransform))
       .withColumn("__grp", pmod(hash(keyColsW.map(col): _*), lit(groupsPerPart)))
       .repartition(n, col("__part"), col("__grp"))
       .drop("__grp")
@@ -958,6 +980,17 @@ object HudiLite {
     Array.fill(bytes.length / 8)(bb.getLong)
   }
 
+  /** The stored partition value: the raw column (identity) or a
+    * monotone date transform (day/month/year — the same spellings and
+    * formats [[IcebergWriter.transformCol]] stamps, so the SQL route's
+    * transform pruning compares like against like). */
+  private def partExpr(df: DataFrame, partCol: String,
+                       partTransform: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.col
+    if (partTransform == "identity") col(partCol).cast("string")
+    else IcebergWriter.transformCol(df, partCol, partTransform)
+  }
+
   /** Bloom-pruned candidate base files for an incoming batch: per
     * partition, the files whose bloom contains at least one incoming
     * key (plus files with no sidecar — conservative). The candidate
@@ -966,7 +999,8 @@ object HudiLite {
   private[graft] def candidateBaseFids(spark: SparkSession, df: DataFrame,
                                        keyCols: Seq[String],
                                        partCol: Option[String],
-                                       slices: Seq[(String, String, String, String, Seq[String])])
+                                       slices: Seq[(String, String, String, String, Seq[String])],
+                                       partTransform: String = "identity")
       : Set[String] = {
     import org.apache.spark.sql.functions._
     val withBloom = slices.flatMap { s =>
@@ -984,7 +1018,7 @@ object HudiLite {
       }
     val bc = spark.sparkContext.broadcast(byPart)
     val keyed = partCol match {
-      case Some(p) => df.select(col(p).cast("string").as("__p"),
+      case Some(p) => df.select(partExpr(df, p, partTransform).as("__p"),
         bloomKeyCol(keyCols).as("__k"))
       case None => df.select(lit(null).cast("string").as("__p"),
         bloomKeyCol(keyCols).as("__k"))
@@ -1071,11 +1105,13 @@ object HudiLite {
   def upsert(spark: SparkSession, tableDir: String, df: DataFrame,
              keyCols: Seq[String], partCol: String, instant: String,
              batchId: Option[Long] = None,
-             beforeCommit: () => Unit = () => ()): Boolean = {
+             beforeCommit: () => Unit = () => (),
+             partTransform: String = "identity"): Boolean = {
     // RENAME COLUMN evolution: log blocks store stable WRITE names
     val (dfW, keyColsW, partColW) = toWriteNames(tableDir, df, keyCols, partCol)
     writeDeltaCommitDistributed(spark, tableDir, dfW, keyColsW,
-      Some(partColW), instant, BlockData, batchId, beforeCommit)
+      Some(partColW), instant, BlockData, batchId, beforeCommit,
+      partTransform)
   }
 
   /** logical → write-name rename for writer inputs (no-op when the
@@ -1122,7 +1158,8 @@ object HudiLite {
   def mergeCommit(spark: SparkSession, tableDir: String,
                   upserts: DataFrame, deleteKeysDf: DataFrame,
                   keyCols: Seq[String], partCol: String,
-                  instant0: String): String = {
+                  instant0: String,
+                  partTransform: String = "identity"): String = {
     require(deleteKeysDf.columns.toSeq.sorted == keyCols.sorted,
       s"mergeCommit wants exactly the key columns in the delete frame, " +
         s"got ${deleteKeysDf.columns.toSeq}")
@@ -1135,7 +1172,8 @@ object HudiLite {
     var instant = instant0
     var attempt = 0
     while (true) {
-      if (stageMergeOnce(spark, tableDir, upsW, delW, keyColsW, partColW, instant))
+      if (stageMergeOnce(spark, tableDir, upsW, delW, keyColsW, partColW,
+          instant, partTransform))
         return instant
       attempt += 1
       require(attempt < MaxCommitRetries,
@@ -1151,7 +1189,8 @@ object HudiLite {
   private def stageMergeOnce(spark: SparkSession, tableDir: String,
                              df: DataFrame, delKeys: DataFrame,
                              keyCols: Seq[String], partCol: String,
-                             instant: String): Boolean = {
+                             instant: String,
+                             partTransform: String = "identity"): Boolean = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     require(Option(new java.io.File(tableDir, ".hoodie").list())
@@ -1164,7 +1203,9 @@ object HudiLite {
       df.schema.fields.filter(f => keyCols.contains(f.name)))
     // candidates must cover BOTH row sets — delete keys carry no
     // partition column, so they test every partition's blooms
-    val candidates = candidateBaseFids(spark, df, keyCols, Some(partCol), slices) ++
+    val candidates =
+      candidateBaseFids(spark, df, keyCols, Some(partCol), slices,
+        partTransform) ++
       candidateBaseFids(spark, delKeys, keyCols, None, slices)
     val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
       .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
@@ -1176,10 +1217,12 @@ object HudiLite {
     }
     val groupsDf = spark.createDataFrame(groupRows).toDF("__gpart", "__fids")
     val routedUp = tagged
-      .join(broadcast(groupsDf), col(partCol).cast("string") === col("__gpart"), "left")
+      .join(broadcast(groupsDf),
+        partExpr(df, partCol, partTransform) === col("__gpart"), "left")
       .withColumn("__fid", coalesce(col("__fid"),
         when(col("__fids").isNull, raise_error(concat(
-          lit("upsert into unknown partition: "), col(partCol).cast("string"))))
+          lit("upsert into unknown partition: "),
+          partExpr(df, partCol, partTransform))))
           .otherwise(element_at(col("__fids"),
             (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
               .cast("int")))))
@@ -1286,13 +1329,15 @@ object HudiLite {
                                           partCol: Option[String], instant0: String,
                                           blockType: Int,
                                           batchId: Option[Long] = None,
-                                          beforeCommit: () => Unit = () => ())
+                                          beforeCommit: () => Unit = () => (),
+                                          partTransform: String = "identity")
       : Boolean = {
     var instant = instant0
     var attempt = 0
     while (true) {
       val done = stageAndCommitOnce(spark, tableDir, df, keyCols, partCol,
-        instant, blockType, batchId, if (attempt == 0) beforeCommit else () => ())
+        instant, blockType, batchId,
+        if (attempt == 0) beforeCommit else () => (), partTransform)
       if (done.isDefined) return done.get
       attempt += 1
       require(attempt < MaxCommitRetries,
@@ -1309,7 +1354,9 @@ object HudiLite {
                                  df: DataFrame, keyCols: Seq[String],
                                  partCol: Option[String], instant: String,
                                  blockType: Int, batchId: Option[Long],
-                                 beforeCommit: () => Unit): Option[Boolean] = {
+                                 beforeCommit: () => Unit,
+                                 partTransform: String = "identity")
+      : Option[Boolean] = {
     import org.apache.spark.sql.functions._
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
@@ -1319,7 +1366,8 @@ object HudiLite {
     val slices = planFilesMor(tableDir)
     val keySchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filter(f => keyCols.contains(f.name)))
-    val candidates = candidateBaseFids(spark, df, keyCols, partCol, slices)
+    val candidates = candidateBaseFids(spark, df, keyCols, partCol, slices,
+      partTransform)
     val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
       .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
     val tagged = df.join(index, keyCols, "left")
@@ -1334,10 +1382,12 @@ object HudiLite {
         val groupsDf = spark.createDataFrame(groupRows)
           .toDF("__gpart", "__fids")
         tagged
-          .join(broadcast(groupsDf), col(p).cast("string") === col("__gpart"), "left")
+          .join(broadcast(groupsDf),
+            partExpr(df, p, partTransform) === col("__gpart"), "left")
           .withColumn("__fid", coalesce(col("__fid"),
             when(col("__fids").isNull, raise_error(concat(
-              lit("upsert into unknown partition: "), col(p).cast("string"))))
+              lit("upsert into unknown partition: "),
+              partExpr(df, p, partTransform))))
               .otherwise(element_at(col("__fids"),
                 (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
                   .cast("int")))))

@@ -626,7 +626,12 @@ object LakehouseSql {
             keepPositions = keepPositions)
         }
       case "delta" =>
-        pred.map(f => (pv: Map[String, String]) => pv.get(pc.get).forall(f)) match {
+        // transformed specs prune by the transformed bounds, like the
+        // iceberg/paimon branches
+        val deltaPred: Option[String => Boolean] =
+          if (p.partTransform == "identity") pred
+          else transformPruneOf(p, prune).map(_._3)
+        deltaPred.map(f => (pv: Map[String, String]) => pv.get(pc.get).forall(f)) match {
           case Some(mf) =>
             val planned =
               DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size
@@ -640,12 +645,16 @@ object LakehouseSql {
         }
       case "hudi" =>
         val instant = version.map(v => f"$v%03d")
-        pred match {
+        val hudiPred: Option[String => Boolean] =
+          if (p.partTransform == "identity") pred
+          else transformPruneOf(p, prune).map(_._3)
+        hudiPred match {
           case Some(f) =>
             val planned = HudiLite.planFilesMor(dir, instant, Some(f)).size
             record(planned, HudiLite.planFilesMor(dir, instant).size)
             if (planned == 0) emptyFrame()
-            else HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant, Some(f))
+            else HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant,
+              hudiPred)
           case None => HudiLite.readSnapshotMor(spark, dir, p.keyCols, instant)
         }
       case "paimon" =>
@@ -695,23 +704,26 @@ object LakehouseSql {
       // parquet names, which appendMapped does
       if (DeltaLite.columnMapping(spark, dir).nonEmpty)
         DeltaWriter.appendMapped(spark, dir, df, p.partCol)
-      else DeltaWriter.append(spark, dir, df, p.partCol)
+      else DeltaWriter.append(spark, dir, df, p.partCol,
+        partTransform = p.partTransform)
     case "hudi"    =>
       require(p.keyCols.nonEmpty && p.partCol.nonEmpty,
         "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")
       if (create) {
-        HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get, "001")
+        HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get, "001",
+          partTransform = p.partTransform)
         1L
       } else if (!HudiLite.hasLiveGroups(dir)) {
         // FIRST insert into a created-empty or truncated table lays
         // fresh base file groups, keeping timeline + schema + sidecar
         val instant = nextInstant(dir)
         HudiLite.createTable(spark, dir, df, p.keyCols, p.partCol.get,
-          instant, wipe = false)
+          instant, wipe = false, partTransform = p.partTransform)
         instant.toLong
       } else {
         val instant = nextInstant(dir)
-        HudiLite.upsert(spark, dir, df, p.keyCols, p.partCol.get, instant)
+        HudiLite.upsert(spark, dir, df, p.keyCols, p.partCol.get, instant,
+          partTransform = p.partTransform)
         instant.toLong
       }
     case "paimon"  =>
@@ -766,7 +778,8 @@ object LakehouseSql {
         partTransform = p.partTransform)
     case "hudi" =>
       val instant = nextInstant(dir)
-      HudiLite.upsert(spark, dir, rows, p.keyCols, p.partCol.get, instant)
+      HudiLite.upsert(spark, dir, rows, p.keyCols, p.partCol.get, instant,
+        partTransform = p.partTransform)
       instant.toLong
     case "paimon" =>
       PaimonWriter.append(spark, dir, rows, p.partCol.get, p.keyCols,
@@ -794,9 +807,9 @@ object LakehouseSql {
           .getOrElse(Seq.empty)
       parsedParts.foreach { case (_, tr) =>
         require(tr == "identity" || fmt == "iceberg" ||
-          (fmt == "paimon" && Set("day", "month", "year")(tr)),
+          Set("day", "month", "year")(tr),
           s"partition transform $tr is not supported on graft_$fmt " +
-            "(iceberg: all transforms; paimon: day/month/year)")
+            "(iceberg: all transforms; delta/hudi/paimon: day/month/year)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -851,9 +864,9 @@ object LakehouseSql {
       parsedParts.foreach { case (c, tr) =>
         require(schema.fieldNames.contains(c), s"unknown partition column $c")
         require(tr == "identity" || fmt == "iceberg" ||
-          (fmt == "paimon" && Set("day", "month", "year")(tr)),
+          Set("day", "month", "year")(tr),
           s"partition transform $tr is not supported on graft_$fmt " +
-            "(iceberg: all transforms; paimon: day/month/year)")
+            "(iceberg: all transforms; delta/hudi/paimon: day/month/year)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -932,7 +945,8 @@ object LakehouseSql {
         org.apache.spark.sql.functions.col(f.name).cast(f.dataType)
           .as(f.name)): _*)
       val version = fmt match {
-        case "delta" => DeltaWriter.overwrite(spark, dir, aligned, p.partCol)
+        case "delta" => DeltaWriter.overwrite(spark, dir, aligned, p.partCol,
+          partTransform = p.partTransform)
         case "iceberg" => IcebergWriter.overwrite(spark, dir, aligned, p.partCol)
         case "paimon" =>
           // ONE commitKind=OVERWRITE snapshot: no base manifests — a
@@ -947,7 +961,7 @@ object LakehouseSql {
           // previous file group (insert_overwrite_table)
           val instant = nextInstant(dir)
           HudiLite.overwriteTable(spark, dir, aligned, p.keyCols,
-            p.partCol.get, instant)
+            p.partCol.get, instant, partTransform = p.partTransform)
           instant.toLong
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
@@ -1306,7 +1320,7 @@ object LakehouseSql {
         fmt match {
           case "delta" =>
             DeltaWriter.retypeColumn(spark, dir, colName, sqlType,
-              p.partCol): Unit
+              p.partCol, partTransform = p.partTransform): Unit
           case "iceberg" =>
             IcebergWriter.retypeColumn(spark, dir, colName, sqlType,
               p.partCol, p.partTransform,
@@ -1328,7 +1342,8 @@ object LakehouseSql {
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
       fmt match {
-        case "delta" => DeltaWriter.optimize(spark, dir, p.partCol): Unit
+        case "delta" => DeltaWriter.optimize(spark, dir, p.partCol,
+          partTransform = p.partTransform): Unit
         case "iceberg" =>
           IcebergWriter.rewriteDataFiles(spark, dir, p.partCol): Unit
         case "hudi" =>
@@ -1416,7 +1431,8 @@ object LakehouseSql {
             DeltaWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
               p.partCol,
               partFilter = identityPrune.map(f =>
-                (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)))
+                (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)),
+              partTransform = p.partTransform)
           case "hudi" | "paimon" =>
             applyUpsert(spark, fmt, dir, p, updated)
         }
@@ -1743,7 +1759,8 @@ object LakehouseSql {
         case "iceberg" =>
           IcebergWriter.append(spark, dir, rows, p.partCol,
             partTransform = p.partTransform)
-        case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol)
+        case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol,
+          partTransform = p.partTransform)
         case _ => applyUpsert(spark, fmt, dir, p, rows)
       }
       def unionAll(dfs: Seq[DataFrame]): Option[DataFrame] =
@@ -1769,7 +1786,7 @@ object LakehouseSql {
                 partFields = p.partFields.map(f => (f._1, f._2)))
             case Some(rows) =>
               DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol,
-                partFilter = deltaPrune)
+                partFilter = deltaPrune, partTransform = p.partTransform)
             case None if fmt == "iceberg" =>
               IcebergWriter.deleteRowsWhere(spark, dir, matcher,
                 partPruneBy = icePrune, transformPrune = mergeMfPrune)
@@ -1810,7 +1827,8 @@ object LakehouseSql {
           (delKeys, upsRows) match {
             case (Some(dk), Some(ur)) =>
               HudiLite.mergeCommit(spark, dir, ur, dk, p.keyCols,
-                p.partCol.get, nextInstant(dir)).toLong
+                p.partCol.get, nextInstant(dir),
+                partTransform = p.partTransform).toLong
             case (Some(dk), None) =>
               val instant = nextInstant(dir)
               HudiLite.deleteKeys(spark, dir, dk, p.keyCols, instant)

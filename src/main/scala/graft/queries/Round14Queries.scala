@@ -218,6 +218,66 @@ object Round14Queries {
       out
     }),
 
+    // DATE TRANSFORMS ON DELTA + HUDI complete the four-format matrix
+    // (paimon's sibling key above): `PARTITIONED BY (days(ts))` stores
+    // civil-day partition values on write and a ts range prunes the
+    // file planning through the same monotone pushdown. The delta leg
+    // appends through the transform after creation; the hudi leg
+    // upserts through it (file-group routing keys on the transformed
+    // partition value).
+    "sql_lake_prune_range_delta_tr" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r14_ev_dt")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.prtd_$n " +
+        "PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM r14_ev_dt WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO graft_delta.prtd_$n " +
+        "SELECT * FROM r14_ev_dt WHERE event_id % 2 = 1")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS cnt,
+           |       CAST(sum(event_id) AS BIGINT) AS sum_id
+           |FROM graft_delta.prtd_$n
+           |WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("range prune premise: the read must record a pruned scan"))
+      require(scan.fmt == "delta" &&
+        scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"range prune premise (delta days(ts)): got $scan")
+      out
+    }),
+
+    "sql_lake_prune_range_hudi" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r14_ev_ht")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_hudi.prth_$n " +
+        "PRIMARY KEY (event_id) PARTITIONED BY (days(ts)) " +
+        "AS SELECT * FROM r14_ev_ht")
+      // an upsert wave through the transformed spec (same keys,
+      // re-typed — integer-exact oracle)
+      s.sql(s"INSERT INTO graft_hudi.prth_$n " +
+        "SELECT event_id, ts, 'upserted' AS event_type, value " +
+        "FROM r14_ev_ht WHERE event_id % 100 = 0")
+      val out = s.sql(
+        s"""SELECT event_type, count(*) AS cnt,
+           |       CAST(sum(event_id) AS BIGINT) AS sum_id
+           |FROM graft_hudi.prth_$n
+           |WHERE ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
+      val scan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("range prune premise: the read must record a pruned scan"))
+      require(scan.fmt == "hudi" &&
+        scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+        s"range prune premise (hudi days(ts)): got $scan")
+      out
+    }),
+
     // VALUE-REWRITING SCHEMA CHANGE (the reference's rewrite-tier
     // ALTER, SchemaChangeHandler's non-LIGHT path): `ALTER COLUMN
     // o_custkey TYPE STRING` on a BIGINT column rewrites every live
@@ -342,6 +402,26 @@ object Round14Queries {
       CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS fmt) f
       WHERE o_orderkey < 9000
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the full events range slice (both insert halves union back)
+    "sql_lake_prune_range_delta_tr" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
+
+    // %100==0 keys re-typed by the upsert
+    "sql_lake_prune_range_hudi" -> """
+      SELECT CASE WHEN event_id % 100 = 0 THEN 'upserted'
+                  ELSE event_type END AS event_type,
+             count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        AND ts < TIMESTAMP '2024-01-13 00:00:00'
+      GROUP BY 1 ORDER BY 1""",
 
     // matched %10=0 keys carry +1e6; even new keys insert as ('E',
     // custkey*10), odd new keys as ('O', NULL custkey)
