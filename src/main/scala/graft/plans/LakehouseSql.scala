@@ -56,7 +56,7 @@ object LakehouseSql {
   @volatile var lastScans: List[ScanRecord] = Nil
 
   private val CreateRe =
-    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*" +
       "(?:PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*)?" +
       "(?:PARTITIONED\\s+BY\\s*\\(((?:[^()]|\\([^()]*\\))*)\\)\\s*)?" +
@@ -64,7 +64,7 @@ object LakehouseSql {
   // standard DDL: CREATE TABLE t (col TYPE, ...) — no AS SELECT; the
   // column list allows one paren nesting (DECIMAL(10,2))
   private val CreateEmptyRe =
-    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+" +
+    ("(?is)^\\s*CREATE\\s+(OR\\s+REPLACE\\s+)?TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*" +
       "\\(([^()]*(?:\\([^()]*\\)[^()]*)*)\\)\\s*" +
       "(?:PRIMARY\\s+KEY\\s*\\(([^)]*)\\)\\s*)?" +
@@ -81,6 +81,10 @@ object LakehouseSql {
     "(?is)^\\s*INSERT\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+(.*)$".r
   private val DeleteRe =
     "(?is)^\\s*DELETE\\s+FROM\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+WHERE\\s+(.*)$".r
+  // standard SQL's unfiltered DELETE: every row deletes ROW-LEVEL
+  // (CDC-visible), unlike TRUNCATE's metadata commit
+  private val DeleteAllRe =
+    "(?is)^\\s*DELETE\\s+FROM\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$".r
   private val UpdateRe =
     ("(?is)^\\s*UPDATE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "SET\\s+(.+?)\\s+WHERE\\s+(.*)$").r
@@ -114,10 +118,13 @@ object LakehouseSql {
     ("(?is)^\\s*ALTER\\s+TABLE\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
       "ALTER\\s+COLUMN\\s+([A-Za-z_]\\w*)\\s+TYPE\\s+" +
       "([A-Za-z_]\\w*(?:\\s*\\(\\s*\\d+\\s*,\\s*\\d+\\s*\\))?)\\s*$").r
+  // source alternatives: a (subquery) — one paren nesting level — or a
+  // view / lakehouse reference (the grammar's relationPrimary)
   private val MergeRe =
     ("(?is)^\\s*MERGE\\s+INTO\\s+graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+USING\\s+" +
-      "((?:graft_(?:iceberg|delta|hudi|paimon)\\.)?[A-Za-z_]\\w*)" +
+      "(?:\\(((?:[^()]|\\([^()]*\\))*)\\)|" +
+      "((?:graft_(?:iceberg|delta|hudi|paimon)\\.)?[A-Za-z_]\\w*))" +
       "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?\\s+ON\\s+(.+?)" +
       "(\\s+WHEN\\s+(?:NOT\\s+)?MATCHED\\b.+)$").r
   // one WHEN clause of the chain (split on the WHEN keywords above):
@@ -790,10 +797,15 @@ object LakehouseSql {
   /** Rewrite (and for writes: execute) one statement. Returns the SQL
     * Spark should actually parse. */
   def rewrite(spark: SparkSession, sql: String): String = sql match {
-    case CreateRe(orReplace, fmt, name, pkRaw, partRaw, select) =>
+    case CreateRe(orReplace, ifNotExists, fmt, name, pkRaw, partRaw, select) =>
       val dir = tableDir(spark, fmt, name)
       val exists = java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "_graft_table.json"))
+      require(orReplace == null || ifNotExists == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive")
+      if (exists && ifNotExists != null)
+        // standard DDL: an existing table is a successful no-op
+        return "SELECT CAST(-1 AS BIGINT) AS committed_version"
       require(!exists || orReplace != null,
         s"table graft_$fmt.$name already exists (use CREATE OR REPLACE)")
       if (exists) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -835,7 +847,7 @@ object LakehouseSql {
       writeProps(dir, props)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
 
-    case CreateEmptyRe(orReplace, fmt, name, colsRaw, pkRaw, partRaw) =>
+    case CreateEmptyRe(orReplace, ifNotExists, fmt, name, colsRaw, pkRaw, partRaw) =>
       // standard DDL: CREATE TABLE t (cols...) with no AS SELECT — an
       // EMPTY table whose declared schema lives in the format's OWN
       // metadata (Delta v0 metaData commit, Iceberg schemas array with
@@ -845,6 +857,10 @@ object LakehouseSql {
       val dir = tableDir(spark, fmt, name)
       val exists = java.nio.file.Files.exists(
         java.nio.file.Paths.get(dir, "_graft_table.json"))
+      require(orReplace == null || ifNotExists == null,
+        "OR REPLACE and IF NOT EXISTS are mutually exclusive")
+      if (exists && ifNotExists != null)
+        return "SELECT CAST(-1 AS BIGINT) AS committed_version"
       require(!exists || orReplace != null,
         s"table graft_$fmt.$name already exists (use CREATE OR REPLACE)")
       if (exists) org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
@@ -1019,6 +1035,12 @@ object LakehouseSql {
           .as(f.name)): _*)
       val version = appendTo(spark, fmt, dir, p, aligned, create = false)
       s"SELECT CAST($version AS BIGINT) AS committed_version"
+    case DeleteAllRe(fmt, name) =>
+      // delete-all routes through the row-level machinery with a TRUE
+      // predicate — the change feed ships every row as a delete, the
+      // standard-SQL contrast to TRUNCATE's state-motion commit
+      rewrite(spark, s"DELETE FROM graft_$fmt.$name WHERE TRUE")
+
     case DeleteRe(fmt, name, cond) =>
       import org.apache.spark.sql.functions.{expr, lit}
       val dir = tableDir(spark, fmt, name)
@@ -1439,7 +1461,15 @@ object LakehouseSql {
         s"SELECT CAST($version AS BIGINT) AS committed_version"
       }
 
-    case MergeRe(fmt, name, tAliasRaw, srcView, sAliasRaw, cond, whenChain) =>
+    case MergeRe(fmt, name, tAliasRaw, subqRaw, srcViewRaw, sAliasRaw, cond,
+                 whenChain) =>
+      // a SUBQUERY source materializes behind an internal view (its own
+      // graft references rewrite recursively through the parser)
+      val srcView = Option(srcViewRaw).getOrElse {
+        require(sAliasRaw != null, "MERGE USING (subquery) needs an alias")
+        spark.sql(subqRaw).createOrReplaceTempView("__graft_mrg_subq")
+        "__graft_mrg_subq"
+      }
       // MERGE INTO t USING s ON cond
       //   WHEN MATCHED [AND g] THEN UPDATE SET ... | DELETE   (1..2 ×)
       //   [WHEN NOT MATCHED [AND g] THEN INSERT *]

@@ -943,6 +943,67 @@ class LakehouseSqlSpec extends AnyFunSuite {
     sql("DROP STREAM graft_stream.scs_s")
   }
 
+  test("DELETE without WHERE is row-level delete-all; CREATE IF NOT EXISTS is a no-op") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_da_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_da " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_da_src")
+    // IF NOT EXISTS on an existing table: successful no-op, content kept
+    sql("CREATE TABLE IF NOT EXISTS graft_delta.lksql_da " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_da_src WHERE k > 100")
+    assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_da")
+      .head().getLong(0) == 2L, "IF NOT EXISTS must not replace the table")
+    // both flags together are contradictory DDL
+    assert(intercept[Exception] {
+      sql("CREATE OR REPLACE TABLE IF NOT EXISTS graft_delta.lksql_da " +
+        "PARTITIONED BY (p) AS SELECT * FROM lksql_da_src")
+    }.getMessage.contains("mutually exclusive"))
+    // ...and on a fresh name it creates
+    sql("DROP TABLE IF EXISTS graft_delta.lksql_da2")
+    sql("CREATE TABLE IF NOT EXISTS graft_delta.lksql_da2 " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_da_src")
+    assert(sql("SELECT count(*) AS n FROM graft_delta.lksql_da2")
+      .head().getLong(0) == 2L)
+    // unfiltered DELETE: row-level delete-all (a stream ships every row
+    // as a delete — the CDC-visible contrast to TRUNCATE)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      "target/lakehouse/_streams/da_s.json")): Unit
+    sql("CREATE STREAM graft_stream.da_s ON TABLE graft_delta.lksql_da")
+    sql("DELETE FROM graft_delta.lksql_da")
+    assert(sql("SELECT * FROM graft_delta.lksql_da").collect().isEmpty)
+    val win = sql("SELECT k, _CHANGE_TYPE FROM graft_stream.da_s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(win == Set((1L, "delete"), (2L, "delete")),
+      s"delete-all must ship every row as a delete: $win")
+    sql("DROP STREAM graft_stream.da_s")
+  }
+
+  test("MERGE USING (subquery) source, alias required") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_sq_tgt")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_sq " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_sq_tgt")
+    // the subquery references a LAKEHOUSE table itself — rewritten
+    // recursively through the parser
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_sq_src " +
+      "PARTITIONED BY (p) AS SELECT k, p, v * 100 AS v FROM lksql_sq_tgt")
+    sql("MERGE INTO graft_delta.lksql_sq t USING " +
+      "(SELECT k, p, v + coalesce(v, 0) AS v FROM graft_delta.lksql_sq_src " +
+      "WHERE k = 1) s " +
+      "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v")
+    val got = sql("SELECT k, v FROM graft_delta.lksql_sq ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 2000), (2L, 20)), s"subquery-source merge: $got")
+    assert(intercept[Exception] {
+      sql("MERGE INTO graft_delta.lksql_sq t USING " +
+        "(SELECT 1 AS k) ON t.k = 1 WHEN MATCHED THEN DELETE")
+    }.getMessage.contains("alias"))
+  }
+
   test("MERGE clause grammar: three matched clauses, VALUES inserts, first-match-wins") {
     val s2 = spark
     import s2.implicits._
