@@ -1054,6 +1054,84 @@ object IcebergWriter {
     snapId
   }
 
+  /** TRUNCATE one PARTITION, metadata-only: every live manifest that
+    * names a data file of `partValue` is rewritten WITHOUT those
+    * entries (surviving entries copy VERBATIM — column stats included,
+    * so pruning keeps working), untouched manifests carry forward by
+    * reference, and one `delete`-stamped snapshot publishes the new
+    * manifest list. No data bytes move; the CDC feed ships the
+    * partition's predecessor-live rows as deletes via the snapshot
+    * diff ([[IcebergLite.readChangesCdc]]). Returns -1 (no-op) when
+    * the partition holds no live data files. Identity specs only (the
+    * caller guards). */
+  def truncatePartition(tableDir: String, partValue: String): Long = {
+    val curVersion = currentVersion(tableDir)
+    require(curVersion > 0, "table does not exist")
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "metadata", s"v$curVersion.metadata.json")))
+      .asInstanceOf[ObjectNode]
+    val curSnapId = meta.get("current-snapshot-id").asLong
+    if (curSnapId == -1L) return -1L // created empty: nothing to truncate
+    val snaps = meta.get("snapshots")
+    val curSnap = (0 until snaps.size).map(snaps.get)
+      .find(_.get("snapshot-id").asLong == curSnapId)
+      .getOrElse(sys.error(s"snapshot $curSnapId not in the log"))
+    val listRecs = IcebergLite.readAvro(curSnap.get("manifest-list").asText)
+    var dropped = 0
+    val keptListRecs = listRecs.flatMap { mf =>
+      val mPath = mf.get("manifest_path").toString
+      val entries = IcebergLite.readAvro(mPath)
+      val (dead, live) = entries.partition { e =>
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        e.get("status").asInstanceOf[Int] != 2 &&
+          df.get("content").asInstanceOf[Int] == 0 &&
+          Option(df.get("partition").asInstanceOf[GenericRecord]
+            .get("part_value")).map(_.toString).contains(partValue)
+      }
+      if (dead.isEmpty) Some(mf) // untouched: carried by reference
+      else {
+        dropped += dead.size
+        val liveAdds = live.filterNot(_.get("status").asInstanceOf[Int] == 2)
+        if (liveAdds.isEmpty) None // manifest empties out of the snapshot
+        else {
+          val np = s"$tableDir/metadata/manifest-tp-${nextToken()}.avro"
+          val w = new DataFileWriter(
+            new GenericDatumWriter[GenericRecord](IcebergLite.ManifestEntrySchema))
+          w.create(IcebergLite.ManifestEntrySchema, new java.io.File(np))
+          live.foreach(w.append) // verbatim copies, stats intact
+          w.close()
+          mf.put("manifest_path", np)
+          Some(mf)
+        }
+      }
+    }
+    if (dropped == 0) return -1L // partition absent: standard no-op
+    val seq = meta.get("last-sequence-number").asLong + 1
+    val snapId = (0 until snaps.size)
+      .map(snaps.get(_).get("snapshot-id").asLong).foldLeft(999L)(math.max) + 1
+    val manifestList = s"$tableDir/metadata/snap-$snapId-${nextToken()}.avro"
+    locally {
+      val w = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](IcebergLite.ManifestFileSchema))
+      w.create(IcebergLite.ManifestFileSchema, new java.io.File(manifestList))
+      keptListRecs.foreach(w.append)
+      w.close()
+    }
+    meta.put("last-sequence-number", seq)
+    meta.put("current-snapshot-id", snapId)
+    val snapNode = meta.withArray[ArrayNode]("snapshots").addObject()
+    snapNode.put("snapshot-id", snapId)
+    snapNode.put("sequence-number", seq)
+    snapNode.put("timestamp-ms", 1700000000000L + seq)
+    snapNode.put("manifest-list", manifestList)
+    snapNode.putObject("summary").put("operation", "delete")
+    require(casPublish(tableDir, curVersion + 1,
+      mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),
+      "TRUNCATE PARTITION lost a version race with a concurrent commit — rerun")
+    advanceHint(tableDir, curVersion + 1)
+    snapId
+  }
+
   /** VALUE-REWRITING type change (sanctioned cases in
     * [[TypeWiden.retypeOk]]): every live row rewrites with the column
     * cast to the new type, committed as ONE replace-all snapshot whose

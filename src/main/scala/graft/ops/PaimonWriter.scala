@@ -629,6 +629,41 @@ object PaimonWriter {
     snapId
   }
 
+  /** TRUNCATE one PARTITION: one OVERWRITE snapshot whose delta
+    * manifest DELETEs every live file of that partition — pure
+    * metadata (no data bytes move; expiry reclaims later), the
+    * partition-scoped sibling of [[truncate]]. Returns -1 (no-op) when
+    * the partition holds no live files. */
+  def truncatePartition(tableDir: String, partValue: String): Long = {
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    require(java.nio.file.Files.exists(latestPath), "empty table")
+    val curSnap = PaimonLite.latestSnapshotId(tableDir)
+    val victims = PaimonLite.planFiles(tableDir)
+      .filter(_.part.contains(partValue))
+    if (victims.isEmpty) return -1L
+    val snapId = curSnap + 1
+    val tok = s"$snapId-${nextTok()}"
+    val mName = s"manifest-tp$tok"
+    PaimonLite.writeManifestAvro(tableDir, mName, Nil, victims)
+    val baseName = s"manifest-list-tp$tok-base"
+    val deltaName = s"manifest-list-tp$tok-delta"
+    PaimonLite.writeManifestListAvro(tableDir, baseName,
+      PaimonLite.snapshotManifestNames(tableDir, curSnap))
+    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
+    val snapJson =
+      s"""{"version":3,"id":$snapId,"schemaId":0,
+         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+         |"commitKind":"OVERWRITE",
+         |"timeMillis":${1700000000000L + snapId},
+         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+    require(IcebergWriter.casCreate(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
+      snapJson),
+      "TRUNCATE PARTITION lost the snapshot CAS to a concurrent commit — rerun")
+    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
+    snapId
+  }
+
   /** COMPACTION (the OPTIMIZE verb's paimon spelling): per
     * (partition, bucket) whose LSM holds more than one file or any
     * level-0 file, merge under the deduplicate engine — choosing FULL

@@ -72,6 +72,13 @@ object LakehouseSql {
   private val TruncateRe =
     ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+" +
       "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s*$").r
+  // the reference's specifiedPartition: value-keyed here (our
+  // partitions are value dirs, not named objects)
+  private val TruncatePartRe =
+    ("(?is)^\\s*TRUNCATE\\s+TABLE\\s+" +
+      "graft_(iceberg|delta|hudi|paimon)\\.([A-Za-z_]\\w*)\\s+" +
+      "PARTITION\\s*\\(\\s*([A-Za-z_]\\w*)\\s*=\\s*" +
+      "(?:'([^']*)'|([0-9.eE+\\-]+))\\s*\\)\\s*$").r
   // column-subset INSERT: named columns take the source values
   // positionally, unnamed ones null-fill
   private val InsertColsRe =
@@ -930,6 +937,38 @@ object LakehouseSql {
       }
       writeProps(dir, props)
       "SELECT CAST(0 AS BIGINT) AS committed_version"
+
+    case TruncatePartRe(fmt, name, colName, qv, bv) =>
+      // TRUNCATE one partition, metadata-only: Iceberg rewrites only
+      // the touched manifests (one delete-stamped snapshot), Delta
+      // commits remove tombstones for the partition's adds, Paimon
+      // commits one OVERWRITE snapshot of DELETE entries. Hudi refuses
+      // loudly: its partition file groups are fixed at creation, so a
+      // truncated partition could never refill — DELETE row-level
+      // instead. A partition with no live files is a standard no-op.
+      val dir = tableDir(spark, fmt, name)
+      val p = readProps(dir)
+      val v = Option(qv).getOrElse(bv)
+      require(p.partCol.contains(colName) && p.partTransform == "identity" &&
+        p.partFields.size <= 1,
+        s"TRUNCATE PARTITION targets the table's identity partition column " +
+          s"(here: ${p.partCol.getOrElse("none")}, transform " +
+          s"${p.partTransform}) — transformed/multi-field specs delete " +
+          "row-level (DELETE FROM ... WHERE)")
+      val version: Long = fmt match {
+        case "iceberg" => IcebergWriter.truncatePartition(dir, v)
+        case "paimon" => PaimonWriter.truncatePartition(dir, v)
+        case "delta" =>
+          val pred = (pv: Map[String, String]) => pv.get(colName).contains(v)
+          if (!DeltaLite.planFilesWithCheckpoint(spark, dir)
+              .exists(x => pred(x._2))) -1L
+          else DeltaWriter.deleteWhere(spark, dir, pred)
+        case _ => sys.error("TRUNCATE PARTITION on graft_hudi is not " +
+          "supported — partition file groups are fixed at creation, so a " +
+          "truncated partition could never refill; DELETE FROM ... WHERE " +
+          "<partition predicate> deletes row-level")
+      }
+      s"SELECT CAST($version AS BIGINT) AS committed_version"
 
     case TruncateRe(fmt, name) =>
       // TRUNCATE TABLE: all rows gone in ONE atomic commit (Delta

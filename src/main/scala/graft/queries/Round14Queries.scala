@@ -278,6 +278,45 @@ object Round14Queries {
       out
     }),
 
+    // TRUNCATE PARTITION (the reference's specifiedPartition, value-
+    // keyed): one metadata-only commit drops a partition's live files —
+    // Iceberg rewrites only the touched manifests into a delete-stamped
+    // snapshot (surviving entries copy verbatim, stats intact), Delta
+    // commits remove tombstones, Paimon one OVERWRITE snapshot of
+    // DELETE entries. The partition refills afterwards; hudi refuses
+    // loudly (fixed file groups). Premise: no data parquet moves.
+    "sql_lake_truncate_partition" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r14_ord_tp")
+      val n = safeName(dir)
+      Seq(("iceberg", ""), ("delta", ""),
+        ("paimon", "PRIMARY KEY (o_orderstatus, o_orderkey) ")).map {
+        case (fmt, pk) =>
+          s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.tp_$n $pk" +
+            "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_tp")
+          def dataBytes: Long = {
+            def walk(f: java.io.File): Long =
+              Option(f.listFiles()).getOrElse(Array.empty).map(c =>
+                if (c.isDirectory) walk(c)
+                else if (c.getName.endsWith(".parquet")) c.length() else 0L).sum
+            walk(new java.io.File(s"${lakeDir(s)}/$fmt/tp_$n"))
+          }
+          val before = dataBytes
+          s.sql(s"TRUNCATE TABLE graft_$fmt.tp_$n " +
+            "PARTITION (o_orderstatus = 'F')")
+          require(dataBytes == before,
+            s"metadata-only premise: $fmt TRUNCATE PARTITION moved data bytes")
+          // the partition refills through the normal write path
+          s.sql(s"INSERT INTO graft_$fmt.tp_$n " +
+            "SELECT o_orderkey, o_custkey, o_orderstatus FROM r14_ord_tp " +
+            "WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0")
+          s.sql(s"SELECT '$fmt' AS fmt, o_orderstatus, count(*) AS n2, " +
+            "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+            s"FROM graft_$fmt.tp_$n GROUP BY 1, 2")
+      }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
+    }),
+
     // VALUE-REWRITING SCHEMA CHANGE (the reference's rewrite-tier
     // ALTER, SchemaChangeHandler's non-LIGHT path): `ALTER COLUMN
     // o_custkey TYPE STRING` on a BIGINT column rewrites every live
@@ -390,6 +429,16 @@ object Round14Queries {
       WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
         AND ts < TIMESTAMP '2024-01-13 00:00:00'
       GROUP BY 1 ORDER BY 1""",
+
+    // the 'F' partition truncates then refills with its even keys
+    "sql_lake_truncate_partition" -> """
+      SELECT fmt, o_orderstatus, count(*) AS n2,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders
+      CROSS JOIN (SELECT unnest(['delta','iceberg','paimon']) AS fmt) f
+      WHERE o_orderkey < 9000
+        AND (o_orderstatus <> 'F' OR o_orderkey % 2 = 0)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // string min/max are lexicographic on the cast digits — DuckDB's
     // own VARCHAR cast semantics, per format

@@ -980,6 +980,67 @@ class LakehouseSqlSpec extends AnyFunSuite {
     sql("DROP STREAM graft_stream.da_s")
   }
 
+  test("TRUNCATE PARTITION: metadata-only on iceberg/delta/paimon, loud on hudi") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "B", 20), (3L, "A", 30), (4L, "C", 40))
+      .toDF("k", "p", "v").createOrReplaceTempView("lksql_tp_src")
+    Seq(("iceberg", ""), ("delta", ""), ("paimon", "PRIMARY KEY (p, k) "))
+      .foreach { case (fmt, pk) =>
+        sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_tp $pk" +
+          "PARTITIONED BY (p) AS SELECT * FROM lksql_tp_src")
+        val dataBytes = {
+          def walk(f: java.io.File): Long =
+            Option(f.listFiles()).getOrElse(Array.empty).map(c =>
+              if (c.isDirectory) walk(c)
+              else if (c.getName.endsWith(".parquet")) c.length() else 0L).sum
+          () => walk(new java.io.File(s"target/lakehouse/$fmt/lksql_tp"))
+        }
+        val before = dataBytes()
+        sql(s"TRUNCATE TABLE graft_$fmt.lksql_tp PARTITION (p = 'A')")
+        val got = sql(s"SELECT k FROM graft_$fmt.lksql_tp ORDER BY k")
+          .collect().map(_.getLong(0)).toSeq
+        assert(got == Seq(2L, 4L), s"$fmt truncate-partition: $got")
+        // metadata-only: no data parquet written or removed on disk
+        assert(dataBytes() == before,
+          s"$fmt TRUNCATE PARTITION must not move data bytes")
+        // absent partition: standard no-op
+        sql(s"TRUNCATE TABLE graft_$fmt.lksql_tp PARTITION (p = 'ZZ')")
+        assert(sql(s"SELECT count(*) AS n FROM graft_$fmt.lksql_tp")
+          .head().getLong(0) == 2L)
+        // the partition refills
+        sql(s"INSERT INTO graft_$fmt.lksql_tp SELECT 9 AS k, 'A' AS p, 90 AS v")
+        assert(sql(s"SELECT k FROM graft_$fmt.lksql_tp ORDER BY k")
+          .collect().map(_.getLong(0)).toSeq == Seq(2L, 4L, 9L), s"$fmt refill")
+      }
+    // iceberg: the feed ships the truncated partition as deletes
+    // (snapshot diff); stats-bearing manifests survived — a pruned read
+    // still plans a strict subset
+    sql("SELECT count(*) AS n FROM graft_iceberg.lksql_tp WHERE p = 'B'")
+      .collect(): Unit
+    val scan = graft.plans.LakehouseSql.lastScans.headOption
+    assert(scan.exists(s => s.plannedFiles < s.totalFiles),
+      s"pruning must survive the manifest rewrite: $scan")
+    // hudi refuses loudly (fixed file groups)
+    Seq((1L, "A", 10)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_tp_h")
+    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_tph PRIMARY KEY (k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_tp_h")
+    assert(intercept[Exception] {
+      sql("TRUNCATE TABLE graft_hudi.lksql_tph PARTITION (p = 'A')")
+    }.getMessage.contains("row-level"))
+    // transformed specs refuse (truncate by transformed value is
+    // row-level territory)
+    spark.range(0, 10).selectExpr("id AS k",
+      "timestamp(date_add(date'2024-01-01', cast(id as int))) AS ts")
+      .createOrReplaceTempView("lksql_tp_tr")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_tptr " +
+      "PARTITIONED BY (days(ts)) AS SELECT * FROM lksql_tp_tr")
+    assert(intercept[Exception] {
+      sql("TRUNCATE TABLE graft_delta.lksql_tptr PARTITION (ts = '2024-01-02')")
+    }.getMessage.contains("identity"))
+  }
+
   test("MERGE USING (subquery) source, alias required") {
     val s2 = spark
     import s2.implicits._
