@@ -61,22 +61,35 @@ object HudiLite {
       .sortBy(_._1)
       .filter { case (t, _) => instant.forall(t <= _) }
     require(commits.nonEmpty, s"no completed commits <= $instant in $timelineDir")
+    // a deltacommit may ALSO carry base=true entries: fresh file
+    // groups for partitions the table had never seen (lazy group
+    // creation, real Hudi's discipline) — they replay as file groups
+    // in timeline order next to the .commit bases
+    val deltaBases = Option(timelineDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".deltacommit"))
+      .map(f => (f.getName.stripSuffix(".deltacommit"), f))
+      .sortBy(_._1)
+      .filter { case (t, _) => instant.forall(t <= _) }
     // replay: latest (instant, path) per fileId wins — copy-on-write.
     // A REPLACE commit ("replaces":true — the insert_overwrite_table
     // spelling) supersedes EVERY previous file group: the replay
     // resets before applying its stats.
     val latest = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, String, String)] // fileId -> (path, part, instant)
-    commits.foreach { case (t, f) =>
+    (commits.map(x => (x._1, x._2, false)) ++
+      deltaBases.map(x => (x._1, x._2, true))).sortBy(_._1)
+      .foreach { case (t, f, isDelta) =>
       val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
-      if (Option(node.get("replaces")).exists(_.asBoolean)) latest.clear()
+      if (!isDelta && Option(node.get("replaces")).exists(_.asBoolean))
+        latest.clear()
       val p2ws = node.get("partitionToWriteStats")
       val parts = p2ws.fieldNames()
       while (parts.hasNext) {
         val part = parts.next()
         val stats = p2ws.get(part)
         (0 until stats.size).map(stats.get).foreach { st =>
-          latest(st.get("fileId").asText) = (st.get("path").asText, part, t)
+          if (!isDelta || Option(st.get("base")).exists(_.asBoolean))
+            latest(st.get("fileId").asText) = (st.get("path").asText, part, t)
         }
       }
     }
@@ -299,10 +312,13 @@ object HudiLite {
         val stats = p2ws.get(part)
         (0 until stats.size).map(stats.get).foreach { st =>
           val fid = st.get("fileId").asText
-          val baseInstant = st.get("baseInstant").asText
-          // attach only when the log's base is the chosen slice
-          if (byFileId.get(fid).exists(_._4 == baseInstant))
-            logsByFileId(fid) = logsByFileId(fid) :+ st.get("path").asText
+          // base=true entries are FILE GROUPS (planFiles owns them)
+          if (!Option(st.get("base")).exists(_.asBoolean)) {
+            val baseInstant = st.get("baseInstant").asText
+            // attach only when the log's base is the chosen slice
+            if (byFileId.get(fid).exists(_._4 == baseInstant))
+              logsByFileId(fid) = logsByFileId(fid) :+ st.get("path").asText
+          }
         }
       }
     }
@@ -646,12 +662,17 @@ object HudiLite {
           "restart the feed from the overwritten state")
     }
 
+    // a deltacommit's base=true entries are FRESH FILE GROUPS of a
+    // never-seen partition (lazy group creation) — parquet inserts,
+    // not log blocks
     val newBaseFiles = window.collect { case (_, "commit", f) =>
-      statEntries(f).filter { case (_, fid, _) => !preExisting.contains(fid) }
-        .map { case (_, _, path) => s"$tableDir/$path" }
+      statEntries(f).filter { case (_, fid, _, _) => !preExisting.contains(fid) }
+        .map { case (_, _, path, _) => s"$tableDir/$path" }
+    }.flatten ++ window.collect { case (_, "deltacommit", f) =>
+      statEntries(f).collect { case (_, _, path, true) => s"$tableDir/$path" }
     }.flatten
     val logFiles = window.collect { case (_, "deltacommit", f) =>
-      statEntries(f).map { case (_, _, path) => s"$tableDir/$path" }
+      statEntries(f).collect { case (_, _, path, false) => s"$tableDir/$path" }
     }.flatten
 
     // data schema from any base file of the table (metadata-sized
@@ -696,16 +717,18 @@ object HudiLite {
 
   /** (partition, fileId, path) triples of one timeline instant's
     * partitionToWriteStats. */
-  private def statEntries(f: java.io.File): Seq[(String, String, String)] = {
+  private def statEntries(f: java.io.File)
+      : Seq[(String, String, String, Boolean)] = {
     val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
     val p2ws = node.get("partitionToWriteStats")
     val parts = p2ws.fieldNames()
-    val out = Seq.newBuilder[(String, String, String)]
+    val out = Seq.newBuilder[(String, String, String, Boolean)]
     while (parts.hasNext) {
       val part = parts.next()
       val stats = p2ws.get(part)
       (0 until stats.size).map(stats.get).foreach { st =>
-        out += ((part, st.get("fileId").asText, st.get("path").asText))
+        out += ((part, st.get("fileId").asText, st.get("path").asText,
+          Option(st.get("base")).exists(_.asBoolean)))
       }
     }
     out.result()
@@ -947,6 +970,53 @@ object HudiLite {
   private def bloomKeyCol(keyCols: Seq[String]): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
     concat_ws("", keyCols.map(c => col(c).cast("string")): _*)
+  }
+
+  /** Lay fresh BASE file groups for rows of partitions the table has
+    * never seen — real Hudi creates file groups LAZILY; these register
+    * in the caller's `.deltacommit` stats with base=true so the replay
+    * treats them as file groups, not log files. One distributed
+    * partition-clustered write + bloom sidecars; returns
+    * (part, fid, rel) per non-empty file. The caller's CAS-loss
+    * cleanup must delete them with the staged logs. */
+  private def stageFreshBases(spark: SparkSession, tableDir: String,
+                              fresh: DataFrame, keyCols: Seq[String],
+                              partCol: String, partTransform: String,
+                              instant: String, groupsPerPart: Int = 2)
+      : Seq[(String, String, String)] = {
+    import org.apache.spark.sql.functions._
+    val dir = new java.io.File(tableDir)
+    val staging =
+      s"$tableDir/tmp_newpart_${instant}_${logTokenCounter.incrementAndGet()}"
+    val n = math.max(groupsPerPart,
+      fresh.sparkSession.sessionState.conf.numShufflePartitions)
+    fresh.withColumn("__part", partExpr(fresh, partCol, partTransform))
+      .withColumn("__grp", pmod(hash(keyCols.map(col): _*), lit(groupsPerPart)))
+      .repartition(n, col("__part"), col("__grp"))
+      .drop("__grp")
+      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val entries = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.flatMap { case (f, j) =>
+        val part = f.getParentFile.getName.stripPrefix("__part=")
+        if (f.length() == 0L) None
+        else {
+          val fid = s"n$instant-$j"
+          val rel = s"$part/${fid}_0-0-0_$instant.parquet"
+          new java.io.File(dir, part).mkdirs()
+          java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+          Some((part, fid, rel))
+        }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    writeBlooms(spark, keyCols, entries.map { case (_, _, rel) =>
+      new java.io.File(dir, rel).getAbsolutePath })
+    entries
   }
 
   /** Build and write the `.bloom` sidecar for each base file: one
@@ -1216,16 +1286,24 @@ object HudiLite {
       case (part, ss) => (part, ss.map(_._3).distinct.sorted)
     }
     val groupsDf = spark.createDataFrame(groupRows).toDF("__gpart", "__fids")
-    val routedUp = tagged
+    val joinedUp = tagged
       .join(broadcast(groupsDf),
         partExpr(df, partCol, partTransform) === col("__gpart"), "left")
+    // NOT-MATCHED inserts into a NEVER-SEEN partition lay fresh base
+    // file groups in this same instant (lazy group creation)
+    val freshRows = joinedUp
+      .filter(col("__fid").isNull && col("__fids").isNull)
+      .select(df.columns.toSeq.map(col): _*)
+    val freshBases =
+      if (freshRows.isEmpty) Nil
+      else stageFreshBases(spark, tableDir, freshRows, keyCols, partCol,
+        partTransform, instant)
+    val routedUp = joinedUp
+      .filter(col("__fid").isNotNull || col("__fids").isNotNull)
       .withColumn("__fid", coalesce(col("__fid"),
-        when(col("__fids").isNull, raise_error(concat(
-          lit("upsert into unknown partition: "),
-          partExpr(df, partCol, partTransform))))
-          .otherwise(element_at(col("__fids"),
-            (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
-              .cast("int")))))
+        element_at(col("__fids"),
+          (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
+            .cast("int"))))
       .drop("__gpart", "__fids")
     // delete keys MUST resolve through the index (deleting an unknown
     // key is a premise violation, not a no-op)
@@ -1282,11 +1360,18 @@ object HudiLite {
           (part, fid, baseInstant, rel)
         }
       }.collect().toSeq.sortBy(_._4)
-    require(stats.nonEmpty, "empty merge commit")
-    val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
-      val js = ss.map { case (_, fid, baseInstant, rel) =>
-        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}""" }
-      s""""$part":[${js.mkString(",")}]"""
+    require(stats.nonEmpty || freshBases.nonEmpty, "empty merge commit")
+    val logJs = stats.groupBy(_._1).view.mapValues(_.map {
+      case (_, fid, baseInstant, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}"""
+    }).toMap
+    val baseJs = freshBases.groupBy(_._1).view.mapValues(_.map {
+      case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$instant","base":true}"""
+    }).toMap
+    val statsJson = (logJs.keySet ++ baseJs.keySet).toSeq.sorted.map { part =>
+      s""""$part":[${(logJs.getOrElse(part, Nil) ++
+        baseJs.getOrElse(part, Nil)).mkString(",")}]"""
     }.mkString(",")
     val schemaField = s""""schema":${mapper.writeValueAsString(schema.json)},"""
     if (IcebergWriter.casCreate(
@@ -1297,6 +1382,12 @@ object HudiLite {
       stats.foreach { case (_, _, _, rel) =>
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(tableDir, rel)): Unit
+      }
+      freshBases.foreach { case (_, _, rel) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, rel)): Unit
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, rel + ".bloom")): Unit
       }
       false
     }
@@ -1374,33 +1465,42 @@ object HudiLite {
     // NEW keys (upserts only): route by key hash into the partition's
     // existing groups — codegen element_at over a broadcast-small
     // (partition → group list) frame, no UDF
-    val routed = partCol match {
+    val dataCols = df.columns.toSeq
+    val schema = df.select(dataCols.map(col): _*).schema
+    val (routed, freshBases) = partCol match {
       case Some(p) =>
         val groupRows = slices.groupBy(_._2).toSeq.sortBy(_._1).map {
           case (part, ss) => (part, ss.map(_._3).distinct.sorted)
         }
         val groupsDf = spark.createDataFrame(groupRows)
           .toDF("__gpart", "__fids")
-        tagged
+        val joined = tagged
           .join(broadcast(groupsDf),
             partExpr(df, p, partTransform) === col("__gpart"), "left")
+        // rows of a NEVER-SEEN partition lay fresh base file groups in
+        // this same instant (lazy group creation, real Hudi's way) —
+        // they have no index hit and no group list to route into
+        val freshRows = joined
+          .filter(col("__fid").isNull && col("__fids").isNull)
+          .select(dataCols.map(col): _*)
+        val fresh =
+          if (blockType != BlockData || freshRows.isEmpty) Nil
+          else stageFreshBases(spark, tableDir, freshRows, keyCols, p,
+            partTransform, instant)
+        (joined
+          .filter(col("__fid").isNotNull || col("__fids").isNotNull)
           .withColumn("__fid", coalesce(col("__fid"),
-            when(col("__fids").isNull, raise_error(concat(
-              lit("upsert into unknown partition: "),
-              partExpr(df, p, partTransform))))
-              .otherwise(element_at(col("__fids"),
-                (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
-                  .cast("int")))))
-          .drop("__gpart", "__fids")
+            element_at(col("__fids"),
+              (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
+                .cast("int"))))
+          .drop("__gpart", "__fids"), fresh)
       case None =>
-        tagged.withColumn("__fid",
+        (tagged.withColumn("__fid",
           when(col("__fid").isNull, raise_error(concat(
             lit("deleteKeys of unknown key: "), concat_ws(",",
               keyCols.map(c => col(c).cast("string")): _*))))
-            .otherwise(col("__fid")))
+            .otherwise(col("__fid"))), Nil)
     }
-    val dataCols = df.columns.toSeq
-    val schema = df.select(dataCols.map(col): _*).schema
     val metaByFid: Map[String, (String, String)] =
       slices.map(s => s._3 -> (s._2, s._4)).toMap
     val bcMeta = spark.sparkContext.broadcast(metaByFid)
@@ -1438,11 +1538,18 @@ object HudiLite {
           (part, fid, baseInstant, rel)
         }
       }.collect().toSeq.sortBy(_._4)
-    require(stats.nonEmpty, "empty delta commit")
-    val statsJson = stats.groupBy(_._1).map { case (part, ss) =>
-      val js = ss.map { case (_, fid, baseInstant, rel) =>
-        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}""" }
-      s""""$part":[${js.mkString(",")}]"""
+    require(stats.nonEmpty || freshBases.nonEmpty, "empty delta commit")
+    val logJs = stats.groupBy(_._1).view.mapValues(_.map {
+      case (_, fid, baseInstant, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$baseInstant"}"""
+    }).toMap
+    val baseJs = freshBases.groupBy(_._1).view.mapValues(_.map {
+      case (_, fid, rel) =>
+        s"""{"fileId":"$fid","path":"$rel","baseInstant":"$instant","base":true}"""
+    }).toMap
+    val statsJson = (logJs.keySet ++ baseJs.keySet).toSeq.sorted.map { part =>
+      s""""$part":[${(logJs.getOrElse(part, Nil) ++
+        baseJs.getOrElse(part, Nil)).mkString(",")}]"""
     }.mkString(",")
     val bField = batchId.map(b => s""""batchId":$b,""").getOrElse("")
     // the commit records its writer schema (real Hudi's commit
@@ -1459,11 +1566,20 @@ object HudiLite {
     // the batch twice. A commit landing between THIS check and the
     // casCreate necessarily owns our instant name, so the CAS fails
     // loudly — no silent window remains.
-    if (batchId.exists(committedBatchIds(tableDir).contains)) {
+    def cleanupStaged(): Unit = {
       stats.foreach { case (_, _, _, rel) =>
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(tableDir, rel)): Unit
       }
+      freshBases.foreach { case (_, _, rel) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, rel)): Unit
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, rel + ".bloom")): Unit
+      }
+    }
+    if (batchId.exists(committedBatchIds(tableDir).contains)) {
+      cleanupStaged()
       Some(false)
     } else {
       beforeCommit()
@@ -1476,10 +1592,7 @@ object HudiLite {
           s"""{$bField$schemaField"commitTimeMs":${stampMs(instant)},""" +
             s""""partitionToWriteStats":{$statsJson}}""")) Some(true)
       else {
-        stats.foreach { case (_, _, _, rel) =>
-          java.nio.file.Files.deleteIfExists(
-            java.nio.file.Paths.get(tableDir, rel)): Unit
-        }
+        cleanupStaged()
         None
       }
     }

@@ -92,6 +92,26 @@ class CdfSourceSpec extends AnyFunSuite {
       s"only the LIVE rows of a truncated snapshot ride as deletes: $w4")
   }
 
+  test("hudi feed across a lazy file-group creation: fresh bases ship as inserts") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.HudiLite
+    val dir = fresh("hudi_lazy")
+    HudiLite.createTable(spark, dir,
+      Seq((1L, "A", 10), (2L, "A", 20)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001")
+    // one deltacommit carrying BOTH a log (existing partition) and a
+    // fresh base group (never-seen partition)
+    HudiLite.upsert(spark, dir,
+      Seq((2L, "A", 200), (9L, "Z", 90)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "002")
+    val w = HudiLite.readIncrementalMor(spark, dir, "001", "002")
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w == Set((2L, "upsert"), (9L, "insert")),
+      s"fresh-partition bases must ride as inserts, logs as upserts: $w")
+  }
+
   test("iceberg incremental source: initial snapshot, appends-only windows, resume") {
     val s2 = spark
     import s2.implicits._

@@ -210,11 +210,16 @@ class HudiMorSpec extends AnyFunSuite {
       HudiLite.deleteKeys(spark, dir, Seq(777L).toDF("k"),
         keyCols = Seq("k"), instant = "005")
     }
-    // unknown partition on insert is loud
-    intercept[Exception] {
-      HudiLite.upsert(spark, dir, Seq((50L, "Z", 1)).toDF("k", "p", "v"),
-        keyCols = Seq("k"), partCol = "p", instant = "006")
-    }
+    // a NEVER-SEEN partition lays fresh base file groups in the same
+    // deltacommit (lazy group creation, real Hudi's discipline)...
+    HudiLite.upsert(spark, dir, Seq((50L, "Z", 1)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "006")
+    assert(state(50L) == 1, "insert into a fresh partition lands")
+    // ...and the fresh group is a REAL file group: a later upsert of
+    // the key routes into it through the index
+    HudiLite.upsert(spark, dir, Seq((50L, "Z", 5)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "007")
+    assert(state(50L) == 5, "the lazy group resolves stably")
     // compaction folds the API-written logs; state is a no-op
     val before = state
     HudiLite.compact(spark, dir, Seq("k"), "900")

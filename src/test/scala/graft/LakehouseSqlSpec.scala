@@ -1041,6 +1041,25 @@ class LakehouseSqlSpec extends AnyFunSuite {
     }.getMessage.contains("identity"))
   }
 
+  test("hudi INSERT into a never-seen partition lays a lazy file group") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_hlz_src")
+    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_hlz PRIMARY KEY (k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_hlz_src")
+    // the partition value 'B' never existed — the upsert lays a fresh
+    // base file group in the same deltacommit (lazy group creation)
+    sql("INSERT INTO graft_hudi.lksql_hlz SELECT 2 AS k, 'B' AS p, 20 AS v")
+    assert(sql("SELECT k, v FROM graft_hudi.lksql_hlz ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 10), (2L, 20)))
+    // the lazy group is real: the key updates in place afterwards
+    sql("INSERT INTO graft_hudi.lksql_hlz SELECT 2 AS k, 'B' AS p, 22 AS v")
+    assert(sql("SELECT v FROM graft_hudi.lksql_hlz WHERE k = 2")
+      .head().getInt(0) == 22)
+  }
+
   test("MERGE USING (subquery) source, alias required") {
     val s2 = spark
     import s2.implicits._
