@@ -82,6 +82,13 @@ object HudiLite {
       val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
       if (!isDelta && Option(node.get("replaces")).exists(_.asBoolean))
         latest.clear()
+      // a PARTITION-scoped replace (TRUNCATE TABLE ... PARTITION):
+      // every file group of the named partitions drops out of the
+      // replay; a later insert refills through lazy group creation
+      if (!isDelta) Option(node.get("replacedPartitions")).foreach { arr =>
+        val gone = (0 until arr.size).map(arr.get(_).asText).toSet
+        latest.filterInPlace { case (_, (_, part, _)) => !gone.contains(part) }
+      }
       val p2ws = node.get("partitionToWriteStats")
       val parts = p2ws.fieldNames()
       while (parts.hasNext) {
@@ -654,10 +661,14 @@ object HudiLite {
     val window = instants.filter { case (t, _, _) => t > fromInstant && t <= toInstant }
     require(window.nonEmpty, s"no instants in ($fromInstant, $toInstant]")
     // a replacecommit in the window is STATE MOTION, not change —
-    // shipping its files as inserts would double rows; refuse loudly
+    // shipping its files as inserts would double rows; refuse loudly.
+    // Partition-scoped replaces (TRUNCATE ... PARTITION) refuse too:
+    // the timeline carries no log rows for the dropped partition, so
+    // the feed cannot ship its deletes
     window.foreach { case (t, _, f) =>
-      require(!Option(mapper.readTree(java.nio.file.Files.readString(f.toPath))
-          .get("replaces")).exists(_.asBoolean),
+      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      require(!Option(node.get("replaces")).exists(_.asBoolean) &&
+          Option(node.get("replacedPartitions")).isEmpty,
         s"incremental read across replace instant $t is not supported — " +
           "restart the feed from the overwritten state")
     }
@@ -758,10 +769,11 @@ object HudiLite {
     if (wipe) org.apache.commons.io.FileUtils.deleteQuietly(dir)
     new java.io.File(dir, ".hoodie").mkdirs()
     val staging = s"$tableDir/tmp_create"
+    val gmap = groupCountMap(df, keyCols, partCol, partTransform, groupsPerPart)
     val n = math.max(groupsPerPart,
       df.sparkSession.sessionState.conf.numShufflePartitions)
     df.withColumn("__part", partExpr(df, partCol, partTransform))
-      .withColumn("__grp", pmod(hash(keyCols.map(col): _*), lit(groupsPerPart)))
+      .withColumn("__grp", groupRoute(gmap, keyCols, groupsPerPart))
       .repartition(n, col("__part"), col("__grp")) // explicit n: AQE must not re-merge groups
       .drop("__grp")
       .write.partitionBy("__part").mode("overwrite").parquet(staging)
@@ -824,10 +836,11 @@ object HudiLite {
     val (dfW, keyColsW, partColW) = toWriteNames(tableDir, df, keyCols, partCol)
     val dir = new java.io.File(tableDir)
     val staging = s"$tableDir/tmp_overwrite_$instant"
+    val gmap = groupCountMap(dfW, keyColsW, partColW, partTransform, groupsPerPart)
     val n = math.max(groupsPerPart,
       dfW.sparkSession.sessionState.conf.numShufflePartitions)
     dfW.withColumn("__part", partExpr(dfW, partColW, partTransform))
-      .withColumn("__grp", pmod(hash(keyColsW.map(col): _*), lit(groupsPerPart)))
+      .withColumn("__grp", groupRoute(gmap, keyColsW, groupsPerPart))
       .repartition(n, col("__part"), col("__grp"))
       .drop("__grp")
       .write.partitionBy("__part").mode("overwrite").parquet(staging)
@@ -889,6 +902,27 @@ object HudiLite {
         s"""{"replaces":true,"commitTimeMs":${stampMs(instant)},""" +
           s""""partitionToWriteStats":{}}"""),
       s"TRUNCATE instant $instant conflicts with a concurrent commit")
+    instant.toLong
+  }
+
+  /** TRUNCATE one PARTITION: a commit stamped
+    * `"replacedPartitions":[part]` — the replay drops every file group
+    * of that partition before applying later stats, metadata-only (no
+    * data bytes move; [[clean]] reclaims the orphaned slices). A later
+    * insert REFILLS through lazy group creation — the r14 refusal's
+    * premise (file groups fixed at creation) no longer holds. Older
+    * instants still travel; incremental reads across the instant
+    * refuse, like the whole-table truncate's replace. No-op (returns
+    * -1) when the partition has no live file groups. */
+  def truncatePartition(tableDir: String, partValue: String,
+                        instant: String): Long = {
+    if (!planFiles(tableDir).exists(_._2 == partValue)) return -1L
+    require(IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
+        s"""{"replacedPartitions":[${mapper.writeValueAsString(partValue)}],""" +
+          s""""commitTimeMs":${stampMs(instant)},""" +
+          s""""partitionToWriteStats":{}}"""),
+      s"TRUNCATE PARTITION instant $instant conflicts with a concurrent commit")
     instant.toLong
   }
 
@@ -988,10 +1022,11 @@ object HudiLite {
     val dir = new java.io.File(tableDir)
     val staging =
       s"$tableDir/tmp_newpart_${instant}_${logTokenCounter.incrementAndGet()}"
+    val gmap = groupCountMap(fresh, keyCols, partCol, partTransform, groupsPerPart)
     val n = math.max(groupsPerPart,
       fresh.sparkSession.sessionState.conf.numShufflePartitions)
     fresh.withColumn("__part", partExpr(fresh, partCol, partTransform))
-      .withColumn("__grp", pmod(hash(keyCols.map(col): _*), lit(groupsPerPart)))
+      .withColumn("__grp", groupRoute(gmap, keyCols, groupsPerPart))
       .repartition(n, col("__part"), col("__grp"))
       .drop("__grp")
       .write.partitionBy("__part").mode("overwrite").parquet(staging)
@@ -1059,6 +1094,64 @@ object HudiLite {
     import org.apache.spark.sql.functions.col
     if (partTransform == "identity") col(partCol).cast("string")
     else IcebergWriter.transformCol(df, partCol, partTransform)
+  }
+
+  /** Per-partition file-group counts derived from incoming VOLUME —
+    * real Hudi sizes file groups by target file size instead of a
+    * fixed constant; a 100 TB backfill into a fresh partition must lay
+    * proportionally many groups, not 2 giants every later upsert logs
+    * against. One count aggregate per partition value (map-side
+    * combined; the collected result is one row per partition —
+    * FE-role metadata), groups = ceil(rows / targetRows) clamped to
+    * [floor, 4096]. Row count is the volume proxy because the staged
+    * write is one pass (bytes are unknown until laid); the
+    * `spark.graft.hudi.group.targetRows` conf overrides the default
+    * (≈4M rows ≈ a 128 MiB base file at typical row widths). */
+  private def groupCountMap(df: DataFrame, keyCols: Seq[String],
+                            partCol: String, partTransform: String,
+                            minGroups: Int): Map[String, Int] = {
+    import org.apache.spark.sql.functions._
+    val target = df.sparkSession.conf
+      .getOption("spark.graft.hudi.group.targetRows")
+      .map(_.toLong).getOrElse(4L * 1000 * 1000)
+    df.groupBy(partExpr(df, partCol, partTransform).as("__part")).count()
+      .collect()
+      .flatMap(r => Option(r.getString(0)).map(_ ->
+        math.max(minGroups.toLong,
+          math.min(4096L, (r.getLong(1) + target - 1) / target)).toInt))
+      .toMap
+  }
+
+  /** The group-routing column for a staged base write: key hash modulo
+    * the partition's volume-derived count (`minGroups` covers
+    * partitions absent from the map — null partition values). */
+  private def groupRoute(gmap: Map[String, Int], keyCols: Seq[String],
+                         minGroups: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    pmod(hash(keyCols.map(col): _*),
+      coalesce(element_at(typedLit(gmap), col("__part")), lit(minGroups)))
+  }
+
+  /** The byte bound above which a partition's base file groups count
+    * as FULL: upserted NEW keys then lay additional file groups
+    * instead of logging against oversized bases (real Hudi's
+    * small-file handling in reverse — groups are added as a partition
+    * grows). */
+  private def targetGroupBytes(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.hudi.group.targetBytes")
+      .map(_.toLong).getOrElse(128L * 1024 * 1024)
+
+  /** Partitions whose EVERY live base file exceeds the size bound —
+    * metadata-sized (one File.length per live base, driver-side like
+    * the timeline replay itself). */
+  private def fullPartitions(spark: SparkSession,
+                             slices: Seq[(String, String, String, String, Seq[String])])
+      : Set[String] = {
+    val bound = targetGroupBytes(spark)
+    slices.groupBy(_._2).collect {
+      case (part, ss) if ss.forall(s => new java.io.File(s._1).length() >= bound) =>
+        part
+    }.toSet
   }
 
   /** Bloom-pruned candidate base files for an incoming batch: per
@@ -1290,16 +1383,23 @@ object HudiLite {
       .join(broadcast(groupsDf),
         partExpr(df, partCol, partTransform) === col("__gpart"), "left")
     // NOT-MATCHED inserts into a NEVER-SEEN partition lay fresh base
-    // file groups in this same instant (lazy group creation)
+    // file groups in this same instant (lazy group creation); so do
+    // NEW keys into a FULL partition (every live base over the size
+    // bound) — groups are added as a partition grows
+    val fullUp = fullPartitions(spark, slices)
+    val fullUpPred =
+      if (fullUp.isEmpty) lit(false)
+      else col("__gpart").isin(fullUp.toSeq: _*)
     val freshRows = joinedUp
-      .filter(col("__fid").isNull && col("__fids").isNull)
+      .filter(col("__fid").isNull && (col("__fids").isNull || fullUpPred))
       .select(df.columns.toSeq.map(col): _*)
     val freshBases =
       if (freshRows.isEmpty) Nil
       else stageFreshBases(spark, tableDir, freshRows, keyCols, partCol,
         partTransform, instant)
     val routedUp = joinedUp
-      .filter(col("__fid").isNotNull || col("__fids").isNotNull)
+      .filter(col("__fid").isNotNull ||
+        (col("__fids").isNotNull && !fullUpPred))
       .withColumn("__fid", coalesce(col("__fid"),
         element_at(col("__fids"),
           (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
@@ -1479,16 +1579,24 @@ object HudiLite {
             partExpr(df, p, partTransform) === col("__gpart"), "left")
         // rows of a NEVER-SEEN partition lay fresh base file groups in
         // this same instant (lazy group creation, real Hudi's way) —
-        // they have no index hit and no group list to route into
+        // they have no index hit and no group list to route into. NEW
+        // keys into a FULL partition (every live base over the size
+        // bound) ALSO lay fresh groups instead of logging against
+        // oversized bases — file groups are added as a partition grows.
+        val full = fullPartitions(spark, slices)
+        val fullPred =
+          if (full.isEmpty) lit(false)
+          else col("__gpart").isin(full.toSeq: _*)
         val freshRows = joined
-          .filter(col("__fid").isNull && col("__fids").isNull)
+          .filter(col("__fid").isNull && (col("__fids").isNull || fullPred))
           .select(dataCols.map(col): _*)
         val fresh =
           if (blockType != BlockData || freshRows.isEmpty) Nil
           else stageFreshBases(spark, tableDir, freshRows, keyCols, p,
             partTransform, instant)
         (joined
-          .filter(col("__fid").isNotNull || col("__fids").isNotNull)
+          .filter(col("__fid").isNotNull ||
+            (col("__fids").isNotNull && !fullPred))
           .withColumn("__fid", coalesce(col("__fid"),
             element_at(col("__fids"),
               (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)

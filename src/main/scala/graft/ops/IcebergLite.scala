@@ -410,12 +410,15 @@ object IcebergLite {
     *    snapshot via [[readSnapshot]]'s pathFilter — as
     *    `_CHANGE_TYPE='delete'`, exactly what a downstream replica
     *    needs to mirror an overwrite or truncate.
-    * Row-level DML keeps its documented feed shape: position deletes
-    * leave their data files LIVE, so an UPDATE ships replacement rows
-    * as inserts and no per-row deletes (the full-snapshot read owns
-    * retractions). All diffs are manifest walks — metadata-sized at
-    * any table size. Reference: table streams replay the full binlog
-    * delta (nereids/rules/rewrite/NormalizeOlapTableStreamScan.java:18-56). */
+    * Row-level DML ships per-row deletes too: delete files ADDED by a
+    * snapshot (position OR equality) mask predecessor-live rows of
+    * data files that stay live — those rows ride as
+    * `_CHANGE_TYPE='delete'`, so a DELETE window is non-empty and an
+    * UPDATE ships delete+insert pairs (the Delta feed's DV-growth
+    * discipline, DeltaLite.readChanges, on iceberg). All diffs are
+    * manifest walks — metadata-sized at any table size. Reference:
+    * table streams replay the full binlog delta
+    * (nereids/rules/rewrite/NormalizeOlapTableStreamScan.java:18-56). */
   def readChangesCdc(spark: SparkSession, tableDir: String,
                      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -437,6 +440,9 @@ object IcebergLite {
     def liveData(id: Long): Map[String, FileTask] =
       planFiles(tableDir, Some(id)).filter(_.content == 0)
         .map(t => norm(t.path) -> t).toMap
+    def liveDeletes(id: Long): Map[String, FileTask] =
+      planFiles(tableDir, Some(id)).filter(_.content != 0)
+        .map(t => norm(t.path) -> t).toMap
     val parts = ordered.filter(s => s._2 > fromSeq && s._2 <= toSeq)
       .flatMap { case (id, seq, op) =>
         if (op == "replace") Nil // state motion, not change
@@ -456,10 +462,61 @@ object IcebergLite {
             else Some(readSnapshot(spark, tableDir, Some(prevId.get),
               pathFilter = Some(removedPaths.contains))
               .withColumn("_CHANGE_TYPE", lit("delete")))
-          insDf.toSeq ++ delDf.toSeq
+          // ROW-LEVEL DML: delete files ADDED by this snapshot mask
+          // rows of data files that stay live — those rows ship as
+          // per-row deletes (the Delta feed's DV-growth discipline,
+          // DeltaLite.readChanges, applied to iceberg): position
+          // deletes semi-join the predecessor's live (__fp, __pos),
+          // equality deletes semi-join its key columns. Only STILL-LIVE
+          // data files mask here (a removed file's rows already ship
+          // via the set diff above — no double delete), and the
+          // sequence rule is implied: every predecessor-live data file
+          // is strictly older than this snapshot's delete files.
+          val beforeDel = prevId.map(liveDeletes).getOrElse(Map.empty)
+          val afterDel = liveDeletes(id)
+          val newDelTasks = (afterDel.keySet -- beforeDel.keySet)
+            .toSeq.sorted.map(afterDel(_))
+          val stillLive = after.keySet intersect before.keySet
+          val rowDelDf: Option[DataFrame] =
+            if (newDelTasks.isEmpty || prevId.isEmpty || stillLive.isEmpty) None
+            else {
+              val base = readSnapshot(spark, tableDir, prevId,
+                keepPositions = true, pathFilter = Some(stillLive.contains))
+              val posPaths = newDelTasks.filter(_.content == 1).map(_.path)
+              val posMask =
+                if (posPaths.isEmpty) None
+                else Some(base.join(spark.read.parquet(posPaths: _*)
+                  .select(regexp_replace(col("file_path"), "^file:+", "")
+                    .as("__fp"), col("pos").as("__pos")),
+                  Seq("__fp", "__pos"), "left_semi"))
+              val writeToLogical = declaredFields(tableDir)
+                .map(_.map { case (l, w, _) => w -> l }.toMap)
+                .getOrElse(Map.empty[String, String])
+              val eqMasks = newDelTasks.filter(_.content == 2).map { del =>
+                val d = spark.read.parquet(del.path)
+                val eqCols = d.columns.toSeq
+                  .map(c => writeToLogical.getOrElse(c, c))
+                val right = d.select(d.columns.toSeq.zip(eqCols).map {
+                  case (w, l) => col(w).as(s"__d_$l") }: _*)
+                val cond = eqCols.map(c => base(c) <=> right(s"__d_$c"))
+                  .reduceLeft(_ && _)
+                base.join(right, cond, "left_semi")
+              }
+              (posMask.toSeq ++ eqMasks).reduceOption(_ unionByName _)
+                // a row masked by BOTH a position and an equality delete
+                // in one snapshot is still ONE delete
+                .map(_.dropDuplicates("__fp", "__pos")
+                  .drop("__fp", "__pos")
+                  .withColumn("_CHANGE_TYPE", lit("delete")))
+            }
+          insDf.toSeq ++ delDf.toSeq ++ rowDelDf.toSeq
         }
       }
-    parts.reduceOption(_ unionByName _).getOrElse {
+    // a window spanning an ADD COLUMN reads its early snapshots with
+    // the narrower schema — missing columns null-fill instead of
+    // failing the union (the consumer folds rows under the current
+    // declared schema; a pre-evolution row genuinely had no value)
+    parts.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
       // a window of pure state motion: empty, feed-shaped
       val dataSchema = readSnapshot(spark, tableDir, Some(toSnapshotId)).schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),

@@ -740,14 +740,30 @@ object PaimonWriter {
     val partCol = wn.getOrElse(partColIn, partColIn)
     require(keyCols.contains(partCol),
       "paimon requires the partition column inside the primary key")
-    // tombstone winners drop on FULL buckets only (metadata-sized map)
+    // tombstone winners drop on FULL buckets only (metadata-sized map).
+    // The stored FileMeta.part is the HIVE-ESCAPED staging dir name
+    // (NULL → __HIVE_DEFAULT_PARTITION__, special chars %-escaped), so
+    // the per-row lookup key derives through the SAME escaping
+    // partitionBy applies — a raw __part would NULL-propagate through
+    // concat (or miss on an escaped value) and an unmapped key must
+    // default to KEEP, never drop: keeping a tombstone is always sound
+    // (the read-side merge folds a kept -D winner away at any level),
+    // dropping one below max level resurrects the rows it masks.
     val dropMap = typedLit(groups.map { case ((p, b), (_, _, drop)) =>
       s"${p.getOrElse("")}|$b" -> drop })
+    val escapePart = udf((s: String) =>
+      if (s == null)
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .DEFAULT_PARTITION_NAME
+      else
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(s))
     val staged = winners
       .withColumn("__part", partExpr(winners, partCol, partTransform))
       .withColumn("__bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
-      .filter(!element_at(dropMap,
-        concat(col("__part"), lit("|"), col("__bucket"))) ||
+      .filter(!coalesce(element_at(dropMap,
+        concat(escapePart(col("__part")), lit("|"), col("__bucket"))),
+        lit(false)) ||
         col("_VALUE_KIND").isin(PaimonLite.KindInsert, PaimonLite.KindUpdateAfter))
     val staging = s"$tableDir/stage_c$snapId"
     staged.repartition(col("__part"), col("__bucket"))

@@ -754,14 +754,19 @@ object LakehouseSql {
   }
 
   /** Split on commas at paren depth 0 — SET lists whose expressions
-    * contain function calls keep their internal commas. */
+    * contain function calls keep their internal commas. Structure is
+    * found on the LITERAL-MASKED text (a comma or paren inside a
+    * string literal like 'a,b' or '(' is content, not structure) and
+    * the ORIGINAL text is sliced at those offsets — maskLiterals is
+    * length-preserving, so positions carry over directly. */
   private def splitTop(s: String): Seq[String] = {
+    val masked = SqlPrune.maskLiterals(s)
     val out = Seq.newBuilder[String]
     var depth = 0
     var last = 0
     var i = 0
-    while (i < s.length) {
-      s.charAt(i) match {
+    while (i < masked.length) {
+      masked.charAt(i) match {
         case '(' => depth += 1
         case ')' => depth -= 1
         case ',' if depth == 0 => out += s.substring(last, i); last = i + 1
@@ -773,11 +778,13 @@ object LakehouseSql {
     out.result()
   }
 
-  /** `col = expr` assignments (UPDATE/MERGE SET lists). */
+  /** `col = expr` assignments (UPDATE/MERGE SET lists). The `=` is
+    * located on the masked text too — `SET note = '= sign'` must not
+    * split inside the literal. */
   private def parseAssignments(raw: String, cols: Seq[String])
       : Seq[(String, String)] =
     splitTop(raw).map { a =>
-      val i = a.indexOf('=')
+      val i = SqlPrune.maskLiterals(a).indexOf('=')
       require(i > 0, s"bad assignment '$a'")
       val c = a.substring(0, i).trim
       require(cols.contains(c), s"SET of unknown column '$c'")
@@ -942,10 +949,10 @@ object LakehouseSql {
       // TRUNCATE one partition, metadata-only: Iceberg rewrites only
       // the touched manifests (one delete-stamped snapshot), Delta
       // commits remove tombstones for the partition's adds, Paimon
-      // commits one OVERWRITE snapshot of DELETE entries. Hudi refuses
-      // loudly: its partition file groups are fixed at creation, so a
-      // truncated partition could never refill — DELETE row-level
-      // instead. A partition with no live files is a standard no-op.
+      // commits one OVERWRITE snapshot of DELETE entries, Hudi commits
+      // one replacedPartitions instant (the replay drops the
+      // partition's file groups; a later insert refills through lazy
+      // group creation). A partition with no live files is a no-op.
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
       val v = Option(qv).getOrElse(bv)
@@ -963,10 +970,7 @@ object LakehouseSql {
           if (!DeltaLite.planFilesWithCheckpoint(spark, dir)
               .exists(x => pred(x._2))) -1L
           else DeltaWriter.deleteWhere(spark, dir, pred)
-        case _ => sys.error("TRUNCATE PARTITION on graft_hudi is not " +
-          "supported — partition file groups are fixed at creation, so a " +
-          "truncated partition could never refill; DELETE FROM ... WHERE " +
-          "<partition predicate> deletes row-level")
+        case _ => HudiLite.truncatePartition(dir, v, nextInstant(dir))
       }
       s"SELECT CAST($version AS BIGINT) AS committed_version"
 
@@ -1711,7 +1715,22 @@ object LakehouseSql {
             (if (needSrcIds) Seq(s", $sAlias.__sid AS __sid") else Nil)).mkString +
           s" FROM $tgtView AS $tAlias JOIN $srcViewI AS $sAlias ON $cond")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // qualify-or-flatten: besides the two structs, each side's fields
+      // whose NAME belongs to exactly one side also ride as bare
+      // top-level columns — an unqualified guard/SET reference (`v > 5`,
+      // `SET v = v + 1`) resolves exactly as it did in the plain
+      // `t JOIN s` spelling (Spark does not resolve bare names into
+      // struct fields). Names on BOTH sides stay qualified-only: a bare
+      // reference to them was ambiguous in the join spelling too.
+      val reservedFlat =
+        (idCols ++ (if (needSrcIds) Seq("__sid") else Nil) ++
+          Seq(tAlias, sAlias)).map(_.toLowerCase).toSet
+      def flat(side: String, own: Seq[String], other: Seq[String]) =
+        own.filter(c => !other.exists(_.equalsIgnoreCase(c)) &&
+            !reservedFlat(c.toLowerCase))
+          .map(c => col(side).getField(c).as(c))
       mat.select(Seq(col("__t").as(tAlias), col("__s").as(sAlias)) ++
+        flat("__t", tCols, srcCols) ++ flat("__s", srcCols, tCols) ++
         (idCols ++ (if (needSrcIds) Seq("__sid") else Nil)).map(col): _*)
         .createOrReplaceTempView(matView)
       try {
@@ -1771,12 +1790,14 @@ object LakehouseSql {
             .reduceOption(_ unionByName _)
         }
 
-      val hasUpdates = matchedClauses.exists(!_.isDelete)
-      if (hasUpdates) {
+      if (matchedClauses.nonEmpty) {
         // the standard MERGE cardinality rule: one source row per
         // target key — or, keyless, per target ROW identity (a row
         // matched twice would be deleted once and re-appended once per
-        // source row: silent duplication where standard MERGE errors)
+        // source row: silent duplication where standard MERGE errors).
+        // Delete-only statements probe too: the standard (and Delta,
+        // SQL Server) raise the violation regardless of clause kind —
+        // a double-matched DELETE must error loudly, not delete once.
         val idExprs =
           if (p.keyCols.nonEmpty) p.keyCols.map(k => s"$tAlias.$k")
           else idCols

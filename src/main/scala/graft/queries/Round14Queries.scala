@@ -291,7 +291,10 @@ object Round14Queries {
         .createOrReplaceTempView("r14_ord_tp")
       val n = safeName(dir)
       Seq(("iceberg", ""), ("delta", ""),
-        ("paimon", "PRIMARY KEY (o_orderstatus, o_orderkey) ")).map {
+        ("paimon", "PRIMARY KEY (o_orderstatus, o_orderkey) "),
+        // r15: hudi joins via a replacedPartitions commit (the replay
+        // drops the partition's file groups; lazy creation refills)
+        ("hudi", "PRIMARY KEY (o_orderkey) ")).map {
         case (fmt, pk) =>
           s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.tp_$n $pk" +
             "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_tp")
@@ -435,7 +438,7 @@ object Round14Queries {
       SELECT fmt, o_orderstatus, count(*) AS n2,
              CAST(sum(o_custkey) AS BIGINT) AS sum_ck
       FROM orders
-      CROSS JOIN (SELECT unnest(['delta','iceberg','paimon']) AS fmt) f
+      CROSS JOIN (SELECT unnest(['delta','hudi','iceberg','paimon']) AS fmt) f
       WHERE o_orderkey < 9000
         AND (o_orderstatus <> 'F' OR o_orderkey % 2 = 0)
       GROUP BY 1, 2 ORDER BY 1, 2""",

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import Q.t
+
+/** Round-15: row-level DML in the Iceberg change feed. The r14 feed
+  * diffed only the live DATA-file sets per snapshot, so a position- or
+  * equality-delete commit (UPDATE / DELETE) left its data files live
+  * and shipped an EMPTY delete window — a DELETE was invisible to a
+  * downstream replica and an UPDATE duplicated rows on a keyless one.
+  * [[graft.ops.IcebergLite.readChangesCdc]] now also diffs the
+  * DELETE-file sets: delete files added by a snapshot mask its
+  * predecessor's live rows (position deletes by (file, pos) semi-join,
+  * equality deletes by key semi-join), and the masked rows ride as
+  * `_CHANGE_TYPE='delete'` — the Delta feed's DV-growth discipline
+  * (DeltaLite.readChanges) applied to iceberg, closing the quartet's
+  * last row-level blind spot. Reference: table streams replay the full
+  * binlog delta, deletes included
+  * (nereids/rules/rewrite/NormalizeOlapTableStreamScan.java:18-56). */
+object Round15Queries {
+
+  private def safeName(dir: String): String =
+    new java.io.File(dir).getName.replace(".", "_")
+
+  private def lakeDir(s: SparkSession): String =
+    s.conf.getOption("spark.graft.lakehouse.dir").getOrElse("target/lakehouse")
+
+  private def fresh(name: String): (String, String) = {
+    val ckpt = s"target/stream/ckpt_$name"
+    val out = s"target/stream/out_$name"
+    Seq(ckpt, out).foreach { p =>
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(f).deleteRecursively()
+      }
+    }
+    (new java.io.File(ckpt).getAbsolutePath, new java.io.File(out).getAbsolutePath)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ICEBERG FEED ACROSS ROW-LEVEL DML: a KEYLESS positional table —
+    // an UPDATE window must ship the pre-image rows as deletes next to
+    // the replacement inserts, and a DELETE window must be non-empty
+    // (the r14 feed shipped nothing for either). Premises: (a) resume
+    // never replays a delivered (key, change) pair; (b) the DELETE
+    // windows are non-empty; (c) a replica folded BY ROW (net
+    // insert−delete per full row — keyless, so no key to fold on)
+    // equals the final table exactly.
+    "stream_iceberg_cdf_rowdml" -> ((s, dir) => {
+      val (ckpt, out) = fresh("iceberg_cdf_rowdml")
+      val n = safeName(dir)
+      t(s, dir, "orders").filter(col("o_orderkey") < 8000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r15_ord_rd")
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.rd_$n " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r15_ord_rd")
+      val tableDir = new java.io.File(s"${lakeDir(s)}/iceberg/rd_$n")
+        .getAbsolutePath
+      def runOnce(): Unit = {
+        val q = s.readStream.format("graft.streaming.CdfSourceProvider")
+          .option("path", tableDir).option("format", "iceberg").load()
+          .writeStream.format("parquet").option("path", out)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce() // initial snapshot as inserts
+      s.sql(s"UPDATE graft_iceberg.rd_$n " +
+        "SET o_custkey = o_custkey + 1000000 WHERE o_orderkey % 4 = 1")
+      runOnce() // update: delete pre-image, insert replacement
+      s.sql(s"DELETE FROM graft_iceberg.rd_$n WHERE o_orderkey % 4 = 2")
+      runOnce() // row-level delete: non-empty delete window
+      val events = s.read.parquet(out)
+      val replayed = events
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("_CHANGE_TYPE"))
+        .count().filter(col("count") > 1).limit(1).count()
+      require(replayed == 0L,
+        "offset resume premise: a restarted stream must not replay " +
+          "already-delivered change windows")
+      require(events.filter(col("_CHANGE_TYPE") === "delete" &&
+          col("o_orderkey") % 4 === 2).limit(1).count() == 1,
+        "row-DML premise: the DELETE statement's window must ship " +
+          "per-row deletes — an empty window means the feed is still " +
+          "blind to position-delete commits")
+      require(events.filter(col("_CHANGE_TYPE") === "delete" &&
+          col("o_orderkey") % 4 === 1).limit(1).count() == 1,
+        "row-DML premise: the UPDATE window must ship the pre-image " +
+          "rows as deletes next to the replacement inserts")
+      // replica premise: fold BY ROW (keyless), compare to the table
+      val replica = events
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .agg(sum(when(col("_CHANGE_TYPE") === "delete", -1)
+          .otherwise(1)).as("net"))
+        .filter(col("net") === 1)
+        .drop("net")
+      val table = s.sql(s"SELECT * FROM graft_iceberg.rd_$n")
+      require(replica.exceptAll(table).limit(1).count() == 0 &&
+        table.exceptAll(replica).limit(1).count() == 0,
+        "CDC replica premise: the row-folded replica must equal the " +
+          "final table — row-level DML windows are wrong or missing")
+      events.groupBy(col("_CHANGE_TYPE"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey")).cast("bigint").as("sum_ck"))
+        .orderBy(col("_CHANGE_TYPE"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+
+    // feed content: inserts = every initial row + the updated rows'
+    // replacements (custkey + 1e6); deletes = the updated rows'
+    // pre-images + the deleted rows
+    "stream_iceberg_cdf_rowdml" -> """
+      WITH base AS (
+        SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey < 8000)
+      SELECT * FROM (
+        SELECT 'delete' AS _CHANGE_TYPE, count(*) AS n,
+               CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+        FROM base WHERE o_orderkey % 4 IN (1, 2)
+        UNION ALL
+        SELECT 'insert' AS _CHANGE_TYPE, count(*) AS n,
+               CAST(sum(ck) AS BIGINT) AS sum_ck
+        FROM (SELECT o_custkey AS ck FROM base
+              UNION ALL
+              SELECT o_custkey + 1000000 AS ck FROM base
+              WHERE o_orderkey % 4 = 1))
+      ORDER BY _CHANGE_TYPE"""
+  )
+}

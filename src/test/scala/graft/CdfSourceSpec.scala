@@ -80,16 +80,78 @@ class CdfSourceSpec extends AnyFunSuite {
     assert(w3 == Set((3L, "delete"), (4L, "delete"), (5L, "delete")),
       s"truncate window: $w3")
     // deletes respect the PREDECESSOR's row-level state: a position-
-    // deleted row must not resurrect in a later overwrite/truncate window
+    // deleted row ships ONCE from its own DML window (r15: row-level
+    // deletes ride the feed) and must NOT re-ship in the later
+    // truncate window
     val s5 = IcebergWriter.append(spark, dir,
       Seq((6L, "A"), (7L, "A")).toDF("k", "p"), Some("p"))
     IcebergWriter.deleteRows(spark, dir, $"k" === 6L): Unit
     val s7 = IcebergWriter.truncateTable(spark, dir)
-    val w4 = IcebergLite.readChangesCdc(spark, dir, s5, s7)
+    val w4rows = IcebergLite.readChangesCdc(spark, dir, s5, s7)
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(w4rows.sorted == Seq((6L, "delete"), (7L, "delete")),
+      "the DML window ships k=6 once; the truncate window ships only " +
+        s"the still-live k=7 — no resurrection, no double delete: $w4rows")
+  }
+
+  test("iceberg CDC feed: row-level DML ships per-row deletes (position + equality)") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.{IcebergLite, IcebergWriter}
+    // POSITION deletes: a keyless DELETE window must be non-empty
+    val dir = fresh("ice_cdc_rowdel")
+    val s1 = IcebergWriter.append(spark, dir,
+      Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("k", "p"), Some("p"))
+    val s2id = IcebergWriter.deleteRows(spark, dir, $"k" === 2L)
+    val w1 = IcebergLite.readChangesCdc(spark, dir, s1, s2id)
       .select("k", "_CHANGE_TYPE").collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(w4 == Set((7L, "delete")),
-      s"only the LIVE rows of a truncated snapshot ride as deletes: $w4")
+    assert(w1 == Set((2L, "delete")),
+      s"a position-delete commit must ship its masked rows as deletes: $w1")
+    // an already-deleted row must not re-ship in a LATER window
+    val s3 = IcebergWriter.deleteRows(spark, dir, $"k" === 3L)
+    val w2 = IcebergLite.readChangesCdc(spark, dir, s2id, s3)
+      .select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w2 == Set((3L, "delete")),
+      s"only THIS window's masked rows ride, not the predecessor's: $w2")
+    // EQUALITY deletes: a PK upsert window ships delete+insert pairs
+    // for replaced keys and insert-only for fresh ones
+    val dir2 = fresh("ice_cdc_equps")
+    val u1 = IcebergWriter.append(spark, dir2,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"), Some("p"))
+    val u2 = IcebergWriter.upsert(spark, dir2,
+      Seq((1L, "A", 11), (9L, "B", 90)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = Some("p"))
+    val w3 = IcebergLite.readChangesCdc(spark, dir2, u1, u2)
+      .select("k", "v", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(w3 == Set((1L, 10, "delete"), (1L, 11, "insert"),
+      (9L, 90, "insert")),
+      s"an upsert is delete(pre-image)+insert on the feed: $w3")
+  }
+
+  test("iceberg CDC feed: schema drift inside a window null-fills, not throws") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.{IcebergLite, IcebergWriter}
+    val dir = fresh("ice_cdc_drift")
+    val s1 = IcebergWriter.append(spark, dir,
+      Seq((1L, "A"), (2L, "B")).toDF("k", "p"), Some("p"))
+    // the overwrite's files carry a WIDER schema than the removed ones:
+    // the delete frame (predecessor schema) and insert frame (current)
+    // must union with null-fill, not throw on the missing column
+    val s2v = IcebergWriter.overwrite(spark, dir,
+      Seq((3L, "A", 30)).toDF("k", "p", "v"), Some("p"))
+    val w = IcebergLite.readChangesCdc(spark, dir, s1, s2v)
+    val got = w.select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "delete"), (2L, "delete"), (3L, "insert")),
+      s"drift window: $got")
+    assert(w.filter($"_CHANGE_TYPE" === "delete")
+      .select("v").collect().forall(_.isNullAt(0)),
+      "pre-evolution delete rows null-fill the added column")
   }
 
   test("hudi feed across a lazy file-group creation: fresh bases ship as inserts") {

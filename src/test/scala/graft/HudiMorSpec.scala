@@ -227,6 +227,89 @@ class HudiMorSpec extends AnyFunSuite {
     assert(state == before)
   }
 
+  test("volume-derived file groups: big partitions lay more; full partitions grow") {
+    val s2 = spark
+    import s2.implicits._
+    spark.conf.set("spark.graft.hudi.group.targetRows", "100")
+    try {
+      val dir = new java.io.File("target/hudi/mor_volgroups").getAbsolutePath
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      // A: 1000 rows → ceil(1000/100) = 10 target groups; B: 50 rows →
+      // the floor (2). The staged hash placement may merge a few
+      // groups, so assert proportionate, not exact.
+      val base = ((1L to 1000L).map(k => (k, "A", k.toInt)) ++
+        (2001L to 2050L).map(k => (k, "B", k.toInt))).toDF("k", "p", "v")
+      HudiLite.createTable(spark, dir, base, keyCols = Seq("k"),
+        partCol = "p", instant = "001")
+      val plan0 = HudiLite.planFilesMor(dir)
+      val aGroups = plan0.count(_._2 == "A")
+      assert(aGroups > 2, s"a big partition must lay >2 proportionate " +
+        s"file groups, got $aGroups")
+      assert(plan0.count(_._2 == "B") <= 3,
+        "a small partition must stay near the floor")
+      def state: Map[Long, Int] = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(state.size == 1050 && state(7L) == 7, "volume layout reads exact")
+      // FULL partitions grow: with the size bound below every base's
+      // bytes, NEW keys lay fresh file groups instead of logging
+      // against oversized bases; EXISTING keys still log in place
+      spark.conf.set("spark.graft.hudi.group.targetBytes", "1")
+      val fidsBefore = plan0.map(_._3).toSet
+      HudiLite.upsert(spark, dir,
+        ((5001L to 5020L).map(k => (k, "A", k.toInt)) :+ ((1L, "A", 111)))
+          .toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "002")
+      val plan1 = HudiLite.planFilesMor(dir)
+      val freshFids = plan1.map(_._3).toSet -- fidsBefore
+      assert(freshFids.nonEmpty,
+        "new keys into a FULL partition must lay additional file groups")
+      assert(state(1L) == 111 && state(5005L) == 5005 && state.size == 1070,
+        "existing keys log in place; fresh-group keys land")
+      // the added group is a real file group: its keys update stably
+      HudiLite.upsert(spark, dir, Seq((5005L, "A", 9)).toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "003")
+      assert(state(5005L) == 9, "the grown group resolves stably")
+    } finally {
+      spark.conf.unset("spark.graft.hudi.group.targetRows")
+      spark.conf.unset("spark.graft.hudi.group.targetBytes")
+    }
+  }
+
+  test("truncatePartition drops the partition's groups; travel and refill intact") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_truncpart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    HudiLite.createTable(spark, dir,
+      Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001")
+    HudiLite.upsert(spark, dir, Seq((1L, "A", 11)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "002")
+    def state(at: Option[String] = None): Map[Long, Int] =
+      HudiLite.readSnapshotMor(spark, dir, Seq("k"), instant = at)
+        .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(HudiLite.truncatePartition(dir, "A", "003") == 3L)
+    assert(state() == Map(3L -> 30), "the partition's groups drop atomically")
+    // time travel BEFORE the truncate still sees the partition + its logs
+    assert(state(Some("002")) == Map(1L -> 11, 2L -> 20, 3L -> 30))
+    // absent partition: standard no-op
+    assert(HudiLite.truncatePartition(dir, "ZZ", "004") == -1L)
+    // REFILL through lazy group creation: a truncated key re-inserts
+    // as a new key — no pre-truncate state resurfaces
+    HudiLite.upsert(spark, dir, Seq((1L, "A", 77)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "005")
+    assert(state() == Map(1L -> 77, 3L -> 30), "refill lands fresh")
+    // the incremental feed refuses across the partition replace
+    val e = intercept[Exception] {
+      HudiLite.readIncrementalMor(spark, dir, "001", "005")
+    }
+    assert(e.getMessage.contains("replace"), e.getMessage)
+    // clean reclaims the truncated partition's orphaned slices
+    val reclaimed = HudiLite.clean(dir)
+    assert(reclaimed.nonEmpty, "truncated slices must reclaim")
+    assert(state() == Map(1L -> 77, 3L -> 30), "state intact after clean")
+  }
+
   test("cleaner reclaims superseded slices after compaction; state intact") {
     val s2 = spark
     import s2.implicits._

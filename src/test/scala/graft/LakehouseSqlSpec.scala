@@ -980,12 +980,13 @@ class LakehouseSqlSpec extends AnyFunSuite {
     sql("DROP STREAM graft_stream.da_s")
   }
 
-  test("TRUNCATE PARTITION: metadata-only on iceberg/delta/paimon, loud on hudi") {
+  test("TRUNCATE PARTITION: metadata-only on all four formats") {
     val s2 = spark
     import s2.implicits._
     Seq((1L, "A", 10), (2L, "B", 20), (3L, "A", 30), (4L, "C", 40))
       .toDF("k", "p", "v").createOrReplaceTempView("lksql_tp_src")
-    Seq(("iceberg", ""), ("delta", ""), ("paimon", "PRIMARY KEY (p, k) "))
+    Seq(("iceberg", ""), ("delta", ""), ("paimon", "PRIMARY KEY (p, k) "),
+      ("hudi", "PRIMARY KEY (k) "))
       .foreach { case (fmt, pk) =>
         sql(s"CREATE OR REPLACE TABLE graft_$fmt.lksql_tp $pk" +
           "PARTITIONED BY (p) AS SELECT * FROM lksql_tp_src")
@@ -1021,14 +1022,13 @@ class LakehouseSqlSpec extends AnyFunSuite {
     val scan = graft.plans.LakehouseSql.lastScans.headOption
     assert(scan.exists(s => s.plannedFiles < s.totalFiles),
       s"pruning must survive the manifest rewrite: $scan")
-    // hudi refuses loudly (fixed file groups)
-    Seq((1L, "A", 10)).toDF("k", "p", "v")
-      .createOrReplaceTempView("lksql_tp_h")
-    sql("CREATE OR REPLACE TABLE graft_hudi.lksql_tph PRIMARY KEY (k) " +
-      "PARTITIONED BY (p) AS SELECT * FROM lksql_tp_h")
-    assert(intercept[Exception] {
-      sql("TRUNCATE TABLE graft_hudi.lksql_tph PARTITION (p = 'A')")
-    }.getMessage.contains("row-level"))
+    // hudi: a truncated key re-inserts as a NEW key (the replay
+    // dropped its file group — no stale pre-truncate state resurfaces),
+    // and time travel to the pre-truncate instant still sees it
+    sql("SELECT k FROM graft_hudi.lksql_tp WHERE k = 9").collect()
+    sql("INSERT INTO graft_hudi.lksql_tp SELECT 1 AS k, 'A' AS p, 111 AS v")
+    assert(sql("SELECT v FROM graft_hudi.lksql_tp WHERE k = 1")
+      .head().getInt(0) == 111, "a truncated key must re-insert fresh")
     // transformed specs refuse (truncate by transformed value is
     // row-level territory)
     spark.range(0, 10).selectExpr("id AS k",
@@ -1113,6 +1113,92 @@ class LakehouseSqlSpec extends AnyFunSuite {
         "WHEN MATCHED AND s.v = 1 THEN UPDATE SET v = 0")
     }
     assert(e.getMessage.contains("must be the last"), e.getMessage)
+  }
+
+  test("MERGE resolves UNQUALIFIED column references like the plain join spelling") {
+    val s2 = spark
+    import s2.implicits._
+    // target column `tv` and source column `sv` exist on exactly one
+    // side each — bare references must resolve (the r13 `t JOIN s`
+    // behavior); `k` is on both sides, so bare `k` stays ambiguous and
+    // qualified access is required for it
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "tv")
+      .createOrReplaceTempView("lksql_bare_tgt")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_bare " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_bare_tgt")
+    Seq((1L, 4), (2L, 7), (9L, 90)).toDF("k", "sv")
+      .createOrReplaceTempView("lksql_bare_src")
+    sql("MERGE INTO graft_delta.lksql_bare t USING lksql_bare_src s " +
+      "ON t.k = s.k " +
+      "WHEN MATCHED AND sv > 5 THEN UPDATE SET tv = tv + sv " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, tv) VALUES (s.k, 'A', sv)")
+    val got = sql("SELECT k, tv FROM graft_delta.lksql_bare ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 10), (2L, 27), (3L, 30), (9L, 90)),
+      s"bare-name guard/SET merge: $got")
+  }
+
+  test("delete-only MERGE still runs the cardinality probe") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_dcard_tgt")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_dcard " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_dcard_tgt")
+    // two source rows match target k=1 under a LONE DELETE clause:
+    // standard MERGE (and Delta, SQL Server) raise the cardinality
+    // violation regardless of clause kind — never silently delete once
+    Seq((1L, 1), (1L, 2)).toDF("k", "sv")
+      .createOrReplaceTempView("lksql_dcard_dup")
+    val e = intercept[Exception] {
+      sql("MERGE INTO graft_delta.lksql_dcard t USING lksql_dcard_dup s " +
+        "ON t.k = s.k WHEN MATCHED THEN DELETE")
+    }
+    assert(e.getMessage.contains("cardinality"), e.getMessage)
+    assert(sql("SELECT count(*) FROM graft_delta.lksql_dcard")
+      .head().getLong(0) == 2L, "the failed MERGE must not have deleted")
+  }
+
+  test("string literals with commas survive VALUES and SET splitting") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", "old")).toDF("k", "p", "note")
+      .createOrReplaceTempView("lksql_lit_tgt")
+    sql("CREATE OR REPLACE TABLE graft_delta.lksql_lit " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_lit_tgt")
+    Seq((2L, 0)).toDF("k", "sv").createOrReplaceTempView("lksql_lit_src")
+    // a comma (and an unbalanced paren) INSIDE a literal is content,
+    // not structure — the VALUES splitter must not mis-split on it
+    sql("MERGE INTO graft_delta.lksql_lit t USING lksql_lit_src s " +
+      "ON t.k = s.k " +
+      "WHEN NOT MATCHED THEN INSERT (k, p, note) VALUES (s.k, 'A', 'a,b)c')")
+    // and the UPDATE SET splitter: literal comma in one assignment of two
+    sql("UPDATE graft_delta.lksql_lit SET note = 'x,(y', k = k WHERE k = 1")
+    val got = sql("SELECT k, note FROM graft_delta.lksql_lit ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "x,(y"), (2L, "a,b)c")), s"literal commas: $got")
+  }
+
+  test("table stream on iceberg serves row-level UPDATE/DELETE windows") {
+    val s2 = spark
+    import s2.implicits._
+    Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v")
+      .createOrReplaceTempView("lksql_strd_src")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.lksql_strd " +
+      "PARTITIONED BY (p) AS SELECT * FROM lksql_strd_src")
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+      "target/lakehouse/_streams/lksql_strd_s.json")): Unit
+    sql("CREATE STREAM graft_stream.lksql_strd_s ON TABLE graft_iceberg.lksql_strd")
+    sql("UPDATE graft_iceberg.lksql_strd SET v = v + 100 WHERE k = 2")
+    val w1 = sql("SELECT k, v, _CHANGE_TYPE FROM graft_stream.lksql_strd_s")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(w1 == Set((2L, 20, "delete"), (2L, 120, "insert")),
+      s"an iceberg UPDATE window is delete(pre-image)+insert: $w1")
+    sql("DELETE FROM graft_iceberg.lksql_strd WHERE k = 1")
+    val w2 = sql("SELECT k, _CHANGE_TYPE FROM graft_stream.lksql_strd_s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(w2 == Set((1L, "delete")),
+      s"an iceberg row-DELETE window must be non-empty: $w2")
   }
 
   test("MERGE with a lakehouse SOURCE prunes the source's file planning (matched-only)") {
