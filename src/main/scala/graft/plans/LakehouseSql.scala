@@ -833,9 +833,11 @@ object LakehouseSql {
           .getOrElse(Seq.empty)
       parsedParts.foreach { case (_, tr) =>
         require(tr == "identity" || fmt == "iceberg" ||
-          Set("day", "month", "year")(tr),
+          Set("day", "month", "year")(tr) ||
+          (fmt == "delta" &&
+            (tr.startsWith("bucket[") || tr.startsWith("truncate["))),
           s"partition transform $tr is not supported on graft_$fmt " +
-            "(iceberg: all transforms; delta/hudi/paimon: day/month/year)")
+            "(iceberg/delta: all transforms; hudi/paimon: day/month/year)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -894,9 +896,11 @@ object LakehouseSql {
       parsedParts.foreach { case (c, tr) =>
         require(schema.fieldNames.contains(c), s"unknown partition column $c")
         require(tr == "identity" || fmt == "iceberg" ||
-          Set("day", "month", "year")(tr),
+          Set("day", "month", "year")(tr) ||
+          (fmt == "delta" &&
+            (tr.startsWith("bucket[") || tr.startsWith("truncate["))),
           s"partition transform $tr is not supported on graft_$fmt " +
-            "(iceberg: all transforms; delta/hudi/paimon: day/month/year)")
+            "(iceberg/delta: all transforms; hudi/paimon: day/month/year)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -1113,7 +1117,12 @@ object LakehouseSql {
           "AS BIGINT) AS committed_version"
       // each format's native row-delete spelling: Iceberg position
       // deletes, Delta deletion vectors, Paimon -D retraction rows,
-      // Hudi delete blocks
+      // Hudi delete blocks. The non-iceberg formats store TRANSFORMED
+      // partition values, so a transformed spec's prune applies its
+      // stored-value predicate to their file planning too — the same
+      // triple the read path resolves (iceberg takes it natively)
+      val storedPrune: Option[String => Boolean] = identityPrune.orElse(
+        mfPrune.collect { case (c, _, f) if p.partCol.contains(c) => f })
       val version = fmt match {
         case "iceberg" =>
           IcebergWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
@@ -1121,18 +1130,18 @@ object LakehouseSql {
             transformPrune = mfPrune)
         case "delta" =>
           DeltaWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
-            partFilter = identityPrune.map(f =>
+            partFilter = storedPrune.map(f =>
               (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)))
         case "paimon" =>
           val victims = PaimonLite
-            .readSnapshot(spark, dir, p.keyCols, None, identityPrune)
+            .readSnapshot(spark, dir, p.keyCols, None, storedPrune)
             .filter(expr(cond))
             .withColumn("_VALUE_KIND", lit(PaimonLite.KindDelete))
           PaimonWriter.append(spark, dir, victims, p.partCol.get, p.keyCols,
             partTransform = p.partTransform)
         case "hudi" =>
           val keys = HudiLite
-            .readSnapshotMor(spark, dir, p.keyCols, None, identityPrune)
+            .readSnapshotMor(spark, dir, p.keyCols, None, storedPrune)
             .filter(expr(cond))
             .select(p.keyCols.map(org.apache.spark.sql.functions.col): _*)
           val instant = nextInstant(dir)
@@ -1493,9 +1502,13 @@ object LakehouseSql {
               partTransform = p.partTransform,
               partFields = p.partFields.map(f => (f._1, f._2)))
           case "delta" =>
+            // transformed specs prune the writer's target scan by the
+            // STORED (transformed) partition value, like the read path
+            val storedPrune = identityPrune.orElse(mfPrune.collect {
+              case (c, _, f) if p.partCol.contains(c) => f })
             DeltaWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
               p.partCol,
-              partFilter = identityPrune.map(f =>
+              partFilter = storedPrune.map(f =>
                 (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)),
               partTransform = p.partTransform)
           case "hudi" | "paimon" =>
@@ -1865,8 +1878,13 @@ object LakehouseSql {
             (if (hasUpdated) updatedDf.toSeq else Nil) ++
               (if (hasInserts) insertDf.toSeq else Nil))
           val icePrune = mergeIdentityPrune.map(f => (p.partCol.get, f))
-          val deltaPrune = mergeIdentityPrune.map(f =>
-            (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f))
+          // delta stores TRANSFORMED partition values: a transformed
+          // spec's ON conjunct prunes its writer scan too
+          val deltaPrune = mergeIdentityPrune
+            .orElse(mergeMfPrune.collect {
+              case (c, _, f) if p.partCol.contains(c) => f })
+            .map(f =>
+              (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f))
           if (!hasUpdated && !hasDeleted) appendRows(newRows.get)
           else newRows match {
             case Some(rows) if fmt == "iceberg" =>

@@ -106,6 +106,80 @@ object Round15Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_custkey")).cast("bigint").as("sum_ck"))
         .orderBy(col("_CHANGE_TYPE"))
+    }),
+
+    // TRANSFORMED-SPEC DML TARGET PRUNING BEYOND ICEBERG: delta stores
+    // the TRANSFORMED partition value, so a provable ts-range conjunct
+    // on a days(ts) table prunes the UPDATE's and DELETE's target file
+    // planning (probe read premise-gated strict subset; the WRITER
+    // scan shares the same partFilter — byte-measured in
+    // TransformDmlPruneSpec). r14 left non-iceberg DML conservative
+    // (planned all files); this closes it.
+    "sql_lake_update_prune_tr" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r15_ev_up")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.updp_$n " +
+        "PARTITIONED BY (days(ts)) AS SELECT * FROM r15_ev_up")
+      def prunedScan(verb: String): Unit = {
+        val scan = LakehouseSql.lastScans.headOption.getOrElse(
+          sys.error(s"$verb must record its pruned target scan"))
+        require(scan.fmt == "delta" &&
+          scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+          s"transformed-spec $verb prune premise (delta days(ts)): $scan")
+      }
+      s.sql(s"UPDATE graft_delta.updp_$n SET event_type = 'bumped' " +
+        "WHERE ts >= '2024-01-05 00:00:00' AND ts < '2024-01-07 00:00:00'")
+      prunedScan("UPDATE")
+      s.sql(s"DELETE FROM graft_delta.updp_$n " +
+        "WHERE ts >= '2024-01-20 00:00:00' AND ts < '2024-01-21 00:00:00'")
+      prunedScan("DELETE")
+      s.sql(s"SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_delta.updp_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // BUCKET/TRUNCATE WRITE TRANSFORMS ON DELTA (the iceberg-only
+    // matrix's second format): `PARTITIONED BY (bucket(8, k))` stamps
+    // murmur-bucket partition values on the delta write path and a key
+    // equality prunes the file planning; `truncate(100, k)` prunes by
+    // range (monotone). DML rides the same stored-value prune — the
+    // UPDATE's probe scan is premise-gated a strict subset too.
+    "sql_lake_prune_bucket_delta" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "orders").filter(col("o_orderkey") < 1200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r15_ord_bk")
+      val n = safeName(dir)
+      def prunedScan(what: String): Unit = {
+        val scan = LakehouseSql.lastScans.headOption.getOrElse(
+          sys.error(s"$what must record a pruned scan"))
+        require(scan.fmt == "delta" &&
+          scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+          s"delta transform prune premise ($what): $scan")
+      }
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.bkd_$n " +
+        "PARTITIONED BY (bucket(8, o_orderkey)) AS SELECT * FROM r15_ord_bk")
+      s.sql(s"UPDATE graft_delta.bkd_$n SET o_custkey = o_custkey + 1000000 " +
+        "WHERE o_orderkey = 8")
+      prunedScan("bucket UPDATE")
+      val out1 = s.sql("SELECT 'bucket_upd' AS leg, count(*) AS cnt, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_delta.bkd_$n WHERE o_orderkey = 8")
+      out1.collect(): Unit
+      prunedScan("bucket read")
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.trd_$n " +
+        "PARTITIONED BY (truncate(100, o_orderkey)) " +
+        "AS SELECT * FROM r15_ord_bk")
+      val out2 = s.sql("SELECT 'truncate_range' AS leg, count(*) AS cnt, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_delta.trd_$n " +
+        "WHERE o_orderkey >= 400 AND o_orderkey < 800")
+      out2.collect(): Unit
+      prunedScan("truncate range read")
+      out1.unionByName(out2).orderBy(col("leg"))
     })
   )
 
@@ -128,6 +202,30 @@ object Round15Queries {
               UNION ALL
               SELECT o_custkey + 1000000 AS ck FROM base
               WHERE o_orderkey % 4 = 1))
-      ORDER BY _CHANGE_TYPE"""
+      ORDER BY _CHANGE_TYPE""",
+
+    // the 2-day window's rows re-type to 'bumped'; the Jan-20 day deletes
+    "sql_lake_update_prune_tr" -> """
+      SELECT CASE WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
+                   AND ts < TIMESTAMP '2024-01-07 00:00:00'
+                  THEN 'bumped' ELSE event_type END AS event_type,
+             count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM events
+      WHERE NOT (ts >= TIMESTAMP '2024-01-20 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-21 00:00:00')
+      GROUP BY 1 ORDER BY 1""",
+
+    // key 8's custkey carries the +1e6 update; the truncate leg sums
+    // an untouched key range
+    "sql_lake_prune_bucket_delta" -> """
+      SELECT 'bucket_upd' AS leg, count(*) AS cnt,
+             CAST(sum(o_custkey + 1000000) AS BIGINT) AS sum_ck
+      FROM orders WHERE o_orderkey = 8
+      UNION ALL
+      SELECT 'truncate_range' AS leg, count(*) AS cnt,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
+      ORDER BY leg"""
   )
 }
