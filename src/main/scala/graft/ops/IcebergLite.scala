@@ -240,8 +240,11 @@ object IcebergLite {
     // RENAME COLUMN evolution: data (and delete) files are written with
     // each field's stable WRITE name; the scan plans write names and
     // aliases to the current logical names immediately — the name-mapping
-    // read (spec `schema.name-mapping.default`), no data movement
-    val declared = declaredFields(tableDir)
+    // read (spec `schema.name-mapping.default`), no data movement.
+    // Version-scoped: a time-travel read plans the schema the TARGET
+    // snapshot was committed under (schema-id stamp), so travel across
+    // a retype reads the old type instead of failing on the new one
+    val declared = declaredFields(tableDir, snapshotId)
     val writeToLogical: Map[String, String] =
       declared.map(_.map { case (l, w, _) => w -> l }.toMap).getOrElse(Map.empty)
     val scan = declared match {
@@ -601,11 +604,13 @@ object IcebergLite {
     * same contract as the spec's `schema.name-mapping.default` (field
     * ids resolved by name mapping for files without embedded ids).
     * Absent `write-name` = never renamed (write == logical). */
-  private[ops] def declaredFieldsOf(meta: com.fasterxml.jackson.databind.JsonNode)
+  private[ops] def declaredFieldsOf(meta: com.fasterxml.jackson.databind.JsonNode,
+                                    schemaId: Option[Int] = None)
       : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] =
     for {
       schemas <- Option(meta.get("schemas"))
-      curId <- Option(meta.get("current-schema-id")).map(_.asInt)
+      curId <- schemaId.orElse(
+        Option(meta.get("current-schema-id")).map(_.asInt))
       node <- (0 until schemas.size).map(schemas.get)
         .find(_.get("schema-id").asInt == curId)
     } yield (0 until node.get("fields").size).map(node.get("fields").get).map { f =>
@@ -615,10 +620,24 @@ object IcebergLite {
         sparkTypeOf(f.get("type").asText))
     }
 
-  def declaredFields(tableDir: String)
-      : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] =
-    declaredFieldsOf(mapper.readTree(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(currentMetadataPath(tableDir)))))
+  /** The declared (logical, write, type) fields — VERSION-SCOPED when a
+    * snapshot id is given: each snapshot carries the `schema-id` it was
+    * committed under (spec: Snapshots carry schema-id), so time travel
+    * across an ADD COLUMN or a retype reads the schema of ITS OWN
+    * version, the Delta readVersion semantics. Snapshots written before
+    * the stamp existed fall back to the current schema. */
+  def declaredFields(tableDir: String, snapshotId: Option[Long] = None)
+      : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
+    val meta = mapper.readTree(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(currentMetadataPath(tableDir))))
+    val sid: Option[Int] = snapshotId.flatMap { id =>
+      val snaps = meta.get("snapshots")
+      (0 until snaps.size).map(snaps.get)
+        .find(_.get("snapshot-id").asLong == id)
+        .flatMap(s => Option(s.get("schema-id")).map(_.asInt))
+    }
+    declaredFieldsOf(meta, sid)
+  }
 
   /** The metadata's current-snapshot-id — -1 for a CREATED-EMPTY table
     * (the spec's no-snapshot state). One JSON read, no manifest walk. */

@@ -484,6 +484,8 @@ object IcebergWriter {
       snapNode.put("sequence-number", seq)
       snapNode.put("timestamp-ms", 1700000000000L + seq)
       snapNode.put("manifest-list", manifestList)
+      Option(meta.get("current-schema-id"))
+        .foreach(id => snapNode.put("schema-id", id.asInt): Unit)
       snapNode.putObject("summary").put("operation", "delete")
       if (casPublish(tableDir, curVersion + 1,
           mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta))) {
@@ -953,6 +955,10 @@ object IcebergWriter {
       snapNode.put("sequence-number", seq)
       snapNode.put("timestamp-ms", 1700000000000L + seq)
       snapNode.put("manifest-list", manifestList)
+      // the spec's per-snapshot schema binding: travel reads resolve
+      // the schema the snapshot was committed under
+      Option(meta.get("current-schema-id"))
+        .foreach(id => snapNode.put("schema-id", id.asInt): Unit)
       val summaryNode = snapNode.putObject("summary")
       summaryNode.put("operation",
         if (replaceAll) replaceOp
@@ -1043,6 +1049,8 @@ object IcebergWriter {
     snapNode.put("sequence-number", seq)
     snapNode.put("timestamp-ms", 1700000000000L + seq)
     snapNode.put("manifest-list", manifestList)
+    Option(meta.get("current-schema-id"))
+      .foreach(id => snapNode.put("schema-id", id.asInt): Unit)
     // TRUNCATE is a DATA change (every live row removed) — stamped
     // "delete" so the CDC feed ships the truncated rows as deletes;
     // "replace" stays reserved for state motion (rewrite_data_files)
@@ -1124,6 +1132,8 @@ object IcebergWriter {
     snapNode.put("sequence-number", seq)
     snapNode.put("timestamp-ms", 1700000000000L + seq)
     snapNode.put("manifest-list", manifestList)
+    Option(meta.get("current-schema-id"))
+      .foreach(id => snapNode.put("schema-id", id.asInt): Unit)
     snapNode.putObject("summary").put("operation", "delete")
     require(casPublish(tableDir, curVersion + 1,
       mapper.writerWithDefaultPrettyPrinter().writeValueAsString(meta)),

@@ -160,10 +160,29 @@ object PaimonLite {
   def declaredFields(tableDir: String)
       : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
     val schemaDir = new java.io.File(tableDir, "schema")
-    val latest = Option(schemaDir.listFiles()).getOrElse(Array.empty)
+    val all = Option(schemaDir.listFiles()).getOrElse(Array.empty)
       .flatMap(f => "^schema-(\\d+)$".r.findFirstMatchIn(f.getName)
         .map(m => (m.group(1).toLong, f)))
-      .sortBy(_._1).lastOption.map(_._2)
+      .sortBy(_._1)
+    // the EFFECTIVE schema: metadata-only evolutions (add/drop/rename/
+    // widen) activate on write, but a schema marked
+    // `activatesWithSnapshot` (the retype rewrite's) stays INERT until
+    // a snapshot stamped with its id (or later) lands — the snapshot
+    // CAS is then the retype's single visibility point, closing the
+    // two-swap-point window the r14 refusal named (a crash between the
+    // schema write and the data commit leaves the table readable under
+    // its OLD schema, never a string schema over integer files)
+    def pending(f: java.io.File): Boolean =
+      Option(mapper.readTree(java.nio.file.Files.readString(f.toPath))
+        .get("activatesWithSnapshot")).exists(_.asBoolean)
+    val latest: Option[java.io.File] =
+      if (all.isEmpty) None
+      else if (!all.exists(x => pending(x._2))) all.lastOption.map(_._2)
+      else {
+        val stamp = currentSchemaStamp(tableDir)
+        all.filter { case (id, f) => !pending(f) || id <= stamp }
+          .lastOption.map(_._2)
+      }
     latest.map { f =>
       val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
       val fields = node.get("fields")
@@ -173,6 +192,39 @@ object PaimonLite {
           Option(fn.get("writeName")).map(_.asText).getOrElse(name),
           org.apache.spark.sql.catalyst.parser.CatalystSqlParser
             .parseDataType(fn.get("type").asText))
+      }
+    }
+  }
+
+  /** The CURRENT snapshot's stamped schemaId — -1 when the table has no
+    * snapshot yet (a pending schema then stays inert). */
+  private def currentSchemaStamp(tableDir: String): Long = {
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    if (!java.nio.file.Files.exists(latestPath)) -1L
+    else Option(snapshotNode(tableDir, latestSnapshotId(tableDir))
+      .get("schemaId")).map(_.asLong).getOrElse(0L)
+  }
+
+  /** The schema id writers stamp on new snapshots: the effective
+    * schema's id (0 when the table never declared one) — a commit after
+    * a retype must carry the retype's id forward, or the pending rule
+    * would deactivate it. */
+  def effectiveSchemaId(tableDir: String): Long = {
+    val schemaDir = new java.io.File(tableDir, "schema")
+    val all = Option(schemaDir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => "^schema-(\\d+)$".r.findFirstMatchIn(f.getName)
+        .map(m => (m.group(1).toLong, f)))
+      .sortBy(_._1)
+    if (all.isEmpty) 0L
+    else {
+      def pending(f: java.io.File): Boolean =
+        Option(mapper.readTree(java.nio.file.Files.readString(f.toPath))
+          .get("activatesWithSnapshot")).exists(_.asBoolean)
+      if (!all.exists(x => pending(x._2))) all.last._1
+      else {
+        val stamp = currentSchemaStamp(tableDir)
+        all.filter { case (id, f) => !pending(f) || id <= stamp }
+          .lastOption.map(_._1).getOrElse(0L)
       }
     }
   }

@@ -222,7 +222,7 @@ object PaimonWriter {
     }
     val bField = batchId.map(b => s""""streamingBatchId":$b,""").getOrElse("")
     val snapJson =
-      s"""{"version":3,"id":$snapId,"schemaId":0,
+      s"""{"version":3,"id":$snapId,"schemaId":${PaimonLite.effectiveSchemaId(tableDir)},
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
          |$clField$bField"commitKind":"${if (overwriteAll) "OVERWRITE" else "APPEND"}",
          |"timeMillis":${1700000000000L + snapId},
@@ -516,8 +516,12 @@ object PaimonWriter {
     }
 
   /** One `schema-N` evolution step over (logical, write, type) fields;
-    * CAS-created, loud on a concurrent ALTER. */
-  private def evolveSchema(spark: SparkSession, tableDir: String)
+    * CAS-created, loud on a concurrent ALTER. `activatesWithSnapshot`
+    * marks the file INERT until a snapshot stamped with its id lands
+    * (the retype rewrite's single-visibility-point discipline —
+    * [[PaimonLite.declaredFields]] documents the resolution rule). */
+  private def evolveSchema(spark: SparkSession, tableDir: String,
+                           activatesWithSnapshot: Boolean = false)
       (f: Seq[(String, String, org.apache.spark.sql.types.DataType)] =>
         Seq[(String, String, org.apache.spark.sql.types.DataType)]): Long = {
     import org.apache.spark.sql.types._
@@ -543,11 +547,157 @@ object PaimonWriter {
       val writeAttr = if (w != l) s""","writeName":"$w"""" else ""
       s"""{"id":$i,"name":"$l","type":"${PaimonLite.paimonTypeName(dt)}"$writeAttr}"""
     }.mkString(",")
+    val pendAttr =
+      if (activatesWithSnapshot) ""","activatesWithSnapshot":true""" else ""
     require(IcebergWriter.casCreate(
         java.nio.file.Paths.get(tableDir, "schema", s"schema-$nextId"),
-        s"""{"id":$nextId,"fields":[$fieldsJson]}"""),
+        s"""{"id":$nextId$pendAttr,"fields":[$fieldsJson]}"""),
       s"schema-$nextId conflicts with a concurrent ALTER — rerun")
     nextId
+  }
+
+  /** VALUE-REWRITING RETYPE (`ALTER COLUMN ... TYPE`, the rewrite
+    * tier): the r14 refusal named the two-swap-point problem — a
+    * schema file and a data commit cannot land atomically. Closed by
+    * ORDERING plus the pending rule: the rewritten files stage
+    * (invisible), the new schema-N lands marked `activatesWithSnapshot`
+    * (INERT — readers keep resolving the old schema), and the COMPACT
+    * snapshot stamped with the new schemaId is the SINGLE visibility
+    * point: its CAS flips data and schema together. A crash anywhere
+    * before the CAS leaves the table readable under its OLD schema.
+    *
+    * The rewrite itself is full-compaction semantics with the column
+    * cast: per-(partition, bucket) winner merge over ALL live files
+    * (every bucket rewrites completely, so tombstone winners drop
+    * soundly), staged at MaxLevel, sequence numbers carried VERBATIM so
+    * later upserts order correctly. Stamped COMPACT, so changelog/
+    * incremental readers stay quiet (state motion, the delta/iceberg
+    * retype discipline). Honest scope: travel to a PRE-retype snapshot
+    * reads the new declared schema over old narrow files and fails
+    * loudly (paimon resolves reads by the effective schema, not
+    * per-snapshot — documented in COVERAGE). Empty tables (no snapshot
+    * or no live files) retype metadata-only. */
+  def retypeColumn(spark: SparkSession, tableDir: String, colName: String,
+                   newTypeSql: String, keyColsIn: Seq[String],
+                   partColIn: String,
+                   partTransform: String = "identity"): Long = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.expressions.Window
+    val newType = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(newTypeSql)
+    val wn = PaimonLite.writeNames(tableDir)
+    val keyCols = keyColsIn.map(c => wn.getOrElse(c, c))
+    val partCol = wn.getOrElse(partColIn, partColIn)
+    val colW = wn.getOrElse(colName, colName)
+    require(!keyCols.contains(colW) && colW != partCol,
+      s"cannot retype key/partition column $colName")
+    def retypeFields(cur: Seq[(String, String, DataType)]) = {
+      val f = cur.find(_._1 == colName).getOrElse(sys.error(s"no column $colName"))
+      require(TypeWiden.retypeOk(f._3, newType),
+        s"retype ${f._3.simpleString} -> ${newType.simpleString} is not sanctioned")
+      cur.map { case (l, w, t) => if (l == colName) (l, w, newType) else (l, w, t) }
+    }
+    val typePath = java.nio.file.Paths.get(tableDir, "snapshot", "TYPE")
+    val latestPath = java.nio.file.Paths.get(tableDir, "snapshot", "LATEST")
+    val hasData = java.nio.file.Files.exists(latestPath) &&
+      PaimonLite.planFiles(tableDir).nonEmpty
+    if (!hasData)
+      // nothing to rewrite: the schema activates on write
+      return evolveSchema(spark, tableDir)(retypeFields)
+    require(java.nio.file.Files.exists(typePath) &&
+      java.nio.file.Files.readString(typePath).trim == "primary-key",
+      "paimon retype rewrites through the LSM merge — PRIMARY KEY tables only")
+    val curSnap = PaimonLite.latestSnapshotId(tableDir)
+    val files = PaimonLite.planFiles(tableDir)
+    val buckets = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(tableDir, "snapshot", "BUCKETS")).trim.toInt
+    // read EVERY live file under the OLD declared write schema
+    val sysCols = Array(StructField("_SEQUENCE_NUMBER", LongType),
+      StructField("_VALUE_KIND", IntegerType))
+    val raw = PaimonLite.declaredFields(tableDir) match {
+      case Some(fs) =>
+        spark.read.schema(StructType(fs.map { case (_, w, dt) =>
+          StructField(w, dt, nullable = true) }.toArray ++ sysCols))
+          .parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+      case None =>
+        spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
+    }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc)
+    val winners = raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .filter(col("_VALUE_KIND").isin(
+        PaimonLite.KindInsert, PaimonLite.KindUpdateAfter))
+      .withColumn(colW, col(colW).cast(newType))
+    val snapId = curSnap + 1
+    val staging = s"$tableDir/stage_rt$snapId"
+    winners
+      .withColumn("__part", partExpr(winners, partCol, partTransform))
+      .withColumn("__bucket", pmod(hash(keyCols.map(col): _*), lit(buckets)))
+      .repartition(col("__part"), col("__bucket"))
+      .write.partitionBy("__part", "__bucket")
+      .mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new java.io.File(tableDir)
+    val adds = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.map { case (f, j) =>
+        val bucketDir = f.getParentFile.getName
+        val partDir = f.getParentFile.getParentFile.getName
+        require(partDir.startsWith("__part=") && bucketDir.startsWith("__bucket="),
+          s"unexpected staging layout: $partDir/$bucketDir")
+        val part = partDir.stripPrefix("__part=")
+        val bucket = bucketDir.stripPrefix("__bucket=").toInt
+        val rel = s"$part/bucket-$bucket/data-rt$snapId-${nextTok()}-$j.parquet"
+        val dst = new java.io.File(dir, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        val (rows, bytes, lo, hi) =
+          IcebergWriter.footerStats(dst.getAbsolutePath, conf)
+        (PaimonLite.FileMeta(rel, Some(part), bucket, level = MaxLevel,
+          minSeq = lo.getOrElse("_SEQUENCE_NUMBER", 0L),
+          maxSeq = hi.getOrElse("_SEQUENCE_NUMBER", 0L),
+          rowCount = rows), bytes)
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    // the pending schema (inert until the snapshot below lands)
+    val newId = evolveSchema(spark, tableDir,
+      activatesWithSnapshot = true)(retypeFields)
+    val tok = s"$snapId-${nextTok()}"
+    val mName = s"manifest-rt$tok"
+    PaimonLite.writeManifestAvro(tableDir, mName, adds, files)
+    val baseName = s"manifest-list-rt$tok-base"
+    val deltaName = s"manifest-list-rt$tok-delta"
+    PaimonLite.writeManifestListAvro(tableDir, baseName,
+      PaimonLite.snapshotManifestNames(tableDir, curSnap))
+    PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
+    val snapJson =
+      s"""{"version":3,"id":$snapId,"schemaId":$newId,
+         |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
+         |"commitKind":"COMPACT",
+         |"timeMillis":${1700000000000L + snapId},
+         |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
+    val won = IcebergWriter.casCreate(
+      java.nio.file.Paths.get(tableDir, "snapshot", s"snapshot-$snapId"),
+      snapJson)
+    if (!won) {
+      adds.foreach { case (m, _) =>
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(tableDir, m.path)): Unit
+      }
+      // the never-activated schema dies with its rewrite
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(tableDir, "schema", s"schema-$newId")): Unit
+      sys.error("retype lost the snapshot CAS to a concurrent commit — " +
+        "its rewrite is stale against the moved table; re-run")
+    }
+    IcebergWriter.atomicWriteString(latestPath, snapId.toString)
+    snapId
   }
 
   /** logical → write-name rename of `df` plus the write-named partition
@@ -617,7 +767,7 @@ object PaimonWriter {
     PaimonLite.writeManifestListAvro(tableDir, baseName, Nil)
     PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
     val snapJson =
-      s"""{"version":3,"id":$snapId,"schemaId":0,
+      s"""{"version":3,"id":$snapId,"schemaId":${PaimonLite.effectiveSchemaId(tableDir)},
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
          |"commitKind":"OVERWRITE",
          |"timeMillis":${1700000000000L + snapId},
@@ -651,7 +801,7 @@ object PaimonWriter {
       PaimonLite.snapshotManifestNames(tableDir, curSnap))
     PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
     val snapJson =
-      s"""{"version":3,"id":$snapId,"schemaId":0,
+      s"""{"version":3,"id":$snapId,"schemaId":${PaimonLite.effectiveSchemaId(tableDir)},
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
          |"commitKind":"OVERWRITE",
          |"timeMillis":${1700000000000L + snapId},
@@ -813,7 +963,7 @@ object PaimonWriter {
       PaimonLite.snapshotManifestNames(tableDir, curSnap))
     PaimonLite.writeManifestListAvro(tableDir, deltaName, Seq(mName))
     val snapJson =
-      s"""{"version":3,"id":$snapId,"schemaId":0,
+      s"""{"version":3,"id":$snapId,"schemaId":${PaimonLite.effectiveSchemaId(tableDir)},
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
          |"commitKind":"COMPACT",
          |"timeMillis":${1700000000000L + snapId},

@@ -810,7 +810,48 @@ object LakehouseSql {
 
   /** Rewrite (and for writes: execute) one statement. Returns the SQL
     * Spark should actually parse. */
-  def rewrite(spark: SparkSession, sql: String): String = sql match {
+  // the MERGE USING-(subquery) prefix — the subquery body is found by
+  // BALANCED-PAREN scan on the literal-masked text, so any nesting
+  // depth parses (the one-level regex alternative in MergeRe stays as
+  // a fallback shape)
+  private val MergeUsingParenRe =
+    ("(?is)^(\\s*MERGE\\s+INTO\\s+graft_(?:iceberg|delta|hudi|paimon)\\." +
+      "[A-Za-z_]\\w*(?:\\s+(?:AS\\s+)?[A-Za-z_]\\w*)?\\s+USING\\s*)\\(").r
+
+  /** `MERGE ... USING (subquery) alias ...` at ANY paren nesting depth:
+    * the subquery materializes behind an internal view (its own graft
+    * references rewrite recursively through the injected parser) and
+    * the statement re-enters with the view name. */
+  private def mergeSubqueryPrepass(spark: SparkSession, sql: String): String = {
+    val masked = SqlPrune.maskLiterals(sql)
+    MergeUsingParenRe.findFirstMatchIn(masked) match {
+      case None => sql
+      case Some(m) =>
+        val open = m.end - 1
+        var depth = 0
+        var i = open
+        var close = -1
+        while (i < masked.length && close < 0) {
+          masked.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = i
+            case _ =>
+          }
+          i += 1
+        }
+        require(close > open, "unbalanced parens in MERGE USING (subquery)")
+        require("(?is)^\\s*ON\\b".r.findFirstIn(sql.substring(close + 1)).isEmpty,
+          "MERGE USING (subquery) needs an alias")
+        spark.sql(sql.substring(open + 1, close))
+          .createOrReplaceTempView("__graft_mrg_subq")
+        sql.substring(0, open) + " __graft_mrg_subq " + sql.substring(close + 1)
+    }
+  }
+
+  def rewrite(spark: SparkSession, sql: String): String =
+    rewriteResolved(spark, mergeSubqueryPrepass(spark, sql))
+
+  private def rewriteResolved(spark: SparkSession, sql: String): String = sql match {
     case CreateRe(orReplace, ifNotExists, fmt, name, pkRaw, partRaw, select) =>
       val dir = tableDir(spark, fmt, name)
       val exists = java.nio.file.Files.exists(
@@ -1399,6 +1440,13 @@ object LakehouseSql {
             IcebergWriter.retypeColumn(spark, dir, colName, sqlType,
               p.partCol, p.partTransform,
               p.partFields.map(x => (x._1, x._2))): Unit
+          case "paimon" =>
+            // the pending-schema discipline makes the COMPACT snapshot
+            // CAS the single visibility point (PaimonWriter.retypeColumn)
+            PaimonWriter.retypeColumn(spark, dir, colName, sqlType,
+              p.keyCols, p.partCol.getOrElse(
+                sys.error("paimon tables are partitioned")),
+              p.partTransform): Unit
           case other => sys.error(s"value-rewriting retype on graft_$other " +
             "is not atomic (the schema file and the data commit are " +
             "separate swap points) — refused; rewrite via CREATE OR " +

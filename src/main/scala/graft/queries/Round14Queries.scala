@@ -333,8 +333,12 @@ object Round14Queries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .createOrReplaceTempView("r14_ord_rt")
       val n = safeName(dir)
-      Seq("delta", "iceberg").map { fmt =>
-        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.rt_$n " +
+      // r15: paimon joins the rewrite tier — pending schema + one
+      // COMPACT snapshot whose CAS is the single visibility point
+      Seq("delta", "iceberg", "paimon").map { fmt =>
+        val pk = if (fmt == "paimon")
+          "PRIMARY KEY (o_orderstatus, o_orderkey) " else ""
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.rt_$n $pk" +
           "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_rt")
         def version: Long = fmt match {
           case "delta" => Option(new java.io.File(
@@ -342,6 +346,11 @@ object Round14Queries {
             .getOrElse(Array.empty)
             .filter(_.getName.endsWith(".json"))
             .map(_.getName.dropRight(5).toLong).max
+          case "paimon" => Option(new java.io.File(
+              s"${lakeDir(s)}/paimon/rt_$n/snapshot").listFiles())
+            .getOrElse(Array.empty)
+            .filter(_.getName.startsWith("snapshot-"))
+            .map(_.getName.stripPrefix("snapshot-").toLong).max
           case _ => Option(new java.io.File(
               s"${lakeDir(s)}/iceberg/rt_$n/metadata").listFiles())
             .getOrElse(Array.empty)
@@ -451,7 +460,7 @@ object Round14Queries {
              max(CAST(o_custkey AS VARCHAR)) AS max_ck,
              CAST(sum(o_custkey) AS BIGINT) AS sum_ck
       FROM orders
-      CROSS JOIN (SELECT unnest(['delta', 'iceberg']) AS fmt) f
+      CROSS JOIN (SELECT unnest(['delta', 'iceberg', 'paimon']) AS fmt) f
       WHERE o_orderkey < 9000
       GROUP BY 1, 2 ORDER BY 1, 2""",
 

@@ -491,6 +491,63 @@ class EvolutionModelSpec extends AnyFunSuite {
     val w = IcebergLite.readChangesCdc(spark, sqlDir, s1, s2id)
     assert(w.count() == 0,
       "an iceberg retype is one replace-stamped rewrite — feed-quiet")
+    // r15: snapshots carry their schema-id, so travel ACROSS the retype
+    // reads the OLD type (the Delta semantics above) instead of failing
+    val preRt = spark.sql("SELECT k, v FROM graft_iceberg.evo_rt " +
+      s"FOR VERSION AS OF $s1 ORDER BY k")
+    assert(preRt.schema("v").dataType.simpleString == "int",
+      "iceberg travel to the pre-retype snapshot reads the OLD type")
+    assert(preRt.collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq ==
+      Seq(1L -> 10, 2L -> 20))
+
+    // PAIMON (r15): pending schema + ONE COMPACT snapshot whose CAS is
+    // the single visibility point; LSM state (upserts, tombstones)
+    // folds into the rewrite; feeds stay quiet (COMPACT skip); the
+    // retyped table keeps upserting
+    val pdir = new java.io.File("target/lakehouse/paimon/evo_rt")
+      .getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(pdir))
+    Seq((1L, "P0", 10), (2L, "P1", 20), (3L, "P0", 30))
+      .toDF("k", "p", "v").createOrReplaceTempView("evo_rt_p")
+    spark.sql("CREATE OR REPLACE TABLE graft_paimon.evo_rt " +
+      "PRIMARY KEY (p, k) PARTITIONED BY (p) AS SELECT * FROM evo_rt_p")
+    spark.sql("INSERT INTO graft_paimon.evo_rt " +
+      "SELECT 2 AS k, 'P1' AS p, 22 AS v") // LSM upsert
+    spark.sql("DELETE FROM graft_paimon.evo_rt WHERE k = 3") // -D tombstone
+    val pSnapsBefore = Option(new java.io.File(pdir, "snapshot").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("snapshot-"))
+    spark.sql("ALTER TABLE graft_paimon.evo_rt ALTER COLUMN v TYPE STRING")
+    val pSnapsAfter = Option(new java.io.File(pdir, "snapshot").listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("snapshot-"))
+    assert(pSnapsAfter == pSnapsBefore + 1,
+      "paimon retype must land exactly ONE snapshot")
+    val pGot = spark.sql("SELECT k, v FROM graft_paimon.evo_rt ORDER BY k")
+    assert(pGot.schema("v").dataType.simpleString == "string")
+    assert(pGot.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "10", 2L -> "22"),
+      "the rewrite folds LSM upserts and tombstones")
+    // post-retype writes carry the new type
+    spark.sql("INSERT INTO graft_paimon.evo_rt " +
+      "SELECT 9 AS k, 'P0' AS p, '90' AS v")
+    assert(spark.sql("SELECT v FROM graft_paimon.evo_rt WHERE k = 9")
+      .head().getString(0) == "90")
+    // the PENDING rule is what makes the CAS the visibility point: a
+    // crash AFTER the schema write but BEFORE the snapshot (simulated
+    // by hand-writing a marked schema file) leaves reads on the OLD
+    // declared schema — never a string schema over integer files
+    val schemaDir = new java.io.File(pdir, "schema")
+    val maxId = schemaDir.listFiles().map(_.getName.stripPrefix("schema-").toLong).max
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(pdir, "schema", s"schema-${maxId + 1}"),
+      s"""{"id":${maxId + 1},"activatesWithSnapshot":true,"fields":[
+         |{"id":0,"name":"k","type":"BIGINT"},
+         |{"id":1,"name":"p","type":"STRING"},
+         |{"id":2,"name":"v","type":"DOUBLE"}]}""".stripMargin)
+    assert(spark.sql("SELECT v FROM graft_paimon.evo_rt WHERE k = 9")
+      .schema("v").dataType.simpleString == "string",
+      "a pending (never-activated) schema must stay INERT for reads")
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(pdir, "schema", s"schema-${maxId + 1}"))
 
     // refusals stay loud: non-sanctioned retypes and rewrite-less formats
     assert(intercept[Exception] {

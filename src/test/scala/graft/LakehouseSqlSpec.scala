@@ -1082,6 +1082,18 @@ class LakehouseSqlSpec extends AnyFunSuite {
       sql("MERGE INTO graft_delta.lksql_sq t USING " +
         "(SELECT 1 AS k) ON t.k = 1 WHEN MATCHED THEN DELETE")
     }.getMessage.contains("alias"))
+    // NESTED subqueries (r15: balanced-paren extraction, any depth) —
+    // the inner derived table and an IN-subquery both sit below the
+    // outer parens, and a literal carrying ')' must not end the scan
+    sql("MERGE INTO graft_delta.lksql_sq t USING " +
+      "(SELECT k, v FROM (SELECT k, v * 2 AS v FROM " +
+      "(SELECT k, v FROM graft_delta.lksql_sq_src) inner2 " +
+      "WHERE k IN (SELECT k FROM lksql_sq_tgt WHERE p <> 'x)y')) inner1) s " +
+      "ON t.k = s.k WHEN MATCHED AND s.k = 2 THEN UPDATE SET v = s.v")
+    val got2 = sql("SELECT k, v FROM graft_delta.lksql_sq ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got2 == Seq((1L, 2000), (2L, 4000)),
+      s"nested-subquery-source merge: $got2")
   }
 
   test("MERGE clause grammar: three matched clauses, VALUES inserts, first-match-wins") {
