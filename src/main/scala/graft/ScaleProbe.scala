@@ -562,6 +562,89 @@ object ScaleProbe {
           "not metadata-sized"
       if (truncS > 30.0) failures += f"TRUNCATE took $truncS%.1f s"
       if (refilled != 42L) failures += s"refill after TRUNCATE reads $refilled"
+
+      // HUDI VOLUME-DERIVED FILE GROUPS (r15): a 400k-row backfill into
+      // a fresh partition must lay PROPORTIONATELY many base groups
+      // (rows/targetRows), not 2 giants every later upsert logs
+      // against; TRUNCATE PARTITION is one metadata-sized commit and
+      // the partition refills through lazy group creation
+      spark.conf.set("spark.graft.hudi.group.targetRows", "50000")
+      try {
+        spark.range(0, 440000)
+          .selectExpr("id AS k",
+            "CASE WHEN id < 400000 THEN 'BIG' ELSE 'S' || (id % 4) END AS p",
+            "CAST(id % 997 AS INT) AS v")
+          .createOrReplaceTempView("sqlscale_hg_src")
+        val t6 = System.nanoTime()
+        spark.sql("CREATE OR REPLACE TABLE graft_hudi.sqlscale_hg " +
+          "PRIMARY KEY (k) PARTITIONED BY (p) " +
+          "AS SELECT * FROM sqlscale_hg_src")
+        val hgS = (System.nanoTime() - t6) / 1e9
+        val hgDir = new java.io.File(s"$lakeDir/hudi/sqlscale_hg")
+          .getAbsolutePath
+        val bigGroups = graft.ops.HudiLite.planFilesMor(hgDir)
+          .count(_._2 == "BIG")
+        val smallGroups = graft.ops.HudiLite.planFilesMor(hgDir)
+          .filter(_._2.startsWith("S")).groupBy(_._2).values.map(_.size)
+        println(f"[sqlscale] hudi volume groups: 400k-row partition laid " +
+          f"$bigGroups file groups (10k-row partitions: " +
+          f"${smallGroups.mkString(",")}) in $hgS%.1f s")
+        if (bigGroups <= 2)
+          failures += s"hudi big-partition backfill laid $bigGroups groups — " +
+            "volume-derived layout not engaging"
+        if (smallGroups.exists(_ > 3))
+          failures += "hudi small partitions over-split"
+        val t7 = System.nanoTime()
+        spark.sql("TRUNCATE TABLE graft_hudi.sqlscale_hg PARTITION (p = 'BIG')")
+        val tpS = (System.nanoTime() - t7) / 1e9
+        val tpCommit = new java.io.File(s"$hgDir/.hoodie").listFiles()
+          .filter(_.getName.endsWith(".commit")).maxBy(_.getName)
+        val hgLeft = spark.sql(
+          "SELECT count(*) AS n FROM graft_hudi.sqlscale_hg").head().getLong(0)
+        spark.sql("INSERT INTO graft_hudi.sqlscale_hg " +
+          "SELECT 9000001 AS k, 'BIG' AS p, 7 AS v")
+        val hgRefill = spark.sql("SELECT v FROM graft_hudi.sqlscale_hg " +
+          "WHERE p = 'BIG'").head().getInt(0)
+        println(f"[sqlscale] hudi TRUNCATE PARTITION of 400k rows: " +
+          f"$tpS%.1f s, commit ${tpCommit.length()} bytes; refill reads $hgRefill")
+        if (hgLeft != 40000L)
+          failures += s"hudi TRUNCATE PARTITION left $hgLeft rows (want 40000)"
+        if (tpCommit.length() > 8 * 1024)
+          failures += s"hudi TRUNCATE PARTITION commit is " +
+            s"${tpCommit.length()} bytes — not metadata-sized"
+        if (hgRefill != 7)
+          failures += s"hudi partition refill reads $hgRefill"
+      } finally spark.conf.unset("spark.graft.hudi.group.targetRows")
+
+      // TRANSFORMED-SPEC DML PRUNING AT SCALE (r15): a 2-of-30-day
+      // UPDATE on a days(ts) DELTA table plans a strict file subset for
+      // BOTH the probe read and the writer scan (delta stores the
+      // transformed value; the stored-value prune reaches the writers)
+      spark.range(0, 400000)
+        .selectExpr("id AS k",
+          "timestamp(date_add(date'2024-01-01', CAST(id % 30 AS INT))) AS ts",
+          "CAST(id % 997 AS INT) AS v")
+        .createOrReplaceTempView("sqlscale_tr_src")
+      spark.sql("CREATE OR REPLACE TABLE graft_delta.sqlscale_tr " +
+        "PARTITIONED BY (days(ts)) AS SELECT * FROM sqlscale_tr_src")
+      val t8 = System.nanoTime()
+      spark.sql("UPDATE graft_delta.sqlscale_tr SET v = v + 1000000 " +
+        "WHERE ts >= '2024-01-03 00:00:00' AND ts < '2024-01-05 00:00:00'")
+      val trS = (System.nanoTime() - t8) / 1e9
+      val scanTr = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("transformed UPDATE recorded no scan"))
+      println(f"[sqlscale] delta days(ts) UPDATE: $trS%.1f s, planned " +
+        s"${scanTr.plannedFiles}/${scanTr.totalFiles} files")
+      if (scanTr.plannedFiles * 5 > scanTr.totalFiles)
+        failures += s"transformed UPDATE planned ${scanTr.plannedFiles}/" +
+          s"${scanTr.totalFiles} — stored-value DML pruning not engaging"
+      val trHit = spark.sql("SELECT count(*) AS n FROM graft_delta.sqlscale_tr " +
+        "WHERE v >= 1000000").head().getLong(0)
+      val trWant = (0L until 400000L)
+        .count(i => { val m = i % 30; m == 2 || m == 3 }).toLong
+      if (trHit != trWant)
+        failures += s"transformed UPDATE value drift: $trHit rows updated " +
+          s"(want $trWant)"
     } catch { case e: Throwable =>
       failures += s"sql-route probe crashed: ${e.getMessage}"
     }

@@ -386,14 +386,20 @@ object HudiLite {
     * schema.json` (ALTER TABLE) plus the per-commit schema stamps —
     * in first-seen field order, in the files' stored WRITE names,
     * minus the dropped columns. ADD-COLUMN-only evolution makes the
-    * union well-defined regardless of stamp order. None when nothing
-    * was ever declared (fixture tables read by parquet schema). */
+    * union well-defined regardless of stamp order — with one
+    * principled exception: a `replaces:true` commit's stamp OVERRIDES
+    * the TYPE of the fields it carries, because a replace-all
+    * redefined every live byte (no pre-replace file survives the
+    * replay) — the single-CAS mechanism behind the retype tier
+    * ([[retypeColumn]]). None when nothing was ever declared (fixture
+    * tables read by parquet schema). */
   private[ops] def writeSchema(tableDir: String)
       : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
-    val sources = Seq.newBuilder[String]
+    val sources = Seq.newBuilder[(String, Boolean)]
     val sj = new java.io.File(tableDir, ".hoodie/schema.json")
-    if (sj.exists()) sources += java.nio.file.Files.readString(sj.toPath)
+    if (sj.exists())
+      sources += ((java.nio.file.Files.readString(sj.toPath), false))
     Option(new java.io.File(tableDir, ".hoodie").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".commit") ||
@@ -401,12 +407,15 @@ object HudiLite {
       .sortBy(_.getName)
       .foreach { f =>
         val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
-        Option(node.get("schema")).foreach(n => sources += n.asText)
+        val isReplace = Option(node.get("replaces")).exists(_.asBoolean)
+        Option(node.get("schema"))
+          .foreach(n => sources += ((n.asText, isReplace)))
       }
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
-    sources.result().foreach { ss =>
+    sources.result().foreach { case (ss, isReplace) =>
       DataType.fromJson(ss).asInstanceOf[StructType].fields.foreach { f =>
-        if (!fields.contains(f.name)) fields(f.name) = f.copy(nullable = true)
+        if (!fields.contains(f.name) || isReplace)
+          fields(f.name) = f.copy(nullable = true)
       }
     }
     val (dropped, _) = schemaMeta(tableDir)
@@ -476,6 +485,47 @@ object HudiLite {
       if (f.name == w) f.copy(dataType = dt) else f))
     IcebergWriter.atomicWriteString(
       java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
+  }
+
+  /** VALUE-REWRITING RETYPE (`ALTER COLUMN ... TYPE`, the rewrite
+    * tier): hudi's schema rides IN the commit metadata, so the
+    * rewritten data and the new type land in ONE CAS — a
+    * `replaces:true` commit of the casted current state whose schema
+    * stamp OVERRIDES earlier sources ([[writeSchema]]'s replace rule:
+    * a replace-all redefined every live byte). Logged state folds into
+    * the rewrite via the MoR merge. Honest scope (documented): the
+    * incremental feed REFUSES across the instant (the replace
+    * discipline — delta/iceberg spell retypes feed-quiet instead), and
+    * travel to a PRE-retype instant reads the post-retype union type
+    * over narrow files and fails loudly. Empty tables retype via a
+    * schema.json swap (nothing to rewrite). */
+  def retypeColumn(spark: SparkSession, tableDir: String, colName: String,
+                   newTypeSql: String, keyCols: Seq[String], partCol: String,
+                   instant: String,
+                   partTransform: String = "identity"): Unit = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(newTypeSql)
+    if (!hasLiveGroups(tableDir)) {
+      // metadata-only: re-stamp the declared schema (the widen path's
+      // mechanism — there are no data bytes to mismatch)
+      val (_, renames) = schemaMeta(tableDir)
+      val cur: StructType = writeSchema(tableDir)
+        .getOrElse(sys.error("retype needs a declared schema"))
+      val w = cur.fieldNames.find(wn => renames.getOrElse(wn, wn) == colName)
+        .getOrElse(sys.error(s"no column $colName"))
+      val evolved = StructType(cur.fields.map(f =>
+        if (f.name == w) f.copy(dataType = dt) else f))
+      IcebergWriter.atomicWriteString(
+        java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"),
+        evolved.json)
+      return
+    }
+    val casted = readSnapshotMor(spark, tableDir, keyCols)
+      .withColumn(colName, col(colName).cast(dt))
+    overwriteTable(spark, tableDir, casted, keyCols, partCol, instant,
+      partTransform = partTransform)
   }
 
   /** Lift a decoded avro log value to the DECLARED column type — how

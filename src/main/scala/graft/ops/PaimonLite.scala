@@ -250,6 +250,27 @@ object PaimonLite {
     * written before an ADD COLUMN null-fill natively, no footer sweep.
     * The scan plans WRITE names and aliases to logical immediately
     * (RENAME COLUMN is metadata-only). */
+  /** Like [[readAligned]] but KEEPING the stored WRITE names — for
+    * writers whose staged OUTPUT becomes data files again (compaction,
+    * retype): staging a logical-aliased frame would rename columns
+    * inside a renamed table's data files, and later write-named scans
+    * would silently null-fill them. */
+  private[ops] def readWriteNamed(spark: SparkSession, tableDir: String,
+                                  paths: Seq[String],
+                                  withSystem: Boolean): DataFrame =
+    declaredFields(tableDir) match {
+      case Some(fs) =>
+        import org.apache.spark.sql.types._
+        val sys =
+          if (!withSystem) Array.empty[StructField]
+          else Array(StructField("_SEQUENCE_NUMBER", LongType),
+            StructField("_VALUE_KIND", IntegerType))
+        spark.read.schema(StructType(fs.map { case (_, w, dt) =>
+          StructField(w, dt, nullable = true) }.toArray ++ sys))
+          .parquet(paths: _*)
+      case None => spark.read.parquet(paths: _*)
+    }
+
   private[ops] def readAligned(spark: SparkSession, tableDir: String,
                                paths: Seq[String],
                                withSystem: Boolean): DataFrame =

@@ -612,16 +612,8 @@ object PaimonWriter {
     val buckets = java.nio.file.Files.readString(
       java.nio.file.Paths.get(tableDir, "snapshot", "BUCKETS")).trim.toInt
     // read EVERY live file under the OLD declared write schema
-    val sysCols = Array(StructField("_SEQUENCE_NUMBER", LongType),
-      StructField("_VALUE_KIND", IntegerType))
-    val raw = PaimonLite.declaredFields(tableDir) match {
-      case Some(fs) =>
-        spark.read.schema(StructType(fs.map { case (_, w, dt) =>
-          StructField(w, dt, nullable = true) }.toArray ++ sysCols))
-          .parquet(files.map(f => s"$tableDir/${f.path}"): _*)
-      case None =>
-        spark.read.parquet(files.map(f => s"$tableDir/${f.path}"): _*)
-    }
+    val raw = PaimonLite.readWriteNamed(spark, tableDir,
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_SEQUENCE_NUMBER").desc, col("_VALUE_KIND").desc)
     val winners = raw.withColumn("__rn", row_number().over(w))
@@ -876,8 +868,12 @@ object PaimonWriter {
       java.nio.file.Paths.get(tableDir, "snapshot", "BUCKETS")).trim.toInt
     // merge per key over the chosen INPUT files only (untouched buckets
     // and a partial bucket's compacted tail carry forward verbatim):
-    // max-(seq, kind) row wins — the same order readSnapshot uses
-    val data = PaimonLite.readAligned(spark, tableDir,
+    // max-(seq, kind) row wins — the same order readSnapshot uses.
+    // WRITE-NAMED read: the staged output becomes data files, and the
+    // window keys / bucket hash are write-named too (a logical-aliased
+    // frame would rename columns inside a renamed table's files —
+    // later scans would silently null-fill them)
+    val data = PaimonLite.readWriteNamed(spark, tableDir,
       inputs.map(f => s"$tableDir/${f.path}"), withSystem = true)
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(keyCols.map(col): _*)

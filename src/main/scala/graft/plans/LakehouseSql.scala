@@ -1447,10 +1447,13 @@ object LakehouseSql {
               p.keyCols, p.partCol.getOrElse(
                 sys.error("paimon tables are partitioned")),
               p.partTransform): Unit
-          case other => sys.error(s"value-rewriting retype on graft_$other " +
-            "is not atomic (the schema file and the data commit are " +
-            "separate swap points) — refused; rewrite via CREATE OR " +
-            "REPLACE ... AS SELECT")
+          case "hudi" =>
+            // the schema rides IN the commit: one replacecommit carries
+            // the rewritten data AND the overriding schema stamp
+            HudiLite.retypeColumn(spark, dir, colName, sqlType,
+              p.keyCols, p.partCol.getOrElse(
+                sys.error("hudi tables are partitioned")),
+              nextInstant(dir), p.partTransform)
         }
         s"SELECT '$colName' AS retyped_column"
       }

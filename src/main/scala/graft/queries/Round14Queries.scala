@@ -333,11 +333,15 @@ object Round14Queries {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
         .createOrReplaceTempView("r14_ord_rt")
       val n = safeName(dir)
-      // r15: paimon joins the rewrite tier — pending schema + one
-      // COMPACT snapshot whose CAS is the single visibility point
-      Seq("delta", "iceberg", "paimon").map { fmt =>
-        val pk = if (fmt == "paimon")
-          "PRIMARY KEY (o_orderstatus, o_orderkey) " else ""
+      // r15: paimon joins the rewrite tier (pending schema + one
+      // COMPACT snapshot whose CAS is the single visibility point) and
+      // so does hudi (the schema rides IN the one replacecommit)
+      Seq("delta", "iceberg", "paimon", "hudi").map { fmt =>
+        val pk = fmt match {
+          case "paimon" => "PRIMARY KEY (o_orderstatus, o_orderkey) "
+          case "hudi" => "PRIMARY KEY (o_orderkey) "
+          case _ => ""
+        }
         s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.rt_$n $pk" +
           "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r14_ord_rt")
         def version: Long = fmt match {
@@ -351,6 +355,11 @@ object Round14Queries {
             .getOrElse(Array.empty)
             .filter(_.getName.startsWith("snapshot-"))
             .map(_.getName.stripPrefix("snapshot-").toLong).max
+          case "hudi" => Option(new java.io.File(
+              s"${lakeDir(s)}/hudi/rt_$n/.hoodie").listFiles())
+            .getOrElse(Array.empty)
+            .count(f => f.getName.endsWith(".commit") ||
+              f.getName.endsWith(".deltacommit")).toLong
           case _ => Option(new java.io.File(
               s"${lakeDir(s)}/iceberg/rt_$n/metadata").listFiles())
             .getOrElse(Array.empty)
@@ -460,7 +469,7 @@ object Round14Queries {
              max(CAST(o_custkey AS VARCHAR)) AS max_ck,
              CAST(sum(o_custkey) AS BIGINT) AS sum_ck
       FROM orders
-      CROSS JOIN (SELECT unnest(['delta', 'iceberg', 'paimon']) AS fmt) f
+      CROSS JOIN (SELECT unnest(['delta', 'hudi', 'iceberg', 'paimon']) AS fmt) f
       WHERE o_orderkey < 9000
       GROUP BY 1, 2 ORDER BY 1, 2""",
 

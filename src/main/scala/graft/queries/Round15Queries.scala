@@ -180,6 +180,67 @@ object Round15Queries {
       out2.collect(): Unit
       prunedScan("truncate range read")
       out1.unionByName(out2).orderBy(col("leg"))
+    }),
+
+    // VERSION-SCOPED SCHEMA ON ICEBERG (r15: snapshots carry their
+    // schema-id): travel ACROSS a rewrite-tier retype reads the OLD
+    // type — the r14 edge failed loudly here. The pre-retype read
+    // aggregates under BIGINT, the current read under STRING; both
+    // value-exact in one frame.
+    "sql_lake_retype_travel" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r15_ord_rtt")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_iceberg.rtt_$n " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r15_ord_rtt")
+      val tableDir = new java.io.File(s"${lakeDir(s)}/iceberg/rtt_$n")
+        .getAbsolutePath
+      val s0 = graft.ops.IcebergLite.currentSnapshotIdOf(tableDir)
+      s.sql(s"ALTER TABLE graft_iceberg.rtt_$n " +
+        "ALTER COLUMN o_custkey TYPE STRING")
+      val pre = s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck, " +
+        "'bigint' AS leg " +
+        s"FROM graft_iceberg.rtt_$n FOR VERSION AS OF $s0 GROUP BY 1")
+      require(s.sql(s"SELECT * FROM graft_iceberg.rtt_$n FOR VERSION AS OF $s0")
+        .schema("o_custkey").dataType.simpleString == "bigint",
+        "version-scoped schema premise: travel across the retype must " +
+          "read the snapshot's OWN (integer) type")
+      val cur = s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_ck, " +
+        "'string' AS leg " +
+        s"FROM graft_iceberg.rtt_$n GROUP BY 1")
+      require(s.sql(s"SELECT * FROM graft_iceberg.rtt_$n")
+        .schema("o_custkey").dataType.simpleString == "string",
+        "current read premise: the retype landed")
+      pre.unionByName(cur).orderBy(col("leg"), col("o_orderstatus"))
+    }),
+
+    // MERGE USING (subquery) AT ANY NESTING DEPTH (r15: balanced-paren
+    // extraction; r14 parsed one level): a derived table over a
+    // derived table over a lakehouse source, with an IN-subquery below
+    // — the inner graft reference rewrites recursively.
+    "sql_lake_merge_nested_src" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r15_ord_mn")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.mn_$n " +
+        "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r15_ord_mn")
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.mns_$n " +
+        "PARTITIONED BY (o_orderstatus) " +
+        "AS SELECT * FROM r15_ord_mn WHERE o_orderkey % 3 = 0")
+      s.sql(s"MERGE INTO graft_delta.mn_$n t USING " +
+        "(SELECT o_orderkey, ck FROM " +
+        s"(SELECT o_orderkey, o_custkey * 10 AS ck FROM graft_delta.mns_$n " +
+        "WHERE o_orderkey IN (SELECT o_orderkey FROM r15_ord_mn " +
+        "WHERE o_orderkey % 6 = 0)) inner1) s " +
+        "ON t.o_orderkey = s.o_orderkey " +
+        "WHEN MATCHED THEN UPDATE SET o_custkey = s.ck")
+      s.sql(s"SELECT o_orderstatus, count(*) AS cnt, " +
+        "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+        s"FROM graft_delta.mn_$n GROUP BY 1 ORDER BY 1")
     })
   )
 
@@ -226,6 +287,24 @@ object Round15Queries {
       SELECT 'truncate_range' AS leg, count(*) AS cnt,
              CAST(sum(o_custkey) AS BIGINT) AS sum_ck
       FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
-      ORDER BY leg"""
+      ORDER BY leg""",
+
+    // both legs aggregate the same rows; only the read-time type differs
+    "sql_lake_retype_travel" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck, leg
+      FROM orders
+      CROSS JOIN (SELECT unnest(['bigint', 'string']) AS leg) l
+      WHERE o_orderkey < 9000
+      GROUP BY 1, 4 ORDER BY leg, o_orderstatus""",
+
+    // keys divisible by 6 carry custkey*10 (the nested source is the
+    // %3 lakehouse table filtered to %6 by the IN-subquery)
+    "sql_lake_merge_nested_src" -> """
+      SELECT o_orderstatus, count(*) AS cnt,
+             CAST(sum(CASE WHEN o_orderkey % 6 = 0 THEN o_custkey * 10
+                           ELSE o_custkey END) AS BIGINT) AS sum_ck
+      FROM orders WHERE o_orderkey < 9000
+      GROUP BY 1 ORDER BY 1"""
   )
 }

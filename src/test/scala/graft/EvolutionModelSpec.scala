@@ -553,11 +553,31 @@ class EvolutionModelSpec extends AnyFunSuite {
     assert(intercept[Exception] {
       spark.sql("ALTER TABLE graft_iceberg.evo_rt ALTER COLUMN k TYPE DOUBLE")
     }.getMessage.contains("sanctioned"))
-    Seq((1L, "A", 5)).toDF("k", "p", "v").createOrReplaceTempView("evo_rt_h")
+    // HUDI (r15): the schema rides IN the commit — ONE replacecommit
+    // carries the rewritten data and the overriding schema stamp;
+    // logged (MoR) state folds into the rewrite; post-retype upserts
+    // carry the new type
+    Seq((1L, "A", 5), (2L, "A", 6)).toDF("k", "p", "v")
+      .createOrReplaceTempView("evo_rt_h")
     spark.sql("CREATE OR REPLACE TABLE graft_hudi.evo_rt PRIMARY KEY (k) " +
       "PARTITIONED BY (p) AS SELECT * FROM evo_rt_h")
-    assert(intercept[Exception] {
-      spark.sql("ALTER TABLE graft_hudi.evo_rt ALTER COLUMN v TYPE STRING")
-    }.getMessage.contains("not atomic"))
+    spark.sql("INSERT INTO graft_hudi.evo_rt SELECT 2 AS k, 'A' AS p, 66 AS v")
+    val hdir = new java.io.File("target/lakehouse/hudi/evo_rt")
+    def hInstants: Int = Option(new java.io.File(hdir, ".hoodie").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.endsWith(".commit") ||
+        f.getName.endsWith(".deltacommit"))
+    val hBefore = hInstants
+    spark.sql("ALTER TABLE graft_hudi.evo_rt ALTER COLUMN v TYPE STRING")
+    assert(hInstants == hBefore + 1,
+      "hudi retype must land exactly ONE timeline instant")
+    val hGot = spark.sql("SELECT k, v FROM graft_hudi.evo_rt ORDER BY k")
+    assert(hGot.schema("v").dataType.simpleString == "string")
+    assert(hGot.collect().map(r => r.getLong(0) -> r.getString(1)).toSeq ==
+      Seq(1L -> "5", 2L -> "66"),
+      "the hudi rewrite folds the MoR log state")
+    spark.sql("INSERT INTO graft_hudi.evo_rt SELECT 9 AS k, 'A' AS p, '90' AS v")
+    assert(spark.sql("SELECT v FROM graft_hudi.evo_rt WHERE k = 9")
+      .head().getString(0) == "90")
   }
 }

@@ -361,4 +361,28 @@ class PaimonWriterSpec extends AnyFunSuite {
     assert(finalFiles.forall(_.level == PaimonWriter.MaxLevel))
     assert(PaimonLite.readSnapshot(spark, dir, Seq("p", "k")).count() == 19999L)
   }
+
+  test("compaction after RENAME COLUMN keeps the stored WRITE names") {
+    // r15 regression: compact staged its merged frame LOGICAL-named, so
+    // a renamed table's compacted files carried the logical column name
+    // while later scans plan the WRITE name — silent null-fill (caught
+    // as ROW_VALUE_IS_NULL on the PK window). The merge input now reads
+    // write-named end-to-end.
+    val s2 = spark
+    import s2.implicits._
+    spark.sql("SELECT * FROM VALUES (1L,'A',10),(2L,'A',20) t(k,p,v)")
+      .createOrReplaceTempView("pw_rc_src")
+    spark.sql("CREATE OR REPLACE TABLE graft_paimon.pw_rc PRIMARY KEY (p, k) " +
+      "PARTITIONED BY (p) AS SELECT * FROM pw_rc_src")
+    spark.sql("ALTER TABLE graft_paimon.pw_rc RENAME COLUMN v TO w")
+    spark.sql("INSERT INTO graft_paimon.pw_rc SELECT 1 AS k, 'A' AS p, 11 AS w")
+    spark.sql("OPTIMIZE graft_paimon.pw_rc")
+    val got = spark.sql("SELECT k, w FROM graft_paimon.pw_rc ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 11), (2L, 20)), s"rename+compact: $got")
+    // the compacted base stays a live LSM level: a later upsert wins
+    spark.sql("INSERT INTO graft_paimon.pw_rc SELECT 2 AS k, 'A' AS p, 22 AS w")
+    assert(spark.sql("SELECT w FROM graft_paimon.pw_rc WHERE k = 2")
+      .head().getInt(0) == 22)
+  }
 }
