@@ -875,10 +875,10 @@ object LakehouseSql {
       parsedParts.foreach { case (_, tr) =>
         require(tr == "identity" || fmt == "iceberg" ||
           Set("day", "month", "year")(tr) ||
-          (fmt == "delta" &&
-            (tr.startsWith("bucket[") || tr.startsWith("truncate["))),
+          tr.startsWith("bucket[") || tr.startsWith("truncate["),
           s"partition transform $tr is not supported on graft_$fmt " +
-            "(iceberg/delta: all transforms; hudi/paimon: day/month/year)")
+            "(single-field day/month/year/bucket/truncate on all four; " +
+            "multi-field specs are iceberg)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +
@@ -938,10 +938,10 @@ object LakehouseSql {
         require(schema.fieldNames.contains(c), s"unknown partition column $c")
         require(tr == "identity" || fmt == "iceberg" ||
           Set("day", "month", "year")(tr) ||
-          (fmt == "delta" &&
-            (tr.startsWith("bucket[") || tr.startsWith("truncate["))),
+          tr.startsWith("bucket[") || tr.startsWith("truncate["),
           s"partition transform $tr is not supported on graft_$fmt " +
-            "(iceberg/delta: all transforms; hudi/paimon: day/month/year)")
+            "(single-field day/month/year/bucket/truncate on all four; " +
+            "multi-field specs are iceberg)")
       }
       require(parsedParts.size <= 1 || fmt == "iceberg",
         s"multi-field partition specs are an Iceberg spec feature — " +

@@ -182,6 +182,50 @@ object Round15Queries {
       out1.unionByName(out2).orderBy(col("leg"))
     }),
 
+    // BUCKET/TRUNCATE WRITE TRANSFORMS ON HUDI + PAIMON — the transform
+    // matrix goes 4/4 single-field: key equality prunes the bucket
+    // spec's file planning, a key range prunes the truncate spec's, and
+    // the PK upsert routes through the transformed partition (stored
+    // values are the shared transformCol strings on every format).
+    "sql_lake_prune_bucket_hp" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "orders").filter(col("o_orderkey") < 1200)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .createOrReplaceTempView("r15_ord_hp")
+      val n = safeName(dir)
+      Seq("hudi", "paimon").map { fmt =>
+        def prunedScan(what: String): Unit = {
+          val scan = LakehouseSql.lastScans.headOption.getOrElse(
+            sys.error(s"$what must record a pruned scan"))
+          require(scan.fmt == fmt &&
+            scan.plannedFiles >= 1 && scan.plannedFiles < scan.totalFiles,
+            s"$fmt transform prune premise ($what): $scan")
+        }
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.bkh_$n " +
+          "PRIMARY KEY (o_orderkey) PARTITIONED BY (bucket(8, o_orderkey)) " +
+          "AS SELECT * FROM r15_ord_hp")
+        // PK upsert THROUGH the bucket spec
+        s.sql(s"INSERT INTO graft_$fmt.bkh_$n " +
+          "SELECT 8 AS o_orderkey, 99999999 AS o_custkey, 'U' AS o_orderstatus")
+        val out1 = s.sql(s"SELECT '$fmt bucket' AS leg, count(*) AS cnt, " +
+          "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+          s"FROM graft_$fmt.bkh_$n WHERE o_orderkey = 8")
+        out1.collect(): Unit
+        prunedScan("bucket key read")
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.trh_$n " +
+          "PRIMARY KEY (o_orderkey) " +
+          "PARTITIONED BY (truncate(100, o_orderkey)) " +
+          "AS SELECT * FROM r15_ord_hp")
+        val out2 = s.sql(s"SELECT '$fmt truncate' AS leg, count(*) AS cnt, " +
+          "CAST(sum(o_custkey) AS BIGINT) AS sum_ck " +
+          s"FROM graft_$fmt.trh_$n " +
+          "WHERE o_orderkey >= 400 AND o_orderkey < 800")
+        out2.collect(): Unit
+        prunedScan("truncate range read")
+        out1.unionByName(out2)
+      }.reduce(_ unionByName _).orderBy(col("leg"))
+    }),
+
     // VERSION-SCOPED SCHEMA ON ICEBERG (r15: snapshots carry their
     // schema-id): travel ACROSS a rewrite-tier retype reads the OLD
     // type — the r14 edge failed loudly here. The pre-retype read
@@ -287,6 +331,24 @@ object Round15Queries {
       SELECT 'truncate_range' AS leg, count(*) AS cnt,
              CAST(sum(o_custkey) AS BIGINT) AS sum_ck
       FROM orders WHERE o_orderkey >= 400 AND o_orderkey < 800
+      ORDER BY leg""",
+
+    // key 8's custkey is upserted to 99999999 on both formats; the
+    // truncate legs sum an untouched range
+    "sql_lake_prune_bucket_hp" -> """
+      SELECT fmt || ' bucket' AS leg, count(*) AS cnt,
+             CAST(99999999 AS BIGINT) AS sum_ck
+      FROM orders
+      CROSS JOIN (SELECT unnest(['hudi', 'paimon']) AS fmt) f
+      WHERE o_orderkey = 8
+      GROUP BY 1
+      UNION ALL
+      SELECT fmt || ' truncate' AS leg, count(*) AS cnt,
+             CAST(sum(o_custkey) AS BIGINT) AS sum_ck
+      FROM orders
+      CROSS JOIN (SELECT unnest(['hudi', 'paimon']) AS fmt) f2
+      WHERE o_orderkey >= 400 AND o_orderkey < 800
+      GROUP BY 1
       ORDER BY leg""",
 
     // both legs aggregate the same rows; only the read-time type differs
