@@ -269,6 +269,20 @@ class HudiMorSpec extends AnyFunSuite {
       HudiLite.upsert(spark, dir, Seq((5005L, "A", 9)).toDF("k", "p", "v"),
         keyCols = Seq("k"), partCol = "p", instant = "003")
       assert(state(5005L) == 9, "the grown group resolves stably")
+      // the MERGE path (stageMergeOnce) grows full partitions too —
+      // its routing filter is separate code from the upsert path's
+      val fidsBeforeMerge = HudiLite.planFilesMor(dir).map(_._3).toSet
+      HudiLite.mergeCommit(spark, dir,
+        upserts = Seq((1L, "A", 112), (6001L, "A", 61), (6002L, "A", 62))
+          .toDF("k", "p", "v"),
+        deleteKeysDf = Seq(2L).toDF("k"),
+        keyCols = Seq("k"), partCol = "p", instant0 = "004"): Unit
+      val mergeFresh = HudiLite.planFilesMor(dir).map(_._3).toSet --
+        fidsBeforeMerge
+      assert(mergeFresh.nonEmpty,
+        "MERGE inserts into a FULL partition must lay fresh groups")
+      assert(state(1L) == 112 && state(6001L) == 61 && !state.contains(2L),
+        "merge updates log in place, deletes drop, fresh-group keys land")
     } finally {
       spark.conf.unset("spark.graft.hudi.group.targetRows")
       spark.conf.unset("spark.graft.hudi.group.targetBytes")
