@@ -346,7 +346,9 @@ object HudiLite {
                       partFilter: Option[String => Boolean] = None): DataFrame = {
     val slices = planFilesMor(tableDir, instant, partFilter)
     require(slices.nonEmpty, "no live file slices after replay/pruning")
-    mergeSlices(spark, keyCols, slices)
+    // travel reads resolve the schema AS OF the traveled instant —
+    // a later retype's replace stamp must not reshape old files
+    mergeSlices(spark, keyCols, slices, asOf = instant)
   }
 
   /** The MoR merge over an explicit slice list (shared by the snapshot
@@ -393,7 +395,8 @@ object HudiLite {
     * replay) — the single-CAS mechanism behind the retype tier
     * ([[retypeColumn]]). None when nothing was ever declared (fixture
     * tables read by parquet schema). */
-  private[ops] def writeSchema(tableDir: String)
+  private[ops] def writeSchema(tableDir: String,
+                               asOf: Option[String] = None)
       : Option[org.apache.spark.sql.types.StructType] = {
     import org.apache.spark.sql.types._
     val sources = Seq.newBuilder[(String, Boolean)]
@@ -404,6 +407,11 @@ object HudiLite {
       .getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".commit") ||
         f.getName.endsWith(".deltacommit"))
+      // INSTANT-SCOPED for travel reads: commit stamps after the
+      // traveled instant (a later retype's replace override) must not
+      // reshape its schema; schema.json (metadata-only ALTERs, not
+      // instants) stays un-scoped — documented edge
+      .filter(f => asOf.forall(a => f.getName.split('.').head <= a))
       .sortBy(_.getName)
       .foreach { f =>
         val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
@@ -589,7 +597,8 @@ object HudiLite {
   }
 
   private def mergeSlices(spark: SparkSession, keyCols: Seq[String],
-                          slices: Seq[(String, String, String, String, Seq[String])])
+                          slices: Seq[(String, String, String, String, Seq[String])],
+                          asOf: Option[String] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -605,7 +614,7 @@ object HudiLite {
       val l2w = renames.map(_.swap)
       keyCols.map(c => l2w.getOrElse(c, c))
     }
-    val base = writeSchema(tDir) match {
+    val base = writeSchema(tDir, asOf) match {
       case Some(st) => spark.read.schema(st).parquet(slices.map(_._1): _*)
       case None => spark.read.parquet(slices.map(_._1): _*)
     }

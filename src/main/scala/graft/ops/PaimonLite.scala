@@ -157,6 +157,21 @@ object PaimonLite {
     * column name data files store — RENAME COLUMN changes only the
     * logical name (the name-mapping trick Paimon spells with field
     * ids). None when the table never evolved. */
+  /** VERSION-SCOPED overload: resolve exactly `schema-$schemaId`
+    * (travel reads — the snapshot's stamp IS its activated schema);
+    * None when the file is absent (a snapshot stamped 0 on a
+    * never-declared table reads each file's own parquet schema —
+    * schema ids from ALTERs start at 1, id 0 is the created-empty
+    * declaration). */
+  def declaredFields(tableDir: String, schemaId: Option[Long])
+      : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] =
+    schemaId match {
+      case None => declaredFields(tableDir)
+      case Some(id) =>
+        val f = new java.io.File(tableDir, s"schema/schema-$id")
+        if (!f.exists()) None else Some(parseSchemaFile(f))
+    }
+
   def declaredFields(tableDir: String)
       : Option[Seq[(String, String, org.apache.spark.sql.types.DataType)]] = {
     val schemaDir = new java.io.File(tableDir, "schema")
@@ -183,18 +198,29 @@ object PaimonLite {
         all.filter { case (id, f) => !pending(f) || id <= stamp }
           .lastOption.map(_._2)
       }
-    latest.map { f =>
-      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
-      val fields = node.get("fields")
-      (0 until fields.size).map(fields.get).map { fn =>
-        val name = fn.get("name").asText
-        (name,
-          Option(fn.get("writeName")).map(_.asText).getOrElse(name),
-          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-            .parseDataType(fn.get("type").asText))
-      }
+    latest.map(parseSchemaFile)
+  }
+
+  private def parseSchemaFile(f: java.io.File)
+      : Seq[(String, String, org.apache.spark.sql.types.DataType)] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+    val fields = node.get("fields")
+    (0 until fields.size).map(fields.get).map { fn =>
+      val name = fn.get("name").asText
+      (name,
+        Option(fn.get("writeName")).map(_.asText).getOrElse(name),
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(fn.get("type").asText))
     }
   }
+
+  /** A TRAVELED snapshot's stamped schemaId — the version-scoped
+    * schema travel reads resolve ([[declaredFields]] overload); None
+    * for a current read (effective-schema rule). */
+  private def travelSchemaId(tableDir: String, snapshotId: Option[Long])
+      : Option[Long] =
+    snapshotId.flatMap(id =>
+      Option(snapshotNode(tableDir, id).get("schemaId")).map(_.asLong))
 
   /** The CURRENT snapshot's stamped schemaId — -1 when the table has no
     * snapshot yet (a pending schema then stays inert). */
@@ -258,7 +284,7 @@ object PaimonLite {
   private[ops] def readWriteNamed(spark: SparkSession, tableDir: String,
                                   paths: Seq[String],
                                   withSystem: Boolean): DataFrame =
-    declaredFields(tableDir) match {
+    declaredFields(tableDir, None) match {
       case Some(fs) =>
         import org.apache.spark.sql.types._
         val sys =
@@ -273,8 +299,9 @@ object PaimonLite {
 
   private[ops] def readAligned(spark: SparkSession, tableDir: String,
                                paths: Seq[String],
-                               withSystem: Boolean): DataFrame =
-    declaredFields(tableDir) match {
+                               withSystem: Boolean,
+                               schemaId: Option[Long] = None): DataFrame =
+    declaredFields(tableDir, schemaId) match {
       case Some(fs) =>
         import org.apache.spark.sql.types._
         val sys =
@@ -335,8 +362,11 @@ object PaimonLite {
                    partFilter: Option[String => Boolean] = None): DataFrame = {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
+    // travel reads resolve the TRAVELED snapshot's stamped schema
+    // (version-scoped — a pre-retype snapshot reads its own old type)
     val data = readAligned(spark, tableDir,
-      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true,
+      schemaId = travelSchemaId(tableDir, snapshotId))
     // Real Paimon guarantees per-bucket-unique sequence numbers; rather
     // than assume the precondition, break seq ties deterministically by
     // RowKind (the retraction wins the tie and the key drops) so a
@@ -366,7 +396,8 @@ object PaimonLite {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
     val data = readAligned(spark, tableDir,
-      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true,
+      schemaId = travelSchemaId(tableDir, snapshotId))
     val valueCols = data.schema.fields
       .filterNot(f => keyCols.contains(f.name) ||
         f.name == "_SEQUENCE_NUMBER" || f.name == "_VALUE_KIND").toSeq
@@ -410,7 +441,8 @@ object PaimonLite {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
     val data = readAligned(spark, tableDir,
-      files.map(f => s"$tableDir/${f.path}"), withSystem = true)
+      files.map(f => s"$tableDir/${f.path}"), withSystem = true,
+      schemaId = travelSchemaId(tableDir, snapshotId))
     val withGuard = data.filter(
       when(col("_VALUE_KIND").isin(KindInsert, KindUpdateAfter), lit(true))
         .otherwise(raise_error(concat(lit(
@@ -453,7 +485,8 @@ object PaimonLite {
     val files = planFiles(tableDir, snapshotId, partFilter)
     require(files.nonEmpty, s"no live files after replay/pruning in $tableDir")
     readAligned(spark, tableDir,
-      files.map(f => s"$tableDir/${f.path}"), withSystem = false)
+      files.map(f => s"$tableDir/${f.path}"), withSystem = false,
+      schemaId = travelSchemaId(tableDir, snapshotId))
   }
 
   /** CHANGELOG read over (fromSnapshot, toSnapshot] against a table

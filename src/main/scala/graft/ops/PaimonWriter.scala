@@ -539,10 +539,14 @@ object PaimonWriter {
     val evolved = f(cur)
     val schemaDir = new java.io.File(tableDir, "schema")
     schemaDir.mkdirs()
+    // ids start at 1 when no schema file exists: id 0 is reserved for
+    // the created-empty declaration (schema-0) so a snapshot stamped 0
+    // on a never-declared table resolves to "read each file's own
+    // parquet schema" on travel, never to the first ALTER's output
     val nextId = Option(schemaDir.listFiles()).getOrElse(Array.empty)
       .flatMap(x => "^schema-(\\d+)$".r.findFirstMatchIn(x.getName)
         .map(_.group(1).toLong))
-      .foldLeft(-1L)(math.max) + 1
+      .foldLeft(0L)(math.max) + 1
     val fieldsJson = evolved.zipWithIndex.map { case ((l, w, dt), i) =>
       val writeAttr = if (w != l) s""","writeName":"$w"""" else ""
       s"""{"id":$i,"name":"$l","type":"${PaimonLite.paimonTypeName(dt)}"$writeAttr}"""

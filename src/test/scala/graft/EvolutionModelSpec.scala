@@ -531,6 +531,14 @@ class EvolutionModelSpec extends AnyFunSuite {
       "SELECT 9 AS k, 'P0' AS p, '90' AS v")
     assert(spark.sql("SELECT v FROM graft_paimon.evo_rt WHERE k = 9")
       .head().getString(0) == "90")
+    // travel ACROSS the retype reads the snapshot's OWN (old) type —
+    // paimon snapshots stamp their schemaId and travel resolves it
+    val pPre = spark.sql("SELECT k, v FROM graft_paimon.evo_rt " +
+      s"FOR VERSION AS OF $pSnapsBefore ORDER BY k")
+    assert(pPre.schema("v").dataType.simpleString == "int",
+      "paimon travel to the pre-retype snapshot reads the OLD type")
+    assert(pPre.collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq ==
+      Seq(1L -> 10, 2L -> 22))
     // the PENDING rule is what makes the CAS the visibility point: a
     // crash AFTER the schema write but BEFORE the snapshot (simulated
     // by hand-writing a marked schema file) leaves reads on the OLD
@@ -579,5 +587,14 @@ class EvolutionModelSpec extends AnyFunSuite {
     spark.sql("INSERT INTO graft_hudi.evo_rt SELECT 9 AS k, 'A' AS p, '90' AS v")
     assert(spark.sql("SELECT v FROM graft_hudi.evo_rt WHERE k = 9")
       .head().getString(0) == "90")
+    // travel ACROSS the retype reads the pre-retype type — the schema
+    // resolves AS OF the traveled instant (a later replace stamp must
+    // not reshape old files)
+    val hPre = spark.sql("SELECT k, v FROM graft_hudi.evo_rt " +
+      "FOR VERSION AS OF 2 ORDER BY k")
+    assert(hPre.schema("v").dataType.simpleString == "int",
+      "hudi travel to the pre-retype instant reads the OLD type")
+    assert(hPre.collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq ==
+      Seq(1L -> 5, 2L -> 66))
   }
 }
