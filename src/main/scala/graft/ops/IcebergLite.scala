@@ -440,12 +440,17 @@ object IcebergLite {
       if (fromSnapshotId < 0) 0L else snapshotSequence(tableDir, fromSnapshotId)
     val toSeq = snapshotSequence(tableDir, toSnapshotId)
     require(fromSeq < toSeq, s"from ($fromSeq) must precede to ($toSeq)")
+    // ONE manifest walk per snapshot, memoized: each id is consulted
+    // twice (as `after`, then as the next snapshot's `before`) and for
+    // both the data and the delete sets — four walks per snapshot
+    // otherwise, on windows that can span many commits
+    val planCache = scala.collection.mutable.Map.empty[Long, Seq[FileTask]]
+    def plan(id: Long): Seq[FileTask] =
+      planCache.getOrElseUpdate(id, planFiles(tableDir, Some(id)))
     def liveData(id: Long): Map[String, FileTask] =
-      planFiles(tableDir, Some(id)).filter(_.content == 0)
-        .map(t => norm(t.path) -> t).toMap
+      plan(id).filter(_.content == 0).map(t => norm(t.path) -> t).toMap
     def liveDeletes(id: Long): Map[String, FileTask] =
-      planFiles(tableDir, Some(id)).filter(_.content != 0)
-        .map(t => norm(t.path) -> t).toMap
+      plan(id).filter(_.content != 0).map(t => norm(t.path) -> t).toMap
     val parts = ordered.filter(s => s._2 > fromSeq && s._2 <= toSeq)
       .flatMap { case (id, seq, op) =>
         if (op == "replace") Nil // state motion, not change
