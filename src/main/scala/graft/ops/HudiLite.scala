@@ -532,6 +532,21 @@ object HudiLite {
     }
     val casted = readSnapshotMor(spark, tableDir, keyCols)
       .withColumn(colName, col(colName).cast(dt))
+    if (casted.isEmpty) {
+      // live file groups but zero merged rows (everything deleted):
+      // nothing to rewrite — fall back to the metadata-only swap
+      // rather than refusing an empty overwrite
+      val (_, renames) = schemaMeta(tableDir)
+      val cur: StructType = writeSchema(tableDir)
+        .getOrElse(sys.error("retype needs a declared schema"))
+      val w = cur.fieldNames.find(wn => renames.getOrElse(wn, wn) == colName)
+        .getOrElse(sys.error(s"no column $colName"))
+      IcebergWriter.atomicWriteString(
+        java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"),
+        StructType(cur.fields.map(f =>
+          if (f.name == w) f.copy(dataType = dt) else f)).json)
+      return
+    }
     overwriteTable(spark, tableDir, casted, keyCols, partCol, instant,
       partTransform = partTransform)
   }

@@ -190,9 +190,12 @@ object PaimonLite {
     def pending(f: java.io.File): Boolean =
       Option(mapper.readTree(java.nio.file.Files.readString(f.toPath))
         .get("activatesWithSnapshot")).exists(_.asBoolean)
+    // fast path: the HIGHEST schema wins whenever it is unmarked (the
+    // common case — pending files exist only mid-retype), so only its
+    // one file is read; the full sweep runs only when it is marked
     val latest: Option[java.io.File] =
       if (all.isEmpty) None
-      else if (!all.exists(x => pending(x._2))) all.lastOption.map(_._2)
+      else if (!pending(all.last._2)) all.lastOption.map(_._2)
       else {
         val stamp = currentSchemaStamp(tableDir)
         all.filter { case (id, f) => !pending(f) || id <= stamp }
@@ -246,7 +249,7 @@ object PaimonLite {
       def pending(f: java.io.File): Boolean =
         Option(mapper.readTree(java.nio.file.Files.readString(f.toPath))
           .get("activatesWithSnapshot")).exists(_.asBoolean)
-      if (!all.exists(x => pending(x._2))) all.last._1
+      if (!pending(all.last._2)) all.last._1 // fast path, as declaredFields
       else {
         val stamp = currentSchemaStamp(tableDir)
         all.filter { case (id, f) => !pending(f) || id <= stamp }
