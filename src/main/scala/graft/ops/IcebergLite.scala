@@ -451,6 +451,24 @@ object IcebergLite {
       plan(id).filter(_.content == 0).map(t => norm(t.path) -> t).toMap
     def liveDeletes(id: Long): Map[String, FileTask] =
       plan(id).filter(_.content != 0).map(t => norm(t.path) -> t).toMap
+    // the feed speaks CURRENT logical names: a predecessor-snapshot
+    // read resolves ITS OWN (version-scoped, r15) schema, so a window
+    // spanning a RENAME would otherwise ship delete rows under the old
+    // name next to inserts under the new — align by the stable write
+    // names before the union
+    val curFields = declaredFields(tableDir)
+    def alignToCurrent(df: DataFrame, atSnapshot: Long): DataFrame =
+      (declaredFields(tableDir, Some(atSnapshot)), curFields) match {
+        case (Some(prev), Some(cur)) =>
+          val byWrite = cur.map { case (l, w, _) => w -> l }.toMap
+          val ren = prev.collect {
+            case (l, w, _) if byWrite.get(w).exists(_ != l) => l -> byWrite(w)
+          }.toMap
+          if (ren.isEmpty) df
+          else df.select(df.columns.toSeq.map(c =>
+            col(c).as(ren.getOrElse(c, c))): _*)
+        case _ => df
+      }
     val parts = ordered.filter(s => s._2 > fromSeq && s._2 <= toSeq)
       .flatMap { case (id, seq, op) =>
         if (op == "replace") Nil // state motion, not change
@@ -467,8 +485,9 @@ object IcebergLite {
               .withColumn("_CHANGE_TYPE", lit("insert")))
           val delDf =
             if (removedPaths.isEmpty) None
-            else Some(readSnapshot(spark, tableDir, Some(prevId.get),
-              pathFilter = Some(removedPaths.contains))
+            else Some(alignToCurrent(readSnapshot(spark, tableDir,
+              Some(prevId.get), pathFilter = Some(removedPaths.contains)),
+              prevId.get)
               .withColumn("_CHANGE_TYPE", lit("delete")))
           // ROW-LEVEL DML: delete files ADDED by this snapshot mask
           // rows of data files that stay live — those rows ship as
@@ -497,7 +516,11 @@ object IcebergLite {
                   .select(regexp_replace(col("file_path"), "^file:+", "")
                     .as("__fp"), col("pos").as("__pos")),
                   Seq("__fp", "__pos"), "left_semi"))
-              val writeToLogical = declaredFields(tableDir)
+              // the delete files carry WRITE names; `base` is named by
+              // the PREDECESSOR's logical schema (version-scoped read),
+              // so the join keys resolve through ITS mapping —
+              // alignToCurrent renames the result at the end
+              val writeToLogical = declaredFields(tableDir, prevId)
                 .map(_.map { case (l, w, _) => w -> l }.toMap)
                 .getOrElse(Map.empty[String, String])
               val eqMasks = newDelTasks.filter(_.content == 2).map { del =>
@@ -513,8 +536,8 @@ object IcebergLite {
               (posMask.toSeq ++ eqMasks).reduceOption(_ unionByName _)
                 // a row masked by BOTH a position and an equality delete
                 // in one snapshot is still ONE delete
-                .map(_.dropDuplicates("__fp", "__pos")
-                  .drop("__fp", "__pos")
+                .map(m => alignToCurrent(m.dropDuplicates("__fp", "__pos")
+                  .drop("__fp", "__pos"), prevId.get)
                   .withColumn("_CHANGE_TYPE", lit("delete")))
             }
           insDf.toSeq ++ delDf.toSeq ++ rowDelDf.toSeq

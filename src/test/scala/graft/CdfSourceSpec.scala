@@ -154,6 +154,30 @@ class CdfSourceSpec extends AnyFunSuite {
       "pre-evolution delete rows null-fill the added column")
   }
 
+  test("iceberg CDC feed across a RENAME ships uniform CURRENT names") {
+    import graft.ops.IcebergLite
+    spark.sql("CREATE OR REPLACE TABLE graft_iceberg.cdc_rn " +
+      "(k BIGINT, p STRING, v INT) PARTITIONED BY (p)")
+    spark.sql("INSERT INTO graft_iceberg.cdc_rn SELECT * FROM VALUES " +
+      "(1L,'A',10),(2L,'A',20),(3L,'B',30) t(k,p,v)")
+    val dir = new java.io.File("target/lakehouse/iceberg/cdc_rn")
+      .getAbsolutePath
+    val s1 = IcebergLite.currentSnapshotIdOf(dir)
+    spark.sql("DELETE FROM graft_iceberg.cdc_rn WHERE k = 1") // pre-rename
+    spark.sql("ALTER TABLE graft_iceberg.cdc_rn RENAME COLUMN v TO w")
+    spark.sql("DELETE FROM graft_iceberg.cdc_rn WHERE k = 2") // post-rename
+    val s3 = IcebergLite.currentSnapshotIdOf(dir)
+    val win = IcebergLite.readChangesCdc(spark, dir, s1, s3)
+    // every frame of the window — including delete frames read under
+    // predecessor (pre-rename) schemas — speaks the CURRENT name
+    assert(win.columns.contains("w") && !win.columns.contains("v"),
+      s"window columns must align to current names: ${win.columns.toSeq}")
+    val got = win.select("k", "w", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(got == Set((1L, 10, "delete"), (2L, 20, "delete")),
+      s"rename-spanning window: $got")
+  }
+
   test("hudi feed across a lazy file-group creation: fresh bases ship as inserts") {
     val s2 = spark
     import s2.implicits._
