@@ -506,6 +506,13 @@ object PaimonLite {
       s"from ($fromSnapshotId) must precede to ($toSnapshotId)")
     val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
       val snap = snapshotNode(tableDir, id)
+      // COMPACT snapshots are STATE MOTION and carry no changelog —
+      // surviving them is the producer's whole point (the persisted
+      // changelog files keep streaming while compaction rewrites the
+      // data files); a data-changing snapshot without a changelog
+      // (no-producer table, OVERWRITE) stays loud
+      if (snap.get("commitKind").asText == "COMPACT") Nil
+      else {
       val cl = snap.get("changelogManifestList")
       require(cl != null,
         s"snapshot $id has no changelogManifestList — table written " +
@@ -517,6 +524,7 @@ object PaimonLite {
           val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
           s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
         }
+      }
     }
     require(files.nonEmpty, "no changelog files in the window")
     readAligned(spark, tableDir, files, withSystem = true)

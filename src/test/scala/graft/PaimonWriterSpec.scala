@@ -130,6 +130,20 @@ class PaimonWriterSpec extends AnyFunSuite {
         Seq(("A", 7L, 70)).toDF("p", "k", "v"),
         "p", Seq("p", "k"), numBuckets = 2, changelogProducer = false)
     }
+    // a COMPACT snapshot inside the window is STATE MOTION — the
+    // changelog read SKIPS it (surviving compaction is the producer's
+    // whole point) instead of throwing on its missing changelog list
+    PaimonWriter.compact(spark, dir, Seq("p", "k"), "p"): Unit // snapshot 3
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 9L, 90, PaimonLite.KindInsert))
+        .toDF("p", "k", "v", "_VALUE_KIND"),
+      "p", Seq("p", "k"), numBuckets = 2, changelogProducer = true) // snapshot 4
+    val clAcross = PaimonLite.readChangelog(spark, dir, 1L, 4L)
+      .select(col("k"), col("_VALUE_KIND")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(clAcross == Set((1L, PaimonLite.KindUpdateAfter),
+      (2L, PaimonLite.KindDelete), (9L, PaimonLite.KindInsert)),
+      s"the stream must survive the compaction snapshot: $clAcross")
     // a producer-less table refuses changelog reads loudly
     val plain = new java.io.File("target/paimon/writer_spec_nocl").getAbsolutePath
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(plain))
