@@ -102,6 +102,14 @@ class EvolutionFuzzSpec extends AnyFunSuite {
         (p, (vs - from.name) ++ vs.get(from.name).map(to -> _)) }.toMap
       sql(s"ALTER TABLE graft_$fmt.$t RENAME COLUMN ${from.name} TO $to")
     }
+    def dropColumn(): Unit = {
+      if (cols.size < 2) return // never drop the last value column
+      val i = rnd.nextInt(cols.size)
+      val c = cols(i)
+      cols = cols.patch(i, Nil, 1)
+      rows = rows.view.mapValues { case (p, vs) => (p, vs - c.name) }.toMap
+      sql(s"ALTER TABLE graft_$fmt.$t DROP COLUMN ${c.name}")
+    }
     def widenColumn(): Unit = {
       val ints = cols.zipWithIndex.filter(_._1.tpe == "int")
       if (ints.isEmpty) return
@@ -133,7 +141,9 @@ class EvolutionFuzzSpec extends AnyFunSuite {
         case 3 | 4 => updateOne(); "update"
         case 5 => deleteOne(); "delete"
         case 6 => addColumn(); "addColumn"
-        case 7 => renameColumn(); "rename"
+        case 7 =>
+          if (rnd.nextBoolean()) { renameColumn(); "rename" }
+          else { dropColumn(); "drop" }
         case 8 =>
           if (rnd.nextBoolean()) { widenColumn(); "widen" }
           else { retypeColumn(); "retype" }
@@ -144,7 +154,9 @@ class EvolutionFuzzSpec extends AnyFunSuite {
   }
 
   test("seeded random evolution histories match an in-memory model (4 formats)") {
-    for (fmt <- Seq("iceberg", "delta", "hudi", "paimon"); seed <- 0 until 3)
+    // GRAFT_FUZZ_SEEDS widens the sweep for local bug hunts; CI runs 3
+    val n = sys.env.get("GRAFT_FUZZ_SEEDS").map(_.toInt).getOrElse(3)
+    for (fmt <- Seq("iceberg", "delta", "hudi", "paimon"); seed <- 0 until n)
       run(fmt, seed)
   }
 }
