@@ -1228,6 +1228,33 @@ object HudiLite {
     }.toSet
   }
 
+  /** Loud guard against CROSS-PARTITION upserts: a routed row whose
+    * partition value differs from its resolved file group's partition
+    * would land its record in the OLD partition's group while carrying
+    * the new value — a partition-filtered read then serves a stale (or
+    * missing) row. Real Hudi with a non-global index treats partition
+    * path as part of record identity; this writer's index is global,
+    * so a moved key must be spelled DELETE + INSERT explicitly. The
+    * check is one codegen compare against a metadata-sized fid →
+    * partition map (hash-routed NEW keys always match by
+    * construction). */
+  private def guardPartitionMove(
+      slices: Seq[(String, String, String, String, Seq[String])],
+      keyCols: Seq[String],
+      partValue: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val fidPart = typedLit(slices.map(s => s._3 -> s._2).toMap)
+    when(element_at(fidPart, col("__fid")).isNotNull &&
+        element_at(fidPart, col("__fid")) =!= partValue,
+      raise_error(concat(
+        lit("upsert moves key ("),
+        concat_ws(",", keyCols.map(c => col(c).cast("string")): _*),
+        lit(") across partitions ("),
+        element_at(fidPart, col("__fid")), lit(" -> "), partValue,
+        lit(") — file groups are partition-resident; DELETE + INSERT instead"))))
+      .otherwise(col("__fid"))
+  }
+
   /** Bloom-pruned candidate base files for an incoming batch: per
     * partition, the files whose bloom contains at least one incoming
     * key (plus files with no sidecar — conservative). The candidate
@@ -1283,19 +1310,34 @@ object HudiLite {
     * upserts of NEW records) decode distributed from the log bytes.
     * This is the Spark spelling of Hudi's record index / bloom-index
     * lookup — the thing that pins a key to its group for life. */
+  /** The key → file-group index, DELETE-AWARE (r15): per key the
+    * LATEST record across bases and logs decides — a key whose winner
+    * is a delete block is ABSENT from the index (its re-insert is a
+    * new record that may land anywhere, including another partition;
+    * same-partition re-inserts hash-route like any new key and the MoR
+    * merge still resolves correctly because the tombstone ranks below
+    * the new record). Base rows rank at (baseInstant, -1), log rows at
+    * their block's (instant, seq) — the same order [[mergeSlices]]
+    * uses. Output: one row per LIVE key with its owning `__fid`. */
   private def keyIndex(spark: SparkSession, keyCols: Seq[String],
                        slices: Seq[(String, String, String, String, Seq[String])],
                        baseFids: Set[String],
                        keySchema: org.apache.spark.sql.types.StructType)
       : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val fidByPath: Map[String, String] =
       (slices.map(s => s._1.replaceAll("^file:+", "") -> s._3) ++
         slices.flatMap(s => s._5.map(lp =>
           new java.io.File(lp).getAbsolutePath -> s._3))).toMap
-    val fidSchema = StructType(keySchema.fields :+
-      StructField("__fid", StringType, nullable = false))
+    val instantByPath: Map[String, String] =
+      slices.map(s => s._1.replaceAll("^file:+", "") -> s._4).toMap
+    val fidSchema = StructType(keySchema.fields ++ Array(
+      StructField("__fid", StringType, nullable = false),
+      StructField("__inst", StringType, nullable = false),
+      StructField("__seq", LongType, nullable = false),
+      StructField("__del", BooleanType, nullable = false)))
     // bloom-pruned: only candidate base files are opened; LOG files
     // always scan (they are batch-sized deltas until compaction folds
     // them into bloom-carrying bases)
@@ -1304,31 +1346,42 @@ object HudiLite {
       if (basePaths.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), fidSchema)
       else spark.read.parquet(basePaths: _*)
-        .select(keyCols.map(col) :+
+        .select(keyCols.map(col) ++ Seq(
           element_at(typedLit(fidByPath),
-            regexp_replace(col("_metadata.file_path"), "^file:+", "")).as("__fid"): _*)
+            regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+            .as("__fid"),
+          element_at(typedLit(instantByPath),
+            regexp_replace(col("_metadata.file_path"), "^file:+", ""))
+            .as("__inst"),
+          lit(-1L).as("__seq"), lit(false).as("__del")): _*)
     val logPaths = slices.flatMap(_._5)
-    if (logPaths.isEmpty) baseKeys
-    else {
-      val logRows = spark.sparkContext
-        .binaryFiles(logPaths.map(new java.io.File(_).getAbsolutePath).mkString(","))
-        .flatMap { case (p, pds) =>
-          val fid = fidByPath(new java.io.File(
-            new java.net.URI(p).getPath).getAbsolutePath)
-          parseLogBytes(pds.toArray()).flatMap { case (_, _, _, recs) =>
-            recs.map { rec =>
-              val vals = keyCols.map { n =>
-                rec.get(n) match {
-                  case u: org.apache.avro.util.Utf8 => u.toString
-                  case x => x
+    val all =
+      if (logPaths.isEmpty) baseKeys
+      else {
+        val logRows = spark.sparkContext
+          .binaryFiles(logPaths.map(new java.io.File(_).getAbsolutePath).mkString(","))
+          .flatMap { case (p, pds) =>
+            val fid = fidByPath(new java.io.File(
+              new java.net.URI(p).getPath).getAbsolutePath)
+            parseLogBytes(pds.toArray()).flatMap { case (bt, inst, seq, recs) =>
+              recs.map { rec =>
+                val vals = keyCols.map { n =>
+                  rec.get(n) match {
+                    case u: org.apache.avro.util.Utf8 => u.toString
+                    case x => x
+                  }
                 }
+                Row.fromSeq(vals ++ Seq(fid, inst, seq, bt == BlockDelete))
               }
-              Row.fromSeq(vals :+ fid)
             }
           }
-        }
-      baseKeys.unionByName(spark.createDataFrame(logRows, fidSchema))
-    }
+        baseKeys.unionByName(spark.createDataFrame(logRows, fidSchema))
+      }
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__inst").desc, col("__seq").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && !col("__del"))
+      .select(keyCols.map(col) :+ col("__fid"): _*)
   }
 
   /** UPSERT one batch as a `.deltacommit`: existing keys route to the
@@ -1441,11 +1494,13 @@ object HudiLite {
     // candidates must cover BOTH row sets — delete keys carry no
     // partition column, so they test every partition's blooms
     val candidates =
-      candidateBaseFids(spark, df, keyCols, Some(partCol), slices,
-        partTransform) ++
+      // GLOBAL index lookups: a key tests EVERY partition's blooms, so
+      // an incoming row whose partition moved still resolves its OLD
+      // group and the partition-move guard can fire (partition-scoped
+      // testing would miss it and silently duplicate the key)
+      candidateBaseFids(spark, df, keyCols, None, slices) ++
       candidateBaseFids(spark, delKeys, keyCols, None, slices)
     val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
-      .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
     // upsert rows: existing keys keep their group, NEW keys hash-route
     // into their partition's groups (same routing as stageAndCommitOnce)
     val tagged = df.join(index, keyCols, "left")
@@ -1478,6 +1533,8 @@ object HudiLite {
         element_at(col("__fids"),
           (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
             .cast("int"))))
+      .withColumn("__fid", guardPartitionMove(slices, keyCols,
+        partExpr(df, partCol, partTransform)))
       .drop("__gpart", "__fids")
     // delete keys MUST resolve through the index (deleting an unknown
     // key is a premise violation, not a no-op)
@@ -1631,10 +1688,10 @@ object HudiLite {
     val slices = planFilesMor(tableDir)
     val keySchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filter(f => keyCols.contains(f.name)))
-    val candidates = candidateBaseFids(spark, df, keyCols, partCol, slices,
-      partTransform)
+    // GLOBAL lookups — see stageMergeOnce: the partition-move guard
+    // needs a moved key to resolve its old group, not bloom-miss
+    val candidates = candidateBaseFids(spark, df, keyCols, None, slices)
     val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
-      .groupBy(keyCols.map(col): _*).agg(min(col("__fid")).as("__fid"))
     val tagged = df.join(index, keyCols, "left")
     // NEW keys (upserts only): route by key hash into the partition's
     // existing groups — codegen element_at over a broadcast-small
@@ -1675,6 +1732,8 @@ object HudiLite {
             element_at(col("__fids"),
               (pmod(hash(keyCols.map(col): _*), size(col("__fids"))) + 1)
                 .cast("int"))))
+          .withColumn("__fid", guardPartitionMove(slices, keyCols,
+            partExpr(df, p, partTransform)))
           .drop("__gpart", "__fids"), fresh)
       case None =>
         (tagged.withColumn("__fid",

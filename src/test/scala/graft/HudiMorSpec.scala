@@ -289,6 +289,40 @@ class HudiMorSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-partition upsert of an existing key is loud, not a stale split-brain") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_xpart").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    HudiLite.createTable(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001")
+    // k=1 lives in partition A: an upsert carrying p='B' would log it
+    // against A's file group while a p='B' filtered read misses it (or
+    // a bloom-missed route would duplicate the key) — refuse loudly
+    val e = intercept[Exception] {
+      HudiLite.upsert(spark, dir, Seq((1L, "B", 11)).toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "002")
+    }
+    assert(e.getMessage.contains("across partitions"), e.getMessage)
+    // same-partition upserts and genuinely new keys stay fine
+    HudiLite.upsert(spark, dir,
+      Seq((1L, "A", 12), (9L, "B", 90)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "003")
+    val got = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 12, 2L -> 20, 9L -> 90), s"post-guard state: $got")
+    // the explicit spelling works: DELETE + INSERT relocates the key
+    HudiLite.deleteKeys(spark, dir, Seq(1L).toDF("k"), Seq("k"), "004")
+    HudiLite.upsert(spark, dir, Seq((1L, "B", 13)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "005")
+    val moved = HudiLite.readSnapshotMor(spark, dir, Seq("k"),
+      partFilter = Some(_ == "B"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(moved == Map(1L -> 13, 2L -> 20, 9L -> 90),
+      s"the relocated key must serve under its NEW partition's filter: $moved")
+  }
+
   test("truncatePartition drops the partition's groups; travel and refill intact") {
     val s2 = spark
     import s2.implicits._
