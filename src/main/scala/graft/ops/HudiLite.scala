@@ -1291,11 +1291,32 @@ object HudiLite {
       val m = bc.value
       val seen = scala.collection.mutable.Set.empty[String]
       it.foreach { r =>
-        val blooms: Iterable[(String, Array[Long])] =
-          if (r.isNullAt(0)) m.values.flatten else m.getOrElse(r.getString(0), Nil)
         val k = r.getString(1)
-        blooms.foreach { case (fid, bits) =>
-          if (!seen.contains(fid) && bloomContains(bits, k)) seen += fid
+        if (r.isNullAt(0)) {
+          m.values.flatten.foreach { case (fid, bits) =>
+            if (!seen.contains(fid) && bloomContains(bits, k)) seen += fid
+          }
+        } else {
+          // GLOBAL index, partition-first: a key tests its OWN
+          // partition's blooms, and only when every one is negative
+          // (exact — the key is certainly not there) does it sweep the
+          // FOREIGN partitions' blooms. An in-place update pays the
+          // own-partition cost alone; only genuinely new and MOVED
+          // keys pay the sweep, whose foreign positives are what lets
+          // the key index see a record that changed partitions (the
+          // partition-move guard) instead of silently duplicating it.
+          val own = m.getOrElse(r.getString(0), Nil)
+          var ownHit = false
+          own.foreach { case (fid, bits) =>
+            if (bloomContains(bits, k)) { ownHit = true
+              if (!seen.contains(fid)) seen += fid
+            }
+          }
+          if (!ownHit) m.foreach { case (p, xs) =>
+            if (p != r.getString(0)) xs.foreach { case (fid, bits) =>
+              if (!seen.contains(fid) && bloomContains(bits, k)) seen += fid
+            }
+          }
         }
       }
       seen.iterator
@@ -1494,11 +1515,12 @@ object HudiLite {
     // candidates must cover BOTH row sets — delete keys carry no
     // partition column, so they test every partition's blooms
     val candidates =
-      // GLOBAL index lookups: a key tests EVERY partition's blooms, so
-      // an incoming row whose partition moved still resolves its OLD
-      // group and the partition-move guard can fire (partition-scoped
-      // testing would miss it and silently duplicate the key)
-      candidateBaseFids(spark, df, keyCols, None, slices) ++
+      // GLOBAL index, partition-first (see candidateBaseFids): keys
+      // negative in their own partition sweep the foreign blooms, so a
+      // MOVED key still resolves its old group and the partition-move
+      // guard can fire instead of silently duplicating the key
+      candidateBaseFids(spark, df, keyCols, Some(partCol), slices,
+        partTransform) ++
       candidateBaseFids(spark, delKeys, keyCols, None, slices)
     val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
     // upsert rows: existing keys keep their group, NEW keys hash-route
@@ -1688,9 +1710,10 @@ object HudiLite {
     val slices = planFilesMor(tableDir)
     val keySchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filter(f => keyCols.contains(f.name)))
-    // GLOBAL lookups — see stageMergeOnce: the partition-move guard
-    // needs a moved key to resolve its old group, not bloom-miss
-    val candidates = candidateBaseFids(spark, df, keyCols, None, slices)
+    // GLOBAL index, partition-first — a key negative at home sweeps
+    // the foreign blooms, so the partition-move guard sees moved keys
+    val candidates = candidateBaseFids(spark, df, keyCols, partCol, slices,
+      partTransform)
     val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
     val tagged = df.join(index, keyCols, "left")
     // NEW keys (upserts only): route by key hash into the partition's
