@@ -58,8 +58,8 @@ object HudiLite {
     val commits = Option(timelineDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".commit"))
       .map(f => (f.getName.stripSuffix(".commit"), f))
-      .sortBy(_._1)
-      .filter { case (t, _) => instant.forall(t <= _) }
+      .sortBy(_._1.toLong)
+      .filter { case (t, _) => instant.forall(a => t.toLong <= a.toLong) }
     require(commits.nonEmpty, s"no completed commits <= $instant in $timelineDir")
     // a deltacommit may ALSO carry base=true entries: fresh file
     // groups for partitions the table had never seen (lazy group
@@ -68,8 +68,8 @@ object HudiLite {
     val deltaBases = Option(timelineDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".deltacommit"))
       .map(f => (f.getName.stripSuffix(".deltacommit"), f))
-      .sortBy(_._1)
-      .filter { case (t, _) => instant.forall(t <= _) }
+      .sortBy(_._1.toLong)
+      .filter { case (t, _) => instant.forall(a => t.toLong <= a.toLong) }
     // replay: latest (instant, path) per fileId wins — copy-on-write.
     // A REPLACE commit ("replaces":true — the insert_overwrite_table
     // spelling) supersedes EVERY previous file group: the replay
@@ -77,7 +77,11 @@ object HudiLite {
     val latest = scala.collection.mutable.LinkedHashMap
       .empty[String, (String, String, String)] // fileId -> (path, part, instant)
     (commits.map(x => (x._1, x._2, false)) ++
-      deltaBases.map(x => (x._1, x._2, true))).sortBy(_._1)
+      // NUMERIC instant order everywhere instants are compared: the
+      // zero-padding is a minimum width, so past 999 commits "1000"
+      // sorts BEFORE "999" lexicographically — replay/travel/ordering
+      // must never depend on the string form
+      deltaBases.map(x => (x._1, x._2, true))).sortBy(_._1.toLong)
       .foreach { case (t, f, isDelta) =>
       val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
       if (!isDelta && Option(node.get("replaces")).exists(_.asBoolean))
@@ -139,7 +143,7 @@ object HudiLite {
       }
     val at = stamped.filter(_._2 <= tsMillis)
     require(at.nonEmpty, s"no hudi instant at or before $tsMillis")
-    at.maxBy(_._1)._1
+    at.maxBy(_._1.toLong)._1
   }
 
   // ------------------------------------------------------- writer (fixture)
@@ -306,8 +310,8 @@ object HudiLite {
     val deltas = Option(timelineDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".deltacommit"))
       .map(f => (f.getName.stripSuffix(".deltacommit"), f))
-      .sortBy(_._1)
-      .filter { case (t, _) => instant.forall(t <= _) }
+      .sortBy(_._1.toLong)
+      .filter { case (t, _) => instant.forall(a => t.toLong <= a.toLong) }
     val logsByFileId = scala.collection.mutable.Map
       .empty[String, Vector[String]].withDefaultValue(Vector.empty)
     deltas.foreach { case (_, f) =>
@@ -411,8 +415,8 @@ object HudiLite {
       // traveled instant (a later retype's replace override) must not
       // reshape its schema; schema.json (metadata-only ALTERs, not
       // instants) stays un-scoped — documented edge
-      .filter(f => asOf.forall(a => f.getName.split('.').head <= a))
-      .sortBy(_.getName)
+      .filter(f => asOf.forall(a => f.getName.split('.').head.toLong <= a.toLong))
+      .sortBy(_.getName.split('.').head.toLong)
       .foreach { f =>
         val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
         val isReplace = Option(node.get("replaces")).exists(_.asBoolean)
@@ -668,7 +672,7 @@ object HudiLite {
         baseSys.unionByName(spark.createDataFrame(logRows, withSys))
       }
     val w = Window.partitionBy(keyColsW.map(col): _*)
-      .orderBy(col("__instant").desc, col("__seq").desc)
+      .orderBy(col("__instant").cast("long").desc, col("__seq").desc)
     val out = merged.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .drop("__rn", "__instant", "__seq", "__del")
@@ -718,7 +722,7 @@ object HudiLite {
                          fromInstant: String, toInstant: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    require(fromInstant < toInstant,
+    require(fromInstant.toLong < toInstant.toLong,
       s"from ($fromInstant) must precede to ($toInstant)")
     val timelineDir = new java.io.File(tableDir, ".hoodie")
     val instants = Option(timelineDir.listFiles()).getOrElse(Array.empty)
@@ -728,11 +732,11 @@ object HudiLite {
         else if (n.endsWith(".deltacommit"))
           Some((n.stripSuffix(".deltacommit"), "deltacommit", f))
         else None
-      }.sortBy(_._1)
-    val preExisting = instants.filter(_._1 <= fromInstant).flatMap { case (_, _, f) =>
-      statEntries(f).map(_._2)
-    }.toSet
-    val window = instants.filter { case (t, _, _) => t > fromInstant && t <= toInstant }
+      }.sortBy(_._1.toLong)
+    val preExisting = instants.filter(_._1.toLong <= fromInstant.toLong)
+      .flatMap { case (_, _, f) => statEntries(f).map(_._2) }.toSet
+    val window = instants.filter { case (t, _, _) =>
+      t.toLong > fromInstant.toLong && t.toLong <= toInstant.toLong }
     require(window.nonEmpty, s"no instants in ($fromInstant, $toInstant]")
     // a replacecommit in the window is STATE MOTION, not change —
     // shipping its files as inserts would double rows; refuse loudly.
@@ -905,7 +909,7 @@ object HudiLite {
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
         .map(_.split('.').head).filter(_.forall(_.isDigit))
-        .forall(_ < instant),
+        .forall(_.toLong < instant.toLong),
       s"overwrite instant $instant must follow the timeline")
     val (dfW, keyColsW, partColW) = toWriteNames(tableDir, df, keyCols, partCol)
     val dir = new java.io.File(tableDir)
@@ -1042,33 +1046,50 @@ object HudiLite {
   // ------------------------------------------------------- bloom index (r11)
   // Hudi's bloom index, the thing that makes upserts sub-table-scan at
   // 100 TB: each base file carries a bloom filter of its record keys
-  // (here an 8 KiB sidecar; real Hudi rides the parquet footer). An
-  // incoming batch tests its keys against the blooms of ITS partition's
-  // files (broadcast, metadata-sized) and the exact key-index scan then
-  // opens only the candidate files. Bloom negatives are exact — a key
-  // missing from every bloom is genuinely new — so routing stays
-  // split-brain-free; false positives only cost extra candidate files.
-  private val BloomBits = 1 << 16
+  // (a sidecar sized from the file's footer row count; real Hudi rides
+  // the parquet footer). An incoming batch tests its keys against the
+  // blooms of ITS partition's files (broadcast, metadata-sized) and the
+  // exact key-index scan then opens only the candidate files. Bloom
+  // negatives are exact — a key missing from every bloom is genuinely
+  // new; positives are only HINTS (never proof of residence), which is
+  // why routing runs the exactness backstop in [[resolveKeyIndex]].
   private val BloomHashes = 3
 
-  private def bloomHash(key: String, i: Int): Int = {
+  /** Sidecar size in BITS for a file of `rows` keys: next power of two
+    * ≥ 16 bits/key (FPR ≈ 0.5% at 3 hashes), floored at 2^16 (8 KiB)
+    * and capped at 2^27 (16 MiB ≈ 8M keys). A FIXED 8 KiB bloom would
+    * saturate (FPR → 1) under the volume-derived ~4M-row file groups,
+    * degenerating candidate pruning to an all-bases scan. Above the cap
+    * the FPR degrades gracefully; the backstop keeps routing exact. */
+  private def bloomBitsFor(rows: Long): Int = {
+    var m = 1L << 16
+    while (m < rows * 16L && m < (1L << 27)) m <<= 1
+    m.toInt
+  }
+
+  /** Bit position of hash `i` for `key` in an `mBits`-bit bloom — the
+    * modulus derives from each sidecar's own length, so differently
+    * sized sidecars coexist on one table. */
+  private def bloomHash(key: String, i: Int, mBits: Int): Int = {
     val h = scala.util.hashing.MurmurHash3.stringHash(key, 0x9747b28c + i * 0x5bd1e995)
-    java.lang.Math.floorMod(h, BloomBits)
+    java.lang.Math.floorMod(h, mBits)
   }
 
   private[graft] def bloomAdd(bits: Array[Long], key: String): Unit = {
+    val m = bits.length * 64
     var i = 0
     while (i < BloomHashes) {
-      val b = bloomHash(key, i)
+      val b = bloomHash(key, i, m)
       bits(b >>> 6) |= (1L << (b & 63))
       i += 1
     }
   }
 
   private[graft] def bloomContains(bits: Array[Long], key: String): Boolean = {
+    val m = bits.length * 64
     var i = 0
     while (i < BloomHashes) {
-      val b = bloomHash(key, i)
+      val b = bloomHash(key, i, m)
       if ((bits(b >>> 6) & (1L << (b & 63))) == 0L) return false
       i += 1
     }
@@ -1128,22 +1149,47 @@ object HudiLite {
     entries
   }
 
+  /** Row count from the parquet footer (driver-side, metadata-only —
+    * the same FE-role walk the timeline replay is). */
+  private def footerRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
   /** Build and write the `.bloom` sidecar for each base file: one
     * distributed key-column scan, per-file bitsets OR-merged, only the
-    * 8 KiB-per-file bitmaps return to the driver. */
+    * per-file bitmaps return to the driver. Each sidecar is sized from
+    * its file's FOOTER row count ([[bloomBitsFor]]), so a 4M-row
+    * volume-derived group gets a useful FPR instead of a saturated
+    * 8 KiB bitmap. */
   private def writeBlooms(spark: SparkSession, keyCols: Seq[String],
                           baseFiles: Seq[String]): Unit = {
     import org.apache.spark.sql.functions._
     if (baseFiles.isEmpty) return
-    val words = BloomBits / 64
+    val wordsByFp: Map[String, Int] = baseFiles.map { p =>
+      val abs = new java.io.File(p).getAbsolutePath
+      abs -> (bloomBitsFor(footerRowCount(abs)) / 64)
+    }.toMap
+    val bcWords = spark.sparkContext.broadcast(wordsByFp)
     val perFile = spark.read.parquet(baseFiles: _*)
       .select(
         regexp_replace(col("_metadata.file_path"), "^file:+", "").as("__fp"),
         bloomKeyCol(keyCols).as("__k"))
-      .rdd.map(r => (r.getString(0), r.getString(1)))
-      .aggregateByKey(new Array[Long](words))(
-        (bits, k) => { bloomAdd(bits, k); bits },
-        (a, b) => { var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a })
+      .rdd.mapPartitions { it =>
+        val local = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        it.foreach { r =>
+          val fp = r.getString(0)
+          val bits = local.getOrElseUpdate(fp,
+            new Array[Long](bcWords.value.getOrElse(fp, 1 << 10)))
+          bloomAdd(bits, r.getString(1))
+        }
+        local.iterator
+      }
+      .reduceByKey((a, b) => {
+        var i = 0; while (i < a.length) { a(i) |= b(i); i += 1 }; a })
       .collect()
     perFile.foreach { case (fp, bits) =>
       val bb = java.nio.ByteBuffer.allocate(bits.length * 8)
@@ -1300,11 +1346,11 @@ object HudiLite {
           // GLOBAL index, partition-first: a key tests its OWN
           // partition's blooms, and only when every one is negative
           // (exact — the key is certainly not there) does it sweep the
-          // FOREIGN partitions' blooms. An in-place update pays the
-          // own-partition cost alone; only genuinely new and MOVED
-          // keys pay the sweep, whose foreign positives are what lets
-          // the key index see a record that changed partitions (the
-          // partition-move guard) instead of silently duplicating it.
+          // FOREIGN partitions' blooms here. An own-partition POSITIVE
+          // is only a hint, not proof of residence — the exactness
+          // backstop in resolveKeyIndex re-sweeps any key the exact
+          // scan then fails to place, so a false positive here cannot
+          // hide a moved key from the partition-move guard.
           val own = m.getOrElse(r.getString(0), Nil)
           var ownHit = false
           own.foreach { case (fid, bits) =>
@@ -1322,6 +1368,48 @@ object HudiLite {
       seen.iterator
     }.distinct().collect().toSet
     hits ++ noBloom
+  }
+
+  /** The delete-aware key index for one incoming batch, bloom-pruned
+    * partition-first with an EXACTNESS BACKSTOP: any incoming key the
+    * exact scan fails to place re-sweeps EVERY partition's blooms. An
+    * own-partition bloom positive is NOT proof of residence (false
+    * positives exist), so [[candidateBaseFids]]'s partition-first
+    * shortcut alone is unsound: a moved key whose own-partition bloom
+    * lied would skip the foreign sweep, miss its old file group,
+    * bypass [[guardPartitionMove]] and hash-route as NEW — leaving a
+    * live stale copy in the old partition that partition-filtered
+    * reads serve (silent split-brain). The backstop costs one bloom
+    * sweep over the UNRESOLVED keys only, and adds base-file scans
+    * only when that sweep surfaces fids outside the first candidate
+    * set (genuinely moved keys, or foreign false positives) — the
+    * common all-new / all-in-place batch re-scans nothing. The
+    * returned frame is persisted (the staging path consumes it several
+    * times: fresh-row probe, fresh-base write, routing, commit stats);
+    * callers unpersist after their commit action. */
+  private def resolveKeyIndex(spark: SparkSession, df: DataFrame,
+                              keyCols: Seq[String], partCol: Option[String],
+                              slices: Seq[(String, String, String, String, Seq[String])],
+                              keySchema: org.apache.spark.sql.types.StructType,
+                              partTransform: String,
+                              alsoGlobal: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cand0 = candidateBaseFids(spark, df, keyCols, partCol, slices,
+      partTransform) ++
+      alsoGlobal.map(d => candidateBaseFids(spark, d, keyCols, None, slices))
+        .getOrElse(Set.empty[String])
+    val idx0 = keyIndex(spark, keyCols, slices, cand0, keySchema).persist()
+    if (partCol.isEmpty) return idx0 // global sweep — negatives already exact
+    val unresolved = df.select(keyCols.map(col): _*).distinct()
+      .join(idx0, keyCols, "left_anti")
+    val extra = candidateBaseFids(spark, unresolved, keyCols, None, slices) -- cand0
+    if (extra.isEmpty) idx0
+    else {
+      val idx = keyIndex(spark, keyCols, slices, cand0 ++ extra, keySchema)
+        .persist()
+      idx0.unpersist()
+      idx
+    }
   }
 
   /** The record-key → file-group index of the current table state:
@@ -1399,7 +1487,7 @@ object HudiLite {
         baseKeys.unionByName(spark.createDataFrame(logRows, fidSchema))
       }
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__inst").desc, col("__seq").desc)
+      .orderBy(col("__inst").cast("long").desc, col("__seq").desc)
     all.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .select(keyCols.map(col) :+ col("__fid"): _*)
@@ -1507,22 +1595,16 @@ object HudiLite {
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
         .map(_.split('.').head).filter(_.forall(_.isDigit))
-        .forall(_ < instant),
+        .forall(_.toLong < instant.toLong),
       s"instant $instant must follow the timeline")
     val slices = planFilesMor(tableDir)
     val keySchema = StructType(
       df.schema.fields.filter(f => keyCols.contains(f.name)))
-    // candidates must cover BOTH row sets — delete keys carry no
-    // partition column, so they test every partition's blooms
-    val candidates =
-      // GLOBAL index, partition-first (see candidateBaseFids): keys
-      // negative in their own partition sweep the foreign blooms, so a
-      // MOVED key still resolves its old group and the partition-move
-      // guard can fire instead of silently duplicating the key
-      candidateBaseFids(spark, df, keyCols, Some(partCol), slices,
-        partTransform) ++
-      candidateBaseFids(spark, delKeys, keyCols, None, slices)
-    val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
+    // one index covers BOTH row sets — delete keys carry no partition
+    // column, so they test every partition's blooms (exact negatives);
+    // the upsert side gets the partition-first + backstop discipline
+    val index = resolveKeyIndex(spark, df, keyCols, Some(partCol), slices,
+      keySchema, partTransform, alsoGlobal = Some(delKeys))
     // upsert rows: existing keys keep their group, NEW keys hash-route
     // into their partition's groups (same routing as stageAndCommitOnce)
     val tagged = df.join(index, keyCols, "left")
@@ -1613,6 +1695,7 @@ object HudiLite {
           (part, fid, baseInstant, rel)
         }
       }.collect().toSeq.sortBy(_._4)
+    index.unpersist()
     require(stats.nonEmpty || freshBases.nonEmpty, "empty merge commit")
     val logJs = stats.groupBy(_._1).view.mapValues(_.map {
       case (_, fid, baseInstant, rel) =>
@@ -1705,16 +1788,16 @@ object HudiLite {
     require(Option(new java.io.File(tableDir, ".hoodie").list())
         .getOrElse(Array.empty)
         .map(_.split('.').head).filter(_.forall(_.isDigit))
-        .forall(_ < instant),
+        .forall(_.toLong < instant.toLong),
       s"instant $instant must follow the timeline")
     val slices = planFilesMor(tableDir)
     val keySchema = org.apache.spark.sql.types.StructType(
       df.schema.fields.filter(f => keyCols.contains(f.name)))
-    // GLOBAL index, partition-first — a key negative at home sweeps
-    // the foreign blooms, so the partition-move guard sees moved keys
-    val candidates = candidateBaseFids(spark, df, keyCols, partCol, slices,
-      partTransform)
-    val index = keyIndex(spark, keyCols, slices, candidates, keySchema)
+    // GLOBAL index: partition-first blooms + exactness backstop (see
+    // resolveKeyIndex) — the partition-move guard sees moved keys even
+    // through an own-partition bloom false positive
+    val index = resolveKeyIndex(spark, df, keyCols, partCol, slices,
+      keySchema, partTransform)
     val tagged = df.join(index, keyCols, "left")
     // NEW keys (upserts only): route by key hash into the partition's
     // existing groups — codegen element_at over a broadcast-small
@@ -1802,6 +1885,7 @@ object HudiLite {
           (part, fid, baseInstant, rel)
         }
       }.collect().toSeq.sortBy(_._4)
+    index.unpersist()
     require(stats.nonEmpty || freshBases.nonEmpty, "empty delta commit")
     val logJs = stats.groupBy(_._1).view.mapValues(_.map {
       case (_, fid, baseInstant, rel) =>

@@ -576,10 +576,10 @@ object PaimonWriter {
     * soundly), staged at MaxLevel, sequence numbers carried VERBATIM so
     * later upserts order correctly. Stamped COMPACT, so changelog/
     * incremental readers stay quiet (state motion, the delta/iceberg
-    * retype discipline). Honest scope: travel to a PRE-retype snapshot
-    * reads the new declared schema over old narrow files and fails
-    * loudly (paimon resolves reads by the effective schema, not
-    * per-snapshot — documented in COVERAGE). Empty tables (no snapshot
+    * retype discipline). Travel is VERSION-SCOPED: a read at a
+    * PRE-retype snapshot resolves that snapshot's stamped schemaId
+    * ([[PaimonLite]] snapshot reads), so old narrow files read under
+    * their own declared type, value-exact. Empty tables (no snapshot
     * or no live files) retype metadata-only. */
   def retypeColumn(spark: SparkSession, tableDir: String, colName: String,
                    newTypeSql: String, keyColsIn: Seq[String],

@@ -323,6 +323,72 @@ class HudiMorSpec extends AnyFunSuite {
       s"the relocated key must serve under its NEW partition's filter: $moved")
   }
 
+  test("own-partition bloom FALSE POSITIVE cannot hide a moved key (backstop)") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_bloomfp").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    HudiLite.createTable(spark, dir,
+      Seq((1L, "A", 10), (2L, "B", 20)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001")
+    // SATURATE partition B's bloom sidecars (all bits set): every key
+    // now reads as an own-partition positive in B — the exact failure
+    // mode of an undersized/aged sidecar. Partition-first alone would
+    // skip the foreign sweep for k=1, never see its file group in A,
+    // hash-route it as NEW into B, and leave a live stale copy in A.
+    HudiLite.planFilesMor(dir).filter(_._2 == "B").foreach { s =>
+      val f = new java.io.File(s._1 + ".bloom")
+      val bytes = Array.fill[Byte](f.length().toInt)(-1)
+      java.nio.file.Files.write(f.toPath, bytes)
+    }
+    val e = intercept[Exception] {
+      HudiLite.upsert(spark, dir, Seq((1L, "B", 11)).toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "002")
+    }
+    assert(e.getMessage.contains("across partitions"),
+      s"the move guard must fire THROUGH the false positive: ${e.getMessage}")
+    // in-place updates and genuinely new keys still land (the backstop
+    // only re-sweeps what the exact scan failed to place)
+    HudiLite.upsert(spark, dir,
+      Seq((2L, "B", 22), (7L, "B", 70)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "003")
+    val got = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
+      .select("k", "v").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 10, 2L -> 22, 7L -> 70), s"state: $got")
+  }
+
+  test("bloom sidecars size with the file's row count") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/hudi/mor_bloomsize").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    spark.conf.set("spark.graft.hudi.group.targetRows", "200000")
+    try {
+      // one 10k-row partition and one 100-row partition, one group each
+      HudiLite.createTable(spark, dir,
+        ((1L to 10000L).map(k => (k, "BIG", k.toInt)) ++
+          (20001L to 20100L).map(k => (k, "SMALL", k.toInt)))
+          .toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "001", groupsPerPart = 1)
+      val byPart = HudiLite.planFilesMor(dir).groupBy(_._2)
+      val bigBloom = new java.io.File(byPart("BIG").head._1 + ".bloom")
+      val smallBloom = new java.io.File(byPart("SMALL").head._1 + ".bloom")
+      // 10k keys want ≥ 160k bits = 32 KiB (next pow2 of 16 bits/key);
+      // 100 keys keep the 8 KiB floor
+      assert(bigBloom.length() == 32 * 1024,
+        s"10k-key sidecar: ${bigBloom.length()} bytes")
+      assert(smallBloom.length() == 8 * 1024,
+        s"100-key sidecar keeps the floor: ${smallBloom.length()} bytes")
+      // the sized blooms resolve existing keys (mod derives from length)
+      HudiLite.upsert(spark, dir, Seq((5000L, "BIG", -1)).toDF("k", "p", "v"),
+        keyCols = Seq("k"), partCol = "p", instant = "002")
+      val got = HudiLite.readSnapshotMor(spark, dir, Seq("k"),
+        partFilter = Some(_ == "BIG"))
+        .filter(col("k") === 5000L).select("v").head().getInt(0)
+      assert(got == -1)
+    } finally spark.conf.unset("spark.graft.hudi.group.targetRows")
+  }
+
   test("truncatePartition drops the partition's groups; travel and refill intact") {
     val s2 = spark
     import s2.implicits._
