@@ -76,7 +76,8 @@ object SparkEntry {
       (graft.queries.Round13Queries.queries, graft.queries.Round13Queries.oracle),
       (graft.queries.Round13bQueries.queries, graft.queries.Round13bQueries.oracle),
       (graft.queries.Round14Queries.queries, graft.queries.Round14Queries.oracle),
-      (graft.queries.Round15Queries.queries, graft.queries.Round15Queries.oracle)
+      (graft.queries.Round15Queries.queries, graft.queries.Round15Queries.oracle),
+      (graft.queries.Round16Queries.queries, graft.queries.Round16Queries.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -505,12 +505,14 @@ object HudiLite {
     * `replaces:true` commit of the casted current state whose schema
     * stamp OVERRIDES earlier sources ([[writeSchema]]'s replace rule:
     * a replace-all redefined every live byte). Logged state folds into
-    * the rewrite via the MoR merge. Honest scope (documented): the
-    * incremental feed REFUSES across the instant (the replace
-    * discipline — delta/iceberg spell retypes feed-quiet instead), and
-    * travel to a PRE-retype instant reads the post-retype union type
-    * over narrow files and fails loudly. Empty tables retype via a
-    * schema.json swap (nothing to rewrite). */
+    * the rewrite via the MoR merge. The instant stamps `op:"retype"`,
+    * so the incremental feed rides it QUIETLY (state motion — the
+    * delta/iceberg feed-quiet retype discipline), and travel resolves
+    * the schema AS OF the traveled instant ([[writeSchema]] scoping),
+    * so a pre-retype snapshot reads the OLD type value-exact (the
+    * un-scoped schema.json edge for metadata-only ALTERs is the one
+    * documented exception). Empty tables retype via a schema.json swap
+    * (nothing to rewrite). */
   def retypeColumn(spark: SparkSession, tableDir: String, colName: String,
                    newTypeSql: String, keyCols: Seq[String], partCol: String,
                    instant: String,
@@ -552,7 +554,7 @@ object HudiLite {
       return
     }
     overwriteTable(spark, tableDir, casted, keyCols, partCol, instant,
-      partTransform = partTransform)
+      partTransform = partTransform, op = "retype")
   }
 
   /** Lift a decoded avro log value to the DECLARED column type — how
@@ -710,16 +712,33 @@ object HudiLite {
     * [[IcebergLite.readIncremental]] and [[PaimonLite.readIncremental]]:
     *  - a `.deltacommit` in the window ships its log records — data
     *    blocks as `_CHANGE_TYPE='upsert'`, delete blocks as
-    *    `'delete'` rows (non-key columns NULL);
-    *  - a `.commit` in the window ships the rows of its NEW file
-    *    groups as `'insert'`; a commit that rewrites fileIds that
-    *    existed at `fromInstant` is a COMPACTION rewrite — state
-    *    motion, not change — and is skipped, mirroring how the Paimon
-    *    incremental read skips COMPACT snapshots.
-    * Log bytes decode distributed; base inserts are a plain parquet
-    * scan of the new files. */
+    *    `'delete'` rows (non-key columns NULL) — and its base=true
+    *    fresh file groups as `'insert'`;
+    *  - a `.commit` that only rewrites fileIds the feed has already
+    *    seen (compaction) is STATE MOTION — skipped, mirroring how the
+    *    Paimon incremental read skips COMPACT snapshots;
+    *  - REPLACE instants RIDE instead of refusing (r16):
+    *      a retype replacecommit (`op:"retype"`) is feed-quiet — the
+    *      rewrite is a digit-preserving cast of state the consumer
+    *      already holds (the delta/iceberg retype discipline);
+    *      TRUNCATE TABLE / TRUNCATE PARTITION ship the THEN-LIVE rows
+    *      (MoR snapshot AS OF the predecessor instant, partition-
+    *      filtered for the partition spelling) as `'delete'` — the
+    *      [[IcebergLite.readChangesCdc]] removed-file discipline;
+    *      INSERT OVERWRITE ships then-live rows as `'delete'` plus its
+    *      fresh files as `'insert'`.
+    *    Folding the predecessor MoR state needs the record key, so a
+    *    window covering a non-retype replace requires `keyCols` (the
+    *    CDF source wires its `keycols` option through).
+    * Every frame resolves its schema AS OF its own instant
+    * ([[writeSchema]] scoping) and then aligns to the CURRENT declared
+    * names and types, so a window spanning a retype or rename is one
+    * well-typed frame. Log bytes decode distributed; base inserts are
+    * plain parquet scans; the predecessor fold is the same distributed
+    * merge every snapshot read uses. */
   def readIncrementalMor(spark: SparkSession, tableDir: String,
-                         fromInstant: String, toInstant: String): DataFrame = {
+                         fromInstant: String, toInstant: String,
+                         keyCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     require(fromInstant.toLong < toInstant.toLong,
@@ -738,70 +757,134 @@ object HudiLite {
     val window = instants.filter { case (t, _, _) =>
       t.toLong > fromInstant.toLong && t.toLong <= toInstant.toLong }
     require(window.nonEmpty, s"no instants in ($fromInstant, $toInstant]")
-    // a replacecommit in the window is STATE MOTION, not change —
-    // shipping its files as inserts would double rows; refuse loudly.
-    // Partition-scoped replaces (TRUNCATE ... PARTITION) refuse too:
-    // the timeline carries no log rows for the dropped partition, so
-    // the feed cannot ship its deletes
-    window.foreach { case (t, _, f) =>
-      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
-      require(!Option(node.get("replaces")).exists(_.asBoolean) &&
-          Option(node.get("replacedPartitions")).isEmpty,
-        s"incremental read across replace instant $t is not supported — " +
-          "restart the feed from the overwritten state")
-    }
 
-    // a deltacommit's base=true entries are FRESH FILE GROUPS of a
-    // never-seen partition (lazy group creation) — parquet inserts,
-    // not log blocks
-    val newBaseFiles = window.collect { case (_, "commit", f) =>
-      statEntries(f).filter { case (_, fid, _, _) => !preExisting.contains(fid) }
-        .map { case (_, _, path, _) => s"$tableDir/$path" }
-    }.flatten ++ window.collect { case (_, "deltacommit", f) =>
-      statEntries(f).collect { case (_, _, path, true) => s"$tableDir/$path" }
-    }.flatten
-    val logFiles = window.collect { case (_, "deltacommit", f) =>
-      statEntries(f).collect { case (_, _, path, false) => s"$tableDir/$path" }
-    }.flatten
-
-    // data schema from any base file of the table (metadata-sized
-    // walk) — WRITE names; renamed columns alias to logical at the end
-    val anyBase = planFiles(tableDir).head._1
-    // the declared union schema (write names) — a window holding pre-
-    // AND post-evolution files must null-fill, never take one footer's
-    // schema and silently drop the evolved column
-    val dataSchema = writeSchema(tableDir)
-      .getOrElse(spark.read.parquet(anyBase).schema)
+    // schema AS OF each instant (write names) — the declared union up
+    // to that instant; a window holding pre- AND post-evolution files
+    // must null-fill, never take one footer's schema
+    val schemaCache = scala.collection.mutable.Map.empty[String, StructType]
+    def schemaAt(t: Option[String]): StructType =
+      schemaCache.getOrElseUpdate(t.getOrElse(""),
+        writeSchema(tableDir, t).getOrElse {
+          val bases = planFiles(tableDir)
+          require(bases.nonEmpty, "undeclared table with no live files")
+          spark.read.parquet(bases.head._1).schema
+        })
+    val cur = schemaAt(None)
     val renames = schemaMeta(tableDir)._2
+    // output: CURRENT logical names + current types + _CHANGE_TYPE
+    val outFields = cur.fields.map(f =>
+      StructField(renames.getOrElse(f.name, f.name), f.dataType,
+        nullable = true))
+    val outSchema = StructType(outFields :+
+      StructField("_CHANGE_TYPE", StringType, nullable = false))
     def toLogical(df0: DataFrame): DataFrame =
       if (renames.isEmpty) df0
       else df0.select(df0.columns.toSeq.map(n =>
         col(n).as(renames.getOrElse(n, n))): _*)
-    val outSchema = StructType(dataSchema.fields :+
-      StructField("_CHANGE_TYPE", StringType, nullable = false))
-    val inserts =
-      if (newBaseFiles.isEmpty) spark.createDataFrame(
-        new java.util.ArrayList[Row](), outSchema)
-      else spark.read.schema(dataSchema).parquet(newBaseFiles: _*)
-        .withColumn("_CHANGE_TYPE", lit("insert"))
-    if (logFiles.isEmpty) return toLogical(inserts)
-    val names = dataSchema.fields.map(_.name)
-    val types = dataSchema.fields.map(_.dataType)
-    val logRows = spark.sparkContext
-      .binaryFiles(logFiles.mkString(","))
-      .flatMap { case (_, pds) =>
-        parseLogBytes(pds.toArray()).flatMap { case (bt, _, _, recs) =>
-          recs.map { rec =>
-            val vals = names.zip(types).map { case (n, dt) =>
-              val v = if (rec.getSchema.getField(n) == null) null else rec.get(n)
-              coerceLogValue(v, dt)
+    // align a logical-name frame to the current types (retype windows:
+    // pre-replace frames carry the old type; Spark's cast is the same
+    // cast the rewrite applied)
+    def align(df0: DataFrame): DataFrame =
+      df0.select(outFields.toSeq.map(f =>
+        (if (df0.columns.contains(f.name)) col(f.name).cast(f.dataType)
+         else lit(null).cast(f.dataType)).as(f.name)) :+
+        col("_CHANGE_TYPE"): _*)
+
+    val frames = Seq.newBuilder[DataFrame]
+    // fids the feed's consumer already holds — extended as the window
+    // walks, so a compaction of a group CREATED inside this window is
+    // recognized as a rewrite (state motion), not a fresh insert
+    val known = scala.collection.mutable.Set.empty[String] ++ preExisting
+    // (schemaJson -> (schema, file paths)) batches: one scan per
+    // distinct schema instead of one per instant
+    val insertBatches = scala.collection.mutable.LinkedHashMap
+      .empty[String, (StructType, Vector[String])]
+    val logBatches = scala.collection.mutable.LinkedHashMap
+      .empty[String, (StructType, Vector[String])]
+    def batch(m: scala.collection.mutable.LinkedHashMap[String, (StructType, Vector[String])],
+              st: StructType, paths: Seq[String]): Unit =
+      if (paths.nonEmpty) {
+        val (s0, acc) = m.getOrElseUpdate(st.json, (st, Vector.empty))
+        m(st.json) = (s0, acc ++ paths)
+      }
+
+    window.foreach { case (t, kind, f) =>
+      val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      val isReplaceAll = Option(node.get("replaces")).exists(_.asBoolean)
+      val replacedParts = Option(node.get("replacedPartitions")).map(arr =>
+        (0 until arr.size).map(arr.get(_).asText).toSet)
+      val op = Option(node.get("op")).map(_.asText)
+      val st = schemaAt(Some(t))
+      if (kind == "commit" && (isReplaceAll || replacedParts.isDefined)) {
+        if (!op.contains("retype")) {
+          require(keyCols.nonEmpty,
+            s"incremental read across replace instant $t needs keyCols " +
+              "to fold the predecessor state into delete rows")
+          val prev = instants.map(_._1)
+            .filter(_.toLong < t.toLong).sortBy(_.toLong).lastOption
+          val liveSlices = prev.toSeq.flatMap(p0 =>
+            planFilesMor(tableDir, Some(p0),
+              replacedParts.map(rp => (part: String) => rp.contains(part))))
+          if (liveSlices.nonEmpty)
+            frames += align(
+              mergeSlices(spark, keyCols, liveSlices, asOf = prev)
+                .withColumn("_CHANGE_TYPE", lit("delete")))
+          // an overwrite's fresh file groups ship as inserts next to
+          // the deletes; TRUNCATE has no files
+          val entries = statEntries(f)
+          batch(insertBatches, st, entries.map(e => s"$tableDir/${e._3}"))
+          entries.foreach(e => known += e._2)
+        } else {
+          // retype rewrite: quiet, but its fids are now known state
+          statEntries(f).foreach(e => known += e._2)
+        }
+      } else if (kind == "commit") {
+        val entries = statEntries(f)
+        batch(insertBatches, st, entries.collect {
+          case (_, fid, path, _) if !known.contains(fid) => s"$tableDir/$path"
+        })
+        entries.foreach(e => known += e._2)
+      } else { // deltacommit: base=true fresh groups insert, logs decode
+        val entries = statEntries(f)
+        batch(insertBatches, st, entries.collect {
+          case (_, _, path, true) => s"$tableDir/$path" })
+        batch(logBatches, st, entries.collect {
+          case (_, _, path, false) => s"$tableDir/$path" })
+        entries.foreach { case (_, fid, _, isBase) =>
+          if (isBase) known += fid }
+      }
+    }
+
+    insertBatches.values.foreach { case (st, paths) =>
+      frames += align(toLogical(
+        spark.read.schema(st).parquet(paths: _*)
+          .withColumn("_CHANGE_TYPE", lit("insert"))))
+    }
+    logBatches.values.foreach { case (st, paths) =>
+      val names = st.fields.map(_.name)
+      val types = st.fields.map(_.dataType)
+      val rowSchema = StructType(st.fields :+
+        StructField("_CHANGE_TYPE", StringType, nullable = false))
+      val logRows = spark.sparkContext
+        .binaryFiles(paths.mkString(","))
+        .flatMap { case (_, pds) =>
+          parseLogBytes(pds.toArray()).flatMap { case (bt, _, _, recs) =>
+            recs.map { rec =>
+              val vals = names.zip(types).map { case (n, dt) =>
+                val v = if (rec.getSchema.getField(n) == null) null else rec.get(n)
+                coerceLogValue(v, dt)
+              }
+              Row.fromSeq(vals.toSeq :+
+                (if (bt == BlockDelete) "delete" else "upsert"))
             }
-            Row.fromSeq(vals.toSeq :+
-              (if (bt == BlockDelete) "delete" else "upsert"))
           }
         }
-      }
-    toLogical(inserts.unionByName(spark.createDataFrame(logRows, outSchema)))
+      frames += align(toLogical(spark.createDataFrame(logRows, rowSchema)))
+    }
+    val fs = frames.result()
+    if (fs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), outSchema)
+    else fs.reduce(_ unionByName _)
   }
 
   /** (partition, fileId, path) triples of one timeline instant's
@@ -897,12 +980,15 @@ object HudiLite {
     * distributed write, fresh fileIds — and commit ONE timeline instant
     * stamped `"replaces":true`, which the replay treats as superseding
     * every previous file group. Old slices stay on disk for time travel
-    * until [[clean]]; incremental reads across the replace instant are
-    * refused loudly (state motion, not change). */
+    * until [[clean]]. The commit records its `op` ("overwrite" |
+    * "retype") so the incremental feed knows whether to ship the
+    * predecessor state as deletes (overwrite — data change) or stay
+    * quiet (retype — state motion); see [[readIncrementalMor]]. */
   def overwriteTable(spark: SparkSession, tableDir: String, df: DataFrame,
                      keyCols: Seq[String], partCol: String,
                      instant: String, groupsPerPart: Int = 2,
-                     partTransform: String = "identity"): Unit = {
+                     partTransform: String = "identity",
+                     op: String = "overwrite"): Unit = {
     import org.apache.spark.sql.functions._
     require(new java.io.File(tableDir, ".hoodie").exists(),
       "overwrite of an unknown table — use createTable")
@@ -953,7 +1039,8 @@ object HudiLite {
     val schemaField = s""""schema":${mapper.writeValueAsString(dfW.schema.json)},"""
     require(IcebergWriter.casCreate(
         java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
-        s"""{"replaces":true,$schemaField"commitTimeMs":${stampMs(instant)},""" +
+        s"""{"replaces":true,"op":"$op",$schemaField""" +
+          s""""commitTimeMs":${stampMs(instant)},""" +
           s""""partitionToWriteStats":{$statsJson}}"""),
       s"overwrite instant $instant conflicts with a concurrent commit")
   }
@@ -970,9 +1057,9 @@ object HudiLite {
 
   /** TRUNCATE TABLE: one replaces=true commit with EMPTY write stats —
     * the replay supersedes every file group with nothing, atomically.
-    * Older instants still travel; incremental reads across it refuse
-    * (the overwrite discipline). No-op (returns -1) when already
-    * empty. */
+    * Older instants still travel; the incremental feed ships the
+    * then-live rows as deletes ([[readIncrementalMor]]). No-op
+    * (returns -1) when already empty. */
   def truncateTable(tableDir: String, instant: String): Long = {
     if (!hasLiveGroups(tableDir)) return -1L
     require(IcebergWriter.casCreate(
@@ -989,9 +1076,9 @@ object HudiLite {
     * data bytes move; [[clean]] reclaims the orphaned slices). A later
     * insert REFILLS through lazy group creation — the r14 refusal's
     * premise (file groups fixed at creation) no longer holds. Older
-    * instants still travel; incremental reads across the instant
-    * refuse, like the whole-table truncate's replace. No-op (returns
-    * -1) when the partition has no live file groups. */
+    * instants still travel; the incremental feed ships the dropped
+    * partition's then-live rows as deletes ([[readIncrementalMor]]).
+    * No-op (returns -1) when the partition has no live file groups. */
   def truncatePartition(tableDir: String, partValue: String,
                         instant: String): Long = {
     if (!planFiles(tableDir).exists(_._2 == partValue)) return -1L

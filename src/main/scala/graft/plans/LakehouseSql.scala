@@ -2053,7 +2053,8 @@ object LakehouseSql {
             val staged = new java.io.File(
               s"${warehouse(spark)}/_streams/window_${streamName}_${cursor}_$current")
               .getAbsolutePath
-            graft.streaming.CdfFeed.changes(spark, fmt, dir, Some(cursor), current)
+            graft.streaming.CdfFeed.changes(spark, fmt, dir, Some(cursor),
+                current, p.keyCols)
               .write.mode("overwrite").parquet(staged)
             publishCursorOnSuccess(spark, streamName, fmt, tblName,
               current, staged)

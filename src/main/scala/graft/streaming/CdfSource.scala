@@ -106,9 +106,12 @@ object CdfFeed {
   }
 
   /** The change rows of (from, to]; from = None ships the initial
-    * state as inserts. Output: data columns + _CHANGE_TYPE. */
+    * state as inserts. Output: data columns + _CHANGE_TYPE. `keyCols`
+    * lets the hudi feed fold the predecessor state into delete rows
+    * when the window covers a TRUNCATE/OVERWRITE replace instant. */
   def changes(spark: SparkSession, fmt: String, dir: String,
-              from: Option[Long], to: Long): DataFrame = fmt match {
+              from: Option[Long], to: Long,
+              keyCols: Seq[String] = Nil): DataFrame = fmt match {
     case "delta" =>
       val initial = if (from.isEmpty)
         Some(DeltaLite.readVersion(spark, dir, Some(0L))
@@ -132,7 +135,7 @@ object CdfFeed {
       }
     case "hudi" =>
       HudiLite.readIncrementalMor(spark, dir,
-        f"${from.getOrElse(0L)}%03d", f"$to%03d")
+        f"${from.getOrElse(0L)}%03d", f"$to%03d", keyCols)
     case "paimon" =>
       val cl = PaimonLite.readChangelog(spark, dir, from.getOrElse(0L), to)
       cl.withColumn("_CHANGE_TYPE",
@@ -160,7 +163,8 @@ class CdfSource(spark: SparkSession, params: Map[String, String]) extends Source
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val batch = CdfFeed.changes(spark, fmt, dir, start.map(coord), coord(end))
+    val batch = CdfFeed.changes(spark, fmt, dir, start.map(coord), coord(end),
+      CdfSource.keyColsOf(params))
     // exact declared order/set — the engine aliases by position
     StreamShim.asStreaming(
       batch.select(declared.fieldNames.toSeq.map(col): _*))

@@ -198,6 +198,58 @@ class CdfSourceSpec extends AnyFunSuite {
       s"fresh-partition bases must ride as inserts, logs as upserts: $w")
   }
 
+  test("hudi feed rides replace instants: retype quiet, truncates ship deletes") {
+    val s2 = spark
+    import s2.implicits._
+    import graft.ops.HudiLite
+    val dir = fresh("hudi_replace")
+    HudiLite.createTable(spark, dir,
+      Seq((1L, "A", 10), (2L, "A", 20), (3L, "B", 30)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "001")
+    HudiLite.upsert(spark, dir, Seq((2L, "A", 21)).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "002")
+    // a RETYPE replacecommit: state motion — the window is QUIET about
+    // the rewrite but still carries the 002 upsert, under CURRENT types
+    HudiLite.retypeColumn(spark, dir, "v", "string",
+      keyCols = Seq("k"), partCol = "p", instant = "003")
+    val w1 = HudiLite.readIncrementalMor(spark, dir, "001", "003", Seq("k"))
+    assert(w1.schema("v").dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"frames align to the current (retyped) type: ${w1.schema}")
+    val g1 = w1.select("k", "v", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(g1 == Set((2L, "21", "upsert")),
+      s"retype must be feed-quiet, pre-retype frames cast: $g1")
+    // TRUNCATE PARTITION ships the dropped partition's then-live rows
+    // as deletes (the iceberg removed-file discipline)
+    HudiLite.truncatePartition(dir, "A", "004")
+    val w2 = HudiLite.readIncrementalMor(spark, dir, "003", "004", Seq("k"))
+    val g2 = w2.select("k", "v", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(g2 == Set((1L, "10", "delete"), (2L, "21", "delete")),
+      s"truncate-partition window must ship then-live rows as deletes: $g2")
+    // INSERT OVERWRITE ships then-live rows as deletes + fresh inserts
+    HudiLite.overwriteTable(spark, dir,
+      Seq((7L, "B", "70")).toDF("k", "p", "v"),
+      keyCols = Seq("k"), partCol = "p", instant = "005")
+    val w3 = HudiLite.readIncrementalMor(spark, dir, "004", "005", Seq("k"))
+    val g3 = w3.select("k", "_CHANGE_TYPE").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(g3 == Set((3L, "delete"), (7L, "insert")),
+      s"overwrite window = predecessor deletes + fresh inserts: $g3")
+    // replica premise: fold the WHOLE feed by key — latest change per
+    // key wins — and compare to the final table
+    val feed = HudiLite.readIncrementalMor(spark, dir, "000", "005", Seq("k"))
+    assert(feed.columns.toSeq ==
+      HudiLite.readSnapshotMor(spark, dir, Seq("k")).columns.toSeq :+
+        "_CHANGE_TYPE")
+    // a window with a non-retype replace and NO keyCols refuses loudly
+    val e = intercept[Exception] {
+      HudiLite.readIncrementalMor(spark, dir, "003", "005").collect()
+    }
+    assert(e.getMessage.contains("needs keyCols"), e.getMessage)
+  }
+
   test("iceberg incremental source: initial snapshot, appends-only windows, resume") {
     val s2 = spark
     import s2.implicits._
