@@ -454,29 +454,77 @@ object PaimonLite {
     TableModels.aggView(withGuard, keyCols, "_SEQUENCE_NUMBER", specs)
   }
 
+  /** Read `files` under the schema STAMPED ON THEIR SNAPSHOT and align
+    * to the CURRENT declared schema: columns match by stable WRITE name
+    * (so a later RENAME cannot desync frames), values cast to the
+    * current type (a later retype's cast — digit-preserving by the
+    * retype tier's sanction), columns added since null-fill, columns
+    * dropped since drop. This is what lets a changelog/incremental
+    * window SPAN a schema evolution instead of reading old narrow files
+    * under the new declared type. */
+  private def readSnapshotScoped(spark: SparkSession, tableDir: String,
+                                 files: Seq[String], schemaId: Long)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    declaredFields(tableDir) match {
+      case None =>
+        // never-declared table: nothing ever evolved, plain read
+        readAligned(spark, tableDir, files, withSystem = true)
+      case Some(cur) =>
+        val raw = declaredFields(tableDir, Some(schemaId)) match {
+          case Some(old) =>
+            spark.read.schema(StructType(old.map { case (_, w, dt) =>
+              StructField(w, dt, nullable = true) }.toArray ++ Array(
+              StructField("_SEQUENCE_NUMBER", LongType),
+              StructField("_VALUE_KIND", IntegerType))))
+              .parquet(files: _*)
+          case None =>
+            // stamped 0 on a then-undeclared table (ALTER ids start at
+            // 1): each file's own parquet schema, stored WRITE names
+            spark.read.parquet(files: _*)
+        }
+        val rawCols = raw.columns.toSet
+        raw.select(cur.map { case (l, w, dt) =>
+          (if (rawCols.contains(w)) col(w).cast(dt)
+           else lit(null).cast(dt)).as(l)
+        } ++ Seq("_SEQUENCE_NUMBER", "_VALUE_KIND")
+          .filter(rawCols.contains).map(col(_)): _*)
+    }
+  }
+
   /** Incremental CHANGELOG read over (fromSnapshot, toSnapshot]: the
     * delta files of APPEND snapshots in the window, RowKind column
     * kept (`_VALUE_KIND`) — COMPACT/OVERWRITE snapshots are skipped,
     * as the spec's streaming read does (compaction rewrites state, it
-    * is not new data). */
+    * is not new data). Each snapshot's files resolve under its own
+    * stamped schemaId and align to the current schema
+    * ([[readSnapshotScoped]]), so windows span evolutions. */
   def readIncremental(spark: SparkSession, tableDir: String,
                       fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     require(fromSnapshotId < toSnapshotId,
       s"from ($fromSnapshotId) must precede to ($toSnapshotId)")
-    val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Long, Vector[String]]
+    ((fromSnapshotId + 1) to toSnapshotId).foreach { id =>
       val snap = snapshotNode(tableDir, id)
-      if (snap.get("commitKind").asText != "APPEND") Nil
-      else manifestEntries(tableDir, snap.get("deltaManifestList").asText)
-        .filter(_.get("_KIND").asInstanceOf[Int] == 0)
-        .map { e =>
-          val f = e.get("_FILE").asInstanceOf[GenericRecord]
-          val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
-          s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+      if (snap.get("commitKind").asText == "APPEND") {
+        val fs = manifestEntries(tableDir, snap.get("deltaManifestList").asText)
+          .filter(_.get("_KIND").asInstanceOf[Int] == 0)
+          .map { e =>
+            val f = e.get("_FILE").asInstanceOf[GenericRecord]
+            val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
+            s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+          }
+        if (fs.nonEmpty) {
+          val sid = Option(snap.get("schemaId")).map(_.asLong).getOrElse(0L)
+          groups(sid) = groups.getOrElse(sid, Vector.empty) ++ fs
         }
+      }
     }
-    require(files.nonEmpty, "no appended delta files in the window")
-    readAligned(spark, tableDir, files, withSystem = true)
-      .drop("_SEQUENCE_NUMBER")
+    require(groups.nonEmpty, "no appended delta files in the window")
+    groups.toSeq.map { case (sid, fs) =>
+      readSnapshotScoped(spark, tableDir, fs, sid)
+    }.reduce(_ unionByName _).drop("_SEQUENCE_NUMBER")
   }
 
   /** APPEND-ONLY (non-PK) table read — the spec's "Append Table": no
@@ -499,36 +547,47 @@ object PaimonLite {
     * the reason the producer exists. RowKind kept (`_VALUE_KIND`).
     * Loud when a snapshot in the window carries no changelog (the
     * table was not written with a producer — falling back to delta
-    * files would silently change semantics under compaction). */
+    * files would silently change semantics under compaction). Each
+    * snapshot's changelog files resolve under its own stamped schemaId
+    * and align to the current schema ([[readSnapshotScoped]]), so a
+    * window spanning a retype COMPACT reads pre-retype changelog files
+    * under their own narrow type and casts, instead of failing (or
+    * silently misreading) them under the new declared type. */
   def readChangelog(spark: SparkSession, tableDir: String,
                     fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
     require(fromSnapshotId < toSnapshotId,
       s"from ($fromSnapshotId) must precede to ($toSnapshotId)")
-    val files = ((fromSnapshotId + 1) to toSnapshotId).flatMap { id =>
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[Long, Vector[String]]
+    ((fromSnapshotId + 1) to toSnapshotId).foreach { id =>
       val snap = snapshotNode(tableDir, id)
       // COMPACT snapshots are STATE MOTION and carry no changelog —
       // surviving them is the producer's whole point (the persisted
       // changelog files keep streaming while compaction rewrites the
       // data files); a data-changing snapshot without a changelog
       // (no-producer table, OVERWRITE) stays loud
-      if (snap.get("commitKind").asText == "COMPACT") Nil
-      else {
-      val cl = snap.get("changelogManifestList")
-      require(cl != null,
-        s"snapshot $id has no changelogManifestList — table written " +
-          "without changelog-producer")
-      manifestEntries(tableDir, cl.asText)
-        .filter(_.get("_KIND").asInstanceOf[Int] == 0)
-        .map { e =>
-          val f = e.get("_FILE").asInstanceOf[GenericRecord]
-          val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
-          s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+      if (snap.get("commitKind").asText != "COMPACT") {
+        val cl = snap.get("changelogManifestList")
+        require(cl != null,
+          s"snapshot $id has no changelogManifestList — table written " +
+            "without changelog-producer")
+        val fs = manifestEntries(tableDir, cl.asText)
+          .filter(_.get("_KIND").asInstanceOf[Int] == 0)
+          .map { e =>
+            val f = e.get("_FILE").asInstanceOf[GenericRecord]
+            val part = Option(e.get("_PARTITION")).map(p => s"$p/").getOrElse("")
+            s"$tableDir/${part}bucket-${e.get("_BUCKET")}/${f.get("_FILE_NAME")}"
+          }
+        if (fs.nonEmpty) {
+          val sid = Option(snap.get("schemaId")).map(_.asLong).getOrElse(0L)
+          groups(sid) = groups.getOrElse(sid, Vector.empty) ++ fs
         }
       }
     }
-    require(files.nonEmpty, "no changelog files in the window")
-    readAligned(spark, tableDir, files, withSystem = true)
-      .drop("_SEQUENCE_NUMBER")
+    require(groups.nonEmpty, "no changelog files in the window")
+    groups.toSeq.map { case (sid, fs) =>
+      readSnapshotScoped(spark, tableDir, fs, sid)
+    }.reduce(_ unionByName _).drop("_SEQUENCE_NUMBER")
   }
 
   // ------------------------------------------------------- writer (fixture)

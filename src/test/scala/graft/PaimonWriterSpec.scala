@@ -154,6 +154,45 @@ class PaimonWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("changelog window SPANNING a retype: old frames read under their own schema") {
+    val s2 = spark
+    import s2.implicits._
+    val dir = new java.io.File("target/paimon/writer_spec_cl_rt").getAbsolutePath
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 10), ("B", 2L, 20)).toDF("p", "k", "v"),
+      "p", Seq("p", "k"), numBuckets = 2, changelogProducer = true) // snap 1
+    PaimonWriter.append(spark, dir,
+      Seq(("A", 1L, 111, PaimonLite.KindUpdateAfter))
+        .toDF("p", "k", "v", "_VALUE_KIND"),
+      "p", Seq("p", "k"), numBuckets = 2, changelogProducer = true) // snap 2
+    // the retype rewrite (COMPACT snapshot 3, new schemaId): v INT → STRING
+    PaimonWriter.retypeColumn(spark, dir, "v", "string",
+      Seq("p", "k"), "p"): Unit
+    PaimonWriter.append(spark, dir,
+      Seq(("B", 9L, "90", PaimonLite.KindInsert))
+        .toDF("p", "k", "v", "_VALUE_KIND"),
+      "p", Seq("p", "k"), numBuckets = 2, changelogProducer = true) // snap 4
+    // a window spanning the retype: pre-retype changelog files (INT)
+    // resolve under THEIR snapshot's schema and cast to the current
+    // STRING type — one well-typed frame, retype itself quiet
+    val w = PaimonLite.readChangelog(spark, dir, 0L, 4L)
+    assert(w.schema("v").dataType == org.apache.spark.sql.types.StringType,
+      s"spanning window aligns to the current type: ${w.schema}")
+    val got = w.select(col("k"), col("v"), col("_VALUE_KIND")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(
+      (1L, "10", PaimonLite.KindInsert), (2L, "20", PaimonLite.KindInsert),
+      (1L, "111", PaimonLite.KindUpdateAfter),
+      (9L, "90", PaimonLite.KindInsert)),
+      s"pre-retype frames must carry their values cast, retype quiet: $got")
+    // a post-retype-only window stays native
+    val post = PaimonLite.readChangelog(spark, dir, 3L, 4L)
+      .select(col("k"), col("v")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(post == Set((9L, "90")), s"post-retype window: $post")
+  }
+
   test("round trip: LSM merge of written commits, time travel intact") {
     assert(kv(None) == Map(1L -> 10, 2L -> 222),
       "k=2 upserted by the later sequence, k=3 deleted")
