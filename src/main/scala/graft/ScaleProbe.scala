@@ -570,16 +570,40 @@ object ScaleProbe {
       // the partition refills through lazy group creation
       spark.conf.set("spark.graft.hudi.group.targetRows", "50000")
       try {
+        // parquet-backed source so task INPUT RECORDS measure how many
+        // times the backfill reads its input (r16: the staged write
+        // rolls files at targetRows — ONE input pass; the r15 spelling
+        // ran a count aggregate first, a second pass)
         spark.range(0, 440000)
           .selectExpr("id AS k",
             "CASE WHEN id < 400000 THEN 'BIG' ELSE 'S' || (id % 4) END AS p",
             "CAST(id % 997 AS INT) AS v")
+          .write.mode("overwrite").parquet("target/sqlscale_hg_src")
+        spark.read.parquet("target/sqlscale_hg_src")
           .createOrReplaceTempView("sqlscale_hg_src")
+        val hgRecs = new java.util.concurrent.atomic.AtomicLong()
+        val hgListener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            if (te.taskMetrics != null)
+              hgRecs.addAndGet(te.taskMetrics.inputMetrics.recordsRead): Unit
+        }
+        spark.sparkContext.addSparkListener(hgListener)
         val t6 = System.nanoTime()
         spark.sql("CREATE OR REPLACE TABLE graft_hudi.sqlscale_hg " +
           "PRIMARY KEY (k) PARTITIONED BY (p) " +
           "AS SELECT * FROM sqlscale_hg_src")
         val hgS = (System.nanoTime() - t6) / 1e9
+        org.apache.spark.sql.graftshim.ListenerShim.flush(spark.sparkContext): Unit
+        spark.sparkContext.removeSparkListener(hgListener)
+        // one input pass (440k) + the bloom sidecar build's key-column
+        // scan over the LAID bases (440k of the OUTPUT) — the r15
+        // pre-count would add a third 440k
+        println(f"[sqlscale] hudi backfill input records: ${hgRecs.get()} " +
+          f"(batch 440000; staging + sidecar build = ~2x, pre-count gone)")
+        if (hgRecs.get() > 440000L * 22 / 10)
+          failures += s"hudi backfill read ${hgRecs.get()} records — " +
+            "more than staging + sidecar build (a pre-pass crept back)"
         val hgDir = new java.io.File(s"$lakeDir/hudi/sqlscale_hg")
           .getAbsolutePath
         val bigGroups = graft.ops.HudiLite.planFilesMor(hgDir)

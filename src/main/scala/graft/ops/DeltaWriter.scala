@@ -150,6 +150,132 @@ object DeltaWriter {
     if (partTransform == "identity") col(partCol).cast("string")
     else IcebergWriter.transformCol(df, partCol, partTransform)
 
+  /** The partitionValues key for one MULTI-FIELD spec component — the
+    * generated-column-style name real Delta would give a transformed
+    * partition column (PROTOCOL.md partitions by named columns; a
+    * transform is a generated column whose NAME is the partition
+    * column). Deterministic, so the SQL route's per-component pruning
+    * recomputes it from the declared (column, transform) pair. */
+  def componentKey(c: String, tr: String): String = tr match {
+    case "identity" => c
+    case "year" | "month" | "day" => s"${c}_$tr"
+    case b if b.startsWith("bucket[") =>
+      s"${c}_bucket_${b.stripPrefix("bucket[").stripSuffix("]")}"
+    case t if t.startsWith("truncate[") =>
+      s"${c}_trunc_${t.stripPrefix("truncate[").stripSuffix("]")}"
+    case other => throw new IllegalArgumentException(
+      s"unknown partition transform '$other'")
+  }
+
+  /** Stage `df` under `data/` for a MULTI-FIELD spec: one `__pK`
+    * directory level per spec field (the [[IcebergWriter]] multi-spec
+    * staging), climbed back into the add action's full partitionValues
+    * map — each component under its [[componentKey]]. Data files keep
+    * every source column (the derived `__pK` columns partition the
+    * write and drop out of the file contents). */
+  private def stageParquetMulti(spark: SparkSession, tableDir: String,
+                                df: DataFrame,
+                                partFields: Seq[(String, String)],
+                                prefix: String)
+      : Seq[(String, Map[String, String])] = {
+    val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "data").mkdirs()
+    val tok = nextToken()
+    val staging = s"$tableDir/stage_$tok"
+    val pcols = partFields.zipWithIndex.map { case ((c, tr), i) =>
+      (s"__p$i", IcebergWriter.transformCol(df, c, tr).cast("string")) }
+    pcols.foldLeft(df) { case (acc, (n2, c2)) => acc.withColumn(n2, c2) }
+      .repartition(pcols.map(p => col(p._1)): _*)
+      .write.partitionBy(pcols.map(_._1): _*)
+      .mode("overwrite").parquet(staging)
+    def parquetsUnder(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetsUnder(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      }
+    val keys = partFields.map { case (c, tr) => componentKey(c, tr) }
+    def partsOf(f: java.io.File): Option[Map[String, String]] = {
+      val comps = new Array[String](partFields.size)
+      var d = f.getParentFile
+      var ok = true
+      var i = partFields.size - 1
+      while (i >= 0) {
+        val pre = s"__p$i="
+        if (d != null && d.getName.startsWith(pre)) {
+          comps(i) = d.getName.stripPrefix(pre)
+          d = d.getParentFile
+        } else ok = false
+        i -= 1
+      }
+      if (ok) Some(keys.zip(comps).toMap) else None
+    }
+    val moved = parquetsUnder(new java.io.File(staging))
+      .sortBy(_.getAbsolutePath)
+      .zipWithIndex.flatMap { case (f, j) =>
+        if (f.length() == 0L) None
+        else partsOf(f).map { pv =>
+          val rel = s"data/$prefix${tok}_m$j.parquet"
+          java.nio.file.Files.move(f.toPath, new java.io.File(dir, rel).toPath)
+          (rel, pv)
+        }
+      }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(staging))
+    moved
+  }
+
+  /** Render a partitionValues map as the add action's JSON object
+    * body (keys sorted for deterministic commits). */
+  private def pvJson(pv: Map[String, String]): String =
+    pv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${mapper.writeValueAsString(v)}""" }
+      .mkString(",")
+
+  /** Append under a MULTI-FIELD partition spec (e.g.
+    * `days(ts), bucket(8, id)`) — the Delta sibling of
+    * [[IcebergWriter.appendMultiSpec]]: every add action stamps the
+    * FULL component map in partitionValues, so
+    * [[DeltaLite.planAddsWithCheckpoint]]'s map predicate prunes on
+    * any single field's component. Creates the table on first use
+    * (metaData partitionColumns = the component keys). */
+  def appendMultiSpec(spark: SparkSession, tableDir: String, df: DataFrame,
+                      partFields: Seq[(String, String)]): Long = {
+    require(partFields.size >= 2, "use append for single-field specs")
+    val dir = new java.io.File(tableDir)
+    new java.io.File(dir, "_delta_log").mkdirs()
+    require(!df.isEmpty, "append of an empty DataFrame is not a commit")
+    // mapped tables stamp PHYSICAL parquet names (spec FIELDS cannot
+    // rename — the SQL route refuses — so the transform columns and
+    // their component keys stay stable under any mapping)
+    val (dfW, _) = toPhysical(spark, tableDir, df, None)
+    val moved = stageParquetMulti(spark, tableDir, dfW, partFields, "w")
+    require(moved.nonEmpty, "append of an empty DataFrame is not a commit")
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      val version = nextVersion(tableDir)
+      val lines = Seq.newBuilder[String]
+      if (version == 0) {
+        lines += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        val pcols = partFields
+          .map { case (c, tr) => s""""${componentKey(c, tr)}"""" }
+          .mkString(",")
+        lines += s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[$pcols],"schemaString":${mapper.writeValueAsString(df.schema.json)}}}"""
+      }
+      moved.foreach { case (rel, pv) =>
+        lines += s"""{"add":{"path":"$rel","partitionValues":{${pvJson(pv)}},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
+      }
+      if (casWriteCommit(tableDir, version, lines.result())) {
+        maybeCheckpoint(spark, tableDir, version)
+        committed = version
+      } else {
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"append lost $MaxCommitRetries version races — giving up")
+      }
+    }
+    committed
+  }
+
   /** CAS publish of one commit version: hard-link a staged temp onto
     * `NNN.json` — atomically FAILS when another writer already owns the
     * version (POSIX rename would silently replace it: a lost update).
@@ -382,12 +508,20 @@ object DeltaWriter {
     * declared-schema empty frame until the first append. */
   def createEmpty(spark: SparkSession, tableDir: String,
                   schema: org.apache.spark.sql.types.StructType,
-                  partCol: Option[String]): Long = {
+                  partCol: Option[String],
+                  partFields: Seq[(String, String)] = Nil): Long = {
     require(nextVersion(tableDir) == 0, s"table already exists at $tableDir")
     new java.io.File(tableDir, "_delta_log").mkdirs()
+    // a MULTI-FIELD spec declares its component keys as the partition
+    // columns (what appendMultiSpec stamps per add action)
+    val pcols =
+      if (partFields.size > 1)
+        partFields.map { case (c, tr) => s""""${componentKey(c, tr)}"""" }
+          .mkString(",")
+      else partCol.map(p => s""""$p"""").getOrElse("")
     val lines = Seq(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
-      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[${partCol.map(p => s""""$p"""").getOrElse("")}],"schemaString":${mapper.writeValueAsString(schema.json)}}}""")
+      s"""{"metaData":{"id":"00000000-0000-0000-0000-000000000002","format":{"provider":"parquet"},"partitionColumns":[$pcols],"schemaString":${mapper.writeValueAsString(schema.json)}}}""")
     require(casWriteCommit(tableDir, 0, lines),
       "empty-table creation lost a race with a concurrent writer")
     0L
@@ -871,16 +1005,23 @@ object DeltaWriter {
                  matcher: DataFrame => DataFrame, newRows: DataFrame,
                  partCol: Option[String] = None,
                  partFilter: Option[Map[String, String] => Boolean] = None,
-                 partTransform: String = "identity")
+                 partTransform: String = "identity",
+                 partFields: Seq[(String, String)] = Nil)
       : Long = {
     val adds = DeltaLite.planAddsWithCheckpoint(spark, tableDir, None, partFilter)
     require(adds.nonEmpty, "updateRows matched no live files")
     // mapped tables store PHYSICAL names: replacement rows rename
     // before staging, and partition values key by the physical name
     val (newRowsW, partColW) = toPhysical(spark, tableDir, newRows, partCol)
-    // new data staged BEFORE the version resolves (version-free names)
-    val moved = stageParquet(spark, tableDir, newRowsW, partColW, "u",
-      partTransform)
+    // new data staged BEFORE the version resolves (version-free names);
+    // a MULTI-FIELD spec re-lands replacements under the full
+    // component map, like every append on the table
+    val moved: Seq[(String, Map[String, String])] =
+      if (partFields.size > 1)
+        stageParquetMulti(spark, tableDir, newRowsW, partFields, "u")
+      else stageParquet(spark, tableDir, newRowsW, partColW, "u",
+        partTransform).map { case (rel, part) =>
+          (rel, part.map(p => partColW.get -> p).toMap) }
     require(moved.nonEmpty, "updateRows with no replacement rows — use deleteRowsWhere")
     val protoUpgrade = dvProtocolUpgrade(spark, tableDir)
     val version = nextVersion(tableDir)
@@ -888,9 +1029,8 @@ object DeltaWriter {
     val lines = protoUpgrade.toSeq ++
       dvRemoveAddLines(spark, tableDir, matcher, adds, version,
         requireMatch = true) ++
-      moved.map { case (rel, part) =>
-        val pv = part.map(p => s""""${partColW.get}":"$p"""").getOrElse("")
-        s"""{"add":{"path":"$rel","partitionValues":{$pv},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
+      moved.map { case (rel, pv) =>
+        s"""{"add":{"path":"$rel","partitionValues":{${pvJson(pv)}},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":true}}"""
       }
     writeCommit(tableDir, version, lines)
     maybeCheckpoint(spark, tableDir, version)

@@ -196,8 +196,12 @@ object HudiLite {
   private val LogFormatVersion = 1
 
   /** Avro schema for a Spark row schema (nullable unions):
-    * long/int/string/double/boolean plus timestamps as micros-longs
-    * and dates as epoch-day ints (the spec's logical encodings). */
+    * long/int/string/double/boolean plus timestamps as micros-longs,
+    * dates as epoch-day ints (the spec's logical encodings), and
+    * decimals as exact plain strings — this framing is already the
+    * documented simplified variant, and a string survives ANY later
+    * digit-preserving re-scale (decode re-scales under the DECLARED
+    * type, [[coerceLogValue]]). */
   private[ops] def avroSchemaOf(schema: org.apache.spark.sql.types.StructType,
                                 name: String): org.apache.avro.Schema = {
     import org.apache.spark.sql.types._
@@ -205,7 +209,7 @@ object HudiLite {
       val base = f.dataType match {
         case LongType | TimestampType => "\"long\""
         case IntegerType | DateType => "\"int\""
-        case StringType => "\"string\""
+        case StringType | _: DecimalType => "\"string\""
         case DoubleType => "\"double\""
         case BooleanType => "\"boolean\""
         case dt => throw new IllegalArgumentException(s"unsupported log type $dt")
@@ -216,7 +220,7 @@ object HudiLite {
       s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}""")
   }
 
-  /** Temporal external values → the avro encodings above. */
+  /** Temporal and decimal external values → the avro encodings above. */
   private def toAvroValue(v: Any): Any = v match {
     case t: java.sql.Timestamp =>
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
@@ -224,6 +228,7 @@ object HudiLite {
       i.getEpochSecond * 1000000L + i.getNano / 1000L
     case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
     case d: java.time.LocalDate => d.toEpochDay.toInt
+    case b: java.math.BigDecimal => b.toPlainString
     case x => x
   }
 
@@ -419,9 +424,14 @@ object HudiLite {
       .sortBy(_.getName.split('.').head.toLong)
       .foreach { f =>
         val node = mapper.readTree(java.nio.file.Files.readString(f.toPath))
-        val isReplace = Option(node.get("replaces")).exists(_.asBoolean)
+        // replace stamps override (a replace-all redefined every live
+        // byte); so do ALTER instants (r16: a widen must re-type the
+        // union, and the instant scoping is what makes the ALTER a
+        // travel point)
+        val overrides = Option(node.get("replaces")).exists(_.asBoolean) ||
+          Option(node.get("alterSchema")).exists(_.asBoolean)
         Option(node.get("schema"))
-          .foreach(n => sources += ((n.asText, isReplace)))
+          .foreach(n => sources += ((n.asText, overrides)))
       }
     val fields = scala.collection.mutable.LinkedHashMap.empty[String, StructField]
     sources.result().foreach { case (ss, isReplace) =>
@@ -470,8 +480,42 @@ object HudiLite {
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(sqlType)
     val evolved = StructType(cur.fields :+ StructField(name, dt, nullable = true))
-    IcebergWriter.atomicWriteString(
-      java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
+    commitSchemaInstant(tableDir, evolved)
+  }
+
+  /** Stamp a metadata-only ALTER (ADD COLUMN / widen) as its OWN
+    * timeline instant (r16): an empty-stats `.commit` carrying
+    * `"alterSchema":true` plus the evolved schema. Travel can now land
+    * BETWEEN a data commit and the ALTER — [[writeSchema]]'s asOf
+    * scoping covers it, the stamp OVERRIDES field types like a replace
+    * stamp (a widen must re-type the union), the replay sees no file
+    * changes, and the incremental feed ships nothing for it.
+    * Created-empty tables (no instants yet) keep the `schema.json`
+    * spelling — there is no coordinate space to scope against; rename/
+    * drop stay sidecar-recorded (un-scoped), the documented edge. */
+  private def commitSchemaInstant(tableDir: String,
+      evolved: org.apache.spark.sql.types.StructType): Unit = {
+    val hasInstants = Option(new java.io.File(tableDir, ".hoodie").list())
+      .getOrElse(Array.empty)
+      .exists(n => n.endsWith(".commit") || n.endsWith(".deltacommit"))
+    if (!hasInstants) {
+      IcebergWriter.atomicWriteString(
+        java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"),
+        evolved.json)
+      return
+    }
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val instant = nextInstantOf(tableDir)
+      done = IcebergWriter.casCreate(
+        java.nio.file.Paths.get(tableDir, ".hoodie", s"$instant.commit"),
+        s"""{"alterSchema":true,"schema":${mapper.writeValueAsString(evolved.json)},""" +
+          s""""commitTimeMs":${stampMs(instant)},"partitionToWriteStats":{}}""")
+      attempt += 1
+      require(done || attempt < MaxCommitRetries,
+        s"ALTER lost $MaxCommitRetries instant races — giving up")
+    }
   }
 
   /** ALTER COLUMN TYPE widening: re-stamp the declared schema with the
@@ -495,8 +539,7 @@ object HudiLite {
     TypeWiden.check(name, cur(w).dataType, dt)
     val evolved = StructType(cur.fields.map(f =>
       if (f.name == w) f.copy(dataType = dt) else f))
-    IcebergWriter.atomicWriteString(
-      java.nio.file.Paths.get(tableDir, ".hoodie", "schema.json"), evolved.json)
+    commitSchemaInstant(tableDir, evolved)
   }
 
   /** VALUE-REWRITING RETYPE (`ALTER COLUMN ... TYPE`, the rewrite
@@ -565,6 +608,13 @@ object HudiLite {
     import org.apache.spark.sql.types._
     (v, dt) match {
       case (null, _) => null
+      // log decimals are exact plain strings: re-scale under the
+      // DECLARED type (total for the sanctioned digit-preserving
+      // re-scales — scale only grows, integer digits never shrink)
+      case (u: org.apache.avro.util.Utf8, d: DecimalType) =>
+        new java.math.BigDecimal(u.toString).setScale(d.scale)
+      case (s: String, d: DecimalType) =>
+        new java.math.BigDecimal(s).setScale(d.scale)
       case (u: org.apache.avro.util.Utf8, _) => u.toString
       case (i: java.lang.Integer, LongType) => i.longValue
       case (i: java.lang.Integer, DoubleType) => i.doubleValue
@@ -930,14 +980,8 @@ object HudiLite {
     if (wipe) org.apache.commons.io.FileUtils.deleteQuietly(dir)
     new java.io.File(dir, ".hoodie").mkdirs()
     val staging = s"$tableDir/tmp_create"
-    val gmap = groupCountMap(df, keyCols, partCol, partTransform, groupsPerPart)
-    val n = math.max(groupsPerPart,
-      df.sparkSession.sessionState.conf.numShufflePartitions)
-    df.withColumn("__part", partExpr(df, partCol, partTransform))
-      .withColumn("__grp", groupRoute(gmap, keyCols, groupsPerPart))
-      .repartition(n, col("__part"), col("__grp")) // explicit n: AQE must not re-merge groups
-      .drop("__grp")
-      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    stageGroupClustered(df, keyCols, partCol, partTransform,
+      groupsPerPart, staging)
     def parquetsUnder(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory) parquetsUnder(f)
@@ -1000,14 +1044,8 @@ object HudiLite {
     val (dfW, keyColsW, partColW) = toWriteNames(tableDir, df, keyCols, partCol)
     val dir = new java.io.File(tableDir)
     val staging = s"$tableDir/tmp_overwrite_$instant"
-    val gmap = groupCountMap(dfW, keyColsW, partColW, partTransform, groupsPerPart)
-    val n = math.max(groupsPerPart,
-      dfW.sparkSession.sessionState.conf.numShufflePartitions)
-    dfW.withColumn("__part", partExpr(dfW, partColW, partTransform))
-      .withColumn("__grp", groupRoute(gmap, keyColsW, groupsPerPart))
-      .repartition(n, col("__part"), col("__grp"))
-      .drop("__grp")
-      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    stageGroupClustered(dfW, keyColsW, partColW, partTransform,
+      groupsPerPart, staging)
     def parquetsUnder(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory) parquetsUnder(f)
@@ -1204,14 +1242,8 @@ object HudiLite {
     val dir = new java.io.File(tableDir)
     val staging =
       s"$tableDir/tmp_newpart_${instant}_${logTokenCounter.incrementAndGet()}"
-    val gmap = groupCountMap(fresh, keyCols, partCol, partTransform, groupsPerPart)
-    val n = math.max(groupsPerPart,
-      fresh.sparkSession.sessionState.conf.numShufflePartitions)
-    fresh.withColumn("__part", partExpr(fresh, partCol, partTransform))
-      .withColumn("__grp", groupRoute(gmap, keyCols, groupsPerPart))
-      .repartition(n, col("__part"), col("__grp"))
-      .drop("__grp")
-      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    stageGroupClustered(fresh, keyCols, partCol, partTransform,
+      groupsPerPart, staging)
     def parquetsUnder(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory) parquetsUnder(f)
@@ -1303,40 +1335,43 @@ object HudiLite {
     else IcebergWriter.transformCol(df, partCol, partTransform)
   }
 
-  /** Per-partition file-group counts derived from incoming VOLUME —
-    * real Hudi sizes file groups by target file size instead of a
-    * fixed constant; a 100 TB backfill into a fresh partition must lay
-    * proportionally many groups, not 2 giants every later upsert logs
-    * against. One count aggregate per partition value (map-side
-    * combined; the collected result is one row per partition —
-    * FE-role metadata), groups = ceil(rows / targetRows) clamped to
-    * [floor, 4096]. Row count is the volume proxy because the staged
-    * write is one pass (bytes are unknown until laid); the
-    * `spark.graft.hudi.group.targetRows` conf overrides the default
-    * (≈4M rows ≈ a 128 MiB base file at typical row widths). */
-  private def groupCountMap(df: DataFrame, keyCols: Seq[String],
-                            partCol: String, partTransform: String,
-                            minGroups: Int): Map[String, Int] = {
+  /** ONE-PASS partition-clustered staging for base file groups — real
+    * Hudi sizes file groups by rolling files at a target size DURING
+    * the write, and so does this: rows salt across `minGroups`
+    * concurrent writer tasks per partition by key hash (the layout
+    * floor — every partition lays at least that many groups), and each
+    * task ROLLS its output at `targetRows` rows (maxRecordsPerFile),
+    * so a partition lays ~max(minGroups, rows/targetRows) base files
+    * proportional to its volume WITHOUT a pre-count of the batch — a
+    * 100 TB backfill reads its input exactly once (the r15 spelling
+    * ran one count aggregate over the incoming batch first, a second
+    * input pass). `spark.graft.hudi.group.targetRows` overrides the
+    * default (≈4M rows ≈ a 128 MiB base file at typical row widths);
+    * `spark.graft.hudi.group.writeTasks` raises the per-partition
+    * writer concurrency for single-giant-partition backfills (the roll
+    * keeps file sizes right at ANY task count; group routing never
+    * depends on the count — existing keys resolve through the key
+    * index, new keys hash over the live fid list). */
+  private def stageGroupClustered(df: DataFrame, keyCols: Seq[String],
+                                  partCol: String, partTransform: String,
+                                  minGroups: Int, staging: String): Unit = {
     import org.apache.spark.sql.functions._
-    val target = df.sparkSession.conf
+    val spark = df.sparkSession
+    val target = spark.conf
       .getOption("spark.graft.hudi.group.targetRows")
       .map(_.toLong).getOrElse(4L * 1000 * 1000)
-    df.groupBy(partExpr(df, partCol, partTransform).as("__part")).count()
-      .collect()
-      .flatMap(r => Option(r.getString(0)).map(_ ->
-        math.max(minGroups.toLong,
-          math.min(4096L, (r.getLong(1) + target - 1) / target)).toInt))
-      .toMap
-  }
-
-  /** The group-routing column for a staged base write: key hash modulo
-    * the partition's volume-derived count (`minGroups` covers
-    * partitions absent from the map — null partition values). */
-  private def groupRoute(gmap: Map[String, Int], keyCols: Seq[String],
-                         minGroups: Int): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    pmod(hash(keyCols.map(col): _*),
-      coalesce(element_at(typedLit(gmap), col("__part")), lit(minGroups)))
+    val tasksPerPart = math.max(minGroups, spark.conf
+      .getOption("spark.graft.hudi.group.writeTasks")
+      .map(_.toInt).getOrElse(minGroups))
+    val n = math.max(tasksPerPart,
+      spark.sessionState.conf.numShufflePartitions)
+    df.withColumn("__part", partExpr(df, partCol, partTransform))
+      .withColumn("__grp",
+        pmod(hash(keyCols.map(col): _*), lit(tasksPerPart)))
+      .repartition(n, col("__part"), col("__grp")) // explicit n: AQE must not re-merge groups
+      .drop("__grp")
+      .write.option("maxRecordsPerFile", target)
+      .partitionBy("__part").mode("overwrite").parquet(staging)
   }
 
   /** The byte bound above which a partition's base file groups count

@@ -451,22 +451,28 @@ object IcebergLite {
       plan(id).filter(_.content == 0).map(t => norm(t.path) -> t).toMap
     def liveDeletes(id: Long): Map[String, FileTask] =
       plan(id).filter(_.content != 0).map(t => norm(t.path) -> t).toMap
-    // the feed speaks CURRENT logical names: a predecessor-snapshot
-    // read resolves ITS OWN (version-scoped, r15) schema, so a window
+    // the feed speaks the CURRENT schema: a predecessor-snapshot read
+    // resolves ITS OWN (version-scoped, r15) schema, so a window
     // spanning a RENAME would otherwise ship delete rows under the old
     // name next to inserts under the new — align by the stable write
-    // names before the union
+    // names before the union — and a window spanning a DROP COLUMN
+    // would carry the dead column on its pre-drop frames; fields
+    // absent from the current schema leave the feed (r16: ADD
+    // null-fills, DROP drops — the same discipline the other three
+    // formats' feeds apply)
     val curFields = declaredFields(tableDir)
     def alignToCurrent(df: DataFrame, atSnapshot: Long): DataFrame =
       (declaredFields(tableDir, Some(atSnapshot)), curFields) match {
         case (Some(prev), Some(cur)) =>
           val byWrite = cur.map { case (l, w, _) => w -> l }.toMap
+          val keep = df.columns.toSeq.filter { c =>
+            prev.find(_._1 == c).forall { case (_, w, _) => byWrite.contains(w) }
+          }
           val ren = prev.collect {
             case (l, w, _) if byWrite.get(w).exists(_ != l) => l -> byWrite(w)
           }.toMap
-          if (ren.isEmpty) df
-          else df.select(df.columns.toSeq.map(c =>
-            col(c).as(ren.getOrElse(c, c))): _*)
+          if (ren.isEmpty && keep.size == df.columns.length) df
+          else df.select(keep.map(c => col(c).as(ren.getOrElse(c, c))): _*)
         case _ => df
       }
     val parts = ordered.filter(s => s._2 > fromSeq && s._2 <= toSeq)

@@ -521,7 +521,9 @@ object PaimonLite {
         }
       }
     }
-    require(groups.nonEmpty, "no appended delta files in the window")
+    // a window of pure state motion is EMPTY, not loud (r16: SCHEMA
+    // snapshots bump the coordinate without moving data)
+    if (groups.isEmpty) return feedShapedEmpty(spark, tableDir)
     groups.toSeq.map { case (sid, fs) =>
       readSnapshotScoped(spark, tableDir, fs, sid)
     }.reduce(_ unionByName _).drop("_SEQUENCE_NUMBER")
@@ -564,9 +566,11 @@ object PaimonLite {
       // COMPACT snapshots are STATE MOTION and carry no changelog —
       // surviving them is the producer's whole point (the persisted
       // changelog files keep streaming while compaction rewrites the
-      // data files); a data-changing snapshot without a changelog
-      // (no-producer table, OVERWRITE) stays loud
-      if (snap.get("commitKind").asText != "COMPACT") {
+      // data files); SCHEMA snapshots (r16: a metadata-only ALTER's
+      // travel point) move no data either; a data-changing snapshot
+      // without a changelog (no-producer table, OVERWRITE) stays loud
+      if (snap.get("commitKind").asText != "COMPACT" &&
+          snap.get("commitKind").asText != "SCHEMA") {
         val cl = snap.get("changelogManifestList")
         require(cl != null,
           s"snapshot $id has no changelogManifestList — table written " +
@@ -584,10 +588,29 @@ object PaimonLite {
         }
       }
     }
-    require(groups.nonEmpty, "no changelog files in the window")
+    // a window of pure state motion (COMPACT / SCHEMA snapshots only,
+    // r16: metadata-only ALTERs bump the coordinate) is EMPTY, not loud
+    if (groups.isEmpty) return feedShapedEmpty(spark, tableDir)
     groups.toSeq.map { case (sid, fs) =>
       readSnapshotScoped(spark, tableDir, fs, sid)
     }.reduce(_ unionByName _).drop("_SEQUENCE_NUMBER")
+  }
+
+  /** The empty change frame in feed shape: current declared columns +
+    * `_VALUE_KIND` — what a window holding only state motion returns. */
+  private def feedShapedEmpty(spark: SparkSession,
+                              tableDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dataSchema = declaredSchema(tableDir).getOrElse {
+      val files = planFiles(tableDir)
+      require(files.nonEmpty, "empty window on a table with no live " +
+        "files and no declared schema")
+      spark.read.parquet(s"$tableDir/${files.head.path}")
+        .drop("_SEQUENCE_NUMBER", "_VALUE_KIND").schema
+    }
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+      StructType(dataSchema.fields :+
+        StructField("_VALUE_KIND", IntegerType, nullable = false)))
   }
 
   // ------------------------------------------------------- writer (fixture)

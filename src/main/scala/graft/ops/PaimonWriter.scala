@@ -194,7 +194,8 @@ object PaimonWriter {
                              adds: Seq[(PaimonLite.FileMeta, Long)],
                              changelog: Seq[(PaimonLite.FileMeta, Long)],
                              batchId: Option[Long] = None,
-                             overwriteAll: Boolean = false): Boolean = {
+                             overwriteAll: Boolean = false,
+                             kind: Option[String] = None): Boolean = {
     // manifest/list names carry a writer-unique token: two writers
     // staging the SAME prospective snapshot id must not overwrite each
     // other's artifacts — the snapshot JSON (CAS-created) is the only
@@ -224,7 +225,8 @@ object PaimonWriter {
     val snapJson =
       s"""{"version":3,"id":$snapId,"schemaId":${PaimonLite.effectiveSchemaId(tableDir)},
          |"baseManifestList":"$baseName","deltaManifestList":"$deltaName",
-         |$clField$bField"commitKind":"${if (overwriteAll) "OVERWRITE" else "APPEND"}",
+         |$clField$bField"commitKind":"${kind.getOrElse(
+            if (overwriteAll) "OVERWRITE" else "APPEND")}",
          |"timeMillis":${1700000000000L + snapId},
          |"totalRecordCount":0,"deltaRecordCount":0}""".stripMargin
     IcebergWriter.casCreate(
@@ -557,6 +559,31 @@ object PaimonWriter {
         java.nio.file.Paths.get(tableDir, "schema", s"schema-$nextId"),
         s"""{"id":$nextId$pendAttr,"fields":[$fieldsJson]}"""),
       s"schema-$nextId conflicts with a concurrent ALTER — rerun")
+    if (!activatesWithSnapshot) {
+      // r16: the ALTER becomes a TRAVEL POINT — an empty APPEND
+      // snapshot stamped with the new schemaId (commitSnapshot resolves
+      // effectiveSchemaId, which is now `nextId`), so FOR VERSION AS OF
+      // can land BETWEEN a data snapshot and this ALTER. Feeds stay
+      // quiet (the delta manifest is empty). Tables without a snapshot
+      // chain yet (created empty, pre-first-commit) have no coordinate
+      // space and skip — the schema file alone declares them, as
+      // before. Pending (retype) schemas never snapshot here: their
+      // single visibility point is the rewrite's own COMPACT CAS.
+      var cur0 = probeLatest(tableDir)
+      if (cur0 > 0L) {
+        var attempt = 0
+        while (!commitSnapshot(tableDir, cur0 + 1, cur0, Nil, Nil,
+            kind = Some("SCHEMA"))) {
+          attempt += 1
+          require(attempt < MaxCommitRetries,
+            s"ALTER snapshot lost $MaxCommitRetries races — giving up")
+          cur0 = probeLatest(tableDir)
+        }
+        IcebergWriter.atomicWriteString(
+          java.nio.file.Paths.get(tableDir, "snapshot", "LATEST"),
+          (cur0 + 1).toString)
+      }
+    }
     nextId
   }
 

@@ -324,9 +324,16 @@ object LakehouseSql {
   private def tableDir(spark: SparkSession, fmt: String, name: String): String =
     new java.io.File(s"${warehouse(spark)}/$fmt/$name").getAbsolutePath
 
+  /** Test-visible table directory resolution (the specs assert against
+    * format metadata directly). */
+  private[graft] def tableDirOf(spark: SparkSession, fmt: String,
+                                name: String): String =
+    tableDir(spark, fmt, name)
+
   /** `partFields` is the MULTI-FIELD spec (col, transform, colType) —
-    * Iceberg only; when it has 2+ entries, partCol/partTransform are
-    * unused (the single-field spelling). */
+    * iceberg (spec fields array) and delta (per-component
+    * partitionValues); when it has 2+ entries, partCol/partTransform
+    * are unused (the single-field spelling). */
   private final case class Props(partCol: Option[String], keyCols: Seq[String],
                                  partTransform: String = "identity",
                                  partColType: String = "",
@@ -515,6 +522,25 @@ object LakehouseSql {
           Props(Some(c), Seq.empty, tr, ct), Some(info)))
     }.headOption
 
+  /** Delta's stored-partition-value predicate — the map-shaped prune
+    * [[DeltaLite.planAddsWithCheckpoint]] takes: a MULTI-FIELD spec
+    * prunes on the matched component's [[DeltaWriter.componentKey]]
+    * entry; single-field specs (identity or transformed) prune on the
+    * partition column's own entry. Missing keys conservatively KEEP the
+    * file (pre-spec files never mis-prune). */
+  private def deltaMapPred(p: Props,
+                           identityPrune: Option[String => Boolean],
+                           mfPrune: Option[(String, String, String => Boolean)])
+      : Option[Map[String, String] => Boolean] =
+    if (p.partFields.size > 1)
+      mfPrune.map { case (c, tr, f) =>
+        val key = graft.ops.DeltaWriter.componentKey(c, tr)
+        (pv: Map[String, String]) => pv.get(key).forall(f)
+      }
+    else identityPrune.orElse(mfPrune.collect {
+        case (c, _, f) if p.partCol.contains(c) => f })
+      .map(f => (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f))
+
   /** The declared LOGICAL schema from each format's own metadata —
     * what an EMPTY table (created empty / truncated) reads as. None on
     * pre-DDL tables whose only schema source is their data files. */
@@ -641,11 +667,18 @@ object LakehouseSql {
         }
       case "delta" =>
         // transformed specs prune by the transformed bounds, like the
-        // iceberg/paimon branches
+        // iceberg/paimon branches; MULTI-FIELD specs prune on the
+        // caller-resolved component (the iceberg branch's discipline,
+        // keyed through the stored component map)
         val deltaPred: Option[String => Boolean] =
-          if (p.partTransform == "identity") pred
+          if (p.partFields.size > 1) None
+          else if (p.partTransform == "identity") pred
           else transformPruneOf(p, prune).map(_._3)
-        deltaPred.map(f => (pv: Map[String, String]) => pv.get(pc.get).forall(f)) match {
+        val mapPred: Option[Map[String, String] => Boolean] =
+          if (p.partFields.size > 1) deltaMapPred(p, None, multiPrune)
+          else deltaPred.map(f =>
+            (pv: Map[String, String]) => pv.get(pc.get).forall(f))
+        mapPred match {
           case Some(mf) =>
             val planned =
               DeltaLite.planFilesWithCheckpoint(spark, dir, version, Some(mf)).size
@@ -714,9 +747,14 @@ object LakehouseSql {
         "graft_delta tables are append/delete only — PRIMARY KEY upsert " +
           "semantics live on graft_iceberg (equality deletes), " +
           "graft_paimon (LSM) and graft_hudi (MoR)")
+      if (p.partFields.size > 1)
+        // MULTI-FIELD spec: every add stamps the full component map
+        // (appendMultiSpec handles mapped tables itself)
+        DeltaWriter.appendMultiSpec(spark, dir, df,
+          p.partFields.map(f => (f._1, f._2)))
       // a RENAMED table is column-mapped: appends must stamp PHYSICAL
       // parquet names, which appendMapped does
-      if (DeltaLite.columnMapping(spark, dir).nonEmpty)
+      else if (DeltaLite.columnMapping(spark, dir).nonEmpty)
         DeltaWriter.appendMapped(spark, dir, df, p.partCol)
       else DeltaWriter.append(spark, dir, df, p.partCol,
         partTransform = p.partTransform)
@@ -880,8 +918,9 @@ object LakehouseSql {
             "(single-field day/month/year/bucket/truncate on all four; " +
             "multi-field specs are iceberg)")
       }
-      require(parsedParts.size <= 1 || fmt == "iceberg",
-        s"multi-field partition specs are an Iceberg spec feature — " +
+      require(parsedParts.size <= 1 || fmt == "iceberg" || fmt == "delta",
+        s"multi-field partition specs live on graft_iceberg (spec fields " +
+          s"array) and graft_delta (per-component partitionValues) — " +
           s"graft_$fmt takes one partition column")
       val pkCols = Option(pkRaw)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -943,8 +982,9 @@ object LakehouseSql {
             "(single-field day/month/year/bucket/truncate on all four; " +
             "multi-field specs are iceberg)")
       }
-      require(parsedParts.size <= 1 || fmt == "iceberg",
-        s"multi-field partition specs are an Iceberg spec feature — " +
+      require(parsedParts.size <= 1 || fmt == "iceberg" || fmt == "delta",
+        s"multi-field partition specs live on graft_iceberg (spec fields " +
+          s"array) and graft_delta (per-component partitionValues) — " +
           s"graft_$fmt takes one partition column")
       val pkCols = Option(pkRaw)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -980,7 +1020,8 @@ object LakehouseSql {
       fmt match {
         case "iceberg" => IcebergWriter.createEmpty(spark, dir, schema)
         case "delta" =>
-          DeltaWriter.createEmpty(spark, dir, schema, props.partCol): Unit
+          DeltaWriter.createEmpty(spark, dir, schema, props.partCol,
+            props.partFields.map(f => (f._1, f._2))): Unit
         case "paimon" => PaimonWriter.createEmpty(spark, dir, schema)
         case "hudi" =>
           new java.io.File(dir, ".hoodie").mkdirs()
@@ -1171,8 +1212,7 @@ object LakehouseSql {
             transformPrune = mfPrune)
         case "delta" =>
           DeltaWriter.deleteRowsWhere(spark, dir, _.filter(expr(cond)),
-            partFilter = storedPrune.map(f =>
-              (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)))
+            partFilter = deltaMapPred(p, identityPrune, mfPrune))
         case "paimon" =>
           val victims = PaimonLite
             .readSnapshot(spark, dir, p.keyCols, None, storedPrune)
@@ -1357,7 +1397,8 @@ object LakehouseSql {
       // columns cannot drop — the table's physical layout hangs off them.
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
-      require(!p.partCol.contains(colName),
+      require(!p.partCol.contains(colName) &&
+        !p.partFields.exists(_._1 == colName),
         s"cannot drop partition column $colName")
       require(!p.keyCols.contains(colName),
         s"cannot drop PRIMARY KEY column $colName")
@@ -1376,8 +1417,10 @@ object LakehouseSql {
       // ids); reads alias on the fly, writers rename incoming columns.
       val dir = tableDir(spark, fmt, name)
       val p = readProps(dir)
-      require(!p.partCol.contains(from),
-        s"cannot rename partition column $from")
+      require(!p.partCol.contains(from) &&
+        !p.partFields.exists(_._1 == from),
+        s"cannot rename partition column $from — spec components match " +
+          "by source column name")
       require(!p.keyCols.contains(from),
         s"cannot rename PRIMARY KEY column $from")
       fmt match {
@@ -1553,15 +1596,14 @@ object LakehouseSql {
               partTransform = p.partTransform,
               partFields = p.partFields.map(f => (f._1, f._2)))
           case "delta" =>
-            // transformed specs prune the writer's target scan by the
-            // STORED (transformed) partition value, like the read path
-            val storedPrune = identityPrune.orElse(mfPrune.collect {
-              case (c, _, f) if p.partCol.contains(c) => f })
+            // transformed and multi-field specs prune the writer's
+            // target scan by the STORED partition values, like the
+            // read path; replacements re-land under the table's spec
             DeltaWriter.updateRows(spark, dir, _.filter(expr(cond)), updated,
               p.partCol,
-              partFilter = storedPrune.map(f =>
-                (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f)),
-              partTransform = p.partTransform)
+              partFilter = deltaMapPred(p, identityPrune, mfPrune),
+              partTransform = p.partTransform,
+              partFields = p.partFields.map(f => (f._1, f._2)))
           case "hudi" | "paimon" =>
             applyUpsert(spark, fmt, dir, p, updated)
         }
@@ -1913,6 +1955,9 @@ object LakehouseSql {
         case "iceberg" =>
           IcebergWriter.append(spark, dir, rows, p.partCol,
             partTransform = p.partTransform)
+        case "delta" if p.partFields.size > 1 =>
+          DeltaWriter.appendMultiSpec(spark, dir, rows,
+            p.partFields.map(f => (f._1, f._2)))
         case "delta" => DeltaWriter.append(spark, dir, rows, p.partCol,
           partTransform = p.partTransform)
         case _ => applyUpsert(spark, fmt, dir, p, rows)
@@ -1929,13 +1974,10 @@ object LakehouseSql {
             (if (hasUpdated) updatedDf.toSeq else Nil) ++
               (if (hasInserts) insertDf.toSeq else Nil))
           val icePrune = mergeIdentityPrune.map(f => (p.partCol.get, f))
-          // delta stores TRANSFORMED partition values: a transformed
-          // spec's ON conjunct prunes its writer scan too
-          val deltaPrune = mergeIdentityPrune
-            .orElse(mergeMfPrune.collect {
-              case (c, _, f) if p.partCol.contains(c) => f })
-            .map(f =>
-              (pv: Map[String, String]) => pv.get(p.partCol.get).forall(f))
+          // delta stores TRANSFORMED partition values (multi-field
+          // specs the full component map): a provable ON conjunct
+          // prunes its writer scan too
+          val deltaPrune = deltaMapPred(p, mergeIdentityPrune, mergeMfPrune)
           if (!hasUpdated && !hasDeleted) appendRows(newRows.get)
           else newRows match {
             case Some(rows) if fmt == "iceberg" =>
@@ -1945,7 +1987,8 @@ object LakehouseSql {
                 partFields = p.partFields.map(f => (f._1, f._2)))
             case Some(rows) =>
               DeltaWriter.updateRows(spark, dir, matcher, rows, p.partCol,
-                partFilter = deltaPrune, partTransform = p.partTransform)
+                partFilter = deltaPrune, partTransform = p.partTransform,
+                partFields = p.partFields.map(f => (f._1, f._2)))
             case None if fmt == "iceberg" =>
               IcebergWriter.deleteRowsWhere(spark, dir, matcher,
                 partPruneBy = icePrune, transformPrune = mergeMfPrune)

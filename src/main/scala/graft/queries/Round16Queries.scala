@@ -104,6 +104,99 @@ object Round16Queries {
         .agg(count(lit(1)).as("n"),
           sum(col("o_custkey")).cast("bigint").as("sum_ck"))
         .orderBy(col("_CHANGE_TYPE"))
+    }),
+
+    // MULTI-FIELD PARTITION SPEC ON DELTA — the sibling of
+    // `sql_lake_update_multispec` (iceberg): every add action stamps
+    // the full component map in partitionValues, so a provable
+    // conjunct on ANY spec field prunes reads and DML target planning.
+    // Premises: the bucket-component UPDATE and the day-range DELETE
+    // each plan a STRICT file subset, and a day-equality SELECT prunes
+    // its read — at 100 TB a key-scoped statement must not open every
+    // partition's files. INSERT re-lands under the same spec (the
+    // appended day joins the pruned read).
+    "sql_lake_multispec_delta" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r16_ev_md")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_delta.md_$n " +
+        "PARTITIONED BY (days(ts), bucket(8, event_id)) " +
+        "AS SELECT * FROM r16_ev_md")
+      // append-after-create exercises appendMultiSpec on a live table
+      s.sql(s"INSERT INTO graft_delta.md_$n " +
+        "SELECT event_id + 100000 AS event_id, ts, 'XTRA' AS event_type, " +
+        "value FROM r16_ev_md WHERE event_id % 50 = 0")
+      s.sql(s"UPDATE graft_delta.md_$n SET event_type = 'UPD' " +
+        "WHERE event_id = 77")
+      val uScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: UPDATE must record a pruned scan"))
+      require(uScan.plannedFiles >= 1 && uScan.plannedFiles * 2 <= uScan.totalFiles,
+        s"premise: bucket-component UPDATE must plan a strict subset, got $uScan")
+      s.sql(s"DELETE FROM graft_delta.md_$n " +
+        "WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-08 00:00:00'")
+      val dScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: DELETE must record a pruned scan"))
+      require(dScan.plannedFiles >= 1 && dScan.plannedFiles * 2 <= dScan.totalFiles,
+        s"premise: day-component DELETE must plan a strict subset, got $dScan")
+      val probe = s.sql(s"SELECT count(*) AS c FROM graft_delta.md_$n " +
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-11 00:00:00'")
+      probe.collect(): Unit
+      val rScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: the SELECT must record a pruned scan"))
+      require(rScan.plannedFiles >= 1 && rScan.plannedFiles * 2 <= rScan.totalFiles,
+        s"premise: day-equality SELECT must plan a strict subset, got $rScan")
+      s.sql(s"SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_delta.md_$n GROUP BY 1 ORDER BY 1")
+    }),
+
+    // DIGIT-PRESERVING DECIMAL RE-SCALE ×4 — the r15 "known remaining"
+    // edge: DECIMAL(12,2) → DECIMAL(16,4) (scale grows, integer-digit
+    // capacity kept, so the cast is total) through each format's
+    // rewrite tier. hudi/paimon carry PRE-retype narrow decimals in
+    // MoR log blocks / LSM files (the upsert wave), the rewrite folds
+    // them, and POST-retype upserts log 4-dp decimals (the log codec's
+    // exact-string decimal encoding). Premise: the retyped read
+    // declares DECIMAL(16,4) on every format.
+    "sql_lake_retype_decimal" -> ((s, dir) => {
+      t(s, dir, "orders").filter(col("o_orderkey") < 9000)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+        .createOrReplaceTempView("r16_ord_rd")
+      val n = safeName(dir)
+      Seq("delta", "hudi", "iceberg", "paimon").map { fmt =>
+        val pk = fmt match {
+          case "hudi" => "PRIMARY KEY (o_orderkey) "
+          case "paimon" => "PRIMARY KEY (o_orderstatus, o_orderkey) "
+          case _ => ""
+        }
+        s.sql(s"CREATE OR REPLACE TABLE graft_$fmt.rd_$n $pk" +
+          "PARTITIONED BY (o_orderstatus) AS SELECT * FROM r16_ord_rd")
+        if (fmt == "hudi" || fmt == "paimon")
+          // narrow (12,2) decimals land in MoR log blocks / LSM files
+          s.sql(s"INSERT INTO graft_$fmt.rd_$n " +
+            "SELECT o_orderkey, o_orderstatus, " +
+            "CAST(price + 100000 AS DECIMAL(12,2)) AS price " +
+            "FROM r16_ord_rd WHERE o_orderkey % 10 = 0")
+        s.sql(s"ALTER TABLE graft_$fmt.rd_$n " +
+          "ALTER COLUMN price TYPE DECIMAL(16,4)")
+        val dt = s.sql(s"SELECT * FROM graft_$fmt.rd_$n").schema("price")
+          .dataType.simpleString
+        require(dt == "decimal(16,4)",
+          s"retyped read premise: $fmt reads $dt, want decimal(16,4)")
+        // post-retype rows carry 4-dp values (hudi: a decimal log block)
+        s.sql(s"INSERT INTO graft_$fmt.rd_$n " +
+          "SELECT id AS o_orderkey, 'O' AS o_orderstatus, " +
+          "CAST(id + 0.1234 AS DECIMAL(16,4)) AS price " +
+          "FROM range(90001, 90011)")
+        s.sql(s"SELECT '$fmt' AS fmt, o_orderstatus, count(*) AS cnt, " +
+          "CAST(sum(price) AS DECIMAL(38,4)) AS sum_price " +
+          s"FROM graft_$fmt.rd_$n GROUP BY 1, 2")
+      }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
     })
   )
 
@@ -134,6 +227,45 @@ object Round16Queries {
         SELECT 'upsert' AS _CHANGE_TYPE, count(*) AS n,
                CAST(sum(ck) AS BIGINT) AS sum_ck
         FROM bumped WHERE k % 5 = 1)
-      ORDER BY _CHANGE_TYPE"""
+      ORDER BY _CHANGE_TYPE""",
+
+    // base events plus the %50=0 'XTRA' copies; event_id=77 re-typed
+    // 'UPD'; the Jan 5-7 day window deleted (XTRA rows ride the same
+    // ts, so the window clips them too)
+    "sql_lake_multispec_delta" -> """
+      SELECT CASE WHEN event_id = 77 THEN 'UPD' ELSE event_type END
+               AS event_type,
+             count(*) AS cnt, CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM (
+        SELECT event_id, ts, event_type FROM events
+        UNION ALL
+        SELECT event_id + 100000 AS event_id, ts, 'XTRA' AS event_type
+        FROM events WHERE event_id % 50 = 0)
+      WHERE NOT (ts >= TIMESTAMP '2024-01-05 00:00:00'
+                 AND ts < TIMESTAMP '2024-01-08 00:00:00')
+      GROUP BY 1 ORDER BY 1""",
+
+    // per format: base rows (hudi/paimon's %10=0 keys upserted
+    // +100000 at the OLD scale) plus ten 'O'-status 4-dp rows; sums
+    // exact in DECIMAL
+    "sql_lake_retype_decimal" -> """
+      SELECT fmt, o_orderstatus, count(*) AS cnt,
+             CAST(sum(price) AS DECIMAL(38,4)) AS sum_price
+      FROM (
+        SELECT fmt, o_orderstatus,
+               CASE WHEN fmt IN ('hudi','paimon') AND o_orderkey % 10 = 0
+                    THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) + 100000
+                              AS DECIMAL(16,4))
+                    ELSE CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS DECIMAL(16,4)) END AS price
+        FROM orders
+        CROSS JOIN (SELECT unnest(['delta','hudi','iceberg','paimon']) AS fmt) f
+        WHERE o_orderkey < 9000
+        UNION ALL
+        SELECT fmt, 'O' AS o_orderstatus,
+               CAST(id + 0.1234 AS DECIMAL(16,4)) AS price
+        FROM range(90001, 90011) r(id)
+        CROSS JOIN (SELECT unnest(['delta','hudi','iceberg','paimon']) AS fmt) f)
+      GROUP BY 1, 2 ORDER BY 1, 2"""
   )
 }

@@ -137,7 +137,17 @@ object CdfFeed {
       HudiLite.readIncrementalMor(spark, dir,
         f"${from.getOrElse(0L)}%03d", f"$to%03d", keyCols)
     case "paimon" =>
-      val cl = PaimonLite.readChangelog(spark, dir, from.getOrElse(0L), to)
+      // changelog-producer tables stream their persisted changelog
+      // (survives compaction); tables WITHOUT a producer (the SQL
+      // route's default) feed from the delta files directly — correct
+      // until snapshot expiry reclaims them, the trade the producer
+      // setting exists to avoid
+      val hasProducer = java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "snapshot", "CHANGELOG"))
+      val cl =
+        if (hasProducer)
+          PaimonLite.readChangelog(spark, dir, from.getOrElse(0L), to)
+        else PaimonLite.readIncremental(spark, dir, from.getOrElse(0L), to)
       cl.withColumn("_CHANGE_TYPE",
           when(col("_VALUE_KIND") === lit(PaimonLite.KindInsert), lit("insert"))
             .when(col("_VALUE_KIND") === lit(PaimonLite.KindUpdateAfter), lit("upsert"))

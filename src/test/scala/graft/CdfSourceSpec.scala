@@ -293,4 +293,58 @@ class CdfSourceSpec extends AnyFunSuite {
     assert(byType("upsert") == Set(2L))
     assert(byType("delete") == Set(3L))
   }
+
+  test("CDC windows spanning a DROP COLUMN speak the CURRENT schema ×4") {
+    // pre-drop frames (read under their own snapshot's schema) must
+    // not carry the dead column into the union: the window's schema is
+    // the current table schema + _CHANGE_TYPE on every format (ADD
+    // null-fills, DROP drops), and a key-folded replica still lands on
+    // the final table
+    for (fmt <- Seq("delta", "iceberg", "paimon", "hudi")) {
+      val pk = fmt match {
+        case "paimon" => "PRIMARY KEY (p, k) "
+        case "hudi" => "PRIMARY KEY (k) "
+        case _ => ""
+      }
+      spark.sql(s"CREATE OR REPLACE TABLE graft_$fmt.cdc_drop " +
+        s"(k BIGINT, p STRING, v INT, w INT) $pk PARTITIONED BY (p)")
+      spark.sql(s"INSERT INTO graft_$fmt.cdc_drop SELECT * FROM VALUES " +
+        "(1L,'A',10,100),(2L,'A',20,200),(3L,'A',30,300) t(k,p,v,w)")
+      val dir = new java.io.File(s"target/lakehouse/$fmt/cdc_drop")
+        .getAbsolutePath
+      val c0 = graft.streaming.CdfFeed.coordinate(spark, fmt, dir)
+      // pre-drop change: the deleted row's frame resolves a schema
+      // that still holds w
+      spark.sql(s"DELETE FROM graft_$fmt.cdc_drop WHERE k = 1")
+      spark.sql(s"ALTER TABLE graft_$fmt.cdc_drop DROP COLUMN w")
+      spark.sql(s"INSERT INTO graft_$fmt.cdc_drop " +
+        "SELECT 9 AS k, 'A' AS p, 90 AS v")
+      val c1 = graft.streaming.CdfFeed.coordinate(spark, fmt, dir)
+      val keyCols = if (fmt == "hudi") Seq("k") else Nil
+      val win = graft.streaming.CdfFeed.changes(spark, fmt, dir,
+        Some(c0), c1, keyCols)
+      assert(win.columns.toSet == Set("k", "p", "v", "_CHANGE_TYPE"),
+        s"$fmt window spanning a DROP must speak the current schema, " +
+          s"got ${win.columns.toSeq}")
+      val rows = win.select("k", "_CHANGE_TYPE").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      assert(rows.contains((1L, "delete")),
+        s"$fmt: the pre-drop delete must ride the window: ${rows.toSeq}")
+      // key-folded replica over the pre-window state equals the table
+      val base = scala.collection.mutable.Map(
+        1L -> (("A", 10)), 2L -> (("A", 20)), 3L -> (("A", 30)))
+      win.select("k", "p", "v", "_CHANGE_TYPE").collect()
+        .sortBy(_.getString(3)) // deletes fold before inserts/upserts
+        .foreach { r =>
+          if (r.getString(3) == "delete") base.remove(r.getLong(0)): Unit
+          else base(r.getLong(0)) = (r.getString(1), r.getInt(2))
+        }
+      val fin = spark.sql(s"SELECT k, p, v FROM graft_$fmt.cdc_drop")
+        .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+        .toMap
+      assert(base.toMap == fin,
+        s"$fmt: replica after the DROP-spanning window diverged: " +
+          s"$base vs $fin")
+    }
+  }
 }

@@ -116,18 +116,18 @@ class EvolutionModelSpec extends AnyFunSuite {
     def check(op: String): Unit =
       assertModel(collect3(HudiLite.readSnapshotMor(spark, dir, Seq("k"))),
         model, op)
-    HudiLite.addColumn(spark, dir, "w", "BIGINT")
+    HudiLite.addColumn(spark, dir, "w", "BIGINT") // lands instant 002 (r16)
     check("addColumn")
     model ++= Map(2L -> ((22, Some(222L))), 6L -> ((60, Some(600L))))
     HudiLite.upsert(spark, dir,
-      dfNew(Seq((2L, 22, 222L), (6L, 60, 600L))), Seq("k"), "p", "002"): Unit
+      dfNew(Seq((2L, 22, 222L), (6L, 60, 600L))), Seq("k"), "p", "003"): Unit
     check("upsert with w")
     model -= 3L
     val s2 = spark
     import s2.implicits._
-    HudiLite.deleteKeys(spark, dir, Seq(3L).toDF("k"), Seq("k"), "003")
+    HudiLite.deleteKeys(spark, dir, Seq(3L).toDF("k"), Seq("k"), "004")
     check("delete across evolution")
-    HudiLite.compact(spark, dir, Seq("k"), "004")
+    HudiLite.compact(spark, dir, Seq("k"), "005")
     check("compaction folds the evolved column")
     HudiLite.clean(dir)
     check("clean")
@@ -221,15 +221,15 @@ class EvolutionModelSpec extends AnyFunSuite {
         Seq("k"), "p", "001", groupsPerPart = 1)
       model += 2L -> 21L
       HudiLite.upsert(spark, dir, dfI(Seq((2L, 21))), Seq("k"), "p", "002"): Unit
-      HudiLite.widenColumn(spark, dir, "v", "BIGINT")
+      HudiLite.widenColumn(spark, dir, "v", "BIGINT") // lands instant 003 (r16)
       def got() = HudiLite.readSnapshotMor(spark, dir, Seq("k"))
         .select("k", "v").collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got() == model, "hudi: widened read coerces narrow log blocks")
       model += 9L -> BIG
-      HudiLite.upsert(spark, dir, dfL(Seq((9L, BIG))), Seq("k"), "p", "003"): Unit
+      HudiLite.upsert(spark, dir, dfL(Seq((9L, BIG))), Seq("k"), "p", "004"): Unit
       assert(got() == model, "hudi: BIG upsert")
-      HudiLite.compact(spark, dir, Seq("k"), "004")
+      HudiLite.compact(spark, dir, Seq("k"), "005")
       assert(got() == model, "hudi: compaction folds narrow and wide blocks")
       HudiLite.clean(dir)
       assert(got() == model, "hudi: clean after widen")
@@ -289,9 +289,9 @@ class EvolutionModelSpec extends AnyFunSuite {
       HudiLite.createTable(spark, hdir, dfOld(Seq((1L, 10), (2L, 2))),
         Seq("k"), "p", "001")
       HudiLite.upsert(spark, hdir, dfOld(Seq((2L, 20))), Seq("k"), "p", "002"): Unit
-      HudiLite.addColumn(spark, hdir, "w", "BIGINT")
-      HudiLite.upsert(spark, hdir, dfNew(Seq((3L, 30, 300L))), Seq("k"), "p", "003"): Unit
-      val hfeed = HudiLite.readIncrementalMor(spark, hdir, "001", "003")
+      HudiLite.addColumn(spark, hdir, "w", "BIGINT") // lands instant 003 (r16)
+      HudiLite.upsert(spark, hdir, dfNew(Seq((3L, 30, 300L))), Seq("k"), "p", "004"): Unit
+      val hfeed = HudiLite.readIncrementalMor(spark, hdir, "001", "004")
       assert(hfeed.columns.contains("w"),
         s"hudi feed must carry the evolved column: ${hfeed.columns.toSeq}")
       val hgot = hfeed.select("k", "w").collect()
@@ -306,9 +306,9 @@ class EvolutionModelSpec extends AnyFunSuite {
       val keys = Seq("p", "k")
       PaimonWriter.append(spark, pdir, dfOld(Seq((1L, 10))), "p", keys): Unit
       PaimonWriter.append(spark, pdir, dfOld(Seq((2L, 20))), "p", keys): Unit
-      PaimonWriter.addColumn(spark, pdir, "w", "BIGINT")
+      PaimonWriter.addColumn(spark, pdir, "w", "BIGINT") // snapshot 3 (r16)
       PaimonWriter.append(spark, pdir, dfNew(Seq((3L, 30, 300L))), "p", keys): Unit
-      val pfeed = PaimonLite.readIncremental(spark, pdir, 1L, 3L)
+      val pfeed = PaimonLite.readIncremental(spark, pdir, 1L, 4L)
       assert(pfeed.columns.contains("w"),
         s"paimon feed must carry the evolved column: ${pfeed.columns.toSeq}")
       val pgot = pfeed.select("k", "w").collect()
@@ -596,5 +596,149 @@ class EvolutionModelSpec extends AnyFunSuite {
       "hudi travel to the pre-retype instant reads the OLD type")
     assert(hPre.collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq ==
       Seq(1L -> 5, 2L -> 66))
+  }
+
+  test("metadata-only ALTERs are travel points on paimon + hudi") {
+    // r16: an ADD COLUMN / widen lands its own coordinate (paimon: an
+    // empty SCHEMA snapshot stamped with the new schemaId; hudi: an
+    // empty alterSchema commit instant), so travel can land BETWEEN a
+    // data commit and the ALTER — and the ALTER coordinate itself
+    // reads the evolved schema over the old files (null-fill/up-cast)
+
+    // PAIMON
+    spark.sql("CREATE OR REPLACE TABLE graft_paimon.evo_tp " +
+      "PRIMARY KEY (p, k) PARTITIONED BY (p) AS " +
+      "SELECT id AS k, 'A' AS p, CAST(id AS INT) AS v FROM range(1, 4)")
+    spark.sql("ALTER TABLE graft_paimon.evo_tp ADD COLUMN w BIGINT") // snap 2
+    spark.sql("INSERT INTO graft_paimon.evo_tp " +
+      "SELECT 9 AS k, 'A' AS p, 90 AS v, 900L AS w")                 // snap 3
+    val p1 = spark.sql(
+      "SELECT * FROM graft_paimon.evo_tp FOR VERSION AS OF 1")
+    assert(!p1.columns.contains("w"),
+      "paimon travel BEFORE the ALTER must not see the added column")
+    val p2 = spark.sql(
+      "SELECT k, w FROM graft_paimon.evo_tp FOR VERSION AS OF 2 ORDER BY k")
+    assert(p2.schema("w").dataType.simpleString == "bigint" &&
+      p2.collect().forall(_.isNullAt(1)),
+      "the paimon ALTER coordinate reads the evolved schema, null-filled")
+    assert(p2.count() == 3, "the ALTER snapshot carries the same rows")
+    // widen is a travel point too
+    spark.sql("ALTER TABLE graft_paimon.evo_tp ALTER COLUMN v TYPE BIGINT")
+    val p3 = spark.sql(
+      "SELECT v FROM graft_paimon.evo_tp FOR VERSION AS OF 3")
+    assert(p3.schema("v").dataType.simpleString == "int",
+      "paimon travel between ALTERs reads the then-declared type")
+    val p4 = spark.sql(
+      "SELECT v FROM graft_paimon.evo_tp FOR VERSION AS OF 4")
+    assert(p4.schema("v").dataType.simpleString == "bigint",
+      "the paimon widen coordinate reads the widened type")
+
+    // HUDI
+    spark.sql("CREATE OR REPLACE TABLE graft_hudi.evo_tp PRIMARY KEY (k) " +
+      "PARTITIONED BY (p) AS SELECT id AS k, 'A' AS p, CAST(id AS INT) AS v " +
+      "FROM range(1, 4)")                                            // 001
+    spark.sql("INSERT INTO graft_hudi.evo_tp SELECT 2 AS k, 'A' AS p, 22 AS v") // 002
+    spark.sql("ALTER TABLE graft_hudi.evo_tp ADD COLUMN w BIGINT")   // 003
+    spark.sql("INSERT INTO graft_hudi.evo_tp " +
+      "SELECT 9 AS k, 'A' AS p, 90 AS v, 900L AS w")                 // 004
+    val h2 = spark.sql(
+      "SELECT * FROM graft_hudi.evo_tp FOR VERSION AS OF 2")
+    assert(!h2.columns.contains("w"),
+      "hudi travel BEFORE the ALTER must not see the added column")
+    val h3 = spark.sql(
+      "SELECT k, v, w FROM graft_hudi.evo_tp FOR VERSION AS OF 3 ORDER BY k")
+    assert(h3.schema("w").dataType.simpleString == "bigint" &&
+      h3.collect().forall(_.isNullAt(2)),
+      "the hudi ALTER instant reads the evolved schema, null-filled")
+    assert(h3.collect().map(r => r.getLong(0) -> r.getInt(1)).toSeq ==
+      Seq(1L -> 1, 2L -> 22, 3L -> 3),
+      "the ALTER instant carries the pre-ALTER state (002's upsert folded)")
+    spark.sql("ALTER TABLE graft_hudi.evo_tp ALTER COLUMN v TYPE BIGINT") // 005
+    val h4 = spark.sql(
+      "SELECT v FROM graft_hudi.evo_tp FOR VERSION AS OF 4")
+    assert(h4.schema("v").dataType.simpleString == "int",
+      "hudi travel between ALTERs reads the then-declared type")
+    val h5 = spark.sql(
+      "SELECT v, w FROM graft_hudi.evo_tp FOR VERSION AS OF 5")
+    assert(h5.schema("v").dataType.simpleString == "bigint",
+      "the hudi widen instant reads the widened type")
+    // the feed stays quiet across both ALTER coordinates
+    val win = graft.ops.HudiLite.readIncrementalMor(spark,
+      new java.io.File("target/lakehouse/hudi/evo_tp").getAbsolutePath,
+      "004", "005", Seq("k"))
+    assert(win.limit(1).count() == 0,
+      "an ALTER instant's window must ship nothing")
+  }
+
+  test("digit-preserving decimal re-scale ×4: fold, log decimals, travel") {
+    // DECIMAL(10,2) → DECIMAL(14,4): scale grows and the integer-digit
+    // capacity is kept (total cast); a bare scale bump stays refused
+    def bd(s: String) = new java.math.BigDecimal(s)
+    for (fmt <- Seq("delta", "iceberg", "paimon", "hudi")) {
+      val pk = fmt match {
+        case "paimon" => "PRIMARY KEY (p, k) "
+        case "hudi" => "PRIMARY KEY (k) "
+        case _ => ""
+      }
+      spark.sql(s"CREATE OR REPLACE TABLE graft_$fmt.evo_dec $pk" +
+        "PARTITIONED BY (p) AS SELECT id AS k, 'A' AS p, " +
+        "CAST(id + 0.25 AS DECIMAL(10,2)) AS v FROM range(1, 6)")
+      val isPk = fmt == "paimon" || fmt == "hudi"
+      if (isPk)
+        // a narrow (10,2) decimal lands LOG/LSM-borne before the retype
+        spark.sql(s"INSERT INTO graft_$fmt.evo_dec " +
+          "SELECT 2 AS k, 'A' AS p, CAST(22.50 AS DECIMAL(10,2)) AS v")
+      val preVersions: Long = fmt match {
+        case "paimon" => Option(new java.io.File(
+            s"target/lakehouse/paimon/evo_dec/snapshot").listFiles())
+          .getOrElse(Array.empty)
+          .count(_.getName.startsWith("snapshot-")).toLong
+        case "hudi" => Option(new java.io.File(
+            s"target/lakehouse/hudi/evo_dec/.hoodie").listFiles())
+          .getOrElse(Array.empty)
+          .count(f => f.getName.endsWith(".commit") ||
+            f.getName.endsWith(".deltacommit")).toLong
+        case _ => -1L
+      }
+      spark.sql(s"ALTER TABLE graft_$fmt.evo_dec " +
+        "ALTER COLUMN v TYPE DECIMAL(14,4)")
+      // a bare scale bump (integer digits shrink) stays refused
+      assert(intercept[Exception] {
+        spark.sql(s"ALTER TABLE graft_$fmt.evo_dec " +
+          "ALTER COLUMN v TYPE DECIMAL(14,6)")
+      }.getMessage.contains("sanctioned"))
+      // post-retype writes carry 4-dp values; on hudi the new key logs
+      // a DECIMAL data block (the exact-string log codec)
+      spark.sql(s"INSERT INTO graft_$fmt.evo_dec " +
+        "SELECT 9 AS k, 'A' AS p, CAST(9.1234 AS DECIMAL(14,4)) AS v")
+      if (isPk)
+        // a post-retype UPSERT of an existing key: 4-dp log/LSM row
+        // must win the merge over the rewritten base
+        spark.sql(s"INSERT INTO graft_$fmt.evo_dec " +
+          "SELECT 1 AS k, 'A' AS p, CAST(11.5678 AS DECIMAL(14,4)) AS v")
+      val got = spark.sql(s"SELECT k, v FROM graft_$fmt.evo_dec ORDER BY k, v")
+      assert(got.schema("v").dataType.simpleString == "decimal(14,4)",
+        s"$fmt must read the re-scaled type")
+      val expected: Seq[(Long, java.math.BigDecimal)] =
+        if (isPk) Seq(1L -> bd("11.5678"), 2L -> bd("22.5000"),
+          3L -> bd("3.2500"), 4L -> bd("4.2500"), 5L -> bd("5.2500"),
+          9L -> bd("9.1234"))
+        else Seq(1L -> bd("1.2500"), 2L -> bd("2.2500"), 3L -> bd("3.2500"),
+          4L -> bd("4.2500"), 5L -> bd("5.2500"), 9L -> bd("9.1234"))
+      assert(got.collect().map(r =>
+          r.getLong(0) -> r.getDecimal(1)).toSeq == expected,
+        s"$fmt decimal values must survive the re-scale exactly")
+      // travel to the pre-retype coordinate reads the OLD (10,2) type
+      // value-exact (paimon/hudi joined version-scoped travel in r15)
+      if (preVersions >= 0) {
+        val pre = spark.sql(s"SELECT k, v FROM graft_$fmt.evo_dec " +
+          s"FOR VERSION AS OF $preVersions ORDER BY k")
+        assert(pre.schema("v").dataType.simpleString == "decimal(10,2)",
+          s"$fmt travel to the pre-retype coordinate reads the OLD scale")
+        assert(pre.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toSeq ==
+          Seq(1L -> bd("1.25"), 2L -> bd("22.50"), 3L -> bd("3.25"),
+            4L -> bd("4.25"), 5L -> bd("5.25")))
+      }
+    }
   }
 }

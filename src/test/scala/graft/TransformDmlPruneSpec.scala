@@ -76,4 +76,69 @@ class TransformDmlPruneSpec extends AnyFunSuite {
     assert(sql("SELECT count(*) AS n FROM graft_delta.tdp")
       .head().getLong(0) == 95000L, "the delete landed value-exact")
   }
+
+  test("delta multi-field spec (days, bucket) prunes per component") {
+    // 20 days × 4 buckets = 80 component cells (the day-range bound is
+    // INCLUSIVE on its upper day, so a 1-day DELETE plans 2 of 20)
+    val total = 40000L
+    spark.range(0, total)
+      .selectExpr("id AS k",
+        "timestamp(date_add(date'2024-02-01', CAST(id % 20 AS INT))) AS ts",
+        "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("tdpm_src")
+    sql("CREATE OR REPLACE TABLE graft_delta.tdpm " +
+      "PARTITIONED BY (days(ts), bucket(4, k)) AS SELECT * FROM tdpm_src")
+    // every add action stamps BOTH components
+    val adds = graft.ops.DeltaLite.planFilesWithCheckpoint(spark,
+      graft.plans.LakehouseSql.tableDirOf(spark, "delta", "tdpm"))
+    assert(adds.size >= 40, s"expected per-cell files, got ${adds.size}")
+    assert(adds.forall(_._2.keySet == Set("ts_day", "k_bucket_4")),
+      s"adds must stamp the full component map: ${adds.head._2}")
+    // UPDATE keyed on the bucket component: reads ~1/4 of the table
+    val updRecords = measuredInputRecords {
+      sql("UPDATE graft_delta.tdpm SET v = v + 1000000 WHERE k = 777")
+        .collect(): Unit
+    }
+    assert(updRecords < total,
+      s"bucket-component UPDATE must prune: read $updRecords of $total")
+    assert(sql("SELECT v FROM graft_delta.tdpm WHERE k = 777")
+      .head().getInt(0) == 1000777, "the update landed value-exact")
+    // DELETE scoped to 1 of 10 days: reads ~1/10 (probe + matcher)
+    val delRecords = measuredInputRecords {
+      sql("DELETE FROM graft_delta.tdpm " +
+        "WHERE ts >= '2024-02-05 00:00:00' AND ts < '2024-02-06 00:00:00'")
+        .collect(): Unit
+    }
+    assert(delRecords < total * 60 / 100,
+      s"day-component DELETE must prune: read $delRecords of $total")
+    assert(sql("SELECT count(*) AS n FROM graft_delta.tdpm")
+      .head().getLong(0) == 38000L, "the delete landed value-exact")
+    // INSERT re-lands under the spec; the appended day prunes its read
+    sql("INSERT INTO graft_delta.tdpm SELECT id + 100000 AS k, " +
+      "timestamp'2024-03-05 00:00:00' AS ts, CAST(id AS INT) AS v " +
+      "FROM range(0, 100)")
+    val readRecords = measuredInputRecords {
+      assert(sql("SELECT count(*) AS n FROM graft_delta.tdpm " +
+        "WHERE ts >= '2024-03-05 00:00:00' AND ts < '2024-03-06 00:00:00'")
+        .head().getLong(0) == 100L, "the insert landed value-exact")
+    }
+    assert(readRecords < total / 2,
+      s"the appended day's read must prune: $readRecords of $total")
+    // MERGE with an ON day conjunct: one-commit update, pruned scan
+    sql("SELECT id AS k, timestamp'2024-03-05 00:00:00' AS ts, 7 AS nv " +
+      "FROM range(100000, 100050)").createOrReplaceTempView("tdpm_mrg")
+    val mrgRecords = measuredInputRecords {
+      sql("MERGE INTO graft_delta.tdpm t USING tdpm_mrg s " +
+        "ON t.k = s.k AND t.ts >= '2024-03-05 00:00:00' " +
+        "AND t.ts < '2024-03-06 00:00:00' " +
+        "WHEN MATCHED THEN UPDATE SET v = s.nv").collect(): Unit
+    }
+    assert(mrgRecords < total / 2,
+      s"the MERGE's target scans must prune on the ON day conjunct: " +
+        s"$mrgRecords of $total")
+    assert(sql("SELECT CAST(sum(v) AS BIGINT) AS sv FROM graft_delta.tdpm " +
+      "WHERE ts = timestamp'2024-03-05 00:00:00'").head().getLong(0)
+      == 50L * 7 + (50L * (50 + 99) / 2),
+      "the merge landed value-exact")
+  }
 }
