@@ -1151,7 +1151,8 @@ object DeltaWriter {
     * physically deleted here). */
   def optimize(spark: SparkSession, tableDir: String,
                partColIn: Option[String] = None,
-               partTransform: String = "identity"): Long = {
+               partTransform: String = "identity",
+               partFields: Seq[(String, String)] = Nil): Long = {
     val old = DeltaLite.planAddsWithCheckpoint(spark, tableDir)
     require(old.nonEmpty, "empty table")
     // readVersion yields LOGICAL names; compacted files must store the
@@ -1160,6 +1161,21 @@ object DeltaWriter {
       toPhysical(spark, tableDir, DeltaLite.readVersion(spark, tableDir), partColIn)
     val version = nextVersion(tableDir)
     val dir = new java.io.File(tableDir)
+    // a MULTI-FIELD spec re-stamps the full component map on the
+    // compacted files — OPTIMIZE must not cost the table its pruning
+    if (partFields.size > 1) {
+      val moved = stageParquetMulti(spark, tableDir, state, partFields, "o")
+      require(moved.nonEmpty, "optimize produced no files")
+      val lines =
+        old.map { a =>
+          s"""{"remove":{"path":"${a.path}","deletionTimestamp":${1700000000000L + version},"dataChange":false}}"""
+        } ++ moved.map { case (rel, pv) =>
+          s"""{"add":{"path":"$rel","partitionValues":{${pvJson(pv)}},"size":${new java.io.File(dir, rel).length()},"modificationTime":${1700000000000L + version},"dataChange":false}}"""
+        }
+      writeCommit(tableDir, version, lines)
+      maybeCheckpoint(spark, tableDir, version)
+      return version
+    }
     val staging = s"$tableDir/stage_v$version"
     partCol match {
       case Some(p) =>

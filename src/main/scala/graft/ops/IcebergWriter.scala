@@ -276,10 +276,14 @@ object IcebergWriter {
     * until expiry. A REPLACE commit does not retry on conflict (see
     * the scope note above). */
   def rewriteDataFiles(spark: SparkSession, tableDir: String,
-                       partCol: Option[String] = None): Long = {
+                       partCol: Option[String] = None,
+                       partFields: Seq[(String, String)] = Nil): Long = {
     val state = IcebergLite.readSnapshot(spark, tableDir)
+    // a MULTI-FIELD spec re-stamps the partition tuple on the
+    // compacted files — OPTIMIZE must not cost the table its pruning
     commit(spark, tableDir, state, partCol, upsertKeysIn = None,
-      summaryProps = Map.empty, replaceAll = true)
+      summaryProps = Map.empty, replaceAll = true,
+      partFieldsIn = partFields)
   }
 
   /** INSERT OVERWRITE: one replace-all snapshot (stamped with the

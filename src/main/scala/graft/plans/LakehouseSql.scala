@@ -1511,9 +1511,11 @@ object LakehouseSql {
       val p = readProps(dir)
       fmt match {
         case "delta" => DeltaWriter.optimize(spark, dir, p.partCol,
-          partTransform = p.partTransform): Unit
+          partTransform = p.partTransform,
+          partFields = p.partFields.map(f => (f._1, f._2))): Unit
         case "iceberg" =>
-          IcebergWriter.rewriteDataFiles(spark, dir, p.partCol): Unit
+          IcebergWriter.rewriteDataFiles(spark, dir, p.partCol,
+            partFields = p.partFields.map(f => (f._1, f._2))): Unit
         case "hudi" =>
           HudiLite.compact(spark, dir, p.keyCols, nextInstant(dir)): Unit
         case "paimon" =>

@@ -140,5 +140,45 @@ class TransformDmlPruneSpec extends AnyFunSuite {
       "WHERE ts = timestamp'2024-03-05 00:00:00'").head().getLong(0)
       == 50L * 7 + (50L * (50 + 99) / 2),
       "the merge landed value-exact")
+    // OPTIMIZE re-stamps the full component map on the compacted
+    // files — pruning must survive compaction (a compaction that lost
+    // the spec would silently degrade every later scan to full-table)
+    val preCount = sql("SELECT count(*) AS n FROM graft_delta.tdpm")
+      .head().getLong(0)
+    sql("OPTIMIZE graft_delta.tdpm")
+    val adds2 = graft.ops.DeltaLite.planFilesWithCheckpoint(spark,
+      graft.plans.LakehouseSql.tableDirOf(spark, "delta", "tdpm"))
+    assert(adds2.forall(_._2.keySet == Set("ts_day", "k_bucket_4")),
+      s"OPTIMIZE must re-stamp the component map: ${adds2.head._2}")
+    assert(sql("SELECT count(*) AS n FROM graft_delta.tdpm")
+      .head().getLong(0) == preCount, "OPTIMIZE preserves the rows")
+    val postOpt = measuredInputRecords {
+      sql("SELECT count(*) AS n FROM graft_delta.tdpm " +
+        "WHERE ts >= '2024-02-10 00:00:00' AND ts < '2024-02-11 00:00:00'")
+        .collect(): Unit
+    }
+    assert(postOpt < preCount / 2,
+      s"pruning must survive OPTIMIZE: read $postOpt of $preCount")
+  }
+
+  test("iceberg multi-field OPTIMIZE re-stamps the partition tuple") {
+    val total = 20000L
+    spark.range(0, total)
+      .selectExpr("id AS k",
+        "timestamp(date_add(date'2024-04-01', CAST(id % 10 AS INT))) AS ts",
+        "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("tipm_src")
+    sql("CREATE OR REPLACE TABLE graft_iceberg.tipm " +
+      "PARTITIONED BY (days(ts), bucket(4, k)) AS SELECT * FROM tipm_src")
+    sql("OPTIMIZE graft_iceberg.tipm")
+    val postOpt = measuredInputRecords {
+      sql("SELECT count(*) AS n FROM graft_iceberg.tipm " +
+        "WHERE ts >= '2024-04-03 00:00:00' AND ts < '2024-04-04 00:00:00'")
+        .collect(): Unit
+    }
+    assert(postOpt < total / 2,
+      s"iceberg pruning must survive OPTIMIZE: read $postOpt of $total")
+    assert(sql("SELECT count(*) AS n FROM graft_iceberg.tipm")
+      .head().getLong(0) == total, "OPTIMIZE preserves the rows")
   }
 }
