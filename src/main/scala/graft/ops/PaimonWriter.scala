@@ -55,7 +55,8 @@ object PaimonWriter {
                  partColIn: String,
                  beforeCommit: () => Unit = () => (),
                  overwriteAll: Boolean = false,
-                 partTransform: String = "identity"): Long = {
+                 partTransform: String = "identity",
+                 partFields: Seq[(String, String)] = Nil): Long = {
     val dir = new java.io.File(tableDir)
     new java.io.File(dir, "snapshot").mkdirs()
     new java.io.File(dir, "manifest").mkdirs()
@@ -72,19 +73,53 @@ object PaimonWriter {
       else 0L
     val snapId = curSnap + 1
     val staging = s"$tableDir/stage_s$snapId"
-    df.withColumn("__part", partExpr(df, partCol, partTransform))
-      .repartition(col("__part"))
-      .write.partitionBy("__part").mode("overwrite").parquet(staging)
+    // a MULTI-FIELD spec (append-only tables — PK routing stays
+    // single-field) stages one __pK directory level per field; the
+    // manifest stores the joined \u0001 component tuple (the
+    // IcebergWriter spelling) so planFiles prunes on any single
+    // component. The data DIRECTORY carries the same joined value
+    // VERBATIM: manifest entries reconstruct file paths as
+    // part/bucket-N/name from the stored partition value, so the
+    // directory and the stored value must be byte-identical.
+    if (partFields.size > 1) {
+      val pcols = partFields.zipWithIndex.map { case ((c, tr), i) =>
+        (s"__p$i", IcebergWriter.transformCol(df, c, tr).cast("string")) }
+      pcols.foldLeft(df) { case (acc, (n2, c2)) => acc.withColumn(n2, c2) }
+        .repartition(pcols.map(p => col(p._1)): _*)
+        .write.partitionBy(pcols.map(_._1): _*)
+        .mode("overwrite").parquet(staging)
+    } else
+      df.withColumn("__part", partExpr(df, partCol, partTransform))
+        .repartition(col("__part"))
+        .write.partitionBy("__part").mode("overwrite").parquet(staging)
     def parquetsUnder(d: java.io.File): Seq[java.io.File] =
       Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory) parquetsUnder(f)
         else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
       }
+    def multiPartOf(f: java.io.File): String = {
+      val comps = new Array[String](partFields.size)
+      var d = f.getParentFile
+      var i = partFields.size - 1
+      while (i >= 0) {
+        val pre = s"__p$i="
+        require(d != null && d.getName.startsWith(pre),
+          s"staged file ${f.getPath} misses directory level $pre")
+        comps(i) = d.getName.stripPrefix(pre)
+        d = d.getParentFile
+        i -= 1
+      }
+      comps.foreach(c => require(!c.contains('\u0001') && !c.contains('~'),
+        s"partition component '$c' collides with the tuple separators"))
+      comps.mkString("\u0001")
+    }
     val conf = spark.sessionState.newHadoopConf()
     val adds = parquetsUnder(new java.io.File(staging))
       .sortBy(_.getAbsolutePath)
       .zipWithIndex.map { case (f, j) =>
-        val part = f.getParentFile.getName.stripPrefix("__part=")
+        val part =
+          if (partFields.size > 1) multiPartOf(f)
+          else f.getParentFile.getName.stripPrefix("__part=")
         val rel = s"$part/bucket-0/data-a$snapId-${nextTok()}-$j.parquet"
         val dst = new java.io.File(dir, rel)
         dst.getParentFile.mkdirs()

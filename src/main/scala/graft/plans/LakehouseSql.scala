@@ -710,9 +710,21 @@ object LakehouseSql {
           else PaimonLite.readSnapshot(spark, dir, p.keyCols, version, pf)
         // transformed specs prune by the transformed bounds — the
         // stored partition values are day/month/year strings, the same
-        // monotone pushdown the iceberg branch gets
+        // monotone pushdown the iceberg branch gets; MULTI-FIELD specs
+        // prune the caller-resolved component out of the stored
+        // tuple-joined value (missing arity conservatively keeps)
         val paimonPred: Option[String => Boolean] =
-          if (p.partTransform == "identity") pred
+          if (p.partFields.size > 1)
+            multiPrune.flatMap { case (c, tr, f) =>
+              val idx = p.partFields.indexWhere(pf =>
+                pf._1 == c && pf._2 == tr)
+              if (idx < 0) None
+              else Some((pv: String) => {
+                val cs = pv.split('\u0001')
+                idx >= cs.length || f(cs(idx))
+              })
+            }
+          else if (p.partTransform == "identity") pred
           else transformPruneOf(p, prune).map(_._3)
         paimonPred match {
           case Some(f) =>
@@ -780,9 +792,16 @@ object LakehouseSql {
       }
     case "paimon"  =>
       if (p.keyCols.isEmpty) {
-        require(p.partCol.nonEmpty, "graft_paimon tables need PARTITIONED BY")
-        PaimonWriter.appendOnly(spark, dir, df, p.partCol.get,
-          partTransform = p.partTransform)
+        if (p.partFields.size > 1)
+          // MULTI-FIELD spec (append-only): the manifest stores the
+          // joined component tuple; any single component prunes
+          PaimonWriter.appendOnly(spark, dir, df, p.partFields.head._1,
+            partFields = p.partFields.map(f => (f._1, f._2)))
+        else {
+          require(p.partCol.nonEmpty, "graft_paimon tables need PARTITIONED BY")
+          PaimonWriter.appendOnly(spark, dir, df, p.partCol.get,
+            partTransform = p.partTransform)
+        }
       } else {
         require(p.partCol.exists(p.keyCols.contains),
           "paimon PRIMARY KEY must include the partition column")
@@ -918,10 +937,11 @@ object LakehouseSql {
             "(single-field day/month/year/bucket/truncate on all four; " +
             "multi-field specs are iceberg)")
       }
-      require(parsedParts.size <= 1 || fmt == "iceberg" || fmt == "delta",
-        s"multi-field partition specs live on graft_iceberg (spec fields " +
-          s"array) and graft_delta (per-component partitionValues) — " +
-          s"graft_$fmt takes one partition column")
+      require(parsedParts.size <= 1 || fmt != "hudi",
+        "multi-field partition specs live on graft_iceberg (spec fields " +
+          "array), graft_delta (per-component partitionValues) and " +
+          "append-only graft_paimon (manifest component tuples) — " +
+          "graft_hudi file groups route by one partition column")
       val pkCols = Option(pkRaw)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
@@ -982,10 +1002,11 @@ object LakehouseSql {
             "(single-field day/month/year/bucket/truncate on all four; " +
             "multi-field specs are iceberg)")
       }
-      require(parsedParts.size <= 1 || fmt == "iceberg" || fmt == "delta",
-        s"multi-field partition specs live on graft_iceberg (spec fields " +
-          s"array) and graft_delta (per-component partitionValues) — " +
-          s"graft_$fmt takes one partition column")
+      require(parsedParts.size <= 1 || fmt != "hudi",
+        "multi-field partition specs live on graft_iceberg (spec fields " +
+          "array), graft_delta (per-component partitionValues) and " +
+          "append-only graft_paimon (manifest component tuples) — " +
+          "graft_hudi file groups route by one partition column")
       val pkCols = Option(pkRaw)
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         .getOrElse(Seq.empty)
@@ -1002,7 +1023,8 @@ object LakehouseSql {
         case "hudi" => require(pkCols.nonEmpty && parsedPart.nonEmpty,
           "graft_hudi tables need PRIMARY KEY and PARTITIONED BY")
         case "paimon" =>
-          require(parsedPart.nonEmpty, "graft_paimon tables need PARTITIONED BY")
+          require(parsedPart.nonEmpty || parsedParts.size > 1,
+            "graft_paimon tables need PARTITIONED BY")
           if (pkCols.nonEmpty)
             require(parsedPart.exists(pp => pkCols.contains(pp._1)),
               "paimon PRIMARY KEY must include the partition column")
@@ -1296,7 +1318,8 @@ object LakehouseSql {
             DeltaLite.planFilesWithCheckpoint(spark, dir)
               .map(_._2.values.mkString("/"))
           case "hudi" => HudiLite.planFilesMor(dir).map(_._2)
-          case "paimon" => PaimonLite.planFiles(dir).map(_.part.getOrElse(""))
+          case "paimon" => PaimonLite.planFiles(dir)
+              .map(_.part.getOrElse("").replace('\u0001', '/'))
         }
       val pairs = parts.groupBy(identity).view
         .map { case (p2, xs) => (p2, xs.size) }.toSeq.sortBy(_._1)

@@ -154,6 +154,44 @@ object Round16Queries {
         s"FROM graft_delta.md_$n GROUP BY 1 ORDER BY 1")
     }),
 
+    // MULTI-FIELD PARTITION SPEC ON PAIMON (append-only): the manifest
+    // stores the joined component tuple, so a provable conjunct on ANY
+    // spec field prunes the file planning. Premises: a day-range
+    // SELECT and a bucket-equality SELECT each plan a STRICT file
+    // subset; the INSERT re-lands under the spec (its rows join the
+    // pruned reads).
+    "sql_lake_multispec_paimon" -> ((s, dir) => {
+      import graft.plans.LakehouseSql
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+        .createOrReplaceTempView("r16_ev_mp")
+      val n = safeName(dir)
+      s.sql(s"CREATE OR REPLACE TABLE graft_paimon.mp2_$n " +
+        "PARTITIONED BY (days(ts), bucket(8, event_id)) " +
+        "AS SELECT * FROM r16_ev_mp")
+      s.sql(s"INSERT INTO graft_paimon.mp2_$n " +
+        "SELECT event_id + 100000 AS event_id, ts, 'XTRA' AS event_type, " +
+        "value FROM r16_ev_mp WHERE event_id % 50 = 0")
+      val dayProbe = s.sql(s"SELECT count(*) AS c FROM graft_paimon.mp2_$n " +
+        "WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' " +
+        "AND ts < TIMESTAMP '2024-01-11 00:00:00'")
+      dayProbe.collect(): Unit
+      val dScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: the day SELECT must record a pruned scan"))
+      require(dScan.plannedFiles >= 1 && dScan.plannedFiles * 2 <= dScan.totalFiles,
+        s"premise: day-component SELECT must plan a strict subset, got $dScan")
+      val keyProbe = s.sql(s"SELECT count(*) AS c FROM graft_paimon.mp2_$n " +
+        "WHERE event_id = 77")
+      keyProbe.collect(): Unit
+      val kScan = LakehouseSql.lastScans.headOption.getOrElse(
+        sys.error("premise: the key SELECT must record a pruned scan"))
+      require(kScan.plannedFiles >= 1 && kScan.plannedFiles * 2 <= kScan.totalFiles,
+        s"premise: bucket-component SELECT must plan a strict subset, got $kScan")
+      s.sql(s"SELECT event_type, count(*) AS cnt, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id " +
+        s"FROM graft_paimon.mp2_$n GROUP BY 1 ORDER BY 1")
+    }),
+
     // DIGIT-PRESERVING DECIMAL RE-SCALE ×4 — the r15 "known remaining"
     // edge: DECIMAL(12,2) → DECIMAL(16,4) (scale grows, integer-digit
     // capacity kept, so the cast is total) through each format's
@@ -243,6 +281,18 @@ object Round16Queries {
         FROM events WHERE event_id % 50 = 0)
       WHERE NOT (ts >= TIMESTAMP '2024-01-05 00:00:00'
                  AND ts < TIMESTAMP '2024-01-08 00:00:00')
+      GROUP BY 1 ORDER BY 1""",
+
+    // base events plus the appended %50=0 'XTRA' copies (append-only:
+    // the insert appends, nothing replaces)
+    "sql_lake_multispec_paimon" -> """
+      SELECT event_type, count(*) AS cnt,
+             CAST(sum(event_id) AS BIGINT) AS sum_id
+      FROM (
+        SELECT event_id, event_type FROM events
+        UNION ALL
+        SELECT event_id + 100000 AS event_id, 'XTRA' AS event_type
+        FROM events WHERE event_id % 50 = 0)
       GROUP BY 1 ORDER BY 1""",
 
     // per format: base rows (hudi/paimon's %10=0 keys upserted

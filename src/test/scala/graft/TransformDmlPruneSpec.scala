@@ -161,6 +161,36 @@ class TransformDmlPruneSpec extends AnyFunSuite {
       s"pruning must survive OPTIMIZE: read $postOpt of $preCount")
   }
 
+  test("paimon append-only multi-field spec prunes per component") {
+    val total = 40000L
+    spark.range(0, total)
+      .selectExpr("id AS k",
+        "timestamp(date_add(date'2024-05-01', CAST(id % 20 AS INT))) AS ts",
+        "CAST(id AS INT) AS v")
+      .createOrReplaceTempView("tppm_src")
+    sql("CREATE OR REPLACE TABLE graft_paimon.tppm " +
+      "PARTITIONED BY (days(ts), bucket(4, k)) AS SELECT * FROM tppm_src")
+    // day-range read: 2 of 20 days (inclusive upper bound)
+    val dayRecords = measuredInputRecords {
+      assert(sql("SELECT count(*) AS n FROM graft_paimon.tppm " +
+        "WHERE ts >= '2024-05-03 00:00:00' AND ts < '2024-05-04 00:00:00'")
+        .head().getLong(0) == 2000L, "day read value-exact")
+    }
+    assert(dayRecords < total / 2,
+      s"day-component read must prune: $dayRecords of $total")
+    // bucket-equality read: 1 of 4 buckets
+    val keyRecords = measuredInputRecords {
+      assert(sql("SELECT v FROM graft_paimon.tppm WHERE k = 777")
+        .head().getInt(0) == 777, "key read value-exact")
+    }
+    assert(keyRecords < total / 2,
+      s"bucket-component read must prune: $keyRecords of $total")
+    // append-only: row DML stays refused
+    assert(intercept[Exception] {
+      sql("DELETE FROM graft_paimon.tppm WHERE k = 777")
+    }.getMessage.contains("append-only"))
+  }
+
   test("iceberg multi-field OPTIMIZE re-stamps the partition tuple") {
     val total = 20000L
     spark.range(0, total)
