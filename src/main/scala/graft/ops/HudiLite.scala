@@ -1516,19 +1516,32 @@ object HudiLite {
                               partTransform: String,
                               alsoGlobal: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
+    // the index is only ever PROBED with the batch's keys, so restrict
+    // it to them (left-semi below, pushed UNDER the winner window in
+    // [[keyIndex]]): the persisted frame and the window shuffle are
+    // batch-sized, not live-key-set-sized — on a 100 TB table the full
+    // key enumeration was itself a table-scale artifact (r16 one-pass
+    // gate: consumers re-reading a table-sized cached index tripled the
+    // statement's measured input bytes).
+    val incomingKeys = alsoGlobal match {
+      case Some(d) => df.select(keyCols.map(col): _*)
+        .unionByName(d.select(keyCols.map(col): _*)).distinct()
+      case None => df.select(keyCols.map(col): _*).distinct()
+    }
     val cand0 = candidateBaseFids(spark, df, keyCols, partCol, slices,
       partTransform) ++
       alsoGlobal.map(d => candidateBaseFids(spark, d, keyCols, None, slices))
         .getOrElse(Set.empty[String])
-    val idx0 = keyIndex(spark, keyCols, slices, cand0, keySchema).persist()
+    val idx0 = keyIndex(spark, keyCols, slices, cand0, keySchema,
+      Some(incomingKeys)).persist()
     if (partCol.isEmpty) return idx0 // global sweep — negatives already exact
     val unresolved = df.select(keyCols.map(col): _*).distinct()
       .join(idx0, keyCols, "left_anti")
     val extra = candidateBaseFids(spark, unresolved, keyCols, None, slices) -- cand0
     if (extra.isEmpty) idx0
     else {
-      val idx = keyIndex(spark, keyCols, slices, cand0 ++ extra, keySchema)
-        .persist()
+      val idx = keyIndex(spark, keyCols, slices, cand0 ++ extra, keySchema,
+        Some(incomingKeys)).persist()
       idx0.unpersist()
       idx
     }
@@ -1553,7 +1566,8 @@ object HudiLite {
   private def keyIndex(spark: SparkSession, keyCols: Seq[String],
                        slices: Seq[(String, String, String, String, Seq[String])],
                        baseFids: Set[String],
-                       keySchema: org.apache.spark.sql.types.StructType)
+                       keySchema: org.apache.spark.sql.types.StructType,
+                       onlyKeys: Option[DataFrame] = None)
       : DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
@@ -1608,9 +1622,17 @@ object HudiLite {
           }
         baseKeys.unionByName(spark.createDataFrame(logRows, fidSchema))
       }
+    // batch restriction BELOW the winner window: the window partitions
+    // by key, so dropping whole foreign-key partitions cannot change
+    // any kept key's winner — and the window shuffle shrinks from the
+    // table's live key set to the batch's hits
+    val scoped = onlyKeys match {
+      case Some(k) => all.join(k, keyCols, "left_semi")
+      case None => all
+    }
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("__inst").cast("long").desc, col("__seq").desc)
-    all.withColumn("__rn", row_number().over(w))
+    scoped.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && !col("__del"))
       .select(keyCols.map(col) :+ col("__fid"): _*)
   }
@@ -1684,24 +1706,37 @@ object HudiLite {
     require(deleteKeysDf.columns.toSeq.sorted == keyCols.sorted,
       s"mergeCommit wants exactly the key columns in the delete frame, " +
         s"got ${deleteKeysDf.columns.toSeq}")
-    val (upsW, keyColsW, partColW) = toWriteNames(tableDir, upserts, keyCols, partCol)
+    val (upsW0, keyColsW, partColW) = toWriteNames(tableDir, upserts, keyCols, partCol)
     val wn = writeNames(tableDir)
-    val delW =
+    val delW0 =
       if (wn.isEmpty) deleteKeysDf
       else deleteKeysDf.select(deleteKeysDf.columns.toSeq.map(c =>
         col(c).as(wn.getOrElse(c, c))): _*)
-    var instant = instant0
-    var attempt = 0
-    while (true) {
-      if (stageMergeOnce(spark, tableDir, upsW, delW, keyColsW, partColW,
-          instant, partTransform))
-        return instant
-      attempt += 1
-      require(attempt < MaxCommitRetries,
-        s"delta-commit conflict persisted after $MaxCommitRetries attempts")
-      instant = nextInstantOf(tableDir)
+    // the staging pass probes/routes/writes these frames ~6 times
+    // (candidate blooms, backstop, fresh-row probe, fresh-base write,
+    // routing collect); both are batch-sized, while re-deriving them
+    // re-runs the caller's whole clause pipeline per action — persist
+    // for the statement, drop after the commit (guide: cache only
+    // reused-AND-expensive frames)
+    val upsW = upsW0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val delW = delW0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var instant = instant0
+      var attempt = 0
+      while (true) {
+        if (stageMergeOnce(spark, tableDir, upsW, delW, keyColsW, partColW,
+            instant, partTransform))
+          return instant
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"delta-commit conflict persisted after $MaxCommitRetries attempts")
+        instant = nextInstantOf(tableDir)
+      }
+      instant // unreachable
+    } finally {
+      upsW.unpersist(): Unit
+      delW.unpersist(): Unit
     }
-    instant // unreachable
   }
 
   /** One staging + CAS attempt of a merged delete+data commit: true =
@@ -1881,19 +1916,24 @@ object HudiLite {
                                           beforeCommit: () => Unit = () => (),
                                           partTransform: String = "identity")
       : Boolean = {
-    var instant = instant0
-    var attempt = 0
-    while (true) {
-      val done = stageAndCommitOnce(spark, tableDir, df, keyCols, partCol,
-        instant, blockType, batchId,
-        if (attempt == 0) beforeCommit else () => (), partTransform)
-      if (done.isDefined) return done.get
-      attempt += 1
-      require(attempt < MaxCommitRetries,
-        s"delta-commit conflict persisted after $MaxCommitRetries attempts")
-      instant = nextInstantOf(tableDir)
-    }
-    false // unreachable
+    // same persist discipline as [[mergeCommit]]: the staging pass runs
+    // several actions over this batch-sized frame
+    val dfP = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var instant = instant0
+      var attempt = 0
+      while (true) {
+        val done = stageAndCommitOnce(spark, tableDir, dfP, keyCols, partCol,
+          instant, blockType, batchId,
+          if (attempt == 0) beforeCommit else () => (), partTransform)
+        if (done.isDefined) return done.get
+        attempt += 1
+        require(attempt < MaxCommitRetries,
+          s"delta-commit conflict persisted after $MaxCommitRetries attempts")
+        instant = nextInstantOf(tableDir)
+      }
+      false // unreachable
+    } finally dfP.unpersist(): Unit
   }
 
   /** One staging + CAS attempt: Some(true) committed, Some(false)
