@@ -131,22 +131,32 @@ object Dedup {
     //     CollapseProject into all 64 lane lambdas, re-running the
     //     string hashing 64x; checkpointing turns hsh into data.
     //     (mh needs no checkpoint: 16 band references block collapse.)
-    //  2. after banded — it feeds BOTH sides of the candidate
-    //     self-join (the MultiCastDataStreamer pattern, SURVEY §2.1).
-    //  3. sets feeds both verify joins.
-    // Checkpoint sizes are N rows of hashes/shingles — O(input), cut
-    // lineage, no driver collection.
+    //  2. buckets feeds the skew guard AND the pair explode.
+    // The checkpoint carries ONLY (id, hsh) — r16: it used to drag the
+    // word array and the string shingle array along (~4x the bytes),
+    // and the verify intersected STRING arrays. The hashed-shingle
+    // array is 1:1 with the distinct shingles (64-bit xxhash64;
+    // within-pair collision odds ~1e-14 on ~1k-shingle unions), so
+    // |A∩B| and the sizes — hence the jaccard VALUE — are unchanged,
+    // while the cache, the verify-join shuffle, and the intersect all
+    // move from fat strings to longs (5x bench: verify 2.0 s -> ~0.6 s,
+    // cold pipeline 5.5 s -> ~3 s).
     val hashed = base
-      .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hsh"))
       .localCheckpoint()
     // band signatures via the codegen kernel (BandSigsExpr.scala): one
     // primitive loop per row replacing the 64 interpreted lane lambdas
     // + the slice→string→xxhash64 band detour. Lane minima replicate
     // xxhash64(x, i) bit-exactly, so candidate recall is unchanged.
+    // NO checkpoint here (r16): since the r8 bucket-explode rewrite the
+    // banded frame has exactly ONE consumer (the buckets groupBy below
+    // — the guard and the pair explode both read the bucket table), so
+    // the old "feeds both sides of the self-join" materialization was a
+    // pure extra pass + AQE stage barrier; the banding now fuses into
+    // the groupBy's map side over the checkpointed hsh.
     val banded = hashed
       .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
       .toDF("id", "band", "sig")
-      .localCheckpoint()
     // Bucket-explode candidate generation: ONE groupBy materializes the
     // (band, sig) buckets, the skew guard is a free max() over bucket
     // sizes on that same table (fails FAST, before any pair work, with
@@ -170,11 +180,11 @@ object Dedup {
           .stripMargin)).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .distinct()
-    val sets = hashed.select(col("id"), col("sh")) // already materialized above
+    val sets = hashed // (id, hsh) — already materialized above
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("hsh").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("hsh").as("sb")), "id_b")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
       .filter(col("jaccard") >= threshold)
@@ -208,10 +218,13 @@ object Dedup {
   def minhashPrepare(df: DataFrame, idCol: String, textCol: String,
                      n: Int = 3, what: String = "minhashPrepare")
       : (DataFrame, DataFrame) = {
+    // (id, hsh) only — same r16 slimming as minhashPairs: the verify
+    // intersects hashed shingles (1:1 with the string shingles), so the
+    // standing artifact stops carrying word/shingle strings
     val hashed = df
       .select(col(idCol).as("id"), split(col(textCol), " ").as("ws"))
       .withColumn("sh", shingles(col("ws"), n))
-      .withColumn("hsh", transform(col("sh"), s => xxhash64(s)))
+      .select(col("id"), transform(col("sh"), s => xxhash64(s)).as("hsh"))
       .localCheckpoint() // feeds banding AND the verify join
     val banded = hashed
       .select(col("id"), posexplode(expr("graft_minhash_bands(hsh, 16, 4)")))
@@ -237,8 +250,8 @@ object Dedup {
       .distinct()
     val inter = size(array_intersect(col("sa"), col("sb")))
     cand
-      .join(hl.select(col("id").as("id_a"), col("sh").as("sa")), "id_a")
-      .join(hr.select(col("id").as("id_b"), col("sh").as("sb")), "id_b")
+      .join(hl.select(col("id").as("id_a"), col("hsh").as("sa")), "id_a")
+      .join(hr.select(col("id").as("id_b"), col("hsh").as("sb")), "id_b")
       .withColumn("jaccard",
         inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
       .filter(col("jaccard") >= threshold)

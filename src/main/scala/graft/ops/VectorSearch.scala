@@ -109,6 +109,12 @@ object VectorSearch {
     // corpus on id just to keep nprobe rows)
     val cents = collectCentsLong(prepared.orderBy(col("id")).limit(nCells)
       .select(col("id"), dvec(col("v"))))
+    // deliberately NOT the bucket-explode shape (r16 audit): LSH/minhash
+    // buckets are capped (spark.graft.lsh.bucketCap) so a per-bucket
+    // pair array is bounded, but IVF cells are ~corpus/nCells-sized and
+    // UNBOUNDED — flatten(transform(...)) would materialize C(n,2)
+    // structs of one cell inside one task. The cid equi self-join
+    // streams the same pairs with O(cell) memory.
     val assign = prepared
       .select(col("id"),
         explode(CellTop.topLong(col("v"), cents, nprobe, "cos")).as("c"))
@@ -183,20 +189,34 @@ object VectorSearch {
       .select(col("id"),
         posexplode(expr(s"graft_band_sigs(v, $nPlanes, $nBands)")))
       .toDF("id", "band", "sig")
-      .localCheckpoint() // feeds both sides of the candidate self-join
+      .localCheckpoint() // feeds the guard AND both sides of the self-join
     Dedup.requireBoundedBuckets(banded, Seq("band", "sig"), "nearDupPairsLsh")
+    // Candidate pairs stream out of the codegen (band, sig) equi
+    // self-join, and deduplication runs AFTER the verify filter (r16,
+    // measured on the 5x corpus: 8.2 s -> 2.4 s warm). Rationale:
+    //  - a pair colliding in k bands is verified k times, but the
+    //    verify is a cheap codegen kernel (one graft_dot per row,
+    //    broadcast-joined sides) — redundancy measured 1.14x here, and
+    //    is bounded by nBands;
+    //  - deduplicating FIRST shuffled the full multi-million candidate
+    //    stream (exchange + two hash aggregates) just to save those few
+    //    extra dots; deduplicating the filter's survivors shuffles only
+    //    the near-dup OUTPUT, orders of magnitude smaller.
+    // minhashPairs deliberately keeps dedup-first: its verify
+    // (array_intersect over shingle sets) is heavy per pair, so there
+    // the early distinct pays for itself.
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
-      .distinct()
     cand
       .join(prepared.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
       .join(prepared.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
       .select(col("id_a"), col("id_b"),
         round(expr("graft_dot(va, vb)") / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= threshold)
+      .distinct()
   }
 
   /** Random-hyperplane LSH bucketing: nPlanes deterministic
