@@ -341,15 +341,20 @@ object Dedup {
     while (i < maxIter && changed > 0) {
       val nbr = sym.join(labels, sym("dst") === labels("id"))
         .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      val next = labels.alias("l")
+      // the change flag rides ON the next frame (old and new label are
+      // both in scope here) — r16: the old spelling re-joined next
+      // against labels on id per iteration just to count diffs, an
+      // extra exchange+join per round over two frames this projection
+      // already holds
+      val next2 = labels.alias("l")
         .join(nbr.alias("n"), col("l.id") === col("n.src"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"))
+          least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"),
+          (least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))) =!=
+            col("l.lab")).as("chg"))
         .localCheckpoint(eager = true)
-      changed = next.alias("a")
-        .join(labels.alias("b"), col("a.id") === col("b.id"))
-        .filter(col("a.lab") =!= col("b.lab")).count()
-      labels = next
+      changed = next2.filter(col("chg")).count()
+      labels = next2.select(col("id"), col("lab"))
       i += 1
     }
     labels
@@ -387,12 +392,26 @@ object Dedup {
         split(coalesce(col(textCol), lit("")), " ").as("ws"))
       .withColumn("len", size(col("ws")))
       .localCheckpoint() // consumed by the shingle pass AND reassembly
+    // content key = TWO seeded xxhash64 longs (128 bits, collision-safe
+    // at web-corpus shingle cardinality like the old md5) — r16: the
+    // 32-char md5 HEX string cost a digest + hex-encode per position on
+    // BOTH passes (the frequency agg and the join-back re-explode) and
+    // shipped 3x the key bytes through both exchanges; two codegen
+    // xxhash64 calls over the same window text are value-equivalent for
+    // count/join purposes and never surface in the output.
+    // (hashing the word-array SLICE directly — no array_join string
+    // build; two slices of w refs per position beat digest+hex, and
+    // both hash exprs read the checkpointed ws/p columns so nothing
+    // re-evaluates through CollapseProject)
     val shingles = base.filter(col("len") >= w)
       .select(col("id"), explode(expr(s"sequence(1, len - ${w - 1})")).as("p"),
-        md5(expr(s"array_join(slice(ws, p, $w), ' ')")).as("hs"))
-    val dupSh = shingles.groupBy(col("hs"))
+        col("ws"))
+      .select(col("id"), col("p"),
+        xxhash64(expr(s"slice(ws, p, $w)")).as("h1"),
+        xxhash64(expr(s"slice(ws, p, $w)"), lit(1)).as("h2"))
+    val dupSh = shingles.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-    val dupPos = shingles.join(dupSh, "hs").select(col("id"), col("p"))
+    val dupPos = shingles.join(dupSh, Seq("h1", "h2")).select(col("id"), col("p"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("p"))
     val spans = dupPos
       .withColumn("brk",
