@@ -315,8 +315,13 @@ object Dedup {
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
         bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      // dedup AFTER the popcount filter (r16, the nearDupPairsLsh
+      // discipline): the verify is one codegen XOR+popcount per row, so
+      // deduplicating first shuffled the whole ≤4x-redundant candidate
+      // stream to save arithmetic cheaper than the exchange; the
+      // distinct now shuffles only qualifying pairs
+      .distinct()
   }
 
   /** Connected components over an undirected duplicate-pair edge list:
