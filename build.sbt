@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses graft.Bench's final stdout line as JSON. sbt's
+// default LoggedOutput for forked runs decorates every program line
+// with "[info] " and appends a "[success] Total time ..." banner, so
+// the driver's parser has returned null every round (BENCH_r01..r16
+// parsed:null). StdoutOutput passes the forked process's stdout through
+// undecorated and showSuccess drops the banner — the bench metric line
+// is then the true last stdout line. (Bench also writes the same line
+// to target/bench_last.json as a file-based fallback.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -158,8 +158,20 @@ object Bench {
     // machine-readable record — per-query minimums always in the tail.
     println(s"""{"diag":"bench","loadavg_waited_s":$waited,""" +
       s""""best2_spread":$sp,"loadavg_q":$lq}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    val metricLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""sf":"$sfDir","loadavg_start":$loadStart,"loadavg_end":$loadEnd}"""
+    println(metricLine)
+    // File-based fallback for the driver/judge (r16-verdict #2): the
+    // metric line has been printed under sbt's "[info] " decoration
+    // since r01 and the driver's parser returned null every round.
+    // build.sbt now undecorates stdout (StdoutOutput + showSuccess off)
+    // AND the same line lands in a known file.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_last.json"), metricLine + "\n")
+    } catch { case _: Throwable => () }
     spark.stop()
   }
 }

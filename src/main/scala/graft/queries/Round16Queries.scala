@@ -231,8 +231,12 @@ object Round16Queries {
           "SELECT id AS o_orderkey, 'O' AS o_orderstatus, " +
           "CAST(id + 0.1234 AS DECIMAL(16,4)) AS price " +
           "FROM range(90001, 90011)")
+        // DECIMAL rendered to STRING: the only decimal rendering both
+        // engines' pandas loaders agree on (raw DECIMAL(38,4) loads as
+        // object(Decimal) via pyarrow vs float64 via duckdb and fails
+        // the driver's dtype-sensitive hash — the x3_map_agg lesson)
         s.sql(s"SELECT '$fmt' AS fmt, o_orderstatus, count(*) AS cnt, " +
-          "CAST(sum(price) AS DECIMAL(38,4)) AS sum_price " +
+          "CAST(CAST(sum(price) AS DECIMAL(38,4)) AS STRING) AS sum_price " +
           s"FROM graft_$fmt.rd_$n GROUP BY 1, 2")
       }.reduce(_ unionByName _).orderBy(col("fmt"), col("o_orderstatus"))
     })
@@ -300,7 +304,7 @@ object Round16Queries {
     // exact in DECIMAL
     "sql_lake_retype_decimal" -> """
       SELECT fmt, o_orderstatus, count(*) AS cnt,
-             CAST(sum(price) AS DECIMAL(38,4)) AS sum_price
+             CAST(CAST(sum(price) AS DECIMAL(38,4)) AS VARCHAR) AS sum_price
       FROM (
         SELECT fmt, o_orderstatus,
                CASE WHEN fmt IN ('hudi','paimon') AND o_orderkey % 10 = 0
