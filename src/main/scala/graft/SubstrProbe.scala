@@ -4,11 +4,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-/** r16 diagnostic: per-stage timing of ml_substring_dedup (w=8) and
-  * ml_line_dedup at sf0.1. */
+/** r16/r17 diagnostic: per-stage timing of ml_substring_dedup (w=8) and
+  * the join-back A/B (two-pass agg+join vs single-pass count window).
+  * Usage: runMain graft.SubstrProbe [dataDir] — dataDir defaults to the
+  * repo-relative target/scale/sf0.1_x5 (the bench's 5x replication;
+  * build it first via a bench run or ScaleProbe), consistent with the
+  * sibling probes. */
 object SubstrProbe {
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dir = args.headOption.getOrElse("target/scale/sf0.1_x5")
     val spark = GraftSession.configure(SparkSession.builder()
       .master("local[32]").config("spark.sql.shuffle.partitions", "32"))
       .getOrCreate()
@@ -35,24 +39,39 @@ object SubstrProbe {
       }
       val shingles = base.filter(col("len") >= w)
         .select(col("id"), explode(expr(s"sequence(1, len - ${w - 1})")).as("p"),
-          md5(expr(s"array_join(slice(ws, p, $w), ' ')")).as("hs"))
+          col("ws"))
+        .select(col("id"), col("p"),
+          xxhash64(expr(s"slice(ws, p, $w)")).as("h1"),
+          xxhash64(lit(1), expr(s"slice(ws, p, $w)")).as("h2"))
       time("shingle explode alone") { noop(shingles) }
-      val dupSh = shingles.groupBy(col("hs"))
+      // A: two-pass — global frequency agg, then join-back (re-explodes)
+      val dupSh = shingles.groupBy(col("h1"), col("h2"))
         .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-      time("dupSh agg") { noop(dupSh) }
-      val dupPos = shingles.join(dupSh, "hs").select(col("id"), col("p"))
-      time("dupPos join (re-explodes)") { noop(dupPos) }
-      val wOrd = Window.partitionBy(col("id")).orderBy(col("p"))
-      val spans = dupPos
-        .withColumn("brk",
-          when(lag(col("p"), 1).over(wOrd).isNull ||
-            col("p") > lag(col("p"), 1).over(wOrd) + (w - 1), 1).otherwise(0))
-        .withColumn("island", sum(col("brk"))
-          .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("id"), col("island"))
-        .agg(min(col("p")).as("s"), (max(col("p")) + (w - 1)).as("e"),
-          count(lit(1)).as("npos"))
-      time("span windows + agg") { noop(spans) }
+      time("A dupSh agg") { noop(dupSh) }
+      val dupPosA = shingles.join(dupSh, Seq("h1", "h2"))
+        .select(col("id"), col("p"))
+      time("A dupPos join (re-explodes)") { noop(dupPosA) }
+      // B: single-pass — count window over the content key
+      val dupPosB = shingles
+        .withColumn("c", count(lit(1)).over(
+          Window.partitionBy(col("h1"), col("h2"))))
+        .filter(col("c") >= 2)
+        .select(col("id"), col("p"))
+      time("B dupPos window (single-pass)") { noop(dupPosB) }
+      def spansOf(dupPos: DataFrame): DataFrame = {
+        val wOrd = Window.partitionBy(col("id")).orderBy(col("p"))
+        dupPos
+          .withColumn("brk",
+            when(lag(col("p"), 1).over(wOrd).isNull ||
+              col("p") > lag(col("p"), 1).over(wOrd) + (w - 1), 1).otherwise(0))
+          .withColumn("island", sum(col("brk"))
+            .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("id"), col("island"))
+          .agg(min(col("p")).as("s"), (max(col("p")) + (w - 1)).as("e"),
+            count(lit(1)).as("npos"))
+      }
+      time("A spans (agg+join back)") { noop(spansOf(dupPosA)) }
+      time("B spans (count window)") { noop(spansOf(dupPosB)) }
       time("full entry (ordered)") {
         noop(graft.ops.Dedup.substringDedupSpans(docs, "doc_id", "text", w)
           .orderBy(col("doc_id")))

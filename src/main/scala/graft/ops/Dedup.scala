@@ -375,15 +375,23 @@ object Dedup {
     * windows merge into spans, and the kept text is the document with
     * covered positions removed.
     *
-    * 100 TB shape: one explode produces (doc, pos, md5(shingle)) —
-    * the 32-hex digest, never the w-word string, is what shuffles;
-    * the global frequency pass is a content-keyed aggregate
-    * (correctly NOT broadcast — shingle cardinality grows with the
-    * corpus); duplicated positions come back via one hash-keyed join,
-    * span-merge is a per-doc window (intervals all have length w, so
-    * sorted-by-p merge needs only lag(p)), and reassembly is a
-    * per-row HOF over the original word array. No cartesian, no
-    * driver-side text.
+    * 100 TB shape: ONE explode produces (doc, pos, h1, h2) — a
+    * 128-bit two-long content key (two independently seeded xxhash64
+    * over the word-array slice), never the w-word string, is what
+    * shuffles; duplicated positions come from a single count window
+    * over that key (one exchange carries the position stream once —
+    * r17: the old global-frequency aggregate + hash-keyed join-back
+    * re-exploded the corpus a second time, doubling scan+hash work at
+    * any scale), span-merge is a per-doc window (intervals all have
+    * length w, so sorted-by-p merge needs only lag(p)), and reassembly
+    * is a per-row HOF over the original word array. No cartesian, no
+    * driver-side text. Skew: the count window buffers one (h1, h2)
+    * group at a time per task and spills past
+    * spark.sql.windowExec.buffer.spill.threshold, so a boilerplate hot
+    * shingle degrades to a disk-backed straggler, never an OOM; the
+    * structural bound is the same documented precondition as the LSH
+    * bucket caps — route byte-identical copies through exact dedup
+    * first, which is what creates pathological shingle groups.
     *
     * Returns one row per document: (id, n_words, n_spans, n_dup_pos,
     * covered, kept_words, kept_fp) with kept_fp = md5 of the
@@ -408,15 +416,33 @@ object Dedup {
     // build; two slices of w refs per position beat digest+hex, and
     // both hash exprs read the checkpointed ws/p columns so nothing
     // re-evaluates through CollapseProject)
+    // h2 hashes with the SEED ARGUMENT FIRST: xxhash64 folds its
+    // arguments left-to-right, so the r16 spelling
+    // xxhash64(slice, lit(1)) was hash(1, state=h1) — a deterministic
+    // function of h1 adding ZERO entropy (the key was effectively
+    // 64-bit, and 64-bit birthday collisions at web-corpus shingle
+    // cardinality silently delete non-duplicate spans). Folding the
+    // seed in FIRST gives the slice a distinct initial state, so
+    // (h1, h2) is a true 128-bit key (DedupKeySpec pins this).
     val shingles = base.filter(col("len") >= w)
       .select(col("id"), explode(expr(s"sequence(1, len - ${w - 1})")).as("p"),
         col("ws"))
       .select(col("id"), col("p"),
         xxhash64(expr(s"slice(ws, p, $w)")).as("h1"),
-        xxhash64(expr(s"slice(ws, p, $w)"), lit(1)).as("h2"))
-    val dupSh = shingles.groupBy(col("h1"), col("h2"))
-      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-    val dupPos = shingles.join(dupSh, Seq("h1", "h2")).select(col("id"), col("p"))
+        xxhash64(lit(1), expr(s"slice(ws, p, $w)")).as("h2"))
+    // single-pass duplicated-position marking (r17): a count window
+    // over the content key replaces the r16 global-frequency aggregate
+    // + join-back, whose probe-measured cost was dominated by
+    // re-exploding and re-hashing every corpus position a second time
+    // (SubstrProbe, 5x corpus: spans stage 2.3-3.3 s two-pass vs
+    // 1.2-1.5 s single-pass). One exchange ships (id, p, h1, h2) once;
+    // the window's per-group buffer spills on pathological groups (see
+    // the 100 TB-shape note above).
+    val dupPos = shingles
+      .withColumn("c", count(lit(1)).over(
+        Window.partitionBy(col("h1"), col("h2"))))
+      .filter(col("c") >= 2)
+      .select(col("id"), col("p"))
     val wOrd = Window.partitionBy(col("id")).orderBy(col("p"))
     val spans = dupPos
       .withColumn("brk",

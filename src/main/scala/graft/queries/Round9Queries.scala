@@ -100,10 +100,10 @@ object Round9Queries {
 
     // Exact duplicated-substring SPAN removal (Lee et al. '22 family —
     // the suffix-array dedup re-expressed relationally at w-shingle
-    // granularity): global shingle frequencies via a content-keyed
-    // md5-digest shuffle, per-doc maximal span merge, and kept_fp
-    // fingerprints the span-REMOVED text so the removal itself is
-    // value-checked cross-engine, not just the counts.
+    // granularity): one content-keyed (two-long 128-bit hash) shuffle
+    // marks duplicated positions via a count window, per-doc maximal
+    // span merge, and kept_fp fingerprints the span-REMOVED text so the
+    // removal itself is value-checked cross-engine, not just the counts.
     "ml_substring_dedup" -> ((s, dir) => {
       graft.ops.Dedup.substringDedupSpans(
           t(s, dir, "documents"), "doc_id", "text", w = 8)
