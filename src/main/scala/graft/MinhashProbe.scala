@@ -62,8 +62,23 @@ object MinhashProbe {
         .withColumn("jaccard",
           inter.cast("double") / (size(col("sa")) + size(col("sb")) - inter))
         .filter(col("jaccard") >= 0.5)
-      time("verify joins + jaccard") { noop(ver) }
+      time("A verify joins + array_intersect") { noop(ver) }
       println(s"[mp] output pairs: ${ver.count()}")
+      // B: sorted checkpoint + merge-walk intersect kernel
+      val hashedS = time("B sorted-hashed checkpoint") {
+        base.select(col("id"),
+            expr("graft_sort_longs(transform(sh, s -> xxhash64(s)))").as("hsh"))
+          .localCheckpoint()
+      }
+      val interS = expr("graft_inter_sorted(sa, sb)")
+      val verS = candD
+        .join(hashedS.select(col("id").as("id_a"), col("hsh").as("sa")), "id_a")
+        .join(hashedS.select(col("id").as("id_b"), col("hsh").as("sb")), "id_b")
+        .withColumn("jaccard",
+          interS.cast("double") / (size(col("sa")) + size(col("sb")) - interS))
+        .filter(col("jaccard") >= 0.5)
+      time("B verify joins + inter_sorted") { noop(verS) }
+      println(s"[mp] B output pairs: ${verS.count()}")
       time("full entry (ordered)") {
         noop(graft.ops.Dedup.minhashPairs(docs, "doc_id", "text", 3, 0.5)
           .orderBy(col("id_a"), col("id_b")))

@@ -157,6 +157,43 @@ object BandSigs {
     new GenericArrayData(out)
   }
 
+  /** Ascending sort of a long array (called from generated code) —
+    * SortArray is CodegenFallback, so sorting the hashed-shingle
+    * checkpoint column through it would break the whole-stage span;
+    * this is one primitive Arrays.sort per row. */
+  def sortLongs(a: ArrayData): ArrayData = {
+    val xs = a.toLongArray()
+    java.util.Arrays.sort(xs)
+    new GenericArrayData(xs)
+  }
+
+  /** Count of DISTINCT common values of two ASCENDING-sorted long
+    * arrays (called from generated code) — one merge walk per pair,
+    * replacing array_intersect's per-call hash-set build in the
+    * minhash verify join. Equal to size(array_intersect(a, b)) on
+    * sorted inputs: array_intersect returns the distinct elements of
+    * `a` that occur in `b`, and the walk advances past duplicates so
+    * each common value counts once. */
+  def interSorted(a: ArrayData, b: ArrayData): Int = {
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < xs.length && j < ys.length) {
+      val x = xs(i)
+      val y = ys(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else {
+        n += 1
+        while (i < xs.length && xs(i) == x) i += 1
+        while (j < ys.length && ys(j) == x) j += 1
+      }
+    }
+    n
+  }
+
   /** The per-row kernel (called from generated code). */
   def sigs(v: ArrayData, nPlanes: Int, nBands: Int): ArrayData =
     sigsOf(v.toDoubleArray(), nPlanes, nBands)
@@ -289,6 +326,61 @@ case class MinhashBands(child: Expression, nBands: Int, r: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinhashBands =
     copy(child = newChild)
+}
+
+/** graft_sort_longs(a ARRAY<BIGINT>) -> ARRAY<BIGINT> ascending — the
+  * codegen-friendly long-array sort (see BandSigs.sortLongs). */
+case class SortLongs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_sort_longs expects ARRAY<BIGINT>, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(v: Any): Any =
+    BandSigs.sortLongs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.BandSigs.sortLongs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SortLongs =
+    copy(child = newChild)
+}
+
+/** graft_inter_sorted(a ARRAY<BIGINT>, b ARRAY<BIGINT>) -> INT — count
+  * of distinct common values of two ascending-sorted long arrays (see
+  * BandSigs.interSorted). Callers OWN the sortedness precondition
+  * (Dedup sorts the hashed-shingle column once at checkpoint build);
+  * on unsorted input the count is undefined. */
+case class InterSortedCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_inter_sorted expects ARRAY<BIGINT> args, got " +
+        s"(${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    BandSigs.interSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.BandSigs.interSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): InterSortedCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** graft_band_sigs(vec ARRAY<DOUBLE>, nPlanes, nBands) -> ARRAY<BIGINT>

@@ -90,6 +90,16 @@ object FunctionRegistry {
       case _ => throw new IllegalArgumentException(
         "graft_minhash_bands(hsh ARRAY<BIGINT>, nBands INT literal, r INT literal)")
     }),
+    "graft_sort_longs" -> ((args: Seq[Expression]) => args match {
+      case Seq(a) => SortLongs(a)
+      case _ => throw new IllegalArgumentException(
+        "graft_sort_longs(a ARRAY<BIGINT>)")
+    }),
+    "graft_inter_sorted" -> ((args: Seq[Expression]) => args match {
+      case Seq(a, b) => InterSortedCount(a, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_inter_sorted(a ARRAY<BIGINT>, b ARRAY<BIGINT>)")
+    }),
     // per-row centroid-assignment kernels (ops/VectorSearch IVF/k-means/
     // PQ paths): top-n cells / per-subspace codes in one kernel call —
     // see CellTopExpr.scala
