@@ -60,21 +60,45 @@ object PipelineQueries {
     }),
 
     // per-doc repetition signals: duplicate-word fraction, top-word and
-    // top-bigram mass (the Gopher repetition filters)
+    // top-bigram mass (the Gopher repetition filters).
+    // r17 single-scan shape: the old two-branch spelling scanned and
+    // split the corpus twice (word leg + bigram leg) and reconciled
+    // with a doc_id join; the r16 fused-explode attempt lost because
+    // per-token struct-building HOF lambdas are interpreted. This
+    // spelling stays whole-stage-codegen end to end: posexplode the
+    // word array once, emit per position a 2-element array of
+    // (kind, token-hash) structs — array()/struct()/xxhash64 are all
+    // codegen constructs, no lambdas — and run ONE
+    // (doc_id, kind, hash) count plus ONE doc_id rollup. Token strings
+    // never leave the scan task: the intra-doc group keys are 64-bit
+    // xxhash64 of the word / of the (word, next-word) pair (word-pair
+    // identity == bigram-string identity since words cannot contain
+    // the split space; intra-doc 64-bit collisions are the same
+    // ~1e-13-odds class as the minhash hashed-shingle verify, and the
+    // DuckDB oracle recomputes with strings). Docs without a bigram
+    // (single-word) drop via the n_bigrams filter exactly like the old
+    // inner join.
     "ml_quality_gopher" -> ((s, dir) => {
-      val tt = t(s, dir, "documents")
+      val tagged = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val wc = tt.select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy("doc_id", "w").agg(count(lit(1)).as("n"))
-      val wagg = wc.groupBy("doc_id").agg(
-        sum("n").as("n_words"), count(lit(1)).as("n_distinct"),
-        max("n").as("top_word_n"))
-      val bc = tt.filter(size(col("ws")) > 1)
-        .select(col("doc_id"), explode(PipelineOps.bigrams(col("ws"))).as("bg"))
-        .groupBy("doc_id", "bg").agg(count(lit(1)).as("n"))
-      val bagg = bc.groupBy("doc_id").agg(
-        sum("n").as("n_bigrams"), max("n").as("top_bigram_n"))
-      wagg.join(bagg, "doc_id")
+        .select(col("doc_id"), col("ws"), posexplode(col("ws")))
+        .toDF("doc_id", "ws", "p", "w")
+        .select(col("doc_id"), explode(
+          when(col("p") < size(col("ws")) - 1, array(
+            struct(lit(0).as("kind"), xxhash64(col("w")).as("h")),
+            struct(lit(1).as("kind"),
+              xxhash64(col("w"), element_at(col("ws"), col("p") + 2)).as("h"))))
+          .otherwise(array(
+            struct(lit(0).as("kind"), xxhash64(col("w")).as("h"))))).as("t"))
+        .select(col("doc_id"), col("t.kind").as("kind"), col("t.h").as("h"))
+      tagged.groupBy("doc_id", "kind", "h").agg(count(lit(1)).as("n"))
+        .groupBy("doc_id").agg(
+          sum(when(col("kind") === 0, col("n"))).as("n_words"),
+          count(when(col("kind") === 0, lit(1))).as("n_distinct"),
+          max(when(col("kind") === 0, col("n"))).as("top_word_n"),
+          sum(when(col("kind") === 1, col("n"))).as("n_bigrams"),
+          max(when(col("kind") === 1, col("n"))).as("top_bigram_n"))
+        .filter(col("n_bigrams").isNotNull)
         .select(col("doc_id"), col("n_words"), col("n_distinct"),
           col("top_word_n"), col("top_bigram_n"),
           round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_words"), 9)
