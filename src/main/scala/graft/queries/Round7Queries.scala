@@ -78,8 +78,22 @@ object Round7Queries {
             (ceil(size(col("parts")) / 10.0) - 1).cast("int"))).as("seg"))
         .select(col("doc_id"), col("seg"),
           concat_ws(" ", slice(col("parts"), col("seg") * 10 + 1, lit(10))).as("seg_text"))
-      val w = Window.partitionBy(col("seg_text")).orderBy(col("doc_id"), col("seg"))
-      segs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      // first occurrence via hash-keyed groupBy-min (r17): the old
+      // row_number window shuffled on the seg_text STRING and paid a
+      // full string sort per partition; grouping on a 128-bit two-long
+      // content key (independent seeds — the seed-first fold, see
+      // Dedup.substringDedupSpans) with min(struct(doc_id, seg,
+      // seg_text)) picks the identical winner (lexicographic struct min
+      // == ORDER BY doc_id, seg since (doc_id, seg) is unique) through
+      // a hash aggregate: no sort, map-side partial aggregation absorbs
+      // within-task duplicate segments before the exchange.
+      val first = segs
+        .groupBy(xxhash64(col("seg_text")).as("k1"),
+          xxhash64(lit(1), col("seg_text")).as("k2"))
+        .agg(min(struct(col("doc_id"), col("seg"), col("seg_text"))).as("win"))
+        .select(col("win.doc_id").as("doc_id"), col("win.seg").as("seg"),
+          col("win.seg_text").as("seg_text"))
+      first
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_kept"),
           array_join(transform(
