@@ -123,5 +123,10 @@ object SparkEntry {
     "ml_pii_redact", "ml_quality_gopher",
     "ml_segment_dedup", "ml_kmeans_assign", "ml_ann_ivfpq",
     "ml_line_dedup", "ml_c4_filter", "ml_perplexity_bucket",
-    "ml_substring_dedup")
+    "ml_substring_dedup",
+    // r17 (r16-verdict #6): the iterative label-propagation path gets a
+    // driver-visible timing so regressions in the per-round join/agg
+    // shape show up as wall time — previously only the never-run `ml`
+    // bench set covered it.
+    "ml_dedup_components")
 }

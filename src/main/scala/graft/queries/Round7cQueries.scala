@@ -489,11 +489,24 @@ object Round7cQueries {
     // double division.
     "ml_vocab_coverage" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val cnt = t(s, dir, "documents")
+      val docs = t(s, dir, "documents")
+      val cnt = docs
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c"))
-      val tot = cnt.agg(sum(col("c")).as("n"))
-      val ranked = cnt.withColumn("rk",
+      // total tokens without a second explode+word-agg pass: the sum of
+      // per-word counts IS the token count, so one size() sum over the
+      // docs scan replaces re-running the whole counting subtree (r17)
+      val tot = docs.agg(
+        sum(size(split(col("text"), " "))).as("n"))
+      // top-k FIRST (r17, the r16-verdict unbounded-window fix): only
+      // ranks <= 20 survive the filter, and the cumulative sum at rank
+      // k depends only on rows above it, so a distributed
+      // TakeOrderedAndProject(20) bounds the single-partition window at
+      // 20 rows — the old spelling globally sorted the ENTIRE
+      // vocabulary into one partition, a straight scale-killer on a
+      // web-corpus vocab
+      val top = cnt.orderBy(col("c").desc, col("word")).limit(20)
+      val ranked = top.withColumn("rk",
           row_number().over(Window.orderBy(col("c").desc, col("word"))))
         .withColumn("cum", sum(col("c")).over(
           Window.orderBy(col("c").desc, col("word"))
@@ -594,9 +607,26 @@ object Round7cQueries {
           "transform(sequence(0, cast(ceil(size(ws)/3.0) as int) - 1), " +
           "i -> array_join(slice(ws, i*3+1, 3), ' '))")))
         .withColumnRenamed("col", "line")
-      val counts = lines.groupBy(col("line"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-      lines.join(counts, Seq("line"))
+      // single-pass boilerplate detection (r17): the old spelling ran a
+      // countDistinct aggregate over one explode of the corpus and then
+      // joined it back against a SECOND explode (the substring-dedup
+      // two-pass pattern). One line-keyed window pass computes the same
+      // distinct-doc count attached to every row: sorted by (doc_id,
+      // pos) within each line group, a row opens a new doc run when
+      // lag(doc_id) differs, and the whole-group sum of run-opens IS
+      // countDistinct(doc_id). One explode, one (line) exchange, no
+      // join. A pathological boilerplate line spills in the window
+      // buffer (same exact-dedup-first precondition as the dedup
+      // family's bucket caps).
+      import org.apache.spark.sql.expressions.Window
+      val wOrd = Window.partitionBy(col("line"))
+        .orderBy(col("doc_id"), col("pos"))
+      val wAll = Window.partitionBy(col("line"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      lines
+        .withColumn("opens", when(lag(col("doc_id"), 1).over(wOrd).isNull ||
+          lag(col("doc_id"), 1).over(wOrd) =!= col("doc_id"), 1L).otherwise(0L))
+        .withColumn("nd", sum(col("opens")).over(wAll))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_lines"),
           sum(when(col("nd") >= 5, 1L).otherwise(0L)).as("n_boiler"),
