@@ -373,6 +373,8 @@ object Dedup {
       changed = next2.filter(col("chg")).count()
       labels = next2.select(col("id"), col("lab"))
       i += 1
+      if (sys.env.contains("SPARK_GRAFT_CC_VERBOSE"))
+        println(s"[cc] round $i: changed=$changed")
     }
     labels
   }

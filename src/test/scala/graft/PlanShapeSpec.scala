@@ -302,8 +302,15 @@ class PlanShapeSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"segment dedup must not join:\n$p")
     assert(p.contains("Generate"), s"no segment explode:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"first-occurrence keep must prune map-side via WindowGroupLimit:\n$p")
+    // r17 (846f62c): first-occurrence keep is a partial-aggregating
+    // min(struct) over the 128-bit hashed content key — map-side
+    // partial_min prunes duplicates before the exchange (the job the
+    // old row_number window needed WindowGroupLimit for), and the sort
+    // is over two longs, not segment strings
+    assert(p.contains("partial_min(struct"),
+      s"first-occurrence keep must prune map-side via partial min(struct):\n$p")
+    assert(!p.contains("Window"),
+      s"segment keep must not need a window pass:\n$p")
   }
 
   test("kmeans / PQ / IVF-PQ centroid assignment is a per-row kernel, not a join (r9)") {
