@@ -338,45 +338,75 @@ object Dedup {
 
   /** Connected components over an undirected duplicate-pair edge list:
     * iterative min-label propagation, the standard O(graph-diameter)-
-    * round formulation (each round = one shuffle-join + min-agg), so a
-    * 100 TB pair set shards like any hash join; near-dup graphs have
-    * tiny diameters (clusters are quasi-cliques), so rounds stay
-    * single-digit. Returns (id, lab) with lab = min member id of the
-    * component — the canonical representative used to pick one
-    * surviving document per duplicate cluster. */
+    * round formulation, so a 100 TB pair set shards like any hash
+    * join; near-dup graphs have tiny diameters (clusters are
+    * quasi-cliques), so rounds stay single-digit. Returns (id, lab)
+    * with lab = min member id of the component — the canonical
+    * representative used to pick one surviving document per duplicate
+    * cluster.
+    *
+    * Round shape (r17): each round is ONE join + ONE aggregate with a
+    * single exchange — the algorithmic floor (labels must move from
+    * dst-keyed to src-keyed once per hop). Two spellings were removed:
+    *  - self-edges (id, id) in the symmetric edge set fold a node's
+    *    own label into the same min-aggregate that folds its
+    *    neighbours', so the r16 left-join of the aggregated minima
+    *    back against labels (to keep the old label for the
+    *    convergence flag) is gone — min(when(dst = src)) picks the
+    *    previous label out of the self-row inside the existing
+    *    aggregate (exactly one self-row per group);
+    *  - the edge set is hash-partitioned by dst ONCE and persisted for
+    *    the statement (persist, not localCheckpoint: the checkpoint's
+    *    LogicalRDD reports UnknownPartitioning, so every round paid a
+    *    fresh edge-sized exchange — the cached plan keeps its
+    *    partitioning, so the per-round join never re-shuffles the
+    *    edges; unpersisted in a finally before returning).
+    * The two shuffles left per round are the floor: the node-sized
+    * labels re-key onto dst, and the groupBy(src) hop whose map-side
+    * partial min reduces edge-sized rows to node-sized before the
+    * wire. Null ids are not supported (no caller produces them: edge
+    * ends are join keys upstream). */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 50): DataFrame = {
-    val sym = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+    val und = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
-      .localCheckpoint(eager = true)
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lab", col("id"))
+    val sym = und
+      .union(und.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .persist()
+    try {
+    // initial labels = the self-rows themselves: every node, lab = id
+    var labels = sym.filter(col("src") === col("dst"))
+      .select(col("src"), col("src").as("lab"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var i = 0
     while (i < maxIter && changed > 0) {
-      val nbr = sym.join(labels, sym("dst") === labels("id"))
-        .groupBy(col("src")).agg(min(col("lab")).as("nlab"))
-      // the change flag rides ON the next frame (old and new label are
-      // both in scope here) — r16: the old spelling re-joined next
-      // against labels on id per iteration just to count diffs, an
-      // extra exchange+join per round over two frames this projection
-      // already holds
-      val next2 = labels.alias("l")
-        .join(nbr.alias("n"), col("l.id") === col("n.src"), "left")
-        .select(col("l.id").as("id"),
-          least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))).as("lab"),
-          (least(col("l.lab"), coalesce(col("n.nlab"), col("l.lab"))) =!=
-            col("l.lab")).as("chg"))
-        .localCheckpoint(eager = true)
+      val pre = sym.as("e")
+        .join(labels.as("l"), col("e.dst") === col("l.src"))
+        .groupBy(col("e.src"))
+        .agg(min(col("l.lab")).as("nlab"),
+          min(when(col("e.dst") === col("e.src"), col("l.lab"))).as("old"))
+        .select(col("src"), col("nlab").as("lab"),
+          (col("nlab") =!= col("old")).as("chg"))
+      // probe hook: the query-level explain cannot show the round shape
+      // (the loop runs at plan-construction time), so probes dump one
+      // representative round plan here
+      if (i == 1 && sys.env.contains("SPARK_GRAFT_CC_EXPLAIN"))
+        pre.explain("formatted")
+      val next2 = pre.localCheckpoint(eager = true)
       changed = next2.filter(col("chg")).count()
-      labels = next2.select(col("id"), col("lab"))
+      labels = next2.select(col("src"), col("lab"))
       i += 1
       if (sys.env.contains("SPARK_GRAFT_CC_VERBOSE"))
         println(s"[cc] round $i: changed=$changed")
     }
-    labels
+    // every round's labels checkpoint is already materialized, so
+    // nothing downstream re-reads the cached edges
+    labels.select(col("src").as("id"), col("lab"))
+    } finally sym.unpersist()
   }
 
   /** Cross-corpus duplicated-substring SPAN removal at w-shingle
