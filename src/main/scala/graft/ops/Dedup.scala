@@ -347,7 +347,9 @@ object Dedup {
     *
     * Round shape (r17): each round is ONE join + ONE aggregate with a
     * single exchange — the algorithmic floor (labels must move from
-    * dst-keyed to src-keyed once per hop). Two spellings were removed:
+    * dst-keyed to src-keyed once per hop) — and the initial labels
+    * frame is already round 1, computed join-free (see the inline
+    * comment). Two r16 spellings were removed:
     *  - self-edges (id, id) in the symmetric edge set fold a node's
     *    own label into the same min-aggregate that folds its
     *    neighbours', so the r16 left-join of the aggregated minima
@@ -377,9 +379,13 @@ object Dedup {
       .repartition(col("dst"))
       .persist()
     try {
-    // initial labels = the self-rows themselves: every node, lab = id
-    var labels = sym.filter(col("src") === col("dst"))
-      .select(col("src"), col("src").as("lab"))
+    // initial labels = the FIRST propagation round, join-free: with
+    // self-edges present, min(dst) per src group is min(N(x) ∪ {x}) —
+    // exactly what round 1 of the loop would produce from lab(x) = x,
+    // one aggregate instead of a join round (r17: one fewer of the
+    // 4 sf0.1 rounds runs the join at all)
+    var labels = sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("lab"))
       .localCheckpoint(eager = true)
     var changed = 1L
     var i = 0
